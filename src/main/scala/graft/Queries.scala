@@ -1,0 +1,423 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** The operator-coverage registry behind [[SparkEntry]].
+  *
+  * Every entry is a pair: a Spark DataFrame program and (where
+  * SQL-expressible) a DuckDB oracle computing the same answer from the
+  * same parquet — the t2 correctness contract. Column names and
+  * rounding are aligned on both sides because the driver hash-compares
+  * values after sorting columns by name.
+  *
+  * Determinism rules used throughout:
+  *  - every ORDER BY carries a unique tiebreaker before any LIMIT;
+  *  - double aggregates are `round()`ed on both sides (cross-engine
+  *    summation order differs in the last ulps);
+  *  - hashes are engine-independent (md5 / polynomial mod prime), never
+  *    Spark-internal `hash()`.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Inline DuckDB expression mirroring [[TextAnalysis.polyHash]] —
+    * a sequential left fold `(h*31 + codepoint) mod 1e9+7` over the
+    * characters of `expr`. Inlined (not a macro) because the driver
+    * runs each oracle as a standalone statement.
+    */
+  private def duckPh(expr: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr,''), ch -> ascii(ch)::BIGINT)), " +
+      "(h, c) -> (h*31 + c) % 1000000007)"
+
+  // ---------------------------------------------------------------
+  // Relational core: aggregation, joins, top-k, set ops, windows
+  // ---------------------------------------------------------------
+
+  private val relational: Seq[Q] = Seq(
+    Q("q1_agg", (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          // avg as round(sum,2)/n: cross-engine double summation differs
+          // by ulps; rounding the sum first makes the division exact on
+          // both sides (inputs have 2-decimal granularity).
+          round(round(sum("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"),
+          round(round(sum("l_discount"), 2) / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity),2) AS sum_qty,
+             round(sum(l_extendedprice),2) AS sum_base_price,
+             round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             round(round(sum(l_quantity),2)/count(*),4) AS avg_qty,
+             round(round(sum(l_discount),2)/count(*),4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("q3_join_topk", (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        JOIN customer ON o_custkey=c_custkey
+      WHERE c_mktsegment='BUILDING' AND o_orderdate<'1998-01-01' AND l_shipdate>'1995-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
+    Q("q5_multiway_join", (s, dir) => {
+      // Star join: fact scan + broadcast dims; only the groupBy shuffles.
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }, Some("""
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        JOIN customer ON o_custkey=c_custkey
+        JOIN nation ON c_nationkey=n_nationkey
+        JOIN region ON n_regionkey=r_regionkey
+      GROUP BY r_name, n_name""")),
+
+    Q("q_semi_join", (s, dir) => {
+      // EXISTS: customers having at least one 'F' order — left_semi, no fanout.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='F')""")),
+
+    Q("q_anti_join", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='P')""")),
+
+    Q("q_distinct", (s, dir) =>
+      t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct(),
+      Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")),
+
+    Q("q_union", (s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          lit("customer").as("kind"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+          lit("supplier").as("kind"))
+      c.unionByName(sup)
+    }, Some("""
+      SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_name, s_acctbal, 'supplier' FROM supplier""")),
+
+    Q("q_topk_offset", (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(30)
+        .offset(10)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 10""")),
+
+    Q("q_having", (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("spend"))
+        .filter(col("n_orders") >= 5),
+      Some("""
+      SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 5""")),
+
+    Q("q_case_expr", (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        when(col("p_size") < 10, lit("small"))
+          .when(col("p_size") < 30, lit("medium"))
+          .otherwise(lit("large")).as("size_band"),
+        round(col("p_retailprice") * 1.1, 2).as("marked_up")),
+      Some("""
+      SELECT p_partkey,
+             CASE WHEN p_size<10 THEN 'small' WHEN p_size<30 THEN 'medium' ELSE 'large' END AS size_band,
+             round(p_retailprice*1.1,2) AS marked_up
+      FROM part"""))
+  )
+
+  // ---------------------------------------------------------------
+  // Window / event-stream analytics over `events`
+  // ---------------------------------------------------------------
+
+  private val windows: Seq[Q] = Seq(
+    Q("w_row_number_lag", (s, dir) => {
+      // order on the exact epoch-nanos key, matching DuckDB's ns timestamps
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("rn"),
+        round(lag("value", 1).over(w), 2).as("prev_value"),
+        round(sum("value").over(w.rowsBetween(-2, 0)), 2).as("moving_sum3"))
+    }, Some("""
+      SELECT event_id, user_id,
+             row_number() OVER w AS rn,
+             round(lag(value,1) OVER w, 2) AS prev_value,
+             round(sum(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
+
+    Q("w_tumbling_hour", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")),
+      Some("""
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n, round(sum(value),2) AS sum_value
+      FROM events GROUP BY 1, 2""")),
+
+    Q("w_json_props", (s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          round(round(sum("value"), 2) / count(lit(1)), 4).as("avg_value")),
+      Some("""
+      SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k,
+             count(*) AS n, round(round(sum(value),2)/count(*),4) AS avg_value
+      FROM events GROUP BY 1"""))
+  )
+
+  // ---------------------------------------------------------------
+  // Text analysis over `documents`
+  // ---------------------------------------------------------------
+
+  private val text: Seq[Q] = Seq(
+    Q("t_token_stats", (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(TextAnalysis.regexTokens(col("text"))).cast("long").as("n_subword_tokens"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio")),
+      Some(s"""
+      SELECT doc_id,
+             len(string_split(text,' ')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9'']+'), t -> len(t)>0)) AS n_subword_tokens,
+             round(len(list_filter(string_split(text,' '), t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE
+                   / len(string_split(text,' ')), 6) AS stopword_ratio
+      FROM documents""")),
+
+    Q("t_lang_id", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess")),
+      Some(s"""
+      SELECT doc_id,
+             CASE WHEN len(list_filter(string_split(text,' '),
+                    t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")}))) > 0
+                  THEN 'en' ELSE 'unknown' END AS lang_guess
+      FROM documents""")),
+
+    Q("t_quality_score", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               len(string_split(text,' '))::DOUBLE AS n,
+               len(list_filter(string_split(text,' '),
+                 t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE AS stop,
+               len(text)::DOUBLE AS chars
+        FROM documents)
+      SELECT doc_id,
+             round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
+                   + least(round(stop/n,6)*4.0, 1.0)
+                   + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) AS quality
+      FROM f""")),
+
+    Q("t_fingerprint", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
+      FROM documents"""))
+  )
+
+  // ---------------------------------------------------------------
+  // Deduplication over `documents`
+  // ---------------------------------------------------------------
+
+  private val dedup: Seq[Q] = Seq(
+    Q("d_exact_groups", (s, dir) => Dedup.exactGroups(t(s, dir, "documents")),
+      Some("""
+      SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY 1""")),
+
+    Q("d_fingerprint_groups", (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1),
+      Some("""
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY 1 HAVING count(*) > 1""")),
+
+    Q("d_minhash_lsh", (s, dir) => Dedup.minHashPairs(t(s, dir, "documents"), 0.5), {
+      // DuckDB mirror of shingle→minhash→band→bucket-join→verify.
+      val hashes = Dedup.MinHashParams.zipWithIndex.map { case ((a, b), j) =>
+        s"list_min(list_transform(sh, x -> (${duckPh("x")}*$a + $b) % 1000000007)) AS m$j"
+      }.mkString(", ")
+      Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) AS sh
+        FROM documents),
+      sig AS (SELECT doc_id, sh, $hashes FROM docs),
+      banded AS (
+        SELECT doc_id, sh, b.band_id,
+               CASE b.band_id WHEN 0 THEN m0||'_'||m1 WHEN 1 THEN m2||'_'||m3
+                              WHEN 2 THEN m4||'_'||m5 ELSE m6||'_'||m7 END AS band_key
+        FROM sig, (SELECT unnest(range(4)) AS band_id) b),
+      pairs AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.sh AS sh_a, r.sh AS sh_b
+        FROM banded l JOIN banded r
+          ON l.band_id=r.band_id AND l.band_key=r.band_key AND l.doc_id<r.doc_id),
+      j AS (
+        SELECT doc_a, doc_b,
+               len(list_filter(list_distinct(sh_a), x -> list_contains(list_distinct(sh_b), x)))::DOUBLE AS inter,
+               len(list_distinct(sh_a)) AS na, len(list_distinct(sh_b)) AS nb
+        FROM pairs)
+      SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
+      FROM j WHERE round(inter/(na+nb-inter),6) >= 0.5""")
+    }),
+
+    Q("d_simhash", (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("simhash")), {
+      val bits = (0 until 16).map { i =>
+        s"CASE WHEN 2*len(list_filter(toks, t -> ((${duckPh("t")}) // ${1L << i}) % 2 = 1)) > len(toks) THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+      SELECT doc_id, ($bits)::BIGINT AS simhash FROM d""")
+    }),
+
+    Q("d_ngram_jaccard", (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.3),
+      Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        FROM documents),
+      ex AS (SELECT doc_id, len(sh) AS n_sh, ${duckPh("unnest(sh)")} AS sh_hash FROM docs),
+      joined AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               count(*)::DOUBLE AS inter, any_value(l.n_sh) AS na, any_value(r.n_sh) AS nb
+        FROM ex l JOIN ex r ON l.sh_hash=r.sh_hash AND l.doc_id<r.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
+      FROM joined WHERE round(inter/(na+nb-inter),6) >= 0.3"""))
+  )
+
+  // ---------------------------------------------------------------
+  // Similarity search over `embeddings`
+  // ---------------------------------------------------------------
+
+  /** Sequential-left-fold dot product in DuckDB matching Spark's
+    * `aggregate(zip_with(...))` evaluation order bit-for-bit.
+    */
+  private def duckCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($x,$y), p -> p[1]::DOUBLE * p[2]::DOUBLE)), (acc,v) -> acc+v)"
+    s"round(${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)}), 6)"
+  }
+
+  private val similarity: Seq[Q] = Seq(
+    Q("s_bruteforce_topk", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 5)
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, vec_id, ${duckCosine("q_emb", "embedding")} AS cos
+        FROM embeddings, q WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= 5""")),
+
+    Q("s_cosine_neardup", (s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.3, 6), {
+      // DuckDB mirror of the sign-LSH bucketing (identical double math:
+      // constants emitted via Double.toString so both engines parse the
+      // exact same IEEE value).
+      val bits = 6
+      def proj(p: Int) = {
+        val c = java.lang.Double.toString((p + 1) * 0.61803398875)
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, range(0, len(embedding))), " +
+          s"z -> z[1]::DOUBLE * (($c * z[2]) % 1.0 * 2.0 - 1.0))), (acc,v) -> acc+v)"
+      }
+      val bucket = (0 until bits)
+        .map(p => s"(CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      Some(s"""
+      WITH b AS (SELECT vec_id, embedding, ($bucket)::BIGINT AS bucket FROM embeddings),
+      pairs AS (
+        SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+               ${duckCosine("l.embedding", "r.embedding")} AS cos
+        FROM b l JOIN b r ON l.bucket=r.bucket AND l.vec_id<r.vec_id)
+      SELECT DISTINCT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3""")
+    })
+  )
+
+  // ---------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------
+
+  val all: Seq[Q] = relational ++ windows ++ text ++ dedup ++ similarity
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+}

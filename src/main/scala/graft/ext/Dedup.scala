@@ -1,0 +1,158 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard near-dup.
+  *
+  * Scale design (100 TB): every variant is
+  *   map-only signature computation → shuffle ON THE SIGNATURE (never
+  *   on raw text) → candidate pairs within buckets → verify.
+  * The only all-pairs work happens inside an LSH bucket, which is what
+  * makes near-dup tractable at corpus scale — there is no O(n²) stage.
+  * Signatures use the engine-independent [[TextAnalysis.polyHash]]
+  * (not Spark murmur) so results are reproducible and DuckDB-checkable.
+  */
+object Dedup {
+  import TextAnalysis.{tokens, polyHash}
+
+  private val P = 1000000007L
+
+  /** MinHash permutation parameters: h_j(t) = (a_j*polyHash(t)+b_j) mod P.
+    * 8 hashes banded 2-per-band → 4 LSH bands: catches Jaccard ≳ 0.5
+    * pairs with high probability at this signature size.
+    */
+  val MinHashParams: Seq[(Long, Long)] =
+    Seq((7L, 3L), (13L, 17L), (31L, 29L), (61L, 59L),
+        (127L, 113L), (251L, 241L), (509L, 503L), (1021L, 1013L))
+
+  val BandSize = 2
+
+  /** MinHash signature over the trigram-shingle set (shingle → minhash,
+    * the classic pipeline): array of 8 minima. Map-only. Shingles, not
+    * tokens: with a small vocabulary every pair of documents shares
+    * most TOKENS, so token-level Jaccard saturates; trigram shingles
+    * stay selective.
+    */
+  def minHashSignature(text: Column): Column = {
+    val hs = MinHashParams.map { case (a, b) =>
+      array_min(transform(shingles(text), t => pmod(polyHash(t) * lit(a) + lit(b), lit(P))))
+    }
+    array(hs: _*)
+  }
+
+  /** Exact duplicate groups: shuffle on the md5 of the text (tiny fixed
+    * key — never shuffles the document bodies' raw bytes as the key),
+    * keep the lowest doc_id as representative.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** True Jaccard over distinct token sets — the verify step shared by
+    * every near-dup variant.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    round(inter / (size(da) + size(db) - inter), 6)
+  }
+
+  /** MinHash + LSH near-dup pairs.
+    * Plan shape: map (signature) → explode 4 bands → shuffle-join on
+    * (band_id, band key) → verify Jaccard inside buckets. At 100 TB the
+    * band join is the only shuffle and its key is 2 longs.
+    */
+  def minHashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val nBands = MinHashParams.size / BandSize
+    val sig = docs
+      .select(col("doc_id"), shingles(col("text")).as("toks"),
+        minHashSignature(col("text")).as("mh"))
+    val banded = sig.select(
+      col("doc_id"), col("toks"),
+      posexplode(transform(
+        sequence(lit(0), lit(nBands - 1)),
+        b => concat_ws("_", element_at(col("mh"), b * BandSize + 1),
+                            element_at(col("mh"), b * BandSize + 2)))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+    val l = banded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val r = banded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    l.join(r, Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .distinct()
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash: bit i of the fingerprint is the majority vote of
+    * bit i across the token hashes. Map-only per document; near-dup
+    * lookup then groups on the fingerprint (or bands of it) — hamming
+    * distance via `bit_count(a ^ b)`.
+    */
+  def simHash(text: Column, bits: Int = 16): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val perBit = (0 until bits).map { i =>
+      val ones = size(filter(toks, t => pmod(shiftright(polyHash(t), i), lit(2L)) === 1L))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }
+    perBit.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: LSH on the two bytes of the 16-bit
+    * fingerprint (a pair within hamming distance ≤ 7 shares at least
+    * one exact byte — pigeonhole), verified by exact hamming distance.
+    * Same shuffle-on-tiny-key shape as [[minHashPairs]].
+    */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col("doc_id"), simHash(col("text")).as("sh"))
+    val banded = sig.select(col("doc_id"), col("sh"),
+      posexplode(array(pmod(col("sh"), lit(256L)), floor(col("sh") / 256L))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+    val l = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Token n-gram shingles (default trigrams) — input to Jaccard dedup. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    * explode shingles → shuffle-join on the shingle hash → count shared
+    * shingles per pair → Jaccard from |A|,|B|,|A∩B|. This is the
+    * exact-verify path; at 100 TB run [[minHashPairs]] first and feed
+    * only its candidates through this.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        array_distinct(shingles(col("text"), n)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("n_sh"), polyHash(col("shingle")).as("sh_hash"))
+    val l = sh.select(col("sh_hash"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+    val r = sh.select(col("sh_hash"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+    l.join(r, "sh_hash")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

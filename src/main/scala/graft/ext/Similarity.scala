@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, as a scale story:
+  *  - [[bruteForceTopK]]: exact cosine top-k. Query side is broadcast
+  *    (queries are small by construction); the corpus is scanned once,
+  *    map-side scored, and top-k is a TakeOrdered per query — no
+  *    corpus shuffle. Right answer when queries ≪ corpus.
+  *  - [[lshTopK]]: IVF/LSH-bucketed ANN — corpus is pre-bucketed by a
+  *    random-hyperplane signature; each query probes only its bucket.
+  *    At 100 TB the bucket column is a partition key, so a probe is a
+  *    partition-pruned scan instead of a full pass.
+  *
+  * All arithmetic is sequential-order double math (`zip_with` +
+  * `aggregate`), deterministic and engine-independent.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float vectors, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    round(dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b)), 6)
+  }
+
+  /** Exact top-k neighbours for each query vector.
+    * @param queries (query_id, embedding) — small; broadcast.
+    * @param corpus  (vec_id, embedding) — arbitrarily large.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.join(
+        broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Random-hyperplane (sign-LSH) bucket id: `bits` pseudo-random
+    * hyperplanes, deterministic coefficients from (plane, dim) via a
+    * fixed LCG — engine-independent, no trained state to ship.
+    */
+  def lshBucket(emb: Column, bits: Int = 8): Column = {
+    val planes = (0 until bits).map { p =>
+      // per-dimension pseudo-random weight in [-1,1): frac((p+1)*i*phi)
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (v, i) => v.cast("double") *
+            ((lit((p + 1) * 0.61803398875) * i) % 1.0 * 2.0 - 1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** ANN top-k: probe only the query's LSH bucket. Recall < 1 by design;
+    * the bench pairs it with [[bruteForceTopK]] as ground truth.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), bits))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("bucket", lshBucket(col("q_emb"), bits)))
+    val scored = bucketed.join(q, Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup mode of
+    * SURVEY §2.D): bucket with sign-LSH, compare only within buckets.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 6): DataFrame = {
+    val b = corpus.withColumn("bucket", lshBucket(col("embedding"), bits))
+    val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .where(col("cos") >= threshold)
+      .distinct()
+  }
+}

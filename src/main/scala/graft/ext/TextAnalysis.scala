@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines over the `documents`
+  * table: tokenization, language-ID, quality scoring, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — whole-stage-codegen'd, no UDFs —
+  * so it scales linearly over a 100 TB corpus with zero shuffle
+  * (map-only). Hashes are engine-independent (polynomial rolling hash
+  * mod a prime, or md5), NOT Spark's murmur `hash()`, so results are
+  * reproducible across engines (and hash-checkable against DuckDB).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword-boundary tokenizer: splits on whitespace AND
+    * punctuation boundaries, the usual pre-tokenization for token
+    * counting without a real BPE vocab in-container.
+    */
+  def regexTokens(text: Column): Column =
+    filter(split(text, "[^A-Za-z0-9']+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Engine-independent polynomial rolling hash of a string:
+    * h = (h*31 + codepoint) mod 1e9+7. Stays far from Long overflow
+    * (h < 1e9 so h*31+c < 3.2e10). Deterministic across engines —
+    * the basis for MinHash/SimHash signatures in [[Dedup]].
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      split(s, ""),
+      lit(0L),
+      (h, ch) => pmod(h * lit(31L) + ascii(ch), lit(1000000007L)))
+
+  /** English stopword markers used by the language-ID heuristic and the
+    * quality score. Tiny on purpose: deterministic and auditable.
+    */
+  val EnglishMarkers: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def isMarker(t: Column): Column =
+    t.isin(EnglishMarkers.map(x => x: Any): _*)
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), isMarker(_)))
+
+  def stopwordRatio(text: Column): Column =
+    round(stopwordCount(text).cast("double") / tokenCount(text), 6)
+
+  /** n-gram/stopword language-ID heuristic: texts with any English
+    * marker tokens are tagged "en", otherwise "unknown". (A real model
+    * would score char-n-gram profiles per language; the pipeline shape
+    * — map-only scalar scoring — is identical.)
+    */
+  def langId(text: Column): Column =
+    when(stopwordCount(text) > 0, lit("en")).otherwise(lit("unknown"))
+
+  /** Document quality score in [0,1]: blend of length band, stopword
+    * ratio and mean token length — the standard cheap pre-filter for
+    * pretraining corpora (C4-style heuristics).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = when(n >= 20 && n <= 1000, lit(1.0))
+      .when(n >= 5, lit(0.5)).otherwise(lit(0.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val meanTokLen = length(text).cast("double") / n
+    val tokLenScore = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    round((lenScore + stopScore + tokLenScore) / 3.0, 6)
+  }
+
+  /** Content-defined document fingerprint: md5 over the sorted distinct
+    * token set. Robust to token order shuffles (bag-of-words identity),
+    * engine-independent, and join-able for exact near-dup grouping.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}
