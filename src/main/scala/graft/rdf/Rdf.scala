@@ -1,0 +1,114 @@
+package graft.rdf
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** RDF term model for the quad store.
+  *
+  * The reference's unit of data is the RDF statement `(s, p, o, g)`
+  * loaded into named graphs (`GraphDBSystemAdapter.java:286`, graph IRI
+  * built at `:279`); terms are IRIs, blank nodes, or literals with an
+  * optional datatype/language (`GraphDBSystemAdapter.java:254` shows the
+  * `{"type":…,"value":…}` binding shape).
+  *
+  * Spark-native representation: a term is a non-null STRUCT column
+  *
+  * {{{ struct(lex: STRING, kind: INT, dt: STRING, lang: STRING, num: DOUBLE) }}}
+  *
+  *  - `lex`   lexical form (IRI text, bnode label, literal value) — never null
+  *  - `kind`  0 = IRI, 1 = blank node, 2 = literal — never null
+  *  - `dt`    literal datatype tag ("" for IRI/bnode) — never null
+  *  - `lang`  BCP47 language tag or "" — never null
+  *  - `num`   typed numeric sidecar (null unless numeric literal) — the
+  *            "literal index" role (`repo-config.ttl:41`): value-space
+  *            comparisons and range filters run on this double column and
+  *            push down to parquet min/max, instead of parsing lexical
+  *            forms per row.
+  *
+  * Term identity (sameTerm, join keys) is `(lex, kind)` — dt/lang
+  * disambiguation is not needed because the canonicalizer writes one
+  * lexical form per value space. Joins therefore compile to plain string
+  * equality, which Catalyst pushes into shuffles/broadcasts untouched.
+  *
+  * Scale note (100 TB): the quad table is stored partitioned by `g` and
+  * sorted by `(p.lex, s.lex)` within files, so a constant-predicate
+  * triple pattern — the overwhelmingly common case — becomes a
+  * min/max-pruned scan, playing the role of the reference's POS/PSO
+  * statement indexes (`repo-config.ttl:31`). Dictionary-encoding of lex
+  * strings is left to parquet dictionary pages at this layer; a
+  * 64-bit-id term dictionary (SURVEY §1.5) can be layered on later
+  * without changing the algebra.
+  */
+object Rdf {
+  val IRI = 0
+  val BNODE = 1
+  val LIT = 2
+
+  val XsdString = "xsd:string"
+  val XsdDecimal = "xsd:decimal"
+  val XsdInteger = "xsd:integer"
+  val XsdDate = "xsd:date"
+  val XsdBoolean = "xsd:boolean"
+  val RdfType = "rdf:type"
+
+  def numericDt(dt: Column): Column = dt.isin(XsdDecimal, XsdInteger)
+
+  /** Canonical lexical form of a numeric value: fixed-scale DECIMAL(28,6)
+    * rendering, identical across engines (Spark and DuckDB both print
+    * decimals with all `scale` digits). Keeps float formatting out of
+    * term identity.
+    */
+  def canonNumLex(c: Column): Column =
+    c.cast("double").cast("decimal(28,6)").cast("string")
+
+  /** DuckDB spelling of [[canonNumLex]] — used by oracle generators. */
+  def canonNumLexSql(e: String): String =
+    s"CAST(CAST(($e)::DOUBLE AS DECIMAL(28,6)) AS VARCHAR)"
+
+  def term(lex: Column, kind: Column, dt: Column, lang: Column, num: Column): Column =
+    struct(lex.as("lex"), kind.as("kind"), dt.as("dt"), lang.as("lang"), num.as("num"))
+
+  def iri(lex: Column): Column =
+    term(lex, lit(IRI), lit(""), lit(""), lit(null).cast("double"))
+
+  def bnode(lex: Column): Column =
+    term(lex, lit(BNODE), lit(""), lit(""), lit(null).cast("double"))
+
+  def strLit(lex: Column): Column =
+    term(lex, lit(LIT), lit(XsdString), lit(""), lit(null).cast("double"))
+
+  def langLit(lex: Column, lang: Column): Column =
+    term(lex, lit(LIT), lit(XsdString), lang, lit(null).cast("double"))
+
+  def numLit(value: Column, dt: String = XsdDecimal): Column =
+    term(canonNumLex(value), lit(LIT), lit(dt), lit(""), value.cast("double"))
+
+  def dateLit(value: Column): Column =
+    term(value.cast("date").cast("string"), lit(LIT), lit(XsdDate), lit(""),
+      lit(null).cast("double"))
+
+  def boolLit(value: Column): Column =
+    term(when(value, "true").otherwise("false"), lit(LIT), lit(XsdBoolean), lit(""),
+      when(value, 1.0).otherwise(0.0))
+
+  /** A concrete term as a literal Column (for pattern constants). */
+  def constTerm(lex: String, kind: Int, dt: String = "", lang: String = ""): Column = {
+    val num =
+      if (dt == XsdDecimal || dt == XsdInteger) lit(lex.toDouble)
+      else if (dt == XsdBoolean) lit(if (lex == "true") 1.0 else 0.0)
+      else lit(null).cast("double")
+    term(lit(lex), lit(kind), lit(dt), lit(lang), num)
+  }
+
+  /** SPARQL total-order sort key over terms: unbound < bnode < IRI <
+    * literal; literals numeric-first by value, then lexical
+    * (SPARQL 1.1 §15.1 ORDER BY term ordering).
+    */
+  def sortKey(t: Column): Column =
+    struct(
+      when(t.isNull, 0).when(t("kind") === BNODE, 1).when(t("kind") === IRI, 2)
+        .otherwise(3).as("rank"),
+      when(t.isNull, 1).when(t("num").isNotNull, 0).otherwise(1).as("numflag"),
+      coalesce(t("num"), lit(0.0)).as("num"),
+      coalesce(t("lex"), lit("")).as("lex"))
+}

@@ -1,0 +1,115 @@
+package graft.sparql
+
+/** SPARQL 1.1 algebra AST (SURVEY §2.B).
+  *
+  * This is the intermediate form between the text parser
+  * ([[SparqlParser]]) and the DataFrame compiler ([[Compiler]]):
+  * `SPARQL text → algebra → rewrite → DataFrame → Catalyst`.
+  * Mirrors the W3C algebra (BGP / Join / LeftJoin / Union / Minus /
+  * Filter / Extend / Group / Project / Distinct / OrderBy / Slice),
+  * the shape GraphDB evaluates behind the reference's
+  * `prepareTupleQuery` entry point (`GraphDBSystemAdapter.java:246`).
+  */
+object Algebra {
+
+  // ---- nodes in triple patterns --------------------------------------
+
+  sealed trait Node
+  /** query variable */
+  final case class V(name: String) extends Node
+  /** concrete term: kind 0=IRI 1=bnode 2=literal */
+  final case class T(lex: String, kind: Int = 0, dt: String = "", lang: String = "")
+      extends Node
+  object T {
+    def lit(s: String): T = T(s, 2, "xsd:string")
+    def num(d: Double): T = {
+      val bd = BigDecimal(d).setScale(6)
+      T(bd.bigDecimal.toPlainString, 2, "xsd:decimal")
+    }
+  }
+
+  // ---- property paths -------------------------------------------------
+
+  sealed trait Path
+  final case class PLink(iri: String) extends Path
+  final case class PVar(name: String) extends Path
+  final case class PInv(p: Path) extends Path
+  final case class PSeq(l: Path, r: Path) extends Path
+  final case class PAlt(l: Path, r: Path) extends Path
+  final case class PStar(p: Path) extends Path
+  final case class PPlus(p: Path) extends Path
+  final case class POpt(p: Path) extends Path
+  /** negated property set `!(p1|p2)` */
+  final case class PNeg(iris: Seq[String]) extends Path
+
+  final case class TriplePat(s: Node, p: Path, o: Node)
+
+  // ---- expressions ----------------------------------------------------
+
+  sealed trait Expr
+  final case class EVar(name: String) extends Expr
+  final case class EConst(t: T) extends Expr
+  /** builtin/operator call; op is lower-case ("&&", "=", "regex", …) */
+  final case class ECall(op: String, args: Seq[Expr]) extends Expr
+  /** FILTER (NOT) EXISTS { pattern } */
+  final case class EExists(op: Op, positive: Boolean) extends Expr
+  /** aggregate reference inside SELECT/HAVING/ORDER (compiled by Group) */
+  final case class EAgg(fn: String, arg: Option[Expr], distinct: Boolean,
+      sep: Option[String]) extends Expr
+
+  // ---- operators ------------------------------------------------------
+
+  sealed trait Op
+  final case class Bgp(pats: Seq[TriplePat], graph: Option[Node] = None) extends Op
+  final case class Join(l: Op, r: Op) extends Op
+  final case class LeftJoin(l: Op, r: Op, cond: Option[Expr]) extends Op
+  final case class Union(l: Op, r: Op) extends Op
+  final case class Minus(l: Op, r: Op) extends Op
+  final case class Filter(cond: Expr, input: Op) extends Op
+  final case class Extend(input: Op, v: String, e: Expr) extends Op
+  final case class ValuesOp(vars: Seq[String], rows: Seq[Seq[Option[T]]]) extends Op
+  /** keys may be plain vars or (expr AS ?v); aggs: output var → aggregate */
+  final case class Group(input: Op, keys: Seq[(String, Option[Expr])],
+      aggs: Seq[(String, EAgg)]) extends Op
+  final case class Project(input: Op, vars: Seq[String]) extends Op
+  final case class Distinct(input: Op) extends Op
+  final case class OrderBy(input: Op, keys: Seq[(Expr, Boolean)]) extends Op
+  final case class Slice(input: Op, offset: Long, limit: Long) extends Op
+  /** empty group pattern `{}` — the unit solution */
+  case object Unit0 extends Op
+
+  /** All variables an operator can bind (used for projection & joins). */
+  def inScope(op: Op): Seq[String] = {
+    def nodeVars(n: Node): Seq[String] = n match {
+      case V(x) => Seq(x); case _ => Nil
+    }
+    def pathVars(p: Path): Seq[String] = p match {
+      case PVar(x) => Seq(x)
+      case PInv(q) => pathVars(q)
+      case PSeq(a, b) => pathVars(a) ++ pathVars(b)
+      case PAlt(a, b) => pathVars(a) ++ pathVars(b)
+      case PStar(q) => pathVars(q); case PPlus(q) => pathVars(q)
+      case POpt(q) => pathVars(q)
+      case _ => Nil
+    }
+    val vs = op match {
+      case Bgp(ps, g) =>
+        ps.flatMap(tp => nodeVars(tp.s) ++ pathVars(tp.p) ++ nodeVars(tp.o)) ++
+          g.toSeq.flatMap(nodeVars)
+      case Join(l, r) => inScope(l) ++ inScope(r)
+      case LeftJoin(l, r, _) => inScope(l) ++ inScope(r)
+      case Union(l, r) => inScope(l) ++ inScope(r)
+      case Minus(l, _) => inScope(l)
+      case Filter(_, i) => inScope(i)
+      case Extend(i, v, _) => inScope(i) :+ v
+      case ValuesOp(vars, _) => vars
+      case Group(_, keys, aggs) => keys.map(_._1) ++ aggs.map(_._1)
+      case Project(_, vars) => vars
+      case Distinct(i) => inScope(i)
+      case OrderBy(i, _) => inScope(i)
+      case Slice(i, _, _) => inScope(i)
+      case Unit0 => Nil
+    }
+    vs.distinct
+  }
+}

@@ -1,0 +1,531 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.rdf.Rdf
+import Algebra._
+
+/** SPARQL algebra → DataFrame compiler (SURVEY §2.B, §4.2).
+  *
+  * A solution sequence is a DataFrame with one term-struct column per
+  * in-scope variable (unbound = NULL) — SURVEY §1.5's mapping of the
+  * SPARQL "solution mapping". Every algebra operator compiles to a
+  * declarative DataFrame transformation, so Catalyst owns predicate
+  * pushdown, column pruning, join strategy (broadcast vs shuffle via
+  * AQE) and whole-stage codegen; the only imperative loop is the
+  * transitive-closure fixpoint for `p*`/`p+` paths, which Catalyst
+  * cannot express (no recursion) — it runs driver-side with
+  * `localCheckpoint` per round to truncate plan lineage (SURVEY §4.2).
+  *
+  * Join ordering inside a BGP uses a bound-term selectivity heuristic
+  * (most-constant pattern first, then greedy shared-variable chaining) —
+  * the role GraphDB's statistics optimizer plays behind the reference's
+  * `prepareTupleQuery` call (`GraphDBSystemAdapter.java:246`,
+  * `repo-config.ttl:46`). After ordering, plans are left fully
+  * declarative so AQE can still pick broadcast sides at runtime.
+  */
+final class Compiler(spark: SparkSession, quads: DataFrame) {
+  import Rdf.{IRI, LIT, BNODE}
+
+  // SPARQL semantics are "error → unbound/false", i.e. legacy NULL-ing
+  // casts and arithmetic, not ANSI exceptions (Spark 4 defaults to ANSI).
+  spark.conf.set("spark.sql.ansi.enabled", "false")
+
+  val termType: DataType = StructType(Seq(
+    StructField("lex", StringType, nullable = false),
+    StructField("kind", IntegerType, nullable = false),
+    StructField("dt", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("num", DoubleType, nullable = true)))
+
+  private def nullTerm: Column = lit(null).cast(termType)
+
+  private def constCol(t: T): Column = Rdf.constTerm(t.lex, t.kind, t.dt, t.lang)
+
+  /** term identity condition — (lex, kind), see [[Rdf]] */
+  private def termEq(a: Column, b: Column): Column =
+    a("lex") === b("lex") && a("kind") === b("kind")
+
+  // ------------------------------------------------------------------
+  // entry points
+  // ------------------------------------------------------------------
+
+  def compile(op: Op): DataFrame = comp(op)
+
+  /** Result projection for the driver/oracle compare: one STRING column
+    * per variable (the lexical form; numerics are canonical
+    * DECIMAL(28,6) strings by construction).
+    */
+  def toStrings(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c)("lex").as(c)).toIndexedSeq: _*)
+
+  /** ASK — boolean existence, single row `(ask: boolean lexical)`. */
+  def ask(op: Op): DataFrame = {
+    val nonEmpty = !comp(op).isEmpty
+    spark.range(1).select(lit(if (nonEmpty) "true" else "false").as("ask"))
+  }
+
+  // ------------------------------------------------------------------
+  // operator compilation
+  // ------------------------------------------------------------------
+
+  private var fresh = 0
+  private def freshName(p: String): String = { fresh += 1; s"__${p}_$fresh" }
+
+  private def comp(op: Op): DataFrame = op match {
+    case Unit0 => spark.range(1).drop("id")
+
+    case Bgp(pats, graph) => compBgp(pats, graph)
+
+    case Join(l, r) => solJoin(comp(l), comp(r), "inner")
+
+    case LeftJoin(l, r, cond) => solLeftJoin(comp(l), comp(r), cond)
+
+    case Union(l, r) =>
+      val (ld, rd) = (comp(l), comp(r))
+      val allVars = (ld.columns ++ rd.columns).distinct.toIndexedSeq
+      def widen(d: DataFrame) =
+        d.select(allVars.map(v =>
+          (if (d.columns.contains(v)) d(v) else nullTerm).as(v)): _*)
+      widen(ld).unionByName(widen(rd))
+
+    case Minus(l, r) =>
+      val (ld, rd) = (comp(l), comp(r))
+      val shared = ld.columns.intersect(rd.columns).toIndexedSeq
+      if (shared.isEmpty) ld // MINUS with disjoint domains removes nothing
+      else {
+        val renames = shared.map(v => v -> freshName(v)).toMap
+        val rr = shared.foldLeft(rd.select(shared.map(rd(_)): _*)) {
+          (d, v) => d.withColumnRenamed(v, renames(v))
+        }
+        val cond = shared.map(v => termEq(ld(v), rr(renames(v)))).reduce(_ && _)
+        ld.join(rr, cond, "left_anti")
+      }
+
+    case Filter(cond, input) =>
+      val in = comp(input)
+      cond match {
+        case EExists(sub, positive) =>
+          val subDf = comp(sub)
+          val shared = in.columns.intersect(subDf.columns).toIndexedSeq
+          val joinType = if (positive) "left_semi" else "left_anti"
+          if (shared.isEmpty) {
+            val any = !subDf.isEmpty
+            if (any == positive) in else in.limit(0)
+          } else {
+            val renames = shared.map(v => v -> freshName(v)).toMap
+            val rr = shared.foldLeft(subDf.select(shared.map(subDf(_)): _*)) {
+              (d, v) => d.withColumnRenamed(v, renames(v))
+            }
+            val c = shared.map(v => termEq(in(v), rr(renames(v)))).reduce(_ && _)
+            in.join(rr, c, joinType)
+          }
+        case _ =>
+          in.filter(coalesce(ebv(compExpr(cond, resolver(in))), lit(false)))
+      }
+
+    case Extend(input, v, e) =>
+      val in = comp(input)
+      in.withColumn(v, compExpr(e, resolver(in)))
+
+    case ValuesOp(vars, rows) =>
+      rows.map { row =>
+        spark.range(1).select(vars.zip(row).map { case (v, t) =>
+          t.map(constCol).getOrElse(nullTerm).as(v)
+        }.toIndexedSeq: _*)
+      }.reduce(_.unionByName(_))
+
+    case Group(input, keys, aggs) =>
+      val in0 = comp(input)
+      // bind key expressions first so groupBy sees plain columns
+      val in = keys.foldLeft(in0) {
+        case (d, (v, Some(e))) => d.withColumn(v, compExpr(e, resolver(d)))
+        case (d, (_, None)) => d
+      }
+      val aggCols = aggs.map { case (out, a) => compAgg(a, in).as(out) }
+      val out =
+        if (keys.isEmpty) in.agg(aggCols.head, aggCols.tail: _*)
+        else in.groupBy(keys.map(k => in(k._1)): _*).agg(aggCols.head, aggCols.tail: _*)
+      out
+
+    case Project(input, vars) =>
+      val in = comp(input)
+      in.select(vars.map(v =>
+        (if (in.columns.contains(v)) in(v) else nullTerm).as(v)): _*)
+
+    case Distinct(input) => comp(input).distinct()
+
+    case OrderBy(input, keys) =>
+      val in = comp(input)
+      val sortCols = keys.map { case (e, asc) =>
+        val k = Rdf.sortKey(compExpr(e, resolver(in)))
+        if (asc) k.asc else k.desc
+      }
+      in.orderBy(sortCols: _*)
+
+    case Slice(input, offset, limit) =>
+      var d = comp(input)
+      if (limit >= 0) d = d.limit((offset + limit).toInt)
+      if (offset > 0) d = d.offset(offset.toInt)
+      d
+  }
+
+  private def resolver(df: DataFrame): String => Column =
+    v => if (df.columns.contains(v)) df(v) else nullTerm
+
+  // ------------------------------------------------------------------
+  // solution joins
+  // ------------------------------------------------------------------
+
+  private def solJoin(l: DataFrame, r: DataFrame, joinType: String): DataFrame = {
+    val shared = l.columns.intersect(r.columns).toIndexedSeq
+    if (shared.isEmpty) return l.crossJoin(r)
+    val renames = shared.map(v => v -> freshName(v)).toMap
+    val rr = shared.foldLeft(r) { (d, v) => d.withColumnRenamed(v, renames(v)) }
+    val cond = shared.map(v => termEq(l(v), rr(renames(v)))).reduce(_ && _)
+    val joined = l.join(rr, cond, joinType)
+    joined.select((l.columns.map(joined(_)) ++
+      r.columns.filterNot(shared.contains).map(joined(_))).toIndexedSeq: _*)
+  }
+
+  /** OPTIONAL: left join; the embedded FILTER (if any) evaluates over
+    * the merged row and failing matches become unmatched (NULL right).
+    */
+  private def solLeftJoin(l: DataFrame, r: DataFrame, filt: Option[Expr]): DataFrame = {
+    val shared = l.columns.intersect(r.columns).toIndexedSeq
+    val renames = shared.map(v => v -> freshName(v)).toMap
+    val rr = shared.foldLeft(r) { (d, v) => d.withColumnRenamed(v, renames(v)) }
+    val eqCond = shared.map(v => termEq(l(v), rr(renames(v))))
+    val resolveMerged: String => Column = v =>
+      if (shared.contains(v)) l(v)
+      else if (l.columns.contains(v)) l(v)
+      else if (r.columns.contains(v)) rr(renames.getOrElse(v, v))
+      else nullTerm
+    val fCond = filt.map(e => coalesce(ebv(compExpr(e, resolveMerged)), lit(false)))
+    val cond = (eqCond ++ fCond.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    val joined = l.join(rr, cond, "left_outer")
+    joined.select((l.columns.map(joined(_)) ++
+      r.columns.filterNot(shared.contains).map(joined(_))).toIndexedSeq: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // BGP: pattern → relation, selectivity-ordered joins
+  // ------------------------------------------------------------------
+
+  private def scopedQuads(graph: Option[Node]): (DataFrame, Option[String]) =
+    graph match {
+      case None => (quads, None) // default graph = union of named graphs
+      case Some(T(iriLex, _, _, _)) =>
+        (quads.filter(col("g") === iriLex), None)
+      case Some(V(gv)) => (quads, Some(gv))
+    }
+
+  /** selectivity score: bound s/o are worth more than bound p
+    * (subject/object constants pin few rows; predicates pin many).
+    */
+  private def score(tp: TriplePat): Int = {
+    val sScore = tp.s match { case _: T => 4; case _ => 0 }
+    val oScore = tp.o match { case _: T => 3; case _ => 0 }
+    val pScore = tp.p match { case PLink(_) => 2; case _: PVar => 0; case _ => 1 }
+    sScore + oScore + pScore
+  }
+
+  private def compBgp(pats: Seq[TriplePat], graph: Option[Node]): DataFrame = {
+    if (pats.isEmpty) return comp(Unit0)
+    val (scoped, gVar) = scopedQuads(graph)
+    val rels = pats.map(tp => (tp, compPattern(tp, scoped, gVar)))
+    // greedy ordering: most selective first, then prefer shared-var joins
+    val remaining = scala.collection.mutable.ArrayBuffer(rels.sortBy(r => -score(r._1)): _*)
+    var acc = remaining.remove(0)._2
+    var accVars = acc.columns.toSet
+    while (remaining.nonEmpty) {
+      val idx = remaining.indexWhere(r => r._2.columns.exists(accVars.contains))
+      val pick = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
+      acc = solJoin(acc, pick._2, "inner")
+      accVars = acc.columns.toSet
+    }
+    acc
+  }
+
+  /** One triple pattern → solution relation. */
+  private def compPattern(tp: TriplePat, scoped: DataFrame,
+      gVar: Option[String]): DataFrame = {
+    val pairs: DataFrame = tp.p match {
+      case PLink(p) =>
+        scoped.filter(col("p")("lex") === p)
+          .select((col("s").as("a") +: col("o").as("b") +:
+            gVar.map(_ => col("g")).toSeq): _*)
+      case PVar(pv) =>
+        scoped.select((col("s").as("a") +: col("o").as("b") +:
+          col("p").as(pv) +: gVar.map(_ => col("g")).toSeq): _*)
+      case path =>
+        require(gVar.isEmpty, "complex property path inside GRAPH ?var not supported")
+        evalPath(path, scoped)
+    }
+    // bind/constrain s and o
+    var d = pairs
+    tp.s match {
+      case T(lx, k, _, _) => d = d.filter(col("a")("lex") === lx && col("a")("kind") === k)
+      case V(_) => ()
+    }
+    tp.o match {
+      case t @ T(_, _, _, _) =>
+        val c = constCol(t)
+        d = d.filter(termEq(col("b"), c))
+      case V(_) => ()
+    }
+    // project variables (handle repeated var ?x p ?x)
+    var cols = Seq.empty[Column]
+    (tp.s, tp.o) match {
+      case (V(x), V(y)) if x == y =>
+        d = d.filter(termEq(col("a"), col("b"))); cols = Seq(col("a").as(x))
+      case (V(x), V(y)) => cols = Seq(col("a").as(x), col("b").as(y))
+      case (V(x), _) => cols = Seq(col("a").as(x))
+      case (_, V(y)) => cols = Seq(col("b").as(y))
+      case _ => cols = Seq(lit(1).as(freshName("c")))
+    }
+    tp.p match {
+      case PVar(pv) => cols = cols :+ d(pv)
+      case _ => ()
+    }
+    gVar.foreach { gv => cols = cols :+ graft.rdf.Rdf.iri(d("g")).as(gv) }
+    d.select(cols: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // property paths (SURVEY §2.B path table)
+  // ------------------------------------------------------------------
+
+  /** Evaluate a path to a pair relation (a, b) over the scoped quads.
+    * `p*`/`p+` run a distinct-frontier transitive-closure fixpoint with
+    * `localCheckpoint` per round (lineage truncation — SURVEY §4.2).
+    */
+  private def evalPath(p: Path, scoped: DataFrame): DataFrame = p match {
+    case PLink(iri) =>
+      scoped.filter(col("p")("lex") === iri).select(col("s").as("a"), col("o").as("b"))
+    case PVar(_) =>
+      scoped.select(col("s").as("a"), col("o").as("b"))
+    case PNeg(iris) =>
+      scoped.filter(!col("p")("lex").isin(iris: _*))
+        .select(col("s").as("a"), col("o").as("b"))
+    case PInv(q) =>
+      evalPath(q, scoped).select(col("b").as("a"), col("a").as("b"))
+    case PSeq(l, r) =>
+      val ld = evalPath(l, scoped)
+      val rd = evalPath(r, scoped).withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
+      ld.join(rd, termEq(ld("b"), col("m"))).select(ld("a").as("a"), col("b2").as("b"))
+        .distinct()
+    case PAlt(l, r) =>
+      evalPath(l, scoped).unionByName(evalPath(r, scoped)).distinct()
+    case POpt(q) =>
+      evalPath(q, scoped).unionByName(identityPairs(scoped)).distinct()
+    case PPlus(q) => closure(evalPath(q, scoped).distinct())
+    case PStar(q) =>
+      closure(evalPath(q, scoped).distinct()).unionByName(identityPairs(scoped)).distinct()
+  }
+
+  /** zero-length path endpoints: every term of the scoped graph.
+    * NOTE at 100 TB: a bound-side rewrite (seed the fixpoint from the
+    * pattern's constant endpoint) replaces this enumeration; kept
+    * simple here because `*`-paths in the workloads run over the small
+    * schema graph.
+    */
+  private def identityPairs(scoped: DataFrame): DataFrame =
+    scoped.select(col("s").as("t")).unionByName(scoped.select(col("o").as("t")))
+      .distinct().select(col("t").as("a"), col("t").as("b"))
+
+  /** Semi-naive transitive closure: delta-frontier joins, distinct per
+    * round, localCheckpoint to cut lineage (SURVEY §2.C machinery).
+    */
+  private def closure(edges0: DataFrame): DataFrame = {
+    val edges = edges0.localCheckpoint()
+    var acc = edges
+    var frontier = edges
+    var done = false
+    while (!done) {
+      val step = edges.withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
+      val next = frontier.join(step, termEq(frontier("b"), col("m")))
+        .select(frontier("a").as("a"), col("b2").as("b"))
+        .except(acc)
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.unionByName(next).distinct().localCheckpoint()
+        frontier = next
+      }
+    }
+    acc
+  }
+
+  // ------------------------------------------------------------------
+  // expressions (SPARQL 1.1 §17) — all term-struct in, term-struct out
+  // ------------------------------------------------------------------
+
+  /** Effective boolean value (SPARQL §17.2.2): boolean literal → value;
+    * numeric → ≠0; string → non-empty; otherwise type error (NULL,
+    * which the enclosing FILTER coalesces to false).
+    */
+  def ebv(t: Column): Column =
+    when(t.isNull, lit(null).cast("boolean"))
+      .when(t("dt") === Rdf.XsdBoolean, t("lex") === "true")
+      .when(t("num").isNotNull, t("num") =!= 0.0)
+      .when(t("kind") === LIT && (t("dt") === Rdf.XsdString), length(t("lex")) > 0)
+      .otherwise(lit(null).cast("boolean"))
+
+  private def termBool(c: Column): Column =
+    when(c.isNull, nullTerm).otherwise(
+      Rdf.term(when(c, "true").otherwise("false"), lit(LIT), lit(Rdf.XsdBoolean),
+        lit(""), when(c, 1.0).otherwise(0.0)))
+
+  private def termNum(c: Column): Column =
+    when(c.isNull, nullTerm).otherwise(
+      Rdf.term(Rdf.canonNumLex(c), lit(LIT), lit(Rdf.XsdDecimal), lit(""),
+        c.cast("double")))
+
+  private def termStr(c: Column): Column =
+    when(c.isNull, nullTerm).otherwise(Rdf.strLit(c))
+
+  /** value comparison (SPARQL §17.3 operator mapping): numeric by value
+    * when both sides are numeric, else lexical (ISO dates compare
+    * correctly lexically; mixed-kind `=` falls back to term identity).
+    */
+  private def cmpLt(l: Column, r: Column): Column =
+    when(l.isNull || r.isNull, lit(null).cast("boolean"))
+      .when(l("num").isNotNull && r("num").isNotNull, l("num") < r("num"))
+      .otherwise(l("lex") < r("lex"))
+
+  private def cmpEq(l: Column, r: Column): Column =
+    when(l.isNull || r.isNull, lit(null).cast("boolean"))
+      .when(l("num").isNotNull && r("num").isNotNull, l("num") === r("num"))
+      .otherwise(l("lex") === r("lex") && l("kind") === r("kind"))
+
+  def compExpr(e: Expr, resolve: String => Column): Column = e match {
+    case EVar(v) => resolve(v)
+    case EConst(t) => constCol(t)
+    case EExists(_, _) =>
+      throw new IllegalArgumentException("EXISTS only allowed directly under FILTER")
+    case EAgg(_, _, _, _) =>
+      throw new IllegalArgumentException("aggregate outside GROUP context")
+    case ECall(op, args) =>
+      def a(i: Int) = compExpr(args(i), resolve)
+      op match {
+        case "&&" => termBool(ebv(a(0)) && ebv(a(1)))
+        case "||" => termBool(ebv(a(0)) || ebv(a(1)))
+        case "!" => termBool(!ebv(a(0)))
+        case "=" => termBool(cmpEq(a(0), a(1)))
+        case "!=" => termBool(!cmpEq(a(0), a(1)))
+        case "<" => termBool(cmpLt(a(0), a(1)))
+        case ">" => termBool(cmpLt(a(1), a(0)))
+        case "<=" => termBool(!cmpLt(a(1), a(0)))
+        case ">=" => termBool(!cmpLt(a(0), a(1)))
+        case "+" => termNum(a(0)("num") + a(1)("num"))
+        case "-" => termNum(a(0)("num") - a(1)("num"))
+        case "*" => termNum(a(0)("num") * a(1)("num"))
+        case "/" => termNum(a(0)("num") / a(1)("num"))
+        case "u-" => termNum(-a(0)("num"))
+        case "str" => termStr(a(0)("lex"))
+        case "lang" => termStr(a(0)("lang"))
+        case "datatype" => Rdf.iri(a(0)("dt"))
+        case "iri" | "uri" => Rdf.iri(a(0)("lex"))
+        case "bound" => termBool(a(0).isNotNull)
+        case "strlen" => termNum(length(a(0)("lex")).cast("double"))
+        case "substr" =>
+          val from = a(1)("num").cast("int")
+          val len = if (args.size > 2) a(2)("num").cast("int") else lit(Int.MaxValue)
+          termStr(a(0)("lex").substr(from, len))
+        case "ucase" => termStr(upper(a(0)("lex")))
+        case "lcase" => termStr(lower(a(0)("lex")))
+        case "strstarts" => termBool(a(0)("lex").startsWith(a(1)("lex")))
+        case "strends" => termBool(a(0)("lex").endsWith(a(1)("lex")))
+        case "contains" => termBool(a(0)("lex").contains(a(1)("lex")))
+        case "strbefore" =>
+          termStr(when(a(1)("lex") === "", lit(""))
+            .when(a(0)("lex").contains(a(1)("lex")),
+              call_function("substring_index", a(0)("lex"), a(1)("lex"), lit(1)))
+            .otherwise(lit("")))
+        case "strafter" =>
+          val s0 = a(0)("lex"); val sep = a(1)("lex")
+          val pos = call_function("instr", s0, sep)
+          termStr(when(sep === "", s0)
+            .when(pos > 0, s0.substr(pos + length(sep), length(s0)))
+            .otherwise(lit("")))
+        case "concat" => termStr(concat(args.map(x => compExpr(x, resolve)("lex")): _*))
+        case "replace" =>
+          termStr(regexp_replace(a(0)("lex"), a(1)("lex"), a(2)("lex")))
+        case "regex" =>
+          val flags = if (args.size > 2) a(2)("lex") else lit("")
+          termBool(regexp_like(a(0)("lex"),
+            concat(when(flags.contains("i"), lit("(?i)")).otherwise(lit("")), a(1)("lex"))))
+        case "langmatches" =>
+          termBool(when(a(1)("lex") === "*", a(0)("lex") =!= "")
+            .otherwise(lower(a(0)("lex")).startsWith(lower(a(1)("lex")))))
+        case "abs" => termNum(abs(a(0)("num")))
+        case "round" => termNum(round(a(0)("num"), 0))
+        case "ceil" => termNum(ceil(a(0)("num")).cast("double"))
+        case "floor" => termNum(floor(a(0)("num")).cast("double"))
+        case "year" => termNum(substring(a(0)("lex"), 1, 4).cast("double"))
+        case "month" => termNum(substring(a(0)("lex"), 6, 2).cast("double"))
+        case "day" => termNum(substring(a(0)("lex"), 9, 2).cast("double"))
+        case "md5" => termStr(md5(a(0)("lex").cast("binary")))
+        case "sha1" => termStr(sha1(a(0)("lex").cast("binary")))
+        case "sha256" => termStr(sha2(a(0)("lex").cast("binary"), 256))
+        case "if" =>
+          when(coalesce(ebv(a(0)), lit(false)), a(1)).otherwise(a(2))
+        case "coalesce" =>
+          coalesce(args.map(x => compExpr(x, resolve)): _*)
+        case "sameterm" => termBool(termEq(a(0), a(1)))
+        case "isiri" | "isuri" => termBool(a(0)("kind") === IRI)
+        case "isblank" => termBool(a(0)("kind") === BNODE)
+        case "isliteral" => termBool(a(0)("kind") === LIT)
+        case "isnumeric" => termBool(a(0)("num").isNotNull)
+        case "in" =>
+          termBool(args.tail.map(x => cmpEq(a(0), compExpr(x, resolve)))
+            .reduce(_ || _))
+        case "notin" =>
+          termBool(!args.tail.map(x => cmpEq(a(0), compExpr(x, resolve)))
+            .reduce(_ || _))
+        // SPARQL casts: failure → error (NULL term), per §17.5
+        case "xsd:integer" => termNum(floor(
+            when(a(0)("num").isNotNull, a(0)("num"))
+              .otherwise(a(0)("lex").cast("double"))).cast("double"))
+        case "xsd:decimal" | "xsd:double" => termNum(
+            when(a(0)("num").isNotNull, a(0)("num"))
+              .otherwise(a(0)("lex").cast("double")))
+        case "xsd:string" => termStr(a(0)("lex"))
+        case "xsd:boolean" => termBool(
+            when(a(0)("dt") === Rdf.XsdBoolean, a(0)("lex") === "true")
+              .when(a(0)("num").isNotNull, a(0)("num") =!= 0.0)
+              .otherwise(lit(null).cast("boolean")))
+        case other => throw new IllegalArgumentException(s"unknown function: $other")
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // aggregates
+  // ------------------------------------------------------------------
+
+  private def compAgg(a: EAgg, in: DataFrame): Column = {
+    val res = resolver(in)
+    def arg: Column = compExpr(a.arg.get, res)
+    a.fn match {
+      case "count" =>
+        a.arg match {
+          case None => termNum(count(lit(1)).cast("double"))
+          case Some(_) =>
+            if (a.distinct)
+              termNum(countDistinct(arg("lex"), arg("kind")).cast("double"))
+            else termNum(count(arg).cast("double"))
+        }
+      case "sum" => termNum(sum(arg("num")))
+      case "avg" => termNum(avg(arg("num")))
+      case "min" => min_by(arg, Rdf.sortKey(arg))
+      case "max" => max_by(arg, Rdf.sortKey(arg))
+      case "sample" => first(arg, ignoreNulls = true)
+      case "group_concat" =>
+        termStr(concat_ws(a.sep.getOrElse(" "), array_sort(collect_list(arg("lex")))))
+      case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
+    }
+  }
+}

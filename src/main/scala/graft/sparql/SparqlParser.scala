@@ -1,0 +1,623 @@
+package graft.sparql
+
+import Algebra._
+
+/** Recursive-descent SPARQL 1.1 parser → [[Algebra]].
+  *
+  * Covers the query surface the reference exposes through
+  * `prepareTupleQuery(QueryLanguage.SPARQL, …)`
+  * (`GraphDBSystemAdapter.java:246`): SELECT/ASK with BGPs, OPTIONAL,
+  * UNION, MINUS, FILTER (incl. (NOT) EXISTS), BIND, VALUES, GRAPH,
+  * property paths (`^ / | * + ?` and negated sets), sub-SELECT,
+  * GROUP BY / HAVING / aggregates, ORDER BY / LIMIT / OFFSET,
+  * DISTINCT, and the §17 builtin/cast function set.
+  *
+  * PREFIX declarations expand prefixed names by plain string
+  * concatenation; the engine treats IRIs as opaque strings (term
+  * identity is lexical — see [[graft.rdf.Rdf]]).
+  */
+object SparqlParser {
+
+  final case class ParseError(msg: String, at: String)
+      extends RuntimeException(s"$msg at '$at'")
+
+  // ---- tokenizer ------------------------------------------------------
+
+  sealed trait Tok { def text: String }
+  final case class TIri(text: String) extends Tok     // <...> content
+  final case class TPName(text: String) extends Tok   // prefix:local as written
+  final case class TVar(text: String) extends Tok     // without ? / $
+  final case class TStr(text: String) extends Tok     // unquoted content
+  final case class TNum(text: String) extends Tok
+  final case class TWord(text: String) extends Tok    // keyword / function name
+  final case class TPunct(text: String) extends Tok
+  final case class TLang(text: String) extends Tok    // @tag content
+
+  private val TokenRe =
+    ("""\s+|#[^\n]*""" +                      // skip: whitespace, comments
+      """|<[^<>\s{}|^`\\]*>""" +              // IRIREF
+      """|"(?:[^"\\]|\\.)*"""" +              // STRING
+      """|[?$][A-Za-z_][A-Za-z0-9_]*""" +     // VAR
+      """|@[A-Za-z][A-Za-z0-9-]*""" +         // LANGTAG
+      """|[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+(?:[eE][+-]?\d+)?""" + // NUMBER
+      """|[A-Za-z_][A-Za-z0-9_]*:[A-Za-z0-9_.-]*|:[A-Za-z0-9_.-]+""" + // PNAME
+      """|\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.|/^*+?!=<>-]""" +
+      """|[A-Za-z_][A-Za-z0-9_]*""").r        // WORD
+
+  def tokenize(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var idx = 0
+    while (idx < q.length) {
+      TokenRe.findPrefixMatchOf(q.subSequence(idx, q.length)) match {
+        case None => throw ParseError("unrecognized input", q.substring(idx).take(20))
+        case Some(m) =>
+          val s = m.matched
+          idx += s.length
+          val c = s.charAt(0)
+          if (c.isWhitespace || c == '#') ()
+          else if (c == '<' && s.length > 1 && s.last == '>')
+            out += TIri(s.substring(1, s.length - 1))
+          else if (c == '"') out += TStr(unescape(s.substring(1, s.length - 1)))
+          else if (c == '?' || c == '$') out += TVar(s.substring(1))
+          else if (c == '@') out += TLang(s.substring(1))
+          else if (c.isDigit || ((c == '+' || c == '-') && s.length > 1 && s(1).isDigit))
+            out += TNum(s)
+          else if (s.contains(":")) out += TPName(s)
+          else if (c.isLetter || c == '_')
+            out += TWord(s)
+          else out += TPunct(s)
+      }
+    }
+    out.result()
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+
+  // ---- parser state ---------------------------------------------------
+
+  final class P(tokens: Vector[Tok]) {
+    var pos = 0
+    var prefixes = Map.empty[String, String]
+
+    def peek: Option[Tok] = if (pos < tokens.length) Some(tokens(pos)) else None
+    def next(): Tok = {
+      if (pos >= tokens.length) throw ParseError("unexpected end of query", "")
+      pos += 1; tokens(pos - 1)
+    }
+    def peekWord(w: String): Boolean = peek match {
+      case Some(TWord(t)) => t.equalsIgnoreCase(w); case _ => false
+    }
+    def peekPunct(s: String): Boolean = peek match {
+      case Some(TPunct(t)) => t == s; case _ => false
+    }
+    def eatWord(w: String): Boolean = { if (peekWord(w)) { pos += 1; true } else false }
+    def eatPunct(s: String): Boolean = { if (peekPunct(s)) { pos += 1; true } else false }
+    def expectPunct(s: String): Unit =
+      if (!eatPunct(s)) throw ParseError(s"expected '$s'", peek.map(_.text).getOrElse("<eof>"))
+
+    def expandPName(pn: String): String = {
+      val i = pn.indexOf(':')
+      val (pfx, local) = (pn.substring(0, i), pn.substring(i + 1))
+      prefixes.get(pfx) match {
+        case Some(base) => base + local
+        case None => pn // unknown prefix: opaque compact IRI (our data dialect)
+      }
+    }
+  }
+
+  // ---- entry ----------------------------------------------------------
+
+  /** Parsed query: algebra + projection + isAsk flag. */
+  final case class Query(op: Op, isAsk: Boolean)
+
+  def parse(q: String): Query = {
+    val p = new P(tokenize(q))
+    while (p.eatWord("PREFIX")) {
+      val name = p.next() match {
+        case TPName(t) => t.substring(0, t.indexOf(':'))
+        case t => throw ParseError("expected prefix name", t.text)
+      }
+      val iri = p.next() match {
+        case TIri(t) => t
+        case t => throw ParseError("expected IRI", t.text)
+      }
+      p.prefixes += (name -> iri)
+    }
+    if (p.eatWord("ASK")) {
+      p.eatWord("WHERE")
+      Query(parseGGP(p), isAsk = true)
+    } else if (p.peekWord("SELECT")) {
+      Query(parseSelect(p), isAsk = false)
+    } else throw ParseError("expected SELECT or ASK", p.peek.map(_.text).getOrElse(""))
+  }
+
+  // ---- SELECT ---------------------------------------------------------
+
+  private def parseSelect(p: P): Op = {
+    p.eatWord("SELECT")
+    val distinct = p.eatWord("DISTINCT"); p.eatWord("REDUCED")
+    var star = false
+    // selectors: var | (expr AS ?v)
+    var selectors = Vector.empty[(String, Option[Expr])]
+    var done = false
+    while (!done) {
+      p.peek match {
+        case Some(TVar(v)) => p.next(); selectors :+= (v, None)
+        case Some(TPunct("*")) => p.next(); star = true
+        case Some(TPunct("(")) =>
+          p.next()
+          val e = parseExpr(p)
+          if (!p.eatWord("AS")) throw ParseError("expected AS", p.peek.map(_.text).getOrElse(""))
+          val v = p.next() match {
+            case TVar(x) => x; case t => throw ParseError("expected var", t.text)
+          }
+          p.expectPunct(")")
+          selectors :+= (v, Some(e))
+        case _ => done = true
+      }
+    }
+    p.eatWord("WHERE")
+    var op = parseGGP(p)
+
+    // GROUP BY / HAVING
+    var groupKeys = Vector.empty[(String, Option[Expr])]
+    var grouped = false
+    if (p.eatWord("GROUP")) {
+      if (!p.eatWord("BY")) throw ParseError("expected BY", "")
+      grouped = true
+      var more = true
+      while (more) {
+        p.peek match {
+          case Some(TVar(v)) => p.next(); groupKeys :+= (v, None)
+          case Some(TPunct("(")) =>
+            p.next()
+            val e = parseExpr(p)
+            if (!p.eatWord("AS")) throw ParseError("expected AS in GROUP BY expr", "")
+            val v = p.next() match { case TVar(x) => x; case t => throw ParseError("var", t.text) }
+            p.expectPunct(")")
+            groupKeys :+= (v, Some(e))
+          case _ => more = false
+        }
+      }
+    }
+    var havingExpr: Option[Expr] = None
+    if (p.eatWord("HAVING")) havingExpr = Some(parseExpr(p))
+
+    // ORDER BY
+    var orderKeys = Vector.empty[(Expr, Boolean)]
+    if (p.eatWord("ORDER")) {
+      if (!p.eatWord("BY")) throw ParseError("expected BY", "")
+      var more = true
+      while (more) {
+        if (p.eatWord("ASC")) { p.expectPunct("("); orderKeys :+= (parseExpr(p), true); p.expectPunct(")") }
+        else if (p.eatWord("DESC")) { p.expectPunct("("); orderKeys :+= (parseExpr(p), false); p.expectPunct(")") }
+        else p.peek match {
+          case Some(TVar(_)) | Some(TPunct("(")) => orderKeys :+= (parseExpr(p), true)
+          case Some(TWord(w)) if !Set("LIMIT", "OFFSET", "GROUP", "HAVING", "VALUES")
+              .contains(w.toUpperCase) => orderKeys :+= (parseExpr(p), true)
+          case _ => more = false
+        }
+      }
+    }
+    var limit = -1L; var offsetN = 0L
+    var more2 = true
+    while (more2) {
+      if (p.eatWord("LIMIT")) limit = p.next().text.toLong
+      else if (p.eatWord("OFFSET")) offsetN = p.next().text.toLong
+      else more2 = false
+    }
+
+    // ---- assemble algebra ----
+    val hasAgg = grouped || selectors.exists(_._2.exists(containsAgg)) ||
+      havingExpr.exists(containsAgg)
+    var projVars = Vector.empty[String]
+
+    if (hasAgg) {
+      var aggs = Vector.empty[(String, EAgg)]
+      var postExtends = Vector.empty[(String, Expr)]
+      var n = 0
+      def liftAggs(e: Expr): Expr = e match {
+        case ag: EAgg =>
+          n += 1; val v = s"__agg_$n"; aggs :+= (v, ag); EVar(v)
+        case ECall(o2, as2) => ECall(o2, as2.map(liftAggs))
+        case other => other
+      }
+      selectors.foreach {
+        case (v, None) => projVars :+= v
+        case (v, Some(ag: EAgg)) => aggs :+= (v, ag); projVars :+= v
+        case (v, Some(e)) =>
+          val lifted = liftAggs(e)
+          postExtends :+= (v, lifted); projVars :+= v
+      }
+      val having2 = havingExpr.map(liftAggs)
+      op = Group(op, groupKeys, aggs)
+      having2.foreach(h => op = Filter(h, op))
+      postExtends.foreach { case (v, e) => op = Extend(op, v, e) }
+    } else {
+      selectors.foreach {
+        case (v, None) => projVars :+= v
+        case (v, Some(e)) => op = Extend(op, v, e); projVars :+= v
+      }
+    }
+    if (star) projVars = Algebra.inScope(op).toVector
+
+    // DISTINCT dedups projected rows, then ORDER sorts the deduped set
+    // (with DISTINCT, SPARQL restricts sort keys to projected vars);
+    // without DISTINCT, ORDER may reference any in-scope var, so it
+    // runs before projection.
+    if (distinct) {
+      op = Distinct(Project(op, projVars))
+      if (orderKeys.nonEmpty) op = OrderBy(op, orderKeys)
+    } else {
+      if (orderKeys.nonEmpty) op = OrderBy(op, orderKeys)
+      op = Project(op, projVars)
+    }
+    if (limit >= 0 || offsetN > 0) op = Slice(op, offsetN, limit)
+    op
+  }
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case _: EAgg => true
+    case ECall(_, as) => as.exists(containsAgg)
+    case _ => false
+  }
+
+  // ---- group graph pattern -------------------------------------------
+
+  private def parseGGP(p: P): Op = {
+    p.expectPunct("{")
+    var current: Op = Unit0
+    var filters = Vector.empty[Expr]
+
+    def add(op: Op): Unit = current = (current, op) match {
+      case (Unit0, x) => x
+      case (Bgp(a, g1), Bgp(b, g2)) if g1 == g2 => Bgp(a ++ b, g1)
+      case (l, r) => Join(l, r)
+    }
+
+    while (!p.peekPunct("}")) {
+      if (p.eatWord("FILTER")) {
+        filters :+= parseConstraint(p)
+      } else if (p.eatWord("OPTIONAL")) {
+        val inner = parseGGP(p)
+        // hoist a top-level filter of the optional group into the join cond
+        inner match {
+          case Filter(c, i) => current = LeftJoin(current, i, Some(c))
+          case i => current = LeftJoin(current, i, None)
+        }
+      } else if (p.eatWord("MINUS")) {
+        current = Minus(current, parseGGP(p))
+      } else if (p.eatWord("GRAPH")) {
+        val g: Node = p.next() match {
+          case TVar(v) => V(v)
+          case TIri(i) => T(i)
+          case TPName(pn) => T(p.expandPName(pn))
+          case t => throw ParseError("expected graph name or var", t.text)
+        }
+        add(setGraph(parseGGP(p), g))
+      } else if (p.eatWord("BIND")) {
+        p.expectPunct("(")
+        val e = parseExpr(p)
+        if (!p.eatWord("AS")) throw ParseError("expected AS", "")
+        val v = p.next() match { case TVar(x) => x; case t => throw ParseError("var", t.text) }
+        p.expectPunct(")")
+        current = Extend(current, v, e)
+      } else if (p.eatWord("VALUES")) {
+        add(parseValues(p))
+      } else if (p.peekPunct("{")) {
+        // group → possible UNION chain or sub-select
+        var g = parseGroupOrSubSelect(p)
+        while (p.eatWord("UNION")) g = Union(g, parseGroupOrSubSelect(p))
+        add(g)
+      } else {
+        add(Bgp(parseTriples(p)))
+      }
+      p.eatPunct(".")
+    }
+    p.expectPunct("}")
+    filters.foldLeft(current)((op, f) => Filter(f, op))
+  }
+
+  private def parseGroupOrSubSelect(p: P): Op = {
+    // '{ SELECT' → subquery
+    val save = p.pos
+    p.expectPunct("{")
+    if (p.peekWord("SELECT")) {
+      val sub = parseSelect(p)
+      p.expectPunct("}")
+      sub
+    } else { p.pos = save; parseGGP(p) }
+  }
+
+  private def setGraph(op: Op, g: Node): Op = op match {
+    case Bgp(pats, _) => Bgp(pats, Some(g))
+    case Join(l, r) => Join(setGraph(l, g), setGraph(r, g))
+    case LeftJoin(l, r, c) => LeftJoin(setGraph(l, g), setGraph(r, g), c)
+    case Union(l, r) => Union(setGraph(l, g), setGraph(r, g))
+    case Minus(l, r) => Minus(setGraph(l, g), setGraph(r, g))
+    case Filter(c, i) => Filter(c, setGraph(i, g))
+    case Extend(i, v, e) => Extend(setGraph(i, g), v, e)
+    case other => other
+  }
+
+  private def parseConstraint(p: P): Expr = {
+    if (p.eatWord("EXISTS")) EExists(parseGGP(p), positive = true)
+    else if (p.peekWord("NOT")) {
+      val save = p.pos; p.next()
+      if (p.eatWord("EXISTS")) EExists(parseGGP(p), positive = false)
+      else { p.pos = save; parseBracketed(p) }
+    } else parseBracketed(p)
+  }
+
+  private def parseBracketed(p: P): Expr = {
+    p.expectPunct("(")
+    val e = parseExpr(p)
+    p.expectPunct(")")
+    e
+  }
+
+  private def parseValues(p: P): Op = {
+    // VALUES ?v { t1 t2 } | VALUES (?a ?b) { (t1 t2) (t3 t4) }
+    p.peek match {
+      case Some(TVar(v)) =>
+        p.next(); p.expectPunct("{")
+        var rows = Vector.empty[Seq[Option[T]]]
+        while (!p.peekPunct("}")) rows :+= Seq(parseValueTerm(p))
+        p.expectPunct("}")
+        ValuesOp(Seq(v), rows)
+      case Some(TPunct("(")) =>
+        p.next()
+        var vars = Vector.empty[String]
+        while (!p.eatPunct(")")) p.next() match {
+          case TVar(v) => vars :+= v
+          case t => throw ParseError("expected var", t.text)
+        }
+        p.expectPunct("{")
+        var rows = Vector.empty[Seq[Option[T]]]
+        while (!p.peekPunct("}")) {
+          p.expectPunct("(")
+          var row = Vector.empty[Option[T]]
+          while (!p.eatPunct(")")) row :+= parseValueTerm(p)
+          rows :+= row
+        }
+        p.expectPunct("}")
+        ValuesOp(vars, rows)
+      case t => throw ParseError("bad VALUES", t.map(_.text).getOrElse(""))
+    }
+  }
+
+  private def parseValueTerm(p: P): Option[T] = {
+    if (p.eatWord("UNDEF")) None
+    else Some(parseTermToken(p))
+  }
+
+  // ---- triples & paths ------------------------------------------------
+
+  private def parseTriples(p: P): Seq[TriplePat] = {
+    var pats = Vector.empty[TriplePat]
+    var done = false
+    while (!done) {
+      val s = parseNode(p)
+      var subjDone = false
+      while (!subjDone) {
+        val path = parsePath(p)
+        var objDone = false
+        while (!objDone) {
+          val o = parseNode(p)
+          pats :+= TriplePat(s, path, o)
+          objDone = !p.eatPunct(",")
+        }
+        subjDone = !p.eatPunct(";")
+        if (!subjDone && (p.peekPunct(".") || p.peekPunct("}"))) subjDone = true
+      }
+      if (p.eatPunct(".")) {
+        done = p.peek match {
+          case Some(TVar(_)) | Some(TIri(_)) | Some(TPName(_)) | Some(TStr(_)) |
+               Some(TNum(_)) => false
+          case _ => true
+        }
+      } else done = true
+    }
+    pats
+  }
+
+  private def parseNode(p: P): Node = p.peek match {
+    case Some(TVar(v)) => p.next(); V(v)
+    case _ => parseTermToken(p)
+  }
+
+  private def parseTermToken(p: P): T = p.next() match {
+    case TIri(i) => T(i)
+    case TPName(pn) => T(p.expandPName(pn))
+    case TStr(s) =>
+      p.peek match {
+        case Some(TLang(l)) => p.next(); T(s, 2, "xsd:string", l)
+        case Some(TPunct("^^")) =>
+          p.next()
+          val dt = p.next() match {
+            case TIri(i) => i; case TPName(pn) => p.expandPName(pn)
+            case t => throw ParseError("expected datatype", t.text)
+          }
+          if (dt == "xsd:decimal" || dt == "xsd:integer" || dt == "xsd:double")
+            T.num(s.toDouble)
+          else T(s, 2, dt)
+        case _ => T(s, 2, "xsd:string")
+      }
+    case TNum(n) => T.num(n.toDouble)
+    case TWord(w) if w.equalsIgnoreCase("true") => T("true", 2, "xsd:boolean")
+    case TWord(w) if w.equalsIgnoreCase("false") => T("false", 2, "xsd:boolean")
+    case t => throw ParseError("expected RDF term", t.text)
+  }
+
+  private def parsePath(p: P): Path = {
+    // single bare variable predicate
+    p.peek match {
+      case Some(TVar(v)) => p.next(); return PVar(v)
+      case _ =>
+    }
+    parsePathAlt(p)
+  }
+
+  private def parsePathAlt(p: P): Path = {
+    var l = parsePathSeq(p)
+    while (p.eatPunct("|")) l = PAlt(l, parsePathSeq(p))
+    l
+  }
+
+  private def parsePathSeq(p: P): Path = {
+    var l = parsePathElt(p)
+    while (p.eatPunct("/")) l = PSeq(l, parsePathElt(p))
+    l
+  }
+
+  private def parsePathElt(p: P): Path = {
+    val inv = p.eatPunct("^")
+    var prim: Path =
+      if (p.eatPunct("!")) {
+        p.expectPunct("(")
+        var iris = Vector.empty[String]
+        iris :+= parseIriToken(p)
+        while (p.eatPunct("|")) iris :+= parseIriToken(p)
+        p.expectPunct(")")
+        PNeg(iris)
+      } else if (p.eatPunct("(")) {
+        val inner = parsePathAlt(p); p.expectPunct(")"); inner
+      } else PLink(parseIriToken(p))
+    // postfix modifiers
+    var more = true
+    while (more) {
+      if (p.eatPunct("*")) prim = PStar(prim)
+      else if (p.eatPunct("+")) prim = PPlus(prim)
+      else if (p.eatPunct("?")) prim = POpt(prim)
+      else more = false
+    }
+    if (inv) PInv(prim) else prim
+  }
+
+  private def parseIriToken(p: P): String = p.next() match {
+    case TIri(i) => i
+    case TPName(pn) => p.expandPName(pn)
+    case TPunct("a") => "rdf:type"
+    case TWord("a") => "rdf:type"
+    case t => throw ParseError("expected IRI in path", t.text)
+  }
+
+  // ---- expressions ----------------------------------------------------
+
+  private def parseExpr(p: P): Expr = parseOr(p)
+
+  private def parseOr(p: P): Expr = {
+    var l = parseAnd(p)
+    while (p.eatPunct("||")) l = ECall("||", Seq(l, parseAnd(p)))
+    l
+  }
+
+  private def parseAnd(p: P): Expr = {
+    var l = parseRel(p)
+    while (p.eatPunct("&&")) l = ECall("&&", Seq(l, parseRel(p)))
+    l
+  }
+
+  private def parseRel(p: P): Expr = {
+    val l = parseAdd(p)
+    val ops = Seq("=", "!=", "<", ">", "<=", ">=")
+    p.peek match {
+      case Some(TPunct(o)) if ops.contains(o) =>
+        p.next(); ECall(o, Seq(l, parseAdd(p)))
+      case Some(TWord(w)) if w.equalsIgnoreCase("IN") =>
+        p.next(); ECall("in", l +: parseExprList(p))
+      case Some(TWord(w)) if w.equalsIgnoreCase("NOT") =>
+        p.next()
+        if (!p.eatWord("IN")) throw ParseError("expected IN", "")
+        ECall("notin", l +: parseExprList(p))
+      case _ => l
+    }
+  }
+
+  private def parseExprList(p: P): Seq[Expr] = {
+    p.expectPunct("(")
+    var es = Vector.empty[Expr]
+    if (!p.peekPunct(")")) {
+      es :+= parseExpr(p)
+      while (p.eatPunct(",")) es :+= parseExpr(p)
+    }
+    p.expectPunct(")")
+    es
+  }
+
+  private def parseAdd(p: P): Expr = {
+    var l = parseMul(p)
+    var more = true
+    while (more) {
+      if (p.eatPunct("+")) l = ECall("+", Seq(l, parseMul(p)))
+      else if (p.eatPunct("-")) l = ECall("-", Seq(l, parseMul(p)))
+      else more = false
+    }
+    l
+  }
+
+  private def parseMul(p: P): Expr = {
+    var l = parseUnary(p)
+    var more = true
+    while (more) {
+      if (p.eatPunct("*")) l = ECall("*", Seq(l, parseUnary(p)))
+      else if (p.eatPunct("/")) l = ECall("/", Seq(l, parseUnary(p)))
+      else more = false
+    }
+    l
+  }
+
+  private def parseUnary(p: P): Expr = {
+    if (p.eatPunct("!")) ECall("!", Seq(parseUnary(p)))
+    else if (p.eatPunct("-")) ECall("u-", Seq(parseUnary(p)))
+    else if (p.eatPunct("+")) parseUnary(p)
+    else parsePrimary(p)
+  }
+
+  private val aggNames = Set("count", "sum", "avg", "min", "max", "sample", "group_concat")
+
+  private def parsePrimary(p: P): Expr = p.peek match {
+    case Some(TPunct("(")) => parseBracketed(p)
+    case Some(TVar(v)) => p.next(); EVar(v)
+    case Some(TWord(w)) if w.equalsIgnoreCase("EXISTS") =>
+      p.next(); EExists(parseGGP(p), positive = true)
+    case Some(TWord(w)) if w.equalsIgnoreCase("NOT") =>
+      p.next()
+      if (p.eatWord("EXISTS")) EExists(parseGGP(p), positive = false)
+      else throw ParseError("expected EXISTS after NOT", "")
+    case Some(TWord(w)) if aggNames.contains(w.toLowerCase) =>
+      p.next()
+      p.expectPunct("(")
+      val distinct = p.eatWord("DISTINCT")
+      if (p.eatPunct("*")) {
+        p.expectPunct(")")
+        EAgg(w.toLowerCase, None, distinct, None)
+      } else {
+        val arg = parseExpr(p)
+        var sep: Option[String] = None
+        if (p.eatPunct(";")) {
+          if (!p.eatWord("SEPARATOR")) throw ParseError("expected SEPARATOR", "")
+          p.expectPunct("=")
+          sep = Some(p.next() match {
+            case TStr(s) => s; case t => throw ParseError("expected string", t.text)
+          })
+        }
+        p.expectPunct(")")
+        EAgg(w.toLowerCase, Some(arg), distinct, sep)
+      }
+    case Some(TWord(w)) if w.equalsIgnoreCase("true") => p.next(); EConst(T("true", 2, "xsd:boolean"))
+    case Some(TWord(w)) if w.equalsIgnoreCase("false") => p.next(); EConst(T("false", 2, "xsd:boolean"))
+    case Some(TWord(w)) =>
+      p.next()
+      ECall(w.toLowerCase, parseExprList(p))
+    case Some(TPName(pn)) =>
+      p.next()
+      if (p.peekPunct("(")) ECall(pn, parseExprList(p)) // xsd:* casts
+      else EConst(T(p.expandPName(pn)))
+    case Some(TStr(_)) | Some(TNum(_)) | Some(TIri(_)) =>
+      EConst(parseTermToken(p))
+    case t => throw ParseError("expected expression", t.map(_.text).getOrElse("<eof>"))
+  }
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.rdf.TpchRdf
+import graft.sparql.Sparql
+
+/** End-to-end SPARQL engine tests: text → parse → algebra → DataFrame
+  * over the TPC-H-derived quads view at sf0.001.
+  */
+class SparqlSpec extends GraftSuite {
+
+  lazy val quads: DataFrame = TpchRdf.graphDf(spark, sf).cache()
+
+  def q(text: String): Array[org.apache.spark.sql.Row] =
+    Sparql.query(spark, quads, text).collect()
+
+  test("BGP star join: customers in ASIA nations") {
+    val rows = q("""
+      SELECT ?c ?nname WHERE {
+        ?c a :Customer .
+        ?c :nation ?n .
+        ?n :name ?nname .
+        ?n :region ?r .
+        ?r :name "ASIA" .
+      }""")
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).startsWith("cust:")))
+  }
+
+  test("OPTIONAL keeps unmatched left with nulls") {
+    val rows = q("""
+      SELECT ?s ?bal WHERE {
+        ?s a :Supplier .
+        OPTIONAL { ?s :acctbal ?bal . FILTER(?bal > 5000) }
+      }""")
+    val total = spark.read.parquet(s"$sf/supplier.parquet").count()
+    assert(rows.length == total)
+    assert(rows.exists(_.isNullAt(1)) && rows.exists(!_.isNullAt(1)))
+  }
+
+  test("UNION of nation and region names") {
+    val rows = q("""
+      SELECT ?name WHERE {
+        { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name }
+      }""")
+    assert(rows.length == 30) // 25 nations + 5 regions
+  }
+
+  test("FILTER numeric comparison and regex") {
+    val rows = q("""
+      SELECT ?c WHERE {
+        ?c a :Customer . ?c :acctbal ?b . ?c :name ?nm .
+        FILTER(?b >= 9000 && REGEX(?nm, "Customer"))
+      }""")
+    assert(rows.nonEmpty)
+  }
+
+  test("MINUS removes matching solutions") {
+    val all = q("SELECT ?c WHERE { ?c a :Customer }").length
+    val asia = q("""
+      SELECT ?c WHERE {
+        ?c a :Customer . ?c :nation ?n . ?n :region ?r . ?r :name "ASIA" }""").length
+    val rows = q("""
+      SELECT ?c WHERE {
+        ?c a :Customer .
+        MINUS { ?c :nation ?n . ?n :region ?r . ?r :name "ASIA" . }
+      }""")
+    assert(rows.length == all - asia)
+  }
+
+  test("GRAPH variable binds graph names") {
+    val rows = q("""
+      SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g""")
+    assert(rows.length == 6) // 5 table graphs + schema
+  }
+
+  test("property path seq: customer to region name") {
+    val a = q("""SELECT ?c ?rn WHERE { ?c :nation/:region/:name ?rn . ?c a :Customer }""")
+    val b = q("""
+      SELECT ?c ?rn WHERE {
+        ?c :nation ?n . ?n :region ?r . ?r :name ?rn . ?c a :Customer }""")
+    assert(a.length == b.length && a.nonEmpty)
+  }
+
+  test("property path alternatives and inverse") {
+    val rows = q("""SELECT ?x WHERE { ?x (:name|^:region) ?y . ?x a :Region }""")
+    assert(rows.nonEmpty)
+  }
+
+  test("transitive closure: subClassOf+ reaches Thing") {
+    val rows = q("""
+      SELECT ?t WHERE { GRAPH g:schema { ?t rdfs:subClassOf+ :Thing } }""")
+    val got = rows.map(_.getString(0)).toSet
+    assert(got == Set(":Customer", ":Supplier", ":Agent", ":Nation", ":Region", ":Place"))
+  }
+
+  test("aggregates: avg balance per nation with HAVING and ORDER") {
+    val rows = q("""
+      SELECT ?nname (AVG(?bal) AS ?avgbal) (COUNT(*) AS ?n) WHERE {
+        ?c a :Customer . ?c :nation ?nt . ?nt :name ?nname . ?c :acctbal ?bal .
+      } GROUP BY ?nname HAVING (COUNT(*) >= 2) ORDER BY DESC(?avgbal) ?nname""")
+    assert(rows.nonEmpty && rows.forall(r => r.getString(2).toDouble >= 2))
+  }
+
+  test("BIND and arithmetic") {
+    val rows = q("""
+      SELECT ?c ?boosted WHERE {
+        ?c :acctbal ?bal . BIND(?bal * 1.1 AS ?boosted) FILTER(?bal > 0)
+      } LIMIT 5""")
+    assert(rows.length == 5 && rows.forall(!_.isNullAt(1)))
+  }
+
+  test("VALUES inline join") {
+    val rows = q("""
+      SELECT ?n ?rname WHERE {
+        VALUES ?rname { "ASIA" "EUROPE" }
+        ?r :name ?rname . ?n :region ?r .
+      }""")
+    assert(rows.length == 10) // 5 nations per region
+  }
+
+  test("subquery: max balance then join") {
+    val rows = q("""
+      SELECT ?c ?bal WHERE {
+        { SELECT (MAX(?b) AS ?bal) WHERE { ?x a :Customer . ?x :acctbal ?b } }
+        ?c :acctbal ?bal . ?c a :Customer .
+      }""")
+    assert(rows.nonEmpty)
+  }
+
+  test("EXISTS / NOT EXISTS filters") {
+    val withOrd = q("""
+      SELECT ?c WHERE { ?c a :Customer . FILTER EXISTS { ?o :custkey ?c } }""").length
+    val without = q("""
+      SELECT ?c WHERE { ?c a :Customer . FILTER NOT EXISTS { ?o :custkey ?c } }""").length
+    val all = q("SELECT ?c WHERE { ?c a :Customer }").length
+    assert(withOrd + without == all && withOrd > 0)
+  }
+
+  test("ASK true and false") {
+    assert(q("""ASK { ?r :name "ASIA" }""").head.getString(0) == "true")
+    assert(q("""ASK { ?r :name "ATLANTIS" }""").head.getString(0) == "false")
+  }
+
+  test("DISTINCT, ORDER, LIMIT, OFFSET modifiers") {
+    val rows = q("""
+      SELECT DISTINCT ?seg WHERE { ?c :mktsegment ?seg } ORDER BY ?seg LIMIT 3 OFFSET 1""")
+    assert(rows.length == 3)
+    val segs = rows.map(_.getString(0))
+    assert(segs.sameElements(segs.sorted))
+  }
+
+  test("builtin functions: STR/STRLEN/CONTAINS/SUBSTR/YEAR") {
+    val rows = q("""
+      SELECT ?o ?yr ?frag WHERE {
+        ?o :orderdate ?d . BIND(YEAR(?d) AS ?yr) BIND(SUBSTR(STR(?o), 1, 4) AS ?frag)
+        FILTER(CONTAINS(STR(?o), "ord:"))
+      } LIMIT 4""")
+    assert(rows.length == 4)
+    assert(rows.forall(_.getString(2) == "ord:"))
+    assert(rows.forall(r => r.getString(1).startsWith("199") || r.getString(1).startsWith("200")))
+  }
+}
