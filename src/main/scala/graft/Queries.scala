@@ -413,7 +413,8 @@ object Queries {
   // Registry
   // ---------------------------------------------------------------
 
-  val all: Seq[Q] = relational ++ windows ++ text ++ dedup ++ similarity
+  val all: Seq[Q] =
+    relational ++ windows ++ text ++ dedup ++ similarity ++ SparqlQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

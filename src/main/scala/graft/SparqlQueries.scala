@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.rdf.{Rdf, TpchRdf}
+import graft.sparql.Sparql
+import Queries.Q
+
+/** SPARQL operator registry (SURVEY §2.B): every entry runs REAL SPARQL
+  * text through the full stack — parser → algebra → DataFrame — over
+  * the quads view derived from the driver's parquet
+  * ([[TpchRdf]]), with a relational DuckDB oracle over the
+  * IDENTICAL quads CTE. This is the t2 contract for the delegated
+  * query surface of the reference (`GraphDBSystemAdapter.java:246`).
+  */
+object SparqlQueries {
+
+  private def canon(e: String): String = Rdf.canonNumLexSql(e)
+
+  private def sq(text: String): (SparkSession, String) => DataFrame =
+    (s, dir) => Sparql.query(s, TpchRdf.graphDf(s, dir), text)
+
+  /** query over the OWL-Horst-materialized dataset (explicit ∪ inferred) */
+  private def sqInf(text: String): (SparkSession, String) => DataFrame =
+    (s, dir) => Sparql.query(s,
+      graft.infer.OwlHorst.materialize(s, TpchRdf.graphDf(s, dir)), text)
+
+  val all: Seq[Q] = Seq(
+
+    Q("r_bgp_join", sq("""
+      SELECT ?c ?nname WHERE {
+        ?c a :Customer . ?c :nation ?n . ?n :name ?nname }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS c, nm.o AS nname
+      FROM quads ty
+      JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
+      JOIN quads nm ON nm.p=':name' AND nm.s=nt.o
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'"""))),
+
+    Q("r_bgp_filter", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c a :Customer . ?c :acctbal ?bal . FILTER(?bal >= 9000) }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS c, b.o AS bal
+      FROM quads ty JOIN quads b ON b.p=':acctbal' AND b.s=ty.s
+      WHERE ty.p='rdf:type' AND ty.o=':Customer' AND b.onum >= 9000"""))),
+
+    Q("r_optional", sq("""
+      SELECT ?s ?bal WHERE {
+        ?s a :Supplier .
+        OPTIONAL { ?s :acctbal ?bal . FILTER(?bal > 5000) } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS s, b.o AS bal
+      FROM quads ty
+      LEFT JOIN quads b ON b.p=':acctbal' AND b.s=ty.s AND b.onum > 5000
+      WHERE ty.p='rdf:type' AND ty.o=':Supplier'"""))),
+
+    Q("r_union", sq("""
+      SELECT ?name WHERE {
+        { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT nm.o AS name FROM quads ty JOIN quads nm ON nm.p=':name' AND nm.s=ty.s
+      WHERE ty.p='rdf:type' AND ty.o=':Nation'
+      UNION ALL
+      SELECT nm.o AS name FROM quads ty JOIN quads nm ON nm.p=':name' AND nm.s=ty.s
+      WHERE ty.p='rdf:type' AND ty.o=':Region'"""))),
+
+    Q("r_minus", sq("""
+      SELECT ?c WHERE {
+        ?c a :Customer .
+        MINUS { ?c :nation ?n . ?n :region ?r . ?r :name "ASIA" . } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS c FROM quads ty
+      WHERE ty.p='rdf:type' AND ty.o=':Customer' AND ty.s NOT IN (
+        SELECT nt.s FROM quads nt
+        JOIN quads rg ON rg.p=':region' AND rg.s=nt.o
+        JOIN quads nm ON nm.p=':name' AND nm.s=rg.o AND nm.o='ASIA'
+        WHERE nt.p=':nation')"""))),
+
+    Q("r_graph_count", sq("""
+      SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g"""),
+      Some(TpchRdf.withQuads(s"""
+      SELECT g, ${canon("count(*)")} AS n FROM quads GROUP BY g"""))),
+
+    Q("r_path_2hop", sq("""
+      SELECT ?c ?rn WHERE { ?c a :Customer . ?c :nation/:region/:name ?rn }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS c, nm.o AS rn
+      FROM quads ty
+      JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
+      JOIN quads rg ON rg.p=':region' AND rg.s=nt.o
+      JOIN quads nm ON nm.p=':name' AND nm.s=rg.o
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'"""))),
+
+    Q("r_path_closure", sq("""
+      SELECT DISTINCT ?t WHERE { GRAPH g:schema { ?t rdfs:subClassOf+ :Thing } }"""),
+      Some(TpchRdf.withQuadsAnd("""
+      sc AS (
+        SELECT s, o FROM quads WHERE g='g:schema' AND p='rdfs:subClassOf'
+        UNION
+        SELECT sc.s, q.o FROM sc
+        JOIN quads q ON q.g='g:schema' AND q.p='rdfs:subClassOf' AND q.s=sc.o)""", """
+      SELECT DISTINCT s AS t FROM sc WHERE o=':Thing'"""))),
+
+    Q("r_agg_group", sq("""
+      SELECT ?nname (SUM(?bal) AS ?sum_bal) (COUNT(*) AS ?n_cust) WHERE {
+        ?c a :Customer . ?c :nation ?nt . ?nt :name ?nname . ?c :acctbal ?bal .
+      } GROUP BY ?nname"""),
+      Some(TpchRdf.withQuads(s"""
+      SELECT nm.o AS nname, ${canon("sum(b.onum)")} AS sum_bal,
+             ${canon("count(*)")} AS n_cust
+      FROM quads ty
+      JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
+      JOIN quads nm ON nm.p=':name' AND nm.s=nt.o
+      JOIN quads b ON b.p=':acctbal' AND b.s=ty.s
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'
+      GROUP BY nm.o"""))),
+
+    Q("r_ask", sq("""ASK { ?r :name "ASIA" }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT CASE WHEN EXISTS (SELECT 1 FROM quads WHERE p=':name' AND o='ASIA')
+             THEN 'true' ELSE 'false' END AS ask"""))),
+
+    Q("r_values_bind", sq("""
+      SELECT ?n ?rname ?nlen WHERE {
+        VALUES ?rname { "ASIA" "EUROPE" }
+        ?r :name ?rname . ?n :region ?r .
+        BIND(STRLEN(?rname) AS ?nlen) }"""),
+      Some(TpchRdf.withQuads(s"""
+      SELECT rg.s AS n, nm.o AS rname, ${canon("length(nm.o)")} AS nlen
+      FROM quads nm JOIN quads rg ON rg.p=':region' AND rg.o=nm.s
+      WHERE nm.p=':name' AND nm.o IN ('ASIA','EUROPE')"""))),
+
+    Q("r_not_exists", sq("""
+      SELECT ?c WHERE {
+        ?c a :Customer .
+        FILTER NOT EXISTS { ?o :custkey ?c . ?o :orderstatus "P" } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS c FROM quads ty
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'
+        AND ty.s NOT IN (
+          SELECT ck.o FROM quads ck
+          JOIN quads st ON st.p=':orderstatus' AND st.o='P' AND st.s=ck.s
+          WHERE ck.p=':custkey')"""))),
+
+    // ---- inference (OWL-Horst materialization, SURVEY §2.C) ----
+
+    Q("r_infer_types", sqInf("""
+      SELECT ?t (COUNT(*) AS ?n) WHERE { ?x a ?t } GROUP BY ?t"""),
+      Some(TpchRdf.withQuadsAnd("""
+      scl AS (
+        SELECT s, o FROM quads WHERE p='rdfs:subClassOf'
+        UNION
+        SELECT scl.s, q.o FROM scl
+        JOIN quads q ON q.p='rdfs:subClassOf' AND q.s=scl.o),
+      alias AS (
+        SELECT s AS a, o AS b FROM quads WHERE p='owl:sameAs'
+        UNION SELECT o, s FROM quads WHERE p='owl:sameAs'),
+      base AS (SELECT DISTINCT * FROM (
+        SELECT s, o AS t FROM quads WHERE p='rdf:type'
+        UNION ALL SELECT s, ':Order' FROM quads WHERE p=':custkey'
+        UNION ALL SELECT o, ':Customer' FROM quads WHERE p=':custkey')),
+      expanded AS (SELECT DISTINCT * FROM (
+        SELECT * FROM base
+        UNION ALL SELECT al.b, base.t FROM base JOIN alias al ON al.a=base.s)),
+      alltypes AS (SELECT DISTINCT * FROM (
+        SELECT * FROM expanded
+        UNION ALL SELECT e.s, scl.o FROM expanded e JOIN scl ON scl.s=e.t))""", s"""
+      SELECT t, ${canon("count(*)")} AS n FROM alltypes GROUP BY t"""))),
+
+    Q("r_infer_transitive", sqInf("""
+      SELECT ?x WHERE { ?x :locatedIn reg:1 . ?x a :Customer }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT nt.s AS x FROM quads nt
+      JOIN quads rg ON rg.p=':region' AND rg.s=nt.o AND rg.o='reg:1'
+      JOIN quads ty ON ty.p='rdf:type' AND ty.o=':Customer' AND ty.s=nt.s
+      WHERE nt.p=':nation'"""))),
+
+    Q("r_infer_sameas", sqInf("""
+      SELECT ?n WHERE { ?n :region regalias:2 . ?n a :Nation }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT rg.s AS n FROM quads rg
+      JOIN quads ty ON ty.p='rdf:type' AND ty.o=':Nation' AND ty.s=rg.s
+      WHERE rg.p=':region' AND rg.o='reg:2'"""))),
+
+    Q("r_subquery_max", sq("""
+      SELECT ?c ?bal WHERE {
+        { SELECT (MAX(?b) AS ?bal) WHERE { ?x a :Customer . ?x :acctbal ?b } }
+        ?c :acctbal ?bal . ?c a :Customer . }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS c, b.o AS bal
+      FROM quads ty JOIN quads b ON b.p=':acctbal' AND b.s=ty.s
+      WHERE ty.p='rdf:type' AND ty.o=':Customer' AND b.onum = (
+        SELECT max(b2.onum) FROM quads ty2
+        JOIN quads b2 ON b2.p=':acctbal' AND b2.s=ty2.s
+        WHERE ty2.p='rdf:type' AND ty2.o=':Customer')""")))
+  )
+}

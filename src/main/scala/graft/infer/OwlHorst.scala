@@ -1,0 +1,185 @@
+package graft.infer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Fixpoint
+import graft.rdf.Rdf
+
+/** OWL-Horst (pD*) forward-chaining materializer — the reference's one
+  * "hard" operator: `owlim:ruleset "owl-horst-optimized"` with sameAs
+  * reasoning enabled (`repo-config.ttl:26,45`) materializes entailments
+  * at load/insert time so queries run over explicit ∪ inferred
+  * statements (SURVEY §2.C).
+  *
+  * Rule families implemented (the pD* subset exercised by the schema
+  * vocabulary present in the data):
+  *  - rdfs7         property inheritance through subPropertyOf (closed)
+  *  - rdfs9/rdfs11  type propagation through subClassOf (closed)
+  *  - rdfs2/rdfs3   domain / range typing
+  *  - prp-trp       owl:TransitiveProperty closure
+  *  - prp-symp      owl:SymmetricProperty
+  *  - prp-inv       owl:inverseOf (both directions)
+  *  - eq-*          owl:sameAs symmetric-transitive closure →
+  *                  equivalence classes → statement expansion
+  *
+  * Execution model: the ONTOLOGY (rdfs:* and owl:* triples between classes
+  * and properties) is tiny by nature, so its closures are computed
+  * driver-side once and broadcast into the instance rules — mirroring
+  * how GraphDB compiles the ruleset before streaming instances through
+  * it. INSTANCE-level work is all distributed: per-rule DataFrame
+  * joins, plus a semi-naive [[Fixpoint]] for transitive properties.
+  * Rules run in rounds until no new triple appears (datalog fixpoint,
+  * `delta = rules(all) ∖ all`), with `localCheckpoint` per round.
+  *
+  * sameAs: equivalence classes are tiny (entity aliases), so the class
+  * map is collected and broadcast, and affected statements are
+  * replicated per member. At 100 TB the scale path is dictionary-level
+  * canonicalization at ingest (GraphX connectedComponents for class
+  * discovery, rewrite term ids to representatives) — SURVEY §2.C.
+  */
+object OwlHorst {
+  import Rdf.{IRI, RdfType}
+
+  private val G = "g:inferred"
+
+  final case class Ontology(
+      subClassOf: Seq[(String, String)],
+      subPropOf: Seq[(String, String)],
+      domain: Seq[(String, String)],
+      range: Seq[(String, String)],
+      transitive: Seq[String],
+      symmetric: Seq[String],
+      inverseOf: Seq[(String, String)])
+
+  private def closePairs(pairs: Seq[(String, String)]): Seq[(String, String)] = {
+    var acc = pairs.toSet
+    var grew = true
+    while (grew) {
+      val next = for ((a, b) <- acc; (c, d) <- acc if b == c) yield (a, d)
+      val merged = acc ++ next
+      grew = merged.size > acc.size
+      acc = merged
+    }
+    acc.toSeq.sortBy(identity)
+  }
+
+  def ontology(quads: DataFrame): Ontology = {
+    val schema = quads
+      .filter(col("p")("lex").isin(
+        "rdfs:subClassOf", "rdfs:subPropertyOf", "rdfs:domain", "rdfs:range",
+        "owl:inverseOf", RdfType))
+      .select(col("s")("lex").as("s"), col("p")("lex").as("p"), col("o")("lex").as("o"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def pairs(pred: String) = schema.collect { case (s, `pred`, o) => (s, o) }.toSeq
+    Ontology(
+      subClassOf = closePairs(pairs("rdfs:subClassOf")),
+      subPropOf = closePairs(pairs("rdfs:subPropertyOf")),
+      domain = pairs("rdfs:domain"),
+      range = pairs("rdfs:range"),
+      transitive = schema.collect { case (s, RdfType, "owl:TransitiveProperty") => s }.toSeq,
+      symmetric = schema.collect { case (s, RdfType, "owl:SymmetricProperty") => s }.toSeq,
+      inverseOf = pairs("owl:inverseOf"))
+  }
+
+  /** One application of every rule family to the current triple set. */
+  private def onePass(spark: SparkSession, ont: Ontology, all: DataFrame): DataFrame = {
+    import spark.implicits._
+    def withPred(p: String): DataFrame = all.filter(col("p")("lex") === p)
+    var out = Seq.empty[DataFrame]
+
+    // rdfs7
+    ont.subPropOf.foreach { case (sub, sup) =>
+      out :+= withPred(sub).select(col("s"), Rdf.iri(lit(sup)).as("p"), col("o"))
+    }
+    // prp-trp (distributed semi-naive closure)
+    ont.transitive.foreach { tp =>
+      val edges = withPred(tp).filter(col("o")("kind") === IRI)
+        .select(col("s").as("a"), col("o").as("b"))
+      out :+= Fixpoint.closureTerms(edges)
+        .select(col("a").as("s"), Rdf.iri(lit(tp)).as("p"), col("b").as("o"))
+    }
+    // prp-symp / prp-inv
+    ont.symmetric.foreach { p =>
+      out :+= withPred(p).select(col("o").as("s"), col("p"), col("s").as("o"))
+    }
+    ont.inverseOf.foreach { case (p, q) =>
+      out :+= withPred(p).select(col("o").as("s"), Rdf.iri(lit(q)).as("p"), col("s").as("o"))
+      out :+= withPred(q).select(col("o").as("s"), Rdf.iri(lit(p)).as("p"), col("s").as("o"))
+    }
+    // rdfs2 / rdfs3
+    ont.domain.foreach { case (p, c) =>
+      out :+= withPred(p).select(col("s"), Rdf.iri(lit(RdfType)).as("p"),
+        Rdf.iri(lit(c)).as("o"))
+    }
+    ont.range.foreach { case (p, c) =>
+      out :+= withPred(p).filter(col("o")("kind") === IRI)
+        .select(col("o").as("s"), Rdf.iri(lit(RdfType)).as("p"), Rdf.iri(lit(c)).as("o"))
+    }
+    // rdfs9 (subClassOf already transitively closed driver-side)
+    val types = withPred(RdfType)
+    ont.subClassOf.foreach { case (c, d) =>
+      out :+= types.filter(col("o")("lex") === c)
+        .select(col("s"), col("p"), Rdf.iri(lit(d)).as("o"))
+    }
+    // eq-*: sameAs classes (collected; tiny by construction)
+    val sameAsPairs = withPred("owl:sameAs")
+      .select(col("s")("lex"), col("o")("lex")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (sameAsPairs.nonEmpty) {
+      var rep = Map.empty[String, String]
+      def find(x: String): String = rep.get(x) match {
+        case Some(p) if p != x => val r = find(p); rep += (x -> r); r
+        case _ => rep.getOrElse(x, { rep += (x -> x); x })
+      }
+      sameAsPairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          val r = if (ra < rb) ra else rb
+          rep += (ra -> r); rep += (rb -> r)
+        }
+      }
+      val members = rep.keys.toSeq.groupBy(find)
+      val crossPairs = members.values.flatMap { ms =>
+        for (a <- ms; b <- ms if a != b) yield (a, b)
+      }.toSeq
+      if (crossPairs.nonEmpty) {
+        out :+= crossPairs.toDF("a", "b")
+          .select(Rdf.iri(col("a")).as("s"), Rdf.iri(lit("owl:sameAs")).as("p"),
+            Rdf.iri(col("b")).as("o"))
+        val equivDf = broadcast(crossPairs.toDF("from", "to"))
+        out :+= all.join(equivDf, col("s")("lex") === col("from"))
+          .select(Rdf.iri(col("to")).as("s"), col("p"), col("o"))
+        out :+= all.join(equivDf, col("o")("lex") === col("from"))
+          .select(col("s"), col("p"), Rdf.iri(col("to")).as("o"))
+      }
+    }
+    // Re-alias each branch to fresh attribute ids: many branches share
+    // the lineage of `all`, and unioning children with identical attr
+    // ids trips Catalyst's Union constraint rewriting.
+    val freshened = out.map(_.select(col("s").as("s"), col("p").as("p"), col("o").as("o")))
+    freshened.reduceOption(_.unionByName(_)).getOrElse(all.limit(0))
+  }
+
+  /** Materialize entailments: returns explicit ∪ inferred quads (the
+    * inferred ones in graph `g:inferred` — the `inferred` marker of
+    * SURVEY §1.5).
+    */
+  def materialize(spark: SparkSession, quads: DataFrame): DataFrame = {
+    val ont = ontology(quads)
+    val explicit = quads.select(col("s"), col("p"), col("o"))
+    var all = explicit.distinct().localCheckpoint()
+    var rounds = 0
+    var grew = true
+    while (grew && rounds < 8) {
+      rounds += 1
+      val fresh = onePass(spark, ont, all).distinct().except(all).localCheckpoint()
+      if (fresh.isEmpty) grew = false
+      else all = all.unionByName(fresh).localCheckpoint()
+    }
+    val inferredOnly = all.except(explicit.distinct())
+    quads.unionByName(
+      inferredOnly.select(lit(G).as("g"), col("s"), col("p"), col("o")))
+  }
+}

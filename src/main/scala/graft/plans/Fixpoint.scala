@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Driver-side iterative fixpoints over DataFrames — the one thing
+  * Catalyst cannot express (no recursion; SURVEY §4.2). Used by
+  * property paths (`p+`/`p*`), OWL-Horst materialization, and the
+  * graph-analytics operators.
+  *
+  * Discipline at scale (SURVEY §2.C "hard parts"):
+  *  - semi-naive: each round joins only the NEW pairs (delta) against
+  *    the base relation, never the whole accumulator;
+  *  - `localCheckpoint` per round truncates plan lineage, otherwise
+  *    the logical plan doubles every iteration and the driver dies
+  *    long before the executors do;
+  *  - `distinct`/`except` keep the frontier minimal, bounding rounds
+  *    by graph diameter, not path count.
+  */
+object Fixpoint {
+
+  /** Transitive closure of a binary relation with columns (a, b).
+    * Equality on pairs uses whole-row semantics (`except`), so any
+    * column type — strings, term structs — works.
+    */
+  def closure(edges0: DataFrame, joinCond: (DataFrame, DataFrame) => Column,
+      maxRounds: Int = 64): DataFrame = {
+    val edges = edges0.distinct().localCheckpoint()
+    var acc = edges
+    var frontier = edges
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val step = edges.withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
+      val next = frontier.join(step, joinCond(frontier, step))
+        .select(frontier("a").as("a"), col("b2").as("b"))
+        .except(acc)
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    acc
+  }
+
+  /** Closure for term-struct pairs (join on lex+kind identity). */
+  def closureTerms(edges: DataFrame): DataFrame =
+    closure(edges, (f, s) =>
+      f("b")("lex") === s("m")("lex") && f("b")("kind") === s("m")("kind"))
+
+  /** Closure for plain string pairs. */
+  def closureStrings(edges: DataFrame): DataFrame =
+    closure(edges, (f, s) => f("b") === s("m"))
+}

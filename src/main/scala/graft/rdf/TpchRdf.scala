@@ -160,4 +160,8 @@ object TpchRdf {
   /** Wrap an oracle query body with the quads CTE. */
   def withQuads(body: String): String =
     s"WITH quads AS (\n      $quadsSql\n      )\n$body"
+
+  /** Same, plus extra (possibly recursive) CTEs after the quads CTE. */
+  def withQuadsAnd(extraCtes: String, body: String): String =
+    s"WITH RECURSIVE quads AS (\n      $quadsSql\n      ),\n${extraCtes.trim}\n$body"
 }

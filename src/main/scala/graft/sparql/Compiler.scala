@@ -336,28 +336,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame) {
     scoped.select(col("s").as("t")).unionByName(scoped.select(col("o").as("t")))
       .distinct().select(col("t").as("a"), col("t").as("b"))
 
-  /** Semi-naive transitive closure: delta-frontier joins, distinct per
-    * round, localCheckpoint to cut lineage (SURVEY §2.C machinery).
+  /** Semi-naive transitive closure — shared [[graft.plans.Fixpoint]]
+    * machinery (also used by inference and graph analytics).
     */
-  private def closure(edges0: DataFrame): DataFrame = {
-    val edges = edges0.localCheckpoint()
-    var acc = edges
-    var frontier = edges
-    var done = false
-    while (!done) {
-      val step = edges.withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
-      val next = frontier.join(step, termEq(frontier("b"), col("m")))
-        .select(frontier("a").as("a"), col("b2").as("b"))
-        .except(acc)
-        .localCheckpoint()
-      if (next.isEmpty) done = true
-      else {
-        acc = acc.unionByName(next).distinct().localCheckpoint()
-        frontier = next
-      }
-    }
-    acc
-  }
+  private def closure(edges0: DataFrame): DataFrame =
+    graft.plans.Fixpoint.closureTerms(edges0)
 
   // ------------------------------------------------------------------
   // expressions (SPARQL 1.1 §17) — all term-struct in, term-struct out

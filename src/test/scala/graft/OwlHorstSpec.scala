@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.infer.OwlHorst
+import graft.rdf.TpchRdf
+import graft.sparql.Sparql
+
+/** OWL-Horst materializer semantics at sf0.001 (SURVEY §2.C). */
+class OwlHorstSpec extends GraftSuite {
+
+  lazy val mat: DataFrame =
+    OwlHorst.materialize(spark, TpchRdf.graphDf(spark, sf)).cache()
+
+  def q(text: String): Array[org.apache.spark.sql.Row] =
+    Sparql.query(spark, mat, text).collect()
+
+  test("subclass propagation: customers and suppliers are Agents and Things") {
+    val nCust = q("SELECT ?x WHERE { ?x a :Customer }").length
+    val nSup = q("SELECT ?x WHERE { ?x a :Supplier }").length
+    val nAgent = q("SELECT ?x WHERE { ?x a :Agent }").length
+    assert(nAgent == nCust + nSup)
+  }
+
+  test("domain/range typing: orders typed via :custkey") {
+    val nOrd = q("SELECT ?x WHERE { ?x a :Order }").length
+    assert(nOrd > 0)
+  }
+
+  test("transitive property: customer located in region via nation") {
+    val rows = q("SELECT ?x WHERE { ?x :locatedIn reg:1 . ?x a :Customer }")
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0).startsWith("cust:")))
+  }
+
+  test("sameAs: alias object answers match canonical") {
+    val viaAlias = q("SELECT ?n WHERE { ?n :region regalias:2 . ?n a :Nation }")
+      .map(_.getString(0)).toSet
+    val viaCanon = q("SELECT ?n WHERE { ?n :region reg:2 . ?n a :Nation }")
+      .map(_.getString(0)).toSet
+    assert(viaAlias == viaCanon && viaAlias.nonEmpty)
+  }
+
+  test("inferred quads live in g:inferred, explicit untouched") {
+    val inf = mat.filter(col("g") === "g:inferred").count()
+    val exp = TpchRdf.graphDf(spark, sf).count()
+    assert(inf > 0 && mat.count() == inf + exp)
+  }
+}
