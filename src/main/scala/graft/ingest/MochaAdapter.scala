@@ -1,0 +1,153 @@
+package graft.ingest
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.concurrent.Semaphore
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.rio.SparqlJson
+import graft.sparql.{Sparql, SparqlParser}
+
+/** Benchmark-protocol state machine — the reference adapter's whole
+  * dataflow re-expressed over the Spark-native engine (SURVEY §2.A,
+  * §3): chunked-file staging, versioned bulk-load barrier, the
+  * 151/150 command handshake, streaming inserts after the last
+  * loading phase, and SELECT/INSERT task dispatch with SPARQL-JSON
+  * results.
+  *
+  * Protocol facts mirrored from the reference:
+  *  - data message = `[int len][fileName utf8][content bytes]`
+  *    (`GraphDBSystemAdapter.java:167-172`); multi-chunk files append
+  *    to a staging dir (`:179`, dir created `:88-90`)
+  *  - filename normalization strips directory prefixes with
+  *    `replaceAll("[^/]*[/]", "")` (`:176-178`)
+  *  - command 151 (`BULK_LOAD_DATA_GEN_FINISHED`, `Constants.java:22`)
+  *    carries `[int nMessages][byte lastPhase]` (`:298-301`); the
+  *    adapter barriers until every announced message arrived
+  *    (`:306-315`), loads the version, deletes staged files
+  *    (`:320-323`), ACKs 150 (`BULK_LOADING_DATA_FINISHED`,
+  *    `Constants.java:17`, sent `:327`), increments the version
+  *    (`:332`) and on the last phase flips to streaming mode (`:333`)
+  *  - after the flip, data-channel messages are SPARQL updates: the
+  *    A10 `INSERT…WITH` rewrite then execution (`:190-203`)
+  *  - task channel: `INSERT DATA` → exclusive write + empty-result ACK
+  *    (`:223-231`); otherwise SELECT → SPARQL-JSON bytes, placeholder
+  *    document on failure (`:240-261`)
+  *
+  * Isolation: queries run on [[QuadStore.snapshot]] — last committed
+  * segment set — instead of the reference's shared read lock, so
+  * SELECTs are never interleaved with half-applied inserts (the
+  * reference quirk SURVEY flags at A14).
+  */
+final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: String) {
+
+  val CommandBulkLoadGenFinished: Byte = 151.toByte // Constants.java:22
+  val CommandBulkLoadingFinished: Byte = 150.toByte // Constants.java:17
+
+  private val staging = Paths.get(stagingDir)
+  Files.createDirectories(staging)
+
+  private val receivedMessages = new AtomicInteger(0)
+  private val announced = new AtomicInteger(-1)
+  private val barrier = new Semaphore(0)
+  @volatile var dataLoadingFinished: Boolean = false
+  private val insertCount = new AtomicInteger(0)
+  private val selectCount = new AtomicInteger(0)
+
+  // ---- framing (HOBBIT RabbitMQUtils shape, AbstractSystemAdapter1.java:139-149,195-206)
+
+  def readString(buf: ByteBuffer): String = {
+    val len = buf.getInt()
+    val bytes = new Array[Byte](len)
+    buf.get(bytes)
+    new String(bytes, UTF_8)
+  }
+
+  def frame(taskId: String, data: Array[Byte]): Array[Byte] = {
+    val id = taskId.getBytes(UTF_8)
+    val out = ByteBuffer.allocate(4 + id.length + 4 + data.length)
+    out.putInt(id.length).put(id).putInt(data.length).put(data)
+    out.array()
+  }
+
+  /** strip directory prefixes — `GraphDBSystemAdapter.java:176-178` */
+  def normalizeFileName(name: String): String = name.replaceAll("[^/]*[/]", "")
+
+  // ---- data channel (A1/A4/A5/A6/A11) --------------------------------
+
+  def receiveData(msg: Array[Byte]): Unit = {
+    if (!dataLoadingFinished) {
+      val buf = ByteBuffer.wrap(msg)
+      val fileName = normalizeFileName(readString(buf))
+      val content = new Array[Byte](buf.remaining())
+      buf.get(content)
+      val target = staging.resolve(fileName)
+      Files.write(target, content, StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      receivedMessages.incrementAndGet()
+      checkBarrier()
+    } else {
+      // streaming phase: the message IS a SPARQL update (ref `:188-203`)
+      val update = new String(msg, UTF_8)
+      store.insertData(update)
+      insertCount.incrementAndGet()
+    }
+  }
+
+  private def checkBarrier(): Unit =
+    if (announced.get() >= 0 && receivedMessages.get() >= announced.get())
+      barrier.release()
+
+  // ---- command channel (A7/A16) ---------------------------------------
+
+  /** Handle a controller command; returns the ACK command to send, if
+    * any. Command 151 payload: `[int nMessages][byte lastPhase]`.
+    */
+  def receiveCommand(command: Byte, payload: Array[Byte]): Option[Byte] = {
+    if (command != CommandBulkLoadGenFinished) return None
+    val buf = ByteBuffer.wrap(payload)
+    val nMessages = buf.getInt()
+    val lastPhase = buf.get() != 0
+    announced.set(nMessages)
+    checkBarrier()
+    barrier.acquire() // block until every announced message arrived (ref `:306-315`)
+    val files = Files.list(staging).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(_.toString).toList.sorted
+    if (files.nonEmpty) store.loadVersion(files)
+    files.foreach(f => Files.delete(Paths.get(f))) // A9 staging GC (ref `:320-323`)
+    receivedMessages.set(0)
+    announced.set(-1)
+    dataLoadingFinished = lastPhase // FSM flip (ref `:333`)
+    Some(CommandBulkLoadingFinished)
+  }
+
+  // ---- task channel (A12/A13) -----------------------------------------
+
+  /** Execute a task; returns the framed result for eval storage. */
+  def receiveTask(taskId: String, data: Array[Byte]): Array[Byte] = {
+    val queryString = new String(data, UTF_8)
+    if (queryString.contains("INSERT DATA")) { // ref branch keys on this literal, `:223`
+      store.insertData(queryString)
+      insertCount.incrementAndGet()
+      frame(taskId, Array.emptyByteArray) // empty-result ACK (ref `:231`)
+    } else {
+      val json =
+        try {
+          val parsed = SparqlParser.parse(queryString)
+          val c = new graft.sparql.Compiler(spark, store.snapshot())
+          if (parsed.isAsk)
+            SparqlJson.ask(c.ask(parsed.op).head().getString(0) == "true")
+          else SparqlJson.select(c.compile(parsed.op))
+        } catch {
+          case _: Throwable => SparqlJson.failurePlaceholder // ref `:251-258`
+        }
+      selectCount.incrementAndGet()
+      frame(taskId, json.getBytes(UTF_8))
+    }
+  }
+
+  def counters: (Int, Int) = (insertCount.get(), selectCount.get())
+}

@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{MochaAdapter, QuadStore}
+import graft.rio.{SparqlJson, Turtle}
+import graft.sparql.Sparql
+
+/** Ingest-layer tests: Turtle parsing, versioned loads with snapshot
+  * isolation, the 151/150 protocol handshake, streaming inserts, and
+  * SPARQL-JSON task results (SURVEY §2.A, §3.2-3.3, §5.2 test plan #2/#3).
+  */
+class IngestSpec extends GraftSuite {
+
+  val fixture: String = """
+    |@prefix ex: <http://example.org/> .
+    |# a comment
+    |ex:alice a ex:Person ; ex:name "Alice" ; ex:age 30 ;
+    |         ex:knows ex:bob , _:anon1 .
+    |ex:bob ex:name "Bob"@en ; ex:score 4.5 ; ex:active true .
+    |_:anon1 ex:name "Carol"^^<xsd:string> .
+    |""".stripMargin
+
+  test("turtle parser: statements, types, prefixes, bnodes") {
+    val stmts = Turtle.parseDoc(fixture, "f1:")
+    assert(stmts.length == 9)
+    val alice = stmts.filter(_.s.lex == "http://example.org/alice")
+    assert(alice.length == 5)
+    assert(alice.exists(s => s.p.lex == "rdf:type" &&
+      s.o.lex == "http://example.org/Person"))
+    val age = alice.find(_.p.lex == "http://example.org/age").get.o
+    assert(age.num.contains(30.0) && age.lex == "30.000000")
+    val lang = stmts.find(_.o.lang == "en").get.o
+    assert(lang.lex == "Bob")
+    assert(stmts.exists(_.o.lex == "f1:anon1")) // scoped bnode
+    val bool = stmts.find(_.p.lex == "http://example.org/active").get.o
+    assert(bool.dt == "xsd:boolean" && bool.num.contains(1.0))
+  }
+
+  test("turtle reader: file → quads DataFrame in a named graph") {
+    val d = Files.createTempDirectory("ttl")
+    Files.writeString(d.resolve("a.ttl"), fixture)
+    val df = Turtle.read(spark, Seq(d.toString), "g:test")
+    assert(df.count() == 9)
+    assert(df.select("g").distinct().head.getString(0) == "g:test")
+    val names = df.filter(col("p")("lex") === "http://example.org/name").count()
+    assert(names == 3)
+  }
+
+  test("quad store: versioned loads, snapshot isolation") {
+    val d = Files.createTempDirectory("qs")
+    val store = new QuadStore(spark, d.toString)
+    val ttl = Files.createTempDirectory("ttlv")
+    Files.writeString(ttl.resolve("v0.ttl"), "<s:1> <p:x> \"one\" .")
+    store.loadVersion(Seq(ttl.resolve("v0.ttl").toString))
+
+    val snap1 = store.snapshot()
+    assert(snap1.count() == 1)
+    assert(snap1.select("g").head.getString(0) == "http://graph.version.0")
+
+    // a later commit must NOT appear in the pinned snapshot
+    Files.writeString(ttl.resolve("v1.ttl"), "<s:2> <p:x> \"two\" . <s:3> <p:x> \"three\" .")
+    store.loadVersion(Seq(ttl.resolve("v1.ttl").toString))
+    assert(snap1.count() == 1, "snapshot must be isolated from later commits")
+    val snap2 = store.snapshot()
+    assert(snap2.count() == 3)
+    assert(snap2.filter(col("g") === "http://graph.version.1").count() == 2)
+  }
+
+  test("INSERT DATA and the INSERT…WITH rewrite") {
+    val d = Files.createTempDirectory("qs2")
+    val store = new QuadStore(spark, d.toString)
+    store.insertData("""INSERT DATA { GRAPH <g:a> { <s:1> <p:x> "v" . } }""")
+    assert(store.snapshot().filter(col("g") === "g:a").count() == 1)
+
+    val rewritten = store.rewriteInsertWith(
+      """INSERT { <s:2> <p:x> "w" . } WITH <g:b>""")
+    assert(rewritten.contains("INSERT DATA") && rewritten.contains("GRAPH <g:b>"))
+    store.insertData("""INSERT { <s:2> <p:x> "w" . } WITH <g:b>""")
+    assert(store.snapshot().filter(col("g") === "g:b").count() == 1)
+  }
+
+  test("protocol replay: chunked files, 151 barrier, 150 ack, streaming flip") {
+    val qs = Files.createTempDirectory("qs3")
+    val stg = Files.createTempDirectory("stg")
+    val store = new QuadStore(spark, qs.toString)
+    val ad = new MochaAdapter(spark, store, stg.toString)
+
+    def dataMsg(file: String, content: String): Array[Byte] = {
+      val f = file.getBytes(UTF_8); val c = content.getBytes(UTF_8)
+      ByteBuffer.allocate(4 + f.length + c.length).putInt(f.length).put(f).put(c).array()
+    }
+    // two chunks of one file (append semantics) + one other file, with
+    // directory prefixes that must be normalized away
+    ad.receiveData(dataMsg("path/to/f1.ttl", "<s:1> <p:x> \"a\" .\n"))
+    ad.receiveData(dataMsg("other/f1.ttl", "<s:2> <p:x> \"b\" .\n"))
+    ad.receiveData(dataMsg("f2.ttl", "<s:3> <p:x> \"c\" .\n"))
+
+    val payload = ByteBuffer.allocate(5).putInt(3).put(0.toByte).array()
+    val ack = ad.receiveCommand(ad.CommandBulkLoadGenFinished, payload)
+    assert(ack.contains(ad.CommandBulkLoadingFinished))
+    assert(!ad.dataLoadingFinished)
+    assert(store.snapshot().count() == 3)
+    assert(Files.list(stg).count() == 0, "staging must be GC'd after load")
+
+    // phase 2, lastPhase=true flips to streaming
+    ad.receiveData(dataMsg("f3.ttl", "<s:4> <p:x> \"d\" .\n"))
+    val payload2 = ByteBuffer.allocate(5).putInt(1).put(1.toByte).array()
+    ad.receiveCommand(ad.CommandBulkLoadGenFinished, payload2)
+    assert(ad.dataLoadingFinished)
+    assert(store.snapshot().filter(col("g") === "http://graph.version.1").count() == 1)
+
+    // streaming insert via the data channel (post-flip)
+    ad.receiveData("""INSERT { <s:5> <p:x> "e" . } WITH <g:stream>"""
+      .getBytes(UTF_8))
+    assert(store.snapshot().filter(col("g") === "g:stream").count() == 1)
+  }
+
+  test("task channel: SELECT returns SPARQL-JSON, INSERT DATA acks empty") {
+    val qs = Files.createTempDirectory("qs4")
+    val store = new QuadStore(spark, qs.toString)
+    val ad = new MochaAdapter(spark, store, Files.createTempDirectory("stg4").toString)
+    store.insertData("""INSERT DATA { <s:1> <p:name> "Alice" . }""")
+
+    val res = ad.receiveTask("t1", """SELECT ?n WHERE { ?s <p:name> ?n }""".getBytes(UTF_8))
+    val buf = ByteBuffer.wrap(res)
+    val tid = ad.readString(buf)
+    val body = new Array[Byte](buf.getInt()); buf.get(body)
+    val json = new String(body, UTF_8)
+    assert(tid == "t1")
+    assert(json.contains(""""vars":["n"]"""))
+    assert(json.contains(""""type":"literal","value":"Alice""""))
+
+    val ins = ad.receiveTask("t2",
+      """INSERT DATA { <s:2> <p:name> "Bob" . }""".getBytes(UTF_8))
+    val buf2 = ByteBuffer.wrap(ins)
+    assert(ad.readString(buf2) == "t2" && buf2.getInt() == 0)
+    assert(ad.counters == (1, 1)) // one task-channel insert, one select
+
+    // malformed query → placeholder document, not an exception (ref :251-258)
+    val bad = ad.receiveTask("t3", "SELECT ?x WHERE { broken".getBytes(UTF_8))
+    val buf3 = ByteBuffer.wrap(bad)
+    ad.readString(buf3)
+    val body3 = new Array[Byte](buf3.getInt()); buf3.get(body3)
+    assert(new String(body3, UTF_8) == SparqlJson.failurePlaceholder)
+  }
+
+  test("ASK task returns boolean envelope") {
+    val qs = Files.createTempDirectory("qs5")
+    val store = new QuadStore(spark, qs.toString)
+    val ad = new MochaAdapter(spark, store, Files.createTempDirectory("stg5").toString)
+    store.insertData("""INSERT DATA { <s:1> <p:x> "v" . }""")
+    val res = ad.receiveTask("t1", """ASK { <s:1> <p:x> "v" }""".getBytes(UTF_8))
+    val buf = ByteBuffer.wrap(res)
+    ad.readString(buf)
+    val body = new Array[Byte](buf.getInt()); buf.get(body)
+    assert(new String(body, UTF_8) == """{"head":{},"boolean":true}""")
+  }
+}
