@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.GraphOps
+import Queries.Q
+
+/** Graph-analytics registry entries (SURVEY §2.D): connected
+  * components, fixed-iteration PageRank, BFS shortest hops — run over
+  * a deterministic vertex-id scheme derived from the harness keys so
+  * a DuckDB oracle can compute the same answers in closed form:
+  *
+  *   nation = n_nationkey · region = 1000+r_regionkey ·
+  *   customer = 10000+c_custkey · supplier = 100000+s_suppkey
+  *
+  * The OPERATORS are generic (any (src,dst) edge list — at RDF scale,
+  * dictionary-encoded terms); the test graph is the
+  * customer/supplier→nation→region hierarchy, whose analytics have
+  * exact relational mirrors.
+  */
+object GraphQueries {
+
+  private def natRegEdges(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "nation")
+    n.select(col("n_nationkey").cast("long").as("src"),
+      (col("n_regionkey") + 1000).cast("long").as("dst"))
+  }
+
+  private def custNatEdges(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select(
+      (col("c_custkey") + 10000).cast("long").as("src"),
+      col("c_nationkey").cast("long").as("dst"))
+
+  private def supNatEdges(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "supplier").select(
+      (col("s_suppkey") + 100000).cast("long").as("src"),
+      col("s_nationkey").cast("long").as("dst"))
+
+  val all: Seq[Q] = Seq(
+
+    Q("g_components", (s, dir) =>
+      GraphOps.connectedComponents(s, natRegEdges(s, dir)),
+      Some("""
+      WITH comp AS (SELECT n_regionkey, min(n_nationkey) AS c FROM nation GROUP BY 1)
+      SELECT n_nationkey::BIGINT AS id, c::BIGINT AS component
+      FROM nation JOIN comp USING (n_regionkey)
+      UNION ALL
+      SELECT (1000+r_regionkey)::BIGINT, c::BIGINT
+      FROM region JOIN comp ON comp.n_regionkey=r_regionkey""")),
+
+    Q("g_pagerank", (s, dir) =>
+      GraphOps.pageRank(s,
+        custNatEdges(s, dir).unionByName(natRegEdges(s, dir)), iters = 10),
+      // GraphX staticPageRank semantics (verified empirically): classic
+      // unnormalized iteration rank = 0.15 + 0.85·Σ(in/outdeg), then a
+      // final normalization to make ranks sum to the vertex count. The
+      // graph is a depth-2 DAG (cust → nation → region), so 10
+      // iterations are fully converged and the closed form below is
+      // exact up to float associativity (both sides round to 6).
+      Some("""
+      WITH nat AS (
+        SELECT n_nationkey, n_regionkey,
+               0.15 + 0.85*0.15*(SELECT count(*) FROM customer WHERE c_nationkey=n_nationkey) AS raw
+        FROM nation),
+      reg AS (
+        SELECT r_regionkey,
+               0.15 + 0.85*(SELECT sum(raw) FROM nat WHERE n_regionkey=r_regionkey) AS raw
+        FROM region),
+      allv AS (
+        SELECT (10000+c_custkey)::BIGINT AS id, 0.15::DOUBLE AS raw FROM customer
+        UNION ALL SELECT n_nationkey::BIGINT, raw FROM nat
+        UNION ALL SELECT (1000+r_regionkey)::BIGINT, raw FROM reg)
+      SELECT id, round(raw * (SELECT count(*) FROM allv) / (SELECT sum(raw) FROM allv), 6) AS rank
+      FROM allv""")),
+
+    Q("g_shortest_hops", (s, dir) => {
+      val edges = custNatEdges(s, dir)
+        .unionByName(natRegEdges(s, dir))
+        .unionByName(supNatEdges(s, dir))
+      val sources = Tables(s, dir, "region").filter(col("r_name") === "AFRICA")
+        .select((col("r_regionkey") + 1000).cast("long").as("id"))
+      GraphOps.shortestHops(s, edges, sources)
+    },
+      Some("""
+      WITH afr AS (SELECT r_regionkey FROM region WHERE r_name='AFRICA')
+      SELECT (1000+r_regionkey)::BIGINT AS id, 0::BIGINT AS dist FROM afr
+      UNION ALL
+      SELECT n_nationkey::BIGINT, 1::BIGINT FROM nation
+      WHERE n_regionkey IN (SELECT r_regionkey FROM afr)
+      UNION ALL
+      SELECT (10000+c_custkey)::BIGINT, 2::BIGINT FROM customer
+      JOIN nation ON c_nationkey=n_nationkey
+      WHERE n_regionkey IN (SELECT r_regionkey FROM afr)
+      UNION ALL
+      SELECT (100000+s_suppkey)::BIGINT, 2::BIGINT FROM supplier
+      JOIN nation ON s_nationkey=n_nationkey
+      WHERE n_regionkey IN (SELECT r_regionkey FROM afr)"""))
+  )
+}

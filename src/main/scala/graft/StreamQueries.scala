@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.streaming.StreamOps
+import Queries.Q
+
+/** Streaming registry entries: a REAL Structured Streaming query
+  * (file source → watermark + tumbling window → memory sink) whose
+  * final answer is batch-checkable, and session windows with a
+  * gaps-and-islands oracle.
+  */
+object StreamQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("st_stream_window", (s, dir) => StreamOps.hourlyCountsStreaming(s, dir),
+      Some("""
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*) AS n, round(sum(value),2) AS sum_value
+      FROM events GROUP BY 1, 2""")),
+
+    Q("st_session_window", (s, dir) =>
+      StreamOps.sessionWindows(Tables(s, dir, "events")),
+      // Spark session_window: a session breaks when the event-time gap
+      // is >= the 30-min inactivity gap (window end = last + gap,
+      // end-exclusive) — mirrored as a gaps-and-islands computation.
+      Some("""
+      WITH e AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e)
+      SELECT user_id, min(ts) AS session_start,
+             count(*)::BIGINT AS n_events, round(sum(value),2) AS sum_value
+      FROM s GROUP BY user_id, sid"""))
+  )
+}

@@ -23,9 +23,11 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // integer `div`, NOT `/`: float division of epoch-nanos longs
+      // (~1.7e18) loses the low microsecond digit in double precision
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

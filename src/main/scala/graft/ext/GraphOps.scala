@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.plans.Fixpoint
+
+/** Graph analytics over the quad graph / relational edge lists
+  * (SURVEY §2.D: "GraphX for components/PageRank, Pregel for
+  * traversals" — the analytics the reference's delegated engine
+  * cannot express in SPARQL at all).
+  *
+  * API shape: DataFrame in (`src: long, dst: long` edge list — e.g.
+  * dictionary-encoded RDF terms or harness keys), DataFrame out, so
+  * results join back into Catalyst plans. GraphX is used where its
+  * Pregel machinery wins (components, PageRank); plain-DataFrame
+  * semi-naive BFS ([[Fixpoint]]) where a bounded traversal is enough.
+  *
+  * Scale: GraphX partitions edges (EdgePartition2D for skew); the
+  * BFS variant shuffles only the frontier each round. Vertex ids are
+  * caller-provided stable longs — at RDF scale they come from the
+  * term dictionary (SURVEY §1.5), not from hashing at query time.
+  */
+object GraphOps {
+
+  private def toEdgeRdd(edges: DataFrame) =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+
+  /** Connected components (undirected reachability); component id =
+    * min vertex id in the component (GraphX convention, deterministic).
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    Graph.fromEdges(toEdgeRdd(edges), 0)
+      .connectedComponents()
+      .vertices.map { case (id, comp) => (id, comp) }
+      .toDF("id", "component")
+  }
+
+  /** Fixed-iteration PageRank (GraphX semantics: rank = reset + (1 -
+    * reset) · Σ in-contributions, contributions divided by out-degree,
+    * NOT normalized). Deterministic for a fixed iteration count.
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int,
+      reset: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    Graph.fromEdges(toEdgeRdd(edges), 0)
+      .staticPageRank(iters, reset)
+      .vertices.map { case (id, rank) => (id, rank) }
+      .toDF("id", "rank0")
+      .select(col("id"), round(col("rank0"), 6).as("rank"))
+  }
+
+  /** Unweighted shortest hop counts from a set of source vertices,
+    * treating edges as undirected. Semi-naive BFS: each round joins
+    * only the new frontier against the edge list — the DataFrame
+    * equivalent of a Pregel iteration.
+    */
+  def shortestHops(spark: SparkSession, edges: DataFrame, sources: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var dists = sources.select(col("id").cast("long"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = dists
+    var done = false
+    while (!done) {
+      val next = frontier.join(und, frontier("id") === und("src"))
+        .select(und("dst").as("id"), (frontier("dist") + 1).as("dist"))
+        .groupBy("id").agg(min("dist").as("dist"))
+        .join(dists.select(col("id").as("seen")), col("id") === col("seen"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dists = dists.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    dists
+  }
+}

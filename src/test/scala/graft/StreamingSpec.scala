@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Sessionize, StreamOps}
+import Sessionize.{Event, Session}
+
+/** Structured Streaming specs: stateful sessionization over a
+  * MemoryStream with controlled batch boundaries, and the streaming
+  * windowed-aggregation entry vs its batch equivalent.
+  */
+class StreamingSpec extends GraftSuite {
+
+  test("flatMapGroupsWithState sessionizer: gap closes sessions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(mem.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 — two events 10s apart (one session, stays open)
+      mem.addData(Event(1, 1000, 1.0), Event(1, 11000, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0, "open session must not emit")
+
+      // batch 2: event 10 min later → closes first session, opens second
+      mem.addData(Event(1, 611000, 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").as[Session].collect()
+      assert(closed.length == 1)
+      assert(closed.head == Session(1, 1000, 11000, 2, 3.0))
+
+      // batch 3: second user interleaved; state is per-key
+      mem.addData(Event(2, 1000, 7.0), Event(1, 2000000, 1.0))
+      q.processAllAvailable()
+      val all2 = spark.table("sessions_out").as[Session].collect()
+      assert(all2.length == 2)
+      assert(all2.exists(s => s.user_id == 1 && s.start_ms == 611000 && s.n_events == 1))
+    } finally q.stop()
+  }
+
+  test("streaming hourly counts equal the batch answer") {
+    val streamed = StreamOps.hourlyCountsStreaming(spark, sf)
+      .orderBy("hour_start", "event_type").collect()
+    val batch = Queries.queries("w_tumbling_hour")(spark, sf)
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a.get(0) == b.get(0) && a.get(1) == b.get(1) && a.getLong(2) == b.getLong(2))
+    }
+  }
+
+  test("session_window groups events by inactivity gap") {
+    val df = StreamOps.sessionWindows(graft.core.Tables(spark, sf, "events"))
+    val total = df.agg(sum("n_events")).head.getLong(0)
+    val events = graft.core.Tables(spark, sf, "events").count()
+    assert(total == events, "session windows must partition the events")
+  }
+}
