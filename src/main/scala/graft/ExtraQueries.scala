@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.Multimodal
+import Queries.Q
+
+/** Relational long-tail + multimodal registry entries: grouping
+  * analytics (ROLLUP/CUBE/PIVOT), as-of and band joins, exact
+  * percentiles, deterministic hash sampling, explode/token
+  * aggregation, scalar subqueries, date/string function bundles, and
+  * the multimodal decode/resize/frame pipeline over binary columns.
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  private val relationalExtra: Seq[Q] = Seq(
+
+    Q("q_rollup", (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty")),
+      Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    Q("q_cube", (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n")),
+      Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    Q("q_pivot", (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1))),
+      Some("""
+      SELECT o_orderstatus,
+             sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS "1-URGENT",
+             sum(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS "2-HIGH",
+             sum(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS "3-MEDIUM",
+             sum(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS "4-NOT SPECIFIED",
+             sum(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END)::BIGINT AS "5-LOW"
+      FROM orders GROUP BY o_orderstatus""")),
+
+    Q("q_asof_join", (s, dir) => {
+      // as-of: latest event of the matching user at/before the order
+      // date. Composed from existing ops (SURVEY §2.B custom-operator
+      // preference (a)): equi-join on the key → keep only ts ≤ t →
+      // max-by over the window. The shuffle key is the user, so this
+      // scales like any keyed join; a sort-merge interval variant is
+      // the optimization path, not a semantic change.
+      val o = t(s, dir, "orders").filter(col("o_custkey") < 150)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts_ns"), col("value"))
+      val joined = o.join(e,
+        col("o_custkey") === col("user_id") &&
+          col("ts_ns") <= unix_micros(col("o_orderdate").cast("timestamp")) * 1000,
+        "left")
+      joined.groupBy(col("o_orderkey"))
+        .agg(max_by(struct(col("ts_ns"), col("value")), col("ts_ns")).as("last"))
+        .select(col("o_orderkey"), col("last")("ts_ns").as("event_ts_ns"),
+          col("last")("value").as("event_value"))
+    }, Some("""
+      SELECT o_orderkey,
+             epoch_ns(e.ts)::BIGINT AS event_ts_ns,
+             e.value AS event_value
+      FROM (SELECT * FROM orders WHERE o_custkey < 150) o
+      ASOF LEFT JOIN events e
+        ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate""")),
+
+    Q("q_band_join", (s, dir) => {
+      // band (range) join: tiny bounds table broadcast → nested-loop
+      // range probe, no shuffle of the big side
+      val bands = (s.createDataFrame(Seq(
+        ("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1.0e9)))
+        .toDF("band", "lo", "hi"))
+      t(s, dir, "part").join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(avg("p_size"), 4).as("avg_size"))
+    }, Some("""
+      WITH bands(band, lo, hi) AS (VALUES
+        ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0), ('premium', 1200.0, 1.0e9))
+      SELECT band, count(*) AS n, round(avg(p_size),4) AS avg_size
+      FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band""")),
+
+    Q("q_percentiles", (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25")),
+      Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+             round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+             round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    Q("q_sample_hash", (s, dir) =>
+      // deterministic ~10% sample: first hex byte of md5(key) < 0x1a —
+      // reproducible across engines and runs, unlike rand()-based
+      // sampling (engine-independent hashing rule as in Dedup)
+      t(s, dir, "orders")
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "1a")
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'""")),
+
+    Q("q_explode_tokens", (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 200)
+        .orderBy(col("n").desc, col("token").asc),
+      Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token HAVING count(*) >= 200
+      ORDER BY n DESC, token ASC""")),
+
+    Q("q_scalar_subquery", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val avgPrice = o.agg(avg("o_totalprice")).head.getDouble(0)
+      o.filter(col("o_totalprice") > avgPrice)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }, Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""")),
+
+    Q("q_date_funcs", (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("string").as("due_date"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_eoy")),
+      Some("""
+      SELECT o_orderkey,
+             year(o_orderdate)::BIGINT AS yr, month(o_orderdate)::BIGINT AS mo,
+             day(o_orderdate)::BIGINT AS dom,
+             CAST((CAST(o_orderdate AS DATE) + INTERVAL 30 DAY)::DATE AS VARCHAR) AS due_date,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')::BIGINT AS days_to_eoy
+      FROM orders""")),
+
+    Q("q_string_funcs", (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("u"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("padded"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        length(col("c_name")).cast("long").as("len")),
+      Some("""
+      SELECT c_custkey, upper(c_name) AS u, substring(c_name, 1, 8) AS prefix,
+             regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked,
+             lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded,
+             concat_ws('|', c_mktsegment, c_name) AS joined,
+             length(c_name)::BIGINT AS len
+      FROM customer"""))
+  )
+
+  private val multimodal: Seq[Q] = Seq(
+
+    Q("m_decode_meta", (s, dir) => {
+      import s.implicits._
+      Multimodal.decodeMeta(
+        Multimodal.withBinary(t(s, dir, "documents")).as[Multimodal.Media]).toDF()
+    }, Some("""
+      SELECT doc_id,
+             CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             octet_length(encode(text))::BIGINT AS byte_len,
+             (64 + (octet_length(encode(text))*7 + doc_id) % 1217)::BIGINT AS width,
+             (64 + (octet_length(encode(text))*13) % 689)::BIGINT AS height,
+             (1 + doc_id % 3)::BIGINT AS channels
+      FROM documents""")),
+
+    Q("m_resize_plan", (s, dir) => {
+      import s.implicits._
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(
+          Multimodal.withBinary(t(s, dir, "documents")).as[Multimodal.Media]), 256)
+    }, Some("""
+      WITH meta AS (
+        SELECT doc_id,
+               (64 + (octet_length(encode(text))*7 + doc_id) % 1217) AS w,
+               (64 + (octet_length(encode(text))*13) % 689) AS h
+        FROM documents)
+      SELECT doc_id,
+             floor(w * least(256.0/w, 256.0/h, 1.0))::BIGINT AS out_width,
+             floor(h * least(256.0/w, 256.0/h, 1.0))::BIGINT AS out_height
+      FROM meta""")),
+
+    Q("m_frame_sample", (s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+        Multimodal.withBinary(t(s, dir, "documents")).as[Multimodal.Media]).toDF()
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n,
+               unnest(range(0, 1 + octet_length(encode(text)) % 7)) AS frame_idx
+        FROM documents)
+      SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+             md5(substring(text, ((frame_idx*17) % greatest(n-32, 1))::BIGINT + 1, 32)) AS frame_md5
+      FROM f"""))
+  )
+
+  val all: Seq[Q] = relationalExtra ++ multimodal
+}

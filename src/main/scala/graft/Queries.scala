@@ -415,7 +415,8 @@ object Queries {
 
   val all: Seq[Q] =
     relational ++ windows ++ text ++ dedup ++ similarity ++
-      SparqlQueries.all ++ GraphQueries.all ++ StreamQueries.all
+      SparqlQueries.all ++ GraphQueries.all ++ StreamQueries.all ++
+      ExtraQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column pipeline plumbing (SURVEY §2.D): image/audio/
+  * video payloads travel as opaque `binary` columns with typed
+  * metadata structs; decode / feature-extract / frame-sample run as
+  * partition-batched functions over `Dataset[(id, bytes)]` — the
+  * Scala analogue of an Arrow-batched UDF: one JVM call per
+  * partition, columnar parquet scan feeding it, no per-row overhead.
+  *
+  * DECODERS ARE STUBS: no image/audio codec ships in this
+  * environment, so `decodeMeta` derives deterministic pseudo-metadata
+  * from the raw bytes (marked below). Everything AROUND the stub —
+  * binary column schema, metadata struct, partition-batched map,
+  * array-of-binary frame output, explode back to rows — is the real
+  * Spark plumbing a production decoder would drop into: replace the
+  * arithmetic inside [[decodeMeta]]/[[sampleFrames]] with a codec
+  * call and nothing else changes.
+  *
+  * Scale: payload bytes stay columnar end-to-end (parquet binary →
+  * Tungsten rows → per-partition iterator); metadata-only queries
+  * prune the payload column entirely at the scan.
+  */
+object Multimodal {
+
+  final case class Media(doc_id: Long, media_type: String, payload: Array[Byte])
+  final case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
+      width: Long, height: Long, channels: Long)
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_md5: String)
+
+  /** Attach a synthetic binary payload + media-type column to the
+    * documents table (the harness ships no real media; payload =
+    * UTF-8 bytes of the text, media type assigned round-robin).
+    */
+  def withBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      to_binary(col("text"), lit("utf-8")).as("payload"))
+
+  /** Partition-batched "decode": bytes → typed metadata.
+    * STUB decode arithmetic (deterministic pseudo-dimensions from the
+    * byte length and id); a real implementation calls the codec here.
+    */
+  def decodeMeta(media: Dataset[Media]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val n = m.payload.length.toLong
+        MediaMeta(m.doc_id, m.media_type, n,
+          width = 64 + (n * 7 + m.doc_id) % 1217,
+          height = 64 + (n * 13) % 689,
+          channels = 1 + m.doc_id % 3)
+      }
+    }
+  }
+
+  /** Resize planning: target box → output dims preserving aspect
+    * ratio (pure metadata math — the real pixel work happens in the
+    * decoder slot).
+    */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Long): DataFrame = {
+    val m = meta.toDF()
+    val scale = least(lit(maxDim) / col("width"), lit(maxDim) / col("height"), lit(1.0))
+    m.select(col("doc_id"),
+      floor(col("width") * scale).cast("long").as("out_width"),
+      floor(col("height") * scale).cast("long").as("out_height"))
+  }
+
+  /** Frame sampling: slice `nFrames = 1 + len % 7` fixed-stride
+    * 32-byte windows from the payload (STUB for keyframe extraction)
+    * and fingerprint each — array-of-binary → explode, the shape a
+    * video pipeline needs.
+    */
+  def sampleFrames(media: Dataset[Media]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val n = m.payload.length
+      val nFrames = (1 + n % 7).toInt
+      (0 until nFrames).iterator.map { i =>
+        val start = (i.toLong * 17 % math.max(n - 32, 1)).toInt
+        val slice = m.payload.slice(start, math.min(start + 32, n))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(slice).map("%02x".format(_)).mkString
+        Frame(m.doc_id, i.toLong, hex)
+      }
+    }
+  }
+}
