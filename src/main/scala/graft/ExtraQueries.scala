@@ -221,5 +221,78 @@ object ExtraQueries {
       FROM f"""))
   )
 
-  val all: Seq[Q] = relationalExtra ++ multimodal
+  /** DuckDB mirror of [[graft.ext.Similarity.lshBucket]] for `bits`
+    * hyperplanes (identical double math; constants via Double.toString).
+    */
+  private def duckLshBucket(bits: Int): String = {
+    def proj(p: Int) = {
+      val c = java.lang.Double.toString((p + 1) * 0.61803398875)
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, range(0, len(embedding))), " +
+        s"z -> z[1]::DOUBLE * (($c * z[2]) % 1.0 * 2.0 - 1.0))), (acc,v) -> acc+v)"
+    }
+    (0 until bits)
+      .map(p => s"(CASE WHEN ${proj(p)} >= 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+  }
+
+  private def duckCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($x,$y), p -> p[1]::DOUBLE * p[2]::DOUBLE)), (acc,v) -> acc+v)"
+    s"round(${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)}), 6)"
+  }
+
+  private val moreText: Seq[Q] = Seq(
+
+    Q("t_tfidf_top", (s, dir) => {
+      // DataFrame-native TF-IDF (no hashing trick: term identity is the
+      // token itself, engine-independent — SURVEY §2.D text analysis)
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf_raw").desc, col("term").asc)
+      tf.join(dfreq, "term")
+        .withColumn("tfidf_raw", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), round(col("tfidf_raw"), 4).as("tfidf"),
+          col("rank"))
+    }, Some("""
+      WITH tf AS (
+        SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+      dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      scored AS (
+        SELECT doc_id, term,
+               tf * ln((SELECT count(*) FROM documents)::DOUBLE / df) AS tfidf_raw
+        FROM tfc JOIN dfc USING (term)),
+      ranked AS (
+        SELECT doc_id, term, tfidf_raw,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf_raw DESC, term ASC) AS rank
+        FROM scored)
+      SELECT doc_id, term, round(tfidf_raw, 4) AS tfidf, rank::BIGINT AS rank
+      FROM ranked WHERE rank <= 3""")),
+
+    Q("s_lsh_ann", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ext.Similarity.lshTopK(e.filter(col("vec_id") < 5), e, 5, bits = 6)
+    }, Some(s"""
+      WITH b AS (SELECT vec_id, embedding, (${duckLshBucket(6)})::BIGINT AS bucket
+                 FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket
+            FROM b WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, b.vec_id, ${duckCosine("q.q_emb", "b.embedding")} AS cos
+        FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= 5"""))
+  )
+
+  val all: Seq[Q] = relationalExtra ++ multimodal ++ moreText
 }

@@ -35,9 +35,17 @@ object Dedup {
     * most TOKENS, so token-level Jaccard saturates; trigram shingles
     * stay selective.
     */
-  def minHashSignature(text: Column): Column = {
+  def minHashSignature(text: Column): Column =
+    minHashOfShingles(shingles(text))
+
+  /** Signature from an existing shingle column: polyHash (a
+    * per-character fold) runs ONCE per shingle; the 8 permutations are
+    * cheap affine maps over the precomputed hashes.
+    */
+  def minHashOfShingles(sh: Column): Column = {
+    val base = transform(sh, t => polyHash(t))
     val hs = MinHashParams.map { case (a, b) =>
-      array_min(transform(shingles(text), t => pmod(polyHash(t) * lit(a) + lit(b), lit(P))))
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
     }
     array(hs: _*)
   }
@@ -69,24 +77,31 @@ object Dedup {
   def minHashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val nBands = MinHashParams.size / BandSize
     val sig = docs
-      .select(col("doc_id"), shingles(col("text")).as("toks"),
-        minHashSignature(col("text")).as("mh"))
+      .select(col("doc_id"), shingles(col("text")).as("toks"))
+      .withColumn("mh", minHashOfShingles(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band join carries ONLY (band_id, band_key, doc_id) — the shingle
+    // arrays never enter this shuffle; candidate pairs are deduped
+    // BEFORE the (expensive) exact-Jaccard verify, so a pair colliding
+    // in k bands is verified once, not k times
     val banded = sig.select(
-      col("doc_id"), col("toks"),
+      col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(nBands - 1)),
         b => concat_ws("_", element_at(col("mh"), b * BandSize + 1),
                             element_at(col("mh"), b * BandSize + 2)))))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
-    val l = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val r = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    l.join(r, Seq("band_id", "band_key"))
+    val cand = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_key"))
       .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
-      .distinct()
       .where(col("jaccard") >= threshold)
   }
 

@@ -83,48 +83,85 @@ object OwlHorst {
       inverseOf = pairs("owl:inverseOf"))
   }
 
-  /** One application of every rule family to the current triple set. */
-  private def onePass(spark: SparkSession, ont: Ontology, all: DataFrame): DataFrame = {
+  /** One application of every rule family to the current triple set.
+    * Families CASCADE in dependency order (inheritance → transitive
+    * closure → symmetric/inverse → typing → subclass → sameAs), each
+    * seeing the union of `all` and everything derived earlier in the
+    * pass — so for acyclic rule dependencies the outer loop converges
+    * in one productive round instead of one round per family, and the
+    * expensive whole-dataset `except` runs twice, not five times.
+    */
+  private def onePass(spark: SparkSession, ont: Ontology, all: DataFrame,
+      newIn: DataFrame): DataFrame = {
     import spark.implicits._
-    def withPred(p: String): DataFrame = all.filter(col("p")("lex") === p)
-    var out = Seq.empty[DataFrame]
-
-    // rdfs7
-    ont.subPropOf.foreach { case (sub, sup) =>
-      out :+= withPred(sub).select(col("s"), Rdf.iri(lit(sup)).as("p"), col("o"))
+    var deltas = Seq.empty[DataFrame]
+    // One branch per rule FAMILY (ontology pairs ride in as broadcast
+    // join tables, not per-pair plan branches), each delta eagerly
+    // localCheckpoint'ed: `cur` is then a union of LEAF nodes, keeping
+    // plans linear in family count instead of nested per stage.
+    def emit(df: DataFrame): Unit = {
+      val d = df
+        .select(col("s").as("s"), col("p").as("p"), col("o").as("o"))
+        .localCheckpoint()
+      if (!d.isEmpty) deltas :+= d
     }
-    // prp-trp (distributed semi-naive closure)
+    def cur: DataFrame = (all +: deltas).reduce(_.unionByName(_))
+    // semi-naive seed for the single-premise rules: statements new
+    // this round plus anything derived earlier in this pass — a
+    // single-premise rule applied to base statements already fired in
+    // the round that introduced them
+    def newer: DataFrame = (newIn +: deltas).reduce(_.unionByName(_))
+
+    // rdfs7: property inheritance via broadcast (sub, sup) pairs
+    if (ont.subPropOf.nonEmpty) {
+      val c = newer
+      emit(c.join(broadcast(ont.subPropOf.toDF("sub", "sup")),
+          c("p")("lex") === col("sub"))
+        .select(col("s"), Rdf.iri(col("sup")).as("p"), col("o")))
+    }
+    // prp-trp: distributed semi-naive closure per transitive property
     ont.transitive.foreach { tp =>
-      val edges = withPred(tp).filter(col("o")("kind") === IRI)
+      val c = cur
+      val edges = c.filter(c("p")("lex") === tp && c("o")("kind") === IRI)
         .select(col("s").as("a"), col("o").as("b"))
-      out :+= Fixpoint.closureTerms(edges)
-        .select(col("a").as("s"), Rdf.iri(lit(tp)).as("p"), col("b").as("o"))
+      emit(Fixpoint.closureTerms(edges)
+        .select(col("a").as("s"), Rdf.iri(lit(tp)).as("p"), col("b").as("o")))
     }
     // prp-symp / prp-inv
-    ont.symmetric.foreach { p =>
-      out :+= withPred(p).select(col("o").as("s"), col("p"), col("s").as("o"))
+    if (ont.symmetric.nonEmpty) {
+      val c = newer
+      emit(c.filter(c("p")("lex").isin(ont.symmetric: _*))
+        .select(col("o").as("s"), col("p"), col("s").as("o")))
     }
-    ont.inverseOf.foreach { case (p, q) =>
-      out :+= withPred(p).select(col("o").as("s"), Rdf.iri(lit(q)).as("p"), col("s").as("o"))
-      out :+= withPred(q).select(col("o").as("s"), Rdf.iri(lit(p)).as("p"), col("s").as("o"))
+    if (ont.inverseOf.nonEmpty) {
+      val c = newer
+      val inv = ont.inverseOf ++ ont.inverseOf.map(_.swap)
+      emit(c.join(broadcast(inv.toDF("from_p", "to_p")),
+          c("p")("lex") === col("from_p"))
+        .select(col("o").as("s"), Rdf.iri(col("to_p")).as("p"), col("s").as("o")))
     }
-    // rdfs2 / rdfs3
-    ont.domain.foreach { case (p, c) =>
-      out :+= withPred(p).select(col("s"), Rdf.iri(lit(RdfType)).as("p"),
-        Rdf.iri(lit(c)).as("o"))
+    // rdfs2 / rdfs3: domain/range typing via broadcast pairs
+    if (ont.domain.nonEmpty) {
+      val c = newer
+      emit(c.join(broadcast(ont.domain.toDF("dp", "dc")), c("p")("lex") === col("dp"))
+        .select(col("s"), Rdf.iri(lit(RdfType)).as("p"), Rdf.iri(col("dc")).as("o")))
     }
-    ont.range.foreach { case (p, c) =>
-      out :+= withPred(p).filter(col("o")("kind") === IRI)
-        .select(col("o").as("s"), Rdf.iri(lit(RdfType)).as("p"), Rdf.iri(lit(c)).as("o"))
+    if (ont.range.nonEmpty) {
+      val c = newer
+      emit(c.join(broadcast(ont.range.toDF("rp", "rc")),
+          c("p")("lex") === col("rp") && c("o")("kind") === IRI)
+        .select(col("o").as("s"), Rdf.iri(lit(RdfType)).as("p"), Rdf.iri(col("rc")).as("o")))
     }
-    // rdfs9 (subClassOf already transitively closed driver-side)
-    val types = withPred(RdfType)
-    ont.subClassOf.foreach { case (c, d) =>
-      out :+= types.filter(col("o")("lex") === c)
-        .select(col("s"), col("p"), Rdf.iri(lit(d)).as("o"))
+    // rdfs9: type propagation via the (driver-closed) subClassOf pairs
+    if (ont.subClassOf.nonEmpty) {
+      val c = newer
+      emit(c.join(broadcast(ont.subClassOf.toDF("sc", "sd")),
+          c("p")("lex") === RdfType && c("o")("lex") === col("sc"))
+        .select(col("s"), col("p"), Rdf.iri(col("sd")).as("o")))
     }
     // eq-*: sameAs classes (collected; tiny by construction)
-    val sameAsPairs = withPred("owl:sameAs")
+    val curSame = cur
+    val sameAsPairs = curSame.filter(curSame("p")("lex") === "owl:sameAs")
       .select(col("s")("lex"), col("o")("lex")).collect()
       .map(r => (r.getString(0), r.getString(1)))
     if (sameAsPairs.nonEmpty) {
@@ -145,21 +182,19 @@ object OwlHorst {
         for (a <- ms; b <- ms if a != b) yield (a, b)
       }.toSeq
       if (crossPairs.nonEmpty) {
-        out :+= crossPairs.toDF("a", "b")
+        emit(crossPairs.toDF("a", "b")
           .select(Rdf.iri(col("a")).as("s"), Rdf.iri(lit("owl:sameAs")).as("p"),
-            Rdf.iri(col("b")).as("o"))
+            Rdf.iri(col("b")).as("o")))
         val equivDf = broadcast(crossPairs.toDF("from", "to"))
-        out :+= all.join(equivDf, col("s")("lex") === col("from"))
-          .select(Rdf.iri(col("to")).as("s"), col("p"), col("o"))
-        out :+= all.join(equivDf, col("o")("lex") === col("from"))
-          .select(col("s"), col("p"), Rdf.iri(col("to")).as("o"))
+        val c = cur // expansion sees everything derived earlier this pass
+        emit(c.join(equivDf, c("s")("lex") === col("from"))
+          .select(Rdf.iri(col("to")).as("s"), col("p"), col("o")))
+        val c2 = cur
+        emit(c2.join(equivDf, c2("o")("lex") === col("from"))
+          .select(col("s"), col("p"), Rdf.iri(col("to")).as("o")))
       }
     }
-    // Re-alias each branch to fresh attribute ids: many branches share
-    // the lineage of `all`, and unioning children with identical attr
-    // ids trips Catalyst's Union constraint rewriting.
-    val freshened = out.map(_.select(col("s").as("s"), col("p").as("p"), col("o").as("o")))
-    freshened.reduceOption(_.unionByName(_)).getOrElse(all.limit(0))
+    deltas.reduceOption(_.unionByName(_)).getOrElse(all.limit(0))
   }
 
   /** Materialize entailments: returns explicit ∪ inferred quads (the
@@ -167,16 +202,25 @@ object OwlHorst {
     * SURVEY §1.5).
     */
   def materialize(spark: SparkSession, quads: DataFrame): DataFrame = {
+    // The deep Union-of-self-joined-lineage plans built below trip
+    // Catalyst's Union constraint rewriting on struct-typed columns
+    // (NoSuchElementException in rewriteConstraints). Constraint
+    // propagation only infers redundant filters — safe to disable.
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     val ont = ontology(quads)
     val explicit = quads.select(col("s"), col("p"), col("o"))
     var all = explicit.distinct().localCheckpoint()
+    var delta = all // round 1 seeds the semi-naive rules with everything
     var rounds = 0
     var grew = true
     while (grew && rounds < 8) {
       rounds += 1
-      val fresh = onePass(spark, ont, all).distinct().except(all).localCheckpoint()
+      val fresh = onePass(spark, ont, all, delta).distinct().except(all).localCheckpoint()
       if (fresh.isEmpty) grew = false
-      else all = all.unionByName(fresh).localCheckpoint()
+      else {
+        all = all.unionByName(fresh).localCheckpoint()
+        delta = fresh
+      }
     }
     val inferredOnly = all.except(explicit.distinct())
     quads.unionByName(
