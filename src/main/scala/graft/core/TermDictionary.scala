@@ -1,0 +1,66 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dictionary encoding of RDF terms into stable 64-bit ids — the
+  * rebuild of GraphDB's entity pool (`owlim:entity-index-size` /
+  * `owlim:entity-id-size "32"`, `repo-config.ttl:22-23`), widened to
+  * 64-bit as SURVEY §1.5/§7 "hard parts" (5) prescribes for 100 TB.
+  *
+  * Ids are `xxhash64(lex, kind)` — content-derived, so:
+  *  - no global sort or coordination to assign ids (appends at 100 TB
+  *    never rendezvous with an id allocator — the reference's
+  *    hash-table entity pool has the same property);
+  *  - the same term always encodes to the same id across segments,
+  *    loads, and sessions — joins on ids are consistent by
+  *    construction;
+  *  - collision risk n²/2⁶⁴ is checked explicitly by [[build]]
+  *    (count(distinct id) must equal count(distinct term)); on the
+  *    astronomically unlikely hit, fail loudly rather than corrupt.
+  *
+  * Joins over encoded quads shuffle 8-byte longs instead of lexical
+  * strings — the dominant win at scale; decode happens once at the
+  * result edge via a dictionary join (predicate/graph dictionaries are
+  * small → broadcast).
+  */
+object TermDictionary {
+
+  def termId(t: Column): Column = xxhash64(t("lex"), t("kind"))
+
+  /** Distinct terms of the dataset with their ids: `(id, term)`. */
+  def build(quads: DataFrame): DataFrame = {
+    val terms = quads.select(col("s").as("term"))
+      .unionByName(quads.select(col("p").as("term")))
+      .unionByName(quads.select(col("o").as("term")))
+      .distinct()
+    val dict = terms.select(termId(col("term")).as("id"), col("term"))
+    val n = dict.count()
+    val nIds = dict.select("id").distinct().count()
+    require(n == nIds,
+      s"term-id collision: $n distinct terms, $nIds distinct ids — widen the id")
+    dict
+  }
+
+  /** Encode quads to `(g, s_id, p_id, o_id)` — ids are pure column
+    * expressions (no dictionary join needed on the encode side).
+    */
+  def encode(quads: DataFrame): DataFrame =
+    quads.select(col("g"),
+      termId(col("s")).as("s_id"), termId(col("p")).as("p_id"),
+      termId(col("o")).as("o_id"))
+
+  /** Decode id-quads back to term structs via dictionary joins (the
+    * result-edge operation; dictionaries for p/g positions are small
+    * and broadcast).
+    */
+  def decode(encoded: DataFrame, dict: DataFrame): DataFrame = {
+    def join(d: DataFrame, idCol: String, out: String): DataFrame = {
+      val dd = dict.select(col("id").as(s"__${out}_id"), col("term").as(out))
+      d.join(dd, col(idCol) === col(s"__${out}_id"), "left")
+        .drop(idCol, s"__${out}_id")
+    }
+    join(join(join(encoded, "s_id", "s"), "p_id", "p"), "o_id", "o")
+      .select(col("g"), col("s"), col("p"), col("o"))
+  }
+}

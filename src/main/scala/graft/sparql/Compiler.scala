@@ -448,9 +448,29 @@ final class Compiler(spark: SparkSession, quads: DataFrame) {
         case "round" => termNum(round(a(0)("num"), 0))
         case "ceil" => termNum(ceil(a(0)("num")).cast("double"))
         case "floor" => termNum(floor(a(0)("num")).cast("double"))
+        // date/time accessors work on the canonical ISO lexical forms
+        // (xsd:date "YYYY-MM-DD", xsd:dateTime "YYYY-MM-DDTHH:MM:SS")
         case "year" => termNum(substring(a(0)("lex"), 1, 4).cast("double"))
         case "month" => termNum(substring(a(0)("lex"), 6, 2).cast("double"))
         case "day" => termNum(substring(a(0)("lex"), 9, 2).cast("double"))
+        case "hours" => termNum(substring(a(0)("lex"), 12, 2).cast("double"))
+        case "minutes" => termNum(substring(a(0)("lex"), 15, 2).cast("double"))
+        case "seconds" => termNum(substring(a(0)("lex"), 18, 2).cast("double"))
+        case "tz" => termStr(lit("")) // stored literals carry no offset
+        case "now" =>
+          Rdf.term(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"),
+            lit(LIT), lit("xsd:dateTime"), lit(""), lit(null).cast("double"))
+        case "rand" => termNum(rand())
+        case "uuid" => Rdf.iri(concat(lit("urn:uuid:"), uuid()))
+        case "struuid" => termStr(uuid())
+        case "bnode" =>
+          if (args.isEmpty) Rdf.bnode(uuid()) else Rdf.bnode(a(0)("lex"))
+        case "encode_for_uri" => termStr(url_encode(a(0)("lex")))
+        case "strlang" => Rdf.langLit(a(0)("lex"), a(1)("lex"))
+        case "strdt" =>
+          Rdf.term(a(0)("lex"), lit(LIT), a(1)("lex"), lit(""),
+            when(Rdf.numericDt(a(1)("lex")), a(0)("lex").cast("double"))
+              .otherwise(lit(null).cast("double")))
         case "md5" => termStr(md5(a(0)("lex").cast("binary")))
         case "sha1" => termStr(sha1(a(0)("lex").cast("binary")))
         case "sha256" => termStr(sha2(a(0)("lex").cast("binary"), 256))
