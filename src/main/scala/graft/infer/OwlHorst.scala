@@ -201,16 +201,47 @@ object OwlHorst {
     * inferred ones in graph `g:inferred` — the `inferred` marker of
     * SURVEY §1.5).
     */
-  def materialize(spark: SparkSession, quads: DataFrame): DataFrame = {
+  def materialize(spark: SparkSession, quads: DataFrame): DataFrame =
+    run(spark, quads, quads)
+
+  /** Incremental maintenance for streaming inserts (SURVEY §2.C hard
+    * part 1, §3.2): `base` is an already-materialized dataset, `delta`
+    * a batch of new quads. Single-premise rules fire only against the
+    * delta; the transitive closure and sameAs expansion see the full
+    * set (they are the genuinely non-local rules). If the delta itself
+    * carries ontology axioms the semi-naive shortcut is unsound
+    * (existing base statements become new premises), so fall back to a
+    * full re-materialization — the reference pins its ruleset at
+    * repository-init time (`repo-config.ttl:26`), making that the
+    * rare path.
+    */
+  def incremental(spark: SparkSession, base: DataFrame, delta: DataFrame): DataFrame = {
+    val schemaPreds = Seq("rdfs:subClassOf", "rdfs:subPropertyOf", "rdfs:domain",
+      "rdfs:range", "owl:inverseOf")
+    val deltaHasAxioms = !delta.filter(
+      col("p")("lex").isin(schemaPreds: _*) ||
+        (col("p")("lex") === RdfType &&
+          col("o")("lex").isin("owl:TransitiveProperty", "owl:SymmetricProperty"))
+    ).isEmpty
+    if (deltaHasAxioms) materialize(spark, base.unionByName(delta))
+    else run(spark, base.unionByName(delta), delta)
+  }
+
+  private def run(spark: SparkSession, quads: DataFrame, seed: DataFrame): DataFrame = {
     // The deep Union-of-self-joined-lineage plans built below trip
     // Catalyst's Union constraint rewriting on struct-typed columns
     // (NoSuchElementException in rewriteConstraints). Constraint
     // propagation only infers redundant filters — safe to disable.
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     val ont = ontology(quads)
-    val explicit = quads.select(col("s"), col("p"), col("o"))
-    var all = explicit.distinct().localCheckpoint()
-    var delta = all // round 1 seeds the semi-naive rules with everything
+    // prior g:inferred rows participate in the closure but the output
+    // inferred graph is rebuilt against the EXPLICIT statements only —
+    // a triple that has become explicitly asserted since it was first
+    // inferred must not appear twice in the default-graph union
+    val explicitRows = quads.filter(col("g") =!= G)
+    val explicit = explicitRows.select(col("s"), col("p"), col("o"))
+    var all = quads.select(col("s"), col("p"), col("o")).distinct().localCheckpoint()
+    var delta = seed.select(col("s"), col("p"), col("o")).distinct().localCheckpoint()
     var rounds = 0
     var grew = true
     while (grew && rounds < 8) {
@@ -223,7 +254,7 @@ object OwlHorst {
       }
     }
     val inferredOnly = all.except(explicit.distinct())
-    quads.unionByName(
+    explicitRows.unionByName(
       inferredOnly.select(lit(G).as("g"), col("s"), col("p"), col("o")))
   }
 }

@@ -58,6 +58,12 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
   private val insertCount = new AtomicInteger(0)
   private val selectCount = new AtomicInteger(0)
 
+  /** streamed updates run async on a 2-thread pool, the reference's
+    * concurrency level (`GraphDBSystemAdapter.java:81,198`); commits
+    * serialize inside [[QuadStore]], readers stay on snapshots
+    */
+  private val updateExecutor = java.util.concurrent.Executors.newFixedThreadPool(2)
+
   // ---- framing (HOBBIT RabbitMQUtils shape, AbstractSystemAdapter1.java:139-149,195-206)
 
   def readString(buf: ByteBuffer): String = {
@@ -90,11 +96,25 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
       receivedMessages.incrementAndGet()
       checkBarrier()
     } else {
-      // streaming phase: the message IS a SPARQL update (ref `:188-203`)
+      // streaming phase: the message IS a SPARQL update, executed
+      // asynchronously (ref `:188-203`, fire-and-forget)
       val update = new String(msg, UTF_8)
-      store.insertData(update)
-      insertCount.incrementAndGet()
+      updateExecutor.submit(new Runnable {
+        def run(): Unit = {
+          store.insertData(update)
+          insertCount.incrementAndGet()
+        }
+      })
     }
+  }
+
+  /** Graceful drain (A18): stop accepting updates, wait for in-flight
+    * ones — the reference's bounded `shutdownAndAwaitTermination`
+    * (`GraphDBSystemAdapter.java:338-362`, 2 h timeout at `:344`).
+    */
+  def drain(timeoutSeconds: Long = 7200): Boolean = {
+    updateExecutor.shutdown()
+    updateExecutor.awaitTermination(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
   }
 
   private def checkBarrier(): Unit =

@@ -114,9 +114,11 @@ class IngestSpec extends GraftSuite {
     assert(ad.dataLoadingFinished)
     assert(store.snapshot().filter(col("g") === "http://graph.version.1").count() == 1)
 
-    // streaming insert via the data channel (post-flip)
+    // streaming insert via the data channel (post-flip, async) —
+    // drain waits for in-flight updates (A18)
     ad.receiveData("""INSERT { <s:5> <p:x> "e" . } WITH <g:stream>"""
       .getBytes(UTF_8))
+    assert(ad.drain(timeoutSeconds = 120), "drain must complete")
     assert(store.snapshot().filter(col("g") === "g:stream").count() == 1)
   }
 

@@ -52,6 +52,30 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("foreachBatch micro-batch ingestion into the quad store (SURVEY §3.2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new graft.ingest.QuadStore(spark,
+      java.nio.file.Files.createTempDirectory("qs_stream").toString)
+    val mem = MemoryStream[String]
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+        // protocol updates are human-scale strings; parse+append per batch
+        batch.collect().foreach(store.insertData)
+      }
+      .start()
+    try {
+      mem.addData("""INSERT DATA { GRAPH <g:a> { <s:1> <p:x> "v1" . } }""")
+      q.processAllAvailable()
+      val snap = store.snapshot()
+      assert(snap.count() == 1)
+      mem.addData("""INSERT DATA { GRAPH <g:a> { <s:2> <p:x> "v2" . <s:3> <p:x> "v3" . } }""")
+      q.processAllAvailable()
+      assert(snap.count() == 1, "earlier snapshot stays pinned")
+      assert(store.snapshot().count() == 3)
+    } finally q.stop()
+  }
+
   test("session_window groups events by inactivity gap") {
     val df = StreamOps.sessionWindows(graft.core.Tables(spark, sf, "events"))
     val total = df.agg(sum("n_events")).head.getLong(0)
