@@ -168,6 +168,19 @@ object SparqlQueries {
           JOIN quads st ON st.p=':orderstatus' AND st.o='P' AND st.s=ck.s
           WHERE ck.p=':custkey')"""))),
 
+    Q("r_path_negset", sq("""
+      SELECT ?s ?o WHERE { GRAPH g:nation { ?s !(:name|a) ?o } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT s, o FROM quads
+      WHERE g='g:nation' AND p NOT IN (':name', 'rdf:type')"""))),
+
+    Q("r_path_inverse", sq("""
+      SELECT ?r ?n WHERE { ?r ^:region ?n . ?r a :Region }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT rg.o AS r, rg.s AS n FROM quads rg
+      JOIN quads ty ON ty.p='rdf:type' AND ty.o=':Region' AND ty.s=rg.o
+      WHERE rg.p=':region'"""))),
+
     // ---- inference (OWL-Horst materialization, SURVEY §2.C) ----
 
     Q("r_infer_types", sqInf("""

@@ -89,6 +89,31 @@ final class QuadStore(spark: SparkSession, dir: String) {
   def append(quads: DataFrame, label: String): Unit =
     commitSegment(quads, s"$label-${System.nanoTime()}")
 
+  /** Compact all committed segments into one segment partitioned by
+    * graph and sorted by `(p.lex, s.lex)` within files — the
+    * parquet-layout analogue of the reference's context index +
+    * POS/PSO statement indexes (`repo-config.ttl:29,31`):
+    * `GRAPH <g>` pins partitions (directory pruning) and
+    * constant-predicate patterns prune row groups via min/max on the
+    * sorted `p.lex`. Old segments stay on disk for pinned snapshots
+    * (immutability is what makes readers lock-free); the manifest swap
+    * makes the compacted layout the new current version atomically.
+    */
+  def compact(): Unit = synchronized {
+    val segs = committedSegments()
+    if (segs.isEmpty) return
+    val seg = s"seg-compact-${System.nanoTime()}"
+    snapshot()
+      .repartition(col("g"))
+      .sortWithinPartitions(col("p")("lex"), col("s")("lex"))
+      .write.partitionBy("g").mode("overwrite")
+      .parquet(root.resolve(seg).toString)
+    val tmp = root.resolve("_manifest.tmp")
+    Files.writeString(tmp, seg)
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   // ---- SPARQL Update surface -----------------------------------------
 
   /** `INSERT … WITH <g> …` → `INSERT DATA { GRAPH <g> { … } }`:

@@ -122,6 +122,22 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().filter(col("g") === "g:stream").count() == 1)
   }
 
+  test("compaction: partitioned layout, same data, graph pruning in plan") {
+    val d = Files.createTempDirectory("qsc")
+    val store = new QuadStore(spark, d.toString)
+    store.insertData("""INSERT DATA { GRAPH <ga> { <s:1> <p:x> "a" . } }""")
+    store.insertData("""INSERT DATA { GRAPH <gb> { <s:2> <p:x> "b" . <s:3> <p:y> "c" . } }""")
+    val before = store.snapshot().select(col("g"), col("s")("lex")).collect().toSet
+    store.compact()
+    val after = store.snapshot()
+    assert(after.select(col("g"), col("s")("lex")).collect().toSet == before)
+    // GRAPH-constant scan must prune partitions (directory-level)
+    val plan = after.filter(col("g") === "gb").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "\\(g#\\d+ = gb\\)".r.findFirstIn(plan).isDefined,
+      s"expected partition pruning on g, got:\n$plan")
+  }
+
   test("task channel: SELECT returns SPARQL-JSON, INSERT DATA acks empty") {
     val qs = Files.createTempDirectory("qs4")
     val store = new QuadStore(spark, qs.toString)
