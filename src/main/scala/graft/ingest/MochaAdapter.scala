@@ -101,7 +101,7 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
       val update = new String(msg, UTF_8)
       updateExecutor.submit(new Runnable {
         def run(): Unit = {
-          store.insertData(update)
+          store.executeUpdate(update)
           insertCount.incrementAndGet()
         }
       })
@@ -149,8 +149,12 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
   /** Execute a task; returns the framed result for eval storage. */
   def receiveTask(taskId: String, data: Array[Byte]): Array[Byte] = {
     val queryString = new String(data, UTF_8)
-    if (queryString.contains("INSERT DATA")) { // ref branch keys on this literal, `:223`
-      store.insertData(queryString)
+    val upper = queryString.toUpperCase
+    // ref branches on the literal "INSERT DATA" (`:223`); extended here
+    // to the full ground-update surface (DELETE DATA / CLEAR / DROP)
+    if (upper.contains("INSERT DATA") || upper.contains("DELETE DATA") ||
+        upper.matches("(?s)\\s*(CLEAR|DROP)\\s.*")) {
+      store.executeUpdate(queryString)
       insertCount.incrementAndGet()
       frame(taskId, Array.emptyByteArray) // empty-result ACK (ref `:231`)
     } else {

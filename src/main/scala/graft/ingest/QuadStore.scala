@@ -50,11 +50,36 @@ final class QuadStore(spark: SparkSession, dir: String) {
 
   /** Pin a snapshot: the segment list is captured NOW; later commits
     * don't change this DataFrame (segments are immutable).
+    *
+    * Deletes are TOMBSTONE segments (`seg-del-*`): the snapshot is
+    * positive segments ANTI-JOINED against tombstones on the full quad
+    * identity — the append-only design SURVEY §2.B's update table
+    * prescribes. Compaction folds tombstones away physically.
     */
   def snapshot(): DataFrame = {
-    val segs = committedSegments().map(s => root.resolve(s).toString)
-    if (segs.isEmpty) emptyQuads()
-    else spark.read.parquet(segs: _*)
+    val segs = committedSegments()
+    val (del, pos) = segs.zipWithIndex.partition(_._1.startsWith("seg-del-"))
+    if (pos.isEmpty) return emptyQuads()
+    def readSeq(s: Seq[(String, Int)]): DataFrame =
+      s.map { case (seg, i) =>
+        spark.read.parquet(root.resolve(seg).toString).withColumn("__seq", lit(i))
+      }.reduce(_.unionByName(_))
+    val base = readSeq(pos)
+    if (del.isEmpty) base.drop("__seq")
+    else {
+      // a tombstone hides a quad only in EARLIER segments: a later
+      // re-insert resurrects it (manifest order = commit order)
+      val idCols = Seq(col("g"), col("s")("lex"), col("s")("kind"), col("p")("lex"),
+        col("o")("lex"), col("o")("kind"), col("o")("dt"), col("o")("lang"))
+      val tomb = readSeq(del)
+        .groupBy(idCols.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+        .agg(max(col("__seq")).as("__del_seq"))
+      val cond = idCols.zipWithIndex
+        .map { case (c, i) => c === col(s"__t$i") }.reduce(_ && _)
+      base.join(broadcast(tomb), cond, "left")
+        .filter(col("__del_seq").isNull || col("__seq") > col("__del_seq"))
+        .select(col("g"), col("s"), col("p"), col("o"))
+    }
   }
 
   private def emptyQuads(): DataFrame = {
@@ -138,22 +163,50 @@ final class QuadStore(spark: SparkSession, dir: String) {
     * is the entire point of the A10 rewrite.
     */
   def insertData(update: String): Unit = {
-    import spark.implicits._
-    val u = rewriteInsertWith(update)
-    val DataRe = """(?s)\s*INSERT\s+DATA\s*\{(.*)\}\s*""".r
+    val (g, stmts) = parseGroundUpdate(rewriteInsertWith(update), "INSERT")
+    if (stmts.nonEmpty) append(groundDf(g, stmts), "ins")
+  }
+
+  /** `DELETE DATA { [GRAPH <g>] { triples } }`: tombstone commit. */
+  def deleteData(update: String): Unit = {
+    val (g, stmts) = parseGroundUpdate(update, "DELETE")
+    if (stmts.nonEmpty) commitSegment(groundDf(g, stmts), s"del-${System.nanoTime()}")
+  }
+
+  /** `CLEAR GRAPH <g>` / `DROP GRAPH <g>`: tombstone the graph's
+    * current contents (append-only; physical removal happens at
+    * [[compact]]).
+    */
+  def clearGraph(g: String): Unit = {
+    val rows = snapshot().filter(col("g") === g)
+    if (!rows.isEmpty) commitSegment(rows, s"del-${System.nanoTime()}")
+  }
+
+  /** Dispatch any supported SPARQL Update string. */
+  def executeUpdate(update: String): Unit = {
+    val ClearRe = """(?is)\s*(?:CLEAR|DROP)\s+(?:SILENT\s+)?GRAPH\s*<([^>]*)>\s*""".r
+    update match {
+      case ClearRe(g) => clearGraph(g)
+      case u if u.toUpperCase.contains("DELETE DATA") => deleteData(u)
+      case u => insertData(u)
+    }
+  }
+
+  private def parseGroundUpdate(u: String, verb: String): (String, Seq[Turtle.Stmt]) = {
+    val DataRe = (s"""(?s)\\s*$verb\\s+DATA\\s*\\{(.*)\\}\\s*""").r
     val body = u match {
       case DataRe(b) => b.trim
       case _ => throw new IllegalArgumentException(s"unsupported update: ${u.take(80)}")
     }
     val GraphRe = """(?s)\s*GRAPH\s*<([^>]*)>\s*\{(.*)\}\s*""".r
-    val (g, triples) = body match {
-      case GraphRe(gi, b) => (gi, b)
-      case b => ("urn:default", b)
+    body match {
+      case GraphRe(gi, b) => (gi, Turtle.parseDoc(b))
+      case b => ("urn:default", Turtle.parseDoc(b))
     }
-    val stmts = Turtle.parseDoc(triples)
-    if (stmts.nonEmpty) {
-      val df = stmts.toDF("s", "p", "o").select(lit(g).as("g"), col("s"), col("p"), col("o"))
-      append(df, "ins")
-    }
+  }
+
+  private def groundDf(g: String, stmts: Seq[Turtle.Stmt]): DataFrame = {
+    import spark.implicits._
+    stmts.toDF("s", "p", "o").select(lit(g).as("g"), col("s"), col("p"), col("o"))
   }
 }

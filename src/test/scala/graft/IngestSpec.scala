@@ -122,6 +122,32 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().filter(col("g") === "g:stream").count() == 1)
   }
 
+  test("DELETE DATA tombstones, CLEAR GRAPH, compaction folds them away") {
+    val d = Files.createTempDirectory("qsd")
+    val store = new QuadStore(spark, d.toString)
+    store.insertData("""INSERT DATA { GRAPH <ga> { <s:1> <p:x> "a" . <s:2> <p:x> "b" . } }""")
+    store.insertData("""INSERT DATA { GRAPH <gb> { <s:3> <p:x> "c" . } }""")
+
+    val preDelete = store.snapshot() // pinned before the delete
+    store.executeUpdate("""DELETE DATA { GRAPH <ga> { <s:1> <p:x> "a" . } }""")
+    assert(preDelete.count() == 3, "pinned snapshot unaffected by delete")
+    assert(store.snapshot().count() == 2)
+    assert(store.snapshot().filter(col("s")("lex") === "s:1").isEmpty)
+
+    // re-inserting a deleted quad must resurrect it (tombstones are
+    // segment-scoped, not forever)
+    store.insertData("""INSERT DATA { GRAPH <ga> { <s:1> <p:x> "a" . } }""")
+    assert(store.snapshot().count() == 3)
+    // delete it again for the rest of the test
+    store.executeUpdate("""DELETE DATA { GRAPH <ga> { <s:1> <p:x> "a" . } }""")
+
+    store.executeUpdate("CLEAR GRAPH <gb>")
+    assert(store.snapshot().count() == 1)
+    store.compact()
+    assert(store.snapshot().count() == 1)
+    assert(store.snapshot().select(col("s")("lex")).head.getString(0) == "s:2")
+  }
+
   test("compaction: partitioned layout, same data, graph pruning in plan") {
     val d = Files.createTempDirectory("qsc")
     val store = new QuadStore(spark, d.toString)
