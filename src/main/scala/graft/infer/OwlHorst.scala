@@ -92,7 +92,8 @@ object OwlHorst {
     * expensive whole-dataset `except` runs twice, not five times.
     */
   private def onePass(spark: SparkSession, ont: Ontology, all: DataFrame,
-      newIn: DataFrame): DataFrame = {
+      newIn: DataFrame,
+      prevClosures: scala.collection.mutable.Map[String, DataFrame]): DataFrame = {
     import spark.implicits._
     var deltas = Seq.empty[DataFrame]
     // One branch per rule FAMILY (ontology pairs ride in as broadcast
@@ -119,13 +120,27 @@ object OwlHorst {
           c("p")("lex") === col("sub"))
         .select(col("s"), Rdf.iri(col("sup")).as("p"), col("o")))
     }
-    // prp-trp: distributed semi-naive closure per transitive property
+    // prp-trp: distributed semi-naive closure per transitive property.
+    // If every tp edge that is new this round is already in the
+    // previous round's closure output, the edge set is closed and the
+    // (expensive) fixpoint is skipped — one subset check instead.
     ont.transitive.foreach { tp =>
       val c = cur
       val edges = c.filter(c("p")("lex") === tp && c("o")("kind") === IRI)
         .select(col("s").as("a"), col("o").as("b"))
-      emit(Fixpoint.closureTerms(edges)
-        .select(col("a").as("s"), Rdf.iri(lit(tp)).as("p"), col("b").as("o")))
+      val alreadyClosed = prevClosures.get(tp) match {
+        case Some(prev) =>
+          val n = newer
+          n.filter(n("p")("lex") === tp && n("o")("kind") === IRI)
+            .select(col("s").as("a"), col("o").as("b"))
+            .except(prev).isEmpty
+        case None => false
+      }
+      if (!alreadyClosed) {
+        val closed = Fixpoint.closureTerms(edges)
+        prevClosures(tp) = closed
+        emit(closed.select(col("a").as("s"), Rdf.iri(lit(tp)).as("p"), col("b").as("o")))
+      }
     }
     // prp-symp / prp-inv
     if (ont.symmetric.nonEmpty) {
@@ -241,20 +256,37 @@ object OwlHorst {
     val explicitRows = quads.filter(col("g") =!= G)
     val explicit = explicitRows.select(col("s"), col("p"), col("o"))
     var all = quads.select(col("s"), col("p"), col("o")).distinct().localCheckpoint()
-    var delta = seed.select(col("s"), col("p"), col("o")).distinct().localCheckpoint()
+    var delta =
+      if (seed eq quads) all // full materialization: seed IS the dataset
+      else seed.select(col("s"), col("p"), col("o")).distinct().localCheckpoint()
+    val prevClosures = scala.collection.mutable.Map.empty[String, DataFrame]
+    var freshes = Seq.empty[DataFrame]
     var rounds = 0
     var grew = true
     while (grew && rounds < 8) {
       rounds += 1
-      val fresh = onePass(spark, ont, all, delta).distinct().except(all).localCheckpoint()
+      val fresh = onePass(spark, ont, all, delta, prevClosures)
+        .distinct().except(all).localCheckpoint()
       if (fresh.isEmpty) grew = false
       else {
         all = all.unionByName(fresh).localCheckpoint()
         delta = fresh
+        freshes :+= fresh
       }
     }
-    val inferredOnly = all.except(explicit.distinct())
-    explicitRows.unionByName(
-      inferredOnly.select(lit(G).as("g"), col("s"), col("p"), col("o")))
+    // the inferred set is exactly the union of the per-round deltas
+    // (each is `except`-disjoint from everything before it) plus any
+    // PRIOR inferred rows still absent from the explicit statements —
+    // no whole-dataset anti-join needed at the end
+    val prior = quads.filter(col("g") === G).select(col("s"), col("p"), col("o"))
+    val priorInferred =
+      if (prior.isEmpty) Seq.empty[DataFrame]
+      else Seq(prior.distinct().except(explicit.distinct()))
+    val inferred = (priorInferred ++ freshes).reduceOption(_.unionByName(_))
+    inferred match {
+      case None => explicitRows
+      case Some(inf) => explicitRows.unionByName(
+        inf.select(lit(G).as("g"), col("s"), col("p"), col("o")))
+    }
   }
 }
