@@ -43,12 +43,23 @@ object SparqlQueries {
       m
     })
 
+  // per-predicate statement counts — collected once per dataset and
+  // fed to the compiler's join-order estimator (the statistics role of
+  // `repo-config.ttl:46`)
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+
+  private def stats(s: SparkSession, dir: String): Map[String, Long] =
+    statsCache.computeIfAbsent(s.hashCode() + ":" + dir, _ =>
+      quads(s, dir).groupBy(org.apache.spark.sql.functions.col("p")("lex"))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+
   private def sq(text: String): (SparkSession, String) => DataFrame =
-    (s, dir) => Sparql.query(s, quads(s, dir), text)
+    (s, dir) => Sparql.query(s, quads(s, dir), text, stats(s, dir))
 
   /** query over the OWL-Horst-materialized dataset (explicit ∪ inferred) */
   private def sqInf(text: String): (SparkSession, String) => DataFrame =
-    (s, dir) => Sparql.query(s, materialized(s, dir), text)
+    (s, dir) => Sparql.query(s, materialized(s, dir), text, stats(s, dir))
 
   val all: Seq[Q] = Seq(
 
@@ -180,6 +191,23 @@ object SparqlQueries {
       SELECT rg.o AS r, rg.s AS n FROM quads rg
       JOIN quads ty ON ty.p='rdf:type' AND ty.o=':Region' AND ty.s=rg.o
       WHERE rg.p=':region'"""))),
+
+    Q("r_construct", sq("""
+      CONSTRUCT { ?c :inRegion ?r . ?r :hasMember ?c . }
+      WHERE { ?c a :Customer . ?c :nation/:region ?r . }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT * FROM (
+        SELECT ty.s AS s, ':inRegion' AS p, rg.o AS o
+        FROM quads ty
+        JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
+        JOIN quads rg ON rg.p=':region' AND rg.s=nt.o
+        WHERE ty.p='rdf:type' AND ty.o=':Customer'
+        UNION ALL
+        SELECT rg.o, ':hasMember', ty.s
+        FROM quads ty
+        JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
+        JOIN quads rg ON rg.p=':region' AND rg.s=nt.o
+        WHERE ty.p='rdf:type' AND ty.o=':Customer')"""))),
 
     // ---- inference (OWL-Horst materialization, SURVEY §2.C) ----
 

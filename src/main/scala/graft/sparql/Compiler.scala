@@ -26,7 +26,8 @@ import Algebra._
   * `repo-config.ttl:46`). After ordering, plans are left fully
   * declarative so AQE can still pick broadcast sides at runtime.
   */
-final class Compiler(spark: SparkSession, quads: DataFrame) {
+final class Compiler(spark: SparkSession, quads: DataFrame,
+    stats: Map[String, Long] = Map.empty) {
   import Rdf.{IRI, LIT, BNODE}
 
   // SPARQL semantics are "error → unbound/false", i.e. legacy NULL-ing
@@ -60,6 +61,28 @@ final class Compiler(spark: SparkSession, quads: DataFrame) {
     */
   def toStrings(df: DataFrame): DataFrame =
     df.select(df.columns.map(c => col(c)("lex").as(c)).toIndexedSeq: _*)
+
+  /** CONSTRUCT — instantiate the template per solution; output is an
+    * RDF graph, i.e. DISTINCT (s, p, o) lexical triples. Template
+    * rows with an unbound variable are dropped (SPARQL §16.2).
+    */
+  def construct(solutions: DataFrame, template: Seq[TriplePat]): DataFrame = {
+    def nodeCol(n: Node, df: DataFrame): Column = n match {
+      case V(x) => if (df.columns.contains(x)) df(x)("lex") else lit(null).cast("string")
+      case t: T => lit(t.lex)
+    }
+    template.map { tp =>
+      val p = tp.p match {
+        case PLink(iri) => lit(iri)
+        case PVar(v) => solutions(v)("lex")
+        case other => throw new IllegalArgumentException(
+          s"CONSTRUCT template predicate must be an IRI or var, got $other")
+      }
+      solutions.select(nodeCol(tp.s, solutions).as("s"), p.as("p"),
+        nodeCol(tp.o, solutions).as("o"))
+        .filter(col("s").isNotNull && col("o").isNotNull)
+    }.reduce(_.unionByName(_)).distinct()
+  }
 
   /** ASK — boolean existence, single row `(ask: boolean lexical)`. */
   def ask(op: Op): DataFrame = {
@@ -222,22 +245,31 @@ final class Compiler(spark: SparkSession, quads: DataFrame) {
       case Some(V(gv)) => (quads, Some(gv))
     }
 
-  /** selectivity score: bound s/o are worth more than bound p
-    * (subject/object constants pin few rows; predicates pin many).
+  /** Estimated pattern cardinality — the role of GraphDB's statistics
+    * optimizer (`repo-config.ttl:46`): a constant predicate starts
+    * from its actual statement count when per-predicate stats were
+    * supplied (one groupBy over the store, collected once per
+    * dataset), then bound subject/object constants discount it. The
+    * fallback (no stats) reduces to the classic bound-term heuristic.
     */
-  private def score(tp: TriplePat): Int = {
-    val sScore = tp.s match { case _: T => 4; case _ => 0 }
-    val oScore = tp.o match { case _: T => 3; case _ => 0 }
-    val pScore = tp.p match { case PLink(_) => 2; case _: PVar => 0; case _ => 1 }
-    sScore + oScore + pScore
+  private def estimate(tp: TriplePat): Double = {
+    val default = 1e6
+    val base = tp.p match {
+      case PLink(p) => stats.get(p).map(_.toDouble).getOrElse(default / 2)
+      case _: PVar => stats.values.sum.toDouble.max(default)
+      case _ => default
+    }
+    val sFac = tp.s match { case _: T => 1e-4; case _ => 1.0 }
+    val oFac = tp.o match { case _: T => 1e-3; case _ => 1.0 }
+    base * sFac * oFac
   }
 
   private def compBgp(pats: Seq[TriplePat], graph: Option[Node]): DataFrame = {
     if (pats.isEmpty) return comp(Unit0)
     val (scoped, gVar) = scopedQuads(graph)
     val rels = pats.map(tp => (tp, compPattern(tp, scoped, gVar)))
-    // greedy ordering: most selective first, then prefer shared-var joins
-    val remaining = scala.collection.mutable.ArrayBuffer(rels.sortBy(r => -score(r._1)): _*)
+    // greedy ordering: smallest estimate first, then prefer shared-var joins
+    val remaining = scala.collection.mutable.ArrayBuffer(rels.sortBy(r => estimate(r._1)): _*)
     var acc = remaining.remove(0)._2
     var accVars = acc.columns.toSet
     while (remaining.nonEmpty) {

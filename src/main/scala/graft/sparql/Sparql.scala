@@ -14,11 +14,15 @@ object Sparql {
   /** SELECT/ASK → result DataFrame with one STRING column per
     * projected variable (ASK: single column `ask`).
     */
-  def query(spark: SparkSession, quads: DataFrame, text: String): DataFrame = {
+  def query(spark: SparkSession, quads: DataFrame, text: String,
+      stats: Map[String, Long] = Map.empty): DataFrame = {
     val parsed = SparqlParser.parse(text)
-    val c = new Compiler(spark, quads)
+    val c = new Compiler(spark, quads, stats)
     if (parsed.isAsk) c.ask(parsed.op)
-    else c.toStrings(c.compile(parsed.op))
+    else parsed.construct match {
+      case Some(template) => c.construct(c.compile(parsed.op), template)
+      case None => c.toStrings(c.compile(parsed.op))
+    }
   }
 
   /** Compile to term-struct solutions (engine-internal form). */

@@ -109,8 +109,11 @@ object SparqlParser {
 
   // ---- entry ----------------------------------------------------------
 
-  /** Parsed query: algebra + projection + isAsk flag. */
-  final case class Query(op: Op, isAsk: Boolean)
+  /** Parsed query: algebra + form. `construct` carries the template
+    * triples of a CONSTRUCT query (plain predicates, no paths).
+    */
+  final case class Query(op: Op, isAsk: Boolean,
+      construct: Option[Seq[TriplePat]] = None)
 
   def parse(q: String): Query = {
     val p = new P(tokenize(q))
@@ -128,9 +131,21 @@ object SparqlParser {
     if (p.eatWord("ASK")) {
       p.eatWord("WHERE")
       Query(parseGGP(p), isAsk = true)
+    } else if (p.eatWord("CONSTRUCT")) {
+      p.expectPunct("{")
+      val template = parseTriples(p)
+      p.eatPunct(".")
+      p.expectPunct("}")
+      p.eatWord("WHERE")
+      var op = parseGGP(p)
+      var limit = -1L
+      if (p.eatWord("LIMIT")) limit = p.next().text.toLong
+      if (limit >= 0) op = Slice(op, 0, limit)
+      Query(op, isAsk = false, construct = Some(template))
     } else if (p.peekWord("SELECT")) {
       Query(parseSelect(p), isAsk = false)
-    } else throw ParseError("expected SELECT or ASK", p.peek.map(_.text).getOrElse(""))
+    } else throw ParseError("expected SELECT, ASK or CONSTRUCT",
+      p.peek.map(_.text).getOrElse(""))
   }
 
   // ---- SELECT ---------------------------------------------------------

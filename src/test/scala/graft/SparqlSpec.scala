@@ -150,6 +150,14 @@ class SparqlSpec extends GraftSuite {
     assert(segs.sameElements(segs.sorted))
   }
 
+  test("CONSTRUCT instantiates templates as distinct triples") {
+    val rows = q("""
+      CONSTRUCT { ?n :within ?r } WHERE { ?n :region ?r . ?n a :Nation }""")
+    assert(rows.length == 25)
+    assert(rows.forall(r => r.getString(1) == ":within" &&
+      r.getString(0).startsWith("nat:") && r.getString(2).startsWith("reg:")))
+  }
+
   test("builtin functions: STR/STRLEN/CONTAINS/SUBSTR/YEAR") {
     val rows = q("""
       SELECT ?o ?yr ?frag WHERE {
