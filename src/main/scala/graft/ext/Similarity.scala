@@ -21,8 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float vectors, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float vectors, computed in double.
+    * Native codegen'd Catalyst expression ([[graft.functions.CosineSim]]);
+    * [[cosineHof]] keeps the built-in higher-order-function
+    * formulation for cross-checking — both are the same sequential
+    * double fold, so they agree bit-for-bit (and with the DuckDB
+    * `list_reduce` oracle mirror).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
+
+  /** `aggregate(zip_with(...))` reference formulation (interpreted,
+    * not codegen'd — kept for equivalence testing).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
         lit(0.0), (acc, v) => acc + v)

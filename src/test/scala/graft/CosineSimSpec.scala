@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.Similarity
+import graft.functions.CosineSim
+
+/** Native codegen'd cosine expression vs the higher-order-function
+  * formulation: must agree bit-for-bit (same sequential double fold).
+  */
+class CosineSimSpec extends GraftSuite {
+
+  test("CosineSim equals the aggregate/zip_with formulation exactly") {
+    val e = Tables(spark, sf, "embeddings")
+    val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(500)
+    val diff = pairs.select(
+        CosineSim(col("a"), col("b")).as("native"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, "native and HOF cosine must agree exactly")
+  }
+
+  test("self-similarity is 1, null on length mismatch") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(CosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got(0) == 1.0 && got(1) == 0.0)
+    val mism = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(CosineSim(col("a"), col("b"))).head
+    assert(mism.isNullAt(0))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val e = Tables(spark, sf, "embeddings")
+    val plan = e.select(CosineSim(col("embedding"), col("embedding")).as("c"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), s"expected codegen'd Project:\n$plan")
+  }
+}
