@@ -30,9 +30,14 @@ object TextAnalysis {
   /** Engine-independent polynomial rolling hash of a string:
     * h = (h*31 + codepoint) mod 1e9+7. Stays far from Long overflow
     * (h < 1e9 so h*31+c < 3.2e10). Deterministic across engines —
-    * the basis for MinHash/SimHash signatures in [[Dedup]].
+    * the basis for MinHash/SimHash signatures in [[Dedup]]. Native
+    * codegen'd expression ([[graft.functions.PolyHash]]); the
+    * higher-order-function formulation is kept for equivalence tests.
     */
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = graft.functions.PolyHash(s)
+
+  /** interpreted `aggregate(split(...))` reference formulation */
+  def polyHashHof(s: Column): Column =
     aggregate(
       split(s, ""),
       lit(0L),

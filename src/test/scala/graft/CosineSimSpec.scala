@@ -34,6 +34,16 @@ class CosineSimSpec extends GraftSuite {
     assert(mism.isNullAt(0))
   }
 
+  test("PolyHash equals the aggregate/split formulation exactly") {
+    val docs = Tables(spark, sf, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("t")).limit(2000)
+    val diff = toks.select(
+        graft.functions.PolyHash(col("t")).as("native"),
+        graft.ext.TextAnalysis.polyHashHof(col("t")).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(diff.isEmpty, "native and HOF polyHash must agree exactly")
+  }
+
   test("expression participates in whole-stage codegen") {
     val e = Tables(spark, sf, "embeddings")
     val plan = e.select(CosineSim(col("embedding"), col("embedding")).as("c"))
