@@ -182,12 +182,72 @@ final class QuadStore(spark: SparkSession, dir: String) {
     if (!rows.isEmpty) commitSegment(rows, s"del-${System.nanoTime()}")
   }
 
+  /** `DELETE WHERE { pattern }`: the pattern is both matcher and
+    * template (SPARQL 1.1 Update §3.1.3). Each BGP group is rewritten
+    * with its own graph variable (so default-graph patterns capture
+    * whichever named graph they matched in), the solutions instantiate
+    * full-term tombstone quads, and one tombstone segment commits.
+    */
+  def deleteWhere(update: String): Unit = {
+    import graft.sparql.Algebra._
+    val BodyRe = """(?is)\s*DELETE\s+WHERE\s*\{(.*)\}\s*""".r
+    val body = update match {
+      case BodyRe(b) => b
+      case _ => throw new IllegalArgumentException(s"bad DELETE WHERE: ${update.take(80)}")
+    }
+    val parsed = graft.sparql.SparqlParser.parse(s"SELECT * WHERE { $body }")
+    // strip the parser's Project wrapper — the graph vars added below
+    // must stay in scope
+    def strip(op: Op): Op = op match {
+      case Project(i, _) => strip(i)
+      case Distinct(i) => strip(i)
+      case other => other
+    }
+    var templates = Seq.empty[(Node, TriplePat)]
+    var gi = 0
+    def rw(op: Op): Op = op match {
+      case Bgp(pats, g) =>
+        val gn: Node = g.getOrElse { gi += 1; V(s"__g$gi") }
+        templates ++= pats.map(tp => (gn, tp))
+        Bgp(pats, Some(gn))
+      case Join(l, r) => Join(rw(l), rw(r))
+      case Filter(c, i) => Filter(c, rw(i))
+      case other =>
+        throw new IllegalArgumentException(
+          s"DELETE WHERE supports BGP/GRAPH/FILTER patterns, got $other")
+    }
+    val op = rw(strip(parsed.op))
+    val compiler = new graft.sparql.Compiler(spark, snapshot())
+    val sols = compiler.compile(op)
+    def nodeCol(n: Node) = n match {
+      case V(v) => sols(v)
+      case T(lex, kind, dt, lang) => graft.rdf.Rdf.constTerm(lex, kind, dt, lang)
+    }
+    val tombs = templates.map { case (gn, tp) =>
+      val gcol = gn match {
+        case V(v) => sols(v)("lex")
+        case T(lex, _, _, _) => lit(lex)
+      }
+      val pcol = tp.p match {
+        case PLink(iri) => graft.rdf.Rdf.constTerm(iri, graft.rdf.Rdf.IRI)
+        case PVar(v) => sols(v)
+        case other => throw new IllegalArgumentException(
+          s"DELETE WHERE predicate must be IRI or var, got $other")
+      }
+      sols.select(gcol.as("g"), nodeCol(tp.s).as("s"), pcol.as("p"), nodeCol(tp.o).as("o"))
+    }
+    val all = tombs.reduce(_.unionByName(_)).distinct()
+    if (!all.isEmpty) commitSegment(all, s"del-${System.nanoTime()}")
+  }
+
   /** Dispatch any supported SPARQL Update string. */
   def executeUpdate(update: String): Unit = {
     val ClearRe = """(?is)\s*(?:CLEAR|DROP)\s+(?:SILENT\s+)?GRAPH\s*<([^>]*)>\s*""".r
+    val upper = update.toUpperCase
     update match {
       case ClearRe(g) => clearGraph(g)
-      case u if u.toUpperCase.contains("DELETE DATA") => deleteData(u)
+      case u if upper.contains("DELETE DATA") => deleteData(u)
+      case u if upper.contains("DELETE WHERE") => deleteWhere(u)
       case u => insertData(u)
     }
   }

@@ -148,6 +148,26 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().select(col("s")("lex")).head.getString(0) == "s:2")
   }
 
+  test("DELETE WHERE removes pattern matches across and within graphs") {
+    val d = Files.createTempDirectory("qsw")
+    val store = new QuadStore(spark, d.toString)
+    store.insertData("""INSERT DATA { GRAPH <ga> {
+      <s:1> <p:x> "a" . <s:1> <p:y> "b" . <s:2> <p:x> "c" . } }""")
+    store.insertData("""INSERT DATA { GRAPH <gb> { <s:3> <p:x> "d" . } }""")
+
+    // unscoped pattern deletes matches from whichever graph they live in
+    store.executeUpdate("""DELETE WHERE { ?s <p:x> ?o }""")
+    val left = store.snapshot()
+    assert(left.count() == 1)
+    assert(left.select(col("p")("lex")).head.getString(0) == "p:y")
+
+    // graph-scoped wildcard delete
+    store.insertData("""INSERT DATA { GRAPH <gb> { <s:4> <p:z> "e" . } }""")
+    store.executeUpdate("""DELETE WHERE { GRAPH <gb> { ?s ?p ?o } }""")
+    assert(store.snapshot().filter(col("g") === "gb").isEmpty)
+    assert(store.snapshot().count() == 1)
+  }
+
   test("compaction: partitioned layout, same data, graph pruning in plan") {
     val d = Files.createTempDirectory("qsc")
     val store = new QuadStore(spark, d.toString)
