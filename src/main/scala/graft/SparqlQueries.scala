@@ -152,6 +152,29 @@ object SparqlQueries {
       WHERE ty.p='rdf:type' AND ty.o=':Customer'
       GROUP BY nm.o"""))),
 
+    Q("r_agg_minmax_concat", sq("""
+      SELECT ?rname (MIN(?bal) AS ?min_bal) (MAX(?bal) AS ?max_bal)
+             (GROUP_CONCAT(?nname; SEPARATOR=",") AS ?nations) WHERE {
+        ?c a :Customer . ?c :acctbal ?bal .
+        ?c :nation ?nt . ?nt :name ?nname .
+        ?nt :region ?r . ?r :name ?rname .
+      } GROUP BY ?rname"""),
+      // GROUP_CONCAT is order-unspecified in SPARQL; the engine sorts
+      // collected values for determinism, mirrored with ORDER BY
+      Some(TpchRdf.withQuads(s"""
+      SELECT nmr.o AS rname,
+             ${canon("min(b.onum)")} AS min_bal,
+             ${canon("max(b.onum)")} AS max_bal,
+             string_agg(nmn.o, ',' ORDER BY nmn.o) AS nations
+      FROM quads ty
+      JOIN quads b ON b.p=':acctbal' AND b.s=ty.s
+      JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
+      JOIN quads nmn ON nmn.p=':name' AND nmn.s=nt.o
+      JOIN quads rg ON rg.p=':region' AND rg.s=nt.o
+      JOIN quads nmr ON nmr.p=':name' AND nmr.s=rg.o
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'
+      GROUP BY nmr.o"""))),
+
     Q("r_ask", sq("""ASK { ?r :name "ASIA" }"""),
       Some(TpchRdf.withQuads("""
       SELECT CASE WHEN EXISTS (SELECT 1 FROM quads WHERE p=':name' AND o='ASIA')

@@ -154,11 +154,18 @@ object Dedup {
     * only its candidates through this.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+    val sh0 = docs.select(col("doc_id"),
         array_distinct(shingles(col("text"), n)).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"),
         explode(col("sh")).as("shingle"))
       .select(col("doc_id"), col("n_sh"), polyHash(col("shingle")).as("sh_hash"))
+    // a shingle occurring in exactly one document cannot create a pair:
+    // drop singletons BEFORE the self-join — in a mostly-unique corpus
+    // this shrinks the join input by an order of magnitude
+    val shared = sh0.groupBy("sh_hash").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("sh_hash")
+    val sh = sh0.join(shared, Seq("sh_hash"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = sh.select(col("sh_hash"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
     val r = sh.select(col("sh_hash"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
     l.join(r, "sh_hash")
