@@ -232,6 +232,12 @@ object SparqlQueries {
         JOIN quads rg ON rg.p=':region' AND rg.s=nt.o
         WHERE ty.p='rdf:type' AND ty.o=':Customer')"""))),
 
+    Q("r_describe", sq("""DESCRIBE ?r WHERE { ?r a :Region }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT q.s, q.p, q.o FROM quads q
+      JOIN (SELECT s FROM quads WHERE p='rdf:type' AND o=':Region') t
+        ON q.s = t.s OR q.o = t.s"""))),
+
     // ---- inference (OWL-Horst materialization, SURVEY §2.C) ----
 
     Q("r_infer_types", sqInf("""

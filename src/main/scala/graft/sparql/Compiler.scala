@@ -84,6 +84,33 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     }.reduce(_.unionByName(_)).distinct()
   }
 
+  /** DESCRIBE — every statement whose subject or object is one of the
+    * target resources (concise-bounded-description-lite: one hop, no
+    * bnode closure). Targets are constants plus the bindings of the
+    * target variables over the WHERE pattern.
+    */
+  def describe(solutions: DataFrame, targets: Seq[Node]): DataFrame = {
+    val constTargets = targets.collect { case t: T => t.lex }
+    val varTargets = targets.collect {
+      case V(v) if solutions.columns.contains(v) => v }
+    val targetDf = {
+      val parts =
+        (if (constTargets.nonEmpty)
+          Seq(spark.createDataset(constTargets)(
+            org.apache.spark.sql.Encoders.STRING).toDF("target"))
+        else Nil) ++
+        varTargets.map(v => solutions.select(solutions(v)("lex").as("target")))
+      parts.reduceOption(_.unionByName(_))
+        .map(_.distinct())
+        .getOrElse(spark.range(0).select(col("id").cast("string").as("target")))
+    }
+    val t = broadcast(targetDf)
+    quads
+      .join(t, col("s")("lex") === col("target") || col("o")("lex") === col("target"))
+      .select(col("s")("lex").as("s"), col("p")("lex").as("p"), col("o")("lex").as("o"))
+      .distinct()
+  }
+
   /** ASK — boolean existence, single row `(ask: boolean lexical)`. */
   def ask(op: Op): DataFrame = {
     val nonEmpty = !comp(op).isEmpty

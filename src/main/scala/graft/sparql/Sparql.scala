@@ -19,9 +19,10 @@ object Sparql {
     val parsed = SparqlParser.parse(text)
     val c = new Compiler(spark, quads, stats)
     if (parsed.isAsk) c.ask(parsed.op)
-    else parsed.construct match {
-      case Some(template) => c.construct(c.compile(parsed.op), template)
-      case None => c.toStrings(c.compile(parsed.op))
+    else (parsed.construct, parsed.describe) match {
+      case (Some(template), _) => c.construct(c.compile(parsed.op), template)
+      case (_, Some(targets)) => c.describe(c.compile(parsed.op), targets)
+      case _ => c.toStrings(c.compile(parsed.op))
     }
   }
 

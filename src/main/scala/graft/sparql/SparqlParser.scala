@@ -110,10 +110,12 @@ object SparqlParser {
   // ---- entry ----------------------------------------------------------
 
   /** Parsed query: algebra + form. `construct` carries the template
-    * triples of a CONSTRUCT query (plain predicates, no paths).
+    * triples of a CONSTRUCT query (plain predicates, no paths);
+    * `describe` the target IRIs/variables of a DESCRIBE query.
     */
   final case class Query(op: Op, isAsk: Boolean,
-      construct: Option[Seq[TriplePat]] = None)
+      construct: Option[Seq[TriplePat]] = None,
+      describe: Option[Seq[Node]] = None)
 
   def parse(q: String): Query = {
     val p = new P(tokenize(q))
@@ -142,9 +144,22 @@ object SparqlParser {
       if (p.eatWord("LIMIT")) limit = p.next().text.toLong
       if (limit >= 0) op = Slice(op, 0, limit)
       Query(op, isAsk = false, construct = Some(template))
+    } else if (p.eatWord("DESCRIBE")) {
+      var targets = Vector.empty[Node]
+      var more = true
+      while (more) p.peek match {
+        case Some(TVar(v)) => p.next(); targets :+= V(v)
+        case Some(TIri(i)) => p.next(); targets :+= T(i)
+        case Some(TPName(pn)) => p.next(); targets :+= T(p.expandPName(pn))
+        case _ => more = false
+      }
+      val op = if (p.peekWord("WHERE") || p.peekPunct("{")) {
+        p.eatWord("WHERE"); parseGGP(p)
+      } else Unit0
+      Query(op, isAsk = false, describe = Some(targets))
     } else if (p.peekWord("SELECT")) {
       Query(parseSelect(p), isAsk = false)
-    } else throw ParseError("expected SELECT, ASK or CONSTRUCT",
+    } else throw ParseError("expected SELECT, ASK, CONSTRUCT or DESCRIBE",
       p.peek.map(_.text).getOrElse(""))
   }
 

@@ -150,6 +150,17 @@ class SparqlSpec extends GraftSuite {
     assert(segs.sameElements(segs.sorted))
   }
 
+  test("DESCRIBE returns one-hop statements of constant and bound targets") {
+    val byIri = q("DESCRIBE reg:0")
+    assert(byIri.nonEmpty)
+    assert(byIri.forall(r => r.getString(0) == "reg:0" || r.getString(2) == "reg:0"))
+    val byVar = q("""DESCRIBE ?r WHERE { ?r :name "ASIA" . ?r a :Region }""")
+    assert(byVar.nonEmpty)
+    val asiaId = byVar.map(r => Set(r.getString(0), r.getString(2)))
+      .reduce(_ intersect _)
+    assert(asiaId.size == 1 && asiaId.head.startsWith("reg:"))
+  }
+
   test("CONSTRUCT instantiates templates as distinct triples") {
     val rows = q("""
       CONSTRUCT { ?n :within ?r } WHERE { ?n :region ?r . ?n a :Nation }""")
