@@ -436,7 +436,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def cmpLt(l: Column, r: Column): Column =
     when(l.isNull || r.isNull, lit(null).cast("boolean"))
       .when(l("num").isNotNull && r("num").isNotNull, l("num") < r("num"))
-      .otherwise(l("lex") < r("lex"))
+      // same-datatype non-numeric literals (strings, ISO dates) order
+      // lexically; anything else — IRI/bnode operands or mixed
+      // datatypes — is a type error (NULL → enclosing FILTER false)
+      .when(l("kind") === LIT && r("kind") === LIT && l("dt") === r("dt"),
+        l("lex") < r("lex"))
+      .otherwise(lit(null).cast("boolean"))
 
   private def cmpEq(l: Column, r: Column): Column =
     when(l.isNull || r.isNull, lit(null).cast("boolean"))
