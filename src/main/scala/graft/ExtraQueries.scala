@@ -240,6 +240,46 @@ object ExtraQueries {
     s"round(${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)}), 6)"
   }
 
+  private val moreRelational: Seq[Q] = Seq(
+
+    Q("q_window_funcs", (s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        first_value(col("o_orderkey")).over(w).as("top_key"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS prank,
+             first_value(o_orderkey) OVER w AS top_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey ASC)""")),
+
+    Q("q_intersect_except", (s, dir) => {
+      // customers appearing as order-placers vs the full customer set
+      val placed = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+      val all0 = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val both = all0.intersect(placed).withColumn("kind", lit("active"))
+      val never = all0.except(placed).withColumn("kind", lit("inactive"))
+      both.unionByName(never)
+    }, Some("""
+      SELECT k, 'active' AS kind FROM (
+        SELECT c_custkey AS k FROM customer
+        INTERSECT SELECT o_custkey FROM orders)
+      UNION ALL
+      SELECT k, 'inactive' FROM (
+        SELECT c_custkey AS k FROM customer
+        EXCEPT SELECT o_custkey FROM orders)"""))
+  )
+
   private val moreText: Seq[Q] = Seq(
 
     Q("t_tfidf_top", (s, dir) => {
@@ -294,5 +334,5 @@ object ExtraQueries {
       SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= 5"""))
   )
 
-  val all: Seq[Q] = relationalExtra ++ multimodal ++ moreText
+  val all: Seq[Q] = relationalExtra ++ moreRelational ++ multimodal ++ moreText
 }
