@@ -41,6 +41,17 @@ class IngestSpec extends GraftSuite {
     assert(bool.dt == "xsd:boolean" && bool.num.contains(1.0))
   }
 
+  test("turtle emit → parse round-trips statements") {
+    val stmts = Turtle.parseDoc(fixture, "f1:")
+    val reparsed = Turtle.parseDoc(Turtle.emit(stmts))
+    // numeric lexicals already canonical, so round-trip is exact
+    // (modulo int/decimal dt: emitted as typed literal and reparsed)
+    assert(reparsed.length == stmts.length)
+    assert(reparsed.map(s => (s.s.lex, s.p.lex, s.o.lex)).toSet ==
+      stmts.map(s => (s.s.lex, s.p.lex, s.o.lex)).toSet)
+    assert(reparsed.map(_.o.lang).sorted.sameElements(stmts.map(_.o.lang).sorted))
+  }
+
   test("turtle reader: file → quads DataFrame in a named graph") {
     val d = Files.createTempDirectory("ttl")
     Files.writeString(d.resolve("a.ttl"), fixture)

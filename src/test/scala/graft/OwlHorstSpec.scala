@@ -64,6 +64,26 @@ class OwlHorstSpec extends GraftSuite {
     assert(key(inc).except(key(mat)).isEmpty && key(mat).except(key(inc)).isEmpty)
   }
 
+  test("fixpoint terminates on cyclic class hierarchies") {
+    import spark.implicits._
+    import graft.rdf.Rdf
+    // A ⊑ B ⊑ C ⊑ A (cycle) + one instance: materialization must
+    // terminate and type the instance with all three classes
+    val tris = Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      (":B", "rdfs:subClassOf", ":C"),
+      (":C", "rdfs:subClassOf", ":A"),
+      ("i:1", "rdf:type", ":A"))
+    val quads = tris.toDF("sl", "pl", "ol").select(
+      org.apache.spark.sql.functions.lit("g:t").as("g"),
+      Rdf.iri(col("sl")).as("s"), Rdf.iri(col("pl")).as("p"),
+      Rdf.iri(col("ol")).as("o"))
+    val m = OwlHorst.materialize(spark, quads)
+    val types = Sparql.query(spark, m, "SELECT ?t WHERE { i:1 a ?t }")
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set(":A", ":B", ":C"))
+  }
+
   test("inferred quads live in g:inferred, explicit untouched") {
     val inf = mat.filter(col("g") === "g:inferred").count()
     val exp = TpchRdf.graphDf(spark, sf).count()
