@@ -147,34 +147,58 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    * explode shingles → shuffle-join on the shingle hash → count shared
-    * shingles per pair → Jaccard from |A|,|B|,|A∩B|. This is the
-    * exact-verify path; at 100 TB run [[minHashPairs]] first and feed
-    * only its candidates through this.
+  /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered
+    * set-similarity self-join (the AllPairs/PPJoin family).
+    *
+    * Scale shape: a naive shingle inverted-index join emits df² rows for
+    * a shingle shared by df documents — a shuffle explosion on hot
+    * shingles. Prefix filtering keeps the join EXACT while pruning it:
+    * order every document's shingle set by ascending global document
+    * frequency (rarest first); if Jaccard(a,b) ≥ t, the first
+    * |d| − ⌈t·|d|⌉ + 1 shingles of each side must intersect, so only
+    * that prefix is indexed. Hot shingles sort LAST and fall out of the
+    * candidate join entirely; candidates then pass a size filter
+    * (t·max(|a|,|b|) ≤ min(|a|,|b|)) and an exact intersection verify.
+    * No join key's input grows quadratically in df.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh0 = docs.select(col("doc_id"),
-        array_distinct(shingles(col("text"), n)).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"),
-        explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("n_sh"), polyHash(col("shingle")).as("sh_hash"))
-    // a shingle occurring in exactly one document cannot create a pair:
-    // drop singletons BEFORE the self-join — in a mostly-unique corpus
-    // this shrinks the join input by an order of magnitude
-    val shared = sh0.groupBy("sh_hash").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select("sh_hash")
-    val sh = sh0.join(shared, Seq("sh_hash"), "left_semi")
+    // per-doc distinct shingle set, kept as 63-bit hashes (tiny, fixed
+    // width — the raw shingle strings never enter any shuffle)
+    val docSh = docs.select(col("doc_id"),
+        transform(array_distinct(shingles(col("text"), n)), s => polyHash(s)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = sh.select(col("sh_hash"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
-    val r = sh.select(col("sh_hash"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
-    l.join(r, "sh_hash")
+    val ex = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("sh_hash"))
+    // global document frequency; df=1 shingles cannot create a pair
+    val docFreq = ex.groupBy("sh_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+    // rank each doc's surviving shingles rarest-first and keep only the
+    // prefix — dropping df=1 shingles first only moves shared shingles
+    // EARLIER in the order, so the prefix property still holds
+    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
+    val ranked = ex.join(docFreq, "sh_hash")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("sh_hash"))))
+      .where(col("rk") <= prefixLen)
+      .select("sh_hash", "doc_id", "n_sh")
+    val l = ranked.select(col("sh_hash"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+    val r = ranked.select(col("sh_hash"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
+    val cand = l.join(r, "sh_hash")
       .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"), first("na").as("na"), first("nb").as("nb"))
+      .where(least(col("na"), col("nb")) >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .select("doc_a", "doc_b")
+      .distinct()
+    // exact verify on the full hash sets — candidate volume is tiny
+    cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
-          .as("jaccard"))
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 }
