@@ -173,7 +173,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
             in.join(rr, c, joinType)
           }
         case _ =>
-          in.filter(coalesce(ebv(compExpr(cond, resolver(in))), lit(false)))
+          in.filter(coalesce(compBool(cond, resolver(in)), lit(false)))
       }
 
     case Extend(input, v, e) =>
@@ -253,7 +253,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       else if (l.columns.contains(v)) l(v)
       else if (r.columns.contains(v)) rr(renames.getOrElse(v, v))
       else nullTerm
-    val fCond = filt.map(e => coalesce(ebv(compExpr(e, resolveMerged)), lit(false)))
+    val fCond = filt.map(e => coalesce(compBool(e, resolveMerged), lit(false)))
     val cond = (eqCond ++ fCond.toSeq).reduceOption(_ && _).getOrElse(lit(true))
     val joined = l.join(rr, cond, "left_outer")
     joined.select((l.columns.map(joined(_)) ++
@@ -416,6 +416,60 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       .when(t("kind") === LIT && (t("dt") === Rdf.XsdString), length(t("lex")) > 0)
       .otherwise(lit(null).cast("boolean"))
 
+  /** Boolean-level compilation: predicates and connectives evaluate as
+    * native nullable BooleanType columns (NULL = SPARQL type error),
+    * boxed into a term struct only at expression boundaries. Keeping
+    * the boolean plane native is what holds FILTER plans inside
+    * whole-stage codegen — round-tripping every subexpression through
+    * a struct (termBool ∘ ebv) stacked CASE WHEN chains past janino's
+    * method-size limits, and Spark silently fell back to interpreted
+    * evaluation. Spark's 3-valued AND/OR/NOT match SPARQL §17.2's
+    * error tables exactly (err AND false = false, err OR true = true).
+    */
+  private def compBool(e: Expr, resolve: String => Column): Column = e match {
+    case ECall(op, args) =>
+      def a(i: Int) = compExpr(args(i), resolve)
+      def b(i: Int) = compBool(args(i), resolve)
+      op match {
+        case "&&" => b(0) && b(1)
+        case "||" => b(0) || b(1)
+        case "!" => !b(0)
+        case "=" => cmpEq(a(0), a(1))
+        case "!=" => !cmpEq(a(0), a(1))
+        case "<" => cmpLt(a(0), a(1))
+        case ">" => cmpLt(a(1), a(0))
+        case "<=" => !cmpLt(a(1), a(0))
+        case ">=" => !cmpLt(a(0), a(1))
+        case "bound" => a(0).isNotNull
+        case "strstarts" => a(0)("lex").startsWith(a(1)("lex"))
+        case "strends" => a(0)("lex").endsWith(a(1)("lex"))
+        case "contains" => a(0)("lex").contains(a(1)("lex"))
+        case "regex" =>
+          val flags = if (args.size > 2) a(2)("lex") else lit("")
+          regexp_like(a(0)("lex"),
+            concat(when(flags.contains("i"), lit("(?i)")).otherwise(lit("")),
+              a(1)("lex")))
+        case "langmatches" =>
+          when(a(1)("lex") === "*", a(0)("lex") =!= "")
+            .otherwise(lower(a(0)("lex")).startsWith(lower(a(1)("lex"))))
+        case "sameterm" => termEq(a(0), a(1))
+        case "isiri" | "isuri" => a(0)("kind") === IRI
+        case "isblank" => a(0)("kind") === BNODE
+        case "isliteral" => a(0)("kind") === LIT
+        case "isnumeric" => a(0)("num").isNotNull
+        case "in" =>
+          args.tail.map(x => cmpEq(a(0), compExpr(x, resolve))).reduce(_ || _)
+        case "notin" =>
+          !args.tail.map(x => cmpEq(a(0), compExpr(x, resolve))).reduce(_ || _)
+        case "xsd:boolean" =>
+          when(a(0)("dt") === Rdf.XsdBoolean, a(0)("lex") === "true")
+            .when(a(0)("num").isNotNull, a(0)("num") =!= 0.0)
+            .otherwise(lit(null).cast("boolean"))
+        case _ => ebv(compExpr(e, resolve))
+      }
+    case _ => ebv(compExpr(e, resolve))
+  }
+
   private def termBool(c: Column): Column =
     when(c.isNull, nullTerm).otherwise(
       Rdf.term(when(c, "true").otherwise("false"), lit(LIT), lit(Rdf.XsdBoolean),
@@ -458,15 +512,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case ECall(op, args) =>
       def a(i: Int) = compExpr(args(i), resolve)
       op match {
-        case "&&" => termBool(ebv(a(0)) && ebv(a(1)))
-        case "||" => termBool(ebv(a(0)) || ebv(a(1)))
-        case "!" => termBool(!ebv(a(0)))
-        case "=" => termBool(cmpEq(a(0), a(1)))
-        case "!=" => termBool(!cmpEq(a(0), a(1)))
-        case "<" => termBool(cmpLt(a(0), a(1)))
-        case ">" => termBool(cmpLt(a(1), a(0)))
-        case "<=" => termBool(!cmpLt(a(1), a(0)))
-        case ">=" => termBool(!cmpLt(a(0), a(1)))
+        // boolean plane: evaluate natively, box once at the boundary
+        case "&&" | "||" | "!" | "=" | "!=" | "<" | ">" | "<=" | ">=" |
+             "bound" | "strstarts" | "strends" | "contains" | "regex" |
+             "langmatches" | "sameterm" | "isiri" | "isuri" | "isblank" |
+             "isliteral" | "isnumeric" | "in" | "notin" | "xsd:boolean" =>
+          termBool(compBool(e, resolve))
         case "+" => termNum(a(0)("num") + a(1)("num"))
         case "-" => termNum(a(0)("num") - a(1)("num"))
         case "*" => termNum(a(0)("num") * a(1)("num"))
@@ -476,7 +527,6 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case "lang" => termStr(a(0)("lang"))
         case "datatype" => Rdf.iri(a(0)("dt"))
         case "iri" | "uri" => Rdf.iri(a(0)("lex"))
-        case "bound" => termBool(a(0).isNotNull)
         case "strlen" => termNum(length(a(0)("lex")).cast("double"))
         case "substr" =>
           val from = a(1)("num").cast("int")
@@ -484,9 +534,6 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           termStr(a(0)("lex").substr(from, len))
         case "ucase" => termStr(upper(a(0)("lex")))
         case "lcase" => termStr(lower(a(0)("lex")))
-        case "strstarts" => termBool(a(0)("lex").startsWith(a(1)("lex")))
-        case "strends" => termBool(a(0)("lex").endsWith(a(1)("lex")))
-        case "contains" => termBool(a(0)("lex").contains(a(1)("lex")))
         case "strbefore" =>
           termStr(when(a(1)("lex") === "", lit(""))
             .when(a(0)("lex").contains(a(1)("lex")),
@@ -501,13 +548,6 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case "concat" => termStr(concat(args.map(x => compExpr(x, resolve)("lex")): _*))
         case "replace" =>
           termStr(regexp_replace(a(0)("lex"), a(1)("lex"), a(2)("lex")))
-        case "regex" =>
-          val flags = if (args.size > 2) a(2)("lex") else lit("")
-          termBool(regexp_like(a(0)("lex"),
-            concat(when(flags.contains("i"), lit("(?i)")).otherwise(lit("")), a(1)("lex"))))
-        case "langmatches" =>
-          termBool(when(a(1)("lex") === "*", a(0)("lex") =!= "")
-            .otherwise(lower(a(0)("lex")).startsWith(lower(a(1)("lex")))))
         case "abs" => termNum(abs(a(0)("num")))
         case "round" => termNum(round(a(0)("num"), 0))
         case "ceil" => termNum(ceil(a(0)("num")).cast("double"))
@@ -539,20 +579,9 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case "sha1" => termStr(sha1(a(0)("lex").cast("binary")))
         case "sha256" => termStr(sha2(a(0)("lex").cast("binary"), 256))
         case "if" =>
-          when(coalesce(ebv(a(0)), lit(false)), a(1)).otherwise(a(2))
+          when(coalesce(compBool(args(0), resolve), lit(false)), a(1)).otherwise(a(2))
         case "coalesce" =>
           coalesce(args.map(x => compExpr(x, resolve)): _*)
-        case "sameterm" => termBool(termEq(a(0), a(1)))
-        case "isiri" | "isuri" => termBool(a(0)("kind") === IRI)
-        case "isblank" => termBool(a(0)("kind") === BNODE)
-        case "isliteral" => termBool(a(0)("kind") === LIT)
-        case "isnumeric" => termBool(a(0)("num").isNotNull)
-        case "in" =>
-          termBool(args.tail.map(x => cmpEq(a(0), compExpr(x, resolve)))
-            .reduce(_ || _))
-        case "notin" =>
-          termBool(!args.tail.map(x => cmpEq(a(0), compExpr(x, resolve)))
-            .reduce(_ || _))
         // SPARQL casts: failure → error (NULL term), per §17.5
         case "xsd:integer" => termNum(floor(
             when(a(0)("num").isNotNull, a(0)("num"))
@@ -561,10 +590,6 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
             when(a(0)("num").isNotNull, a(0)("num"))
               .otherwise(a(0)("lex").cast("double")))
         case "xsd:string" => termStr(a(0)("lex"))
-        case "xsd:boolean" => termBool(
-            when(a(0)("dt") === Rdf.XsdBoolean, a(0)("lex") === "true")
-              .when(a(0)("num").isNotNull, a(0)("num") =!= 0.0)
-              .otherwise(lit(null).cast("boolean")))
         case other => throw new IllegalArgumentException(s"unknown function: $other")
       }
   }
