@@ -278,6 +278,57 @@ object SparqlQueries {
       JOIN quads ty ON ty.p='rdf:type' AND ty.o=':Nation' AND ty.s=rg.s
       WHERE rg.p=':region' AND rg.o='reg:2'"""))),
 
+    // ORDER BY + OFFSET/LIMIT: row CONTENT depends on correct term
+    // ordering (the driver's compare re-sorts rows, so order alone
+    // would not be observable — the offset window makes it so).
+    // Unique secondary key ?c keeps the window deterministic.
+    Q("r_order_offset", sq("""
+      SELECT ?c ?bal WHERE { ?c a :Customer . ?c :acctbal ?bal }
+      ORDER BY DESC(?bal) ?c OFFSET 5 LIMIT 10"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS c, b.o AS bal
+      FROM quads ty JOIN quads b ON b.p=':acctbal' AND b.s=ty.s
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'
+      ORDER BY b.onum DESC, ty.s ASC LIMIT 10 OFFSET 5"""))),
+
+    // path alternation + zero-or-one in one gate:
+    // x ∈ {nation, region(nation), name(nation)}
+    Q("r_path_alt_opt", sq("""
+      SELECT ?c ?x WHERE { ?c a :Customer . ?c :nation/(:region|:name)? ?x }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT ty.s AS c, x FROM (
+        SELECT nt.s AS s, nt.o AS x FROM quads nt WHERE nt.p=':nation'
+        UNION
+        SELECT nt.s, rg.o FROM quads nt
+        JOIN quads rg ON rg.p=':region' AND rg.s=nt.o WHERE nt.p=':nation'
+        UNION
+        SELECT nt.s, nm.o FROM quads nt
+        JOIN quads nm ON nm.p=':name' AND nm.s=nt.o WHERE nt.p=':nation') px
+      JOIN quads ty ON ty.s=px.s
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'"""))),
+
+    // SAMPLE over a functionally-determined value (one :name per
+    // region), so "any value" is deterministic on both engines
+    Q("r_sample", sq("""
+      SELECT ?r (SAMPLE(?rname) AS ?sname) WHERE {
+        ?n :region ?r . ?r :name ?rname } GROUP BY ?r"""),
+      Some(TpchRdf.withQuads("""
+      SELECT rg.o AS r, min(nm.o) AS sname
+      FROM quads rg JOIN quads nm ON nm.p=':name' AND nm.s=rg.o
+      WHERE rg.p=':region' GROUP BY rg.o"""))),
+
+    Q("r_having", sq("""
+      SELECT ?nname (COUNT(*) AS ?ncust) WHERE {
+        ?c a :Customer . ?c :nation ?nt . ?nt :name ?nname
+      } GROUP BY ?nname HAVING (COUNT(*) >= 5)"""),
+      Some(TpchRdf.withQuads(s"""
+      SELECT nm.o AS nname, ${canon("count(*)")} AS ncust
+      FROM quads ty
+      JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
+      JOIN quads nm ON nm.p=':name' AND nm.s=nt.o
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'
+      GROUP BY nm.o HAVING count(*) >= 5"""))),
+
     Q("r_subquery_max", sq("""
       SELECT ?c ?bal WHERE {
         { SELECT (MAX(?b) AS ?bal) WHERE { ?x a :Customer . ?x :acctbal ?b } }

@@ -58,7 +58,8 @@ object SparqlParser {
           else if (c == '<' && s.length > 1 && s.last == '>')
             out += TIri(s.substring(1, s.length - 1))
           else if (c == '"') out += TStr(unescape(s.substring(1, s.length - 1)))
-          else if (c == '?' || c == '$') out += TVar(s.substring(1))
+          // lone '?' is the zero-or-one path modifier, not a variable
+          else if ((c == '?' || c == '$') && s.length > 1) out += TVar(s.substring(1))
           else if (c == '@') out += TLang(s.substring(1))
           else if (c.isDigit || ((c == '+' || c == '-') && s.length > 1 && s(1).isDigit))
             out += TNum(s)
