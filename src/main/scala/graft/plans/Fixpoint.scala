@@ -51,6 +51,33 @@ object Fixpoint {
     closure(edges, (f, s) =>
       f("b")("lex") === s("m")("lex") && f("b")("kind") === s("m")("kind"))
 
+  /** Node set reachable in ≥1 application of `step` from `n0` (a
+    * single-column "n" DataFrame). The seeded counterpart of
+    * [[closure]]: when a path endpoint is bound, BFS from it touches
+    * only the reachable subgraph instead of closing the whole edge
+    * relation — the difference between O(reachable) and O(graph) work
+    * at store scale. Same semi-naive discipline: distinct frontier,
+    * `except` against the accumulator, `localCheckpoint` per round.
+    */
+  def reachNodes(n0: DataFrame, step: DataFrame => DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    var frontier = n0.distinct().localCheckpoint()
+    var acc: Option[DataFrame] = None
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      val s = step(frontier).distinct()
+      val next = acc.fold(s)(s.except(_)).localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        acc = Some(acc.fold(next)(_.unionByName(next)))
+        frontier = next
+      }
+    }
+    acc.getOrElse(n0.limit(0))
+  }
+
   /** Closure for plain string pairs. */
   def closureStrings(edges: DataFrame): DataFrame =
     closure(edges, (f, s) => f("b") === s("m"))

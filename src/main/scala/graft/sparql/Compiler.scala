@@ -321,7 +321,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           col("p").as(pv) +: gVar.map(_ => col("g")).toSeq): _*)
       case path =>
         require(gVar.isEmpty, "complex property path inside GRAPH ?var not supported")
-        evalPath(path, scoped)
+        def seed(t: T) = spark.range(1).select(constCol(t).as("n"))
+        (tp.s, tp.o) match {
+          case (t: T, _) => // constant subject: forward frontier walk
+            walk(path, seed(t), fwd = true, scoped)
+              .select(constCol(t).as("a"), col("n").as("b"))
+          case (_, t: T) => // constant object: backward frontier walk
+            walk(path, seed(t), fwd = false, scoped)
+              .select(col("n").as("a"), constCol(t).as("b"))
+          case _ => evalPath(path, scoped)
+        }
     }
     // bind/constrain s and o
     var d = pairs
@@ -385,15 +394,53 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       closure(evalPath(q, scoped).distinct()).unionByName(identityPairs(scoped)).distinct()
   }
 
-  /** zero-length path endpoints: every term of the scoped graph.
-    * NOTE at 100 TB: a bound-side rewrite (seed the fixpoint from the
-    * pattern's constant endpoint) replaces this enumeration; kept
-    * simple here because `*`-paths in the workloads run over the small
-    * schema graph.
+  /** zero-length path endpoints: every term of the scoped graph
+    * (SPARQL §9.3 ZeroLengthPath with both ends unbound). Only reached
+    * when NEITHER endpoint is constant — bound endpoints take the
+    * seeded [[walk]] instead, which never enumerates the term universe.
     */
   private def identityPairs(scoped: DataFrame): DataFrame =
     scoped.select(col("s").as("t")).unionByName(scoped.select(col("o").as("t")))
       .distinct().select(col("t").as("a"), col("t").as("b"))
+
+  /** Seeded path evaluation: push a node frontier through the path,
+    * forward (`fwd`) or backward (for a constant OBJECT endpoint).
+    * Closure segments BFS from the frontier via [[Fixpoint.reachNodes]]
+    * — work proportional to the REACHABLE subgraph, where the unseeded
+    * [[evalPath]] closes the entire edge relation and (for `p*`/`p?`)
+    * enumerates every term for the zero-length case. At store scale
+    * this is the difference between a frontier of one and a full scan
+    * + fixpoint over everything. Zero-length from a constant matches
+    * the constant itself (SPARQL §9.3 ZeroLengthPath with a bound
+    * term), with no occurs-in-graph requirement.
+    */
+  private def walk(p: Path, nodes: DataFrame, fwd: Boolean,
+      scoped: DataFrame): DataFrame = {
+    def step(edges: DataFrame): DataFrame = {
+      val (from, to) = if (fwd) ("s", "o") else ("o", "s")
+      edges.join(nodes, edges(from)("lex") === nodes("n")("lex") &&
+          edges(from)("kind") === nodes("n")("kind"))
+        .select(edges(to).as("n"))
+    }
+    p match {
+      case PLink(iri) => step(scoped.filter(col("p")("lex") === iri))
+      case PNeg(iris) => step(scoped.filter(!col("p")("lex").isin(iris: _*)))
+      case PVar(_) => step(scoped)
+      case PInv(q) => walk(q, nodes, !fwd, scoped)
+      case PSeq(l, r) =>
+        if (fwd) walk(r, walk(l, nodes, fwd, scoped), fwd, scoped)
+        else walk(l, walk(r, nodes, fwd, scoped), fwd, scoped)
+      case PAlt(l, r) =>
+        walk(l, nodes, fwd, scoped).unionByName(walk(r, nodes, fwd, scoped)).distinct()
+      case POpt(q) => nodes.unionByName(walk(q, nodes, fwd, scoped)).distinct()
+      case PPlus(q) =>
+        graft.plans.Fixpoint.reachNodes(nodes, f => walk(q, f, fwd, scoped))
+      case PStar(q) =>
+        nodes.unionByName(
+          graft.plans.Fixpoint.reachNodes(nodes, f => walk(q, f, fwd, scoped)))
+          .distinct()
+    }
+  }
 
   /** Semi-naive transitive closure — shared [[graft.plans.Fixpoint]]
     * machinery (also used by inference and graph analytics).

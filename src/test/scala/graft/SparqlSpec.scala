@@ -94,6 +94,26 @@ class SparqlSpec extends GraftSuite {
     assert(got == Set(":Customer", ":Supplier", ":Agent", ":Nation", ":Region", ":Place"))
   }
 
+  test("seeded closure from a constant subject walks forward") {
+    val rows = q("""
+      SELECT ?t WHERE { GRAPH g:schema { :Customer rdfs:subClassOf+ ?t } }""")
+    assert(rows.map(_.getString(0)).toSet == Set(":Agent", ":Thing"))
+  }
+
+  test("zero-length path from a constant matches the constant itself") {
+    // SPARQL §9.3 ZeroLengthPath over a bound term — even one absent
+    // from the graph; the unseeded engine would need every graph term
+    val rows = q("""
+      SELECT ?y WHERE { GRAPH g:schema { :NoSuchClass rdfs:subClassOf* ?y } }""")
+    assert(rows.map(_.getString(0)).toSeq == Seq(":NoSuchClass"))
+  }
+
+  test("seeded star path: constant subject reaches itself and ancestors") {
+    val rows = q("""
+      SELECT ?t WHERE { GRAPH g:schema { :Customer rdfs:subClassOf* ?t } }""")
+    assert(rows.map(_.getString(0)).toSet == Set(":Customer", ":Agent", ":Thing"))
+  }
+
   test("aggregates: avg balance per nation with HAVING and ORDER") {
     val rows = q("""
       SELECT ?nname (AVG(?bal) AS ?avgbal) (COUNT(*) AS ?n) WHERE {
