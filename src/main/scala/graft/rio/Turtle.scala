@@ -18,12 +18,13 @@ import graft.rdf.Rdf
   * a file; that matches the reference's staging model where data
   * arrives as many chunked files (`GraphDBSystemAdapter.java:166-183`).
   *
-  * Subset: @prefix/@base, prefixed names, IRIs, `a`, blank node
-  * labels (`_:x`, file-scoped), string literals with escapes +
-  * `@lang` / `^^datatype`, numeric and boolean shorthand, `;` / `,`
-  * predicate-object lists, `#` comments. Collections `( )` and
-  * anonymous bnodes `[ ]` are not generated by the harness and are
-  * rejected loudly.
+  * Coverage: @prefix/@base, prefixed names, IRIs, `a`, blank node
+  * labels (`_:x`, file-scoped), anonymous bnodes `[ ... ]` (with
+  * embedded predicate-object lists, usable as subject or object),
+  * collections `( ... )` (rdf:first/rdf:rest/rdf:nil chains, empty
+  * `()` = rdf:nil), string literals with escapes + `@lang` /
+  * `^^datatype`, numeric and boolean shorthand, `;` / `,`
+  * predicate-object lists, `#` comments.
   */
 object Turtle {
 
@@ -114,6 +115,18 @@ object Turtle {
         else Rdf.XsdInteger, "", Some(text.toDouble))
     }
 
+    val stmts = Seq.newBuilder[Stmt]
+    // fresh anonymous bnode labels: a leading '-' is not a legal first
+    // character of a file-authored `_:label` (W3C Turtle PN_CHARS_U |
+    // digit), so "-aN" never collides under the same scope salt, yet
+    // stays inside the tokenizer's label charset for emit round-trips
+    var anonN = 0
+    def freshBnode(): Term = {
+      anonN += 1
+      Term(bnodeScope + "-a" + anonN, Rdf.BNODE, "", "", None)
+    }
+    def rdfIri(lex: String): Term = Term(lex, Rdf.IRI, "", "", None)
+
     def term(): Term = next() match {
       case TIri(i) => Term(i, Rdf.IRI, "", "", None)
       case TPName(pn) => Term(expand(pn), Rdf.IRI, "", "", None)
@@ -136,8 +149,28 @@ object Turtle {
             else Term(s, Rdf.LIT, dt, "", None)
           case _ => Term(s, Rdf.LIT, Rdf.XsdString, "", None)
         }
-      case TPunct(p) if p == "[" || p == "(" =>
-        fail("anonymous bnodes / collections not supported")
+      case TPunct("[") => // anonymous bnode, optionally with properties
+        val b = freshBnode()
+        if (!peek.contains(TPunct("]"))) predObjList(b, closer = "]")
+        if (peek.contains(TPunct("]"))) next() else fail("expected ]")
+        b
+      case TPunct("(") => // collection → rdf:first/rdf:rest/rdf:nil chain
+        var items = Vector.empty[Term]
+        while (!peek.contains(TPunct(")"))) {
+          if (peek.isEmpty) fail("unterminated collection")
+          items :+= term()
+        }
+        next() // ')'
+        if (items.isEmpty) rdfIri("rdf:nil")
+        else {
+          val cells = items.map(_ => freshBnode())
+          items.indices.foreach { i =>
+            stmts += Stmt(cells(i), rdfIri("rdf:first"), items(i))
+            stmts += Stmt(cells(i), rdfIri("rdf:rest"),
+              if (i == items.size - 1) rdfIri("rdf:nil") else cells(i + 1))
+          }
+          cells.head
+        }
       case t => fail(s"unexpected ${t.text}")
     }
 
@@ -149,7 +182,28 @@ object Turtle {
       }
     }
 
-    val stmts = Seq.newBuilder[Stmt]
+    /** `p o, o2 ; p2 o3 …` for subject `s`, up to `.` or the bnode
+      * closer `]` (dangling `;` tolerated before either).
+      */
+    def predObjList(s: Term, closer: String): Unit = {
+      var subjDone = false
+      while (!subjDone) {
+        val p = predicate()
+        var objDone = false
+        while (!objDone) {
+          stmts += Stmt(s, p, term())
+          objDone = !peek.contains(TPunct(","))
+          if (!objDone) next()
+        }
+        subjDone = !peek.contains(TPunct(";"))
+        if (!subjDone) {
+          next()
+          if (peek.exists(t => t.text == "." || t.text == closer))
+            subjDone = true // dangling ;
+        }
+      }
+    }
+
     while (peek.isDefined) {
       peek match {
         case Some(TLang("prefix")) | Some(TWord("PREFIX")) => // @prefix / SPARQL-style
@@ -166,21 +220,9 @@ object Turtle {
           if (peek.exists(_.text == ".")) next()
         case _ =>
           val s = term()
-          var subjDone = false
-          while (!subjDone) {
-            val p = predicate()
-            var objDone = false
-            while (!objDone) {
-              stmts += Stmt(s, p, term())
-              objDone = !peek.contains(TPunct(","))
-              if (!objDone) next()
-            }
-            subjDone = !peek.contains(TPunct(";"))
-            if (!subjDone) {
-              next()
-              if (peek.contains(TPunct("."))) subjDone = true // dangling ;
-            }
-          }
+          // a bare `[ ... ] .` / `( ... ) .` statement is legal: the
+          // embedded properties were already emitted by term()
+          if (!peek.contains(TPunct("."))) predObjList(s, closer = ".")
           if (peek.contains(TPunct("."))) next() else if (peek.isDefined) fail("expected .")
       }
     }

@@ -41,6 +41,51 @@ class IngestSpec extends GraftSuite {
     assert(bool.dt == "xsd:boolean" && bool.num.contains(1.0))
   }
 
+  test("turtle: anonymous bnodes [ ] and collections ( )") {
+    val doc = """
+      @prefix ex: <http://example.org/> .
+      ex:alice ex:knows [ ex:name "Carol" ; ex:age 25 ] .
+      [ ex:name "Dan" ] ex:likes ex:alice .
+      ex:alice ex:list ( ex:a ex:b ex:c ) .
+      ex:alice ex:empty ( ) .
+    """
+    val stmts = Turtle.parseDoc(doc, "fx:")
+    // [ … ] object: fresh bnode + its embedded properties
+    val knows = stmts.find(_.p.lex == "http://example.org/knows").get
+    assert(knows.o.kind == graft.rdf.Rdf.BNODE)
+    val carol = stmts.filter(_.s.lex == knows.o.lex)
+    assert(carol.exists(s => s.p.lex == "http://example.org/name" && s.o.lex == "Carol"))
+    assert(carol.exists(s => s.p.lex == "http://example.org/age" &&
+      s.o.num.contains(25.0)))
+    // [ … ] subject
+    val likes = stmts.find(_.p.lex == "http://example.org/likes").get
+    assert(likes.s.kind == graft.rdf.Rdf.BNODE)
+    assert(stmts.exists(s => s.s.lex == likes.s.lex &&
+      s.p.lex == "http://example.org/name" && s.o.lex == "Dan"))
+    // collection: rdf:first/rdf:rest chain ending in rdf:nil
+    val head = stmts.find(_.p.lex == "http://example.org/list").get.o
+    def chain(cell: Turtle.Term, acc: Vector[String]): Vector[String] =
+      if (cell.lex == "rdf:nil") acc
+      else {
+        val first = stmts.find(s => s.s.lex == cell.lex && s.p.lex == "rdf:first").get.o
+        val rest = stmts.find(s => s.s.lex == cell.lex && s.p.lex == "rdf:rest").get.o
+        chain(rest, acc :+ first.lex)
+      }
+    assert(chain(head, Vector.empty) ==
+      Vector("http://example.org/a", "http://example.org/b", "http://example.org/c"))
+    // empty collection is the rdf:nil IRI itself
+    val empty = stmts.find(_.p.lex == "http://example.org/empty").get.o
+    assert(empty.lex == "rdf:nil" && empty.kind == graft.rdf.Rdf.IRI)
+    // all fresh bnodes carry the scope salt and cannot collide with
+    // explicit labels (a leading '-' is not valid in authored labels)
+    assert(stmts.forall(s => s.s.kind != graft.rdf.Rdf.BNODE ||
+      s.s.lex.startsWith("fx:")))
+    // emit → reparse round-trips the expanded statement set
+    val reparsed = Turtle.parseDoc(Turtle.emit(stmts))
+    assert(reparsed.map(s => (s.s.lex, s.p.lex, s.o.lex)).toSet ==
+      stmts.map(s => (s.s.lex, s.p.lex, s.o.lex)).toSet)
+  }
+
   test("turtle emit → parse round-trips statements") {
     val stmts = Turtle.parseDoc(fixture, "f1:")
     val reparsed = Turtle.parseDoc(Turtle.emit(stmts))
