@@ -26,6 +26,14 @@ object Algebra {
       val bd = BigDecimal(d).setScale(6)
       T(bd.bigDecimal.toPlainString, 2, "xsd:decimal")
     }
+    /** from source text: integer-shaped lexicals keep xsd:integer */
+    def num(text: String): T = {
+      val bd = BigDecimal(text).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val dt =
+        if (text.contains('.') || text.toLowerCase.contains('e')) "xsd:decimal"
+        else "xsd:integer"
+      T(bd.bigDecimal.toPlainString, 2, dt)
+    }
   }
 
   // ---- property paths -------------------------------------------------

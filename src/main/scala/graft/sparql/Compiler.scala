@@ -496,9 +496,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           regexp_like(a(0)("lex"),
             concat(when(flags.contains("i"), lit("(?i)")).otherwise(lit("")),
               a(1)("lex")))
-        case "langmatches" =>
+        case "langmatches" => // RFC 4647 basic filtering: exact tag or
+          // range followed by a "-" subtag boundary, case-insensitive
           when(a(1)("lex") === "*", a(0)("lex") =!= "")
-            .otherwise(lower(a(0)("lex")).startsWith(lower(a(1)("lex"))))
+            .otherwise(lower(a(0)("lex")) === lower(a(1)("lex")) ||
+              lower(a(0)("lex")).startsWith(concat(lower(a(1)("lex")), lit("-"))))
         case "sameterm" => termEq(a(0), a(1))
         case "isiri" | "isuri" => a(0)("kind") === IRI
         case "isblank" => a(0)("kind") === BNODE
@@ -522,10 +524,29 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       Rdf.term(when(c, "true").otherwise("false"), lit(LIT), lit(Rdf.XsdBoolean),
         lit(""), when(c, 1.0).otherwise(0.0)))
 
-  private def termNum(c: Column): Column =
+  private def termNum(c: Column): Column = termNumDt(c, lit(Rdf.XsdDecimal))
+
+  /** Numeric result with an explicit datatype — XPath-style promotion
+    * keeps integer-typed results integer (DATATYPE(?x+?y) answers).
+    * The LEXICAL form stays the engine-wide canonical DECIMAL(28,6)
+    * string in all cases: that is the deliberate cross-engine
+    * convention the DuckDB oracle mirrors.
+    */
+  private def termNumDt(c: Column, dt: Column): Column =
     when(c.isNull, nullTerm).otherwise(
-      Rdf.term(Rdf.canonNumLex(c), lit(LIT), lit(Rdf.XsdDecimal), lit(""),
-        c.cast("double")))
+      Rdf.term(Rdf.canonNumLex(c), lit(LIT), dt, lit(""), c.cast("double")))
+
+  /** op:numeric promotion for +,-,*: integer ⊗ integer → integer,
+    * anything else → decimal (division is always decimal).
+    */
+  private def promoteDt(l: Column, r: Column): Column =
+    when(l("dt") === Rdf.XsdInteger && r("dt") === Rdf.XsdInteger,
+      lit(Rdf.XsdInteger)).otherwise(lit(Rdf.XsdDecimal))
+
+  /** unary numeric ops keep the operand's integer-ness */
+  private def keepIntDt(t: Column): Column =
+    when(t("dt") === Rdf.XsdInteger, lit(Rdf.XsdInteger))
+      .otherwise(lit(Rdf.XsdDecimal))
 
   private def termStr(c: Column): Column =
     when(c.isNull, nullTerm).otherwise(Rdf.strLit(c))
@@ -565,16 +586,17 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
              "langmatches" | "sameterm" | "isiri" | "isuri" | "isblank" |
              "isliteral" | "isnumeric" | "in" | "notin" | "xsd:boolean" =>
           termBool(compBool(e, resolve))
-        case "+" => termNum(a(0)("num") + a(1)("num"))
-        case "-" => termNum(a(0)("num") - a(1)("num"))
-        case "*" => termNum(a(0)("num") * a(1)("num"))
-        case "/" => termNum(a(0)("num") / a(1)("num"))
-        case "u-" => termNum(-a(0)("num"))
+        case "+" => termNumDt(a(0)("num") + a(1)("num"), promoteDt(a(0), a(1)))
+        case "-" => termNumDt(a(0)("num") - a(1)("num"), promoteDt(a(0), a(1)))
+        case "*" => termNumDt(a(0)("num") * a(1)("num"), promoteDt(a(0), a(1)))
+        case "/" => termNum(a(0)("num") / a(1)("num")) // op:numeric-divide: decimal
+        case "u-" => termNumDt(-a(0)("num"), keepIntDt(a(0)))
         case "str" => termStr(a(0)("lex"))
         case "lang" => termStr(a(0)("lang"))
         case "datatype" => Rdf.iri(a(0)("dt"))
         case "iri" | "uri" => Rdf.iri(a(0)("lex"))
-        case "strlen" => termNum(length(a(0)("lex")).cast("double"))
+        case "strlen" =>
+          termNumDt(length(a(0)("lex")).cast("double"), lit(Rdf.XsdInteger))
         case "substr" =>
           val from = a(1)("num").cast("int")
           val len = if (args.size > 2) a(2)("num").cast("int") else lit(Int.MaxValue)
@@ -595,19 +617,39 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case "concat" => termStr(concat(args.map(x => compExpr(x, resolve)("lex")): _*))
         case "replace" =>
           termStr(regexp_replace(a(0)("lex"), a(1)("lex"), a(2)("lex")))
-        case "abs" => termNum(abs(a(0)("num")))
-        case "round" => termNum(round(a(0)("num"), 0))
-        case "ceil" => termNum(ceil(a(0)("num")).cast("double"))
-        case "floor" => termNum(floor(a(0)("num")).cast("double"))
+        case "abs" => termNumDt(abs(a(0)("num")), keepIntDt(a(0)))
+        case "round" => termNumDt(round(a(0)("num"), 0), keepIntDt(a(0)))
+        case "ceil" => termNumDt(ceil(a(0)("num")).cast("double"), keepIntDt(a(0)))
+        case "floor" => termNumDt(floor(a(0)("num")).cast("double"), keepIntDt(a(0)))
         // date/time accessors work on the canonical ISO lexical forms
         // (xsd:date "YYYY-MM-DD", xsd:dateTime "YYYY-MM-DDTHH:MM:SS")
-        case "year" => termNum(substring(a(0)("lex"), 1, 4).cast("double"))
-        case "month" => termNum(substring(a(0)("lex"), 6, 2).cast("double"))
-        case "day" => termNum(substring(a(0)("lex"), 9, 2).cast("double"))
-        case "hours" => termNum(substring(a(0)("lex"), 12, 2).cast("double"))
-        case "minutes" => termNum(substring(a(0)("lex"), 15, 2).cast("double"))
+        case "year" =>
+          termNumDt(substring(a(0)("lex"), 1, 4).cast("double"), lit(Rdf.XsdInteger))
+        case "month" =>
+          termNumDt(substring(a(0)("lex"), 6, 2).cast("double"), lit(Rdf.XsdInteger))
+        case "day" =>
+          termNumDt(substring(a(0)("lex"), 9, 2).cast("double"), lit(Rdf.XsdInteger))
+        case "hours" =>
+          termNumDt(substring(a(0)("lex"), 12, 2).cast("double"), lit(Rdf.XsdInteger))
+        case "minutes" =>
+          termNumDt(substring(a(0)("lex"), 15, 2).cast("double"), lit(Rdf.XsdInteger))
         case "seconds" => termNum(substring(a(0)("lex"), 18, 2).cast("double"))
-        case "tz" => termStr(lit("")) // stored literals carry no offset
+        case "tz" => // lexical offset suffix, "" when absent (SPARQL 17.4.5.9)
+          termStr(regexp_extract(a(0)("lex"), "(Z|[+-]\\d{2}:\\d{2})$", 1))
+        case "timezone" => // xsd:dayTimeDuration of the offset; none = error
+          val off = regexp_extract(a(0)("lex"), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+          val hh = substring(off, 2, 2).cast("int")
+          val mm = substring(off, 5, 2).cast("int")
+          val dur = concat(
+            when(off.startsWith("-"), lit("-")).otherwise(lit("")),
+            lit("PT"), hh.cast("string"), lit("H"),
+            when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit("")))
+          when(off === "", nullTerm)
+            .when(off === "Z" || hh + mm === 0,
+              Rdf.term(lit("PT0S"), lit(LIT), lit("xsd:dayTimeDuration"), lit(""),
+                lit(null).cast("double")))
+            .otherwise(Rdf.term(dur, lit(LIT), lit("xsd:dayTimeDuration"), lit(""),
+              lit(null).cast("double")))
         case "now" =>
           Rdf.term(date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss"),
             lit(LIT), lit("xsd:dateTime"), lit(""), lit(null).cast("double"))
@@ -625,14 +667,17 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case "md5" => termStr(md5(a(0)("lex").cast("binary")))
         case "sha1" => termStr(sha1(a(0)("lex").cast("binary")))
         case "sha256" => termStr(sha2(a(0)("lex").cast("binary"), 256))
+        case "sha384" => termStr(sha2(a(0)("lex").cast("binary"), 384))
+        case "sha512" => termStr(sha2(a(0)("lex").cast("binary"), 512))
         case "if" =>
           when(coalesce(compBool(args(0), resolve), lit(false)), a(1)).otherwise(a(2))
         case "coalesce" =>
           coalesce(args.map(x => compExpr(x, resolve)): _*)
         // SPARQL casts: failure → error (NULL term), per §17.5
-        case "xsd:integer" => termNum(floor(
+        case "xsd:integer" => termNumDt(floor(
             when(a(0)("num").isNotNull, a(0)("num"))
-              .otherwise(a(0)("lex").cast("double"))).cast("double"))
+              .otherwise(a(0)("lex").cast("double"))).cast("double"),
+          lit(Rdf.XsdInteger))
         case "xsd:decimal" | "xsd:double" => termNum(
             when(a(0)("num").isNotNull, a(0)("num"))
               .otherwise(a(0)("lex").cast("double")))

@@ -472,11 +472,11 @@ object SparqlParser {
             case t => throw ParseError("expected datatype", t.text)
           }
           if (dt == "xsd:decimal" || dt == "xsd:integer" || dt == "xsd:double")
-            T.num(s.toDouble)
+            T.num(s).copy(dt = dt)
           else T(s, 2, dt)
         case _ => T(s, 2, "xsd:string")
       }
-    case TNum(n) => T.num(n.toDouble)
+    case TNum(n) => T.num(n)
     case TWord(w) if w.equalsIgnoreCase("true") => T("true", 2, "xsd:boolean")
     case TWord(w) if w.equalsIgnoreCase("false") => T("false", 2, "xsd:boolean")
     case t => throw ParseError("expected RDF term", t.text)

@@ -33,6 +33,65 @@ class SemanticsSpec extends GraftSuite {
     assert(q("""SELECT ?r WHERE { ?r a :Region }""").length == 5)
   }
 
+  test("SHA384/SHA512 match MessageDigest reference vectors") {
+    def hex(alg: String, in: String): String =
+      java.security.MessageDigest.getInstance(alg)
+        .digest(in.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = q("""
+      SELECT ?h384 ?h512 WHERE {
+        ?r :name "ASIA" .
+        BIND(SHA384("abc") AS ?h384) BIND(SHA512("abc") AS ?h512) }""")
+    assert(rows.head.getString(0) == hex("SHA-384", "abc"))
+    assert(rows.head.getString(1) == hex("SHA-512", "abc"))
+  }
+
+  test("langMatches uses RFC 4647 subtag boundaries, not raw prefixes") {
+    def m(tag: String, range: String): Boolean =
+      q(s"""ASK { ?r :name "ASIA" .
+            FILTER(LANGMATCHES("$tag", "$range")) }""").head.getString(0) == "true"
+    assert(m("fr", "fr"))
+    assert(m("fr-BE", "fr"))
+    assert(m("FR-be", "fr"))       // case-insensitive
+    assert(!m("fra", "fr"))        // raw prefix is NOT a match
+    assert(m("de-DE-1996", "de-de"))
+    assert(!m("de-Deva", "de-de"))
+    assert(m("fr", "*") && !m("", "*"))
+  }
+
+  test("numeric promotion: integer-preserving DATATYPE answers") {
+    val rows = q("""
+      SELECT ?ii ?id ?div ?neg ?len WHERE {
+        ?r :name "ASIA" .
+        BIND(DATATYPE(1 + 2) AS ?ii)
+        BIND(DATATYPE(1 + 2.5) AS ?id)
+        BIND(DATATYPE(4 / 2) AS ?div)
+        BIND(DATATYPE(-(3)) AS ?neg)
+        BIND(DATATYPE(STRLEN("abc")) AS ?len) }""")
+    val r = rows.head
+    assert(r.getString(0) == "xsd:integer")
+    assert(r.getString(1) == "xsd:decimal")
+    assert(r.getString(2) == "xsd:decimal") // op:numeric-divide
+    assert(r.getString(3) == "xsd:integer")
+    assert(r.getString(4) == "xsd:integer")
+  }
+
+  test("TZ and TIMEZONE read stored lexical offsets") {
+    val rows = q("""
+      SELECT ?tz1 ?tz2 ?tz3 ?dur1 ?dur2 WHERE {
+        ?r :name "ASIA" .
+        BIND(STRDT("2011-01-10T14:45:13.815-05:00", xsd:dateTime) AS ?d1)
+        BIND(STRDT("2011-01-10T14:45:13Z", xsd:dateTime) AS ?d2)
+        BIND(STRDT("2011-01-10T14:45:13", xsd:dateTime) AS ?d3)
+        BIND(TZ(?d1) AS ?tz1) BIND(TZ(?d2) AS ?tz2) BIND(TZ(?d3) AS ?tz3)
+        BIND(TIMEZONE(?d1) AS ?dur1) BIND(TIMEZONE(?d2) AS ?dur2) }""")
+    val r = rows.head
+    assert(r.getString(0) == "-05:00")
+    assert(r.getString(1) == "Z")
+    assert(r.getString(2) == "")
+    assert(r.getString(3) == "-PT5H")
+    assert(r.getString(4) == "PT0S")
+  }
+
   test("OPTIONAL with empty group is identity") {
     val base = q("""SELECT ?r WHERE { ?r a :Region }""")
     val opt = q("""SELECT ?r WHERE { ?r a :Region OPTIONAL { } }""")
