@@ -10,11 +10,15 @@ import graft.rdf.Rdf
   * `{"head":{"vars":[…]},"results":{"bindings":[…]}}` visible in the
   * hand-written fallback document at `GraphDBSystemAdapter.java:254`.
   *
-  * Serialization happens at the adapter edge after execution, on
-  * collected rows — benchmark task results are human-scale by
-  * construction (the reference also buffers the whole document in a
-  * ByteArrayOutputStream before shipping it, `:247-249`). Big result
-  * exports at 100 TB go through parquet sinks instead, not this path.
+  * Serialization happens at the adapter edge after execution and
+  * STREAMS: rows flow through `toLocalIterator` (one partition
+  * resident at a time) into an `Appendable`, so driver memory is
+  * bounded by one partition + the sink, not the result size — the
+  * reference's config allows unlimited result sizes
+  * (`repo-config.ttl:49-50`), which a whole-result `collect()` would
+  * turn into a driver OOM. Bulk exports at 100 TB still belong in
+  * parquet sinks, but a pathological SELECT no longer kills the
+  * adapter.
   */
 object SparqlJson {
 
@@ -49,25 +53,43 @@ object SparqlJson {
     s"""{"type":"$typ","value":"${esc(lex)}"$extra}"""
   }
 
-  /** Serialize a solutions DataFrame (term-struct columns, unbound =
-    * NULL → binding omitted, per spec).
+  /** Stream-serialize a solutions DataFrame (term-struct columns,
+    * unbound = NULL → binding omitted, per spec) into `out`. Rows
+    * arrive via `toLocalIterator` in partition order — the same order
+    * `collect()` produced, so the emitted bytes are identical.
     */
-  def select(solutions: DataFrame): String = {
+  def writeSelect(solutions: DataFrame, out: Appendable): Unit = {
     val vars = solutions.columns
-    val rows = solutions.collect()
-    val bindings = rows.map { r =>
-      val fields = vars.indices.flatMap { i =>
-        if (r.isNullAt(i)) None
-        else {
+    out.append(s"""{"head":{"vars":[${
+      vars.map(v => s""""${esc(v)}"""").mkString(",")}]},""")
+    out.append(""""results":{"bindings":[""")
+    val it = solutions.toLocalIterator()
+    var first = true
+    while (it.hasNext) {
+      val r = it.next()
+      if (!first) out.append(",")
+      first = false
+      out.append("{")
+      var firstField = true
+      vars.indices.foreach { i =>
+        if (!r.isNullAt(i)) {
+          if (!firstField) out.append(",")
+          firstField = false
           val t = r.getStruct(i)
-          Some(s""""${esc(vars(i))}":${binding(
+          out.append(s""""${esc(vars(i))}":${binding(
             t.getString(0), t.getInt(1), t.getString(2), t.getString(3))}""")
         }
       }
-      fields.mkString("{", ",", "}")
+      out.append("}")
     }
-    s"""{"head":{"vars":[${vars.map(v => s""""${esc(v)}"""").mkString(",")}]},""" +
-      s""""results":{"bindings":[${bindings.mkString(",")}]}}"""
+    out.append("]}}")
+  }
+
+  /** Whole-document convenience wrapper over [[writeSelect]]. */
+  def select(solutions: DataFrame): String = {
+    val sb = new java.lang.StringBuilder
+    writeSelect(solutions, sb)
+    sb.toString
   }
 
   /** ASK envelope. */

@@ -117,4 +117,20 @@ class SemanticsSpec extends GraftSuite {
         """{"r":{"type":"uri","value":"reg:1"},"name":{"type":"literal","value":"AMERICA"}}]}}"""
     assert(json == expected)
   }
+
+  test("SPARQL-JSON streams large multi-partition results in order") {
+    import graft.rio.SparqlJson
+    import org.apache.spark.sql.functions._
+    // 8 partitions, 10k rows — streams one partition at a time via
+    // toLocalIterator; byte layout identical to the collected path
+    val df = spark.range(0, 10000, 1, 8)
+      .select(graft.rdf.Rdf.strLit(concat(lit("v"), col("id"))).as("x"))
+    val json = SparqlJson.select(df)
+    assert(json.startsWith("""{"head":{"vars":["x"]},"results":{"bindings":["""))
+    assert(json.endsWith("]}}"))
+    assert("\"type\":\"literal\"".r.findAllMatchIn(json).size == 10000)
+    // partition order preserved (same as collect())
+    assert(json.indexOf("\"v0\"") < json.indexOf("\"v5000\""))
+    assert(json.indexOf("\"v5000\"") < json.indexOf("\"v9999\""))
+  }
 }
