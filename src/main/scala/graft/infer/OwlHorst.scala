@@ -131,7 +131,7 @@ object OwlHorst {
   private def onePass(spark: SparkSession, ont: Ontology, all: DataFrame,
       newIn: DataFrame,
       prevClosures: scala.collection.mutable.Map[String, DataFrame],
-      equiv: Seq[(String, String)], equivChanged: Boolean): DataFrame = {
+      equivDf: Option[DataFrame], equivChanged: Boolean): DataFrame = {
     import spark.implicits._
     var deltas = Seq.empty[DataFrame]
     def emit(df: DataFrame): Unit =
@@ -207,24 +207,23 @@ object OwlHorst {
           typeSrc("p")("lex") === RdfType && typeSrc("o")("lex") === col("sc"))
         .select(col("s"), col("p"), Rdf.iri(col("sd")).as("o")))
     }
-    // eq-*: the equivalence-class pair table is maintained DRIVER-side
-    // by the caller (harvested from each round's checkpointed delta —
-    // no extra scan here). When the classes changed this round, the
-    // cross pairs and a full expansion over everything-so-far are
+    // eq-*: the (from, to) equivalence pair table is maintained by the
+    // caller — broadcast-hinted when it came from the driver union-find,
+    // a plain distributed DataFrame when it came from GraphX CC
+    // ([[SameAs]]). When the classes changed this round, the cross
+    // pairs and a full expansion over everything-so-far are
     // (re)emitted; otherwise only statements new this pass are expanded.
-    if (equiv.nonEmpty) {
-      val equivDf = broadcast(equiv.toDF("from", "to"))
+    equivDf.foreach { ed =>
       if (equivChanged) {
-        emit(equiv.toDF("a", "b")
-          .select(Rdf.iri(col("a")).as("s"), Rdf.iri(lit("owl:sameAs")).as("p"),
-            Rdf.iri(col("b")).as("o")))
+        emit(ed.select(Rdf.iri(col("from")).as("s"),
+          Rdf.iri(lit("owl:sameAs")).as("p"), Rdf.iri(col("to")).as("o")))
       }
       val c = if (equivChanged) cur else newer
-      emit(c.join(equivDf, c("s")("lex") === col("from"))
-        .select(Rdf.iri(col("to")).as("s"), col("p"), col("o")))
+      emit(c.join(ed, c("s")("lex") === ed("from"))
+        .select(Rdf.iri(ed("to")).as("s"), col("p"), col("o")))
       val c2 = if (equivChanged) cur else newer
-      emit(c2.join(equivDf, c2("o")("lex") === col("from"))
-        .select(col("s"), col("p"), Rdf.iri(col("to")).as("o")))
+      emit(c2.join(ed, c2("o")("lex") === ed("from"))
+        .select(col("s"), col("p"), Rdf.iri(ed("to")).as("o")))
     }
     deltas.reduceOption(_.unionByName(_)).getOrElse(all.limit(0))
   }
@@ -260,6 +259,7 @@ object OwlHorst {
   }
 
   private def run(spark: SparkSession, quads: DataFrame, seed: DataFrame): DataFrame = {
+    import spark.implicits._
     // The deep Union-of-self-joined-lineage plans built below trip
     // Catalyst's Union constraint rewriting on struct-typed columns
     // (NoSuchElementException in rewriteConstraints). Constraint
@@ -281,10 +281,17 @@ object OwlHorst {
       if (seed eq quads) all // full materialization: seed IS the dataset
       else seed.select(col("s"), col("p"), col("o")).distinct().localCheckpoint()
     val prevClosures = scala.collection.mutable.Map.empty[String, DataFrame]
-    // driver-side sameAs union-find, fed from each round's checkpointed
-    // delta (equivalence classes are alias-scale by design — SURVEY §2.C)
+    // sameAs equivalence classes: a driver-side union-find fed from
+    // each round's checkpointed delta while the pair count is
+    // alias-scale; past `broadcastLimit` pairs the whole machinery
+    // flips to distributed GraphX connected components ([[SameAs]])
+    // and the driver never holds the pair set again
+    val broadcastLimit =
+      sys.props.getOrElse("graft.sameas.broadcast.limit", "50000").toInt
     val uf = new UnionFind
     var equiv = Seq.empty[(String, String)]
+    var distSame = false
+    var prevPairs: Option[DataFrame] = None
     var freshes = Seq.empty[DataFrame]
     var rounds = 0
     var grew = true
@@ -299,14 +306,35 @@ object OwlHorst {
     while (grew && rounds < 16) {
       rounds += 1
       val t0 = System.nanoTime()
-      val merges = delta.filter(col("p")("lex") === "owl:sameAs")
-        .select(col("s")("lex"), col("o")("lex")).collect()
-        .count(r => uf.union(r.getString(0), r.getString(1)))
-      val equivChanged = merges > 0
-      if (equivChanged) equiv = uf.crossPairs
+      var equivChanged = false
+      var equivDf: Option[DataFrame] = None
+      if (!distSame) {
+        val pairRows = delta.filter(col("p")("lex") === "owl:sameAs")
+          .select(col("s")("lex"), col("o")("lex"))
+          .limit(broadcastLimit + 1).collect()
+        if (pairRows.length > broadcastLimit) distSame = true
+        else {
+          val merges = pairRows.count(r => uf.union(r.getString(0), r.getString(1)))
+          equivChanged = merges > 0
+          if (equivChanged) equiv = uf.crossPairs
+          if (equiv.nonEmpty)
+            equivDf = Some(broadcast(equiv.toDF("from", "to")))
+        }
+      }
+      if (distSame) {
+        // recompute classes from everything so far; `changed` via a
+        // distributed subset check against the previous pair table
+        val pairs = SameAs.crossPairs(spark, all).localCheckpoint()
+        equivChanged = prevPairs.forall(p => !pairs.except(p).isEmpty)
+        prevPairs = Some(pairs)
+        equivDf = Some(pairs)
+      }
       val eTerms = equiv.flatMap(p => Seq(p._1, p._2)).distinct
       val relevant =
-        if (eTerms.size > 1000) all // degenerate class sizes: no pruning
+        // expansion rows carry arbitrary predicates, so the predicate
+        // slice alone cannot dedup them: prune only while the sameAs
+        // member set is driver-known and small
+        if (distSame || eTerms.size > 1000) all
         else {
           var cond = col("p")("lex").isin(derivablePreds: _*)
           if (eTerms.nonEmpty)
@@ -314,7 +342,7 @@ object OwlHorst {
               col("o")("lex").isin(eTerms: _*)
           all.filter(cond)
         }
-      val fresh = onePass(spark, ont, all, delta, prevClosures, equiv, equivChanged)
+      val fresh = onePass(spark, ont, all, delta, prevClosures, equivDf, equivChanged)
         .distinct().except(relevant).localCheckpoint()
       if (dbg) System.err.println(f"[owlhorst] round $rounds: " +
         f"${(System.nanoTime() - t0) / 1e9}%.1fs fresh=${fresh.count()}")

@@ -41,6 +41,44 @@ class OwlHorstSpec extends GraftSuite {
     assert(viaAlias == viaCanon && viaAlias.nonEmpty)
   }
 
+  test("distributed sameAs (GraphX CC) matches the driver union-find path") {
+    val quads = TpchRdf.graphDf(spark, sf)
+    def key(df: DataFrame) = df.select(col("g"), col("s")("lex"),
+      col("p")("lex"), col("o")("lex")).distinct()
+    sys.props("graft.sameas.broadcast.limit") = "0" // force distributed
+    try {
+      val dist = OwlHorst.materialize(spark, quads)
+      assert(key(dist).except(key(mat)).isEmpty)
+      assert(key(mat).except(key(dist)).isEmpty)
+    } finally sys.props.remove("graft.sameas.broadcast.limit")
+  }
+
+  test("distributed sameAs scales to many classes with no driver pair set") {
+    import spark.implicits._
+    import graft.rdf.Rdf
+    // 500 classes x 3 members (x~y, y~z; diameter 2) + one typed
+    // statement per canonical member — class count, not class size,
+    // is what the driver path cannot hold at entity-resolution scale
+    val n = 500
+    val triples =
+      (0 until n).flatMap(i => Seq(
+        (s"e:$i-x", "owl:sameAs", s"e:$i-y"),
+        (s"e:$i-y", "owl:sameAs", s"e:$i-z"),
+        (s"e:$i-x", Rdf.RdfType, ":Entity")))
+    val quads = triples.toDF("sl", "pl", "ol").select(
+      lit("g:x").as("g"), Rdf.iri(col("sl")).as("s"),
+      Rdf.iri(col("pl")).as("p"), Rdf.iri(col("ol")).as("o"))
+    sys.props("graft.sameas.broadcast.limit") = "0" // force distributed
+    try {
+      val m = OwlHorst.materialize(spark, quads).cache()
+      // type expands to all 3 members of each class
+      assert(m.filter(col("p")("lex") === Rdf.RdfType).count() == 3L * n)
+      // 6 ordered cross pairs + 3 reflexive eq-ref statements per
+      // class (expansion of (a sameAs b) by b→a yields a sameAs a)
+      assert(m.filter(col("p")("lex") === "owl:sameAs").count() == 9L * n)
+    } finally sys.props.remove("graft.sameas.broadcast.limit")
+  }
+
   test("incremental maintenance equals full materialization") {
     val quads = TpchRdf.graphDf(spark, sf)
     val base = quads.filter(col("g") =!= "g:customer")
