@@ -329,6 +329,18 @@ object SparqlQueries {
       WHERE ty.p='rdf:type' AND ty.o=':Customer'
       GROUP BY nm.o HAVING count(*) >= 5"""))),
 
+    // closure inside GRAPH ?var: each named graph closes independently
+    // and the graph binding is projected
+    Q("r_path_graphvar", sq("""
+      SELECT DISTINCT ?g ?t WHERE { GRAPH ?g { ?t rdfs:subClassOf+ :Thing } }"""),
+      Some(TpchRdf.withQuadsAnd("""
+      sc AS (
+        SELECT g, s, o FROM quads WHERE p='rdfs:subClassOf'
+        UNION
+        SELECT sc.g, sc.s, q.o FROM sc
+        JOIN quads q ON q.p='rdfs:subClassOf' AND q.s=sc.o AND q.g=sc.g)""", """
+      SELECT DISTINCT g, s AS t FROM sc WHERE o=':Thing'"""))),
+
     Q("r_subquery_max", sq("""
       SELECT ?c ?bal WHERE {
         { SELECT (MAX(?b) AS ?bal) WHERE { ?x a :Customer . ?x :acctbal ?b } }

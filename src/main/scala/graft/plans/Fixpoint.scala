@@ -51,6 +51,38 @@ object Fixpoint {
     closure(edges, (f, s) =>
       f("b")("lex") === s("m")("lex") && f("b")("kind") === s("m")("kind"))
 
+  /** Transitive closure of term-struct pairs WITHIN each group `g` —
+    * edges `(g, a, b)` close against edges of the same `g` only (the
+    * GRAPH ?var property-path case: each named graph closes
+    * independently, in one shared fixpoint whose rounds are bounded by
+    * the max diameter across graphs).
+    */
+  def closureTermsGrouped(edges0: DataFrame): DataFrame = {
+    val edges = edges0.distinct().localCheckpoint()
+    var acc = edges
+    var frontier = edges
+    var round = 0
+    var done = false
+    while (!done && round < 64) {
+      round += 1
+      val step = edges.withColumnRenamed("g", "g2")
+        .withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
+      val next = frontier.join(step,
+          frontier("b")("lex") === step("m")("lex") &&
+            frontier("b")("kind") === step("m")("kind") &&
+            frontier("g") === step("g2"))
+        .select(frontier("g").as("g"), frontier("a").as("a"), col("b2").as("b"))
+        .except(acc)
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        acc = acc.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    acc
+  }
+
   /** Node set reachable in ≥1 application of `step` from `n0` (a
     * single-column "n" DataFrame). The seeded counterpart of
     * [[closure]]: when a path endpoint is bound, BFS from it touches

@@ -319,8 +319,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       case PVar(pv) =>
         scoped.select((col("s").as("a") +: col("o").as("b") +:
           col("p").as(pv) +: gVar.map(_ => col("g")).toSeq): _*)
+      case path if gVar.isDefined =>
+        // per-graph evaluation; pairs carry g, picked up below
+        evalPathG(path, scoped)
       case path =>
-        require(gVar.isEmpty, "complex property path inside GRAPH ?var not supported")
         def seed(t: T) = spark.range(1).select(constCol(t).as("n"))
         (tp.s, tp.o) match {
           case (t: T, _) => // constant subject: forward frontier walk
@@ -402,6 +404,47 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def identityPairs(scoped: DataFrame): DataFrame =
     scoped.select(col("s").as("t")).unionByName(scoped.select(col("o").as("t")))
       .distinct().select(col("t").as("a"), col("t").as("b"))
+
+  /** Path evaluation under `GRAPH ?var`: pair relations carry the
+    * graph column and every composition (join, closure, zero-length)
+    * stays WITHIN one named graph — the per-graph counterpart of
+    * [[evalPath]], sharing one fixpoint across graphs
+    * ([[graft.plans.Fixpoint.closureTermsGrouped]]).
+    */
+  private def evalPathG(p: Path, scoped: DataFrame): DataFrame = p match {
+    case PLink(iri) =>
+      scoped.filter(col("p")("lex") === iri)
+        .select(col("g"), col("s").as("a"), col("o").as("b"))
+    case PVar(_) =>
+      scoped.select(col("g"), col("s").as("a"), col("o").as("b"))
+    case PNeg(iris) =>
+      scoped.filter(!col("p")("lex").isin(iris: _*))
+        .select(col("g"), col("s").as("a"), col("o").as("b"))
+    case PInv(q) =>
+      evalPathG(q, scoped).select(col("g"), col("b").as("a"), col("a").as("b"))
+    case PSeq(l, r) =>
+      val ld = evalPathG(l, scoped)
+      val rd = evalPathG(r, scoped).withColumnRenamed("g", "g2")
+        .withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
+      ld.join(rd, termEq(ld("b"), rd("m")) && ld("g") === rd("g2"))
+        .select(ld("g").as("g"), ld("a").as("a"), col("b2").as("b"))
+        .distinct()
+    case PAlt(l, r) =>
+      evalPathG(l, scoped).unionByName(evalPathG(r, scoped)).distinct()
+    case POpt(q) =>
+      evalPathG(q, scoped).unionByName(identityPairsG(scoped)).distinct()
+    case PPlus(q) =>
+      graft.plans.Fixpoint.closureTermsGrouped(evalPathG(q, scoped).distinct())
+    case PStar(q) =>
+      graft.plans.Fixpoint.closureTermsGrouped(evalPathG(q, scoped).distinct())
+        .unionByName(identityPairsG(scoped)).distinct()
+  }
+
+  /** zero-length endpoints per named graph: `(g, t, t)` */
+  private def identityPairsG(scoped: DataFrame): DataFrame =
+    scoped.select(col("g"), col("s").as("t"))
+      .unionByName(scoped.select(col("g"), col("o").as("t")))
+      .distinct().select(col("g"), col("t").as("a"), col("t").as("b"))
 
   /** Seeded path evaluation: push a node frontier through the path,
     * forward (`fwd`) or backward (for a constant OBJECT endpoint).

@@ -168,7 +168,10 @@ object SparqlParser {
 
   private def parseSelect(p: P): Op = {
     p.eatWord("SELECT")
-    val distinct = p.eatWord("DISTINCT"); p.eatWord("REDUCED")
+    // REDUCED permits duplicate elimination (SPARQL §15.3.2); compiling
+    // it as Distinct is both spec-compliant and the cheaper plan at
+    // scale (map-side partial aggregation beats shipping duplicates)
+    val distinct = p.eatWord("DISTINCT") | p.eatWord("REDUCED")
     var star = false
     // selectors: var | (expr AS ?v)
     var selectors = Vector.empty[(String, Option[Expr])]
