@@ -231,6 +231,20 @@ object Queries {
   // ---------------------------------------------------------------
 
   private val text: Seq[Q] = Seq(
+    // corpus-level bigram frequency, deterministic top-20
+    Q("t_ngram_freq", (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc).limit(20),
+      Some("""
+      WITH sh AS (
+        SELECT unnest(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)+1),
+          i -> array_to_string(string_split(text,' ')[i:i+1], ' '))) AS bigram
+        FROM documents)
+      SELECT bigram, count(*)::BIGINT AS n FROM sh GROUP BY 1
+      ORDER BY n DESC, bigram ASC LIMIT 20""")),
+
     Q("t_token_stats", (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -285,29 +299,15 @@ object Queries {
   // Deduplication over `documents`
   // ---------------------------------------------------------------
 
-  private val dedup: Seq[Q] = Seq(
-    Q("d_exact_groups", (s, dir) => Dedup.exactGroups(t(s, dir, "documents")),
-      Some("""
-      SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
-      FROM documents GROUP BY 1""")),
-
-    Q("d_fingerprint_groups", (s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
-        .filter(col("n_dups") > 1),
-      Some("""
-      SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
-             min(doc_id) AS keep_id, count(*) AS n_dups
-      FROM documents GROUP BY 1 HAVING count(*) > 1""")),
-
-    Q("d_minhash_lsh", (s, dir) => Dedup.minHashPairs(t(s, dir, "documents"), 0.5), {
-      // DuckDB mirror of shingle→minhash→band→bucket-join→verify.
-      val hashes = Dedup.MinHashParams.zipWithIndex.map { case ((a, b), j) =>
-        s"list_min(list_transform(sh, x -> (${duckPh("x")}*$a + $b) % 1000000007)) AS m$j"
-      }.mkString(", ")
-      Some(s"""
-      WITH docs AS (
+  /** DuckDB CTE chain mirroring shingle→minhash→band→bucket-join→
+    * verify; ends at `j(doc_a, doc_b, inter, na, nb)`. Shared by the
+    * minhash pair gate and the dup-cluster gate.
+    */
+  private def duckMinhashCtes: String = {
+    val hashes = Dedup.MinHashParams.zipWithIndex.map { case ((a, b), jx) =>
+      s"list_min(list_transform(sh, x -> (${duckPh("x")}*$a + $b) % 1000000007)) AS m$jx"
+    }.mkString(", ")
+    s"""docs AS (
         SELECT doc_id,
                list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
                  i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) AS sh
@@ -326,10 +326,30 @@ object Queries {
         SELECT doc_a, doc_b,
                len(list_filter(list_distinct(sh_a), x -> list_contains(list_distinct(sh_b), x)))::DOUBLE AS inter,
                len(list_distinct(sh_a)) AS na, len(list_distinct(sh_b)) AS nb
-        FROM pairs)
+        FROM pairs)"""
+  }
+
+  private val dedup: Seq[Q] = Seq(
+    Q("d_exact_groups", (s, dir) => Dedup.exactGroups(t(s, dir, "documents")),
+      Some("""
+      SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY 1""")),
+
+    Q("d_fingerprint_groups", (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1),
+      Some("""
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY 1 HAVING count(*) > 1""")),
+
+    Q("d_minhash_lsh", (s, dir) => Dedup.minHashPairs(t(s, dir, "documents"), 0.5),
+      Some(s"""
+      WITH $duckMinhashCtes
       SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
-      FROM j WHERE round(inter/(na+nb-inter),6) >= 0.5""")
-    }),
+      FROM j WHERE round(inter/(na+nb-inter),6) >= 0.5""")),
 
     Q("d_simhash", (s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("simhash")), {
@@ -355,7 +375,28 @@ object Queries {
         FROM ex l JOIN ex r ON l.sh_hash=r.sh_hash AND l.doc_id<r.doc_id
         GROUP BY 1, 2)
       SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
-      FROM joined WHERE round(inter/(na+nb-inter),6) >= 0.3"""))
+      FROM joined WHERE round(inter/(na+nb-inter),6) >= 0.3""")),
+
+    // collapse near-dup pairs into clusters: GraphX connected
+    // components; cluster id = min doc_id (the keep representative).
+    // Oracle: transitive closure of the symmetric pair relation
+    // (tiny by construction) + min over reachable.
+    Q("d_dup_clusters", (s, dir) =>
+      Dedup.dupClusters(s, Dedup.minHashPairs(t(s, dir, "documents"), 0.5)),
+      Some(s"""
+      WITH RECURSIVE $duckMinhashCtes,
+      mh AS (SELECT doc_a, doc_b FROM j
+             WHERE round(inter/(na+nb-inter),6) >= 0.5),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh
+        UNION ALL SELECT doc_b, doc_a FROM mh
+        UNION ALL SELECT doc_a, doc_a FROM mh
+        UNION ALL SELECT doc_b, doc_b FROM mh),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT reach.a, e.b FROM reach JOIN edges e ON e.a = reach.b)
+      SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a"""))
   )
 
   // ---------------------------------------------------------------
@@ -365,11 +406,11 @@ object Queries {
   /** Sequential-left-fold dot product in DuckDB matching Spark's
     * `aggregate(zip_with(...))` evaluation order bit-for-bit.
     */
-  private def duckCosine(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_reduce(list_prepend(0.0, list_transform(list_zip($x,$y), p -> p[1]::DOUBLE * p[2]::DOUBLE)), (acc,v) -> acc+v)"
-    s"round(${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)}), 6)"
-  }
+  private def duckDot(x: String, y: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($x,$y), p -> p[1]::DOUBLE * p[2]::DOUBLE)), (acc,v) -> acc+v)"
+
+  private def duckCosine(a: String, b: String): String =
+    s"round(${duckDot(a, b)} / sqrt(${duckDot(a, a)}) / sqrt(${duckDot(b, b)}), 6)"
 
   private val similarity: Seq[Q] = Seq(
     Q("s_bruteforce_topk", (s, dir) => {
@@ -406,6 +447,52 @@ object Queries {
                ${duckCosine("l.embedding", "r.embedding")} AS cos
         FROM b l JOIN b r ON l.bucket=r.bucket AND l.vec_id<r.vec_id)
       SELECT DISTINCT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3""")
+    }),
+
+    // per-row L2 normalization, exploded for exact cross-engine compare
+    Q("s_normalize", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(col("vec_id"), Similarity.l2Norm(col("embedding")).as("nrm"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("col").cast("double") / col("nrm"), 6).as("nval"))
+    }, Some(s"""
+      WITH n AS (SELECT vec_id, embedding,
+        sqrt(${duckDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      ex AS (SELECT vec_id, nrm, embedding,
+        unnest(range(1, len(embedding)+1)) AS i FROM n)
+      SELECT vec_id, i-1 AS pos, round(embedding[i]::DOUBLE/nrm, 6) AS nval
+      FROM ex""")),
+
+    // symmetric int8 quantization (round(x * 127/max|x|)) — the
+    // standard 4x shrink for shipping embeddings; map-only
+    Q("s_quantize_int8", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(col("vec_id"), Similarity.int8Scale(col("embedding")).as("scale"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("col").cast("double") * col("scale"), 0).cast("long").as("q"))
+    }, Some(s"""
+      WITH n AS (SELECT vec_id, embedding,
+        127.0 / greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) AS scale
+        FROM embeddings),
+      ex AS (SELECT vec_id, scale, embedding,
+        unnest(range(1, len(embedding)+1)) AS i FROM n)
+      SELECT vec_id, i-1 AS pos, round(embedding[i]::DOUBLE*scale)::BIGINT AS q
+      FROM ex""")),
+
+    // deterministic dense random projection 64 -> 8 dims (same fixed
+    // coefficient family as the LSH planes; no trained state)
+    Q("s_rand_proj", (s, dir) =>
+      t(s, dir, "embeddings").select(
+        col("vec_id") +: Similarity.randomProjection(col("embedding"), 8): _*), {
+      def proj(p: Int) = {
+        val c = java.lang.Double.toString((p + 1) * 0.61803398875)
+        s"round(list_reduce(list_prepend(0.0, list_transform(list_zip(embedding, range(0, len(embedding))), " +
+          s"z -> z[1]::DOUBLE * (($c * z[2]) % 1.0 * 2.0 - 1.0))), (acc,v) -> acc+v), 6) AS proj$p"
+      }
+      Some(s"""
+      SELECT vec_id, ${(0 until 8).map(proj).mkString(", ")} FROM embeddings""")
     })
   )
 

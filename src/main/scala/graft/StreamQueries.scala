@@ -39,6 +39,11 @@ object StreamQueries {
         FROM e)
       SELECT user_id, min(ts) AS session_start,
              count(*)::BIGINT AS n_events, round(sum(value),2) AS sum_value
-      FROM s GROUP BY user_id, sid"""))
+      FROM s GROUP BY user_id, sid""")),
+
+    Q("st_stream_dedup", (s, dir) => StreamOps.streamDedupCounts(s, dir),
+      Some("""
+      SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+      FROM events GROUP BY 1"""))
   )
 }

@@ -155,6 +155,21 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-duplicate CLUSTERS from any pair relation `(doc_a, doc_b)`:
+    * connected components over the undirected dup graph; cluster id =
+    * min doc_id in the component — the canonical "keep" representative
+    * of the standard collapse-near-dups pipeline step. Distributed via
+    * GraphX CC (pair volume never lands on the driver); composes with
+    * [[minHashPairs]], [[simHashPairs]], [[ngramJaccardPairs]], or
+    * [[Similarity.cosineNearDupPairs]] as the edge source.
+    */
+  def dupClusters(spark: org.apache.spark.sql.SparkSession,
+      pairs: DataFrame): DataFrame =
+    GraphOps.connectedComponents(spark,
+        pairs.select(col("doc_a").cast("long").as("src"),
+          col("doc_b").cast("long").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("cluster"))
+
   /** Token n-gram shingles (default trigrams) — input to Jaccard dedup. */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = tokens(text)

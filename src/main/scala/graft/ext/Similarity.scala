@@ -91,6 +91,36 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
+  private def dotd(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a float vector (double math, left-fold order). */
+  def l2Norm(emb: Column): Column = sqrt(dotd(emb, emb))
+
+  /** int8 quantization scale `127 / max|x|` (guarded against the
+    * all-zero vector). Quantize with `round(x * scale)` — the standard
+    * symmetric per-row scheme for shipping embeddings at 1/4 the
+    * bytes; map-only, no shuffle.
+    */
+  def int8Scale(emb: Column): Column =
+    lit(127.0) / greatest(array_max(transform(emb, x => abs(x.cast("double")))),
+      lit(1e-12))
+
+  /** Deterministic dense random projection to `dims` components —
+    * same fixed coefficient family as [[lshBucket]] (no trained state
+    * to ship; any executor recomputes the same planes). The classic
+    * cheap dimensionality reduction ahead of clustering/ANN.
+    */
+  def randomProjection(emb: Column, dims: Int = 8): Seq[Column] =
+    (0 until dims).map { p =>
+      round(aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (v, i) => v.cast("double") *
+            ((lit((p + 1) * 0.61803398875) * i) % 1.0 * 2.0 - 1.0)),
+        lit(0.0), (acc, v) => acc + v), 6).as(s"proj$p")
+    }
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode of
     * SURVEY §2.D): bucket with sign-LSH, compare only within buckets.
     */

@@ -50,6 +50,27 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming exact deduplication: drop duplicate (user_id,
+    * event_type) pairs across the stream — state store keyed by the
+    * pair, the canonical streaming-dedup shape (at unbounded scale,
+    * `dropDuplicatesWithinWatermark` bounds the state by event time) —
+    * then count distinct users per event type. The answer is
+    * independent of arrival order and micro-batch slicing, so it is
+    * batch-checkable.
+    */
+  def streamDedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val dedup = eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val name = s"st_dedup_${System.nanoTime()}"
+    val q = dedup.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Batch `session_window` sessionization (30-min inactivity gap):
     * identical semantics in batch and streaming — the streaming
     * variant only adds a watermark. Session start = first event,
