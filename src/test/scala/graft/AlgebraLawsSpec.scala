@@ -83,6 +83,24 @@ class AlgebraLawsSpec extends GraftSuite {
     assert(plus == seqStar && plus.nonEmpty)
   }
 
+  test("seeded closure ≡ var-var closure restricted to the endpoint") {
+    // the bound-endpoint walk and the full relation closure must agree
+    // for every constant choice: seed from each node of the hierarchy
+    // and compare against the var-var evaluation filtered driver-side
+    val full = rows("""
+      SELECT ?a ?b WHERE { GRAPH g:schema { ?a rdfs:subClassOf+ ?b } }""")
+      .map(_.split('|')).map(r => (r(0), r(1))).toSet
+    val nodes = (full.map(_._1) ++ full.map(_._2)).toSeq.sorted
+    nodes.foreach { n =>
+      val fwd = rows(s"""
+        SELECT ?b WHERE { GRAPH g:schema { $n rdfs:subClassOf+ ?b } }""").toSet
+      assert(fwd == full.filter(_._1 == n).map(_._2), s"forward from $n")
+      val bwd = rows(s"""
+        SELECT ?a WHERE { GRAPH g:schema { ?a rdfs:subClassOf+ $n } }""").toSet
+      assert(bwd == full.filter(_._2 == n).map(_._1), s"backward to $n")
+    }
+  }
+
   test("MINUS ≡ FILTER NOT EXISTS when every variable is shared") {
     val minus = bag("""SELECT ?c WHERE {
       ?c a :Customer . MINUS { ?c a :Customer . ?c :mktsegment "BUILDING" } }""")
