@@ -449,6 +449,41 @@ object Queries {
       SELECT DISTINCT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3""")
     }),
 
+    // IVF coarse-quantized ANN: first-16-vectors centroids, nearest-cell
+    // assignment, queries probe their 2 nearest cells
+    Q("s_ivf_ann", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, 5)
+    }, Some(s"""
+      WITH cents AS (
+        SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+      ca AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ${duckCosine("e.embedding", "c.c_emb")} AS ccos
+        FROM embeddings e, cents c),
+      car AS (SELECT *, row_number() OVER
+                (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM ca),
+      assigned AS (SELECT cid, vec_id, embedding FROM car WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5),
+      qa AS (
+        SELECT q.query_id, q.q_emb, c.cid,
+               ${duckCosine("q.q_emb", "c.c_emb")} AS ccos
+        FROM q, cents c),
+      qar AS (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn FROM qa),
+      probes AS (SELECT cid, query_id, q_emb FROM qar WHERE rn <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id,
+               ${duckCosine("p.q_emb", "a.embedding")} AS cos
+        FROM assigned a JOIN probes p USING (cid)
+        WHERE a.vec_id <> p.query_id),
+      ranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM scored)
+      SELECT query_id, vec_id, cos, rank::INT AS rank
+      FROM ranked WHERE rank <= 5""")),
+
     // per-row L2 normalization, exploded for exact cross-engine compare
     Q("s_normalize", (s, dir) => {
       val e = t(s, dir, "embeddings")

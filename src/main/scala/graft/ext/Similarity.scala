@@ -121,6 +121,43 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v), 6).as(s"proj$p")
     }
 
+  /** IVF-style ANN: a training-free coarse quantizer — the first
+    * `cells` corpus vectors are the cell centroids — assigns every
+    * corpus vector to its nearest cell once (the cell id is a
+    * partition/bucket column at store scale, so a probe is a
+    * partition-pruned scan); each query scores only its `nprobe`
+    * nearest cells. Deterministic end to end: cosine ties break on
+    * the lower id. Recall < 1 by design; [[bruteForceTopK]] is the
+    * ground truth it trades against.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(corpus.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
+    def nearestCells(df: DataFrame, idCol: String, embCol: String, n: Int) = {
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid").asc)
+      df.join(cents, lit(true))
+        .select(col(idCol), col(embCol), col("cid"),
+          cosine(col(embCol), col("c_emb")).as("ccos"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= n)
+    }
+    val assigned = nearestCells(corpus, "vec_id", "embedding", 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+    val probes = broadcast(nearestCells(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        "query_id", "q_emb", nprobe)
+      .select(col("cid"), col("query_id"), col("q_emb")))
+    val scored = assigned.join(probes, Seq("cid"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode of
     * SURVEY §2.D): bucket with sign-LSH, compare only within buckets.
     */
