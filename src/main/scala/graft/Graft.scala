@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ingest.QuadStore
+import graft.rio.SparqlJson
+import graft.sparql.Sparql
+
+/** User-facing facade of the engine — the surface a user of the
+  * reference system needs to switch: open a store, bulk-load Turtle,
+  * run SPARQL updates, materialize inference at load time, and query
+  * (SELECT / ASK / CONSTRUCT / DESCRIBE) with results as DataFrames or
+  * W3C SPARQL-JSON. Everything delegates to the real modules; this
+  * object only fixes the wiring (snapshot per query = the reference's
+  * repository-connection read isolation,
+  * `GraphDBSystemAdapter.java:246,281`).
+  *
+  * {{{
+  * val g = Graft.open(spark, "/data/mystore")
+  * g.load(Seq("/data/dump1.ttl", "/data/dump2.ttl"))
+  * g.update("INSERT DATA { GRAPH <g:x> { ex:a ex:p ex:b . } }")
+  * g.materialize()                      // load-time OWL-Horst closure
+  * val df = g.query("SELECT ?s WHERE { ?s a ex:Widget }")
+  * val json = g.queryJson("SELECT ?s WHERE { ?s ?p ?o } LIMIT 10")
+  * }}}
+  */
+object Graft {
+
+  def open(spark: SparkSession, dir: String): Graft = new Graft(spark, dir)
+
+  /** One-off query over an existing quads DataFrame (no store). */
+  def query(spark: SparkSession, quads: DataFrame, text: String): DataFrame =
+    Sparql.query(spark, quads, text)
+}
+
+final class Graft private[graft] (spark: SparkSession, dir: String) {
+
+  val store = new QuadStore(spark, dir)
+
+  /** Bulk-load Turtle files as one atomic versioned graph; returns the
+    * graph IRI (`http://graph.version.N`).
+    */
+  def load(files: Seq[String]): String = store.loadVersion(files)
+
+  /** Any supported SPARQL Update (INSERT/DELETE DATA, DELETE WHERE,
+    * CLEAR/DROP GRAPH, INSERT…WITH rewrite).
+    */
+  def update(text: String): Unit = store.executeUpdate(text)
+
+  /** Materialize OWL-Horst entailments into the store (load-time
+    * inference; queries afterwards read explicit ∪ inferred).
+    */
+  def materialize(): Unit = store.materializeInference()
+
+  /** SELECT/ASK/CONSTRUCT/DESCRIBE over the current snapshot. */
+  def query(text: String): DataFrame =
+    Sparql.query(spark, store.snapshot(), text)
+
+  /** SELECT → W3C SPARQL 1.1 Results JSON (streamed serialization). */
+  def queryJson(text: String): String =
+    SparqlJson.select(Sparql.solutions(spark, store.snapshot(), text))
+}

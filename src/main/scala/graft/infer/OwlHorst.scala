@@ -41,7 +41,9 @@ import graft.rdf.Rdf
 object OwlHorst {
   import Rdf.{IRI, RdfType}
 
-  private val G = "g:inferred"
+  /** named graph that carries materialized entailments */
+  val InferredGraph = "g:inferred"
+  private val G = InferredGraph
 
   final case class Ontology(
       subClassOf: Seq[(String, String)],

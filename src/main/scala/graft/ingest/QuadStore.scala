@@ -139,6 +139,26 @@ final class QuadStore(spark: SparkSession, dir: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Materialize OWL-Horst entailments INTO the store: run the
+    * forward-chaining closure over the current snapshot and commit the
+    * inferred statements as a segment in graph
+    * [[graft.infer.OwlHorst.InferredGraph]] — the reference's
+    * load-time inference model (`owlim:ruleset`, `repo-config.ttl:26`):
+    * queries over later snapshots read explicit ∪ inferred statements
+    * with zero per-query inference cost. Re-running after new loads
+    * REPLACES the inferred graph (tombstone + fresh segment — the
+    * closure is not incremental here; use
+    * [[graft.infer.OwlHorst.incremental]] upstream for streaming
+    * deltas). Pinned snapshots are unaffected (immutable segments).
+    */
+  def materializeInference(): Unit = synchronized {
+    val mat = graft.infer.OwlHorst.materialize(spark, snapshot())
+    val inferred = mat.filter(col("g") === graft.infer.OwlHorst.InferredGraph)
+    clearGraph(graft.infer.OwlHorst.InferredGraph)
+    if (!inferred.isEmpty)
+      commitSegment(inferred, s"inf-${System.nanoTime()}")
+  }
+
   // ---- SPARQL Update surface -----------------------------------------
 
   /** `INSERT … WITH <g> …` → `INSERT DATA { GRAPH <g> { … } }`:

@@ -86,6 +86,51 @@ class IngestSpec extends GraftSuite {
       stmts.map(s => (s.s.lex, s.p.lex, s.o.lex)).toSet)
   }
 
+  test("store-level inference materialization (load-time cost model)") {
+    val d = Files.createTempDirectory("qsinf")
+    Files.writeString(d.resolve("o.ttl"), """
+      ex:Widget rdfs:subClassOf ex:Thing .
+      ex:w1 a ex:Widget .
+    """)
+    val store = new QuadStore(spark, d.resolve("store").toString)
+    store.loadVersion(Seq(d.resolve("o.ttl").toString))
+    store.materializeInference()
+    def inferredTypes = store.snapshot()
+      .filter(col("g") === graft.infer.OwlHorst.InferredGraph &&
+        col("p")("lex") === "rdf:type" && col("o")("lex") === "ex:Thing")
+    assert(inferredTypes.count() == 1)
+    // queries over later snapshots see entailments at zero query cost
+    val rows = Sparql.query(spark, store.snapshot(),
+      "SELECT ?x WHERE { ?x a ex:Thing }").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("ex:w1"))
+    // re-materialization replaces, not duplicates
+    store.materializeInference()
+    assert(inferredTypes.count() == 1)
+    // compaction folds the tombstones physically, keeps the entailments
+    store.compact()
+    assert(inferredTypes.count() == 1)
+    assert(Sparql.query(spark, store.snapshot(),
+      "SELECT ?x WHERE { ?x a ex:Thing }").count() == 1)
+  }
+
+  test("Graft facade: load → update → materialize → query end to end") {
+    val d = Files.createTempDirectory("facade")
+    Files.writeString(d.resolve("o.ttl"), """
+      ex:Widget rdfs:subClassOf ex:Thing .
+      ex:w1 a ex:Widget .
+    """)
+    val g = Graft.open(spark, d.resolve("store").toString)
+    g.load(Seq(d.resolve("o.ttl").toString))
+    g.update("INSERT DATA { GRAPH <g:extra> { ex:w2 a ex:Widget . } }")
+    g.materialize()
+    val rows = g.query("SELECT ?x WHERE { ?x a ex:Thing }")
+      .collect().map(_.getString(0)).toSet
+    assert(rows == Set("ex:w1", "ex:w2"))
+    val json = g.queryJson(
+      "SELECT ?x WHERE { ?x a ex:Thing } ORDER BY ?x LIMIT 1")
+    assert(json.contains(""""x":{"type":"uri","value":"ex:w1"}"""))
+  }
+
   test("turtle emit → parse round-trips statements") {
     val stmts = Turtle.parseDoc(fixture, "f1:")
     val reparsed = Turtle.parseDoc(Turtle.emit(stmts))
