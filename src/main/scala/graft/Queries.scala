@@ -32,6 +32,20 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  // minhash near-dup pairs are an intermediate VIEW shared by the pair
+  // gate and the cluster gate — computed and persisted once per
+  // (session, dataset), like the SPARQL quads view
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.computeIfAbsent(s.hashCode() + ":" + dir, _ => {
+      val p = Dedup.minHashPairs(t(s, dir, "documents"), 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })
+
   /** Inline DuckDB expression mirroring [[TextAnalysis.polyHash]] —
     * a sequential left fold `(h*31 + codepoint) mod 1e9+7` over the
     * characters of `expr`. Inlined (not a macro) because the driver
@@ -345,7 +359,7 @@ object Queries {
              min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY 1 HAVING count(*) > 1""")),
 
-    Q("d_minhash_lsh", (s, dir) => Dedup.minHashPairs(t(s, dir, "documents"), 0.5),
+    Q("d_minhash_lsh", (s, dir) => minhashPairs(s, dir),
       Some(s"""
       WITH $duckMinhashCtes
       SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
@@ -382,7 +396,7 @@ object Queries {
     // Oracle: transitive closure of the symmetric pair relation
     // (tiny by construction) + min over reachable.
     Q("d_dup_clusters", (s, dir) =>
-      Dedup.dupClusters(s, Dedup.minHashPairs(t(s, dir, "documents"), 0.5)),
+      Dedup.dupClusters(s, minhashPairs(s, dir)),
       Some(s"""
       WITH RECURSIVE $duckMinhashCtes,
       mh AS (SELECT doc_a, doc_b FROM j
