@@ -300,6 +300,33 @@ object Queries {
                    + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) AS quality
       FROM f""")),
 
+    // composite corpus filter: first-failing-rule verdict per document
+    Q("t_quality_filter", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityFilter(col("text")).as("verdict")),
+      Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               len(string_split(text,' '))::DOUBLE AS n,
+               len(list_filter(string_split(text,' '),
+                 t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE AS stop,
+               len(text)::DOUBLE AS chars
+        FROM documents),
+      sc AS (
+        SELECT doc_id, n, stop,
+               round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
+                     + least(round(stop/n,6)*4.0, 1.0)
+                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) AS quality
+        FROM f)
+      SELECT doc_id,
+             CASE WHEN n < 5 THEN 'too_short'
+                  WHEN n > 5000 THEN 'too_long'
+                  WHEN stop = 0 THEN 'non_english'
+                  WHEN quality < 0.5 THEN 'low_quality'
+                  ELSE 'keep' END AS verdict
+      FROM sc""")),
+
     Q("t_fingerprint", (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),

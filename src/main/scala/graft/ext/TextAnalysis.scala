@@ -80,6 +80,22 @@ object TextAnalysis {
     round((lenScore + stopScore + tokLenScore) / 3.0, 6)
   }
 
+  /** Composite corpus filter (C4-style): evaluate the cheap reject
+    * rules in order and materialize the FIRST failing rule as the
+    * verdict ("keep" when none fails) — drop REASONS matter as much as
+    * drops when auditing a pretraining corpus. Map-only; downstream
+    * writes partition by the verdict column.
+    */
+  def qualityFilter(text: Column, minTokens: Int = 5, maxTokens: Int = 5000,
+      minQuality: Double = 0.5): Column = {
+    val n = tokenCount(text)
+    when(n < minTokens, lit("too_short"))
+      .when(n > maxTokens, lit("too_long"))
+      .when(langId(text) =!= "en", lit("non_english"))
+      .when(qualityScore(text) < minQuality, lit("low_quality"))
+      .otherwise(lit("keep"))
+  }
+
   /** Content-defined document fingerprint: md5 over the sorted distinct
     * token set. Robust to token order shuffles (bag-of-words identity),
     * engine-independent, and join-able for exact near-dup grouping.
