@@ -132,22 +132,27 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cents = broadcast(corpus.filter(col("vec_id") < cells)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb")))
-    def nearestCells(df: DataFrame, idCol: String, embCol: String, n: Int) = {
-      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid").asc)
-      df.join(cents, lit(true))
-        .select(col(idCol), col(embCol), col("cid"),
-          cosine(col(embCol), col("c_emb")).as("ccos"))
-        .withColumn("rn", row_number().over(w)).where(col("rn") <= n)
-    }
-    val assigned = nearestCells(corpus, "vec_id", "embedding", 1)
-      .select(col("cid"), col("vec_id"), col("embedding"))
-    val probes = broadcast(nearestCells(
-        queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-        "query_id", "q_emb", nprobe)
-      .select(col("cid"), col("query_id"), col("q_emb")))
-    val scored = assigned.join(probes, Seq("cid"))
+    // the quantizer is tiny and ships WITH THE PLAN: centroids are
+    // collected once (same legitimacy class as the broadcast ontology)
+    // and inlined as array literals, so cell assignment is a pure
+    // map-side expression — zero join, zero shuffle over the corpus
+    val cents: Array[Seq[Float]] = corpus.filter(col("vec_id") < cells)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    // (−cos, cid) structs sort best-first with the lower cid on ties
+    def cellRanking(emb: Column): Column = array_sort(array(
+      cents.zipWithIndex.map { case (c, i) =>
+        struct((-cosine(emb, typedLit(c))).as("negccos"), lit(i).as("cid"))
+      }: _*))
+    def nearestCells(emb: Column, n: Int): Column =
+      transform(slice(cellRanking(emb), 1, n), x => x("cid"))
+    val assigned = corpus.withColumn("cell",
+      element_at(nearestCells(col("embedding"), 1), 1))
+    val probes = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("query_id"), col("q_emb"),
+        explode(nearestCells(col("q_emb"), nprobe)).as("cell")))
+    val scored = assigned.join(probes, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("q_emb"), col("embedding")).as("cos"))
