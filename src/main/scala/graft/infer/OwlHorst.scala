@@ -310,8 +310,13 @@ object OwlHorst {
       val t0 = System.nanoTime()
       var equivChanged = false
       var equivDf: Option[DataFrame] = None
+      // round 1 harvests from EVERYTHING (the incremental path's base
+      // may carry sameAs classes the delta never mentions — expansion
+      // of new statements still needs them); later rounds only from
+      // the round's delta
+      val harvestSrc = if (rounds == 1) all else delta
       if (!distSame) {
-        val pairRows = delta.filter(col("p")("lex") === "owl:sameAs")
+        val pairRows = harvestSrc.filter(col("p")("lex") === "owl:sameAs")
           .select(col("s")("lex"), col("o")("lex"))
           .limit(broadcastLimit + 1).collect()
         if (pairRows.length > broadcastLimit) distSame = true

@@ -152,7 +152,12 @@ final class QuadStore(spark: SparkSession, dir: String) {
     * deltas). Pinned snapshots are unaffected (immutable segments).
     */
   def materializeInference(): Unit = synchronized {
-    val mat = graft.infer.OwlHorst.materialize(spark, snapshot())
+    // close over the EXPLICIT statements only: feeding the previous
+    // inferred graph back in would let entailments of since-retracted
+    // axioms survive re-materialization forever
+    val explicitOnly = snapshot()
+      .filter(col("g") =!= graft.infer.OwlHorst.InferredGraph)
+    val mat = graft.infer.OwlHorst.materialize(spark, explicitOnly)
     val inferred = mat.filter(col("g") === graft.infer.OwlHorst.InferredGraph)
     clearGraph(graft.infer.OwlHorst.InferredGraph)
     if (!inferred.isEmpty)

@@ -198,8 +198,12 @@ object Turtle {
         subjDone = !peek.contains(TPunct(";"))
         if (!subjDone) {
           next()
-          if (peek.exists(t => t.text == "." || t.text == closer))
-            subjDone = true // dangling ;
+          // dangling ';' — only PUNCT terminators count (an IRI token
+          // whose text happens to be "." or "]" must not end the list)
+          if (peek.exists {
+            case TPunct(x) => x == "." || x == closer
+            case _ => false
+          }) subjDone = true
         }
       }
     }

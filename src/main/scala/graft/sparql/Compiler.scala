@@ -459,11 +459,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     */
   private def walk(p: Path, nodes: DataFrame, fwd: Boolean,
       scoped: DataFrame): DataFrame = {
+    // frontiers are node SETS (matching evalPath's distinct-pair
+    // semantics): dedup each step so the frontier grows with reachable
+    // NODES, not path multiplicity — on dense DAGs the difference is
+    // exponential
     def step(edges: DataFrame): DataFrame = {
       val (from, to) = if (fwd) ("s", "o") else ("o", "s")
       edges.join(nodes, edges(from)("lex") === nodes("n")("lex") &&
           edges(from)("kind") === nodes("n")("kind"))
         .select(edges(to).as("n"))
+        .distinct()
     }
     p match {
       case PLink(iri) => step(scoped.filter(col("p")("lex") === iri))
@@ -683,9 +688,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           val off = regexp_extract(a(0)("lex"), "(Z|[+-]\\d{2}:\\d{2})$", 1)
           val hh = substring(off, 2, 2).cast("int")
           val mm = substring(off, 5, 2).cast("int")
+          // canonical xsd:dayTimeDuration: zero components are omitted
+          // ("-00:30" → "-PT30M", not "-PT0H30M")
           val dur = concat(
             when(off.startsWith("-"), lit("-")).otherwise(lit("")),
-            lit("PT"), hh.cast("string"), lit("H"),
+            lit("PT"),
+            when(hh > 0, concat(hh.cast("string"), lit("H"))).otherwise(lit("")),
             when(mm > 0, concat(mm.cast("string"), lit("M"))).otherwise(lit("")))
           when(off === "", nullTerm)
             .when(off === "Z" || hh + mm === 0,
@@ -717,10 +725,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case "coalesce" =>
           coalesce(args.map(x => compExpr(x, resolve)): _*)
         // SPARQL casts: failure → error (NULL term), per §17.5
-        case "xsd:integer" => termNumDt(floor(
+        case "xsd:integer" => // §17.5 casts TRUNCATE toward zero
+          termNumDt(
             when(a(0)("num").isNotNull, a(0)("num"))
-              .otherwise(a(0)("lex").cast("double"))).cast("double"),
-          lit(Rdf.XsdInteger))
+              .otherwise(a(0)("lex").cast("double"))
+              .cast("long").cast("double"),
+            lit(Rdf.XsdInteger))
         case "xsd:decimal" | "xsd:double" => termNum(
             when(a(0)("num").isNotNull, a(0)("num"))
               .otherwise(a(0)("lex").cast("double")))

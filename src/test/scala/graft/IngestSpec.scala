@@ -111,6 +111,12 @@ class IngestSpec extends GraftSuite {
     assert(inferredTypes.count() == 1)
     assert(Sparql.query(spark, store.snapshot(),
       "SELECT ?x WHERE { ?x a ex:Thing }").count() == 1)
+    // retracting the axiom and re-materializing DROPS the stale
+    // entailment — the closure runs over explicit statements only
+    store.executeUpdate(
+      "DELETE WHERE { ?s rdfs:subClassOf ex:Thing }")
+    store.materializeInference()
+    assert(inferredTypes.count() == 0)
   }
 
   test("Graft facade: load → update → materialize → query end to end") {
@@ -129,6 +135,13 @@ class IngestSpec extends GraftSuite {
     val json = g.queryJson(
       "SELECT ?x WHERE { ?x a ex:Thing } ORDER BY ?x LIMIT 1")
     assert(json.contains(""""x":{"type":"uri","value":"ex:w1"}"""))
+  }
+
+  test("turtle: IRI tokens spelled '.' or ']' do not end a ; list") {
+    val stmts = Turtle.parseDoc(
+      "ex:s ex:p ex:o ; <.> ex:o2 .\nex:t ex:q [ ex:r ex:v ; <]> ex:v2 ] .")
+    assert(stmts.exists(s => s.p.lex == "." && s.o.lex == "ex:o2"))
+    assert(stmts.exists(s => s.p.lex == "]" && s.o.lex == "ex:v2"))
   }
 
   test("turtle emit → parse round-trips statements") {

@@ -89,6 +89,26 @@ class OwlHorstSpec extends GraftSuite {
     assert(key(inc).except(key(mat)).isEmpty && key(mat).except(key(inc)).isEmpty)
   }
 
+  test("incremental: delta referencing a base-resident sameAs alias expands") {
+    import spark.implicits._
+    import graft.rdf.Rdf
+    // base holds the sameAs class; the axiom-free delta only MENTIONS
+    // the aliased term — expansion must still fire (round-1 harvest
+    // reads the whole base, not just the delta)
+    val base = Seq(("e:a", "owl:sameAs", "e:b"))
+      .toDF("sl", "pl", "ol").select(lit("g:x").as("g"),
+        Rdf.iri(col("sl")).as("s"), Rdf.iri(col("pl")).as("p"),
+        Rdf.iri(col("ol")).as("o"))
+    val matBase = OwlHorst.materialize(spark, base)
+    val delta = Seq(("e:x", ":p", "e:a"))
+      .toDF("sl", "pl", "ol").select(lit("g:x").as("g"),
+        Rdf.iri(col("sl")).as("s"), Rdf.iri(col("pl")).as("p"),
+        Rdf.iri(col("ol")).as("o"))
+    val inc = OwlHorst.incremental(spark, matBase, delta)
+    assert(inc.filter(col("s")("lex") === "e:x" && col("p")("lex") === ":p" &&
+      col("o")("lex") === "e:b").count() == 1)
+  }
+
   test("delta carrying ontology axioms falls back to full re-materialization") {
     import spark.implicits._
     val quads = TpchRdf.graphDf(spark, sf)

@@ -90,6 +90,19 @@ class SemanticsSpec extends GraftSuite {
     assert(r.getString(2) == "")
     assert(r.getString(3) == "-PT5H")
     assert(r.getString(4) == "PT0S")
+    // zero-hour offsets canonicalize without the hour component
+    val r2 = q("""
+      SELECT ?d WHERE { ?r :name "ASIA" .
+        BIND(TIMEZONE(STRDT("2011-01-10T14:45:13-00:30", xsd:dateTime)) AS ?d) }""")
+    assert(r2.head.getString(0) == "-PT30M")
+  }
+
+  test("xsd:integer cast truncates toward zero (SPARQL 17.5)") {
+    val rows = q("""
+      SELECT ?a ?b WHERE { ?r :name "ASIA" .
+        BIND(xsd:integer(-2.5) AS ?a) BIND(xsd:integer(2.5) AS ?b) }""")
+    assert(rows.head.getString(0) == "-2.000000")
+    assert(rows.head.getString(1) == "2.000000")
   }
 
   test("OPTIONAL with empty group is identity") {

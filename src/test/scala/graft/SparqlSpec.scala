@@ -114,6 +114,21 @@ class SparqlSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).toSet == Set(":Customer", ":Agent", ":Thing"))
   }
 
+  test("seeded sequence path dedups across a diamond (set semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.rdf.Rdf
+    // s→m1→t and s→m2→t: two routes, ONE solution — matching the
+    // unseeded evalPath's distinct-pair semantics
+    val diamond = Seq(("e:s", "e:m1"), ("e:s", "e:m2"),
+        ("e:m1", "e:t"), ("e:m2", "e:t"))
+      .toDF("sl", "ol").select(lit("g:d").as("g"), Rdf.iri(col("sl")).as("s"),
+        Rdf.iri(lit(":p")).as("p"), Rdf.iri(col("ol")).as("o"))
+    val rows = Sparql.query(spark, diamond,
+      "SELECT ?x WHERE { e:s :p/:p ?x }").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("e:t"))
+  }
+
   test("aggregates: avg balance per nation with HAVING and ORDER") {
     val rows = q("""
       SELECT ?nname (AVG(?bal) AS ?avgbal) (COUNT(*) AS ?n) WHERE {
