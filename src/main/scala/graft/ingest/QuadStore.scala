@@ -89,11 +89,20 @@ final class QuadStore(spark: SparkSession, dir: String) {
   }
 
   /** Single-writer atomic commit: segment write → manifest swap. */
-  private def commitSegment(quads: DataFrame, name: String): Unit = synchronized {
-    val seg = s"seg-$name"
-    quads.write.mode("overwrite").parquet(root.resolve(seg).toString)
+  private def commitSegment(quads: DataFrame, name: String): Unit =
+    commitSegments(Seq(quads -> name))
+
+  /** Commit several segments in ONE manifest swap (all parquet writes
+    * land first; a crash before the swap leaves the store unchanged).
+    */
+  private def commitSegments(parts: Seq[(DataFrame, String)]): Unit = synchronized {
+    val segs = parts.map { case (quads, name) =>
+      val seg = s"seg-$name"
+      quads.write.mode("overwrite").parquet(root.resolve(seg).toString)
+      seg
+    }
     val tmp = root.resolve(s"_manifest.tmp")
-    Files.writeString(tmp, (committedSegments() :+ seg).mkString("\n"))
+    Files.writeString(tmp, (committedSegments() ++ segs).mkString("\n"))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -155,13 +164,20 @@ final class QuadStore(spark: SparkSession, dir: String) {
     // close over the EXPLICIT statements only: feeding the previous
     // inferred graph back in would let entailments of since-retracted
     // axioms survive re-materialization forever
-    val explicitOnly = snapshot()
-      .filter(col("g") =!= graft.infer.OwlHorst.InferredGraph)
+    val snap = snapshot()
+    val infG = graft.infer.OwlHorst.InferredGraph
+    val explicitOnly = snap.filter(col("g") =!= infG)
     val mat = graft.infer.OwlHorst.materialize(spark, explicitOnly)
-    val inferred = mat.filter(col("g") === graft.infer.OwlHorst.InferredGraph)
-    clearGraph(graft.infer.OwlHorst.InferredGraph)
-    if (!inferred.isEmpty)
-      commitSegment(inferred, s"inf-${System.nanoTime()}")
+    val inferred = mat.filter(col("g") === infG)
+    // tombstone-of-prior + new segment land in ONE manifest swap: no
+    // window where readers see a store without entailments, and a
+    // crash mid-way leaves the previous materialization intact
+    val prior = snap.filter(col("g") === infG)
+    val ts = System.nanoTime()
+    val parts =
+      (if (prior.isEmpty) Seq.empty else Seq(prior -> s"del-$ts")) ++
+        (if (inferred.isEmpty) Seq.empty else Seq(inferred -> s"inf-$ts"))
+    if (parts.nonEmpty) commitSegments(parts)
   }
 
   // ---- SPARQL Update surface -----------------------------------------

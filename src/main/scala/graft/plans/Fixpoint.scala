@@ -21,10 +21,13 @@ object Fixpoint {
 
   /** Transitive closure of a binary relation with columns (a, b).
     * Equality on pairs uses whole-row semantics (`except`), so any
-    * column type — strings, term structs — works.
+    * column type — strings, term structs — works. `groupCols` closes
+    * each group independently (e.g. per named graph) in one shared
+    * fixpoint whose rounds are bounded by the max diameter across
+    * groups.
     */
   def closure(edges0: DataFrame, joinCond: (DataFrame, DataFrame) => Column,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64, groupCols: Seq[String] = Nil): DataFrame = {
     val edges = edges0.distinct().localCheckpoint()
     var acc = edges
     var frontier = edges
@@ -32,9 +35,15 @@ object Fixpoint {
     var done = false
     while (!done && round < maxRounds) {
       round += 1
-      val step = edges.withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
-      val next = frontier.join(step, joinCond(frontier, step))
-        .select(frontier("a").as("a"), col("b2").as("b"))
+      val step = groupCols.foldLeft(
+          edges.withColumnRenamed("a", "m").withColumnRenamed("b", "b2")) {
+        (d, g) => d.withColumnRenamed(g, s"__$g")
+      }
+      val cond = (joinCond(frontier, step) +:
+        groupCols.map(g => frontier(g) === step(s"__$g"))).reduce(_ && _)
+      val next = frontier.join(step, cond)
+        .select((groupCols.map(g => frontier(g).as(g)) :+
+          frontier("a").as("a") :+ col("b2").as("b")): _*)
         .except(acc)
         .localCheckpoint()
       if (next.isEmpty) done = true
@@ -51,37 +60,13 @@ object Fixpoint {
     closure(edges, (f, s) =>
       f("b")("lex") === s("m")("lex") && f("b")("kind") === s("m")("kind"))
 
-  /** Transitive closure of term-struct pairs WITHIN each group `g` —
-    * edges `(g, a, b)` close against edges of the same `g` only (the
-    * GRAPH ?var property-path case: each named graph closes
-    * independently, in one shared fixpoint whose rounds are bounded by
-    * the max diameter across graphs).
+  /** Closure of term-struct pairs `(g, a, b)` WITHIN each named graph
+    * (the GRAPH ?var property-path case).
     */
-  def closureTermsGrouped(edges0: DataFrame): DataFrame = {
-    val edges = edges0.distinct().localCheckpoint()
-    var acc = edges
-    var frontier = edges
-    var round = 0
-    var done = false
-    while (!done && round < 64) {
-      round += 1
-      val step = edges.withColumnRenamed("g", "g2")
-        .withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
-      val next = frontier.join(step,
-          frontier("b")("lex") === step("m")("lex") &&
-            frontier("b")("kind") === step("m")("kind") &&
-            frontier("g") === step("g2"))
-        .select(frontier("g").as("g"), frontier("a").as("a"), col("b2").as("b"))
-        .except(acc)
-        .localCheckpoint()
-      if (next.isEmpty) done = true
-      else {
-        acc = acc.unionByName(next).localCheckpoint()
-        frontier = next
-      }
-    }
-    acc
-  }
+  def closureTermsGrouped(edges: DataFrame): DataFrame =
+    closure(edges, (f, s) =>
+      f("b")("lex") === s("m")("lex") && f("b")("kind") === s("m")("kind"),
+      groupCols = Seq("g"))
 
   /** Node set reachable in ≥1 application of `step` from `n0` (a
     * single-column "n" DataFrame). The seeded counterpart of

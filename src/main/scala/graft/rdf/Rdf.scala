@@ -51,7 +51,7 @@ object Rdf {
   val XsdBoolean = "xsd:boolean"
   val RdfType = "rdf:type"
 
-  def numericDt(dt: Column): Column = dt.isin(XsdDecimal, XsdInteger)
+  def numericDt(dt: Column): Column = dt.isin(XsdDecimal, XsdInteger, "xsd:double")
 
   /** Canonical lexical form of a numeric value: fixed-scale DECIMAL(28,6)
     * rendering, identical across engines (Spark and DuckDB both print
@@ -94,7 +94,8 @@ object Rdf {
   /** A concrete term as a literal Column (for pattern constants). */
   def constTerm(lex: String, kind: Int, dt: String = "", lang: String = ""): Column = {
     val num =
-      if (dt == XsdDecimal || dt == XsdInteger) lit(lex.toDouble)
+      if (dt == XsdDecimal || dt == XsdInteger || dt == "xsd:double")
+        lit(lex.toDouble)
       else if (dt == XsdBoolean) lit(if (lex == "true") 1.0 else 0.0)
       else lit(null).cast("double")
     term(lit(lex), lit(kind), lit(dt), lit(lang), num)

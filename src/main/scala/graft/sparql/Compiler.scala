@@ -320,8 +320,24 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         scoped.select((col("s").as("a") +: col("o").as("b") +:
           col("p").as(pv) +: gVar.map(_ => col("g")).toSeq): _*)
       case path if gVar.isDefined =>
-        // per-graph evaluation; pairs carry g, picked up below
-        evalPathG(path, scoped)
+        // per-graph evaluation; pairs carry g, picked up below. A
+        // CONSTANT endpoint matches zero-length paths in EVERY named
+        // graph regardless of whether the term occurs there (§9.3
+        // ZeroLengthPath with a bound term — same semantics the seeded
+        // walk gives the non-GRAPH form)
+        val base = evalPathG(path, scoped)
+        val constEnd = (tp.s, tp.o) match {
+          case (t: T, _) => Some(t)
+          case (_, t: T) => Some(t)
+          case _ => None
+        }
+        constEnd match {
+          case Some(t) if pathHasZeroLength(path) =>
+            base.unionByName(scoped.select(col("g")).distinct()
+              .select(col("g"), constCol(t).as("a"), constCol(t).as("b")))
+              .distinct()
+          case _ => base
+        }
       case path =>
         def seed(t: T) = spark.range(1).select(constCol(t).as("n"))
         (tp.s, tp.o) match {
@@ -440,6 +456,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         .unionByName(identityPairsG(scoped)).distinct()
   }
 
+  /** Can the path match with zero steps? (`p*`, `p?`, compositions) */
+  private def pathHasZeroLength(p: Path): Boolean = p match {
+    case PStar(_) | POpt(_) => true
+    case PSeq(l, r) => pathHasZeroLength(l) && pathHasZeroLength(r)
+    case PAlt(l, r) => pathHasZeroLength(l) || pathHasZeroLength(r)
+    case PInv(q) => pathHasZeroLength(q)
+    case _ => false
+  }
+
   /** zero-length endpoints per named graph: `(g, t, t)` */
   private def identityPairsG(scoped: DataFrame): DataFrame =
     scoped.select(col("g"), col("s").as("t"))
@@ -554,10 +579,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case "isblank" => a(0)("kind") === BNODE
         case "isliteral" => a(0)("kind") === LIT
         case "isnumeric" => a(0)("num").isNotNull
-        case "in" =>
-          args.tail.map(x => cmpEq(a(0), compExpr(x, resolve))).reduce(_ || _)
+        case "in" => // empty list: IN () = false (SPARQL 17.4.1.9)
+          args.tail.map(x => cmpEq(a(0), compExpr(x, resolve)))
+            .reduceOption(_ || _).getOrElse(lit(false))
         case "notin" =>
-          !args.tail.map(x => cmpEq(a(0), compExpr(x, resolve))).reduce(_ || _)
+          !args.tail.map(x => cmpEq(a(0), compExpr(x, resolve)))
+            .reduceOption(_ || _).getOrElse(lit(false))
         case "xsd:boolean" =>
           when(a(0)("dt") === Rdf.XsdBoolean, a(0)("lex") === "true")
             .when(a(0)("num").isNotNull, a(0)("num") =!= 0.0)

@@ -97,6 +97,23 @@ class SemanticsSpec extends GraftSuite {
     assert(r2.head.getString(0) == "-PT30M")
   }
 
+  test("xsd:double literals carry numeric values into comparisons") {
+    // regression: a ^^xsd:double constant must compare numerically
+    // ("9" < "40"), not lexically ("9.000000" > "40.000000")
+    def ask(e: String): Boolean =
+      q(s"""ASK { ?r :name "ASIA" . FILTER($e) }""").head.getString(0) == "true"
+    assert(ask(""" "9"^^xsd:double < "40"^^xsd:double """))
+    assert(ask(""" "9"^^xsd:double < 40 """))     // mixed double/integer
+    assert(ask(""" "9.5"^^xsd:double + 1 > 10 """))
+  }
+
+  test("IN/NOT IN with empty lists evaluate, not crash") {
+    def ask(e: String): Boolean =
+      q(s"""ASK { ?r :name "ASIA" . FILTER($e) }""").head.getString(0) == "true"
+    assert(!ask("?r IN ()"))
+    assert(ask("?r NOT IN ()"))
+  }
+
   test("xsd:integer cast truncates toward zero (SPARQL 17.5)") {
     val rows = q("""
       SELECT ?a ?b WHERE { ?r :name "ASIA" .

@@ -129,6 +129,14 @@ class SparqlSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("e:t"))
   }
 
+  test("zero-length path from a constant agrees with and without GRAPH ?var") {
+    val plain = q("""
+      ASK { :NoSuchClass rdfs:subClassOf* :NoSuchClass }""").head.getString(0)
+    val graphed = q("""
+      ASK { GRAPH ?g { :NoSuchClass rdfs:subClassOf* :NoSuchClass } }""").head.getString(0)
+    assert(plain == "true" && graphed == "true")
+  }
+
   test("aggregates: avg balance per nation with HAVING and ORDER") {
     val rows = q("""
       SELECT ?nname (AVG(?bal) AS ?avgbal) (COUNT(*) AS ?n) WHERE {
