@@ -51,9 +51,9 @@ object Queries {
     * characters of `expr`. Inlined (not a macro) because the driver
     * runs each oracle as a standalone statement.
     */
-  private def duckPh(expr: String): String =
+  private def duckPh(expr: String, mult: Int = 31): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr,''), ch -> ascii(ch)::BIGINT)), " +
-      "(h, c) -> (h*31 + c) % 1000000007)"
+      s"(h, c) -> (h*$mult + c) % 1000000007)"
 
   // ---------------------------------------------------------------
   // Relational core: aggregation, joins, top-k, set ops, windows
@@ -409,7 +409,10 @@ object Queries {
                list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
                  i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
         FROM documents),
-      ex AS (SELECT doc_id, len(sh) AS n_sh, ${duckPh("unnest(sh)")} AS sh_hash FROM docs),
+      exs AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+      ex AS (SELECT doc_id, n_sh,
+             ${duckPh("shingle")}*1000000007 + ${duckPh("shingle", 131)} AS sh_hash
+             FROM exs),
       joined AS (
         SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
                count(*)::DOUBLE AS inter, any_value(l.n_sh) AS na, any_value(r.n_sh) AS nb

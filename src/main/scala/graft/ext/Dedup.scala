@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * (not Spark murmur) so results are reproducible and DuckDB-checkable.
   */
 object Dedup {
-  import TextAnalysis.{tokens, polyHash}
+  import TextAnalysis.{tokens, polyHash, polyHashWide}
 
   private val P = 1000000007L
 
@@ -135,15 +135,19 @@ object Dedup {
     perBit.reduce(_ + _)
   }
 
-  /** SimHash near-dup pairs: LSH on the two bytes of the 16-bit
-    * fingerprint (a pair within hamming distance ≤ 7 shares at least
-    * one exact byte — pigeonhole), verified by exact hamming distance.
+  /** SimHash near-dup pairs: LSH on the four NIBBLES of the 16-bit
+    * fingerprint — by pigeonhole, a pair within hamming distance ≤ 3
+    * has at most 3 differing bits touching at most 3 of the 4 bands,
+    * so at least one band matches exactly and the pair is guaranteed
+    * to become a candidate; exact hamming distance then verifies.
     * Same shuffle-on-tiny-key shape as [[minHashPairs]].
     */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = docs.select(col("doc_id"), simHash(col("text")).as("sh"))
+    val nibbles = (0 until 4).map(k =>
+      shiftright(col("sh"), 4 * k).bitwiseAND(lit(15L)))
     val banded = sig.select(col("doc_id"), col("sh"),
-      posexplode(array(pmod(col("sh"), lit(256L)), floor(col("sh") / 256L))))
+      posexplode(array(nibbles: _*)))
       .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
     val l = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val r = banded.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -192,10 +196,12 @@ object Dedup {
     * No join key's input grows quadratically in df.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    // per-doc distinct shingle set, kept as 63-bit hashes (tiny, fixed
-    // width — the raw shingle strings never enter any shuffle)
+    // per-doc distinct shingle set, kept as ~60-bit wide hashes (tiny,
+    // fixed width — the raw shingle strings never enter any shuffle;
+    // the wide hash keeps the EXACT-verify claim honest at corpus
+    // scale, where a ~1e9 hash space would saturate)
     val docSh = docs.select(col("doc_id"),
-        transform(array_distinct(shingles(col("text"), n)), s => polyHash(s)).as("sh"))
+        transform(array_distinct(shingles(col("text"), n)), s => polyHashWide(s)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("sh_hash"))

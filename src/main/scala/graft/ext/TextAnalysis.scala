@@ -36,6 +36,16 @@ object TextAnalysis {
     */
   def polyHash(s: Column): Column = graft.functions.PolyHash(s)
 
+  /** ~60-bit-wide variant: two INDEPENDENT polynomial hashes packed as
+    * `ph31 · P + ph131` — collision space ~1e18 instead of ~1e9. Used
+    * where an EXACTNESS claim rides on distinct strings hashing
+    * distinctly (the n-gram Jaccard verify path); both factors mirror
+    * 1:1 in DuckDB.
+    */
+  def polyHashWide(s: Column): Column =
+    graft.functions.PolyHash(s, 31) * lit(1000000007L) +
+      graft.functions.PolyHash(s, 131)
+
   /** interpreted `aggregate(split(...))` reference formulation */
   def polyHashHof(s: Column): Column =
     aggregate(

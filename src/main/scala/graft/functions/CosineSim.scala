@@ -44,12 +44,16 @@ final case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // propagate like the HOF path
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    CosineSim.round6(dot / math.sqrt(nx) / math.sqrt(ny))
+    // zero-norm: Spark's Divide yields NULL on a zero divisor under
+    // the engine's ANSI-off config — match the HOF formulation
+    if (nx == 0.0 || ny == 0.0) null
+    else CosineSim.round6(dot / math.sqrt(nx) / math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -67,13 +71,21 @@ final case class CosineSim(left: Expression, right: Expression)
           ${ev.isNull} = true;
         } else {
           double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-          for (int $i = 0; $i < $n; $i++) {
-            double $xi = (double) $x.getFloat($i);
-            double $yi = (double) $y.getFloat($i);
-            $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+          for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+            if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; }
+            else {
+              double $xi = (double) $x.getFloat($i);
+              double $yi = (double) $y.getFloat($i);
+              $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+            }
           }
-          ${ev.value} = graft.functions.CosineSim.round6(
-            $dot / java.lang.Math.sqrt($nx) / java.lang.Math.sqrt($ny));
+          if (!${ev.isNull}) {
+            if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+            else {
+              ${ev.value} = graft.functions.CosineSim.round6(
+                $dot / java.lang.Math.sqrt($nx) / java.lang.Math.sqrt($ny));
+            }
+          }
         }
       """
     })
@@ -85,10 +97,13 @@ final case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   /** round half-up at 6 decimals — matches `functions.round` and the
-    * oracle's `round(x, 6)`
+    * oracle's `round(x, 6)`. NaN/Infinity pass through unchanged (a
+    * zero-norm vector yields NaN on the HOF path too; BigDecimal would
+    * throw).
     */
   def round6(v: Double): Double =
-    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (v.isNaN || v.isInfinite) v
+    else BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   def apply(a: Column, b: Column): Column =
     GraftExprBridge.column(

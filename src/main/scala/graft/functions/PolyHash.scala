@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * pipeline — so it is a real Expression with `doGenCode`, not an
   * interpreted `aggregate(split(...))` chain.
   */
-final case class PolyHash(child: Expression) extends UnaryExpression {
+final case class PolyHash(child: Expression, mult: Int = 31)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -27,10 +28,10 @@ final case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
-    PolyHash.hash(input.asInstanceOf[UTF8String])
+    PolyHash.hash(input.asInstanceOf[UTF8String], mult)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.hash($c, $mult)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
@@ -43,18 +44,22 @@ object PolyHash {
     * `ascii` yields the first CODE POINT of each single-char split, so
     * iterate code points, not UTF-16 chars
     */
-  def hash(s: UTF8String): Long = {
+  def hash(s: UTF8String, mult: Int): Long = {
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      h = (h * 31 + cp) % P
+      h = (h * mult + cp) % P
       i += Character.charCount(cp)
     }
     h
   }
 
-  def apply(c: Column): Column =
-    GraftExprBridge.column(PolyHash(GraftExprBridge.expression(c)))
+  def hash(s: UTF8String): Long = hash(s, 31)
+
+  def apply(c: Column): Column = apply(c, 31)
+
+  def apply(c: Column, mult: Int): Column =
+    GraftExprBridge.column(PolyHash(GraftExprBridge.expression(c), mult))
 }

@@ -50,7 +50,7 @@ object Turtle {
       """|_:[A-Za-z0-9_:-]+""" + // ':' allowed: file-scope-salted labels round-trip
       """|@[A-Za-z][A-Za-z0-9-]*""" +
       """|[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+(?:[eE][+-]?\d+)?""" +
-      """|[A-Za-z_][A-Za-z0-9_]*:[A-Za-z0-9_.-]*|:[A-Za-z0-9_.-]+""" +
+      """|[A-Za-z_][A-Za-z0-9_]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?|:[A-Za-z0-9_.-]*[A-Za-z0-9_-]|:""" +
       """|\^\^|[;,.\[\]()]""" +
       """|[A-Za-z_][A-Za-z0-9_]*""").r
 
@@ -80,9 +80,29 @@ object Turtle {
     out.result()
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+  /** single left-to-right scan — sequential `replace` calls corrupt
+    * an escaped backslash followed by n/t/r ("\\\\n" is backslash+'n',
+    * not backslash+newline)
+    */
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n')
+          case 't' => b.append('\t')
+          case 'r' => b.append('\r')
+          case '"' => b.append('"')
+          case '\\' => b.append('\\')
+          case other => b.append('\\').append(other)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
   // ---- document parser ------------------------------------------------
 
@@ -266,7 +286,11 @@ object Turtle {
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
         files.flatMap { case (path, bytes) =>
-          val scope = java.lang.Integer.toHexString(path.hashCode) + ":"
+          // 64-bit content salt: a 32-bit hashCode collides at ~77k
+          // files (birthday bound) and would silently fuse blank nodes
+          val scope = java.security.MessageDigest.getInstance("MD5")
+            .digest(path.getBytes("UTF-8")).take(8)
+            .map("%02x".format(_)).mkString + ":"
           parseDoc(new String(bytes, java.nio.charset.StandardCharsets.UTF_8), scope)
         }
       }

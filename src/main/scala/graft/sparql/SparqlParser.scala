@@ -40,7 +40,7 @@ object SparqlParser {
       """|[?$][A-Za-z_][A-Za-z0-9_]*""" +     // VAR
       """|@[A-Za-z][A-Za-z0-9-]*""" +         // LANGTAG
       """|[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+(?:[eE][+-]?\d+)?""" + // NUMBER
-      """|[A-Za-z_][A-Za-z0-9_]*:[A-Za-z0-9_.-]*|:[A-Za-z0-9_.-]+""" + // PNAME
+      """|[A-Za-z_][A-Za-z0-9_]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?|:[A-Za-z0-9_.-]*[A-Za-z0-9_-]""" + // PNAME (no trailing '.')
       """|\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.|/^*+?!=<>-]""" +
       """|[A-Za-z_][A-Za-z0-9_]*""").r        // WORD
 
@@ -72,9 +72,26 @@ object SparqlParser {
     out.result()
   }
 
-  private def unescape(s: String): String =
-    s.replace("\\n", "\n").replace("\\t", "\t").replace("\\r", "\r")
-      .replace("\\\"", "\"").replace("\\\\", "\\")
+  /** single left-to-right scan (sequential replaces corrupt "\\\\n") */
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n')
+          case 't' => b.append('\t')
+          case 'r' => b.append('\r')
+          case '"' => b.append('"')
+          case '\\' => b.append('\\')
+          case other => b.append('\\').append(other)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
   // ---- parser state ---------------------------------------------------
 

@@ -10,15 +10,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * semantics, §2.A A7).
   *
   * State per user = the open session (start, last-seen, count, sum).
-  * An event within `gapMs` of the last one extends the session; a
-  * later event closes it (emitting a [[Session]]) and opens a new
-  * one. Event-time processing with processing-time-independent
-  * results: sessions close purely on event-time gaps, so replaying
-  * the same stream in different batch slicings yields the same
-  * sessions (the open tail session is emitted by `flush`).
-  *
-  * At scale: state lives in the state store keyed by user; size is
-  * O(active users), GC'd via timeouts when run with a watermark.
+  * Events are processed in event-time order within a batch; across
+  * batches, a LATE event that lands inside (or within `gapMs` of) the
+  * open session MERGES into it — bounds expand monotonically — and an
+  * event older than `start − gapMs` is emitted as its own
+  * already-closed session (it can no longer extend anything). A
+  * forward event beyond the gap closes the open session and starts a
+  * new one. Only CLOSED sessions are emitted; the open tail stays in
+  * state by design (unbounded streams have no end — run with a
+  * watermark + event-time timeout to flush and GC state at scale).
   */
 object Sessionize {
 
@@ -34,11 +34,16 @@ object Sessionize {
     var cur = state.getOption
     events.toSeq.sortBy(_.ts_ms).foreach { e =>
       cur match {
-        case Some(s) if e.ts_ms - s.last <= gapMs =>
-          cur = Some(SessionState(s.start, e.ts_ms, s.n + 1, s.sum + e.value))
-        case Some(s) =>
+        case Some(s) if e.ts_ms > s.last + gapMs => // gap: close, start new
           closed ::= Session(user, s.start, s.last, s.n, s.sum)
           cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
+        case Some(s) if e.ts_ms < s.start - gapMs => // too-late: own session
+          closed ::= Session(user, e.ts_ms, e.ts_ms, 1, e.value)
+        case Some(s) => // in or adjacent (possibly late): merge, bounds
+          // expand monotonically — a late cross-batch event must never
+          // drag `last` backwards
+          cur = Some(SessionState(math.min(s.start, e.ts_ms),
+            math.max(s.last, e.ts_ms), s.n + 1, s.sum + e.value))
         case None =>
           cur = Some(SessionState(e.ts_ms, e.ts_ms, 1, e.value))
       }

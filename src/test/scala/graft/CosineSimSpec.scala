@@ -34,6 +34,23 @@ class CosineSimSpec extends GraftSuite {
     assert(mism.isNullAt(0))
   }
 
+  test("zero-norm vectors yield null (Divide-by-zero parity), never crash") {
+    import spark.implicits._
+    // Spark's Divide returns NULL on a zero divisor under the engine's
+    // ANSI-off config, so the HOF path yields NULL — the native
+    // expression matches instead of throwing from BigDecimal(NaN)
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(CosineSim(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("null array elements propagate to a null result") {
+    val df = spark.sql(
+      "SELECT array(cast(1.0 as float), cast(null as float)) AS a, " +
+        "array(cast(1.0 as float), cast(2.0 as float)) AS b")
+    assert(df.select(CosineSim(org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).head.isNullAt(0))
+  }
+
   test("PolyHash equals the aggregate/split formulation exactly") {
     val docs = Tables(spark, sf, "documents")
     val toks = docs.select(explode(split(col("text"), " ")).as("t")).limit(2000)

@@ -137,6 +137,17 @@ class IngestSpec extends GraftSuite {
     assert(json.contains(""""x":{"type":"uri","value":"ex:w1"}"""))
   }
 
+  test("turtle: default prefix, trailing-dot pnames, and backslash escapes") {
+    // ':o.' must tokenize as ':o' + terminator (PN_LOCAL cannot end
+    // with '.'); the default prefix ':' must be declarable
+    val stmts = Turtle.parseDoc(
+      "@prefix : <http://e/> .\n:s :p :o.\n:s :q \"C:\\\\new\" .")
+    assert(stmts.exists(s => s.s.lex == "http://e/s" &&
+      s.p.lex == "http://e/p" && s.o.lex == "http://e/o"))
+    // escaped backslash followed by 'n' stays backslash + 'n'
+    assert(stmts.exists(s => s.p.lex == "http://e/q" && s.o.lex == "C:\\new"))
+  }
+
   test("turtle: IRI tokens spelled '.' or ']' do not end a ; list") {
     val stmts = Turtle.parseDoc(
       "ex:s ex:p ex:o ; <.> ex:o2 .\nex:t ex:q [ ex:r ex:v ; <]> ex:v2 ] .")

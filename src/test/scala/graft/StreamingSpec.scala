@@ -41,6 +41,30 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("sessionizer: a late cross-batch event merges without corrupting bounds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(mem.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, 100000, 1.0))
+      q.processAllAvailable()
+      // late event from an earlier point, still within the gap: merge
+      mem.addData(Event(1, 40000, 2.0))
+      q.processAllAvailable()
+      // far-future event closes the merged session
+      mem.addData(Event(1, 500000, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_late").as[Session].collect()
+      assert(closed.length == 1)
+      // bounds expanded monotonically: start=40000, end=100000 (not
+      // end-before-start as the pre-fix state would produce)
+      assert(closed.head == Session(1, 40000, 100000, 2, 3.0))
+    } finally q.stop()
+  }
+
   test("streaming hourly counts equal the batch answer") {
     val streamed = StreamOps.hourlyCountsStreaming(spark, sf)
       .orderBy("hour_start", "event_type").collect()
