@@ -56,7 +56,21 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
   def query(text: String): DataFrame =
     Sparql.query(spark, store.snapshot(), text)
 
-  /** SELECT → W3C SPARQL 1.1 Results JSON (streamed serialization). */
-  def queryJson(text: String): String =
-    SparqlJson.select(Sparql.solutions(spark, store.snapshot(), text))
+  /** W3C SPARQL 1.1 Results JSON for any query form: SELECT bindings
+    * (streamed serialization), the ASK boolean envelope, and a
+    * lexical-triple envelope for CONSTRUCT/DESCRIBE.
+    */
+  def queryJson(text: String): String = {
+    val parsed = graft.sparql.SparqlParser.parse(text)
+    val c = new graft.sparql.Compiler(spark, store.snapshot())
+    if (parsed.isAsk)
+      SparqlJson.ask(c.ask(parsed.op).head().getString(0) == "true")
+    else (parsed.construct, parsed.describe) match {
+      case (None, None) => SparqlJson.select(c.compile(parsed.op))
+      case (Some(tmpl), _) =>
+        SparqlJson.selectLexical(c.construct(c.compile(parsed.op), tmpl))
+      case (_, Some(targets)) =>
+        SparqlJson.selectLexical(c.describe(c.compile(parsed.op), targets))
+    }
+  }
 }

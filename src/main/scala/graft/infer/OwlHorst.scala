@@ -39,7 +39,7 @@ import graft.rdf.Rdf
   * discovery, rewrite term ids to representatives) — SURVEY §2.C.
   */
 object OwlHorst {
-  import Rdf.{IRI, RdfType}
+  import Rdf.{IRI, LIT, RdfType}
 
   /** named graph that carries materialized entailments */
   val InferredGraph = "g:inferred"
@@ -160,13 +160,13 @@ object OwlHorst {
     // (expensive) fixpoint is skipped — one subset check instead.
     ont.transitive.foreach { tp =>
       val c = cur
-      val edges = c.filter(c("p")("lex") === tp && c("o")("kind") === IRI)
+      val edges = c.filter(c("p")("lex") === tp && c("o")("kind") =!= LIT)
         .select(col("s").as("a"), col("o").as("b"))
-        .unionByName(fed.filter(fed("p")("lex") === tp && fed("o")("kind") === IRI)
+        .unionByName(fed.filter(fed("p")("lex") === tp && fed("o")("kind") =!= LIT)
           .select(col("s").as("a"), col("o").as("b")))
       val alreadyClosed = prevClosures.get(tp) match {
         case Some(prev) =>
-          fed.filter(fed("p")("lex") === tp && fed("o")("kind") === IRI)
+          fed.filter(fed("p")("lex") === tp && fed("o")("kind") =!= LIT)
             .select(col("s").as("a"), col("o").as("b"))
             .except(prev).isEmpty
         case None => false
@@ -197,7 +197,7 @@ object OwlHorst {
           Rdf.iri(col("dc")).as("o")): _*)),
       if (ont.range.isEmpty) None
       else Some(fed.join(broadcast(ont.range.toDF("rp", "rc")),
-          fed("p")("lex") === col("rp") && fed("o")("kind") === IRI)
+          fed("p")("lex") === col("rp") && fed("o")("kind") =!= LIT)
         .select(Seq(col("o").as("s"), Rdf.iri(lit(RdfType)).as("p"),
           Rdf.iri(col("rc")).as("o")): _*))).flatten
     typed.foreach(emit)
@@ -266,6 +266,9 @@ object OwlHorst {
     // Catalyst's Union constraint rewriting on struct-typed columns
     // (NoSuchElementException in rewriteConstraints). Constraint
     // propagation only infers redundant filters — safe to disable.
+    // INTENTIONALLY left off for the session: the RETURNED DataFrame
+    // optimizes lazily at the caller's first action, so restoring the
+    // flag here would re-arm the crash exactly when the result is used.
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     val ont = ontology(quads)
     // prior g:inferred rows participate in the closure but the output
@@ -363,6 +366,9 @@ object OwlHorst {
         freshes :+= fresh
       }
     }
+    if (grew) System.err.println(
+      "[owlhorst] WARNING: fixpoint stopped at the 16-round cap before " +
+        "convergence — materialization may be incomplete")
     // the inferred set is exactly the union of the per-round deltas
     // (each is `except`-disjoint from everything before it) plus any
     // PRIOR inferred rows still absent from the explicit statements —

@@ -35,6 +35,13 @@ object SameAs {
     val members = pairs.select(col("a").as("member"))
       .unionByName(pairs.select(col("b").as("member"))).distinct()
       .select(xxhash64(col("member")).as("id"), col("member"))
+    // id = content hash is the vertex IDENTITY: a collision would merge
+    // unrelated equivalence classes, so fail loudly instead (same
+    // discipline as TermDictionary.build)
+    val nMembers = members.count()
+    val nIds = members.select("id").distinct().count()
+    require(nMembers == nIds,
+      s"sameAs term-hash collision: $nMembers members, $nIds ids — widen the id")
     val edges = pairs
       .select(xxhash64(col("a")).as("src"), xxhash64(col("b")).as("dst"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1) }

@@ -56,6 +56,7 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
   private val barrier = new Semaphore(0)
   @volatile var dataLoadingFinished: Boolean = false
   private val insertCount = new AtomicInteger(0)
+  private val updateFailures = new AtomicInteger(0)
   private val selectCount = new AtomicInteger(0)
 
   /** streamed updates run async on a 2-thread pool, the reference's
@@ -100,10 +101,15 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
       // asynchronously (ref `:188-203`, fire-and-forget)
       val update = new String(msg, UTF_8)
       updateExecutor.submit(new Runnable {
-        def run(): Unit = {
-          store.executeUpdate(update)
-          insertCount.incrementAndGet()
-        }
+        def run(): Unit =
+          try {
+            store.executeUpdate(update)
+            insertCount.incrementAndGet()
+          } catch {
+            case e: Throwable => // fire-and-forget must still leave a trace
+              updateFailures.incrementAndGet()
+              System.err.println(s"[mocha] streamed update failed: ${e.getMessage}")
+          }
       })
     }
   }
@@ -117,8 +123,15 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
     updateExecutor.awaitTermination(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
   }
 
+  // exactly-once per phase: the data thread handling the final message
+  // and the command thread that just set `announced` can BOTH observe
+  // received >= announced — without the CAS the double release leaves a
+  // stale permit that lets the NEXT phase load before its files arrive
+  private val barrierReleased = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def checkBarrier(): Unit =
-    if (announced.get() >= 0 && receivedMessages.get() >= announced.get())
+    if (announced.get() >= 0 && receivedMessages.get() >= announced.get() &&
+        barrierReleased.compareAndSet(false, true))
       barrier.release()
 
   // ---- command channel (A7/A16) ---------------------------------------
@@ -134,11 +147,15 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
     announced.set(nMessages)
     checkBarrier()
     barrier.acquire() // block until every announced message arrived (ref `:306-315`)
-    val files = Files.list(staging).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(_.toString).toList.sorted
+    val listing = Files.list(staging)
+    val files =
+      try listing.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(_.toString).toList.sorted
+      finally listing.close()
     if (files.nonEmpty) store.loadVersion(files)
     files.foreach(f => Files.delete(Paths.get(f))) // A9 staging GC (ref `:320-323`)
     receivedMessages.set(0)
+    barrierReleased.set(false)
     announced.set(-1)
     dataLoadingFinished = lastPhase // FSM flip (ref `:333`)
     Some(CommandBulkLoadingFinished)
@@ -164,7 +181,13 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
           val c = new graft.sparql.Compiler(spark, store.snapshot())
           if (parsed.isAsk)
             SparqlJson.ask(c.ask(parsed.op).head().getString(0) == "true")
-          else SparqlJson.select(c.compile(parsed.op))
+          else (parsed.construct, parsed.describe) match {
+            case (None, None) => SparqlJson.select(c.compile(parsed.op))
+            case (Some(tmpl), _) => // graph form: lexical-triple envelope
+              SparqlJson.selectLexical(c.construct(c.compile(parsed.op), tmpl))
+            case (_, Some(targets)) =>
+              SparqlJson.selectLexical(c.describe(c.compile(parsed.op), targets))
+          }
         } catch {
           case _: Throwable => SparqlJson.failurePlaceholder // ref `:251-258`
         }

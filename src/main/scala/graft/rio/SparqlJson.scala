@@ -85,6 +85,39 @@ object SparqlJson {
     out.append("]}}")
   }
 
+  /** Graph-form (CONSTRUCT/DESCRIBE) envelope: the lexical triple
+    * projection has plain STRING columns, so every binding serializes
+    * as a simple literal of its lexical form — kind information is not
+    * tracked in that projection (documented adapter choice; the
+    * benchmark workload issues only SELECT/ASK/updates).
+    */
+  def selectLexical(df: DataFrame): String = {
+    val vars = df.columns
+    val sb = new java.lang.StringBuilder
+    sb.append(s"""{"head":{"vars":[${
+      vars.map(v => s""""${esc(v)}"""").mkString(",")}]},""")
+    sb.append(""""results":{"bindings":[""")
+    val it = df.toLocalIterator()
+    var first = true
+    while (it.hasNext) {
+      val r = it.next()
+      if (!first) sb.append(",")
+      first = false
+      sb.append("{")
+      var firstField = true
+      vars.indices.foreach { i =>
+        if (!r.isNullAt(i)) {
+          if (!firstField) sb.append(",")
+          firstField = false
+          sb.append(s""""${esc(vars(i))}":${binding(r.getString(i), Rdf.LIT, "", "")}""")
+        }
+      }
+      sb.append("}")
+    }
+    sb.append("]}}")
+    sb.toString
+  }
+
   /** Whole-document convenience wrapper over [[writeSelect]]. */
   def select(solutions: DataFrame): String = {
     val sb = new java.lang.StringBuilder

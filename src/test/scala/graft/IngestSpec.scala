@@ -135,6 +135,14 @@ class IngestSpec extends GraftSuite {
     val json = g.queryJson(
       "SELECT ?x WHERE { ?x a ex:Thing } ORDER BY ?x LIMIT 1")
     assert(json.contains(""""x":{"type":"uri","value":"ex:w1"}"""))
+    // ASK routes to the boolean envelope, not a bindings document
+    assert(g.queryJson("ASK { ex:w1 a ex:Thing }") ==
+      """{"head":{},"boolean":true}""")
+    // CONSTRUCT routes to the lexical-triple envelope
+    val cj = g.queryJson(
+      "CONSTRUCT { ?x a ex:Entity } WHERE { ?x a ex:Widget }")
+    assert(cj.contains(""""vars":["s","p","o"]"""))
+    assert(cj.contains(""""value":"ex:Entity""""))
   }
 
   test("turtle: default prefix, trailing-dot pnames, and backslash escapes") {

@@ -89,6 +89,27 @@ class OwlHorstSpec extends GraftSuite {
     assert(key(inc).except(key(mat)).isEmpty && key(mat).except(key(inc)).isEmpty)
   }
 
+  test("transitive closure crosses blank-node objects") {
+    import spark.implicits._
+    import graft.rdf.Rdf
+    // _:b1 partOf _:b2 partOf ex:c with partOf transitive — bnode
+    // intermediates must participate (only LITERAL objects are excluded)
+    val rows = Seq(
+      ("ex:partOf", Rdf.RdfType, "owl:TransitiveProperty", Rdf.IRI),
+      ("b1", "ex:partOf", "b2", Rdf.BNODE),
+      ("b2", "ex:partOf", "ex:c", Rdf.IRI))
+    val quads = rows.toDF("sl", "pl", "ol", "ok").select(
+      lit("g:x").as("g"),
+      Rdf.term(col("sl"), when(col("sl").startsWith("b"), Rdf.BNODE)
+        .otherwise(Rdf.IRI), lit(""), lit(""), lit(null).cast("double")).as("s"),
+      Rdf.iri(col("pl")).as("p"),
+      Rdf.term(col("ol"), col("ok"), lit(""), lit(""),
+        lit(null).cast("double")).as("o"))
+    val m = OwlHorst.materialize(spark, quads)
+    assert(m.filter(col("s")("lex") === "b1" && col("p")("lex") === "ex:partOf" &&
+      col("o")("lex") === "ex:c").count() == 1)
+  }
+
   test("incremental: delta referencing a base-resident sameAs alias expands") {
     import spark.implicits._
     import graft.rdf.Rdf
