@@ -154,9 +154,13 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
       finally listing.close()
     if (files.nonEmpty) store.loadVersion(files)
     files.foreach(f => Files.delete(Paths.get(f))) // A9 staging GC (ref `:320-323`)
+    // Reset order matters: disarm the barrier (announced = -1) BEFORE
+    // clearing the counters — a next-phase data message arriving between
+    // the resets would otherwise see stale announced <= received and
+    // spuriously release the barrier for the next phase.
+    announced.set(-1)
     receivedMessages.set(0)
     barrierReleased.set(false)
-    announced.set(-1)
     dataLoadingFinished = lastPhase // FSM flip (ref `:333`)
     Some(CommandBulkLoadingFinished)
   }
