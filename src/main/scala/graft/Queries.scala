@@ -35,16 +35,10 @@ object Queries {
   // minhash near-dup pairs are an intermediate VIEW shared by the pair
   // gate and the cluster gate — computed and persisted once per
   // (session, dataset), like the SPARQL quads view
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.computeIfAbsent(s.hashCode() + ":" + dir, _ => {
-      val p = Dedup.minHashPairs(t(s, dir, "documents"), 0.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count()
-      p
-    })
+    graft.core.DfCache.df(s, dir, "minhash_pairs") {
+      Dedup.minHashPairs(t(s, dir, "documents"), 0.5)
+    }
 
   /** Inline DuckDB expression mirroring [[TextAnalysis.polyHash]] —
     * a sequential left fold `(h*31 + codepoint) mod 1e9+7` over the

@@ -16,43 +16,33 @@ import Queries.Q
 object SparqlQueries {
 
   private def canon(e: String): String = Rdf.canonNumLexSql(e)
+  // integer-typed results (COUNT, STRLEN) render integer lexicals
+  private def canonInt(e: String): String = Rdf.canonIntLexSql(e)
 
-  // Per-(session, sfDir) caches: the quads view is shared by every
-  // SPARQL entry and the OWL-Horst materialization is shared by the
-  // inference entries — materializing once and persisting mirrors the
-  // reference, where inference is a LOAD-time cost paid once, not a
-  // per-query cost (`repo-config.ttl:26`).
-  private val quadsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private val matCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
+  // Per-(session, sfDir) caches (DfCache — applicationId+sessionUUID
+  // keyed, evicted on application end): the quads view is shared by
+  // every SPARQL entry and the OWL-Horst materialization is shared by
+  // the inference entries — materializing once and persisting mirrors
+  // the reference, where inference is a LOAD-time cost paid once, not
+  // a per-query cost (`repo-config.ttl:26`).
   private def quads(s: SparkSession, dir: String): DataFrame =
-    quadsCache.computeIfAbsent(s.hashCode() + ":" + dir, _ => {
-      val q = TpchRdf.graphDf(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      q.count()
-      q
-    })
+    graft.core.DfCache.df(s, dir, "quads")(TpchRdf.graphDf(s, dir))
 
   private def materialized(s: SparkSession, dir: String): DataFrame =
-    matCache.computeIfAbsent(s.hashCode() + ":" + dir, _ => {
-      val m = graft.infer.OwlHorst.materialize(s, quads(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      m.count()
-      m
-    })
+    // OwlHorst.materialize returns an already-checkpointed leaf —
+    // persisting a second copy on top would double the storage
+    graft.core.DfCache.df(s, dir, "owlhorst_mat", persist = false) {
+      graft.infer.OwlHorst.materialize(s, quads(s, dir))
+    }
 
   // per-predicate statement counts — collected once per dataset and
   // fed to the compiler's join-order estimator (the statistics role of
   // `repo-config.ttl:46`)
-  private val statsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
-
   private def stats(s: SparkSession, dir: String): Map[String, Long] =
-    statsCache.computeIfAbsent(s.hashCode() + ":" + dir, _ =>
+    graft.core.DfCache.value(s, dir, "pred_stats") {
       quads(s, dir).groupBy(org.apache.spark.sql.functions.col("p")("lex"))
-        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
 
   private def sq(text: String): (SparkSession, String) => DataFrame =
     (s, dir) => Sparql.query(s, quads(s, dir), text, stats(s, dir))
@@ -116,7 +106,7 @@ object SparqlQueries {
     Q("r_graph_count", sq("""
       SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g"""),
       Some(TpchRdf.withQuads(s"""
-      SELECT g, ${canon("count(*)")} AS n FROM quads GROUP BY g"""))),
+      SELECT g, ${canonInt("count(*)")} AS n FROM quads GROUP BY g"""))),
 
     Q("r_path_2hop", sq("""
       SELECT ?c ?rn WHERE { ?c a :Customer . ?c :nation/:region/:name ?rn }"""),
@@ -144,7 +134,7 @@ object SparqlQueries {
       } GROUP BY ?nname"""),
       Some(TpchRdf.withQuads(s"""
       SELECT nm.o AS nname, ${canon("sum(b.onum)")} AS sum_bal,
-             ${canon("count(*)")} AS n_cust
+             ${canonInt("count(*)")} AS n_cust
       FROM quads ty
       JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
       JOIN quads nm ON nm.p=':name' AND nm.s=nt.o
@@ -186,7 +176,7 @@ object SparqlQueries {
         ?r :name ?rname . ?n :region ?r .
         BIND(STRLEN(?rname) AS ?nlen) }"""),
       Some(TpchRdf.withQuads(s"""
-      SELECT rg.s AS n, nm.o AS rname, ${canon("length(nm.o)")} AS nlen
+      SELECT rg.s AS n, nm.o AS rname, ${canonInt("length(nm.o)")} AS nlen
       FROM quads nm JOIN quads rg ON rg.p=':region' AND rg.o=nm.s
       WHERE nm.p=':name' AND nm.o IN ('ASIA','EUROPE')"""))),
 
@@ -261,7 +251,7 @@ object SparqlQueries {
       alltypes AS (SELECT DISTINCT * FROM (
         SELECT * FROM expanded
         UNION ALL SELECT e.s, scl.o FROM expanded e JOIN scl ON scl.s=e.t))""", s"""
-      SELECT t, ${canon("count(*)")} AS n FROM alltypes GROUP BY t"""))),
+      SELECT t, ${canonInt("count(*)")} AS n FROM alltypes GROUP BY t"""))),
 
     Q("r_infer_transitive", sqInf("""
       SELECT ?x WHERE { ?x :locatedIn reg:1 . ?x a :Customer }"""),
@@ -322,7 +312,7 @@ object SparqlQueries {
         ?c a :Customer . ?c :nation ?nt . ?nt :name ?nname
       } GROUP BY ?nname HAVING (COUNT(*) >= 5)"""),
       Some(TpchRdf.withQuads(s"""
-      SELECT nm.o AS nname, ${canon("count(*)")} AS ncust
+      SELECT nm.o AS nname, ${canonInt("count(*)")} AS ncust
       FROM quads ty
       JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
       JOIN quads nm ON nm.p=':name' AND nm.s=nt.o

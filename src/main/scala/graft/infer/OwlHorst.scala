@@ -261,15 +261,33 @@ object OwlHorst {
   }
 
   private def run(spark: SparkSession, quads: DataFrame, seed: DataFrame): DataFrame = {
-    import spark.implicits._
     // The deep Union-of-self-joined-lineage plans built below trip
     // Catalyst's Union constraint rewriting on struct-typed columns
     // (NoSuchElementException in rewriteConstraints). Constraint
-    // propagation only infers redundant filters — safe to disable.
-    // INTENTIONALLY left off for the session: the RETURNED DataFrame
-    // optimizes lazily at the caller's first action, so restoring the
-    // flag here would re-arm the crash exactly when the result is used.
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    // propagation only infers redundant filters — safe to disable
+    // while the fixpoint runs. The returned result is an eagerly
+    // localCheckpoint'ed LEAF (see end of doRun), so the flag can be
+    // restored here without re-arming the crash at the caller's first
+    // action — and unrelated queries in the session keep
+    // constraint-derived pruning.
+    val flagKey = "spark.sql.constraintPropagation.enabled"
+    val prior = spark.conf.getOption(flagKey)
+    spark.conf.set(flagKey, "false")
+    try {
+      // checkpoint the final union: every derived branch and the
+      // explicit slice collapse to materialized partitions, making the
+      // result plan-independent of the disabled-flag window
+      doRun(spark, quads, seed).localCheckpoint()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(flagKey, v)
+        case None => spark.conf.unset(flagKey)
+      }
+    }
+  }
+
+  private def doRun(spark: SparkSession, quads: DataFrame, seed: DataFrame): DataFrame = {
+    import spark.implicits._
     val ont = ontology(quads)
     // prior g:inferred rows participate in the closure but the output
     // inferred graph is rebuilt against the EXPLICIT statements only —

@@ -65,6 +65,18 @@ object Rdf {
   def canonNumLexSql(e: String): String =
     s"CAST(CAST(($e)::DOUBLE AS DECIMAL(28,6)) AS VARCHAR)"
 
+  /** Canonical lexical form of an INTEGER-typed value: no decimal
+    * point — `"5.000000"` is not a valid xsd:integer lexical per
+    * XSD 1.1, so integer-datatyped terms render `"5"` (the value is
+    * integral by construction; scale-0 decimal just drops the point).
+    */
+  def canonIntLex(c: Column): Column =
+    c.cast("double").cast("decimal(28,0)").cast("string")
+
+  /** DuckDB spelling of [[canonIntLex]] — used by oracle generators. */
+  def canonIntLexSql(e: String): String =
+    s"CAST(CAST(($e)::DOUBLE AS DECIMAL(28,0)) AS VARCHAR)"
+
   def term(lex: Column, kind: Column, dt: Column, lang: Column, num: Column): Column =
     struct(lex.as("lex"), kind.as("kind"), dt.as("dt"), lang.as("lang"), num.as("num"))
 

@@ -129,10 +129,13 @@ object Turtle {
     }
 
     def canonNum(text: String): Term = {
-      val bd = BigDecimal(text).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val isInt = !text.contains('.') && !text.toLowerCase.contains('e')
+      // integer lexicals stay integral ("30", valid xsd:integer per
+      // XSD 1.1); decimals canonicalize to the engine-wide scale-6 form
+      val bd = BigDecimal(text)
+        .setScale(if (isInt) 0 else 6, BigDecimal.RoundingMode.HALF_UP)
       Term(bd.bigDecimal.toPlainString, Rdf.LIT,
-        if (text.contains('.') || text.toLowerCase.contains('e')) Rdf.XsdDecimal
-        else Rdf.XsdInteger, "", Some(text.toDouble))
+        if (isInt) Rdf.XsdInteger else Rdf.XsdDecimal, "", Some(text.toDouble))
     }
 
     val stmts = Seq.newBuilder[Stmt]

@@ -599,17 +599,31 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       Rdf.term(when(c, "true").otherwise("false"), lit(LIT), lit(Rdf.XsdBoolean),
         lit(""), when(c, 1.0).otherwise(0.0)))
 
-  private def termNum(c: Column): Column = termNumDt(c, lit(Rdf.XsdDecimal))
+  private def termNum(c: Column): Column = termNumDt(c, Rdf.XsdDecimal)
+
+  /** static-datatype variant: picks the lexical renderer at plan-build
+    * time instead of emitting a constant-foldable CASE per term
+    */
+  private def termNumDt(c: Column, dt: String): Column =
+    when(c.isNull, nullTerm).otherwise(
+      Rdf.term(
+        if (dt == Rdf.XsdInteger) Rdf.canonIntLex(c) else Rdf.canonNumLex(c),
+        lit(LIT), lit(dt), lit(""), c.cast("double")))
 
   /** Numeric result with an explicit datatype — XPath-style promotion
     * keeps integer-typed results integer (DATATYPE(?x+?y) answers).
-    * The LEXICAL form stays the engine-wide canonical DECIMAL(28,6)
-    * string in all cases: that is the deliberate cross-engine
-    * convention the DuckDB oracle mirrors.
+    * The lexical form follows the datatype: integer-typed terms render
+    * an integer lexical (`"5"` — `"5.000000"` is not a valid
+    * xsd:integer lexical per XSD 1.1), everything else the engine-wide
+    * canonical DECIMAL(28,6) string. The DuckDB oracles mirror both
+    * via [[Rdf.canonIntLexSql]]/[[Rdf.canonNumLexSql]].
     */
   private def termNumDt(c: Column, dt: Column): Column =
     when(c.isNull, nullTerm).otherwise(
-      Rdf.term(Rdf.canonNumLex(c), lit(LIT), dt, lit(""), c.cast("double")))
+      Rdf.term(
+        when(dt === Rdf.XsdInteger, Rdf.canonIntLex(c))
+          .otherwise(Rdf.canonNumLex(c)),
+        lit(LIT), dt, lit(""), c.cast("double")))
 
   /** op:numeric promotion for +,-,*: integer ⊗ integer → integer,
     * anything else → decimal (division is always decimal).
@@ -671,7 +685,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case "datatype" => Rdf.iri(a(0)("dt"))
         case "iri" | "uri" => Rdf.iri(a(0)("lex"))
         case "strlen" =>
-          termNumDt(length(a(0)("lex")).cast("double"), lit(Rdf.XsdInteger))
+          termNumDt(length(a(0)("lex")).cast("double"), Rdf.XsdInteger)
         case "substr" =>
           val from = a(1)("num").cast("int")
           val len = if (args.size > 2) a(2)("num").cast("int") else lit(Int.MaxValue)
@@ -699,15 +713,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         // date/time accessors work on the canonical ISO lexical forms
         // (xsd:date "YYYY-MM-DD", xsd:dateTime "YYYY-MM-DDTHH:MM:SS")
         case "year" =>
-          termNumDt(substring(a(0)("lex"), 1, 4).cast("double"), lit(Rdf.XsdInteger))
+          termNumDt(substring(a(0)("lex"), 1, 4).cast("double"), Rdf.XsdInteger)
         case "month" =>
-          termNumDt(substring(a(0)("lex"), 6, 2).cast("double"), lit(Rdf.XsdInteger))
+          termNumDt(substring(a(0)("lex"), 6, 2).cast("double"), Rdf.XsdInteger)
         case "day" =>
-          termNumDt(substring(a(0)("lex"), 9, 2).cast("double"), lit(Rdf.XsdInteger))
+          termNumDt(substring(a(0)("lex"), 9, 2).cast("double"), Rdf.XsdInteger)
         case "hours" =>
-          termNumDt(substring(a(0)("lex"), 12, 2).cast("double"), lit(Rdf.XsdInteger))
+          termNumDt(substring(a(0)("lex"), 12, 2).cast("double"), Rdf.XsdInteger)
         case "minutes" =>
-          termNumDt(substring(a(0)("lex"), 15, 2).cast("double"), lit(Rdf.XsdInteger))
+          termNumDt(substring(a(0)("lex"), 15, 2).cast("double"), Rdf.XsdInteger)
         case "seconds" => termNum(substring(a(0)("lex"), 18, 2).cast("double"))
         case "tz" => // lexical offset suffix, "" when absent (SPARQL 17.4.5.9)
           termStr(regexp_extract(a(0)("lex"), "(Z|[+-]\\d{2}:\\d{2})$", 1))
@@ -774,16 +788,20 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val res = resolver(in)
     def arg: Column = compExpr(a.arg.get, res)
     a.fn match {
-      case "count" =>
+      case "count" => // COUNT returns xsd:integer (SPARQL §18.5.1.2)
         a.arg match {
-          case None => termNum(count(lit(1)).cast("double"))
+          case None => termNumDt(count(lit(1)).cast("double"), Rdf.XsdInteger)
           case Some(_) =>
             if (a.distinct)
-              termNum(countDistinct(arg("lex"), arg("kind")).cast("double"))
-            else termNum(count(arg).cast("double"))
+              termNumDt(countDistinct(arg("lex"), arg("kind")).cast("double"),
+                Rdf.XsdInteger)
+            else termNumDt(count(arg).cast("double"), Rdf.XsdInteger)
         }
-      case "sum" => termNum(sum(arg("num")))
-      case "avg" => termNum(avg(arg("num")))
+      case "sum" => // XPath promotion: all-integer input sums to integer
+        termNumDt(sum(arg("num")),
+          when(every(arg("dt") === Rdf.XsdInteger), lit(Rdf.XsdInteger))
+            .otherwise(lit(Rdf.XsdDecimal)))
+      case "avg" => termNum(avg(arg("num"))) // AVG of integers is decimal
       case "min" => min_by(arg, Rdf.sortKey(arg))
       case "max" => max_by(arg, Rdf.sortKey(arg))
       case "sample" => first(arg, ignoreNulls = true)

@@ -33,7 +33,7 @@ class IngestSpec extends GraftSuite {
     assert(alice.exists(s => s.p.lex == "rdf:type" &&
       s.o.lex == "http://example.org/Person"))
     val age = alice.find(_.p.lex == "http://example.org/age").get.o
-    assert(age.num.contains(30.0) && age.lex == "30.000000")
+    assert(age.num.contains(30.0) && age.lex == "30")
     val lang = stmts.find(_.o.lang == "en").get.o
     assert(lang.lex == "Bob")
     assert(stmts.exists(_.o.lex == "f1:anon1")) // scoped bnode

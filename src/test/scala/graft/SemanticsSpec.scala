@@ -118,8 +118,9 @@ class SemanticsSpec extends GraftSuite {
     val rows = q("""
       SELECT ?a ?b WHERE { ?r :name "ASIA" .
         BIND(xsd:integer(-2.5) AS ?a) BIND(xsd:integer(2.5) AS ?b) }""")
-    assert(rows.head.getString(0) == "-2.000000")
-    assert(rows.head.getString(1) == "2.000000")
+    // integer-typed results carry valid xsd:integer lexicals (no ".000000")
+    assert(rows.head.getString(0) == "-2")
+    assert(rows.head.getString(1) == "2")
   }
 
   test("OPTIONAL with empty group is identity") {
