@@ -96,6 +96,23 @@ object GraphQueries {
       UNION ALL
       SELECT (100000+s_suppkey)::BIGINT, 2::BIGINT FROM supplier
       JOIN nation ON s_nationkey=n_nationkey
-      WHERE n_regionkey IN (SELECT r_regionkey FROM afr)"""))
+      WHERE n_regionkey IN (SELECT r_regionkey FROM afr)""")),
+
+    // per-vertex triangle counts over the same-region nation graph
+    // (each region's nations form a clique, so a nation in a region of
+    // k nations sits in C(k-1,2) triangles — exact relational mirror)
+    Q("g_triangles", (s, dir) => {
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk2"))
+      val edges = n1.join(n2, col("rk") === col("rk2") && col("k1") < col("k2"))
+        .select(col("k1").cast("long").as("src"), col("k2").cast("long").as("dst"))
+      GraphOps.triangleCount(s, edges)
+    },
+      Some("""
+      WITH k AS (SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1)
+      SELECT n_nationkey::BIGINT AS id, ((c-1)*(c-2)//2)::BIGINT AS triangles
+      FROM nation JOIN k USING (n_regionkey) WHERE c > 1"""))
   )
 }

@@ -177,6 +177,30 @@ object Queries {
       SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend
       FROM orders GROUP BY o_custkey HAVING count(*) >= 5""")),
 
+    // KMV (k-minimum-values) distinct-count sketch: hash every key to
+    // a uniform fraction, keep the k smallest distinct fractions,
+    // estimate = (k-1)/f_(k). Deterministic cross-engine (polynomial
+    // hash), mergeable (min-k of unions = union of min-ks), and the
+    // shuffle carries only k values per partition (TakeOrdered) — the
+    // sketch path for COUNT(DISTINCT) at 100 TB.
+    Q("q_kmv_distinct", (s, dir) => {
+      val k = 256
+      val mins = t(s, dir, "orders")
+        .select((TextAnalysis.polyHash(col("o_custkey").cast("string")) /
+          1000000007.0).as("f"))
+        .distinct().orderBy(col("f").asc).limit(k)
+      mins.agg(count(lit(1)).as("k_used"),
+        round(when(count(lit(1)) < k, count(lit(1)).cast("double"))
+          .otherwise(lit(k - 1) / max("f")), 2).as("est_distinct"))
+    }, Some(s"""
+      WITH h AS (SELECT DISTINCT ${duckPh("CAST(o_custkey AS VARCHAR)")} / 1000000007.0 AS f
+                 FROM orders),
+      mins AS (SELECT f FROM h ORDER BY f ASC LIMIT 256)
+      SELECT count(*)::BIGINT AS k_used,
+             round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                        ELSE 255 / max(f) END, 2) AS est_distinct
+      FROM mins""")),
+
     Q("q_case_expr", (s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),
@@ -221,6 +245,34 @@ object Queries {
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
              count(*) AS n, round(sum(value),2) AS sum_value
       FROM events GROUP BY 1, 2""")),
+
+    // ordered 3-step conversion funnel (view → click after it →
+    // purchase after that): stage k joins only stage k-1 survivors, so
+    // each step SHRINKS the keyed shuffle — no per-user event
+    // collection, no window over the whole stream
+    Q("w_funnel", (s, dir) => {
+      val e = t(s, dir, "events")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ns").as("tv"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_ns") > col("tv"))
+        .groupBy("user_id").agg(min("ts_ns").as("tc"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_ns") > col("tc"))
+        .groupBy("user_id").agg(min("ts_ns").as("tp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }, Some("""
+      WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+                 WHERE event_type='view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+            WHERE e.event_type='click' AND e.ts > v.tv GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+            WHERE e.event_type='purchase' AND e.ts > c.tc GROUP BY 1)
+      SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+             (SELECT count(*) FROM c)::BIGINT AS n_click,
+             (SELECT count(*) FROM p)::BIGINT AS n_purchase""")),
 
     Q("w_json_props", (s, dir) =>
       t(s, dir, "events")
@@ -321,6 +373,22 @@ object Queries {
                   ELSE 'keep' END AS verdict
       FROM sc""")),
 
+    // repetition ratio (most-frequent-token share) — the standard
+    // boilerplate/spam signal in corpus quality filtering; computed by
+    // token-level aggregation, never collecting a per-doc histogram
+    Q("t_repetition", (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c").as("n"), max("c").as("max_c"))
+        .select(col("doc_id"),
+          round(col("max_c").cast("double") / col("n"), 6).as("repetition_ratio")),
+      Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      cts AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS repetition_ratio
+      FROM cts GROUP BY doc_id""")),
+
     Q("t_fingerprint", (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
@@ -377,6 +445,20 @@ object Queries {
         .filter(col("n_dups") > 1),
       Some("""
       SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY 1 HAVING count(*) > 1""")),
+
+    // leading-boilerplate dedup: documents sharing their first 20
+    // tokens (templated headers, mirrored intros) group on a prefix
+    // hash — map-side md5, shuffle carries only the 32-byte key
+    Q("d_prefix_dup", (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 20))).as("prefix_md5"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1),
+      Some("""
+      SELECT md5(array_to_string(string_split(text,' ')[1:20],' ')) AS prefix_md5,
              min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY 1 HAVING count(*) > 1""")),
 

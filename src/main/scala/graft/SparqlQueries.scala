@@ -341,6 +341,15 @@ object SparqlQueries {
       WHERE ty.p='rdf:type' AND ty.o=':Customer' AND b.onum = (
         SELECT max(b2.onum) FROM quads ty2
         JOIN quads b2 ON b2.p=':acctbal' AND b2.s=ty2.s
-        WHERE ty2.p='rdf:type' AND ty2.o=':Customer')""")))
+        WHERE ty2.p='rdf:type' AND ty2.o=':Customer')"""))),
+
+    // REDUCED permits (and this engine performs) duplicate elimination
+    // (SPARQL §15.3.2) — compiled identically to DISTINCT
+    Q("r_reduced", sq("""
+      SELECT REDUCED ?rname WHERE { ?nt :region ?r . ?r :name ?rname }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT nm.o AS rname
+      FROM quads rg JOIN quads nm ON nm.p=':name' AND nm.s=rg.o
+      WHERE rg.p=':region'""")))
   )
 }

@@ -167,12 +167,47 @@ object Dedup {
     * [[minHashPairs]], [[simHashPairs]], [[ngramJaccardPairs]], or
     * [[Similarity.cosineNearDupPairs]] as the edge source.
     */
+  /** Near-dup pairs → clusters (connected components, cluster id =
+    * min member id). Near-dup pair sets are orders of magnitude
+    * smaller than the corpus (only documents WITH a near-duplicate
+    * appear), so up to `graft.dedup.cc.broadcast.limit` pairs the
+    * components are solved driver-side with a union-find — no GraphX
+    * job, no shuffle. Past the limit (entity-resolution-scale output
+    * at 100 TB) it flips to distributed GraphX connected components.
+    */
   def dupClusters(spark: org.apache.spark.sql.SparkSession,
-      pairs: DataFrame): DataFrame =
-    GraphOps.connectedComponents(spark,
-        pairs.select(col("doc_a").cast("long").as("src"),
-          col("doc_b").cast("long").as("dst")))
-      .select(col("id").as("doc_id"), col("component").as("cluster"))
+      pairs: DataFrame): DataFrame = {
+    val limit =
+      sys.props.getOrElse("graft.dedup.cc.broadcast.limit", "1000000").toInt
+    val head = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .limit(limit + 1).collect()
+    if (head.length > limit)
+      GraphOps.connectedComponents(spark,
+          pairs.select(col("doc_a").cast("long").as("src"),
+            col("doc_b").cast("long").as("dst")))
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+    else {
+      // driver union-find over the (small) pair set
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        else { parent.getOrElseUpdate(a, ra); parent.getOrElseUpdate(b, rb) }
+      }
+      val members = head.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      import spark.implicits._
+      members.map(m => (m, find(m))).toSeq.toDF("doc_id", "cluster")
+    }
+  }
 
   /** Token n-gram shingles (default trigrams) — input to Jaccard dedup. */
   def shingles(text: Column, n: Int = 3): Column = {

@@ -39,6 +39,26 @@ object GraphOps {
       .toDF("id", "component")
   }
 
+  /** Per-vertex triangle counts (undirected). Edges are canonicalized
+    * (src < dst, deduped) before GraphX's TriangleCount, which
+    * requires a canonical orientation; isolated self-loops drop out.
+    * Scale: GraphX's implementation joins each edge against the
+    * smaller adjacency set of its endpoints — no enumeration of all
+    * 2-paths on hub vertices.
+    */
+  def triangleCount(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val canon = edges
+      .select(least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    Graph.fromEdges(toEdgeRdd(canon), 0)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+      .triangleCount()
+      .vertices.map { case (id, n) => (id, n.toLong) }
+      .toDF("id", "triangles")
+  }
+
   /** Fixed-iteration PageRank (GraphX semantics: rank = reset + (1 -
     * reset) · Σ in-contributions, contributions divided by out-degree,
     * NOT normalized). Deterministic for a fixed iteration count.
