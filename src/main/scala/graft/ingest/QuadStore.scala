@@ -281,12 +281,43 @@ final class QuadStore(spark: SparkSession, dir: String) {
     if (!all.isEmpty) commitSegment(all, s"del-${System.nanoTime()}")
   }
 
+  /** `ADD <src> TO <dst>` (SPARQL 1.1 Update §3.2.5): dst ∪= src.
+    * Only rows NOT already in dst are appended (RDF graphs are sets) —
+    * the anti-diff also keeps a repeated ADD idempotent.
+    */
+  def addGraph(src: String, dst: String): Unit = synchronized {
+    if (src != dst) {
+      val snap = snapshot()
+      val fresh = snap.filter(col("g") === src)
+        .select(lit(dst).as("g"), col("s"), col("p"), col("o"))
+        .except(snap.filter(col("g") === dst))
+      if (!fresh.isEmpty) append(fresh, "addg")
+    }
+  }
+
+  /** `COPY <src> TO <dst>` (§3.2.3): dst := src (dst cleared first). */
+  def copyGraph(src: String, dst: String): Unit = synchronized {
+    if (src != dst) { clearGraph(dst); addGraph(src, dst) }
+  }
+
+  /** `MOVE <src> TO <dst>` (§3.2.4): COPY then drop src. */
+  def moveGraph(src: String, dst: String): Unit = synchronized {
+    if (src != dst) { copyGraph(src, dst); clearGraph(src) }
+  }
+
   /** Dispatch any supported SPARQL Update string. */
   def executeUpdate(update: String): Unit = {
     val ClearRe = """(?is)\s*(?:CLEAR|DROP)\s+(?:SILENT\s+)?GRAPH\s*<([^>]*)>\s*""".r
+    val GraphMgmtRe =
+      """(?is)\s*(COPY|MOVE|ADD)\s+(?:SILENT\s+)?(?:GRAPH\s+)?<([^>]*)>\s+TO\s+(?:GRAPH\s+)?<([^>]*)>\s*""".r
     val upper = update.toUpperCase
     update match {
       case ClearRe(g) => clearGraph(g)
+      case GraphMgmtRe(verb, src, dst) => verb.toUpperCase match {
+        case "COPY" => copyGraph(src, dst)
+        case "MOVE" => moveGraph(src, dst)
+        case _ => addGraph(src, dst)
+      }
       case u if upper.contains("DELETE DATA") => deleteData(u)
       case u if upper.contains("DELETE WHERE") => deleteWhere(u)
       case u => insertData(u)

@@ -33,15 +33,15 @@ object Turtle {
 
   // ---- tokenizer (shared shape with the SPARQL front-end) -------------
 
-  private sealed trait Tok { def text: String }
-  private case class TIri(text: String) extends Tok
-  private case class TPName(text: String) extends Tok
-  private case class TBNode(text: String) extends Tok
-  private case class TStr(text: String) extends Tok
-  private case class TNum(text: String) extends Tok
-  private case class TLang(text: String) extends Tok
-  private case class TWord(text: String) extends Tok
-  private case class TPunct(text: String) extends Tok
+  private[rio] sealed trait Tok { def text: String }
+  private[rio] case class TIri(text: String) extends Tok
+  private[rio] case class TPName(text: String) extends Tok
+  private[rio] case class TBNode(text: String) extends Tok
+  private[rio] case class TStr(text: String) extends Tok
+  private[rio] case class TNum(text: String) extends Tok
+  private[rio] case class TLang(text: String) extends Tok
+  private[rio] case class TWord(text: String) extends Tok
+  private[rio] case class TPunct(text: String) extends Tok
 
   private val TokenRe =
     ("""\s+|#[^\n]*""" +
@@ -51,10 +51,10 @@ object Turtle {
       """|@[A-Za-z][A-Za-z0-9-]*""" +
       """|[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+(?:[eE][+-]?\d+)?""" +
       """|[A-Za-z_][A-Za-z0-9_]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?|:[A-Za-z0-9_.-]*[A-Za-z0-9_-]|:""" +
-      """|\^\^|[;,.\[\]()]""" +
+      """|\^\^|[;,.\[\](){}]""" +
       """|[A-Za-z_][A-Za-z0-9_]*""").r
 
-  private def tokenize(doc: String): Vector[Tok] = {
+  private[rio] def tokenize(doc: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var idx = 0
     while (idx < doc.length) {
@@ -104,13 +104,34 @@ object Turtle {
     b.toString
   }
 
+  /** Canonical numeric literal for an EXPLICIT numeric datatype: the
+    * lexical follows the datatype (integer → integral form, decimal/
+    * double → engine-wide scale-6 form), not the source text shape.
+    */
+  private[rio] def canonNumTerm(text: String, dt: String): Term = {
+    val bd = BigDecimal(text).setScale(
+      if (dt == Rdf.XsdInteger) 0 else 6, BigDecimal.RoundingMode.HALF_UP)
+    Term(bd.bigDecimal.toPlainString, Rdf.LIT, dt, "", Some(text.toDouble))
+  }
+
   // ---- document parser ------------------------------------------------
 
   /** Parse one Turtle document. `bnodeScope` salts blank-node labels so
     * labels from different files never collide (file-scoped identity,
     * RDF 1.1 Turtle §2.5.1-flavored).
     */
-  def parseDoc(doc: String, bnodeScope: String = ""): Seq[Stmt] = {
+  def parseDoc(doc: String, bnodeScope: String = ""): Seq[Stmt] =
+    parseImpl(doc, bnodeScope, trig = false).map(_._2)
+
+  /** Parse one TriG document (RDF 1.2 TriG: Turtle + `{ }` graph
+    * blocks, optionally introduced by `GRAPH <g>`; statements outside
+    * any block land in the default graph, returned as graph `""`).
+    */
+  def parseTriG(doc: String, bnodeScope: String = ""): Seq[(String, Stmt)] =
+    parseImpl(doc, bnodeScope, trig = true)
+
+  private def parseImpl(doc: String, bnodeScope: String,
+      trig: Boolean): Seq[(String, Stmt)] = {
     val toks = tokenize(doc)
     var pos = 0
     var prefixes = Map.empty[String, String]
@@ -138,7 +159,9 @@ object Turtle {
         if (isInt) Rdf.XsdInteger else Rdf.XsdDecimal, "", Some(text.toDouble))
     }
 
-    val stmts = Seq.newBuilder[Stmt]
+    val stmts = Seq.newBuilder[(String, Stmt)]
+    var curGraph = "" // TriG graph context; "" = default graph
+    def emitStmt(st: Stmt): Unit = stmts += ((curGraph, st))
     // fresh anonymous bnode labels: a leading '-' is not a legal first
     // character of a file-authored `_:label` (W3C Turtle PN_CHARS_U |
     // digit), so "-aN" never collides under the same scope salt, yet
@@ -168,7 +191,7 @@ object Turtle {
               case t => fail(s"bad datatype ${t.text}")
             }
             if (dt == Rdf.XsdDecimal || dt == Rdf.XsdInteger || dt == "xsd:double")
-              canonNum(s).copy(dt = dt)
+              canonNumTerm(s, dt)
             else Term(s, Rdf.LIT, dt, "", None)
           case _ => Term(s, Rdf.LIT, Rdf.XsdString, "", None)
         }
@@ -188,9 +211,9 @@ object Turtle {
         else {
           val cells = items.map(_ => freshBnode())
           items.indices.foreach { i =>
-            stmts += Stmt(cells(i), rdfIri("rdf:first"), items(i))
-            stmts += Stmt(cells(i), rdfIri("rdf:rest"),
-              if (i == items.size - 1) rdfIri("rdf:nil") else cells(i + 1))
+            emitStmt(Stmt(cells(i), rdfIri("rdf:first"), items(i)))
+            emitStmt(Stmt(cells(i), rdfIri("rdf:rest"),
+              if (i == items.size - 1) rdfIri("rdf:nil") else cells(i + 1)))
           }
           cells.head
         }
@@ -214,7 +237,7 @@ object Turtle {
         val p = predicate()
         var objDone = false
         while (!objDone) {
-          stmts += Stmt(s, p, term())
+          emitStmt(Stmt(s, p, term()))
           objDone = !peek.contains(TPunct(","))
           if (!objDone) next()
         }
@@ -231,6 +254,24 @@ object Turtle {
       }
     }
 
+    /** `{ stmts }` with graph context `g`; optional trailing `.` */
+    def graphBlock(g: String): Unit = {
+      if (!peek.contains(TPunct("{"))) fail("expected {")
+      next()
+      val saved = curGraph
+      curGraph = g
+      while (!peek.contains(TPunct("}"))) {
+        if (peek.isEmpty) fail("unterminated graph block")
+        val subj = term()
+        if (!peek.contains(TPunct(".")) && !peek.contains(TPunct("}")))
+          predObjList(subj, closer = "}")
+        if (peek.contains(TPunct("."))) next()
+      }
+      next() // '}'
+      curGraph = saved
+      if (peek.contains(TPunct("."))) next()
+    }
+
     while (peek.isDefined) {
       peek match {
         case Some(TLang("prefix")) | Some(TWord("PREFIX")) => // @prefix / SPARQL-style
@@ -245,12 +286,23 @@ object Turtle {
         case Some(TLang("base")) | Some(TWord("BASE")) =>
           next(); next() // base IRI ignored: harness IRIs are absolute/compact
           if (peek.exists(_.text == ".")) next()
+        case Some(TWord(w)) if trig && w.equalsIgnoreCase("graph") =>
+          next()
+          val g = term()
+          if (g.kind != Rdf.IRI && g.kind != Rdf.BNODE)
+            fail("graph label must be an IRI or bnode")
+          graphBlock(g.lex)
+        case Some(TPunct("{")) if trig => graphBlock("") // default-graph block
         case _ =>
           val s = term()
-          // a bare `[ ... ] .` / `( ... ) .` statement is legal: the
-          // embedded properties were already emitted by term()
-          if (!peek.contains(TPunct("."))) predObjList(s, closer = ".")
-          if (peek.contains(TPunct("."))) next() else if (peek.isDefined) fail("expected .")
+          // TriG allows `<g> { ... }` without the GRAPH keyword
+          if (trig && peek.contains(TPunct("{"))) graphBlock(s.lex)
+          else {
+            // a bare `[ ... ] .` / `( ... ) .` statement is legal: the
+            // embedded properties were already emitted by term()
+            if (!peek.contains(TPunct("."))) predObjList(s, closer = ".")
+            if (peek.contains(TPunct("."))) next() else if (peek.isDefined) fail("expected .")
+          }
       }
     }
     stmts.result()
@@ -300,5 +352,28 @@ object Turtle {
     // case-class field order (lex, kind, dt, lang, num) matches the
     // engine term-struct layout ([[Rdf.term]]) exactly
     parsed.select(lit(graph).as("g"), col("s"), col("p"), col("o"))
+  }
+
+  /** Read TriG files into a quads DataFrame `(g, s, p, o)`: graph
+    * labels come from the documents' own `GRAPH { }` blocks;
+    * default-graph statements land in `defaultGraph`. Same
+    * one-file-per-task unit as [[read]] (TriG is prefix-stateful).
+    */
+  def readTriG(spark: SparkSession, paths: Seq[String], defaultGraph: String): DataFrame = {
+    import spark.implicits._
+    val parsed = spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { files =>
+        files.flatMap { case (path, bytes) =>
+          val scope = java.security.MessageDigest.getInstance("MD5")
+            .digest(path.getBytes("UTF-8")).take(8)
+            .map("%02x".format(_)).mkString + ":"
+          parseTriG(new String(bytes, java.nio.charset.StandardCharsets.UTF_8), scope)
+        }
+      }
+    parsed.select(
+      when(col("_1") === "", defaultGraph).otherwise(col("_1")).as("g"),
+      col("_2")("s").as("s"), col("_2")("p").as("p"), col("_2")("o").as("o"))
   }
 }

@@ -217,6 +217,27 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().filter(col("g") === "g:b").count() == 1)
   }
 
+  test("COPY/MOVE/ADD graph management updates") {
+    val d = Files.createTempDirectory("qs-mgmt")
+    val store = new QuadStore(spark, d.toString)
+    store.executeUpdate("""INSERT DATA { GRAPH <g:a> { <s:1> <p:x> "v" . <s:2> <p:x> "w" . } }""")
+    store.executeUpdate("""INSERT DATA { GRAPH <g:b> { <s:9> <p:x> "z" . <s:1> <p:x> "v" . } }""")
+
+    store.executeUpdate("ADD <g:a> TO <g:b>") // union; shared row not duplicated
+    assert(store.snapshot().filter(col("g") === "g:b").count() == 3)
+    assert(store.snapshot().filter(col("g") === "g:a").count() == 2)
+    store.executeUpdate("ADD <g:a> TO <g:b>") // idempotent
+    assert(store.snapshot().filter(col("g") === "g:b").count() == 3)
+
+    store.executeUpdate("COPY SILENT <g:a> TO <g:b>") // dst := src exactly
+    val b = store.snapshot().filter(col("g") === "g:b")
+    assert(b.count() == 2 && b.filter(col("s")("lex") === "s:9").isEmpty)
+
+    store.executeUpdate("MOVE GRAPH <g:b> TO GRAPH <g:c>")
+    assert(store.snapshot().filter(col("g") === "g:b").isEmpty)
+    assert(store.snapshot().filter(col("g") === "g:c").count() == 2)
+  }
+
   test("protocol replay: chunked files, 151 barrier, 150 ack, streaming flip") {
     val qs = Files.createTempDirectory("qs3")
     val stg = Files.createTempDirectory("stg")

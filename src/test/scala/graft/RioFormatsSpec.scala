@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.rdf.Rdf
+import graft.rio.{NQuads, Turtle}
+
+/** N-Triples / N-Quads / TriG format tests (the RDF4J Rio surface the
+  * reference accepts beyond Turtle, `GraphDBSystemAdapter.java:286`):
+  * parse, emit round-trip, Spark readers, and cross-format agreement
+  * with the Turtle parser.
+  */
+class RioFormatsSpec extends GraftSuite {
+
+  test("n-triples: IRIs, bnodes, typed and lang literals") {
+    val doc = """
+      |<http://ex.org/a> <http://ex.org/name> "Alice" .
+      |# comment line
+      |<http://ex.org/a> <http://ex.org/knows> _:b1 .
+      |_:b1 <http://ex.org/name> "Bob"@en .
+      |_:b1 <http://ex.org/age> "30"^^<xsd:integer> .
+      |_:b1 <http://ex.org/score> "4.5"^^<xsd:decimal> .
+      |""".stripMargin
+    val quads = NQuads.parseDoc(doc, "f:")
+    assert(quads.length == 5)
+    assert(quads.forall(_._1 == "")) // all default graph
+    val age = quads.collect {
+      case (_, st) if st.p.lex == "http://ex.org/age" => st.o
+    }.head
+    assert(age.lex == "30" && age.dt == Rdf.XsdInteger && age.num.contains(30.0))
+    val score = quads.collect {
+      case (_, st) if st.p.lex == "http://ex.org/score" => st.o
+    }.head
+    assert(score.lex == "4.500000" && score.num.contains(4.5))
+    assert(quads.exists { case (_, st) =>
+      st.o.lang == "en" && st.s.kind == Rdf.BNODE && st.s.lex == "f:b1" })
+  }
+
+  test("n-quads: graph labels and emit round-trip") {
+    val doc = """
+      |<http://ex.org/a> <http://ex.org/p> "v" <http://graph.version.1> .
+      |<http://ex.org/a> <http://ex.org/p> "w" .
+      |_:b <http://ex.org/p> <http://ex.org/o> <http://graph.version.2> .
+      |""".stripMargin
+    val quads = NQuads.parseDoc(doc)
+    assert(quads.map(_._1) == Seq("http://graph.version.1", "", "http://graph.version.2"))
+    val emitted = NQuads.emit(quads)
+    assert(NQuads.parseDoc(emitted) == quads)
+  }
+
+  test("n-quads: escapes survive the emit/parse round-trip") {
+    val tricky = Turtle.Term("line1\nline2\t\"q\"\\end", Rdf.LIT, "", "", None)
+    val quad = ("g:x", Turtle.Stmt(
+      Turtle.Term("http://ex.org/s", Rdf.IRI, "", "", None),
+      Turtle.Term("http://ex.org/p", Rdf.IRI, "", "", None), tricky))
+    val back = NQuads.parseDoc(NQuads.emit(Seq(quad)))
+    assert(back.head._2.o.lex == tricky.lex)
+    assert(back.head._1 == "g:x")
+  }
+
+  test("trig: GRAPH blocks, label shorthand, default block, prefixes") {
+    val doc = """
+      |@prefix ex: <http://ex.org/> .
+      |ex:outer ex:p "default" .
+      |GRAPH ex:g1 { ex:a ex:name "Alice" ; ex:age 30 . ex:b a ex:Person . }
+      |ex:g2 { ex:c ex:name "Carol" }
+      |{ ex:d ex:p ex:e . }
+      |""".stripMargin
+    val quads = Turtle.parseTriG(doc, "f:")
+    def inGraph(g: String) = quads.filter(_._1 == g).map(_._2)
+    assert(inGraph("").exists(st => st.s.lex == "http://ex.org/outer"))
+    assert(inGraph("").exists(st => st.s.lex == "http://ex.org/d"))
+    assert(inGraph("http://ex.org/g1").length == 3)
+    assert(inGraph("http://ex.org/g1").exists(st =>
+      st.p.lex == "http://ex.org/age" && st.o.lex == "30"))
+    assert(inGraph("http://ex.org/g2").map(_.o.lex) == Seq("Carol"))
+  }
+
+  test("trig: bnode property lists and collections inside blocks") {
+    val doc = """
+      |@prefix ex: <http://ex.org/> .
+      |GRAPH ex:g {
+      |  ex:a ex:knows [ ex:name "Anon" ] .
+      |  ex:a ex:list (1 2) .
+      |}
+      |""".stripMargin
+    val quads = Turtle.parseTriG(doc, "f:")
+    assert(quads.forall(_._1 == "http://ex.org/g")) // embedded stmts inherit the block graph
+    assert(quads.exists(_._2.o.lex == "Anon"))
+    assert(quads.count(_._2.p.lex == "rdf:first") == 2)
+  }
+
+  test("turtle and n-triples parsers agree on shared content") {
+    val ttl = """
+      |@prefix ex: <http://ex.org/> .
+      |ex:a ex:name "Alice" ; ex:age 30 .
+      |""".stripMargin
+    val nt = """
+      |<http://ex.org/a> <http://ex.org/name> "Alice" .
+      |<http://ex.org/a> <http://ex.org/age> "30"^^<xsd:integer> .
+      |""".stripMargin
+    val a = Turtle.parseDoc(ttl, "x:").toSet
+    val b = NQuads.parseDoc(nt, "x:").map(_._2).toSet
+    assert(a == b)
+  }
+
+  test("spark readers: n-quads line source and trig file source") {
+    val dir = Files.createTempDirectory("rio").toFile
+    val nq = new java.io.File(dir, "d.nq")
+    Files.write(nq.toPath,
+      ("<http://ex.org/a> <http://ex.org/p> \"1\"^^<xsd:integer> <g:one> .\n" +
+        "<http://ex.org/a> <http://ex.org/p> \"x\" .\n" +
+        "_:n <http://ex.org/p> \"y\" <g:one> .\n").getBytes(UTF_8))
+    val nqDf = NQuads.read(spark, Seq(nq.getAbsolutePath), "g:default")
+    val byG = nqDf.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("g:one" -> 2L, "g:default" -> 1L))
+    assert(nqDf.filter(org.apache.spark.sql.functions.col("o")("lex") === "1")
+      .select("o.dt").collect().head.getString(0) == Rdf.XsdInteger)
+
+    val trig = new java.io.File(dir, "d.trig")
+    Files.write(trig.toPath,
+      ("@prefix ex: <http://ex.org/> .\n" +
+        "ex:s ex:p ex:o .\n" +
+        "GRAPH ex:g1 { ex:a ex:p \"v\" . }\n").getBytes(UTF_8))
+    val tgDf = Turtle.readTriG(spark, Seq(trig.getAbsolutePath), "g:default")
+    val tgByG = tgDf.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tgByG == Map("g:default" -> 1L, "http://ex.org/g1" -> 1L))
+  }
+}
