@@ -2,7 +2,7 @@ package graft.ingest
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.rio.Turtle
@@ -281,6 +281,153 @@ final class QuadStore(spark: SparkSession, dir: String) {
     if (!all.isEmpty) commitSegment(all, s"del-${System.nanoTime()}")
   }
 
+  /** Brace-balanced block extraction: returns the inner text of the
+    * `{ … }` starting at the first `{` at/after `from`, honoring
+    * nesting and quoted strings. `(-1, "")` if none.
+    */
+  private def balancedBlock(u: String, from: Int): (Int, String, Int) = {
+    var i = u.indexOf('{', from)
+    if (i < 0) return (-1, "", -1)
+    val start = i
+    var depth = 0
+    var inStr = false
+    while (i < u.length) {
+      val c = u.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return (start, u.substring(start + 1, i), i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced braces in update: ${u.take(80)}")
+  }
+
+  /** `[WITH <g>] [DELETE {tpl}] [INSERT {tpl}] WHERE {pattern}`
+    * (SPARQL 1.1 Update §3.1.3 Modify): solutions of the WHERE pattern
+    * instantiate both templates; instantiated DELETE rows are matched
+    * against the snapshot (any graph unless the template/`WITH` pins
+    * one) and tombstoned, INSERT rows append to the template's GRAPH,
+    * the `WITH` graph, or the default graph. Rows with an unbound
+    * template variable are skipped (spec: such instantiations are
+    * ignored). Delete-then-insert ordering per the spec.
+    */
+  def modify(update: String): Unit = synchronized {
+    import graft.sparql.Algebra._
+    val WithRe = """(?is)^\s*WITH\s*<([^>]*)>""".r
+    val withG = WithRe.findFirstMatchIn(update).map(_.group(1))
+    val kw = "(?is)\\b(DELETE|INSERT|WHERE)\\s*\\{".r
+    var delTpl: Option[String] = None
+    var insTpl: Option[String] = None
+    var whereBody: Option[String] = None
+    var cursor = 0
+    var m = kw.findFirstMatchIn(update.substring(cursor))
+    while (m.isDefined) {
+      val mm = m.get
+      val (_, body, end) = balancedBlock(update, cursor + mm.start)
+      mm.group(1).toUpperCase match {
+        case "DELETE" => delTpl = Some(body)
+        case "INSERT" => insTpl = Some(body)
+        case "WHERE" => whereBody = Some(body)
+      }
+      cursor = end
+      m = kw.findFirstMatchIn(update.substring(cursor))
+    }
+    val where = whereBody.getOrElse(
+      throw new IllegalArgumentException(s"modify needs WHERE: ${update.take(80)}"))
+    if (delTpl.isEmpty && insTpl.isEmpty)
+      throw new IllegalArgumentException(s"modify needs DELETE or INSERT: ${update.take(80)}")
+
+    val snap = snapshot()
+    val compiler = new graft.sparql.Compiler(spark,
+      snap.select(col("g"), col("s"), col("p"), col("o")))
+    def stripOp(op: Op): Op = op match {
+      case Project(i, _) => stripOp(i)
+      case Distinct(i) => stripOp(i)
+      case other => other
+    }
+    val sols = compiler.compile(stripOp(
+      graft.sparql.SparqlParser.parse(s"SELECT * WHERE { $where }").op))
+
+    /** template text → per-BGP (graph context, triple patterns) */
+    def templates(tpl: String): Seq[(Option[Node], TriplePat)] = {
+      var out = Seq.empty[(Option[Node], TriplePat)]
+      def walk(op: Op): Unit = op match {
+        case Bgp(pats, g) => out ++= pats.map(tp => (g, tp))
+        case Join(l, r) => walk(l); walk(r)
+        case Unit0 =>
+        case other => throw new IllegalArgumentException(
+          s"modify template must be ground triple patterns, got $other")
+      }
+      walk(stripOp(graft.sparql.SparqlParser.parse(s"SELECT * WHERE { $tpl }").op))
+      out
+    }
+
+    def nodeCol(n: Node): Column = n match {
+      case V(v) =>
+        if (sols.columns.contains(v)) sols(v)
+        else lit(null).cast(compiler.termType)
+      case T(lex, kind, dt, lang) => graft.rdf.Rdf.constTerm(lex, kind, dt, lang)
+    }
+    def instantiate(tpls: Seq[(Option[Node], TriplePat)]): Seq[(Option[Column], DataFrame)] =
+      tpls.map { case (gn, tp) =>
+        val pcol = tp.p match {
+          case PLink(iri) => graft.rdf.Rdf.constTerm(iri, graft.rdf.Rdf.IRI)
+          case PVar(v) => nodeCol(V(v))
+          case other => throw new IllegalArgumentException(
+            s"modify template predicate must be IRI or var, got $other")
+        }
+        val gcol = gn.map {
+          case V(v) => sols(v)("lex")
+          case T(lex, _, _, _) => lit(lex)
+        }
+        val rows = sols
+          .select(nodeCol(tp.s).as("s"), pcol.as("p"), nodeCol(tp.o).as("o"),
+            gcol.getOrElse(lit(null).cast("string")).as("gx"))
+          .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+        (gcol, rows)
+      }
+
+    // DELETE first (spec §3.1.3 ordering)
+    delTpl.map(templates).foreach { tpls =>
+      val tombs = instantiate(tpls).map { case (gcol, rows) =>
+        val keyed = rows.select(
+          (gcol match {
+            case Some(_) => col("gx")
+            case None => withG.map(lit(_)).getOrElse(lit(null).cast("string"))
+          }).as("gx"), col("s"), col("p"), col("o")).distinct()
+        // match against stored rows: graph-pinned when gx is set, any
+        // graph otherwise (the engine's default graph is the union)
+        snap.as("q").join(keyed.as("k"),
+          col("q.s")("lex") === col("k.s")("lex") &&
+            col("q.s")("kind") === col("k.s")("kind") &&
+            col("q.p")("lex") === col("k.p")("lex") &&
+            col("q.o")("lex") === col("k.o")("lex") &&
+            col("q.o")("kind") === col("k.o")("kind") &&
+            (col("k.gx").isNull || col("q.g") === col("k.gx")),
+          "left_semi")
+      }.reduce(_.unionByName(_)).distinct()
+      if (!tombs.isEmpty) commitSegment(tombs, s"del-${System.nanoTime()}")
+    }
+    insTpl.map(templates).foreach { tpls =>
+      val ins = instantiate(tpls).map { case (gcol, rows) =>
+        rows.select(
+          (gcol match {
+            case Some(_) => col("gx")
+            case None => lit(withG.getOrElse("urn:default"))
+          }).as("g"), col("s"), col("p"), col("o"))
+      }.reduce(_.unionByName(_)).distinct()
+      val fresh = ins.except(snap.select(col("g"), col("s"), col("p"), col("o")))
+      if (!fresh.isEmpty) append(fresh, "modins")
+    }
+  }
+
   /** `ADD <src> TO <dst>` (SPARQL 1.1 Update §3.2.5): dst ∪= src.
     * Only rows NOT already in dst are appended (RDF graphs are sets) —
     * the anti-diff also keeps a repeated ADD idempotent.
@@ -320,6 +467,10 @@ final class QuadStore(spark: SparkSession, dir: String) {
       }
       case u if upper.contains("DELETE DATA") => deleteData(u)
       case u if upper.contains("DELETE WHERE") => deleteWhere(u)
+      // general Modify: [WITH] [DELETE{}] [INSERT{}] WHERE{} — must
+      // have a WHERE clause (INSERT…WITH protocol form has none)
+      case u if """(?is).*\b(?:DELETE|INSERT)\s*\{.*\bWHERE\s*\{.*""".r.matches(u) =>
+        modify(u)
       case u => insertData(u)
     }
   }

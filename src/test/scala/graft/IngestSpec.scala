@@ -238,6 +238,45 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().filter(col("g") === "g:c").count() == 2)
   }
 
+  test("DELETE/INSERT ... WHERE modify updates") {
+    val d = Files.createTempDirectory("qs-modify")
+    val store = new QuadStore(spark, d.toString)
+    store.executeUpdate("""INSERT DATA { GRAPH <g:people> {
+      <p:1> <v:status> "active" . <p:1> <v:name> "Ann" .
+      <p:2> <v:status> "active" . <p:2> <v:name> "Bo" .
+      <p:3> <v:status> "idle" . } }""")
+
+    // rename a predicate's value for matching solutions: delete + insert
+    store.executeUpdate("""
+      DELETE { ?s <v:status> "active" }
+      INSERT { ?s <v:status> "archived" . GRAPH <g:audit> { ?s <v:touched> "yes" } }
+      WHERE { ?s <v:status> "active" . ?s <v:name> ?n }""")
+
+    val snap = store.snapshot()
+    assert(snap.filter(col("o")("lex") === "active").isEmpty)
+    assert(snap.filter(col("o")("lex") === "archived").count() == 2)
+    assert(snap.filter(col("g") === "g:audit").count() == 2)
+    // untouched rows survive
+    assert(snap.filter(col("o")("lex") === "idle").count() == 1)
+
+    // WITH <g> pins the default graph for both templates
+    store.executeUpdate("""
+      WITH <g:people>
+      DELETE { ?s <v:status> "idle" }
+      INSERT { ?s <v:status> "dormant" }
+      WHERE { ?s <v:status> "idle" }""")
+    val snap2 = store.snapshot()
+    assert(snap2.filter(col("o")("lex") === "idle").isEmpty)
+    val dormant = snap2.filter(col("o")("lex") === "dormant")
+    assert(dormant.count() == 1 &&
+      dormant.select("g").head.getString(0) == "g:people")
+
+    // INSERT-only modify with unbound-template skip: ?m unbound for p:3
+    store.executeUpdate("""
+      INSERT { ?s <v:label> ?n } WHERE { ?s <v:name> ?n }""")
+    assert(store.snapshot().filter(col("p")("lex") === "v:label").count() == 2)
+  }
+
   test("protocol replay: chunked files, 151 barrier, 150 ack, streaming flip") {
     val qs = Files.createTempDirectory("qs3")
     val stg = Files.createTempDirectory("stg")
