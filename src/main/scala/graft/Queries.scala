@@ -604,6 +604,54 @@ object Queries {
       SELECT query_id, vec_id, cos, rank::INT AS rank
       FROM ranked WHERE rank <= 5""")),
 
+    // product-quantization ANN (PQ/ADC): codes-only corpus
+    // representation + asymmetric distance scan
+    Q("s_pq_ann", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e.filter(col("vec_id") < 5), e, 5)
+    }, {
+      val subspaces = 8
+      val sub = 8
+      def ds(a: String, b: String, j: Int): String = {
+        val lo = j * sub + 1
+        val hi = j * sub + sub
+        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a[$lo:$hi], $b[$lo:$hi]), " +
+          s"p -> (p[1]::DOUBLE - p[2]::DOUBLE)*(p[1]::DOUBLE - p[2]::DOUBLE))), (acc,v) -> acc+v)"
+      }
+      val encDs = (0 until subspaces)
+        .map(j => s"${ds("e.embedding", "cb.c", j)} AS d$j").mkString(", ")
+      val qdDs = (0 until subspaces)
+        .map(j => s"${ds("q.embedding", "cb.c", j)} AS d$j").mkString(", ")
+      val encArgmins = (0 until subspaces).map { j =>
+        s"e$j AS (SELECT vec_id, cid AS code$j FROM (SELECT vec_id, cid, " +
+          s"row_number() OVER (PARTITION BY vec_id ORDER BY d$j, cid) AS rn FROM enc0) WHERE rn=1)"
+      }.mkString(",\n      ")
+      val codesJoin = (1 until subspaces).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+      val qdJoins = (1 until subspaces)
+        .map(j => s"JOIN qd q$j ON q$j.query_id=q0.query_id AND q$j.cid=c.code$j")
+        .mkString(" ")
+      val adist = (0 until subspaces).map(j => s"q$j.d$j").mkString(" + ")
+      // MATERIALIZED: DuckDB inlines plain CTEs per reference — the 8
+      // argmin CTEs would re-evaluate the distance table 8x over
+      Some(s"""
+      WITH cb AS MATERIALIZED (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+      enc0 AS MATERIALIZED (SELECT e.vec_id, cb.cid, $encDs FROM embeddings e, cb),
+      $encArgmins,
+      codes AS (SELECT * FROM e0 $codesJoin),
+      qd AS MATERIALIZED (SELECT q.vec_id AS query_id, cb.cid, $qdDs
+             FROM embeddings q, cb WHERE q.vec_id < 5),
+      scored AS (
+        SELECT q0.query_id, c.vec_id, $adist AS adist
+        FROM codes c JOIN qd q0 ON q0.cid=c.code0 $qdJoins
+        WHERE c.vec_id <> q0.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, adist,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, round(adist,6) AS adist, rank::INT AS rank
+      FROM ranked WHERE rank <= 5""")
+    }),
+
     // per-row L2 normalization, exploded for exact cross-engine compare
     Q("s_normalize", (s, dir) => {
       val e = t(s, dir, "embeddings")

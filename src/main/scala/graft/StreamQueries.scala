@@ -44,6 +44,17 @@ object StreamQueries {
     Q("st_stream_dedup", (s, dir) => StreamOps.streamDedupCounts(s, dir),
       Some("""
       SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
-      FROM events GROUP BY 1"""))
+      FROM events GROUP BY 1""")),
+
+    // append-mode watermark semantics: the stale half of the slice
+    // arrives after the watermark passed it → dropped; the oracle is
+    // the aggregation of the surviving (recent) half alone
+    Q("st_watermark_drop", (s, dir) => StreamOps.watermarkedHourlyCounts(s, dir),
+      Some("""
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             count(*)::BIGINT AS n, round(sum(value),2) AS sum_value
+      FROM events
+      WHERE user_id < 30 AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY 1, 2"""))
   )
 }

@@ -163,6 +163,82 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Product-quantization ANN (PQ + asymmetric distance computation):
+    * the fourth ANN family next to brute-force / sign-LSH / IVF, and
+    * the memory-scale one — each corpus vector stores only
+    * `subspaces` small codes (8 bytes here vs 256 bytes of floats).
+    *
+    * Codebook = the first `codebookSize` corpus vectors' subvectors
+    * (deterministic, no trained state — same legitimacy class as the
+    * IVF centroids). It is collected once and inlined as literals, so
+    * ENCODING is a pure map-side expression: per subspace, the
+    * argmin-L2 codeword id (ties → lower id). SCORING (ADC) is one
+    * scan of the code table against broadcast queries: the
+    * approximate distance is the sum over subspaces of
+    * L2²(query-subvector, codeword) — no shuffle except the final
+    * per-query top-k.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
+    val dbg = sys.env.contains("GRAFT_PQ_DEBUG")
+    var t0 = System.nanoTime()
+    def mark(l: String): Unit = if (dbg) {
+      System.err.println(f"[pq] $l: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      t0 = System.nanoTime()
+    }
+    val cwords: Array[Seq[Float]] = corpus.filter(col("vec_id") < codebookSize)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0))
+    mark("codebook collect")
+    val dims = cwords.head.length
+    val sub = dims / subspaces
+    // codeword SUBVECTORS as literals: the hot expressions below fold
+    // over 8-element arrays, never re-slicing the 64-float vectors per
+    // comparison. zip_with(slice(a), slice(b)) ≡ slice-then-zip — the
+    // sequential double fold stays bit-identical to the DuckDB mirror.
+    def cwSub(i: Int, j: Int): Seq[Float] = cwords(i).slice(j * sub, j * sub + sub)
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b,
+          (u, v) => (u.cast("double") - v.cast("double")) *
+            (u.cast("double") - v.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    def subCols(emb: Column): Seq[Column] =
+      (0 until subspaces).map(j => slice(emb, j * sub + 1, sub).as(s"sub$j"))
+    // per-subspace codeword tables (codebookSize × sub 2D literals)
+    val cwSubLits = (0 until subspaces)
+      .map(j => typedLit((0 until codebookSize).map(i => cwSub(i, j))))
+    // argmin over the codeword table as ONE transform lambda per
+    // subspace (a per-codeword expression chain makes Catalyst
+    // analysis/codegen the bottleneck — seconds of fixed plan cost);
+    // array_position takes the FIRST occurrence of the min, i.e. the
+    // lowest codeword id on ties, matching the oracle's (d, cid) order
+    def codeFor(j: Int): Column = {
+      val ds = transform(cwSubLits(j), c => l2sq(col(s"sub$j"), c))
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    val enc = corpus.select(col("vec_id") +: subCols(col("embedding")): _*)
+      .select(col("vec_id") +:
+        (0 until subspaces).map(j => codeFor(j).as(s"code$j")): _*)
+    val scored = enc
+      .join(broadcast(queries
+        .select(col("vec_id").as("query_id") +: subCols(col("embedding")): _*)
+        .select(col("query_id") +:
+          (0 until subspaces).map(j => col(s"sub$j").as(s"qsub$j")): _*)),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (0 until subspaces).map(j =>
+          l2sq(col(s"qsub$j"), element_at(cwSubLits(j), col(s"code$j") + 1)))
+          .reduce(_ + _).as("adist"))
+    mark("plan build")
+    if (dbg) { scored.count(); mark("scored count") }
+    val w = Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("adist"), 6).as("adist"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode of
     * SURVEY §2.D): bucket with sign-LSH, compare only within buckets.
     */

@@ -71,6 +71,65 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Watermark late-data semantics, end to end: an APPEND-mode
+    * windowed aggregation whose input arrives in three controlled
+    * batches — (1) the recent half of the (user_id < 30) event slice,
+    * (2) the stale half, now entirely older than the watermark the
+    * first batch advanced to → every row DROPPED by the watermark,
+    * (3) far-future flush sentinels that push the watermark past every
+    * open window so append mode finalizes them. The answer is
+    * therefore the hourly aggregation of batch (1) alone — exactly
+    * checkable in batch SQL. At unbounded scale this is the state-GC
+    * contract: the store never holds more than `delay` of open windows.
+    */
+  def watermarkedHourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val splitNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    val rows = graft.core.Tables(spark, dir, "events")
+      .filter(col("user_id") < 30)
+      .select(col("ts_ns"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val src = mem.toDF().toDF("ts_ns", "event_type", "value")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    // append mode requires grouping on the window column itself (the
+    // event-time link to the watermark); the start field projects out
+    // AFTER the aggregation
+    val agg = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w")("start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val name = s"st_wm_${System.nanoTime()}"
+    // the stateful shuffle count is pinned at stream START and the
+    // keyed state here is tiny (hour × type); 32 state-store
+    // partitions × 4 micro-batches is pure checkpoint overhead
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+    try {
+      val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      mem.addData(rows.filter(_._1 >= splitNs).toIndexedSeq); q.processAllAvailable()
+      // batch 2 = the stale rows (all older than the watermark batch 1
+      // advanced to → dropped) + a far-future sentinel that hoists the
+      // NEXT batch's watermark past every data window; batch 3 (second
+      // sentinel) then triggers the append-mode emit — a batch-N
+      // watermark only takes effect in batch N+1
+      mem.addData((rows.filter(_._1 < splitNs) :+ ((flushNs, "__flush", 0.0))).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(Seq((flushNs + 3600L * 1000000000L, "__flush", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("event_type") =!= "__flush")
+  }
+
   /** Batch `session_window` sessionization (30-min inactivity gap):
     * identical semantics in batch and streaming — the streaming
     * variant only adds a watermark. Session start = first event,
