@@ -14,8 +14,11 @@ import org.apache.spark.storage.StorageLevel
   * Keys are `applicationId:sessionUUID:dir:name` — a stable unique
   * session identity, not `SparkSession.hashCode` (which can collide
   * across sessions and outlives stopped ones). Entries are evicted
-  * when their application ends, so stopped-session DataFrames never
-  * leak or get handed to a different session.
+  * when their application ends (so a stale DataFrame is never handed
+  * to a different session); an application that churns through many
+  * sub-sessions should additionally call [[invalidateSession]] on
+  * each stop, since per-session entries are otherwise held until the
+  * application exits.
   */
 object DfCache {
 
@@ -52,6 +55,24 @@ object DfCache {
     }
   }
 
+  /** get → compute OUTSIDE the map lock → publish. Entry loaders here
+    * call back into the cache (the OWL-Horst materialization builds on
+    * the quads view), and ConcurrentHashMap forbids reentrant updates
+    * from inside computeIfAbsent's mapping function — same-bin
+    * recursion throws IllegalStateException. The race cost is a
+    * duplicate computation, settled by putIfAbsent (losers discard).
+    */
+  private def getOrPublish(key: String, compute: () => AnyRef,
+      discard: AnyRef => Unit): AnyRef = {
+    val hit = entries.get(key)
+    if (hit != null) hit
+    else {
+      val fresh = compute()
+      val prior = entries.putIfAbsent(key, fresh)
+      if (prior != null) { discard(fresh); prior } else fresh
+    }
+  }
+
   /** Compute-once persisted DataFrame shared across queries of one
     * session+dataset. `persist=false` for inputs that are already
     * materialized leaves (e.g. localCheckpoint results).
@@ -59,18 +80,40 @@ object DfCache {
   def df(s: SparkSession, dir: String, name: String, persist: Boolean = true)(
       f: => DataFrame): DataFrame = {
     hookEviction(s)
-    entries.computeIfAbsent(sessionKey(s) + ":" + dir + ":" + name, _ => {
-      val d = f
-      val out = if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
-      out.count()
-      out
-    }).asInstanceOf[DataFrame]
+    getOrPublish(sessionKey(s) + ":" + dir + ":" + name,
+      () => {
+        val d = f
+        val out = if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+        out.count()
+        out
+      },
+      lost => if (persist) lost.asInstanceOf[DataFrame].unpersist()
+    ).asInstanceOf[DataFrame]
   }
 
   /** Compute-once plain value (e.g. collected statistics). */
   def value[T <: AnyRef](s: SparkSession, dir: String, name: String)(f: => T): T = {
     hookEviction(s)
-    entries.computeIfAbsent(sessionKey(s) + ":" + dir + ":" + name, _ => f)
-      .asInstanceOf[T]
+    getOrPublish(sessionKey(s) + ":" + dir + ":" + name, () => f, _ => ()).asInstanceOf[T]
+  }
+
+  /** Drop (and unpersist) every entry belonging to `s` — call when
+    * stopping a SUB-session of a long-lived application (application-
+    * end eviction alone would hold its DataFrames until the whole app
+    * exits).
+    */
+  def invalidateSession(s: SparkSession): Unit = {
+    val prefix = sessionKey(s) + ":"
+    val it = entries.entrySet().iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) {
+        e.getValue match {
+          case d: DataFrame => try d.unpersist() catch { case _: Throwable => () }
+          case _ => ()
+        }
+        it.remove()
+      }
+    }
   }
 }

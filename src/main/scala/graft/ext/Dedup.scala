@@ -162,18 +162,16 @@ object Dedup {
   /** Near-duplicate CLUSTERS from any pair relation `(doc_a, doc_b)`:
     * connected components over the undirected dup graph; cluster id =
     * min doc_id in the component — the canonical "keep" representative
-    * of the standard collapse-near-dups pipeline step. Distributed via
-    * GraphX CC (pair volume never lands on the driver); composes with
+    * of the collapse-near-dups pipeline step. Composes with
     * [[minHashPairs]], [[simHashPairs]], [[ngramJaccardPairs]], or
     * [[Similarity.cosineNearDupPairs]] as the edge source.
-    */
-  /** Near-dup pairs → clusters (connected components, cluster id =
-    * min member id). Near-dup pair sets are orders of magnitude
-    * smaller than the corpus (only documents WITH a near-duplicate
-    * appear), so up to `graft.dedup.cc.broadcast.limit` pairs the
-    * components are solved driver-side with a union-find — no GraphX
-    * job, no shuffle. Past the limit (entity-resolution-scale output
-    * at 100 TB) it flips to distributed GraphX connected components.
+    *
+    * Near-dup pair sets are orders of magnitude smaller than the
+    * corpus (only documents WITH a near-duplicate appear), so up to
+    * `graft.dedup.cc.broadcast.limit` pairs the components are solved
+    * driver-side with a union-find — no GraphX job, no shuffle. Past
+    * the limit (entity-resolution-scale output at 100 TB) it flips to
+    * distributed GraphX connected components.
     */
   def dupClusters(spark: org.apache.spark.sql.SparkSession,
       pairs: DataFrame): DataFrame = {

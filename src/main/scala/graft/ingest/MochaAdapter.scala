@@ -155,11 +155,16 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
     if (files.nonEmpty) store.loadVersion(files)
     files.foreach(f => Files.delete(Paths.get(f))) // A9 staging GC (ref `:320-323`)
     // Reset order matters: disarm the barrier (announced = -1) BEFORE
-    // clearing the counters — a next-phase data message arriving between
-    // the resets would otherwise see stale announced <= received and
-    // spuriously release the barrier for the next phase.
+    // adjusting the counters — a next-phase data message arriving
+    // between the resets would otherwise see stale announced <=
+    // received and spuriously release the barrier for the next phase.
+    // The received counter is DECREMENTED by this phase's consumed
+    // count, never zeroed: next-phase messages that already arrived
+    // during loadVersion() (or this reset window) must keep their
+    // counts, or the next barrier would wait for permits that never
+    // come.
     announced.set(-1)
-    receivedMessages.set(0)
+    receivedMessages.addAndGet(-nMessages)
     barrierReleased.set(false)
     dataLoadingFinished = lastPhase // FSM flip (ref `:333`)
     Some(CommandBulkLoadingFinished)

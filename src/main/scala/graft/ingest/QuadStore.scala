@@ -394,37 +394,51 @@ final class QuadStore(spark: SparkSession, dir: String) {
         (gcol, rows)
       }
 
-    // DELETE first (spec §3.1.3 ordering)
+    // DELETE first (spec §3.1.3 ordering). WHERE solutions were pinned
+    // against the PRE-update snapshot above, as the spec requires.
     delTpl.map(templates).foreach { tpls =>
-      val tombs = instantiate(tpls).map { case (gcol, rows) =>
+      val tombSets = instantiate(tpls).map { case (gcol, rows) =>
         val keyed = rows.select(
           (gcol match {
             case Some(_) => col("gx")
             case None => withG.map(lit(_)).getOrElse(lit(null).cast("string"))
           }).as("gx"), col("s"), col("p"), col("o")).distinct()
-        // match against stored rows: graph-pinned when gx is set, any
-        // graph otherwise (the engine's default graph is the union)
+        // match against stored rows on FULL term identity (dt/lang
+        // included — "30"^^xsd:integer must not delete "30"^^xsd:string):
+        // graph-pinned when gx is set, any graph otherwise (the
+        // engine's default graph is the union)
         snap.as("q").join(keyed.as("k"),
           col("q.s")("lex") === col("k.s")("lex") &&
             col("q.s")("kind") === col("k.s")("kind") &&
             col("q.p")("lex") === col("k.p")("lex") &&
             col("q.o")("lex") === col("k.o")("lex") &&
             col("q.o")("kind") === col("k.o")("kind") &&
+            col("q.o")("dt") === col("k.o")("dt") &&
+            col("q.o")("lang") === col("k.o")("lang") &&
             (col("k.gx").isNull || col("q.g") === col("k.gx")),
           "left_semi")
-      }.reduce(_.unionByName(_)).distinct()
-      if (!tombs.isEmpty) commitSegment(tombs, s"del-${System.nanoTime()}")
+      }
+      // an empty template (`DELETE { }`) legally deletes nothing
+      tombSets.reduceOption(_.unionByName(_)).map(_.distinct()).foreach { tombs =>
+        if (!tombs.isEmpty) commitSegment(tombs, s"del-${System.nanoTime()}")
+      }
     }
     insTpl.map(templates).foreach { tpls =>
-      val ins = instantiate(tpls).map { case (gcol, rows) =>
+      val insSets = instantiate(tpls).map { case (gcol, rows) =>
         rows.select(
           (gcol match {
             case Some(_) => col("gx")
             case None => lit(withG.getOrElse("urn:default"))
           }).as("g"), col("s"), col("p"), col("o"))
-      }.reduce(_.unionByName(_)).distinct()
-      val fresh = ins.except(snap.select(col("g"), col("s"), col("p"), col("o")))
-      if (!fresh.isEmpty) append(fresh, "modins")
+      }
+      insSets.reduceOption(_.unionByName(_)).map(_.distinct()).foreach { ins =>
+        // anti-diff against the POST-delete state: a row both deleted
+        // and re-inserted by this update must survive (delete-then-
+        // insert is a net keep per §3.1.3) — diffing against the
+        // pre-delete snapshot would silently drop the overlap
+        val fresh = ins.except(snapshot().select(col("g"), col("s"), col("p"), col("o")))
+        if (!fresh.isEmpty) append(fresh, "modins")
+      }
     }
   }
 
@@ -452,12 +466,17 @@ final class QuadStore(spark: SparkSession, dir: String) {
     if (src != dst) { copyGraph(src, dst); clearGraph(src) }
   }
 
-  /** Dispatch any supported SPARQL Update string. */
+  /** Dispatch any supported SPARQL Update string. Verb detection runs
+    * on a copy with string-literal CONTENTS blanked — an inserted
+    * literal like `"try DELETE {x} WHERE {y}"` must not reroute an
+    * INSERT DATA to the modify path.
+    */
   def executeUpdate(update: String): Unit = {
     val ClearRe = """(?is)\s*(?:CLEAR|DROP)\s+(?:SILENT\s+)?GRAPH\s*<([^>]*)>\s*""".r
     val GraphMgmtRe =
       """(?is)\s*(COPY|MOVE|ADD)\s+(?:SILENT\s+)?(?:GRAPH\s+)?<([^>]*)>\s+TO\s+(?:GRAPH\s+)?<([^>]*)>\s*""".r
-    val upper = update.toUpperCase
+    val blanked = update.replaceAll("\"(?:[^\"\\\\]|\\\\.)*\"", "\"\"")
+    val upper = blanked.toUpperCase
     update match {
       case ClearRe(g) => clearGraph(g)
       case GraphMgmtRe(verb, src, dst) => verb.toUpperCase match {
@@ -469,7 +488,7 @@ final class QuadStore(spark: SparkSession, dir: String) {
       case u if upper.contains("DELETE WHERE") => deleteWhere(u)
       // general Modify: [WITH] [DELETE{}] [INSERT{}] WHERE{} — must
       // have a WHERE clause (INSERT…WITH protocol form has none)
-      case u if """(?is).*\b(?:DELETE|INSERT)\s*\{.*\bWHERE\s*\{.*""".r.matches(u) =>
+      case u if """(?is).*\b(?:DELETE|INSERT)\s*\{.*\bWHERE\s*\{.*""".r.matches(blanked) =>
         modify(u)
       case u => insertData(u)
     }

@@ -10,27 +10,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * semantics, §2.A A7).
   *
   * State per user = the open session (start, last-seen, count, sum)
-  * plus at most ONE open "late" session buffering events that arrived
-  * older than `start − gapMs`. Events are processed in event-time
-  * order within a batch; across batches, a LATE event that lands
-  * inside (or within `gapMs` of) the open session MERGES into it —
-  * bounds expand monotonically. Too-late events (older than
-  * `start − gapMs`) accumulate in the late session: consecutive
-  * too-late events within `gapMs` of each other merge instead of each
-  * emitting a singleton, and the late session merges into the main one
-  * if growth makes them gap-adjacent. A too-late event beyond the gap
-  * of the buffered late session closes the OLDER of the two as final
-  * (its gap can provably never be bridged). A forward event beyond the
-  * gap closes both open sessions and starts a new one. Only CLOSED
-  * sessions are emitted; the open tail stays in state by design
-  * (unbounded streams have no end — run with a watermark + event-time
-  * timeout to flush and GC state at scale).
+  * plus a BOUNDED list (≤ [[MaxLateIslands]]) of open "late" islands
+  * buffering events that arrived older than `start − gapMs`. Events
+  * are processed in event-time order within a batch; across batches,
+  * a LATE event that lands inside (or within `gapMs` of) the open
+  * session MERGES into it — bounds expand monotonically. Too-late
+  * events accumulate in whichever island they fall within `gapMs` of
+  * (islands merge when growth bridges them, and the newest island
+  * merges into the main session once gap-adjacent) — so consecutive
+  * too-late events never fragment into singletons. Only when the
+  * island list overflows is the OLDEST island emitted as a
+  * best-effort final session (bridging it needs ever-older data, the
+  * least likely arrival). A forward event beyond the gap closes every
+  * open session and starts a new one. Only CLOSED sessions are
+  * emitted; the open tail stays in state by design (unbounded streams
+  * have no end — run with a watermark + event-time timeout to flush
+  * and GC state at scale).
   */
 object Sessionize {
 
   final case class Event(user_id: Long, ts_ms: Long, value: Double)
   final case class Open(start: Long, last: Long, n: Long, sum: Double)
-  final case class SessionState(main: Open, late: Option[Open])
+  final case class SessionState(main: Open, late: List[Open])
+
+  /** state-size bound on buffered late islands per user */
+  val MaxLateIslands = 4
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, sum_value: Double)
 
@@ -39,47 +43,59 @@ object Sessionize {
       state: GroupState[SessionState]): Iterator[Session] = {
     var closed = List.empty[Session]
     var main: Option[Open] = state.getOption.map(_.main)
-    var late: Option[Open] = state.getOption.flatMap(_.late)
+    // late islands, kept sorted ascending by start
+    var late: List[Open] = state.getOption.map(_.late).getOrElse(Nil)
     def emit(s: Open): Unit = closed ::= Session(user, s.start, s.last, s.n, s.sum)
     def absorb(s: Open, ts: Long, v: Double): Open =
       Open(math.min(s.start, ts), math.max(s.last, ts), s.n + 1, s.sum + v)
-    // merge the late buffer into main once their gap has been bridged
-    def tryCoalesce(): Unit = (main, late) match {
-      case (Some(m), Some(l)) if l.last + gapMs >= m.start && l.start <= m.last + gapMs =>
-        main = Some(Open(math.min(m.start, l.start), math.max(m.last, l.last),
-          m.n + l.n, m.sum + l.sum))
-        late = None
-      case _ => ()
+    def merged(a: Open, b: Open): Open =
+      Open(math.min(a.start, b.start), math.max(a.last, b.last), a.n + b.n, a.sum + b.sum)
+    // re-normalize the island list: merge islands that have grown
+    // gap-adjacent, then fold the newest into main once bridged
+    def normalize(): Unit = {
+      late = late.sortBy(_.start).foldLeft(List.empty[Open]) {
+        case (acc @ (prev :: rest), cur) if cur.start <= prev.last + gapMs =>
+          merged(prev, cur) :: rest
+        case (acc, cur) => cur :: acc
+      }.reverse
+      main match {
+        case Some(m) =>
+          val (bridged, rest) = late.partition(l =>
+            l.last + gapMs >= m.start && l.start <= m.last + gapMs)
+          if (bridged.nonEmpty) {
+            main = Some(bridged.foldLeft(m)(merged))
+            late = rest
+          }
+        case None => ()
+      }
+      if (late.size > MaxLateIslands) { // bound the state: emit oldest
+        emit(late.head)
+        late = late.tail
+      }
     }
     events.toSeq.sortBy(_.ts_ms).foreach { e =>
       main match {
         case Some(m) if e.ts_ms > m.last + gapMs => // forward gap: close, start new
-          // the late buffer is older still — it can never reach the new
-          // session, so it is final too (emit oldest-first)
-          late.foreach(emit); late = None
+          // every late island is older still — none can reach the new
+          // session, so they are final too (emit oldest-first)
+          late.sortBy(_.start).foreach(emit); late = Nil
           emit(m)
           main = Some(Open(e.ts_ms, e.ts_ms, 1, e.value))
-        case Some(m) if e.ts_ms < m.start - gapMs => // too-late: buffer/merge
-          late match {
-            case Some(l) if e.ts_ms >= l.start - gapMs && e.ts_ms <= l.last + gapMs =>
-              late = Some(absorb(l, e.ts_ms, e.value))
-            case Some(l) => // disjoint from the buffered late session:
-              // close the OLDER one — nothing can bridge its gap anymore
-              // (events within this batch only grow more recent)
-              if (e.ts_ms > l.last) { emit(l); late = Some(Open(e.ts_ms, e.ts_ms, 1, e.value)) }
-              else emit(Open(e.ts_ms, e.ts_ms, 1, e.value))
-            case None =>
-              late = Some(Open(e.ts_ms, e.ts_ms, 1, e.value))
+        case Some(m) if e.ts_ms < m.start - gapMs => // too-late: island merge
+          late.indexWhere(l =>
+            e.ts_ms >= l.start - gapMs && e.ts_ms <= l.last + gapMs) match {
+            case -1 => late = (Open(e.ts_ms, e.ts_ms, 1, e.value) :: late).sortBy(_.start)
+            case i => late = late.updated(i, absorb(late(i), e.ts_ms, e.value))
           }
-          tryCoalesce()
+          normalize()
         case Some(m) => // in or adjacent (possibly late): merge; bounds
           // expand monotonically — a late cross-batch event must never
           // drag `last` backwards
           main = Some(absorb(m, e.ts_ms, e.value))
-          tryCoalesce()
+          normalize()
         case None =>
           main = Some(Open(e.ts_ms, e.ts_ms, 1, e.value))
-          tryCoalesce()
+          normalize()
       }
     }
     main.foreach(m => state.update(SessionState(m, late)))

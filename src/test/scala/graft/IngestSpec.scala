@@ -277,6 +277,35 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().filter(col("p")("lex") === "v:label").count() == 2)
   }
 
+  test("modify: delete+reinsert overlap survives; delete is full-term exact") {
+    val d = Files.createTempDirectory("qs-modify2")
+    val store = new QuadStore(spark, d.toString)
+    store.executeUpdate("""INSERT DATA { GRAPH <g:t> {
+      <s:1> <p:v> "30" . <s:2> <p:v> "keep" . } }""")
+
+    // delete-then-insert of the SAME triple is a net keep (§3.1.3)
+    store.executeUpdate("""
+      DELETE { ?s <p:v> ?o } INSERT { ?s <p:v> ?o } WHERE { ?s <p:v> ?o }""")
+    assert(store.snapshot().filter(col("p")("lex") === "p:v").count() == 2)
+
+    // "30"^^xsd:integer in the template must NOT delete the plain
+    // string "30" (full term identity incl. datatype)
+    store.executeUpdate("""
+      DELETE { <s:1> <p:v> 30 } WHERE { <s:2> <p:v> "keep" }""")
+    assert(store.snapshot().filter(col("s")("lex") === "s:1").count() == 1,
+      "string-typed \"30\" must survive an integer-typed delete template")
+
+    // empty DELETE template is legal and deletes nothing
+    store.executeUpdate("""
+      DELETE { } INSERT { <s:3> <p:v> "new" } WHERE { <s:2> <p:v> "keep" }""")
+    assert(store.snapshot().filter(col("s")("lex") === "s:3").count() == 1)
+
+    // a literal containing update keywords must not reroute dispatch
+    store.executeUpdate(
+      """INSERT DATA { GRAPH <g:t> { <s:4> <p:v> "try DELETE {x} WHERE {y} first" . } }""")
+    assert(store.snapshot().filter(col("s")("lex") === "s:4").count() == 1)
+  }
+
   test("protocol replay: chunked files, 151 barrier, 150 ack, streaming flip") {
     val qs = Files.createTempDirectory("qs3")
     val stg = Files.createTempDirectory("stg")

@@ -65,6 +65,35 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("sessionizer: a cluster of too-late events closes as ONE session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(mem.toDS(), gapMs = 10000)
+      .writeStream.format("memory").queryName("sessions_late_cluster")
+      .outputMode("append").start()
+    try {
+      // open session at 200s plus a buffered late island at 150s
+      mem.addData(Event(1, 200000, 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, 150000, 1.0))
+      q.processAllAvailable()
+      // an even-older cluster arrives: 50s, 55s, 58s — must buffer and
+      // MERGE, not fragment into three singleton sessions
+      mem.addData(Event(1, 50000, 1.0), Event(1, 55000, 1.0), Event(1, 58000, 1.0))
+      q.processAllAvailable()
+      // forward gap closes everything, oldest first
+      mem.addData(Event(1, 500000, 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_late_cluster").as[Session].collect()
+        .sortBy(_.start_ms)
+      assert(closed.length == 3, s"expected 3 closed sessions, got: ${closed.toSeq}")
+      assert(closed(0) == Session(1, 50000, 58000, 3, 3.0)) // merged cluster
+      assert(closed(1) == Session(1, 150000, 150000, 1, 1.0))
+      assert(closed(2) == Session(1, 200000, 200000, 1, 1.0))
+    } finally q.stop()
+  }
+
   test("streaming hourly counts equal the batch answer") {
     val streamed = StreamOps.hourlyCountsStreaming(spark, sf)
       .orderBy("hour_start", "event_type").collect()
