@@ -191,6 +191,29 @@ object ExtraQueries {
              (1 + doc_id % 3)::BIGINT AS channels
       FROM documents""")),
 
+    // media fingerprint dedup: 8-bit windowed-mean pHash stub over the
+    // payload bytes; integer cross-multiplied comparisons keep the
+    // hash bit-identical across engines (text is ASCII in the harness,
+    // so ascii(ch) = byte value on the DuckDB side)
+    Q("m_phash_dedup", (s, dir) => {
+      import s.implicits._
+      Multimodal.pHash(
+        Multimodal.withBinary(t(s, dir, "documents")).as[Multimodal.Media]).toDF()
+    }, {
+      val bits = (0 until 8).map { i =>
+        val si = s"list_reduce(list_prepend(0::BIGINT, bs[(($i*n)//8)+1:(($i+1)*n)//8]), (a,v)->a+v)"
+        s"CASE WHEN $si * n > total * ((($i+1)*n)//8 - ($i*n)//8) THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      Some(s"""
+      WITH b AS (SELECT doc_id,
+                   list_transform(string_split(text,''), ch -> ascii(ch)::BIGINT) AS bs
+                 FROM documents),
+      w AS (SELECT doc_id, bs, len(bs) AS n,
+              list_reduce(list_prepend(0::BIGINT, bs), (a,v)->a+v) AS total
+            FROM b)
+      SELECT doc_id, ($bits)::BIGINT AS phash FROM w""")
+    }),
+
     Q("m_resize_plan", (s, dir) => {
       import s.implicits._
       Multimodal.resizePlan(

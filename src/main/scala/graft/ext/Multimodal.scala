@@ -70,6 +70,39 @@ object Multimodal {
       floor(col("height") * scale).cast("long").as("out_height"))
   }
 
+  final case class PHash(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash-style media fingerprint (STUB for a real pHash/
+    * dHash): 8 equal byte windows over the payload; bit i set when
+    * window i's mean brightness exceeds the global mean. All
+    * comparisons in INTEGER cross-multiplied form (`sum_i·n >
+    * total·n_i`) so the hash is bit-identical across engines with no
+    * float division. Map-only; the 8-byte hash is what shuffles in a
+    * media dedup, never the payload.
+    */
+  def pHash(media: Dataset[Media]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val bs = m.payload.map(b => (b & 0xff).toLong)
+        val n = bs.length
+        val total = bs.sum
+        var hash = 0L
+        var i = 0
+        while (i < 8) {
+          val start = i * n / 8
+          val end = (i + 1) * n / 8
+          var si = 0L
+          var j = start
+          while (j < end) { si += bs(j); j += 1 }
+          if (si * n > total * (end - start)) hash |= 1L << i
+          i += 1
+        }
+        PHash(m.doc_id, hash)
+      }
+    }
+  }
+
   /** Frame sampling: slice `nFrames = 1 + len % 7` fixed-stride
     * 32-byte windows from the payload (STUB for keyframe extraction)
     * and fingerprint each — array-of-binary → explode, the shape a

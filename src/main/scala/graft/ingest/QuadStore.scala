@@ -442,6 +442,30 @@ final class QuadStore(spark: SparkSession, dir: String) {
     }
   }
 
+  /** `LOAD [SILENT] <doc> [INTO GRAPH <g>]` (SPARQL 1.1 Update
+    * §3.1.2): read a local document — `file:` IRI or plain path,
+    * format by extension (`.nt`/`.nq` line formats, `.trig` graph
+    * blocks, Turtle otherwise) — and append its statements. With
+    * `INTO GRAPH`, every statement lands in `g` (quad formats'
+    * own graph labels are overridden); without it, statements go to
+    * the default graph (or their own labels for quad formats).
+    */
+  def load(doc: String, graph: Option[String]): Unit = synchronized {
+    val path = doc.stripPrefix("file://").stripPrefix("file:")
+    val defaultG = graph.getOrElse("urn:default")
+    val read =
+      if (path.endsWith(".nt") || path.endsWith(".nq"))
+        graft.rio.NQuads.read(spark, Seq(path), defaultG)
+      else if (path.endsWith(".trig"))
+        graft.rio.Turtle.readTriG(spark, Seq(path), defaultG)
+      else graft.rio.Turtle.read(spark, Seq(path), defaultG)
+    val quads = graph match {
+      case Some(g) => read.select(lit(g).as("g"), col("s"), col("p"), col("o"))
+      case None => read
+    }
+    append(quads, "load")
+  }
+
   /** `ADD <src> TO <dst>` (SPARQL 1.1 Update §3.2.5): dst ∪= src.
     * Only rows NOT already in dst are appended (RDF graphs are sets) —
     * the anti-diff also keeps a repeated ADD idempotent.
@@ -475,9 +499,12 @@ final class QuadStore(spark: SparkSession, dir: String) {
     val ClearRe = """(?is)\s*(?:CLEAR|DROP)\s+(?:SILENT\s+)?GRAPH\s*<([^>]*)>\s*""".r
     val GraphMgmtRe =
       """(?is)\s*(COPY|MOVE|ADD)\s+(?:SILENT\s+)?(?:GRAPH\s+)?<([^>]*)>\s+TO\s+(?:GRAPH\s+)?<([^>]*)>\s*""".r
+    val LoadRe =
+      """(?is)\s*LOAD\s+(?:SILENT\s+)?<([^>]*)>(?:\s+INTO\s+GRAPH\s*<([^>]*)>)?\s*""".r
     val blanked = update.replaceAll("\"(?:[^\"\\\\]|\\\\.)*\"", "\"\"")
     val upper = blanked.toUpperCase
     update match {
+      case LoadRe(doc, g) => load(doc, Option(g))
       case ClearRe(g) => clearGraph(g)
       case GraphMgmtRe(verb, src, dst) => verb.toUpperCase match {
         case "COPY" => copyGraph(src, dst)

@@ -306,6 +306,28 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().filter(col("s")("lex") === "s:4").count() == 1)
   }
 
+  test("LOAD update: turtle, n-quads and INTO GRAPH override") {
+    val d = Files.createTempDirectory("qs-load")
+    val store = new QuadStore(spark, d.toString)
+    val ttl = Files.createTempDirectory("load-docs")
+    Files.writeString(ttl.resolve("a.ttl"), "<s:1> <p:x> \"one\" .")
+    Files.writeString(ttl.resolve("b.nq"),
+      "<s:2> <p:x> \"two\" <g:own> .\n<s:3> <p:x> \"three\" .\n")
+
+    store.executeUpdate(s"LOAD <file://${ttl.resolve("a.ttl")}> INTO GRAPH <g:t>")
+    assert(store.snapshot().filter(col("g") === "g:t").count() == 1)
+
+    // without INTO: quad-format graph labels are kept, default graph
+    // catches the rest
+    store.executeUpdate(s"LOAD <${ttl.resolve("b.nq")}>")
+    assert(store.snapshot().filter(col("g") === "g:own").count() == 1)
+    assert(store.snapshot().filter(col("g") === "urn:default").count() == 1)
+
+    // with INTO: every statement lands in the target graph
+    store.executeUpdate(s"LOAD SILENT <${ttl.resolve("b.nq")}> INTO GRAPH <g:all>")
+    assert(store.snapshot().filter(col("g") === "g:all").count() == 2)
+  }
+
   test("protocol replay: chunked files, 151 barrier, 150 ack, streaming flip") {
     val qs = Files.createTempDirectory("qs3")
     val stg = Files.createTempDirectory("stg")
