@@ -193,8 +193,9 @@ object ExtraQueries {
 
     // media fingerprint dedup: 8-bit windowed-mean pHash stub over the
     // payload bytes; integer cross-multiplied comparisons keep the
-    // hash bit-identical across engines (text is ASCII in the harness,
-    // so ascii(ch) = byte value on the DuckDB side)
+    // hash bit-identical across engines. The oracle decodes PAYLOAD
+    // BYTES from hex(encode(text)) — byte-accurate like the sibling
+    // octet_length oracles, no ASCII assumption.
     Q("m_phash_dedup", (s, dir) => {
       import s.implicits._
       Multimodal.pHash(
@@ -206,7 +207,8 @@ object ExtraQueries {
       }.mkString(" + ")
       Some(s"""
       WITH b AS (SELECT doc_id,
-                   list_transform(string_split(text,''), ch -> ascii(ch)::BIGINT) AS bs
+                   list_transform(range(1, octet_length(encode(text))+1),
+                     i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT) AS bs
                  FROM documents),
       w AS (SELECT doc_id, bs, len(bs) AS n,
               list_reduce(list_prepend(0::BIGINT, bs), (a,v)->a+v) AS total

@@ -60,16 +60,18 @@ object DfCache {
     * the quads view), and ConcurrentHashMap forbids reentrant updates
     * from inside computeIfAbsent's mapping function — same-bin
     * recursion throws IllegalStateException. The race cost is a
-    * duplicate computation, settled by putIfAbsent (losers discard).
+    * duplicate computation, settled by putIfAbsent. The LOSER is NOT
+    * unpersisted: Spark's CacheManager keys cached data by
+    * canonicalized plan, so the loser's `persist` was a no-op on the
+    * winner's entry and an `unpersist` would drop the winner's blocks.
     */
-  private def getOrPublish(key: String, compute: () => AnyRef,
-      discard: AnyRef => Unit): AnyRef = {
+  private def getOrPublish(key: String, compute: () => AnyRef): AnyRef = {
     val hit = entries.get(key)
     if (hit != null) hit
     else {
       val fresh = compute()
       val prior = entries.putIfAbsent(key, fresh)
-      if (prior != null) { discard(fresh); prior } else fresh
+      if (prior != null) prior else fresh
     }
   }
 
@@ -80,27 +82,27 @@ object DfCache {
   def df(s: SparkSession, dir: String, name: String, persist: Boolean = true)(
       f: => DataFrame): DataFrame = {
     hookEviction(s)
-    getOrPublish(sessionKey(s) + ":" + dir + ":" + name,
-      () => {
-        val d = f
-        val out = if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
-        out.count()
-        out
-      },
-      lost => if (persist) lost.asInstanceOf[DataFrame].unpersist()
-    ).asInstanceOf[DataFrame]
+    getOrPublish(sessionKey(s) + ":" + dir + ":" + name, () => {
+      val d = f
+      val out = if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+      out.count()
+      out
+    }).asInstanceOf[DataFrame]
   }
 
   /** Compute-once plain value (e.g. collected statistics). */
   def value[T <: AnyRef](s: SparkSession, dir: String, name: String)(f: => T): T = {
     hookEviction(s)
-    getOrPublish(sessionKey(s) + ":" + dir + ":" + name, () => f, _ => ()).asInstanceOf[T]
+    getOrPublish(sessionKey(s) + ":" + dir + ":" + name, () => f).asInstanceOf[T]
   }
 
   /** Drop (and unpersist) every entry belonging to `s` — call when
     * stopping a SUB-session of a long-lived application (application-
     * end eviction alone would hold its DataFrames until the whole app
-    * exits).
+    * exits). Caveat: Spark caches by canonicalized plan, so if another
+    * LIVE session cached the identical plan, its blocks drop too and
+    * it silently recomputes — invalidate only sessions whose datasets
+    * are not shared.
     */
   def invalidateSession(s: SparkSession): Unit = {
     val prefix = sessionKey(s) + ":"

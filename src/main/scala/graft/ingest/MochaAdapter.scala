@@ -162,7 +162,11 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
     // count, never zeroed: next-phase messages that already arrived
     // during loadVersion() (or this reset window) must keep their
     // counts, or the next barrier would wait for permits that never
-    // come.
+    // come. Tradeoff (inherent without per-message epoch tags, which
+    // the protocol lacks): a DUPLICATE delivery of a phase-N message
+    // leaves a +1 surplus that an early next-phase arrival is
+    // indistinguishable from; the driver announces exact counts and
+    // does not redeliver, so early arrivals are the case that occurs.
     announced.set(-1)
     receivedMessages.addAndGet(-nMessages)
     barrierReleased.set(false)

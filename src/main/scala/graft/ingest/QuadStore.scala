@@ -450,21 +450,32 @@ final class QuadStore(spark: SparkSession, dir: String) {
     * own graph labels are overridden); without it, statements go to
     * the default graph (or their own labels for quad formats).
     */
-  def load(doc: String, graph: Option[String]): Unit = synchronized {
-    val path = doc.stripPrefix("file://").stripPrefix("file:")
-    val defaultG = graph.getOrElse("urn:default")
-    val read =
-      if (path.endsWith(".nt") || path.endsWith(".nq"))
-        graft.rio.NQuads.read(spark, Seq(path), defaultG)
-      else if (path.endsWith(".trig"))
-        graft.rio.Turtle.readTriG(spark, Seq(path), defaultG)
-      else graft.rio.Turtle.read(spark, Seq(path), defaultG)
-    val quads = graph match {
-      case Some(g) => read.select(lit(g).as("g"), col("s"), col("p"), col("o"))
-      case None => read
+  def load(doc: String, graph: Option[String], silent: Boolean = false): Unit =
+    synchronized {
+      try {
+        val path = doc.stripPrefix("file://").stripPrefix("file:")
+        val defaultG = graph.getOrElse("urn:default")
+        val read =
+          if (path.endsWith(".nt") || path.endsWith(".nq"))
+            graft.rio.NQuads.read(spark, Seq(path), defaultG)
+          else if (path.endsWith(".trig"))
+            graft.rio.Turtle.readTriG(spark, Seq(path), defaultG)
+          else graft.rio.Turtle.read(spark, Seq(path), defaultG)
+        val quads = graph match {
+          case Some(g) => read.select(lit(g).as("g"), col("s"), col("p"), col("o"))
+          case None => read
+        }
+        // RDF graphs are sets: anti-diff keeps a retried/duplicate
+        // LOAD idempotent, like addGraph
+        val fresh = quads.distinct()
+          .except(snapshot().select(col("g"), col("s"), col("p"), col("o")))
+        if (!fresh.isEmpty) append(fresh, "load")
+      } catch {
+        // §3.1.2: SILENT turns a failed load into success
+        case e: Throwable if silent =>
+          System.err.println(s"[quadstore] LOAD SILENT swallowed: ${e.getMessage}")
+      }
     }
-    append(quads, "load")
-  }
 
   /** `ADD <src> TO <dst>` (SPARQL 1.1 Update §3.2.5): dst ∪= src.
     * Only rows NOT already in dst are appended (RDF graphs are sets) —
@@ -500,11 +511,11 @@ final class QuadStore(spark: SparkSession, dir: String) {
     val GraphMgmtRe =
       """(?is)\s*(COPY|MOVE|ADD)\s+(?:SILENT\s+)?(?:GRAPH\s+)?<([^>]*)>\s+TO\s+(?:GRAPH\s+)?<([^>]*)>\s*""".r
     val LoadRe =
-      """(?is)\s*LOAD\s+(?:SILENT\s+)?<([^>]*)>(?:\s+INTO\s+GRAPH\s*<([^>]*)>)?\s*""".r
+      """(?is)\s*LOAD\s+(SILENT\s+)?<([^>]*)>(?:\s+INTO\s+GRAPH\s*<([^>]*)>)?\s*""".r
     val blanked = update.replaceAll("\"(?:[^\"\\\\]|\\\\.)*\"", "\"\"")
     val upper = blanked.toUpperCase
     update match {
-      case LoadRe(doc, g) => load(doc, Option(g))
+      case LoadRe(silent, doc, g) => load(doc, Option(g), silent != null)
       case ClearRe(g) => clearGraph(g)
       case GraphMgmtRe(verb, src, dst) => verb.toUpperCase match {
         case "COPY" => copyGraph(src, dst)

@@ -78,17 +78,11 @@ object NQuads {
 
   // ---- emitters -------------------------------------------------------
 
-  /** Blank-node labels must stay inside the N-Quads BLANK_NODE_LABEL
-    * charset — the engine's internal file-scope salt contains ':',
-    * which conformant parsers (RDF4J, Jena) reject. Bijective encode:
-    * '_' → "__", ':' → "_c" (both stay in PN_CHARS).
-    */
-  private def encodeBnodeLabel(l: String): String =
-    l.replace("_", "__").replace(":", "_c")
-
   private def termStr(t: Term): String = t.kind match {
     case Rdf.IRI => s"<${t.lex}>"
-    case Rdf.BNODE => s"_:${encodeBnodeLabel(t.lex)}"
+    // shared codec with Turtle.emit — tokenization decodes, so salted
+    // labels round-trip while output stays grammar-conformant
+    case Rdf.BNODE => s"_:${Turtle.encodeBnodeLabel(t.lex)}"
     case _ =>
       val quoted = "\"" + t.lex.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "\""

@@ -69,7 +69,7 @@ object Turtle {
           if (c.isWhitespace || c == '#') ()
           else if (c == '<') out += TIri(s.substring(1, s.length - 1))
           else if (c == '"') out += TStr(unescape(s.substring(1, s.length - 1)))
-          else if (s.startsWith("_:")) out += TBNode(s.substring(2))
+          else if (s.startsWith("_:")) out += TBNode(decodeBnodeLabel(s.substring(2)))
           else if (c == '@') out += TLang(s.substring(1))
           else if (c.isDigit || ((c == '+' || c == '-') && s.length > 1)) out += TNum(s)
           else if (s.contains(":")) out += TPName(s)
@@ -100,6 +100,29 @@ object Turtle {
         }
         i += 2
       } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  /** Blank-node labels in emitted documents must stay inside the
+    * BLANK_NODE_LABEL charset (Turtle and N-Quads both forbid ':',
+    * which the engine's file-scope salt contains). Bijective codec:
+    * '_' → "__", ':' → "_c" on emit, inverted on parse — so salted
+    * labels round-trip and the output is accepted by conformant
+    * parsers (RDF4J/Jena).
+    */
+  private[rio] def encodeBnodeLabel(l: String): String =
+    l.replace("_", "__").replace(":", "_c")
+
+  private[rio] def decodeBnodeLabel(l: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < l.length) {
+      if (l.charAt(i) == '_' && i + 1 < l.length && l.charAt(i + 1) == '_') {
+        b.append('_'); i += 2
+      } else if (l.charAt(i) == '_' && i + 1 < l.length && l.charAt(i + 1) == 'c') {
+        b.append(':'); i += 2
+      } else { b.append(l.charAt(i)); i += 1 }
     }
     b.toString
   }
@@ -316,7 +339,7 @@ object Turtle {
   def emit(stmts: Seq[Stmt]): String = {
     def term(t: Term): String = t.kind match {
       case Rdf.IRI => s"<${t.lex}>"
-      case Rdf.BNODE => s"_:${t.lex}"
+      case Rdf.BNODE => s"_:${encodeBnodeLabel(t.lex)}"
       case _ =>
         val quoted = "\"" + t.lex.replace("\\", "\\\\").replace("\"", "\\\"")
           .replace("\n", "\\n").replace("\t", "\\t").replace("\r", "\\r") + "\""

@@ -26,13 +26,16 @@ object Algebra {
       val bd = BigDecimal(d).setScale(6)
       T(bd.bigDecimal.toPlainString, 2, "xsd:decimal")
     }
-    /** from source text: integer-shaped lexicals keep xsd:integer */
+    /** from source text: integer-shaped lexicals keep xsd:integer AND
+      * an integral canonical lexical ("30", not "30.000000") — term-
+      * identity joins against Turtle-parsed data depend on the two
+      * front-ends canonicalizing identically
+      */
     def num(text: String): T = {
-      val bd = BigDecimal(text).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-      val dt =
-        if (text.contains('.') || text.toLowerCase.contains('e')) "xsd:decimal"
-        else "xsd:integer"
-      T(bd.bigDecimal.toPlainString, 2, dt)
+      val isInt = !text.contains('.') && !text.toLowerCase.contains('e')
+      val bd = BigDecimal(text)
+        .setScale(if (isInt) 0 else 6, BigDecimal.RoundingMode.HALF_UP)
+      T(bd.bigDecimal.toPlainString, 2, if (isInt) "xsd:integer" else "xsd:decimal")
     }
   }
 

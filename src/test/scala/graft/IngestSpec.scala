@@ -295,6 +295,15 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().filter(col("s")("lex") === "s:1").count() == 1,
       "string-typed \"30\" must survive an integer-typed delete template")
 
+    // ...and the SAME integer template DOES delete an integer-typed
+    // stored triple (the SPARQL and Turtle front-ends canonicalize
+    // numeric lexicals identically, so term identity lines up)
+    store.executeUpdate("""INSERT DATA { GRAPH <g:t> { <s:5> <p:n> 42 . } }""")
+    store.executeUpdate("""
+      DELETE { <s:5> <p:n> 42 } WHERE { <s:2> <p:v> "keep" }""")
+    assert(store.snapshot().filter(col("s")("lex") === "s:5").isEmpty,
+      "integer-typed 42 must be deleted by an integer-typed template")
+
     // empty DELETE template is legal and deletes nothing
     store.executeUpdate("""
       DELETE { } INSERT { <s:3> <p:v> "new" } WHERE { <s:2> <p:v> "keep" }""")
