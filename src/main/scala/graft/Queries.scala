@@ -274,6 +274,30 @@ object Queries {
              (SELECT count(*) FROM c)::BIGINT AS n_click,
              (SELECT count(*) FROM p)::BIGINT AS n_purchase""")),
 
+    // day-over-day retention: users active on day d AND d+1 — the
+    // standard engagement cut; (user, day) dedup first so the join
+    // carries one row per active user-day, never raw events
+    Q("w_retention", (s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val act = days.groupBy("d").agg(count(lit(1)).as("n_active"))
+      val ret = days.as("a")
+        .join(days.as("b"), col("b.user_id") === col("a.user_id") &&
+          col("b.d") === date_add(col("a.d"), 1))
+        .groupBy(col("a.d").as("d")).agg(count(lit(1)).as("n_retained"))
+      act.join(ret, Seq("d"), "left")
+        .select(col("d").cast("string").as("day"), col("n_active"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+    }, Some("""
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      act AS (SELECT d, count(*) AS n_active FROM days GROUP BY 1),
+      ret AS (SELECT a.d, count(*) AS n_retained
+              FROM days a JOIN days b ON b.user_id = a.user_id AND b.d = a.d + 1
+              GROUP BY 1)
+      SELECT CAST(act.d AS VARCHAR) AS day, n_active::BIGINT AS n_active,
+             coalesce(n_retained, 0)::BIGINT AS n_retained
+      FROM act LEFT JOIN ret ON ret.d = act.d""")),
+
     Q("w_json_props", (s, dir) =>
       t(s, dir, "events")
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))

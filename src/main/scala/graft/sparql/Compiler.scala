@@ -797,16 +797,22 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
                 Rdf.XsdInteger)
             else termNumDt(count(arg).cast("double"), Rdf.XsdInteger)
         }
-      case "sum" => // XPath promotion: all-integer input sums to integer
-        termNumDt(sum(arg("num")),
+      case "sum" => // XPath promotion: all-integer input sums to integer;
+        // DISTINCT applies to the VALUE multiset (SPARQL §18.5.1)
+        termNumDt(
+          if (a.distinct) sum_distinct(arg("num")) else sum(arg("num")),
           when(every(arg("dt") === Rdf.XsdInteger), lit(Rdf.XsdInteger))
             .otherwise(lit(Rdf.XsdDecimal)))
-      case "avg" => termNum(avg(arg("num"))) // AVG of integers is decimal
-      case "min" => min_by(arg, Rdf.sortKey(arg))
+      case "avg" => // AVG of integers is decimal
+        if (a.distinct)
+          termNum(sum_distinct(arg("num")) / countDistinct(arg("num")))
+        else termNum(avg(arg("num")))
+      case "min" => min_by(arg, Rdf.sortKey(arg)) // DISTINCT is a no-op
       case "max" => max_by(arg, Rdf.sortKey(arg))
       case "sample" => first(arg, ignoreNulls = true)
       case "group_concat" =>
-        termStr(concat_ws(a.sep.getOrElse(" "), array_sort(collect_list(arg("lex")))))
+        termStr(concat_ws(a.sep.getOrElse(" "), array_sort(
+          if (a.distinct) collect_set(arg("lex")) else collect_list(arg("lex")))))
       case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
     }
   }

@@ -33,6 +33,19 @@ class SemanticsSpec extends GraftSuite {
     assert(q("""SELECT ?r WHERE { ?r a :Region }""").length == 5)
   }
 
+  test("DISTINCT inside aggregates applies to the value multiset") {
+    val rows = q("""
+      SELECT (SUM(DISTINCT ?v) AS ?s) (AVG(DISTINCT ?v) AS ?a)
+             (GROUP_CONCAT(DISTINCT ?n; SEPARATOR=",") AS ?c)
+             (SUM(?v) AS ?s_all)
+      WHERE { VALUES (?v ?n) { (1 "x") (1 "x") (2 "y") } }""")
+    // columns come back in projection order: s, a, c, s_all
+    assert(rows.head.getString(0) == "3")          // 1+2, integer lexical
+    assert(rows.head.getString(1) == "1.500000")   // avg is decimal
+    assert(rows.head.getString(2) == "x,y")
+    assert(rows.head.getString(3) == "4")          // non-distinct keeps dups
+  }
+
   test("SHA384/SHA512 match MessageDigest reference vectors") {
     def hex(alg: String, in: String): String =
       java.security.MessageDigest.getInstance(alg)
