@@ -201,6 +201,21 @@ object Queries {
                         ELSE 255 / max(f) END, 2) AS est_distinct
       FROM mins""")),
 
+    // explicit GROUPING SETS (beyond rollup/cube): two one-dimension
+    // cuts + grand total in ONE shuffle pass over the fact table
+    Q("q_grouping_sets", (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
     Q("q_case_expr", (s, dir) =>
       t(s, dir, "part").select(
         col("p_partkey"),

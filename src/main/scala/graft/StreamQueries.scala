@@ -46,6 +46,16 @@ object StreamQueries {
       SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
       FROM events GROUP BY 1""")),
 
+    // stream-stream interval join (attribution shape): inner matches
+    // emit as both rows arrive, so the answer is batch-checkable
+    Q("st_stream_join", (s, dir) => StreamOps.streamStreamJoin(s, dir),
+      Some("""
+      SELECT v.event_id AS view_id, b.event_id AS buy_id, v.user_id
+      FROM events v JOIN events b
+        ON b.user_id = v.user_id AND b.event_type = 'purchase'
+       AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+      WHERE v.event_type = 'view' AND v.user_id < 50""")),
+
     // append-mode watermark semantics: the stale half of the slice
     // arrives after the watermark passed it → dropped; the oracle is
     // the aggregation of the surviving (recent) half alone

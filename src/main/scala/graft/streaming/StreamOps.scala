@@ -130,6 +130,60 @@ object StreamOps {
     spark.table(name).filter(col("event_type") =!= "__flush")
   }
 
+  /** Stream-stream INNER interval join: view events joined to the
+    * purchases that follow them within one hour, per user — the
+    * attribution-join shape. Both sides are real streams with
+    * watermarks (which bound the join STATE: a view's state is
+    * droppable once the purchase watermark passes view.ts + 1h —
+    * without the time bound the state store grows with the whole
+    * stream). Inner-join matches emit as soon as both rows are
+    * present, so the final answer is batching-independent and exactly
+    * batch-checkable.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = graft.core.Tables(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def src(mem: MemoryStream[(Long, Long, Long)], prefix: String) =
+      mem.toDF().toDF(s"${prefix}_id", "user_id", s"${prefix}_ns")
+        .withColumn(s"${prefix}_ts", timestamp_micros(expr(s"${prefix}_ns div 1000")))
+    val views = MemoryStream[(Long, Long, Long)]
+    val buys = MemoryStream[(Long, Long, Long)]
+    val v = src(views, "view").withWatermark("view_ts", "1 hour")
+    val b = src(buys, "buy").withColumnRenamed("user_id", "buy_user")
+      .withWatermark("buy_ts", "1 hour")
+    // two range conditions on purpose: the WATERMARKED timestamp pair
+    // gives Spark the state-cleanup bound; the raw nanosecond pair
+    // keeps the boundary exact (the ts columns are micros-truncated,
+    // which could flip a sub-microsecond knife-edge vs the oracle)
+    val joined = v.join(b,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR") &&
+        col("buy_ns") >= col("view_ns") &&
+        col("buy_ns") <= col("view_ns") + lit(3600L * 1000000000L))
+      .select(col("view_id"), col("buy_id"), col("user_id"))
+    val name = s"st_ssj_${System.nanoTime()}"
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+    try {
+      views.addData(rows.filter(_._3 == "view")
+        .map(r => (r._1, r._2, r._4)).toIndexedSeq)
+      buys.addData(rows.filter(_._3 == "purchase")
+        .map(r => (r._1, r._2, r._4)).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
   /** Batch `session_window` sessionization (30-min inactivity gap):
     * identical semantics in batch and streaming — the streaming
     * variant only adds a watermark. Session start = first event,
