@@ -43,18 +43,14 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
   def load(files: Seq[String]): String = store.loadVersion(files)
 
   /** Read RDF documents of any supported format into a quads
-    * DataFrame without committing them: N-Triples/N-Quads (`.nt`/
-    * `.nq`, line-splittable), TriG (`.trig`), Turtle otherwise.
-    * Commit via `LOAD <doc>` updates or [[load]] for Turtle versions.
+    * DataFrame without committing them — per-path format dispatch
+    * shared with the `LOAD` update ([[graft.rio.Rio.readAuto]]):
+    * N-Triples/N-Quads (`.nt`/`.nq`, line-splittable), TriG
+    * (`.trig`), Turtle otherwise; mixed lists are fine. Commit via
+    * `LOAD <doc>` updates or [[load]] for Turtle versions.
     */
   def read(paths: Seq[String], defaultGraph: String = "urn:default"): DataFrame =
-    paths.headOption match {
-      case Some(p) if p.endsWith(".nt") || p.endsWith(".nq") =>
-        graft.rio.NQuads.read(spark, paths, defaultGraph)
-      case Some(p) if p.endsWith(".trig") =>
-        graft.rio.Turtle.readTriG(spark, paths, defaultGraph)
-      case _ => graft.rio.Turtle.read(spark, paths, defaultGraph)
-    }
+    graft.rio.Rio.readAuto(spark, paths, defaultGraph)
 
   /** Any supported SPARQL Update: INSERT/DELETE DATA, DELETE WHERE,
     * general `DELETE/INSERT … WHERE` (+`WITH`), CLEAR/DROP GRAPH,

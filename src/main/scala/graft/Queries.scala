@@ -266,15 +266,19 @@ object Queries {
     // each step SHRINKS the keyed shuffle — no per-user event
     // collection, no window over the whole stream
     Q("w_funnel", (s, dir) => {
+      // stage comparisons at MICROSECOND precision: DuckDB truncates
+      // the parquet ns timestamps to micros at read, so a strict `>`
+      // on raw nanos could diverge on a same-microsecond knife-edge
       val e = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
       val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_ns").as("tv"))
+        .groupBy("user_id").agg(min("ts_us").as("tv"))
       val c = e.filter(col("event_type") === "click").join(v, "user_id")
-        .filter(col("ts_ns") > col("tv"))
-        .groupBy("user_id").agg(min("ts_ns").as("tc"))
+        .filter(col("ts_us") > col("tv"))
+        .groupBy("user_id").agg(min("ts_us").as("tc"))
       val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-        .filter(col("ts_ns") > col("tc"))
-        .groupBy("user_id").agg(min("ts_ns").as("tp"))
+        .filter(col("ts_us") > col("tc"))
+        .groupBy("user_id").agg(min("ts_us").as("tp"))
       v.agg(count(lit(1)).as("n_view"))
         .crossJoin(c.agg(count(lit(1)).as("n_click")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase")))

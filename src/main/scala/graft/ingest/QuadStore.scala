@@ -453,14 +453,8 @@ final class QuadStore(spark: SparkSession, dir: String) {
   def load(doc: String, graph: Option[String], silent: Boolean = false): Unit =
     synchronized {
       try {
-        val path = doc.stripPrefix("file://").stripPrefix("file:")
         val defaultG = graph.getOrElse("urn:default")
-        val read =
-          if (path.endsWith(".nt") || path.endsWith(".nq"))
-            graft.rio.NQuads.read(spark, Seq(path), defaultG)
-          else if (path.endsWith(".trig"))
-            graft.rio.Turtle.readTriG(spark, Seq(path), defaultG)
-          else graft.rio.Turtle.read(spark, Seq(path), defaultG)
+        val read = graft.rio.Rio.readAuto(spark, Seq(doc), defaultG)
         val quads = graph match {
           case Some(g) => read.select(lit(g).as("g"), col("s"), col("p"), col("o"))
           case None => read

@@ -793,7 +793,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           case None => termNumDt(count(lit(1)).cast("double"), Rdf.XsdInteger)
           case Some(_) =>
             if (a.distinct)
-              termNumDt(countDistinct(arg("lex"), arg("kind")).cast("double"),
+              // distinct over FULL terms: "1"^^xsd:integer and "1"
+              // (plain) are different values, as are "a"@en / "a"@fr
+              termNumDt(
+                countDistinct(arg("lex"), arg("kind"), arg("dt"), arg("lang"))
+                  .cast("double"),
                 Rdf.XsdInteger)
             else termNumDt(count(arg).cast("double"), Rdf.XsdInteger)
         }
@@ -811,8 +815,17 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       case "max" => max_by(arg, Rdf.sortKey(arg))
       case "sample" => first(arg, ignoreNulls = true)
       case "group_concat" =>
-        termStr(concat_ws(a.sep.getOrElse(" "), array_sort(
-          if (a.distinct) collect_set(arg("lex")) else collect_list(arg("lex")))))
+        // DISTINCT dedups FULL terms, then projects lexicals — sorting
+        // the (lex, kind, dt, lang) structs orders by lex first, so
+        // the concatenation order matches the non-distinct sorted form
+        termStr(concat_ws(a.sep.getOrElse(" "),
+          if (a.distinct)
+            transform(
+              array_sort(collect_set(struct(arg("lex").as("lex"),
+                arg("kind").as("kind"), arg("dt").as("dt"),
+                arg("lang").as("lang")))),
+              x => x("lex"))
+          else array_sort(collect_list(arg("lex")))))
       case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
     }
   }

@@ -156,16 +156,15 @@ object StreamOps {
     val v = src(views, "view").withWatermark("view_ts", "1 hour")
     val b = src(buys, "buy").withColumnRenamed("user_id", "buy_user")
       .withWatermark("buy_ts", "1 hour")
-    // two range conditions on purpose: the WATERMARKED timestamp pair
-    // gives Spark the state-cleanup bound; the raw nanosecond pair
-    // keeps the boundary exact (the ts columns are micros-truncated,
-    // which could flip a sub-microsecond knife-edge vs the oracle)
+    // the interval is evaluated on the MICROSECOND timestamps on both
+    // sides: DuckDB also truncates the parquet ns timestamps to micros
+    // (epoch_us), so a micro-resolution bound mirrors the oracle
+    // exactly — an additional raw-ns bound would be strictly tighter
+    // and flip sub-microsecond knife-edge pairs
     val joined = v.join(b,
       col("user_id") === col("buy_user") &&
         col("buy_ts") >= col("view_ts") &&
-        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR") &&
-        col("buy_ns") >= col("view_ns") &&
-        col("buy_ns") <= col("view_ns") + lit(3600L * 1000000000L))
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("view_id"), col("buy_id"), col("user_id"))
     val name = s"st_ssj_${System.nanoTime()}"
     val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
