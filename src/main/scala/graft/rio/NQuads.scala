@@ -100,6 +100,21 @@ object NQuads {
       s"${termStr(st.s)} ${termStr(st.p)} ${termStr(st.o)}$gs ."
     }.mkString("\n")
 
+  /** Serialize quads as TriG: default-graph statements first, then a
+    * `GRAPH <g> { … }` block per named graph (deterministic graph
+    * order). Statement syntax is the N-Triples subset, which is valid
+    * Turtle inside a block — [[Turtle.parseTriG]] round-trips it.
+    */
+  def emitTriG(quads: Seq[(String, Stmt)]): String = {
+    def line(st: Stmt) = s"${termStr(st.s)} ${termStr(st.p)} ${termStr(st.o)} ."
+    val (default, named) = quads.partition(_._1.isEmpty)
+    val defaultLines = default.map(q => line(q._2))
+    val blocks = named.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, qs) =>
+      qs.map(q => "  " + line(q._2)).mkString(s"GRAPH <$g> {\n", "\n", "\n}")
+    }
+    (defaultLines ++ blocks).mkString("\n")
+  }
+
   // ---- Spark reader ---------------------------------------------------
 
   /** Read N-Quads/N-Triples files into a quads DataFrame `(g, s, p,

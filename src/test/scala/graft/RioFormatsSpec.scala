@@ -105,6 +105,39 @@ class RioFormatsSpec extends GraftSuite {
     assert(a == b)
   }
 
+  test("generated statements round-trip through n-quads and trig") {
+    // deterministic pseudo-random statement corpus over every term
+    // shape: IRIs, salted bnodes, plain/lang/typed/numeric literals,
+    // gnarly characters in literals, several graphs
+    val rnd = new scala.util.Random(42)
+    def iri() = Turtle.Term(s"http://ex.org/r${rnd.nextInt(50)}", Rdf.IRI, "", "", None)
+    def bnode() = Turtle.Term(s"f1:-a${rnd.nextInt(20)}", Rdf.BNODE, "", "", None)
+    def literal() = rnd.nextInt(5) match {
+      case 0 => Turtle.Term("plain " + "\"quote\\back\n\ttab" * (1 + rnd.nextInt(2)),
+        Rdf.LIT, Rdf.XsdString, "", None)
+      case 1 => Turtle.Term("tagged", Rdf.LIT, Rdf.XsdString,
+        Seq("en", "fr", "en-US")(rnd.nextInt(3)), None)
+      case 2 =>
+        val v = rnd.nextInt(1000) - 500
+        Turtle.Term(v.toString, Rdf.LIT, Rdf.XsdInteger, "", Some(v.toDouble))
+      case 3 =>
+        val v = BigDecimal(rnd.nextInt(100000)) / 1000
+        Turtle.Term(v.setScale(6).bigDecimal.toPlainString, Rdf.LIT,
+          Rdf.XsdDecimal, "", Some(v.toDouble))
+      case _ => Turtle.Term("typed", Rdf.LIT, "http://ex.org/custom", "", None)
+    }
+    def subj() = if (rnd.nextBoolean()) iri() else bnode()
+    def obj() = rnd.nextInt(3) match {
+      case 0 => iri(); case 1 => bnode(); case _ => literal()
+    }
+    val quads = (1 to 200).map { _ =>
+      val g = Seq("", "g:one", "http://graph.version.2")(rnd.nextInt(3))
+      (g, Turtle.Stmt(subj(), iri(), obj()))
+    }
+    assert(NQuads.parseDoc(NQuads.emit(quads)) == quads)
+    assert(Turtle.parseTriG(NQuads.emitTriG(quads)).toSet == quads.toSet)
+  }
+
   test("spark readers: n-quads line source and trig file source") {
     val dir = Files.createTempDirectory("rio").toFile
     val nq = new java.io.File(dir, "d.nq")
