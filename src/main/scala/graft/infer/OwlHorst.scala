@@ -96,9 +96,14 @@ object OwlHorst {
 
   def ontology(quads: DataFrame): Ontology = {
     val schema = quads
+      // rdf:type rows are collected ONLY for the two property-class
+      // axioms — collecting every instance typing would put the whole
+      // dataset's type statements on the driver
       .filter(col("p")("lex").isin(
         "rdfs:subClassOf", "rdfs:subPropertyOf", "rdfs:domain", "rdfs:range",
-        "owl:inverseOf", RdfType))
+        "owl:inverseOf") ||
+        (col("p")("lex") === RdfType &&
+          col("o")("lex").isin("owl:TransitiveProperty", "owl:SymmetricProperty")))
       .select(col("s")("lex").as("s"), col("p")("lex").as("p"), col("o")("lex").as("o"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))

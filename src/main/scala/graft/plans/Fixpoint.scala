@@ -52,6 +52,9 @@ object Fixpoint {
         frontier = next
       }
     }
+    if (!done) System.err.println(
+      s"[fixpoint] WARNING: closure stopped at the $maxRounds-round cap " +
+        "before convergence — results may be incomplete")
     acc
   }
 
@@ -92,6 +95,9 @@ object Fixpoint {
         frontier = next
       }
     }
+    if (!done) System.err.println(
+      s"[fixpoint] WARNING: reachability stopped at the $maxRounds-round cap " +
+        "before convergence — results may be incomplete")
     acc.getOrElse(n0.limit(0))
   }
 

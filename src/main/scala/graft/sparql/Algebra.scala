@@ -89,6 +89,43 @@ object Algebra {
   /** empty group pattern `{}` — the unit solution */
   case object Unit0 extends Op
 
+  /** Variables that can be UNBOUND (NULL) in the operator's output.
+    * BGP-bound variables are always bound; unboundness enters through
+    * OPTIONAL right sides, UNION branches that lack a var, VALUES
+    * UNDEF, computed/aggregate bindings (expressions can error), and
+    * propagates through wrappers. Joins use this to apply SPARQL
+    * compatible-mapping NULL semantics ONLY where a NULL can occur —
+    * everywhere else the join stays a plain (hash-joinable) equality.
+    */
+  def maybeUnbound(op: Op): Set[String] = op match {
+    case Bgp(_, _) => Set.empty
+    case Join(l, r) => maybeUnbound(l) ++ maybeUnbound(r)
+    case LeftJoin(l, r, _) =>
+      // right-only vars are null on unmatched rows; shared vars take
+      // the left value (see Compiler.solLeftJoin)
+      maybeUnbound(l) ++ (inScope(r).toSet -- inScope(l).toSet)
+    case Union(l, r) =>
+      val (ls, rs) = (inScope(l).toSet, inScope(r).toSet)
+      maybeUnbound(l) ++ maybeUnbound(r) ++ (ls diff rs) ++ (rs diff ls)
+    case Minus(l, _) => maybeUnbound(l)
+    case Filter(_, i) => maybeUnbound(i)
+    case Extend(i, v, _) => maybeUnbound(i) + v // expressions can error
+    case ValuesOp(vars, rows) =>
+      vars.zipWithIndex.collect {
+        case (v, i) if rows.exists(r => r(i).isEmpty) => v
+      }.toSet
+    case Group(i, keys, aggs) =>
+      val in = maybeUnbound(i)
+      keys.collect { case (v, None) if in(v) => v }.toSet ++
+        keys.collect { case (v, Some(_)) => v }.toSet ++
+        aggs.map(_._1).toSet
+    case Project(i, vars) => maybeUnbound(i).intersect(vars.toSet)
+    case Distinct(i) => maybeUnbound(i)
+    case OrderBy(i, _) => maybeUnbound(i)
+    case Slice(i, _, _) => maybeUnbound(i)
+    case Unit0 => Set.empty
+  }
+
   /** All variables an operator can bind (used for projection & joins). */
   def inScope(op: Op): Seq[String] = {
     def nodeVars(n: Node): Seq[String] = n match {

@@ -74,13 +74,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     template.map { tp =>
       val p = tp.p match {
         case PLink(iri) => lit(iri)
-        case PVar(v) => solutions(v)("lex")
+        case PVar(v) =>
+          if (solutions.columns.contains(v)) solutions(v)("lex")
+          else lit(null).cast("string")
         case other => throw new IllegalArgumentException(
           s"CONSTRUCT template predicate must be an IRI or var, got $other")
       }
       solutions.select(nodeCol(tp.s, solutions).as("s"), p.as("p"),
         nodeCol(tp.o, solutions).as("o"))
-        .filter(col("s").isNotNull && col("o").isNotNull)
+        // any unbound template position drops the instantiation (§16.2)
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
     }.reduce(_.unionByName(_)).distinct()
   }
 
@@ -129,9 +132,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
     case Bgp(pats, graph) => compBgp(pats, graph)
 
-    case Join(l, r) => solJoin(comp(l), comp(r), "inner")
+    case Join(l, r) =>
+      solJoin(comp(l), comp(r), "inner", maybeUnbound(l) ++ maybeUnbound(r))
 
-    case LeftJoin(l, r, cond) => solLeftJoin(comp(l), comp(r), cond)
+    case LeftJoin(l, r, cond) =>
+      solLeftJoin(comp(l), comp(r), cond, maybeUnbound(l) ++ maybeUnbound(r))
 
     case Union(l, r) =>
       val (ld, rd) = (comp(l), comp(r))
@@ -146,12 +151,25 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       val shared = ld.columns.intersect(rd.columns).toIndexedSeq
       if (shared.isEmpty) ld // MINUS with disjoint domains removes nothing
       else {
+        val nullable = maybeUnbound(l) ++ maybeUnbound(r)
         val renames = shared.map(v => v -> freshName(v)).toMap
         val rr = shared.foldLeft(rd.select(shared.map(rd(_)): _*)) {
           (d, v) => d.withColumnRenamed(v, renames(v))
         }
-        val cond = shared.map(v => termEq(ld(v), rr(renames(v)))).reduce(_ && _)
-        ld.join(rr, cond, "left_anti")
+        // remove l when some r is COMPATIBLE (unbound matches anything)
+        // AND the two solutions share at least one mutually BOUND var —
+        // disjoint domains remove nothing (SPARQL §18.5, Minus). The
+        // null-tolerant form only where a var can actually be unbound,
+        // keeping the common all-bound case a hash-joinable equality.
+        val compat = shared.map(v =>
+          if (nullable(v))
+            ld(v).isNull || rr(renames(v)).isNull ||
+              termEq(ld(v), rr(renames(v)))
+          else termEq(ld(v), rr(renames(v)))).reduce(_ && _)
+        val overlap = shared.map(v =>
+          if (nullable(v)) ld(v).isNotNull && rr(renames(v)).isNotNull
+          else lit(true)).reduce(_ || _)
+        ld.join(rr, compat && overlap, "left_anti")
       }
 
     case Filter(cond, input) =>
@@ -165,15 +183,37 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
             val any = !subDf.isEmpty
             if (any == positive) in else in.limit(0)
           } else {
+            val nullable = maybeUnbound(input) ++ maybeUnbound(sub)
             val renames = shared.map(v => v -> freshName(v)).toMap
             val rr = shared.foldLeft(subDf.select(shared.map(subDf(_)): _*)) {
               (d, v) => d.withColumnRenamed(v, renames(v))
             }
-            val c = shared.map(v => termEq(in(v), rr(renames(v)))).reduce(_ && _)
+            // unbound shared vars are compatible with any binding;
+            // null-tolerant form only where a var can be unbound
+            val c = shared.map(v =>
+              if (nullable(v))
+                in(v).isNull || rr(renames(v)).isNull ||
+                  termEq(in(v), rr(renames(v)))
+              else termEq(in(v), rr(renames(v)))).reduce(_ && _)
             in.join(rr, c, joinType)
           }
         case _ =>
-          in.filter(coalesce(compBool(cond, resolver(in)), lit(false)))
+          // EXISTS nested inside a compound boolean (&&, ||, !, IF):
+          // each occurrence becomes a precomputed boolean flag column
+          // (distinct-key compatible semi-join, re-joined without row
+          // duplication), and the expression reads the flag
+          var cur = in
+          def rewriteExists(e2: Expr): Expr = e2 match {
+            case EExists(sub, positive) =>
+              val flag = freshName("exists")
+              cur = addExistsFlag(cur, sub, positive, flag)
+              ECall("__existsflag", Seq(EVar(flag)))
+            case ECall(o2, as2) => ECall(o2, as2.map(rewriteExists))
+            case other => other
+          }
+          val cond2 = rewriteExists(cond)
+          val filtered = cur.filter(coalesce(compBool(cond2, resolver(cur)), lit(false)))
+          filtered.select(in.columns.map(filtered(_)).toIndexedSeq: _*)
       }
 
     case Extend(input, v, e) =>
@@ -229,25 +269,78 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   // solution joins
   // ------------------------------------------------------------------
 
-  private def solJoin(l: DataFrame, r: DataFrame, joinType: String): DataFrame = {
+  private def solJoin(l: DataFrame, r: DataFrame, joinType: String,
+      nullable: Set[String] = Set.empty): DataFrame = {
     val shared = l.columns.intersect(r.columns).toIndexedSeq
     if (shared.isEmpty) return l.crossJoin(r)
     val renames = shared.map(v => v -> freshName(v)).toMap
     val rr = shared.foldLeft(r) { (d, v) => d.withColumnRenamed(v, renames(v)) }
-    val cond = shared.map(v => termEq(l(v), rr(renames(v)))).reduce(_ && _)
+    // compatible-mapping semantics (SPARQL §18.3): an UNBOUND shared
+    // variable is compatible with anything and the merged solution
+    // takes the bound side's term. The null-tolerant (non-equi)
+    // condition applies ONLY to vars that can actually be unbound —
+    // all-bound joins stay plain equalities so Catalyst hash-joins.
+    val cond = shared.map(v =>
+      if (nullable(v))
+        l(v).isNull || rr(renames(v)).isNull || termEq(l(v), rr(renames(v)))
+      else termEq(l(v), rr(renames(v))))
+      .reduce(_ && _)
     val joined = l.join(rr, cond, joinType)
-    joined.select((l.columns.map(joined(_)) ++
-      r.columns.filterNot(shared.contains).map(joined(_))).toIndexedSeq: _*)
+    joined.select((l.columns.map(c =>
+      (if (shared.contains(c) && nullable(c))
+        coalesce(joined(c), joined(renames(c)))
+      else joined(c)).as(c)).toIndexedSeq ++
+      r.columns.filterNot(shared.contains).map(joined(_)).toIndexedSeq): _*)
+  }
+
+  /** Attach a boolean column `flag` = [NOT] EXISTS(sub) per row of
+    * `df`, without changing df's row multiplicity: the compatible
+    * shared-variable combinations are computed over DISTINCT keys with
+    * a semi-join, then re-attached with a null-safe equi-join (one
+    * matched row per key, so no fan-out).
+    */
+  private def addExistsFlag(df: DataFrame, sub: Op, positive: Boolean,
+      flag: String): DataFrame = {
+    val subDf = comp(sub)
+    val shared = df.columns.intersect(subDf.columns).toIndexedSeq
+    if (shared.isEmpty) {
+      val any = !subDf.isEmpty
+      df.withColumn(flag, lit(any == positive))
+    } else {
+      val renames = shared.map(v => v -> freshName(v)).toMap
+      val rr = shared.foldLeft(subDf.select(shared.map(subDf(_)): _*)) {
+        (d, v) => d.withColumnRenamed(v, renames(v))
+      }
+      val keys = df.select(shared.map(df(_)): _*).distinct()
+      val compat = shared.map(v =>
+        keys(v).isNull || rr(renames(v)).isNull ||
+          termEq(keys(v), rr(renames(v)))).reduce(_ && _)
+      val mNames = shared.map(v => v -> freshName(v)).toMap
+      val marker = s"__m_$flag"
+      val matched = keys.join(rr, compat, "left_semi")
+      val matchedR = matched
+        .select(shared.map(v => matched(v).as(mNames(v))): _*)
+        .withColumn(marker, lit(true))
+      val eq = shared.map(v => df(v) <=> matchedR(mNames(v))).reduce(_ && _)
+      val joined = df.join(matchedR, eq, "left_outer")
+      joined.select((df.columns.map(c => joined(c).as(c)) :+
+        (if (positive) joined(marker).isNotNull
+         else joined(marker).isNull).as(flag)).toIndexedSeq: _*)
+    }
   }
 
   /** OPTIONAL: left join; the embedded FILTER (if any) evaluates over
     * the merged row and failing matches become unmatched (NULL right).
     */
-  private def solLeftJoin(l: DataFrame, r: DataFrame, filt: Option[Expr]): DataFrame = {
+  private def solLeftJoin(l: DataFrame, r: DataFrame, filt: Option[Expr],
+      nullable: Set[String] = Set.empty): DataFrame = {
     val shared = l.columns.intersect(r.columns).toIndexedSeq
     val renames = shared.map(v => v -> freshName(v)).toMap
     val rr = shared.foldLeft(r) { (d, v) => d.withColumnRenamed(v, renames(v)) }
-    val eqCond = shared.map(v => termEq(l(v), rr(renames(v))))
+    val eqCond = shared.map(v =>
+      if (nullable(v))
+        l(v).isNull || rr(renames(v)).isNull || termEq(l(v), rr(renames(v)))
+      else termEq(l(v), rr(renames(v))))
     val resolveMerged: String => Column = v =>
       if (shared.contains(v)) l(v)
       else if (l.columns.contains(v)) l(v)
@@ -551,6 +644,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       def a(i: Int) = compExpr(args(i), resolve)
       def b(i: Int) = compBool(args(i), resolve)
       op match {
+        case "__existsflag" => // precomputed nested-EXISTS boolean column
+          args.head match {
+            case EVar(f) => resolve(f)
+            case other => throw new IllegalStateException(s"bad exists flag: $other")
+          }
         case "&&" => b(0) && b(1)
         case "||" => b(0) || b(1)
         case "!" => !b(0)
@@ -811,8 +909,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         if (a.distinct)
           termNum(sum_distinct(arg("num")) / countDistinct(arg("num")))
         else termNum(avg(arg("num")))
-      case "min" => min_by(arg, Rdf.sortKey(arg)) // DISTINCT is a no-op
-      case "max" => max_by(arg, Rdf.sortKey(arg))
+      // unbound inputs are skipped (a NULL ordering key is ignored by
+      // min_by/max_by) — MIN over {unbound, 5} is 5, not unbound
+      case "min" => min_by(arg, when(arg.isNotNull, Rdf.sortKey(arg))) // DISTINCT no-op
+      case "max" => max_by(arg, when(arg.isNotNull, Rdf.sortKey(arg)))
       case "sample" => first(arg, ignoreNulls = true)
       case "group_concat" =>
         // DISTINCT dedups FULL terms, then projects lexicals — sorting

@@ -47,6 +47,17 @@ object SparqlParser {
   def tokenize(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var idx = 0
+    // previous emitted token: a sign glued to a number (`?x-1`) is an
+    // INFIX operator when it follows a value-shaped token, per the
+    // SPARQL additive grammar — only in prefix position is it a
+    // NumericLiteralNegative
+    var last: Tok = null
+    def emit(t: Tok): Unit = { out += t; last = t }
+    def valueShaped(t: Tok): Boolean = t match {
+      case TVar(_) | TNum(_) | TIri(_) | TPName(_) => true
+      case TPunct(")") => true
+      case _ => false
+    }
     while (idx < q.length) {
       TokenRe.findPrefixMatchOf(q.subSequence(idx, q.length)) match {
         case None => throw ParseError("unrecognized input", q.substring(idx).take(20))
@@ -56,17 +67,21 @@ object SparqlParser {
           val c = s.charAt(0)
           if (c.isWhitespace || c == '#') ()
           else if (c == '<' && s.length > 1 && s.last == '>')
-            out += TIri(s.substring(1, s.length - 1))
-          else if (c == '"') out += TStr(unescape(s.substring(1, s.length - 1)))
+            emit(TIri(s.substring(1, s.length - 1)))
+          else if (c == '"') emit(TStr(unescape(s.substring(1, s.length - 1))))
           // lone '?' is the zero-or-one path modifier, not a variable
-          else if ((c == '?' || c == '$') && s.length > 1) out += TVar(s.substring(1))
-          else if (c == '@') out += TLang(s.substring(1))
-          else if (c.isDigit || ((c == '+' || c == '-') && s.length > 1 && s(1).isDigit))
-            out += TNum(s)
-          else if (s.contains(":")) out += TPName(s)
+          else if ((c == '?' || c == '$') && s.length > 1) emit(TVar(s.substring(1)))
+          else if (c == '@') emit(TLang(s.substring(1)))
+          else if (c.isDigit) emit(TNum(s))
+          else if ((c == '+' || c == '-') && s.length > 1 && s(1).isDigit) {
+            if (last != null && valueShaped(last)) {
+              emit(TPunct(c.toString)); emit(TNum(s.substring(1)))
+            } else emit(TNum(s))
+          }
+          else if (s.contains(":")) emit(TPName(s))
           else if (c.isLetter || c == '_')
-            out += TWord(s)
-          else out += TPunct(s)
+            emit(TWord(s))
+          else emit(TPunct(s))
       }
     }
     out.result()
@@ -262,7 +277,7 @@ object SparqlParser {
 
     // ---- assemble algebra ----
     val hasAgg = grouped || selectors.exists(_._2.exists(containsAgg)) ||
-      havingExpr.exists(containsAgg)
+      havingExpr.exists(containsAgg) || orderKeys.exists(k => containsAgg(k._1))
     var projVars = Vector.empty[String]
 
     if (hasAgg) {
@@ -283,6 +298,8 @@ object SparqlParser {
           postExtends :+= (v, lifted); projVars :+= v
       }
       val having2 = havingExpr.map(liftAggs)
+      // aggregates in ORDER BY keys evaluate in the same group context
+      orderKeys = orderKeys.map { case (e, asc) => (liftAggs(e), asc) }
       op = Group(op, groupKeys, aggs)
       having2.foreach(h => op = Filter(h, op))
       postExtends.foreach { case (v, e) => op = Extend(op, v, e) }
@@ -332,12 +349,18 @@ object SparqlParser {
       if (p.eatWord("FILTER")) {
         filters :+= parseConstraint(p)
       } else if (p.eatWord("OPTIONAL")) {
-        val inner = parseGGP(p)
-        // hoist a top-level filter of the optional group into the join cond
-        inner match {
-          case Filter(c, i) => current = LeftJoin(current, i, Some(c))
-          case i => current = LeftJoin(current, i, None)
+        // hoist EVERY stacked top-level filter of the optional group
+        // into the join condition — a filter left inside the right
+        // side cannot see left-bound variables
+        var inner = parseGGP(p)
+        var conds = Vector.empty[Expr]
+        var unwrapping = true
+        while (unwrapping) inner match {
+          case Filter(c, i) => conds :+= c; inner = i
+          case _ => unwrapping = false
         }
+        current = LeftJoin(current, inner,
+          conds.reduceOption((a, b) => ECall("&&", Seq(a, b))))
       } else if (p.eatWord("MINUS")) {
         current = Minus(current, parseGGP(p))
       } else if (p.eatWord("GRAPH")) {
@@ -390,7 +413,17 @@ object SparqlParser {
     case Minus(l, r) => Minus(setGraph(l, g), setGraph(r, g))
     case Filter(c, i) => Filter(c, setGraph(i, g))
     case Extend(i, v, e) => Extend(setGraph(i, g), v, e)
-    case other => other
+    // sub-SELECT wrappers: the graph restriction reaches the patterns
+    // inside (SPARQL §13.3 — the dataset is fixed for the subquery)
+    case Project(i, vs) => Project(setGraph(i, g), vs)
+    case Distinct(i) => Distinct(setGraph(i, g))
+    case OrderBy(i, k) => OrderBy(setGraph(i, g), k)
+    case Slice(i, o, l) => Slice(setGraph(i, g), o, l)
+    case Group(i, k, a) => Group(setGraph(i, g), k, a)
+    case Unit0 => Unit0
+    case v: ValuesOp => v // inline data is graph-independent
+    case other => throw new IllegalArgumentException(
+      s"GRAPH over unsupported operator: ${other.getClass.getSimpleName}")
   }
 
   private def parseConstraint(p: P): Expr = {

@@ -46,6 +46,65 @@ class SemanticsSpec extends GraftSuite {
     assert(rows.head.getString(3) == "4")          // non-distinct keeps dups
   }
 
+  test("signed numbers after a value token parse as infix operators") {
+    // `5-3` after BIND( is 5 minus 3, not the literals 5 and -3
+    val r = q("""SELECT ?v WHERE { ?r :name "ASIA" . BIND(5-3 AS ?v) }""")
+    assert(r.head.getString(0) == "2")
+    def ask(e: String): Boolean =
+      q(s"""ASK { ?r :name "ASIA" . FILTER($e) }""").head.getString(0) == "true"
+    assert(ask("""STRLEN("ASIA")-1 = 3"""))
+  }
+
+  test("OPTIONAL hoists every stacked filter into the join condition") {
+    // both filters reference the LEFT-bound ?rn; leaving either inside
+    // the right side would resolve ?rn to unbound and kill all matches
+    val rows = q("""
+      SELECT ?rn ?nn WHERE {
+        ?r a :Region . ?r :name ?rn .
+        OPTIONAL { ?n :region ?r . ?n :name ?nn
+                   FILTER(?nn > ?rn) FILTER(STRLEN(?rn) > 0) } }""")
+    assert(rows.exists(r => !r.isNullAt(1)), "some nation must match both filters")
+    val oneFilter = q("""
+      SELECT ?rn ?nn WHERE {
+        ?r a :Region . ?r :name ?rn .
+        OPTIONAL { ?n :region ?r . ?n :name ?nn FILTER(?nn > ?rn) } }""")
+    assert(rows.count(!_.isNullAt(1)) == oneFilter.count(!_.isNullAt(1)))
+  }
+
+  test("GRAPH restriction reaches a nested sub-SELECT") {
+    val inRegion = q("""
+      SELECT ?s WHERE { GRAPH g:region { { SELECT ?s WHERE { ?s ?p ?o } } } }""")
+    val expected = quads.filter(
+      org.apache.spark.sql.functions.col("g") === "g:region").count()
+    assert(inRegion.length.toLong == expected,
+      s"sub-select under GRAPH must scan only that graph (${inRegion.length} vs $expected)")
+  }
+
+  test("EXISTS composes inside boolean expressions") {
+    def ask(e: String): Boolean =
+      q(s"""ASK { ?r :name "ASIA" . FILTER($e) }""").head.getString(0) == "true"
+    assert(ask("""EXISTS { ?r a :Region } && STRLEN("x") > 0"""))
+    assert(!ask("""EXISTS { ?r a :Region } && STRLEN("") > 0"""))
+    assert(ask("""NOT EXISTS { ?r a :Nation } || 1 > 2"""))
+    assert(!ask("""!(EXISTS { ?r a :Region })"""))
+  }
+
+  test("MIN skips unbound inputs; MAX unaffected") {
+    val r = q("""SELECT (MIN(?v) AS ?mn) (MAX(?v) AS ?mx)
+                 WHERE { VALUES ?v { UNDEF 5 3 } }""")
+    assert(r.head.getString(0) == "3")
+    assert(r.head.getString(1) == "5")
+  }
+
+  test("aggregates in ORDER BY evaluate in the group context") {
+    val r = q("""
+      SELECT ?rname (COUNT(*) AS ?n) WHERE {
+        ?nt :region ?r . ?r :name ?rname . ?nt a :Nation }
+      GROUP BY ?rname ORDER BY DESC(COUNT(*)) ASC(?rname) LIMIT 1""")
+    assert(r.length == 1)
+    assert(r.head.getString(1) == "5") // 25 nations over 5 regions
+  }
+
   test("SHA384/SHA512 match MessageDigest reference vectors") {
     def hex(alg: String, in: String): String =
       java.security.MessageDigest.getInstance(alg)
