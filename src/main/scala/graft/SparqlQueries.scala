@@ -241,10 +241,27 @@ object SparqlQueries {
       alias AS (
         SELECT s AS a, o AS b FROM quads WHERE p='owl:sameAs'
         UNION SELECT o, s FROM quads WHERE p='owl:sameAs'),
+      african AS (SELECT DISTINCT x FROM (
+        SELECT s AS x FROM quads WHERE p='rdf:type' AND o=':AfricanThing'
+        UNION ALL
+        SELECT rg.s FROM quads rg WHERE rg.p=':region' AND rg.o='reg:0'
+        UNION ALL
+        SELECT nt.s FROM quads nt
+        JOIN quads rg ON rg.p=':region' AND rg.s=nt.o AND rg.o='reg:0'
+        WHERE nt.p=':nation')),
       base AS (SELECT DISTINCT * FROM (
         SELECT s, o AS t FROM quads WHERE p='rdf:type'
         UNION ALL SELECT s, ':Order' FROM quads WHERE p=':custkey'
-        UNION ALL SELECT o, ':Customer' FROM quads WHERE p=':custkey')),
+        UNION ALL SELECT o, ':Customer' FROM quads WHERE p=':custkey'
+        -- rdfp14a: hasValue members of :AfricanThing
+        UNION ALL SELECT x, ':AfricanThing' FROM african
+        -- rdfp15: someValuesFrom members of :Located (everything with a
+        -- :locatedIn edge to a :Place, incl. special:1 via rdfp14b)
+        UNION ALL SELECT s, ':Located' FROM quads WHERE p=':nation'
+        UNION ALL SELECT s, ':Located' FROM quads WHERE p=':region'
+        UNION ALL SELECT x, ':Located' FROM african
+        -- rdfp16: allValuesFrom over :region (GeoSourced via rdfs9)
+        UNION ALL SELECT o, ':MappedRegion' FROM quads WHERE p=':region')),
       expanded AS (SELECT DISTINCT * FROM (
         SELECT * FROM base
         UNION ALL SELECT al.b, base.t FROM base JOIN alias al ON al.a=base.s)),
@@ -267,6 +284,81 @@ object SparqlQueries {
       SELECT rg.s AS n FROM quads rg
       JOIN quads ty ON ty.p='rdf:type' AND ty.o=':Nation' AND ty.s=rg.s
       WHERE rg.p=':region' AND rg.o='reg:2'"""))),
+
+    // ---- pD* long-tail (rdfp1/2/14/15/16, round 4) ----
+    // rdfp1: corp:1 carries two :hq values (functional) → hq:a/hq:b
+    // become one sameAs class; the 2×2 pairs include the reflexive rows
+    // the expansion derives
+    Q("r_infer_funcprop", sqInf("""
+      SELECT ?x ?y WHERE { corp:1 :hq ?x . ?x owl:sameAs ?y }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT h1.o AS x, h2.o AS y
+      FROM quads h1 JOIN quads h2 ON h2.p=':hq' AND h2.s=h1.s
+      WHERE h1.p=':hq' AND h1.s='corp:1'"""))),
+
+    // rdfp2: dup:a/dup:b share an inverse-functional :code value
+    Q("r_infer_invfunc", sqInf("""
+      SELECT ?x ?y WHERE { ?x :code ?c . ?x owl:sameAs ?y }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT c1.s AS x, c2.s AS y
+      FROM quads c1 JOIN quads c2 ON c2.p=':code' AND c2.o=c1.o
+      WHERE c1.p=':code'"""))),
+
+    // rdfp14a: everything :locatedIn reg:0 (through subPropertyOf +
+    // transitivity) is typed :AfricanThing, plus the asserted special:1
+    Q("r_infer_hasvalue", sqInf("""
+      SELECT DISTINCT ?x WHERE { ?x a :AfricanThing }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT x FROM (
+        SELECT s AS x FROM quads WHERE p='rdf:type' AND o=':AfricanThing'
+        UNION ALL
+        SELECT rg.s FROM quads rg WHERE rg.p=':region' AND rg.o='reg:0'
+        UNION ALL
+        SELECT nt.s FROM quads nt
+        JOIN quads rg ON rg.p=':region' AND rg.s=nt.o AND rg.o='reg:0'
+        WHERE nt.p=':nation')"""))),
+
+    // rdfp14b: the asserted member special:1 gains the restriction's
+    // value edge — plus its sameAs-expanded alias object
+    Q("r_infer_hasvalue_prop", sqInf("""
+      SELECT DISTINCT ?w WHERE { special:1 :locatedIn ?w }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT w FROM (
+        SELECT hv.o AS w FROM quads hv
+        WHERE hv.s=':AfricanThing' AND hv.p='owl:hasValue'
+        UNION ALL
+        SELECT sa.s FROM quads sa
+        JOIN quads hv ON hv.s=':AfricanThing' AND hv.p='owl:hasValue'
+          AND sa.o=hv.o
+        WHERE sa.p='owl:sameAs')"""))),
+
+    // rdfp15: members of the someValuesFrom(:locatedIn, :Place)
+    // restriction — every customer/supplier/nation, and special:1
+    // through its rdfp14b-derived edge
+    Q("r_infer_somevalues", sqInf("""
+      SELECT DISTINCT ?x WHERE { ?x a :Located }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT x FROM (
+        SELECT s AS x FROM quads WHERE p=':nation'
+        UNION ALL SELECT s FROM quads WHERE p=':region'
+        UNION ALL SELECT s FROM quads WHERE p='rdf:type' AND o=':AfricanThing')"""))),
+
+    // rdfp16: :Nation ⊑ :GeoSourced (allValuesFrom(:region,
+    // :MappedRegion)) types every region object — and its aliases, via
+    // the sameAs expansion in both directions
+    Q("r_infer_allvalues", sqInf("""
+      SELECT DISTINCT ?x WHERE { ?x a :MappedRegion }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT x FROM (
+        SELECT o AS x FROM quads WHERE p=':region'
+        UNION ALL
+        SELECT sa.s FROM quads sa
+        JOIN quads rg ON rg.p=':region' AND sa.o=rg.o
+        WHERE sa.p='owl:sameAs'
+        UNION ALL
+        SELECT sa.o FROM quads sa
+        JOIN quads rg ON rg.p=':region' AND sa.s=rg.o
+        WHERE sa.p='owl:sameAs')"""))),
 
     // ORDER BY + OFFSET/LIMIT: row CONTENT depends on correct term
     // ordering (the driver's compare re-sorts rows, so order alone

@@ -20,6 +20,10 @@ import graft.rdf.Rdf
   *  - prp-trp       owl:TransitiveProperty closure
   *  - prp-symp      owl:SymmetricProperty
   *  - prp-inv       owl:inverseOf (both directions)
+  *  - rdfp1/rdfp2   owl:FunctionalProperty / owl:InverseFunctionalProperty
+  *                  → derived owl:sameAs
+  *  - rdfp14a/b     owl:hasValue restrictions (both directions)
+  *  - rdfp15/16     owl:someValuesFrom / owl:allValuesFrom restrictions
   *  - eq-*          owl:sameAs symmetric-transitive closure →
   *                  equivalence classes → statement expansion
   *
@@ -52,7 +56,17 @@ object OwlHorst {
       range: Seq[(String, String)],
       transitive: Seq[String],
       symmetric: Seq[String],
-      inverseOf: Seq[(String, String)])
+      inverseOf: Seq[(String, String)],
+      /** properties typed owl:FunctionalProperty (rdfp1) */
+      functional: Seq[String] = Nil,
+      /** properties typed owl:InverseFunctionalProperty (rdfp2) */
+      invFunctional: Seq[String] = Nil,
+      /** (restrictionClass, onProperty, valueLex, valueKind) — rdfp14a/b */
+      hasValue: Seq[(String, String, String, Int)] = Nil,
+      /** (restrictionClass, onProperty, rangeClass) — rdfp15 */
+      someValues: Seq[(String, String, String)] = Nil,
+      /** (restrictionClass, onProperty, rangeClass) — rdfp16 */
+      allValues: Seq[(String, String, String)] = Nil)
 
   /** Driver-side union-find over sameAs terms, kept across fixpoint
     * rounds. A harvested pair only counts as NEW when it merges two
@@ -94,28 +108,48 @@ object OwlHorst {
     acc.toSeq.sortBy(identity)
   }
 
+  /** axiom-bearing predicates / type objects — shared by [[ontology]]
+    * and the [[incremental]] semi-naive-safety check
+    */
+  private val AxiomPreds = Seq(
+    "rdfs:subClassOf", "rdfs:subPropertyOf", "rdfs:domain", "rdfs:range",
+    "owl:inverseOf", "owl:onProperty", "owl:hasValue", "owl:someValuesFrom",
+    "owl:allValuesFrom")
+  private val AxiomTypeObjects = Seq(
+    "owl:TransitiveProperty", "owl:SymmetricProperty",
+    "owl:FunctionalProperty", "owl:InverseFunctionalProperty")
+
   def ontology(quads: DataFrame): Ontology = {
     val schema = quads
-      // rdf:type rows are collected ONLY for the two property-class
+      // rdf:type rows are collected ONLY for the property-class
       // axioms — collecting every instance typing would put the whole
       // dataset's type statements on the driver
-      .filter(col("p")("lex").isin(
-        "rdfs:subClassOf", "rdfs:subPropertyOf", "rdfs:domain", "rdfs:range",
-        "owl:inverseOf") ||
+      .filter(col("p")("lex").isin(AxiomPreds: _*) ||
         (col("p")("lex") === RdfType &&
-          col("o")("lex").isin("owl:TransitiveProperty", "owl:SymmetricProperty")))
-      .select(col("s")("lex").as("s"), col("p")("lex").as("p"), col("o")("lex").as("o"))
+          col("o")("lex").isin(AxiomTypeObjects: _*)))
+      .select(col("s")("lex").as("s"), col("p")("lex").as("p"),
+        col("o")("lex").as("o"), col("o")("kind").as("ok"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    def pairs(pred: String) = schema.collect { case (s, `pred`, o) => (s, o) }.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    def pairs(pred: String) = schema.collect { case (s, `pred`, o, _) => (s, o) }.toSeq
+    // restriction classes: pair owl:onProperty with the value/range axiom
+    val onProp = pairs("owl:onProperty").toMap
     Ontology(
       subClassOf = closePairs(pairs("rdfs:subClassOf")),
       subPropOf = closePairs(pairs("rdfs:subPropertyOf")),
       domain = pairs("rdfs:domain"),
       range = pairs("rdfs:range"),
-      transitive = schema.collect { case (s, RdfType, "owl:TransitiveProperty") => s }.toSeq,
-      symmetric = schema.collect { case (s, RdfType, "owl:SymmetricProperty") => s }.toSeq,
-      inverseOf = pairs("owl:inverseOf"))
+      transitive = schema.collect { case (s, RdfType, "owl:TransitiveProperty", _) => s }.toSeq,
+      symmetric = schema.collect { case (s, RdfType, "owl:SymmetricProperty", _) => s }.toSeq,
+      inverseOf = pairs("owl:inverseOf"),
+      functional = schema.collect { case (s, RdfType, "owl:FunctionalProperty", _) => s }.toSeq,
+      invFunctional = schema.collect { case (s, RdfType, "owl:InverseFunctionalProperty", _) => s }.toSeq,
+      hasValue = schema.collect { case (c, "owl:hasValue", v, vk) if onProp.contains(c) =>
+        (c, onProp(c), v, vk) }.toSeq,
+      someValues = schema.collect { case (c, "owl:someValuesFrom", w, _) if onProp.contains(c) =>
+        (c, onProp(c), w) }.toSeq,
+      allValues = schema.collect { case (c, "owl:allValuesFrom", w, _) if onProp.contains(c) =>
+        (c, onProp(c), w) }.toSeq)
   }
 
   /** One application of every rule family, semi-naive with a BOUNDED
@@ -214,6 +248,87 @@ object OwlHorst {
           typeSrc("p")("lex") === RdfType && typeSrc("o")("lex") === col("sc"))
         .select(col("s"), col("p"), Rdf.iri(col("sd")).as("o")))
     }
+    // ---- pD* long-tail (rdfp1/2/14/15/16) ---------------------------
+    // Full-term identity for the instance-level joins below: the shared
+    // o of an (inverse-)functional statement may be any term, so lex +
+    // kind + dt + lang all participate (fields are never null).
+    def sameTerm(a: Column, b: Column): Column =
+      a("lex") === b("lex") && a("kind") === b("kind") &&
+        a("dt") === b("dt") && a("lang") === b("lang")
+    // rdfp1: u p v . u p w (p functional) → v owl:sameAs w. Two
+    // instance premises: new × all covers (new, old) and (new, new);
+    // the (old, new) mirror arrives as the symmetric flip, which the
+    // equivalence machinery closes. sameAs endpoints must be
+    // resources, never literals (pD* side condition).
+    if (ont.functional.nonEmpty) {
+      val l = fed.filter(fed("p")("lex").isin(ont.functional: _*) &&
+        fed("o")("kind") =!= LIT)
+      val r = cur.filter(cur("p")("lex").isin(ont.functional: _*) &&
+          cur("o")("kind") =!= LIT)
+        .select(col("s").as("s2"), col("p").as("p2"), col("o").as("o2"))
+      emit(l.join(r, l("p")("lex") === r("p2")("lex") &&
+          sameTerm(l("s"), r("s2")) && !sameTerm(l("o"), r("o2")))
+        .select(l("o").as("s"), Rdf.iri(lit("owl:sameAs")).as("p"), r("o2").as("o")))
+    }
+    // rdfp2: u p w . v p w (p inverse-functional) → u owl:sameAs v
+    if (ont.invFunctional.nonEmpty) {
+      val l = fed.filter(fed("p")("lex").isin(ont.invFunctional: _*))
+      val r = cur.filter(cur("p")("lex").isin(ont.invFunctional: _*))
+        .select(col("s").as("s2"), col("p").as("p2"), col("o").as("o2"))
+      emit(l.join(r, l("p")("lex") === r("p2")("lex") &&
+          sameTerm(l("o"), r("o2")) && !sameTerm(l("s"), r("s2")))
+        .select(l("s").as("s"), Rdf.iri(lit("owl:sameAs")).as("p"), r("s2").as("o")))
+    }
+    // rdfp14a: v hasValue w . v onProperty p . u p w → u rdf:type v
+    // rdfp14b: v hasValue w . v onProperty p . u rdf:type v → u p w
+    // Outputs feed rdfs9/rdfp15 through the NEXT round's delta (the
+    // restriction classes need no in-pass cascade).
+    if (ont.hasValue.nonEmpty) {
+      val hv = broadcast(ont.hasValue.toDF("hvc", "hvp", "hvlex", "hvkind"))
+      emit(fed.join(hv, fed("p")("lex") === col("hvp") &&
+          fed("o")("lex") === col("hvlex") && fed("o")("kind") === col("hvkind"))
+        .select(col("s"), Rdf.iri(lit(RdfType)).as("p"), Rdf.iri(col("hvc")).as("o")))
+      val vterm = when(col("hvkind") === Rdf.IRI, Rdf.iri(col("hvlex")))
+        .otherwise(Rdf.strLit(col("hvlex")))
+      emit(fed.filter(fed("p")("lex") === RdfType)
+        .join(hv, fed("o")("lex") === col("hvc"))
+        .select(col("s"), Rdf.iri(col("hvp")).as("p"), vterm.as("o")))
+    }
+    // rdfp15: v someValuesFrom w . v onProperty p . u p x . x rdf:type w
+    // → u rdf:type v — two instance premises, so both delta
+    // orientations run (new statements × all typings, all statements ×
+    // new typings)
+    if (ont.someValues.nonEmpty) {
+      val sv = broadcast(ont.someValues.toDF("svc", "svp", "svw"))
+      def fire(stmts: DataFrame, typing: DataFrame): DataFrame = {
+        val t = typing.filter(typing("p")("lex") === RdfType &&
+            typing("o")("kind") =!= LIT)
+          .select(col("s").as("xs"), col("o")("lex").as("xt"))
+        stmts.join(sv, stmts("p")("lex") === col("svp") &&
+            stmts("o")("kind") =!= LIT)
+          .join(t, stmts("o")("lex") === col("xs")("lex") &&
+            stmts("o")("kind") === col("xs")("kind") && col("xt") === col("svw"))
+          .select(stmts("s").as("s"), Rdf.iri(lit(RdfType)).as("p"),
+            Rdf.iri(col("svc")).as("o"))
+      }
+      emit(fire(fed, cur)); emit(fire(cur, fed))
+    }
+    // rdfp16: v allValuesFrom w . v onProperty p . u rdf:type v . u p x
+    // → x rdf:type w
+    if (ont.allValues.nonEmpty) {
+      val av = broadcast(ont.allValues.toDF("avc", "avp", "avw"))
+      def fire(typing: DataFrame, stmts: DataFrame): DataFrame = {
+        val t = typing.filter(typing("p")("lex") === RdfType)
+          .join(av, typing("o")("lex") === col("avc"))
+          .select(col("s").as("us"), col("avp").as("uap"), col("avw").as("uaw"))
+        stmts.join(t, stmts("s")("lex") === col("us")("lex") &&
+            stmts("s")("kind") === col("us")("kind") &&
+            stmts("p")("lex") === col("uap") && stmts("o")("kind") =!= LIT)
+          .select(stmts("o").as("s"), Rdf.iri(lit(RdfType)).as("p"),
+            Rdf.iri(col("uaw")).as("o"))
+      }
+      emit(fire(fed, cur)); emit(fire(cur, fed))
+    }
     // eq-*: the (from, to) equivalence pair table is maintained by the
     // caller — broadcast-hinted when it came from the driver union-find,
     // a plain distributed DataFrame when it came from GraphX CC
@@ -254,12 +369,10 @@ object OwlHorst {
     * rare path.
     */
   def incremental(spark: SparkSession, base: DataFrame, delta: DataFrame): DataFrame = {
-    val schemaPreds = Seq("rdfs:subClassOf", "rdfs:subPropertyOf", "rdfs:domain",
-      "rdfs:range", "owl:inverseOf")
     val deltaHasAxioms = !delta.filter(
-      col("p")("lex").isin(schemaPreds: _*) ||
+      col("p")("lex").isin(AxiomPreds: _*) ||
         (col("p")("lex") === RdfType &&
-          col("o")("lex").isin("owl:TransitiveProperty", "owl:SymmetricProperty"))
+          col("o")("lex").isin(AxiomTypeObjects: _*))
     ).isEmpty
     if (deltaHasAxioms) materialize(spark, base.unionByName(delta))
     else run(spark, base.unionByName(delta), delta)
@@ -329,6 +442,7 @@ object OwlHorst {
     // matching that shape, not the whole accumulated set.
     val derivablePreds = (ont.subPropOf.map(_._2) ++ ont.transitive ++
       ont.symmetric ++ ont.inverseOf.flatMap(p => Seq(p._1, p._2)) ++
+      ont.hasValue.map(_._2) ++
       Seq(RdfType, "owl:sameAs")).distinct
     val dbg = sys.env.contains("GRAFT_INFER_DEBUG")
     while (grew && rounds < 16) {

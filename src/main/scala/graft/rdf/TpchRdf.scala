@@ -94,7 +94,28 @@ object TpchRdf {
     ("regalias:1", "owl:sameAs", "reg:1"),
     ("regalias:2", "owl:sameAs", "reg:2"),
     ("regalias:3", "owl:sameAs", "reg:3"),
-    ("regalias:4", "owl:sameAs", "reg:4"))
+    ("regalias:4", "owl:sameAs", "reg:4"),
+    // pD* long-tail fixtures (the rest of `owl-horst-optimized`,
+    // `repo-config.ttl:26`): a functional property with two values for
+    // one subject (rdfp1 → derived sameAs), an inverse-functional
+    // property shared by two subjects (rdfp2 → derived sameAs), an
+    // owl:hasValue restriction on the transitive :locatedIn (rdfp14a/b),
+    // a someValuesFrom restriction (rdfp15) and an allValuesFrom
+    // restriction reached through rdfs9 (rdfp16)
+    (":hq", RdfType, "owl:FunctionalProperty"),
+    ("corp:1", ":hq", "hq:a"),
+    ("corp:1", ":hq", "hq:b"),
+    (":code", RdfType, "owl:InverseFunctionalProperty"),
+    ("dup:a", ":code", "code:X"),
+    ("dup:b", ":code", "code:X"),
+    (":AfricanThing", "owl:onProperty", ":locatedIn"),
+    (":AfricanThing", "owl:hasValue", "reg:0"),
+    ("special:1", RdfType, ":AfricanThing"),
+    (":Located", "owl:onProperty", ":locatedIn"),
+    (":Located", "owl:someValuesFrom", ":Place"),
+    (":GeoSourced", "owl:onProperty", ":region"),
+    (":GeoSourced", "owl:allValuesFrom", ":MappedRegion"),
+    (":Nation", "rdfs:subClassOf", ":GeoSourced"))
 
   // ---- Spark emission -------------------------------------------------
 

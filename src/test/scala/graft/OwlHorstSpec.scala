@@ -163,6 +163,86 @@ class OwlHorstSpec extends GraftSuite {
     assert(types == Set(":A", ":B", ":C"))
   }
 
+  // ---- pD* long-tail per-rule fixtures (round 4) ----
+
+  private def iriQuads(tris: Seq[(String, String, String)]): DataFrame = {
+    import spark.implicits._
+    import graft.rdf.Rdf
+    tris.toDF("sl", "pl", "ol").select(lit("g:t").as("g"),
+      Rdf.iri(col("sl")).as("s"), Rdf.iri(col("pl")).as("p"),
+      Rdf.iri(col("ol")).as("o"))
+  }
+
+  private def spo(m: DataFrame): Set[(String, String, String)] =
+    m.select(col("s")("lex"), col("p")("lex"), col("o")("lex")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  test("rdfp1: functional property derives sameAs between its values") {
+    val m = spo(OwlHorst.materialize(spark, iriQuads(Seq(
+      ("ex:hq", "rdf:type", "owl:FunctionalProperty"),
+      ("ex:c", "ex:hq", "ex:a"),
+      ("ex:c", "ex:hq", "ex:b")))))
+    assert(m(("ex:a", "owl:sameAs", "ex:b")) && m(("ex:b", "owl:sameAs", "ex:a")))
+  }
+
+  test("rdfp2: inverse-functional property derives sameAs between subjects") {
+    val m = spo(OwlHorst.materialize(spark, iriQuads(Seq(
+      ("ex:k", "rdf:type", "owl:InverseFunctionalProperty"),
+      ("ex:a", "ex:k", "ex:w"),
+      ("ex:b", "ex:k", "ex:w"),
+      // a statement only ex:a carries: the derived class must copy it
+      ("ex:a", "ex:q", "ex:z")))))
+    assert(m(("ex:a", "owl:sameAs", "ex:b")))
+    assert(m(("ex:b", "ex:q", "ex:z")), "derived sameAs must feed expansion")
+  }
+
+  test("rdfp14: hasValue types members (a) and derives value edges (b)") {
+    val m = spo(OwlHorst.materialize(spark, iriQuads(Seq(
+      ("ex:R", "owl:onProperty", "ex:p"),
+      ("ex:R", "owl:hasValue", "ex:v"),
+      ("ex:u", "ex:p", "ex:v"),
+      ("ex:t", "rdf:type", "ex:R")))))
+    assert(m(("ex:u", "rdf:type", "ex:R")), "rdfp14a")
+    assert(m(("ex:t", "ex:p", "ex:v")), "rdfp14b")
+  }
+
+  test("rdfp15: someValuesFrom types subjects whose value is typed") {
+    val m = spo(OwlHorst.materialize(spark, iriQuads(Seq(
+      ("ex:R", "owl:onProperty", "ex:p"),
+      ("ex:R", "owl:someValuesFrom", "ex:C"),
+      ("ex:u", "ex:p", "ex:x"),
+      ("ex:x", "rdf:type", "ex:C"),
+      // value not typed ex:C → no membership
+      ("ex:n", "ex:p", "ex:y")))))
+    assert(m(("ex:u", "rdf:type", "ex:R")))
+    assert(!m(("ex:n", "rdf:type", "ex:R")))
+  }
+
+  test("rdfp16: allValuesFrom types the values of typed subjects") {
+    val m = spo(OwlHorst.materialize(spark, iriQuads(Seq(
+      ("ex:R", "owl:onProperty", "ex:p"),
+      ("ex:R", "owl:allValuesFrom", "ex:C"),
+      ("ex:u", "rdf:type", "ex:R"),
+      ("ex:u", "ex:p", "ex:x"),
+      // untyped subject → its values stay untyped
+      ("ex:m", "ex:p", "ex:y")))))
+    assert(m(("ex:x", "rdf:type", "ex:C")))
+    assert(!m(("ex:y", "rdf:type", "ex:C")))
+  }
+
+  test("rdfp chain: derived sameAs + restriction types converge") {
+    // IFP merges ex:a/ex:b; ex:a's p-edge copies to ex:b; hasValue then
+    // types BOTH; multi-rule interaction across fixpoint rounds
+    val m = spo(OwlHorst.materialize(spark, iriQuads(Seq(
+      ("ex:k", "rdf:type", "owl:InverseFunctionalProperty"),
+      ("ex:R", "owl:onProperty", "ex:p"),
+      ("ex:R", "owl:hasValue", "ex:v"),
+      ("ex:a", "ex:k", "ex:w"),
+      ("ex:b", "ex:k", "ex:w"),
+      ("ex:a", "ex:p", "ex:v")))))
+    assert(m(("ex:a", "rdf:type", "ex:R")) && m(("ex:b", "rdf:type", "ex:R")))
+  }
+
   test("inferred quads live in g:inferred, explicit untouched") {
     val inf = mat.filter(col("g") === "g:inferred").count()
     val exp = TpchRdf.graphDf(spark, sf).count()
