@@ -432,7 +432,10 @@ object OwlHorst {
     val uf = new UnionFind
     var equiv = Seq.empty[(String, String)]
     var distSame = false
-    var prevPairs: Option[DataFrame] = None
+    // distributed path state: current (member, cc) assignment and the
+    // cross-pair table derived from it — re-derived only on change
+    var comps: Option[DataFrame] = None
+    var distPairs: Option[DataFrame] = None
     var freshes = Seq.empty[DataFrame]
     var rounds = 0
     var grew = true
@@ -469,12 +472,30 @@ object OwlHorst {
         }
       }
       if (distSame) {
-        // recompute classes from everything so far; `changed` via a
-        // distributed subset check against the previous pair table
-        val pairs = SameAs.crossPairs(spark, all).localCheckpoint()
-        equivChanged = prevPairs.forall(p => !pairs.except(p).isEmpty)
-        prevPairs = Some(pairs)
-        equivDf = Some(pairs)
+        // incremental CC: seed once from everything so far (covers the
+        // driver→distributed flip mid-run), then fold in only each
+        // round's new edges — and skip even that when no new edge
+        // bridges two existing components (the expansion's own
+        // symmetric/reflexive re-derivations always take this exit)
+        comps match {
+          case None =>
+            comps = Some(SameAs.classes(spark, all).localCheckpoint())
+            equivChanged = true
+          case Some(prev) =>
+            val newEdges = harvestSrc
+              .filter(col("p")("lex") === "owl:sameAs")
+              .select(col("s")("lex").as("a"), col("o")("lex").as("b"))
+              .filter(col("a") =!= col("b")).distinct()
+            if (SameAs.bridgingCount(prev, newEdges) > 0) {
+              comps = Some(
+                SameAs.increment(spark, prev, newEdges).localCheckpoint())
+              equivChanged = true
+            }
+        }
+        if (equivChanged)
+          distPairs = Some(
+            SameAs.pairsFromClasses(comps.get, SameAs.classCap).localCheckpoint())
+        equivDf = distPairs
       }
       val eTerms = equiv.flatMap(p => Seq(p._1, p._2)).distinct
       val relevant =

@@ -243,6 +243,58 @@ class OwlHorstSpec extends GraftSuite {
     assert(m(("ex:a", "rdf:type", "ex:R")) && m(("ex:b", "rdf:type", "ex:R")))
   }
 
+  test("distributed sameAs: multi-round fixpoint runs CC exactly once") {
+    import graft.infer.SameAs
+    // cascade forcing 4 fixpoint rounds alongside a 3-member sameAs
+    // class: r1 types ex:u (rdfp14a) + seeds CC, r2 types ex:v1
+    // (rdfp16), r3 derives ex:v1's hasValue edge (rdfp14b). Every
+    // later round's delta re-derives sameAs expansion statements whose
+    // endpoints already share a component — none may re-run CC.
+    val quads = iriQuads(Seq(
+      ("e:a", "owl:sameAs", "e:b"),
+      ("e:b", "owl:sameAs", "e:c"),
+      ("e:a", "ex:q", "ex:z"),
+      ("ex:R1", "owl:onProperty", "ex:p1"),
+      ("ex:R1", "owl:hasValue", "ex:v1"),
+      ("ex:R1", "owl:allValuesFrom", "ex:C1"),
+      ("ex:C1", "owl:onProperty", "ex:p2"),
+      ("ex:C1", "owl:hasValue", "ex:v2"),
+      ("ex:u", "ex:p1", "ex:v1")))
+    sys.props("graft.sameas.broadcast.limit") = "0" // force distributed
+    try {
+      val before = SameAs.ccRuns.get()
+      val m = spo(OwlHorst.materialize(spark, quads))
+      val runs = SameAs.ccRuns.get() - before
+      assert(m(("ex:u", "rdf:type", "ex:R1")))
+      assert(m(("ex:v1", "rdf:type", "ex:C1")))
+      assert(m(("ex:v1", "ex:p2", "ex:v2")))
+      assert(m(("e:c", "ex:q", "ex:z")), "3-member class expansion")
+      assert(runs == 1L, s"expected a single seed CC run, got $runs")
+    } finally sys.props.remove("graft.sameas.broadcast.limit")
+  }
+
+  test("degenerate giant sameAs class is excluded from expansion with a warning") {
+    import graft.infer.SameAs
+    // one 12-member chain with cap 8: expansion must drop it (no
+    // quadratic blowup) while a small class still expands
+    val giant = (0 until 11).map(i => (s"g:$i", "owl:sameAs", s"g:${i + 1}"))
+    val quads = iriQuads(giant ++ Seq(
+      ("e:a", "owl:sameAs", "e:b"), ("e:a", "ex:q", "ex:z")))
+    sys.props("graft.sameas.broadcast.limit") = "0"
+    sys.props("graft.sameas.class.cap") = "8"
+    try {
+      val m = spo(OwlHorst.materialize(spark, quads))
+      assert(m(("e:b", "ex:q", "ex:z")), "small class still expands")
+      assert(!m.exists { case (s, p, o) =>
+        p == "owl:sameAs" && s.startsWith("g:") && o.startsWith("g:") &&
+          s != o && !giant.contains((s, "owl:sameAs", o)) },
+        "capped class must not emit derived cross pairs")
+    } finally {
+      sys.props.remove("graft.sameas.broadcast.limit")
+      sys.props.remove("graft.sameas.class.cap")
+    }
+  }
+
   test("inferred quads live in g:inferred, explicit untouched") {
     val inf = mat.filter(col("g") === "g:inferred").count()
     val exp = TpchRdf.graphDf(spark, sf).count()
