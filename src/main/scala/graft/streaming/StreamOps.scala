@@ -1,5 +1,9 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +39,41 @@ object StreamOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** File-drop batch choreography for the controlled-batch gates: each
+    * [[FileDrops.drop]] writes a DataFrame (distributed, never
+    * collected to the driver) into a staging dir and moves the part
+    * files into the watched source dir — one micro-batch per drop,
+    * exactly the pattern a production file-source pipeline uses. The
+    * driver only renames files; the data path stays on executors, so
+    * the harness scales with the operators it exercises.
+    */
+  private final class FileDrops {
+    val watch: Path = Files.createTempDirectory("graft_stream_watch")
+    private val stage = Files.createTempDirectory("graft_stream_stage")
+    private var n = 0
+    def drop(df: DataFrame): Unit = {
+      val out = stage.resolve(s"b$n")
+      df.write.mode("overwrite").parquet(out.toString)
+      val listing = Files.list(out)
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          Files.move(p, watch.resolve(s"drop${n}_$i.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      finally listing.close()
+      n += 1
+    }
+    def cleanup(): Unit = Seq(watch, stage).foreach { root =>
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
   }
 
   def hourlyCountsStreaming(spark: SparkSession, dir: String): DataFrame = {
@@ -84,16 +123,18 @@ object StreamOps {
     */
   def watermarkedHourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val splitNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
       .getEpochSecond * 1000000000L
-    val rows = graft.core.Tables(spark, dir, "events")
+    val slice = graft.core.Tables(spark, dir, "events")
       .filter(col("user_id") < 30)
       .select(col("ts_ns"), col("event_type"), col("value"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[(Long, String, Double)]
-    val src = mem.toDF().toDF("ts_ns", "event_type", "value")
+    val drops = new FileDrops
+    // batch 1 staged before the stream starts: the initial micro-batch
+    // is the recent half of the slice — written and moved by
+    // executors, never resident on the driver
+    drops.drop(slice.filter(col("ts_ns") >= splitNs))
+    val src = spark.readStream.schema(slice.schema)
+      .parquet(drops.watch.toString)
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     // append mode requires grouping on the window column itself (the
     // event-time link to the watermark); the start field projects out
@@ -116,17 +157,22 @@ object StreamOps {
     try {
       val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
         .getEpochSecond * 1000000000L
-      mem.addData(rows.filter(_._1 >= splitNs).toIndexedSeq); q.processAllAvailable()
+      q.processAllAvailable()
       // batch 2 = the stale rows (all older than the watermark batch 1
       // advanced to → dropped) + a far-future sentinel that hoists the
       // NEXT batch's watermark past every data window; batch 3 (second
       // sentinel) then triggers the append-mode emit — a batch-N
       // watermark only takes effect in batch N+1
-      mem.addData((rows.filter(_._1 < splitNs) :+ ((flushNs, "__flush", 0.0))).toIndexedSeq)
+      drops.drop(slice.filter(col("ts_ns") < splitNs).unionByName(
+        Seq((flushNs, "__flush", 0.0)).toDF("ts_ns", "event_type", "value")))
       q.processAllAvailable()
-      mem.addData(Seq((flushNs + 3600L * 1000000000L, "__flush", 0.0)))
+      drops.drop(Seq((flushNs + 3600L * 1000000000L, "__flush", 0.0))
+        .toDF("ts_ns", "event_type", "value"))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      drops.cleanup()
+    }
     spark.table(name).filter(col("event_type") =!= "__flush")
   }
 
@@ -141,20 +187,29 @@ object StreamOps {
     * batch-checkable.
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val rows = graft.core.Tables(spark, dir, "events")
+    val ev = graft.core.Tables(spark, dir, "events")
       .filter(col("user_id") < 50)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    def src(mem: MemoryStream[(Long, Long, Long)], prefix: String) =
-      mem.toDF().toDF(s"${prefix}_id", "user_id", s"${prefix}_ns")
+    def side(t: String, prefix: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id"),
+          col("ts_ns").as(s"${prefix}_ns"))
+    val viewRows = side("view", "view")
+    val buyRows = side("purchase", "buy")
+    // each side is its own watched dir — two independent file-source
+    // streams, as a production attribution pipeline would run them
+    val viewDrops = new FileDrops
+    val buyDrops = new FileDrops
+    viewDrops.drop(viewRows)
+    buyDrops.drop(buyRows)
+    def src(drops: FileDrops, schema: org.apache.spark.sql.types.StructType,
+        prefix: String) =
+      spark.readStream.schema(schema).parquet(drops.watch.toString)
         .withColumn(s"${prefix}_ts", timestamp_micros(expr(s"${prefix}_ns div 1000")))
-    val views = MemoryStream[(Long, Long, Long)]
-    val buys = MemoryStream[(Long, Long, Long)]
-    val v = src(views, "view").withWatermark("view_ts", "1 hour")
-    val b = src(buys, "buy").withColumnRenamed("user_id", "buy_user")
+    val v = src(viewDrops, viewRows.schema, "view")
+      .withWatermark("view_ts", "1 hour")
+    val b = src(buyDrops, buyRows.schema, "buy")
+      .withColumnRenamed("user_id", "buy_user")
       .withWatermark("buy_ts", "1 hour")
     // the interval is evaluated on the MICROSECOND timestamps on both
     // sides: DuckDB also truncates the parquet ns timestamps to micros
@@ -173,13 +228,12 @@ object StreamOps {
       try joined.writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
-    try {
-      views.addData(rows.filter(_._3 == "view")
-        .map(r => (r._1, r._2, r._4)).toIndexedSeq)
-      buys.addData(rows.filter(_._3 == "purchase")
-        .map(r => (r._1, r._2, r._4)).toIndexedSeq)
-      q.processAllAvailable()
-    } finally q.stop()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      viewDrops.cleanup()
+      buyDrops.cleanup()
+    }
     spark.table(name)
   }
 
