@@ -311,14 +311,18 @@ object ExtraQueries {
       // DataFrame-native TF-IDF (no hashing trick: term identity is the
       // token itself, engine-independent — SURVEY §2.D text analysis)
       val docs = t(s, dir, "documents")
-      val n = docs.count()
+      // corpus size as a broadcast 1-row aggregate INSIDE the plan —
+      // an eager docs.count() here would be a second full corpus scan
+      // run as a separate driver-blocking job before the query starts
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf_raw").desc, col("term").asc)
       tf.join(dfreq, "term")
-        .withColumn("tfidf_raw", col("tf") * log(lit(n.toDouble) / col("df")))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf_raw", col("tf") * log(col("n_docs") / col("df")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("term"), round(col("tfidf_raw"), 4).as("tfidf"),

@@ -319,7 +319,12 @@ object Queries {
 
     Q("w_json_props", (s, dir) =>
       t(s, dir, "events")
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        // from_json with an explicit schema parses each props string
+        // once and prunes to the single needed field; get_json_object
+        // re-walks the JSON text per extraction
+        .select(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"), col("value"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"),
           round(round(sum("value"), 2) / count(lit(1)), 4).as("avg_value")),

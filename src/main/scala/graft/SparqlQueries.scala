@@ -360,6 +360,34 @@ object SparqlQueries {
         JOIN quads rg ON rg.p=':region' AND sa.s=rg.o
         WHERE sa.p='owl:sameAs')"""))),
 
+    // Temporal casts (§17.5): xsd:date → xsd:dateTime promotes to
+    // midnight, xsd:dateTime → xsd:date truncates back; casting a
+    // status string ("O"/"F"/"P") is a type error → ?bad unbound on
+    // every row, which the !BOUND filter asserts. The dateTime
+    // comparison exercises the same-datatype lexical ordering plane.
+    Q("r_cast_datetime", sq("""
+      SELECT ?o ?dt ?d2 WHERE {
+        GRAPH g:orders { ?o :orderdate ?d . ?o :orderstatus ?st }
+        BIND(xsd:dateTime(?d) AS ?dt)
+        BIND(xsd:date(?dt) AS ?d2)
+        BIND(xsd:dateTime(?st) AS ?bad)
+        FILTER(!BOUND(?bad))
+        FILTER(?dt >= "1998-07-01T00:00:00"^^xsd:dateTime)
+      }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT od.s AS o,
+             strftime(CAST(od.o AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS dt,
+             od.o AS d2
+      FROM quads od
+      WHERE od.g='g:orders' AND od.p=':orderdate'
+        AND CAST(od.o AS DATE) >= DATE '1998-07-01'"""))),
+    // oracle filter uses a DATE (not TIMESTAMP) cast: DuckDB rewrites
+    // CAST(varchar AS TIMESTAMP) >= TIMESTAMP 'x' into a raw string
+    // compare, and '1998-07-01' < '1998-07-01 00:00:00' lexically — the
+    // boundary rows vanish. Date lexicals are fixed-width, so the same
+    // rewrite is harmless for DATE (the projection keeps the real
+    // timestamp cast).
+
     // ORDER BY + OFFSET/LIMIT: row CONTENT depends on correct term
     // ordering (the driver's compare re-sorts rows, so order alone
     // would not be observable — the offset window makes it so).

@@ -1,7 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Driver-side iterative fixpoints over DataFrames — the one thing
   * Catalyst cannot express (no recursion; SURVEY §4.2). Used by
@@ -11,25 +14,47 @@ import org.apache.spark.sql.functions._
   * Discipline at scale (SURVEY §2.C "hard parts"):
   *  - semi-naive: each round joins only the NEW pairs (delta) against
   *    the base relation, never the whole accumulator;
-  *  - `localCheckpoint` per round truncates plan lineage, otherwise
-  *    the logical plan doubles every iteration and the driver dies
-  *    long before the executors do;
-  *  - `distinct`/`except` keep the frontier minimal, bounding rounds
-  *    by graph diameter, not path count.
+  *  - the accumulator lives as cached RDD deltas sharing ONE
+  *    `HashPartitioner`: the novelty check is `subtractByKey` against
+  *    their partitioner-aware union, and both operations are NARROW
+  *    when co-partitioned — a round shuffles O(|candidate|) records,
+  *    never the accumulated closure. (A DataFrame `except(acc)`
+  *    re-shuffles the whole closure every round — O(diameter ×
+  *    |closure|) shuffle volume — and checkpointed-leaf partitioning
+  *    is not reusable by Catalyst, so this is the one place the
+  *    engine drops to the RDD API: partitioner-preserving union and
+  *    set-difference are per-partition logic Catalyst cannot see.)
+  *  - per-delta caching truncates recompute lineage (the union DAG is
+  *    narrow over cached leaves), bounding rounds by graph diameter,
+  *    not path count. FixpointSpec asserts the shuffle-records budget.
   */
 object Fixpoint {
 
   /** Transitive closure of a binary relation with columns (a, b).
-    * Equality on pairs uses whole-row semantics (`except`), so any
-    * column type — strings, term structs — works. `groupCols` closes
-    * each group independently (e.g. per named graph) in one shared
-    * fixpoint whose rounds are bounded by the max diameter across
-    * groups.
+    * Equality on pairs uses whole-row semantics (external `Row`
+    * equality is structural), so any column type — strings, term
+    * structs — works. `groupCols` closes each group independently
+    * (e.g. per named graph) in one shared fixpoint whose rounds are
+    * bounded by the max diameter across groups.
     */
   def closure(edges0: DataFrame, joinCond: (DataFrame, DataFrame) => Column,
       maxRounds: Int = 64, groupCols: Seq[String] = Nil): DataFrame = {
-    val edges = edges0.distinct().localCheckpoint()
-    var acc = edges
+    val spark = edges0.sparkSession
+    val sc = spark.sparkContext
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val part = new HashPartitioner(parts)
+    // normalize column order to (groupCols, a, b): candidate rows are
+    // built in that order and Row-level set ops are positional
+    val edges = edges0
+      .select((groupCols.map(col) :+ col("a") :+ col("b")): _*)
+      .distinct().localCheckpoint()
+    val schema = edges.schema
+    def keyed(df: DataFrame): RDD[(Row, Unit)] =
+      df.rdd.map(r => (r, ())).partitionBy(part)
+
+    var deltas = List(
+      keyed(edges).persist(StorageLevel.MEMORY_AND_DISK))
+    deltas.head.count()
     var frontier = edges
     var round = 0
     var done = false
@@ -41,21 +66,25 @@ object Fixpoint {
       }
       val cond = (joinCond(frontier, step) +:
         groupCols.map(g => frontier(g) === step(s"__$g"))).reduce(_ && _)
-      val next = frontier.join(step, cond)
+      val cand = frontier.join(step, cond)
         .select((groupCols.map(g => frontier(g).as(g)) :+
           frontier("a").as("a") :+ col("b2").as("b")): _*)
-        .except(acc)
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .distinct()
+      // novelty: narrow set-difference against the partitioner-aware
+      // union of all cached deltas — count() materializes the cache in
+      // one pass and doubles as the emptiness test
+      val next = keyed(cand).subtractByKey(sc.union(deltas))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.count() == 0) done = true
       else {
-        acc = acc.unionByName(next).localCheckpoint()
-        frontier = next
+        deltas = next :: deltas
+        frontier = spark.createDataFrame(next.keys, schema)
       }
     }
     if (!done) System.err.println(
       s"[fixpoint] WARNING: closure stopped at the $maxRounds-round cap " +
         "before convergence — results may be incomplete")
-    acc
+    spark.createDataFrame(sc.union(deltas).keys, schema)
   }
 
   /** Closure for term-struct pairs (join on lex+kind identity). */
@@ -76,29 +105,40 @@ object Fixpoint {
     * [[closure]]: when a path endpoint is bound, BFS from it touches
     * only the reachable subgraph instead of closing the whole edge
     * relation — the difference between O(reachable) and O(graph) work
-    * at store scale. Same semi-naive discipline: distinct frontier,
-    * `except` against the accumulator, `localCheckpoint` per round.
+    * at store scale. Same discipline: distinct frontier, narrow
+    * subtract against co-partitioned visited deltas.
     */
   def reachNodes(n0: DataFrame, step: DataFrame => DataFrame,
       maxRounds: Int = 64): DataFrame = {
+    val spark = n0.sparkSession
+    val sc = spark.sparkContext
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val part = new HashPartitioner(parts)
     var frontier = n0.distinct().localCheckpoint()
-    var acc: Option[DataFrame] = None
+    val schema = frontier.schema
+    def keyed(df: DataFrame): RDD[(Row, Unit)] =
+      df.rdd.map(r => (r, ())).partitionBy(part)
+
+    var deltas: List[RDD[(Row, Unit)]] = Nil
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       round += 1
       val s = step(frontier).distinct()
-      val next = acc.fold(s)(s.except(_)).localCheckpoint()
-      if (next.isEmpty) done = true
+      val sk = keyed(s)
+      val next = (if (deltas.isEmpty) sk else sk.subtractByKey(sc.union(deltas)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (next.count() == 0) done = true
       else {
-        acc = Some(acc.fold(next)(_.unionByName(next)))
-        frontier = next
+        deltas = next :: deltas
+        frontier = spark.createDataFrame(next.keys, schema)
       }
     }
     if (!done) System.err.println(
       s"[fixpoint] WARNING: reachability stopped at the $maxRounds-round cap " +
         "before convergence — results may be incomplete")
-    acc.getOrElse(n0.limit(0))
+    if (deltas.isEmpty) n0.limit(0)
+    else spark.createDataFrame(sc.union(deltas).keys, schema)
   }
 
   /** Closure for plain string pairs. */

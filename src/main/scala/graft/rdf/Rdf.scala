@@ -48,6 +48,7 @@ object Rdf {
   val XsdDecimal = "xsd:decimal"
   val XsdInteger = "xsd:integer"
   val XsdDate = "xsd:date"
+  val XsdDateTime = "xsd:dateTime"
   val XsdBoolean = "xsd:boolean"
   val RdfType = "rdf:type"
 

@@ -757,6 +757,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       .when(l("num").isNotNull && r("num").isNotNull, l("num") === r("num"))
       .otherwise(l("lex") === r("lex") && l("kind") === r("kind"))
 
+  /** XSD 1.1 lexical shapes for the temporal casts (fractional seconds
+    * and an optional timezone suffix allowed on xsd:dateTime).
+    */
+  private val DateLexPat = "^\\d{4}-\\d{2}-\\d{2}(Z|[+-]\\d{2}:\\d{2})?$"
+  private val DateTimeLexPat =
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?(Z|[+-]\\d{2}:\\d{2})?$"
+
   def compExpr(e: Expr, resolve: String => Column): Column = e match {
     case EVar(v) => resolve(v)
     case EConst(t) => constCol(t)
@@ -874,6 +881,32 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
             when(a(0)("num").isNotNull, a(0)("num"))
               .otherwise(a(0)("lex").cast("double")))
         case "xsd:string" => termStr(a(0)("lex"))
+        case "xsd:dateTime" | "xsd:datetime" =>
+          // XPath casting (§17.5): xsd:date → midnight with the
+          // timezone suffix carried; xsd:dateTime / full-lexical
+          // string → identity. Anything else (malformed lexical,
+          // numeric, IRI) is a type error → unbound.
+          val x = a(0); val lex = x("lex")
+          val tzSuf = regexp_extract(lex, "(Z|[+-]\\d{2}:\\d{2})$", 1)
+          val res =
+            when(x("dt") === Rdf.XsdDate && lex.rlike(DateLexPat),
+              concat(substring(lex, 1, 10), lit("T00:00:00"), tzSuf))
+            .when(lex.rlike(DateTimeLexPat), lex)
+          when(x("kind") === LIT && res.isNotNull,
+            Rdf.term(res, lit(LIT), lit(Rdf.XsdDateTime), lit(""),
+              lit(null).cast("double")))
+          .otherwise(nullTerm)
+        case "xsd:date" =>
+          val x = a(0); val lex = x("lex")
+          val tzSuf = regexp_extract(lex, "(Z|[+-]\\d{2}:\\d{2})$", 1)
+          val res =
+            when(x("dt") === Rdf.XsdDateTime && lex.rlike(DateTimeLexPat),
+              concat(substring(lex, 1, 10), tzSuf))
+            .when(lex.rlike(DateLexPat), lex)
+          when(x("kind") === LIT && res.isNotNull,
+            Rdf.term(res, lit(LIT), lit(Rdf.XsdDate), lit(""),
+              lit(null).cast("double")))
+          .otherwise(nullTerm)
         case other => throw new IllegalArgumentException(s"unknown function: $other")
       }
   }

@@ -361,6 +361,14 @@ object SparqlParser {
         }
         current = LeftJoin(current, inner,
           conds.reduceOption((a, b) => ECall("&&", Seq(a, b))))
+      } else if (p.eatWord("SERVICE")) {
+        // GraphDB executes SERVICE federation through its HTTP client
+        // stack; a sandboxed Spark engine has no outbound endpoint to
+        // delegate to. Deliberate descope (README "Descoped") — a
+        // dedicated error beats "unrecognized input" mid-pattern.
+        throw new UnsupportedOperationException(
+          "SERVICE (federated query) is not supported: this engine has no " +
+            "remote SPARQL endpoint transport")
       } else if (p.eatWord("MINUS")) {
         current = Minus(current, parseGGP(p))
       } else if (p.eatWord("GRAPH")) {

@@ -222,4 +222,40 @@ class SparqlSpec extends GraftSuite {
     assert(rows.forall(_.getString(2) == "ord:"))
     assert(rows.forall(r => r.getString(1).startsWith("199") || r.getString(1).startsWith("200")))
   }
+
+  test("temporal casts: date↔dateTime round-trip, malformed → unbound") {
+    val rows = q("""
+      SELECT ?d ?dt ?d2 ?bad WHERE {
+        ?o :orderdate ?d .
+        BIND(xsd:dateTime(?d) AS ?dt)
+        BIND(xsd:date(?dt) AS ?d2)
+        BIND(xsd:dateTime("not a timestamp") AS ?bad)
+      } LIMIT 5""")
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(0) + "T00:00:00")
+      assert(r.getString(2) == r.getString(0))
+      assert(r.isNullAt(3))
+    }
+  }
+
+  test("temporal cast rejects IRIs and numbers, accepts full lexicals") {
+    val rows = q("""
+      SELECT ?a ?b ?c WHERE {
+        BIND(xsd:dateTime("1998-07-01T12:30:00") AS ?a)
+        BIND(xsd:dateTime(42) AS ?b)
+        BIND(xsd:date("1998-07-01T12:30:00"^^xsd:dateTime) AS ?c)
+      }""")
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "1998-07-01T12:30:00")
+    assert(rows(0).isNullAt(1))
+    assert(rows(0).getString(2) == "1998-07-01")
+  }
+
+  test("SERVICE fails fast with a dedicated federation error") {
+    val e = intercept[UnsupportedOperationException] {
+      q("""SELECT ?s WHERE { SERVICE <http://example.org/sparql> { ?s ?p ?o } }""")
+    }
+    assert(e.getMessage.contains("federated"))
+  }
 }
