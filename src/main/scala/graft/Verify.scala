@@ -14,6 +14,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // run the first limit/collect job over (up to) every partition in
+      // parallel — the default incremental scale-up (1, 4, 16… serialized
+      // 1-task jobs) dominates wall time on limit guards over multi-stage
+      // DAGs at local[32]
+      .config("spark.sql.limit.initialNumPartitions", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

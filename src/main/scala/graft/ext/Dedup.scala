@@ -177,15 +177,23 @@ object Dedup {
       pairs: DataFrame): DataFrame = {
     val limit =
       sys.props.getOrElse("graft.dedup.cc.broadcast.limit", "1000000").toInt
-    val head = pairs
+    // materialize the pair set ONCE with a full-parallel count, then
+    // branch — a limit(N+1).collect() guard here executes the pair DAG
+    // through CollectLimit's incremental partition scale-up: dozens of
+    // serialized 1-task jobs re-walking the shuffle DAG (observed 15s+
+    // for a 6s pair computation at sf0.1)
+    val staged = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .limit(limit + 1).collect()
-    if (head.length > limit)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = try staged.count() catch { case e: Throwable => staged.unpersist(); throw e }
+    if (cnt > limit) {
+      staged.unpersist()
       GraphOps.connectedComponents(spark,
           pairs.select(col("doc_a").cast("long").as("src"),
             col("doc_b").cast("long").as("dst")))
         .select(col("id").as("doc_id"), col("component").as("cluster"))
-    else {
+    } else {
+      val head = try staged.collect() finally staged.unpersist()
       // driver union-find over the (small) pair set
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {

@@ -416,7 +416,11 @@ object OwlHorst {
     // `all` is deliberately NOT deduped or checkpointed: the input is
     // (caller-)persisted, rule outputs are deduped per round by the
     // `distinct().except(...)` below, and duplicate (s,p,o) across
-    // graphs only re-derive rows the anti-join removes anyway
+    // graphs only re-derive rows the anti-join removes anyway.
+    // (Tried and reverted: coalescing the branch scans to cut per-round
+    // task count — it serializes per-branch evaluation and measured
+    // SLOWER at local[4]; the map-side parallelism across rule branches
+    // is real work, not just scheduling overhead.)
     var all = quads.select(col("s"), col("p"), col("o"))
     var delta =
       if (seed eq quads) all // full materialization: seed IS the dataset

@@ -55,7 +55,11 @@ object StreamOps {
     private var n = 0
     def drop(df: DataFrame): Unit = {
       val out = stage.resolve(s"b$n")
-      df.write.mode("overwrite").parquet(out.toString)
+      // one part file per drop = one file-source trigger per logical
+      // batch: the choreography stays exactly batch-per-drop and the
+      // stream never splits a drop across micro-batches (each extra
+      // batch costs a full state-store commit cycle)
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
       val listing = Files.list(out)
       try listing.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -83,8 +87,15 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     val name = s"st_hourly_${System.nanoTime()}"
-    val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
+    // pin the stateful shuffle to 4 partitions at stream START (the
+    // keyed state is hour × type — 32 state stores per batch is pure
+    // checkpoint/commit overhead, same rationale as the gates below)
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
@@ -104,8 +115,12 @@ object StreamOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
     val name = s"st_dedup_${System.nanoTime()}"
-    val q = dedup.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try dedup.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
@@ -128,6 +143,7 @@ object StreamOps {
     val slice = graft.core.Tables(spark, dir, "events")
       .filter(col("user_id") < 30)
       .select(col("ts_ns"), col("event_type"), col("value"))
+      .localCheckpoint() // both drops re-slice this; read the source once
     val drops = new FileDrops
     // batch 1 staged before the stream starts: the initial micro-batch
     // is the recent half of the slice — written and moved by
@@ -190,6 +206,7 @@ object StreamOps {
     val ev = graft.core.Tables(spark, dir, "events")
       .filter(col("user_id") < 50)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
+      .localCheckpoint() // both sides slice this; read the source once
     def side(t: String, prefix: String): DataFrame =
       ev.filter(col("event_type") === t)
         .select(col("event_id").as(s"${prefix}_id"), col("user_id"),
