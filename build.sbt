@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's run/runMain are implemented as background jobs that by default
+// COPY the full classpath (~400 MB of Spark jars) into target/bg-jobs
+// before forking — ~50 s of CPU + disk churn per invocation that runs
+// concurrently with benchmark setup. The jars are immutable here, so
+// run from the real classpath.
+bgCopyClasspath := false
+Compile / run / bgCopyClasspath := false
+Compile / runMain / bgCopyClasspath := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

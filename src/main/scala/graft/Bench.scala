@@ -1,9 +1,50 @@
 package graft
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+import scala.jdk.OptionConverters._
 
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Pids of this process and its ancestors (sbt, shell, …) — anything
+    * else holding a JVM is foreign to this measurement.
+    */
+  private def ancestorPids: Set[Long] =
+    Iterator.iterate(Option(ProcessHandle.current()))(_.flatMap(_.parent().toScala))
+      .takeWhile(_.isDefined).flatten.map(_.pid).toSet
+
+  /** Foreign JVMs alive on the box. A leftover forked test JVM or a
+    * second sbt build silently poisons every timing (round-4 official
+    * numbers carried phantom 75–134× slowdowns from exactly this), so
+    * the bench refuses to publish an unlabelled number: the count is
+    * stamped into the output and each offender is listed on stderr.
+    */
+  private def foreignJvms(): List[String] = {
+    val anc = ancestorPids
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter(p => !anc(p.pid))
+      .flatMap { p =>
+        val cmd = p.info().command().toScala.getOrElse("")
+        if (cmd.endsWith("/java") || cmd == "java" || cmd.endsWith("/sbt"))
+          Some(s"pid=${p.pid} cmd=$cmd")
+        else None
+      }.toList
+  }
+
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -11,13 +52,20 @@ object Bench {
     // noise (round-3 verdict "bench-visible regressions" were n=1
     // artifacts) — the median of 3 is what the numbers are judged on
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
-    val spark = SparkSession.builder()
+    // ---- preflight: self-defense against a contaminated box ----
+    val foreign = foreignJvms()
+    foreign.foreach(f => System.err.println(s"[bench] PREFLIGHT foreign JVM: $f"))
+    if (foreign.nonEmpty) System.err.println(
+      s"[bench] PREFLIGHT: ${foreign.size} foreign JVM(s) alive — timings " +
+        "below are suspect; kill them and re-run before trusting this output")
+    val loadBefore = loadAvg()
+    val spark = graft.core.LocalIo(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // limit guards (sameAs harvest, dup-cluster pair cap) must not
       // run CollectLimit's serialized incremental partition scale-up
-      .config("spark.sql.limit.initialNumPartitions", "1000")
+      .config("spark.sql.limit.initialNumPartitions", "1000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // local iteration aid: SPARK_GRAFT_ONLY=q1,q2 times a subset
@@ -31,6 +79,7 @@ object Bench {
     // store (SURVEY §2.A A8), not any single query's cost — the first
     // SPARQL entry in map-iteration order was otherwise charged ~4 s of
     // accounting noise. The warmup cost is reported separately below.
+    var storeDir: Option[Path] = None
     val w0 = System.nanoTime()
     if (selected.keys.exists(_.startsWith("r_"))) {
       try {
@@ -40,8 +89,9 @@ object Bench {
         // section reads what a deployment would read: GRAPH-constant
         // patterns prune partitions, constant predicates prune row
         // groups on the sorted p.lex (CompactPlanSpec asserts both).
-        val storeDir = Files.createTempDirectory("graft-bench-store").toString
-        val store = new graft.ingest.QuadStore(spark, storeDir)
+        val dir = Files.createTempDirectory("graft-bench-store")
+        storeDir = Some(dir)
+        val store = new graft.ingest.QuadStore(spark, dir.toString)
         store.append(graft.rdf.TpchRdf.graphDf(spark, sfDir), "bench")
         store.compact()
         graft.core.DfCache.df(spark, sfDir, "quads") {
@@ -57,7 +107,26 @@ object Bench {
         System.err.println(s"[bench] warmup FAILED: ${e.getMessage}") }
     }
     val warmup = (System.nanoTime() - w0) / 1e9
-    val results = selected.map { case (name, fn) =>
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // Gates run GROUPED BY FAMILY (fixed order) so family-scoped shared
+    // views can be released the moment their family completes, instead
+    // of staying pinned until application exit — an interleaved run
+    // accumulates every family's cache and by the dedup block the
+    // storage pool crowds execution memory (observed 6 s isolated →
+    // 38 s mid-bench on d_ngram_jaccard). quads + the OWL-Horst
+    // closure stay pinned run-long: they are the store's load-time
+    // artifacts, shared by the whole SPARQL section.
+    val familyOrder = Seq("r", "q", "w", "g", "st", "d", "s", "t", "m")
+    def family(n: String): String =
+      if (n.startsWith("st_")) "st"
+      else n.takeWhile(_ != '_').filterNot(_.isDigit)
+    // views each family pins via DfCache, released when it finishes
+    val familyViews = Map("d" -> Seq("minhash_pairs"))
+    val ordered = selected.toSeq.sortBy { case (n, _) =>
+      val i = familyOrder.indexOf(family(n))
+      (if (i < 0) familyOrder.size else i, n)
+    }
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -66,16 +135,31 @@ object Bench {
           -1.0 // a failed query reports -1, never a plausible-looking time
         }
       }
+      // raw per-rep times to stderr: lets a reader distinguish a noisy
+      // median (one bad rep) from a genuinely slow query
+      System.err.println(s"[bench] $name reps=[${times.map(fmt).mkString(",")}]")
+      // ordered is family-contiguous: family boundary → drop its views
+      val fam = family(name)
+      if (i + 1 >= ordered.size || family(ordered(i + 1)._1) != fam)
+        familyViews.getOrElse(fam, Nil)
+          .foreach(graft.core.DfCache.invalidate(spark, sfDir, _))
       name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(reps / 2))
     }
-    // Millisecond precision keeps the single JSON line ~2 KB for 80+ queries so
-    // it survives the driver's bounded stdout-tail capture (r2's 9-digit values
-    // pushed the line past the capture window -> "parsed": null).
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val loadAfter = loadAvg()
+    // Millisecond precision keeps the per-query JSON line compact, but at
+    // 100 gates it can still outgrow the driver's bounded stdout-TAIL
+    // capture (r3/r4 both recorded "parsed": null from front-truncation).
+    // So: per-query detail first, then a short (<200 B) summary line LAST
+    // — whatever window the capture keeps, it always ends with a complete,
+    // parseable metric line carrying the headline number + preflight tags.
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmup)},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmup)},"reps":$reps,"n_queries":${results.size},"foreign_jvms":${foreign.size},"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
+    // the compacted-store warmup copy is dataset-sized — leaving it
+    // accumulates a full parquet copy per bench run in /tmp
+    storeDir.foreach(deleteRecursively)
   }
 }

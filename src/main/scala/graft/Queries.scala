@@ -321,7 +321,12 @@ object Queries {
       t(s, dir, "events")
         // from_json with an explicit schema parses each props string
         // once and prunes to the single needed field; get_json_object
-        // re-walks the JSON text per extraction
+        // re-walks the JSON text per extraction.
+        // Fixture constraint: events.props always encodes k as a JSON
+        // NUMBER ({"k":3}). A string-encoded {"k":"3"} would diverge
+        // from the oracle (from_json's strict schema → null; the
+        // oracle's extract-then-CAST → 3), as would per-field-malformed
+        // JSON — keep the generator numeric or change both sides.
         .select(from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k"), col("value"))

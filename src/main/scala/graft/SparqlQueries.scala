@@ -332,6 +332,22 @@ object SparqlQueries {
           AND sa.o=hv.o
         WHERE sa.p='owl:sameAs')"""))),
 
+    // rdfp14a/b typed-value fidelity: thing:9 (asserted :prio
+    // "5"^^xsd:integer edge) gains rdf:type :PriorityFive via rdfp14a;
+    // special:2 (asserted type) gains the value edge via rdfp14b whose
+    // term must keep its xsd:integer datatype — the DATATYPE filter
+    // makes a string-degraded derivation observable as a missing row
+    Q("r_infer_hasvalue_typed", sqInf("""
+      SELECT ?x ?v WHERE {
+        ?x a :PriorityFive . ?x :prio ?v
+        FILTER(DATATYPE(?v) = xsd:integer) }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT m.x AS x, hv.o AS v
+      FROM (SELECT s AS x FROM quads WHERE p='rdf:type' AND o=':PriorityFive'
+            UNION SELECT s FROM quads WHERE p=':prio') m,
+           (SELECT o FROM quads WHERE s=':PriorityFive'
+            AND p='owl:hasValue') hv"""))),
+
     // rdfp15: members of the someValuesFrom(:locatedIn, :Place)
     // restriction — every customer/supplier/nation, and special:1
     // through its rdfp14b-derived edge

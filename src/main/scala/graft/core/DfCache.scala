@@ -96,6 +96,19 @@ object DfCache {
     getOrPublish(sessionKey(s) + ":" + dir + ":" + name, () => f).asInstanceOf[T]
   }
 
+  /** Drop (and unpersist) ONE named entry of (session, dataset) — for
+    * gate-family-scoped shared views (e.g. the minhash pair set used
+    * only by the dedup gates): a long benchmark session releases them
+    * when their family is done instead of pinning every view until the
+    * application exits and letting the storage pool crowd execution
+    * memory. No-op if the entry was never computed.
+    */
+  def invalidate(s: SparkSession, dir: String, name: String): Unit =
+    entries.remove(sessionKey(s) + ":" + dir + ":" + name) match {
+      case d: DataFrame => try d.unpersist(blocking = false) catch { case _: Throwable => () }
+      case _ => ()
+    }
+
   /** Drop (and unpersist) every entry belonging to `s` — call when
     * stopping a SUB-session of a long-lived application (application-
     * end eviction alone would hold its DataFrames until the whole app

@@ -112,12 +112,20 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    cand
+    val out = cand
       .join(sig.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      // materialize the (tiny) pair set, then RELEASE the signature
+      // cache: without this every call pins a full shingle copy of the
+      // corpus for the session lifetime, and a re-run of the same plan
+      // re-persists it (the "already cached" CacheManager warning +
+      // the storage-pool creep that starves execution memory mid-bench)
+      .localCheckpoint(true)
+    sig.unpersist(blocking = false)
+    out
   }
 
   /** 16-bit SimHash: bit i of the fingerprint is the majority vote of
@@ -268,7 +276,7 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
     // exact verify on the full hash sets — candidate volume is tiny
-    cand
+    val out = cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -277,5 +285,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      // materialize the (tiny) pair set, then RELEASE the shingle
+      // cache — same rationale as [[minHashPairs]]: a per-call persist
+      // with no unpersist accumulates a corpus-sized shingle copy per
+      // invocation (3 bench reps = 3 copies) for the session lifetime
+      .localCheckpoint(true)
+    docSh.unpersist(blocking = false)
+    out
   }
 }

@@ -29,10 +29,12 @@ import graft.rdf.Rdf
   *
   * Execution model: the ONTOLOGY (rdfs:* and owl:* triples between classes
   * and properties) is tiny by nature, so its closures are computed
-  * driver-side once and broadcast into the instance rules — mirroring
-  * how GraphDB compiles the ruleset before streaming instances through
-  * it. INSTANCE-level work is all distributed: per-rule DataFrame
-  * joins, plus a semi-naive [[Fixpoint]] for transitive properties.
+  * driver-side once and COMPILED into a broadcast rule-dispatch table
+  * ([[compileRules]]) — mirroring how GraphDB compiles the ruleset
+  * before streaming instances through it. INSTANCE-level work is all
+  * distributed: one dispatch join per round for the single-premise
+  * families, per-rule joins for the two-premise ones, plus a
+  * semi-naive [[Fixpoint]] for transitive properties.
   * Rules run in rounds until no new triple appears (datalog fixpoint,
   * `delta = rules(all) ∖ all`), with `localCheckpoint` per round.
   *
@@ -61,8 +63,13 @@ object OwlHorst {
       functional: Seq[String] = Nil,
       /** properties typed owl:InverseFunctionalProperty (rdfp2) */
       invFunctional: Seq[String] = Nil,
-      /** (restrictionClass, onProperty, valueLex, valueKind) — rdfp14a/b */
-      hasValue: Seq[(String, String, String, Int)] = Nil,
+      /** (restrictionClass, onProperty, valueLex, valueKind, valueDt,
+        * valueLang) — rdfp14a/b. The FULL term of the owl:hasValue
+        * value is carried so rdfp14b can rebuild it exactly: a typed
+        * literal (`"5"^^xsd:integer`) must come back out with its
+        * datatype, not as a plain string.
+        */
+      hasValue: Seq[(String, String, String, Int, String, String)] = Nil,
       /** (restrictionClass, onProperty, rangeClass) — rdfp15 */
       someValues: Seq[(String, String, String)] = Nil,
       /** (restrictionClass, onProperty, rangeClass) — rdfp16 */
@@ -128,10 +135,12 @@ object OwlHorst {
         (col("p")("lex") === RdfType &&
           col("o")("lex").isin(AxiomTypeObjects: _*)))
       .select(col("s")("lex").as("s"), col("p")("lex").as("p"),
-        col("o")("lex").as("o"), col("o")("kind").as("ok"))
+        col("o")("lex").as("o"), col("o")("kind").as("ok"),
+        col("o")("dt").as("odt"), col("o")("lang").as("olang"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
-    def pairs(pred: String) = schema.collect { case (s, `pred`, o, _) => (s, o) }.toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3),
+        r.getString(4), r.getString(5)))
+    def pairs(pred: String) = schema.collect { case (s, `pred`, o, _, _, _) => (s, o) }.toSeq
     // restriction classes: pair owl:onProperty with the value/range axiom
     val onProp = pairs("owl:onProperty").toMap
     Ontology(
@@ -139,38 +148,128 @@ object OwlHorst {
       subPropOf = closePairs(pairs("rdfs:subPropertyOf")),
       domain = pairs("rdfs:domain"),
       range = pairs("rdfs:range"),
-      transitive = schema.collect { case (s, RdfType, "owl:TransitiveProperty", _) => s }.toSeq,
-      symmetric = schema.collect { case (s, RdfType, "owl:SymmetricProperty", _) => s }.toSeq,
+      transitive = schema.collect { case (s, RdfType, "owl:TransitiveProperty", _, _, _) => s }.toSeq,
+      symmetric = schema.collect { case (s, RdfType, "owl:SymmetricProperty", _, _, _) => s }.toSeq,
       inverseOf = pairs("owl:inverseOf"),
-      functional = schema.collect { case (s, RdfType, "owl:FunctionalProperty", _) => s }.toSeq,
-      invFunctional = schema.collect { case (s, RdfType, "owl:InverseFunctionalProperty", _) => s }.toSeq,
-      hasValue = schema.collect { case (c, "owl:hasValue", v, vk) if onProp.contains(c) =>
-        (c, onProp(c), v, vk) }.toSeq,
-      someValues = schema.collect { case (c, "owl:someValuesFrom", w, _) if onProp.contains(c) =>
+      functional = schema.collect { case (s, RdfType, "owl:FunctionalProperty", _, _, _) => s }.toSeq,
+      invFunctional = schema.collect { case (s, RdfType, "owl:InverseFunctionalProperty", _, _, _) => s }.toSeq,
+      hasValue = schema.collect { case (c, "owl:hasValue", v, vk, vdt, vlang) if onProp.contains(c) =>
+        (c, onProp(c), v, vk, vdt, vlang) }.toSeq,
+      someValues = schema.collect { case (c, "owl:someValuesFrom", w, _, _, _) if onProp.contains(c) =>
         (c, onProp(c), w) }.toSeq,
-      allValues = schema.collect { case (c, "owl:allValuesFrom", w, _) if onProp.contains(c) =>
+      allValues = schema.collect { case (c, "owl:allValuesFrom", w, _, _, _) if onProp.contains(c) =>
         (c, onProp(c), w) }.toSeq)
   }
 
-  /** One application of every rule family, semi-naive with a BOUNDED
-    * in-pass cascade. Every rule reads `all` (everything through the
-    * previous round) and `newIn` (the previous round's checkpointed
-    * delta) — unions of materialized leaves — plus at most TWO lazy
-    * in-pass intermediates on the classic typing chain:
-    * subPropertyOf output feeds the other families, and domain/range
-    * output feeds subClassOf. Lazy intermediates re-execute where
-    * referenced (Spark does not share subplans across DataFrame
-    * reuse), but each is a single broadcast join over leaf scans, so
-    * the duplication is a constant factor — unlike the full cascade,
-    * where family k re-executed families 1..k−1 (exponential rework),
-    * or eager per-family checkpoints, which paid action latency per
-    * family. The whole pass is ONE plan, executed by the caller's
-    * single `distinct().except(...).localCheckpoint()` per round;
-    * deeper cascades (e.g. sameAs expansion of in-pass statements)
-    * resolve across outer rounds.
+  /** One compiled single-premise rule — a row of the broadcast
+    * dispatch table built by [[compileRules]]. A statement (s, p, o)
+    * matching the premise side fires the rule and emits one derived
+    * statement:
+    *
+    *   premise: p.lex = `mp`, plus optional object constraints
+    *   (`moLex`/`moKind`/`moDt`/`moLang`, each null = unconstrained;
+    *   `objRes` = object must be a resource, pD* side condition)
+    *
+    *   output: subject = s (or o when `swap`), predicate = `outP`
+    *   (always a compile-time constant), object = o/s as matched — or
+    *   the full constant term (`outOLex`..`outONum`) when the rule
+    *   replaces it (type assignments, rdfp14b value edges).
     */
-  private def onePass(spark: SparkSession, ont: Ontology, all: DataFrame,
-      newIn: DataFrame,
+  private final case class Rule(
+      mp: String,
+      moLex: Option[String], moKind: Option[Int],
+      moDt: Option[String], moLang: Option[String],
+      objRes: Boolean, swap: Boolean, outP: String,
+      outOLex: Option[String], outOKind: Option[Int],
+      outODt: Option[String], outOLang: Option[String],
+      outONum: Option[Double])
+
+  /** Compile every SINGLE-premise rule family (rdfs7, prp-symp,
+    * prp-inv, rdfs2/3, rdfs9, rdfp14a/b) into one dispatch table, so
+    * each fixpoint round runs ONE broadcast join over the delta
+    * instead of one scan per family (~8 scans → 1; the old shape cost
+    * ~200 map tasks per round regardless of data size). The in-pass
+    * cascades the per-family shape needed are pre-composed here,
+    * driver-side, where the ontology is tiny:
+    *
+    *  - rdfs7 → family: every rule's match predicate is expanded over
+    *    the (closed) strict sub-properties of its premise property, so
+    *    a statement via a sub-property fires the super-property's
+    *    rules directly — no materialized `inherited` intermediate.
+    *  - domain/range/rdfp14a → rdfs9: type-emitting rules emit every
+    *    (closed) superclass of their class at once.
+    *
+    * Rule composition is sound (each compiled rule is a derivation
+    * chain of pD* rules) and complete for the single-premise fragment
+    * (both closures are precomputed), so the fixpoint is unchanged —
+    * some statements just land a round earlier.
+    */
+  private def compileRules(ont: Ontology): Seq[Rule] = {
+    val subsOfProp = ont.subPropOf.groupMap(_._2)(_._1)
+    def matchProps(p: String): Seq[String] =
+      (p +: subsOfProp.getOrElse(p, Nil)).distinct
+    val supersOfClass = ont.subClassOf.groupMap(_._1)(_._2)
+    def outClasses(c: String): Seq[String] =
+      (c +: supersOfClass.getOrElse(c, Nil)).distinct
+    def pass(mp: String, objRes: Boolean = false, swap: Boolean = false,
+        outP: String, moLex: Option[String] = None) =
+      Rule(mp, moLex, None, None, None, objRes, swap, outP,
+        None, None, None, None, None)
+    def typeOf(mp: String, c: String, objRes: Boolean = false,
+        swap: Boolean = false, moLex: Option[String] = None,
+        moKind: Option[Int] = None, moDt: Option[String] = None,
+        moLang: Option[String] = None) =
+      Rule(mp, moLex, moKind, moDt, moLang, objRes, swap, RdfType,
+        Some(c), Some(IRI), Some(""), Some(""), None)
+    val b = Seq.newBuilder[Rule]
+    for ((sub, sup) <- ont.subPropOf)                    // rdfs7
+      b += pass(sub, outP = sup)
+    for (p <- ont.symmetric; mp <- matchProps(p))        // prp-symp
+      b += pass(mp, swap = true, outP = p)
+    for ((f, t) <- ont.inverseOf ++ ont.inverseOf.map(_.swap); // prp-inv
+         mp <- matchProps(f))
+      b += pass(mp, swap = true, outP = t)
+    for ((dp, dc) <- ont.domain; mp <- matchProps(dp);   // rdfs2 ∘ rdfs9
+         c <- outClasses(dc))
+      b += typeOf(mp, c)
+    for ((rp, rc) <- ont.range; mp <- matchProps(rp);    // rdfs3 ∘ rdfs9
+         c <- outClasses(rc))
+      b += typeOf(mp, c, objRes = true, swap = true)
+    for ((sc, sd) <- ont.subClassOf; mp <- matchProps(RdfType)) // rdfs9
+      b += typeOf(mp, sd, moLex = Some(sc))
+    for ((hvc, hvp, lex, kind, dt, lang) <- ont.hasValue;
+         mp <- matchProps(hvp); c <- outClasses(hvc))    // rdfp14a ∘ rdfs9
+      b += typeOf(mp, c, moLex = Some(lex), moKind = Some(kind),
+        moDt = Some(dt), moLang = Some(lang))
+    for ((hvc, hvp, lex, kind, dt, lang) <- ont.hasValue;
+         mp <- matchProps(RdfType)) {                    // rdfp14b
+      // exact value term incl. the numeric/boolean comparison sidecar
+      val num =
+        if (dt == Rdf.XsdInteger || dt == Rdf.XsdDecimal || dt == "xsd:double")
+          lex.toDoubleOption
+        else if (dt == Rdf.XsdBoolean) Some(if (lex == "true") 1.0 else 0.0)
+        else None
+      b += Rule(mp, Some(hvc), None, None, None, objRes = false,
+        swap = false, hvp, Some(lex), Some(kind), Some(dt), Some(lang), num)
+    }
+    b.result().distinct
+  }
+
+  /** One application of every rule family, semi-naive. The
+    * single-premise families are ONE broadcast-dispatch join over the
+    * delta (see [[compileRules]] — their cascades are pre-composed
+    * into the table). The two-premise families (rdfp1/2/15/16) and the
+    * transitive closure additionally read `all` (everything through
+    * the previous round) and a lazy `inherited` intermediate (the
+    * sub-property copies of the delta, so e.g. a functional statement
+    * asserted via a sub-property still pairs in-pass). The whole pass
+    * is ONE plan, executed by the caller's single
+    * `distinct().except(...).localCheckpoint()` per round; deeper
+    * cascades (e.g. sameAs expansion of in-pass statements) resolve
+    * across outer rounds.
+    */
+  private def onePass(spark: SparkSession, ont: Ontology,
+      ruleDf: Option[DataFrame], all: DataFrame, newIn: DataFrame,
       prevClosures: scala.collection.mutable.Map[String, DataFrame],
       equivDf: Option[DataFrame], equivChanged: Boolean): DataFrame = {
     import spark.implicits._
@@ -180,7 +279,30 @@ object OwlHorst {
     def cur: DataFrame = all
     def newer: DataFrame = newIn
 
-    // rdfs7: property inheritance via broadcast (sub, sup) pairs
+    // unified single-premise dispatch: one broadcast join over the delta
+    ruleDf.foreach { r =>
+      val c = newer
+      val o = c("o")
+      emit(c.join(r, c("p")("lex") === col("mp") &&
+          (col("moLex").isNull || o("lex") === col("moLex")) &&
+          (col("moKind").isNull || o("kind") === col("moKind")) &&
+          (col("moDt").isNull || o("dt") === col("moDt")) &&
+          (col("moLang").isNull || o("lang") === col("moLang")) &&
+          (!col("objRes") || o("kind") =!= LIT))
+        .select(
+          when(col("swap"), c("o")).otherwise(c("s")).as("s"),
+          Rdf.iri(col("outP")).as("p"),
+          when(col("outOLex").isNotNull,
+            Rdf.term(col("outOLex"), col("outOKind"), col("outODt"),
+              col("outOLang"), col("outONum")))
+            .otherwise(when(col("swap"), c("s")).otherwise(c("o"))).as("o")))
+    }
+    // sub-property copies of the delta, for the TWO-premise rules and
+    // the transitive closure below (their premises must see a
+    // statement asserted via a sub-property under the super-property's
+    // name; the single-premise families get this via compiled rules).
+    // Lazy — re-executes per referencing family, but each reference is
+    // a single broadcast join over a checkpointed leaf.
     val inherited: Option[DataFrame] =
       if (ont.subPropOf.isEmpty) None
       else {
@@ -189,9 +311,6 @@ object OwlHorst {
             c("p")("lex") === col("sub"))
           .select(Seq(col("s"), Rdf.iri(col("sup")).as("p"), col("o")): _*))
       }
-    inherited.foreach(emit)
-    // statements new this pass INCLUDING inherited-property copies —
-    // the input to every later single-premise family
     val fed = inherited.fold(newer)(newer.unionByName(_))
     // prp-trp: distributed semi-naive closure per transitive property.
     // If every tp edge that is new this round is already in the
@@ -216,39 +335,7 @@ object OwlHorst {
         emit(closed.select(col("a").as("s"), Rdf.iri(lit(tp)).as("p"), col("b").as("o")))
       }
     }
-    // prp-symp / prp-inv
-    if (ont.symmetric.nonEmpty) {
-      emit(fed.filter(fed("p")("lex").isin(ont.symmetric: _*))
-        .select(col("o").as("s"), col("p"), col("s").as("o")))
-    }
-    if (ont.inverseOf.nonEmpty) {
-      val inv = ont.inverseOf ++ ont.inverseOf.map(_.swap)
-      emit(fed.join(broadcast(inv.toDF("from_p", "to_p")),
-          fed("p")("lex") === col("from_p"))
-        .select(col("o").as("s"), Rdf.iri(col("to_p")).as("p"), col("s").as("o")))
-    }
-    // rdfs2 / rdfs3: domain/range typing via broadcast pairs
-    val typed: Seq[DataFrame] = Seq(
-      if (ont.domain.isEmpty) None
-      else Some(fed.join(broadcast(ont.domain.toDF("dp", "dc")),
-          fed("p")("lex") === col("dp"))
-        .select(Seq(col("s"), Rdf.iri(lit(RdfType)).as("p"),
-          Rdf.iri(col("dc")).as("o")): _*)),
-      if (ont.range.isEmpty) None
-      else Some(fed.join(broadcast(ont.range.toDF("rp", "rc")),
-          fed("p")("lex") === col("rp") && fed("o")("kind") =!= LIT)
-        .select(Seq(col("o").as("s"), Rdf.iri(lit(RdfType)).as("p"),
-          Rdf.iri(col("rc")).as("o")): _*))).flatten
-    typed.foreach(emit)
-    // rdfs9: type propagation via the (driver-closed) subClassOf pairs,
-    // fed by types asserted in the delta AND types derived just above
-    if (ont.subClassOf.nonEmpty) {
-      val typeSrc = (fed +: typed).reduce(_.unionByName(_))
-      emit(typeSrc.join(broadcast(ont.subClassOf.toDF("sc", "sd")),
-          typeSrc("p")("lex") === RdfType && typeSrc("o")("lex") === col("sc"))
-        .select(col("s"), col("p"), Rdf.iri(col("sd")).as("o")))
-    }
-    // ---- pD* long-tail (rdfp1/2/14/15/16) ---------------------------
+    // ---- pD* long-tail two-premise rules (rdfp1/2/15/16) ------------
     // Full-term identity for the instance-level joins below: the shared
     // o of an (inverse-)functional statement may be any term, so lex +
     // kind + dt + lang all participate (fields are never null).
@@ -279,21 +366,8 @@ object OwlHorst {
           sameTerm(l("o"), r("o2")) && !sameTerm(l("s"), r("s2")))
         .select(l("s").as("s"), Rdf.iri(lit("owl:sameAs")).as("p"), r("s2").as("o")))
     }
-    // rdfp14a: v hasValue w . v onProperty p . u p w → u rdf:type v
-    // rdfp14b: v hasValue w . v onProperty p . u rdf:type v → u p w
-    // Outputs feed rdfs9/rdfp15 through the NEXT round's delta (the
-    // restriction classes need no in-pass cascade).
-    if (ont.hasValue.nonEmpty) {
-      val hv = broadcast(ont.hasValue.toDF("hvc", "hvp", "hvlex", "hvkind"))
-      emit(fed.join(hv, fed("p")("lex") === col("hvp") &&
-          fed("o")("lex") === col("hvlex") && fed("o")("kind") === col("hvkind"))
-        .select(col("s"), Rdf.iri(lit(RdfType)).as("p"), Rdf.iri(col("hvc")).as("o")))
-      val vterm = when(col("hvkind") === Rdf.IRI, Rdf.iri(col("hvlex")))
-        .otherwise(Rdf.strLit(col("hvlex")))
-      emit(fed.filter(fed("p")("lex") === RdfType)
-        .join(hv, fed("o")("lex") === col("hvc"))
-        .select(col("s"), Rdf.iri(col("hvp")).as("p"), vterm.as("o")))
-    }
+    // rdfp14a/b are single-premise given the broadcast ontology — they
+    // live in the compiled dispatch table above.
     // rdfp15: v someValuesFrom w . v onProperty p . u p x . x rdf:type w
     // → u rdf:type v — two instance premises, so both delta
     // orientations run (new statements × all typings, all statements ×
@@ -407,6 +481,10 @@ object OwlHorst {
   private def doRun(spark: SparkSession, quads: DataFrame, seed: DataFrame): DataFrame = {
     import spark.implicits._
     val ont = ontology(quads)
+    // the compiled dispatch table is static across rounds — build (and
+    // broadcast-hint) it once
+    val rules = compileRules(ont)
+    val ruleDf = if (rules.isEmpty) None else Some(broadcast(rules.toDF()))
     // prior g:inferred rows participate in the closure but the output
     // inferred graph is rebuilt against the EXPLICIT statements only —
     // a triple that has become explicitly asserted since it was first
@@ -447,9 +525,7 @@ object OwlHorst {
     // sameAs expansions, whose s or o is a sameAs-class member. The
     // novelty anti-join therefore only needs the slice of `all`
     // matching that shape, not the whole accumulated set.
-    val derivablePreds = (ont.subPropOf.map(_._2) ++ ont.transitive ++
-      ont.symmetric ++ ont.inverseOf.flatMap(p => Seq(p._1, p._2)) ++
-      ont.hasValue.map(_._2) ++
+    val derivablePreds = (rules.map(_.outP) ++ ont.transitive ++
       Seq(RdfType, "owl:sameAs")).distinct
     val dbg = sys.env.contains("GRAFT_INFER_DEBUG")
     while (grew && rounds < 16) {
@@ -514,7 +590,8 @@ object OwlHorst {
               col("o")("lex").isin(eTerms: _*)
           all.filter(cond)
         }
-      val fresh = onePass(spark, ont, all, delta, prevClosures, equivDf, equivChanged)
+      val fresh = onePass(spark, ont, ruleDf, all, delta, prevClosures,
+          equivDf, equivChanged)
         .distinct().except(relevant).localCheckpoint()
       if (dbg) System.err.println(f"[owlhorst] round $rounds: " +
         f"${(System.nanoTime() - t0) / 1e9}%.1fs fresh=${fresh.count()}")

@@ -32,10 +32,14 @@ object Fixpoint {
 
   /** Transitive closure of a binary relation with columns (a, b).
     * Equality on pairs uses whole-row semantics (external `Row`
-    * equality is structural), so any column type — strings, term
-    * structs — works. `groupCols` closes each group independently
-    * (e.g. per named graph) in one shared fixpoint whose rounds are
-    * bounded by the max diameter across groups.
+    * equality is structural), so strings, numerics, and nested term
+    * STRUCTS all work — but NOT binary columns: `Row.equals` compares
+    * `Array[Byte]` by content while `Row.hashCode` hashes the array by
+    * identity, so the HashPartitioner would scatter equal keys and
+    * `subtractByKey` would miss duplicates (normalize binary to base64
+    * first). `groupCols` closes each group independently (e.g. per
+    * named graph) in one shared fixpoint whose rounds are bounded by
+    * the max diameter across groups.
     */
   def closure(edges0: DataFrame, joinCond: (DataFrame, DataFrame) => Column,
       maxRounds: Int = 64, groupCols: Seq[String] = Nil): DataFrame = {
@@ -75,7 +79,7 @@ object Fixpoint {
       // one pass and doubles as the emptiness test
       val next = keyed(cand).subtractByKey(sc.union(deltas))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.count() == 0) done = true
+      if (next.count() == 0) { done = true; next.unpersist(blocking = false) }
       else {
         deltas = next :: deltas
         frontier = spark.createDataFrame(next.keys, schema)
@@ -84,7 +88,21 @@ object Fixpoint {
     if (!done) System.err.println(
       s"[fixpoint] WARNING: closure stopped at the $maxRounds-round cap " +
         "before convergence — results may be incomplete")
-    spark.createDataFrame(sc.union(deltas).keys, schema)
+    finish(spark.createDataFrame(sc.union(deltas).keys, schema), deltas)
+  }
+
+  /** Materialize the fixpoint result (localCheckpoint truncates the
+    * lineage onto fresh blocks owned by the returned DataFrame), then
+    * release every per-round delta — otherwise each closure/BFS call
+    * leaks `diameter` cached RDDs for the session lifetime, exactly
+    * the heap/disk creep that destabilizes long benchmark runs. The
+    * checkpointed blocks themselves are reclaimed by the
+    * ContextCleaner once the caller drops the DataFrame.
+    */
+  private def finish(result: DataFrame, deltas: List[RDD[(Row, Unit)]]): DataFrame = {
+    val out = result.localCheckpoint(true)
+    deltas.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Closure for term-struct pairs (join on lex+kind identity). */
@@ -128,7 +146,7 @@ object Fixpoint {
       val sk = keyed(s)
       val next = (if (deltas.isEmpty) sk else sk.subtractByKey(sc.union(deltas)))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      if (next.count() == 0) done = true
+      if (next.count() == 0) { done = true; next.unpersist(blocking = false) }
       else {
         deltas = next :: deltas
         frontier = spark.createDataFrame(next.keys, schema)
@@ -138,7 +156,7 @@ object Fixpoint {
       s"[fixpoint] WARNING: reachability stopped at the $maxRounds-round cap " +
         "before convergence — results may be incomplete")
     if (deltas.isEmpty) n0.limit(0)
-    else spark.createDataFrame(sc.union(deltas).keys, schema)
+    else finish(spark.createDataFrame(sc.union(deltas).keys, schema), deltas)
   }
 
   /** Closure for plain string pairs. */

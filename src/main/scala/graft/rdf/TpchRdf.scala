@@ -115,7 +115,26 @@ object TpchRdf {
     (":Located", "owl:someValuesFrom", ":Place"),
     (":GeoSourced", "owl:onProperty", ":region"),
     (":GeoSourced", "owl:allValuesFrom", ":MappedRegion"),
-    (":Nation", "rdfs:subClassOf", ":GeoSourced"))
+    (":Nation", "rdfs:subClassOf", ":GeoSourced"),
+    // typed-literal hasValue (rdfp14a/b datatype fidelity): members of
+    // :PriorityFive carry :prio "5"^^xsd:integer — the restriction's
+    // value term, with its datatype, must round-trip through the rules
+    (":PriorityFive", "owl:onProperty", ":prio"))
+
+  /** Schema rows whose OBJECT is a typed literal — (s, p, lex,
+    * datatype). Kept in a separate list because [[schemaTriples]] is
+    * all-IRI; emitted into the same `g:schema` graph by BOTH engines.
+    * `thing:9` asserts the value edge (rdfp14a premise: it gains
+    * `rdf:type :PriorityFive`); `special:2` asserts only the typing
+    * (rdfp14b premise: it gains the typed value edge).
+    */
+  val schemaTypedTriples: Seq[(String, String, String, String)] = Seq(
+    (":PriorityFive", "owl:hasValue", "5", XsdInteger),
+    ("thing:9", ":prio", "5", XsdInteger))
+
+  /** IRI-object instance rows living alongside the typed fixtures. */
+  private val schemaInstanceTriples: Seq[(String, String, String)] = Seq(
+    ("special:2", RdfType, ":PriorityFive"))
 
   // ---- Spark emission -------------------------------------------------
 
@@ -146,9 +165,16 @@ object TpchRdf {
 
   def schemaDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    schemaTriples.toDF("sl", "pl", "ol").select(
-      lit("g:schema").as("g"), iri(col("sl")).as("s"),
-      iri(col("pl")).as("p"), iri(col("ol")).as("o"))
+    val iriRows = (schemaTriples ++ schemaInstanceTriples)
+      .toDF("sl", "pl", "ol").select(
+        lit("g:schema").as("g"), iri(col("sl")).as("s"),
+        iri(col("pl")).as("p"), iri(col("ol")).as("o"))
+    val typedRows = schemaTypedTriples.toDF("sl", "pl", "olex", "odt").select(
+      lit("g:schema").as("g"), iri(col("sl")).as("s"), iri(col("pl")).as("p"),
+      term(col("olex"), lit(LIT), col("odt"), lit(""),
+        when(numericDt(col("odt")), col("olex").cast("double"))
+          .otherwise(lit(null).cast("double"))).as("o"))
+    iriRows.unionAll(typedRows)
   }
 
   /** The full quads DataFrame (g, s, p, o term structs). */
@@ -176,12 +202,21 @@ object TpchRdf {
         s"SELECT 'g:${m.table}' AS g, $subj AS s, '$pred' AS p, $oe AS o, $okind AS okind, $onum AS onum FROM ${m.table}"
       }
     }
-    val schemaRows = schemaTriples
+    val schemaRows = (schemaTriples ++ schemaInstanceTriples)
       .map { case (s, p, o) => s"('$s','$p','$o')" }.mkString(", ")
     val schemaSelect =
       s"SELECT 'g:schema' AS g, c0 AS s, c1 AS p, c2 AS o, $IRI AS okind, NULL::DOUBLE AS onum " +
         s"FROM (VALUES $schemaRows) t(c0,c1,c2)"
-    (tableSelects :+ schemaSelect).mkString("\n      UNION ALL ")
+    // typed-literal schema rows: okind = LIT, numeric datatypes carry the
+    // value sidecar (same identity rules as the Spark emission above)
+    val typedSelects = schemaTypedTriples.map { case (s, p, lex, dt) =>
+      val onum =
+        if (dt == XsdInteger || dt == XsdDecimal || dt == "xsd:double")
+          s"($lex)::DOUBLE"
+        else "NULL::DOUBLE"
+      s"SELECT 'g:schema' AS g, '$s' AS s, '$p' AS p, '$lex' AS o, $LIT AS okind, $onum AS onum"
+    }
+    (tableSelects ++ (schemaSelect +: typedSelects)).mkString("\n      UNION ALL ")
   }
 
   /** Wrap an oracle query body with the quads CTE. */

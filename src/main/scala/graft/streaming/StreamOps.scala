@@ -1,11 +1,12 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Structured Streaming operators over the `events` table (SURVEY
   * §2.D: the harness reintroduces event-time processing that the
@@ -26,6 +27,60 @@ import org.apache.spark.sql.functions._
   * bounded by active windows, not stream length.
   */
 object StreamOps {
+
+  /** Temp dir on tmpfs when available: streaming checkpoints (offset
+    * log, commit log, state-store deltas) are many small fsync'd files
+    * per micro-batch — on-disk /tmp makes the commit cycle, not the
+    * data, the dominant cost of a short-lived stream.
+    */
+  private def shmTemp(prefix: String): Path = {
+    val shm = Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
+
+  private def deleteTree(root: Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+
+  /** Start a memory-sink streaming query with the gate harness tuning:
+    * checkpoint on tmpfs, and the stateful shuffle pinned to ONE
+    * partition at stream START — every gate's keyed state is tiny
+    * (hour × type, a few thousand join rows), so N state stores per
+    * micro-batch is pure checkpoint/commit overhead, linear in N.
+    * `availableNow` for gates whose input is fully staged up front:
+    * the query drains everything in one planned run and terminates,
+    * instead of ProcessingTime(0) polling with trailing no-data
+    * batches. Caller stops the query, then [[finishQuery]] reclaims
+    * the checkpoint dir.
+    */
+  private def startQuery(spark: SparkSession, df: DataFrame, name: String,
+      mode: String, availableNow: Boolean = false): (StreamingQuery, Path) = {
+    val ckpt = shmTemp("graft_ckpt")
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // fork-free checkpoint I/O even when the session builder didn't
+    // apply LocalIo (the conf is read at stream start, so a runtime
+    // set covers every caller)
+    spark.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+      "graft.streaming.NioCheckpointFileManager")
+    val writer = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt.toString)
+    val q =
+      try (if (availableNow) writer.trigger(Trigger.AvailableNow) else writer).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    (q, ckpt)
+  }
+
+  private def finishQuery(q: StreamingQuery, ckpt: Path): Unit = {
+    q.stop()
+    deleteTree(ckpt)
+  }
 
   /** micros timestamp view of events for streaming (nanos → micros,
     * same rule as [[graft.core.Tables]])
@@ -50,8 +105,8 @@ object StreamOps {
     * the harness scales with the operators it exercises.
     */
   private final class FileDrops {
-    val watch: Path = Files.createTempDirectory("graft_stream_watch")
-    private val stage = Files.createTempDirectory("graft_stream_stage")
+    val watch: Path = shmTemp("graft_stream_watch")
+    private val stage = shmTemp("graft_stream_stage")
     private var n = 0
     def drop(df: DataFrame): Unit = {
       val out = stage.resolve(s"b$n")
@@ -70,14 +125,7 @@ object StreamOps {
       finally listing.close()
       n += 1
     }
-    def cleanup(): Unit = Seq(watch, stage).foreach { root =>
-      if (Files.exists(root)) {
-        val walk = Files.walk(root)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-        finally walk.close()
-      }
-    }
+    def cleanup(): Unit = Seq(watch, stage).foreach(deleteTree)
   }
 
   def hourlyCountsStreaming(spark: SparkSession, dir: String): DataFrame = {
@@ -87,16 +135,10 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     val name = s"st_hourly_${System.nanoTime()}"
-    // pin the stateful shuffle to 4 partitions at stream START (the
-    // keyed state is hour × type — 32 state stores per batch is pure
-    // checkpoint/commit overhead, same rationale as the gates below)
-    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try counts.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
-    try q.processAllAvailable() finally q.stop()
+    // the whole input is already on disk → AvailableNow drains it in
+    // one planned run and self-terminates (no trailing no-data batches)
+    val (q, ckpt) = startQuery(spark, counts, name, "complete", availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
     spark.table(name)
   }
 
@@ -115,13 +157,8 @@ object StreamOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
     val name = s"st_dedup_${System.nanoTime()}"
-    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try dedup.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
-    try q.processAllAvailable() finally q.stop()
+    val (q, ckpt) = startQuery(spark, dedup, name, "complete", availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
     spark.table(name)
   }
 
@@ -161,15 +198,9 @@ object StreamOps {
       .select(col("w")("start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
     val name = s"st_wm_${System.nanoTime()}"
-    // the stateful shuffle count is pinned at stream START and the
-    // keyed state here is tiny (hour × type); 32 state-store
-    // partitions × 4 micro-batches is pure checkpoint overhead
-    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
+    // batches arrive via drop choreography, so this gate keeps the
+    // continuous trigger + processAllAvailable barrier between drops
+    val (q, ckpt) = startQuery(spark, agg, name, "append")
     try {
       val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
         .getEpochSecond * 1000000000L
@@ -186,7 +217,7 @@ object StreamOps {
         .toDF("ts_ns", "event_type", "value"))
       q.processAllAvailable()
     } finally {
-      q.stop()
+      finishQuery(q, ckpt)
       drops.cleanup()
     }
     spark.table(name).filter(col("event_type") =!= "__flush")
@@ -239,15 +270,13 @@ object StreamOps {
         col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("view_id"), col("buy_id"), col("user_id"))
     val name = s"st_ssj_${System.nanoTime()}"
-    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", priorParts)
-    try q.processAllAvailable()
+    // both sides are single up-front drops — inner-join matches emit in
+    // the first micro-batch, so the query needs NO batch choreography:
+    // AvailableNow drains both sources and terminates
+    val (q, ckpt) = startQuery(spark, joined, name, "append", availableNow = true)
+    try q.awaitTermination()
     finally {
-      q.stop()
+      finishQuery(q, ckpt)
       viewDrops.cleanup()
       buyDrops.cleanup()
     }

@@ -15,23 +15,40 @@ SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/soakdata/sf0.3"
 COPIES = 3
 
-# per-table key columns to shift by copy_index * stride (stride = a
-# round power of ten above the max key, so copies never collide)
+# per-table key columns to shift by copy_index * stride. Columns in the
+# same KEY FAMILY (an FK and the PK it references) MUST share one stride
+# or the shifted copies get dangling/colliding FKs — so strides are
+# computed once per family from the DIMENSION (referenced) table's max,
+# not per-table (orders.o_custkey max need not share a power of ten
+# with customer.c_custkey max).
 SHIFTS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey"],
-    "part": ["p_partkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey"},
+    "part": {"p_partkey": "partkey"},
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
+}
+# key family -> (owning table, PK column) the stride derives from
+FAMILIES = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
 }
 KEEP = ["region", "nation"]  # fixed-size dimensions
 
 
 def stride(con, table, col):
     mx = con.sql(f"SELECT max({col}) FROM '{SRC}/{table}.parquet'").fetchone()[0]
+    if mx is None:  # empty table: any stride keeps copies disjoint
+        return 10
     s = 10
     while s <= mx:
         s *= 10
@@ -41,11 +58,12 @@ def stride(con, table, col):
 def main():
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    fam_stride = {f: stride(con, t, c) for f, (t, c) in FAMILIES.items()}
     for t in KEEP:
         con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet'")
         print(f"{t}: copied")
     for t, keys in SHIFTS.items():
-        strides = {k: stride(con, t, k) for k in keys}
+        strides = {k: fam_stride[f] for k, f in keys.items()}
         cols = [r[0] for r in con.sql(
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
         selects = []

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Round-5 soak (round-3 verdict task 9): run the most expensive /
+scale-risk gates once at sf0.1 and once on the 3x key-shifted soak
+slice (soakdata/sf0.3, built by gen_soak.py), and record the scaling
+ratio per gate. A gate whose cost is ~linear in data lands near 3x;
+an O(n^2) surprise lands >>4x (the judge's "no query >4x its
+sf0.1-scaled expectation" reads ratio <= 4 given the 3x data).
+
+Usage: tools/run_soak.py [out_json]   (run from the repo root)
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+GATES = ",".join([
+    "r_path_2hop", "r_construct", "r_infer_transitive",
+    "st_stream_join", "st_watermark_drop",
+    "d_ngram_jaccard", "d_minhash_lsh", "d_dup_clusters",
+    "t_tfidf_top", "g_pagerank", "g_triangles", "g_shortest_hops",
+])
+OUT = sys.argv[1] if len(sys.argv) > 1 else "SOAK_r5.json"
+
+
+def run_bench(sf_dir):
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_ONLY=GATES,
+               SPARK_GRAFT_REPS="1", SPARK_GRAFT_CPUS="32")
+    t0 = time.time()
+    p = subprocess.run(["sbt", "runMain graft.Bench"], env=env,
+                       capture_output=True, text=True, timeout=7200)
+    wall = time.time() - t0
+    line = next((ln for ln in p.stdout.splitlines()
+                 if ln.startswith("{") and '"queries"' in ln), None)
+    if line is None:
+        sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:] + "\n")
+        raise SystemExit(f"no bench JSON line for {sf_dir} (rc={p.returncode})")
+    return json.loads(line), wall
+
+
+def main():
+    base, base_wall = run_bench("/root/testdata/sf0.1")
+    soak, soak_wall = run_bench("soakdata/sf0.3")
+    rows = {}
+    worst = (None, 0.0)
+    for q, b in base["queries"].items():
+        s = soak["queries"].get(q, -1.0)
+        ratio = round(s / b, 2) if b > 0 and s >= 0 else None
+        rows[q] = {"sf0.1_sec": b, "sf0.3_sec": s, "ratio": ratio}
+        if ratio is not None and ratio > worst[1]:
+            worst = (q, ratio)
+    out = {
+        "round": 5,
+        "data_scale": 3.0,
+        "gates": rows,
+        "worst": {"query": worst[0], "ratio": worst[1]},
+        "pass": worst[1] <= 4.0,
+        "base_wall_sec": round(base_wall, 1),
+        "soak_wall_sec": round(soak_wall, 1),
+        "note": "soak slice = 3 key-shifted copies of sf0.1 "
+                "(tools/gen_soak.py); reps=1; ratio = sf0.3/sf0.1 wall — "
+                "linear gates land ~3x, pass bar is 4x",
+    }
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({"worst": worst, "pass": out["pass"]}))
+
+
+if __name__ == "__main__":
+    main()
