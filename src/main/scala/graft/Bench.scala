@@ -62,6 +62,7 @@ object Bench {
     val spark = graft.core.LocalIo(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // limit guards (sameAs harvest, dup-cluster pair cap) must not
       // run CollectLimit's serialized incremental partition scale-up

@@ -253,6 +253,9 @@ object SparqlQueries {
         SELECT s, o AS t FROM quads WHERE p='rdf:type'
         UNION ALL SELECT s, ':Order' FROM quads WHERE p=':custkey'
         UNION ALL SELECT o, ':Customer' FROM quads WHERE p=':custkey'
+        -- rdfp14a: asserted :prio "5"^^xsd:integer edges type their
+        -- subject :PriorityFive (typed-literal hasValue fixture)
+        UNION ALL SELECT s, ':PriorityFive' FROM quads WHERE p=':prio' AND o='5'
         -- rdfp14a: hasValue members of :AfricanThing
         UNION ALL SELECT x, ':AfricanThing' FROM african
         -- rdfp15: someValuesFrom members of :Located (everything with a

@@ -255,6 +255,43 @@ object OwlHorst {
     b.result().distinct
   }
 
+  /** The dispatch table as a DataFrame, built from explicit Rows with
+    * an explicit nullable schema. Deliberately NOT `rules.toDF()`: the
+    * derived product encoder for a case class with `Option` fields
+    * trips Janino's method resolution in the generated serializer
+    * (falls back to interpreted with a full error stack in the log),
+    * and `Option → null` is the mapping the join's `isNull` guards
+    * want stated explicitly anyway.
+    */
+  private def ruleTable(spark: SparkSession, rules: Seq[Rule]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("mp", StringType, nullable = false),
+      StructField("moLex", StringType, nullable = true),
+      StructField("moKind", IntegerType, nullable = true),
+      StructField("moDt", StringType, nullable = true),
+      StructField("moLang", StringType, nullable = true),
+      StructField("objRes", BooleanType, nullable = false),
+      StructField("swap", BooleanType, nullable = false),
+      StructField("outP", StringType, nullable = false),
+      StructField("outOLex", StringType, nullable = true),
+      StructField("outOKind", IntegerType, nullable = true),
+      StructField("outODt", StringType, nullable = true),
+      StructField("outOLang", StringType, nullable = true),
+      StructField("outONum", DoubleType, nullable = true)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList(rules.size)
+    rules.foreach { r =>
+      rows.add(org.apache.spark.sql.Row(
+        r.mp, r.moLex.orNull, r.moKind.map(Int.box).orNull,
+        r.moDt.orNull, r.moLang.orNull, r.objRes, r.swap, r.outP,
+        r.outOLex.orNull, r.outOKind.map(Int.box).orNull,
+        r.outODt.orNull, r.outOLang.orNull,
+        r.outONum.map(Double.box).orNull))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** One application of every rule family, semi-naive. The
     * single-premise families are ONE broadcast-dispatch join over the
     * delta (see [[compileRules]] — their cascades are pre-composed
@@ -484,7 +521,7 @@ object OwlHorst {
     // the compiled dispatch table is static across rounds — build (and
     // broadcast-hint) it once
     val rules = compileRules(ont)
-    val ruleDf = if (rules.isEmpty) None else Some(broadcast(rules.toDF()))
+    val ruleDf = if (rules.isEmpty) None else Some(broadcast(ruleTable(spark, rules)))
     // prior g:inferred rows participate in the closure but the output
     // inferred graph is rebuilt against the EXPLICIT statements only —
     // a triple that has become explicitly asserted since it was first

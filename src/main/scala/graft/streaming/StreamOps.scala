@@ -82,18 +82,26 @@ object StreamOps {
     deleteTree(ckpt)
   }
 
-  /** micros timestamp view of events for streaming (nanos → micros,
-    * same rule as [[graft.core.Tables]])
+  /** micros timestamp view of events for streaming — same dual-layout
+    * rule as [[graft.core.Tables]]: `ts` may be nanos-as-long (legacy
+    * TIMESTAMP(NANOS) files) or a micro TIMESTAMP[_NTZ], normalized
+    * here to a session-zoned micro timestamp.
     */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the harness table is a single parquet FILE; the streaming file
     // source wants a directory, so scan the SF dir with a glob filter
-    spark.readStream.schema(schema)
+    val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => src
+    }
   }
 
   /** File-drop batch choreography for the controlled-batch gates: each
