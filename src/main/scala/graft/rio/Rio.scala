@@ -6,7 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * facade — ONE place decides which parser a path gets, so the two
   * entry points can never drift. Dispatch is PER PATH (a mixed-format
   * list parses each file with its own format), by extension:
-  * `.nt`/`.nq` line formats, `.trig` graph blocks, Turtle otherwise.
+  * `.nt`/`.nq` line formats, `.trig` graph blocks, `.rdf`/`.owl`/
+  * `.xml` RDF/XML, `.jsonld`/`.json` JSON-LD, Turtle otherwise —
+  * the same extension table RDF4J's `Rio.getParserFormatForFileName`
+  * routes by in the reference's delegated stack.
   */
 object Rio {
 
@@ -16,12 +19,17 @@ object Rio {
   private sealed trait Fmt
   private case object LineFmt extends Fmt
   private case object TrigFmt extends Fmt
+  private case object XmlFmt extends Fmt
+  private case object JsonLdFmt extends Fmt
   private case object TurtleFmt extends Fmt
 
   private def fmtOf(p: String): Fmt = {
     val lower = p.toLowerCase
     if (lower.endsWith(".nt") || lower.endsWith(".nq")) LineFmt
     else if (lower.endsWith(".trig")) TrigFmt
+    else if (lower.endsWith(".rdf") || lower.endsWith(".owl") ||
+      lower.endsWith(".xml")) XmlFmt
+    else if (lower.endsWith(".jsonld") || lower.endsWith(".json")) JsonLdFmt
     else TurtleFmt
   }
 
@@ -34,6 +42,8 @@ object Rio {
     cleaned.groupBy(fmtOf).map {
       case (LineFmt, ps) => NQuads.read(spark, ps, defaultGraph)
       case (TrigFmt, ps) => Turtle.readTriG(spark, ps, defaultGraph)
+      case (XmlFmt, ps) => RdfXml.read(spark, ps, defaultGraph)
+      case (JsonLdFmt, ps) => JsonLd.read(spark, ps, defaultGraph)
       case (TurtleFmt, ps) => Turtle.read(spark, ps, defaultGraph)
     }.reduce(_.unionByName(_))
   }
