@@ -121,8 +121,15 @@ object Bench {
     def family(n: String): String =
       if (n.startsWith("st_")) "st"
       else n.takeWhile(_ != '_').filterNot(_.isDigit)
-    // views each family pins via DfCache, released when it finishes
-    val familyViews = Map("d" -> Seq("minhash_pairs"))
+    // views each family pins via DfCache, released when it finishes.
+    // quads + the OWL-Horst closure are load-time artifacts of the
+    // SPARQL store and only the r_* gates read them — after that
+    // family they are pure storage-pool pressure on every later sort/
+    // join (d_ngram_jaccard ran 4× its isolated time mid-bench while
+    // they stayed pinned).
+    val familyViews = Map(
+      "r" -> Seq("quads", "owlhorst_mat", "pred_stats"),
+      "d" -> Seq("minhash_pairs"))
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       val i = familyOrder.indexOf(family(n))
       (if (i < 0) familyOrder.size else i, n)
@@ -141,9 +148,15 @@ object Bench {
       System.err.println(s"[bench] $name reps=[${times.map(fmt).mkString(",")}]")
       // ordered is family-contiguous: family boundary → drop its views
       val fam = family(name)
-      if (i + 1 >= ordered.size || family(ordered(i + 1)._1) != fam)
+      if (i + 1 >= ordered.size || family(ordered(i + 1)._1) != fam) {
         familyViews.getOrElse(fam, Nil)
           .foreach(graft.core.DfCache.invalidate(spark, sfDir, _))
+        // localCheckpoint leaves (the OWL closure, streaming slices)
+        // hold block-manager storage until their DataFrame is GC'd and
+        // the ContextCleaner runs — prompt it at the family boundary so
+        // a dead family's blocks never tax the next family's memory
+        System.gc()
+      }
       name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(reps / 2))
     }
     val loadAfter = loadAvg()
