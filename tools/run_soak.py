@@ -31,8 +31,9 @@ def run_bench(sf_dir):
     p = subprocess.run(["sbt", "runMain graft.Bench"], env=env,
                        capture_output=True, text=True, timeout=7200)
     wall = time.time() - t0
-    line = next((ln for ln in p.stdout.splitlines()
-                 if ln.startswith("{") and '"queries"' in ln), None)
+    # sbt prefixes stdout lines with "[info] " — parse from the first brace
+    line = next((ln[ln.index("{"):] for ln in p.stdout.splitlines()
+                 if "{" in ln and '"queries"' in ln), None)
     if line is None:
         sys.stderr.write(p.stdout[-3000:] + "\n" + p.stderr[-3000:] + "\n")
         raise SystemExit(f"no bench JSON line for {sf_dir} (rc={p.returncode})")
