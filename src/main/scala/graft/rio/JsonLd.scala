@@ -257,6 +257,57 @@ object JsonLd {
     out.result()
   }
 
+  // ---- emitter --------------------------------------------------------
+
+  private def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  /** Serialize quads as expanded-form JSON-LD (no context; one node
+    * object per statement, full IRIs as keys — the unambiguous
+    * interchange form). Default-graph statements sit directly in the
+    * top-level `@graph` array; named graphs nest as
+    * `{"@id": g, "@graph": […]}`. Round-trip counterpart of
+    * [[parseDoc]].
+    */
+  def emit(quads: Seq[(String, Stmt)]): String = {
+    def ref(t: Term): String =
+      s"""{"@id": ${jstr(if (t.kind == Rdf.BNODE) "_:" + t.lex else t.lex)}}"""
+    def value(t: Term): String = t.kind match {
+      case Rdf.IRI | Rdf.BNODE => ref(t)
+      case _ =>
+        if (t.lang.nonEmpty)
+          s"""{"@value": ${jstr(t.lex)}, "@language": ${jstr(t.lang)}}"""
+        else if (t.dt.nonEmpty && t.dt != Rdf.XsdString)
+          s"""{"@value": ${jstr(t.lex)}, "@type": ${jstr(t.dt)}}"""
+        else s"""{"@value": ${jstr(t.lex)}}"""
+    }
+    def node(st: Stmt): String = {
+      val id = if (st.s.kind == Rdf.BNODE) "_:" + st.s.lex else st.s.lex
+      if (st.p.lex == Rdf.RdfType && st.o.kind == Rdf.IRI)
+        s"""{"@id": ${jstr(id)}, "@type": ${jstr(st.o.lex)}}"""
+      else s"""{"@id": ${jstr(id)}, ${jstr(st.p.lex)}: ${value(st.o)}}"""
+    }
+    // group by graph, first-occurrence order
+    val graphs = quads.map(_._1).distinct
+    val entries = graphs.map { g =>
+      val nodes = quads.collect { case (`g`, st) => node(st) }
+      if (g.isEmpty) nodes.mkString(",\n  ")
+      else s"""{"@id": ${jstr(g)}, "@graph": [${nodes.mkString(",\n    ")}]}"""
+    }
+    s"""{"@graph": [\n  ${entries.mkString(",\n  ")}\n]}"""
+  }
+
   /** Read JSON-LD files into a quads DataFrame `(g, s, p, o)`:
     * `@graph`-labelled statements keep their graph, the rest land in
     * `defaultGraph`. Same file-per-task unit as [[Turtle.readTriG]].

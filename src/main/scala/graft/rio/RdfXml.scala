@@ -335,6 +335,78 @@ object RdfXml {
     out.result()
   }
 
+  // ---- emitter --------------------------------------------------------
+
+  private def escText(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  private def escAttr(s: String): String =
+    escText(s).replace("\"", "&quot;").replace("\n", "&#10;")
+      .replace("\r", "&#13;").replace("\t", "&#9;")
+
+  /** Split a predicate IRI into (namespace, NCName local part) for use
+    * as an XML element name: well-known compact forms re-expand to
+    * their full namespace; otherwise split after the last `#`, `/` or
+    * `:`. Fails loudly when the local part is not a valid NCName
+    * (RDF/XML genuinely cannot serialize such predicates — RDF4J's
+    * writer throws the same way).
+    */
+  private def splitQName(iri: String): (String, String) = {
+    val full = wellKnown.collectFirst {
+      case (ns, p) if iri.startsWith(p) => ns + iri.substring(p.length)
+    }.getOrElse(iri)
+    val cut = full.lastIndexWhere(c => c == '#' || c == '/' || c == ':')
+    val (ns, local) = (full.substring(0, cut + 1), full.substring(cut + 1))
+    val ok = local.nonEmpty &&
+      (local.head.isLetter || local.head == '_') &&
+      local.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.')
+    if (cut < 0 || ns.isEmpty || !ok) throw new IllegalArgumentException(
+      s"rdfxml: predicate <$iri> has no XML-serializable local name")
+    (ns, local)
+  }
+
+  /** Serialize statements (triples — RDF/XML has no named graphs) as
+    * one `rdf:Description` per statement, the unambiguous normal form.
+    * Round-trip counterpart of [[parseDoc]].
+    */
+  def emit(stmts: Seq[Stmt]): String = {
+    // collect predicate namespaces → ns1..nsN declarations
+    val nss = stmts.map(st => splitQName(st.p.lex)._1).distinct
+      .filterNot(_ == RdfNs)
+    val nsPrefix = nss.zipWithIndex.map { case (ns, i) => ns -> s"ns${i + 1}" }.toMap
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<rdf:RDF xmlns:rdf=\"").append(RdfNs).append('"')
+    nsPrefix.toSeq.sortBy(_._2).foreach { case (ns, p) =>
+      sb.append("\n         xmlns:").append(p).append("=\"")
+        .append(escAttr(ns)).append('"')
+    }
+    sb.append(">\n")
+    stmts.foreach { st =>
+      val (pns, plocal) = splitQName(st.p.lex)
+      val pq = if (pns == RdfNs) s"rdf:$plocal" else s"${nsPrefix(pns)}:$plocal"
+      sb.append("  <rdf:Description ")
+      if (st.s.kind == Rdf.BNODE)
+        sb.append("rdf:nodeID=\"").append(escAttr(st.s.lex)).append('"')
+      else sb.append("rdf:about=\"").append(escAttr(st.s.lex)).append('"')
+      sb.append(">\n    <").append(pq)
+      st.o.kind match {
+        case Rdf.IRI =>
+          sb.append(" rdf:resource=\"").append(escAttr(st.o.lex)).append("\"/>")
+        case Rdf.BNODE =>
+          sb.append(" rdf:nodeID=\"").append(escAttr(st.o.lex)).append("\"/>")
+        case _ =>
+          if (st.o.lang.nonEmpty)
+            sb.append(" xml:lang=\"").append(escAttr(st.o.lang)).append('"')
+          else if (st.o.dt.nonEmpty && st.o.dt != Rdf.XsdString)
+            sb.append(" rdf:datatype=\"").append(escAttr(st.o.dt)).append('"')
+          sb.append('>').append(escText(st.o.lex)).append("</").append(pq).append('>')
+      }
+      sb.append("\n  </rdf:Description>\n")
+    }
+    sb.append("</rdf:RDF>\n")
+    sb.toString
+  }
+
   /** Read RDF/XML files into a quads DataFrame `(g, s, p, o)` with all
     * statements landing in named graph `graph` — same shape and
     * file-per-task unit as [[Turtle.read]].

@@ -229,6 +229,38 @@ class RdfXmlJsonLdSpec extends GraftSuite {
     assert(spo(JsonLd.parseDoc(jsonld).map(_._2)) == spo(Turtle.parseDoc(ttl)))
   }
 
+  test("generated statements round-trip through rdf/xml and json-ld") {
+    // same deterministic corpus shape as the n-quads/trig round-trip
+    val rnd = new scala.util.Random(7)
+    def iri() = Turtle.Term(s"http://ex.org/r${rnd.nextInt(50)}", Rdf.IRI, "", "", None)
+    def bnode() = Turtle.Term(s"f1:-a${rnd.nextInt(20)}", Rdf.BNODE, "", "", None)
+    def literal() = rnd.nextInt(5) match {
+      case 0 => Turtle.Term("plain \"quote\\back\n\ttab <&>", Rdf.LIT, Rdf.XsdString, "", None)
+      case 1 => Turtle.Term("tagged", Rdf.LIT, Rdf.XsdString,
+        Seq("en", "fr", "en-US")(rnd.nextInt(3)), None)
+      case 2 =>
+        val v = rnd.nextInt(1000) - 500
+        Turtle.Term(v.toString, Rdf.LIT, Rdf.XsdInteger, "", Some(v.toDouble))
+      case 3 =>
+        val v = BigDecimal(rnd.nextInt(100000)) / 1000
+        Turtle.Term(v.setScale(6).bigDecimal.toPlainString, Rdf.LIT,
+          Rdf.XsdDecimal, "", Some(v.toDouble))
+      case _ => Turtle.Term("typed", Rdf.LIT, "http://ex.org/custom", "", None)
+    }
+    def subj() = if (rnd.nextBoolean()) iri() else bnode()
+    def obj() = rnd.nextInt(3) match {
+      case 0 => iri(); case 1 => bnode(); case _ => literal()
+    }
+    val stmts = (1 to 150).map(_ => Turtle.Stmt(subj(), iri(), obj()))
+    assert(RdfXml.parseDoc(RdfXml.emit(stmts)) == stmts,
+      "rdf/xml emit → parse is the identity")
+    val quads = stmts.map { st =>
+      (Seq("", "g:one", "http://graph.version.2")(rnd.nextInt(3)), st)
+    }
+    assert(JsonLd.parseDoc(JsonLd.emit(quads)).toSet == quads.toSet,
+      "json-ld emit → parse preserves the quad set incl. named graphs")
+  }
+
   test("spark readers: .rdf and .jsonld via Rio.readAuto") {
     val dir = Files.createTempDirectory("graft_riofmt")
     val xml = dir.resolve("data.rdf")
