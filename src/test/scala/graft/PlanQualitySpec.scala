@@ -1,0 +1,76 @@
+package graft
+
+/** Plan-shape contracts for the headline queries — the properties that
+  * decide whether a plan survives a 100× scale-up, asserted so a
+  * refactor cannot silently regress them:
+  *
+  *  - star joins broadcast their dimension sides (no sort-merge
+  *    shuffle of the fact table against a tiny dim, no cartesian);
+  *  - filters and projections reach the parquet scan (PushedFilters /
+  *    pruned ReadSchema), so the fact scan reads the columns the
+  *    query needs and nothing else;
+  *  - aggregations are partial (map-side combine) before the shuffle;
+  *  - the hot path stays inside whole-stage codegen.
+  */
+class PlanQualitySpec extends GraftSuite {
+
+  /** Final executed plan: collect() first so AQE finalizes and the
+    * string carries codegen span markers.
+    */
+  private def plan(name: String): String = {
+    val df = Queries.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q5 star join: dims broadcast, no cartesian, pushed fact filter") {
+    val p = plan("q5_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins (customer/nation/region dims):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product in:\n$p")
+    // shuffles (hash-partitioning exchanges, not broadcasts) should be
+    // at most the fact-side equi-join + the final groupBy — a dim
+    // reaching a shuffle means a broadcast was lost
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"unexpected shuffle count (dims no longer broadcast?):\n$p")
+  }
+
+  test("q1 agg: shipdate filter pushed to parquet, partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters") &&
+      p.replaceAll("(?s).*PushedFilters", "").takeWhile(_ != ']')
+        .contains("l_shipdate"),
+      s"l_shipdate not pushed to the scan:\n$p")
+    // partial + final HashAggregate pair = map-side combine before the
+    // exchange; a single aggregate would shuffle raw rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen stage
+    // in the final-plan string form
+    assert(p.contains("WholeStageCodegen") ||
+      """\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined,
+      s"hot path not codegen'd:\n$p")
+  }
+
+  test("q1 agg: scan reads only the columns the query needs") {
+    val p = plan("q1_agg")
+    val readSchema = p.replaceAll("(?s).*ReadSchema: ", "").takeWhile(_ != '>')
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"),
+      s"needed columns missing from scan:\n$readSchema")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_suppkey"),
+      s"column pruning lost — scan reads unused columns:\n$readSchema")
+  }
+
+  test("semi/anti joins stay semi/anti at the physical level") {
+    val semi = plan("q_semi_join")
+    assert(semi.contains("LeftSemi"), s"semi join lowered to something else:\n$semi")
+    val anti = plan("q_anti_join")
+    assert(anti.contains("LeftAnti"), s"anti join lowered to something else:\n$anti")
+  }
+
+  test("brute-force top-k: one corpus scan, no shuffle join") {
+    val p = plan("s_bruteforce_topk")
+    assert(!p.contains("SortMergeJoin"),
+      s"query set must broadcast against the corpus scan, not shuffle:\n$p")
+  }
+}
