@@ -259,7 +259,9 @@ object Dedup {
       .filter(col("df") > 1)
     // rank each doc's surviving shingles rarest-first and keep only the
     // prefix — dropping df=1 shingles first only moves shared shingles
-    // EARLIER in the order, so the prefix property still holds
+    // EARLIER in the order, so the prefix property still holds.
+    // (A groupBy + array_sort/slice variant was measured at the same
+    // wall time — the window is not this gate's bottleneck.)
     val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
     val ranked = ex.join(docFreq, "sh_hash")
       .withColumn("rk", row_number().over(
