@@ -261,6 +261,27 @@ object Queries {
              count(*) AS n, round(sum(value),2) AS sum_value
       FROM events GROUP BY 1, 2""")),
 
+    // hopping (sliding) windows: 1-hour windows every 30 minutes, so
+    // each event lands in exactly two windows — Spark's window() with a
+    // slide; the oracle mirrors it as two epoch-aligned 30-min
+    // bucketings unioned (start s covers ts iff s <= ts < s+1h)
+    Q("w_sliding_window", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes")
+          .getField("start").as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value")),
+      Some("""
+      WITH b AS (
+        SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS s1,
+               event_type, value
+        FROM events),
+      w AS (
+        SELECT s1 AS win_start, event_type, value FROM b
+        UNION ALL
+        SELECT s1 - INTERVAL 30 MINUTE, event_type, value FROM b)
+      SELECT win_start, event_type, count(*) AS n, round(sum(value),2) AS sum_value
+      FROM w GROUP BY 1, 2""")),
+
     // ordered 3-step conversion funnel (view → click after it →
     // purchase after that): stage k joins only stage k-1 survivors, so
     // each step SHRINKS the keyed shuffle — no per-user event
@@ -425,6 +446,36 @@ object Queries {
                   WHEN quality < 0.5 THEN 'low_quality'
                   ELSE 'keep' END AS verdict
       FROM sc""")),
+
+    // deterministic mixture sampling: per-source keep rates (derived
+    // here from the source index, 0.25-1.0) applied by hashing doc_id
+    // — the training-mixture primitive: map-only, no RNG state, rerun
+    // keeps exactly the same documents
+    Q("t_sample_mixture", (s, dir) => {
+      val rate = (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1) * lit(0.25)
+      t(s, dir, "documents")
+        .where(TextAnalysis.sampleMixture(col("doc_id"), rate))
+        .select(col("doc_id"), col("source"), round(rate, 2).as("rate"))
+    }, Some(s"""
+      SELECT doc_id, source,
+             round(((CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1) * 0.25, 2) AS rate
+      FROM documents
+      WHERE ${duckPh("CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007 % 1000 <
+            CAST((((CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1) * 0.25) * 1000 AS BIGINT)""")),
+
+    // sequence packing: fixed-token-budget bin of each doc's starting
+    // offset in deterministic doc_id order — a global ordered cumsum,
+    // run as the two-pass distributed prefix sum (range partition →
+    // per-partition totals → broadcast offsets → map-only running sum)
+    Q("t_pack_bins", (s, dir) =>
+      TextAnalysis.packBins(t(s, dir, "documents"), 2048),
+      Some("""
+      WITH tk AS (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n FROM documents),
+      c AS (SELECT doc_id, n,
+              coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM tk)
+      SELECT doc_id, n AS n_tokens, (cb // 2048)::BIGINT AS bin FROM c""")),
 
     // repetition ratio (most-frequent-token share) — the standard
     // boilerplate/spam signal in corpus quality filtering; computed by

@@ -112,4 +112,65 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Deterministic mixture sampling: keep a document iff its hash
+    * bucket (0–999) is below `rate·1000`, with the per-source keep
+    * rate in `rate`. The training-data mixture-weights primitive:
+    * map-only (no shuffle, no RNG state), reproducible across engines
+    * and across reruns — re-running the pipeline keeps exactly the
+    * same documents, which is what makes ablations comparable; raising
+    * a rate only ADDS documents (nested samples). Rates are per-SOURCE
+    * so corpus mixture is tuned without touching the data.
+    *
+    * The raw polynomial hash of a short key is near-linear in its last
+    * character (consecutive numeric ids cluster into a handful of
+    * buckets), so a Knuth multiplicative finalizer scrambles it before
+    * bucketing — the constant fits the oracle's BIGINT arithmetic
+    * (max product ~2.7e18 < 2^63).
+    */
+  def sampleMixture(docId: Column, rate: Column): Column =
+    polyHash(docId.cast("string")) * 2654435761L % 1000000007L % 1000 <
+      (rate * 1000).cast("long")
+
+  /** Sequence-packing bin assignment: documents in deterministic
+    * `doc_id` order are laid end to end and each takes the bin of its
+    * starting token offset (`floor(tokens_before / capacity)`) — the
+    * batch-construction step that turns a filtered corpus into
+    * fixed-token-budget training bins.
+    *
+    * A global ordered cumulative sum is the one aggregation a single
+    * window cannot do at scale (no partition key → one reducer), so it
+    * runs as the classic TWO-PASS DISTRIBUTED PREFIX SUM: range-
+    * partition by doc_id and freeze that layout (localCheckpoint, so
+    * both passes read the same partitioning), (1) one tiny job
+    * collects per-partition token totals (one row per partition),
+    * (2) their exclusive prefix becomes a broadcast offset array and a
+    * map-only pass adds each partition's running sum to its offset.
+    * Work is O(n/P) per task; the driver holds P longs, never data.
+    */
+  def packBins(docs: org.apache.spark.sql.DataFrame, capacity: Long = 2048): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .localCheckpoint(true)
+    val totals = parts.groupBy(spark_partition_id().as("pid"))
+      .agg(sum("n_tokens").as("tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = parts.rdd.getNumPartitions
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    parts.as[(Long, Long)].mapPartitions { it =>
+      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (id, n) =>
+        val bin = cum / capacity
+        cum += n
+        (id, n, bin)
+      }
+    }.toDF("doc_id", "n_tokens", "bin")
+  }
 }

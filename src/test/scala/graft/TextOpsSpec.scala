@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextAnalysis
+
+/** Unit contracts for the mixture-sampling and sequence-packing ops
+  * (their oracle gates check end-to-end equality; these pin the
+  * distributed mechanics).
+  */
+class TextOpsSpec extends GraftSuite {
+
+  test("packBins: distributed prefix sum matches the closed form") {
+    import spark.implicits._
+    // 10 docs x known token counts, forced through several range
+    // partitions so the per-partition offsets actually matter
+    val docs = (0L until 10L).map(i => (i, Seq.fill(3 + (i % 4).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(5)
+    val out = TextAnalysis.packBins(docs, capacity = 7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // token counts: 3,4,5,6,3,4,5,6,3,4 — running starts 0,3,7,12,18,21,25,30,36,39
+    val counts = (0L until 10L).map(i => 3 + (i % 4))
+    val starts = counts.scanLeft(0L)(_ + _).init
+    val expect = (0L until 10L).map(i => (i, counts(i.toInt), starts(i.toInt) / 7))
+    assert(out.toSeq == expect)
+  }
+
+  test("packBins: bins are contiguous and capacity-dense") {
+    val out = TextAnalysis.packBins(
+      graft.core.Tables(spark, sf, "documents"), capacity = 512)
+    val bins = out.groupBy("bin").agg(sum("n_tokens").as("tot"))
+      .orderBy("bin").collect()
+    val ids = bins.map(_.getLong(0))
+    assert(ids.toSeq == ids.indices.map(_.toLong).toSeq, "bin ids contiguous from 0")
+    // every bin except the last holds >= capacity of STARTED tokens
+    assert(bins.dropRight(1).forall(_.getLong(1) >= 512 - 511),
+      "no empty interior bins")
+  }
+
+  test("sampleMixture: deterministic and rate-monotone") {
+    import spark.implicits._
+    val ids = (0L until 1000L).toDF("doc_id")
+    def kept(rate: Double): Set[Long] =
+      ids.where(TextAnalysis.sampleMixture(col("doc_id"), lit(rate)))
+        .collect().map(_.getLong(0)).toSet
+    val half = kept(0.5)
+    assert(kept(0.5) == half, "same rate twice = same sample")
+    assert(kept(0.25).subsetOf(half) && half.subsetOf(kept(0.75)),
+      "raising the rate only ADDS documents (nested samples)")
+    assert(math.abs(half.size - 500) < 100, s"~half kept, got ${half.size}")
+  }
+}
