@@ -771,6 +771,25 @@ object Queries {
       SELECT vec_id, i-1 AS pos, round(embedding[i]::DOUBLE/nrm, 6) AS nval
       FROM ex""")),
 
+    // matryoshka truncation: keep the first 16 of 64 dims and
+    // renormalize to unit length over the kept prefix — the
+    // MRL-embedding storage/recall trade, map-only like s_normalize
+    Q("s_mrl_truncate", (s, dir) => {
+      val k = 16
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, k).as("emb"))
+      e.select(col("vec_id"), Similarity.l2Norm(col("emb")).as("nrm"),
+          posexplode(col("emb")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          round(col("col").cast("double") / col("nrm"), 6).as("tval"))
+    }, Some(s"""
+      WITH tr AS (SELECT vec_id, embedding[1:16] AS emb FROM embeddings),
+      n AS (SELECT vec_id, emb, sqrt(${duckDot("emb", "emb")}) AS nrm FROM tr),
+      ex AS (SELECT vec_id, nrm, emb,
+        unnest(range(1, len(emb)+1)) AS i FROM n)
+      SELECT vec_id, i-1 AS pos, round(emb[i]::DOUBLE/nrm, 6) AS tval
+      FROM ex""")),
+
     // symmetric int8 quantization (round(x * 127/max|x|)) — the
     // standard 4x shrink for shipping embeddings; map-only
     Q("s_quantize_int8", (s, dir) => {
