@@ -2,9 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 object ExplainAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = graft.core.LocalIo(SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     for (name <- Seq("q5_multiway_join", "q1_agg", "r_bgp_join", "q_asof_join", "d_prefix_dup", "q_kmv_distinct", "w_funnel", "s_pq_ann")) {

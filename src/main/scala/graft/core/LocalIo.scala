@@ -13,7 +13,11 @@ object LocalIo {
   val configs: Seq[(String, String)] = Seq(
     "spark.hadoop.fs.file.impl" -> "graft.hadoop.BareLocalFileSystem",
     "spark.sql.streaming.checkpointFileManagerClass" ->
-      "graft.streaming.NioCheckpointFileManager")
+      "graft.streaming.NioCheckpointFileManager",
+    // Every graft session reads the TIMESTAMP_NTZ event data under the
+    // UTC invariant core.Tables documents — pin it here so diagnostic
+    // mains can't drift from Verify/Bench/tests on a non-UTC host.
+    "spark.sql.session.timeZone" -> "UTC")
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     configs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }

@@ -44,6 +44,25 @@ object Rdf {
   val BNODE = 1
   val LIT = 2
 
+  /** Harness-wide compacted namespace table (the four vocabularies the
+    * store keeps in `prefix:local` form). Serializers that must emit
+    * absolute IRIs ([[expandIri]], RdfXml's qname splitter) re-expand
+    * through this one table so the mapping can never drift.
+    */
+  val wellKnownNs: Seq[(String, String)] = Seq(
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#" -> "rdf:",
+    "http://www.w3.org/2000/01/rdf-schema#" -> "rdfs:",
+    "http://www.w3.org/2002/07/owl#" -> "owl:",
+    "http://www.w3.org/2001/XMLSchema#" -> "xsd:")
+
+  /** Re-expand a harness-compacted IRI (`xsd:integer`) to its absolute
+    * form; absolute IRIs pass through unchanged.
+    */
+  def expandIri(iri: String): String =
+    wellKnownNs.collectFirst {
+      case (ns, p) if iri.startsWith(p) => ns + iri.substring(p.length)
+    }.getOrElse(iri)
+
   val XsdString = "xsd:string"
   val XsdDecimal = "xsd:decimal"
   val XsdInteger = "xsd:integer"

@@ -46,11 +46,7 @@ object RdfXml {
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   private val XmlNs = "http://www.w3.org/XML/1998/namespace"
 
-  private val wellKnown = Seq(
-    RdfNs -> "rdf:",
-    "http://www.w3.org/2000/01/rdf-schema#" -> "rdfs:",
-    "http://www.w3.org/2002/07/owl#" -> "owl:",
-    "http://www.w3.org/2001/XMLSchema#" -> "xsd:")
+  private val wellKnown = Rdf.wellKnownNs
 
   private def compact(iri: String): String =
     wellKnown.collectFirst {

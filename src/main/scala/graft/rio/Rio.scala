@@ -7,9 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entry points can never drift. Dispatch is PER PATH (a mixed-format
   * list parses each file with its own format), by extension:
   * `.nt`/`.nq` line formats, `.trig` graph blocks, `.rdf`/`.owl`/
-  * `.xml` RDF/XML, `.jsonld`/`.json` JSON-LD, Turtle otherwise —
-  * the same extension table RDF4J's `Rio.getParserFormatForFileName`
-  * routes by in the reference's delegated stack.
+  * `.xml` RDF/XML, `.jsonld` JSON-LD, Turtle otherwise — the same
+  * extension table RDF4J's `Rio.getParserFormatForFileName` routes by
+  * in the reference's delegated stack (which likewise maps only
+  * `.jsonld`, not generic `.json`, to JSON-LD).
   */
 object Rio {
 
@@ -29,7 +30,10 @@ object Rio {
     else if (lower.endsWith(".trig")) TrigFmt
     else if (lower.endsWith(".rdf") || lower.endsWith(".owl") ||
       lower.endsWith(".xml")) XmlFmt
-    else if (lower.endsWith(".jsonld") || lower.endsWith(".json")) JsonLdFmt
+    else if (lower.endsWith(".jsonld")) JsonLdFmt
+    else if (lower.endsWith(".json")) throw new IllegalArgumentException(
+      s"rio: no RDF format registered for '$p' — generic .json is not " +
+        "JSON-LD; rename to .jsonld if the content is JSON-LD")
     else TurtleFmt
   }
 

@@ -16,7 +16,8 @@ import graft.rdf.Rdf
   *
   * Per spec the two formats differ in more than the delimiter:
   *  - CSV is LOSSY: every term is its plain lexical form (no quoting
-  *    of IRIs, no datatype/lang), RFC-4180 quoting (fields containing
+  *    of IRIs, no datatype/lang — but bnodes keep their `_:` marker
+  *    per spec), RFC-4180 quoting (fields containing
   *    `"` `,` CR or LF are double-quoted, inner quotes doubled), CRLF
   *    row ends, unbound → empty field.
   *  - TSV is LOSSLESS: terms are serialized like Turtle — IRIs in
@@ -33,13 +34,15 @@ object SparqlCsvTsv {
 
   private def tsvTerm(lex: String, kind: Int, dt: String, lang: String): String =
     kind match {
-      case Rdf.IRI => s"<$lex>"
+      // external consumers need absolute IRIs — re-expand the
+      // harness-compacted forms (xsd:integer → full XMLSchema IRI)
+      case Rdf.IRI => s"<${Rdf.expandIri(lex)}>"
       case Rdf.BNODE => s"_:$lex"
       case _ =>
         val quoted = "\"" + lex.replace("\\", "\\\\").replace("\"", "\\\"")
           .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
         if (lang.nonEmpty) s"$quoted@$lang"
-        else if (dt.nonEmpty && dt != Rdf.XsdString) s"$quoted^^<$dt>"
+        else if (dt.nonEmpty && dt != Rdf.XsdString) s"$quoted^^<${Rdf.expandIri(dt)}>"
         else quoted
     }
 
@@ -55,7 +58,14 @@ object SparqlCsvTsv {
       var i = 0
       while (i < vars.length) {
         if (i > 0) out.append(",")
-        if (!r.isNullAt(i)) out.append(csvField(r.getStruct(i).getString(0)))
+        if (!r.isNullAt(i)) {
+          val t = r.getStruct(i)
+          // per spec bnodes keep the _: marker even in lossy CSV, so a
+          // bnode label stays distinguishable from an equal plain literal
+          val lex = if (t.getInt(1) == Rdf.BNODE) "_:" + t.getString(0)
+            else t.getString(0)
+          out.append(csvField(lex))
+        }
         i += 1
       }
       out.append("\r\n")

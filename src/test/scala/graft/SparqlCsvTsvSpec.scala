@@ -37,7 +37,7 @@ class SparqlCsvTsvSpec extends GraftSuite {
     assert(out ==
       "x,y\r\n" +
         "http://ex.org/a,\"plain, with comma\"\r\n" +
-        "b1,30\r\n" +
+        "_:b1,30\r\n" +
         "http://ex.org/c,hallo\r\n" +
         "http://ex.org/d,\r\n")
   }
@@ -47,7 +47,7 @@ class SparqlCsvTsvSpec extends GraftSuite {
     assert(out ==
       "?x\t?y\n" +
         "<http://ex.org/a>\t\"plain, with comma\"\n" +
-        "_:b1\t\"30\"^^<xsd:integer>\n" +
+        "_:b1\t\"30\"^^<http://www.w3.org/2001/XMLSchema#integer>\n" +
         "<http://ex.org/c>\t\"hallo\"@de\n")
   }
 
