@@ -74,7 +74,8 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
     */
   def queryJson(text: String): String = {
     val parsed = graft.sparql.SparqlParser.parse(text)
-    val c = new graft.sparql.Compiler(spark, store.snapshot())
+    val c = new graft.sparql.Compiler(spark, store.snapshot(),
+      fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed)
     if (parsed.isAsk)
       SparqlJson.ask(c.ask(parsed.op).head().getString(0) == "true")
     else (parsed.construct, parsed.describe) match {

@@ -47,6 +47,39 @@ object SparqlQueries {
   private def sq(text: String): (SparkSession, String) => DataFrame =
     (s, dir) => Sparql.query(s, quads(s, dir), text, stats(s, dir))
 
+  /** Versioned-graph view for the FROM / FROM NAMED gates: the base
+    * quads plus `g:region_v2`, a NEW VERSION of the region graph — a
+    * full copy of `g:region` plus one delta triple — the reference's
+    * versioned-graph materialization shape
+    * (`GraphDBSystemAdapter.java:318`: version N+1 repeats version N's
+    * statements plus the changeset). Querying "version v2 merged with
+    * v1" via FROM is exactly where the §13.2 RDF-merge dedup becomes
+    * observable.
+    */
+  private def versionedQuads(s: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.df(s, dir, "quads_versioned") {
+      import org.apache.spark.sql.functions._
+      val q = quads(s, dir)
+      val v2 = q.filter(col("g") === "g:region").withColumn("g", lit("g:region_v2"))
+      val delta = s.range(1).select(
+        lit("g:region_v2").as("g"), Rdf.iri(lit("reg:99")).as("s"),
+        Rdf.iri(lit(":name")).as("p"), Rdf.strLit(lit("ATLANTIS")).as("o"))
+      q.unionAll(v2).unionAll(delta)
+    }
+
+  /** DuckDB mirror of [[versionedQuads]] as a CTE over `quads`. */
+  private val vqCte = """
+      vq AS (
+        SELECT * FROM quads
+        UNION ALL
+        SELECT 'g:region_v2' AS g, s, p, o, okind, onum FROM quads
+        WHERE g='g:region'
+        UNION ALL
+        SELECT 'g:region_v2', 'reg:99', ':name', 'ATLANTIS', 2, NULL::DOUBLE)"""
+
+  private def sqv(text: String): (SparkSession, String) => DataFrame =
+    (s, dir) => Sparql.query(s, versionedQuads(s, dir), text, stats(s, dir))
+
   /** query over the OWL-Horst-materialized dataset (explicit ∪ inferred) */
   private def sqInf(text: String): (SparkSession, String) => DataFrame =
     (s, dir) => Sparql.query(s, materialized(s, dir), text, stats(s, dir))
@@ -489,6 +522,32 @@ object SparqlQueries {
       Some(TpchRdf.withQuads("""
       SELECT DISTINCT nm.o AS rname
       FROM quads rg JOIN quads nm ON nm.p=':name' AND nm.s=rg.o
-      WHERE rg.p=':region'""")))
+      WHERE rg.p=':region'"""))),
+
+    // ---- dataset clauses (§13.2) over the versioned-graph view ----
+
+    // FROM v1 FROM v2: default graph = RDF MERGE of the two region
+    // versions — the five v1 triple-pairs repeated in v2 appear ONCE
+    // (n=2 per region, not 4), plus the v2-only delta (n=1). A
+    // union-all (non-merge) implementation is observably wrong.
+    Q("r_from_graph", sqv("""
+      SELECT ?s (COUNT(*) AS ?n) FROM g:region FROM g:region_v2
+      WHERE { ?s ?p ?o } GROUP BY ?s"""),
+      Some(TpchRdf.withQuadsAnd(vqCte, s"""
+      SELECT s, ${canonInt("count(*)")} AS n
+      FROM (SELECT DISTINCT s, p, o FROM vq
+            WHERE g IN ('g:region','g:region_v2')) m
+      GROUP BY s"""))),
+
+    // FROM NAMED restricts the graphs GRAPH ?g ranges over: only the
+    // two listed graphs answer — customer/supplier/region names (and
+    // every other graph) are excluded even though they carry :name.
+    Q("r_from_named", sqv("""
+      SELECT ?g (COUNT(*) AS ?n) FROM NAMED g:nation FROM NAMED g:region_v2
+      WHERE { GRAPH ?g { ?s :name ?nm } } GROUP BY ?g"""),
+      Some(TpchRdf.withQuadsAnd(vqCte, s"""
+      SELECT g, ${canonInt("count(*)")} AS n FROM vq
+      WHERE g IN ('g:nation','g:region_v2') AND p=':name'
+      GROUP BY g""")))
   )
 }

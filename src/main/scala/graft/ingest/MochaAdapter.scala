@@ -191,7 +191,8 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
       val json =
         try {
           val parsed = SparqlParser.parse(queryString)
-          val c = new graft.sparql.Compiler(spark, store.snapshot())
+          val c = new graft.sparql.Compiler(spark, store.snapshot(),
+            fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed)
           if (parsed.isAsk)
             SparqlJson.ask(c.ask(parsed.op).head().getString(0) == "true")
           else (parsed.construct, parsed.describe) match {

@@ -27,8 +27,37 @@ import Algebra._
   * declarative so AQE can still pick broadcast sides at runtime.
   */
 final class Compiler(spark: SparkSession, quads: DataFrame,
-    stats: Map[String, Long] = Map.empty) {
+    stats: Map[String, Long] = Map.empty,
+    fromGraphs: Seq[String] = Nil, fromNamed: Seq[String] = Nil) {
   import Rdf.{IRI, LIT, BNODE}
+
+  // ---- dataset clauses (SPARQL 1.1 §13.2) ---------------------------
+  // No clauses → GraphDB's default dataset: the default graph is the
+  // union of all named graphs and GRAPH ranges over all of them. With
+  // clauses, the dataset is EXACTLY what the clauses list: default
+  // graph = RDF merge of `fromGraphs` (a set of triples — a triple
+  // present in several listed graphs, the versioned-graph overlap case
+  // of `GraphDBSystemAdapter.java:318`, appears once), named graphs =
+  // `fromNamed` only. At scale the g filter is partition pruning over
+  // the g-partitioned store; the merge dedup shuffles only the
+  // selected graphs and only when more than one graph is listed.
+  private val explicitDataset = fromGraphs.nonEmpty || fromNamed.nonEmpty
+
+  private val defaultQuads: DataFrame =
+    if (!explicitDataset) quads
+    else if (fromGraphs.isEmpty) quads.limit(0) // FROM NAMED only: empty default graph
+    else {
+      val sel = quads.filter(col("g").isin(fromGraphs.distinct: _*))
+      if (fromGraphs.distinct.sizeIs > 1)
+        sel.select(col("s"), col("p"), col("o")).dropDuplicates()
+          .select(lit(fromGraphs.head).as("g"), col("s"), col("p"), col("o"))
+      else sel
+    }
+
+  private val namedQuads: DataFrame =
+    if (!explicitDataset) quads
+    else if (fromNamed.isEmpty) quads.limit(0) // FROM only: no named graphs
+    else quads.filter(col("g").isin(fromNamed.distinct: _*))
 
   // SPARQL semantics are "error → unbound/false", i.e. legacy NULL-ing
   // casts and arithmetic, not ANSI exceptions (Spark 4 defaults to ANSI).
@@ -108,7 +137,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         .getOrElse(spark.range(0).select(col("id").cast("string").as("target")))
     }
     val t = broadcast(targetDf)
-    quads
+    defaultQuads // DESCRIBE reads the dataset's default graph
       .join(t, col("s")("lex") === col("target") || col("o")("lex") === col("target"))
       .select(col("s")("lex").as("s"), col("p")("lex").as("p"), col("o")("lex").as("o"))
       .distinct()
@@ -359,10 +388,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
   private def scopedQuads(graph: Option[Node]): (DataFrame, Option[String]) =
     graph match {
-      case None => (quads, None) // default graph = union of named graphs
+      case None => (defaultQuads, None) // dataset default graph
       case Some(T(iriLex, _, _, _)) =>
-        (quads.filter(col("g") === iriLex), None)
-      case Some(V(gv)) => (quads, Some(gv))
+        (namedQuads.filter(col("g") === iriLex), None)
+      case Some(V(gv)) => (namedQuads, Some(gv))
     }
 
   /** Estimated pattern cardinality — the role of GraphDB's statistics

@@ -17,7 +17,7 @@ object Sparql {
   def query(spark: SparkSession, quads: DataFrame, text: String,
       stats: Map[String, Long] = Map.empty): DataFrame = {
     val parsed = SparqlParser.parse(text)
-    val c = new Compiler(spark, quads, stats)
+    val c = new Compiler(spark, quads, stats, parsed.fromGraphs, parsed.fromNamed)
     if (parsed.isAsk) c.ask(parsed.op)
     else (parsed.construct, parsed.describe) match {
       case (Some(template), _) => c.construct(c.compile(parsed.op), template)
@@ -29,6 +29,8 @@ object Sparql {
   /** Compile to term-struct solutions (engine-internal form). */
   def solutions(spark: SparkSession, quads: DataFrame, text: String): DataFrame = {
     val parsed = SparqlParser.parse(text)
-    new Compiler(spark, quads).compile(parsed.op)
+    new Compiler(spark, quads,
+      fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed)
+      .compile(parsed.op)
   }
 }

@@ -10,7 +10,8 @@ import Algebra._
   * UNION, MINUS, FILTER (incl. (NOT) EXISTS), BIND, VALUES, GRAPH,
   * property paths (`^ / | * + ?` and negated sets), sub-SELECT,
   * GROUP BY / HAVING / aggregates, ORDER BY / LIMIT / OFFSET,
-  * DISTINCT, and the §17 builtin/cast function set.
+  * DISTINCT, FROM / FROM NAMED dataset clauses (§13.2), and the §17
+  * builtin/cast function set.
   *
   * PREFIX declarations expand prefixed names by plain string
   * concatenation; the engine treats IRIs as opaque strings (term
@@ -113,6 +114,9 @@ object SparqlParser {
   final class P(tokens: Vector[Tok]) {
     var pos = 0
     var prefixes = Map.empty[String, String]
+    // dataset clauses (SPARQL 1.1 §13.2), filled by parseDatasetClauses
+    var dsFrom = Vector.empty[String]
+    var dsNamed = Vector.empty[String]
 
     def peek: Option[Tok] = if (pos < tokens.length) Some(tokens(pos)) else None
     def next(): Tok = {
@@ -145,10 +149,19 @@ object SparqlParser {
   /** Parsed query: algebra + form. `construct` carries the template
     * triples of a CONSTRUCT query (plain predicates, no paths);
     * `describe` the target IRIs/variables of a DESCRIBE query.
+    * `fromGraphs`/`fromNamed` are the §13.2 dataset clauses: when either
+    * is non-empty the query runs over an EXPLICIT dataset whose default
+    * graph is the RDF merge of `fromGraphs` and whose named graphs are
+    * exactly `fromNamed` — the reference accepts these through its
+    * generic SPARQL entry (`GraphDBSystemAdapter.java:246`) and its
+    * versioned `http://graph.version.N` layout (`:318`) makes "query
+    * version N" a FROM clause.
     */
   final case class Query(op: Op, isAsk: Boolean,
       construct: Option[Seq[TriplePat]] = None,
-      describe: Option[Seq[Node]] = None)
+      describe: Option[Seq[Node]] = None,
+      fromGraphs: Seq[String] = Nil,
+      fromNamed: Seq[String] = Nil)
 
   def parse(q: String): Query = {
     val p = new P(tokenize(q))
@@ -164,19 +177,23 @@ object SparqlParser {
       p.prefixes += (name -> iri)
     }
     if (p.eatWord("ASK")) {
+      parseDatasetClauses(p)
       p.eatWord("WHERE")
-      Query(parseGGP(p), isAsk = true)
+      Query(parseGGP(p), isAsk = true,
+        fromGraphs = p.dsFrom, fromNamed = p.dsNamed)
     } else if (p.eatWord("CONSTRUCT")) {
       p.expectPunct("{")
       val template = parseTriples(p)
       p.eatPunct(".")
       p.expectPunct("}")
+      parseDatasetClauses(p)
       p.eatWord("WHERE")
       var op = parseGGP(p)
       var limit = -1L
       if (p.eatWord("LIMIT")) limit = p.next().text.toLong
       if (limit >= 0) op = Slice(op, 0, limit)
-      Query(op, isAsk = false, construct = Some(template))
+      Query(op, isAsk = false, construct = Some(template),
+        fromGraphs = p.dsFrom, fromNamed = p.dsNamed)
     } else if (p.eatWord("DESCRIBE")) {
       var targets = Vector.empty[Node]
       var more = true
@@ -186,19 +203,37 @@ object SparqlParser {
         case Some(TPName(pn)) => p.next(); targets :+= T(p.expandPName(pn))
         case _ => more = false
       }
+      parseDatasetClauses(p)
       val op = if (p.peekWord("WHERE") || p.peekPunct("{")) {
         p.eatWord("WHERE"); parseGGP(p)
       } else Unit0
-      Query(op, isAsk = false, describe = Some(targets))
+      Query(op, isAsk = false, describe = Some(targets),
+        fromGraphs = p.dsFrom, fromNamed = p.dsNamed)
     } else if (p.peekWord("SELECT")) {
-      Query(parseSelect(p), isAsk = false)
+      Query(parseSelect(p, top = true), isAsk = false,
+        fromGraphs = p.dsFrom, fromNamed = p.dsNamed)
     } else throw ParseError("expected SELECT, ASK, CONSTRUCT or DESCRIBE",
       p.peek.map(_.text).getOrElse(""))
   }
 
+  /** `FROM <g>` / `FROM NAMED <g>` dataset clauses (§13.2), any number,
+    * stored on the parser state. Graph names may be IRIREFs or prefixed
+    * names (expanded like every other IRI position).
+    */
+  private def parseDatasetClauses(p: P): Unit =
+    while (p.eatWord("FROM")) {
+      val named = p.eatWord("NAMED")
+      val iri = p.next() match {
+        case TIri(i) => i
+        case TPName(pn) => p.expandPName(pn)
+        case t => throw ParseError("expected graph IRI in dataset clause", t.text)
+      }
+      if (named) p.dsNamed :+= iri else p.dsFrom :+= iri
+    }
+
   // ---- SELECT ---------------------------------------------------------
 
-  private def parseSelect(p: P): Op = {
+  private def parseSelect(p: P, top: Boolean = false): Op = {
     p.eatWord("SELECT")
     // REDUCED permits duplicate elimination (SPARQL §15.3.2); compiling
     // it as Distinct is both spec-compliant and the cheaper plan at
@@ -224,6 +259,14 @@ object SparqlParser {
         case _ => done = true
       }
     }
+    // dataset clauses sit between the select clause and WHERE; the
+    // grammar's SubSelect production has no DatasetClause, so reject
+    // them loudly in nested position instead of silently re-scoping
+    // the whole query's dataset
+    if (top) parseDatasetClauses(p)
+    else if (p.peekWord("FROM"))
+      throw ParseError("FROM/FROM NAMED is not allowed in a subquery",
+        p.peek.map(_.text).getOrElse(""))
     p.eatWord("WHERE")
     var op = parseGGP(p)
 

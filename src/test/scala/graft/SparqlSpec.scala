@@ -258,4 +258,53 @@ class SparqlSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("federated"))
   }
+
+  // ---- FROM / FROM NAMED dataset clauses (§13.2) ----
+
+  test("FROM merges the listed graphs into the default graph, deduped") {
+    // g:region listed twice: the merge is a SET union — each region
+    // contributes its 2 triples once, not twice
+    val regions = spark.read.parquet(s"$sf/region.parquet").count()
+    val rows = q("""
+      SELECT ?s (COUNT(*) AS ?n) FROM g:region FROM g:region
+      WHERE { ?s ?p ?o } GROUP BY ?s""")
+    assert(rows.length == regions)
+    assert(rows.forall(_.getString(1) == "2"))
+  }
+
+  test("FROM restricts the default graph: other graphs invisible") {
+    val rows = q("""SELECT ?s FROM g:region WHERE { ?s a :Customer }""")
+    assert(rows.isEmpty)
+  }
+
+  test("FROM NAMED only: default graph is empty, GRAPH restricted") {
+    // non-GRAPH pattern over the (empty) default graph → no rows
+    assert(q("""SELECT ?s FROM NAMED g:region WHERE { ?s ?p ?o }""").isEmpty)
+    // GRAPH ?g ranges over exactly the listed graphs
+    val gs = q("""
+      SELECT DISTINCT ?g FROM NAMED g:region FROM NAMED g:nation
+      WHERE { GRAPH ?g { ?s :name ?nm } }""").map(_.getString(0)).toSet
+    assert(gs == Set("g:region", "g:nation"))
+    // a constant GRAPH outside the named set matches nothing
+    assert(q("""
+      SELECT ?s FROM NAMED g:region
+      WHERE { GRAPH g:customer { ?s :name ?nm } }""").isEmpty)
+  }
+
+  test("FROM and FROM NAMED partition the dataset independently") {
+    val rows = q("""
+      SELECT ?rn ?nn FROM g:region FROM NAMED g:nation
+      WHERE { ?r :name ?rn . GRAPH ?g { ?n :name ?nn . ?n :region ?r } }""")
+    assert(rows.nonEmpty)
+    // region names resolve from the default graph, nation names from
+    // the named graph — both planes visible in one query
+    assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("FROM in a subquery is rejected loudly") {
+    val e = intercept[graft.sparql.SparqlParser.ParseError] {
+      q("""SELECT ?s WHERE { { SELECT ?s FROM g:region WHERE { ?s ?p ?o } } }""")
+    }
+    assert(e.getMessage.contains("subquery"))
+  }
 }
