@@ -673,14 +673,20 @@ object Queries {
       SELECT DISTINCT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3""")
     }),
 
-    // IVF coarse-quantized ANN: first-16-vectors centroids, nearest-cell
-    // assignment, queries probe their 2 nearest cells
+    // IVF coarse-quantized ANN: centroids = the 16 vectors with the
+    // lowest seed hash (order-independent uniform sample — see
+    // Similarity.seedHash), nearest-cell assignment, queries probe
+    // their 2 nearest cells
     Q("s_ivf_ann", (s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, 5)
     }, Some(s"""
       WITH cents AS (
-        SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+        SELECT cid, c_emb FROM (
+          SELECT row_number() OVER (
+            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
+            embedding AS c_emb
+          FROM embeddings) WHERE cid < 16),
       ca AS (
         SELECT e.vec_id, e.embedding, c.cid,
                ${duckCosine("e.embedding", "c.c_emb")} AS ccos
@@ -738,7 +744,12 @@ object Queries {
       // MATERIALIZED: DuckDB inlines plain CTEs per reference — the 8
       // argmin CTEs would re-evaluate the distance table 8x over
       Some(s"""
-      WITH cb AS MATERIALIZED (SELECT vec_id AS cid, embedding AS c FROM embeddings WHERE vec_id < 16),
+      WITH cb AS MATERIALIZED (
+        SELECT cid, c FROM (
+          SELECT row_number() OVER (
+            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
+            embedding AS c
+          FROM embeddings) WHERE cid < 16),
       enc0 AS MATERIALIZED (SELECT e.vec_id, cb.cid, $encDs FROM embeddings e, cb),
       $encArgmins,
       codes AS (SELECT * FROM e0 $codesJoin),

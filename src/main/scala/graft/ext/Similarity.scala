@@ -121,23 +121,40 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v), 6).as(s"proj$p")
     }
 
-  /** IVF-style ANN: a training-free coarse quantizer — the first
-    * `cells` corpus vectors are the cell centroids — assigns every
+  /** Order-independent seed rank: a Knuth multiplicative hash of the
+    * vector id (`(id * 2654435761) mod 4294967291`, golden-ratio
+    * multiplier, largest 32-bit prime modulus). Seeding quantizers
+    * from the N LOWEST hash values is a uniform pseudo-random sample
+    * of the corpus that does not depend on ingest order or id
+    * locality — at scale, `vec_id < N` would take every seed from one
+    * corner of a per-source id range and recall would collapse. The
+    * arithmetic stays inside int64 for any id below ~3.4e9 per shard
+    * and is portable to the DuckDB oracle verbatim (which has no
+    * xxhash64).
+    */
+  def seedHash(id: Column): Column = (id * lit(2654435761L)) % lit(4294967291L)
+
+  /** IVF-style ANN: a training-free coarse quantizer — the `cells`
+    * corpus vectors with the lowest [[seedHash]] are the cell
+    * centroids (an order-independent uniform sample) — assigns every
     * corpus vector to its nearest cell once (the cell id is a
     * partition/bucket column at store scale, so a probe is a
     * partition-pruned scan); each query scores only its `nprobe`
     * nearest cells. Deterministic end to end: cosine ties break on
-    * the lower id. Recall < 1 by design; [[bruteForceTopK]] is the
-    * ground truth it trades against.
+    * the lower cell index. Recall < 1 by design; [[bruteForceTopK]]
+    * is the ground truth it trades against.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 2): DataFrame = {
     // the quantizer is tiny and ships WITH THE PLAN: centroids are
     // collected once (same legitimacy class as the broadcast ontology)
     // and inlined as array literals, so cell assignment is a pure
-    // map-side expression — zero join, zero shuffle over the corpus
-    val cents: Array[Seq[Float]] = corpus.filter(col("vec_id") < cells)
-      .orderBy("vec_id").select("embedding").collect()
+    // map-side expression — zero join, zero shuffle over the corpus.
+    // orderBy+limit is a distributed TakeOrdered: the driver only ever
+    // holds the `cells` winners.
+    val cents: Array[Seq[Float]] = corpus
+      .orderBy(seedHash(col("vec_id")).asc, col("vec_id").asc).limit(cells)
+      .select("embedding").collect()
       .map(_.getSeq[Float](0))
     // (−cos, cid) structs sort best-first with the lower cid on ties
     def cellRanking(emb: Column): Column = array_sort(array(
@@ -168,9 +185,10 @@ object Similarity {
     * the memory-scale one — each corpus vector stores only
     * `subspaces` small codes (8 bytes here vs 256 bytes of floats).
     *
-    * Codebook = the first `codebookSize` corpus vectors' subvectors
-    * (deterministic, no trained state — same legitimacy class as the
-    * IVF centroids). It is collected once and inlined as literals, so
+    * Codebook = the subvectors of the `codebookSize` corpus vectors
+    * with the lowest [[seedHash]] (deterministic, order-independent,
+    * no trained state — same legitimacy class as the IVF centroids).
+    * It is collected once and inlined as literals, so
     * ENCODING is a pure map-side expression: per subspace, the
     * argmin-L2 codeword id (ties → lower id). SCORING (ADC) is one
     * scan of the code table against broadcast queries: the
@@ -186,8 +204,9 @@ object Similarity {
       System.err.println(f"[pq] $l: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       t0 = System.nanoTime()
     }
-    val cwords: Array[Seq[Float]] = corpus.filter(col("vec_id") < codebookSize)
-      .orderBy("vec_id").select("embedding").collect()
+    val cwords: Array[Seq[Float]] = corpus
+      .orderBy(seedHash(col("vec_id")).asc, col("vec_id").asc)
+      .limit(codebookSize).select("embedding").collect()
       .map(_.getSeq[Float](0))
     mark("codebook collect")
     val dims = cwords.head.length

@@ -23,6 +23,24 @@ class CosineSimSpec extends GraftSuite {
     assert(diff.isEmpty, "native and HOF cosine must agree exactly")
   }
 
+  test("IVF and PQ results are invariant under corpus row order") {
+    // the quantizer seeds are the N lowest seed-hash vectors — a set,
+    // not a prefix — so reversing (or otherwise permuting) the corpus
+    // row order must not change a single output row. The old
+    // `vec_id < N` seeding had this property only by luck of id
+    // assignment; at scale ingest order is clustered per source.
+    val e = Tables(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val permuted = e.orderBy(col("vec_id").desc).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    assert(rows(Similarity.ivfTopK(queries, e, 5)) ==
+      rows(Similarity.ivfTopK(queries, permuted, 5)))
+    assert(rows(Similarity.pqTopK(queries, e, 5)) ==
+      rows(Similarity.pqTopK(queries, permuted, 5)))
+    permuted.unpersist()
+  }
+
   test("self-similarity is 1, null on length mismatch") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
