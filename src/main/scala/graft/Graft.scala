@@ -72,18 +72,49 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
     * (streamed serialization), the ASK boolean envelope, and a
     * lexical-triple envelope for CONSTRUCT/DESCRIBE.
     */
-  def queryJson(text: String): String = {
+  def queryJson(text: String): String = queryResults(text, "json")
+
+  /** Serialize a query's results in any of the four W3C result
+    * formats — `"json"`, `"xml"`, `"csv"`, `"tsv"` (the writer family
+    * the reference's RDF4J stack serves, `GraphDBSystemAdapter.java:32`).
+    * SELECT works in all four; ASK has JSON/XML boolean envelopes;
+    * CONSTRUCT/DESCRIBE keep the JSON lexical-triple envelope (they
+    * produce RDF graphs, not solution tables — other formats fail
+    * loudly rather than emit a lossy imitation).
+    */
+  def queryResults(text: String, format: String): String = {
     val parsed = graft.sparql.SparqlParser.parse(text)
     val c = new graft.sparql.Compiler(spark, store.snapshot(),
       fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed)
-    if (parsed.isAsk)
-      SparqlJson.ask(c.ask(parsed.op).head().getString(0) == "true")
-    else (parsed.construct, parsed.describe) match {
-      case (None, None) => SparqlJson.select(c.compile(parsed.op))
-      case (Some(tmpl), _) =>
+    val fmt = format.toLowerCase
+    def unsupported(form: String): Nothing = throw new IllegalArgumentException(
+      s"$form results have no '$fmt' serialization (supported: json" +
+        (if (form == "SELECT") ", xml, csv, tsv)" else ", xml)"))
+    if (parsed.isAsk) {
+      val b = c.ask(parsed.op).head().getString(0) == "true"
+      fmt match {
+        case "json" => SparqlJson.ask(b)
+        case "xml" => graft.rio.SparqlXml.ask(b)
+        case _ => unsupported("ASK")
+      }
+    } else (parsed.construct, parsed.describe) match {
+      case (None, None) =>
+        val sol = c.compile(parsed.op)
+        fmt match {
+          case "json" => SparqlJson.select(sol)
+          case "xml" => graft.rio.SparqlXml.select(sol)
+          case "csv" => graft.rio.SparqlCsvTsv.csv(sol)
+          case "tsv" => graft.rio.SparqlCsvTsv.tsv(sol)
+          case _ => unsupported("SELECT")
+        }
+      case (Some(tmpl), _) if fmt == "json" =>
         SparqlJson.selectLexical(c.construct(c.compile(parsed.op), tmpl))
-      case (_, Some(targets)) =>
+      case (_, Some(targets)) if fmt == "json" =>
         SparqlJson.selectLexical(c.describe(c.compile(parsed.op), targets))
+      case _ => throw new IllegalArgumentException(
+        s"CONSTRUCT/DESCRIBE produce RDF graphs — only the json " +
+          "lexical-triple envelope is served; export triples via the " +
+          "DataFrame form instead")
     }
   }
 }
