@@ -88,6 +88,12 @@ object Algebra {
   final case class Slice(input: Op, offset: Long, limit: Long) extends Op
   /** empty group pattern `{}` — the unit solution */
   case object Unit0 extends Op
+  /** `SERVICE [SILENT] <iri> { … }` — evaluated against an endpoint
+    * from the in-process service registry ([[Sparql.registerService]]);
+    * unregistered endpoints fail fast (no HTTP transport), or yield
+    * the unit solution under SILENT per §18.8.
+    */
+  final case class Service(iri: String, inner: Op, silent: Boolean) extends Op
 
   /** Variables that can be UNBOUND (NULL) in the operator's output.
     * BGP-bound variables are always bound; unboundness enters through
@@ -124,6 +130,10 @@ object Algebra {
     case OrderBy(i, _) => maybeUnbound(i)
     case Slice(i, _, _) => maybeUnbound(i)
     case Unit0 => Set.empty
+    // SILENT failure degrades to the unit solution → every inner var
+    // may be unbound in the join above it
+    case Service(_, i, silent) =>
+      if (silent) inScope(i).toSet else maybeUnbound(i)
   }
 
   /** All variables an operator can bind (used for projection & joins). */
@@ -157,6 +167,7 @@ object Algebra {
       case OrderBy(i, _) => inScope(i)
       case Slice(i, _, _) => inScope(i)
       case Unit0 => Nil
+      case Service(_, i, _) => inScope(i)
     }
     vs.distinct
   }

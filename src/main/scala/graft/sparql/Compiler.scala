@@ -159,6 +159,20 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def comp(op: Op): DataFrame = op match {
     case Unit0 => spark.range(1).drop("id")
 
+    case Service(iri, inner, silent) =>
+      Sparql.serviceQuads(iri) match {
+        // the service block evaluates against the REGISTERED store's
+        // own dataset (fresh sub-compiler: no stats, no dataset
+        // clauses — those describe THIS query's dataset, not the
+        // endpoint's)
+        case Some(remote) => new Compiler(spark, remote).compile(inner)
+        case None if silent => comp(Unit0) // §18.8: SILENT failure = unit solution
+        case None => throw new UnsupportedOperationException(
+          s"SERVICE (federated query) endpoint <$iri> is not registered " +
+            "and this engine has no remote SPARQL endpoint transport; " +
+            "register an in-process store via Sparql.registerService")
+      }
+
     case Bgp(pats, graph) => compBgp(pats, graph)
 
     case Join(l, r) =>

@@ -11,6 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Sparql {
 
+  // ---- SERVICE endpoint registry ------------------------------------
+  // Federation without a transport: `SERVICE <iri> {…}` resolves the
+  // endpoint IRI against in-process stores registered here (algebra
+  // parity with GraphDB's RDF4J federation behind
+  // `GraphDBSystemAdapter.java:246`); unregistered IRIs fail fast in
+  // the compiler. Registration is process-wide, like a federation
+  // catalog.
+  private val services =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Register a quads DataFrame as the in-process SPARQL endpoint
+    * behind `iri`; subsequent `SERVICE <iri> { … }` blocks evaluate
+    * against it.
+    */
+  def registerService(iri: String, quads: DataFrame): Unit =
+    services.put(iri, quads)
+
+  def unregisterService(iri: String): Unit = services.remove(iri)
+
+  private[sparql] def serviceQuads(iri: String): Option[DataFrame] =
+    Option(services.get(iri))
+
   /** SELECT/ASK → result DataFrame with one STRING column per
     * projected variable (ASK: single column `ask`).
     */

@@ -406,12 +406,20 @@ object SparqlParser {
           conds.reduceOption((a, b) => ECall("&&", Seq(a, b))))
       } else if (p.eatWord("SERVICE")) {
         // GraphDB executes SERVICE federation through its HTTP client
-        // stack; a sandboxed Spark engine has no outbound endpoint to
-        // delegate to. Deliberate descope (README "Descoped") — a
-        // dedicated error beats "unrecognized input" mid-pattern.
-        throw new UnsupportedOperationException(
-          "SERVICE (federated query) is not supported: this engine has no " +
-            "remote SPARQL endpoint transport")
+        // stack; this engine has no outbound transport, so endpoints
+        // resolve against the in-process registry
+        // (Sparql.registerService) and anything else fails fast at
+        // compile time with a dedicated federation error.
+        val silent = p.eatWord("SILENT")
+        val target = p.next() match {
+          case TIri(i) => i
+          case TPName(pn) => p.expandPName(pn)
+          case TVar(_) => throw new UnsupportedOperationException(
+            "SERVICE (federated query) with a variable endpoint is not " +
+              "supported: endpoint discovery needs a remote transport")
+          case t => throw ParseError("expected SERVICE endpoint IRI", t.text)
+        }
+        add(Service(target, parseGGP(p), silent))
       } else if (p.eatWord("MINUS")) {
         current = Minus(current, parseGGP(p))
       } else if (p.eatWord("GRAPH")) {
@@ -473,6 +481,9 @@ object SparqlParser {
     case Group(i, k, a) => Group(setGraph(i, g), k, a)
     case Unit0 => Unit0
     case v: ValuesOp => v // inline data is graph-independent
+    // a SERVICE block evaluates against the REMOTE endpoint's dataset;
+    // the enclosing GRAPH restriction does not reach into it (§18.8)
+    case s: Service => s
     case other => throw new IllegalArgumentException(
       s"GRAPH over unsupported operator: ${other.getClass.getSimpleName}")
   }

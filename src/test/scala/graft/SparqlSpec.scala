@@ -259,6 +259,38 @@ class SparqlSpec extends GraftSuite {
     assert(e.getMessage.contains("federated"))
   }
 
+  test("SERVICE joins bindings from a registered in-process endpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // "remote" store: per-region population facts under a separate IRI
+    val remote = Seq(("reg:0", ":population", "1400"), ("reg:2", ":population", "750"))
+      .toDF("sl", "pl", "ol").select(
+        lit("urn:default").as("g"), graft.rdf.Rdf.iri(col("sl")).as("s"),
+        graft.rdf.Rdf.iri(col("pl")).as("p"),
+        graft.rdf.Rdf.strLit(col("ol")).as("o"))
+    graft.sparql.Sparql.registerService("reg:endpoint/geo", remote)
+    try {
+      val rows = q("""
+        SELECT ?rn ?pop WHERE {
+          ?r :name ?rn . ?r a :Region .
+          SERVICE <reg:endpoint/geo> { ?r :population ?pop } }""")
+      assert(rows.length == 2)
+      val byName = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(byName == Map("AFRICA" -> "1400", "ASIA" -> "750"))
+    } finally graft.sparql.Sparql.unregisterService("reg:endpoint/geo")
+  }
+
+  test("SERVICE SILENT on an unregistered endpoint is the unit solution") {
+    val rows = q("""
+      SELECT ?rn ?pop WHERE {
+        ?r :name ?rn . ?r a :Region .
+        SERVICE SILENT <urn:nowhere> { ?r :population ?pop } }""")
+    // unit solution joins without constraining: all regions, ?pop unbound
+    val regions = spark.read.parquet(s"$sf/region.parquet").count()
+    assert(rows.length == regions)
+    assert(rows.forall(_.isNullAt(1)))
+  }
+
   // ---- FROM / FROM NAMED dataset clauses (§13.2) ----
 
   test("FROM merges the listed graphs into the default graph, deduped") {
