@@ -64,9 +64,13 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
     */
   def materialize(): Unit = store.materializeInference()
 
-  /** SELECT/ASK/CONSTRUCT/DESCRIBE over the current snapshot. */
+  /** SELECT/ASK/CONSTRUCT/DESCRIBE over the current snapshot. A
+    * compacted store also serves its id-encoded sidecar, so simple
+    * BGPs join on 8-byte term ids and decode at the result edge.
+    */
   def query(text: String): DataFrame =
-    Sparql.query(spark, store.snapshot(), text)
+    Sparql.query(spark, store.snapshot(), text,
+      encoded = store.snapshotEncoded())
 
   /** W3C SPARQL 1.1 Results JSON for any query form: SELECT bindings
     * (streamed serialization), the ASK boolean envelope, and a
@@ -85,7 +89,8 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
   def queryResults(text: String, format: String): String = {
     val parsed = graft.sparql.SparqlParser.parse(text)
     val c = new graft.sparql.Compiler(spark, store.snapshot(),
-      fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed)
+      fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed,
+      encoded = store.snapshotEncoded())
     val fmt = format.toLowerCase
     def unsupported(form: String): Nothing = throw new IllegalArgumentException(
       s"$form results have no '$fmt' serialization (supported: json" +
@@ -108,9 +113,11 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
           case _ => unsupported("SELECT")
         }
       case (Some(tmpl), _) if fmt == "json" =>
-        SparqlJson.selectLexical(c.construct(c.compile(parsed.op), tmpl))
+        SparqlJson.selectLexical(c.construct(
+          c.compile(parsed.op, graft.sparql.Algebra.templateVars(tmpl)), tmpl))
       case (_, Some(targets)) if fmt == "json" =>
-        SparqlJson.selectLexical(c.describe(c.compile(parsed.op), targets))
+        SparqlJson.selectLexical(c.describe(c.compile(parsed.op,
+          targets.collect { case graft.sparql.Algebra.V(v) => v }.toSet), targets))
       case _ => throw new IllegalArgumentException(
         s"CONSTRUCT/DESCRIBE produce RDF graphs — only the json " +
           "lexical-triple envelope is served; export triples via the " +

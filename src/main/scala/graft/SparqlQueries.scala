@@ -35,6 +35,21 @@ object SparqlQueries {
       graft.infer.OwlHorst.materialize(s, quads(s, dir))
     }
 
+  /** Id-encoded view of a quads DataFrame (SURVEY §1.5 term
+    * dictionary, the query-hot-path wiring): encoded quads + the
+    * decode dictionary, built once per (session, dataset) and cached —
+    * in a deployment this is read from the compacted store layout
+    * ([[graft.ingest.QuadStore.snapshotEncoded]]), here derived from
+    * the same quads view the oracle sees.
+    */
+  private def encodedOf(s: SparkSession, dir: String, key: String,
+      q: => DataFrame): graft.core.EncodedQuads =
+    graft.core.EncodedQuads(
+      graft.core.DfCache.df(s, dir, s"${key}_encq")(
+        graft.core.TermDictionary.encode(q)),
+      graft.core.DfCache.df(s, dir, s"${key}_dict")(
+        graft.core.TermDictionary.build(q)))
+
   // per-predicate statement counts — collected once per dataset and
   // fed to the compiler's join-order estimator (the statistics role of
   // `repo-config.ttl:46`)
@@ -45,7 +60,8 @@ object SparqlQueries {
     }
 
   private def sq(text: String): (SparkSession, String) => DataFrame =
-    (s, dir) => Sparql.query(s, quads(s, dir), text, stats(s, dir))
+    (s, dir) => Sparql.query(s, quads(s, dir), text, stats(s, dir),
+      Some(encodedOf(s, dir, "quads", quads(s, dir))))
 
   /** Versioned-graph view for the FROM / FROM NAMED gates: the base
     * quads plus `g:region_v2`, a NEW VERSION of the region graph — a
@@ -78,11 +94,13 @@ object SparqlQueries {
         SELECT 'g:region_v2', 'reg:99', ':name', 'ATLANTIS', 2, NULL::DOUBLE)"""
 
   private def sqv(text: String): (SparkSession, String) => DataFrame =
-    (s, dir) => Sparql.query(s, versionedQuads(s, dir), text, stats(s, dir))
+    (s, dir) => Sparql.query(s, versionedQuads(s, dir), text, stats(s, dir),
+      Some(encodedOf(s, dir, "quads_versioned", versionedQuads(s, dir))))
 
   /** query over the OWL-Horst-materialized dataset (explicit ∪ inferred) */
   private def sqInf(text: String): (SparkSession, String) => DataFrame =
-    (s, dir) => Sparql.query(s, materialized(s, dir), text, stats(s, dir))
+    (s, dir) => Sparql.query(s, materialized(s, dir), text, stats(s, dir),
+      Some(encodedOf(s, dir, "owlhorst_mat", materialized(s, dir))))
 
   val all: Seq[Q] = Seq(
 

@@ -24,9 +24,28 @@ import org.apache.spark.sql.functions._
   * result edge via a dictionary join (predicate/graph dictionaries are
   * small → broadcast).
   */
+/** An id-encoded view of a quad dataset: `quads` is `(g, s_id, p_id,
+  * o_id)` (8-byte term ids, [[TermDictionary.encode]]) and `dict` is
+  * the `(id, term)` dictionary ([[TermDictionary.build]]). Handed to
+  * the SPARQL compiler so BGP joins shuffle longs and decode once at
+  * the solution edge.
+  */
+final case class EncodedQuads(quads: DataFrame, dict: DataFrame)
+
 object TermDictionary {
 
   def termId(t: Column): Column = xxhash64(t("lex"), t("kind"))
+
+  /** Driver-side term id of a constant `(lex, kind)` — the same
+    * xxhash64 the column form computes, evaluated eagerly so pattern
+    * constants become literal longs that push down to parquet min/max
+    * on the encoded columns.
+    */
+  def litTermId(lex: String, kind: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // seed 42L = the default the xxhash64 SQL function constructs with
+    XxHash64(Seq(Literal(lex), Literal(kind)), 42L).eval(null).asInstanceOf[Long]
+  }
 
   /** Distinct terms of the dataset with their ids: `(id, term)`. */
   def build(quads: DataFrame): DataFrame = {

@@ -192,15 +192,19 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
         try {
           val parsed = SparqlParser.parse(queryString)
           val c = new graft.sparql.Compiler(spark, store.snapshot(),
-            fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed)
+            fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed,
+            encoded = store.snapshotEncoded())
           if (parsed.isAsk)
             SparqlJson.ask(c.ask(parsed.op).head().getString(0) == "true")
           else (parsed.construct, parsed.describe) match {
             case (None, None) => SparqlJson.select(c.compile(parsed.op))
             case (Some(tmpl), _) => // graph form: lexical-triple envelope
-              SparqlJson.selectLexical(c.construct(c.compile(parsed.op), tmpl))
+              SparqlJson.selectLexical(c.construct(
+                c.compile(parsed.op, graft.sparql.Algebra.templateVars(tmpl)), tmpl))
             case (_, Some(targets)) =>
-              SparqlJson.selectLexical(c.describe(c.compile(parsed.op), targets))
+              SparqlJson.selectLexical(c.describe(c.compile(parsed.op,
+                targets.collect { case graft.sparql.Algebra.V(v) => v }.toSet),
+                targets))
           }
         } catch {
           case _: Throwable => SparqlJson.failurePlaceholder // ref `:251-258`

@@ -137,15 +137,48 @@ final class QuadStore(spark: SparkSession, dir: String) {
     val segs = committedSegments()
     if (segs.isEmpty) return
     val seg = s"seg-compact-${System.nanoTime()}"
-    snapshot()
+    val snap = snapshot()
+    snap
       .repartition(col("g"))
       .sortWithinPartitions(col("p")("lex"), col("s")("lex"))
       .write.partitionBy("g").mode("overwrite")
       .parquet(root.resolve(seg).toString)
+    // id-encoded sidecar (SURVEY §1.5, the entity-pool role of
+    // `repo-config.ttl:22-23`): quads as (g, s_id, p_id, o_id) longs —
+    // partitioned by g, sorted by (p_id, s_id) for the same
+    // context/POS pruning as the struct layout — plus the (id, term)
+    // decode dictionary. Queries over a compacted store join BGPs on
+    // these 8-byte ids and decode once at the solution edge
+    // (Compiler.compBgpEnc); appends after compaction invalidate the
+    // sidecar (snapshotEncoded returns None) until the next compact.
+    val compacted = spark.read.parquet(root.resolve(seg).toString)
+    graft.core.TermDictionary.encode(compacted)
+      .repartition(col("g"))
+      .sortWithinPartitions(col("p_id"), col("s_id"))
+      .write.partitionBy("g").mode("overwrite")
+      .parquet(root.resolve(s"$seg-enc").toString)
+    graft.core.TermDictionary.build(compacted)
+      .write.mode("overwrite").parquet(root.resolve(s"$seg-dict").toString)
     val tmp = root.resolve("_manifest.tmp")
     Files.writeString(tmp, seg)
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The id-encoded view of the CURRENT snapshot, if one is valid:
+    * present only when the manifest is exactly the compacted segment
+    * whose sidecar [[compact]] wrote (any later append/update makes
+    * the sidecar stale → None until the next compaction).
+    */
+  def snapshotEncoded(): Option[graft.core.EncodedQuads] = {
+    val segs = committedSegments()
+    if (segs.length != 1 || !segs.head.startsWith("seg-compact-")) return None
+    val enc = root.resolve(s"${segs.head}-enc")
+    val dict = root.resolve(s"${segs.head}-dict")
+    if (!Files.exists(enc) || !Files.exists(dict)) return None
+    Some(graft.core.EncodedQuads(
+      spark.read.parquet(enc.toString),
+      spark.read.parquet(dict.toString)))
   }
 
   /** Materialize OWL-Horst entailments INTO the store: run the

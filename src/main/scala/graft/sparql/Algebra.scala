@@ -136,6 +136,16 @@ object Algebra {
       if (silent) inScope(i).toSet else maybeUnbound(i)
   }
 
+  /** Variables a CONSTRUCT template consumes (late-materialization
+    * input: the compiler must decode these even though the op tree
+    * never references them).
+    */
+  def templateVars(template: Seq[TriplePat]): Set[String] =
+    template.flatMap { tp =>
+      Seq(tp.s, tp.o).collect { case V(v) => v } ++
+        (tp.p match { case PVar(v) => Seq(v); case _ => Nil })
+    }.toSet
+
   /** All variables an operator can bind (used for projection & joins). */
   def inScope(op: Op): Seq[String] = {
     def nodeVars(n: Node): Seq[String] = n match {

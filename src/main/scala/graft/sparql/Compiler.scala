@@ -28,7 +28,8 @@ import Algebra._
   */
 final class Compiler(spark: SparkSession, quads: DataFrame,
     stats: Map[String, Long] = Map.empty,
-    fromGraphs: Seq[String] = Nil, fromNamed: Seq[String] = Nil) {
+    fromGraphs: Seq[String] = Nil, fromNamed: Seq[String] = Nil,
+    encoded: Option[graft.core.EncodedQuads] = None) {
   import Rdf.{IRI, LIT, BNODE}
 
   // ---- dataset clauses (SPARQL 1.1 §13.2) ---------------------------
@@ -59,6 +60,27 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     else if (fromNamed.isEmpty) quads.limit(0) // FROM only: no named graphs
     else quads.filter(col("g").isin(fromNamed.distinct: _*))
 
+  // the same dataset scoping over the id-encoded table (when supplied):
+  // the two views MUST agree on what the default/named planes contain
+  private val defaultEnc: Option[DataFrame] = encoded.map { e =>
+    if (!explicitDataset) e.quads
+    else if (fromGraphs.isEmpty) e.quads.limit(0)
+    else {
+      val sel = e.quads.filter(col("g").isin(fromGraphs.distinct: _*))
+      if (fromGraphs.distinct.sizeIs > 1)
+        sel.select(col("s_id"), col("p_id"), col("o_id")).dropDuplicates()
+          .select(lit(fromGraphs.head).as("g"),
+            col("s_id"), col("p_id"), col("o_id"))
+      else sel
+    }
+  }
+
+  private val namedEnc: Option[DataFrame] = encoded.map { e =>
+    if (!explicitDataset) e.quads
+    else if (fromNamed.isEmpty) e.quads.limit(0)
+    else e.quads.filter(col("g").isin(fromNamed.distinct: _*))
+  }
+
   // SPARQL semantics are "error → unbound/false", i.e. legacy NULL-ing
   // casts and arithmetic, not ANSI exceptions (Spark 4 defaults to ANSI).
   spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -82,7 +104,62 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   // entry points
   // ------------------------------------------------------------------
 
-  def compile(op: Op): DataFrame = comp(op)
+  def compile(op: Op): DataFrame = compile(op, Set.empty)
+
+  /** Compile with extra externally-consumed variables (CONSTRUCT
+    * template vars, DESCRIBE targets) that the op tree itself does not
+    * reference — they must survive the encoded path's late
+    * materialization.
+    */
+  def compile(op: Op, extraNeeded: Set[String]): DataFrame = {
+    valueNeeded = neededVars(op, extraNeeded)
+    comp(op)
+  }
+
+  // ---- late materialization (encoded path) --------------------------
+  // A variable's TERM VALUE is needed only where something reads it:
+  // projection, expressions (filters/binds/order/agg args/group keys),
+  // or a join with a DIFFERENT leaf (solution joins above the BGP
+  // compare term structs). A var bound in exactly one BGP and never
+  // referenced — the `?p ?o` of a COUNT(*) pattern — never has to be
+  // decoded at all: its dictionary join would be pure wasted shuffle.
+  private var valueNeeded: Set[String] = Set.empty
+
+  private def neededVars(root: Op, extra: Set[String]): Set[String] = {
+    val leafCount = scala.collection.mutable.Map.empty[String, Int]
+    val referenced = scala.collection.mutable.Set.empty[String] ++ extra
+    def exprVars(e: Expr): Unit = e match {
+      case EVar(v) => referenced += v
+      case ECall(_, as) => as.foreach(exprVars)
+      case EExists(sub, _) => walk(sub)
+      case EAgg(_, arg, _, _) => arg.foreach(exprVars)
+      case _ => ()
+    }
+    def countLeaf(vars: Seq[String]): Unit =
+      vars.foreach(v => leafCount(v) = leafCount.getOrElse(v, 0) + 1)
+    def walk(op: Op): Unit = op match {
+      case b: Bgp => countLeaf(Algebra.inScope(b))
+      case ValuesOp(vars, _) => countLeaf(vars)
+      case Join(l, r) => walk(l); walk(r)
+      case LeftJoin(l, r, c) => walk(l); walk(r); c.foreach(exprVars)
+      case Union(l, r) => walk(l); walk(r)
+      case Minus(l, r) => walk(l); walk(r)
+      case Filter(c, i) => exprVars(c); walk(i)
+      case Extend(i, v, e) => exprVars(e); walk(i)
+      case Group(i, keys, aggs) =>
+        keys.foreach { case (v, eo) => referenced += v; eo.foreach(exprVars) }
+        aggs.foreach { case (_, a) => a.arg.foreach(exprVars) }
+        walk(i)
+      case Project(i, vars) => referenced ++= vars; walk(i)
+      case Distinct(i) => walk(i)
+      case OrderBy(i, keys) => keys.foreach(k => exprVars(k._1)); walk(i)
+      case Slice(i, _, _) => walk(i)
+      case Service(_, i, _) => walk(i)
+      case Unit0 => ()
+    }
+    walk(root)
+    referenced.toSet ++ leafCount.collect { case (v, n) if n > 1 => v }
+  }
 
   /** Result projection for the driver/oracle compare: one STRING column
     * per variable (the lexical form; numerics are canonical
@@ -145,6 +222,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
   /** ASK — boolean existence, single row `(ask: boolean lexical)`. */
   def ask(op: Op): DataFrame = {
+    valueNeeded = neededVars(op, Set.empty)
     val nonEmpty = !comp(op).isEmpty
     spark.range(1).select(lit(if (nonEmpty) "true" else "false").as("ask"))
   }
@@ -165,7 +243,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         // own dataset (fresh sub-compiler: no stats, no dataset
         // clauses — those describe THIS query's dataset, not the
         // endpoint's)
-        case Some(remote) => new Compiler(spark, remote).compile(inner)
+        case Some(remote) => new Compiler(spark, remote).compile(inner, valueNeeded)
         case None if silent => comp(Unit0) // §18.8: SILENT failure = unit solution
         case None => throw new UnsupportedOperationException(
           s"SERVICE (federated query) endpoint <$iri> is not registered " +
@@ -427,8 +505,126 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     base * sFac * oFac
   }
 
+  private def scopedEnc(graph: Option[Node]): Option[(DataFrame, Option[String])] =
+    graph match {
+      case None => defaultEnc.map((_, None))
+      case Some(T(iriLex, _, _, _)) =>
+        namedEnc.map(q => (q.filter(col("g") === iriLex), None))
+      case Some(V(gv)) => namedEnc.map((_, Some(gv)))
+    }
+
+  /** BGP over the id-encoded quad table (SURVEY §1.5/§7 hard-part (5),
+    * the entity-pool role of `repo-config.ttl:22-23`): every pattern
+    * relation carries 8-byte long ids, pattern constants are literal
+    * long filters (parquet min/max prunable), the intra-BGP joins
+    * shuffle longs instead of lexical term structs, and the solution
+    * decodes ONCE at the BGP edge via dictionary joins — onto which
+    * Catalyst pushes any later FILTER over the decoded term, i.e. range
+    * filters evaluate against the (small) dictionary side, the
+    * classical dictionary-RDF-store plan. Taken when an encoded view
+    * exists and every predicate is a plain link/var (property paths
+    * keep the struct machinery).
+    */
+  private def compBgpEnc(pats: Seq[TriplePat], scoped: DataFrame,
+      gVar: Option[String]): DataFrame = {
+    import graft.core.TermDictionary.litTermId
+    def encPattern(tp: TriplePat): DataFrame = {
+      var d = scoped
+      tp.p match {
+        case PLink(p) => d = d.filter(col("p_id") === lit(litTermId(p, IRI)))
+        case _ => ()
+      }
+      tp.s match {
+        case T(lx, k, _, _) => d = d.filter(col("s_id") === lit(litTermId(lx, k)))
+        case V(_) => ()
+      }
+      tp.o match {
+        case T(lx, k, _, _) => d = d.filter(col("o_id") === lit(litTermId(lx, k)))
+        case V(_) => ()
+      }
+      var cols = Seq.empty[Column]
+      (tp.s, tp.o) match {
+        case (V(x), V(y)) if x == y =>
+          d = d.filter(col("s_id") === col("o_id")); cols = Seq(col("s_id").as(x))
+        case (V(x), V(y)) => cols = Seq(col("s_id").as(x), col("o_id").as(y))
+        case (V(x), _) => cols = Seq(col("s_id").as(x))
+        case (_, V(y)) => cols = Seq(col("o_id").as(y))
+        case _ => cols = Seq(lit(1).as(freshName("c")))
+      }
+      tp.p match {
+        case PVar(pv) => cols = cols :+ col("p_id").as(pv)
+        case _ => ()
+      }
+      gVar.foreach(gv => cols = cols :+ col("g").as(gv))
+      d.select(cols: _*)
+    }
+    // BGP vars are never null → plain long equality, always hash-joinable
+    def idJoin(l: DataFrame, r: DataFrame): DataFrame = {
+      val shared = l.columns.intersect(r.columns).toIndexedSeq
+      if (shared.isEmpty) return l.crossJoin(r)
+      val renames = shared.map(v => v -> freshName(v)).toMap
+      val rr = shared.foldLeft(r) { (d, v) => d.withColumnRenamed(v, renames(v)) }
+      val cond = shared.map(v => l(v) === rr(renames(v))).reduce(_ && _)
+      val joined = l.join(rr, cond, "inner")
+      joined.select((l.columns.map(joined(_)) ++
+        r.columns.filterNot(shared.contains).map(joined(_))).toIndexedSeq: _*)
+    }
+    val rels = pats.map(tp => (tp, encPattern(tp)))
+    val remaining = scala.collection.mutable.ArrayBuffer(
+      rels.sortBy(r => estimate(r._1)): _*)
+    var acc = remaining.remove(0)._2
+    var accVars = acc.columns.toSet
+    while (remaining.nonEmpty) {
+      val idx = remaining.indexWhere(r => r._2.columns.exists(accVars.contains))
+      val pick = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
+      acc = idJoin(acc, pick._2)
+      accVars = acc.columns.toSet
+    }
+    // late materialization: vars whose value nothing consumes are
+    // dropped HERE, before the decode edge — their dictionary joins
+    // would be pure wasted shuffle (COUNT(*) over `?s ?p ?o` decodes
+    // nothing). Internal join-helper columns (`__*`) stay.
+    val dead = acc.columns.filter(c => !c.startsWith("__") && !valueNeeded(c))
+    val kept =
+      if (dead.length == acc.columns.length)
+        acc.select(lit(1).as(freshName("c"))) // keep multiplicity, no vars
+      else acc.drop(dead.toIndexedSeq: _*)
+    decodeSolutions(kept)
+  }
+
+  /** Result-edge decode: every long column is a term id → dictionary
+    * join back to its term struct; a string column is a raw graph name
+    * (GRAPH ?var) → IRI term; anything else passes through. Inner
+    * joins are safe — every id in a solution came out of the encoded
+    * table, so the dictionary resolves it by construction.
+    */
+  private def decodeSolutions(df: DataFrame): DataFrame = {
+    val dict = encoded.get.dict
+    var d = df
+    val outCols = df.schema.fields.map { f =>
+      f.dataType match {
+        case LongType =>
+          val idAlias = freshName("did")
+          val dd = dict.select(col("id").as(idAlias), col("term").as(freshName("dterm")))
+          val termCol = dd.columns(1)
+          d = d.join(dd, d(f.name) === dd(idAlias), "inner")
+          col(termCol).as(f.name)
+        case StringType => Rdf.iri(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    d.select(outCols.toIndexedSeq: _*)
+  }
+
   private def compBgp(pats: Seq[TriplePat], graph: Option[Node]): DataFrame = {
     if (pats.isEmpty) return comp(Unit0)
+    val simple = pats.forall(tp => tp.p match {
+      case PLink(_) | PVar(_) => true; case _ => false
+    })
+    if (simple) scopedEnc(graph) match {
+      case Some((encScoped, gVar)) => return compBgpEnc(pats, encScoped, gVar)
+      case None => ()
+    }
     val (scoped, gVar) = scopedQuads(graph)
     val rels = pats.map(tp => (tp, compPattern(tp, scoped, gVar)))
     // greedy ordering: smallest estimate first, then prefer shared-var joins

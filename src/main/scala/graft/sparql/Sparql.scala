@@ -34,16 +34,23 @@ object Sparql {
     Option(services.get(iri))
 
   /** SELECT/ASK → result DataFrame with one STRING column per
-    * projected variable (ASK: single column `ask`).
+    * projected variable (ASK: single column `ask`). Supplying an
+    * id-encoded view (`encoded`) routes simple BGPs through long-id
+    * joins with a result-edge dictionary decode.
     */
   def query(spark: SparkSession, quads: DataFrame, text: String,
-      stats: Map[String, Long] = Map.empty): DataFrame = {
+      stats: Map[String, Long] = Map.empty,
+      encoded: Option[graft.core.EncodedQuads] = None): DataFrame = {
     val parsed = SparqlParser.parse(text)
-    val c = new Compiler(spark, quads, stats, parsed.fromGraphs, parsed.fromNamed)
+    val c = new Compiler(spark, quads, stats, parsed.fromGraphs, parsed.fromNamed,
+      encoded)
     if (parsed.isAsk) c.ask(parsed.op)
     else (parsed.construct, parsed.describe) match {
-      case (Some(template), _) => c.construct(c.compile(parsed.op), template)
-      case (_, Some(targets)) => c.describe(c.compile(parsed.op), targets)
+      case (Some(template), _) =>
+        c.construct(c.compile(parsed.op, Algebra.templateVars(template)), template)
+      case (_, Some(targets)) =>
+        c.describe(c.compile(parsed.op,
+          targets.collect { case Algebra.V(v) => v }.toSet), targets)
       case _ => c.toStrings(c.compile(parsed.op))
     }
   }

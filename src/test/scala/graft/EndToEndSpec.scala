@@ -37,5 +37,17 @@ class EndToEndSpec extends GraftSuite {
       .queryExecution.executedPlan.toString
     assert("\\(g#\\d+ = g:schema\\)".r.findFirstIn(plan).isDefined,
       s"expected graph partition pruning:\n$plan")
+
+    // the compacted store serves an id-encoded sidecar; answers over it
+    // are identical, and any later append invalidates it until the next
+    // compaction
+    val enc = store.snapshotEncoded()
+    assert(enc.isDefined, "compacted store must serve the encoded sidecar")
+    val fromEncoded = Sparql.query(spark, store.snapshot(), text, encoded = enc)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fromEncoded == fromView)
+    store.append(view.filter(col("g") === "g:schema"), "late")
+    assert(store.snapshotEncoded().isEmpty,
+      "append after compact must invalidate the encoded sidecar")
   }
 }

@@ -73,4 +73,40 @@ class PlanQualitySpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin"),
       s"query set must broadcast against the corpus scan, not shuffle:\n$p")
   }
+
+  test("encoded BGP: shuffle exchanges carry long ids, not term structs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{LongType, StructType}
+    // pin every join to a real shuffle (no AQE re-plan, no broadcast)
+    // so the exchange payloads are observable
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      val df = graft.sparql.Sparql.query(spark, q,
+        """SELECT ?c ?nname ?rname WHERE {
+           ?c :nation ?n . ?n :name ?nname . ?n :region ?r . ?r :name ?rname }""",
+        encoded = Some(enc))
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+      }
+      assert(shuffles.nonEmpty, "expected shuffle joins with broadcast disabled")
+      // intra-BGP joins shuffle ONLY longs; the decode edge may shuffle
+      // the dictionary's (id, term) — never a multi-struct solution row
+      shuffles.foreach { out =>
+        assert(out.count(_.isInstanceOf[StructType]) <= 1,
+          s"a shuffle carries a struct-typed solution row: $out")
+      }
+      assert(shuffles.exists(out => out.nonEmpty && out.forall(_ == LongType)),
+        s"no id-only shuffle found — BGP joins not running over the " +
+          s"encoded table: $shuffles")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
 }

@@ -26,6 +26,19 @@ class TermDictionarySpec extends GraftSuite {
     assert(ids1.except(ids2).isEmpty && ids2.except(ids1).isEmpty)
   }
 
+  test("driver-side litTermId equals the column-form term id") {
+    // the compiler turns pattern constants into literal longs via
+    // litTermId; they must land on exactly the ids encode() wrote
+    val got = quads.select(
+        TermDictionary.termId(col("p")).as("col_id"), col("p")("lex").as("lex"))
+      .distinct().collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(0) == TermDictionary.litTermId(r.getString(1), graft.rdf.Rdf.IRI),
+        s"id mismatch for predicate ${r.getString(1)}")
+    }
+  }
+
   test("encoded joins equal lexical joins") {
     // customers' nations via id-join must match the lexical join
     val enc = TermDictionary.encode(quads).cache()
