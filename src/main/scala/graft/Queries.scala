@@ -601,6 +601,30 @@ object Queries {
       SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
       FROM joined WHERE round(inter/(na+nb-inter),6) >= 0.3""")),
 
+    // benchmark decontamination: corpus docs sharing any word 8-gram
+    // with the benchmark slice (doc_id % 10 == 8) are flagged with
+    // their distinct-hit count; broadcast bench grams, no corpus
+    // shuffle. The prefix-duplicate structure of the fixture corpus
+    // guarantees non-trivial cross-doc hits.
+    Q("d_decontaminate", (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.decontaminate(d.filter(col("doc_id") % 10 =!= 8),
+        d.filter(col("doc_id") % 10 === 8), 8)
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 8),
+      ex AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' ')))) AS gram
+        FROM toks),
+      exh AS (SELECT doc_id,
+              ${duckPh("gram")}*1000000007 + ${duckPh("gram", 131)} AS gh
+              FROM ex),
+      bench AS (SELECT DISTINCT gh FROM exh WHERE doc_id % 10 = 8)
+      SELECT doc_id, count(*) AS n_hits FROM exh
+      JOIN bench USING (gh) WHERE doc_id % 10 <> 8 GROUP BY doc_id""")),
+
     // collapse near-dup pairs into clusters: GraphX connected
     // components; cluster id = min doc_id (the keep representative).
     // Oracle: transitive closure of the symmetric pair relation

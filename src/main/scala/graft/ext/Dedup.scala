@@ -230,6 +230,32 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word-level n-gram with a benchmark/eval set — the standard
+    * "remove test-set leakage before training" pipeline step (13-gram
+    * overlap in GPT-3's cleaning, 8 here to fit the fixture corpus).
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the
+    * corpus (eval suites vs 100 TB of training text) → build it once,
+    * broadcast it; the corpus side is ONE map pass producing ~60-bit
+    * gram hashes (the gram strings never enter a shuffle), a broadcast
+    * join, and a per-doc count. The corpus is never shuffled.
+    *
+    * @return (doc_id, n_hits) — contaminated docs with the count of
+    *         distinct benchmark n-grams they contain.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(tokens(col("text"))) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shingles(col("text"), n),
+          s => polyHashWide(s)))).as("gram"))
+    val benchGrams = broadcast(grams(bench).select("gram").distinct())
+    grams(docs).join(benchGrams, Seq("gram"))
+      // grams are distinct per doc → join multiplicity = distinct hits
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered
     * set-similarity self-join (the AllPairs/PPJoin family).
     *
