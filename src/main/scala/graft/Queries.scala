@@ -463,6 +463,49 @@ object Queries {
       WHERE ${duckPh("CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007 % 1000 <
             CAST((((CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1) * 0.25) * 1000 AS BIGINT)""")),
 
+    // per-source quality-percentile curation: keep the best half of
+    // each source by quality percent_rank — the relative-threshold
+    // quality filter; one shuffle on source, doc_id tiebreak
+    Q("t_quality_percentile", (s, dir) =>
+      TextAnalysis.qualityPercentile(t(s, dir, "documents"), 0.5),
+      Some(s"""
+      WITH f AS (
+        SELECT doc_id, source,
+               len(string_split(text,' '))::DOUBLE AS n,
+               len(list_filter(string_split(text,' '),
+                 t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE AS stop,
+               len(text)::DOUBLE AS chars
+        FROM documents),
+      q AS (
+        SELECT doc_id, source,
+               round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
+                     + least(round(stop/n,6)*4.0, 1.0)
+                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) AS q
+        FROM f),
+      r AS (
+        SELECT doc_id, source, q,
+               round(percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id), 6) AS pr
+        FROM q)
+      SELECT doc_id, source, q, pr FROM r WHERE pr >= 0.5""")),
+
+    // per-source token-budget subsampling: take docs in doc_id order
+    // within each source while the tokens BEFORE them fit the budget —
+    // mixture weights specified in tokens, one window shuffle on source
+    Q("t_token_budget", (s, dir) =>
+      TextAnalysis.tokenBudget(t(s, dir, "documents"), 1000L),
+      Some("""
+      WITH tk AS (SELECT doc_id, source,
+                    len(string_split(text,' '))::BIGINT AS n_tokens
+                  FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              -- ::BIGINT: DuckDB window sum over BIGINT yields HUGEINT,
+              -- which pandas reads as float and the dtype compare fails
+              coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_before
+            FROM tk)
+      SELECT doc_id, source, n_tokens, tok_before FROM c
+      WHERE tok_before < 1000""")),
+
     // sequence packing: fixed-token-budget bin of each doc's starting
     // offset in deterministic doc_id order — a global ordered cumsum,
     // run as the two-pass distributed prefix sum (range partition →

@@ -132,6 +132,47 @@ object TextAnalysis {
     polyHash(docId.cast("string")) * 2654435761L % 1000000007L % 1000 <
       (rate * 1000).cast("long")
 
+  /** Per-source quality-percentile curation: rank every document's
+    * [[qualityScore]] within its source (percent_rank) and keep those
+    * at or above `keepFrac` — "keep the best X% of each source", the
+    * relative-threshold variant of quality filtering that survives
+    * heterogeneous sources where one absolute cutoff over- or
+    * under-prunes. One shuffle on `source` (the natural partition key
+    * of a crawl corpus); ties broken by doc_id for cross-engine
+    * determinism.
+    */
+  def qualityPercentile(docs: org.apache.spark.sql.DataFrame,
+      keepFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("q"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("q"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .where(col("pr") >= keepFrac)
+  }
+
+  /** Per-source token-budget subsampling: documents are taken in
+    * deterministic doc_id order within each source until the source's
+    * token budget is exhausted (a doc is kept iff the tokens BEFORE it
+    * fit the budget) — the mixture-weights primitive expressed in
+    * tokens rather than keep-rates, which is how training mixtures are
+    * actually specified. One window shuffle on `source`; the running
+    * sum is per-source, so no global prefix problem.
+    */
+  def tokenBudget(docs: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .where(col("tok_before") < budget)
+      .select("doc_id", "source", "n_tokens", "tok_before")
+  }
+
   /** Sequence-packing bin assignment: documents in deterministic
     * `doc_id` order are laid end to end and each takes the bin of its
     * starting token offset (`floor(tokens_before / capacity)`) — the
