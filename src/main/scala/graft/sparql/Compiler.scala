@@ -580,11 +580,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       acc = idJoin(acc, pick._2)
       accVars = acc.columns.toSet
     }
-    // late materialization: vars whose value nothing consumes are
+    // late materialization: columns whose value nothing consumes are
     // dropped HERE, before the decode edge — their dictionary joins
     // would be pure wasted shuffle (COUNT(*) over `?s ?p ?o` decodes
-    // nothing). Internal join-helper columns (`__*`) stay.
-    val dead = acc.columns.filter(c => !c.startsWith("__") && !valueNeeded(c))
+    // nothing; desugared path intermediates never decode at all)
+    val dead = acc.columns.filterNot(valueNeeded)
     val kept =
       if (dead.length == acc.columns.length)
         acc.select(lit(1).as(freshName("c"))) // keep multiplicity, no vars
@@ -616,13 +616,35 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     d.select(outCols.toIndexedSeq: _*)
   }
 
+  /** W3C §9.1 path translation for the FIXED-LENGTH fragment:
+    * `s p/q o` ≡ `s p ?fresh . ?fresh q o` and `s ^p o` ≡ `o p s`,
+    * applied recursively. The fresh intermediates are never referenced
+    * by the query, so on the encoded path they join as longs and are
+    * late-materialized away — a 2-hop path becomes two id joins with
+    * zero decode for the middle node. Variable-length operators
+    * (`* + ?`), alternation and negated sets stay Path nodes.
+    */
+  private def flattenPats(pats: Seq[TriplePat]): Seq[TriplePat] = {
+    def expand(s: Node, p: Path, o: Node): Seq[TriplePat] = p match {
+      case PSeq(l, r) =>
+        val m = V(freshName("pv"))
+        expand(s, l, m) ++ expand(m, r, o)
+      case PInv(q) => expand(o, q, s)
+      case other => Seq(TriplePat(s, other, o))
+    }
+    pats.flatMap(tp => expand(tp.s, tp.p, tp.o))
+  }
+
   private def compBgp(pats: Seq[TriplePat], graph: Option[Node]): DataFrame = {
     if (pats.isEmpty) return comp(Unit0)
-    val simple = pats.forall(tp => tp.p match {
+    val flat = flattenPats(pats)
+    val simple = flat.forall(tp => tp.p match {
       case PLink(_) | PVar(_) => true; case _ => false
     })
     if (simple) scopedEnc(graph) match {
-      case Some((encScoped, gVar)) => return compBgpEnc(pats, encScoped, gVar)
+      // the desugared form feeds the encoded path only — the struct
+      // fallback keeps the evalPath machinery (and its plan shapes)
+      case Some((encScoped, gVar)) => return compBgpEnc(flat, encScoped, gVar)
       case None => ()
     }
     val (scoped, gVar) = scopedQuads(graph)
