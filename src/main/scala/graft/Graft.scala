@@ -88,40 +88,34 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
     */
   def queryResults(text: String, format: String): String = {
     val parsed = graft.sparql.SparqlParser.parse(text)
+    val fmt = format.toLowerCase
+    // validate the (form, format) combination BEFORE compiling — an
+    // unsupported format must not cost a Spark job just to throw
+    val isGraph = parsed.construct.isDefined || parsed.describe.isDefined
+    val allowed =
+      if (parsed.isAsk) Set("json", "xml")
+      else if (isGraph) Set("json")
+      else Set("json", "xml", "csv", "tsv")
+    if (!allowed(fmt)) throw new IllegalArgumentException(
+      if (isGraph)
+        "CONSTRUCT/DESCRIBE produce RDF graphs — only the json " +
+          "lexical-triple envelope is served; export triples via the " +
+          "DataFrame form instead"
+      else s"${if (parsed.isAsk) "ASK" else "SELECT"} results have no " +
+        s"'$fmt' serialization (supported: ${allowed.toSeq.sorted.mkString(", ")})")
     val c = new graft.sparql.Compiler(spark, store.snapshot(),
       fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed,
       encoded = store.snapshotEncoded())
-    val fmt = format.toLowerCase
-    def unsupported(form: String): Nothing = throw new IllegalArgumentException(
-      s"$form results have no '$fmt' serialization (supported: json" +
-        (if (form == "SELECT") ", xml, csv, tsv)" else ", xml)"))
-    if (parsed.isAsk) {
-      val b = c.ask(parsed.op).head().getString(0) == "true"
-      fmt match {
-        case "json" => SparqlJson.ask(b)
-        case "xml" => graft.rio.SparqlXml.ask(b)
-        case _ => unsupported("ASK")
+    Sparql.evaluate(c, parsed) match {
+      case Sparql.AskResult(b) =>
+        if (fmt == "json") SparqlJson.ask(b) else graft.rio.SparqlXml.ask(b)
+      case Sparql.SelectResult(sol) => fmt match {
+        case "json" => SparqlJson.select(sol)
+        case "xml" => graft.rio.SparqlXml.select(sol)
+        case "csv" => graft.rio.SparqlCsvTsv.csv(sol)
+        case _ => graft.rio.SparqlCsvTsv.tsv(sol)
       }
-    } else (parsed.construct, parsed.describe) match {
-      case (None, None) =>
-        val sol = c.compile(parsed.op)
-        fmt match {
-          case "json" => SparqlJson.select(sol)
-          case "xml" => graft.rio.SparqlXml.select(sol)
-          case "csv" => graft.rio.SparqlCsvTsv.csv(sol)
-          case "tsv" => graft.rio.SparqlCsvTsv.tsv(sol)
-          case _ => unsupported("SELECT")
-        }
-      case (Some(tmpl), _) if fmt == "json" =>
-        SparqlJson.selectLexical(c.construct(
-          c.compile(parsed.op, graft.sparql.Algebra.templateVars(tmpl)), tmpl))
-      case (_, Some(targets)) if fmt == "json" =>
-        SparqlJson.selectLexical(c.describe(c.compile(parsed.op,
-          targets.collect { case graft.sparql.Algebra.V(v) => v }.toSet), targets))
-      case _ => throw new IllegalArgumentException(
-        s"CONSTRUCT/DESCRIBE produce RDF graphs — only the json " +
-          "lexical-triple envelope is served; export triples via the " +
-          "DataFrame form instead")
+      case Sparql.GraphResult(triples) => SparqlJson.selectLexical(triples)
     }
   }
 }

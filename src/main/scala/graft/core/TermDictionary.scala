@@ -47,17 +47,29 @@ object TermDictionary {
     XxHash64(Seq(Literal(lex), Literal(kind)), 42L).eval(null).asInstanceOf[Long]
   }
 
-  /** Distinct terms of the dataset with their ids: `(id, term)`. */
+  /** Distinct terms of the dataset with their ids: `(id, term)`.
+    *
+    * Resolution follows TERM IDENTITY — `(lex, kind)`, [[graft.rdf.Rdf]]'s
+    * join semantics: if several stored structs share one identity (a
+    * plain and a lang-tagged literal with the same lexical form), ONE
+    * deterministic representative (the struct-least) resolves the id,
+    * exactly as the struct path's `termEq` already treats them as the
+    * same term in joins. The collision check accordingly compares
+    * distinct identities against distinct ids, and still fails loudly
+    * on a genuine hash collision between different identities.
+    */
   def build(quads: DataFrame): DataFrame = {
     val terms = quads.select(col("s").as("term"))
       .unionByName(quads.select(col("p").as("term")))
       .unionByName(quads.select(col("o").as("term")))
       .distinct()
-    val dict = terms.select(termId(col("term")).as("id"), col("term"))
-    val n = dict.count()
-    val nIds = dict.select("id").distinct().count()
-    require(n == nIds,
-      s"term-id collision: $n distinct terms, $nIds distinct ids — widen the id")
+    val dict = terms.groupBy(termId(col("term")).as("id"))
+      .agg(min(col("term")).as("term"))
+    val nIdent = terms
+      .select(col("term")("lex"), col("term")("kind")).distinct().count()
+    val nIds = dict.count()
+    require(nIdent == nIds,
+      s"term-id collision: $nIdent distinct term identities, $nIds distinct ids — widen the id")
     dict
   }
 

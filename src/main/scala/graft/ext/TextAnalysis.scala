@@ -133,10 +133,10 @@ object TextAnalysis {
       (rate * 1000).cast("long")
 
   /** Per-source quality-percentile curation: rank every document's
-    * [[qualityScore]] within its source (percent_rank) and keep those
-    * at or above `keepFrac` — "keep the best X% of each source", the
-    * relative-threshold variant of quality filtering that survives
-    * heterogeneous sources where one absolute cutoff over- or
+    * [[qualityScore]] within its source (percent_rank, ascending) and
+    * keep the TOP `keepFrac` fraction — "keep the best X% of each
+    * source", the relative-threshold variant of quality filtering that
+    * survives heterogeneous sources where one absolute cutoff over- or
     * under-prunes. One shuffle on `source` (the natural partition key
     * of a crawl corpus); ties broken by doc_id for cross-engine
     * determinism.
@@ -149,7 +149,8 @@ object TextAnalysis {
     docs
       .select(col("doc_id"), col("source"), qualityScore(col("text")).as("q"))
       .withColumn("pr", round(percent_rank().over(w), 6))
-      .where(col("pr") >= keepFrac)
+      // ascending rank: the best keepFrac sits at pr >= 1 - keepFrac
+      .where(col("pr") >= 1.0 - keepFrac)
   }
 
   /** Per-source token-budget subsampling: documents are taken in

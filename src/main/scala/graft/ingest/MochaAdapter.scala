@@ -194,17 +194,11 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
           val c = new graft.sparql.Compiler(spark, store.snapshot(),
             fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed,
             encoded = store.snapshotEncoded())
-          if (parsed.isAsk)
-            SparqlJson.ask(c.ask(parsed.op).head().getString(0) == "true")
-          else (parsed.construct, parsed.describe) match {
-            case (None, None) => SparqlJson.select(c.compile(parsed.op))
-            case (Some(tmpl), _) => // graph form: lexical-triple envelope
-              SparqlJson.selectLexical(c.construct(
-                c.compile(parsed.op, graft.sparql.Algebra.templateVars(tmpl)), tmpl))
-            case (_, Some(targets)) =>
-              SparqlJson.selectLexical(c.describe(c.compile(parsed.op,
-                targets.collect { case graft.sparql.Algebra.V(v) => v }.toSet),
-                targets))
+          graft.sparql.Sparql.evaluate(c, parsed) match {
+            case graft.sparql.Sparql.AskResult(b) => SparqlJson.ask(b)
+            case graft.sparql.Sparql.SelectResult(sol) => SparqlJson.select(sol)
+            case graft.sparql.Sparql.GraphResult(triples) =>
+              SparqlJson.selectLexical(triples) // graph form: lexical envelope
           }
         } catch {
           case _: Throwable => SparqlJson.failurePlaceholder // ref `:251-258`

@@ -549,7 +549,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case (V(x), V(y)) => cols = Seq(col("s_id").as(x), col("o_id").as(y))
         case (V(x), _) => cols = Seq(col("s_id").as(x))
         case (_, V(y)) => cols = Seq(col("o_id").as(y))
-        case _ => cols = Seq(lit(1).as(freshName("c")))
+        // struct-typed placeholder: comp(Union) widens missing columns
+        // with nullTerm, so a non-struct dummy would make unionByName
+        // throw on the type mismatch
+        case _ => cols = Seq(nullTerm.as(freshName("c")))
       }
       tp.p match {
         case PVar(pv) => cols = cols :+ col("p_id").as(pv)
@@ -587,7 +590,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val dead = acc.columns.filterNot(valueNeeded)
     val kept =
       if (dead.length == acc.columns.length)
-        acc.select(lit(1).as(freshName("c"))) // keep multiplicity, no vars
+        // keep multiplicity with no vars; struct-typed for Union widening
+        acc.select(nullTerm.as(freshName("c")))
       else acc.drop(dead.toIndexedSeq: _*)
     decodeSolutions(kept)
   }
@@ -642,13 +646,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       case PLink(_) | PVar(_) => true; case _ => false
     })
     if (simple) scopedEnc(graph) match {
-      // the desugared form feeds the encoded path only — the struct
-      // fallback keeps the evalPath machinery (and its plan shapes)
       case Some((encScoped, gVar)) => return compBgpEnc(flat, encScoped, gVar)
       case None => ()
     }
+    // the struct path compiles the SAME desugared patterns, so the two
+    // paths share one multiplicity semantics (§9.1 translation = bag
+    // for the fixed-length fragment); evalPath's set-semantics
+    // machinery remains only inside variable-length operators, where
+    // ALP (§9.3) prescribes it
     val (scoped, gVar) = scopedQuads(graph)
-    val rels = pats.map(tp => (tp, compPattern(tp, scoped, gVar)))
+    val rels = flat.map(tp => (tp, compPattern(tp, scoped, gVar)))
     // greedy ordering: smallest estimate first, then prefer shared-var joins
     val remaining = scala.collection.mutable.ArrayBuffer(rels.sortBy(r => estimate(r._1)): _*)
     var acc = remaining.remove(0)._2
@@ -724,7 +731,9 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       case (V(x), V(y)) => cols = Seq(col("a").as(x), col("b").as(y))
       case (V(x), _) => cols = Seq(col("a").as(x))
       case (_, V(y)) => cols = Seq(col("b").as(y))
-      case _ => cols = Seq(lit(1).as(freshName("c")))
+      // struct-typed placeholder — see compBgpEnc: Union widening
+      // fills missing columns with nullTerm structs
+      case _ => cols = Seq(nullTerm.as(freshName("c")))
     }
     tp.p match {
       case PVar(pv) => cols = cols :+ d(pv)

@@ -33,6 +33,32 @@ object Sparql {
   private[sparql] def serviceQuads(iri: String): Option[DataFrame] =
     Option(services.get(iri))
 
+  /** Evaluated form of a parsed query — the ONE place the four query
+    * forms dispatch to the compiler (form-specific extras included:
+    * CONSTRUCT template vars and DESCRIBE targets feed the late-
+    * materialization analysis). Every front door — the DataFrame
+    * facade, the JSON adapter, the result-format switch — maps this
+    * into its own envelope, so the wiring cannot drift between them.
+    */
+  sealed trait Evaled
+  final case class AskResult(value: Boolean) extends Evaled
+  /** term-struct solution table of a SELECT */
+  final case class SelectResult(solutions: DataFrame) extends Evaled
+  /** lexical-triple graph of a CONSTRUCT/DESCRIBE */
+  final case class GraphResult(triples: DataFrame) extends Evaled
+
+  def evaluate(c: Compiler, parsed: SparqlParser.Query): Evaled =
+    if (parsed.isAsk)
+      AskResult(c.ask(parsed.op).head().getString(0) == "true")
+    else (parsed.construct, parsed.describe) match {
+      case (Some(template), _) => GraphResult(c.construct(
+        c.compile(parsed.op, Algebra.templateVars(template)), template))
+      case (_, Some(targets)) => GraphResult(c.describe(
+        c.compile(parsed.op,
+          targets.collect { case Algebra.V(v) => v }.toSet), targets))
+      case _ => SelectResult(c.compile(parsed.op))
+    }
+
   /** SELECT/ASK → result DataFrame with one STRING column per
     * projected variable (ASK: single column `ask`). Supplying an
     * id-encoded view (`encoded`) routes simple BGPs through long-id
@@ -44,14 +70,11 @@ object Sparql {
     val parsed = SparqlParser.parse(text)
     val c = new Compiler(spark, quads, stats, parsed.fromGraphs, parsed.fromNamed,
       encoded)
-    if (parsed.isAsk) c.ask(parsed.op)
-    else (parsed.construct, parsed.describe) match {
-      case (Some(template), _) =>
-        c.construct(c.compile(parsed.op, Algebra.templateVars(template)), template)
-      case (_, Some(targets)) =>
-        c.describe(c.compile(parsed.op,
-          targets.collect { case Algebra.V(v) => v }.toSet), targets)
-      case _ => c.toStrings(c.compile(parsed.op))
+    evaluate(c, parsed) match {
+      case AskResult(b) => spark.range(1)
+        .select(org.apache.spark.sql.functions.lit(if (b) "true" else "false").as("ask"))
+      case SelectResult(sol) => c.toStrings(sol)
+      case GraphResult(triples) => triples
     }
   }
 

@@ -46,6 +46,17 @@ class EndToEndSpec extends GraftSuite {
     val fromEncoded = Sparql.query(spark, store.snapshot(), text, encoded = enc)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(fromEncoded == fromView)
+
+    // MULTIPLICITY parity between the paths (toSet above cannot see
+    // it): a fixed-length sequence path desugars identically on both,
+    // so bag counts must agree row for row
+    val pathText = """
+      SELECT ?c ?rn WHERE { ?c a :Customer . ?c :nation/:region/:name ?rn }"""
+    def bag(encOpt: Option[graft.core.EncodedQuads]) =
+      Sparql.query(spark, store.snapshot(), pathText, encoded = encOpt)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    assert(bag(enc) == bag(None))
     store.append(view.filter(col("g") === "g:schema"), "late")
     assert(store.snapshotEncoded().isEmpty,
       "append after compact must invalidate the encoded sidecar")

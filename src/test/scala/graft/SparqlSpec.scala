@@ -114,19 +114,25 @@ class SparqlSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).toSet == Set(":Customer", ":Agent", ":Thing"))
   }
 
-  test("seeded sequence path dedups across a diamond (set semantics)") {
+  test("sequence path over a diamond follows §9.1 bag semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
     import graft.rdf.Rdf
-    // s→m1→t and s→m2→t: two routes, ONE solution — matching the
-    // unseeded evalPath's distinct-pair semantics
+    // s→m1→t and s→m2→t: the fixed-length path TRANSLATES to triple
+    // patterns with a fresh intermediate (§9.1), so each route is one
+    // solution — two rows, collapsed by an explicit DISTINCT (the
+    // pre-round-6 engine deduped implicitly; the translation semantics
+    // is what reference engines produce)
     val diamond = Seq(("e:s", "e:m1"), ("e:s", "e:m2"),
         ("e:m1", "e:t"), ("e:m2", "e:t"))
       .toDF("sl", "ol").select(lit("g:d").as("g"), Rdf.iri(col("sl")).as("s"),
         Rdf.iri(lit(":p")).as("p"), Rdf.iri(col("ol")).as("o"))
     val rows = Sparql.query(spark, diamond,
       "SELECT ?x WHERE { e:s :p/:p ?x }").collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("e:t"))
+    assert(rows.map(_.getString(0)).toSeq == Seq("e:t", "e:t"))
+    val distinct = Sparql.query(spark, diamond,
+      "SELECT DISTINCT ?x WHERE { e:s :p/:p ?x }").collect()
+    assert(distinct.map(_.getString(0)).toSeq == Seq("e:t"))
   }
 
   test("zero-length path from a constant agrees with and without GRAPH ?var") {
@@ -331,6 +337,19 @@ class SparqlSpec extends GraftSuite {
     // region names resolve from the default graph, nation names from
     // the named graph — both planes visible in one query
     assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+  }
+
+  test("UNION of all-constant branches executes (placeholder typing)") {
+    // each branch's BGP binds no variables → its output is a lone
+    // placeholder column; Union widening fills the other branch's
+    // placeholder with a nullTerm STRUCT, so the placeholder itself
+    // must be struct-typed or unionByName throws
+    val rows = q("""
+      SELECT ?s WHERE {
+        ?s a :Region .
+        { reg:0 :name "AFRICA" } UNION { reg:1 :name "NOPE" } }""")
+    val regions = spark.read.parquet(s"$sf/region.parquet").count()
+    assert(rows.length == regions) // one matching branch = one unit solution
   }
 
   test("FROM in a subquery is rejected loudly") {

@@ -26,6 +26,26 @@ class TermDictionarySpec extends GraftSuite {
     assert(ids1.except(ids2).isEmpty && ids2.except(ids1).isEmpty)
   }
 
+  test("identity-sharing structs resolve to one representative, no false collision") {
+    import spark.implicits._
+    import graft.rdf.Rdf
+    // a plain and a lang-tagged literal with one lexical form are ONE
+    // term identity (lex, kind) — build() must not see a collision and
+    // must resolve the id to a single deterministic representative
+    val q = Seq(
+      ("g", "ex:a", "ex:p", "hallo", ""),
+      ("g", "ex:b", "ex:q", "hallo", "de"))
+      .toDF("g", "sl", "pl", "ol", "olang").select(col("g"),
+        Rdf.iri(col("sl")).as("s"), Rdf.iri(col("pl")).as("p"),
+        Rdf.term(col("ol"), lit(Rdf.LIT), lit(Rdf.XsdString), col("olang"),
+          lit(null).cast("double")).as("o"))
+    val dict = TermDictionary.build(q)
+    val hallo = dict.filter(col("term")("lex") === "hallo").collect()
+    assert(hallo.length == 1)
+    // struct-least representative: "" lang sorts before "de"
+    assert(hallo(0).getStruct(1).getString(3) == "")
+  }
+
   test("driver-side litTermId equals the column-form term id") {
     // the compiler turns pattern constants into literal longs via
     // litTermId; they must land on exactly the ids encode() wrote

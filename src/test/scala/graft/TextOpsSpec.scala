@@ -50,4 +50,25 @@ class TextOpsSpec extends GraftSuite {
       "raising the rate only ADDS documents (nested samples)")
     assert(math.abs(half.size - 500) < 100, s"~half kept, got ${half.size}")
   }
+
+  test("qualityPercentile keeps the TOP keepFrac fraction per source") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val total = docs.count().toDouble
+    val kept25 = TextAnalysis.qualityPercentile(docs, 0.25).count().toDouble
+    val kept75 = TextAnalysis.qualityPercentile(docs, 0.75).count().toDouble
+    // keepFrac means KEEP that fraction (best-first): quarter << three
+    // quarters, both within tie-tolerance of the nominal fraction
+    assert(kept25 < kept75)
+    assert(kept25 / total >= 0.15 && kept25 / total <= 0.45,
+      s"keepFrac=0.25 kept ${kept25 / total} of the corpus")
+    assert(kept75 / total >= 0.65 && kept75 / total <= 0.95,
+      s"keepFrac=0.75 kept ${kept75 / total} of the corpus")
+    // the kept set at 0.25 is the best slice: its minimum quality is
+    // at least the minimum of the 0.75 slice
+    val min25 = TextAnalysis.qualityPercentile(docs, 0.25)
+      .agg(org.apache.spark.sql.functions.min("q")).head().getDouble(0)
+    val min75 = TextAnalysis.qualityPercentile(docs, 0.75)
+      .agg(org.apache.spark.sql.functions.min("q")).head().getDouble(0)
+    assert(min25 >= min75)
+  }
 }
