@@ -536,6 +536,80 @@ object Queries {
       SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS repetition_ratio
       FROM cts GROUP BY doc_id""")),
 
+    // PII scrub: the corpus has no organic PII (synthetic word salad),
+    // so deterministic PII is injected from doc_id on BOTH sides —
+    // same fixture technique as d_decontaminate — and the gate checks
+    // detection counts plus the md5 of the redacted text. Patterns are
+    // in the RE2∩Java regex subset so one pattern string serves both
+    // engines; detection and redaction are map-only.
+    Q("t_pii_redact", (s, dir) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit(".7")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          TextAnalysis.piiCount(col("aug"), TextAnalysis.PiiEmailRe).as("n_email"),
+          TextAnalysis.piiCount(col("aug"), TextAnalysis.PiiIpv4Re).as("n_ip"),
+          TextAnalysis.piiCount(col("aug"), TextAnalysis.PiiPhoneRe).as("n_phone"),
+          md5(TextAnalysis.redactPii(col("aug"))).as("red_md5"))
+    }, Some(s"""
+      WITH aug AS (
+        SELECT doc_id, text
+          || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END)
+          || (CASE WHEN doc_id % 4 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END)
+          AS a
+        FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(a, '${TextAnalysis.PiiEmailRe}'))::BIGINT AS n_email,
+             len(regexp_extract_all(a, '${TextAnalysis.PiiIpv4Re}'))::BIGINT AS n_ip,
+             len(regexp_extract_all(a, '${TextAnalysis.PiiPhoneRe}'))::BIGINT AS n_phone,
+             md5(regexp_replace(regexp_replace(regexp_replace(a,
+               '${TextAnalysis.PiiEmailRe}', '<EMAIL>', 'g'),
+               '${TextAnalysis.PiiIpv4Re}', '<IP>', 'g'),
+               '${TextAnalysis.PiiPhoneRe}', '<PHONE>', 'g')) AS red_md5
+      FROM aug""")),
+
+    // Gopher-style shape rules (word-count bounds, mean-word-length
+    // band, alpha-word fraction, minimum stop words): the standard
+    // rule-based corpus filter, reported as per-doc stats + the first
+    // failing rule
+    Q("t_gopher_rules", (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+        TextAnalysis.gopherMeanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.gopherAlphaFrac(col("text")).as("alpha_frac"),
+        TextAnalysis.stopwordCount(col("text")).cast("long").as("n_stop"),
+        TextAnalysis.gopherVerdict(col("text")).as("verdict")),
+      Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               len(string_split(text,' '))::BIGINT AS n_words,
+               round((len(text)::DOUBLE - (len(string_split(text,' ')) - 1))
+                     / len(string_split(text,' ')), 6) AS mean_word_len,
+               round(len(list_filter(string_split(text,' '),
+                     t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+                     / len(string_split(text,' ')), 6) AS alpha_frac,
+               len(list_filter(string_split(text,' '),
+                 t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::BIGINT AS n_stop
+        FROM documents)
+      SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+             CASE WHEN n_words < 25 THEN 'too_few_words'
+                  WHEN n_words > 100000 THEN 'too_many_words'
+                  WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_length'
+                  WHEN alpha_frac < 0.8 THEN 'non_alpha'
+                  WHEN n_stop < 2 THEN 'few_stopwords'
+                  ELSE 'keep' END AS verdict
+      FROM f""")),
+
     Q("t_fingerprint", (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),

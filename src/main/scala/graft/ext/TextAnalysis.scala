@@ -174,6 +174,63 @@ object TextAnalysis {
       .select("doc_id", "source", "n_tokens", "tok_before")
   }
 
+  /** PII patterns (RE2/Java-common subset: no lookarounds, no
+    * backrefs, so the same pattern string runs verbatim in Spark's
+    * Java regex and the DuckDB oracle's RE2). Detection and redaction
+    * are map-only scalar expressions — the standard pre-training
+    * scrub pass runs at full scan speed with zero shuffle.
+    */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\b555-\\d{4}\\b"
+
+  /** Count of PII matches of one pattern (long, for oracle parity). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Redact PII in a fixed pattern order (email, then IPv4, then
+    * phone) — sequential `regexp_replace` keeps the output
+    * deterministic when patterns could overlap.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+        PiiIpv4Re, "<IP>"),
+      PiiPhoneRe, "<PHONE>")
+
+  /** Gopher-style repetition/shape rules (Rae et al. 2021 §A1.1
+    * subset that applies to single-line corpora): word-count bounds,
+    * mean-word-length band, alphabetic-word fraction, and a minimum
+    * stop-word count. Verdict = FIRST failing rule (audit-friendly,
+    * like [[qualityFilter]]); all stats are map-only.
+    *
+    * Mean word length uses the single-space-tokenization identity
+    * `sum(len(tok)) = len(text) - (n-1)` so both engines compute it
+    * from two cheap scalars instead of a per-token fold.
+    */
+  def gopherMeanWordLen(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    round((length(text).cast("double") - (n - 1)) / n, 6)
+  }
+
+  def gopherAlphaFrac(text: Column): Column =
+    round(size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double") /
+      tokenCount(text), 6)
+
+  def gopherVerdict(text: Column, minWords: Int = 25, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStop: Int = 2): Column = {
+    val n = tokenCount(text)
+    val ml = gopherMeanWordLen(text)
+    when(n < minWords, lit("too_few_words"))
+      .when(n > maxWords, lit("too_many_words"))
+      .when(ml < minMeanLen || ml > maxMeanLen, lit("word_length"))
+      .when(gopherAlphaFrac(text) < minAlphaFrac, lit("non_alpha"))
+      .when(stopwordCount(text) < minStop, lit("few_stopwords"))
+      .otherwise(lit("keep"))
+  }
+
   /** Sequence-packing bin assignment: documents in deterministic
     * `doc_id` order are laid end to end and each takes the bin of its
     * starting token offset (`floor(tokens_before / capacity)`) — the

@@ -38,6 +38,47 @@ class TextOpsSpec extends GraftSuite {
       "no empty interior bins")
   }
 
+  test("redactPii replaces every PII form and leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      ("mail bob.smith+x@example.co.uk and carol@a.io end",
+        "mail <EMAIL> and <EMAIL> end"),
+      ("host 192.168.0.1 then 10.0.255.7 done", "host <IP> then <IP> done"),
+      ("call 555-0199 or 555-1234", "call <PHONE> or <PHONE>"),
+      ("version 1.2 costs 3.50 at 555-12", "version 1.2 costs 3.50 at 555-12"),
+      ("plain words only", "plain words only"))
+      .toDF("raw", "expect")
+    val got = rows.select(TextAnalysis.redactPii(col("raw")).as("got"), col("expect"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("piiCount counts matches per pattern") {
+    import spark.implicits._
+    val df = Seq("a@b.co c@d.io 1.2.3.4 555-0000 555-12").toDF("t")
+    val r = df.select(
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PiiEmailRe),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PiiIpv4Re),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PiiPhoneRe)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
+  test("gopherVerdict reports the first failing rule") {
+    import spark.implicits._
+    val many = ("the word of thing and stuff " * 7).trim      // 42 words, mean len 3.7
+    val rows = Seq(
+      ("short text", "too_few_words"),
+      (Seq.fill(30)("xxxxxxxxxxxxxxxx").mkString(" "), "word_length"), // mean len 16
+      ((10001 to 10030).map(_.toString).mkString(" ") + " the a of and is it every word here ok",
+        "non_alpha"),                                         // 30/40 numeric, mean len in band
+      (Seq.fill(30)("word").mkString(" "), "few_stopwords"),
+      (many, "keep"))
+      .toDF("text", "expect")
+    rows.select(TextAnalysis.gopherVerdict(col("text")).as("got"), col("expect"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1),
+        s"expected ${r.getString(1)} got ${r.getString(0)}"))
+  }
+
   test("sampleMixture: deterministic and rate-monotone") {
     import spark.implicits._
     val ids = (0L until 1000L).toDF("doc_id")
