@@ -237,14 +237,17 @@ final class QuadStore(spark: SparkSession, dir: String) {
     * is the entire point of the A10 rewrite.
     */
   def insertData(update: String): Unit = {
-    val (g, stmts) = parseGroundUpdate(rewriteInsertWith(update), "INSERT")
-    if (stmts.nonEmpty) append(groundDf(g, stmts), "ins")
+    val dfs = parseGroundUpdate(rewriteInsertWith(update), "INSERT")
+      .collect { case (g, stmts) if stmts.nonEmpty => groundDf(g, stmts) }
+    dfs.reduceOption(_.unionByName(_)).foreach(append(_, "ins"))
   }
 
   /** `DELETE DATA { [GRAPH <g>] { triples } }`: tombstone commit. */
   def deleteData(update: String): Unit = {
-    val (g, stmts) = parseGroundUpdate(update, "DELETE")
-    if (stmts.nonEmpty) commitSegment(groundDf(g, stmts), s"del-${System.nanoTime()}")
+    val dfs = parseGroundUpdate(update, "DELETE")
+      .collect { case (g, stmts) if stmts.nonEmpty => groundDf(g, stmts) }
+    dfs.reduceOption(_.unionByName(_))
+      .foreach(commitSegment(_, s"del-${System.nanoTime()}"))
   }
 
   /** `CLEAR GRAPH <g>` / `DROP GRAPH <g>`: tombstone the graph's
@@ -359,10 +362,15 @@ final class QuadStore(spark: SparkSession, dir: String) {
     var delTpl: Option[String] = None
     var insTpl: Option[String] = None
     var whereBody: Option[String] = None
+    // text OUTSIDE the balanced template/WHERE blocks — USING clauses
+    // live between the templates and WHERE; scanning only the outside
+    // text means a literal "USING <…>" inside a template can't match
+    val outside = new StringBuilder
     var cursor = 0
     var m = kw.findFirstMatchIn(update.substring(cursor))
     while (m.isDefined) {
       val mm = m.get
+      outside.append(update.substring(cursor, cursor + mm.start))
       val (_, body, end) = balancedBlock(update, cursor + mm.start)
       mm.group(1).toUpperCase match {
         case "DELETE" => delTpl = Some(body)
@@ -372,14 +380,29 @@ final class QuadStore(spark: SparkSession, dir: String) {
       cursor = end
       m = kw.findFirstMatchIn(update.substring(cursor))
     }
+    outside.append(update.substring(cursor))
     val where = whereBody.getOrElse(
       throw new IllegalArgumentException(s"modify needs WHERE: ${update.take(80)}"))
     if (delTpl.isEmpty && insTpl.isEmpty)
       throw new IllegalArgumentException(s"modify needs DELETE or INSERT: ${update.take(80)}")
 
+    // USING / USING NAMED (SPARQL 1.1 Update §3.1.3): the WHERE clause
+    // evaluates against a dataset whose default graph is the RDF merge
+    // of the USING graphs and whose named graphs are the USING NAMED
+    // graphs — the update-side twin of FROM / FROM NAMED (§13.2),
+    // compiled through the same explicit-dataset mode (partition-
+    // pruning g filters at scale). When any USING clause is present
+    // the WITH graph is ignored for WHERE matching, per the spec;
+    // templates still honor WITH.
+    val UsingRe = """(?is)\bUSING\s+(NAMED\s+)?<([^>]*)>""".r
+    val usingAll = UsingRe.findAllMatchIn(outside.toString).toSeq
+    val usingGraphs = usingAll.filter(_.group(1) == null).map(_.group(2))
+    val usingNamed = usingAll.filter(_.group(1) != null).map(_.group(2))
+
     val snap = snapshot()
     val compiler = new graft.sparql.Compiler(spark,
-      snap.select(col("g"), col("s"), col("p"), col("o")))
+      snap.select(col("g"), col("s"), col("p"), col("o")),
+      fromGraphs = usingGraphs, fromNamed = usingNamed)
     def stripOp(op: Op): Op = op match {
       case Project(i, _) => stripOp(i)
       case Distinct(i) => stripOp(i)
@@ -559,17 +582,36 @@ final class QuadStore(spark: SparkSession, dir: String) {
     }
   }
 
-  private def parseGroundUpdate(u: String, verb: String): (String, Seq[Turtle.Stmt]) = {
+  /** Parse a `INSERT/DELETE DATA { … }` body into per-graph ground
+    * statement groups. The QuadData production allows ANY mix of
+    * default-graph triples and `GRAPH <g> { … }` blocks, repeated —
+    * blocks are cut with [[balancedBlock]] (nesting- and
+    * string-aware), the text between them parses into the default
+    * graph.
+    */
+  private def parseGroundUpdate(u: String, verb: String): Seq[(String, Seq[Turtle.Stmt])] = {
     val DataRe = (s"""(?s)\\s*$verb\\s+DATA\\s*\\{(.*)\\}\\s*""").r
     val body = u match {
       case DataRe(b) => b.trim
       case _ => throw new IllegalArgumentException(s"unsupported update: ${u.take(80)}")
     }
-    val GraphRe = """(?s)\s*GRAPH\s*<([^>]*)>\s*\{(.*)\}\s*""".r
-    body match {
-      case GraphRe(gi, b) => (gi, Turtle.parseDoc(b))
-      case b => ("urn:default", Turtle.parseDoc(b))
+    val GraphStart = """(?is)\bGRAPH\s*<([^>]*)>\s*\{""".r
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Turtle.Stmt])]
+    val defaultText = new StringBuilder
+    var cursor = 0
+    var m = GraphStart.findFirstMatchIn(body.substring(cursor))
+    while (m.isDefined) {
+      val mm = m.get
+      defaultText.append(body.substring(cursor, cursor + mm.start)).append('\n')
+      val (_, block, end) = balancedBlock(body, cursor + mm.start)
+      out += mm.group(1) -> Turtle.parseDoc(block)
+      cursor = end
+      m = GraphStart.findFirstMatchIn(body.substring(cursor))
     }
+    defaultText.append(body.substring(cursor))
+    if (defaultText.toString.trim.nonEmpty)
+      out += "urn:default" -> Turtle.parseDoc(defaultText.toString)
+    out.toSeq
   }
 
   private def groundDf(g: String, stmts: Seq[Turtle.Stmt]): DataFrame = {

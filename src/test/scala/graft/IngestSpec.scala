@@ -277,6 +277,53 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().filter(col("p")("lex") === "v:label").count() == 2)
   }
 
+  test("modify: USING / USING NAMED scope the WHERE dataset (§3.1.3)") {
+    val d = Files.createTempDirectory("qs-using")
+    val store = new QuadStore(spark, d.toString)
+    store.executeUpdate("""INSERT DATA {
+      GRAPH <g:a> { <s:1> <v:tag> "x" . }
+      GRAPH <g:b> { <s:2> <v:tag> "x" . } }""")
+
+    // USING <g:a>: WHERE sees only g:a, so only s:1 gets labeled
+    store.executeUpdate("""
+      INSERT { ?s <v:mark> "m" }
+      USING <g:a>
+      WHERE { ?s <v:tag> "x" }""")
+    val marked = store.snapshot().filter(col("p")("lex") === "v:mark")
+    assert(marked.count() == 1 &&
+      marked.select(col("s")("lex")).head.getString(0) == "s:1")
+
+    // USING NAMED <g:b>: GRAPH ?g ranges over g:b only, and the
+    // default plane is EMPTY (no plain USING), so a non-GRAPH pattern
+    // matches nothing
+    store.executeUpdate("""
+      INSERT { ?s <v:seen> ?g }
+      USING NAMED <g:b>
+      WHERE { GRAPH ?g { ?s <v:tag> "x" } }""")
+    val seen = store.snapshot().filter(col("p")("lex") === "v:seen")
+    assert(seen.count() == 1 &&
+      seen.select(col("s")("lex")).head.getString(0) == "s:2" &&
+      seen.select(col("o")("lex")).head.getString(0) == "g:b")
+    store.executeUpdate("""
+      INSERT { ?s <v:never> "n" }
+      USING NAMED <g:b>
+      WHERE { ?s <v:tag> "x" }""")
+    assert(store.snapshot().filter(col("p")("lex") === "v:never").isEmpty,
+      "USING NAMED only: default graph is empty for WHERE")
+
+    // DELETE under USING: the WHERE solutions come from g:a, the
+    // ungraphed delete template still removes the matched triple
+    // wherever it lives
+    store.executeUpdate("""
+      DELETE { ?s <v:tag> "x" }
+      USING <g:a>
+      WHERE { ?s <v:tag> "x" }""")
+    val tags = store.snapshot().filter(col("p")("lex") === "v:tag")
+    assert(tags.count() == 1 &&
+      tags.select(col("s")("lex")).head.getString(0) == "s:2",
+      "only the g:a-matched subject's triple is deleted")
+  }
+
   test("modify: delete+reinsert overlap survives; delete is full-term exact") {
     val d = Files.createTempDirectory("qs-modify2")
     val store = new QuadStore(spark, d.toString)
