@@ -338,6 +338,40 @@ object Queries {
              coalesce(n_retained, 0)::BIGINT AS n_retained
       FROM act LEFT JOIN ret ON ret.d = act.d""")),
 
+    // batch sessionization (gaps-and-islands): session breaks on a
+    // >30-min silence; session id = running count of breaks per user.
+    // Two window passes over ONE user_id shuffle, then the per-session
+    // rollup — the batch twin of st_session_window's streaming state
+    Q("w_sessionize", (s, dir) => {
+      val gapUs = 1800000000L
+      val e = t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      e.withColumn("new_s",
+          when(lag("ts_us", 1).over(w).isNull ||
+            col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+        .withColumn("sid",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+          round(sum("value"), 2).as("sum_value"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      g AS (
+        SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+        FROM g)
+      SELECT user_id, sid, count(*) AS n_events,
+             min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us,
+             round(sum(value),2) AS sum_value
+      FROM s GROUP BY 1, 2""")),
+
     Q("w_json_props", (s, dir) =>
       t(s, dir, "events")
         // from_json with an explicit schema parses each props string
@@ -610,6 +644,33 @@ object Queries {
                   ELSE 'keep' END AS verdict
       FROM f""")),
 
+    // token-distribution (Shannon) entropy per document — the
+    // information-density quality signal. Per-token terms are rounded
+    // to integer MICRO-NATS before summing, so the distributed sum is
+    // order-independent (integer addition) and engine-exact — same
+    // fixed-point trick as the k-means centroid update
+    Q("t_entropy", (s, dir) => {
+      val cts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val wn = Window.partitionBy("doc_id")
+      val p = col("c").cast("double") / col("n")
+      cts.withColumn("n", sum("c").over(wn))
+        .select(col("doc_id"), col("n"),
+          round((-p * log(p)) * 1e6, 0).cast("long").as("t_unats"))
+        .groupBy("doc_id")
+        .agg(sum("t_unats").as("entropy_unats"), max("n").as("n_tokens"))
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      cts AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      wn AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cts),
+      t AS (SELECT doc_id, n,
+              CAST(round((-(c::DOUBLE / n) * ln(c::DOUBLE / n)) * 1000000) AS BIGINT) AS t_unats
+            FROM wn)
+      SELECT doc_id, sum(t_unats)::BIGINT AS entropy_unats,
+             max(n)::BIGINT AS n_tokens
+      FROM t GROUP BY 1""")),
+
     Q("t_fingerprint", (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
@@ -777,6 +838,42 @@ object Queries {
   private def duckCosine(a: String, b: String): String =
     s"round(${duckDot(a, b)} / sqrt(${duckDot(a, a)}) / sqrt(${duckDot(b, b)}), 6)"
 
+  /** DuckDB CTE chain mirroring [[Similarity.ivfTopK]] (16 hash-seeded
+    * centroid cells, nearest-cell assignment, 2-cell probes for the
+    * `vec_id < 5` queries); ends at `ranked(query_id, vec_id, cos,
+    * rank)`. Shared by the IVF gate and the recall gate.
+    */
+  private def duckIvfCtes: String = s"""cents AS (
+        SELECT cid, c_emb FROM (
+          SELECT row_number() OVER (
+            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
+            embedding AS c_emb
+          FROM embeddings) WHERE cid < 16),
+      ca AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ${duckCosine("e.embedding", "c.c_emb")} AS ccos
+        FROM embeddings e, cents c),
+      car AS (SELECT *, row_number() OVER
+                (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM ca),
+      assigned AS (SELECT cid, vec_id, embedding FROM car WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 5),
+      qa AS (
+        SELECT q.query_id, q.q_emb, c.cid,
+               ${duckCosine("q.q_emb", "c.c_emb")} AS ccos
+        FROM q, cents c),
+      qar AS (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn FROM qa),
+      probes AS (SELECT cid, query_id, q_emb FROM qar WHERE rn <= 2),
+      scored AS (
+        SELECT p.query_id, a.vec_id,
+               ${duckCosine("p.q_emb", "a.embedding")} AS cos
+        FROM assigned a JOIN probes p USING (cid)
+        WHERE a.vec_id <> p.query_id),
+      ranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+                 FROM scored)"""
+
   private val similarity: Seq[Q] = Seq(
     Q("s_bruteforce_topk", (s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -822,38 +919,38 @@ object Queries {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, 5)
     }, Some(s"""
-      WITH cents AS (
-        SELECT cid, c_emb FROM (
-          SELECT row_number() OVER (
-            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
-            embedding AS c_emb
-          FROM embeddings) WHERE cid < 16),
-      ca AS (
-        SELECT e.vec_id, e.embedding, c.cid,
-               ${duckCosine("e.embedding", "c.c_emb")} AS ccos
-        FROM embeddings e, cents c),
-      car AS (SELECT *, row_number() OVER
-                (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn FROM ca),
-      assigned AS (SELECT cid, vec_id, embedding FROM car WHERE rn = 1),
-      q AS (SELECT vec_id AS query_id, embedding AS q_emb
-            FROM embeddings WHERE vec_id < 5),
-      qa AS (
-        SELECT q.query_id, q.q_emb, c.cid,
-               ${duckCosine("q.q_emb", "c.c_emb")} AS ccos
-        FROM q, cents c),
-      qar AS (SELECT *, row_number() OVER
-                (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn FROM qa),
-      probes AS (SELECT cid, query_id, q_emb FROM qar WHERE rn <= 2),
-      scored AS (
-        SELECT p.query_id, a.vec_id,
-               ${duckCosine("p.q_emb", "a.embedding")} AS cos
-        FROM assigned a JOIN probes p USING (cid)
-        WHERE a.vec_id <> p.query_id),
-      ranked AS (SELECT *, row_number() OVER
-                   (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
-                 FROM scored)
+      WITH $duckIvfCtes
       SELECT query_id, vec_id, cos, rank::INT AS rank
       FROM ranked WHERE rank <= 5""")),
+
+    // recall@5 of the IVF ANN against exact brute force — the
+    // accuracy metric the ANN recall/latency trade is tuned by
+    Q("s_ann_recall", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(qs, e, 5),
+        Similarity.ivfTopK(qs, e, 5), 5)
+    }, Some(s"""
+      WITH $duckIvfCtes,
+      ivf AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 5),
+      bfs AS (
+        SELECT b.query_id, e.vec_id, ${duckCosine("b.q_emb", "e.embedding")} AS cos
+        FROM embeddings e,
+             (SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < 5) b
+        WHERE e.vec_id <> b.query_id),
+      bf AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS r
+          FROM bfs) WHERE r <= 5)
+      SELECT bf.query_id,
+             sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+             round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5, 6) AS recall
+      FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id AND ivf.vec_id = bf.vec_id
+      GROUP BY 1""")),
 
     // product-quantization ANN (PQ/ADC): codes-only corpus
     // representation + asymmetric distance scan

@@ -56,6 +56,14 @@ object StreamQueries {
        AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
       WHERE v.event_type = 'view' AND v.user_id < 50""")),
 
+    // stream-static enrichment: each micro-batch broadcast-joins the
+    // batch dimension table, then aggregates per tier
+    Q("st_stream_static_join", (s, dir) => StreamOps.streamStaticJoin(s, dir),
+      Some("""
+      SELECT (user_id % 3)::INT AS tier, count(*) AS n,
+             round(sum(value),2) AS sum_value
+      FROM events GROUP BY 1""")),
+
     // append-mode watermark semantics: the stale half of the slice
     // arrives after the watermark passed it → dropped; the oracle is
     // the aggregation of the surviving (recent) half alone

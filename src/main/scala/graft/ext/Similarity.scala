@@ -180,6 +180,22 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact one:
+    * per query, the fraction of the true top-k the ANN returned. The
+    * standard accuracy metric every recall/latency trade (LSH, IVF,
+    * PQ) is tuned against; both inputs are (query_id, vec_id, …)
+    * top-k frames, so the join is k·|queries| rows — driver never
+    * sees data.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select("query_id", "vec_id")
+      .join(approx.select(col("query_id"), col("vec_id"), lit(1).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+
   /** Product-quantization ANN (PQ + asymmetric distance computation):
     * the fourth ANN family next to brute-force / sign-LSH / IVF, and
     * the memory-scale one — each corpus vector stores only

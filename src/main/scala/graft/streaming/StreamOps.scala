@@ -158,6 +158,29 @@ object StreamOps {
     * independent of arrival order and micro-batch slicing, so it is
     * batch-checkable.
     */
+  /** Stream-static enrichment join: the event stream joins a BATCH
+    * dimension table (here a per-user tier derived from the same
+    * fixture) and aggregates per tier. The static side is broadcast —
+    * in every micro-batch the join is map-side, no stream-side
+    * shuffle before the keyed aggregation; at scale this is the
+    * canonical dimension-enrichment topology (stream + slowly-
+    * changing dim snapshot), and the static side re-resolves per
+    * batch without restarting the query.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val users = broadcast(graft.core.Tables(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("tier", (col("user_id") % 3).cast("int")))
+    val agg = eventsStream(spark, dir)
+      .join(users, Seq("user_id"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    val name = s"st_static_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, agg, name, "complete", availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
+    spark.table(name)
+  }
+
   def streamDedupCounts(spark: SparkSession, dir: String): DataFrame = {
     val dedup = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"))
