@@ -74,6 +74,37 @@ class PlanQualitySpec extends GraftSuite {
       s"query set must broadcast against the corpus scan, not shuffle:\n$p")
   }
 
+  test("w_sessionize: both window passes + rollup share ONE user_id shuffle") {
+    // with AQE the plan string appends the pre-AQE "Initial Plan" —
+    // count exchanges only in the final section or every one doubles
+    val p = plan("w_sessionize").split("== Initial Plan ==")(0)
+    // lag, running sum and the per-session groupBy are all keyed by
+    // user_id — the sort orders differ but the partitioning doesn't,
+    // so a second hash exchange means the plan re-shuffled needlessly
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"sessionization re-shuffles between window passes:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("d_semdedup / s_kmeans_assign: cluster assignment is map-side") {
+    // centroids ship as literals inside the plan: assignment must not
+    // introduce a join against a centroid table
+    val pk = plan("s_kmeans_assign")
+    assert(!pk.contains("CartesianProduct") && !pk.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment joined instead of inlined:\n$pk")
+    val pd = plan("d_semdedup")
+    assert(!pd.contains("CartesianProduct"),
+      s"semdedup pair join lost its cluster key:\n$pd")
+  }
+
+  test("t_entropy: per-term fixed-point work is partial-aggregated") {
+    val p = plan("t_entropy")
+    // (doc_id, tok) count and the final per-doc sum both combine
+    // map-side before their exchanges
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected partial+final aggregate pairs:\n$p")
+  }
+
   test("encoded BGP: shuffle exchanges carry long ids, not term structs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{LongType, StructType}
