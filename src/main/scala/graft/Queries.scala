@@ -391,7 +391,43 @@ object Queries {
       Some("""
       SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k,
              count(*) AS n, round(round(sum(value),2)/count(*),4) AS avg_value
-      FROM events GROUP BY 1"""))
+      FROM events GROUP BY 1""")),
+
+    // per-user z-score outliers (|z| > 2) — metric anomaly detection
+    // over the event stream. One map-side-combinable per-user agg
+    // (users ≪ events → the stats side broadcasts back onto the
+    // stream), no window state. Cross-engine determinism via the
+    // round-the-sums-first trick (q1_agg): mean and E[v²] derive from
+    // rounded sums and exact counts, so sd and z are bit-identical.
+    Q("w_zscore_outliers", (s, dir) => {
+      val e = t(s, dir, "events")
+      val stats = e.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sv"),
+        round(sum(col("value") * col("value")), 2).as("sv2"))
+      val mean = col("sv") / col("n")
+      val variance = col("sv2") / col("n") - mean * mean
+      e.join(broadcast(stats), "user_id")
+        // variance (not sd) gates the row: rounded sums can push a
+        // near-constant user's variance epsilon-negative, and the
+        // oracle engine hard-errors on sqrt(<0)
+        .where(col("n") >= 3 && variance > 0)
+        .select(col("event_id"), col("user_id"),
+          round((col("value") - mean) / sqrt(variance), 4).as("z"))
+        .where(abs(col("z")) > 2)
+    }, Some("""
+      WITH st AS (
+        SELECT user_id, count(*) AS n,
+               round(sum(value),2) AS sv, round(sum(value*value),2) AS sv2
+        FROM events GROUP BY 1),
+      j AS (
+        SELECT event_id, user_id, value, sv/n AS mean,
+               sv2/n - (sv/n)*(sv/n) AS var
+        FROM events JOIN st USING (user_id) WHERE n >= 3),
+      z AS (
+        SELECT event_id, user_id, round((value - mean) / sqrt(var), 4) AS z
+        FROM j WHERE var > 0)
+      SELECT event_id, user_id, z FROM z WHERE abs(z) > 2"""))
   )
 
   // ---------------------------------------------------------------
@@ -671,6 +707,56 @@ object Queries {
              max(n)::BIGINT AS n_tokens
       FROM t GROUP BY 1""")),
 
+    // corpus unigram-LM negative log-likelihood per document — the
+    // CCNet-style "perplexity vs the corpus itself" quality signal
+    // (docs of rare word salad score high-NLL, stereotyped boilerplate
+    // low). Two map-side-combinable token aggs + one broadcast-sized
+    // scalar; per-TYPE contributions are fixed to integer micro-nats
+    // (same trick as t_entropy) so the cross-doc sum is exact in both
+    // engines, and the avg divides two exact integers.
+    Q("t_unigram_nll", (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val cts = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val corpus = tk.groupBy("tok").agg(count(lit(1)).as("cc"))
+      val total = tk.agg(count(lit(1)).as("n_total"))
+      cts.join(corpus, "tok").crossJoin(total)
+        .select(col("doc_id"), col("c"),
+          round(col("c") * -log(col("cc").cast("double") / col("n_total")) * 1e6, 0)
+            .cast("long").as("u"))
+        .groupBy("doc_id")
+        .agg(sum("u").as("nll_unats"), sum("c").as("n_tokens"))
+        .withColumn("avg_nll",
+          round(col("nll_unats").cast("double") / 1e6 / col("n_tokens"), 6))
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      cts AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      corpus AS (SELECT tok, count(*) AS cc FROM tk GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM tk),
+      u AS (SELECT doc_id, c,
+              CAST(round(c * -ln(cc::DOUBLE / n_total) * 1000000) AS BIGINT) AS u
+            FROM cts JOIN corpus USING (tok), tot)
+      SELECT doc_id, sum(u)::BIGINT AS nll_unats, sum(c)::BIGINT AS n_tokens,
+             round((sum(u)::DOUBLE / 1000000) / sum(c), 6) AS avg_nll
+      FROM u GROUP BY 1""")),
+
+    // deterministic train/valid/test split (90/5/5) from the scrambled
+    // doc_id hash — map-only, rerun-stable, engine-independent; the
+    // gate checks every per-document assignment plus its bucket
+    Q("t_train_split", (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        (TextAnalysis.polyHash(col("doc_id").cast("string")) * 2654435761L
+          % 1000000007L % 100).as("bucket"),
+        TextAnalysis.splitAssign(col("doc_id")).as("split")),
+      Some(s"""
+      SELECT doc_id, source,
+             ${duckPh("CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007 % 100 AS bucket,
+             CASE WHEN ${duckPh("CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007 % 100 < 90 THEN 'train'
+                  WHEN ${duckPh("CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007 % 100 < 95 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents""")),
+
     Q("t_fingerprint", (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
@@ -802,6 +888,29 @@ object Queries {
       bench AS (SELECT DISTINCT gh FROM exh WHERE doc_id % 10 = 8)
       SELECT doc_id, count(*) AS n_hits FROM exh
       JOIN bench USING (gh) WHERE doc_id % 10 <> 8 GROUP BY doc_id""")),
+
+    // duplicated-span coverage: fraction of each doc's distinct word
+    // 5-grams that occur in ANOTHER doc — the n-gram-granular
+    // exact-substring-dedup signal (span removal vs whole-doc drop).
+    // Gram hashes (60-bit), never gram strings, in every shuffle.
+    Q("d_span_dup", (s, dir) =>
+      Dedup.spanDupRatio(t(s, dir, "documents"), 5),
+      Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 5),
+      ex AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(t)-3), i -> array_to_string(t[i:i+4], ' ')))) AS gram
+        FROM toks),
+      exh AS (SELECT doc_id,
+              ${duckPh("gram")}*1000000007 + ${duckPh("gram", 131)} AS gh
+              FROM ex),
+      df AS (SELECT gh, count(*) AS ndocs FROM exh GROUP BY 1)
+      SELECT doc_id, count(*) AS n_grams,
+             sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+             round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio
+      FROM exh JOIN df USING (gh) GROUP BY doc_id""")),
 
     // collapse near-dup pairs into clusters: GraphX connected
     // components; cluster id = min doc_id (the keep representative).

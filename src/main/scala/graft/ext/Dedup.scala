@@ -256,6 +256,40 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Duplicated-span coverage: for every document, the fraction of its
+    * DISTINCT word n-grams that also occur in at least one other
+    * document — the n-gram-granular reading of exact-substring dedup
+    * (the "how much of this doc is copied text" signal that decides
+    * span removal vs whole-doc drop in substring-dedup pipelines).
+    *
+    * Scale shape: one map pass emits per-doc-distinct ~60-bit gram
+    * hashes (gram STRINGS never leave the executor); the document
+    * frequency per gram is a map-side-combinable count on those
+    * hashes; the join back to per-doc grams shuffles only
+    * `(hash, long)` pairs. No all-pairs stage anywhere — cost is
+    * O(total distinct grams), the same shape at 100 TB.
+    *
+    * @return (doc_id, n_grams, n_dup, dup_ratio) — distinct n-grams,
+    *         how many of them are shared with another doc, and the
+    *         shared fraction rounded to 6 places.
+    */
+  def spanDupRatio(docs: DataFrame, n: Int = 5): DataFrame = {
+    val grams = docs
+      .filter(size(tokens(col("text"))) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shingles(col("text"), n),
+          s => polyHashWide(s)))).as("gram"))
+    // grams are distinct per doc → per-gram row count == document freq
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("ndocs"))
+    grams.join(df, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_grams"), 6))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered
     * set-similarity self-join (the AllPairs/PPJoin family).
     *

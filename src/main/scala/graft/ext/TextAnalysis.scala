@@ -132,6 +132,21 @@ object TextAnalysis {
     polyHash(docId.cast("string")) * 2654435761L % 1000000007L % 1000 <
       (rate * 1000).cast("long")
 
+  /** Deterministic train/valid/test split assignment from the document
+    * id — the same scrambled-hash bucketing as [[sampleMixture]], cut
+    * at the cumulative percent boundaries. Map-only and stateless:
+    * every engine, every rerun, every shard assigns the same document
+    * to the same split (the property that keeps eval sets leak-free
+    * when the corpus is re-processed), and growing a split only moves
+    * the boundary, never reshuffles survivors.
+    */
+  def splitAssign(docId: Column, trainPct: Int = 90, validPct: Int = 5): Column = {
+    val bucket = polyHash(docId.cast("string")) * 2654435761L % 1000000007L % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+
   /** Per-source quality-percentile curation: rank every document's
     * [[qualityScore]] within its source (percent_rank, ascending) and
     * keep the TOP `keepFrac` fraction — "keep the best X% of each

@@ -112,4 +112,51 @@ class TextOpsSpec extends GraftSuite {
       .agg(org.apache.spark.sql.functions.min("q")).head().getDouble(0)
     assert(min25 >= min75)
   }
+
+  test("splitAssign: total, disjoint, rerun-stable, ~90/5/5") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val assigned = docs.select(col("doc_id"),
+      TextAnalysis.splitAssign(col("doc_id")).as("split"))
+    val bySplit = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count()
+    assert(bySplit.values.sum == total, "every doc lands in exactly one split")
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(bySplit("train") > total * 8 / 10, s"train share $bySplit")
+    assert(bySplit.getOrElse("valid", 0L) + bySplit.getOrElse("test", 0L) <
+      total * 2 / 10, s"holdout share $bySplit")
+    // rerun-stability: a second evaluation assigns identically
+    val again = docs.select(col("doc_id"),
+      TextAnalysis.splitAssign(col("doc_id")).as("split2"))
+    assert(assigned.join(again, "doc_id")
+      .filter(col("split") =!= col("split2")).isEmpty)
+  }
+
+  test("splitAssign: widening train only promotes, never reshuffles") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val narrow = docs.select(col("doc_id"),
+      TextAnalysis.splitAssign(col("doc_id"), trainPct = 80, validPct = 10).as("s80"))
+    val wide = docs.select(col("doc_id"),
+      TextAnalysis.splitAssign(col("doc_id"), trainPct = 90, validPct = 5).as("s90"))
+    // anything train at 80% stays train at 90% — the nested-sample
+    // property that keeps old eval docs out of the new train set
+    assert(narrow.join(wide, "doc_id")
+      .filter(col("s80") === "train" && col("s90") =!= "train").isEmpty)
+  }
+
+  test("spanDupRatio: hand-computed duplicated-span coverage") {
+    import spark.implicits._
+    // d0/d1 share the span "a b c d e"; d2 is unique; d3 too short
+    val docs = Seq(
+      (0L, "a b c d e f"),   // grams: abcde, bcdef
+      (1L, "z a b c d e"),   // grams: zabcd, abcde
+      (2L, "p q r s t u"),   // grams: pqrst, qrstu
+      (3L, "x y")            // < 5 tokens -> filtered
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.spanDupRatio(docs, 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
 }
