@@ -118,6 +118,18 @@ object Fixpoint {
       f("b")("lex") === s("m")("lex") && f("b")("kind") === s("m")("kind"),
       groupCols = Seq("g"))
 
+  /** Closure of 8-byte term-id pairs `(a, b)` — the encoded-plane
+    * variant: every fixpoint round shuffles 16-byte rows instead of
+    * lexical term structs (SURVEY §1.5/§7 hard-part (5) applied to the
+    * one iterative operator, where the multiplier is the round count).
+    */
+  def closureLongs(edges: DataFrame): DataFrame =
+    closure(edges, (f, s) => f("b") === s("m"))
+
+  /** Id-pair closure `(g, a, b)` within each named graph. */
+  def closureLongsGrouped(edges: DataFrame): DataFrame =
+    closure(edges, (f, s) => f("b") === s("m"), groupCols = Seq("g"))
+
   /** Node set reachable in ≥1 application of `step` from `n0` (a
     * single-column "n" DataFrame). The seeded counterpart of
     * [[closure]]: when a path endpoint is bound, BFS from it touches

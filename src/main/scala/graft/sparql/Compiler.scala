@@ -655,7 +655,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     // machinery remains only inside variable-length operators, where
     // ALP (§9.3) prescribes it
     val (scoped, gVar) = scopedQuads(graph)
-    val rels = flat.map(tp => (tp, compPattern(tp, scoped, gVar)))
+    // id-encoded plane with the SAME dataset scoping — complex paths
+    // (closures, alternation, negated sets) evaluate their pair
+    // relation over ids and decode at the pattern edge
+    val encSc = scopedEnc(graph).map(_._1)
+    val rels = flat.map(tp => (tp, compPattern(tp, scoped, gVar, encSc)))
     // greedy ordering: smallest estimate first, then prefer shared-var joins
     val remaining = scala.collection.mutable.ArrayBuffer(rels.sortBy(r => estimate(r._1)): _*)
     var acc = remaining.remove(0)._2
@@ -671,7 +675,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
   /** One triple pattern → solution relation. */
   private def compPattern(tp: TriplePat, scoped: DataFrame,
-      gVar: Option[String]): DataFrame = {
+      gVar: Option[String], encSc: Option[DataFrame] = None): DataFrame = {
+    import graft.core.TermDictionary.litTermId
     val pairs: DataFrame = tp.p match {
       case PLink(p) =>
         scoped.filter(col("p")("lex") === p)
@@ -686,7 +691,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         // graph regardless of whether the term occurs there (§9.3
         // ZeroLengthPath with a bound term — same semantics the seeded
         // walk gives the non-GRAPH form)
-        val base = evalPathG(path, scoped)
+        val base = encSc match {
+          case Some(enc) => decodeIdCols(evalPathIdsG(path, enc), Seq("a", "b"))
+          case None => evalPathG(path, scoped)
+        }
         val constEnd = (tp.s, tp.o) match {
           case (t: T, _) => Some(t)
           case (_, t: T) => Some(t)
@@ -700,15 +708,32 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           case _ => base
         }
       case path =>
-        def seed(t: T) = spark.range(1).select(constCol(t).as("n"))
-        (tp.s, tp.o) match {
-          case (t: T, _) => // constant subject: forward frontier walk
-            walk(path, seed(t), fwd = true, scoped)
-              .select(constCol(t).as("a"), col("n").as("b"))
-          case (_, t: T) => // constant object: backward frontier walk
-            walk(path, seed(t), fwd = false, scoped)
-              .select(col("n").as("a"), constCol(t).as("b"))
-          case _ => evalPath(path, scoped)
+        encSc match {
+          case Some(enc) =>
+            def seedId(t: T) =
+              spark.range(1).select(lit(litTermId(t.lex, t.kind)).as("n"))
+            (tp.s, tp.o) match {
+              case (t: T, _) => // constant subject: forward id-frontier walk
+                decodeIdCols(walkIds(path, seedId(t), fwd = true, enc),
+                    Seq("n"), Map("n" -> constCol(t)))
+                  .select(constCol(t).as("a"), col("n").as("b"))
+              case (_, t: T) => // constant object: backward id-frontier walk
+                decodeIdCols(walkIds(path, seedId(t), fwd = false, enc),
+                    Seq("n"), Map("n" -> constCol(t)))
+                  .select(col("n").as("a"), constCol(t).as("b"))
+              case _ => decodeIdCols(evalPathIds(path, enc), Seq("a", "b"))
+            }
+          case None =>
+            def seed(t: T) = spark.range(1).select(constCol(t).as("n"))
+            (tp.s, tp.o) match {
+              case (t: T, _) => // constant subject: forward frontier walk
+                walk(path, seed(t), fwd = true, scoped)
+                  .select(constCol(t).as("a"), col("n").as("b"))
+              case (_, t: T) => // constant object: backward frontier walk
+                walk(path, seed(t), fwd = false, scoped)
+                  .select(col("n").as("a"), constCol(t).as("b"))
+              case _ => evalPath(path, scoped)
+            }
         }
     }
     // bind/constrain s and o
@@ -817,6 +842,148 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case PStar(q) =>
       graft.plans.Fixpoint.closureTermsGrouped(evalPathG(q, scoped).distinct())
         .unionByName(identityPairsG(scoped)).distinct()
+  }
+
+  // ---- id-space path evaluation (encoded plane) ---------------------
+  // The struct evaluators above shuffle full term structs every
+  // composition and every fixpoint ROUND — the one place the §1.5
+  // dictionary win multiplies by graph diameter. When the encoded
+  // plane exists, the whole pair relation is built over 8-byte ids
+  // (id equality ⟺ term identity, collision-checked at encode) and
+  // decodes ONCE at the pattern edge. Semantics match the struct
+  // plane's term-identity convention exactly.
+
+  /** id-space [[evalPath]]: `(a, b)` long pair relation. */
+  private def evalPathIds(p: Path, enc: DataFrame): DataFrame = {
+    import graft.core.TermDictionary.litTermId
+    p match {
+      case PLink(iri) =>
+        enc.filter(col("p_id") === lit(litTermId(iri, IRI)))
+          .select(col("s_id").as("a"), col("o_id").as("b"))
+      case PVar(_) =>
+        enc.select(col("s_id").as("a"), col("o_id").as("b"))
+      case PNeg(iris) =>
+        enc.filter(!col("p_id").isin(iris.map(litTermId(_, IRI)): _*))
+          .select(col("s_id").as("a"), col("o_id").as("b"))
+      case PInv(q) =>
+        evalPathIds(q, enc).select(col("b").as("a"), col("a").as("b"))
+      case PSeq(l, r) =>
+        val ld = evalPathIds(l, enc)
+        val rd = evalPathIds(r, enc)
+          .withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
+        ld.join(rd, ld("b") === col("m"))
+          .select(ld("a").as("a"), col("b2").as("b")).distinct()
+      case PAlt(l, r) =>
+        evalPathIds(l, enc).unionByName(evalPathIds(r, enc)).distinct()
+      case POpt(q) =>
+        evalPathIds(q, enc).unionByName(identityIdPairs(enc)).distinct()
+      case PPlus(q) =>
+        graft.plans.Fixpoint.closureLongs(evalPathIds(q, enc).distinct())
+      case PStar(q) =>
+        graft.plans.Fixpoint.closureLongs(evalPathIds(q, enc).distinct())
+          .unionByName(identityIdPairs(enc)).distinct()
+    }
+  }
+
+  private def identityIdPairs(enc: DataFrame): DataFrame =
+    enc.select(col("s_id").as("t")).unionByName(enc.select(col("o_id").as("t")))
+      .distinct().select(col("t").as("a"), col("t").as("b"))
+
+  /** id-space [[evalPathG]]: `(g, a, b)` pairs within each graph. */
+  private def evalPathIdsG(p: Path, enc: DataFrame): DataFrame = {
+    import graft.core.TermDictionary.litTermId
+    p match {
+      case PLink(iri) =>
+        enc.filter(col("p_id") === lit(litTermId(iri, IRI)))
+          .select(col("g"), col("s_id").as("a"), col("o_id").as("b"))
+      case PVar(_) =>
+        enc.select(col("g"), col("s_id").as("a"), col("o_id").as("b"))
+      case PNeg(iris) =>
+        enc.filter(!col("p_id").isin(iris.map(litTermId(_, IRI)): _*))
+          .select(col("g"), col("s_id").as("a"), col("o_id").as("b"))
+      case PInv(q) =>
+        evalPathIdsG(q, enc).select(col("g"), col("b").as("a"), col("a").as("b"))
+      case PSeq(l, r) =>
+        val ld = evalPathIdsG(l, enc)
+        val rd = evalPathIdsG(r, enc).withColumnRenamed("g", "g2")
+          .withColumnRenamed("a", "m").withColumnRenamed("b", "b2")
+        ld.join(rd, ld("b") === rd("m") && ld("g") === rd("g2"))
+          .select(ld("g").as("g"), ld("a").as("a"), col("b2").as("b"))
+          .distinct()
+      case PAlt(l, r) =>
+        evalPathIdsG(l, enc).unionByName(evalPathIdsG(r, enc)).distinct()
+      case POpt(q) =>
+        evalPathIdsG(q, enc).unionByName(identityIdPairsG(enc)).distinct()
+      case PPlus(q) =>
+        graft.plans.Fixpoint.closureLongsGrouped(evalPathIdsG(q, enc).distinct())
+      case PStar(q) =>
+        graft.plans.Fixpoint.closureLongsGrouped(evalPathIdsG(q, enc).distinct())
+          .unionByName(identityIdPairsG(enc)).distinct()
+    }
+  }
+
+  private def identityIdPairsG(enc: DataFrame): DataFrame =
+    enc.select(col("g"), col("s_id").as("t"))
+      .unionByName(enc.select(col("g"), col("o_id").as("t")))
+      .distinct().select(col("g"), col("t").as("a"), col("t").as("b"))
+
+  /** id-space [[walk]]: push a LONG frontier (column `n`) through the
+    * path. Closure segments BFS over 8-byte ids — the seeded variant's
+    * whole win compounds here, since every BFS round's shuffle drops
+    * from term structs to longs.
+    */
+  private def walkIds(p: Path, nodes: DataFrame, fwd: Boolean,
+      enc: DataFrame): DataFrame = {
+    import graft.core.TermDictionary.litTermId
+    def step(edges: DataFrame): DataFrame = {
+      val (from, to) = if (fwd) ("s_id", "o_id") else ("o_id", "s_id")
+      edges.join(nodes, edges(from) === nodes("n"))
+        .select(edges(to).as("n")).distinct()
+    }
+    p match {
+      case PLink(iri) => step(enc.filter(col("p_id") === lit(litTermId(iri, IRI))))
+      case PNeg(iris) =>
+        step(enc.filter(!col("p_id").isin(iris.map(litTermId(_, IRI)): _*)))
+      case PVar(_) => step(enc)
+      case PInv(q) => walkIds(q, nodes, !fwd, enc)
+      case PSeq(l, r) =>
+        if (fwd) walkIds(r, walkIds(l, nodes, fwd, enc), fwd, enc)
+        else walkIds(l, walkIds(r, nodes, fwd, enc), fwd, enc)
+      case PAlt(l, r) =>
+        walkIds(l, nodes, fwd, enc).unionByName(walkIds(r, nodes, fwd, enc)).distinct()
+      case POpt(q) => nodes.unionByName(walkIds(q, nodes, fwd, enc)).distinct()
+      case PPlus(q) =>
+        graft.plans.Fixpoint.reachNodes(nodes, f => walkIds(q, f, fwd, enc))
+      case PStar(q) =>
+        nodes.unionByName(
+          graft.plans.Fixpoint.reachNodes(nodes, f => walkIds(q, f, fwd, enc)))
+          .distinct()
+    }
+  }
+
+  /** Decode named long columns to term structs via dictionary joins.
+    * `fallback` supplies a constant for ids absent from the store —
+    * only a seeded walk's own seed can be such an id (every other id
+    * in a path relation came off the encoded table), so the left join
+    * + coalesce is exact.
+    */
+  private def decodeIdCols(df: DataFrame, names: Seq[String],
+      fallback: Map[String, Column] = Map.empty): DataFrame = {
+    val dict = encoded.get.dict
+    var d = df
+    val outCols = df.columns.map { c =>
+      if (names.contains(c)) {
+        val idAlias = freshName("did")
+        val tAlias = freshName("dterm")
+        val dd = dict.select(col("id").as(idAlias), col("term").as(tAlias))
+        val joinType = if (fallback.contains(c)) "left" else "inner"
+        d = d.join(dd, d(c) === dd(idAlias), joinType)
+        fallback.get(c)
+          .map(fb => coalesce(col(tAlias), fb))
+          .getOrElse(col(tAlias)).as(c)
+      } else col(c)
+    }
+    d.select(outCols.toIndexedSeq: _*)
   }
 
   /** Can the path match with zero steps? (`p*`, `p?`, compositions) */

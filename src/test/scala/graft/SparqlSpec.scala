@@ -358,4 +358,33 @@ class SparqlSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("subquery"))
   }
+
+  test("id-space path evaluation matches the struct plane") {
+    // complex paths (closures, alternation, negated sets, seeded
+    // walks, GRAPH ?var grouping) route through the encoded plane when
+    // one is supplied; both planes must produce the same multiset
+    val enc = graft.core.EncodedQuads(
+      graft.core.TermDictionary.encode(quads),
+      graft.core.TermDictionary.build(quads))
+    val queries = Seq(
+      // unseeded closure (both endpoints var)
+      "SELECT ?a ?b WHERE { ?a (:nation/:region)+ ?b }",
+      // seeded forward walk incl. zero-length from a constant
+      "SELECT ?x WHERE { reg:0 (^:region)* ?x }",
+      // alternation + optional-step
+      "SELECT ?s ?o WHERE { ?s (:nation|:region)? ?o . ?s a :Customer }",
+      // negated property set
+      "SELECT ?s ?o WHERE { ?s !(:name|:acctbal|:mktsegment) ?o . ?s a :Customer }",
+      // per-graph closure under GRAPH ?var
+      "SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a (:nation/:region)+ ?b } }",
+      // constant-object backward walk through a sequence
+      "SELECT ?c WHERE { ?c :nation/:region reg:2 }")
+    for (text <- queries) {
+      val plain = Sparql.query(spark, quads, text).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val viaIds = Sparql.query(spark, quads, text, encoded = Some(enc)).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(viaIds == plain, s"encoded-plane divergence for: $text")
+    }
+  }
 }
