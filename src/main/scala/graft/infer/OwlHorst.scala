@@ -367,7 +367,32 @@ object OwlHorst {
         case None => false
       }
       if (!alreadyClosed) {
-        val closed = Fixpoint.closureTerms(edges)
+        // closure over 8-byte term ids (endpoints here are always
+        // resources, so (lex, kind) identity is full term identity):
+        // each fixpoint round shuffles longs, not lexical structs —
+        // the same encoded-plane discipline as the compiler's path
+        // closures, applied to the load-time materialization cost.
+        // Decode via an edge-local dictionary (nodes of this
+        // property's subgraph), with the standard collision guard.
+        import graft.core.TermDictionary.termId
+        val dict = edges.select(col("a").as("term"))
+          .unionByName(edges.select(col("b").as("term")))
+          .distinct()
+          .select(termId(col("term")).as("id"), col("term"))
+          .localCheckpoint()
+        val Array(nIds, nTerms) = dict
+          .agg(countDistinct(col("id")), countDistinct(col("term")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        require(nIds == nTerms,
+          s"term-id collision in $tp closure: $nTerms terms, $nIds ids")
+        val closedIds = Fixpoint.closureLongs(
+          edges.select(termId(col("a")).as("a"), termId(col("b")).as("b")))
+        val da = dict.select(col("id").as("__ia"), col("term").as("ta"))
+        val db = dict.select(col("id").as("__ib"), col("term").as("tb"))
+        val closed = closedIds
+          .join(da, col("a") === col("__ia"))
+          .join(db, col("b") === col("__ib"))
+          .select(col("ta").as("a"), col("tb").as("b"))
         prevClosures(tp) = closed
         emit(closed.select(col("a").as("s"), Rdf.iri(lit(tp)).as("p"), col("b").as("o")))
       }
