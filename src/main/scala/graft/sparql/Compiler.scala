@@ -692,8 +692,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         // ZeroLengthPath with a bound term — same semantics the seeded
         // walk gives the non-GRAPH form)
         val base = encSc match {
-          case Some(enc) => decodeIdCols(evalPathIdsG(path, enc), Seq("a", "b"))
-          case None => evalPathG(path, scoped)
+          case Some(enc) if pathHasClosure(path) =>
+            decodeIdCols(evalPathIdsG(path, enc), Seq("a", "b"),
+              pathDecodeDict(path, scoped, needFull = pathHasZeroLength(path)))
+          case _ => evalPathG(path, scoped)
         }
         val constEnd = (tp.s, tp.o) match {
           case (t: T, _) => Some(t)
@@ -709,21 +711,29 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         }
       case path =>
         encSc match {
-          case Some(enc) =>
+          case Some(enc) if pathHasClosure(path) =>
             def seedId(t: T) =
               spark.range(1).select(lit(litTermId(t.lex, t.kind)).as("n"))
+            // seeded outputs are {seed} ∪ predicate-incident nodes, so
+            // the LOCAL dictionary + seed fallback always suffices;
+            // only an unseeded top-level zero-length path surfaces
+            // arbitrary universe terms and needs the full dictionary
             (tp.s, tp.o) match {
               case (t: T, _) => // constant subject: forward id-frontier walk
                 decodeIdCols(walkIds(path, seedId(t), fwd = true, enc),
-                    Seq("n"), Map("n" -> constCol(t)))
+                    Seq("n"), pathDecodeDict(path, scoped, needFull = false),
+                    Map("n" -> constCol(t)))
                   .select(constCol(t).as("a"), col("n").as("b"))
               case (_, t: T) => // constant object: backward id-frontier walk
                 decodeIdCols(walkIds(path, seedId(t), fwd = false, enc),
-                    Seq("n"), Map("n" -> constCol(t)))
+                    Seq("n"), pathDecodeDict(path, scoped, needFull = false),
+                    Map("n" -> constCol(t)))
                   .select(col("n").as("a"), constCol(t).as("b"))
-              case _ => decodeIdCols(evalPathIds(path, enc), Seq("a", "b"))
+              case _ =>
+                decodeIdCols(evalPathIds(path, enc), Seq("a", "b"),
+                  pathDecodeDict(path, scoped, needFull = pathHasZeroLength(path)))
             }
-          case None =>
+          case _ =>
             def seed(t: T) = spark.range(1).select(constCol(t).as("n"))
             (tp.s, tp.o) match {
               case (t: T, _) => // constant subject: forward frontier walk
@@ -961,15 +971,66 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     }
   }
 
+  /** Does the path contain a variable-length segment? Only closures
+    * multiply the shuffle by round count — fixed-length fragments
+    * desugar into the encoded BGP already, and single-step operators
+    * (alternation, negated sets) are one scan for which the id
+    * round-trip (encode filter + decode joins) is pure overhead.
+    */
+  private def pathHasClosure(p: Path): Boolean = p match {
+    case PPlus(_) | PStar(_) => true
+    case PInv(q) => pathHasClosure(q)
+    case POpt(q) => pathHasClosure(q)
+    case PSeq(l, r) => pathHasClosure(l) || pathHasClosure(r)
+    case PAlt(l, r) => pathHasClosure(l) || pathHasClosure(r)
+    case _ => false
+  }
+
+  /** The constant predicates a path can traverse, when enumerable
+    * (None for PVar / negated sets, which can step over anything).
+    */
+  private def pathPreds(p: Path): Option[Seq[String]] = p match {
+    case PLink(i) => Some(Seq(i))
+    case PInv(q) => pathPreds(q)
+    case POpt(q) => pathPreds(q)
+    case PPlus(q) => pathPreds(q)
+    case PStar(q) => pathPreds(q)
+    case PSeq(l, r) => for { a <- pathPreds(l); b <- pathPreds(r) } yield a ++ b
+    case PAlt(l, r) => for { a <- pathPreds(l); b <- pathPreds(r) } yield a ++ b
+    case _ => None
+  }
+
+  /** Decode dictionary for a path relation. When the path's predicates
+    * are enumerable and the relation cannot surface arbitrary terms via
+    * top-level zero-length identity (`needFull`), the dictionary is
+    * LOCAL to the path's edge slice — nodes incident to its predicates
+    * — instead of the full store dictionary: a closure result is tiny
+    * next to the term universe, and scanning the whole dictionary to
+    * decode it would dominate small queries. Identity dedup mirrors
+    * [[graft.core.TermDictionary.build]] (struct-least representative).
+    */
+  private def pathDecodeDict(path: Path, scoped: DataFrame,
+      needFull: Boolean): DataFrame = {
+    import graft.core.TermDictionary.termId
+    val terms = pathPreds(path) match {
+      case Some(preds) if !needFull =>
+        val e = scoped.filter(col("p")("lex").isin(preds.distinct: _*))
+        e.select(col("s").as("term")).unionByName(e.select(col("o").as("term")))
+      case _ =>
+        scoped.select(col("s").as("term")).unionByName(scoped.select(col("o").as("term")))
+    }
+    terms.distinct()
+      .groupBy(termId(col("term")).as("id")).agg(min(col("term")).as("term"))
+  }
+
   /** Decode named long columns to term structs via dictionary joins.
     * `fallback` supplies a constant for ids absent from the store —
     * only a seeded walk's own seed can be such an id (every other id
     * in a path relation came off the encoded table), so the left join
     * + coalesce is exact.
     */
-  private def decodeIdCols(df: DataFrame, names: Seq[String],
+  private def decodeIdCols(df: DataFrame, names: Seq[String], dict: DataFrame,
       fallback: Map[String, Column] = Map.empty): DataFrame = {
-    val dict = encoded.get.dict
     var d = df
     val outCols = df.columns.map { c =>
       if (names.contains(c)) {
