@@ -140,4 +140,63 @@ class PlanQualitySpec extends GraftSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
     }
   }
+
+  test("closure path: pair relation is built in id space") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.LongType
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      val df = graft.sparql.Sparql.query(spark, q,
+        "SELECT ?a ?b WHERE { ?a (:nation/:region)+ ?b }", encoded = Some(enc))
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+      }
+      // the PSeq edge join inside the closure must shuffle longs only —
+      // term structs entering here would multiply by fixpoint rounds
+      assert(shuffles.exists(out => out.nonEmpty && out.forall(_ == LongType)),
+        s"no id-only shuffle — closure edges not id-space: $shuffles")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
+  test("d_span_dup: gram hashes, never text, in every exchange") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.StringType
+    // AQE wraps finalized stages (exchanges invisible to plan.collect);
+    // the static plan shows the exchange structure being asserted
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Queries.queries("d_span_dup")(spark, sf)
+      df.collect()
+      // nothing that crosses executors may carry raw text — check BOTH
+      // exchange kinds (shuffle and broadcast)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: Exchange => e.child.output.map(_.dataType)
+      }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { out =>
+        assert(!out.exists(_ == StringType),
+          s"an exchange carries a string column (raw text leaked): $out")
+      }
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"), s"cartesian in span-dup plan:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("w_zscore_outliers: per-user stats broadcast back onto events") {
+    val p = plan("w_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats side not broadcast (events would shuffle twice):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"user stats not partial-aggregated:\n$p")
+  }
 }
