@@ -113,6 +113,37 @@ object GraphQueries {
       Some("""
       WITH k AS (SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1)
       SELECT n_nationkey::BIGINT AS id, ((c-1)*(c-2)//2)::BIGINT AS triangles
-      FROM nation JOIN k USING (n_regionkey) WHERE c > 1"""))
+      FROM nation JOIN k USING (n_regionkey) WHERE c > 1""")),
+
+    // bounded k-core peel (k=3, 6 rounds) over the part–supplier
+    // bipartite graph from lineitem — the dense-subgraph extraction
+    // primitive. The round count is part of the contract so the oracle
+    // unrolls the identical peel; the fixture converges well inside 6
+    // rounds (GraphOpsSpec asserts it), so the survivors are the true
+    // 3-core.
+    Q("g_kcore", (s, dir) => {
+      val edges = Tables(s, dir, "lineitem").select(
+        (col("l_partkey") + 1000000).cast("long").as("src"),
+        (col("l_suppkey") + 100000).cast("long").as("dst"))
+      GraphOps.kCore(s, edges, k = 3, rounds = 6)
+    }, {
+      // AS MATERIALIZED: each round references the previous edge CTE
+      // three times; plain CTEs inline per reference, which compounds
+      // to 3^6 scans of the base table
+      val rounds = (1 to 6).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT v FROM (
+              SELECT v, count(*) AS c FROM (
+                SELECT src AS v FROM e${i - 1} UNION ALL SELECT dst FROM e${i - 1}) GROUP BY 1)
+              WHERE c >= 3),
+            e$i AS MATERIALIZED (SELECT src, dst FROM e${i - 1}
+              WHERE src IN (SELECT v FROM v$i) AND dst IN (SELECT v FROM v$i))"""
+      }.mkString(",\n")
+      Some(s"""
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT (1000000+l_partkey)::BIGINT AS src,
+                    (100000+l_suppkey)::BIGINT AS dst FROM lineitem),
+      $rounds
+      SELECT v AS id, count(*)::BIGINT AS core_deg FROM (
+        SELECT src AS v FROM e6 UNION ALL SELECT dst FROM e6) GROUP BY 1""")
+    })
   )
 }

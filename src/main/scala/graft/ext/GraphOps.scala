@@ -100,4 +100,35 @@ object GraphOps {
     }
     dists
   }
+
+  /** Bounded k-core peel: `rounds` iterations of "drop every vertex
+    * with undirected degree < k, then drop dangling edges". At
+    * convergence (fixture graphs converge in 2-3 rounds; the spec
+    * asserts it) the survivors ARE the k-core; the ROUND COUNT is part
+    * of the operator contract so a closed-form oracle can unroll the
+    * same peel exactly.
+    *
+    * Scale shape: each round is one map-side-combinable degree count
+    * plus two semi-joins on long vertex ids; `localCheckpoint` per
+    * round truncates the growing plan. No vertex collection, no
+    * all-pairs work — the classic distributed peeling schedule.
+    *
+    * @return surviving `(id, core_deg)` — vertex and its degree within
+    *         the peeled subgraph.
+    */
+  def kCore(spark: SparkSession, edges: DataFrame, k: Int = 3,
+      rounds: Int = 6): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("src").as("v")).unionByName(e.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+    var e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("c") >= k).select("v")
+      e = e
+        .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(e).select(col("v").as("id"), col("c").as("core_deg"))
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.GraphOps
+
+/** Unit contracts for the bounded k-core peel (its oracle gate checks
+  * end-to-end equality on the fixture; these pin the algorithm).
+  */
+class GraphOpsSpec extends GraftSuite {
+
+  test("kCore: hand-computed peel on a tailed clique") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} + a tail 4-5-6: the tail peels in two rounds
+    // (6 has degree 1, then 5), the clique survives k=3 with degree 3
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphOps.kCore(spark, edges, k = 3, rounds = 6)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("kCore: k above max degree empties the graph") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(GraphOps.kCore(spark, edges, k = 3, rounds = 4).isEmpty)
+  }
+
+  test("g_kcore fixture converges inside the 6-round contract") {
+    val edges = graft.core.Tables(spark, sf, "lineitem").select(
+      (col("l_partkey") + 1000000).cast("long").as("src"),
+      (col("l_suppkey") + 100000).cast("long").as("dst"))
+    val at6 = GraphOps.kCore(spark, edges, k = 3, rounds = 6)
+    val at7 = GraphOps.kCore(spark, edges, k = 3, rounds = 7)
+    // bounded peel == true 3-core iff one more round changes nothing
+    assert(at6.unionByName(at7).distinct().count() == at6.count(),
+      "peel not converged after 6 rounds — bounded result is not the k-core")
+    assert(at6.filter(col("core_deg") < 3).isEmpty,
+      "converged core contains a vertex below degree k")
+  }
+}
