@@ -279,9 +279,12 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(transform(shingles(col("text"), n),
           s => polyHashWide(s)))).as("gram"))
-    // grams are distinct per doc → per-gram row count == document freq
-    val df = grams.groupBy("gram").agg(count(lit(1)).as("ndocs"))
-    grams.join(df, Seq("gram"))
+    // grams are distinct per doc → per-gram partition size == document
+    // freq; a window count shares the gram shuffle with the read of
+    // each gram row (one shuffle) where groupBy + join-back would pay
+    // the gram shuffle twice
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    grams.withColumn("ndocs", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
