@@ -740,6 +740,42 @@ object Queries {
              round((sum(u)::DOUBLE / 1000000) / sum(c), 6) AS avg_nll
       FROM u GROUP BY 1""")),
 
+    // per-source KL divergence from the corpus token mix — the
+    // curation diagnostic that flags a source whose unigram
+    // distribution drifts from the blend it feeds (high KL = outlier
+    // mix, candidate for re-weighting). Same integer micro-nat
+    // exactness scheme; the log argument is a ratio of EXACT integer
+    // products (c·N)/(n_s·cc), so both engines evaluate the identical
+    // double. Two token aggregations, both map-side combinable.
+    Q("t_kl_source_mix", (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val cts = tk.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val srcTot = tk.groupBy("source").agg(count(lit(1)).as("ns"))
+      val corpus = tk.groupBy("tok").agg(count(lit(1)).as("cc"))
+      val total = tk.agg(count(lit(1)).as("n_total"))
+      cts.join(broadcast(srcTot), "source").join(corpus, "tok").crossJoin(total)
+        .select(col("source"), col("c"), col("ns"),
+          round((col("c").cast("double") / col("ns")) *
+            log((col("c") * col("n_total")).cast("double") /
+                (col("ns") * col("cc"))) * 1e6, 0)
+            .cast("long").as("u"))
+        .groupBy("source")
+        .agg(sum("u").as("kl_unats"), max("ns").as("n_tokens"))
+    }, Some("""
+      WITH tk AS (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents),
+      cts AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      st AS (SELECT source, count(*) AS ns FROM tk GROUP BY 1),
+      corpus AS (SELECT tok, count(*) AS cc FROM tk GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM tk),
+      u AS (SELECT source,
+              CAST(round((c::DOUBLE / ns) *
+                ln((c * n_total)::DOUBLE / (ns * cc)) * 1000000) AS BIGINT) AS u,
+              ns
+            FROM cts JOIN st USING (source) JOIN corpus USING (tok), tot)
+      SELECT source, sum(u)::BIGINT AS kl_unats, max(ns)::BIGINT AS n_tokens
+      FROM u GROUP BY 1""")),
+
     // deterministic train/valid/test split (90/5/5) from the scrambled
     // doc_id hash — map-only, rerun-stable, engine-independent; the
     // gate checks every per-document assignment plus its bucket
