@@ -259,6 +259,23 @@ final class QuadStore(spark: SparkSession, dir: String) {
     if (!rows.isEmpty) commitSegment(rows, s"del-${System.nanoTime()}")
   }
 
+  /** `CLEAR DEFAULT | NAMED | ALL` (§3.2.2) — tombstone the selected
+    * graph plane(s) in one segment; DROP is identical in a store
+    * without per-graph metadata (empty graph ≡ absent graph, the
+    * note §3.2.2 itself makes for such stores).
+    */
+  def clearPlane(plane: String): Unit = {
+    val DefaultGraph = "urn:default"
+    val snap = snapshot()
+    val rows = plane.toUpperCase match {
+      case "DEFAULT" => snap.filter(col("g") === DefaultGraph)
+      case "NAMED" => snap.filter(col("g") =!= DefaultGraph)
+      case "ALL" => snap
+      case other => throw new IllegalArgumentException(s"CLEAR $other")
+    }
+    if (!rows.isEmpty) commitSegment(rows, s"del-${System.nanoTime()}")
+  }
+
   /** `DELETE WHERE { pattern }`: the pattern is both matcher and
     * template (SPARQL 1.1 Update §3.1.3). Each BGP group is rewritten
     * with its own graph variable (so default-graph patterns capture
@@ -558,6 +575,7 @@ final class QuadStore(spark: SparkSession, dir: String) {
     */
   def executeUpdate(update: String): Unit = {
     val ClearRe = """(?is)\s*(?:CLEAR|DROP)\s+(?:SILENT\s+)?GRAPH\s*<([^>]*)>\s*""".r
+    val ClearPlaneRe = """(?is)\s*(?:CLEAR|DROP)\s+(?:SILENT\s+)?(DEFAULT|NAMED|ALL)\s*""".r
     val GraphMgmtRe =
       """(?is)\s*(COPY|MOVE|ADD)\s+(?:SILENT\s+)?(?:GRAPH\s+)?<([^>]*)>\s+TO\s+(?:GRAPH\s+)?<([^>]*)>\s*""".r
     val LoadRe =
@@ -567,6 +585,7 @@ final class QuadStore(spark: SparkSession, dir: String) {
     update match {
       case LoadRe(silent, doc, g) => load(doc, Option(g), silent != null)
       case ClearRe(g) => clearGraph(g)
+      case ClearPlaneRe(plane) => clearPlane(plane)
       case GraphMgmtRe(verb, src, dst) => verb.toUpperCase match {
         case "COPY" => copyGraph(src, dst)
         case "MOVE" => moveGraph(src, dst)

@@ -448,6 +448,28 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().select(col("s")("lex")).head.getString(0) == "s:2")
   }
 
+  test("CLEAR DEFAULT / NAMED / ALL tombstone the selected planes") {
+    val d = Files.createTempDirectory("qsp")
+    val store = new QuadStore(spark, d.toString)
+    store.insertData("""INSERT DATA { <s:0> <p:x> "d" . }""") // default graph
+    store.insertData("""INSERT DATA { GRAPH <ga> { <s:1> <p:x> "a" . } }""")
+    store.insertData("""INSERT DATA { GRAPH <gb> { <s:2> <p:x> "b" . } }""")
+    assert(store.snapshot().count() == 3)
+
+    store.executeUpdate("CLEAR DEFAULT")
+    assert(store.snapshot().count() == 2, "named graphs survive CLEAR DEFAULT")
+    assert(store.snapshot().filter(col("g") === "urn:default").isEmpty)
+
+    store.insertData("""INSERT DATA { <s:0> <p:x> "d" . }""")
+    store.executeUpdate("DROP SILENT NAMED")
+    val afterNamed = store.snapshot()
+    assert(afterNamed.count() == 1, "only the default graph survives CLEAR NAMED")
+    assert(afterNamed.select(col("g")).head.getString(0) == "urn:default")
+
+    store.executeUpdate("CLEAR ALL")
+    assert(store.snapshot().isEmpty)
+  }
+
   test("DELETE WHERE removes pattern matches across and within graphs") {
     val d = Files.createTempDirectory("qsw")
     val store = new QuadStore(spark, d.toString)
