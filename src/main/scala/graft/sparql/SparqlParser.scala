@@ -182,18 +182,37 @@ object SparqlParser {
       Query(parseGGP(p), isAsk = true,
         fromGraphs = p.dsFrom, fromNamed = p.dsNamed)
     } else if (p.eatWord("CONSTRUCT")) {
-      p.expectPunct("{")
-      val template = parseTriples(p)
-      p.eatPunct(".")
-      p.expectPunct("}")
-      parseDatasetClauses(p)
-      p.eatWord("WHERE")
-      var op = parseGGP(p)
-      var limit = -1L
-      if (p.eatWord("LIMIT")) limit = p.next().text.toLong
-      if (limit >= 0) op = Slice(op, 0, limit)
-      Query(op, isAsk = false, construct = Some(template),
-        fromGraphs = p.dsFrom, fromNamed = p.dsNamed)
+      if (p.peekPunct("{")) {
+        p.expectPunct("{")
+        val template = parseTriples(p)
+        p.eatPunct(".")
+        p.expectPunct("}")
+        parseDatasetClauses(p)
+        p.eatWord("WHERE")
+        var op = parseGGP(p)
+        var limit = -1L
+        if (p.eatWord("LIMIT")) limit = p.next().text.toLong
+        if (limit >= 0) op = Slice(op, 0, limit)
+        Query(op, isAsk = false, construct = Some(template),
+          fromGraphs = p.dsFrom, fromNamed = p.dsNamed)
+      } else {
+        // CONSTRUCT WHERE { triples } shorthand (§10.2.3): the WHERE
+        // basic graph pattern doubles as the template
+        parseDatasetClauses(p)
+        if (!p.eatWord("WHERE"))
+          throw ParseError("expected { or WHERE after CONSTRUCT",
+            p.peek.map(_.text).getOrElse("<eof>"))
+        p.expectPunct("{")
+        val template = parseTriples(p)
+        p.eatPunct(".")
+        p.expectPunct("}")
+        var op: Op = Bgp(template, None)
+        var limit = -1L
+        if (p.eatWord("LIMIT")) limit = p.next().text.toLong
+        if (limit >= 0) op = Slice(op, 0, limit)
+        Query(op, isAsk = false, construct = Some(template),
+          fromGraphs = p.dsFrom, fromNamed = p.dsNamed)
+      }
     } else if (p.eatWord("DESCRIBE")) {
       var targets = Vector.empty[Node]
       var more = true

@@ -359,6 +359,19 @@ class SparqlSpec extends GraftSuite {
     assert(e.getMessage.contains("subquery"))
   }
 
+  test("CONSTRUCT WHERE shorthand: pattern doubles as template") {
+    val full = Sparql.query(spark, quads,
+      "CONSTRUCT { ?n :name ?nm } WHERE { ?n a :Nation . ?n :name ?nm }")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val short = Sparql.query(spark, quads,
+      "CONSTRUCT WHERE { ?n a :Nation . ?n :name ?nm }")
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // the shorthand emits the type triples too; the name triples of
+    // the explicit form must all be present
+    assert(full.toSet.subsetOf(short.toSet))
+    assert(short.size == 2 * full.size) // 25 type + 25 name triples
+  }
+
   test("id-space path evaluation matches the struct plane") {
     // complex paths (closures, alternation, negated sets, seeded
     // walks, GRAPH ?var grouping) route through the encoded plane when
