@@ -337,6 +337,11 @@ object SparqlParser {
       else more2 = false
     }
 
+    // trailing ValuesClause (§10.2.2): lexically after the solution
+    // modifiers, semantically a JOIN with the query pattern (§18.2.4.4
+    // joins the data block before modifiers apply)
+    if (top && p.eatWord("VALUES")) op = Join(op, parseValues(p))
+
     // ---- assemble algebra ----
     val hasAgg = grouped || selectors.exists(_._2.exists(containsAgg)) ||
       havingExpr.exists(containsAgg) || orderKeys.exists(k => containsAgg(k._1))

@@ -359,6 +359,19 @@ class SparqlSpec extends GraftSuite {
     assert(e.getMessage.contains("subquery"))
   }
 
+  test("trailing VALUES clause restricts the whole query") {
+    val rows = q("""
+      SELECT ?name WHERE { ?n a :Nation . ?n :name ?name }
+      VALUES ?name { "NATION_3" "NATION_7" }""")
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("NATION_3", "NATION_7"))
+    // with ORDER/LIMIT present, VALUES still joins the pattern
+    val one = q("""
+      SELECT ?name WHERE { ?n a :Nation . ?n :name ?name }
+      ORDER BY ?name LIMIT 1
+      VALUES ?name { "NATION_7" "NATION_3" }""")
+    assert(one.map(_.getString(0)).toSeq == Seq("NATION_3"))
+  }
+
   test("CONSTRUCT WHERE shorthand: pattern doubles as template") {
     val full = Sparql.query(spark, quads,
       "CONSTRUCT { ?n :name ?nm } WHERE { ?n a :Nation . ?n :name ?nm }")
