@@ -164,7 +164,21 @@ object SparqlParser {
       fromNamed: Seq[String] = Nil)
 
   def parse(q: String): Query = {
-    val p = new P(tokenize(q))
+    val out = parseInner(new P(tokenize(q)))
+    out
+  }
+
+  private def parseInner(p: P): Query = {
+    val query = parseForms(p)
+    // a token the grammar did not consume means a clause was silently
+    // dropped (the bug class: trailing VALUES was once ignored and the
+    // query ran unrestricted) — fail loudly instead of answering wrong
+    p.peek.foreach(t =>
+      throw ParseError("unexpected trailing input after query", t.text))
+    query
+  }
+
+  private def parseForms(p: P): Query = {
     while (p.eatWord("PREFIX")) {
       val name = p.next() match {
         case TPName(t) => t.substring(0, t.indexOf(':'))
