@@ -249,6 +249,34 @@ object SparqlQueries {
       SELECT s, o FROM quads
       WHERE g='g:nation' AND p NOT IN (':name', 'rdf:type')"""))),
 
+    // negated set with an inverse member (§9.1 PathOneInPropertySet):
+    // !(F|^R) = forward edges with p∉F ∪ reverse edges with p∉R
+    Q("r_path_neginv", sq("""
+      SELECT DISTINCT ?r ?x WHERE { ?r a :Region . ?r !(:name|^:region) ?x }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT ty.s AS r, e.x AS x
+      FROM quads ty
+      JOIN (
+        SELECT s AS r, o AS x FROM quads WHERE p <> ':name'
+        UNION ALL
+        SELECT o AS r, s AS x FROM quads WHERE p <> ':region'
+      ) e ON e.r = ty.s
+      WHERE ty.p='rdf:type' AND ty.o=':Region'"""))),
+
+    // blank-node property lists in the pattern (§4.1.4: query bnodes
+    // are non-distinguished variables — nested joins, never projected)
+    Q("r_bnode_plist", sq("""
+      SELECT ?o ?nn WHERE {
+        ?o a :Order ; :custkey [ :nation [ :name ?nn ] ] .
+      }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS o, nm.o AS nn
+      FROM quads ty
+      JOIN quads ck ON ck.p=':custkey' AND ck.s=ty.s
+      JOIN quads nt ON nt.p=':nation' AND nt.s=ck.o
+      JOIN quads nm ON nm.p=':name' AND nm.s=nt.o
+      WHERE ty.p='rdf:type' AND ty.o=':Order'"""))),
+
     Q("r_path_inverse", sq("""
       SELECT ?r ?n WHERE { ?r ^:region ?n . ?r a :Region }"""),
       Some(TpchRdf.withQuads("""

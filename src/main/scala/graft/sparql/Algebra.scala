@@ -14,6 +14,16 @@ object Algebra {
 
   // ---- nodes in triple patterns --------------------------------------
 
+  /** Name prefix of anonymous (non-distinguished) variables minted by
+    * the parser for blank nodes in query patterns — `[ … ]` property
+    * lists, `( … )` collections and `_:label`s (SPARQL 1.1 §4.1.4:
+    * bnodes in queries act as variables). `@` cannot appear in a
+    * source-level VAR token, so user variables can never collide;
+    * `SELECT *` and `DESCRIBE` skip these names.
+    */
+  val AnonVarPrefix = "@"
+  def isAnonVar(v: String): Boolean = v.startsWith(AnonVarPrefix)
+
   sealed trait Node
   /** query variable */
   final case class V(name: String) extends Node

@@ -173,7 +173,20 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * rows with an unbound variable are dropped (SPARQL §16.2).
     */
   def construct(solutions: DataFrame, template: Seq[TriplePat]): DataFrame = {
+    // template blank nodes (parsed into anon vars the pattern never
+    // binds) are FRESH per solution (§16.2.1): same label within one
+    // solution = one bnode, across solutions = distinct. A row id
+    // salts the label; the id column is map-side only (no shuffle).
+    val templAnon = template.flatMap(tp =>
+      Seq(tp.s, tp.o).collect { case V(x) if Algebra.isAnonVar(x) &&
+        !solutions.columns.contains(x) => x }).distinct
+    val rowIdCol = "@construct_row"
+    val sols =
+      if (templAnon.isEmpty) solutions
+      else solutions.withColumn(rowIdCol, monotonically_increasing_id())
     def nodeCol(n: Node, df: DataFrame): Column = n match {
+      case V(x) if templAnon.contains(x) =>
+        concat(lit("_:t" + templAnon.indexOf(x) + "_"), df(rowIdCol))
       case V(x) => if (df.columns.contains(x)) df(x)("lex") else lit(null).cast("string")
       case t: T => lit(t.lex)
     }
@@ -181,13 +194,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       val p = tp.p match {
         case PLink(iri) => lit(iri)
         case PVar(v) =>
-          if (solutions.columns.contains(v)) solutions(v)("lex")
+          if (sols.columns.contains(v)) sols(v)("lex")
           else lit(null).cast("string")
         case other => throw new IllegalArgumentException(
           s"CONSTRUCT template predicate must be an IRI or var, got $other")
       }
-      solutions.select(nodeCol(tp.s, solutions).as("s"), p.as("p"),
-        nodeCol(tp.o, solutions).as("o"))
+      sols.select(nodeCol(tp.s, sols).as("s"), p.as("p"),
+        nodeCol(tp.o, sols).as("o"))
         // any unbound template position drops the instantiation (§16.2)
         .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
     }.reduce(_.unionByName(_)).distinct()

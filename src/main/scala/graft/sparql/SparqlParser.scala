@@ -117,6 +117,16 @@ object SparqlParser {
     // dataset clauses (SPARQL 1.1 §13.2), filled by parseDatasetClauses
     var dsFrom = Vector.empty[String]
     var dsNamed = Vector.empty[String]
+    // blank nodes in patterns are non-distinguished variables (§4.1.4):
+    // `[ … ]` / `( … )` mint a fresh one, `_:label` is stable within
+    // one bnode scope (a CONSTRUCT template opens its own scope so its
+    // labels stay per-solution-fresh, never pattern bindings)
+    private var anonN = 0
+    var bnodeVars = Map.empty[String, String]
+    def freshAnon(): String = { anonN += 1; Algebra.AnonVarPrefix + "b" + anonN }
+    def bnodeVar(label: String): String = bnodeVars.getOrElse(label, {
+      val v = freshAnon(); bnodeVars += (label -> v); v
+    })
 
     def peek: Option[Tok] = if (pos < tokens.length) Some(tokens(pos)) else None
     def next(): Tok = {
@@ -198,7 +208,13 @@ object SparqlParser {
     } else if (p.eatWord("CONSTRUCT")) {
       if (p.peekPunct("{")) {
         p.expectPunct("{")
+        // template bnode labels live in their own scope: they are
+        // per-solution-fresh output bnodes (§16.2.1), never shared with
+        // (or bound by) the WHERE pattern's bnode variables
+        val patternScope = p.bnodeVars
+        p.bnodeVars = Map.empty
         val template = parseTriples(p)
+        p.bnodeVars = patternScope
         p.eatPunct(".")
         p.expectPunct("}")
         parseDatasetClauses(p)
@@ -390,7 +406,10 @@ object SparqlParser {
         case (v, Some(e)) => op = Extend(op, v, e); projVars :+= v
       }
     }
-    if (star) projVars = Algebra.inScope(op).toVector
+    // `*` projects the distinguished variables only — bnode-minted anon
+    // vars are internal join plumbing (§4.1.4)
+    if (star) projVars =
+      Algebra.inScope(op).toVector.filterNot(Algebra.isAnonVar)
 
     // DISTINCT dedups projected rows, then ORDER sorts the deduped set
     // (with DISTINCT, SPARQL restricts sort keys to projected vars);
@@ -581,35 +600,69 @@ object SparqlParser {
 
   private def parseTriples(p: P): Seq[TriplePat] = {
     var pats = Vector.empty[TriplePat]
-    var done = false
-    while (!done) {
-      val s = parseNode(p)
+
+    // `[ po-list ]` property lists and `( … )` collections desugar here:
+    // nested triples append to `pats`, the node itself is the fresh
+    // anonymous variable (§4.1.4 — query bnodes are variables)
+    def parseNodeFull(): Node = p.peek match {
+      case Some(TVar(v)) => p.next(); V(v)
+      case Some(TPunct("[")) =>
+        p.next()
+        val b = V(p.freshAnon())
+        if (!p.eatPunct("]")) { parsePoList(b); p.expectPunct("]") }
+        b
+      case Some(TPunct("(")) =>
+        p.next()
+        if (p.eatPunct(")")) T("rdf:nil") // empty collection is the IRI
+        else {
+          var items = Vector.empty[Node]
+          while (!p.eatPunct(")")) items :+= parseNodeFull()
+          val cells = items.indices.map(_ => V(p.freshAnon()))
+          items.indices.foreach { i =>
+            pats :+= TriplePat(cells(i), PLink("rdf:first"), items(i))
+            pats :+= TriplePat(cells(i), PLink("rdf:rest"),
+              if (i == items.size - 1) T("rdf:nil") else cells(i + 1))
+          }
+          cells.head
+        }
+      case Some(TPName(pn)) if pn.startsWith("_:") =>
+        p.next(); V(p.bnodeVar(pn))
+      case _ => parseTermToken(p)
+    }
+
+    def parsePoList(subj: Node): Unit = {
       var subjDone = false
       while (!subjDone) {
         val path = parsePath(p)
         var objDone = false
         while (!objDone) {
-          val o = parseNode(p)
-          pats :+= TriplePat(s, path, o)
+          val o = parseNodeFull()
+          pats :+= TriplePat(subj, path, o)
           objDone = !p.eatPunct(",")
         }
         subjDone = !p.eatPunct(";")
-        if (!subjDone && (p.peekPunct(".") || p.peekPunct("}"))) subjDone = true
+        if (!subjDone &&
+          (p.peekPunct(".") || p.peekPunct("}") || p.peekPunct("]")))
+          subjDone = true
       }
+    }
+
+    var done = false
+    while (!done) {
+      val nested = p.peekPunct("[") || p.peekPunct("(")
+      val s = parseNodeFull()
+      // a TriplesNode subject (`[ … ] .`) may omit its property list
+      if (!(nested && (p.peekPunct(".") || p.peekPunct("}")))) parsePoList(s)
       if (p.eatPunct(".")) {
         done = p.peek match {
           case Some(TVar(_)) | Some(TIri(_)) | Some(TPName(_)) | Some(TStr(_)) |
                Some(TNum(_)) => false
+          case Some(TPunct("[")) | Some(TPunct("(")) => false
           case _ => true
         }
       } else done = true
     }
     pats
-  }
-
-  private def parseNode(p: P): Node = p.peek match {
-    case Some(TVar(v)) => p.next(); V(v)
-    case _ => parseTermToken(p)
   }
 
   private def parseTermToken(p: P): T = p.next() match {
@@ -660,12 +713,23 @@ object SparqlParser {
     val inv = p.eatPunct("^")
     var prim: Path =
       if (p.eatPunct("!")) {
-        p.expectPunct("(")
-        var iris = Vector.empty[String]
-        iris :+= parseIriToken(p)
-        while (p.eatPunct("|")) iris :+= parseIriToken(p)
-        p.expectPunct(")")
-        PNeg(iris)
+        // PathNegatedPropertySet: bare member or '(' members ')', each
+        // member `iri` or `^iri`. Split into a forward and a reverse
+        // exclusion set; `!(F|^R)` ≡ `!(F) | ^(!(R))` (§9.1 — a match
+        // is any forward edge with p∉F or any reverse edge with p∉R),
+        // so mixed sets desugar onto the existing PNeg/PInv/PAlt nodes.
+        var fwd = Vector.empty[String]
+        var rev = Vector.empty[String]
+        def member(): Unit =
+          if (p.eatPunct("^")) rev :+= parseIriToken(p)
+          else fwd :+= parseIriToken(p)
+        if (p.eatPunct("(")) {
+          if (!p.peekPunct(")")) { member(); while (p.eatPunct("|")) member() }
+          p.expectPunct(")")
+        } else member()
+        if (rev.isEmpty) PNeg(fwd)
+        else if (fwd.isEmpty) PInv(PNeg(rev))
+        else PAlt(PNeg(fwd), PInv(PNeg(rev)))
       } else if (p.eatPunct("(")) {
         val inner = parsePathAlt(p); p.expectPunct(")"); inner
       } else PLink(parseIriToken(p))

@@ -413,4 +413,104 @@ class SparqlSpec extends GraftSuite {
       assert(viaIds == plain, s"encoded-plane divergence for: $text")
     }
   }
+
+  // ---- blank nodes in query patterns (§4.1.4) ----
+
+  test("bnode property list in object position is a nested join") {
+    val sugar = q("""
+      SELECT ?o ?nn WHERE {
+        ?o a :Order ; :custkey [ :nation [ :name ?nn ] ] .
+      }""").map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val plain = q("""
+      SELECT ?o ?nn WHERE {
+        ?o a :Order . ?o :custkey ?c . ?c :nation ?n . ?n :name ?nn .
+      }""").map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sugar == plain && sugar.nonEmpty)
+  }
+
+  test("bnode property list as subject") {
+    val sugar = q("""SELECT ?nm WHERE { [ a :Region ; :name ?nm ] }""")
+      .map(_.getString(0)).sorted.toSeq
+    val plain = q("""SELECT ?nm WHERE { ?r a :Region . ?r :name ?nm }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(sugar == plain && sugar.size == 5)
+  }
+
+  test("labeled bnodes join like variables, scoped per label") {
+    val sugar = q("""
+      SELECT ?nm WHERE { _:n a :Nation . _:n :name ?nm . _:n :region _:r . _:r :name "ASIA" }""")
+      .map(_.getString(0)).sorted.toSeq
+    val plain = q("""
+      SELECT ?nm WHERE { ?n a :Nation . ?n :name ?nm . ?n :region ?r . ?r :name "ASIA" }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(sugar == plain && sugar.size == 5)
+  }
+
+  test("SELECT * omits anonymous bnode variables") {
+    val df = Sparql.query(spark, quads,
+      """SELECT * WHERE { ?n a :Nation ; :name ?nm ; :region [ :name "ASIA" ] }""")
+    assert(df.columns.toSet == Set("n", "nm"))
+    assert(df.count() == 5)
+  }
+
+  test("empty bnode [] is a fresh wildcard variable") {
+    // every order has a customer: [] adds no constraint beyond existence
+    val n = q("""SELECT ?o WHERE { ?o a :Order ; :custkey [] }""").length
+    val all = q("""SELECT ?o WHERE { ?o a :Order }""").length
+    assert(n == all && n > 0)
+  }
+
+  test("negated property set with inverse members") {
+    // !(:name|^:region) from a Region: forward edges except :name
+    // (rdf:type) plus reverse edges except :region (sameAs aliases land
+    // in the schema graph, excluded from the quads-view default graph)
+    val sugar = q("""SELECT ?r ?x WHERE { ?r a :Region . ?r !(:name|^:region) ?x }""")
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val manual = q("""
+      SELECT ?r ?x WHERE {
+        ?r a :Region .
+        { ?r !(:name) ?x } UNION { ?x ?p ?r . FILTER(?p != :region) }
+      }""").map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(sugar == manual && sugar.nonEmpty)
+  }
+
+  test("bare negated property set member needs no parens") {
+    val bare = q("""SELECT ?s ?o WHERE { GRAPH g:region { ?s !:name ?o } }""")
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val parens = q("""SELECT ?s ?o WHERE { GRAPH g:region { ?s !(:name) ?o } }""")
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(bare == parens && bare.nonEmpty)
+  }
+
+  test("collection syntax matches Turtle-loaded rdf lists") {
+    val d = java.nio.file.Files.createTempDirectory("coll")
+    java.nio.file.Files.writeString(d.resolve("l.ttl"), """
+      ex:menu ex:items ( ex:tea ex:scone ) .
+      ex:other ex:items ( ex:tea ex:jam ) .
+      ex:solo ex:items ( ) .
+    """)
+    val store = new graft.ingest.QuadStore(spark, d.resolve("store").toString)
+    store.loadVersion(Seq(d.resolve("l.ttl").toString))
+    val snap = store.snapshot()
+    val hit = Sparql.query(spark, snap,
+      "SELECT ?s WHERE { ?s ex:items ( ex:tea ex:scone ) }").collect()
+    assert(hit.map(_.getString(0)).toSeq == Seq("ex:menu"))
+    // empty collection is the rdf:nil IRI, not a chain
+    val empty = Sparql.query(spark, snap,
+      "SELECT ?s WHERE { ?s ex:items ( ) }").collect()
+    assert(empty.map(_.getString(0)).toSeq == Seq("ex:solo"))
+    // partial-prefix match must fail (rest link is rdf:nil-terminated)
+    val longer = Sparql.query(spark, snap,
+      "SELECT ?s WHERE { ?s ex:items ( ex:tea ) }").collect()
+    assert(longer.isEmpty)
+  }
+
+  test("CONSTRUCT template bnodes are fresh per solution") {
+    val g = Sparql.query(spark, quads, """
+      CONSTRUCT { ?r :tag [ ] } WHERE { ?r a :Region }""").collect()
+    assert(g.length == 5)
+    // five distinct generated bnode objects — one per solution
+    assert(g.map(_.getString(2)).distinct.length == 5)
+    assert(g.map(_.getString(2)).forall(_.startsWith("_:")))
+  }
 }
