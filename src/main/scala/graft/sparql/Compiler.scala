@@ -352,7 +352,21 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
     case Extend(input, v, e) =>
       val in = comp(input)
-      in.withColumn(v, compExpr(e, resolver(in)))
+      // BIND(… EXISTS{…} … AS ?v): same flag-column rewrite as the
+      // compound-FILTER case — precompute each EXISTS as a boolean
+      // column, let the expression read the flag, drop the plumbing
+      var cur = in
+      def rewriteExists(e2: Expr): Expr = e2 match {
+        case EExists(sub, positive) =>
+          val flag = freshName("exists")
+          cur = addExistsFlag(cur, sub, positive, flag)
+          ECall("__existsflag", Seq(EVar(flag)))
+        case ECall(o2, as2) => ECall(o2, as2.map(rewriteExists))
+        case other => other
+      }
+      val e2 = rewriteExists(e)
+      val ext = cur.withColumn(v, compExpr(e2, resolver(cur)))
+      ext.select((in.columns :+ v).map(c => ext(c)).toIndexedSeq: _*)
 
     case ValuesOp(vars, rows) =>
       rows.map { row =>
@@ -1289,7 +1303,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case "&&" | "||" | "!" | "=" | "!=" | "<" | ">" | "<=" | ">=" |
              "bound" | "strstarts" | "strends" | "contains" | "regex" |
              "langmatches" | "sameterm" | "isiri" | "isuri" | "isblank" |
-             "isliteral" | "isnumeric" | "in" | "notin" | "xsd:boolean" =>
+             "isliteral" | "isnumeric" | "in" | "notin" | "xsd:boolean" |
+             "__existsflag" =>
           termBool(compBool(e, resolve))
         case "+" => termNumDt(a(0)("num") + a(1)("num"), promoteDt(a(0), a(1)))
         case "-" => termNumDt(a(0)("num") - a(1)("num"), promoteDt(a(0), a(1)))

@@ -505,6 +505,17 @@ class SparqlSpec extends GraftSuite {
     assert(longer.isEmpty)
   }
 
+  test("EXISTS inside BIND binds a boolean term") {
+    val rows = q("""
+      SELECT ?nm ?asian WHERE {
+        ?n a :Nation ; :name ?nm .
+        BIND(EXISTS { ?n :region [ :name "ASIA" ] } AS ?asian)
+      }""")
+    assert(rows.length == 25)
+    assert(rows.count(_.getString(1) == "true") == 5)
+    assert(rows.count(_.getString(1) == "false") == 20)
+  }
+
   test("CONSTRUCT template bnodes are fresh per solution") {
     val g = Sparql.query(spark, quads, """
       CONSTRUCT { ?r :tag [ ] } WHERE { ?r a :Region }""").collect()
