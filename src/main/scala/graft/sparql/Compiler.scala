@@ -376,24 +376,33 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       }.reduce(_.unionByName(_))
 
     case Group(input, keys, aggs) =>
-      val in0 = comp(input)
-      // bind key expressions first so groupBy sees plain columns
-      val in = keys.foldLeft(in0) {
-        case (d, (v, Some(e))) => d.withColumn(v, compExpr(e, resolver(d)))
-        case (d, (_, None)) => d
+      val pushed = input match {
+        case b: Bgp => groupOverIds(b, keys, aggs)
+        case _ => None
       }
-      val aggCols = aggs.map { case (out, a) => compAgg(a, in).as(out) }
-      val out =
+      pushed.getOrElse {
+        val in0 = comp(input)
+        // bind key expressions first so groupBy sees plain columns
+        val in = keys.foldLeft(in0) {
+          case (d, (v, Some(e))) => d.withColumn(v, compExpr(e, resolver(d)))
+          case (d, (_, None)) => d
+        }
+        val aggCols = aggs.map { case (out, a) => compAgg(a, in).as(out) }
         if (keys.isEmpty) in.agg(aggCols.head, aggCols.tail: _*)
         else in.groupBy(keys.map(k => in(k._1)): _*).agg(aggCols.head, aggCols.tail: _*)
-      out
+      }
 
     case Project(input, vars) =>
       val in = comp(input)
       in.select(vars.map(v =>
         (if (in.columns.contains(v)) in(v) else nullTerm).as(v)): _*)
 
-    case Distinct(input) => comp(input).distinct()
+    case Distinct(input) =>
+      val pushed = input match {
+        case Project(b: Bgp, vars) => distinctOverIds(b, vars)
+        case _ => None
+      }
+      pushed.getOrElse(comp(input).distinct())
 
     case OrderBy(input, keys) =>
       val in = comp(input)
@@ -553,7 +562,18 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * keep the struct machinery).
     */
   private def compBgpEnc(pats: Seq[TriplePat], scoped: DataFrame,
-      gVar: Option[String]): DataFrame = {
+      gVar: Option[String]): DataFrame =
+    decodeSolutions(compBgpEncIds(pats, scoped, gVar, valueNeeded))
+
+  /** The id-plane half of [[compBgpEnc]]: solution relation whose
+    * variable columns are still 8-byte term ids (graph var: raw string
+    * graph name). `keep` bounds late materialization — columns it
+    * rejects are dropped before any decode. Callers that can consume
+    * ids directly (DISTINCT / GROUP BY pushdown) aggregate on this
+    * frame and decode only the post-aggregate rows.
+    */
+  private def compBgpEncIds(pats: Seq[TriplePat], scoped: DataFrame,
+      gVar: Option[String], keep: String => Boolean): DataFrame = {
     import graft.core.TermDictionary.litTermId
     def encPattern(tp: TriplePat): DataFrame = {
       var d = scoped
@@ -614,14 +634,91 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     // dropped HERE, before the decode edge — their dictionary joins
     // would be pure wasted shuffle (COUNT(*) over `?s ?p ?o` decodes
     // nothing; desugared path intermediates never decode at all)
-    val dead = acc.columns.filterNot(valueNeeded)
-    val kept =
-      if (dead.length == acc.columns.length)
-        // keep multiplicity with no vars; struct-typed for Union widening
-        acc.select(nullTerm.as(freshName("c")))
-      else acc.drop(dead.toIndexedSeq: _*)
-    decodeSolutions(kept)
+    val dead = acc.columns.filterNot(keep(_))
+    if (dead.length == acc.columns.length)
+      // keep multiplicity with no vars; struct-typed for Union widening
+      acc.select(nullTerm.as(freshName("c")))
+    else acc.drop(dead.toIndexedSeq: _*)
   }
+
+  // ---- id-plane aggregation pushdown --------------------------------
+  // DISTINCT / GROUP BY directly over a simple BGP run on the 8-byte
+  // id frame: the wide pre-aggregate shuffle carries longs, and only
+  // the post-aggregate rows (group keys, SAMPLE winners) decode via
+  // the dictionary — the classical dictionary-store aggregation plan.
+  // At 100 TB this is the difference between shuffling lexical term
+  // structs for every quad and shuffling 8 bytes per column.
+
+  /** Simple BGP on the encoded plane → (desugared patterns, scoped
+    * encoded table, graph var). None when no encoded view exists or a
+    * predicate needs the struct path machinery.
+    */
+  private def encodableBgp(b: Bgp): Option[(Seq[TriplePat], DataFrame, Option[String])] = {
+    if (b.pats.isEmpty || encoded.isEmpty) return None
+    val flat = flattenPats(b.pats)
+    val simple = flat.forall(tp => tp.p match {
+      case PLink(_) | PVar(_) => true; case _ => false
+    })
+    if (!simple) None
+    else scopedEnc(b.graph).map { case (enc, gv) => (flat, enc, gv) }
+  }
+
+  /** GROUP BY over ids, when every key is a plain BGP-bound variable
+    * and every aggregate is id-safe: COUNT(*) / COUNT(?v) /
+    * COUNT(DISTINCT ?v) (distinct ids = distinct full terms by
+    * construction) and SAMPLE(?v) (the winning id decodes after).
+    */
+  private def groupOverIds(b: Bgp, keys: Seq[(String, Option[Expr])],
+      aggs: Seq[(String, EAgg)]): Option[DataFrame] = {
+    val encOpt = encodableBgp(b)
+    if (encOpt.isEmpty) return None
+    val (flat, enc, gVar) = encOpt.get
+    val scope = Algebra.inScope(Bgp(flat, b.graph)).toSet
+    def plainVar(o: Option[Expr]): Option[String] =
+      o match { case Some(EVar(v)) if scope(v) => Some(v); case _ => None }
+    val keyOk = keys.forall { case (v, e) => e.isEmpty && scope(v) }
+    val aggOk = aggs.forall { case (_, a) =>
+      (a.fn == "count" && (a.arg.isEmpty || plainVar(a.arg).isDefined)) ||
+        (a.fn == "sample" && plainVar(a.arg).isDefined)
+    }
+    if (!keyOk || !aggOk) return None
+    val keep = keys.map(_._1).toSet ++ aggs.flatMap(kv => plainVar(kv._2.arg))
+    val ids = compBgpEncIds(flat, enc, gVar, keep)
+    val aggCols = aggs.map { case (out, a) =>
+      (a.fn match {
+        case "count" => plainVar(a.arg) match {
+          // COUNT outputs are final xsd:integer terms already — the
+          // decode edge passes structs through untouched
+          case None => termNumDt(count(lit(1)).cast("double"), Rdf.XsdInteger)
+          case Some(v) =>
+            // BGP-bound vars are never unbound, so COUNT(?v) counts
+            // rows; DISTINCT counts distinct ids = distinct terms
+            if (a.distinct)
+              termNumDt(countDistinct(col(v)).cast("double"), Rdf.XsdInteger)
+            else termNumDt(count(col(v)).cast("double"), Rdf.XsdInteger)
+        }
+        case "sample" => first(col(plainVar(a.arg).get), ignoreNulls = true)
+      }).as(out)
+    }
+    val grouped =
+      if (keys.isEmpty) ids.agg(aggCols.head, aggCols.tail: _*)
+      else ids.groupBy(keys.map(k => ids(k._1)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    Some(decodeSolutions(grouped))
+  }
+
+  /** SELECT DISTINCT over plain BGP-bound variables: dedup on ids,
+    * decode only the surviving rows.
+    */
+  private def distinctOverIds(b: Bgp, vars: Seq[String]): Option[DataFrame] =
+    encodableBgp(b).flatMap { case (flat, enc, gVar) =>
+      val scope = Algebra.inScope(Bgp(flat, b.graph)).toSet
+      if (vars.isEmpty || !vars.forall(scope)) None
+      else {
+        val ids = compBgpEncIds(flat, enc, gVar, vars.toSet)
+        Some(decodeSolutions(ids.select(vars.map(ids(_)): _*).distinct()))
+      }
+    }
 
   /** Result-edge decode: every long column is a term id → dictionary
     * join back to its term struct; a string column is a raw graph name

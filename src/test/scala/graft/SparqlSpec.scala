@@ -414,6 +414,27 @@ class SparqlSpec extends GraftSuite {
     }
   }
 
+  test("id-plane DISTINCT/GROUP pushdown matches the struct plane") {
+    val enc = graft.core.EncodedQuads(
+      graft.core.TermDictionary.encode(quads),
+      graft.core.TermDictionary.build(quads))
+    val queries = Seq(
+      "SELECT ?t (COUNT(?x) AS ?n) WHERE { ?x a ?t } GROUP BY ?t",
+      "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",
+      "SELECT ?g (COUNT(DISTINCT ?p) AS ?np) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g",
+      "SELECT DISTINCT ?n WHERE { ?c :nation ?n }",
+      "SELECT DISTINCT ?p ?o WHERE { GRAPH g:region { ?s ?p ?o } }",
+      // single-valued groups: SAMPLE deterministic on both planes
+      "SELECT ?r (SAMPLE(?rn) AS ?sn) WHERE { ?n :region ?r . ?r :name ?rn } GROUP BY ?r")
+    for (text <- queries) {
+      val plain = Sparql.query(spark, quads, text).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val viaIds = Sparql.query(spark, quads, text, encoded = Some(enc)).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(viaIds == plain, s"pushdown divergence for: $text")
+    }
+  }
+
   // ---- blank nodes in query patterns (§4.1.4) ----
 
   test("bnode property list in object position is a nested join") {
