@@ -112,8 +112,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * materialization.
     */
   def compile(op: Op, extraNeeded: Set[String]): DataFrame = {
-    valueNeeded = neededVars(op, extraNeeded)
+    setNeeds(op, extraNeeded)
     comp(op)
+  }
+
+  private def setNeeds(op: Op, extraNeeded: Set[String]): Unit = {
+    val (refs, counts) = collectNeeds(op, extraNeeded)
+    refNeeded = refs
+    leafCounts = counts
+    valueNeeded = refs ++ counts.collect { case (v, n) if n > 1 => v }
   }
 
   // ---- late materialization (encoded path) --------------------------
@@ -124,8 +131,14 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   // referenced — the `?p ?o` of a COUNT(*) pattern — never has to be
   // decoded at all: its dictionary join would be pure wasted shuffle.
   private var valueNeeded: Set[String] = Set.empty
+  // the two ingredients of valueNeeded, kept separately so id-plane
+  // join trees can tell "explicitly read" (must decode) apart from
+  // "shared between leaves" (joins on ids, decodes only if also read
+  // or shared with a leaf OUTSIDE the tree)
+  private var refNeeded: Set[String] = Set.empty
+  private var leafCounts: Map[String, Int] = Map.empty
 
-  private def neededVars(root: Op, extra: Set[String]): Set[String] = {
+  private def collectNeeds(root: Op, extra: Set[String]): (Set[String], Map[String, Int]) = {
     val leafCount = scala.collection.mutable.Map.empty[String, Int]
     val referenced = scala.collection.mutable.Set.empty[String] ++ extra
     def exprVars(e: Expr): Unit = e match {
@@ -158,7 +171,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       case Unit0 => ()
     }
     walk(root)
-    referenced.toSet ++ leafCount.collect { case (v, n) if n > 1 => v }
+    (referenced.toSet, leafCount.toMap)
   }
 
   /** Result projection for the driver/oracle compare: one STRING column
@@ -235,7 +248,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
   /** ASK — boolean existence, single row `(ask: boolean lexical)`. */
   def ask(op: Op): DataFrame = {
-    valueNeeded = neededVars(op, Set.empty)
+    setNeeds(op, Set.empty)
     val nonEmpty = !comp(op).isEmpty
     spark.range(1).select(lit(if (nonEmpty) "true" else "false").as("ask"))
   }
@@ -266,8 +279,28 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
     case Bgp(pats, graph) => compBgp(pats, graph)
 
-    case Join(l, r) =>
-      solJoin(comp(l), comp(r), "inner", maybeUnbound(l) ++ maybeUnbound(r))
+    case j @ Join(l, r) =>
+      // a Join-tree of simple BGPs (GRAPH blocks mixed with default-
+      // graph triples, grouped patterns) joins on the id plane: keep
+      // what is explicitly read plus vars shared with leaves OUTSIDE
+      // this tree (they join by termEq above, so must decode); vars
+      // shared only BETWEEN these leaves join as ids and never decode
+      val pushed = idTreeScope(j).flatMap { scope =>
+        val inTree = {
+          def count(o: Op, acc: Map[String, Int]): Map[String, Int] = o match {
+            case Join(a, b) => count(b, count(a, acc))
+            case b: Bgp => Algebra.inScope(b).foldLeft(acc)((m, v) =>
+              m.updated(v, m.getOrElse(v, 0) + 1))
+            case _ => acc
+          }
+          count(j, Map.empty)
+        }
+        val externalShared = scope.filter(v =>
+          leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
+        idFrameOf(j, refNeeded ++ externalShared).map(decodeSolutions)
+      }
+      pushed.getOrElse(
+        solJoin(comp(l), comp(r), "inner", maybeUnbound(l) ++ maybeUnbound(r)))
 
     case LeftJoin(l, r, cond) =>
       solLeftJoin(comp(l), comp(r), cond, maybeUnbound(l) ++ maybeUnbound(r))
@@ -376,10 +409,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       }.reduce(_.unionByName(_))
 
     case Group(input, keys, aggs) =>
-      val pushed = input match {
-        case b: Bgp => groupOverIds(b, keys, aggs)
-        case _ => None
-      }
+      val pushed = groupOverIds(input, keys, aggs)
       pushed.getOrElse {
         val in0 = comp(input)
         // bind key expressions first so groupBy sees plain columns
@@ -399,7 +429,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
     case Distinct(input) =>
       val pushed = input match {
-        case Project(b: Bgp, vars) => distinctOverIds(b, vars)
+        case Project(inner, vars) => distinctOverIds(inner, vars)
         case _ => None
       }
       pushed.getOrElse(comp(input).distinct())
@@ -608,17 +638,6 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       gVar.foreach(gv => cols = cols :+ col("g").as(gv))
       d.select(cols: _*)
     }
-    // BGP vars are never null → plain long equality, always hash-joinable
-    def idJoin(l: DataFrame, r: DataFrame): DataFrame = {
-      val shared = l.columns.intersect(r.columns).toIndexedSeq
-      if (shared.isEmpty) return l.crossJoin(r)
-      val renames = shared.map(v => v -> freshName(v)).toMap
-      val rr = shared.foldLeft(r) { (d, v) => d.withColumnRenamed(v, renames(v)) }
-      val cond = shared.map(v => l(v) === rr(renames(v))).reduce(_ && _)
-      val joined = l.join(rr, cond, "inner")
-      joined.select((l.columns.map(joined(_)) ++
-        r.columns.filterNot(shared.contains).map(joined(_))).toIndexedSeq: _*)
-    }
     val rels = pats.map(tp => (tp, encPattern(tp)))
     val remaining = scala.collection.mutable.ArrayBuffer(
       rels.sortBy(r => estimate(r._1)): _*)
@@ -649,6 +668,74 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   // At 100 TB this is the difference between shuffling lexical term
   // structs for every quad and shuffling 8 bytes per column.
 
+  /** Id-frame natural join: BGP vars are never null → plain long
+    * equality, always hash-joinable (the graph var's string column
+    * joins the same way).
+    */
+  private def idJoin(l: DataFrame, r: DataFrame): DataFrame = {
+    val shared = l.columns.intersect(r.columns).toIndexedSeq
+    if (shared.isEmpty) return l.crossJoin(r)
+    val renames = shared.map(v => v -> freshName(v)).toMap
+    val rr = shared.foldLeft(r) { (d, v) => d.withColumnRenamed(v, renames(v)) }
+    val cond = shared.map(v => l(v) === rr(renames(v))).reduce(_ && _)
+    val joined = l.join(rr, cond, "inner")
+    joined.select((l.columns.map(joined(_)) ++
+      r.columns.filterNot(shared.contains).map(joined(_))).toIndexedSeq: _*)
+  }
+
+  /** Variables a Join-tree of encodable simple BGPs binds; None when
+    * `op` is not such a tree. The cheap pre-check for the id-plane
+    * paths below (term ids hash the SAME `(lex, kind)` identity
+    * [[graft.core.TermDictionary.termId]] that `termEq` compares, so
+    * an id equi-join is exactly a struct-plane solution join over
+    * never-null vars).
+    */
+  private def idTreeScope(op: Op): Option[Set[String]] = op match {
+    case b: Bgp =>
+      if (encodableBgp(b).isDefined) Some(Algebra.inScope(b).toSet) else None
+    case Join(a, b) => for (x <- idTreeScope(a); y <- idTreeScope(b)) yield x ++ y
+    case _ => None
+  }
+
+  /** Compile a Join-tree of encodable BGPs entirely on the id plane:
+    * every leaf keeps (as ids) the columns in `keep` plus this tree's
+    * cross-leaf join vars; leaves join greedily on shared id columns;
+    * columns outside `keep` are dropped before the caller decodes or
+    * aggregates. Returns None when `op` is not an encodable tree.
+    */
+  private def idFrameOf(op: Op, keep: Set[String]): Option[DataFrame] = {
+    def leaves(o: Op): Option[Seq[Bgp]] = o match {
+      case Join(a, b) => for (x <- leaves(a); y <- leaves(b)) yield x ++ y
+      case b: Bgp => Some(Seq(b))
+      case _ => None
+    }
+    leaves(op).flatMap { bgps =>
+      val parts = bgps.map(encodableBgp)
+      if (parts.exists(_.isEmpty)) None
+      else {
+        val scopes = bgps.map(b => Algebra.inScope(b).toSet)
+        val shared = scopes.flatMap(_.toSeq).groupBy(identity)
+          .collect { case (v, occ) if occ.size > 1 => v }.toSet
+        val frames = parts.map(_.get).map { case (flat, enc, gv) =>
+          compBgpEncIds(flat, enc, gv, keep ++ shared)
+        }
+        val remaining = scala.collection.mutable.ArrayBuffer(frames: _*)
+        var acc = remaining.remove(0)
+        while (remaining.nonEmpty) {
+          val accVars = acc.columns.toSet
+          val idx = remaining.indexWhere(_.columns.exists(accVars.contains))
+          val pick = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
+          acc = idJoin(acc, pick)
+        }
+        val dead = acc.columns.filterNot(keep)
+        Some(
+          if (dead.length == acc.columns.length)
+            acc.select(nullTerm.as(freshName("c")))
+          else acc.drop(dead.toIndexedSeq: _*))
+      }
+    }
+  }
+
   /** Simple BGP on the encoded plane → (desugared patterns, scoped
     * encoded table, graph var). None when no encoded view exists or a
     * predicate needs the struct path machinery.
@@ -668,12 +755,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * COUNT(DISTINCT ?v) (distinct ids = distinct full terms by
     * construction) and SAMPLE(?v) (the winning id decodes after).
     */
-  private def groupOverIds(b: Bgp, keys: Seq[(String, Option[Expr])],
+  private def groupOverIds(input: Op, keys: Seq[(String, Option[Expr])],
       aggs: Seq[(String, EAgg)]): Option[DataFrame] = {
-    val encOpt = encodableBgp(b)
-    if (encOpt.isEmpty) return None
-    val (flat, enc, gVar) = encOpt.get
-    val scope = Algebra.inScope(Bgp(flat, b.graph)).toSet
+    val scopeOpt = idTreeScope(input)
+    if (scopeOpt.isEmpty) return None
+    val scope = scopeOpt.get
     def plainVar(o: Option[Expr]): Option[String] =
       o match { case Some(EVar(v)) if scope(v) => Some(v); case _ => None }
     val keyOk = keys.forall { case (v, e) => e.isEmpty && scope(v) }
@@ -683,7 +769,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     }
     if (!keyOk || !aggOk) return None
     val keep = keys.map(_._1).toSet ++ aggs.flatMap(kv => plainVar(kv._2.arg))
-    val ids = compBgpEncIds(flat, enc, gVar, keep)
+    val ids = idFrameOf(input, keep).get
     val aggCols = aggs.map { case (out, a) =>
       (a.fn match {
         case "count" => plainVar(a.arg) match {
@@ -710,14 +796,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   /** SELECT DISTINCT over plain BGP-bound variables: dedup on ids,
     * decode only the surviving rows.
     */
-  private def distinctOverIds(b: Bgp, vars: Seq[String]): Option[DataFrame] =
-    encodableBgp(b).flatMap { case (flat, enc, gVar) =>
-      val scope = Algebra.inScope(Bgp(flat, b.graph)).toSet
+  private def distinctOverIds(input: Op, vars: Seq[String]): Option[DataFrame] =
+    idTreeScope(input).flatMap { scope =>
       if (vars.isEmpty || !vars.forall(scope)) None
-      else {
-        val ids = compBgpEncIds(flat, enc, gVar, vars.toSet)
-        Some(decodeSolutions(ids.select(vars.map(ids(_)): _*).distinct()))
-      }
+      else idFrameOf(input, vars.toSet).map(ids =>
+        decodeSolutions(ids.select(vars.map(ids(_)): _*).distinct()))
     }
 
   /** Result-edge decode: every long column is a term id → dictionary

@@ -425,7 +425,12 @@ class SparqlSpec extends GraftSuite {
       "SELECT DISTINCT ?n WHERE { ?c :nation ?n }",
       "SELECT DISTINCT ?p ?o WHERE { GRAPH g:region { ?s ?p ?o } }",
       // single-valued groups: SAMPLE deterministic on both planes
-      "SELECT ?r (SAMPLE(?rn) AS ?sn) WHERE { ?n :region ?r . ?r :name ?rn } GROUP BY ?r")
+      "SELECT ?r (SAMPLE(?rn) AS ?sn) WHERE { ?n :region ?r . ?r :name ?rn } GROUP BY ?r",
+      // Join-trees (GRAPH block + default-graph triples) stay id-plane
+      "SELECT ?c ?nm WHERE { ?c :nation ?n . GRAPH g:nation { ?n :name ?nm } }",
+      "SELECT ?nm (COUNT(?c) AS ?n) WHERE { ?c :nation ?n . GRAPH g:nation { ?n :name ?nm } } GROUP BY ?nm",
+      "SELECT ?g (COUNT(*) AS ?n) WHERE { ?c a :Customer . GRAPH ?g { ?c :nation ?x } } GROUP BY ?g",
+      "SELECT DISTINCT ?nm WHERE { ?c :nation ?n . GRAPH g:nation { ?n :name ?nm } }")
     for (text <- queries) {
       val plain = Sparql.query(spark, quads, text).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
