@@ -757,7 +757,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     */
   private def groupOverIds(input: Op, keys: Seq[(String, Option[Expr])],
       aggs: Seq[(String, EAgg)]): Option[DataFrame] = {
-    val scopeOpt = idTreeScope(input)
+    val (core, conds) = stripFilters(input)
+    val scopeOpt = idTreeScope(core)
     if (scopeOpt.isEmpty) return None
     val scope = scopeOpt.get
     def plainVar(o: Option[Expr]): Option[String] =
@@ -768,8 +769,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         (a.fn == "sample" && plainVar(a.arg).isDefined)
     }
     if (!keyOk || !aggOk) return None
-    val keep = keys.map(_._1).toSet ++ aggs.flatMap(kv => plainVar(kv._2.arg))
-    val ids = idFrameOf(input, keep).get
+    val filterVars = conds.flatMap(exprVarSet).toSet.intersect(scope)
+    val keep = keys.map(_._1).toSet ++
+      aggs.flatMap(kv => plainVar(kv._2.arg)) ++ filterVars
+    val ids = applyFilters(idFrameOf(core, keep).get, conds, filterVars)
     val aggCols = aggs.map { case (out, a) =>
       (a.fn match {
         case "count" => plainVar(a.arg) match {
@@ -796,12 +799,55 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   /** SELECT DISTINCT over plain BGP-bound variables: dedup on ids,
     * decode only the surviving rows.
     */
-  private def distinctOverIds(input: Op, vars: Seq[String]): Option[DataFrame] =
-    idTreeScope(input).flatMap { scope =>
+  private def distinctOverIds(input: Op, vars: Seq[String]): Option[DataFrame] = {
+    val (core, conds) = stripFilters(input)
+    idTreeScope(core).flatMap { scope =>
       if (vars.isEmpty || !vars.forall(scope)) None
-      else idFrameOf(input, vars.toSet).map(ids =>
-        decodeSolutions(ids.select(vars.map(ids(_)): _*).distinct()))
+      else {
+        val filterVars = conds.flatMap(exprVarSet).toSet.intersect(scope)
+        idFrameOf(core, vars.toSet ++ filterVars).map { ids0 =>
+          val ids = applyFilters(ids0, conds, filterVars)
+          decodeSolutions(ids.select(vars.map(ids(_)): _*).distinct())
+        }
+      }
     }
+  }
+
+  /** Peel FILTER layers (without EXISTS — that needs the solution-join
+    * machinery) off an op so the id-plane consumers can see the tree
+    * beneath; returns (core, peeled conditions).
+    */
+  private def stripFilters(op: Op): (Op, Seq[Expr]) = op match {
+    case Filter(c, i) if !containsExists(c) =>
+      val (core, rest) = stripFilters(i)
+      (core, c +: rest)
+    case other => (other, Nil)
+  }
+
+  /** Decode just the filter-read columns of an id frame and apply the
+    * conditions with the same EBV boxing the generic Filter case uses.
+    */
+  private def applyFilters(ids: DataFrame, conds: Seq[Expr],
+      filterVars: Set[String]): DataFrame =
+    if (conds.isEmpty) ids
+    else {
+      val partial = decodeCols(ids, filterVars)
+      conds.foldLeft(partial)((d, c) =>
+        d.filter(coalesce(compBool(c, resolver(d)), lit(false))))
+    }
+
+  private def exprVarSet(e: Expr): Set[String] = e match {
+    case EVar(v) => Set(v)
+    case ECall(_, as) => as.flatMap(exprVarSet).toSet
+    case EAgg(_, arg, _, _) => arg.map(exprVarSet).getOrElse(Set.empty)
+    case _ => Set.empty
+  }
+
+  private def containsExists(e: Expr): Boolean = e match {
+    case EExists(_, _) => true
+    case ECall(_, as) => as.exists(containsExists)
+    case _ => false
+  }
 
   /** Result-edge decode: every long column is a term id → dictionary
     * join back to its term struct; a string column is a raw graph name
@@ -809,18 +855,26 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * joins are safe — every id in a solution came out of the encoded
     * table, so the dictionary resolves it by construction.
     */
-  private def decodeSolutions(df: DataFrame): DataFrame = {
+  private def decodeSolutions(df: DataFrame): DataFrame =
+    decodeCols(df, df.columns.toSet)
+
+  /** Partial decode: only the named columns resolve through the
+    * dictionary (long id → term struct, raw graph string → IRI term);
+    * every other column keeps its id. Lets a FILTER evaluate over just
+    * the terms it reads while group keys stay 8-byte ids.
+    */
+  private def decodeCols(df: DataFrame, names: Set[String]): DataFrame = {
     val dict = encoded.get.dict
     var d = df
     val outCols = df.schema.fields.map { f =>
       f.dataType match {
-        case LongType =>
+        case LongType if names(f.name) =>
           val idAlias = freshName("did")
           val dd = dict.select(col("id").as(idAlias), col("term").as(freshName("dterm")))
           val termCol = dd.columns(1)
           d = d.join(dd, d(f.name) === dd(idAlias), "inner")
           col(termCol).as(f.name)
-        case StringType => Rdf.iri(col(f.name)).as(f.name)
+        case StringType if names(f.name) => Rdf.iri(col(f.name)).as(f.name)
         case _ => col(f.name)
       }
     }

@@ -430,7 +430,11 @@ class SparqlSpec extends GraftSuite {
       "SELECT ?c ?nm WHERE { ?c :nation ?n . GRAPH g:nation { ?n :name ?nm } }",
       "SELECT ?nm (COUNT(?c) AS ?n) WHERE { ?c :nation ?n . GRAPH g:nation { ?n :name ?nm } } GROUP BY ?nm",
       "SELECT ?g (COUNT(*) AS ?n) WHERE { ?c a :Customer . GRAPH ?g { ?c :nation ?x } } GROUP BY ?g",
-      "SELECT DISTINCT ?nm WHERE { ?c :nation ?n . GRAPH g:nation { ?n :name ?nm } }")
+      "SELECT DISTINCT ?nm WHERE { ?c :nation ?n . GRAPH g:nation { ?n :name ?nm } }",
+      // FILTER layers peel off: filter vars decode, keys stay ids
+      "SELECT ?n (COUNT(?c) AS ?k) WHERE { ?c :nation ?n . ?c :acctbal ?b . FILTER(?b > 5000) } GROUP BY ?n",
+      "SELECT DISTINCT ?n WHERE { ?c :nation ?n . ?c :mktsegment ?m . FILTER(?m = \"BUILDING\") }",
+      "SELECT (COUNT(*) AS ?k) WHERE { ?c a :Customer . ?c :name ?nm . FILTER(REGEX(?nm, \"00\")) }")
     for (text <- queries) {
       val plain = Sparql.query(spark, quads, text).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
