@@ -694,6 +694,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case b: Bgp =>
       if (encodableBgp(b).isDefined) Some(Algebra.inScope(b).toSet) else None
     case Join(a, b) => for (x <- idTreeScope(a); y <- idTreeScope(b)) yield x ++ y
+    // UNION: only the vars bound in EVERY branch are id-plane reliable
+    // (a branch-missing var widens to unbound on the struct plane);
+    // consumers must restrict themselves to this common scope
+    case Union(a, b) =>
+      for (x <- idTreeScope(a); y <- idTreeScope(b)) yield x.intersect(y)
     case _ => None
   }
 
@@ -703,7 +708,24 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * columns outside `keep` are dropped before the caller decodes or
     * aggregates. Returns None when `op` is not an encodable tree.
     */
-  private def idFrameOf(op: Op, keep: Set[String]): Option[DataFrame] = {
+  private def idFrameOf(op: Op, keep: Set[String]): Option[DataFrame] = op match {
+    // top-level UNION: bag-union the branch id frames when both carry
+    // exactly the same kept columns with the same types (vars common
+    // to both branches — the idTreeScope contract); a DISTINCT or
+    // GROUP above then dedups/aggregates across branches on ids
+    case Union(a, b) =>
+      for {
+        fa <- idFrameOf(a, keep)
+        fb <- idFrameOf(b, keep)
+        if fa.columns.sorted.sameElements(fb.columns.sorted) &&
+          fa.columns.forall(keep) &&
+          fa.columns.forall(c =>
+            fa.schema(c).dataType == fb.schema(c).dataType)
+      } yield fa.unionByName(fb)
+    case _ => idFrameOfJoinTree(op, keep)
+  }
+
+  private def idFrameOfJoinTree(op: Op, keep: Set[String]): Option[DataFrame] = {
     def leaves(o: Op): Option[Seq[Bgp]] = o match {
       case Join(a, b) => for (x <- leaves(a); y <- leaves(b)) yield x ++ y
       case b: Bgp => Some(Seq(b))
@@ -769,10 +791,17 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         (a.fn == "sample" && plainVar(a.arg).isDefined)
     }
     if (!keyOk || !aggOk) return None
-    val filterVars = conds.flatMap(exprVarSet).toSet.intersect(scope)
+    // a filter var bound in SOME branch but not the common scope
+    // widens to unbound on rows of the other branches — the id frames
+    // cannot represent that, so bail to the struct plane
+    val filterVarsAll = conds.flatMap(exprVarSet).toSet
+      .intersect(Algebra.inScope(core).toSet)
+    if (!filterVarsAll.subsetOf(scope)) return None
     val keep = keys.map(_._1).toSet ++
-      aggs.flatMap(kv => plainVar(kv._2.arg)) ++ filterVars
-    val ids = applyFilters(idFrameOf(core, keep).get, conds, filterVars)
+      aggs.flatMap(kv => plainVar(kv._2.arg)) ++ filterVarsAll
+    val idsOpt = idFrameOf(core, keep)
+    if (idsOpt.isEmpty) return None
+    val ids = applyFilters(idsOpt.get, conds, filterVarsAll)
     val aggCols = aggs.map { case (out, a) =>
       (a.fn match {
         case "count" => plainVar(a.arg) match {
@@ -802,13 +831,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def distinctOverIds(input: Op, vars: Seq[String]): Option[DataFrame] = {
     val (core, conds) = stripFilters(input)
     idTreeScope(core).flatMap { scope =>
-      if (vars.isEmpty || !vars.forall(scope)) None
-      else {
-        val filterVars = conds.flatMap(exprVarSet).toSet.intersect(scope)
-        idFrameOf(core, vars.toSet ++ filterVars).map { ids0 =>
-          val ids = applyFilters(ids0, conds, filterVars)
-          decodeSolutions(ids.select(vars.map(ids(_)): _*).distinct())
-        }
+      val filterVarsAll = conds.flatMap(exprVarSet).toSet
+        .intersect(Algebra.inScope(core).toSet)
+      if (vars.isEmpty || !vars.forall(scope) || !filterVarsAll.subsetOf(scope)) None
+      else idFrameOf(core, vars.toSet ++ filterVarsAll).map { ids0 =>
+        val ids = applyFilters(ids0, conds, filterVarsAll)
+        decodeSolutions(ids.select(vars.map(ids(_)): _*).distinct())
       }
     }
   }

@@ -434,7 +434,13 @@ class SparqlSpec extends GraftSuite {
       // FILTER layers peel off: filter vars decode, keys stay ids
       "SELECT ?n (COUNT(?c) AS ?k) WHERE { ?c :nation ?n . ?c :acctbal ?b . FILTER(?b > 5000) } GROUP BY ?n",
       "SELECT DISTINCT ?n WHERE { ?c :nation ?n . ?c :mktsegment ?m . FILTER(?m = \"BUILDING\") }",
-      "SELECT (COUNT(*) AS ?k) WHERE { ?c a :Customer . ?c :name ?nm . FILTER(REGEX(?nm, \"00\")) }")
+      "SELECT (COUNT(*) AS ?k) WHERE { ?c a :Customer . ?c :name ?nm . FILTER(REGEX(?nm, \"00\")) }",
+      // UNION trees: dedup / aggregate across branches on ids
+      "SELECT DISTINCT ?name WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } }",
+      "SELECT ?x (COUNT(?x) AS ?k) WHERE { { ?x a :Nation } UNION { ?x :region ?r } } GROUP BY ?x",
+      // branch-missing var in the projection → struct-plane fallback,
+      // results must still agree
+      "SELECT DISTINCT ?name ?r WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } }")
     for (text <- queries) {
       val plain = Sparql.query(spark, quads, text).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
