@@ -313,33 +313,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           (if (d.columns.contains(v)) d(v) else nullTerm).as(v)): _*)
       widen(ld).unionByName(widen(rd))
 
-    case Minus(l, r) =>
-      val (ld, rd) = (comp(l), comp(r))
-      val shared = ld.columns.intersect(rd.columns).toIndexedSeq
-      if (shared.isEmpty) ld // MINUS with disjoint domains removes nothing
-      else {
-        val nullable = maybeUnbound(l) ++ maybeUnbound(r)
-        val renames = shared.map(v => v -> freshName(v)).toMap
-        val rr = shared.foldLeft(rd.select(shared.map(rd(_)): _*)) {
-          (d, v) => d.withColumnRenamed(v, renames(v))
-        }
-        // remove l when some r is COMPATIBLE (unbound matches anything)
-        // AND the two solutions share at least one mutually BOUND var —
-        // disjoint domains remove nothing (SPARQL §18.5, Minus). The
-        // null-tolerant form only where a var can actually be unbound,
-        // keeping the common all-bound case a hash-joinable equality.
-        val compat = shared.map(v =>
-          if (nullable(v))
-            ld(v).isNull || rr(renames(v)).isNull ||
-              termEq(ld(v), rr(renames(v)))
-          else termEq(ld(v), rr(renames(v)))).reduce(_ && _)
-        val overlap = shared.map(v =>
-          if (nullable(v)) ld(v).isNotNull && rr(renames(v)).isNotNull
-          else lit(true)).reduce(_ || _)
-        ld.join(rr, compat && overlap, "left_anti")
-      }
+    case Minus(l, r) => compMinus(l, r)
 
     case Filter(cond, input) =>
+      cond match {
+        case EExists(sub, positive) =>
+          val pushed = filterJoinOverIds(input, sub, positive)
+          if (pushed.isDefined) return pushed.get
+        case _ => ()
+      }
       val in = comp(input)
       cond match {
         case EExists(sub, positive) =>
@@ -418,8 +400,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           case (d, (_, None)) => d
         }
         val aggCols = aggs.map { case (out, a) => compAgg(a, in).as(out) }
-        if (keys.isEmpty) in.agg(aggCols.head, aggCols.tail: _*)
-        else in.groupBy(keys.map(k => in(k._1)): _*).agg(aggCols.head, aggCols.tail: _*)
+        // an unbound group key groups every row under the single
+        // unbound key (§18.2.4.1) rather than failing resolution
+        def keyCol(k: (String, Option[Expr])) =
+          (if (in.columns.contains(k._1)) in(k._1) else nullTerm).as(k._1)
+        // GROUP BY with no aggregates (legal §18.2.4.1): one row per
+        // group, i.e. DISTINCT over the key columns
+        if (aggCols.isEmpty) in.select(keys.map(keyCol): _*).distinct()
+        else if (keys.isEmpty) in.agg(aggCols.head, aggCols.tail: _*)
+        else in.groupBy(keys.map(keyCol): _*).agg(aggCols.head, aggCols.tail: _*)
       }
 
     case Project(input, vars) =>
@@ -447,6 +436,38 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       if (limit >= 0) d = d.limit((offset + limit).toInt)
       if (offset > 0) d = d.offset(offset.toInt)
       d
+  }
+
+  private def compMinus(l: Op, r: Op): DataFrame = {
+    // both sides encodable trees → anti join on 8-byte ids
+    filterJoinOverIds(l, r, positive = false, emptySharedKeepsAll = true) match {
+      case Some(df) => df
+      case None =>
+        val (ld, rd) = (comp(l), comp(r))
+        val shared = ld.columns.intersect(rd.columns).toIndexedSeq
+        if (shared.isEmpty) ld // MINUS with disjoint domains removes nothing
+        else {
+          val nullable = maybeUnbound(l) ++ maybeUnbound(r)
+          val renames = shared.map(v => v -> freshName(v)).toMap
+          val rr = shared.foldLeft(rd.select(shared.map(rd(_)): _*)) {
+            (d, v) => d.withColumnRenamed(v, renames(v))
+          }
+          // remove l when some r is COMPATIBLE (unbound matches anything)
+          // AND the two solutions share at least one mutually BOUND var —
+          // disjoint domains remove nothing (SPARQL §18.5, Minus). The
+          // null-tolerant form only where a var can actually be unbound,
+          // keeping the common all-bound case a hash-joinable equality.
+          val compat = shared.map(v =>
+            if (nullable(v))
+              ld(v).isNull || rr(renames(v)).isNull ||
+                termEq(ld(v), rr(renames(v)))
+            else termEq(ld(v), rr(renames(v)))).reduce(_ && _)
+          val overlap = shared.map(v =>
+            if (nullable(v)) ld(v).isNotNull && rr(renames(v)).isNotNull
+            else lit(true)).reduce(_ || _)
+          ld.join(rr, compat && overlap, "left_anti")
+        }
+    }
   }
 
   private def resolver(df: DataFrame): String => Column =
@@ -819,7 +840,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       }).as(out)
     }
     val grouped =
-      if (keys.isEmpty) ids.agg(aggCols.head, aggCols.tail: _*)
+      if (aggCols.isEmpty) ids.select(keys.map(k => ids(k._1)): _*).distinct()
+      else if (keys.isEmpty) ids.agg(aggCols.head, aggCols.tail: _*)
       else ids.groupBy(keys.map(k => ids(k._1)): _*)
         .agg(aggCols.head, aggCols.tail: _*)
     Some(decodeSolutions(grouped))
@@ -838,6 +860,97 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         val ids = applyFilters(ids0, conds, filterVarsAll)
         decodeSolutions(ids.select(vars.map(ids(_)): _*).distinct())
       }
+    }
+  }
+
+  /** Per-var Bgp-leaf bind counts across a Join/Union tree — the
+    * in-tree half of the external-shared computation (vars whose
+    * global leaf count exceeds their in-tree count are joined by an
+    * op OUTSIDE the tree and must decode).
+    */
+  private def countTreeLeaves(o: Op,
+      acc: Map[String, Int] = Map.empty): Map[String, Int] = o match {
+    case Join(a, b) => countTreeLeaves(b, countTreeLeaves(a, acc))
+    case Union(a, b) => countTreeLeaves(b, countTreeLeaves(a, acc))
+    case b: Bgp => Algebra.inScope(b).foldLeft(acc)((m, v) =>
+      m.updated(v, m.getOrElse(v, 0) + 1))
+    case _ => acc
+  }
+
+  /** EXISTS / NOT EXISTS / MINUS where both the left tree and the
+    * probe pattern are encodable: a left-semi/anti join on id columns.
+    * At scale this is the id-plane version of the filter-join family:
+    * the probe side ships 8-byte keys, the left side never decodes
+    * rows the anti-join would discard. FILTER layers on either side
+    * peel with partial decode (left-side conditions apply after the
+    * semi-join — conjunctive, so order-free). Returns the DECODED
+    * solution frame.
+    */
+  private def filterJoinOverIds(input: Op, sub: Op, positive: Boolean,
+      emptySharedKeepsAll: Boolean = false): Option[DataFrame] = {
+    val (core, conds) = stripFilters(input)
+    val (subCore, subConds) = stripFilters(sub)
+    (idTreeScope(core), idTreeScope(subCore)) match {
+      case (Some(scope), Some(subScope)) =>
+        val shared = scope.intersect(subScope)
+        val subFilterVars = subConds.flatMap(exprVarSet).toSet
+          .intersect(Algebra.inScope(subCore).toSet)
+        val leftFilterVars = conds.flatMap(exprVarSet).toSet
+          .intersect(Algebra.inScope(core).toSet)
+        // a decoded (struct) column cannot serve as an id join key;
+        // a filter var outside the common scope widens to unbound
+        if (subFilterVars.exists(shared) || !subFilterVars.subsetOf(subScope) ||
+          !leftFilterVars.subsetOf(scope)) return None
+        // UNION-branch-partial vars (in a tree's full scope but not
+        // its common scope) would join with null-compat semantics on
+        // the struct plane — invisible to id frames, so bail
+        val fullCore = Algebra.inScope(core).toSet
+        val fullSub = Algebra.inScope(subCore).toSet
+        if ((fullSub -- subScope).exists(fullCore) ||
+          (fullCore -- scope).exists(fullSub)) return None
+        val inTree = countTreeLeaves(subCore, countTreeLeaves(core))
+        val external = scope.filter(v =>
+          leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
+        // a branch-partial var the query consumes (or an outside op
+        // joins on) cannot be dropped — only the struct plane widens it
+        if ((fullCore -- scope).exists(v => refNeeded(v) ||
+          leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))) return None
+        val keepOut = (refNeeded ++ external).intersect(scope)
+        val leftOpt = idFrameOf(core, keepOut ++ shared ++ leftFilterVars)
+        val subOpt = idFrameOf(subCore, shared ++ subFilterVars)
+        (leftOpt, subOpt) match {
+          case (Some(leftIds), Some(subIds0)) =>
+            val subIds = applyFilters(subIds0, subConds, subFilterVars)
+            val joined =
+              if (shared.isEmpty) {
+                // MINUS with disjoint domains removes nothing (§18.5);
+                // EXISTS is a global existence test
+                if (emptySharedKeepsAll) leftIds
+                else {
+                  val any = !subIds.isEmpty
+                  if (any == positive) leftIds else leftIds.limit(0)
+                }
+              } else {
+                val sharedCols = shared.toIndexedSeq
+                val renames = sharedCols.map(v => v -> freshName(v)).toMap
+                val rr = sharedCols.foldLeft(
+                  subIds.select(sharedCols.map(subIds(_)): _*)) {
+                  (d, v) => d.withColumnRenamed(v, renames(v))
+                }
+                val cond = sharedCols.map(v =>
+                  leftIds(v) === rr(renames(v))).reduce(_ && _)
+                leftIds.join(rr, cond, if (positive) "left_semi" else "left_anti")
+              }
+            val filtered = applyFilters(joined, conds, leftFilterVars)
+            val dead = filtered.columns.filterNot(keepOut)
+            val kept =
+              if (dead.length == filtered.columns.length)
+                filtered.select(nullTerm.as(freshName("c")))
+              else filtered.drop(dead.toIndexedSeq: _*)
+            Some(decodeSolutions(kept))
+          case _ => None
+        }
+      case _ => None
     }
   }
 

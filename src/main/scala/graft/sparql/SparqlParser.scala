@@ -8,10 +8,12 @@ import Algebra._
   * `prepareTupleQuery(QueryLanguage.SPARQL, …)`
   * (`GraphDBSystemAdapter.java:246`): SELECT/ASK with BGPs, OPTIONAL,
   * UNION, MINUS, FILTER (incl. (NOT) EXISTS), BIND, VALUES, GRAPH,
-  * property paths (`^ / | * + ?` and negated sets), sub-SELECT,
-  * GROUP BY / HAVING / aggregates, ORDER BY / LIMIT / OFFSET,
-  * DISTINCT, FROM / FROM NAMED dataset clauses (§13.2), and the §17
-  * builtin/cast function set.
+  * property paths (`^ / | * + ?` and negated sets incl. inverse
+  * members and bare `!p`), blank nodes in patterns (`[ … ]` property
+  * lists, `( … )` collections, `_:label` — all non-distinguished
+  * variables, §4.1.4), sub-SELECT, GROUP BY / HAVING / aggregates,
+  * ORDER BY / LIMIT / OFFSET, DISTINCT, FROM / FROM NAMED dataset
+  * clauses (§13.2), and the §17 builtin/cast function set.
   *
   * PREFIX declarations expand prefixed names by plain string
   * concatenation; the engine treats IRIs as opaque strings (term

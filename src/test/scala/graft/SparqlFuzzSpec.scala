@@ -36,7 +36,12 @@ class SparqlFuzzSpec extends GraftSuite {
     "?s a :Customer", "?s :nation ?n", "?s :acctbal ?b", "?s :name ?nm",
     "?n :name ?nn", "?n :region ?r", "?r :name ?rn",
     "?s :mktsegment \"BUILDING\"", "?s :nation/:region ?r",
-    "?s !(:acctbal|:name) ?n")
+    "?s !(:acctbal|:name) ?n",
+    // blank-node sugar and the full negated-set grammar
+    "?s :nation [ :name ?nn ]",
+    "?s :nation [ :region [ :name ?rn ] ]",
+    "_:o :custkey ?s",
+    "?s !(:acctbal|^:custkey) ?n")
 
   // filters may reference vars the sampled BGP never binds — SPARQL
   // evaluates those to an error, i.e. FILTER drops the row; they must
@@ -92,6 +97,39 @@ class SparqlFuzzSpec extends GraftSuite {
       val expect = q.limit.map(l => full.slice(q.offset, q.offset + l))
         .getOrElse(full.drop(q.offset))
       assert(sliced == expect, render(q, withSlice = true))
+    }
+  }
+
+  lazy val enc: graft.core.EncodedQuads = graft.core.EncodedQuads(
+    graft.core.TermDictionary.encode(quads),
+    graft.core.TermDictionary.build(quads))
+
+  private def rowsEnc(text: String): Seq[String] =
+    Sparql.query(spark, quads, text, encoded = Some(enc)).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+
+  test("struct and id planes agree on random shapes") {
+    forAllSampled(qGen, 12) { q =>
+      val text = render(q, withSlice = false)
+      assert(rowsEnc(text).sorted == rows(text).sorted, text)
+    }
+  }
+
+  test("struct and id planes agree on random aggregates") {
+    // exercises the DISTINCT / GROUP BY id-plane pushdown and its
+    // struct-plane fallbacks on the same sampled patterns
+    forAllSampled(qGen, 12) { q =>
+      val body = (q.pats.map(_ + " .") ++
+        q.filt.map(f => s"FILTER($f)")).mkString(" ")
+      val bound = "?s ?n ?b ?nm ?nn ?r ?rn".split(" ")
+        .filter(v => body.contains(v + " ") || body.contains(v + ")"))
+      val key = bound.head
+      val other = bound.last
+      val agg = s"SELECT $key (COUNT(*) AS ?c1) (COUNT(DISTINCT $other) AS ?c2) " +
+        s"WHERE { $body } GROUP BY $key"
+      assert(rowsEnc(agg).sorted == rows(agg).sorted, agg)
+      val dist = s"SELECT DISTINCT ${bound.mkString(" ")} WHERE { $body }"
+      assert(rowsEnc(dist).sorted == rows(dist).sorted, dist)
     }
   }
 

@@ -440,7 +440,17 @@ class SparqlSpec extends GraftSuite {
       "SELECT ?x (COUNT(?x) AS ?k) WHERE { { ?x a :Nation } UNION { ?x :region ?r } } GROUP BY ?x",
       // branch-missing var in the projection → struct-plane fallback,
       // results must still agree
-      "SELECT DISTINCT ?name ?r WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } }")
+      "SELECT DISTINCT ?name ?r WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } }",
+      // GROUP BY without aggregates: one row per group (§18.2.4.1)
+      "SELECT ?n WHERE { ?c :nation ?n } GROUP BY ?n",
+      // EXISTS / NOT EXISTS / MINUS: id-plane semi/anti joins
+      "SELECT ?n ?nm WHERE { ?n a :Nation ; :name ?nm . FILTER EXISTS { ?c :nation ?n . ?c :mktsegment \"BUILDING\" } }",
+      "SELECT ?n ?nm WHERE { ?n a :Nation ; :name ?nm . FILTER NOT EXISTS { ?s a :Supplier ; :nation ?n } }",
+      "SELECT ?c WHERE { ?c a :Customer . MINUS { ?c :nation ?n . ?n :region ?r . ?r :name \"ASIA\" } }",
+      // MINUS with no shared vars removes nothing
+      "SELECT ?r WHERE { ?r a :Region . MINUS { ?x a :Nation } }",
+      // filters on either side of the probe peel with partial decode
+      "SELECT ?c WHERE { ?c a :Customer . ?c :acctbal ?b . FILTER(?b > 0) . FILTER EXISTS { ?c :nation ?n . ?n :name ?nn . FILTER(STRLEN(?nn) > 5) } }")
     for (text <- queries) {
       val plain = Sparql.query(spark, quads, text).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
@@ -539,6 +549,14 @@ class SparqlSpec extends GraftSuite {
     val longer = Sparql.query(spark, snap,
       "SELECT ?s WHERE { ?s ex:items ( ex:tea ) }").collect()
     assert(longer.isEmpty)
+  }
+
+  test("GROUP BY with no aggregates equals DISTINCT over the keys") {
+    val g = q("SELECT ?n WHERE { ?c :nation ?n } GROUP BY ?n")
+      .map(_.getString(0)).sorted.toSeq
+    val d = q("SELECT DISTINCT ?n WHERE { ?c :nation ?n }")
+      .map(_.getString(0)).sorted.toSeq
+    assert(g == d && g.nonEmpty)
   }
 
   test("EXISTS inside BIND binds a boolean term") {
