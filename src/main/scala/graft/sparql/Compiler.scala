@@ -303,7 +303,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         solJoin(comp(l), comp(r), "inner", maybeUnbound(l) ++ maybeUnbound(r)))
 
     case LeftJoin(l, r, cond) =>
-      solLeftJoin(comp(l), comp(r), cond, maybeUnbound(l) ++ maybeUnbound(r))
+      leftJoinOverIds(l, r, cond).getOrElse(
+        solLeftJoin(comp(l), comp(r), cond, maybeUnbound(l) ++ maybeUnbound(r)))
 
     case Union(l, r) =>
       val (ld, rd) = (comp(l), comp(r))
@@ -954,6 +955,72 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     }
   }
 
+  /** OPTIONAL over id trees: left-outer join on 8-byte shared ids.
+    * Right-only columns come back as nullable ids and decode with a
+    * LEFT dictionary join (null id → unbound term). The embedded
+    * condition's columns decode on their side before the join; left
+    * FILTER layers apply after it (they read left columns only, and a
+    * left-outer join preserves the left rows they would have removed,
+    * so the order is interchangeable). UNION-partial scopes bail.
+    */
+  private def leftJoinOverIds(l: Op, r: Op,
+      filt: Option[Expr]): Option[DataFrame] = {
+    if (filt.exists(containsExists)) return None
+    val (lCore, lConds) = stripFilters(l)
+    (idTreeScope(lCore), idTreeScope(r)) match {
+      case (Some(lScope), Some(rScope)) =>
+        val fullL = Algebra.inScope(lCore).toSet
+        val fullR = Algebra.inScope(r).toSet
+        if (fullL != lScope || fullR != rScope) return None
+        val shared = lScope.intersect(rScope)
+        val condVars = filt.map(exprVarSet).getOrElse(Set.empty)
+          .intersect(fullL ++ fullR)
+        val lCondVars = lConds.flatMap(exprVarSet).toSet.intersect(fullL)
+        // a decoded condition column cannot double as an id join key
+        if (condVars.exists(shared)) return None
+        val inTree = countTreeLeaves(r, countTreeLeaves(lCore))
+        val external = (lScope ++ rScope).filter(v =>
+          leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
+        val keepOut = refNeeded ++ external
+        val keepL = (keepOut ++ shared ++ condVars ++ lCondVars).intersect(fullL)
+        val keepR = (keepOut ++ shared ++ condVars).intersect(fullR)
+        (idFrameOf(lCore, keepL), idFrameOf(r, keepR)) match {
+          case (Some(lIds0), Some(rIds0)) =>
+            val lIds = decodeCols(lIds0, condVars.intersect(fullL))
+            val rIds = decodeCols(rIds0, condVars.intersect(fullR))
+            val sharedCols = shared.toIndexedSeq
+              .filter(v => lIds.columns.contains(v) && rIds.columns.contains(v))
+            val renames = rIds.columns.map(v => v -> freshName(v)).toMap
+            val rr = rIds.columns.foldLeft(rIds) {
+              (d, v) => d.withColumnRenamed(v, renames(v))
+            }
+            val eqCond = sharedCols.map(v => lIds(v) === rr(renames(v)))
+            val resolveMerged: String => Column = v =>
+              if (lIds.columns.contains(v)) lIds(v)
+              else if (rIds.columns.contains(v)) rr(renames(v))
+              else nullTerm
+            val fCond = filt.map(e =>
+              coalesce(compBool(e, resolveMerged), lit(false)))
+            val cond = (eqCond ++ fCond.toSeq).reduceOption(_ && _)
+              .getOrElse(lit(true))
+            val joined0 = lIds.join(rr, cond, "left_outer")
+            val rightOnly = rIds.columns.filterNot(sharedCols.contains)
+            val joined = joined0.select(
+              (lIds.columns.map(joined0(_)) ++
+                rightOnly.map(v => joined0(renames(v)).as(v))).toIndexedSeq: _*)
+            val filtered = applyFilters(joined, lConds, lCondVars)
+            val dead = filtered.columns.filterNot(keepOut)
+            val kept =
+              if (dead.length == filtered.columns.length)
+                filtered.select(nullTerm.as(freshName("c")))
+              else filtered.drop(dead.toIndexedSeq: _*)
+            Some(decodeCols(kept, kept.columns.toSet, rightOnly.toSet))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** Peel FILTER layers (without EXISTS — that needs the solution-join
     * machinery) off an op so the id-plane consumers can see the tree
     * beneath; returns (core, peeled conditions).
@@ -1004,7 +1071,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * every other column keeps its id. Lets a FILTER evaluate over just
     * the terms it reads while group keys stay 8-byte ids.
     */
-  private def decodeCols(df: DataFrame, names: Set[String]): DataFrame = {
+  private def decodeCols(df: DataFrame, names: Set[String],
+      nullable: Set[String] = Set.empty): DataFrame = {
     val dict = encoded.get.dict
     var d = df
     val outCols = df.schema.fields.map { f =>
@@ -1013,9 +1081,17 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           val idAlias = freshName("did")
           val dd = dict.select(col("id").as(idAlias), col("term").as(freshName("dterm")))
           val termCol = dd.columns(1)
-          d = d.join(dd, d(f.name) === dd(idAlias), "inner")
+          // a nullable id (OPTIONAL's unmatched right side) must keep
+          // its row and decode to an unbound (null) term
+          d = d.join(dd, d(f.name) === dd(idAlias),
+            if (nullable(f.name)) "left" else "inner")
           col(termCol).as(f.name)
-        case StringType if names(f.name) => Rdf.iri(col(f.name)).as(f.name)
+        case StringType if names(f.name) =>
+          // nullable raw graph name (unmatched OPTIONAL side) → null
+          // TERM, not a struct of nulls
+          (if (nullable(f.name))
+            when(col(f.name).isNull, nullTerm).otherwise(Rdf.iri(col(f.name)))
+          else Rdf.iri(col(f.name))).as(f.name)
         case _ => col(f.name)
       }
     }

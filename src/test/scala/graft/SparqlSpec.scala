@@ -450,7 +450,12 @@ class SparqlSpec extends GraftSuite {
       // MINUS with no shared vars removes nothing
       "SELECT ?r WHERE { ?r a :Region . MINUS { ?x a :Nation } }",
       // filters on either side of the probe peel with partial decode
-      "SELECT ?c WHERE { ?c a :Customer . ?c :acctbal ?b . FILTER(?b > 0) . FILTER EXISTS { ?c :nation ?n . ?n :name ?nn . FILTER(STRLEN(?nn) > 5) } }")
+      "SELECT ?c WHERE { ?c a :Customer . ?c :acctbal ?b . FILTER(?b > 0) . FILTER EXISTS { ?c :nation ?n . ?n :name ?nn . FILTER(STRLEN(?nn) > 5) } }",
+      // OPTIONAL: id-plane left-outer joins, nullable right decode
+      "SELECT ?s ?bal WHERE { ?s a :Supplier . OPTIONAL { ?s :acctbal ?bal . FILTER(?bal > 5000) } }",
+      "SELECT ?r ?b WHERE { ?r a :Region . OPTIONAL { ?r :acctbal ?b } }",
+      "SELECT ?n ?g ?x WHERE { ?n a :Nation . OPTIONAL { GRAPH ?g { ?n :acctbal ?x } } }",
+      "SELECT ?s ?nm WHERE { ?s a :Supplier . ?s :acctbal ?b . FILTER(?b > 0) . OPTIONAL { ?s :nation ?n . ?n :name ?nm } }")
     for (text <- queries) {
       val plain = Sparql.query(spark, quads, text).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
