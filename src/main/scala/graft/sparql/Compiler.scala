@@ -286,15 +286,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       // this tree (they join by termEq above, so must decode); vars
       // shared only BETWEEN these leaves join as ids and never decode
       val pushed = idTreeScope(j).flatMap { scope =>
-        val inTree = {
-          def count(o: Op, acc: Map[String, Int]): Map[String, Int] = o match {
-            case Join(a, b) => count(b, count(a, acc))
-            case b: Bgp => Algebra.inScope(b).foldLeft(acc)((m, v) =>
-              m.updated(v, m.getOrElse(v, 0) + 1))
-            case _ => acc
-          }
-          count(j, Map.empty)
-        }
+        val inTree = countTreeLeaves(j)
         val externalShared = scope.filter(v =>
           leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
         idFrameOf(j, refNeeded ++ externalShared).map(decodeSolutions)
@@ -715,6 +707,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def idTreeScope(op: Op): Option[Set[String]] = op match {
     case b: Bgp =>
       if (encodableBgp(b).isDefined) Some(Algebra.inScope(b).toSet) else None
+    // VALUES with no UNDEF: constants encode to literal ids, so the
+    // block joins as an id leaf (its vars are never unbound)
+    case v: ValuesOp if encoded.isDefined &&
+      v.rows.forall(_.forall(_.isDefined)) => Some(v.vars.toSet)
     case Join(a, b) => for (x <- idTreeScope(a); y <- idTreeScope(b)) yield x ++ y
     // UNION: only the vars bound in EVERY branch are id-plane reliable
     // (a branch-missing var widens to unbound on the struct plane);
@@ -748,21 +744,36 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   }
 
   private def idFrameOfJoinTree(op: Op, keep: Set[String]): Option[DataFrame] = {
-    def leaves(o: Op): Option[Seq[Bgp]] = o match {
+    def leaves(o: Op): Option[Seq[Op]] = o match {
       case Join(a, b) => for (x <- leaves(a); y <- leaves(b)) yield x ++ y
       case b: Bgp => Some(Seq(b))
+      case v: ValuesOp if encoded.isDefined &&
+        v.rows.forall(_.forall(_.isDefined)) => Some(Seq(v))
       case _ => None
     }
-    leaves(op).flatMap { bgps =>
-      val parts = bgps.map(encodableBgp)
-      if (parts.exists(_.isEmpty)) None
+    leaves(op).flatMap { lvs =>
+      val scopes = lvs.map(l => Algebra.inScope(l).toSet)
+      val shared = scopes.flatMap(_.toSeq).groupBy(identity)
+        .collect { case (v, occ) if occ.size > 1 => v }.toSet
+      // every VALUES var must join a BGP leaf: a surviving row's ids
+      // then come off the encoded table, so the decode dictionary
+      // resolves them; a non-store-joined VALUES term may be absent
+      // from the dictionary and would decode-drop its row
+      val bgpVars = lvs.collect { case b: Bgp => Algebra.inScope(b).toSet }
+        .foldLeft(Set.empty[String])(_ ++ _)
+      val valuesOk = lvs.forall {
+        case v: ValuesOp => v.vars.forall(bgpVars)
+        case _ => true
+      }
+      val parts = lvs.map {
+        case b: Bgp => encodableBgp(b).map(p =>
+          () => compBgpEncIds(p._1, p._2, p._3, keep ++ shared))
+        case v: ValuesOp => Some(() => valuesIdFrame(v))
+        case _ => None
+      }
+      if (!valuesOk || parts.exists(_.isEmpty)) None
       else {
-        val scopes = bgps.map(b => Algebra.inScope(b).toSet)
-        val shared = scopes.flatMap(_.toSeq).groupBy(identity)
-          .collect { case (v, occ) if occ.size > 1 => v }.toSet
-        val frames = parts.map(_.get).map { case (flat, enc, gv) =>
-          compBgpEncIds(flat, enc, gv, keep ++ shared)
-        }
+        val frames = parts.map(_.get.apply())
         val remaining = scala.collection.mutable.ArrayBuffer(frames: _*)
         var acc = remaining.remove(0)
         while (remaining.nonEmpty) {
@@ -778,6 +789,19 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           else acc.drop(dead.toIndexedSeq: _*))
       }
     }
+  }
+
+  /** VALUES rows as an id relation: every term becomes its literal
+    * 64-bit id (driver-side xxhash64), so the block joins against the
+    * encoded table as a tiny broadcastable long relation.
+    */
+  private def valuesIdFrame(v: ValuesOp): DataFrame = {
+    import graft.core.TermDictionary.litTermId
+    v.rows.map { row =>
+      spark.range(1).select(v.vars.zip(row).map { case (name, t) =>
+        lit(litTermId(t.get.lex, t.get.kind)).as(name)
+      }.toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** Simple BGP on the encoded plane → (desugared patterns, scoped
@@ -875,6 +899,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case Union(a, b) => countTreeLeaves(b, countTreeLeaves(a, acc))
     case b: Bgp => Algebra.inScope(b).foldLeft(acc)((m, v) =>
       m.updated(v, m.getOrElse(v, 0) + 1))
+    case v: ValuesOp => v.vars.foldLeft(acc)((m, x) =>
+      m.updated(x, m.getOrElse(x, 0) + 1))
     case _ => acc
   }
 

@@ -455,7 +455,12 @@ class SparqlSpec extends GraftSuite {
       "SELECT ?s ?bal WHERE { ?s a :Supplier . OPTIONAL { ?s :acctbal ?bal . FILTER(?bal > 5000) } }",
       "SELECT ?r ?b WHERE { ?r a :Region . OPTIONAL { ?r :acctbal ?b } }",
       "SELECT ?n ?g ?x WHERE { ?n a :Nation . OPTIONAL { GRAPH ?g { ?n :acctbal ?x } } }",
-      "SELECT ?s ?nm WHERE { ?s a :Supplier . ?s :acctbal ?b . FILTER(?b > 0) . OPTIONAL { ?s :nation ?n . ?n :name ?nm } }")
+      "SELECT ?s ?nm WHERE { ?s a :Supplier . ?s :acctbal ?b . FILTER(?b > 0) . OPTIONAL { ?s :nation ?n . ?n :name ?nm } }",
+      // VALUES as an id leaf (constants become literal ids)
+      "SELECT ?n ?nm WHERE { VALUES ?nm { \"ASIA\" \"AFRICA\" \"ATLANTIS\" } . ?r :name ?nm . ?n :region ?r }",
+      "SELECT DISTINCT ?nm WHERE { VALUES ?nm { \"ASIA\" \"AFRICA\" } . ?r :name ?nm . ?n :region ?r }",
+      // UNDEF keeps the struct plane; planes must agree
+      "SELECT ?r ?nm WHERE { VALUES (?nm) { (\"ASIA\") (UNDEF) } . ?r :name ?nm . ?r a :Region }")
     for (text <- queries) {
       val plain = Sparql.query(spark, quads, text).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
