@@ -173,6 +173,37 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("OPTIONAL joins ids: left-outer exchanges carry longs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      val df = graft.sparql.Sparql.query(spark, q,
+        "SELECT ?s ?nm WHERE { ?s a :Supplier . OPTIONAL { ?s :nation ?n . ?n :name ?nm } }",
+        encoded = Some(enc))
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+      }
+      // the left-outer probe sides must exchange longs; structs appear
+      // only at the dictionary decode edge
+      assert(shuffles.exists(out => out.nonEmpty && out.forall(_ == LongType)),
+        s"no id-only exchange under OPTIONAL: $shuffles")
+      shuffles.foreach { out =>
+        assert(out.count(_.isInstanceOf[StructType]) <= 1,
+          s"a shuffle carries struct-typed solution rows: $out")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("closure path: pair relation is built in id space") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.LongType
