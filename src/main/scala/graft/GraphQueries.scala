@@ -144,6 +144,34 @@ object GraphQueries {
       $rounds
       SELECT v AS id, count(*)::BIGINT AS core_deg FROM (
         SELECT src AS v FROM e6 UNION ALL SELECT dst FROM e6) GROUP BY 1""")
+    }),
+
+    // deterministic synchronous label propagation over the
+    // part–supplier bipartite graph: 3 bounded rounds, most-frequent
+    // neighbor label, ties to the smallest — the run-order-free LPA
+    // variant that IS checkable cross-engine (async LPA is not)
+    Q("g_label_prop", (s, dir) => {
+      val edges = Tables(s, dir, "lineitem").select(
+        (col("l_partkey") + 1000000).cast("long").as("src"),
+        (col("l_suppkey") + 100000).cast("long").as("dst"))
+      GraphOps.labelPropagation(s, edges, rounds = 3)
+    }, {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT v, lbl FROM (
+              SELECT u.src AS v, l.lbl AS lbl, count(*) AS c,
+                     row_number() OVER (PARTITION BY u.src
+                       ORDER BY count(*) DESC, l.lbl ASC) AS rn
+              FROM und u JOIN l${i - 1} l ON l.v = u.dst
+              GROUP BY u.src, l.lbl) WHERE rn = 1)"""
+      }.mkString(",\n")
+      Some(s"""
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT (1000000+l_partkey)::BIGINT AS src,
+                    (100000+l_suppkey)::BIGINT AS dst FROM lineitem),
+      und AS MATERIALIZED (SELECT src, dst FROM e0
+                           UNION ALL SELECT dst, src FROM e0),
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM und),
+      $rounds
+      SELECT v AS id, lbl AS label FROM l3""")
     })
   )
 }

@@ -131,4 +131,36 @@ object GraphOps {
     }
     degrees(e).select(col("v").as("id"), col("c").as("core_deg"))
   }
+
+  /** Deterministic SYNCHRONOUS label propagation (community
+    * detection): labels start as the vertex id; each round every
+    * vertex adopts its neighbors' most frequent label, ties broken by
+    * the smallest label. The round count is part of the contract
+    * (bounded rounds — an async LPA would be run-order dependent and
+    * uncheckable cross-engine). Per round: one join + one aggregation,
+    * labels are 8-byte longs in every exchange — the standard
+    * billion-edge community pass.
+    */
+  def labelPropagation(spark: SparkSession, edges: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und0 = edges.select(col("src"), col("dst")).distinct()
+    val und = und0.unionByName(
+      und0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var labels = und.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src").as("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("v"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("v").as("id"), col("lbl").as("label"))
+  }
 }

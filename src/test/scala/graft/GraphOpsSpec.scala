@@ -27,6 +27,21 @@ class GraphOpsSpec extends GraftSuite {
     assert(GraphOps.kCore(spark, edges, k = 3, rounds = 4).isEmpty)
   }
 
+  test("labelPropagation: hand-computed sync rounds") {
+    import spark.implicits._
+    // path 1-2-3: after round 1 → (1:2, 2:1, 3:2); after round 2 the
+    // ends adopt 2's round-1 label and 2 sees {2,2} → (1:1, 2:2, 3:1)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got2 = GraphOps.labelPropagation(spark, path, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    // triangle: min label floods the clique in two rounds
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val gotTri = GraphOps.labelPropagation(spark, tri, rounds = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(gotTri == Set(1L))
+  }
+
   test("g_kcore fixture converges inside the 6-round contract") {
     val edges = graft.core.Tables(spark, sf, "lineitem").select(
       (col("l_partkey") + 1000000).cast("long").as("src"),
