@@ -84,6 +84,8 @@ object Turtle {
     * an escaped backslash followed by n/t/r ("\\\\n" is backslash+'n',
     * not backslash+newline)
     */
+  private def isHexDigit(c: Char): Boolean = Character.digit(c, 16) >= 0
+
   private def unescape(s: String): String = {
     val b = new StringBuilder
     var i = 0
@@ -91,14 +93,29 @@ object Turtle {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'n' => b.append('\n')
-          case 't' => b.append('\t')
-          case 'r' => b.append('\r')
-          case '"' => b.append('"')
-          case '\\' => b.append('\\')
-          case other => b.append('\\').append(other)
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case '"' => b.append('"'); i += 2
+          case '\'' => b.append('\''); i += 2
+          case '\\' => b.append('\\'); i += 2
+          // UCHAR (Turtle §6.4 / N-Triples canonical form): \uXXXX and
+          // \U00XXXXXX — canonical N-Triples escapes ALL non-ASCII this
+          // way, so dropping these would corrupt every such literal
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(isHexDigit) =>
+            b.appendAll(Character.toChars(
+              Integer.parseInt(s.substring(i + 2, i + 6), 16)))
+            i += 6
+          case 'U' if i + 10 <= s.length &&
+              s.substring(i + 2, i + 10).forall(isHexDigit) =>
+            b.appendAll(Character.toChars(
+              Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+            i += 10
+          case other => b.append('\\').append(other); i += 2
         }
-        i += 2
       } else { b.append(c); i += 1 }
     }
     b.toString

@@ -90,6 +90,8 @@ object SparqlParser {
     out.result()
   }
 
+  private def isHexDigit(c: Char): Boolean = Character.digit(c, 16) >= 0
+
   /** single left-to-right scan (sequential replaces corrupt "\\\\n") */
   private def unescape(s: String): String = {
     val b = new StringBuilder
@@ -98,14 +100,27 @@ object SparqlParser {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'n' => b.append('\n')
-          case 't' => b.append('\t')
-          case 'r' => b.append('\r')
-          case '"' => b.append('"')
-          case '\\' => b.append('\\')
-          case other => b.append('\\').append(other)
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case '"' => b.append('"'); i += 2
+          case '\'' => b.append('\''); i += 2
+          case '\\' => b.append('\\'); i += 2
+          // UCHAR escapes (SPARQL §19.2 shares Turtle's string grammar)
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(isHexDigit) =>
+            b.appendAll(Character.toChars(
+              Integer.parseInt(s.substring(i + 2, i + 6), 16)))
+            i += 6
+          case 'U' if i + 10 <= s.length &&
+              s.substring(i + 2, i + 10).forall(isHexDigit) =>
+            b.appendAll(Character.toChars(
+              Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+            i += 10
+          case other => b.append('\\').append(other); i += 2
         }
-        i += 2
       } else { b.append(c); i += 1 }
     }
     b.toString

@@ -162,4 +162,22 @@ class RioFormatsSpec extends GraftSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tgByG == Map("g:default" -> 1L, "http://ex.org/g1" -> 1L))
   }
+
+  test("UCHAR and ECHAR escapes decode in string literals") {
+    // canonical N-Triples escapes every non-ASCII char as \uXXXX /
+    // \U00XXXXXX — built by concatenation so Scala's own unicode
+    // processing can't pre-decode the source text
+    val bs = "\\"
+    val doc = "ex:a ex:label \"caf" + bs + "u00E9 " + bs +
+      "U0001F600 b" + bs + "fc" + bs + "'d\" ."
+    val stmts = graft.rio.Turtle.parseDoc(doc)
+    assert(stmts.head.o.lex ==
+      "café " + new String(Character.toChars(0x1F600)) + " b\fc'd")
+    // an escaped backslash followed by 'u' stays backslash + 'u'
+    val doc2 = "ex:a ex:label \"x" + bs + bs + "u0041\" ."
+    assert(graft.rio.Turtle.parseDoc(doc2).head.o.lex == "x" + bs + "u0041")
+    // malformed hex degrades to the literal sequence instead of a crash
+    val doc3 = "ex:a ex:label \"x" + bs + "uZZZZ\" ."
+    assert(graft.rio.Turtle.parseDoc(doc3).head.o.lex == "x" + bs + "uZZZZ")
+  }
 }

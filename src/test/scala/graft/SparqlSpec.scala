@@ -561,6 +561,12 @@ class SparqlSpec extends GraftSuite {
     assert(longer.isEmpty)
   }
 
+  test("UCHAR escapes decode in query string literals") {
+    val bs = "\\"
+    val rows = q("SELECT ?x WHERE { BIND(\"caf" + bs + "u00E9\" AS ?x) }")
+    assert(rows.map(_.getString(0)).toSeq == Seq("café"))
+  }
+
   test("GROUP BY with no aggregates equals DISTINCT over the keys") {
     val g = q("SELECT ?n WHERE { ?c :nation ?n } GROUP BY ?n")
       .map(_.getString(0)).sorted.toSeq
