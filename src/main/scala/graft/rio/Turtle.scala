@@ -46,10 +46,16 @@ object Turtle {
   private val TokenRe =
     ("""\s+|#[^\n]*""" +
       """|<[^<>\s{}|^`\\]*>""" +
+      // long strings FIRST (a short-string alternative would stop at
+      // the empty string ""); [^"\\] spans newlines — multi-line
+      // literals are the whole point of the form (Turtle §6.7)
+      "|\"{3}(?:[^\"\\\\]|\\\\.|\"{1,2}(?!\"))*\"{3}" +
+      "|'{3}(?:[^'\\\\]|\\\\.|'{1,2}(?!'))*'{3}" +
       """|"(?:[^"\\]|\\.)*"""" +
+      "|'(?:[^'\\\\\\n]|\\\\.)*'" +
       """|_:[A-Za-z0-9_:-]+""" + // ':' allowed: file-scope-salted labels round-trip
       """|@[A-Za-z][A-Za-z0-9-]*""" +
-      """|[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+(?:[eE][+-]?\d+)?""" +
+      """|[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+(?:[eE][+-]?\d+)?""" +
       """|[A-Za-z_][A-Za-z0-9_]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?|:[A-Za-z0-9_.-]*[A-Za-z0-9_-]|:""" +
       """|\^\^|[;,.\[\](){}]""" +
       """|[A-Za-z_][A-Za-z0-9_]*""").r
@@ -68,10 +74,14 @@ object Turtle {
           val c = s.charAt(0)
           if (c.isWhitespace || c == '#') ()
           else if (c == '<') out += TIri(s.substring(1, s.length - 1))
-          else if (c == '"') out += TStr(unescape(s.substring(1, s.length - 1)))
+          else if (s.startsWith("\"\"\"") || s.startsWith("'''"))
+            out += TStr(unescape(s.substring(3, s.length - 3)))
+          else if (c == '"' || c == '\'')
+            out += TStr(unescape(s.substring(1, s.length - 1)))
           else if (s.startsWith("_:")) out += TBNode(decodeBnodeLabel(s.substring(2)))
           else if (c == '@') out += TLang(s.substring(1))
-          else if (c.isDigit || ((c == '+' || c == '-') && s.length > 1)) out += TNum(s)
+          else if (c.isDigit || ((c == '+' || c == '-' || c == '.') && s.length > 1))
+            out += TNum(s)
           else if (s.contains(":")) out += TPName(s)
           else if (c.isLetter || c == '_') out += TWord(s)
           else out += TPunct(s)

@@ -39,10 +39,15 @@ object SparqlParser {
   private val TokenRe =
     ("""\s+|#[^\n]*""" +                      // skip: whitespace, comments
       """|<[^<>\s{}|^`\\]*>""" +              // IRIREF
+      // long strings before the short forms (SPARQL §19.8 shares
+      // Turtle's string grammar; [^"\\] spans newlines)
+      "|\"{3}(?:[^\"\\\\]|\\\\.|\"{1,2}(?!\"))*\"{3}" +
+      "|'{3}(?:[^'\\\\]|\\\\.|'{1,2}(?!'))*'{3}" +
       """|"(?:[^"\\]|\\.)*"""" +              // STRING
+      "|'(?:[^'\\\\\\n]|\\\\.)*'" +
       """|[?$][A-Za-z_][A-Za-z0-9_]*""" +     // VAR
       """|@[A-Za-z][A-Za-z0-9-]*""" +         // LANGTAG
-      """|[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+(?:[eE][+-]?\d+)?""" + // NUMBER
+      """|[+-]?\d+\.\d+(?:[eE][+-]?\d+)?|[+-]?\.\d+(?:[eE][+-]?\d+)?|[+-]?\d+(?:[eE][+-]?\d+)?""" + // NUMBER
       """|[A-Za-z_][A-Za-z0-9_]*:(?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?|:[A-Za-z0-9_.-]*[A-Za-z0-9_-]""" + // PNAME (no trailing '.')
       """|\^\^|&&|\|\||!=|<=|>=|[{}()\[\],;.|/^*+?!=<>-]""" +
       """|[A-Za-z_][A-Za-z0-9_]*""").r        // WORD
@@ -71,12 +76,16 @@ object SparqlParser {
           if (c.isWhitespace || c == '#') ()
           else if (c == '<' && s.length > 1 && s.last == '>')
             emit(TIri(s.substring(1, s.length - 1)))
-          else if (c == '"') emit(TStr(unescape(s.substring(1, s.length - 1))))
+          else if (s.startsWith("\"\"\"") || s.startsWith("'''"))
+            emit(TStr(unescape(s.substring(3, s.length - 3))))
+          else if (c == '"' || c == '\'')
+            emit(TStr(unescape(s.substring(1, s.length - 1))))
           // lone '?' is the zero-or-one path modifier, not a variable
           else if ((c == '?' || c == '$') && s.length > 1) emit(TVar(s.substring(1)))
           else if (c == '@') emit(TLang(s.substring(1)))
-          else if (c.isDigit) emit(TNum(s))
-          else if ((c == '+' || c == '-') && s.length > 1 && s(1).isDigit) {
+          else if (c.isDigit || (c == '.' && s.length > 1 && s(1).isDigit))
+            emit(TNum(s))
+          else if ((c == '+' || c == '-') && s.length > 1 && (s(1).isDigit || s(1) == '.')) {
             if (last != null && valueShaped(last)) {
               emit(TPunct(c.toString)); emit(TNum(s.substring(1)))
             } else emit(TNum(s))

@@ -180,4 +180,18 @@ class RioFormatsSpec extends GraftSuite {
     val doc3 = "ex:a ex:label \"x" + bs + "uZZZZ\" ."
     assert(graft.rio.Turtle.parseDoc(doc3).head.o.lex == "x" + bs + "uZZZZ")
   }
+
+  test("long and single-quoted string literals, dot-decimals") {
+    val q3 = "\"\"\""
+    // multi-line long string with an embedded quote and two quotes
+    val doc = "ex:a ex:abstract " + q3 + "line one\nline \"two\" and \"\"pair\n" + q3 +
+      " ; ex:note 'single' ; ex:w '''tri'ple''' ; ex:frac .5 ."
+    val stmts = graft.rio.Turtle.parseDoc(doc)
+    val byP = stmts.map(s => s.p.lex -> s.o).toMap
+    assert(byP("ex:abstract").lex == "line one\nline \"two\" and \"\"pair\n")
+    assert(byP("ex:note").lex == "single")
+    assert(byP("ex:w").lex == "tri'ple")
+    assert(byP("ex:frac").lex == "0.500000" &&
+      byP("ex:frac").num.contains(0.5))
+  }
 }

@@ -567,6 +567,17 @@ class SparqlSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("café"))
   }
 
+  test("long strings, single-quoted strings and dot-decimals parse") {
+    val q3 = "\"\"\""
+    val rows = q("SELECT ?x WHERE { BIND(" + q3 + "two\nlines" + q3 + " AS ?x) }")
+    assert(rows.map(_.getString(0)).toSeq == Seq("two\nlines"))
+    val single = q("SELECT ?x WHERE { BIND('hi' AS ?x) }")
+    assert(single.map(_.getString(0)).toSeq == Seq("hi"))
+    val frac = q("SELECT ?c WHERE { ?c a :Customer . ?c :acctbal ?b . FILTER(?b / 10000 > .5) }")
+    val plain = q("SELECT ?c WHERE { ?c a :Customer . ?c :acctbal ?b . FILTER(?b / 10000 > 0.5) }")
+    assert(frac.length == plain.length && frac.nonEmpty)
+  }
+
   test("GROUP BY with no aggregates equals DISTINCT over the keys") {
     val g = q("SELECT ?n WHERE { ?c :nation ?n } GROUP BY ?n")
       .map(_.getString(0)).sorted.toSeq
