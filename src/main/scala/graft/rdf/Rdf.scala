@@ -63,6 +63,43 @@ object Rdf {
       case (ns, p) if iri.startsWith(p) => ns + iri.substring(p.length)
     }.getOrElse(iri)
 
+  /** RFC 3986-lite relative-reference resolution for `@base` / `BASE`
+    * (Turtle §6.3, SPARQL §19.8 prologue): scheme-qualified refs pass
+    * through; fragment / network-path / absolute-path / relative-path
+    * refs graft onto the base. Dot-segment normalization is limited to
+    * a leading `./` — the engine's term identity is lexical, so full
+    * path canonicalization would be cosmetic here.
+    */
+  def resolveIri(ref: String, base: String): String = {
+    if (base.isEmpty) return ref
+    if (ref.isEmpty) return base
+    val isAbsolute = {
+      val c = ref.indexOf(':')
+      c > 0 && ref.substring(0, c).forall(ch =>
+        ch.isLetterOrDigit || ch == '+' || ch == '.' || ch == '-') &&
+        ref.charAt(0).isLetter
+    }
+    if (isAbsolute) ref
+    else if (ref.startsWith("#")) base.takeWhile(_ != '#') + ref
+    else if (ref.startsWith("//")) base.takeWhile(_ != ':') + ":" + ref
+    else {
+      val r = if (ref.startsWith("./")) ref.substring(2) else ref
+      val schemeEnd = base.indexOf("://")
+      if (r.startsWith("/")) {
+        if (schemeEnd < 0) base.takeWhile(_ != '/') + r
+        else {
+          val pathStart = base.indexOf('/', schemeEnd + 3)
+          (if (pathStart < 0) base else base.substring(0, pathStart)) + r
+        }
+      } else {
+        val floor = if (schemeEnd < 0) -1 else schemeEnd + 2
+        val lastSlash = base.lastIndexOf('/')
+        if (lastSlash > floor) base.substring(0, lastSlash + 1) + r
+        else base + "/" + r
+      }
+    }
+  }
+
   val XsdString = "xsd:string"
   val XsdDecimal = "xsd:decimal"
   val XsdInteger = "xsd:integer"

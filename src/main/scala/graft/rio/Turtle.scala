@@ -185,8 +185,10 @@ object Turtle {
     val toks = tokenize(doc)
     var pos = 0
     var prefixes = Map.empty[String, String]
+    var baseIri = ""
     def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
     def next(): Tok = { pos += 1; toks(pos - 1) }
+    def resolve(i: String): String = Rdf.resolveIri(i, baseIri)
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(
         s"turtle: $msg at '${peek.map(_.text).getOrElse("<eof>")}'")
@@ -224,7 +226,7 @@ object Turtle {
     def rdfIri(lex: String): Term = Term(lex, Rdf.IRI, "", "", None)
 
     def term(): Term = next() match {
-      case TIri(i) => Term(i, Rdf.IRI, "", "", None)
+      case TIri(i) => Term(resolve(i), Rdf.IRI, "", "", None)
       case TPName(pn) => Term(expand(pn), Rdf.IRI, "", "", None)
       case TBNode(b) => Term(bnodeScope + b, Rdf.BNODE, "", "", None)
       case TNum(n) => canonNum(n)
@@ -330,11 +332,19 @@ object Turtle {
             case TPName(t) => t.substring(0, t.indexOf(':'))
             case t => fail(s"bad prefix decl ${t.text}")
           }
-          val iri = next() match { case TIri(i) => i; case t => fail(s"bad prefix IRI ${t.text}") }
+          // prefix IRIs resolve against the in-scope base (§6.3)
+          val iri = next() match {
+            case TIri(i) => resolve(i); case t => fail(s"bad prefix IRI ${t.text}")
+          }
           prefixes += (name -> iri)
           if (peek.exists(_.text == ".")) next()
         case Some(TLang("base")) | Some(TWord("BASE")) =>
-          next(); next() // base IRI ignored: harness IRIs are absolute/compact
+          next()
+          next() match {
+            // a later @base resolves against the earlier one (§6.3)
+            case TIri(i) => baseIri = resolve(i)
+            case t => fail(s"bad base IRI ${t.text}")
+          }
           if (peek.exists(_.text == ".")) next()
         case Some(TWord(w)) if trig && w.equalsIgnoreCase("graph") =>
           next()

@@ -154,10 +154,20 @@ object SparqlParser {
       val v = freshAnon(); bnodeVars += (label -> v); v
     })
 
-    def peek: Option[Tok] = if (pos < tokens.length) Some(tokens(pos)) else None
+    // BASE prologue (§19.8): every IRIREF token downstream of the
+    // declaration resolves against it at read time, so no use site
+    // needs to know about relative references
+    var baseIri = ""
+    private def res(t: Tok): Tok = t match {
+      case TIri(i) if baseIri.nonEmpty =>
+        TIri(graft.rdf.Rdf.resolveIri(i, baseIri))
+      case other => other
+    }
+    def peek: Option[Tok] =
+      if (pos < tokens.length) Some(res(tokens(pos))) else None
     def next(): Tok = {
       if (pos >= tokens.length) throw ParseError("unexpected end of query", "")
-      pos += 1; tokens(pos - 1)
+      pos += 1; res(tokens(pos - 1))
     }
     def peekWord(w: String): Boolean = peek match {
       case Some(TWord(t)) => t.equalsIgnoreCase(w); case _ => false
@@ -215,16 +225,25 @@ object SparqlParser {
   }
 
   private def parseForms(p: P): Query = {
-    while (p.eatWord("PREFIX")) {
-      val name = p.next() match {
-        case TPName(t) => t.substring(0, t.indexOf(':'))
-        case t => throw ParseError("expected prefix name", t.text)
-      }
-      val iri = p.next() match {
-        case TIri(t) => t
-        case t => throw ParseError("expected IRI", t.text)
-      }
-      p.prefixes += (name -> iri)
+    // prologue: any interleaving of BASE and PREFIX declarations
+    var prologue = true
+    while (prologue) {
+      if (p.eatWord("BASE")) {
+        p.next() match {
+          case TIri(t) => p.baseIri = t // next() already resolved nested BASEs
+          case t => throw ParseError("expected IRI after BASE", t.text)
+        }
+      } else if (p.eatWord("PREFIX")) {
+        val name = p.next() match {
+          case TPName(t) => t.substring(0, t.indexOf(':'))
+          case t => throw ParseError("expected prefix name", t.text)
+        }
+        val iri = p.next() match {
+          case TIri(t) => t
+          case t => throw ParseError("expected IRI", t.text)
+        }
+        p.prefixes += (name -> iri)
+      } else prologue = false
     }
     if (p.eatWord("ASK")) {
       parseDatasetClauses(p)

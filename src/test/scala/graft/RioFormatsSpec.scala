@@ -181,6 +181,29 @@ class RioFormatsSpec extends GraftSuite {
     assert(graft.rio.Turtle.parseDoc(doc3).head.o.lex == "x" + bs + "uZZZZ")
   }
 
+  test("@base resolves relative IRI references") {
+    val doc = """
+      @base <http://ex.org/data/> .
+      @prefix s: <schema/> .
+      <item1> s:type <#v1> .
+      <item1> </abs/p> <../up> .
+      @base <sub/> .
+      <item2> s:type <#v2> .
+    """
+    val stmts = graft.rio.Turtle.parseDoc(doc)
+    val m = stmts.map(s => s.s.lex -> s).toMap
+    assert(stmts.exists(s => s.s.lex == "http://ex.org/data/item1" &&
+      s.p.lex == "http://ex.org/data/schema/type"))
+    assert(stmts.exists(_.o.lex == "http://ex.org/data/#v1"))
+    assert(stmts.exists(s => s.p.lex == "http://ex.org/abs/p" &&
+      s.o.lex == "http://ex.org/data/../up"))
+    // nested @base resolves against the outer one
+    assert(m.contains("http://ex.org/data/sub/item2"))
+    // absolute and harness-compact IRIs pass through untouched
+    assert(graft.rdf.Rdf.resolveIri("ex:a", "http://b/") == "ex:a")
+    assert(graft.rdf.Rdf.resolveIri("http://x/y", "http://b/") == "http://x/y")
+  }
+
   test("long and single-quoted string literals, dot-decimals") {
     val q3 = "\"\"\""
     // multi-line long string with an embedded quote and two quotes

@@ -567,6 +567,20 @@ class SparqlSpec extends GraftSuite {
     assert(rows.map(_.getString(0)).toSeq == Seq("café"))
   }
 
+  test("BASE aligns relative IRIs between load and query") {
+    val d = java.nio.file.Files.createTempDirectory("base")
+    java.nio.file.Files.writeString(d.resolve("b.ttl"), """
+      @base <http://ex.org/data/> .
+      <item1> <schema/type> <#v1> .
+    """)
+    val store = new graft.ingest.QuadStore(spark, d.resolve("store").toString)
+    store.loadVersion(Seq(d.resolve("b.ttl").toString))
+    val rows = Sparql.query(spark, store.snapshot(),
+      "BASE <http://ex.org/data/> SELECT ?o WHERE { <item1> <schema/type> ?o }")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("http://ex.org/data/#v1"))
+  }
+
   test("long strings, single-quoted strings and dot-decimals parse") {
     val q3 = "\"\"\""
     val rows = q("SELECT ?x WHERE { BIND(" + q3 + "two\nlines" + q3 + " AS ?x) }")
