@@ -948,6 +948,27 @@ object Queries {
              round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio
       FROM exh JOIN df USING (gh) GROUP BY doc_id""")),
 
+    // cross-source contamination matrix: distinct word 8-grams shared
+    // per source pair — the mirror-site / double-ingestion diagnostic;
+    // one gram shuffle, pair fan-out bounded by sources² per gram.
+    Q("d_cross_source", (s, dir) =>
+      Dedup.crossSourceOverlap(t(s, dir, "documents"), 8),
+      Some(s"""
+      WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 8),
+      ex AS (
+        SELECT DISTINCT source,
+          unnest(list_distinct(list_transform(
+            range(1, len(t)-6), i -> array_to_string(t[i:i+7], ' ')))) AS gram
+        FROM toks),
+      exh AS (SELECT DISTINCT source,
+              ${duckPh("gram")}*1000000007 + ${duckPh("gram", 131)} AS gh
+              FROM ex)
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM exh a JOIN exh b ON a.gh = b.gh AND a.source < b.source
+      GROUP BY 1, 2""")),
+
     // collapse near-dup pairs into clusters: GraphX connected
     // components; cluster id = min doc_id (the keep representative).
     // Oracle: transitive closure of the symmetric pair relation

@@ -256,6 +256,33 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Cross-source contamination matrix: for every (ordered) pair of
+    * sources, the number of distinct word n-grams they share — the
+    * curation diagnostic that finds mirror sites, syndicated content
+    * and pipeline double-ingestion BEFORE document-level dedup runs.
+    *
+    * Scale shape: one map pass to per-source-distinct ~60-bit gram
+    * hashes, one shuffle on the hash, and a per-gram self-join whose
+    * fan-out is bounded by sources²-per-gram (the number of SOURCES is
+    * small — tens, not millions — so the per-gram pair set is tiny
+    * even when a gram is corpus-universal). Gram strings never leave
+    * the executor.
+    */
+  def crossSourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = docs
+      .filter(size(tokens(col("text"))) >= n)
+      .select(col("source"),
+        explode(array_distinct(transform(shingles(col("text"), n),
+          s => polyHashWide(s)))).as("gram"))
+      .distinct()
+    val a = grams.select(col("source").as("source_a"), col("gram"))
+    val b = grams.select(col("source").as("source_b"), col("gram"))
+    a.join(b, Seq("gram"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Duplicated-span coverage: for every document, the fraction of its
     * DISTINCT word n-grams that also occur in at least one other
     * document — the n-gram-granular reading of exact-substring dedup
