@@ -146,6 +146,35 @@ object GraphQueries {
         SELECT src AS v FROM e6 UNION ALL SELECT dst FROM e6) GROUP BY 1""")
     }),
 
+    // HITS hubs/authorities, integer-exact bounded rounds (no float
+    // normalization → no reduction-order sensitivity; ranking is
+    // normalization-invariant)
+    Q("g_hits", (s, dir) => {
+      val edges = Tables(s, dir, "lineitem").select(
+        (col("l_partkey") + 1000000).cast("long").as("src"),
+        (col("l_suppkey") + 100000).cast("long").as("dst"))
+      GraphOps.hits(s, edges, rounds = 2)
+    }, {
+      val rounds = (1 to 2).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT v, max(auth)::BIGINT AS auth FROM (
+              SELECT e.dst AS v, sum(h.hub)::BIGINT AS auth
+              FROM e JOIN h${i - 1} h ON h.v = e.src GROUP BY e.dst
+              UNION ALL SELECT v, 0::BIGINT FROM verts) GROUP BY v),
+            h$i AS MATERIALIZED (SELECT v, max(hub)::BIGINT AS hub FROM (
+              SELECT e.src AS v, sum(a.auth)::BIGINT AS hub
+              FROM e JOIN a$i a ON a.v = e.dst GROUP BY e.src
+              UNION ALL SELECT v, 0::BIGINT FROM verts) GROUP BY v)"""
+      }.mkString(",\n")
+      Some(s"""
+      WITH e AS MATERIALIZED (SELECT DISTINCT (1000000+l_partkey)::BIGINT AS src,
+                    (100000+l_suppkey)::BIGINT AS dst FROM lineitem),
+      verts AS MATERIALIZED (SELECT DISTINCT v FROM (
+        SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+      h0 AS MATERIALIZED (SELECT v, 1::BIGINT AS hub FROM verts),
+      $rounds
+      SELECT h2.v AS id, h2.hub, a2.auth FROM h2 JOIN a2 ON a2.v = h2.v""")
+    }),
+
     // deterministic synchronous label propagation over the
     // part–supplier bipartite graph: 3 bounded rounds, most-frequent
     // neighbor label, ties to the smallest — the run-order-free LPA

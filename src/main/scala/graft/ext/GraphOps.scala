@@ -132,6 +132,39 @@ object GraphOps {
     degrees(e).select(col("v").as("id"), col("c").as("core_deg"))
   }
 
+  /** HITS hubs-and-authorities, integer-exact bounded variant: scores
+    * start at 1; each round computes `auth(v) = Σ hub(u)` over in-edges
+    * then `hub(u) = Σ auth(v)` over out-edges (the classic alternating
+    * update). Normalization is deliberately OMITTED and the round count
+    * bounded: integer sums are exact cross-engine (no float-reduction
+    * order sensitivity), and relative ranking — the quantity HITS is
+    * used for — is normalization-invariant. Scores grow ~(d_avg)^2 per
+    * round; two rounds stay far inside BIGINT for any realistic degree
+    * distribution (overflow at ~d_avg^4 > 9·10^18 would need average
+    * degree beyond 50 000).
+    */
+  def hits(spark: SparkSession, edges: DataFrame, rounds: Int = 2): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    var hub = verts.withColumn("hub", lit(1L))
+    var auth = verts.withColumn("auth", lit(1L))
+    for (_ <- 1 to rounds) {
+      auth = e.join(hub.select(col("v").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(sum("hub").as("auth"))
+        // vertices with no in-edges keep authority 0 this round
+        .unionByName(verts.withColumn("auth", lit(0L)))
+        .groupBy("v").agg(max("auth").as("auth"))
+        .localCheckpoint()
+      hub = e.join(auth.select(col("v").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("v")).agg(sum("auth").as("hub"))
+        .unionByName(verts.withColumn("hub", lit(0L)))
+        .groupBy("v").agg(max("hub").as("hub"))
+        .localCheckpoint()
+    }
+    hub.join(auth, Seq("v")).select(col("v").as("id"), col("hub"), col("auth"))
+  }
+
   /** Deterministic SYNCHRONOUS label propagation (community
     * detection): labels start as the vertex id; each round every
     * vertex adopts its neighbors' most frequent label, ties broken by

@@ -27,6 +27,17 @@ class GraphOpsSpec extends GraftSuite {
     assert(GraphOps.kCore(spark, edges, k = 3, rounds = 4).isEmpty)
   }
 
+  test("hits: hand-computed alternating integer rounds") {
+    import spark.implicits._
+    // star 1→3, 2→3 plus 1→4: after r1: auth(3)=2, auth(4)=1, hub(1)=3,
+    // hub(2)=2; r2: auth(3)=hub1+hub2=5, auth(4)=hub1=3, hub(1)=8, hub(2)=5
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hits(spark, edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((8L, 0L)) && got(2L) == ((5L, 0L)))
+    assert(got(3L) == ((0L, 5L)) && got(4L) == ((0L, 3L)))
+  }
+
   test("labelPropagation: hand-computed sync rounds") {
     import spark.implicits._
     // path 1-2-3: after round 1 → (1:2, 2:1, 3:2); after round 2 the
