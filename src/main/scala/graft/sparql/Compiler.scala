@@ -717,6 +717,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     // consumers must restrict themselves to this common scope
     case Union(a, b) =>
       for (x <- idTreeScope(a); y <- idTreeScope(b)) yield x.intersect(y)
+    // subquery leaves: `{ SELECT ?x … }` / `{ SELECT DISTINCT ?x … }`
+    // over an encodable tree — visible scope is the projection, and
+    // only when it pads nothing (a padded null var cannot live in an
+    // id frame)
+    case Project(i, vars) =>
+      idTreeScope(i).filter(s => vars.forall(s)).map(_ => vars.toSet)
+    case Distinct(inner) => idTreeScope(inner)
     case _ => None
   }
 
@@ -749,6 +756,9 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       case b: Bgp => Some(Seq(b))
       case v: ValuesOp if encoded.isDefined &&
         v.rows.forall(_.forall(_.isDefined)) => Some(Seq(v))
+      // subquery leaves stay atomic: their frame is built recursively
+      case p: Project if idTreeScope(p).isDefined => Some(Seq(p))
+      case d: Distinct if idTreeScope(d).isDefined => Some(Seq(d))
       case _ => None
     }
     leaves(op).flatMap { lvs =>
@@ -765,15 +775,25 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case v: ValuesOp => v.vars.forall(bgpVars)
         case _ => true
       }
-      val parts = lvs.map {
-        case b: Bgp => encodableBgp(b).map(p =>
-          () => compBgpEncIds(p._1, p._2, p._3, keep ++ shared))
-        case v: ValuesOp => Some(() => valuesIdFrame(v))
-        case _ => None
-      }
-      if (!valuesOk || parts.exists(_.isEmpty)) None
+      val parts: Seq[Option[DataFrame]] =
+        if (!valuesOk) Seq(None)
+        else lvs.map {
+          case b: Bgp => encodableBgp(b).map(p =>
+            compBgpEncIds(p._1, p._2, p._3, keep ++ shared))
+          case v: ValuesOp => Some(valuesIdFrame(v))
+          // `{ SELECT ?x … }`: visibility-restricted inner frame, bag
+          // multiplicity preserved
+          case Project(i, vars) =>
+            idFrameOf(i, (keep ++ shared).intersect(vars.toSet))
+          // `{ SELECT DISTINCT … }`: dedup over the FULL visible scope
+          // on ids, then the tree keeps only what it needs
+          case Distinct(i) =>
+            idTreeScope(i).flatMap(s => idFrameOf(i, s).map(_.distinct()))
+          case _ => None
+        }
+      if (parts.exists(_.isEmpty)) None
       else {
-        val frames = parts.map(_.get.apply())
+        val frames = parts.map(_.get)
         val remaining = scala.collection.mutable.ArrayBuffer(frames: _*)
         var acc = remaining.remove(0)
         while (remaining.nonEmpty) {
@@ -901,6 +921,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       m.updated(v, m.getOrElse(v, 0) + 1))
     case v: ValuesOp => v.vars.foldLeft(acc)((m, x) =>
       m.updated(x, m.getOrElse(x, 0) + 1))
+    // subquery leaves: count their INNER Bgp binds (the global
+    // leafCounts does the same through its walk)
+    case Project(i, _) => countTreeLeaves(i, acc)
+    case Distinct(i) => countTreeLeaves(i, acc)
     case _ => acc
   }
 

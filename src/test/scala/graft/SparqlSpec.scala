@@ -460,7 +460,12 @@ class SparqlSpec extends GraftSuite {
       "SELECT ?n ?nm WHERE { VALUES ?nm { \"ASIA\" \"AFRICA\" \"ATLANTIS\" } . ?r :name ?nm . ?n :region ?r }",
       "SELECT DISTINCT ?nm WHERE { VALUES ?nm { \"ASIA\" \"AFRICA\" } . ?r :name ?nm . ?n :region ?r }",
       // UNDEF keeps the struct plane; planes must agree
-      "SELECT ?r ?nm WHERE { VALUES (?nm) { (\"ASIA\") (UNDEF) } . ?r :name ?nm . ?r a :Region }")
+      "SELECT ?r ?nm WHERE { VALUES (?nm) { (\"ASIA\") (UNDEF) } . ?r :name ?nm . ?r a :Region }",
+      // subquery leaves: plain and DISTINCT projections join as id frames
+      "SELECT ?c ?n WHERE { ?c a :Customer . { SELECT ?c ?n WHERE { ?c :nation ?n } } }",
+      "SELECT ?n (COUNT(*) AS ?k) WHERE { { SELECT DISTINCT ?c ?n WHERE { ?c :nation ?n . ?c :mktsegment \"BUILDING\" } } } GROUP BY ?n",
+      // padded projection var → struct fallback on both planes
+      "SELECT ?c ?zz WHERE { ?c a :Customer . { SELECT ?c ?zz WHERE { ?c :nation ?x } } }")
     for (text <- queries) {
       val plain = Sparql.query(spark, quads, text).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
