@@ -56,21 +56,30 @@ class SparqlFuzzSpec extends GraftSuite {
     "OPTIONAL { ?n :name ?onn . FILTER(?onn > \"F\") }",
     "OPTIONAL { ?s :name ?onm . ?s :mktsegment ?oms }")
 
+  // probe clauses: id-plane semi/anti joins vs struct fallbacks
+  private val probePool = Seq(
+    "MINUS { ?s :mktsegment \"BUILDING\" }",
+    "FILTER NOT EXISTS { ?s :acctbal ?zb . FILTER(?zb > 9000) }",
+    "FILTER EXISTS { ?s :nation ?zn }",
+    "MINUS { ?q :unrelated ?w }") // disjoint-domain MINUS removes nothing
+
   private final case class QShape(pats: Seq[String], opt: Option[String],
-      filt: Option[String], distinct: Boolean, limit: Option[Int], offset: Int)
+      filt: Option[String], probe: Option[String],
+      distinct: Boolean, limit: Option[Int], offset: Int)
 
   private val qGen: Gen[QShape] = for {
     nPats <- Gen.choose(1, 3)
     pats <- Gen.pick(nPats, patternPool)
     opt <- Gen.option(Gen.oneOf(optionalPool))
     filt <- Gen.option(Gen.oneOf(filterPool))
+    probe <- Gen.option(Gen.oneOf(probePool))
     distinct <- Gen.oneOf(true, false)
     limit <- Gen.option(Gen.choose(1, 40))
     offset <- Gen.oneOf(0, 0, 3)
-  } yield QShape(pats.toSeq, opt, filt, distinct, limit, offset)
+  } yield QShape(pats.toSeq, opt, filt, probe, distinct, limit, offset)
 
   private def render(q: QShape, withSlice: Boolean): String = {
-    val body = (q.pats.map(_ + " .") ++ q.opt.toSeq ++
+    val body = (q.pats.map(_ + " .") ++ q.opt.toSeq ++ q.probe.toSeq ++
       q.filt.map(f => s"FILTER($f)")).mkString(" ")
     val dist = if (q.distinct) "DISTINCT " else ""
     // ORDER BY every projected var: two solutions that compare equal on
