@@ -425,10 +425,54 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       in.orderBy(sortCols: _*)
 
     case Slice(input, offset, limit) =>
-      var d = comp(input)
-      if (limit >= 0) d = d.limit((offset + limit).toInt)
-      if (offset > 0) d = d.offset(offset.toInt)
-      d
+      topKOverIds(input, offset, limit).getOrElse {
+        var d = comp(input)
+        if (limit >= 0) d = d.limit((offset + limit).toInt)
+        if (offset > 0) d = d.offset(offset.toInt)
+        d
+      }
+  }
+
+  /** ORDER BY + LIMIT over an encodable tree: only the sort-key
+    * columns decode before the cut (one dictionary join on the wide
+    * data), the top-(offset+limit) rows are taken over ids via
+    * Spark's TakeOrderedAndProject, and every other column decodes on
+    * the handful of surviving rows. The final re-sort on the decoded
+    * keys restores row order (the decode joins would drop it) at
+    * ≤ limit rows.
+    */
+  private def topKOverIds(input: Op, offset: Long,
+      limit: Long): Option[DataFrame] = input match {
+    case Project(OrderBy(core0, keys), vars) if limit >= 0 =>
+      val (core, conds) = stripFilters(core0)
+      idTreeScope(core).flatMap { scope =>
+        val keyVars = keys.map(_._1).collect { case EVar(v) => v }
+        val filterVarsAll = conds.flatMap(exprVarSet).toSet
+          .intersect(Algebra.inScope(core).toSet)
+        if (keyVars.size != keys.size || keyVars.isEmpty || vars.isEmpty ||
+          !vars.forall(scope) || !keyVars.forall(scope) ||
+          !filterVarsAll.subsetOf(scope)) None
+        else {
+          val keep = vars.toSet ++ keyVars ++ filterVarsAll
+          idFrameOf(core, keep).map { ids0 =>
+            val ids = applyFilters(ids0, conds, filterVarsAll)
+            val keyed = decodeCols(ids, keyVars.toSet)
+            def sortCols(df: DataFrame) = keys.map { case (e, asc) =>
+              val k = Rdf.sortKey(compExpr(e, resolver(df)))
+              if (asc) k.asc else k.desc
+            }
+            var cut = keyed.orderBy(sortCols(keyed): _*)
+              .limit((offset + limit).toInt)
+            if (offset > 0) cut = cut.offset(offset.toInt)
+            val selCols = (vars ++ keyVars).distinct
+            val dec = decodeSolutions(
+              cut.select(selCols.map(cut(_)): _*))
+            dec.orderBy(sortCols(dec): _*)
+              .select(vars.map(dec(_)): _*)
+          }
+        }
+      }
+    case _ => None
   }
 
   private def compMinus(l: Op, r: Op): DataFrame = {

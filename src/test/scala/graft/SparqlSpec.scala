@@ -465,7 +465,12 @@ class SparqlSpec extends GraftSuite {
       "SELECT ?c ?n WHERE { ?c a :Customer . { SELECT ?c ?n WHERE { ?c :nation ?n } } }",
       "SELECT ?n (COUNT(*) AS ?k) WHERE { { SELECT DISTINCT ?c ?n WHERE { ?c :nation ?n . ?c :mktsegment \"BUILDING\" } } } GROUP BY ?n",
       // padded projection var → struct fallback on both planes
-      "SELECT ?c ?zz WHERE { ?c a :Customer . { SELECT ?c ?zz WHERE { ?c :nation ?x } } }")
+      "SELECT ?c ?zz WHERE { ?c a :Customer . { SELECT ?c ?zz WHERE { ?c :nation ?x } } }",
+      // top-k with partial decode: total order (unique ?c tiebreak)
+      "SELECT ?c ?bal WHERE { ?c a :Customer . ?c :acctbal ?bal } ORDER BY DESC(?bal) ?c LIMIT 7",
+      "SELECT ?c WHERE { ?c a :Customer . ?c :acctbal ?bal . FILTER(?bal > 0) } ORDER BY ?c OFFSET 3 LIMIT 5",
+      // ORDER BY on a non-projected var still orders the cut
+      "SELECT ?nm WHERE { ?c :name ?nm . ?c :acctbal ?bal } ORDER BY DESC(?bal) ?c LIMIT 4")
     for (text <- queries) {
       val plain = Sparql.query(spark, quads, text).collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
@@ -473,6 +478,19 @@ class SparqlSpec extends GraftSuite {
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
       assert(viaIds == plain, s"pushdown divergence for: $text")
     }
+  }
+
+  test("top-k pushdown preserves the result sequence") {
+    val enc = graft.core.EncodedQuads(
+      graft.core.TermDictionary.encode(quads),
+      graft.core.TermDictionary.build(quads))
+    val text = "SELECT ?c ?bal WHERE { ?c a :Customer . ?c :acctbal ?bal } " +
+      "ORDER BY DESC(?bal) ?c OFFSET 2 LIMIT 6"
+    val plain = Sparql.query(spark, quads, text).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    val viaIds = Sparql.query(spark, quads, text, encoded = Some(enc)).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq
+    assert(viaIds == plain && plain.size == 6) // ORDER semantics: same sequence
   }
 
   // ---- blank nodes in query patterns (§4.1.4) ----
