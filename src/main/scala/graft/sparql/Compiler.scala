@@ -895,10 +895,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val scope = scopeOpt.get
     def plainVar(o: Option[Expr]): Option[String] =
       o match { case Some(EVar(v)) if scope(v) => Some(v); case _ => None }
+    // id-safe aggregates work on raw ids; value-bearing ones (SUM/AVG/
+    // MIN/MAX/GROUP_CONCAT over a plain var) decode ONLY their argument
+    // column pre-aggregate — the group keys still shuffle as longs
+    val idSafe = Set("count", "sample")
+    val valueFns = Set("sum", "avg", "min", "max", "group_concat")
     val keyOk = keys.forall { case (v, e) => e.isEmpty && scope(v) }
     val aggOk = aggs.forall { case (_, a) =>
       (a.fn == "count" && (a.arg.isEmpty || plainVar(a.arg).isDefined)) ||
-        (a.fn == "sample" && plainVar(a.arg).isDefined)
+        ((idSafe(a.fn) || valueFns(a.fn)) && plainVar(a.arg).isDefined)
     }
     if (!keyOk || !aggOk) return None
     // a filter var bound in SOME branch but not the common scope
@@ -907,11 +912,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val filterVarsAll = conds.flatMap(exprVarSet).toSet
       .intersect(Algebra.inScope(core).toSet)
     if (!filterVarsAll.subsetOf(scope)) return None
+    val valueArgVars = aggs.collect {
+      case (_, a) if valueFns(a.fn) => plainVar(a.arg).get
+    }.toSet
     val keep = keys.map(_._1).toSet ++
       aggs.flatMap(kv => plainVar(kv._2.arg)) ++ filterVarsAll
     val idsOpt = idFrameOf(core, keep)
     if (idsOpt.isEmpty) return None
-    val ids = applyFilters(idsOpt.get, conds, filterVarsAll)
+    val ids = decodeCols(
+      applyFilters(idsOpt.get, conds, filterVarsAll), valueArgVars)
     val aggCols = aggs.map { case (out, a) =>
       (a.fn match {
         case "count" => plainVar(a.arg) match {
@@ -920,12 +929,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           case None => termNumDt(count(lit(1)).cast("double"), Rdf.XsdInteger)
           case Some(v) =>
             // BGP-bound vars are never unbound, so COUNT(?v) counts
-            // rows; DISTINCT counts distinct ids = distinct terms
+            // rows; DISTINCT counts distinct ids = distinct terms (and
+            // over an already-decoded struct, distinct representatives)
             if (a.distinct)
               termNumDt(countDistinct(col(v)).cast("double"), Rdf.XsdInteger)
             else termNumDt(count(col(v)).cast("double"), Rdf.XsdInteger)
         }
         case "sample" => first(col(plainVar(a.arg).get), ignoreNulls = true)
+        // value-bearing: the arg column is a decoded term struct, so
+        // the GENERIC aggregate compiler applies verbatim
+        case _ => compAgg(a, ids)
       }).as(out)
     }
     val grouped =

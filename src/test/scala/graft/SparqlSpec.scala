@@ -466,6 +466,11 @@ class SparqlSpec extends GraftSuite {
       "SELECT ?n (COUNT(*) AS ?k) WHERE { { SELECT DISTINCT ?c ?n WHERE { ?c :nation ?n . ?c :mktsegment \"BUILDING\" } } } GROUP BY ?n",
       // padded projection var → struct fallback on both planes
       "SELECT ?c ?zz WHERE { ?c a :Customer . { SELECT ?c ?zz WHERE { ?c :nation ?x } } }",
+      // value aggregates: keys stay ids, only the arg column decodes
+      "SELECT ?n (ROUND(SUM(?b)) AS ?sb) (COUNT(*) AS ?k) WHERE { ?c :nation ?n . ?c :acctbal ?b } GROUP BY ?n",
+      "SELECT ?n (MIN(?nm) AS ?mn) (MAX(?b) AS ?mb) WHERE { ?c :nation ?n . ?c :name ?nm . ?c :acctbal ?b } GROUP BY ?n",
+      "SELECT (ROUND(AVG(?b)) AS ?ab) WHERE { ?c :acctbal ?b }",
+      "SELECT ?r (GROUP_CONCAT(?rn) AS ?gc) WHERE { ?n :region ?r . ?r :name ?rn } GROUP BY ?r",
       // top-k with partial decode: total order (unique ?c tiebreak)
       "SELECT ?c ?bal WHERE { ?c a :Customer . ?c :acctbal ?bal } ORDER BY DESC(?bal) ?c LIMIT 7",
       "SELECT ?c WHERE { ?c a :Customer . ?c :acctbal ?bal . FILTER(?bal > 0) } ORDER BY ?c OFFSET 3 LIMIT 5",
