@@ -533,6 +533,19 @@ object Queries {
       WHERE ${duckPh("CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007 % 1000 <
             CAST((((CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1) * 0.25) * 1000 AS BIGINT)""")),
 
+    // per-source document cap: at most 10 docs per source, picked in
+    // scrambled-hash order — the domain-cap curation primitive; one
+    // window shuffle on source, rerun-stable kept set
+    Q("t_source_cap", (s, dir) =>
+      TextAnalysis.sourceCap(t(s, dir, "documents"), 10),
+      Some(s"""
+      SELECT doc_id, source, rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ${duckPh("CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 10""")),
+
     // per-source quality-percentile curation: keep the best half of
     // each source by quality percent_rank — the relative-threshold
     // quality filter; one shuffle on source, doc_id tiebreak

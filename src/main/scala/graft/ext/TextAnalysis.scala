@@ -189,6 +189,28 @@ object TextAnalysis {
       .select("doc_id", "source", "n_tokens", "tok_before")
   }
 
+  /** Per-source document cap: keep at most `cap` documents of each
+    * source, chosen by scrambled-hash order (same Knuth finalizer as
+    * [[sampleMixture]], doc_id tiebreak) — the domain-cap primitive of
+    * web-corpus curation, stopping any one domain from dominating the
+    * mixture. Hash order makes the kept set rerun-stable and
+    * ingest-order independent (a head-of-file cut would keep whatever
+    * the crawler happened to fetch first). One shuffle on `source`;
+    * a skewed mega-source bounds its task at O(source size) scan but
+    * O(cap) output — at extreme skew, pre-prune with a per-partition
+    * local top-`cap` before the window (the two-phase top-k rewrite).
+    */
+  def sourceCap(docs: org.apache.spark.sql.DataFrame,
+      cap: Int = 10): org.apache.spark.sql.DataFrame = {
+    val h = polyHash(col("doc_id").cast("string")) * 2654435761L % 1000000007L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap)
+  }
+
   /** PII patterns (RE2/Java-common subset: no lookarounds, no
     * backrefs, so the same pattern string runs verbatim in Spark's
     * Java regex and the DuckDB oracle's RE2). Detection and redaction

@@ -113,6 +113,22 @@ class TextOpsSpec extends GraftSuite {
     assert(min25 >= min75)
   }
 
+  test("sourceCap: per-source bound, nested caps, ingest-order independent") {
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val cap3 = TextAnalysis.sourceCap(docs, 3)
+    val perSource = cap3.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 3), "no source exceeds the cap")
+    def keys(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // raising the cap only ADDS documents (hash order is a fixed total
+    // order, so the cap is a prefix cut)
+    assert(keys(cap3).subsetOf(keys(TextAnalysis.sourceCap(docs, 7))))
+    // ingest-order independence: same kept set from a reversed corpus
+    val reversed = docs.orderBy(org.apache.spark.sql.functions.col("doc_id").desc)
+    assert(keys(TextAnalysis.sourceCap(reversed, 3)) == keys(cap3))
+  }
+
   test("splitAssign: total, disjoint, rerun-stable, ~90/5/5") {
     val docs = graft.core.Tables(spark, sf, "documents")
     val assigned = docs.select(col("doc_id"),
