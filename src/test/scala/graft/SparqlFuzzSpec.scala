@@ -139,6 +139,15 @@ class SparqlFuzzSpec extends GraftSuite {
       assert(rowsEnc(agg).sorted == rows(agg).sorted, agg)
       val dist = s"SELECT DISTINCT ${bound.mkString(" ")} WHERE { $body }"
       assert(rowsEnc(dist).sorted == rows(dist).sorted, dist)
+      // value aggregates (the full pushdown family): ROUND the float
+      // folds — double addition is partition-order dependent, and the
+      // two planes may fold in different orders; MIN/MAX are exact
+      if (bound.contains("?b")) {
+        val vagg = s"SELECT $key (ROUND(SUM(?b)) AS ?sb) " +
+          s"(ROUND(AVG(?b)) AS ?ab) (MIN(?b) AS ?mn) (MAX(?b) AS ?mx) " +
+          s"WHERE { $body } GROUP BY $key"
+        assert(rowsEnc(vagg).sorted == rows(vagg).sorted, vagg)
+      }
     }
   }
 
