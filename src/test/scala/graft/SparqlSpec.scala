@@ -471,6 +471,10 @@ class SparqlSpec extends GraftSuite {
       "SELECT ?n (MIN(?nm) AS ?mn) (MAX(?b) AS ?mb) WHERE { ?c :nation ?n . ?c :name ?nm . ?c :acctbal ?b } GROUP BY ?n",
       "SELECT (ROUND(AVG(?b)) AS ?ab) WHERE { ?c :acctbal ?b }",
       "SELECT ?r (GROUP_CONCAT(?rn) AS ?gc) WHERE { ?n :region ?r . ?r :name ?rn } GROUP BY ?r",
+      // HAVING above the id-plane aggregate (exact comparisons only —
+      // a float-sum threshold could knife-edge between fold orders)
+      "SELECT ?n (COUNT(*) AS ?k) WHERE { ?c :nation ?n } GROUP BY ?n HAVING (COUNT(*) >= 2)",
+      "SELECT ?n (MAX(?b) AS ?mb) WHERE { ?c :nation ?n . ?c :acctbal ?b } GROUP BY ?n HAVING (MAX(?b) > 100)",
       // top-k with partial decode: total order (unique ?c tiebreak)
       "SELECT ?c ?bal WHERE { ?c a :Customer . ?c :acctbal ?bal } ORDER BY DESC(?bal) ?c LIMIT 7",
       "SELECT ?c WHERE { ?c a :Customer . ?c :acctbal ?bal . FILTER(?bal > 0) } ORDER BY ?c OFFSET 3 LIMIT 5",
