@@ -195,10 +195,13 @@ object TextAnalysis {
     * web-corpus curation, stopping any one domain from dominating the
     * mixture. Hash order makes the kept set rerun-stable and
     * ingest-order independent (a head-of-file cut would keep whatever
-    * the crawler happened to fetch first). One shuffle on `source`;
-    * a skewed mega-source bounds its task at O(source size) scan but
-    * O(cap) output — at extreme skew, pre-prune with a per-partition
-    * local top-`cap` before the window (the two-phase top-k rewrite).
+    * the crawler happened to fetch first). One shuffle on `source`,
+    * and the shuffle is pre-pruned: Catalyst's WindowGroupLimit
+    * rewrite runs a PARTIAL rank-limit before the exchange (rk <= cap
+    * is a pushable row_number predicate), so every map partition ships
+    * at most `cap` rows per source — a skewed mega-source costs its
+    * scan but never dominates the shuffle (verified in ExplainAudit:
+    * Partial WindowGroupLimit below the Exchange, Final above it).
     */
   def sourceCap(docs: org.apache.spark.sql.DataFrame,
       cap: Int = 10): org.apache.spark.sql.DataFrame = {
