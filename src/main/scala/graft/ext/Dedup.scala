@@ -306,12 +306,17 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(transform(shingles(col("text"), n),
           s => polyHashWide(s)))).as("gram"))
-    // grams are distinct per doc → per-gram partition size == document
-    // freq; a window count shares the gram shuffle with the read of
-    // each gram row (one shuffle) where groupBy + join-back would pay
-    // the gram shuffle twice
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-    grams.withColumn("ndocs", count(lit(1)).over(w))
+    // grams are distinct per doc → per-gram count == document freq.
+    // A window count would share one shuffle but lands a hot gram's
+    // ENTIRE posting list (license boilerplate 5-grams reach df ~1e8
+    // at corpus scale) on one task; the two-shuffle shape pays the
+    // gram shuffle twice but the first is a MAP-SIDE-COMBINABLE count
+    // (each task ships at most one (hash, partial) row per gram) and
+    // the join-back carries only (hash, long) pairs — and AQE's
+    // skew-join split applies to the join where it never would to the
+    // window.
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("ndocs"))
+    grams.join(df, Seq("gram"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

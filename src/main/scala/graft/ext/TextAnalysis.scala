@@ -152,18 +152,62 @@ object TextAnalysis {
     * keep the TOP `keepFrac` fraction — "keep the best X% of each
     * source", the relative-threshold variant of quality filtering that
     * survives heterogeneous sources where one absolute cutoff over- or
-    * under-prunes. One shuffle on `source` (the natural partition key
-    * of a crawl corpus); ties broken by doc_id for cross-engine
-    * determinism.
+    * under-prunes. Ties broken by doc_id for cross-engine determinism.
+    *
+    * Scale shape: sources number tens, not millions, so
+    * `percent_rank OVER (PARTITION BY source)` would sort a whole
+    * mega-source (tens of TB at corpus scale) on ONE task. Instead the
+    * EXACT rank runs as a distributed sort + per-key prefix count:
+    * range-partition by `(source, q, doc_id)` — a hot source is SPLIT
+    * across many partitions because the range boundaries extend past
+    * `source` into the sort key — then (1) one tiny job counts rows
+    * per (partition, source) (P × |sources| longs at the driver),
+    * (2) their per-source exclusive prefix broadcasts as the rank
+    * offset of each partition, and (3) a map-only pass assigns
+    * `rank = offset + local index`, `pr = rank / (n_source − 1)`.
+    * Identical output to the window formulation (no ties: doc_id is
+    * unique), with no task ever holding more than O(n/P) rows.
     */
   def qualityPercentile(docs: org.apache.spark.sql.DataFrame,
       keepFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-      .orderBy(col("q"), col("doc_id"))
-    docs
-      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("q"))
-      .withColumn("pr", round(percent_rank().over(w), 6))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        qualityScore(col("text")).as("q"))
+      .repartitionByRange(col("source"), col("q"), col("doc_id"))
+      .sortWithinPartitions("source", "q", "doc_id")
+      .localCheckpoint(true)
+    val counts = parts
+      .groupBy(spark_partition_id().as("pid"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals: Map[String, Long] =
+      counts.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
+    val nParts = parts.rdd.getNumPartitions
+    val offsets: Map[(Int, String), Long] = totals.keys.flatMap { s =>
+      var acc = 0L
+      (0 until nParts).map { p =>
+        val entry = (p, s) -> acc
+        acc += counts.getOrElse((p, s), 0L)
+        entry
+      }
+    }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcTot = spark.sparkContext.broadcast(totals)
+    parts.as[(Long, String, Double)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: String = null
+      var rank = 0L
+      it.map { case (id, src, q) =>
+        if (src != cur) { cur = src; rank = bcOff.value((pid, src)) }
+        val n = bcTot.value(src)
+        val pr = if (n <= 1) 0.0 else rank.toDouble / (n - 1).toDouble
+        rank += 1
+        (id, src, q, pr)
+      }
+    }.toDF("doc_id", "source", "q", "pr")
+      .withColumn("pr", round(col("pr"), 6))
       // ascending rank: the best keepFrac sits at pr >= 1 - keepFrac
       .where(col("pr") >= 1.0 - keepFrac)
   }
@@ -173,20 +217,55 @@ object TextAnalysis {
     * token budget is exhausted (a doc is kept iff the tokens BEFORE it
     * fit the budget) — the mixture-weights primitive expressed in
     * tokens rather than keep-rates, which is how training mixtures are
-    * actually specified. One window shuffle on `source`; the running
-    * sum is per-source, so no global prefix problem.
+    * actually specified.
+    *
+    * Scale shape: a running `sum OVER (PARTITION BY source ORDER BY
+    * doc_id)` would stream a whole mega-source through one task, so
+    * the running sum is the PER-SOURCE variant of [[packBins]]'s
+    * two-pass distributed prefix sum: range-partition by
+    * `(source, doc_id)` (a hot source splits across partitions),
+    * collect per-(partition, source) token totals (P × |sources|
+    * longs), broadcast their per-source exclusive prefix, then a
+    * map-only pass adds each partition's local running sum to its
+    * source offset. No task holds more than O(n/P) rows.
     */
   def tokenBudget(docs: org.apache.spark.sql.DataFrame,
       budget: Long): org.apache.spark.sql.DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs
-      .select(col("doc_id"), col("source"),
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("tok_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .repartitionByRange(col("source"), col("doc_id"))
+      .sortWithinPartitions("source", "doc_id")
+      .localCheckpoint(true)
+    val totals = parts
+      .groupBy(spark_partition_id().as("pid"), col("source"))
+      .agg(sum("n_tokens").as("tot"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nParts = parts.rdd.getNumPartitions
+    val offsets: Map[(Int, String), Long] =
+      totals.keys.map(_._2).toSeq.distinct.flatMap { s =>
+        var acc = 0L
+        (0 until nParts).map { p =>
+          val entry = (p, s) -> acc
+          acc += totals.getOrElse((p, s), 0L)
+          entry
+        }
+      }.toMap
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    parts.as[(Long, String, Long)].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: String = null
+      var cum = 0L
+      it.map { case (id, src, n) =>
+        if (src != cur) { cur = src; cum = bcOff.value((pid, src)) }
+        val before = cum
+        cum += n
+        (id, src, n, before)
+      }
+    }.toDF("doc_id", "source", "n_tokens", "tok_before")
       .where(col("tok_before") < budget)
-      .select("doc_id", "source", "n_tokens", "tok_before")
   }
 
   /** Per-source document cap: keep at most `cap` documents of each

@@ -285,7 +285,29 @@ class PlanQualitySpec extends GraftSuite {
       }
       val p = df.queryExecution.executedPlan.toString()
       assert(!p.contains("CartesianProduct"), s"cartesian in span-dup plan:\n$p")
+      // document frequency must be a map-side-combinable count + join
+      // back — a Window over gram would land a hot gram's whole
+      // posting list on one task
+      assert(!p.contains("Window"),
+        s"span-dup still counts doc-freq with a per-gram window:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("per-source curation ops: no whole-source window sort") {
+    // qualityPercentile and tokenBudget must run as range-partitioned
+    // distributed prefix passes — a Window.partitionBy(source) sorts a
+    // whole mega-source (tens of TB at corpus scale) on ONE task; only
+    // sourceCap may keep its window (row_number <= cap triggers the
+    // partial WindowGroupLimit below the exchange)
+    for (name <- Seq("t_quality_percentile", "t_token_budget")) {
+      val p = plan(name)
+      assert(!p.contains("Window"),
+        s"$name still sorts a whole source on one task:\n$p")
+      // the map-only offset pass reads the checkpointed range layout —
+      // its plan is MapPartitions over the frozen RDD, not a sort
+      assert(p.contains("MapPartitions") && p.contains("ExistingRDD"),
+        s"$name is not the two-pass distributed prefix shape:\n$p")
+    }
   }
 
   test("w_zscore_outliers: per-user stats broadcast back onto events") {
