@@ -144,6 +144,12 @@ object GraphOps {
     * degree beyond 50 000).
     */
   def hits(spark: SparkSession, edges: DataFrame, rounds: Int = 2): DataFrame = {
+    // un-normalized scores grow ~d_avg^2 per round; beyond 2 rounds the
+    // Long sums can wrap SILENTLY on dense graphs, producing garbage
+    // rankings with no error — out-of-contract round counts fail loudly
+    require(rounds >= 1 && rounds <= 2,
+      s"hits: rounds must be 1 or 2 (got $rounds) — the un-normalized " +
+        "integer-exact contract only bounds Long overflow through 2 rounds")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val verts = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()

@@ -63,12 +63,62 @@ object Rdf {
       case (ns, p) if iri.startsWith(p) => ns + iri.substring(p.length)
     }.getOrElse(iri)
 
-  /** RFC 3986-lite relative-reference resolution for `@base` / `BASE`
+  /** RFC 3986 §5.2.4 remove_dot_segments over a path component:
+    * `a/./b` → `a/b`, `a/b/../c` → `a/c`, with trailing `.`/`..`
+    * keeping their directory slash. Applied only to RESOLVED
+    * references — already-absolute IRIs keep their lexical identity.
+    */
+  private def removeDotSegments(path: String): String = {
+    var in = path
+    val out = new StringBuilder
+    def dropLastSeg(): Unit = {
+      val i = out.lastIndexOf("/")
+      out.setLength(if (i < 0) 0 else i)
+    }
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); dropLastSeg() }
+      else if (in == "/..") { in = "/"; dropLastSeg() }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val i = in.indexOf('/', start)
+        val seg = if (i < 0) in else in.substring(0, i)
+        out.append(seg)
+        in = if (i < 0) "" else in.substring(i)
+      }
+    }
+    out.toString
+  }
+
+  /** Normalize the PATH component of a resolved IRI (leave scheme,
+    * authority, query and fragment untouched).
+    */
+  private def normalizePath(iri: String): String = {
+    val cut = {
+      val q = iri.indexOf('?'); val f = iri.indexOf('#')
+      if (q >= 0 && (f < 0 || q < f)) q else f
+    }
+    val (body, tail) =
+      if (cut >= 0) (iri.substring(0, cut), iri.substring(cut)) else (iri, "")
+    val schemeEnd = body.indexOf("://")
+    val pathStart =
+      if (schemeEnd >= 0) body.indexOf('/', schemeEnd + 3)
+      else body.indexOf('/')
+    if (pathStart < 0) iri
+    else body.substring(0, pathStart) +
+      removeDotSegments(body.substring(pathStart)) + tail
+  }
+
+  /** RFC 3986 relative-reference resolution for `@base` / `BASE`
     * (Turtle §6.3, SPARQL §19.8 prologue): scheme-qualified refs pass
     * through; fragment / network-path / absolute-path / relative-path
-    * refs graft onto the base. Dot-segment normalization is limited to
-    * a leading `./` — the engine's term identity is lexical, so full
-    * path canonicalization would be cosmetic here.
+    * refs graft onto the base with §5.2.4 dot-segment removal, so
+    * `<../up>` against `http://ex.org/data/` is `http://ex.org/up` —
+    * term identity matches what a conformant engine mints.
     */
   def resolveIri(ref: String, base: String): String = {
     if (base.isEmpty) return ref
@@ -83,20 +133,22 @@ object Rdf {
     else if (ref.startsWith("#")) base.takeWhile(_ != '#') + ref
     else if (ref.startsWith("//")) base.takeWhile(_ != ':') + ":" + ref
     else {
-      val r = if (ref.startsWith("./")) ref.substring(2) else ref
+      val r = ref
       val schemeEnd = base.indexOf("://")
-      if (r.startsWith("/")) {
-        if (schemeEnd < 0) base.takeWhile(_ != '/') + r
-        else {
-          val pathStart = base.indexOf('/', schemeEnd + 3)
-          (if (pathStart < 0) base else base.substring(0, pathStart)) + r
+      val merged =
+        if (r.startsWith("/")) {
+          if (schemeEnd < 0) base.takeWhile(_ != '/') + r
+          else {
+            val pathStart = base.indexOf('/', schemeEnd + 3)
+            (if (pathStart < 0) base else base.substring(0, pathStart)) + r
+          }
+        } else {
+          val floor = if (schemeEnd < 0) -1 else schemeEnd + 2
+          val lastSlash = base.lastIndexOf('/')
+          if (lastSlash > floor) base.substring(0, lastSlash + 1) + r
+          else base + "/" + r
         }
-      } else {
-        val floor = if (schemeEnd < 0) -1 else schemeEnd + 2
-        val lastSlash = base.lastIndexOf('/')
-        if (lastSlash > floor) base.substring(0, lastSlash + 1) + r
-        else base + "/" + r
-      }
+      normalizePath(merged)
     }
   }
 

@@ -309,6 +309,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case Minus(l, r) => compMinus(l, r)
 
     case Filter(cond, input) =>
+      rejectCorrelatedExists(cond, Algebra.inScope(input).toSet)
       cond match {
         case EExists(sub, positive) =>
           val pushed = filterJoinOverIds(input, sub, positive)
@@ -359,6 +360,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       }
 
     case Extend(input, v, e) =>
+      rejectCorrelatedExists(e, Algebra.inScope(input).toSet)
       val in = comp(input)
       // BIND(… EXISTS{…} … AS ?v): same flag-column rewrite as the
       // compound-FILTER case — precompute each EXISTS as a boolean
@@ -1156,6 +1158,71 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case ECall(_, as) => as.flatMap(exprVarSet).toSet
     case EAgg(_, arg, _, _) => arg.map(exprVarSet).getOrElse(Set.empty)
     case _ => Set.empty
+  }
+
+  /** Variables referenced by EXPRESSIONS anywhere inside an op tree
+    * (filter conditions, BIND/SELECT expressions, join conditions,
+    * group keys, aggregate args, sort keys) — the inputs of the
+    * correlated-EXISTS check: a var an inner expression reads without
+    * the inner pattern binding it.
+    */
+  private def exprRefVars(op: Op): Set[String] = op match {
+    case Bgp(_, _) | Unit0 | ValuesOp(_, _) => Set.empty
+    case Join(l, r) => exprRefVars(l) ++ exprRefVars(r)
+    case LeftJoin(l, r, c) => exprRefVars(l) ++ exprRefVars(r) ++
+      c.map(exprVarSet).getOrElse(Set.empty)
+    case Union(l, r) => exprRefVars(l) ++ exprRefVars(r)
+    case Minus(l, r) => exprRefVars(l) ++ exprRefVars(r)
+    case Filter(c, i) => exprVarSet(c) ++ exprRefVars(i)
+    case Extend(i, _, e) => exprVarSet(e) ++ exprRefVars(i)
+    case Group(i, keys, aggs) => exprRefVars(i) ++
+      keys.flatMap(_._2.map(exprVarSet)).flatten ++
+      aggs.flatMap(a => exprVarSet(a._2))
+    case Project(i, _) => exprRefVars(i)
+    case Distinct(i) => exprRefVars(i)
+    case OrderBy(i, ks) => exprRefVars(i) ++ ks.flatMap(k => exprVarSet(k._1))
+    case Slice(i, _, _) => exprRefVars(i)
+    case Service(_, i, _) => exprRefVars(i)
+  }
+
+  /** §18.6 requires substituting the CURRENT outer binding into an
+    * EXISTS pattern; neither plane implements substitution, so an
+    * inner expression reading a var that only the OUTER group binds
+    * would silently evaluate it as unbound (filter → false). Detect
+    * the correlated case and fail loudly instead of returning
+    * silently-wrong rows. Shared PATTERN vars are fine — join
+    * semantics realize the correlation exactly.
+    */
+  private def rejectCorrelatedExists(e: Expr, outerScope: Set[String]): Unit = e match {
+    case EExists(sub, _) =>
+      val subScope = Algebra.inScope(sub).toSet
+      val corr = (exprRefVars(sub) -- subScope).intersect(outerScope)
+      if (corr.nonEmpty) throw new UnsupportedOperationException(
+        "correlated EXISTS: inner expression references outer-only " +
+          s"variable(s) ${corr.map("?" + _).mkString(", ")}; §18.6 " +
+          "substitution of the current binding is not implemented")
+      // nested EXISTS inside the sub-pattern sees the widened scope
+      walkExists(sub, outerScope ++ subScope)
+    case ECall(_, as) => as.foreach(rejectCorrelatedExists(_, outerScope))
+    case _ => ()
+  }
+
+  private def walkExists(op: Op, outerScope: Set[String]): Unit = op match {
+    case Filter(c, i) =>
+      rejectCorrelatedExists(c, outerScope); walkExists(i, outerScope)
+    case Extend(i, _, e) =>
+      rejectCorrelatedExists(e, outerScope); walkExists(i, outerScope)
+    case Join(l, r) => walkExists(l, outerScope); walkExists(r, outerScope)
+    case LeftJoin(l, r, _) => walkExists(l, outerScope); walkExists(r, outerScope)
+    case Union(l, r) => walkExists(l, outerScope); walkExists(r, outerScope)
+    case Minus(l, r) => walkExists(l, outerScope); walkExists(r, outerScope)
+    case Group(i, _, _) => walkExists(i, outerScope)
+    case Project(i, _) => walkExists(i, outerScope)
+    case Distinct(i) => walkExists(i, outerScope)
+    case OrderBy(i, _) => walkExists(i, outerScope)
+    case Slice(i, _, _) => walkExists(i, outerScope)
+    case Service(_, i, _) => walkExists(i, outerScope)
+    case _ => ()
   }
 
   private def containsExists(e: Expr): Boolean = e match {

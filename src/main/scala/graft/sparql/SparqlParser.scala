@@ -145,13 +145,36 @@ object SparqlParser {
     var dsNamed = Vector.empty[String]
     // blank nodes in patterns are non-distinguished variables (§4.1.4):
     // `[ … ]` / `( … )` mint a fresh one, `_:label` is stable within
-    // one bnode scope (a CONSTRUCT template opens its own scope so its
-    // labels stay per-solution-fresh, never pattern bindings)
+    // one GROUP GRAPH PATTERN. §19.6 forbids reusing a label across two
+    // basic graph patterns — reference engines reject such queries
+    // rather than silently joining, so scopes are a stack (one frame
+    // per `{ … }` group) and reuse outside the minting frame is a
+    // ParseError. A CONSTRUCT template runs in an isolated world: its
+    // labels are per-solution-fresh output bnodes, never pattern
+    // bindings and never in conflict with WHERE labels.
     private var anonN = 0
-    var bnodeVars = Map.empty[String, String]
+    private var bnodeStack: List[Map[String, String]] = List(Map.empty)
+    private var closedBnodeLabels = Set.empty[String]
     def freshAnon(): String = { anonN += 1; Algebra.AnonVarPrefix + "b" + anonN }
-    def bnodeVar(label: String): String = bnodeVars.getOrElse(label, {
-      val v = freshAnon(); bnodeVars += (label -> v); v
+    def pushBnodeScope(): Unit = bnodeStack ::= Map.empty
+    def popBnodeScope(): Unit = {
+      closedBnodeLabels ++= bnodeStack.head.keySet
+      bnodeStack = bnodeStack.tail
+    }
+    def isolatedBnodeWorld[A](body: => A): A = {
+      val (saveStack, saveClosed) = (bnodeStack, closedBnodeLabels)
+      bnodeStack = List(Map.empty); closedBnodeLabels = Set.empty
+      try body finally {
+        bnodeStack = saveStack; closedBnodeLabels = saveClosed
+      }
+    }
+    def bnodeVar(label: String): String = bnodeStack.head.getOrElse(label, {
+      if (closedBnodeLabels(label) || bnodeStack.tail.exists(_.contains(label)))
+        throw ParseError(
+          "blank node label reused across basic graph patterns (§19.6)", label)
+      val v = freshAnon()
+      bnodeStack = (bnodeStack.head + (label -> v)) :: bnodeStack.tail
+      v
     })
 
     // BASE prologue (§19.8): every IRIREF token downstream of the
@@ -256,10 +279,7 @@ object SparqlParser {
         // template bnode labels live in their own scope: they are
         // per-solution-fresh output bnodes (§16.2.1), never shared with
         // (or bound by) the WHERE pattern's bnode variables
-        val patternScope = p.bnodeVars
-        p.bnodeVars = Map.empty
-        val template = parseTriples(p)
-        p.bnodeVars = patternScope
+        val template = p.isolatedBnodeWorld(parseTriples(p))
         p.eatPunct(".")
         p.expectPunct("}")
         parseDatasetClauses(p)
@@ -481,6 +501,7 @@ object SparqlParser {
 
   private def parseGGP(p: P): Op = {
     p.expectPunct("{")
+    p.pushBnodeScope()
     var current: Op = Unit0
     var filters = Vector.empty[Expr]
 
@@ -538,6 +559,13 @@ object SparqlParser {
         if (!p.eatWord("AS")) throw ParseError("expected AS", "")
         val v = p.next() match { case TVar(x) => x; case t => throw ParseError("var", t.text) }
         p.expectPunct(")")
+        // §10.1: the BIND target must not already be bound in the
+        // group up to this point — re-binding is a syntax error, and
+        // letting it through surfaces later as an obscure Spark
+        // ambiguous-reference analysis failure
+        if (Algebra.inScope(current).contains(v))
+          throw ParseError(
+            s"BIND target is already bound in this group (§10.1)", "?" + v)
         current = Extend(current, v, e)
       } else if (p.eatWord("VALUES")) {
         add(parseValues(p))

@@ -38,6 +38,15 @@ class GraphOpsSpec extends GraftSuite {
     assert(got(3L) == ((0L, 5L)) && got(4L) == ((0L, 3L)))
   }
 
+  test("hits: out-of-contract round counts fail loudly") {
+    import spark.implicits._
+    // un-normalized Long scores can wrap silently past 2 rounds — the
+    // contract rejects instead of returning garbage rankings
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] { GraphOps.hits(spark, edges, rounds = 3) }
+    intercept[IllegalArgumentException] { GraphOps.hits(spark, edges, rounds = 0) }
+  }
+
   test("labelPropagation: hand-computed sync rounds") {
     import spark.implicits._
     // path 1-2-3: after round 1 → (1:2, 2:1, 3:2); after round 2 the

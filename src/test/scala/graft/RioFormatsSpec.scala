@@ -195,13 +195,32 @@ class RioFormatsSpec extends GraftSuite {
     assert(stmts.exists(s => s.s.lex == "http://ex.org/data/item1" &&
       s.p.lex == "http://ex.org/data/schema/type"))
     assert(stmts.exists(_.o.lex == "http://ex.org/data/#v1"))
+    // RFC 3986 §5.2.4: `..` climbs out of the base directory
     assert(stmts.exists(s => s.p.lex == "http://ex.org/abs/p" &&
-      s.o.lex == "http://ex.org/data/../up"))
+      s.o.lex == "http://ex.org/up"))
     // nested @base resolves against the outer one
     assert(m.contains("http://ex.org/data/sub/item2"))
     // absolute and harness-compact IRIs pass through untouched
     assert(graft.rdf.Rdf.resolveIri("ex:a", "http://b/") == "ex:a")
     assert(graft.rdf.Rdf.resolveIri("http://x/y", "http://b/") == "http://x/y")
+    // §5.2.4 remove_dot_segments corner cases
+    assert(graft.rdf.Rdf.resolveIri("../up", "http://ex.org/data/") ==
+      "http://ex.org/up")
+    assert(graft.rdf.Rdf.resolveIri("./here", "http://ex.org/data/") ==
+      "http://ex.org/data/here")
+    assert(graft.rdf.Rdf.resolveIri("a/./b/../c", "http://ex.org/d/") ==
+      "http://ex.org/d/a/c")
+    // above-root `..` segments drop (RFC: ignored)
+    assert(graft.rdf.Rdf.resolveIri("../../../x", "http://ex.org/d/") ==
+      "http://ex.org/x")
+    // trailing dot segments keep the directory slash
+    assert(graft.rdf.Rdf.resolveIri("a/b/..", "http://ex.org/") ==
+      "http://ex.org/a/")
+    assert(graft.rdf.Rdf.resolveIri("a/.", "http://ex.org/") ==
+      "http://ex.org/a/")
+    // query/fragment survive path normalization
+    assert(graft.rdf.Rdf.resolveIri("../up?q=1#f", "http://ex.org/data/") ==
+      "http://ex.org/up?q=1#f")
   }
 
   test("long and single-quoted string literals, dot-decimals") {

@@ -651,4 +651,45 @@ class SparqlSpec extends GraftSuite {
     assert(g.map(_.getString(2)).distinct.length == 5)
     assert(g.map(_.getString(2)).forall(_.startsWith("_:")))
   }
+
+  test("blank node label reuse across group graph patterns is rejected") {
+    // §19.6: the same _:label may not occur in two different BGPs —
+    // reference engines reject rather than join on a shared variable
+    val e = intercept[graft.sparql.SparqlParser.ParseError] {
+      q("""SELECT ?a ?b WHERE {
+             { ?a :name _:x } UNION { ?b :comment _:x } }""")
+    }
+    assert(e.getMessage.contains("blank node label"))
+    intercept[graft.sparql.SparqlParser.ParseError] {
+      q("""SELECT ?a WHERE {
+             ?a :name _:x . OPTIONAL { ?z :nation _:x } }""")
+    }
+    // ...but a label IS stable within one group (same BGP joins)
+    val rows = q("""SELECT ?nm WHERE { _:n a :Nation . _:n :name ?nm }""")
+    assert(rows.length == 25)
+  }
+
+  test("BIND targeting an in-scope variable is a parse error") {
+    val e = intercept[graft.sparql.SparqlParser.ParseError] {
+      q("""SELECT ?b WHERE { ?c :acctbal ?b . BIND(?b + 1 AS ?b) }""")
+    }
+    assert(e.getMessage.contains("already bound"))
+  }
+
+  test("correlated EXISTS (inner filter reads outer-only var) fails loudly") {
+    // §18.6 requires substituting the current binding; the engine does
+    // not implement substitution, so this must error rather than
+    // silently evaluate ?b as unbound
+    val e = intercept[UnsupportedOperationException] {
+      q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS { ?c :nation ?n . FILTER(?b > 5000) } }""")
+    }
+    assert(e.getMessage.contains("correlated EXISTS"))
+    // the same shape with the var bound INSIDE the pattern still runs
+    val ok = q("""SELECT ?c WHERE {
+             ?c a :Customer .
+             FILTER EXISTS { ?c :acctbal ?b . FILTER(?b > 5000) } }""")
+    assert(ok.nonEmpty)
+  }
 }

@@ -4,16 +4,35 @@ sf0.1 (round-3 verdict #9: catch O(n^2) surprises the 2x bench gate
 can't see). Dimension tables (region/nation) keep their natural size;
 fact/corpus tables triple with disjoint keys. Deterministic — no RNG.
 
-Usage: tools/gen_soak.py [src_sf_dir] [dst_dir]
+Usage: tools/gen_soak.py [src_sf_dir] [dst_dir] [--skew]
+
+--skew (round-7 verdict task 6): same 3x volume but ADVERSARIALLY
+distributed — the uniform-copy soak cannot see skewed-key scale
+killers (a plan that sorts a whole source/gram partition on one task
+is linear on uniform copies and explodes on skew). Applied on top of
+the key shift:
+  - documents.source: one mega-source holds 80% of rows;
+  - documents.text: a fixed hot 5-gram is injected into 50% of docs
+    (df ~ half the corpus — the license-boilerplate shape);
+  - customer.c_nationkey: 80% of customers point at one nation
+    (hot-predicate/join-key skew for the SPARQL family).
+A skew-safe gate still lands ~3x vs uniform sf0.1; a skew-broken one
+funnels ~2.4x of the whole corpus through one task and blows past the
+4x bar.
 """
 import os
 import sys
 
 import duckdb
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/soakdata/sf0.3"
+args = [a for a in sys.argv[1:] if a != "--skew"]
+SKEW = "--skew" in sys.argv[1:]
+SRC = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+DST = args[1] if len(args) > 1 else (
+    "/root/repo/soakdata/sf0.3skew" if SKEW else "/root/repo/soakdata/sf0.3")
 COPIES = 3
+
+HOT_GRAM = " hotgA hotgB hotgC hotgD hotgE"  # one 5-token shingle
 
 # per-table key columns to shift by copy_index * stride. Columns in the
 # same KEY FAMILY (an FK and the PK it references) MUST share one stride
@@ -81,6 +100,20 @@ def main():
             selects.append(
                 f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'")
         q = " UNION ALL ".join(selects)
+        if SKEW and t == "documents":
+            q = f"""SELECT doc_id,
+                      CASE WHEN doc_id % 2 = 0 THEN text || '{HOT_GRAM}'
+                           ELSE text END AS text,
+                      lang,
+                      CASE WHEN doc_id % 10 < 8 THEN 'megasource'
+                           ELSE source END AS source,
+                      n_chars
+                    FROM ({q})"""
+        if SKEW and t == "customer":
+            q = f"""SELECT * REPLACE (
+                      CASE WHEN c_custkey % 10 < 8 THEN 0
+                           ELSE c_nationkey END AS c_nationkey)
+                    FROM ({q})"""
         con.sql(f"COPY ({q}) TO '{DST}/{t}.parquet'")
         n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")

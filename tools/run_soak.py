@@ -8,7 +8,13 @@ ratio <= 4 given the 3x data). Sub-second sf0.1 gates are noise-prone;
 the ratio bar is applied to gates with sf0.1 >= 0.5s and the rest are
 recorded for completeness.
 
-Usage: tools/run_soak.py [out_json] [gates_csv]   (run from the repo root)
+Round 7 adds a skew mode: point soak_dir at soakdata/sf0.3skew (built
+by gen_soak.py --skew) — same 3x volume, adversarial key distribution
+(mega-source, hot gram, hot join key). A skew-safe gate still lands
+~3x; a skew-broken one funnels most of the corpus through one task.
+
+Usage: tools/run_soak.py [out_json] [gates_csv] [soak_dir]
+(run from the repo root)
 """
 import json
 import os
@@ -19,6 +25,7 @@ import time
 
 GATES = sys.argv[2] if len(sys.argv) > 2 else ""  # empty = all gates
 OUT = sys.argv[1] if len(sys.argv) > 1 else "SOAK_r6.json"
+SOAK_DIR = sys.argv[3] if len(sys.argv) > 3 else "soakdata/sf0.3"
 
 
 def run_bench(sf_dir):
@@ -41,7 +48,7 @@ def run_bench(sf_dir):
 
 def main():
     base, base_wall = run_bench("/root/testdata/sf0.1")
-    soak, soak_wall = run_bench("soakdata/sf0.3")
+    soak, soak_wall = run_bench(SOAK_DIR)
     rows = {}
     worst = (None, 0.0)
     for q, b in base["queries"].items():
@@ -52,7 +59,8 @@ def main():
         if ratio is not None and b >= 0.5 and ratio > worst[1]:
             worst = (q, ratio)
     out = {
-        "round": 6,
+        "round": 7,
+        "soak_dir": SOAK_DIR,
         "data_scale": 3.0,
         "gates": rows,
         "worst": {"query": worst[0], "ratio": worst[1]},
