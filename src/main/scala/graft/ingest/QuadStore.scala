@@ -99,6 +99,29 @@ final class QuadStore(spark: SparkSession, dir: String) {
     val segs = parts.map { case (quads, name) =>
       val seg = s"seg-$name"
       quads.write.mode("overwrite").parquet(root.resolve(seg).toString)
+      // id-plane sidecar per POSITIVE segment (incremental encoding):
+      // ids are content-derived (xxhash64 of term identity), so a
+      // segment encoded in isolation composes with every other —
+      // appends never rendezvous with an id allocator and never force
+      // a full re-encode. At 100 TB a micro-batch pays exactly its own
+      // size in encode work; [[snapshotEncoded]] unions the sidecars
+      // so the query hot path keeps exchanging 8-byte longs across
+      // streaming ingest instead of degrading to the struct plane
+      // until the next compact(). Tombstones get no sidecar: delete
+      // identity is full-term exact (dt/lang included) which the
+      // (lex, kind) ids cannot express — a delete staleness-gates the
+      // sidecar instead (rare path; compaction folds it away).
+      if (!seg.startsWith("seg-del-")) {
+        val written = spark.read.parquet(root.resolve(seg).toString)
+        graft.core.TermDictionary.encode(written)
+          .write.mode("overwrite").parquet(root.resolve(s"$seg-enc").toString)
+        // the collision check inside build() is SEGMENT-local here
+        // (the global identities-vs-ids audit re-runs at every
+        // compact()); a cross-segment collision between different
+        // terms is the n²/2⁶⁴ case the compact audit bounds
+        graft.core.TermDictionary.build(written)
+          .write.mode("overwrite").parquet(root.resolve(s"$seg-dict").toString)
+      }
       seg
     }
     val tmp = root.resolve(s"_manifest.tmp")
@@ -149,8 +172,11 @@ final class QuadStore(spark: SparkSession, dir: String) {
     // context/POS pruning as the struct layout — plus the (id, term)
     // decode dictionary. Queries over a compacted store join BGPs on
     // these 8-byte ids and decode once at the solution edge
-    // (Compiler.compBgpEnc); appends after compaction invalidate the
-    // sidecar (snapshotEncoded returns None) until the next compact.
+    // (Compiler.compBgpEnc); appends after compaction keep the id
+    // plane live via their own per-segment sidecars (commitSegments) —
+    // compaction's roles are folding tombstones back into the encoded
+    // view, restoring the sorted/partitioned layout, and re-running
+    // the GLOBAL identities-vs-ids collision audit.
     val compacted = spark.read.parquet(root.resolve(seg).toString)
     graft.core.TermDictionary.encode(compacted)
       .repartition(col("g"))
@@ -165,20 +191,39 @@ final class QuadStore(spark: SparkSession, dir: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** The id-encoded view of the CURRENT snapshot, if one is valid:
-    * present only when the manifest is exactly the compacted segment
-    * whose sidecar [[compact]] wrote (any later append/update makes
-    * the sidecar stale → None until the next compaction).
+  /** The id-encoded view of the CURRENT snapshot, if one is valid.
+    *
+    * Every positive segment carries its own `-enc`/`-dict` sidecar
+    * (written at commit — segment-local encoding composes because ids
+    * are content-derived), so the encoded view survives streaming
+    * appends: it is the UNION of the per-segment encodings, with the
+    * dictionary deduplicated by id (`min(term)` representative — the
+    * same deterministic choice [[graft.core.TermDictionary.build]]
+    * makes) when more than one segment contributes. A single compacted
+    * segment serves its pristine sidecar with no dedup step — the
+    * steady-state fast path.
+    *
+    * Returns None — struct-plane fallback — only when a TOMBSTONE is
+    * present (delete identity includes dt/lang, which (lex, kind) ids
+    * cannot express; composing would over-hide on the id plane) or a
+    * segment predates the sidecar convention. Compaction restores the
+    * encoded view in both cases.
     */
   def snapshotEncoded(): Option[graft.core.EncodedQuads] = {
     val segs = committedSegments()
-    if (segs.length != 1 || !segs.head.startsWith("seg-compact-")) return None
-    val enc = root.resolve(s"${segs.head}-enc")
-    val dict = root.resolve(s"${segs.head}-dict")
-    if (!Files.exists(enc) || !Files.exists(dict)) return None
-    Some(graft.core.EncodedQuads(
-      spark.read.parquet(enc.toString),
-      spark.read.parquet(dict.toString)))
+    if (segs.isEmpty) return None
+    if (segs.exists(_.startsWith("seg-del-"))) return None
+    val side = segs.map(s => (root.resolve(s"$s-enc"), root.resolve(s"$s-dict")))
+    if (side.exists { case (e, d) => !Files.exists(e) || !Files.exists(d) })
+      return None
+    val enc = side.map(p => spark.read.parquet(p._1.toString))
+      .reduce(_.unionByName(_))
+    val dicts = side.map(p => spark.read.parquet(p._2.toString))
+      .reduce(_.unionByName(_))
+    val dict =
+      if (side.lengthIs == 1) dicts
+      else dicts.groupBy("id").agg(min("term").as("term"))
+    Some(graft.core.EncodedQuads(enc, dict))
   }
 
   /** Materialize OWL-Horst entailments INTO the store: run the
@@ -417,9 +462,17 @@ final class QuadStore(spark: SparkSession, dir: String) {
     val usingNamed = usingAll.filter(_.group(1) != null).map(_.group(2))
 
     val snap = snapshot()
+    // WHERE dataset (§3.1.3): USING clauses win outright; otherwise a
+    // WITH graph becomes the default graph for matching (its named
+    // plane stays the full dataset — WITH only redirects patterns
+    // that don't name a graph, so GRAPH blocks still see everything);
+    // with neither, the WHERE runs over the engine's default dataset
+    val withScopesWhere = usingAll.isEmpty && withG.isDefined
     val compiler = new graft.sparql.Compiler(spark,
       snap.select(col("g"), col("s"), col("p"), col("o")),
-      fromGraphs = usingGraphs, fromNamed = usingNamed)
+      fromGraphs = if (withScopesWhere) withG.toSeq else usingGraphs,
+      fromNamed = usingNamed,
+      namedAllGraphs = withScopesWhere)
     def stripOp(op: Op): Op = op match {
       case Project(i, _) => stripOp(i)
       case Distinct(i) => stripOp(i)

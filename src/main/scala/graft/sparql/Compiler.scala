@@ -29,7 +29,8 @@ import Algebra._
 final class Compiler(spark: SparkSession, quads: DataFrame,
     stats: Map[String, Long] = Map.empty,
     fromGraphs: Seq[String] = Nil, fromNamed: Seq[String] = Nil,
-    encoded: Option[graft.core.EncodedQuads] = None) {
+    encoded: Option[graft.core.EncodedQuads] = None,
+    namedAllGraphs: Boolean = false) {
   import Rdf.{IRI, LIT, BNODE}
 
   // ---- dataset clauses (SPARQL 1.1 §13.2) ---------------------------
@@ -55,8 +56,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       else sel
     }
 
+  // `namedAllGraphs` is the Update-side WITH mode (§3.1.3): the WITH
+  // graph becomes the WHERE's default graph but — unlike USING — the
+  // named-graph plane stays the FULL dataset (WITH only redirects
+  // patterns that don't name a graph explicitly; GRAPH blocks still
+  // range over everything)
   private val namedQuads: DataFrame =
-    if (!explicitDataset) quads
+    if (!explicitDataset || namedAllGraphs) quads
     else if (fromNamed.isEmpty) quads.limit(0) // FROM only: no named graphs
     else quads.filter(col("g").isin(fromNamed.distinct: _*))
 
@@ -76,7 +82,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   }
 
   private val namedEnc: Option[DataFrame] = encoded.map { e =>
-    if (!explicitDataset) e.quads
+    if (!explicitDataset || namedAllGraphs) e.quads
     else if (fromNamed.isEmpty) e.quads.limit(0)
     else e.quads.filter(col("g").isin(fromNamed.distinct: _*))
   }

@@ -57,8 +57,46 @@ class EndToEndSpec extends GraftSuite {
         .collect().map(r => (r.getString(0), r.getString(1))).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
     assert(bag(enc) == bag(None))
+
+    // STREAMING APPEND after compact: the id plane stays live through
+    // the appended segment's own sidecar (incremental encoding — ids
+    // are content-derived, so segment-local encoding composes; no
+    // recompaction). Answers over the composed encoded view must equal
+    // the struct plane over the same post-append snapshot.
     store.append(view.filter(col("g") === "g:schema"), "late")
+    val enc2 = store.snapshotEncoded()
+    assert(enc2.isDefined,
+      "append after compact must keep the encoded sidecar live")
+    assert(bag(enc2) == bag(None))
+
+    // ...and the composed view actually drives the id hot path: with
+    // broadcast pinned off, the BGP join exchanges carry ONLY longs
+    // (PlanQualitySpec's contract, asserted here post-append)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.types.LongType
+      val df = Sparql.query(spark, store.snapshot(), text, encoded = enc2)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+      }
+      assert(shuffles.exists(out => out.nonEmpty && out.forall(_ == LongType)),
+        s"no id-only exchange after append — hot path degraded: $shuffles")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+
+    // a tombstone DOES stale the sidecar (delete identity is full-term
+    // exact — dt/lang — which (lex, kind) ids cannot express) ...
+    store.executeUpdate("CLEAR GRAPH <g:schema>")
     assert(store.snapshotEncoded().isEmpty,
-      "append after compact must invalidate the encoded sidecar")
+      "a tombstone must invalidate the encoded sidecar until compaction")
+    // ... and compaction folds it away and restores the id plane
+    store.compact()
+    assert(store.snapshotEncoded().isDefined)
   }
 }

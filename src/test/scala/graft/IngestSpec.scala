@@ -324,6 +324,49 @@ class IngestSpec extends GraftSuite {
       "only the g:a-matched subject's triple is deleted")
   }
 
+  test("modify: WITH scopes WHERE; USING overrides WITH for matching") {
+    val d = Files.createTempDirectory("qs-with-using")
+    val store = new QuadStore(spark, d.toString)
+    store.executeUpdate("""INSERT DATA {
+      GRAPH <g:a> { <s:1> <v:tag> "x" . }
+      GRAPH <g:b> { <s:2> <v:tag> "x" . } }""")
+
+    // WITH <g:a>: the WHERE's default graph is g:a — only s:1 matches,
+    // and the inserted row lands in g:a (templates honor WITH too)
+    store.executeUpdate("""
+      WITH <g:a>
+      INSERT { ?s <v:m1> "w" }
+      WHERE { ?s <v:tag> "x" }""")
+    val m1 = store.snapshot().filter(col("p")("lex") === "v:m1")
+    assert(m1.count() == 1 &&
+      m1.select(col("s")("lex")).head.getString(0) == "s:1" &&
+      m1.select("g").head.getString(0) == "g:a",
+      "WITH must scope the WHERE default graph AND the template graph")
+
+    // WITH + GRAPH in WHERE: the named plane stays the FULL dataset
+    // (WITH redirects only graph-less patterns), so GRAPH ?g still
+    // ranges over both graphs
+    store.executeUpdate("""
+      WITH <g:a>
+      INSERT { ?s <v:m2> ?g }
+      WHERE { GRAPH ?g { ?s <v:tag> "x" } }""")
+    assert(store.snapshot().filter(col("p")("lex") === "v:m2").count() == 2,
+      "GRAPH patterns under WITH must still see all named graphs")
+
+    // USING overrides WITH for the WHERE (§3.1.3) — matching runs over
+    // g:b only — while the INSERT template still lands in the WITH graph
+    store.executeUpdate("""
+      WITH <g:a>
+      INSERT { ?s <v:m3> "w" }
+      USING <g:b>
+      WHERE { ?s <v:tag> "x" }""")
+    val m3 = store.snapshot().filter(col("p")("lex") === "v:m3")
+    assert(m3.count() == 1 &&
+      m3.select(col("s")("lex")).head.getString(0) == "s:2" &&
+      m3.select("g").head.getString(0) == "g:a",
+      "USING must win for WHERE matching; WITH still routes the insert")
+  }
+
   test("modify: delete+reinsert overlap survives; delete is full-term exact") {
     val d = Files.createTempDirectory("qs-modify2")
     val store = new QuadStore(spark, d.toString)
