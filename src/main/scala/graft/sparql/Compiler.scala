@@ -322,6 +322,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           if (pushed.isDefined) return pushed.get
         case _ => ()
       }
+      // value-expression FILTER over an encodable tree: the BGP joins
+      // stay on the id plane; only the filter-read vars decode on the
+      // wide (pre-filter) data — everything else materializes after
+      // the filter, on the survivors (same partial-decode technique as
+      // the value-aggregate pushdown)
+      if (!containsExists(cond)) {
+        val pushed = filterOverIds(Filter(cond, input))
+        if (pushed.isDefined) return pushed.get
+      }
       val in = comp(input)
       cond match {
         case EExists(sub, positive) =>
@@ -367,6 +376,14 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
     case Extend(input, v, e) =>
       rejectCorrelatedExists(e, Algebra.inScope(input).toSet)
+      // BIND over an encodable tree: join on ids, decode only the
+      // expression-read vars, compute the bound term, materialize the
+      // rest late (the new column is already a term struct, so
+      // decodeSolutions passes it through)
+      if (!containsExists(e)) {
+        val pushed = extendOverIds(input, v, e)
+        if (pushed.isDefined) return pushed.get
+      }
       val in = comp(input)
       // BIND(… EXISTS{…} … AS ?v): same flag-column rewrite as the
       // compound-FILTER case — precompute each EXISTS as a boolean
@@ -1145,6 +1162,63 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       val (core, rest) = stripFilters(i)
       (core, c +: rest)
     case other => (other, Nil)
+  }
+
+  /** The keep-set bookkeeping every id-plane pushdown shares: for an
+    * encodable `core` whose expressions read `exprVars`, returns the
+    * id frame with (query-wide reads ∪ vars shared with leaves
+    * OUTSIDE this tree ∪ `exprVars`) kept — cross-leaf join vars stay
+    * ids and never decode. None when the tree is not encodable or an
+    * expression reads outside the id-reliable scope (a UNION
+    * branch-partial var must widen to unbound on the struct plane).
+    */
+  private def idFrameForExprs(core: Op, exprVars: Set[String]): Option[DataFrame] =
+    idTreeScope(core).flatMap { scope =>
+      if (!exprVars.subsetOf(scope)) None
+      else {
+        // a branch-partial var the query consumes cannot be dropped —
+        // only the struct plane can widen it to unbound
+        val fullCore = Algebra.inScope(core).toSet
+        val inTree = countTreeLeaves(core)
+        if ((fullCore -- scope).exists(v => refNeeded(v) ||
+          leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))) None
+        else {
+          val externalShared = scope.filter(v =>
+            leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
+          idFrameOf(core, refNeeded ++ externalShared ++ exprVars)
+        }
+      }
+    }
+
+  /** Value-expression FILTER stack over an encodable tree: id joins,
+    * partial decode of the filter-read vars, filter, then late
+    * materialization of the surviving rows.
+    */
+  private def filterOverIds(op: Op): Option[DataFrame] = {
+    val (core, conds) = stripFilters(op)
+    if (conds.isEmpty) return None
+    val filterVars = conds.flatMap(exprVarSet).toSet
+      .intersect(Algebra.inScope(core).toSet)
+    idFrameForExprs(core, filterVars).map { ids =>
+      decodeSolutions(applyFilters(ids, conds, filterVars))
+    }
+  }
+
+  /** BIND over an encodable tree (FILTER layers peel too): id joins,
+    * partial decode of the expression-read vars, compute the bound
+    * term struct, late-materialize everything else.
+    */
+  private def extendOverIds(input: Op, v: String, e: Expr): Option[DataFrame] = {
+    val (core, conds) = stripFilters(input)
+    val inScopeCore = Algebra.inScope(core).toSet
+    val eVars = exprVarSet(e).intersect(inScopeCore)
+    val filterVars = conds.flatMap(exprVarSet).toSet.intersect(inScopeCore)
+    idFrameForExprs(core, eVars ++ filterVars).map { ids0 =>
+      val ids = applyFilters(ids0, conds, filterVars)
+      val withArgs = decodeCols(ids, eVars)
+      val ext = withArgs.withColumn(v, compExpr(e, resolver(withArgs)))
+      decodeSolutions(ext)
+    }
   }
 
   /** Decode just the filter-read columns of an id frame and apply the

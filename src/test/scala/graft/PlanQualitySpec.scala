@@ -237,6 +237,43 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("FILTER/BIND expressions: join keys stay long, one decoded arg") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      for (text <- Seq(
+        // value FILTER: the BGP join on ?c must exchange longs; only
+        // ?b's decode dictionary join carries a term struct
+        "SELECT ?c ?n WHERE { ?c :nation ?n . ?c :acctbal ?b . FILTER(?b > 1000) }",
+        // BIND: same contract — expression arg decodes, keys stay ids
+        "SELECT ?c ?n ?dbl WHERE { ?c :nation ?n . ?c :acctbal ?b . " +
+          "BIND(?b * 2 AS ?dbl) }")) {
+        val df = graft.sparql.Sparql.query(spark, q, text, encoded = Some(enc))
+        val shuffles = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+        }
+        assert(shuffles.exists(out => out.nonEmpty && out.forall(_ == LongType)),
+          s"no id-only exchange — expression shape fell to the struct " +
+            s"plane: $shuffles\n$text")
+        shuffles.foreach { out =>
+          assert(out.count(_.isInstanceOf[StructType]) <= 1,
+            s"an exchange carries more than the decoded expression arg: " +
+              s"$out\n$text")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("closure path: pair relation is built in id space") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.LongType

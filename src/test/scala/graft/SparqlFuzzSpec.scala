@@ -151,6 +151,28 @@ class SparqlFuzzSpec extends GraftSuite {
     }
   }
 
+  // expression-bearing BIND shapes for the cross-plane property: the
+  // id plane computes the bound term after partial decode of only the
+  // expression-read vars (extendOverIds); results must match the
+  // struct plane exactly, including unbound-arg → unbound-result
+  private val bindPool = Seq(
+    "BIND(?b * 2 AS ?dbl)",
+    "BIND(CONCAT(?nm, \"!\") AS ?exc)",
+    "BIND(IF(?b > 1000, \"hi\", \"lo\") AS ?band)",
+    "BIND(STRLEN(?nm) AS ?len)",
+    "BIND(COALESCE(?b, 0) AS ?bz)")
+
+  test("struct and id planes agree on BIND / FILTER expression shapes") {
+    forAllSampled(qGen, 8) { q =>
+      val body = (q.pats.map(_ + " .") ++
+        q.filt.map(f => s"FILTER($f)")).mkString(" ")
+      for (b <- bindPool) {
+        val text = s"SELECT * WHERE { $body $b }"
+        assert(rowsEnc(text).sorted == rows(text).sorted, text)
+      }
+    }
+  }
+
   test("degenerate shapes: empty group, unbound-only filter, zero limit") {
     assert(rows("SELECT * WHERE { }").size == 1) // Unit0 solution
     assert(rows("SELECT ?s WHERE { ?s a :Customer . FILTER(?nope) }").isEmpty)
