@@ -209,4 +209,7 @@ final class MochaAdapter(spark: SparkSession, store: QuadStore, stagingDir: Stri
   }
 
   def counters: (Int, Int) = (insertCount.get(), selectCount.get())
+
+  /** Streamed updates that errored (fire-and-forget leaves a trace). */
+  def failures: Int = updateFailures.get()
 }
