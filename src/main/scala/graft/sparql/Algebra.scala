@@ -156,6 +156,79 @@ object Algebra {
         (tp.p match { case PVar(v) => Seq(v); case _ => Nil })
     }.toSet
 
+  /** Variables an expression reads (EXISTS sub-patterns excluded —
+    * callers that must see them walk the op tree directly).
+    */
+  def exprVars(e: Expr): Set[String] = e match {
+    case EVar(v) => Set(v)
+    case ECall(_, as) => as.flatMap(exprVars).toSet
+    case EAgg(_, arg, _, _) => arg.map(exprVars).getOrElse(Set.empty)
+    case _ => Set.empty
+  }
+
+  def containsExists(e: Expr): Boolean = e match {
+    case EExists(_, _) => true
+    case ECall(_, as) => as.exists(containsExists)
+    case _ => false
+  }
+
+  /** Hoist BIND (Extend) nodes above Joins where legal:
+    * `{ ?s :p ?x . BIND(f(?x) AS ?v) . ?s :q ?y }` parses as
+    * `Join(Extend(A, v, f), B)`; the equivalent
+    * `Extend(Join(A, B), v, f)` computes f over the same bindings
+    * (Extend only adds a column, so the bag is identical) and exposes
+    * the pure BGP join tree underneath to the id plane — without the
+    * rewrite one mid-group BIND drops the whole tree to struct joins.
+    *
+    * Legal iff the other join side neither binds the TARGET (the join
+    * would otherwise be on ?v) nor binds a variable the expression
+    * reads as unbound (BIND sees its lexical scope: a var bound only
+    * LATER in the group is unbound at the BIND, and hoisting must not
+    * change that). EXISTS-bearing expressions stay put — their
+    * sub-pattern evaluation is positional.
+    */
+  def hoistExtends(op: Op): Op = op match {
+    case Join(l0, r0) =>
+      var l = hoistExtends(l0)
+      var r = hoistExtends(r0)
+      def hoistable(v: String, e: Expr, base: Op, other: Op): Boolean = {
+        val otherScope = inScope(other).toSet
+        !containsExists(e) && !otherScope.contains(v) &&
+          exprVars(e).forall(x =>
+            inScope(base).contains(x) || !otherScope.contains(x))
+      }
+      var lifted = Vector.empty[(String, Expr)] // outermost first
+      var progress = true
+      while (progress) {
+        progress = false
+        l match {
+          case Extend(i, v, e) if hoistable(v, e, i, r) =>
+            lifted :+= (v -> e); l = i; progress = true
+          case _ => ()
+        }
+        r match {
+          case Extend(i, v, e) if hoistable(v, e, i, l) =>
+            lifted :+= (v -> e); r = i; progress = true
+          case _ => ()
+        }
+      }
+      // rebuild innermost-first so a stacked BIND reading an earlier
+      // BIND's target keeps its producer below it
+      lifted.foldRight(Join(l, r): Op)((ve, acc) => Extend(acc, ve._1, ve._2))
+    case LeftJoin(l, r, c) => LeftJoin(hoistExtends(l), hoistExtends(r), c)
+    case Union(l, r) => Union(hoistExtends(l), hoistExtends(r))
+    case Minus(l, r) => Minus(hoistExtends(l), hoistExtends(r))
+    case Filter(c, i) => Filter(c, hoistExtends(i))
+    case Extend(i, v, e) => Extend(hoistExtends(i), v, e)
+    case Group(i, k, a) => Group(hoistExtends(i), k, a)
+    case Project(i, vs) => Project(hoistExtends(i), vs)
+    case Distinct(i) => Distinct(hoistExtends(i))
+    case OrderBy(i, k) => OrderBy(hoistExtends(i), k)
+    case Slice(i, o, n) => Slice(hoistExtends(i), o, n)
+    case Service(u, i, s) => Service(u, hoistExtends(i), s)
+    case leaf => leaf
+  }
+
   /** All variables an operator can bind (used for projection & joins). */
   def inScope(op: Op): Seq[String] = {
     def nodeVars(n: Node): Seq[String] = n match {

@@ -118,8 +118,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * materialization.
     */
   def compile(op: Op, extraNeeded: Set[String]): DataFrame = {
-    setNeeds(op, extraNeeded)
-    comp(op)
+    // normalization: lift mid-group BINDs above their Joins (legality
+    // checked per node) so a BIND between triple patterns doesn't
+    // hide the BGP join tree from the id plane
+    val norm = Algebra.hoistExtends(op)
+    setNeeds(norm, extraNeeded)
+    comp(norm)
   }
 
   private def setNeeds(op: Op, extraNeeded: Set[String]): Unit = {

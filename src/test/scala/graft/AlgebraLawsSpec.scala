@@ -108,4 +108,25 @@ class AlgebraLawsSpec extends GraftSuite {
       ?c a :Customer . FILTER NOT EXISTS { ?c :mktsegment "BUILDING" } }""")
     assert(minus == notEx)
   }
+
+  test("mid-group BIND ≡ end-of-group BIND when later patterns are blind to it") {
+    // the hoistExtends normalization: Join(Extend(A), B) ≡
+    // Extend(Join(A, B)) when B neither binds the target nor binds a
+    // var the expression reads as unbound — equal bags, any position
+    val mid = bag("""SELECT ?s ?v ?nn WHERE {
+      ?s :acctbal ?b . BIND(?b * 2 AS ?v) . ?s :nation ?n . ?n :name ?nn }""")
+    val end = bag("""SELECT ?s ?v ?nn WHERE {
+      ?s :acctbal ?b . ?s :nation ?n . ?n :name ?nn . BIND(?b * 2 AS ?v) }""")
+    assert(mid == end && mid.nonEmpty)
+  }
+
+  test("BIND lexical scope survives normalization: later-bound vars stay unbound") {
+    // ?nn is bound only AFTER the BIND — §10.1 scope says the BIND
+    // reads it as unbound, and the hoist legality check must refuse to
+    // move the Extend above the join that binds it
+    val rs = rows("""SELECT ?n ?v WHERE {
+      ?n a :Nation . BIND(?nn AS ?v) . ?n :name ?nn }""")
+    assert(rs.size == 25 && rs.forall(_.endsWith("|null")),
+      s"BIND must see ?nn as unbound at its lexical position: ${rs.take(3)}")
+  }
 }

@@ -254,7 +254,11 @@ class PlanQualitySpec extends GraftSuite {
         "SELECT ?c ?n WHERE { ?c :nation ?n . ?c :acctbal ?b . FILTER(?b > 1000) }",
         // BIND: same contract — expression arg decodes, keys stay ids
         "SELECT ?c ?n ?dbl WHERE { ?c :nation ?n . ?c :acctbal ?b . " +
-          "BIND(?b * 2 AS ?dbl) }")) {
+          "BIND(?b * 2 AS ?dbl) }",
+        // MID-GROUP BIND: hoistExtends must lift it above the join so
+        // the tree still runs on ids
+        "SELECT ?c ?n ?dbl WHERE { ?c :acctbal ?b . " +
+          "BIND(?b * 2 AS ?dbl) . ?c :nation ?n }")) {
         val df = graft.sparql.Sparql.query(spark, q, text, encoded = Some(enc))
         val shuffles = df.queryExecution.executedPlan.collect {
           case e: ShuffleExchangeExec => e.child.output.map(_.dataType)

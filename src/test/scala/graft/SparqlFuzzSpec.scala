@@ -173,6 +173,22 @@ class SparqlFuzzSpec extends GraftSuite {
     }
   }
 
+  test("struct and id planes agree on MID-GROUP BIND shapes") {
+    // exercises the hoistExtends normalization: the BIND sits BETWEEN
+    // triple patterns, so without the rewrite the whole tree falls to
+    // struct joins; with it the join runs on ids on the encoded plane
+    forAllSampled(qGen, 8) { q =>
+      if (q.pats.size >= 2) {
+        for (b <- bindPool) {
+          val body = q.pats.head + " . " + b + " . " +
+            q.pats.tail.map(_ + " .").mkString(" ")
+          val text = s"SELECT * WHERE { $body }"
+          assert(rowsEnc(text).sorted == rows(text).sorted, text)
+        }
+      }
+    }
+  }
+
   test("degenerate shapes: empty group, unbound-only filter, zero limit") {
     assert(rows("SELECT * WHERE { }").size == 1) // Unit0 solution
     assert(rows("SELECT ?s WHERE { ?s a :Customer . FILTER(?nope) }").isEmpty)
