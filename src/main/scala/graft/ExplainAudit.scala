@@ -7,7 +7,10 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q5_multiway_join", "q1_agg", "r_bgp_join", "q_asof_join", "d_prefix_dup", "q_kmv_distinct", "w_funnel", "s_pq_ann", "t_source_cap")) {
+    for (name <- Seq("q5_multiway_join", "q1_agg", "r_bgp_join", "q_asof_join",
+        "d_prefix_dup", "q_kmv_distinct", "w_funnel", "s_pq_ann", "t_source_cap",
+        // round-7 skew-safe rewrites: prefix passes + join-back doc freq
+        "t_quality_percentile", "t_token_budget", "d_span_dup", "g_label_prop")) {
       println(s"===== $name =====")
       Queries.queries(name)(spark, dir).explain("formatted")
     }

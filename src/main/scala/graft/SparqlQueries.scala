@@ -216,6 +216,25 @@ object SparqlQueries {
       WHERE ty.p='rdf:type' AND ty.o=':Customer'
       GROUP BY nmr.o"""))),
 
+    // EXPRESSION aggregate arguments (§18.5.1 allows any expression):
+    // the id plane decodes only the argument's vars pre-aggregate —
+    // group keys and the BGP joins stay 8-byte ids (groupOverIds)
+    Q("r_agg_expr", sq("""
+      SELECT ?nname (SUM(?bal * 2) AS ?dbl_sum) (COUNT(STR(?bal)) AS ?n_bal) WHERE {
+        ?c a :Customer . ?c :acctbal ?bal .
+        ?c :nation ?nt . ?nt :name ?nname .
+      } GROUP BY ?nname"""),
+      Some(TpchRdf.withQuads(s"""
+      SELECT nm.o AS nname,
+             ${canon("sum(b.onum * 2)")} AS dbl_sum,
+             ${canonInt("count(b.o)")} AS n_bal
+      FROM quads ty
+      JOIN quads b ON b.p=':acctbal' AND b.s=ty.s
+      JOIN quads nt ON nt.p=':nation' AND nt.s=ty.s
+      JOIN quads nm ON nm.p=':name' AND nm.s=nt.o
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'
+      GROUP BY nm.o"""))),
+
     Q("r_ask", sq("""ASK { ?r :name "ASIA" }"""),
       Some(TpchRdf.withQuads("""
       SELECT CASE WHEN EXISTS (SELECT 1 FROM quads WHERE p=':name' AND o='ASIA')

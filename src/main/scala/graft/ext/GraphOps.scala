@@ -182,22 +182,25 @@ object GraphOps {
     */
   def labelPropagation(spark: SparkSession, edges: DataFrame,
       rounds: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val und0 = edges.select(col("src"), col("dst")).distinct()
     val und = und0.unionByName(
       und0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    val w = Window.partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
     for (_ <- 1 to rounds) {
+      // argmax by (count desc, label asc) as a MIN over (-c, lbl)
+      // structs: both aggregation steps are map-side combinable, so a
+      // celebrity vertex's neighbor-label histogram reduces in
+      // parallel — a per-vertex window sort would stream the whole
+      // hub through one task (and pay a sort the argmax doesn't need)
       labels = und
         .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("v"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("v"), col("lbl"))
+        .groupBy("v")
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("best"))
+        .select(col("v"), col("best")("lbl").as("lbl"))
         .localCheckpoint()
     }
     labels.select(col("v").as("id"), col("lbl").as("label"))

@@ -925,14 +925,24 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     def plainVar(o: Option[Expr]): Option[String] =
       o match { case Some(EVar(v)) if scope(v) => Some(v); case _ => None }
     // id-safe aggregates work on raw ids; value-bearing ones (SUM/AVG/
-    // MIN/MAX/GROUP_CONCAT over a plain var) decode ONLY their argument
-    // column pre-aggregate — the group keys still shuffle as longs
+    // MIN/MAX/GROUP_CONCAT, or any aggregate over an EXPRESSION arg
+    // like SUM(?a * ?b)) decode ONLY their argument's variables
+    // pre-aggregate — the group keys still shuffle as longs
     val idSafe = Set("count", "sample")
     val valueFns = Set("sum", "avg", "min", "max", "group_concat")
     val keyOk = keys.forall { case (v, e) => e.isEmpty && scope(v) }
+    // an aggregate runs on RAW IDS only when its arg is a plain
+    // BGP-bound var (or COUNT(*)); everything else routes through the
+    // generic struct aggregate over its decoded argument variables
+    def idArg(a: EAgg): Boolean =
+      (a.fn == "count" && a.arg.isEmpty) ||
+        (idSafe(a.fn) && plainVar(a.arg).isDefined)
     val aggOk = aggs.forall { case (_, a) =>
-      (a.fn == "count" && (a.arg.isEmpty || plainVar(a.arg).isDefined)) ||
-        ((idSafe(a.fn) || valueFns(a.fn)) && plainVar(a.arg).isDefined)
+      val vs = a.arg.map(exprVarSet).getOrElse(Set.empty)
+      (idSafe(a.fn) || valueFns(a.fn)) &&
+        !a.arg.exists(containsExists) && vs.subsetOf(scope) &&
+        // SAMPLE needs a column to pick (plain var or expression)
+        (a.fn != "sample" || a.arg.isDefined)
     }
     if (!keyOk || !aggOk) return None
     // a filter var bound in SOME branch but not the common scope
@@ -941,32 +951,36 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val filterVarsAll = conds.flatMap(exprVarSet).toSet
       .intersect(Algebra.inScope(core).toSet)
     if (!filterVarsAll.subsetOf(scope)) return None
-    val valueArgVars = aggs.collect {
-      case (_, a) if valueFns(a.fn) => plainVar(a.arg).get
-    }.toSet
+    val decodeArgVars = aggs.collect {
+      case (_, a) if !idArg(a) =>
+        a.arg.map(exprVarSet).getOrElse(Set.empty)
+    }.flatten.toSet
     val keep = keys.map(_._1).toSet ++
-      aggs.flatMap(kv => plainVar(kv._2.arg)) ++ filterVarsAll
+      aggs.flatMap(kv => kv._2.arg.map(exprVarSet).getOrElse(Set.empty)) ++
+      filterVarsAll
     val idsOpt = idFrameOf(core, keep)
     if (idsOpt.isEmpty) return None
     val ids = decodeCols(
-      applyFilters(idsOpt.get, conds, filterVarsAll), valueArgVars)
+      applyFilters(idsOpt.get, conds, filterVarsAll), decodeArgVars)
     val aggCols = aggs.map { case (out, a) =>
       (a.fn match {
-        case "count" => plainVar(a.arg) match {
+        case "count" if a.arg.isEmpty =>
           // COUNT outputs are final xsd:integer terms already — the
           // decode edge passes structs through untouched
-          case None => termNumDt(count(lit(1)).cast("double"), Rdf.XsdInteger)
-          case Some(v) =>
-            // BGP-bound vars are never unbound, so COUNT(?v) counts
-            // rows; DISTINCT counts distinct ids = distinct terms (and
-            // over an already-decoded struct, distinct representatives)
-            if (a.distinct)
-              termNumDt(countDistinct(col(v)).cast("double"), Rdf.XsdInteger)
-            else termNumDt(count(col(v)).cast("double"), Rdf.XsdInteger)
-        }
-        case "sample" => first(col(plainVar(a.arg).get), ignoreNulls = true)
-        // value-bearing: the arg column is a decoded term struct, so
-        // the GENERIC aggregate compiler applies verbatim
+          termNumDt(count(lit(1)).cast("double"), Rdf.XsdInteger)
+        case "count" if plainVar(a.arg).isDefined =>
+          // BGP-bound vars are never unbound, so COUNT(?v) counts
+          // rows; DISTINCT counts distinct ids = distinct terms (and
+          // over an already-decoded struct, distinct representatives)
+          val v = plainVar(a.arg).get
+          if (a.distinct)
+            termNumDt(countDistinct(col(v)).cast("double"), Rdf.XsdInteger)
+          else termNumDt(count(col(v)).cast("double"), Rdf.XsdInteger)
+        case "sample" if plainVar(a.arg).isDefined =>
+          first(col(plainVar(a.arg).get), ignoreNulls = true)
+        // value-bearing or expression-arg: the argument's vars are
+        // decoded term structs, so the GENERIC aggregate compiler
+        // applies verbatim
         case _ => compAgg(a, ids)
       }).as(out)
     }

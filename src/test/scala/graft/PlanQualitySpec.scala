@@ -206,6 +206,38 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("expression-arg aggregates: keys shuffle as ids") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      val df = graft.sparql.Sparql.query(spark, q,
+        "SELECT ?n (SUM(?b * 2) AS ?s) WHERE { ?c :nation ?n . " +
+          "?c :acctbal ?b } GROUP BY ?n",
+        encoded = Some(enc))
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+      }
+      // SUM's argument is an expression over ?b — only ?b decodes; the
+      // BGP join and the group key stay 8-byte ids
+      assert(shuffles.exists(_.contains(LongType)),
+        s"no id-typed exchange found: $shuffles")
+      shuffles.foreach { out =>
+        assert(out.count(_.isInstanceOf[StructType]) <= 1,
+          s"an exchange carries more than the aggregate argument: $out")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("OPTIONAL joins ids: left-outer exchanges carry longs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{LongType, StructType}

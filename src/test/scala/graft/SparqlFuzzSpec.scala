@@ -147,6 +147,12 @@ class SparqlFuzzSpec extends GraftSuite {
           s"(ROUND(AVG(?b)) AS ?ab) (MIN(?b) AS ?mn) (MAX(?b) AS ?mx) " +
           s"WHERE { $body } GROUP BY $key"
         assert(rowsEnc(vagg).sorted == rows(vagg).sorted, vagg)
+        // EXPRESSION aggregate arguments (SUM(?b * 2), COUNT(STR(?b)))
+        // — the id plane decodes only the argument vars, keys stay ids
+        val eagg = s"SELECT $key (ROUND(SUM(?b * 2)) AS ?s2) " +
+          s"(COUNT(STR(?b)) AS ?cs) (MAX(?b - 1) AS ?m1) " +
+          s"WHERE { $body } GROUP BY $key"
+        assert(rowsEnc(eagg).sorted == rows(eagg).sorted, eagg)
       }
     }
   }
