@@ -218,7 +218,17 @@ object Algebra {
     case LeftJoin(l, r, c) => LeftJoin(hoistExtends(l), hoistExtends(r), c)
     case Union(l, r) => Union(hoistExtends(l), hoistExtends(r))
     case Minus(l, r) => Minus(hoistExtends(l), hoistExtends(r))
-    case Filter(c, i) => Filter(c, hoistExtends(i))
+    // the dual rewrite: sink a FILTER below an Extend it does not
+    // read — `{ pats . BIND . FILTER }` parses filter-outermost, and
+    // Extend(Filter(Join…)) is the shape the id-plane pushdowns peel
+    // (extendOverIds strips the filter stack with partial decode);
+    // EXISTS-bearing conditions stay put (their sub-pattern could
+    // share the bound var through the solution scope)
+    case Filter(c, i) => hoistExtends(i) match {
+      case Extend(i2, v, e) if !containsExists(c) && !exprVars(c).contains(v) =>
+        hoistExtends(Extend(Filter(c, i2), v, e))
+      case other => Filter(c, other)
+    }
     case Extend(i, v, e) => Extend(hoistExtends(i), v, e)
     case Group(i, k, a) => Group(hoistExtends(i), k, a)
     case Project(i, vs) => Project(hoistExtends(i), vs)

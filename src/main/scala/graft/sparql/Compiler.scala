@@ -475,11 +475,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case Project(OrderBy(core0, keys), vars) if limit >= 0 =>
       val (core, conds) = stripFilters(core0)
       idTreeScope(core).flatMap { scope =>
-        val keyVars = keys.map(_._1).collect { case EVar(v) => v }
+        // sort keys may be arbitrary expressions — only the vars they
+        // READ need decoding before the cut
+        val keyVars = keys.flatMap(k => exprVarSet(k._1)).distinct
         val filterVarsAll = conds.flatMap(exprVarSet).toSet
           .intersect(Algebra.inScope(core).toSet)
-        if (keyVars.size != keys.size || keyVars.isEmpty || vars.isEmpty ||
-          !vars.forall(scope) || !keyVars.forall(scope) ||
+        if (keys.exists(k => containsExists(k._1)) || keyVars.isEmpty ||
+          vars.isEmpty || !vars.forall(scope) || !keyVars.forall(scope) ||
           !filterVarsAll.subsetOf(scope)) None
         else {
           val keep = vars.toSet ++ keyVars ++ filterVarsAll

@@ -195,6 +195,17 @@ class SparqlFuzzSpec extends GraftSuite {
     }
   }
 
+  test("struct and id planes agree on expression sort keys with LIMIT") {
+    // the id-plane top-k decodes only the vars the sort EXPRESSIONS
+    // read before the cut; sequences (not just sets) must match
+    for (text <- Seq(
+      "SELECT ?s ?b WHERE { ?s :acctbal ?b . ?s :nation ?n } " +
+        "ORDER BY DESC(?b * 2) ?s LIMIT 7",
+      "SELECT ?nn WHERE { ?n :name ?nn . ?n :region ?r } " +
+        "ORDER BY (STRLEN(?nn)) ?nn LIMIT 5"))
+      assert(rowsEnc(text) == rows(text), text)
+  }
+
   test("degenerate shapes: empty group, unbound-only filter, zero limit") {
     assert(rows("SELECT * WHERE { }").size == 1) // Unit0 solution
     assert(rows("SELECT ?s WHERE { ?s a :Customer . FILTER(?nope) }").isEmpty)
