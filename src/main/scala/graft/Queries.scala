@@ -661,6 +661,51 @@ object Queries {
                '${TextAnalysis.PiiPhoneRe}', '<PHONE>', 'g')) AS red_md5
       FROM aug""")),
 
+    // URL canonicalization dedup: the corpus has no URL column, so a
+    // deterministic URL is synthesized from doc_id on BOTH sides (the
+    // t_pii_redact fixture technique) with every mess the canonicalizer
+    // must collapse — uppercase scheme/host, default port, trailing
+    // slash, utm tracking param, fragment. Groups count how many raw
+    // variants collapse onto each canonical URL; map-only + one
+    // combinable groupBy
+    Q("t_url_canon", (s, dir) => {
+      val d = col("doc_id")
+      val raw = concat(
+        lit("HTTP://Example"), d % 7, lit(".COM"),
+        when(d % 3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Path/"), d % 5,
+        when(d % 2 === 0, lit("/")).otherwise(lit("")),
+        when(d % 4 === 0, concat(lit("?utm_source=feed&id="), d % 11))
+          .when(d % 4 === 2, concat(lit("?id="), d % 11))
+          .otherwise(lit("")),
+        when(d % 6 === 0, concat(lit("#sec"), d % 3)).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(TextAnalysis.canonicalUrl(raw).as("url_canon"))
+        .groupBy("url_canon").agg(count(lit(1)).as("n_variants"))
+    }, Some(s"""
+      WITH raw AS (
+        SELECT 'HTTP://Example' || (doc_id % 7) || '.COM'
+          || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+          || '/Path/' || (doc_id % 5)
+          || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || (doc_id % 11)
+                   WHEN doc_id % 4 = 2 THEN '?id=' || (doc_id % 11)
+                   ELSE '' END)
+          || (CASE WHEN doc_id % 6 = 0 THEN '#sec' || (doc_id % 3) ELSE '' END) AS u
+        FROM documents),
+      canon AS (
+        SELECT
+          regexp_replace(lower(regexp_extract(regexp_replace(u, '#.*$$', ''),
+              '${TextAnalysis.UrlSchemeHostRe}', 0)), ':(80|443)$$', '')
+          || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(u, '#.*$$', ''),
+                 '${TextAnalysis.UrlSchemeHostRe}', ''),
+               '(utm_[A-Za-z]*|fbclid|gclid)=[^&#]*&?', ''),
+               '\\?&', '?'), '[?&]$$', ''), '/\\?', '?'), '/$$', '') AS url_canon
+        FROM raw)
+      SELECT url_canon, count(*)::BIGINT AS n_variants
+      FROM canon GROUP BY 1""")),
+
     // Gopher-style shape rules (word-count bounds, mean-word-length
     // band, alpha-word fraction, minimum stop words): the standard
     // rule-based corpus filter, reported as per-doc stats + the first

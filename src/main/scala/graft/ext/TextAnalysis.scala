@@ -293,6 +293,35 @@ object TextAnalysis {
       .where(col("rk") <= cap)
   }
 
+  /** URL canonicalization for URL-level exact dedup — the crawl-
+    * frontier / recrawl-collapse primitive of web-corpus curation:
+    * the same page fetched as `HTTP://Site.COM:80/a/?utm_source=x#f`
+    * and `http://site.com/a` must collapse to one canonical key
+    * BEFORE document-level dedup runs. Rules (applied in this order,
+    * each a map-only regex in the RE2∩Java subset so one pattern
+    * string serves Spark and the DuckDB oracle):
+    *  1. drop the fragment;
+    *  2. lowercase scheme + authority (path/query stay case-exact);
+    *  3. strip default ports `:80`/`:443`;
+    *  4. strip tracking params (`utm_*`, `fbclid`, `gclid`);
+    *  5. drop a then-dangling `?`/`&` and the trailing PATH slash
+    *     (both `/x/?q` → `/x?q` and a bare trailing `/x/` → `/x`).
+    */
+  val UrlSchemeHostRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val head = regexp_replace(
+      lower(regexp_extract(noFrag, UrlSchemeHostRe, 0)), ":(80|443)$", "")
+    val tail = regexp_replace(noFrag, UrlSchemeHostRe, "")
+    val noTrack =
+      regexp_replace(tail, "(utm_[A-Za-z]*|fbclid|gclid)=[^&#]*&?", "")
+    val clean = regexp_replace(
+      regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+    concat(head,
+      regexp_replace(regexp_replace(clean, "/\\?", "?"), "/$", ""))
+  }
+
   /** PII patterns (RE2/Java-common subset: no lookarounds, no
     * backrefs, so the same pattern string runs verbatim in Spark's
     * Java regex and the DuckDB oracle's RE2). Detection and redaction

@@ -175,4 +175,22 @@ class TextOpsSpec extends GraftSuite {
     assert(got.toSeq == Seq(
       (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
   }
+
+  test("canonicalUrl collapses case/port/slash/tracking/fragment variants") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTP://Example.COM:80/Path/1/?utm_source=x&id=2#frag",
+      "http://example.com/Path/1?id=2",
+      "https://A.com:443/p", "https://a.com/p",
+      "http://h.com/x/", "http://h.com/x",
+      // non-tracking params and path case survive untouched
+      "http://h.com/CaseD?q=Up").toDF("u")
+    val c = urls
+      .select(graft.ext.TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .as[String].collect()
+    assert(c(0) == c(1) && c(0) == "http://example.com/Path/1?id=2")
+    assert(c(2) == c(3) && c(2) == "https://a.com/p")
+    assert(c(4) == c(5) && c(4) == "http://h.com/x")
+    assert(c(6) == "http://h.com/CaseD?q=Up")
+  }
 }
