@@ -235,6 +235,18 @@ object SparqlQueries {
       WHERE ty.p='rdf:type' AND ty.o=':Customer'
       GROUP BY nm.o"""))),
 
+    // EXPRESSION group keys (GROUP BY (expr AS ?v), §18.2.4): the id
+    // plane computes the key over its decoded vars and groups on the
+    // computed term; other columns stay 8-byte ids
+    Q("r_group_expr_key", sq("""
+      SELECT ?l (COUNT(?c) AS ?n) WHERE {
+        ?c :mktsegment ?m .
+      } GROUP BY (STRLEN(?m) AS ?l)"""),
+      Some(TpchRdf.withQuads(s"""
+      SELECT ${canonInt("len(m.o)")} AS l, ${canonInt("count(*)")} AS n
+      FROM quads m WHERE m.p=':mktsegment'
+      GROUP BY len(m.o)"""))),
+
     Q("r_ask", sq("""ASK { ?r :name "ASIA" }"""),
       Some(TpchRdf.withQuads("""
       SELECT CASE WHEN EXISTS (SELECT 1 FROM quads WHERE p=':name' AND o='ASIA')

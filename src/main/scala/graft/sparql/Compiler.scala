@@ -932,7 +932,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     // pre-aggregate — the group keys still shuffle as longs
     val idSafe = Set("count", "sample")
     val valueFns = Set("sum", "avg", "min", "max", "group_concat")
-    val keyOk = keys.forall { case (v, e) => e.isEmpty && scope(v) }
+    // plain-var keys group on raw ids; EXPRESSION keys (GROUP BY
+    // (expr AS ?v)) compute over their decoded vars and group on the
+    // computed term struct — mixed key lists work, and the id-plane
+    // frame still serves every other column as longs
+    val keyOk = keys.forall {
+      case (v, None) => scope(v)
+      case (_, Some(e)) =>
+        !containsExists(e) && exprVarSet(e).subsetOf(scope)
+    }
     // an aggregate runs on RAW IDS only when its arg is a plain
     // BGP-bound var (or COUNT(*)); everything else routes through the
     // generic struct aggregate over its decoded argument variables
@@ -957,13 +965,20 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       case (_, a) if !idArg(a) =>
         a.arg.map(exprVarSet).getOrElse(Set.empty)
     }.flatten.toSet
-    val keep = keys.map(_._1).toSet ++
+    val keyExprVars = keys.flatMap(_._2.map(exprVarSet)).flatten.toSet
+    val keep = keys.collect { case (v, None) => v }.toSet ++ keyExprVars ++
       aggs.flatMap(kv => kv._2.arg.map(exprVarSet).getOrElse(Set.empty)) ++
       filterVarsAll
     val idsOpt = idFrameOf(core, keep)
     if (idsOpt.isEmpty) return None
-    val ids = decodeCols(
-      applyFilters(idsOpt.get, conds, filterVarsAll), decodeArgVars)
+    val ids0 = decodeCols(
+      applyFilters(idsOpt.get, conds, filterVarsAll),
+      decodeArgVars ++ keyExprVars)
+    // bind computed key columns (term structs) before the groupBy
+    val ids = keys.foldLeft(ids0) {
+      case (d, (v, Some(e))) => d.withColumn(v, compExpr(e, resolver(d)))
+      case (d, (_, None)) => d
+    }
     val aggCols = aggs.map { case (out, a) =>
       (a.fn match {
         case "count" if a.arg.isEmpty =>

@@ -139,6 +139,11 @@ class SparqlFuzzSpec extends GraftSuite {
       assert(rowsEnc(agg).sorted == rows(agg).sorted, agg)
       val dist = s"SELECT DISTINCT ${bound.mkString(" ")} WHERE { $body }"
       assert(rowsEnc(dist).sorted == rows(dist).sorted, dist)
+      // EXPRESSION group keys: computed over decoded vars, grouped on
+      // the computed term — equal across planes
+      val kagg = s"SELECT ?kx (COUNT(*) AS ?c) WHERE { $body } " +
+        s"GROUP BY (STR($key) AS ?kx)"
+      assert(rowsEnc(kagg).sorted == rows(kagg).sorted, kagg)
       // value aggregates (the full pushdown family): ROUND the float
       // folds — double addition is partition-order dependent, and the
       // two planes may fold in different orders; MIN/MAX are exact
