@@ -75,6 +75,35 @@ object GraphQueries {
       SELECT id, round(raw * (SELECT count(*) FROM allv) / (SELECT sum(raw) FROM allv), 6) AS rank
       FROM allv""")),
 
+    // personalized PageRank: restart mass on the BUILDING-segment
+    // customers; on the depth-2 DAG (cust → nation → region) the
+    // unnormalized contract has an exact closed form (cust = 0.15,
+    // nation = 0.85·0.15·#seed-custs, region = 0.85·Σ nations), which
+    // 10 iterations fully converge to; zero-rank vertices are dropped
+    Q("g_ppr", (s, dir) => {
+      val edges = custNatEdges(s, dir).unionByName(natRegEdges(s, dir))
+      val seeds = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") + 10000).cast("long").as("id"))
+      GraphOps.personalizedPageRank(s, edges, seeds, iters = 10)
+    },
+      Some("""
+      WITH seedc AS (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment='BUILDING'),
+      nat AS (
+        SELECT n_nationkey, n_regionkey,
+               0.85*0.15*(SELECT count(*) FROM seedc WHERE c_nationkey=n_nationkey) AS raw
+        FROM nation),
+      reg AS (
+        SELECT r_regionkey,
+               0.85*(SELECT sum(raw) FROM nat WHERE n_regionkey=r_regionkey) AS raw
+        FROM region),
+      allv AS (
+        SELECT (10000+c_custkey)::BIGINT AS id, 0.15::DOUBLE AS raw FROM seedc
+        UNION ALL SELECT n_nationkey::BIGINT, raw FROM nat WHERE raw > 0
+        UNION ALL SELECT (1000+r_regionkey)::BIGINT, raw FROM reg WHERE raw > 0)
+      SELECT id, round(raw, 6) AS rank FROM allv""")),
+
     Q("g_shortest_hops", (s, dir) => {
       val edges = custNatEdges(s, dir)
         .unionByName(natRegEdges(s, dir))

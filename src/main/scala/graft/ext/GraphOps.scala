@@ -73,6 +73,51 @@ object GraphOps {
       .select(col("id"), round(col("rank0"), 6).as("rank"))
   }
 
+  /** Personalized PageRank over a SEED SET, bounded-iteration
+    * UNNORMALIZED contract: `rank = reset·personal + (1−reset)·Σ_in
+    * rank/outdeg` with the restart indicator 1 on each seed — total
+    * restart mass |seeds|, no final normalization, so on a DAG the
+    * converged ranks have an exact closed form a cross-engine oracle
+    * can state directly. Vertices outside the seeds' forward closure
+    * hold rank 0 and are dropped from the output (their row count at
+    * web scale would dwarf the interesting mass).
+    *
+    * The topic-sensitive / random-walk-with-restart primitive of
+    * graph-aware curation (seed = trusted domains → rank = crawl
+    * authority). Scale shape: per round one join against the edge
+    * list + one combinable sum keyed by 8-byte ids;
+    * `localCheckpoint` truncates lineage per round.
+    */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, iters: Int = 10, reset: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("od"))
+      .localCheckpoint()
+    val verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    val pers = verts
+      .join(seeds.select(col("id").as("v")).distinct(), Seq("v"), "left_semi")
+      .withColumn("p", lit(1.0))
+      .localCheckpoint()
+    var rank = pers.select(col("v"), (col("p") * reset).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.select(col("v").as("src"), col("rank")), Seq("src"))
+        .join(outdeg.select(col("v").as("src"), col("od")), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(sum(col("rank") / col("od")).as("in_mass"))
+      rank = pers.select(col("v"), (col("p") * reset).as("base"))
+        .join(contrib, Seq("v"), "full")
+        .select(col("v"),
+          (coalesce(col("base"), lit(0.0)) +
+            lit(1.0 - reset) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    rank.select(col("v").as("id"), round(col("rank"), 6).as("rank"))
+      .where(col("rank") > 0)
+  }
+
   /** Unweighted shortest hop counts from a set of source vertices,
     * treating edges as undirected. Semi-naive BFS: each round joins
     * only the new frontier against the edge list — the DataFrame

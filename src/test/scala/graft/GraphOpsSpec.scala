@@ -47,6 +47,23 @@ class GraphOpsSpec extends GraftSuite {
     intercept[IllegalArgumentException] { GraphOps.hits(spark, edges, rounds = 0) }
   }
 
+  test("personalizedPageRank: hand-computed DAG closed form") {
+    import spark.implicits._
+    // 1→2, 3→2, 2→4; seed {1}: rank1 = 0.15, rank2 = 0.85·0.15 =
+    // 0.1275, rank4 = 0.85·0.1275 = 0.108375; vertex 3 (not reachable
+    // from the seed mass) is dropped
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphOps.personalizedPageRank(spark, edges, seeds, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.15, 2L -> 0.1275, 4L -> 0.108375))
+    // fan-out divides by out-degree: 1→{2,4}, seed {1}
+    val e2 = Seq((1L, 2L), (1L, 4L)).toDF("src", "dst")
+    val got2 = GraphOps.personalizedPageRank(spark, e2, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2 == Map(1L -> 0.15, 2L -> 0.063750, 4L -> 0.063750))
+  }
+
   test("labelPropagation: hand-computed sync rounds") {
     import spark.implicits._
     // path 1-2-3: after round 1 → (1:2, 2:1, 3:2); after round 2 the
