@@ -67,6 +67,21 @@ object StreamQueries {
     // append-mode watermark semantics: the stale half of the slice
     // arrives after the watermark passed it → dropped; the oracle is
     // the aggregation of the surviving (recent) half alone
+    // trending top-k per hour: watermark-bounded (window, type) counts
+    // in the stream, rank at the sink — ranking inside the stream
+    // would need unboundable global state
+    Q("st_windowed_topk", (s, dir) => StreamOps.windowedTopK(s, dir, 3),
+      Some("""
+      WITH c AS (
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT hour_start, event_type, n, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY hour_start
+                    ORDER BY n DESC, event_type ASC) AS rk
+        FROM c)
+      WHERE rk <= 3""")),
+
     Q("st_watermark_drop", (s, dir) => StreamOps.watermarkedHourlyCounts(s, dir),
       Some("""
       SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -150,6 +150,32 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Per-window trending top-k: the STREAM maintains only the
+    * watermark-bounded (window, key) counts — the state that scales —
+    * and the rank runs BATCH-side over the drained per-window
+    * aggregates (the standard aggregate-in-stream / rank-at-the-sink
+    * topology: ranking inside the stream would hold global state the
+    * watermark could never bound). The sink-side window partitions by
+    * `hour_start` (unbounded cardinality over time, bounded rows per
+    * window) and `row_number <= k` triggers Catalyst's partial
+    * WindowGroupLimit below the exchange.
+    */
+  def windowedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"st_topk_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, counts, name, "complete", availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_start").orderBy(col("n").desc, col("event_type").asc)
+    spark.table(name)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** Streaming exact deduplication: drop duplicate (user_id,
     * event_type) pairs across the stream — state store keyed by the
     * pair, the canonical streaming-dedup shape (at unbounded scale,
