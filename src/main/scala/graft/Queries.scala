@@ -1113,6 +1113,18 @@ object Queries {
         FROM scored)
       SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= 5""")),
 
+    // range (radius) search: everything with cosine >= t per query —
+    // broadcast probes, map-only score + filter; rounding on both
+    // sides keeps the threshold comparison engine-exact
+    Q("s_range_search", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.rangeSearch(e.filter(col("vec_id") < 5), e, 0.15)
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5)
+      SELECT query_id, vec_id, ${duckCosine("q_emb", "embedding")} AS cos
+      FROM embeddings, q WHERE vec_id <> query_id
+        AND ${duckCosine("q_emb", "embedding")} >= 0.15""")),
+
     Q("s_cosine_neardup", (s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.3, 6), {
       // DuckDB mirror of the sign-LSH bucketing (identical double math:

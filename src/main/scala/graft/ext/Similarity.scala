@@ -57,6 +57,23 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
+  /** Range (radius) search: every corpus vector with cosine ≥
+    * `threshold` per query — the recall-oriented sibling of top-k
+    * (dedup and retrieval audits ask "everything this similar", not
+    * "the k best"). Broadcast probes, map-only score + filter: no
+    * window, no per-query state, nothing but the corpus scan at any
+    * scale.
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame =
+    corpus.join(
+        broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .where(col("cos") >= threshold)
+
   /** Random-hyperplane (sign-LSH) bucket id: `bits` pseudo-random
     * hyperplanes, deterministic coefficients from (plane, dim) via a
     * fixed LCG — engine-independent, no trained state to ship.
