@@ -288,6 +288,31 @@ object ExtraQueries {
       WINDOW w AS (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice DESC, o_orderkey ASC)""")),
 
+    // explicit salted join (plans.Skew): the hot-key mitigation for
+    // joins AQE cannot rewrite — results must be IDENTICAL to the
+    // plain join, which is exactly what the oracle states. Orders
+    // join nation through customer: n_nationkey is a 25-value key
+    // over 150k orders/SF — the low-cardinality shape salting exists
+    // for
+    Q("q_salted_join", (s, dir) => {
+      val big = t(s, dir, "orders").join(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").as("n_nationkey")), Seq("o_custkey"))
+        .select(col("n_nationkey"), col("o_totalprice"))
+      val dim = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      graft.plans.Skew.saltedJoin(big, dim, "n_nationkey", nSalts = 8)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+    }, Some("""
+      SELECT n_name, count(*)::BIGINT AS n_orders,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name""")),
+
     Q("q_intersect_except", (s, dir) => {
       // customers appearing as order-placers vs the full customer set
       val placed = t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
