@@ -533,6 +533,38 @@ object Queries {
       WHERE ${duckPh("CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007 % 1000 <
             CAST((((CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1) * 0.25) * 1000 AS BIGINT)""")),
 
+    // temperature-scaled mixture rebalancing (alpha = 1/2): per-source
+    // keep-rates sqrt(n_min/n_s) — small sources keep everything,
+    // large ones downsample. Source sizes are uniform in the fixture,
+    // so a deterministic per-source thinning first skews them; the
+    // gate checks sizes, rates AND the kept counts (the hash-gated
+    // apply step), all cross-engine exact (sqrt is correctly-rounded
+    // IEEE; the threshold uses floor, never an integer cast)
+    Q("t_temperature_mix", (s, dir) => {
+      val srcIdx = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") % (srcIdx % 4 + 1) === 0)
+      val rates = TextAnalysis.temperatureRates(docs)
+      docs.join(broadcast(rates), Seq("source"))
+        .where(TextAnalysis.mixBucket(col("doc_id")) <
+          floor(col("rate") * 1000))
+        .groupBy(col("source"), col("n"), col("rate"))
+        .agg(count(lit(1)).as("n_kept"))
+    }, Some(s"""
+      WITH d AS (
+        SELECT * FROM documents
+        WHERE doc_id % ((CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4) + 1) = 0),
+      sz AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1),
+      mr AS (SELECT max(1.0/sqrt(n::DOUBLE)) AS m FROM sz),
+      rates AS (
+        SELECT source, n, round((1.0/sqrt(n::DOUBLE)) / (SELECT m FROM mr), 6) AS rate
+        FROM sz)
+      SELECT r.source, r.n, r.rate, count(*)::BIGINT AS n_kept
+      FROM d JOIN rates r USING (source)
+      WHERE ${duckPh("CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007 % 1000
+            < floor(r.rate * 1000)
+      GROUP BY 1, 2, 3""")),
+
     // per-source document cap: at most 10 docs per source, picked in
     // scrambled-hash order — the domain-cap curation primitive; one
     // window shuffle on source, rerun-stable kept set

@@ -128,9 +128,33 @@ object TextAnalysis {
     * bucketing — the constant fits the oracle's BIGINT arithmetic
     * (max product ~2.7e18 < 2^63).
     */
+  /** The scrambled-hash mixture bucket (0–999) of a document id —
+    * shared by [[sampleMixture]] and the temperature-mix pipeline.
+    */
+  def mixBucket(docId: Column): Column =
+    polyHash(docId.cast("string")) * 2654435761L % 1000000007L % 1000
+
   def sampleMixture(docId: Column, rate: Column): Column =
-    polyHash(docId.cast("string")) * 2654435761L % 1000000007L % 1000 <
-      (rate * 1000).cast("long")
+    mixBucket(docId) < (rate * 1000).cast("long")
+
+  /** Temperature-scaled per-source sampling rates (α = 0.5): the
+    * multilingual-corpus rebalancing rule — sample source s with
+    * probability ∝ n_s^α, i.e. keep-rate r_s ∝ n_s^α / n_s, here
+    * normalized so the SMALLEST source keeps everything and larger
+    * sources downsample as √(n_min/n_s). α is fixed at ½ because
+    * sqrt (unlike pow) is a correctly-rounded IEEE operation in every
+    * engine, which is what makes the rates — and therefore the kept
+    * set — bit-reproducible cross-engine. One combinable count per
+    * source + a scalar broadcast; apply with
+    * `mixBucket(doc_id) < floor(rate · 1000)` (floor, not a cast —
+    * integer casts round differently across engines).
+    */
+  def temperatureRates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val mr = sizes.agg(max(lit(1.0) / sqrt(col("n").cast("double"))).as("mr"))
+    sizes.crossJoin(mr).select(col("source"), col("n"),
+      round((lit(1.0) / sqrt(col("n").cast("double"))) / col("mr"), 6).as("rate"))
+  }
 
   /** Deterministic train/valid/test split assignment from the document
     * id — the same scrambled-hash bucketing as [[sampleMixture]], cut
