@@ -942,6 +942,48 @@ object Queries {
              min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY 1 HAVING count(*) > 1""")),
 
+    // keep-best dedup policy: among exact-fingerprint duplicates keep
+    // the HIGHEST-quality member (doc_id tiebreak) — dedup POLICY
+    // matters as much as detection (keeping the first-crawled copy
+    // keeps whatever the crawler hit first; keeping the best copy
+    // keeps the cleanest). The argmax is a map-side-combinable
+    // min(struct(-q, doc_id)) — no per-fingerprint window, the same
+    // combinable-argmax shape as labelPropagation
+    Q("d_exact_keepbest", (s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      scored.groupBy("fp")
+        .agg(count(lit(1)).as("n_dups"),
+          min(struct((-col("q")).as("nq"), col("doc_id").as("d"))).as("best"))
+        .filter(col("n_dups") > 1)
+        .select(col("fp"), col("n_dups"),
+          col("best")("d").as("kept_doc"),
+          round(-col("best")("nq"), 6).as("kept_q"))
+    }, Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
+               len(string_split(text,' '))::DOUBLE AS n,
+               len(list_filter(string_split(text,' '),
+                 t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE AS stop,
+               len(text)::DOUBLE AS chars
+        FROM documents),
+      q AS (
+        SELECT doc_id, fp,
+               round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
+                     + least(round(stop/n,6)*4.0, 1.0)
+                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) AS q
+        FROM f),
+      r AS (
+        SELECT fp, doc_id, q,
+               row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY fp) AS n_dups
+        FROM q)
+      SELECT fp, n_dups::BIGINT AS n_dups, doc_id AS kept_doc, q AS kept_q
+      FROM r WHERE rn = 1 AND n_dups > 1""")),
+
     // leading-boilerplate dedup: documents sharing their first 20
     // tokens (templated headers, mirrored intros) group on a prefix
     // hash — map-side md5, shuffle carries only the 32-byte key
