@@ -64,6 +64,14 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
     */
   def materialize(): Unit = store.materializeInference()
 
+  /** Dump the CURRENT snapshot as partitioned N-Quads text — the
+    * export path of the store (GraphDB's repository export role). A
+    * map-only distributed write at any store size; the files reload
+    * with [[load]] / [[graft.rio.NQuads.read]].
+    */
+  def exportNQuads(path: String): Unit =
+    graft.rio.NQuads.write(store.snapshot(), path)
+
   /** SELECT/ASK/CONSTRUCT/DESCRIBE over the current snapshot. A
     * compacted store also serves its id-encoded sidecar, so simple
     * BGPs join on 8-byte term ids and decode at the result edge.

@@ -1,6 +1,6 @@
 package graft.rio
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.rdf.Rdf
@@ -114,6 +114,44 @@ object NQuads {
     }
     (defaultLines ++ blocks).mkString("\n")
   }
+
+  /** Column-expression N-Quads line — the DISTRIBUTED form of
+    * [[emit]]: one output line per quad row, built entirely from
+    * codegen'd string functions, so `df.select(lineCol(…)).write
+    * .text(path)` dumps a store of any size as a map-only write (no
+    * driver materialization, no shuffle; output partitioning follows
+    * the input). Encoding matches [[emit]]/[[termStr]] exactly, so
+    * [[read]] round-trips the files.
+    */
+  def lineCol(g: Column, s: Column, p: Column, o: Column): Column = {
+    import org.apache.spark.sql.functions._
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+        "\n", "\\\\n"), "\t", "\\\\t"), "\r", "\\\\r")
+    def term(t: Column): Column =
+      when(t("kind") === Rdf.IRI, concat(lit("<"), t("lex"), lit(">")))
+        .when(t("kind") === Rdf.BNODE, concat(lit("_:"),
+          regexp_replace(regexp_replace(t("lex"), "_", "__"), ":", "_c")))
+        .otherwise(concat(lit("\""), esc(t("lex")), lit("\""),
+          when(t("lang") =!= "", concat(lit("@"), t("lang")))
+            .when(t("dt") =!= "" && t("dt") =!= Rdf.XsdString,
+              concat(lit("^^<"), t("dt"), lit(">")))
+            .otherwise(lit(""))))
+    concat(term(s), lit(" "), term(p), lit(" "), term(o),
+      when(g.isNull || g === "", lit(""))
+        .otherwise(concat(lit(" <"), g, lit(">"))),
+      lit(" ."))
+  }
+
+  /** Distributed export: write a quads DataFrame as partitioned
+    * N-Quads text files readable by [[read]] (and any N-Quads parser
+    * of the store's compact-IRI dialect).
+    */
+  def write(quads: DataFrame, path: String): Unit =
+    quads.select(lineCol(org.apache.spark.sql.functions.col("g"),
+        quads("s"), quads("p"), quads("o")).as("value"))
+      .write.mode("overwrite").text(path)
 
   // ---- Spark reader ---------------------------------------------------
 

@@ -163,6 +163,46 @@ class RioFormatsSpec extends GraftSuite {
     assert(tgByG == Map("g:default" -> 1L, "http://ex.org/g1" -> 1L))
   }
 
+  test("distributed N-Quads export round-trips through the reader") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("rio-export").toFile
+    // a battery of the tricky shapes: bnodes (label round-trip through
+    // the salt/encode codec), lang tags, typed literals, escapes
+    val ttl = new java.io.File(dir, "battery.ttl")
+    Files.write(ttl.toPath,
+      ("@prefix ex: <http://ex.org/> .\n" +
+        "ex:a ex:name \"caf\\u00E9 \\\"q\\\" b\\\\s\\nnl\"@en .\n" +
+        "ex:a ex:n 42 .\n" +
+        "_:b1 ex:p ex:a .\n" +
+        "_:b1 ex:q \"plain\" .\n").getBytes(UTF_8))
+    val orig = Turtle.read(spark, Seq(ttl.getAbsolutePath), "g:one")
+    val out = new java.io.File(dir, "export").getAbsolutePath
+    NQuads.write(orig, out)
+    val back = NQuads.read(spark, Seq(out), "g:default")
+    // bnode labels are FILE-scoped (RDF 1.1 N-Quads §3): the reader
+    // salts them per source unit, so round-trip equality holds up to
+    // bnode RENAMING — normalize to the label's local part
+    def key(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("g"),
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.split(col("s")("lex"), ":"), -1),
+      col("s")("kind"),
+      col("p")("lex"), col("o")("lex"), col("o")("kind"),
+      col("o")("dt"), col("o")("lang"))
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    assert(key(back) == key(orig) && orig.count() == 4)
+
+    // and the store facade: export → reload under a fresh store =
+    // identical snapshot
+    val g = Graft.open(spark, new java.io.File(dir, "store").getAbsolutePath)
+    g.update("""INSERT DATA { GRAPH <g:x> { <s:1> <p:v> "a" . } }""")
+    g.exportNQuads(new java.io.File(dir, "dump").getAbsolutePath)
+    val re = NQuads.read(spark,
+      Seq(new java.io.File(dir, "dump").getAbsolutePath), "g:default")
+    assert(re.count() == 1 &&
+      re.select("g").head.getString(0) == "g:x")
+  }
+
   test("UCHAR and ECHAR escapes decode in string literals") {
     // canonical N-Triples escapes every non-ASCII char as \uXXXX /
     // \U00XXXXXX — built by concatenation so Scala's own unicode
