@@ -356,8 +356,17 @@ final class QuadStore(spark: SparkSession, dir: String) {
           s"DELETE WHERE supports BGP/GRAPH/FILTER patterns, got $other")
     }
     val op = rw(strip(parsed.op))
-    val compiler = new graft.sparql.Compiler(spark, snapshot())
-    val sols = compiler.compile(op)
+    val compiler = new graft.sparql.Compiler(spark, snapshot(),
+      encoded = snapshotEncoded())
+    // template vars are consumed OUTSIDE the compiled tree (tombstone
+    // instantiation below) — declare them so the id plane's late
+    // materialization keeps and decodes them
+    val needed = templates.flatMap { case (gn, tp) =>
+      (gn match { case V(v) => Seq(v); case _ => Nil }) ++
+        Seq(tp.s, tp.o).collect { case V(v) => v } ++
+        (tp.p match { case PVar(v) => Seq(v); case _ => Nil })
+    }.toSet
+    val sols = compiler.compile(op, needed)
     def nodeCol(n: Node) = n match {
       case V(v) => sols(v)
       case T(lex, kind, dt, lang) => graft.rdf.Rdf.constTerm(lex, kind, dt, lang)
@@ -472,14 +481,16 @@ final class QuadStore(spark: SparkSession, dir: String) {
       snap.select(col("g"), col("s"), col("p"), col("o")),
       fromGraphs = if (withScopesWhere) withG.toSeq else usingGraphs,
       fromNamed = usingNamed,
+      // the update WHERE matches over the same id plane queries use
+      // (per-segment sidecars keep it live across appends) — at scale
+      // the match joins 8-byte ids instead of term structs
+      encoded = snapshotEncoded(),
       namedAllGraphs = withScopesWhere)
     def stripOp(op: Op): Op = op match {
       case Project(i, _) => stripOp(i)
       case Distinct(i) => stripOp(i)
       case other => other
     }
-    val sols = compiler.compile(stripOp(
-      graft.sparql.SparqlParser.parse(s"SELECT * WHERE { $where }").op))
 
     /** template text → per-BGP (graph context, triple patterns) */
     def templates(tpl: String): Seq[(Option[Node], TriplePat)] = {
@@ -494,6 +505,20 @@ final class QuadStore(spark: SparkSession, dir: String) {
       walk(stripOp(graft.sparql.SparqlParser.parse(s"SELECT * WHERE { $tpl }").op))
       out
     }
+    val delT = delTpl.map(templates)
+    val insT = insTpl.map(templates)
+    // template vars are consumed OUTSIDE the compiled tree (the
+    // instantiation below) — declare them so the id plane's late
+    // materialization keeps and decodes them
+    val neededVars = (delT.toSeq ++ insT.toSeq).flatten.flatMap {
+      case (gn, tp) =>
+        gn.toSeq.collect { case V(v) => v } ++
+          Seq(tp.s, tp.o).collect { case V(v) => v } ++
+          (tp.p match { case PVar(v) => Seq(v); case _ => Nil })
+    }.toSet
+    val sols = compiler.compile(stripOp(
+      graft.sparql.SparqlParser.parse(s"SELECT * WHERE { $where }").op),
+      neededVars)
 
     def nodeCol(n: Node): Column = n match {
       case V(v) =>
@@ -522,7 +547,7 @@ final class QuadStore(spark: SparkSession, dir: String) {
 
     // DELETE first (spec §3.1.3 ordering). WHERE solutions were pinned
     // against the PRE-update snapshot above, as the spec requires.
-    delTpl.map(templates).foreach { tpls =>
+    delT.foreach { tpls =>
       val tombSets = instantiate(tpls).map { case (gcol, rows) =>
         val keyed = rows.select(
           (gcol match {
@@ -549,7 +574,7 @@ final class QuadStore(spark: SparkSession, dir: String) {
         if (!tombs.isEmpty) commitSegment(tombs, s"del-${System.nanoTime()}")
       }
     }
-    insTpl.map(templates).foreach { tpls =>
+    insT.foreach { tpls =>
       val insSets = instantiate(tpls).map { case (gcol, rows) =>
         rows.select(
           (gcol match {
