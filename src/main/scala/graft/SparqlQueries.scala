@@ -530,6 +530,17 @@ object SparqlQueries {
       WHERE ty.p='rdf:type' AND ty.o=':Customer'
       ORDER BY b.onum DESC, ty.s ASC LIMIT 10 OFFSET 5"""))),
 
+    // top-k with EXPRESSION sort keys: the id-plane cut decodes only
+    // the vars the sort expressions read before TakeOrdered
+    Q("r_topk_expr", sq("""
+      SELECT ?c ?bal WHERE { ?c a :Customer . ?c :acctbal ?bal }
+      ORDER BY DESC(?bal * 2) (STRLEN(?c)) ?c LIMIT 10"""),
+      Some(TpchRdf.withQuads("""
+      SELECT ty.s AS c, b.o AS bal
+      FROM quads ty JOIN quads b ON b.p=':acctbal' AND b.s=ty.s
+      WHERE ty.p='rdf:type' AND ty.o=':Customer'
+      ORDER BY b.onum * 2 DESC, len(ty.s) ASC, ty.s ASC LIMIT 10"""))),
+
     // path alternation + zero-or-one in one gate:
     // x ∈ {nation, region(nation), name(nation)}
     Q("r_path_alt_opt", sq("""
