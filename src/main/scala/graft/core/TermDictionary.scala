@@ -73,6 +73,28 @@ object TermDictionary {
     dict
   }
 
+  /** Cross-dictionary collision audit: given the UNION of several
+    * segment dictionaries, fail loudly if two different term
+    * IDENTITIES `(lex, kind)` share one id. Per-segment [[build]]
+    * checks are segment-LOCAL — two terms that never co-occur in a
+    * segment can only be caught here (or at compact()'s global
+    * re-build). Cost is one aggregate over distinct terms, far smaller
+    * than the data, so a streaming store can afford to run it
+    * periodically instead of only at compaction.
+    */
+  def auditUnion(dicts: DataFrame): Unit = {
+    val pairs = dicts.select(col("id"),
+      col("term")("lex").as("lex"), col("term")("kind").as("kind"))
+      .distinct()
+    val counts = pairs.agg(
+      countDistinct(col("id")).as("n_ids"),
+      countDistinct(col("lex"), col("kind")).as("n_idents")).head()
+    val (nIds, nIdent) = (counts.getLong(0), counts.getLong(1))
+    require(nIds == nIdent,
+      s"cross-segment term-id collision: $nIdent distinct term " +
+        s"identities, $nIds distinct ids — widen the id")
+  }
+
   /** Encode quads to `(g, s_id, p_id, o_id)` — ids are pure column
     * expressions (no dictionary join needed on the encode side).
     */

@@ -93,10 +93,12 @@ object GraphOps {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val outdeg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("od"))
       .localCheckpoint()
-    val verts = e.select(col("src").as("v"))
-      .unionByName(e.select(col("dst").as("v"))).distinct()
-    val pers = verts
-      .join(seeds.select(col("id").as("v")).distinct(), Seq("v"), "left_semi")
+    // restart mass comes from the seed set ALONE — a seed with no
+    // edges still carries its indicator (rank = reset), it just never
+    // propagates; semi-joining seeds against edge-derived vertices
+    // would silently drop isolated seeds, breaking the documented
+    // "restart indicator 1 on each seed" contract
+    val pers = seeds.select(col("id").as("v")).distinct()
       .withColumn("p", lit(1.0))
       .localCheckpoint()
     var rank = pers.select(col("v"), (col("p") * reset).as("rank"))

@@ -115,10 +115,11 @@ final class QuadStore(spark: SparkSession, dir: String) {
         val written = spark.read.parquet(root.resolve(seg).toString)
         graft.core.TermDictionary.encode(written)
           .write.mode("overwrite").parquet(root.resolve(s"$seg-enc").toString)
-        // the collision check inside build() is SEGMENT-local here
-        // (the global identities-vs-ids audit re-runs at every
-        // compact()); a cross-segment collision between different
-        // terms is the n²/2⁶⁴ case the compact audit bounds
+        // the collision check inside build() is SEGMENT-local here;
+        // the global identities-vs-ids audit re-runs every
+        // GlobalAuditEvery appended segments (maybeGlobalIdAudit) and
+        // at every compact(), bounding the n²/2⁶⁴ cross-segment case
+        // even for a store that streams appends without compacting
         graft.core.TermDictionary.build(written)
           .write.mode("overwrite").parquet(root.resolve(s"$seg-dict").toString)
       }
@@ -128,6 +129,30 @@ final class QuadStore(spark: SparkSession, dir: String) {
     Files.writeString(tmp, (committedSegments() ++ segs).mkString("\n"))
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    maybeGlobalIdAudit()
+  }
+
+  /** How many positive segments may accumulate between global
+    * identities-vs-ids audits. Per-segment sidecar encoding checks
+    * collisions segment-LOCALLY; a cross-segment collision between
+    * terms that never co-occur in one segment would otherwise decode
+    * silently to the `min(term)` representative until the next
+    * compact() — an unbounded window for a store that streams appends
+    * without ever compacting. The cadence check is derived from
+    * manifest state (positive-segment count modulo), so it needs no
+    * extra persistence and survives reopen.
+    */
+  private val GlobalAuditEvery = 16
+
+  private def maybeGlobalIdAudit(): Unit = {
+    val pos = committedSegments().filterNot(_.startsWith("seg-del-"))
+    if (pos.length < 2 || pos.length % GlobalAuditEvery != 0) return
+    val dictPaths = pos.map(s => root.resolve(s"$s-dict"))
+      .filter(Files.exists(_))
+    if (dictPaths.lengthIs < 2) return
+    graft.core.TermDictionary.auditUnion(
+      dictPaths.map(p => spark.read.parquet(p.toString))
+        .reduce(_.unionByName(_)))
   }
 
   /** Bulk load one version phase: parse all staged Turtle files into

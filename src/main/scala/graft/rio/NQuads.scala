@@ -91,12 +91,26 @@ object NQuads {
       else quoted
   }
 
+  /** The store's `g` column is a kind-less string; blank-node graph
+    * labels are recognized by the salt convention every reader stamps
+    * (`<16 hex chars>:label`, [[read]]/[[Turtle.readTriG]]) — an IRI
+    * would need a 16-lowercase-hex scheme name to collide, which no
+    * real scheme has. Without this, a store holding a bnode graph
+    * would export it as an IRI containing the internal salt,
+    * misrepresenting the term kind to external N-Quads parsers.
+    */
+  private val SaltedBnodeGraph = "^[0-9a-f]{16}:.*$".r
+  private def graphStr(g: String): String =
+    if (SaltedBnodeGraph.pattern.matcher(g).matches())
+      s"_:${Turtle.encodeBnodeLabel(g)}"
+    else s"<$g>"
+
   /** Serialize quads as N-Quads lines (graph `""` emits the 3-term
     * N-Triples form — a valid N-Quads default-graph statement).
     */
   def emit(quads: Seq[(String, Stmt)]): String =
     quads.map { case (g, st) =>
-      val gs = if (g.isEmpty) "" else s" <$g>"
+      val gs = if (g.isEmpty) "" else s" ${graphStr(g)}"
       s"${termStr(st.s)} ${termStr(st.p)} ${termStr(st.o)}$gs ."
     }.mkString("\n")
 
@@ -110,7 +124,8 @@ object NQuads {
     val (default, named) = quads.partition(_._1.isEmpty)
     val defaultLines = default.map(q => line(q._2))
     val blocks = named.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, qs) =>
-      qs.map(q => "  " + line(q._2)).mkString(s"GRAPH <$g> {\n", "\n", "\n}")
+      qs.map(q => "  " + line(q._2))
+        .mkString(s"GRAPH ${graphStr(g)} {\n", "\n", "\n}")
     }
     (defaultLines ++ blocks).mkString("\n")
   }
@@ -140,6 +155,10 @@ object NQuads {
             .otherwise(lit(""))))
     concat(term(s), lit(" "), term(p), lit(" "), term(o),
       when(g.isNull || g === "", lit(""))
+        // salt-convention bnode graph labels (see graphStr) emit as
+        // `_:` with the shared label codec, like any other bnode
+        .when(g.rlike("^[0-9a-f]{16}:"), concat(lit(" _:"),
+          regexp_replace(regexp_replace(g, "_", "__"), ":", "_c")))
         .otherwise(concat(lit(" <"), g, lit(">"))),
       lit(" ."))
   }

@@ -161,6 +161,17 @@ object SparqlParser {
       closedBnodeLabels ++= bnodeStack.head.keySet
       bnodeStack = bnodeStack.tail
     }
+    // §19.6 is about BASIC graph patterns, not groups: triples separated
+    // only by FILTER form ONE BGP (§5.2.2), while OPTIONAL / MINUS /
+    // GRAPH / SERVICE / BIND / VALUES / a nested group all end the
+    // current BGP. Called at each such element: the labels minted so
+    // far in this group become closed (reuse after the break is the
+    // cross-BGP reuse the spec forbids), while the group frame itself
+    // stays open for labels minted by the NEXT run of triples.
+    def closeBgpLabels(): Unit = {
+      closedBnodeLabels ++= bnodeStack.head.keySet
+      bnodeStack = Map.empty[String, String] :: bnodeStack.tail
+    }
     def isolatedBnodeWorld[A](body: => A): A = {
       val (saveStack, saveClosed) = (bnodeStack, closedBnodeLabels)
       bnodeStack = List(Map.empty); closedBnodeLabels = Set.empty
@@ -512,6 +523,13 @@ object SparqlParser {
     }
 
     while (!p.peekPunct("}")) {
+      // every GraphPatternNotTriples except FILTER ends the current
+      // basic graph pattern for bnode-label scoping (§5.2.2, §19.6);
+      // plain triple blocks (the else branch below) continue it
+      val breaksBgp = p.peekPunct("{") ||
+        Seq("OPTIONAL", "SERVICE", "MINUS", "GRAPH", "BIND", "VALUES")
+          .exists(p.peekWord)
+      if (breaksBgp) p.closeBgpLabels()
       if (p.eatWord("FILTER")) {
         filters :+= parseConstraint(p)
       } else if (p.eatWord("OPTIONAL")) {
@@ -580,6 +598,7 @@ object SparqlParser {
       p.eatPunct(".")
     }
     p.expectPunct("}")
+    p.popBnodeScope()
     filters.foldLeft(current)((op, f) => Filter(f, op))
   }
 

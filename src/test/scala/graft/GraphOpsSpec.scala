@@ -62,6 +62,12 @@ class GraphOpsSpec extends GraftSuite {
     val got2 = GraphOps.personalizedPageRank(spark, e2, seeds, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(got2 == Map(1L -> 0.15, 2L -> 0.063750, 4L -> 0.063750))
+    // an ISOLATED seed (no edges at all) still surfaces with its
+    // restart mass — it must not be dropped by edge-vertex derivation
+    val got3 = GraphOps.personalizedPageRank(spark, e2,
+      Seq(1L, 99L).toDF("id"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got3(99L) == 0.15 && got3(1L) == 0.15)
   }
 
   test("labelPropagation: hand-computed sync rounds") {

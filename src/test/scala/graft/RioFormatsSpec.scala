@@ -203,6 +203,44 @@ class RioFormatsSpec extends GraftSuite {
       re.select("g").head.getString(0) == "g:x")
   }
 
+  test("bnode GRAPH labels export as bnodes, not salt-bearing IRIs") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("rio-bnodeg").toFile
+    val nq = new java.io.File(dir, "in.nq")
+    Files.write(nq.toPath,
+      "<s:1> <p:v> \"a\" _:gb .\n<s:2> <p:v> \"b\" <g:iri> .\n"
+        .getBytes(UTF_8))
+    val orig = NQuads.read(spark, Seq(nq.getAbsolutePath), "g:default")
+    // in-store the bnode graph is the salted label (16 hex + ':')
+    val gs = orig.select("g").collect().map(_.getString(0)).sorted
+    assert(gs.exists(_.matches("^[0-9a-f]{16}:gb$")) && gs.contains("g:iri"))
+
+    // distributed export: the bnode graph line must say `_:…`, the IRI
+    // graph line `<g:iri>` — never an IRI wrapping the internal salt
+    val out = new java.io.File(dir, "export").getAbsolutePath
+    NQuads.write(orig, out)
+    val lines = spark.read.textFile(out).collect().toSeq
+    assert(lines.exists(l => l.contains("\"a\" _:") && !l.contains("<g")))
+    assert(lines.exists(_.endsWith("<g:iri> .")))
+    // …and the re-read sees a bnode graph again (re-salted per file)
+    val back = NQuads.read(spark, Seq(out), "g:default")
+    val gs2 = back.select("g").collect().map(_.getString(0))
+    assert(gs2.exists(_.matches("^[0-9a-f]{16}:[0-9a-f]{16}:gb$")))
+
+    // driver-side emitters agree with the distributed form
+    val quads = orig.collect().map { r =>
+      def t(i: Int) = Turtle.Term(r.getStruct(i).getString(0),
+        r.getStruct(i).getInt(1), r.getStruct(i).getString(2),
+        r.getStruct(i).getString(3), None)
+      (r.getString(0), Turtle.Stmt(t(1), t(2), t(3)))
+    }.toSeq
+    val emitted = NQuads.emit(quads.filter(_._1 != "g:default")
+      ++ quads.filter(_._1 == "g:default"))
+    assert(!emitted.matches("(?s).*<[0-9a-f]{16}:.*"))
+    val trig = NQuads.emitTriG(quads)
+    assert(trig.contains("GRAPH _:") && !trig.matches("(?s).*GRAPH <[0-9a-f]{16}.*"))
+  }
+
   test("UCHAR and ECHAR escapes decode in string literals") {
     // canonical N-Triples escapes every non-ASCII char as \uXXXX /
     // \U00XXXXXX — built by concatenation so Scala's own unicode

@@ -669,6 +669,36 @@ class SparqlSpec extends GraftSuite {
     assert(rows.length == 25)
   }
 
+  test("FILTER (NOT) EXISTS does not end the enclosing basic graph pattern") {
+    // §5.2.2: triples separated only by a FILTER form ONE BGP, so a
+    // label straddling a FILTER EXISTS is conformant and must join
+    val straddle = q("""SELECT ?nm WHERE {
+        _:n a :Nation . FILTER EXISTS { ?r a :Region }
+        _:n :name ?nm }""")
+    assert(straddle.length == 25)
+    // and labels minted after a nested group still resolve in the
+    // ENCLOSING group's frame (the r7 bug: they minted into a dead
+    // inner frame, so the join was silently lost)
+    val after = q("""SELECT ?nm WHERE {
+        OPTIONAL { ?z :comment ?c }
+        _:n a :Nation . _:n :name ?nm }""")
+    assert(after.length == 25)
+  }
+
+  test("label reuse across a BGP break inside one group is rejected") {
+    // OPTIONAL ends the BGP (§19.6): _:x before and after it is reuse
+    val e = intercept[graft.sparql.SparqlParser.ParseError] {
+      q("""SELECT ?a WHERE {
+             ?a :name _:x . OPTIONAL { ?z :comment ?c } ?b :region _:x }""")
+    }
+    assert(e.getMessage.contains("blank node label"))
+    // BIND ends the BGP too
+    intercept[graft.sparql.SparqlParser.ParseError] {
+      q("""SELECT ?a WHERE {
+             ?a :name _:x . BIND(1 AS ?one) ?b :region _:x }""")
+    }
+  }
+
   test("BIND targeting an in-scope variable is a parse error") {
     val e = intercept[graft.sparql.SparqlParser.ParseError] {
       q("""SELECT ?b WHERE { ?c :acctbal ?b . BIND(?b + 1 AS ?b) }""")

@@ -59,6 +59,25 @@ class TermDictionarySpec extends GraftSuite {
     }
   }
 
+  test("auditUnion catches cross-segment collisions the local checks miss") {
+    import spark.implicits._
+    import graft.rdf.Rdf
+    def dictOf(lex: String, id: Long) = Seq((id, lex))
+      .toDF("id", "lexv").select(col("id"), Rdf.iri(col("lexv")).as("term"))
+    // two segment dictionaries whose terms never co-occurred: each is
+    // locally collision-free, but they map DIFFERENT identities to one
+    // forged id — exactly the case only the global audit can see
+    val collided = dictOf("ex:a", 7L).unionByName(dictOf("ex:b", 7L))
+    val e = intercept[IllegalArgumentException] {
+      TermDictionary.auditUnion(collided)
+    }
+    assert(e.getMessage.contains("collision"))
+    // disjoint ids pass; the SAME term appearing in both segments
+    // (duplicate (id, identity) row) is not a collision either
+    TermDictionary.auditUnion(dictOf("ex:a", 1L).unionByName(dictOf("ex:b", 2L)))
+    TermDictionary.auditUnion(dictOf("ex:a", 1L).unionByName(dictOf("ex:a", 1L)))
+  }
+
   test("encoded joins equal lexical joins") {
     // customers' nations via id-join must match the lexical join
     val enc = TermDictionary.encode(quads).cache()
