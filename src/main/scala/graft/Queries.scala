@@ -235,15 +235,13 @@ object Queries {
   // ---------------------------------------------------------------
 
   private val windows: Seq[Q] = Seq(
-    Q("w_row_number_lag", (s, dir) => {
-      // order on the exact epoch-nanos key, matching DuckDB's ns timestamps
-      val w = Window.partitionBy("user_id").orderBy(col("ts_ns").asc, col("event_id").asc)
-      t(s, dir, "events").select(
-        col("event_id"), col("user_id"),
-        row_number().over(w).cast("long").as("rn"),
-        round(lag("value", 1).over(w), 2).as("prev_value"),
-        round(sum("value").over(w.rowsBetween(-2, 0)), 2).as("moving_sum3"))
-    }, Some("""
+    // per-user row_number/lag/moving-sum WITHOUT a per-user window: a
+    // bot with 1e8 events would land on one task — the range-partition
+    // + boundary-merge rewrite splits it (ext/EventWindows.scala);
+    // ordering is the exact epoch-nanos key, matching DuckDB
+    Q("w_row_number_lag", (s, dir) =>
+      graft.ext.EventWindows.rowNumberLag(t(s, dir, "events")),
+      Some("""
       SELECT event_id, user_id,
              row_number() OVER w AS rn,
              round(lag(value,1) OVER w, 2) AS prev_value,
@@ -339,23 +337,14 @@ object Queries {
       FROM act LEFT JOIN ret ON ret.d = act.d""")),
 
     // batch sessionization (gaps-and-islands): session breaks on a
-    // >30-min silence; session id = running count of breaks per user.
-    // Two window passes over ONE user_id shuffle, then the per-session
-    // rollup — the batch twin of st_session_window's streaming state
-    Q("w_sessionize", (s, dir) => {
-      val gapUs = 1800000000L
-      val e = t(s, dir, "events").withColumn("ts_us", expr("ts_ns div 1000"))
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
-      e.withColumn("new_s",
-          when(lag("ts_us", 1).over(w).isNull ||
-            col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1).otherwise(0))
-        .withColumn("sid",
-          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
-        .groupBy("user_id", "sid")
-        .agg(count(lit(1)).as("n_events"),
-          min("ts_us").as("start_us"), max("ts_us").as("end_us"),
-          round(sum("value"), 2).as("sum_value"))
-    }, Some("""
+    // >30-min silence; session id = running count of breaks per user —
+    // computed by the range-partition + boundary-merge passes
+    // (ext/EventWindows.scala) rather than a per-user window, so a
+    // mega-user splits across partitions; the batch twin of
+    // st_session_window's streaming state
+    Q("w_sessionize", (s, dir) =>
+      graft.ext.EventWindows.sessionize(t(s, dir, "events")),
+      Some("""
       WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
       g AS (

@@ -1,0 +1,223 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-safe per-user ordered event analytics.
+  *
+  * The natural formulations — `Window.partitionBy(user_id)` for
+  * sessionization, row numbering, lag, and moving sums — funnel each
+  * user's whole history through ONE task: fine for human-scale users,
+  * a scale-killer the moment one bot emits 10⁸ events (the same
+  * hot-key class the per-source curation ops eliminated with
+  * range-partition + prefix-count passes, `TextAnalysis.scala`).
+  *
+  * Both operators here use the range-partition + BOUNDARY-MERGE shape
+  * instead:
+  *
+  *  1. `repartitionByRange(user_id, ts, event_id)` +
+  *     `sortWithinPartitions` — every partition holds a contiguous
+  *     sorted run of the global (user, time) order, so a mega-user
+  *     SPLITS across partitions and no task holds more than O(n/P)
+  *     rows;
+  *  2. a summary pass collects O(1) per partition (its first/last
+  *     user, boundary timestamps, and the run statistics a successor
+  *     needs) — the driver walks the P summaries in partition order
+  *     and resolves each partition's carry-in (the only rows whose
+  *     per-user state depends on another partition are the ones
+  *     touching its boundary, and sorted contiguity means that is a
+  *     single user per boundary);
+  *  3. a map-only pass over the SAME checkpointed layout applies the
+  *     broadcast carry-ins and computes the per-row results locally.
+  *
+  * Output is exactly the window formulation's (the oracle gates pin
+  * it); the driver holds P tuples, never per-user state.
+  */
+object EventWindows {
+
+  /** Batch sessionization (gaps-and-islands): a session breaks on a
+    * silence longer than `gapUs`; `sid` is the running count of breaks
+    * per user; output is the per-session rollup. The boundary carry is
+    * `(row0Break, sidOffset)`: whether the partition's first row opens
+    * a new session (decided by the previous partition's last timestamp
+    * of the same user), and how many sessions that user already opened
+    * in earlier partitions.
+    *
+    * Input needs `user_id`, `event_id`, `ts_ns`, `value`.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val parts = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        expr("ts_ns div 1000").as("ts_us"), col("value").cast("double"))
+      .repartitionByRange(col("user_id"), col("ts_us"), col("event_id"))
+      .sortWithinPartitions("user_id", "ts_us", "event_id")
+      .localCheckpoint(true)
+      .as[(Long, Long, Long, Double)]
+
+    // pass 1: per-partition boundary summary (one row per partition)
+    val summaries = parts.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val (u0, _, t0, _) = it.next()
+        var prevUser = u0; var prevTs = t0
+        var breaksFirstAfter0 = 0L // gap-breaks inside the FIRST user's run
+        var breaksLast = 0L // complete break count of the LAST user's run,
+        // valid only when that run STARTS in this partition (lu != u0)
+        var lastUser = u0; var lastTs = t0
+        while (it.hasNext) {
+          val (u, _, ts, _) = it.next()
+          if (u == prevUser) {
+            if (ts - prevTs > gapUs) {
+              if (u == u0) breaksFirstAfter0 += 1
+              breaksLast += 1
+            }
+          } else breaksLast = 1 // run starts here: its first row is a break
+          prevUser = u; prevTs = ts; lastUser = u; lastTs = ts
+        }
+        Iterator.single((pid, u0, t0, lastUser, lastTs,
+          breaksFirstAfter0, breaksLast))
+      }
+    }.collect().sortBy(_._1)
+
+    // driver boundary walk: O(P) state, no per-user map
+    var havePrev = false; var prevUser = 0L; var prevTs = 0L
+    var prevBreaks = 0L // total sessions of prevUser opened so far
+    val ctrl = Map.newBuilder[Int, (Int, Long)]
+    for ((pid, fu, fts, lu, lts, bfa0, bl) <- summaries) {
+      val cont = havePrev && prevUser == fu
+      val row0Break = if (cont && fts - prevTs <= gapUs) 0 else 1
+      val offset = if (cont) prevBreaks else 0L
+      ctrl += pid -> (row0Break, offset)
+      prevBreaks =
+        if (lu == fu) offset + row0Break + bfa0 // whole partition = one run
+        else bl // last run started in-partition: its count is complete
+      havePrev = true; prevUser = lu; prevTs = lts
+    }
+    val bc = spark.sparkContext.broadcast(ctrl.result())
+
+    // pass 2: map-only sid assignment over the same frozen layout
+    parts.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val (row0Break, offset) = bc.value(pid)
+        var first = true; var curUser = 0L; var sid = 0L; var prevTs = 0L
+        it.map { case (u, _, ts, v) =>
+          if (first) { first = false; curUser = u; sid = offset + row0Break }
+          else if (u != curUser) { curUser = u; sid = 1L }
+          else if (ts - prevTs > gapUs) sid += 1
+          prevTs = ts
+          (u, sid, ts, v)
+        }
+      }
+    }.toDF("user_id", "sid", "ts_us", "value")
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
+  /** Per-user row number, lag(1), and 3-row moving sum — the per-row
+    * ordered-window family over `(user_id, ts_ns, event_id)` order.
+    * The boundary carry is `(rnOffset, seed)`: how many rows of the
+    * boundary user precede this partition, and that user's last ≤2
+    * values (oldest→newest) to seed lag and the moving frame. Sums add
+    * in ascending frame order — the same order `WindowExec` feeds its
+    * aggregate — so doubles match the window formulation bit-for-bit;
+    * rounding stays in Spark `round` (not scala) for the same reason.
+    */
+  def rowNumberLag(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val parts = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_ns").cast("long"), col("value").cast("double"))
+      .repartitionByRange(col("user_id"), col("ts_ns"), col("event_id"))
+      .sortWithinPartitions("user_id", "ts_ns", "event_id")
+      .localCheckpoint(true)
+      .as[(Long, Long, Long, Double)]
+
+    // pass 1: boundary summary — first/last user, their in-partition
+    // run lengths, and the last run's tail values (≤2)
+    val summaries = parts.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val (u0, _, _, v0) = it.next()
+        var nFirst = 1L // rows of the first user's run
+        var nLast = 1L // rows of the last user's run
+        var lastUser = u0
+        var tail1 = v0 // most recent value of the last run
+        var tail2 = Double.NaN; var hasTail2 = false
+        while (it.hasNext) {
+          val (u, _, _, v) = it.next()
+          if (u == lastUser) {
+            nLast += 1
+            if (u == u0) nFirst += 1
+            tail2 = tail1; hasTail2 = true; tail1 = v
+          } else {
+            lastUser = u; nLast = 1L
+            tail1 = v; tail2 = Double.NaN; hasTail2 = false
+          }
+        }
+        Iterator.single((pid, u0, lastUser, nFirst, nLast,
+          tail1, tail2, hasTail2))
+      }
+    }.collect().sortBy(_._1)
+
+    var havePrev = false; var prevUser = 0L
+    var prevCount = 0L; var prevVals = Vector.empty[Double] // oldest→newest, ≤2
+    val ctrl = Map.newBuilder[Int, (Long, Vector[Double])]
+    for ((pid, fu, lu, nFirst, nLast, t1, t2, hasT2) <- summaries) {
+      val cont = havePrev && prevUser == fu
+      val rnOffset = if (cont) prevCount else 0L
+      val seed = if (cont) prevVals else Vector.empty[Double]
+      ctrl += pid -> (rnOffset, seed)
+      val partTail = (if (hasT2) Vector(t2, t1) else Vector(t1))
+      if (lu == fu) {
+        prevCount = rnOffset + nFirst
+        prevVals = (seed ++ partTail).takeRight(2)
+      } else {
+        prevCount = nLast
+        prevVals = partTail
+      }
+      havePrev = true; prevUser = lu
+    }
+    val bc = spark.sparkContext.broadcast(ctrl.result())
+
+    // pass 2: map-only per-row computation with the seeded state
+    parts.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val (rnOffset, seed) = bc.value(pid)
+        var first = true; var curUser = 0L; var rn = 0L
+        var p1 = Option.empty[Double]; var p2 = Option.empty[Double]
+        it.map { case (u, eid, _, v) =>
+          if (first) {
+            first = false; curUser = u; rn = rnOffset + 1
+            p1 = seed.lastOption
+            p2 = if (seed.length >= 2) Some(seed(seed.length - 2)) else None
+          } else if (u != curUser) {
+            curUser = u; rn = 1; p1 = None; p2 = None
+          } else rn += 1
+          // ascending frame order, like WindowExec: ((old + mid) + new)
+          val ms = (p2, p1) match {
+            case (Some(a), Some(b)) => (a + b) + v
+            case (None, Some(b)) => b + v
+            case _ => v
+          }
+          val out = (eid, u, rn, p1, ms)
+          p2 = p1; p1 = Some(v)
+          out
+        }
+      }
+    }.toDF("event_id", "user_id", "rn", "prev_value", "moving_sum3")
+      .select(col("event_id"), col("user_id"), col("rn"),
+        round(col("prev_value"), 2).as("prev_value"),
+        round(col("moving_sum3"), 2).as("moving_sum3"))
+  }
+}

@@ -155,23 +155,56 @@ object StreamOps {
     * and the rank runs BATCH-side over the drained per-window
     * aggregates (the standard aggregate-in-stream / rank-at-the-sink
     * topology: ranking inside the stream would hold global state the
-    * watermark could never bound). The sink-side window partitions by
-    * `hour_start` (unbounded cardinality over time, bounded rows per
-    * window) and `row_number <= k` triggers Catalyst's partial
-    * WindowGroupLimit below the exchange.
+    * watermark could never bound). The aggregation runs in APPEND
+    * output mode, so the watermark genuinely EVICTS each closed
+    * (window, key) group from the state store and emits it exactly
+    * once — the long-running-deployment shape; complete mode would
+    * retain every window forever and only looked equivalent because
+    * the test harness drains a finite input. Flush sentinels (the
+    * same choreography as [[watermarkedHourlyCounts]]) push the
+    * watermark past the last open data window so the drain finalizes
+    * them. The sink-side window partitions by `hour_start` (unbounded
+    * cardinality over time, bounded rows per window) and
+    * `row_number <= k` triggers Catalyst's partial WindowGroupLimit
+    * below the exchange.
     */
   def windowedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val counts = eventsStream(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
-        col("event_type"))
+    import spark.implicits._
+    val slice = graft.core.Tables(spark, dir, "events")
+      .select(col("ts_ns"), col("event_type"))
+      .localCheckpoint() // one read; drops re-slice it
+    val drops = new FileDrops
+    drops.drop(slice)
+    val src = spark.readStream.schema(slice.schema)
+      .parquet(drops.watch.toString)
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    // append mode requires grouping on the window column itself (the
+    // event-time link to the watermark); start projects out after
+    val counts = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .select(col("w")("start").as("hour_start"), col("event_type"), col("n"))
     val name = s"st_topk_${System.nanoTime()}"
-    val (q, ckpt) = startQuery(spark, counts, name, "complete", availableNow = true)
-    try q.awaitTermination() finally finishQuery(q, ckpt)
+    val (q, ckpt) = startQuery(spark, counts, name, "append")
+    try {
+      val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      q.processAllAvailable()
+      // a batch-N watermark takes effect in batch N+1: the first
+      // sentinel hoists the watermark past every data window, the
+      // second triggers the append-mode emit of all of them
+      drops.drop(Seq((flushNs, "__flush")).toDF("ts_ns", "event_type"))
+      q.processAllAvailable()
+      drops.drop(Seq((flushNs + 3600L * 1000000000L, "__flush"))
+        .toDF("ts_ns", "event_type"))
+      q.processAllAvailable()
+    } finally {
+      finishQuery(q, ckpt)
+      drops.cleanup()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("hour_start").orderBy(col("n").desc, col("event_type").asc)
-    spark.table(name)
+    spark.table(name).filter(col("event_type") =!= "__flush")
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
   }

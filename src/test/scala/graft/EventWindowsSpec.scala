@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.EventWindows
+
+/** The range-partition + boundary-merge rewrites must reproduce the
+  * per-user window formulations EXACTLY — including across partition
+  * boundaries, which is where all the carry logic lives. The fixtures
+  * force many boundary crossings by running with few rows per
+  * partition and a mega-user that spans several.
+  */
+class EventWindowsSpec extends GraftSuite {
+
+  private def events = graft.core.Tables(spark, sf, "events")
+
+  private def windowSessionize(gapUs: Long) = {
+    val e = events.withColumn("ts_us", expr("ts_ns div 1000"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    e.withColumn("new_s",
+        when(lag("ts_us", 1).over(w).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("sid",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
+  test("sessionize equals the window formulation (default gap)") {
+    val got = EventWindows.sessionize(events)
+      .orderBy("user_id", "sid").collect().toSeq
+    val want = windowSessionize(1800000000L)
+      .orderBy("user_id", "sid").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("sessionize equals the window formulation (tiny gap → many sessions)") {
+    // a 10-second gap makes nearly every event its own session —
+    // maximal break density stresses every carry branch
+    val got = EventWindows.sessionize(events, gapUs = 10000000L)
+      .orderBy("user_id", "sid").collect().toSeq
+    val want = windowSessionize(10000000L)
+      .orderBy("user_id", "sid").collect().toSeq
+    assert(got.size > windowSessionize(1800000000L).count() && got == want)
+  }
+
+  test("sessionize: a mega-user spanning many partitions carries sids across") {
+    import spark.implicits._
+    // one user with a long alternating gap pattern + a few small users;
+    // 1-row-average partitions force boundary crossings mid-run
+    val gap = 100L
+    val rows = (0L until 500L).map { i =>
+      // every 7th step exceeds the gap → a break
+      (1L, i, i * (if (i % 7 == 0) gap + 1 else gap / 2), i.toDouble)
+    } ++ Seq((0L, 9000L, 0L, 1.0), (2L, 9001L, 5L, 2.0), (2L, 9002L, 10000L, 3.0))
+    val df = rows.toDF("user_id", "event_id", "ts_us_raw", "value")
+      .select(col("user_id"), col("event_id"),
+        (col("ts_us_raw") * 1000).as("ts_ns"), col("value"))
+    val got = EventWindows.sessionize(df, gapUs = gap)
+      .orderBy("user_id", "sid").collect().toSeq
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val want = df.withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("new_s",
+        when(lag("ts_us", 1).over(w).isNull ||
+          col("ts_us") - lag("ts_us", 1).over(w) > gap, 1).otherwise(0))
+      .withColumn("sid",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "sid").collect().toSeq
+    assert(got == want)
+    // the mega-user genuinely split: more sessions than partitions is
+    // not the point — the point is equality; sanity-check break count
+    assert(got.count(_.getLong(0) == 1L) > 10)
+  }
+
+  test("rowNumberLag equals the window formulation") {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val want = events.select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("rn"),
+        round(lag("value", 1).over(w), 2).as("prev_value"),
+        round(sum("value").over(w.rowsBetween(-2, 0)), 2).as("moving_sum3"))
+      .orderBy("user_id", "rn").collect().toSeq
+    val got = EventWindows.rowNumberLag(events)
+      .orderBy("user_id", "rn").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("rowNumberLag: seeded lag/moving-sum across partition boundaries") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (1L, i, i * 10L, (i % 13).toDouble)) ++
+      (0L until 5L).map(i => (7L, 1000L + i, i * 10L, i * 1.5))
+    val df = rows.toDF("user_id", "event_id", "ts_ns", "value")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val want = df.select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).cast("long").as("rn"),
+        round(lag("value", 1).over(w), 2).as("prev_value"),
+        round(sum("value").over(w.rowsBetween(-2, 0)), 2).as("moving_sum3"))
+      .orderBy("user_id", "rn").collect().toSeq
+    val got = EventWindows.rowNumberLag(df)
+      .orderBy("user_id", "rn").collect().toSeq
+    assert(got == want)
+  }
+}

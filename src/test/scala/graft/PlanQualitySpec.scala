@@ -74,16 +74,19 @@ class PlanQualitySpec extends GraftSuite {
       s"query set must broadcast against the corpus scan, not shuffle:\n$p")
   }
 
-  test("w_sessionize: both window passes + rollup share ONE user_id shuffle") {
+  test("w_sessionize: rollup is the only shuffle after the boundary-merge") {
     // with AQE the plan string appends the pre-AQE "Initial Plan" —
-    // count exchanges only in the final section or every one doubles
+    // count exchanges only in the final section or every one doubles.
+    // The sid-assignment passes read the checkpointed range layout
+    // (their exchange happened in an earlier job); the visible plan
+    // should be exactly: map-only sid pass → partial agg → ONE
+    // (user_id, sid) hash exchange → final agg
     val p = plan("w_sessionize").split("== Initial Plan ==")(0)
-    // lag, running sum and the per-session groupBy are all keyed by
-    // user_id — the sort orders differ but the partitioning doesn't,
-    // so a second hash exchange means the plan re-shuffled needlessly
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
-      s"sessionization re-shuffles between window passes:\n$p")
+      s"sessionization re-shuffles beyond the session rollup:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(p.contains("partial_count"),
+      s"session rollup lost map-side combine:\n$p")
   }
 
   test("d_semdedup / s_kmeans_assign: cluster assignment is map-side") {
@@ -380,6 +383,22 @@ class PlanQualitySpec extends GraftSuite {
       // its plan is MapPartitions over the frozen RDD, not a sort
       assert(p.contains("MapPartitions") && p.contains("ExistingRDD"),
         s"$name is not the two-pass distributed prefix shape:\n$p")
+    }
+  }
+
+  test("per-user event ops: no whole-user window sort") {
+    // sessionize and rowNumberLag must run as range-partition +
+    // boundary-merge passes (ext/EventWindows.scala) — a
+    // Window.partitionBy(user_id) lands a 1e8-event bot on ONE task
+    for (name <- Seq("w_sessionize", "w_row_number_lag")) {
+      val p = plan(name)
+      // match the physical operator ("Window [" / WindowGroupLimit),
+      // not bare "Window" — the MapPartitions lambda's class name
+      // (EventWindows) would false-positive
+      assert(!p.contains("Window [") && !p.contains("WindowGroupLimit"),
+        s"$name still sorts a whole user on one task:\n$p")
+      assert(p.contains("MapPartitions") && p.contains("ExistingRDD"),
+        s"$name is not the boundary-merge shape:\n$p")
     }
   }
 

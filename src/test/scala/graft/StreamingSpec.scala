@@ -105,6 +105,26 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("append-mode windowed top-k equals the batch rank") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the stream aggregates in APPEND mode (watermark evicts closed
+    // windows); flush sentinels finalize the tail — the result must
+    // still be exactly the batch top-k over the same events
+    val streamed = StreamOps.windowedTopK(spark, sf, 3)
+      .orderBy("hour_start", "rk").collect()
+    val w = Window.partitionBy("hour_start")
+      .orderBy(col("n").desc, col("event_type").asc)
+    val batch = graft.core.Tables(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .orderBy("hour_start", "rk").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("foreachBatch micro-batch ingestion into the quad store (SURVEY §3.2)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
