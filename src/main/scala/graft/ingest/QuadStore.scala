@@ -354,14 +354,9 @@ final class QuadStore(spark: SparkSession, dir: String) {
     */
   def deleteWhere(update: String): Unit = {
     import graft.sparql.Algebra._
-    val BodyRe = """(?is)\s*DELETE\s+WHERE\s*\{(.*)\}\s*""".r
-    val body = update match {
-      case BodyRe(b) => b
-      case _ => throw new IllegalArgumentException(s"bad DELETE WHERE: ${update.take(80)}")
-    }
-    val parsed = graft.sparql.SparqlParser.parse(s"SELECT * WHERE { $body }")
-    // strip the parser's Project wrapper — the graph vars added below
-    // must stay in scope
+    // token-stream parse: a `{`/`}` inside a string literal is just
+    // characters in a token, never a clause boundary
+    val parsedOp = graft.sparql.SparqlParser.parseDeleteWhere(update)
     def strip(op: Op): Op = op match {
       case Project(i, _) => strip(i)
       case Distinct(i) => strip(i)
@@ -380,7 +375,7 @@ final class QuadStore(spark: SparkSession, dir: String) {
         throw new IllegalArgumentException(
           s"DELETE WHERE supports BGP/GRAPH/FILTER patterns, got $other")
     }
-    val op = rw(strip(parsed.op))
+    val op = rw(strip(parsedOp))
     val compiler = new graft.sparql.Compiler(spark, snapshot(),
       encoded = snapshotEncoded())
     // template vars are consumed OUTSIDE the compiled tree (tombstone
@@ -452,35 +447,13 @@ final class QuadStore(spark: SparkSession, dir: String) {
     */
   def modify(update: String): Unit = synchronized {
     import graft.sparql.Algebra._
-    val WithRe = """(?is)^\s*WITH\s*<([^>]*)>""".r
-    val withG = WithRe.findFirstMatchIn(update).map(_.group(1))
-    val kw = "(?is)\\b(DELETE|INSERT|WHERE)\\s*\\{".r
-    var delTpl: Option[String] = None
-    var insTpl: Option[String] = None
-    var whereBody: Option[String] = None
-    // text OUTSIDE the balanced template/WHERE blocks — USING clauses
-    // live between the templates and WHERE; scanning only the outside
-    // text means a literal "USING <…>" inside a template can't match
-    val outside = new StringBuilder
-    var cursor = 0
-    var m = kw.findFirstMatchIn(update.substring(cursor))
-    while (m.isDefined) {
-      val mm = m.get
-      outside.append(update.substring(cursor, cursor + mm.start))
-      val (_, body, end) = balancedBlock(update, cursor + mm.start)
-      mm.group(1).toUpperCase match {
-        case "DELETE" => delTpl = Some(body)
-        case "INSERT" => insTpl = Some(body)
-        case "WHERE" => whereBody = Some(body)
-      }
-      cursor = end
-      m = kw.findFirstMatchIn(update.substring(cursor))
-    }
-    outside.append(update.substring(cursor))
-    val where = whereBody.getOrElse(
-      throw new IllegalArgumentException(s"modify needs WHERE: ${update.take(80)}"))
-    if (delTpl.isEmpty && insTpl.isEmpty)
-      throw new IllegalArgumentException(s"modify needs DELETE or INSERT: ${update.take(80)}")
+    // the whole update parses through the SPARQL grammar — clause
+    // splitting happens on the TOKEN stream, so `{`-bearing string
+    // literals, `USING <…>` texts, or `WHERE {` fragments inside a
+    // literal can never confuse it (the string-surgery class the
+    // reference's own adapter suffers from, SURVEY §2.A A10)
+    val parsed = graft.sparql.SparqlParser.parseModify(update)
+    val withG = parsed.withGraph
 
     // USING / USING NAMED (SPARQL 1.1 Update §3.1.3): the WHERE clause
     // evaluates against a dataset whose default graph is the RDF merge
@@ -490,10 +463,8 @@ final class QuadStore(spark: SparkSession, dir: String) {
     // pruning g filters at scale). When any USING clause is present
     // the WITH graph is ignored for WHERE matching, per the spec;
     // templates still honor WITH.
-    val UsingRe = """(?is)\bUSING\s+(NAMED\s+)?<([^>]*)>""".r
-    val usingAll = UsingRe.findAllMatchIn(outside.toString).toSeq
-    val usingGraphs = usingAll.filter(_.group(1) == null).map(_.group(2))
-    val usingNamed = usingAll.filter(_.group(1) != null).map(_.group(2))
+    val usingGraphs = parsed.usingGraphs
+    val usingNamed = parsed.usingNamed
 
     val snap = snapshot()
     // WHERE dataset (§3.1.3): USING clauses win outright; otherwise a
@@ -501,7 +472,8 @@ final class QuadStore(spark: SparkSession, dir: String) {
     // plane stays the full dataset — WITH only redirects patterns
     // that don't name a graph, so GRAPH blocks still see everything);
     // with neither, the WHERE runs over the engine's default dataset
-    val withScopesWhere = usingAll.isEmpty && withG.isDefined
+    val withScopesWhere =
+      usingGraphs.isEmpty && usingNamed.isEmpty && withG.isDefined
     val compiler = new graft.sparql.Compiler(spark,
       snap.select(col("g"), col("s"), col("p"), col("o")),
       fromGraphs = if (withScopesWhere) withG.toSeq else usingGraphs,
@@ -517,8 +489,8 @@ final class QuadStore(spark: SparkSession, dir: String) {
       case other => other
     }
 
-    /** template text → per-BGP (graph context, triple patterns) */
-    def templates(tpl: String): Seq[(Option[Node], TriplePat)] = {
+    /** template Op → per-BGP (graph context, triple patterns) */
+    def templates(tpl: Op): Seq[(Option[Node], TriplePat)] = {
       var out = Seq.empty[(Option[Node], TriplePat)]
       def walk(op: Op): Unit = op match {
         case Bgp(pats, g) => out ++= pats.map(tp => (g, tp))
@@ -527,11 +499,11 @@ final class QuadStore(spark: SparkSession, dir: String) {
         case other => throw new IllegalArgumentException(
           s"modify template must be ground triple patterns, got $other")
       }
-      walk(stripOp(graft.sparql.SparqlParser.parse(s"SELECT * WHERE { $tpl }").op))
+      walk(stripOp(tpl))
       out
     }
-    val delT = delTpl.map(templates)
-    val insT = insTpl.map(templates)
+    val delT = parsed.deleteTpl.map(templates)
+    val insT = parsed.insertTpl.map(templates)
     // template vars are consumed OUTSIDE the compiled tree (the
     // instantiation below) — declare them so the id plane's late
     // materialization keeps and decodes them
@@ -541,9 +513,7 @@ final class QuadStore(spark: SparkSession, dir: String) {
           Seq(tp.s, tp.o).collect { case V(v) => v } ++
           (tp.p match { case PVar(v) => Seq(v); case _ => Nil })
     }.toSet
-    val sols = compiler.compile(stripOp(
-      graft.sparql.SparqlParser.parse(s"SELECT * WHERE { $where }").op),
-      neededVars)
+    val sols = compiler.compile(stripOp(parsed.where), neededVars)
 
     def nodeCol(n: Node): Column = n match {
       case V(v) =>

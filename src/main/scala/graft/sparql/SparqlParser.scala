@@ -248,6 +248,66 @@ object SparqlParser {
     out
   }
 
+  /** SPARQL 1.1 Update §3.1.3 Modify, parsed as a grammar production:
+    * `Prologue (WITH iri)? (DeleteClause InsertClause? | InsertClause)
+    * UsingClause* WHERE GroupGraphPattern`. Templates parse as group
+    * graph patterns (their consumer validates ground-triple shape);
+    * each template gets an ISOLATED bnode world — template labels are
+    * per-solution-fresh, never joined with WHERE pattern bnodes
+    * (mirroring CONSTRUCT §16.2.1). Tokenizing the whole update means
+    * string literals can never confuse clause splitting — a `{`, a
+    * `USING <…>`, or a `WHERE {` INSIDE a literal is just characters
+    * in a token.
+    */
+  final case class ModifyParsed(withGraph: Option[String],
+      deleteTpl: Option[Op], insertTpl: Option[Op],
+      usingGraphs: Seq[String], usingNamed: Seq[String], where: Op)
+
+  def parseModify(text: String): ModifyParsed = {
+    val p = new P(tokenize(text))
+    parsePrologue(p)
+    def iriOperand(): String = p.next() match {
+      case TIri(i) => i
+      case TPName(pn) => p.expandPName(pn)
+      case t => throw ParseError("expected graph IRI", t.text)
+    }
+    val withG = if (p.eatWord("WITH")) Some(iriOperand()) else None
+    val delT =
+      if (p.eatWord("DELETE")) Some(p.isolatedBnodeWorld(parseGGP(p))) else None
+    val insT =
+      if (p.eatWord("INSERT")) Some(p.isolatedBnodeWorld(parseGGP(p))) else None
+    if (delT.isEmpty && insT.isEmpty)
+      throw ParseError("modify needs a DELETE or INSERT template", text.take(40))
+    var ug = Vector.empty[String]
+    var un = Vector.empty[String]
+    while (p.eatWord("USING")) {
+      val named = p.eatWord("NAMED")
+      val g = iriOperand()
+      if (named) un :+= g else ug :+= g
+    }
+    if (!p.eatWord("WHERE"))
+      throw ParseError("modify needs a WHERE clause", text.take(40))
+    val where = parseGGP(p)
+    p.peek.foreach(t =>
+      throw ParseError("unexpected trailing input after update", t.text))
+    ModifyParsed(withG, delT, insT, ug, un, where)
+  }
+
+  /** `DELETE WHERE GroupGraphPattern` (§3.1.3 shorthand) — the pattern
+    * doubles as the template; parsed through the grammar so literals
+    * containing braces can never confuse the body extraction.
+    */
+  def parseDeleteWhere(text: String): Op = {
+    val p = new P(tokenize(text))
+    parsePrologue(p)
+    if (!(p.eatWord("DELETE") && p.eatWord("WHERE")))
+      throw ParseError("expected DELETE WHERE", text.take(40))
+    val op = parseGGP(p)
+    p.peek.foreach(t =>
+      throw ParseError("unexpected trailing input after update", t.text))
+    op
+  }
+
   private def parseInner(p: P): Query = {
     val query = parseForms(p)
     // a token the grammar did not consume means a clause was silently
@@ -258,7 +318,7 @@ object SparqlParser {
     query
   }
 
-  private def parseForms(p: P): Query = {
+  private def parsePrologue(p: P): Unit = {
     // prologue: any interleaving of BASE and PREFIX declarations
     var prologue = true
     while (prologue) {
@@ -279,6 +339,10 @@ object SparqlParser {
         p.prefixes += (name -> iri)
       } else prologue = false
     }
+  }
+
+  private def parseForms(p: P): Query = {
+    parsePrologue(p)
     if (p.eatWord("ASK")) {
       parseDatasetClauses(p)
       p.eatWord("WHERE")

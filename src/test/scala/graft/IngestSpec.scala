@@ -277,6 +277,41 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().filter(col("p")("lex") === "v:label").count() == 2)
   }
 
+  test("modify: brace/keyword-bearing string literals cannot confuse the parse") {
+    // the update parses through the SPARQL grammar on the TOKEN
+    // stream — a literal containing '{', '}', 'WHERE {', or 'USING
+    // <g>' is just characters inside a string token, not a clause
+    // boundary (the string-surgery failure class of the reference's
+    // adapter rewrite, GraphDBSystemAdapter.java:192-195)
+    val d = Files.createTempDirectory("qs-modify-braces")
+    val store = new QuadStore(spark, d.toString)
+    store.executeUpdate(
+      """INSERT DATA { <p:1> <v:name> "Ann" . <p:2> <v:name> "Bo" . }""")
+    store.executeUpdate("""
+      DELETE { ?s <v:name> "Bo" }
+      INSERT { ?s <v:note> "open { brace and WHERE { inside } and USING <g:x>" }
+      WHERE { ?s <v:name> "Bo" }""")
+    val snap = store.snapshot()
+    assert(snap.filter(col("o")("lex") === "Bo").isEmpty)
+    val note = snap.filter(col("p")("lex") === "v:note").collect()
+    assert(note.length == 1 && note(0).getStruct(3).getString(0)
+      .contains("WHERE { inside }"))
+    // the phantom USING inside the literal must NOT have scoped the
+    // WHERE (it would have emptied the default plane → no match)
+    assert(snap.filter(col("p")("lex") === "v:name").count() == 1)
+
+    // DELETE WHERE with a }-bearing literal: grammar, not brace count
+    store.executeUpdate("""INSERT DATA { <p:9> <v:tag> "a } b" . }""")
+    store.executeUpdate("""DELETE WHERE { <p:9> <v:tag> "a } b" . }""")
+    assert(store.snapshot().filter(col("s")("lex") === "p:9").isEmpty)
+
+    // trailing garbage after the update is a loud ParseError now
+    intercept[graft.sparql.SparqlParser.ParseError] {
+      store.executeUpdate("""
+        DELETE { ?s <v:x> ?o } WHERE { ?s <v:x> ?o } EXTRA""")
+    }
+  }
+
   test("modify: USING / USING NAMED scope the WHERE dataset (§3.1.3)") {
     val d = Files.createTempDirectory("qs-using")
     val store = new QuadStore(spark, d.toString)
