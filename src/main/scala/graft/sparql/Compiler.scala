@@ -301,8 +301,17 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
         idFrameOf(j, refNeeded ++ externalShared).map(decodeSolutions)
       }
-      pushed.getOrElse(
-        solJoin(comp(l), comp(r), "inner", maybeUnbound(l) ++ maybeUnbound(r)))
+      pushed.getOrElse {
+        val bound = (l, r) match {
+          case (s: Service, o) if !o.isInstanceOf[Service] =>
+            boundServiceJoin(o, s, svcLeft = true)
+          case (o, s: Service) if !o.isInstanceOf[Service] =>
+            boundServiceJoin(o, s, svcLeft = false)
+          case _ => None
+        }
+        bound.getOrElse(
+          solJoin(comp(l), comp(r), "inner", maybeUnbound(l) ++ maybeUnbound(r)))
+      }
 
     case LeftJoin(l, r, cond) =>
       leftJoinOverIds(l, r, cond).getOrElse(
@@ -544,6 +553,60 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   // ------------------------------------------------------------------
   // solution joins
   // ------------------------------------------------------------------
+
+  /** FedX-style bound join for `local ⋈ SERVICE <e> {inner}`: when the
+    * local side's distinct shared bindings are few, inject them as a
+    * `VALUES` block into the endpoint sub-query —
+    * `SERVICE { VALUES (?shared…) {…} inner }` — so the endpoint
+    * evaluates `inner` RESTRICTED to the bindings that can actually
+    * join, instead of shipping its whole relation. This is the
+    * standard federation optimization behind real SERVICE engines
+    * (RDF4J/FedX, the stack the reference delegates to); at scale it
+    * turns a full remote-relation transfer into one proportional to
+    * the local side.
+    *
+    * Falls back to ship-whole-relation (None) when: the endpoint is
+    * unregistered (the Service case handles SILENT/fail-fast), no
+    * vars are shared (the restriction would be vacuous), a shared var
+    * can be UNBOUND on the local side (unbound is compatible with
+    * everything — a VALUES restriction would drop rows), or the
+    * distinct-binding count exceeds [[Sparql.boundJoinMaxKeys]].
+    */
+  private def boundServiceJoin(local: Op, svc: Service,
+      svcLeft: Boolean): Option[DataFrame] = {
+    val remote = Sparql.serviceQuads(svc.iri).getOrElse(return None)
+    val shared = Algebra.inScope(local)
+      .intersect(Algebra.inScope(svc.inner)).distinct
+    if (shared.isEmpty) return None
+    val localNullable = maybeUnbound(local)
+    if (shared.exists(localNullable)) return None
+    val localDf = comp(local)
+    if (shared.exists(v => !localDf.columns.contains(v))) return None
+    val keys = localDf.select(shared.map(localDf(_)).toIndexedSeq: _*)
+      .distinct().persist()
+    try {
+      val n = keys.count()
+      if (n == 0 || n > Sparql.boundJoinMaxKeys) return None
+      val rows = keys.collect().map { row =>
+        shared.indices.map { i =>
+          if (row.isNullAt(i)) Option.empty[T]
+          else {
+            val t = row.getStruct(i)
+            Some(T(t.getString(0), t.getInt(1), t.getString(2),
+              t.getString(3)))
+          }
+        }.toSeq
+      }.toSeq
+      Sparql.serviceBoundJoins.incrementAndGet()
+      val injected = Join(ValuesOp(shared, rows), svc.inner)
+      val remoteDf = new Compiler(spark, remote)
+        .compile(injected, valueNeeded ++ shared)
+      val nullable = localNullable ++ maybeUnbound(svc)
+      Some(
+        if (svcLeft) solJoin(remoteDf, localDf, "inner", nullable)
+        else solJoin(localDf, remoteDf, "inner", nullable))
+    } finally keys.unpersist()
+  }
 
   private def solJoin(l: DataFrame, r: DataFrame, joinType: String,
       nullable: Set[String] = Set.empty): DataFrame = {

@@ -33,6 +33,23 @@ object Sparql {
   private[sparql] def serviceQuads(iri: String): Option[DataFrame] =
     Option(services.get(iri))
 
+  /** Bound-join threshold: a `local ⋈ SERVICE` join ships the local
+    * side's distinct shared bindings into the endpoint sub-query as a
+    * VALUES block when there are at most this many (FedX-style; see
+    * `Compiler.boundServiceJoin`). 0 disables the optimization —
+    * useful for equivalence testing against the ship-whole-relation
+    * plan. The count gate keeps the driver-collected VALUES block
+    * bounded at scale; beyond it the whole-relation join is the right
+    * plan anyway (the restriction would be as big as the input).
+    */
+  @volatile var boundJoinMaxKeys: Long = 10000L
+
+  /** Diagnostic counter: number of SERVICE joins that took the
+    * bound-join (VALUES-injection) path — lets tests assert the
+    * optimization actually fired rather than silently falling back.
+    */
+  val serviceBoundJoins = new java.util.concurrent.atomic.AtomicLong()
+
   /** Evaluated form of a parsed query — the ONE place the four query
     * forms dispatch to the compiler (form-specific extras included:
     * CONSTRUCT template vars and DESCRIBE targets feed the late-

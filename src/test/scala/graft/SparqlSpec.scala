@@ -286,6 +286,77 @@ class SparqlSpec extends GraftSuite {
     } finally graft.sparql.Sparql.unregisterService("reg:endpoint/geo")
   }
 
+  test("SERVICE bound join: local bindings inject as VALUES into the endpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val Sp = graft.sparql.Sparql
+    // endpoint with facts for MANY subjects — only two join with the
+    // local side, so a bound join restricts the endpoint evaluation
+    // to those two instead of shipping all rows
+    val remote = (Seq(("reg:0", "1400"), ("reg:2", "750")) ++
+      (0 until 500).map(i => (s"x:$i", s"$i")))
+      .toDF("sl", "ol").select(
+        lit("urn:default").as("g"), graft.rdf.Rdf.iri(col("sl")).as("s"),
+        graft.rdf.Rdf.iri(lit(":population")).as("p"),
+        graft.rdf.Rdf.strLit(col("ol")).as("o"))
+    Sp.registerService("reg:endpoint/geo2", remote)
+    val query = """
+      SELECT ?rn ?pop WHERE {
+        ?r :name ?rn . ?r a :Region .
+        SERVICE <reg:endpoint/geo2> { ?r :population ?pop } }"""
+    try {
+      val before = Sp.serviceBoundJoins.get()
+      val optimized = q(query)
+        .map(r => r.getString(0) -> r.getString(1)).toSet
+      assert(Sp.serviceBoundJoins.get() == before + 1,
+        "bound join did not fire for a small local side")
+      // equivalence: the ship-whole-relation plan gives the same answer
+      Sp.boundJoinMaxKeys = 0L
+      val plain =
+        try q(query).map(r => r.getString(0) -> r.getString(1)).toSet
+        finally Sp.boundJoinMaxKeys = 10000L
+      assert(optimized == plain &&
+        optimized == Set("AFRICA" -> "1400", "ASIA" -> "750"))
+      // a local side ABOVE the threshold falls back (no counter bump)
+      Sp.boundJoinMaxKeys = 1L
+      val b2 = Sp.serviceBoundJoins.get()
+      try assert(q(query).map(r => r.getString(0) -> r.getString(1)).toSet
+        == plain && Sp.serviceBoundJoins.get() == b2)
+      finally Sp.boundJoinMaxKeys = 10000L
+    } finally Sp.unregisterService("reg:endpoint/geo2")
+  }
+
+  test("SERVICE bound join: service-first order and var-free service fall back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val Sp = graft.sparql.Sparql
+    val remote = Seq(("reg:0", "1400"), ("reg:2", "750"))
+      .toDF("sl", "ol").select(
+        lit("urn:default").as("g"), graft.rdf.Rdf.iri(col("sl")).as("s"),
+        graft.rdf.Rdf.iri(lit(":population")).as("p"),
+        graft.rdf.Rdf.strLit(col("ol")).as("o"))
+    Sp.registerService("reg:endpoint/geo3", remote)
+    try {
+      // SERVICE written FIRST: the join sees (Service, local) — the
+      // bound join must still fire and keep the same answer
+      val before = Sp.serviceBoundJoins.get()
+      val rows = q("""
+        SELECT ?rn ?pop WHERE {
+          SERVICE <reg:endpoint/geo3> { ?r :population ?pop }
+          ?r :name ?rn . ?r a :Region . }""")
+      assert(Sp.serviceBoundJoins.get() == before + 1)
+      assert(rows.map(r => r.getString(0) -> r.getString(1)).toSet ==
+        Set("AFRICA" -> "1400", "ASIA" -> "750"))
+      // no shared vars → nothing to inject → plain (cross) join path
+      val b2 = Sp.serviceBoundJoins.get()
+      val free = q("""
+        SELECT ?rn ?x ?pop WHERE {
+          ?r :name ?rn . ?r a :Region .
+          SERVICE <reg:endpoint/geo3> { ?x :population ?pop } }""")
+      assert(Sp.serviceBoundJoins.get() == b2 && free.length == 5 * 2)
+    } finally Sp.unregisterService("reg:endpoint/geo3")
+  }
+
   test("SERVICE SILENT on an unregistered endpoint is the unit solution") {
     val rows = q("""
       SELECT ?rn ?pop WHERE {
