@@ -1064,11 +1064,32 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case _ => compAgg(a, ids)
       }).as(out)
     }
+    // computed (expression) keys exchange as 8-byte hashes of their
+    // term IDENTITY — the same (lex, kind) id semantics plain-var keys
+    // get from the dictionary — with the computed struct riding along
+    // only as a combinable min() decode representative (struct-least,
+    // matching TermDictionary.build's choice). A null flag joins the
+    // group key so the all-unbound group (§18.2.4.1) can never merge
+    // with a term whose hash happens to equal the null hash.
+    val exprKeys = keys.collect { case (v, Some(_)) => v }
     val grouped =
-      if (aggCols.isEmpty) ids.select(keys.map(k => ids(k._1)): _*).distinct()
+      if (aggCols.isEmpty && exprKeys.isEmpty)
+        ids.select(keys.map(k => ids(k._1)): _*).distinct()
       else if (keys.isEmpty) ids.agg(aggCols.head, aggCols.tail: _*)
-      else ids.groupBy(keys.map(k => ids(k._1)): _*)
-        .agg(aggCols.head, aggCols.tail: _*)
+      else {
+        val ids2 = exprKeys.foldLeft(ids)((d, v) =>
+          d.withColumn(s"__kid_$v", graft.core.TermDictionary.termId(d(v))))
+        val groupCols = keys.map {
+          case (v, None) => ids2(v)
+          case (v, Some(_)) => ids2(s"__kid_$v")
+        } ++ exprKeys.map(v => ids2(v).isNull.as(s"__knull_$v"))
+        val reps = exprKeys.map(v => min(ids2(v)).as(v))
+        val allAggs = reps ++ aggCols
+        ids2.groupBy(groupCols.toIndexedSeq: _*)
+          .agg(allAggs.head, allAggs.tail: _*)
+          .select((keys.map(k => col(k._1)) ++
+            aggs.map(a => col(a._1))).toIndexedSeq: _*)
+      }
     Some(decodeSolutions(grouped))
   }
 

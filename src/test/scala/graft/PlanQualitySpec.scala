@@ -241,6 +241,42 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("expression GROUP BY keys: exchange partitions on an 8-byte hash") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      val df = graft.sparql.Sparql.query(spark, q,
+        "SELECT ?l (COUNT(?c) AS ?n) WHERE { ?c :mktsegment ?m } " +
+          "GROUP BY (STRLEN(?m) AS ?l)",
+        encoded = Some(enc))
+      df.collect()
+      // the aggregate's exchange must partition on the computed key's
+      // LONG hash (+ null flag), never on the computed term struct;
+      // the struct appears only as min()'s combinable decode buffer
+      val aggShuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.outputPartitioning
+      }.collect { case h: HashPartitioning => h.expressions.map(_.dataType) }
+      assert(aggShuffles.nonEmpty, "no hash exchange in the plan")
+      aggShuffles.foreach { keyTypes =>
+        assert(!keyTypes.exists(_.isInstanceOf[StructType]),
+          s"exchange partitions on a term struct key: $keyTypes")
+        assert(keyTypes.exists(_ == LongType),
+          s"exchange key is not the 8-byte hash: $keyTypes")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("OPTIONAL joins ids: left-outer exchanges carry longs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{LongType, StructType}
