@@ -122,6 +122,34 @@ final class QuadStore(spark: SparkSession, dir: String) {
         // even for a store that streams appends without compacting
         graft.core.TermDictionary.build(written)
           .write.mode("overwrite").parquet(root.resolve(s"$seg-dict").toString)
+      } else {
+        // NEGATIVE sidecar: encode exactly the rows this tombstone
+        // HIDES right now (semi-join of the PRE-commit snapshot on the
+        // full-term delete identity). The id plane then stays live
+        // across deletes as Σ(positive sidecars) −multiset Σ(negative
+        // sidecars): every hidden struct row cancels exactly one
+        // positive id row, duplicates and identity-sharing literal
+        // variants account by count, and a LATER re-insert adds a
+        // fresh positive row the tombstone never saw — reproducing
+        // snapshot()'s seq-ordered resurrect semantics without seq
+        // columns. (A DELETE DATA for a quad that never existed hides
+        // nothing → empty negative sidecar, so it cannot cancel a
+        // future insert.)
+        val written = spark.read.parquet(root.resolve(seg).toString)
+        val tomb = written.select(
+          col("g").as("__t0"),
+          col("s")("lex").as("__t1"), col("s")("kind").as("__t2"),
+          col("p")("lex").as("__t3"),
+          col("o")("lex").as("__t4"), col("o")("kind").as("__t5"),
+          col("o")("dt").as("__t6"), col("o")("lang").as("__t7")).distinct()
+        val cond = col("g") === col("__t0") &&
+          col("s")("lex") === col("__t1") && col("s")("kind") === col("__t2") &&
+          col("p")("lex") === col("__t3") &&
+          col("o")("lex") === col("__t4") && col("o")("kind") === col("__t5") &&
+          col("o")("dt") === col("__t6") && col("o")("lang") === col("__t7")
+        val hidden = snapshot().join(broadcast(tomb), cond, "left_semi")
+        graft.core.TermDictionary.encode(hidden)
+          .write.mode("overwrite").parquet(root.resolve(s"$seg-enc").toString)
       }
       seg
     }
@@ -228,21 +256,44 @@ final class QuadStore(spark: SparkSession, dir: String) {
     * segment serves its pristine sidecar with no dedup step — the
     * steady-state fast path.
     *
-    * Returns None — struct-plane fallback — only when a TOMBSTONE is
-    * present (delete identity includes dt/lang, which (lex, kind) ids
-    * cannot express; composing would over-hide on the id plane) or a
-    * segment predates the sidecar convention. Compaction restores the
-    * encoded view in both cases.
+    * TOMBSTONES no longer stale the view: each delete commit writes a
+    * NEGATIVE sidecar — the encoding of exactly the rows it hid at
+    * commit time (full-term semi-join, see commitSegments) — and the
+    * encoded view is the MULTISET difference Σ(positive) − Σ(negative).
+    * Count arithmetic reproduces snapshot()'s seq-ordered semantics:
+    * a later re-insert is a positive row no earlier tombstone counted,
+    * so it survives; identity-sharing literal variants (same (lex,
+    * kind), different dt/lang) cancel one-for-one instead of
+    * over-hiding. The decode dictionary stays the union of POSITIVE
+    * dictionaries — it may keep a deleted variant as an id's
+    * representative, which is exactly the id plane's identity
+    * semantics (struct-least representative per (lex, kind)).
+    *
+    * Returns None — struct-plane fallback — only when a segment
+    * predates the sidecar convention. Compaction restores the pristine
+    * single-sidecar fast path (no exceptAll in the per-query plan).
     */
   def snapshotEncoded(): Option[graft.core.EncodedQuads] = {
     val segs = committedSegments()
     if (segs.isEmpty) return None
-    if (segs.exists(_.startsWith("seg-del-"))) return None
-    val side = segs.map(s => (root.resolve(s"$s-enc"), root.resolve(s"$s-dict")))
+    val (del, pos) = segs.partition(_.startsWith("seg-del-"))
+    if (pos.isEmpty) return None // fully-tombstoned store = empty quads
+    val side = pos.map(s => (root.resolve(s"$s-enc"), root.resolve(s"$s-dict")))
     if (side.exists { case (e, d) => !Files.exists(e) || !Files.exists(d) })
       return None
-    val enc = side.map(p => spark.read.parquet(p._1.toString))
-      .reduce(_.unionByName(_))
+    val negPaths = del.map(s => root.resolve(s"$s-enc"))
+    if (negPaths.exists(p => !Files.exists(p))) return None
+    // exceptAll matches POSITIONALLY and a compacted sidecar's
+    // partitionBy("g") layout reorders columns — canonicalize both
+    // sides before the multiset difference
+    val encCols = Seq("g", "s_id", "p_id", "o_id")
+    val posEnc = side.map(p => spark.read.parquet(p._1.toString))
+      .reduce(_.unionByName(_)).select(encCols.map(col): _*)
+    val enc =
+      if (negPaths.isEmpty) posEnc
+      else posEnc.exceptAll(
+        negPaths.map(p => spark.read.parquet(p.toString))
+          .reduce(_.unionByName(_)).select(encCols.map(col): _*))
     val dicts = side.map(p => spark.read.parquet(p._2.toString))
       .reduce(_.unionByName(_))
     val dict =

@@ -90,13 +90,20 @@ class EndToEndSpec extends GraftSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
     }
 
-    // a tombstone DOES stale the sidecar (delete identity is full-term
-    // exact — dt/lang — which (lex, kind) ids cannot express) ...
+    // a TOMBSTONE no longer stales the sidecar: the delete commit
+    // writes a NEGATIVE sidecar (the encoding of exactly the rows it
+    // hid) and the encoded view is the multiset difference — the id
+    // plane keeps serving across deletes, answers identical to the
+    // struct plane over the same post-delete snapshot
     store.executeUpdate("CLEAR GRAPH <g:schema>")
-    assert(store.snapshotEncoded().isEmpty,
-      "a tombstone must invalidate the encoded sidecar until compaction")
-    // ... and compaction folds it away and restores the id plane
+    val enc3 = store.snapshotEncoded()
+    assert(enc3.isDefined,
+      "a tombstone must keep the encoded sidecar live (negative sidecar)")
+    assert(bag(enc3) == bag(None))
+    // ...and compaction folds the tombstone away, restoring the
+    // pristine single-sidecar plan (no multiset difference per query)
     store.compact()
     assert(store.snapshotEncoded().isDefined)
+    assert(bag(store.snapshotEncoded()) == bag(None))
   }
 }

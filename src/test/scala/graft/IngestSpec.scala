@@ -526,6 +526,54 @@ class IngestSpec extends GraftSuite {
     assert(store.snapshot().select(col("s")("lex")).head.getString(0) == "s:2")
   }
 
+  test("negative sidecars keep the id plane live and exact across deletes") {
+    def encCount(store: QuadStore): Long = {
+      val enc = store.snapshotEncoded()
+      assert(enc.isDefined, "encoded view must stay live across deletes")
+      enc.get.quads.count()
+    }
+    val d = Files.createTempDirectory("qs-negenc")
+    val store = new QuadStore(spark, d.toString)
+    store.insertData(
+      """INSERT DATA { GRAPH <ga> { <s:1> <p:x> "a" . <s:2> <p:x> "b" . } }""")
+
+    // delete a subset: encoded row count tracks the struct snapshot
+    store.executeUpdate("""DELETE DATA { GRAPH <ga> { <s:1> <p:x> "a" . } }""")
+    assert(store.snapshot().count() == 1 && encCount(store) == 1)
+
+    // resurrect: the re-insert is a positive row no tombstone counted
+    store.insertData("""INSERT DATA { GRAPH <ga> { <s:1> <p:x> "a" . } }""")
+    assert(store.snapshot().count() == 2 && encCount(store) == 2)
+
+    // a DELETE DATA that matches NOTHING hides nothing — and must not
+    // cancel a FUTURE insert of the same quad
+    store.executeUpdate("""DELETE DATA { GRAPH <ga> { <s:9> <p:x> "z" . } }""")
+    assert(store.snapshot().count() == 2 && encCount(store) == 2)
+    store.insertData("""INSERT DATA { GRAPH <ga> { <s:9> <p:x> "z" . } }""")
+    assert(store.snapshot().count() == 3 && encCount(store) == 3)
+
+    // identity-sharing literal variants (same (lex, kind), different
+    // dt): deleting the string variant cancels ONE id row by count —
+    // the integer variant's row survives on the id plane
+    store.insertData("""INSERT DATA { GRAPH <gv> {
+      <s:5> <p:v> "30" . <s:5> <p:v> "30"^^<xsd:integer> . } }""")
+    assert(store.snapshot().count() == 5 && encCount(store) == 5)
+    store.executeUpdate("""DELETE DATA { GRAPH <gv> { <s:5> <p:v> "30" . } }""")
+    assert(store.snapshot().count() == 4 && encCount(store) == 4)
+
+    // id-plane query answers equal the struct plane across all of it
+    val text = """SELECT ?s ?o WHERE { GRAPH <ga> { ?s <p:x> ?o } }"""
+    def answers(enc: Option[graft.core.EncodedQuads]) =
+      graft.sparql.Sparql.query(spark, store.snapshot(), text, encoded = enc)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(answers(store.snapshotEncoded()) == answers(None))
+    assert(answers(None).size == 3)
+
+    // compaction restores the single-sidecar fast path, same answers
+    store.compact()
+    assert(answers(store.snapshotEncoded()) == answers(None))
+  }
+
   test("CLEAR DEFAULT / NAMED / ALL tombstone the selected planes") {
     val d = Files.createTempDirectory("qsp")
     val store = new QuadStore(spark, d.toString)
