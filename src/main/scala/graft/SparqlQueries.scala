@@ -274,6 +274,19 @@ object SparqlQueries {
           JOIN quads st ON st.p=':orderstatus' AND st.o='P' AND st.s=ck.s
           WHERE ck.p=':custkey')"""))),
 
+    // correlated EXISTS (§18.6): the inner FILTER reads ?bal, bound
+    // only by the OUTER pattern — decorrelation substitutes it as a
+    // join condition (Compiler.compCorrelatedExistsFilter)
+    Q("r_exists_correlated", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal .
+        FILTER EXISTS { ?c :nation ?n . FILTER(?bal >= 7500) } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal
+      FROM quads b
+      WHERE b.p=':acctbal' AND b.onum >= 7500
+        AND b.s IN (SELECT s FROM quads WHERE p=':nation')"""))),
+
     Q("r_path_negset", sq("""
       SELECT ?s ?o WHERE { GRAPH g:nation { ?s !(:name|a) ?o } }"""),
       Some(TpchRdf.withQuads("""

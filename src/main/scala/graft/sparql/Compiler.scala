@@ -328,7 +328,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case Minus(l, r) => compMinus(l, r)
 
     case Filter(cond, input) =>
-      rejectCorrelatedExists(cond, Algebra.inScope(input).toSet)
+      val outerScope = Algebra.inScope(input).toSet
+      cond match {
+        // correlated FILTER [NOT] EXISTS (§18.6): inner expressions
+        // read outer-only vars → decorrelate (substitution realized as
+        // extra join conditions) instead of evaluating them unbound
+        case EExists(sub, positive)
+            if corrVarsOf(sub, outerScope).nonEmpty =>
+          return compCorrelatedExistsFilter(input, sub, positive, outerScope)
+        case _ => rejectCorrelatedExists(cond, outerScope)
+      }
       cond match {
         case EExists(sub, positive) =>
           val pushed = filterJoinOverIds(input, sub, positive)
@@ -1384,13 +1393,105 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case Service(_, i, _) => exprRefVars(i)
   }
 
+  /** Outer-only vars an EXISTS sub-pattern's EXPRESSIONS read — the
+    * §18.6 correlation set: the sub-pattern itself never binds them,
+    * so substitution of the current outer binding is required.
+    */
+  private def corrVarsOf(sub: Op, outerScope: Set[String]): Set[String] =
+    (exprRefVars(sub) -- Algebra.inScope(sub).toSet).intersect(outerScope)
+
+  /** Decorrelation split: peel the correlated FILTER conditions off
+    * the sub-pattern's CONJUNCTIVE SPINE (Filter layers over Join
+    * trees — positions where hoisting a condition to the top preserves
+    * semantics). Returns the residual pattern plus the hoisted
+    * conditions, or None when a correlated reference sits somewhere
+    * hoisting would be unsound (under UNION / OPTIONAL / MINUS /
+    * Group / a subquery), or inside a BIND.
+    */
+  private def splitCorrelated(sub: Op,
+      corr: Set[String]): Option[(Op, Seq[Expr])] = {
+    def walk(op: Op): (Op, Seq[Expr]) = op match {
+      case Filter(c, i) =>
+        val (i2, cs) = walk(i)
+        if (exprVarSet(c).exists(corr)) (i2, cs :+ c)
+        else (Filter(c, i2), cs)
+      case Join(l, r) =>
+        val (l2, cl) = walk(l)
+        val (r2, cr) = walk(r)
+        (Join(l2, r2), cl ++ cr)
+      case other => (other, Nil)
+    }
+    val (residual, conds) = walk(sub)
+    // a correlated ref the spine walk could not reach (deep pattern),
+    // or a hoisted condition that itself contains an EXISTS, is not
+    // decorrelatable this way
+    if (exprRefVars(residual).exists(corr)) None
+    else if (conds.exists(containsExists)) None
+    else Some((residual, conds))
+  }
+
+  /** Correlated `FILTER [NOT] EXISTS` via decorrelation: §18.6 says
+    * the current outer binding substitutes into the EXISTS pattern;
+    * for correlated conditions on the conjunctive spine that is
+    * equivalent to evaluating the residual pattern ONCE (set-based,
+    * no per-row re-execution) and turning each hoisted condition into
+    * a JOIN condition between the outer row and the sub-solutions —
+    * the classic subquery decorrelation, which is also the shape that
+    * scales (one semi/anti join instead of |outer| pattern runs).
+    * Substitution semantics for a var bound on BOTH sides: the outer
+    * binding wins (that is what textual substitution would produce);
+    * an outer-unbound shared var falls back to the inner binding.
+    */
+  private def compCorrelatedExistsFilter(input: Op, sub: Op,
+      positive: Boolean, outerScope: Set[String]): DataFrame = {
+    val corr = corrVarsOf(sub, outerScope)
+    val (residual, conds) = splitCorrelated(sub, corr).getOrElse(
+      throw new UnsupportedOperationException(
+        "correlated EXISTS: inner expression references outer-only " +
+          s"variable(s) ${corr.map("?" + _).mkString(", ")} from a " +
+          "position where §18.6 substitution cannot be realized by " +
+          "decorrelation (under UNION/OPTIONAL/MINUS/subquery or " +
+          "inside BIND/nested EXISTS)"))
+    // nested EXISTS deeper in the residual see the widened scope
+    walkExists(residual, outerScope ++ Algebra.inScope(residual))
+    val in = comp(input)
+    val subDf = comp(residual)
+    val shared = in.columns.intersect(subDf.columns).toIndexedSeq
+    // inner-only vars the hoisted conditions read must ride along
+    val condInnerVars = conds.flatMap(exprVarSet).toSet
+      .intersect(subDf.columns.toSet).diff(in.columns.toSet).toIndexedSeq
+    val rrCols = (shared ++ condInnerVars).distinct
+    val renames = rrCols.map(v => v -> freshName(v)).toMap
+    val rr = rrCols.foldLeft(subDf.select(rrCols.map(subDf(_)): _*)) {
+      (d, v) => d.withColumnRenamed(v, renames(v))
+    }
+    val nullable = maybeUnbound(input) ++ maybeUnbound(residual)
+    val sharedCond = shared.map(v =>
+        if (nullable(v))
+          in(v).isNull || rr(renames(v)).isNull ||
+            termEq(in(v), rr(renames(v)))
+        else termEq(in(v), rr(renames(v))))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val res: String => Column = v =>
+      if (in.columns.contains(v) && renames.contains(v))
+        coalesce(in(v), rr(renames(v))) // substitution: outer wins
+      else if (in.columns.contains(v)) in(v)
+      else if (renames.contains(v)) rr(renames(v))
+      else nullTerm
+    val corrCond = conds
+      .map(c => coalesce(compBool(c, res), lit(false))).reduce(_ && _)
+    in.join(rr, sharedCond && corrCond,
+      if (positive) "left_semi" else "left_anti")
+  }
+
   /** §18.6 requires substituting the CURRENT outer binding into an
-    * EXISTS pattern; neither plane implements substitution, so an
-    * inner expression reading a var that only the OUTER group binds
-    * would silently evaluate it as unbound (filter → false). Detect
-    * the correlated case and fail loudly instead of returning
-    * silently-wrong rows. Shared PATTERN vars are fine — join
-    * semantics realize the correlation exactly.
+    * EXISTS pattern; the direct `FILTER [NOT] EXISTS` form now
+    * decorrelates (compCorrelatedExistsFilter), but an inner
+    * expression reading an outer-only var from any OTHER position —
+    * compound booleans, BIND, nested EXISTS — would silently evaluate
+    * it as unbound (filter → false). Detect those and fail loudly
+    * instead of returning silently-wrong rows. Shared PATTERN vars are
+    * fine — join semantics realize the correlation exactly.
     */
   private def rejectCorrelatedExists(e: Expr, outerScope: Set[String]): Unit = e match {
     case EExists(sub, _) =>

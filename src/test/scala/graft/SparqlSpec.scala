@@ -777,20 +777,60 @@ class SparqlSpec extends GraftSuite {
     assert(e.getMessage.contains("already bound"))
   }
 
-  test("correlated EXISTS (inner filter reads outer-only var) fails loudly") {
-    // §18.6 requires substituting the current binding; the engine does
-    // not implement substitution, so this must error rather than
-    // silently evaluate ?b as unbound
-    val e = intercept[UnsupportedOperationException] {
-      q("""SELECT ?c WHERE {
+  test("correlated FILTER EXISTS substitutes the outer binding (§18.6)") {
+    // the inner FILTER reads ?b, bound only OUTSIDE — decorrelation
+    // must substitute each outer row's ?b, equivalent to filtering
+    // customers with a nation edge whose balance exceeds the bound
+    val got = q("""SELECT ?c WHERE {
              ?c :acctbal ?b .
              FILTER EXISTS { ?c :nation ?n . FILTER(?b > 5000) } }""")
-    }
-    assert(e.getMessage.contains("correlated EXISTS"))
+      .map(_.getString(0)).sorted.toSeq
+    val want = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b . ?c :nation ?n0 . FILTER(?b > 5000) }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // NOT EXISTS is the complement over customers with an acctbal
+    val not = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER NOT EXISTS { ?c :nation ?n . FILTER(?b > 5000) } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val all = q("""SELECT ?c WHERE { ?c :acctbal ?b }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert((got ++ not).sorted == all)
+    // correlated condition mixing OUTER and INNER vars: region name
+    // alphabetically after the customer's own name-ish bound — inner
+    // ?rn participates in the hoisted comparison
+    val mix = q("""SELECT ?n ?b WHERE {
+             ?n a :Nation . ?n :name ?b .
+             FILTER EXISTS { ?n :region ?r . ?r :name ?rn . FILTER(?rn < ?b) } }""")
+    val mixWant = q("""SELECT ?n ?b WHERE {
+             ?n a :Nation . ?n :name ?b . ?n :region ?r2 . ?r2 :name ?rn2 .
+             FILTER(?rn2 < ?b) }""")
+    assert(mix.map(_.getString(0)).sorted.toSeq ==
+      mixWant.map(_.getString(0)).sorted.toSeq && mix.nonEmpty)
     // the same shape with the var bound INSIDE the pattern still runs
     val ok = q("""SELECT ?c WHERE {
              ?c a :Customer .
              FILTER EXISTS { ?c :acctbal ?b . FILTER(?b > 5000) } }""")
     assert(ok.nonEmpty)
+  }
+
+  test("correlated EXISTS beyond the decorrelatable spine still fails loudly") {
+    // correlated ref under a UNION branch: hoisting would leak the
+    // condition into the other branch — must error, not silently drop
+    val e = intercept[UnsupportedOperationException] {
+      q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS {
+               { ?c :nation ?n . FILTER(?b > 5000) } UNION { ?c a :Customer } } }""")
+    }
+    assert(e.getMessage.contains("correlated EXISTS"))
+    // correlated BIND inside the sub-pattern: not a spine filter
+    val e2 = intercept[UnsupportedOperationException] {
+      q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS { ?c :nation ?n . BIND(?b + 1 AS ?x) } }""")
+    }
+    assert(e2.getMessage.contains("correlated EXISTS"))
   }
 }
