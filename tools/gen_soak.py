@@ -109,6 +109,15 @@ def main():
                            ELSE source END AS source,
                       n_chars
                     FROM ({q})"""
+        if SKEW and t == "events":
+            # round-8: one bot user holds 50% of events — the hot-key
+            # shape the per-user window rewrite (EventWindows) must
+            # survive; a per-user window would funnel half the stream
+            # through one task
+            q = f"""SELECT * REPLACE (
+                      CASE WHEN event_id % 2 = 0 THEN 0
+                           ELSE user_id END AS user_id)
+                    FROM ({q})"""
         if SKEW and t == "customer":
             q = f"""SELECT * REPLACE (
                       CASE WHEN c_custkey % 10 < 8 THEN 0

@@ -59,7 +59,7 @@ def main():
         if ratio is not None and b >= 0.5 and ratio > worst[1]:
             worst = (q, ratio)
     out = {
-        "round": 7,
+        "round": 8,
         "soak_dir": SOAK_DIR,
         "data_scale": 3.0,
         "gates": rows,
