@@ -142,6 +142,22 @@ object SparqlQueries {
       SELECT nm.o AS name FROM quads ty JOIN quads nm ON nm.p=':name' AND nm.s=ty.s
       WHERE ty.p='rdf:type' AND ty.o=':Region'"""))),
 
+    // branch-PARTIAL union vars (r8): ?r is bound only in the Region
+    // branch — it dedups as a NULL id on the id plane (nullable
+    // widening, Compiler.idFrameOf Union) and decodes to unbound
+    Q("r_union_partial", sq("""
+      SELECT DISTINCT ?name ?r WHERE {
+        { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT DISTINCT * FROM (
+        SELECT nm.o AS name, CAST(NULL AS VARCHAR) AS r
+        FROM quads ty JOIN quads nm ON nm.p=':name' AND nm.s=ty.s
+        WHERE ty.p='rdf:type' AND ty.o=':Nation'
+        UNION ALL
+        SELECT nm.o AS name, ty.s AS r
+        FROM quads ty JOIN quads nm ON nm.p=':name' AND nm.s=ty.s
+        WHERE ty.p='rdf:type' AND ty.o=':Region')"""))),
+
     Q("r_minus", sq("""
       SELECT ?c WHERE {
         ?c a :Customer .

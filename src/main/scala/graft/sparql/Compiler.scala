@@ -874,6 +874,42 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case _ => None
   }
 
+  /** Like [[idTreeScope]] but WIDE: returns (all vars, nullable vars)
+    * where nullable = vars bound in some but not every UNION branch —
+    * they surface as NULL ids (the id-plane twin of the struct plane's
+    * null widening). A Join whose shared var can be null bails: an id
+    * equi-join cannot express the null-compat (§18.3) join condition.
+    * Consumers that never JOIN on the frame (DISTINCT, GROUP BY) can
+    * use the wide scope; join-shaped consumers keep [[idTreeScope]].
+    */
+  private def idTreeScopeWide(op: Op): Option[(Set[String], Set[String])] =
+    op match {
+      case b: Bgp =>
+        if (encodableBgp(b).isDefined)
+          Some((Algebra.inScope(b).toSet, Set.empty[String]))
+        else None
+      case v: ValuesOp if encoded.isDefined &&
+        v.rows.forall(_.forall(_.isDefined)) =>
+        Some((v.vars.toSet, Set.empty[String]))
+      case Join(a, b) =>
+        for {
+          wa <- idTreeScopeWide(a)
+          wb <- idTreeScopeWide(b)
+          if !wa._1.intersect(wb._1).exists(v => wa._2(v) || wb._2(v))
+        } yield (wa._1 ++ wb._1, wa._2 ++ wb._2)
+      case Union(a, b) =>
+        for {
+          wa <- idTreeScopeWide(a)
+          wb <- idTreeScopeWide(b)
+        } yield (wa._1 ++ wb._1,
+          wa._2 ++ wb._2 ++ wa._1.diff(wb._1) ++ wb._1.diff(wa._1))
+      case Project(i, vars) =>
+        idTreeScopeWide(i).filter { case (all, _) => vars.forall(all) }
+          .map { case (_, n) => (vars.toSet, n.intersect(vars.toSet)) }
+      case Distinct(inner) => idTreeScopeWide(inner)
+      case _ => None
+    }
+
   /** Compile a Join-tree of encodable BGPs entirely on the id plane:
     * every leaf keeps (as ids) the columns in `keep` plus this tree's
     * cross-leaf join vars; leaves join greedily on shared id columns;
@@ -881,19 +917,34 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * aggregates. Returns None when `op` is not an encodable tree.
     */
   private def idFrameOf(op: Op, keep: Set[String]): Option[DataFrame] = op match {
-    // top-level UNION: bag-union the branch id frames when both carry
-    // exactly the same kept columns with the same types (vars common
-    // to both branches — the idTreeScope contract); a DISTINCT or
-    // GROUP above then dedups/aggregates across branches on ids
+    // top-level UNION: bag-union the branch id frames. Kept vars a
+    // branch does not bind WIDEN to NULL ids (typed from the branch
+    // that has them) — the id-plane form of the struct plane's union
+    // widening; a DISTINCT or GROUP above then dedups/aggregates
+    // across branches on (nullable) ids. Same-named columns must agree
+    // on representation (a long id vs a raw-g string bails).
     case Union(a, b) =>
       for {
         fa <- idFrameOf(a, keep)
         fb <- idFrameOf(b, keep)
-        if fa.columns.sorted.sameElements(fb.columns.sorted) &&
-          fa.columns.forall(keep) &&
-          fa.columns.forall(c =>
-            fa.schema(c).dataType == fb.schema(c).dataType)
-      } yield fa.unionByName(fb)
+        keptA = fa.columns.filter(keep)
+        keptB = fb.columns.filter(keep)
+        if keptA.intersect(keptB).forall(c =>
+          fa.schema(c).dataType == fb.schema(c).dataType)
+      } yield {
+        val all = (keptA ++ keptB).distinct.toIndexedSeq
+        if (all.isEmpty) {
+          // neither branch binds a kept var: placeholder rows only
+          // (multiplicity carrier, as in the join-tree all-dead case)
+          val ph = freshName("c")
+          fa.select(nullTerm.as(ph)).unionByName(fb.select(nullTerm.as(ph)))
+        } else {
+          def widen(d: DataFrame, other: DataFrame) = d.select(all.map(c =>
+            if (d.columns.contains(c)) d(c)
+            else lit(null).cast(other.schema(c).dataType).as(c)): _*)
+          widen(fa, fb).unionByName(widen(fb, fa))
+        }
+      }
     case _ => idFrameOfJoinTree(op, keep)
   }
 
@@ -993,9 +1044,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def groupOverIds(input: Op, keys: Seq[(String, Option[Expr])],
       aggs: Seq[(String, EAgg)]): Option[DataFrame] = {
     val (core, conds) = stripFilters(input)
-    val scopeOpt = idTreeScope(core)
+    // WIDE scope: union-branch-partial vars group/aggregate as NULL
+    // ids — null keys form the unbound group (§18.2.4.1), COUNT(?v)
+    // skips nulls (unbound excluded from aggregation), SAMPLE ignores
+    // nulls — matching the struct plane's widened-null semantics
+    val scopeOpt = idTreeScopeWide(core)
     if (scopeOpt.isEmpty) return None
-    val scope = scopeOpt.get
+    val (scope, nullableVars) = scopeOpt.get
     def plainVar(o: Option[Expr]): Option[String] =
       o match { case Some(EVar(v)) if scope(v) => Some(v); case _ => None }
     // id-safe aggregates work on raw ids; value-bearing ones (SUM/AVG/
@@ -1044,8 +1099,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val idsOpt = idFrameOf(core, keep)
     if (idsOpt.isEmpty) return None
     val ids0 = decodeCols(
-      applyFilters(idsOpt.get, conds, filterVarsAll),
-      decodeArgVars ++ keyExprVars)
+      applyFilters(idsOpt.get, conds, filterVarsAll, nullableVars),
+      decodeArgVars ++ keyExprVars, nullableVars)
     // bind computed key columns (term structs) before the groupBy
     val ids = keys.foldLeft(ids0) {
       case (d, (v, Some(e))) => d.withColumn(v, compExpr(e, resolver(d)))
@@ -1099,7 +1154,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           .select((keys.map(k => col(k._1)) ++
             aggs.map(a => col(a._1))).toIndexedSeq: _*)
       }
-    Some(decodeSolutions(grouped))
+    // nullable-aware decode: a NULL group key is the unbound group and
+    // a SAMPLE over a nullable arg can be null — left-join those back
+    // to unbound terms instead of inner-join dropping their rows
+    val nullableOut =
+      keys.collect { case (v, None) if nullableVars(v) => v }.toSet ++
+        aggs.collect {
+          case (out, a) if a.fn == "sample" &&
+            plainVar(a.arg).exists(nullableVars) => out
+        }
+    Some(decodeCols(grouped, grouped.columns.toSet, nullableOut))
   }
 
   /** SELECT DISTINCT over plain BGP-bound variables: dedup on ids,
@@ -1107,13 +1171,18 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     */
   private def distinctOverIds(input: Op, vars: Seq[String]): Option[DataFrame] = {
     val (core, conds) = stripFilters(input)
-    idTreeScope(core).flatMap { scope =>
+    // WIDE scope: union-branch-partial vars ride as NULL ids — dedup
+    // treats the null id as the unbound binding, exactly the struct
+    // plane's widened-null semantics, and the decode edge left-joins
+    // them back to unbound terms
+    idTreeScopeWide(core).flatMap { case (all, nullable) =>
       val filterVarsAll = conds.flatMap(exprVarSet).toSet
         .intersect(Algebra.inScope(core).toSet)
-      if (vars.isEmpty || !vars.forall(scope) || !filterVarsAll.subsetOf(scope)) None
+      if (vars.isEmpty || !vars.forall(all) || !filterVarsAll.subsetOf(all)) None
       else idFrameOf(core, vars.toSet ++ filterVarsAll).map { ids0 =>
-        val ids = applyFilters(ids0, conds, filterVarsAll)
-        decodeSolutions(ids.select(vars.map(ids(_)): _*).distinct())
+        val ids = applyFilters(ids0, conds, filterVarsAll, nullable)
+        decodeCols(ids.select(vars.map(ids(_)): _*).distinct(),
+          vars.toSet, nullable)
       }
     }
   }
@@ -1353,10 +1422,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * conditions with the same EBV boxing the generic Filter case uses.
     */
   private def applyFilters(ids: DataFrame, conds: Seq[Expr],
-      filterVars: Set[String]): DataFrame =
+      filterVars: Set[String],
+      nullable: Set[String] = Set.empty): DataFrame =
     if (conds.isEmpty) ids
     else {
-      val partial = decodeCols(ids, filterVars)
+      // nullable (union-branch-partial) filter vars decode with a LEFT
+      // join to a null term — the condition then evaluates over the
+      // unbound var (usually error→false, but BOUND/COALESCE must see
+      // the row) instead of the inner decode join dropping it
+      val partial = decodeCols(ids, filterVars, nullable)
       conds.foldLeft(partial)((d, c) =>
         d.filter(coalesce(compBool(c, resolver(d)), lit(false))))
     }

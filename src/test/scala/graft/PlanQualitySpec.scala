@@ -277,6 +277,44 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("UNION with branch-partial vars dedups on nullable ids") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      // ?r is bound only in the right branch — before the r8 nullable
+      // widening this whole shape fell back to the struct plane and
+      // shipped term structs through the distinct exchange
+      val df = graft.sparql.Sparql.query(spark, q,
+        "SELECT DISTINCT ?name ?r WHERE { { ?n a :Nation . ?n :name ?name } " +
+          "UNION { ?r a :Region . ?r :name ?name } }",
+        encoded = Some(enc))
+      df.collect()
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+      }
+      assert(shuffles.nonEmpty, "no exchange found")
+      // the DISTINCT itself must exchange pure ids (nullable ?r rides
+      // as a null long); the decode dictionary's own join side
+      // legitimately carries (id, term) — allow that single struct
+      assert(shuffles.exists(out => out.nonEmpty && out.forall(_ == LongType)),
+        s"no id-only distinct exchange — union fell back to structs: $shuffles")
+      shuffles.foreach { out =>
+        assert(out.count(_.isInstanceOf[StructType]) <= 1,
+          s"an exchange carries more than the dictionary term: $out")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("OPTIONAL joins ids: left-outer exchanges carry longs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{LongType, StructType}

@@ -509,9 +509,25 @@ class SparqlSpec extends GraftSuite {
       // UNION trees: dedup / aggregate across branches on ids
       "SELECT DISTINCT ?name WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } }",
       "SELECT ?x (COUNT(?x) AS ?k) WHERE { { ?x a :Nation } UNION { ?x :region ?r } } GROUP BY ?x",
-      // branch-missing var in the projection → struct-plane fallback,
-      // results must still agree
+      // branch-PARTIAL vars ride as NULL ids (r8 nullable widening):
+      // dedup, grouping and aggregation over them must match the
+      // struct plane's widened-null semantics exactly
       "SELECT DISTINCT ?name ?r WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } }",
+      // COUNT over a partial var skips the branch that never binds it
+      "SELECT (COUNT(?r) AS ?k) WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } }",
+      // GROUP keyed on a partial var: the missing branch lands in the
+      // unbound group
+      "SELECT ?r (COUNT(*) AS ?k) WHERE { { ?n a :Nation } UNION { ?r a :Region } } GROUP BY ?r",
+      // filter over a partial var: BOUND must see the widened rows
+      "SELECT DISTINCT ?name WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r :region ?rr . ?rr :name ?name } FILTER(BOUND(?name)) }",
+      "SELECT DISTINCT ?name ?r WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } FILTER(!BOUND(?r)) }",
+      // SAMPLE over a partial var; all-unbound groups survive decode
+      "SELECT ?name (SAMPLE(?r) AS ?sr) WHERE { { ?n a :Nation . ?n :name ?name } UNION { ?r a :Region . ?r :name ?name } } GROUP BY ?name",
+      // a branch binding NOTHING kept: placeholder rows widen to an
+      // all-unbound solution
+      "SELECT DISTINCT ?bal WHERE { { ?x a :Region } UNION { ?c :acctbal ?bal } }",
+      // nested unions accumulate nullability per branch
+      "SELECT DISTINCT ?a ?b WHERE { { ?x a :Region . ?x :name ?a } UNION { { ?y a :Nation . ?y :name ?a } UNION { ?z :mktsegment ?b } } }",
       // GROUP BY without aggregates: one row per group (§18.2.4.1)
       "SELECT ?n WHERE { ?c :nation ?n } GROUP BY ?n",
       // EXISTS / NOT EXISTS / MINUS: id-plane semi/anti joins
