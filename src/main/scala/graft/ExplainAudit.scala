@@ -10,7 +10,9 @@ object ExplainAudit {
     for (name <- Seq("q5_multiway_join", "q1_agg", "r_bgp_join", "q_asof_join",
         "d_prefix_dup", "q_kmv_distinct", "w_funnel", "s_pq_ann", "t_source_cap",
         // round-7 skew-safe rewrites: prefix passes + join-back doc freq
-        "t_quality_percentile", "t_token_budget", "d_span_dup", "g_label_prop")) {
+        "t_quality_percentile", "t_token_budget", "d_span_dup", "g_label_prop",
+        // round-8: boundary-merge per-user ops + new pipeline gates
+        "w_sessionize", "w_row_number_lag", "t_bm25", "s_hard_negatives")) {
       println(s"===== $name =====")
       Queries.queries(name)(spark, dir).explain("formatted")
     }

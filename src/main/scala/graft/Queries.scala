@@ -438,6 +438,53 @@ object Queries {
       SELECT bigram, count(*)::BIGINT AS n FROM sh GROUP BY 1
       ORDER BY n DESC, bigram ASC LIMIT 20""")),
 
+    // Okapi BM25 document scoring against the corpus's own top-5
+    // tokens (deterministic query-term set) — the retrieval-quality
+    // primitive of RAG corpus curation. All components are combinable
+    // aggregates + broadcast-sized sides: tf/dl per doc (high-
+    // cardinality groupBys), df over the 5 query terms, one 1-row
+    // scalar frame (N, avgdl) cross-joined in. Per-(doc, term) score
+    // contributions round to integer MICRO-units before the per-doc
+    // sum (the t_entropy fixed-point trick), so the distributed sum is
+    // order-independent and engine-exact; every float expression is
+    // written with the same shape/literals as the oracle.
+    Q("t_bm25", (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tf = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dl = tk.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("nd"),
+        (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      val qt = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc).limit(5).select("tok")
+      val df = tf.join(broadcast(qt), Seq("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+            * 1e6, 0).cast("long").as("tm"))
+        .groupBy("doc_id").agg(sum("tm").as("bm25_micros"))
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+      stats AS (SELECT count(*)::DOUBLE AS nd,
+                       (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl FROM dl),
+      qt AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1
+                              ORDER BY cnt DESC, tok ASC LIMIT 5)),
+      df AS (SELECT tok, count(*) AS df FROM tf JOIN qt USING (tok) GROUP BY 1),
+      t AS (SELECT tf.doc_id,
+              CAST(round(ln((stats.nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                * 1000000) AS BIGINT) AS tm
+            FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats)
+      SELECT doc_id, sum(tm)::BIGINT AS bm25_micros FROM t GROUP BY 1""")),
+
     Q("t_token_stats", (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1170,6 +1217,27 @@ object Queries {
       scored AS (
         SELECT query_id, vec_id, ${duckCosine("q_emb", "embedding")} AS cos
         FROM embeddings, q WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= 5""")),
+
+    // hard-negative mining: top-k most-similar vectors in a DIFFERENT
+    // class (label = vec_id % 7) per query — the contrastive-training
+    // negatives; same broadcast-probe scan as brute force plus the
+    // class filter
+    Q("s_hard_negatives", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e.filter(col("vec_id") < 5), e, 5, 7)
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, vec_id % 7 AS q_cls,
+                        embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, vec_id, ${duckCosine("q_emb", "embedding")} AS cos
+        FROM embeddings, q
+        WHERE vec_id <> query_id AND vec_id % 7 <> q_cls),
       ranked AS (
         SELECT query_id, vec_id, cos,
                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank

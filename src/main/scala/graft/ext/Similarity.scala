@@ -57,6 +57,33 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("cos"), col("rank").cast("int").as("rank"))
   }
 
+  /** Hard-negative mining: for each query, the `k` most-similar
+    * corpus vectors with a DIFFERENT class label (label = `vec_id %
+    * nClasses`, the deterministic stand-in for a real label column) —
+    * the contrastive-training primitive: a positive's near-duplicates
+    * in other classes are the gradient-rich negatives. Broadcast
+    * probes, map-only score + class filter, `row_number <= k` rank at
+    * the sink (partial WindowGroupLimit below the exchange; bounded
+    * rows per query at any corpus size).
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      nClasses: Int): DataFrame = {
+    val scored = corpus.join(
+        broadcast(queries.select(col("vec_id").as("query_id"),
+          (col("vec_id") % nClasses).as("q_cls"),
+          col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("query_id") &&
+          (col("vec_id") % nClasses) =!= col("q_cls"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Range (radius) search: every corpus vector with cosine ≥
     * `threshold` per query — the recall-oriented sibling of top-k
     * (dedup and retrieval audits ask "everything this similar", not

@@ -336,7 +336,9 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case EExists(sub, positive)
             if corrVarsOf(sub, outerScope).nonEmpty =>
           return compCorrelatedExistsFilter(input, sub, positive, outerScope)
-        case _ => rejectCorrelatedExists(cond, outerScope)
+        // compound booleans: each nested EXISTS occurrence decorrelates
+        // inside addExistsFlag — only non-splittable correlation rejects
+        case _ => tolerateDepth1CorrelatedExists(cond, outerScope)
       }
       cond match {
         case EExists(sub, positive) =>
@@ -397,7 +399,9 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       }
 
     case Extend(input, v, e) =>
-      rejectCorrelatedExists(e, Algebra.inScope(input).toSet)
+      // BIND(… EXISTS{…} …): depth-1 correlation decorrelates inside
+      // addExistsFlag; only non-splittable correlation rejects
+      tolerateDepth1CorrelatedExists(e, Algebra.inScope(input).toSet)
       // BIND over an encodable tree: join on ids, decode only the
       // expression-read vars, compute the bound term, materialize the
       // rest late (the new column is already a term struct, so
@@ -649,27 +653,64 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     */
   private def addExistsFlag(df: DataFrame, sub: Op, positive: Boolean,
       flag: String): DataFrame = {
-    val subDf = comp(sub)
+    // CORRELATED case (§18.6, EXISTS inside a compound boolean or a
+    // BIND expression): same decorrelation as the direct-FILTER form —
+    // hoist the spine's correlated conditions, evaluate the residual
+    // once, and fold the conditions into the key-match join; the
+    // outer's correlated columns join the distinct-key frame
+    val corr = (exprRefVars(sub) -- Algebra.inScope(sub).toSet)
+      .intersect(df.columns.toSet)
+    val (residual, corrConds) =
+      if (corr.isEmpty) (sub, Seq.empty[Expr])
+      else splitCorrelated(sub, corr).getOrElse(
+        throw new UnsupportedOperationException(
+          "correlated EXISTS: inner expression references outer-only " +
+            s"variable(s) ${corr.map("?" + _).mkString(", ")} from a " +
+            "position where §18.6 substitution cannot be realized by " +
+            "decorrelation"))
+    if (corr.nonEmpty)
+      walkExists(residual, df.columns.toSet ++ Algebra.inScope(residual))
+    val subDf = comp(residual)
     val shared = df.columns.intersect(subDf.columns).toIndexedSeq
-    if (shared.isEmpty) {
+    if (shared.isEmpty && corr.isEmpty) {
       val any = !subDf.isEmpty
       df.withColumn(flag, lit(any == positive))
     } else {
-      val renames = shared.map(v => v -> freshName(v)).toMap
-      val rr = shared.foldLeft(subDf.select(shared.map(subDf(_)): _*)) {
+      // key columns: the pattern-shared vars plus the correlated vars
+      // (each distinct outer correlated binding decides independently)
+      val keyCols = (shared ++ corr.toSeq.filterNot(shared.contains)).toIndexedSeq
+      val condInnerVars = corrConds.flatMap(exprVarSet).toSet
+        .intersect(subDf.columns.toSet).diff(df.columns.toSet).toIndexedSeq
+      val rrCols = (shared ++ condInnerVars).distinct
+      val renames = rrCols.map(v => v -> freshName(v)).toMap
+      val rr = rrCols.foldLeft(subDf.select(rrCols.map(subDf(_)): _*)) {
         (d, v) => d.withColumnRenamed(v, renames(v))
       }
-      val keys = df.select(shared.map(df(_)): _*).distinct()
+      val keys = df.select(keyCols.map(df(_)): _*).distinct()
       val compat = shared.map(v =>
         keys(v).isNull || rr(renames(v)).isNull ||
-          termEq(keys(v), rr(renames(v)))).reduce(_ && _)
-      val mNames = shared.map(v => v -> freshName(v)).toMap
+          termEq(keys(v), rr(renames(v))))
+      val res: String => Column = v =>
+        if (keyCols.contains(v) && renames.contains(v))
+          coalesce(keys(v), rr(renames(v))) // substitution: outer wins
+        else if (keyCols.contains(v)) keys(v)
+        else if (renames.contains(v)) rr(renames(v))
+        else nullTerm
+      val corrCond = corrConds
+        .map(c => coalesce(compBool(c, res), lit(false)))
+      val allCond = (compat ++ corrCond)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val mNames = keyCols.map(v => v -> freshName(v)).toMap
       val marker = s"__m_$flag"
-      val matched = keys.join(rr, compat, "left_semi")
+      // an empty residual scope (rr has no columns) degenerates to a
+      // per-key constant decided by the correlated conditions alone —
+      // cross-join the 1-column-free rr is invalid, so guard via a
+      // non-empty rr: Unit0 residual compiles to a single row
+      val matched = keys.join(rr, allCond, "left_semi")
       val matchedR = matched
-        .select(shared.map(v => matched(v).as(mNames(v))): _*)
+        .select(keyCols.map(v => matched(v).as(mNames(v))): _*)
         .withColumn(marker, lit(true))
-      val eq = shared.map(v => df(v) <=> matchedR(mNames(v))).reduce(_ && _)
+      val eq = keyCols.map(v => df(v) <=> matchedR(mNames(v))).reduce(_ && _)
       val joined = df.join(matchedR, eq, "left_outer")
       joined.select((df.columns.map(c => joined(c).as(c)) :+
         (if (positive) joined(marker).isNotNull
@@ -1473,6 +1514,33 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     */
   private def corrVarsOf(sub: Op, outerScope: Set[String]): Set[String] =
     (exprRefVars(sub) -- Algebra.inScope(sub).toSet).intersect(outerScope)
+
+  /** Depth-1 tolerance: an EXISTS whose correlation CAN decorrelate
+    * (spine-splittable vs the immediate outer scope) passes — its
+    * compile site ([[compCorrelatedExistsFilter]] / [[addExistsFlag]])
+    * realizes the substitution; a non-splittable one still rejects
+    * here, loudly. DEEPER nesting keeps the strict [[walkExists]]
+    * check — substitution does not propagate through two EXISTS
+    * levels, so a second-level correlated read must never compile
+    * silently-unbound.
+    */
+  private def tolerateDepth1CorrelatedExists(e: Expr,
+      outerScope: Set[String]): Unit = e match {
+    case EExists(sub, _) =>
+      val subScope = Algebra.inScope(sub).toSet
+      val corr = (exprRefVars(sub) -- subScope).intersect(outerScope)
+      if (corr.nonEmpty && splitCorrelated(sub, corr).isEmpty)
+        throw new UnsupportedOperationException(
+          "correlated EXISTS: inner expression references outer-only " +
+            s"variable(s) ${corr.map("?" + _).mkString(", ")} from a " +
+            "position where §18.6 substitution cannot be realized by " +
+            "decorrelation (under UNION/OPTIONAL/MINUS/subquery or " +
+            "inside BIND/nested EXISTS)")
+      walkExists(sub, outerScope ++ subScope)
+    case ECall(_, as) =>
+      as.foreach(tolerateDepth1CorrelatedExists(_, outerScope))
+    case _ => ()
+  }
 
   /** Decorrelation split: peel the correlated FILTER conditions off
     * the sub-pattern's CONJUNCTIVE SPINE (Filter layers over Join

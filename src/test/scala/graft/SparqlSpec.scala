@@ -831,6 +831,39 @@ class SparqlSpec extends GraftSuite {
     assert(ok.nonEmpty)
   }
 
+  test("correlated EXISTS decorrelates inside compound booleans and BIND") {
+    // EXISTS && extra condition: the flag-column path must substitute
+    val got = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b .
+           FILTER(EXISTS { ?c :nation ?n . FILTER(?b > 5000) } && ?b < 9000) }""")
+      .map(_.getString(0)).sorted.toSeq
+    val want = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :nation ?n0 . FILTER(?b > 5000 && ?b < 9000) }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // negated occurrence inside the compound
+    val not = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b .
+           FILTER(!EXISTS { ?c :nation ?n . FILTER(?b > 5000) } && ?b >= 0) }""")
+      .map(_.getString(0)).sorted.toSeq
+    val wantNot = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . FILTER(?b >= 0)
+           FILTER NOT EXISTS { ?c :nation ?n . FILTER(?b > 5000) } }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(not == wantNot)
+    // BIND(EXISTS … AS ?has) with a correlated inner filter
+    val bind = q("""SELECT ?c ?has WHERE {
+           ?c :acctbal ?b .
+           BIND(EXISTS { ?c :nation ?n . FILTER(?b > 5000) } AS ?has) }""")
+    val trues = bind.filter(_.getString(1) == "true")
+      .map(_.getString(0)).sorted.toSeq
+    val wantTrue = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :nation ?n0 . FILTER(?b > 5000) }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(trues == wantTrue && bind.length ==
+      q("""SELECT ?c WHERE { ?c :acctbal ?b }""").length)
+  }
+
   test("correlated EXISTS beyond the decorrelatable spine still fails loudly") {
     // correlated ref under a UNION branch: hoisting would leak the
     // condition into the other branch — must error, not silently drop
