@@ -56,6 +56,18 @@ object StreamQueries {
        AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
       WHERE v.event_type = 'view' AND v.user_id < 50""")),
 
+    // LEFT OUTER attribution: every view emits — unmatched ones only
+    // after the min-across-inputs watermark proves no purchase can
+    // still land in their window (bounded join state); the oracle is
+    // the batch left join
+    Q("st_stream_outer_join", (s, dir) => StreamOps.streamStreamOuterJoin(s, dir),
+      Some("""
+      SELECT v.event_id AS view_id, b.event_id AS buy_id, v.user_id
+      FROM events v LEFT JOIN events b
+        ON b.user_id = v.user_id AND b.event_type = 'purchase'
+       AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+      WHERE v.event_type = 'view' AND v.user_id < 50""")),
+
     // stream-static enrichment: each micro-batch broadcast-joins the
     // batch dimension table, then aggregates per tier
     Q("st_stream_static_join", (s, dir) => StreamOps.streamStaticJoin(s, dir),

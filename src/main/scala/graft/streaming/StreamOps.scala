@@ -373,6 +373,72 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[streamStreamJoin]]
+    * but every view emits — matched views as soon as the purchase
+    * arrives, UNMATCHED views only once the (min-across-inputs)
+    * watermark proves no future purchase can still land in their
+    * 1-hour window. That proof is the scale contract: join state for a
+    * view is droppable at `watermark > view_ts + 1h`, so state is
+    * bounded by the interval + delay, never by the stream. Flush
+    * sentinels on BOTH streams (watermark = min of the inputs) push
+    * the watermark past every window so the drain finalizes the tail;
+    * a batch-N watermark takes effect in batch N+1, hence two sentinel
+    * rounds (same choreography as [[watermarkedHourlyCounts]]).
+    */
+  def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = graft.core.Tables(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
+      .localCheckpoint()
+    def side(t: String, prefix: String): DataFrame =
+      ev.filter(col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id"),
+          col("ts_ns").as(s"${prefix}_ns"))
+    val viewRows = side("view", "view")
+    val buyRows = side("purchase", "buy")
+    val viewDrops = new FileDrops
+    val buyDrops = new FileDrops
+    viewDrops.drop(viewRows)
+    buyDrops.drop(buyRows)
+    def src(drops: FileDrops, schema: org.apache.spark.sql.types.StructType,
+        prefix: String) =
+      spark.readStream.schema(schema).parquet(drops.watch.toString)
+        .withColumn(s"${prefix}_ts", timestamp_micros(expr(s"${prefix}_ns div 1000")))
+    val v = src(viewDrops, viewRows.schema, "view")
+      .withWatermark("view_ts", "1 hour")
+    val b = src(buyDrops, buyRows.schema, "buy")
+      .withColumnRenamed("user_id", "buy_user")
+      .withWatermark("buy_ts", "1 hour")
+    val joined = v.join(b,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("view_id"), col("buy_id"), col("user_id"))
+    val name = s"st_ssoj_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, joined, name, "append")
+    try {
+      val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
+        .getEpochSecond * 1000000000L
+      q.processAllAvailable()
+      // sentinel ids are negative — real event_ids are non-negative,
+      // so the sink-side filter can never drop a data row
+      viewDrops.drop(Seq((-1L, -1L, flushNs)).toDF("view_id", "user_id", "view_ns"))
+      buyDrops.drop(Seq((-1L, -1L, flushNs)).toDF("buy_id", "user_id", "buy_ns"))
+      q.processAllAvailable()
+      val flush2 = flushNs + 3600L * 1000000000L
+      viewDrops.drop(Seq((-2L, -1L, flush2)).toDF("view_id", "user_id", "view_ns"))
+      buyDrops.drop(Seq((-2L, -1L, flush2)).toDF("buy_id", "user_id", "buy_ns"))
+      q.processAllAvailable()
+    } finally {
+      finishQuery(q, ckpt)
+      viewDrops.cleanup()
+      buyDrops.cleanup()
+    }
+    spark.table(name).filter(col("view_id") >= 0)
+  }
+
   /** Batch `session_window` sessionization (30-min inactivity gap):
     * identical semantics in batch and streaming — the streaming
     * variant only adds a watermark. Session start = first event,
