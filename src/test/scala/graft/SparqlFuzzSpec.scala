@@ -216,4 +216,40 @@ class SparqlFuzzSpec extends GraftSuite {
     assert(rows("SELECT ?s WHERE { ?s a :Customer . FILTER(?nope) }").isEmpty)
     assert(rows("SELECT ?s WHERE { ?s a :Customer } LIMIT 0").isEmpty)
   }
+
+  test("correlated EXISTS ≡ manual decorrelation across random thresholds") {
+    // §18.6 substitution: the decorrelated plan must agree with the
+    // hand-joined formulation for every threshold, for EXISTS and its
+    // complement, in the direct-FILTER and compound-boolean positions.
+    // (one nation per subject in the fixture → the manual join does
+    // not fan out, so sequences compare exactly)
+    val thrGen = Gen.choose(-5000, 9999)
+    forAllSampled(thrGen, 8) { t =>
+      val ex = rows(s"""SELECT ?s ?b WHERE { ?s :acctbal ?b .
+        FILTER EXISTS { ?s :nation ?n . FILTER(?b > $t) } } ORDER BY ?s ?b""")
+      val manual = rows(s"""SELECT ?s ?b WHERE { ?s :acctbal ?b .
+        ?s :nation ?n0 . FILTER(?b > $t) } ORDER BY ?s ?b""")
+      assert(ex == manual, s"threshold $t")
+      // complement partitions the acctbal-bearing subjects
+      val notEx = rows(s"""SELECT ?s ?b WHERE { ?s :acctbal ?b .
+        FILTER NOT EXISTS { ?s :nation ?n . FILTER(?b > $t) } } ORDER BY ?s ?b""")
+      val all = rows("SELECT ?s ?b WHERE { ?s :acctbal ?b } ORDER BY ?s ?b")
+      assert((ex ++ notEx).sorted == all.sorted, s"threshold $t")
+      // compound position: flag path must substitute identically
+      val comp = rows(s"""SELECT ?s ?b WHERE { ?s :acctbal ?b .
+        FILTER(EXISTS { ?s :nation ?n . FILTER(?b > $t) } && ?b < 9000) }
+        ORDER BY ?s ?b""")
+      val compManual = rows(s"""SELECT ?s ?b WHERE { ?s :acctbal ?b .
+        ?s :nation ?n0 . FILTER(?b > $t && ?b < 9000) } ORDER BY ?s ?b""")
+      assert(comp == compManual, s"threshold $t (compound)")
+      // outer+inner mixed condition through a two-hop inner pattern
+      val mix = rows(s"""SELECT ?s ?b WHERE { ?s :acctbal ?b .
+        FILTER EXISTS { ?s :nation ?n . ?n :name ?nn .
+          FILTER(STRLEN(?nn) * 1000 > ?b + $t) } } ORDER BY ?s ?b""")
+      val mixManual = rows(s"""SELECT ?s ?b WHERE { ?s :acctbal ?b .
+        ?s :nation ?n0 . ?n0 :name ?nn0 .
+        FILTER(STRLEN(?nn0) * 1000 > ?b + $t) } ORDER BY ?s ?b""")
+      assert(mix == mixManual, s"threshold $t (mixed)")
+    }
+  }
 }
