@@ -978,6 +978,32 @@ object Queries {
              min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY 1 HAVING count(*) > 1""")),
 
+    // winnowing fingerprint selection (SIGMOD'03): per-window min of
+    // k-gram hashes — guarantees any >= w+k-1-token substring match
+    // shares a fingerprint at ~2/(w+1) the gram density; map-only
+    Q("d_winnow_fp", (s, dir) => {
+      val fps = Dedup.winnowFingerprints(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        size(fps).cast("long").as("n_fp"),
+        md5(concat_ws(",",
+          transform(fps, x => x.cast("string")))).as("fp_md5"))
+    }, Some(s"""
+      WITH g AS (
+        SELECT doc_id,
+               list_transform(list_transform(
+                 range(1, greatest(len(string_split(text,' '))-3, 1)+1),
+                 i -> array_to_string(string_split(text,' ')[i:i+3], ' ')),
+                 s -> ${duckPh("s")}) AS hs
+        FROM documents),
+      wn AS (SELECT doc_id,
+               list_transform(range(1, greatest(len(hs)-3, 1)+1),
+                 i -> list_min(hs[i:i+3])) AS wins
+             FROM g),
+      f AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM wn)
+      SELECT doc_id, len(fps)::BIGINT AS n_fp,
+             md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) AS fp_md5
+      FROM f""")),
+
     // keep-best dedup policy: among exact-fingerprint duplicates keep
     // the HIGHEST-quality member (doc_id tiebreak) — dedup POLICY
     // matters as much as detection (keeping the first-crawled copy

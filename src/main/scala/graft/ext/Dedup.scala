@@ -230,6 +230,29 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i, lit(n))))
   }
 
+  /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
+    * SIGMOD 2003): hash every `k`-gram, slide a window of `w` over the
+    * hash sequence, keep each window's MINIMUM — any substring match
+    * of length ≥ w+k−1 tokens between two documents is GUARANTEED to
+    * share a selected fingerprint, at ~2/(w+1) the density of the full
+    * gram set. The local-plagiarism/boilerplate primitive exact
+    * per-doc dedup misses and MinHash only captures globally.
+    *
+    * Entirely per-document map-only higher-order column expressions
+    * (no UDF, no shuffle, no state): at 100 TB this is one pass over
+    * the corpus; downstream overlap joins then run on the selected
+    * hashes — a ~2/(w+1) fraction of the gram volume. Hashes are the
+    * engine-independent [[TextAnalysis.polyHash]], so oracles mirror
+    * 1:1.
+    */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column = {
+    val hs = transform(shingles(text, k), t => polyHash(t))
+    val wins = transform(
+      sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+      i => array_min(slice(hs, i, w)))
+    array_sort(array_distinct(wins))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word-level n-gram with a benchmark/eval set — the standard
     * "remove test-set leakage before training" pipeline step (13-gram

@@ -10,6 +10,30 @@ import graft.ext.TextAnalysis
   */
 class TextOpsSpec extends GraftSuite {
 
+  test("winnowing guarantee: a shared >= w+k-1-token run shares a fingerprint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // k=4, w=4: any common substring of >= 7 tokens must surface in
+    // BOTH documents' selected fingerprint sets (SIGMOD'03 theorem);
+    // the surrounding text is entirely different
+    val shared = "alpha bravo charlie delta echo foxtrot golf"
+    val docs = Seq(
+      (1L, s"aa bb cc $shared dd ee"),
+      (2L, s"xx yy $shared zz ww qq"),
+      (3L, "no overlap here at all with anything")).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        graft.ext.Dedup.winnowFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty,
+      "guaranteed fingerprint of the shared run is missing")
+    assert(fps(1L).intersect(fps(3L)).isEmpty)
+    // density: selection keeps well under the full gram count
+    val grams = docs.filter(col("doc_id") === 1L)
+      .select(org.apache.spark.sql.functions.size(
+        graft.ext.Dedup.shingles(col("text"), 4))).head.getInt(0)
+    assert(fps(1L).size < grams)
+  }
+
   test("packBins: distributed prefix sum matches the closed form") {
     import spark.implicits._
     // 10 docs x known token counts, forced through several range
