@@ -249,7 +249,7 @@ object Dedup {
     val hs = transform(shingles(text, k), t => polyHash(t))
     val wins = transform(
       sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
-      i => array_min(slice(hs, i, w)))
+      i => array_min(slice(hs, i, lit(w))))
     array_sort(array_distinct(wins))
   }
 
