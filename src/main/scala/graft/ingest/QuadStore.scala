@@ -337,9 +337,14 @@ final class QuadStore(spark: SparkSession, dir: String) {
   // ---- SPARQL Update surface -----------------------------------------
 
   /** `INSERT … WITH <g> …` → `INSERT DATA { GRAPH <g> { … } }`:
-    * the reference's A10 rewrite, done by string surgery there
-    * (`GraphDBSystemAdapter.java:192-195`); here as a structured
-    * transformation on the parsed update.
+    * the reference's A10 rewrite (`GraphDBSystemAdapter.java:192-195`),
+    * matched here — as there — by two anchored regexes over the raw
+    * update string. That is deliberate: A10 input is generated by the
+    * benchmark protocol in exactly these two fixed shapes (ground
+    * triples, no nested braces, no string literals containing `}`), so
+    * a full grammar round-trip buys nothing; anything the regexes
+    * don't match passes through untouched and hits the real parser in
+    * [[executeUpdate]], which fails loudly on malformed input.
     */
   def rewriteInsertWith(update: String): String = {
     val WithRe = """(?s)\s*INSERT\s*\{(.*)\}\s*WITH\s*<([^>]*)>\s*(?:WHERE\s*\{\s*\})?\s*""".r
