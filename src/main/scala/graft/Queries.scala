@@ -1004,6 +1004,32 @@ object Queries {
              md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) AS fp_md5
       FROM f""")),
 
+    // local-overlap join on the winnowed plane (the SIGMOD'03 point of
+    // winnowing): pairs sharing >= 3 selected fingerprints — i.e.
+    // repeated >= w+k-1-token substrings — at ~2/(w+1) the gram-join
+    // volume; prefix-capped exactly for the overlap threshold
+    Q("d_winnow_overlap", (s, dir) =>
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), 4, 4, 3),
+      Some(s"""
+      WITH g AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(list_transform(
+                 range(1, greatest(len(string_split(text,' '))-3, 1)+1),
+                 i -> array_to_string(string_split(text,' ')[i:i+3], ' ')),
+                 s -> ${duckPh("s")}) AS hs
+        FROM documents),
+      wn AS (SELECT doc_id,
+               list_transform(range(1, greatest(len(hs)-3, 1)+1),
+                 i -> list_min(hs[i:i+3])) AS wins
+             FROM g),
+      f AS MATERIALIZED (SELECT doc_id, list_distinct(wins) AS fps FROM wn),
+      e AS MATERIALIZED (SELECT doc_id, unnest(fps) AS fp FROM f),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*)::BIGINT AS n_shared
+            FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 3""")),
+
     // keep-best dedup policy: among exact-fingerprint duplicates keep
     // the HIGHEST-quality member (doc_id tiebreak) — dedup POLICY
     // matters as much as detection (keeping the first-crawled copy

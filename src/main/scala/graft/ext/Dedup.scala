@@ -253,6 +253,61 @@ object Dedup {
     array_sort(array_distinct(wins))
   }
 
+  /** Local-overlap pairs over winnowing fingerprints — the SIGMOD'03
+    * payoff: two documents sharing any substring of ≥ w+k−1 tokens are
+    * GUARANTEED to share a selected fingerprint, so joining the
+    * fingerprint planes finds boilerplate/plagiarism overlap that
+    * whole-document similarity (MinHash/Jaccard) dilutes away on long
+    * documents. Returns (doc_a, doc_b, n_shared) for pairs sharing
+    * ≥ `minShared` fingerprints.
+    *
+    * Scale shape (same skeleton as [[ngramJaccardPairs]]): the join
+    * runs on the winnowed plane — ~2/(w+1) of the gram volume — and is
+    * prefix-capped EXACTLY for the overlap threshold: rank each doc's
+    * fingerprints by ascending global document frequency and index
+    * only the first n_fp − minShared + 1 (if |A∩B| ≥ m, the m−1
+    * dropped suffix entries can't hold ALL shared fps; dropping df=1
+    * fps first only moves shared fps earlier, so the prefix property
+    * holds). Hot boilerplate fingerprints sort last and fall out of
+    * the candidate stage; candidates verify with an exact
+    * array_intersect on the full per-doc sets. No fingerprint's join
+    * input grows with its document frequency beyond the capped prefix.
+    */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
+                         minShared: Int = 3): DataFrame = {
+    val docFp = docs.select(col("doc_id"),
+        winnowFingerprints(col("text"), k, w).as("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = docFp.select(col("doc_id"), size(col("fps")).as("n_fp"),
+      explode(col("fps")).as("fp"))
+    val docFreq = ex.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+    val prefixLen = col("n_fp") - lit(minShared) + 1
+    val ranked = ex.join(docFreq, "fp")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("fp"))))
+      .where(col("rk") <= prefixLen)
+      .select("fp", "doc_id")
+    val cand = ranked.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(ranked.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val out = cand
+      .join(docFp.select(col("doc_id").as("doc_a"), col("fps").as("fps_a")), "doc_a")
+      .join(docFp.select(col("doc_id").as("doc_b"), col("fps").as("fps_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("fps_a"), col("fps_b"))).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      // materialize the tiny pair set, then release the fingerprint
+      // cache (same per-call persist/unpersist discipline as
+      // [[ngramJaccardPairs]])
+      .localCheckpoint(true)
+    docFp.unpersist(blocking = false)
+    out
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word-level n-gram with a benchmark/eval set — the standard
     * "remove test-set leakage before training" pipeline step (13-gram

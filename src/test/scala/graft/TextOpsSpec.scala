@@ -34,6 +34,32 @@ class TextOpsSpec extends GraftSuite {
     assert(fps(1L).size < grams)
   }
 
+  test("winnowOverlapPairs: prefix-capped join equals brute-force intersection") {
+    import spark.implicits._
+    val boiler = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"aa bb $boiler cc dd ee ff gg"),
+      (2L, s"xx $boiler yy zz ww vv uu tt"),
+      (3L, s"pp qq rr $boiler ss uu vv ww xx yy"),
+      (4L, "entirely different words with no shared runs anywhere at all"),
+      (5L, "another unrelated document about completely other topics here"))
+      .toDF("doc_id", "text").repartition(4)
+    val got = graft.ext.Dedup.winnowOverlapPairs(docs, 4, 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: full pairwise fingerprint intersection
+    val fps = docs.select(col("doc_id"),
+        graft.ext.Dedup.winnowFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expect = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      n = fps(a).intersect(fps(b)).size if n >= 2
+    } yield (a, b) -> n.toLong).toMap
+    assert(got == expect, s"got $got expected $expect")
+    // the boilerplate trio must be found; the unrelated docs must not
+    assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(got.keySet))
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
+  }
+
   test("packBins: distributed prefix sum matches the closed form") {
     import spark.implicits._
     // 10 docs x known token counts, forced through several range
