@@ -388,10 +388,23 @@ object Similarity {
     *
     * Returns every vector with (cluster, dup_of = lowest-id near
     * duplicate or NULL, keep flag).
+    *
+    * `k` must grow with the corpus or the within-cluster join turns
+    * quadratic: with k fixed, expected candidate pairs are O(n²/k).
+    * The SemDeDup recipe therefore sizes k for a BOUNDED expected
+    * cluster size B, k = ⌈n/B⌉, making candidate volume O(n·B) —
+    * linear in the corpus. That is the default here (`k ≤ 0` derives
+    * k from a corpus count and `targetClusterSize`); passing an
+    * explicit positive `k` pins the cluster count (fixture gates, or
+    * when the caller already knows its corpus scale).
     */
-  def semDedup(corpus: DataFrame, k: Int = 8, threshold: Double = 0.5): DataFrame = {
+  def semDedup(corpus: DataFrame, k: Int = 0, threshold: Double = 0.5,
+               targetClusterSize: Long = 4096L): DataFrame = {
+    val kEff =
+      if (k > 0) k
+      else math.max(1L, (corpus.count() + targetClusterSize - 1) / targetClusterSize).toInt
     val assigned = corpus.withColumn("cluster",
-      bestCell(col("embedding"), seedCentroids(corpus, k))("cid"))
+      bestCell(col("embedding"), seedCentroids(corpus, kEff))("cid"))
     val l = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val r = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
@@ -409,9 +422,22 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode of
     * SURVEY §2.D): bucket with sign-LSH, compare only within buckets.
+    *
+    * Same scaling rule as [[semDedup]]: bucket count (2^bits) must
+    * track the corpus or within-bucket pairs go quadratic. `bits ≤ 0`
+    * derives bits = ⌈log₂(n / targetBucketSize)⌉ from a corpus count
+    * (clamped to [4, 24]); an explicit positive `bits` pins it.
     */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 6): DataFrame = {
-    val b = corpus.withColumn("bucket", lshBucket(col("embedding"), bits))
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 0,
+                         targetBucketSize: Long = 4096L): DataFrame = {
+    val bitsEff =
+      if (bits > 0) bits
+      else {
+        val n = math.max(1L, corpus.count())
+        val need = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
+        math.min(24, math.max(4, need))
+      }
+    val b = corpus.withColumn("bucket", lshBucket(col("embedding"), bitsEff))
     val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     l.join(r, Seq("bucket"))

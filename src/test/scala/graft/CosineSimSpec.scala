@@ -71,6 +71,35 @@ class CosineSimSpec extends GraftSuite {
     out.unpersist()
   }
 
+  test("semDedup: derived k keeps candidate pairs linear in the corpus") {
+    // the SemDeDup scaling rule: k = ceil(n/B) bounds the expected
+    // within-cluster join to O(n*B); a FIXED k makes it O(n^2/k).
+    // Evidence on the deterministic fixture: doubling the corpus
+    // doubles candidate pairs under derived k (linear) but ~4x's them
+    // under fixed k (quadratic).
+    val e = Tables(spark, sf, "embeddings")
+    val half = e.where(col("vec_id") % 2 === 0)
+    val n = e.count() // 500
+    val B = 32L
+    def candPairs(df: org.apache.spark.sql.DataFrame, k: Int): Long =
+      Similarity.semDedup(df, k, 0.3, B).groupBy("cluster").count()
+        .collect().map(_.getLong(1)).map(c => c * (c - 1) / 2).sum
+    val kExpect = ((n + B - 1) / B).toInt
+    val derivedClusters = Similarity.semDedup(e, 0, 0.3, B)
+      .select("cluster").distinct().count()
+    assert(derivedClusters <= kExpect && derivedClusters > n / B / 2,
+      s"derived cluster count $derivedClusters vs k=$kExpect")
+    val dFull = candPairs(e, 0)
+    val dHalf = candPairs(half, 0)
+    assert(dFull <= n * B, s"derived-k candidate pairs $dFull exceed n*B=${n * B}")
+    assert(dFull.toDouble / dHalf <= 3.0,
+      s"derived k should scale ~linearly: $dFull vs $dHalf")
+    val fFull = candPairs(e, 8)
+    val fHalf = candPairs(half, 8)
+    assert(fFull.toDouble / fHalf >= 3.5,
+      s"fixed k should show the quadratic blowup the rule prevents: $fFull vs $fHalf")
+  }
+
   test("self-similarity is 1, null on length mismatch") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
