@@ -303,6 +303,21 @@ object SparqlQueries {
       WHERE b.p=':acctbal' AND b.onum >= 7500
         AND b.s IN (SELECT s FROM quads WHERE p=':nation')"""))),
 
+    // correlated BIND inside EXISTS (§18.6): the inner BIND reads
+    // ?bal from the OUTER pattern and a spine FILTER consumes the
+    // bound var — decorrelation inlines the definition into the
+    // hoisted condition (Compiler.splitCorrelated peels Extend)
+    Q("r_exists_bind_corr", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal .
+        FILTER EXISTS { ?c :nation ?n .
+          BIND(?bal * 2 AS ?x) FILTER(?x >= 15000) } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal
+      FROM quads b
+      WHERE b.p=':acctbal' AND b.onum * 2 >= 15000
+        AND b.s IN (SELECT s FROM quads WHERE p=':nation')"""))),
+
     Q("r_path_negset", sq("""
       SELECT ?s ?o WHERE { GRAPH g:nation { ?s !(:name|a) ?o } }"""),
       Some(TpchRdf.withQuads("""

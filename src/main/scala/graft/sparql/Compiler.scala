@@ -660,8 +660,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     // outer's correlated columns join the distinct-key frame
     val corr = (exprRefVars(sub) -- Algebra.inScope(sub).toSet)
       .intersect(df.columns.toSet)
-    val (residual, corrConds) =
-      if (corr.isEmpty) (sub, Seq.empty[Expr])
+    val (residual, corrConds, corrBinds) =
+      if (corr.isEmpty) (sub, Seq.empty[Expr], Seq.empty[(String, Expr)])
       else splitCorrelated(sub, corr).getOrElse(
         throw new UnsupportedOperationException(
           "correlated EXISTS: inner expression references outer-only " +
@@ -679,7 +679,9 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       // key columns: the pattern-shared vars plus the correlated vars
       // (each distinct outer correlated binding decides independently)
       val keyCols = (shared ++ corr.toSeq.filterNot(shared.contains)).toIndexedSeq
-      val condInnerVars = corrConds.flatMap(exprVarSet).toSet
+      val condInnerVars = (corrConds.flatMap(exprVarSet) ++
+        corrBinds.flatMap(b => exprVarSet(b._2))).toSet
+        .diff(corrBinds.map(_._1).toSet)
         .intersect(subDf.columns.toSet).diff(df.columns.toSet).toIndexedSeq
       val rrCols = (shared ++ condInnerVars).distinct
       val renames = rrCols.map(v => v -> freshName(v)).toMap
@@ -690,12 +692,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       val compat = shared.map(v =>
         keys(v).isNull || rr(renames(v)).isNull ||
           termEq(keys(v), rr(renames(v))))
-      val res: String => Column = v =>
+      val base: String => Column = v =>
         if (keyCols.contains(v) && renames.contains(v))
           coalesce(keys(v), rr(renames(v))) // substitution: outer wins
         else if (keyCols.contains(v)) keys(v)
         else if (renames.contains(v)) rr(renames(v))
         else nullTerm
+      val res = layerBinds(corrBinds, base)
       val corrCond = corrConds
         .map(c => coalesce(compBool(c, res), lit(false)))
       val allCond = (compat ++ corrCond)
@@ -1534,42 +1537,103 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           "correlated EXISTS: inner expression references outer-only " +
             s"variable(s) ${corr.map("?" + _).mkString(", ")} from a " +
             "position where §18.6 substitution cannot be realized by " +
-            "decorrelation (under UNION/OPTIONAL/MINUS/subquery or " +
-            "inside BIND/nested EXISTS)")
+            "decorrelation (under UNION/OPTIONAL/MINUS/aggregation/" +
+            "LIMIT, escaping a subquery projection, a BIND var used " +
+            "in a pattern position, or nested EXISTS)")
       walkExists(sub, outerScope ++ subScope)
     case ECall(_, as) =>
       as.foreach(tolerateDepth1CorrelatedExists(_, outerScope))
     case _ => ()
   }
 
-  /** Decorrelation split: peel the correlated FILTER conditions off
-    * the sub-pattern's CONJUNCTIVE SPINE (Filter layers over Join
-    * trees — positions where hoisting a condition to the top preserves
-    * semantics). Returns the residual pattern plus the hoisted
-    * conditions, or None when a correlated reference sits somewhere
-    * hoisting would be unsound (under UNION / OPTIONAL / MINUS /
-    * Group / a subquery), or inside a BIND.
+  /** Decorrelation split: peel the correlated FILTER conditions AND
+    * correlated BIND definitions off the sub-pattern's CONJUNCTIVE
+    * SPINE (Filter/Extend layers over Join trees — positions where
+    * hoisting to the top preserves semantics). A peeled BIND's
+    * variable resolves at the consumption site by inlining its
+    * expression (that IS §18.6 substitution, realized set-based);
+    * any spine FILTER that reads a peeled BIND variable hoists with
+    * it. The walk also descends through subquery Project and
+    * Distinct boundaries — σ/π and σ/δ commute exactly when the
+    * hoisted refs stay within the projected (or correlated) vars,
+    * which is checked per boundary.
+    *
+    * Returns (residual pattern, hoisted conditions, hoisted binds),
+    * or None when a correlated reference sits somewhere hoisting
+    * would be unsound (under UNION / OPTIONAL / MINUS / aggregation /
+    * LIMIT, a peeled ref escaping its subquery projection, a peeled
+    * BIND var consumed by a pattern position, or a nested EXISTS in
+    * hoisted material).
     */
   private def splitCorrelated(sub: Op,
-      corr: Set[String]): Option[(Op, Seq[Expr])] = {
-    def walk(op: Op): (Op, Seq[Expr]) = op match {
+      corr: Set[String]): Option[(Op, Seq[Expr], Seq[(String, Expr)])] = {
+    var failed = false
+    def walk(op: Op): (Op, Seq[Expr], Seq[(String, Expr)]) = op match {
       case Filter(c, i) =>
-        val (i2, cs) = walk(i)
-        if (exprVarSet(c).exists(corr)) (i2, cs :+ c)
-        else (Filter(c, i2), cs)
+        val (i2, cs, bs) = walk(i)
+        val hv = bs.map(_._1).toSet
+        if (exprVarSet(c).exists(v => corr(v) || hv(v))) (i2, cs :+ c, bs)
+        else (Filter(c, i2), cs, bs)
+      case Extend(i, v, e) =>
+        val (i2, cs, bs) = walk(i)
+        val hv = bs.map(_._1).toSet
+        if (exprVarSet(e).exists(x => corr(x) || hv(x))) (i2, cs, bs :+ (v -> e))
+        else (Extend(i2, v, e), cs, bs)
       case Join(l, r) =>
-        val (l2, cl) = walk(l)
-        val (r2, cr) = walk(r)
-        (Join(l2, r2), cl ++ cr)
-      case other => (other, Nil)
+        val (l2, cl, bl) = walk(l)
+        val (r2, cr, br) = walk(r)
+        (Join(l2, r2), cl ++ cr, bl ++ br)
+      case Project(i, vs) =>
+        val (i2, cs, bs) = walk(i)
+        if (cs.isEmpty && bs.isEmpty) (op, Nil, Nil)
+        else {
+          val hv = bs.map(_._1).toSet
+          val refs = (cs.flatMap(exprVarSet) ++
+            bs.flatMap(b => exprVarSet(b._2))).toSet -- hv
+          // hoisting past the projection is sound only if every ref
+          // the hoisted material reads survives it (or is correlated,
+          // resolved from the outer side); a peeled BIND var the
+          // subquery PROJECTS would have to re-enter the residual —
+          // not expressible set-based, so reject
+          if (refs.forall(v => vs.contains(v) || corr(v)) &&
+              !bs.exists(b => vs.contains(b._1)))
+            (Project(i2, vs), cs, bs)
+          else { failed = true; (op, Nil, Nil) }
+        }
+      case Distinct(i) =>
+        val (i2, cs, bs) = walk(i)
+        (Distinct(i2), cs, bs)
+      case other => (other, Nil, Nil)
     }
-    val (residual, conds) = walk(sub)
-    // a correlated ref the spine walk could not reach (deep pattern),
-    // or a hoisted condition that itself contains an EXISTS, is not
+    val (residual, conds, binds) = walk(sub)
+    val hv = binds.map(_._1).toSet
+    // a correlated/hoisted-bind ref the spine walk could not reach
+    // (deep pattern, OPTIONAL condition, pattern position), or a
+    // hoisted expression that itself contains an EXISTS, is not
     // decorrelatable this way
-    if (exprRefVars(residual).exists(corr)) None
-    else if (conds.exists(containsExists)) None
-    else Some((residual, conds))
+    if (failed) None
+    else if ((exprRefVars(residual) ++ Algebra.inScope(residual))
+      .exists(v => corr(v) || hv(v))) None
+    else if ((conds ++ binds.map(_._2)).exists(containsExists)) None
+    else Some((residual, conds, binds))
+  }
+
+  /** Resolver layering for hoisted BIND definitions: a hoisted var
+    * resolves by compiling its defining expression under the same
+    * resolver (chains of correlated BINDs inline transitively —
+    * textual substitution realized at the expression level); every
+    * other var falls through to `base`. BIND's error-to-unbound
+    * semantics carry over: an erroring definition yields NULL, and
+    * the consuming hoisted FILTER's EBV treats it as false.
+    */
+  private def layerBinds(binds: Seq[(String, Expr)],
+      base: String => Column): String => Column = {
+    val defs = binds.toMap
+    def res(v: String): Column = defs.get(v) match {
+      case Some(e) => compExpr(e, res)
+      case None => base(v)
+    }
+    res
   }
 
   /** Correlated `FILTER [NOT] EXISTS` via decorrelation: §18.6 says
@@ -1587,20 +1651,22 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def compCorrelatedExistsFilter(input: Op, sub: Op,
       positive: Boolean, outerScope: Set[String]): DataFrame = {
     val corr = corrVarsOf(sub, outerScope)
-    val (residual, conds) = splitCorrelated(sub, corr).getOrElse(
+    val (residual, conds, binds) = splitCorrelated(sub, corr).getOrElse(
       throw new UnsupportedOperationException(
         "correlated EXISTS: inner expression references outer-only " +
           s"variable(s) ${corr.map("?" + _).mkString(", ")} from a " +
           "position where §18.6 substitution cannot be realized by " +
-          "decorrelation (under UNION/OPTIONAL/MINUS/subquery or " +
-          "inside BIND/nested EXISTS)"))
+          "decorrelation (under UNION/OPTIONAL/MINUS/aggregation/" +
+          "LIMIT, escaping a subquery projection, a BIND var used in " +
+          "a pattern position, or nested EXISTS)"))
     // nested EXISTS deeper in the residual see the widened scope
     walkExists(residual, outerScope ++ Algebra.inScope(residual))
     val in = comp(input)
     val subDf = comp(residual)
     val shared = in.columns.intersect(subDf.columns).toIndexedSeq
-    // inner-only vars the hoisted conditions read must ride along
-    val condInnerVars = conds.flatMap(exprVarSet).toSet
+    // inner-only vars the hoisted conditions/binds read must ride along
+    val condInnerVars = (conds.flatMap(exprVarSet) ++
+      binds.flatMap(b => exprVarSet(b._2))).toSet.diff(binds.map(_._1).toSet)
       .intersect(subDf.columns.toSet).diff(in.columns.toSet).toIndexedSeq
     val rrCols = (shared ++ condInnerVars).distinct
     val renames = rrCols.map(v => v -> freshName(v)).toMap
@@ -1614,14 +1680,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
             termEq(in(v), rr(renames(v)))
         else termEq(in(v), rr(renames(v))))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val res: String => Column = v =>
+    val base: String => Column = v =>
       if (in.columns.contains(v) && renames.contains(v))
         coalesce(in(v), rr(renames(v))) // substitution: outer wins
       else if (in.columns.contains(v)) in(v)
       else if (renames.contains(v)) rr(renames(v))
       else nullTerm
+    val res = layerBinds(binds, base)
     val corrCond = conds
-      .map(c => coalesce(compBool(c, res), lit(false))).reduce(_ && _)
+      .map(c => coalesce(compBool(c, res), lit(false)))
+      .reduceOption(_ && _).getOrElse(lit(true))
     in.join(rr, sharedCond && corrCond,
       if (positive) "left_semi" else "left_anti")
   }

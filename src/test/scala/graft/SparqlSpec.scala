@@ -864,6 +864,73 @@ class SparqlSpec extends GraftSuite {
       q("""SELECT ?c WHERE { ?c :acctbal ?b }""").length)
   }
 
+  test("correlated BIND inside EXISTS decorrelates by inlining (§18.6)") {
+    // a correlated BIND whose var is never consumed cannot change
+    // existence (BIND never eliminates rows) — the EXISTS reduces to
+    // the residual pattern
+    val unused = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b .
+           FILTER EXISTS { ?c :nation ?n . BIND(?b + 1 AS ?x) } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val wantUnused = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :nation ?n0 }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(unused == wantUnused && unused.nonEmpty)
+    // a correlated BIND consumed by a spine FILTER: substitution
+    // inlines the definition into the hoisted condition
+    val used = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b .
+           FILTER EXISTS { ?c :nation ?n . BIND(?b * 2 AS ?x) FILTER(?x > 10000) } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val wantUsed = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :nation ?n0 . FILTER(?b * 2 > 10000) }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(used == wantUsed && used.nonEmpty)
+    // chained correlated BINDs inline transitively
+    val chain = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b .
+           FILTER EXISTS { ?c :nation ?n .
+             BIND(?b + 1 AS ?x) BIND(?x * 2 AS ?y) FILTER(?y > 12000) } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val wantChain = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :nation ?n0 . FILTER((?b + 1) * 2 > 12000) }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(chain == wantChain && chain.nonEmpty)
+    // NOT EXISTS complement over the same shape
+    val not = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b .
+           FILTER NOT EXISTS { ?c :nation ?n . BIND(?b * 2 AS ?x) FILTER(?x > 10000) } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val all = q("""SELECT ?c WHERE { ?c :acctbal ?b }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert((used ++ not).sorted == all)
+  }
+
+  test("correlated filter inside an EXISTS subquery decorrelates when projected") {
+    // the correlated condition lives INSIDE { SELECT … }: hoisting
+    // through the projection is sound because every var it reads is
+    // projected (?rn) or correlated (?b)
+    val got = q("""SELECT ?n ?b WHERE {
+           ?n a :Nation . ?n :name ?b .
+           FILTER EXISTS {
+             { SELECT ?n ?rn WHERE { ?n :region ?r . ?r :name ?rn . FILTER(?rn < ?b) } } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val want = q("""SELECT ?n ?b WHERE {
+           ?n a :Nation . ?n :name ?b . ?n :region ?r2 . ?r2 :name ?rn2 .
+           FILTER(?rn2 < ?b) }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // same condition OUTSIDE the subquery, reading its projection:
+    // the plain spine hoist with the inner var riding along
+    val outer = q("""SELECT ?n ?b WHERE {
+           ?n a :Nation . ?n :name ?b .
+           FILTER EXISTS {
+             { SELECT ?n ?rn WHERE { ?n :region ?r . ?r :name ?rn } }
+             FILTER(?rn < ?b) } }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(outer == want)
+  }
+
   test("correlated EXISTS beyond the decorrelatable spine still fails loudly") {
     // correlated ref under a UNION branch: hoisting would leak the
     // condition into the other branch — must error, not silently drop
@@ -874,12 +941,22 @@ class SparqlSpec extends GraftSuite {
                { ?c :nation ?n . FILTER(?b > 5000) } UNION { ?c a :Customer } } }""")
     }
     assert(e.getMessage.contains("correlated EXISTS"))
-    // correlated BIND inside the sub-pattern: not a spine filter
+    // a correlated BIND var consumed in a PATTERN position: inlining
+    // cannot reach a triple pattern — must stay loud
     val e2 = intercept[UnsupportedOperationException] {
       q("""SELECT ?c WHERE {
              ?c :acctbal ?b .
-             FILTER EXISTS { ?c :nation ?n . BIND(?b + 1 AS ?x) } }""")
+             FILTER EXISTS { ?c :nation ?n . BIND(STR(?b) AS ?x) . ?n :name ?x } }""")
     }
     assert(e2.getMessage.contains("correlated EXISTS"))
+    // a correlated condition whose reads ESCAPE the subquery
+    // projection (?rn not projected) cannot hoist through it
+    val e3 = intercept[UnsupportedOperationException] {
+      q("""SELECT ?n ?b WHERE {
+             ?n a :Nation . ?n :name ?b .
+             FILTER EXISTS {
+               { SELECT ?n WHERE { ?n :region ?r . ?r :name ?rn . FILTER(?rn < ?b) } } } }""")
+    }
+    assert(e3.getMessage.contains("correlated EXISTS"))
   }
 }
