@@ -294,12 +294,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       // graph triples, grouped patterns) joins on the id plane: keep
       // what is explicitly read plus vars shared with leaves OUTSIDE
       // this tree (they join by termEq above, so must decode); vars
-      // shared only BETWEEN these leaves join as ids and never decode
-      val pushed = idTreeScope(j).flatMap { scope =>
+      // shared only BETWEEN these leaves join as ids and never decode.
+      // WIDE scope: UNION leaves join with null-compat ids; their
+      // branch-partial vars decode with a LEFT dictionary join back
+      // to unbound terms (the struct plane's widened-null semantics)
+      val pushed = idTreeScopeWide(j).flatMap { case (scope, nullable) =>
         val inTree = countTreeLeaves(j)
         val externalShared = scope.filter(v =>
           leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
-        idFrameOf(j, refNeeded ++ externalShared).map(decodeSolutions)
+        idFrameOf(j, refNeeded ++ externalShared).map(df =>
+          decodeCols(df, df.columns.toSet, nullable))
       }
       pushed.getOrElse {
         val bound = (l, r) match {
@@ -733,16 +737,24 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       if (nullable(v))
         l(v).isNull || rr(renames(v)).isNull || termEq(l(v), rr(renames(v)))
       else termEq(l(v), rr(renames(v))))
+    // §18.3 merge: a shared var UNBOUND on the left takes the right
+    // side's binding on matched rows (coalesce; unmatched rows leave
+    // the right rename NULL, so the left value — possibly unbound —
+    // survives untouched); an always-bound left var short-circuits
     val resolveMerged: String => Column = v =>
-      if (shared.contains(v)) l(v)
+      if (shared.contains(v) && nullable(v))
+        coalesce(l(v), rr(renames(v)))
       else if (l.columns.contains(v)) l(v)
       else if (r.columns.contains(v)) rr(renames.getOrElse(v, v))
       else nullTerm
     val fCond = filt.map(e => coalesce(compBool(e, resolveMerged), lit(false)))
     val cond = (eqCond ++ fCond.toSeq).reduceOption(_ && _).getOrElse(lit(true))
     val joined = l.join(rr, cond, "left_outer")
-    joined.select((l.columns.map(joined(_)) ++
-      r.columns.filterNot(shared.contains).map(joined(_))).toIndexedSeq: _*)
+    joined.select((l.columns.map(c =>
+      (if (shared.contains(c) && nullable(c))
+        coalesce(joined(c), joined(renames(c)))
+      else joined(c)).as(c)).toIndexedSeq ++
+      r.columns.filterNot(shared.contains).map(joined(_)).toIndexedSeq): _*)
   }
 
   // ------------------------------------------------------------------
@@ -851,7 +863,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     while (remaining.nonEmpty) {
       val idx = remaining.indexWhere(r => r._2.columns.exists(accVars.contains))
       val pick = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
-      acc = idJoin(acc, pick._2)
+      acc = idJoin(acc, pick._2)._1
       accVars = acc.columns.toSet
     }
     // late materialization: columns whose value nothing consumes are
@@ -873,19 +885,43 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   // At 100 TB this is the difference between shuffling lexical term
   // structs for every quad and shuffling 8 bytes per column.
 
-  /** Id-frame natural join: BGP vars are never null → plain long
+  /** Id-frame natural join. BGP vars are never null → plain long
     * equality, always hash-joinable (the graph var's string column
-    * joins the same way).
+    * joins the same way). A shared var that can be NULL on either
+    * side (a UNION leaf's branch-partial var) joins with the §18.3
+    * null-compat form — `l IS NULL OR r IS NULL OR l = r`, the id
+    * twin of [[solJoin]]'s nullable condition — and the output takes
+    * the bound side via coalesce (ids share the term's (lex, kind)
+    * identity, so the coalesced id decodes to exactly the term the
+    * struct plane would have merged). The non-equi form applies ONLY
+    * to vars that can actually be null: all-bound joins keep their
+    * hash-joinable equality conjuncts.
+    *
+    * Returns the joined frame plus its nullable-var set: a shared var
+    * stays nullable only when BOTH sides could be null (coalesce of
+    * two nullables); a var one side binds non-null comes out bound.
     */
-  private def idJoin(l: DataFrame, r: DataFrame): DataFrame = {
+  private def idJoin(l: DataFrame, r: DataFrame,
+      nullableL: Set[String] = Set.empty,
+      nullableR: Set[String] = Set.empty): (DataFrame, Set[String]) = {
     val shared = l.columns.intersect(r.columns).toIndexedSeq
-    if (shared.isEmpty) return l.crossJoin(r)
+    val outNullable =
+      shared.filter(v => nullableL(v) && nullableR(v)).toSet ++
+        (nullableL -- shared) ++ (nullableR -- shared)
+    if (shared.isEmpty) return (l.crossJoin(r), outNullable)
     val renames = shared.map(v => v -> freshName(v)).toMap
     val rr = shared.foldLeft(r) { (d, v) => d.withColumnRenamed(v, renames(v)) }
-    val cond = shared.map(v => l(v) === rr(renames(v))).reduce(_ && _)
+    val cond = shared.map(v =>
+      if (nullableL(v) || nullableR(v))
+        l(v).isNull || rr(renames(v)).isNull || l(v) === rr(renames(v))
+      else l(v) === rr(renames(v))).reduce(_ && _)
     val joined = l.join(rr, cond, "inner")
-    joined.select((l.columns.map(joined(_)) ++
-      r.columns.filterNot(shared.contains).map(joined(_))).toIndexedSeq: _*)
+    (joined.select((l.columns.map(c =>
+      (if (shared.contains(c) && (nullableL(c) || nullableR(c)))
+        coalesce(joined(c), joined(renames(c)))
+      else joined(c)).as(c)).toIndexedSeq ++
+      r.columns.filterNot(shared.contains).map(joined(_)).toIndexedSeq): _*),
+      outNullable)
   }
 
   /** Variables a Join-tree of encodable simple BGPs binds; None when
@@ -921,10 +957,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   /** Like [[idTreeScope]] but WIDE: returns (all vars, nullable vars)
     * where nullable = vars bound in some but not every UNION branch —
     * they surface as NULL ids (the id-plane twin of the struct plane's
-    * null widening). A Join whose shared var can be null bails: an id
-    * equi-join cannot express the null-compat (§18.3) join condition.
-    * Consumers that never JOIN on the frame (DISTINCT, GROUP BY) can
-    * use the wide scope; join-shaped consumers keep [[idTreeScope]].
+    * null widening). A Join whose shared var can be null runs the
+    * §18.3 null-compat id join ([[idJoin]]'s null-or-equal form); the
+    * joined var stays nullable only when BOTH sides could be null
+    * (the output coalesces to the bound side).
     */
   private def idTreeScopeWide(op: Op): Option[(Set[String], Set[String])] =
     op match {
@@ -939,8 +975,9 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         for {
           wa <- idTreeScopeWide(a)
           wb <- idTreeScopeWide(b)
-          if !wa._1.intersect(wb._1).exists(v => wa._2(v) || wb._2(v))
-        } yield (wa._1 ++ wb._1, wa._2 ++ wb._2)
+        } yield ((wa._1 ++ wb._1),
+          (wa._1 ++ wb._1).filter(v =>
+            (wa._2(v) || !wa._1(v)) && (wb._2(v) || !wb._1(v))))
       case Union(a, b) =>
         for {
           wa <- idTreeScopeWide(a)
@@ -1001,6 +1038,9 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       // subquery leaves stay atomic: their frame is built recursively
       case p: Project if idTreeScope(p).isDefined => Some(Seq(p))
       case d: Distinct if idTreeScope(d).isDefined => Some(Seq(d))
+      // a UNION joins as one atomic leaf: branch-partial vars ride as
+      // NULL ids and join with idJoin's null-compat form
+      case u: Union if idTreeScopeWide(u).isDefined => Some(Seq(u))
       case _ => None
     }
     leaves(op).flatMap { lvs =>
@@ -1017,32 +1057,40 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case v: ValuesOp => v.vars.forall(bgpVars)
         case _ => true
       }
-      val parts: Seq[Option[DataFrame]] =
+      val parts: Seq[Option[(DataFrame, Set[String])]] =
         if (!valuesOk) Seq(None)
         else lvs.map {
           case b: Bgp => encodableBgp(b).map(p =>
-            compBgpEncIds(p._1, p._2, p._3, keep ++ shared))
-          case v: ValuesOp => Some(valuesIdFrame(v))
+            (compBgpEncIds(p._1, p._2, p._3, keep ++ shared),
+              Set.empty[String]))
+          case v: ValuesOp => Some((valuesIdFrame(v), Set.empty[String]))
           // `{ SELECT ?x … }`: visibility-restricted inner frame, bag
-          // multiplicity preserved
+          // multiplicity preserved (narrow-scope guard: never null)
           case Project(i, vars) =>
             idFrameOf(i, (keep ++ shared).intersect(vars.toSet))
+              .map((_, Set.empty[String]))
           // `{ SELECT DISTINCT … }`: dedup over the FULL visible scope
           // on ids, then the tree keeps only what it needs
           case Distinct(i) =>
             idTreeScope(i).flatMap(s => idFrameOf(i, s).map(_.distinct()))
+              .map((_, Set.empty[String]))
+          case u: Union =>
+            for {
+              wide <- idTreeScopeWide(u)
+              df <- idFrameOf(u, keep ++ shared)
+            } yield (df, wide._2.intersect(df.columns.toSet))
           case _ => None
         }
       if (parts.exists(_.isEmpty)) None
       else {
-        val frames = parts.map(_.get)
-        val remaining = scala.collection.mutable.ArrayBuffer(frames: _*)
-        var acc = remaining.remove(0)
+        val remaining = scala.collection.mutable.ArrayBuffer(parts.map(_.get): _*)
+        var (acc, accNullable) = remaining.remove(0)
         while (remaining.nonEmpty) {
           val accVars = acc.columns.toSet
-          val idx = remaining.indexWhere(_.columns.exists(accVars.contains))
+          val idx = remaining.indexWhere(_._1.columns.exists(accVars.contains))
           val pick = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
-          acc = idJoin(acc, pick)
+          val (joined, nn) = idJoin(acc, pick._1, accNullable, pick._2)
+          acc = joined; accNullable = nn
         }
         val dead = acc.columns.filterNot(keep)
         Some(
@@ -1334,14 +1382,20 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * condition's columns decode on their side before the join; left
     * FILTER layers apply after it (they read left columns only, and a
     * left-outer join preserves the left rows they would have removed,
-    * so the order is interchangeable). UNION-partial scopes bail.
+    * so the order is interchangeable).
+    *
+    * WIDE scopes: either side may be (or contain) a UNION whose
+    * branch-partial vars ride as NULL ids — a nullable shared var
+    * joins with the §18.3 null-compat form and the merged output
+    * takes the bound side (coalesce), exactly [[idJoin]]'s inner
+    * shape; the all-bound vars keep hash-joinable equality conjuncts.
     */
   private def leftJoinOverIds(l: Op, r: Op,
       filt: Option[Expr]): Option[DataFrame] = {
     if (filt.exists(containsExists)) return None
     val (lCore, lConds) = stripFilters(l)
-    (idTreeScope(lCore), idTreeScope(r)) match {
-      case (Some(lScope), Some(rScope)) =>
+    (idTreeScopeWide(lCore), idTreeScopeWide(r)) match {
+      case (Some((lScope, lNull)), Some((rScope, rNull))) =>
         val fullL = Algebra.inScope(lCore).toSet
         val fullR = Algebra.inScope(r).toSet
         if (fullL != lScope || fullR != rScope) return None
@@ -1359,17 +1413,23 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         val keepR = (keepOut ++ shared ++ condVars).intersect(fullR)
         (idFrameOf(lCore, keepL), idFrameOf(r, keepR)) match {
           case (Some(lIds0), Some(rIds0)) =>
-            val lIds = decodeCols(lIds0, condVars.intersect(fullL))
-            val rIds = decodeCols(rIds0, condVars.intersect(fullR))
+            val lIds = decodeCols(lIds0, condVars.intersect(fullL), lNull)
+            val rIds = decodeCols(rIds0, condVars.intersect(fullR), rNull)
             val sharedCols = shared.toIndexedSeq
               .filter(v => lIds.columns.contains(v) && rIds.columns.contains(v))
             val renames = rIds.columns.map(v => v -> freshName(v)).toMap
             val rr = rIds.columns.foldLeft(rIds) {
               (d, v) => d.withColumnRenamed(v, renames(v))
             }
-            val eqCond = sharedCols.map(v => lIds(v) === rr(renames(v)))
+            val eqCond = sharedCols.map(v =>
+              if (lNull(v) || rNull(v))
+                lIds(v).isNull || rr(renames(v)).isNull ||
+                  lIds(v) === rr(renames(v))
+              else lIds(v) === rr(renames(v)))
             val resolveMerged: String => Column = v =>
-              if (lIds.columns.contains(v)) lIds(v)
+              if (sharedCols.contains(v) && lNull(v))
+                coalesce(lIds(v), rr(renames(v)))
+              else if (lIds.columns.contains(v)) lIds(v)
               else if (rIds.columns.contains(v)) rr(renames(v))
               else nullTerm
             val fCond = filt.map(e =>
@@ -1379,15 +1439,19 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
             val joined0 = lIds.join(rr, cond, "left_outer")
             val rightOnly = rIds.columns.filterNot(sharedCols.contains)
             val joined = joined0.select(
-              (lIds.columns.map(joined0(_)) ++
+              (lIds.columns.map(c =>
+                (if (sharedCols.contains(c) && lNull(c))
+                  coalesce(joined0(c), joined0(renames(c)))
+                else joined0(c)).as(c)) ++
                 rightOnly.map(v => joined0(renames(v)).as(v))).toIndexedSeq: _*)
-            val filtered = applyFilters(joined, lConds, lCondVars)
+            val filtered = applyFilters(joined, lConds, lCondVars, lNull)
             val dead = filtered.columns.filterNot(keepOut)
             val kept =
               if (dead.length == filtered.columns.length)
                 filtered.select(nullTerm.as(freshName("c")))
               else filtered.drop(dead.toIndexedSeq: _*)
-            Some(decodeCols(kept, kept.columns.toSet, rightOnly.toSet))
+            Some(decodeCols(kept, kept.columns.toSet,
+              rightOnly.toSet ++ sharedCols.filter(lNull)))
           case _ => None
         }
       case _ => None

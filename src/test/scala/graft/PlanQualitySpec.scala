@@ -315,6 +315,56 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("OPTIONAL over UNION joins on nullable ids: exchanges carry longs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      // the OPTIONAL right side is a UNION with branch-partial vars:
+      // before the r9 nullable-id join this whole shape fell back to
+      // the struct plane and shipped term structs through the outer
+      // join's exchanges; now the join var exchanges as a long id and
+      // partial vars ride as null longs
+      val df = graft.sparql.Sparql.query(spark, q,
+        "SELECT * WHERE { ?s :acctbal ?b . " +
+          "OPTIONAL { { ?s :name ?nm } UNION { ?s :nation ?n } } }",
+        encoded = Some(enc))
+      df.collect()
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+      }
+      assert(shuffles.nonEmpty, "no exchange found")
+      assert(shuffles.exists(out => out.nonEmpty && out.forall(_ == LongType)),
+        s"no id-only exchange — OPTIONAL-over-UNION fell back to " +
+          s"structs: $shuffles")
+      shuffles.foreach { out =>
+        assert(out.count(_.isInstanceOf[StructType]) <= 1,
+          s"an exchange carries more than the dictionary term: $out")
+      }
+      // the inner-join variant of the same shape (UNION leaf inside a
+      // Join tree) must also stay on ids
+      val dfJ = graft.sparql.Sparql.query(spark, q,
+        "SELECT * WHERE { ?s :acctbal ?b . " +
+          "{ ?s a :Customer . ?s :name ?nm } UNION { ?s :nation ?n } }",
+        encoded = Some(enc))
+      dfJ.collect()
+      val shufflesJ = dfJ.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+      }
+      assert(shufflesJ.exists(out => out.nonEmpty && out.forall(_ == LongType)),
+        s"no id-only exchange — UNION-in-join fell back to structs: $shufflesJ")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("OPTIONAL joins ids: left-outer exchanges carry longs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{LongType, StructType}

@@ -211,6 +211,41 @@ class SparqlFuzzSpec extends GraftSuite {
       assert(rowsEnc(text) == rows(text), text)
   }
 
+  test("struct and id planes agree on UNION-in-join shapes (nullable ids)") {
+    // the null-compat id join (idJoin's null-or-equal form): a UNION
+    // leaf joined inside a Join tree, with branch-partial vars as NULL
+    // ids — including the fan-out case where the JOIN var itself is
+    // unbound on one branch (§18.3: unbound is compatible with every
+    // binding, so branch-1 rows join ALL right rows)
+    val shapes = Seq(
+      // shared join var bound in both branches; partials ride as nulls
+      """SELECT * WHERE { ?s :acctbal ?b .
+         { ?s a :Customer . ?s :name ?nm } UNION { ?s :nation ?n } }""",
+      // the JOIN var (?n) is unbound on one branch: null-compat fan-out
+      """SELECT * WHERE {
+         { ?s a :Customer } UNION { ?s :nation ?n } . ?n :name ?nn }""",
+      // three-leaf tree: BGP ⋈ UNION ⋈ BGP
+      """SELECT * WHERE { ?s :acctbal ?b .
+         { ?s :name ?nm } UNION { ?s :mktsegment ?ms } . ?s :nation ?n }""",
+      // DISTINCT over the joined union (wide-scope dedup on nullable ids)
+      """SELECT DISTINCT ?s ?nm ?n WHERE { ?s :acctbal ?b .
+         { ?s a :Customer . ?s :name ?nm } UNION { ?s :nation ?n } }""",
+      // GROUP BY over the joined union; COUNT(?nm) skips unbound
+      """SELECT ?s (COUNT(?nm) AS ?c) WHERE { ?s :acctbal ?b .
+         { ?s a :Customer . ?s :name ?nm } UNION { ?s :nation ?n } }
+         GROUP BY ?s""",
+      // OPTIONAL over UNION: right side is a union with partial vars
+      """SELECT * WHERE { ?s :acctbal ?b .
+         OPTIONAL { { ?s :name ?nm } UNION { ?s :nation ?n } } }""",
+      // OPTIONAL whose LEFT side is union-partial: the shared var can
+      // be unbound on the left (null-compat left join, coalesce merge)
+      """SELECT * WHERE {
+         { ?s a :Customer } UNION { ?s :nation ?n } .
+         OPTIONAL { ?n :name ?nn } }""")
+    for (text <- shapes)
+      assert(rowsEnc(text).sorted == rows(text).sorted, text)
+  }
+
   test("degenerate shapes: empty group, unbound-only filter, zero limit") {
     assert(rows("SELECT * WHERE { }").size == 1) // Unit0 solution
     assert(rows("SELECT ?s WHERE { ?s a :Customer . FILTER(?nope) }").isEmpty)
