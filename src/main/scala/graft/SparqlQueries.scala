@@ -158,6 +158,25 @@ object SparqlQueries {
         FROM quads ty JOIN quads nm ON nm.p=':name' AND nm.s=ty.s
         WHERE ty.p='rdf:type' AND ty.o=':Region')"""))),
 
+    // OPTIONAL over a UNION with branch-partial vars: the id plane's
+    // null-compat join (r9) — branch-partial ?nm/?seg ride as NULL
+    // ids through the outer join; Supplier rows (no mktsegment, but
+    // :name matches) exercise the partially-matched case
+    Q("r_optional_union", sq("""
+      SELECT ?s ?b ?nm ?seg WHERE {
+        ?s :acctbal ?b .
+        OPTIONAL { { ?s :name ?nm } UNION { ?s :mktsegment ?seg } } }"""),
+      Some(TpchRdf.withQuadsAnd("""
+      base AS (SELECT s, o AS b FROM quads WHERE p=':acctbal'),
+      u AS (
+        SELECT s, o AS nm, CAST(NULL AS VARCHAR) AS seg
+        FROM quads WHERE p=':name'
+        UNION ALL
+        SELECT s, CAST(NULL AS VARCHAR) AS nm, o AS seg
+        FROM quads WHERE p=':mktsegment')""", """
+      SELECT base.s AS s, base.b AS b, u.nm, u.seg
+      FROM base LEFT JOIN u ON u.s = base.s"""))),
+
     Q("r_minus", sq("""
       SELECT ?c WHERE {
         ?c a :Customer .
