@@ -322,6 +322,22 @@ object SparqlQueries {
       WHERE b.p=':acctbal' AND b.onum >= 7500
         AND b.s IN (SELECT s FROM quads WHERE p=':nation')"""))),
 
+    // correlated EXISTS under a UNION branch (§18.6 via distribution,
+    // r9): EXISTS { A UNION B } ≡ EXISTS{A} || EXISTS{B}; the
+    // correlated branch decorrelates alone, the other is a plain
+    // semi-join — high-balance suppliers enter through the correlated
+    // branch, every customer through the uncorrelated one
+    Q("r_exists_union_corr", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal .
+        FILTER EXISTS {
+          { ?c :nation ?n . FILTER(?bal >= 7500) } UNION { ?c a :Customer } } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal FROM quads b
+      WHERE b.p=':acctbal' AND (
+        (b.onum >= 7500 AND b.s IN (SELECT s FROM quads WHERE p=':nation'))
+        OR b.s IN (SELECT s FROM quads WHERE p='rdf:type' AND o=':Customer'))"""))),
+
     // correlated BIND inside EXISTS (§18.6): the inner BIND reads
     // ?bal from the OUTER pattern and a spine FILTER consumes the
     // bound var — decorrelation inlines the definition into the

@@ -331,8 +331,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
 
     case Minus(l, r) => compMinus(l, r)
 
-    case Filter(cond, input) =>
+    case Filter(cond0, input) =>
       val outerScope = Algebra.inScope(input).toSet
+      // a correlated ref stuck under a UNION branch distributes into
+      // per-branch EXISTS disjuncts first — each decorrelates alone
+      val cond = distributeCorrExistsUnions(cond0, outerScope)
       cond match {
         // correlated FILTER [NOT] EXISTS (§18.6): inner expressions
         // read outer-only vars → decorrelate (substitution realized as
@@ -402,9 +405,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           filtered.select(in.columns.map(filtered(_)).toIndexedSeq: _*)
       }
 
-    case Extend(input, v, e) =>
+    case Extend(input, v, e0) =>
       // BIND(… EXISTS{…} …): depth-1 correlation decorrelates inside
-      // addExistsFlag; only non-splittable correlation rejects
+      // addExistsFlag (union branches distribute first); only
+      // non-splittable correlation rejects
+      val e = distributeCorrExistsUnions(e0, Algebra.inScope(input).toSet)
       tolerateDepth1CorrelatedExists(e, Algebra.inScope(input).toSet)
       // BIND over an encodable tree: join on ids, decode only the
       // expression-read vars, compute the bound term, materialize the
@@ -1680,6 +1685,43 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       .exists(v => corr(v) || hv(v))) None
     else if ((conds ++ binds.map(_._2)).exists(containsExists)) None
     else Some((residual, conds, binds))
+  }
+
+  /** Distribute a correlated EXISTS over the UNIONs on its sub-
+    * pattern's conjunctive spine: `EXISTS { A UNION B }` ≡
+    * `EXISTS{A} || EXISTS{B}` (bag union is non-empty iff either side
+    * is), and `Join(X, A UNION B)` distributes to
+    * `Join(X,A) UNION Join(X,B)` first — so a correlated condition
+    * that sits UNDER a union branch becomes a per-branch EXISTS whose
+    * correlation is spine-splittable and decorrelates through the
+    * flag path. `NOT EXISTS` dualizes to a conjunction of per-branch
+    * negations. Applied only when the un-distributed pattern cannot
+    * decorrelate (a single semi-join beats N flag joins when both are
+    * legal) and the expansion stays small.
+    */
+  private def distributeCorrExistsUnions(e: Expr,
+      outerScope: Set[String]): Expr = e match {
+    case EExists(sub, pos) =>
+      val corr = corrVarsOf(sub, outerScope)
+      if (corr.isEmpty || splitCorrelated(sub, corr).isDefined) e
+      else {
+        def alts(o: Op): Seq[Op] = o match {
+          case Union(a, b) => alts(a) ++ alts(b)
+          case Join(l, r) =>
+            for (x <- alts(l); y <- alts(r)) yield Join(x, y)
+          case Filter(c, i) => alts(i).map(Filter(c, _))
+          case other => Seq(other)
+        }
+        val as = alts(sub)
+        if (as.size <= 1 || as.size > 8) e
+        else {
+          val parts: Seq[Expr] = as.map(a => EExists(a, pos))
+          parts.reduce((x, y) => ECall(if (pos) "||" else "&&", Seq(x, y)))
+        }
+      }
+    case ECall(o, args) =>
+      ECall(o, args.map(distributeCorrExistsUnions(_, outerScope)))
+    case other => other
   }
 
   /** Resolver layering for hoisted BIND definitions: a hoisted var

@@ -931,14 +931,47 @@ class SparqlSpec extends GraftSuite {
     assert(outer == want)
   }
 
+  test("correlated EXISTS under a UNION branch distributes per branch") {
+    // EXISTS { A UNION B } ≡ EXISTS{A} || EXISTS{B}: the correlated
+    // branch decorrelates alone, the uncorrelated branch is a plain
+    // semi-join — no condition leaks across branches
+    val got = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS {
+               { ?c :nation ?n . FILTER(?b > 5000) } UNION { ?c a :Customer } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val want = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER(EXISTS { ?c :nation ?n . FILTER(?b > 5000) } ||
+                    EXISTS { ?c a :Customer }) }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // the correlated branch must ADD the high-balance suppliers (they
+    // have :nation but are not :Customer) — proves neither branch won
+    val custOnly = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b . ?c a :Customer }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(got.toSet.diff(custOnly.toSet).nonEmpty)
+    // NOT EXISTS dualizes: complement over the acctbal carriers
+    val not = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER NOT EXISTS {
+               { ?c :nation ?n . FILTER(?b > 5000) } UNION { ?c a :Customer } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val all = q("""SELECT ?c WHERE { ?c :acctbal ?b }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert((got ++ not).sorted == all)
+  }
+
   test("correlated EXISTS beyond the decorrelatable spine still fails loudly") {
-    // correlated ref under a UNION branch: hoisting would leak the
-    // condition into the other branch — must error, not silently drop
+    // correlated ref inside an OPTIONAL's embedded condition within
+    // the EXISTS pattern: hoisting out of a LeftJoin is unsound —
+    // must error, not silently drop
     val e = intercept[UnsupportedOperationException] {
       q("""SELECT ?c WHERE {
              ?c :acctbal ?b .
              FILTER EXISTS {
-               { ?c :nation ?n . FILTER(?b > 5000) } UNION { ?c a :Customer } } }""")
+               ?c :nation ?n . OPTIONAL { ?n :name ?x . FILTER(?b > 5000) } } }""")
     }
     assert(e.getMessage.contains("correlated EXISTS"))
     // a correlated BIND var consumed in a PATTERN position: inlining
