@@ -1455,8 +1455,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
               if (dead.length == filtered.columns.length)
                 filtered.select(nullTerm.as(freshName("c")))
               else filtered.drop(dead.toIndexedSeq: _*)
+            // nullable at decode: every right-side column (unmatched
+            // left-outer rows) AND every left-nullable var — a UNION
+            // branch-partial var that is NOT shared with the right
+            // still carries NULL ids and must left-join the dictionary
             Some(decodeCols(kept, kept.columns.toSet,
-              rightOnly.toSet ++ sharedCols.filter(lNull)))
+              rightOnly.toSet ++ kept.columns.filter(v => lNull(v))))
           case _ => None
         }
       case _ => None

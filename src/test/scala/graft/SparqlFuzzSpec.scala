@@ -241,7 +241,18 @@ class SparqlFuzzSpec extends GraftSuite {
       // be unbound on the left (null-compat left join, coalesce merge)
       """SELECT * WHERE {
          { ?s a :Customer } UNION { ?s :nation ?n } .
-         OPTIONAL { ?n :name ?nn } }""")
+         OPTIONAL { ?n :name ?nn } }""",
+      // LEFT-side union-partial vars NOT shared with the OPTIONAL
+      // right (?nm, ?n): their NULL ids must still decode (left
+      // dictionary join) instead of silently dropping every row
+      """SELECT * WHERE {
+         { ?s :name ?nm } UNION { ?s :nation ?n } .
+         OPTIONAL { ?s :acctbal ?b } }""",
+      // same shape with a condition on the OPTIONAL and a left FILTER
+      // reading one partial var — both planes must agree on survivors
+      """SELECT * WHERE {
+         { ?s :name ?nm } UNION { ?s :nation ?n } .
+         OPTIONAL { ?s :acctbal ?b . FILTER(?b > 0) } }""")
     for (text <- shapes)
       assert(rowsEnc(text).sorted == rows(text).sorted, text)
   }
