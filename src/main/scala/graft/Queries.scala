@@ -427,7 +427,10 @@ object Queries {
     // corpus-level bigram frequency, deterministic top-20
     Q("t_ngram_freq", (s, dir) =>
       t(s, dir, "documents")
-        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        // tokens in their own projection: the shingle lambda reads an
+        // attribute per element instead of re-splitting per bigram
+        .select(TextAnalysis.tokens(col("text")).as("tk"))
+        .select(explode(Dedup.shinglesOf(col("tk"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc).limit(20),
       Some("""

@@ -87,7 +87,11 @@ object Dedup {
                    maxBucket: Int = 1000): DataFrame = {
     val nBands = MinHashParams.size / BandSize
     val sig = docs
-      .select(col("doc_id"), shingles(col("text")).as("toks"))
+      // tokens materialize in their own projection: shinglesOf's lambda
+      // then reads an attribute per element instead of re-splitting the
+      // text per gram (HOFs re-evaluate free subexpressions per element)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), shinglesOf(col("tk")).as("toks"))
       .withColumn("mh", minHashOfShingles(col("toks")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band join carries ONLY (band_id, band_key, doc_id) — the shingle
@@ -223,12 +227,24 @@ object Dedup {
     }
   }
 
-  /** Token n-gram shingles (default trigrams) — input to Jaccard dedup. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Token n-gram shingles (default trigrams) — input to Jaccard dedup.
+    *
+    * NOTE: the lambda references `toks` (the split) as a FREE
+    * subexpression, which higher-order functions re-evaluate per
+    * element — fine when `text` is a plain column, quadratic when it
+    * is. Prefer [[shinglesOf]] over a materialized token column when
+    * the gram strings are needed, or [[graft.functions.GramHashes]]
+    * when only their hashes are (the hot dedup paths).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOf(tokens(text), n)
+
+  /** Shingles from an existing token-array column: per-element work is
+    * an O(1) attribute read + slice, not a re-split of the text.
+    */
+  def shinglesOf(toks: Column, n: Int = 3): Column =
     transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(n))))
-  }
 
   /** Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
     * SIGMOD 2003): hash every `k`-gram, slide a window of `w` over the
@@ -238,20 +254,20 @@ object Dedup {
     * gram set. The local-plagiarism/boilerplate primitive exact
     * per-doc dedup misses and MinHash only captures globally.
     *
-    * Entirely per-document map-only higher-order column expressions
-    * (no UDF, no shuffle, no state): at 100 TB this is one pass over
-    * the corpus; downstream overlap joins then run on the selected
+    * Entirely per-document map-only native column expressions (no UDF,
+    * no shuffle, no state): at 100 TB this is one pass over the
+    * corpus; downstream overlap joins then run on the selected
     * hashes — a ~2/(w+1) fraction of the gram volume. Hashes are the
     * engine-independent [[TextAnalysis.polyHash]], so oracles mirror
-    * 1:1.
+    * 1:1. Gram hashing and the window minima are the native
+    * [[graft.functions.GramHashes]]/[[graft.functions.SlidingMin]]
+    * (one O(chars·k) pass per row) — the equivalent nested
+    * higher-order-function chain re-evaluates the full gram pipeline
+    * per window position (measured 15 ms/row; 76 s for 5 000 docs).
     */
-  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column = {
-    val hs = transform(shingles(text, k), t => polyHash(t))
-    val wins = transform(
-      sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
-      i => array_min(slice(hs, i, lit(w))))
-    array_sort(array_distinct(wins))
-  }
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column =
+    array_sort(array_distinct(
+      graft.functions.SlidingMin(graft.functions.GramHashes(text, k), w)))
 
   /** Local-overlap pairs over winnowing fingerprints — the SIGMOD'03
     * payoff: two documents sharing any substring of ≥ w+k−1 tokens are
@@ -326,8 +342,8 @@ object Dedup {
     def grams(df: DataFrame): DataFrame = df
       .filter(size(tokens(col("text"))) >= n)
       .select(col("doc_id"),
-        explode(array_distinct(transform(shingles(col("text"), n),
-          s => polyHashWide(s)))).as("gram"))
+        explode(array_distinct(
+          graft.functions.GramHashes.wide(col("text"), n))).as("gram"))
     val benchGrams = broadcast(grams(bench).select("gram").distinct())
     grams(docs).join(benchGrams, Seq("gram"))
       // grams are distinct per doc → join multiplicity = distinct hits
@@ -350,8 +366,8 @@ object Dedup {
     val grams = docs
       .filter(size(tokens(col("text"))) >= n)
       .select(col("source"),
-        explode(array_distinct(transform(shingles(col("text"), n),
-          s => polyHashWide(s)))).as("gram"))
+        explode(array_distinct(
+          graft.functions.GramHashes.wide(col("text"), n))).as("gram"))
       .distinct()
     val a = grams.select(col("source").as("source_a"), col("gram"))
     val b = grams.select(col("source").as("source_b"), col("gram"))
@@ -382,8 +398,8 @@ object Dedup {
     val grams = docs
       .filter(size(tokens(col("text"))) >= n)
       .select(col("doc_id"),
-        explode(array_distinct(transform(shingles(col("text"), n),
-          s => polyHashWide(s)))).as("gram"))
+        explode(array_distinct(
+          graft.functions.GramHashes.wide(col("text"), n))).as("gram"))
     // grams are distinct per doc → per-gram count == document freq.
     // A window count would share one shuffle but lands a hot gram's
     // ENTIRE posting list (license boilerplate 5-grams reach df ~1e8
@@ -423,7 +439,7 @@ object Dedup {
     // the wide hash keeps the EXACT-verify claim honest at corpus
     // scale, where a ~1e9 hash space would saturate)
     val docSh = docs.select(col("doc_id"),
-        transform(array_distinct(shingles(col("text"), n)), s => polyHashWide(s)).as("sh"))
+        array_distinct(graft.functions.GramHashes.wide(col("text"), n)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("sh_hash"))

@@ -243,4 +243,42 @@ class TextOpsSpec extends GraftSuite {
     assert(c(4) == c(5) && c(4) == "http://h.com/x")
     assert(c(6) == "http://h.com/CaseD?q=Up")
   }
+
+  test("native GramHashes/SlidingMin ≡ the HOF reference formulation") {
+    import spark.implicits._
+    // edge battery: empty text, single token, fewer tokens than n,
+    // consecutive spaces (empty tokens), leading/trailing space,
+    // unicode (incl. an astral code point), exact-boundary lengths
+    val texts = Seq(
+      "", "one", "one two", "one two three four",
+      "a  b", " lead", "trail ", "  ", "a b c d e f g h i j",
+      "naïve café über", "emoji 😀 token here four five",
+      "x " * 30 + "x").toDF("text")
+    for (n <- Seq(2, 3, 4, 8); wide <- Seq(false, true)) {
+      val ph: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (wide) TextAnalysis.polyHashWide else TextAnalysis.polyHash(_)
+      val ref = texts.select(
+        transform(graft.ext.Dedup.shingles(col("text"), n), s => ph(s)))
+        .collect().map(_.getSeq[Long](0))
+      val nat = texts.select(
+        (if (wide) graft.functions.GramHashes.wide(col("text"), n)
+         else graft.functions.GramHashes(col("text"), n)))
+        .collect().map(_.getSeq[Long](0))
+      assert(ref.toSeq == nat.toSeq, s"n=$n wide=$wide")
+    }
+    // SlidingMin vs the transform/sequence/array_min/slice chain,
+    // across window sizes incl. w > len and w = 1
+    val arrs = Seq(
+      Seq(5L, 3L, 8L, 1L, 9L, 2L), Seq(7L), Seq(2L, 2L, 2L),
+      Seq(9L, 8L, 7L, 6L, 5L), Seq(1L, 2L, 3L, 4L, 5L)).toDF("a")
+    for (w <- Seq(1, 2, 4, 9)) {
+      val ref = arrs.select(transform(
+        sequence(lit(1), greatest(size(col("a")) - (w - 1), lit(1))),
+        i => array_min(slice(col("a"), i, lit(w)))))
+        .collect().map(_.getSeq[Long](0))
+      val nat = arrs.select(graft.functions.SlidingMin(col("a"), w))
+        .collect().map(_.getSeq[Long](0))
+      assert(ref.toSeq == nat.toSeq, s"w=$w")
+    }
+  }
 }
