@@ -400,11 +400,19 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, k: Int = 0, threshold: Double = 0.5,
                targetClusterSize: Long = 4096L): DataFrame = {
+    // deriving k adds a count() action on top of the ≥4 reads the body
+    // already makes (seed collect + both join sides + final join) — an
+    // expensive upstream lineage would recompute for each, so the
+    // derived path persists the input for the call's duration (the
+    // pinned-k path leaves caching to the caller, who knows the corpus)
+    val src =
+      if (k > 0) corpus
+      else corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kEff =
       if (k > 0) k
-      else math.max(1L, (corpus.count() + targetClusterSize - 1) / targetClusterSize).toInt
-    val assigned = corpus.withColumn("cluster",
-      bestCell(col("embedding"), seedCentroids(corpus, kEff))("cid"))
+      else math.max(1L, (src.count() + targetClusterSize - 1) / targetClusterSize).toInt
+    val assigned = src.withColumn("cluster",
+      bestCell(col("embedding"), seedCentroids(src, kEff))("cid"))
     val l = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))
     val r = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
@@ -415,9 +423,16 @@ object Similarity {
         cosine(col("emb_a"), col("emb_b")).as("cos"))
       .where(col("cos") >= threshold)
       .groupBy(col("vec_b").as("vec_id")).agg(min("vec_a").as("dup_of"))
-    assigned.select("vec_id", "cluster").join(dups, Seq("vec_id"), "left")
+    val out = assigned.select("vec_id", "cluster").join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"), col("dup_of"),
         col("dup_of").isNull.as("keep"))
+    if (k > 0) out
+    else {
+      // narrow 4-column result: materialize it, release the input cache
+      val snapped = out.localCheckpoint(true)
+      src.unpersist(blocking = false)
+      snapped
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (the fifth dedup mode of
@@ -430,20 +445,33 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, bits: Int = 0,
                          targetBucketSize: Long = 4096L): DataFrame = {
+    // same caching contract as [[semDedup]]: the derived-bits path adds
+    // a count() over the input lineage and the self-join reads it twice
+    // more — persist for the call, snapshot the (tiny) pair output,
+    // release; a pinned `bits` leaves caching to the caller
+    val src =
+      if (bits > 0) corpus
+      else corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bitsEff =
       if (bits > 0) bits
       else {
-        val n = math.max(1L, corpus.count())
+        val n = math.max(1L, src.count())
         val need = math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt
         math.min(24, math.max(4, need))
       }
-    val b = corpus.withColumn("bucket", lshBucket(col("embedding"), bitsEff))
+    val b = src.withColumn("bucket", lshBucket(col("embedding"), bitsEff))
     val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    l.join(r, Seq("bucket"))
+    val out = l.join(r, Seq("bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
       .where(col("cos") >= threshold)
       .distinct()
+    if (bits > 0) out
+    else {
+      val snapped = out.localCheckpoint(true)
+      src.unpersist(blocking = false)
+      snapped
+    }
   }
 }
