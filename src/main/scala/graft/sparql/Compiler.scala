@@ -916,17 +916,56 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     if (shared.isEmpty) return (l.crossJoin(r), outNullable)
     val renames = shared.map(v => v -> freshName(v)).toMap
     val rr = shared.foldLeft(r) { (d, v) => d.withColumnRenamed(v, renames(v)) }
-    val cond = shared.map(v =>
-      if (nullableL(v) || nullableR(v))
-        l(v).isNull || rr(renames(v)).isNull || l(v) === rr(renames(v))
-      else l(v) === rr(renames(v))).reduce(_ && _)
-    val joined = l.join(rr, cond, "inner")
-    (joined.select((l.columns.map(c =>
-      (if (shared.contains(c) && (nullableL(c) || nullableR(c)))
-        coalesce(joined(c), joined(renames(c)))
-      else joined(c)).as(c)).toIndexedSeq ++
-      r.columns.filterNot(shared.contains).map(joined(_)).toIndexedSeq): _*),
-      outNullable)
+    def nullCompat(v: String) = nullableL(v) || nullableR(v)
+    def project(joined: DataFrame): DataFrame =
+      joined.select((l.columns.map(c =>
+        (if (shared.contains(c) && nullCompat(c))
+          coalesce(joined(c), joined(renames(c)))
+        else joined(c)).as(c)).toIndexedSeq ++
+        r.columns.filterNot(shared.contains).map(joined(_)).toIndexedSeq): _*)
+    if (shared.exists(v => !nullCompat(v))) {
+      // at least one always-bound equality conjunct → hash-joinable;
+      // null-compat vars ride as join filters
+      val cond = shared.map(v =>
+        if (nullCompat(v))
+          l(v).isNull || rr(renames(v)).isNull || l(v) === rr(renames(v))
+        else l(v) === rr(renames(v))).reduce(_ && _)
+      (project(l.join(rr, cond, "inner")), outNullable)
+    } else {
+      // EVERY shared var is null-compat: a single join's condition is
+      // purely disjunctive and Spark can only plan a nested-loop/
+      // cartesian over the FULL inputs. Partition on one var instead
+      // (§18.3 semantics unchanged — the three branches tile the
+      // (l null?, r null?) space exactly): the bound⋈bound branch
+      // keeps a real equality conjunct and hash-joins the bulk; only
+      // the null partitions — whose §18.3 fan-out is semantically
+      // required — pay the nested-loop, over their (small) slices.
+      // Prefer a var only one side can null: that drops a branch.
+      val v0 = shared.find(v => !(nullableL(v) && nullableR(v)))
+        .getOrElse(shared.head)
+      def restCond(lf: DataFrame, rf: DataFrame, eqV0: Boolean): Column = {
+        val cs = (if (eqV0) Seq(lf(v0) === rf(renames(v0))) else Nil) ++
+          shared.filterNot(_ == v0).map(v =>
+            lf(v).isNull || rf(renames(v)).isNull || lf(v) === rf(renames(v)))
+        cs.reduceOption(_ && _).getOrElse(lit(true))
+      }
+      val lNN = l.filter(l(v0).isNotNull)
+      val bound = lNN.join(rr.filter(rr(renames(v0)).isNotNull),
+        restCond(lNN, rr, eqV0 = true), "inner")
+      val parts = Seq(Some(project(bound)),
+        // left-null branch: v0's condition holds against EVERY right row
+        if (nullableL(v0))
+          Some(project(l.filter(l(v0).isNull)
+            .join(rr, restCond(l, rr, eqV0 = false), "inner")))
+        else None,
+        // right-null branch: pairs with a bound left (null-null pairs
+        // are already in the left-null branch)
+        if (nullableR(v0))
+          Some(project(lNN.join(rr.filter(rr(renames(v0)).isNull),
+            restCond(lNN, rr, eqV0 = false), "inner")))
+        else None).flatten
+      (parts.reduce(_ union _), outNullable)
+    }
   }
 
   /** Variables a Join-tree of encodable simple BGPs binds; None when

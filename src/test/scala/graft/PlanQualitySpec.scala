@@ -365,6 +365,37 @@ class PlanQualitySpec extends GraftSuite {
     }
   }
 
+  test("all-nullable id join partitions: the bound slice hash-joins") {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      // ?n — the ONLY shared var of the id join — is unbound on the
+      // first UNION branch, so the §18.3 condition is purely
+      // disjunctive (isNull OR equal): a single join can only plan a
+      // nested loop over the FULL inputs. The partitioned rewrite must
+      // hash-join (SortMergeJoin here — broadcast disabled) the
+      // bound⋈bound slice and confine the nested loop to the
+      // null slice, whose fan-out §18.3 requires.
+      val df = graft.sparql.Sparql.query(spark, q,
+        "SELECT * WHERE { { ?s a :Customer } UNION { ?s :nation ?n } . " +
+          "?n :name ?nn }",
+        encoded = Some(enc))
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"),
+        s"bound partition of the all-nullable id join does not hash/" +
+          s"merge-join — whole join fell back to a nested loop:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
+
   test("OPTIONAL joins ids: left-outer exchanges carry longs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{LongType, StructType}
