@@ -1480,7 +1480,37 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
               coalesce(compBool(e, resolveMerged), lit(false)))
             val cond = (eqCond ++ fCond.toSeq).reduceOption(_ && _)
               .getOrElse(lit(true))
-            val joined0 = lIds.join(rr, cond, "left_outer")
+            // when EVERY shared var is null-compat the condition is
+            // purely disjunctive and the left-outer join can only plan
+            // a nested loop over the FULL inputs. Left-outer semantics
+            // are per-left-row, so partitioning the LEFT on a var the
+            // right always binds is exact: the bound slice regains an
+            // equality conjunct (hash/merge-joinable); only the null
+            // slice — whose §18.3 fan-out is semantically required —
+            // pays the nested loop, over its restricted partition.
+            val hasEqConjunct =
+              sharedCols.exists(v => !lNull(v) && !rNull(v))
+            val splitV =
+              if (hasEqConjunct) None
+              else sharedCols.find(v => lNull(v) && !rNull(v))
+            val joined0 = splitV match {
+              case Some(v0) =>
+                def pcond(eqV0: Boolean): Column = {
+                  val eqs = sharedCols.map(v =>
+                    if (v == v0)
+                      (if (eqV0) lIds(v) === rr(renames(v)) else lit(true))
+                    else if (lNull(v) || rNull(v))
+                      lIds(v).isNull || rr(renames(v)).isNull ||
+                        lIds(v) === rr(renames(v))
+                    else lIds(v) === rr(renames(v)))
+                  (eqs ++ fCond.toSeq).reduce(_ && _)
+                }
+                lIds.filter(lIds(v0).isNotNull)
+                  .join(rr, pcond(eqV0 = true), "left_outer")
+                  .union(lIds.filter(lIds(v0).isNull)
+                    .join(rr, pcond(eqV0 = false), "left_outer"))
+              case None => lIds.join(rr, cond, "left_outer")
+            }
             val rightOnly = rIds.columns.filterNot(sharedCols.contains)
             val joined = joined0.select(
               (lIds.columns.map(c =>

@@ -390,6 +390,18 @@ class PlanQualitySpec extends GraftSuite {
       assert(p.contains("SortMergeJoin"),
         s"bound partition of the all-nullable id join does not hash/" +
           s"merge-join — whole join fell back to a nested loop:\n$p")
+      // the left-OUTER analogue (OPTIONAL whose left is union-partial
+      // on the only shared var): the left side partitions on the var,
+      // the bound slice must merge-join
+      val dfO = graft.sparql.Sparql.query(spark, q,
+        "SELECT * WHERE { { ?s a :Customer } UNION { ?s :nation ?n } . " +
+          "OPTIONAL { ?n :name ?nn } }",
+        encoded = Some(enc))
+      dfO.collect()
+      val pO = dfO.queryExecution.executedPlan.toString
+      assert(pO.contains("SortMergeJoin"),
+        s"bound partition of the all-nullable id LEFT join does not " +
+          s"merge-join:\n$pO")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
