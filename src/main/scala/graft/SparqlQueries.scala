@@ -338,6 +338,22 @@ object SparqlQueries {
         (b.onum >= 7500 AND b.s IN (SELECT s FROM quads WHERE p=':nation'))
         OR b.s IN (SELECT s FROM quads WHERE p='rdf:type' AND o=':Customer'))"""))),
 
+    // correlated condition inside an INVISIBLE OPTIONAL within EXISTS
+    // (§18.6 via simplification, r10): a left join never removes a
+    // left row, and nothing reads ?nm — the OPTIONAL (and the
+    // correlated filter inside it) drops, leaving the plain semi-join
+    // (Compiler.dropUnreadOptionals)
+    Q("r_exists_opt_drop", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal .
+        FILTER EXISTS { ?c :nation ?n .
+          OPTIONAL { ?n :name ?nm . FILTER(?bal >= 7500) } } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal
+      FROM quads b
+      WHERE b.p=':acctbal'
+        AND b.s IN (SELECT s FROM quads WHERE p=':nation')"""))),
+
     // correlated BIND inside EXISTS (§18.6): the inner BIND reads
     // ?bal from the OUTER pattern and a spine FILTER consumes the
     // bound var — decorrelation inlines the definition into the

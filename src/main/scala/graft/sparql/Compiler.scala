@@ -1760,6 +1760,74 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     else Some((residual, conds, binds))
   }
 
+  /** EVERY variable name mentioned anywhere in an op tree — pattern
+    * positions (including subquery-hidden ones), expression reads,
+    * BIND targets, group keys, projection lists. Deliberately an
+    * over-approximation of visibility: used as the safety set for
+    * [[dropUnreadOptionals]], where counting too much only keeps a
+    * droppable OPTIONAL.
+    */
+  private def allVarMentions(op: Op): Set[String] = op match {
+    case b: Bgp => Algebra.inScope(b).toSet
+    case ValuesOp(vars, _) => vars.toSet
+    case Unit0 => Set.empty
+    case Join(l, r) => allVarMentions(l) ++ allVarMentions(r)
+    case LeftJoin(l, r, c) => allVarMentions(l) ++ allVarMentions(r) ++
+      c.map(exprVarSet).getOrElse(Set.empty)
+    case Union(l, r) => allVarMentions(l) ++ allVarMentions(r)
+    case Minus(l, r) => allVarMentions(l) ++ allVarMentions(r)
+    case Filter(c, i) => exprVarSet(c) ++ allVarMentions(i)
+    case Extend(i, v, e) => allVarMentions(i) + v ++ exprVarSet(e)
+    case Group(i, keys, aggs) => allVarMentions(i) ++ keys.map(_._1) ++
+      keys.flatMap(_._2.map(exprVarSet)).flatten ++ aggs.map(_._1) ++
+      aggs.flatMap(a => exprVarSet(a._2))
+    case Project(i, vars) => allVarMentions(i) ++ vars
+    case Distinct(i) => allVarMentions(i)
+    case OrderBy(i, ks) => allVarMentions(i) ++ ks.flatMap(k => exprVarSet(k._1))
+    case Slice(i, _, _) => allVarMentions(i)
+    case Service(_, i, _) => allVarMentions(i)
+  }
+
+  /** EXISTS asks only non-emptiness, and a left join never removes a
+    * left row — so an OPTIONAL inside the sub-pattern whose right-only
+    * vars nothing else reads (not the rest of the sub-pattern, not the
+    * outer scope the semi-join keys on) cannot influence the answer:
+    * drop it. Both a plan simplification (one join less per EXISTS)
+    * and the closer of the narrowest remaining §18.6 loud-error
+    * class — correlation INSIDE such an OPTIONAL vanishes with it.
+    *
+    * Recursion stays out of Group/Slice/OrderBy interiors: dropping a
+    * left join changes row MULTIPLICITY, which aggregates and LIMIT
+    * observe even when the dropped vars are invisible.
+    */
+  private def dropUnreadOptionals(sub: Op, outerScope: Set[String]): Op = {
+    def go(op: Op, outside: Set[String]): Op = op match {
+      case LeftJoin(l, r, c) =>
+        val rOnly = Algebra.inScope(r).toSet -- Algebra.inScope(l).toSet
+        if (rOnly.intersect(outside ++ allVarMentions(l)).isEmpty)
+          go(l, outside)
+        else LeftJoin(
+          go(l, outside ++ allVarMentions(r) ++
+            c.map(exprVarSet).getOrElse(Set.empty)),
+          go(r, outside ++ allVarMentions(l) ++
+            c.map(exprVarSet).getOrElse(Set.empty)), c)
+      case Join(l, r) =>
+        Join(go(l, outside ++ allVarMentions(r)),
+          go(r, outside ++ allVarMentions(l)))
+      case Union(l, r) =>
+        Union(go(l, outside ++ allVarMentions(r)),
+          go(r, outside ++ allVarMentions(l)))
+      case Minus(l, r) =>
+        Minus(go(l, outside ++ allVarMentions(r)),
+          go(r, outside ++ allVarMentions(l)))
+      case Filter(c, i) => Filter(c, go(i, outside ++ exprVarSet(c)))
+      case Distinct(i) => Distinct(go(i, outside))
+      case Project(i, vars) => Project(go(i, outside ++ vars), vars)
+      case other => other
+    }
+    go(sub, outerScope)
+  }
+
   /** Distribute a correlated EXISTS over the UNIONs on its sub-
     * pattern's conjunctive spine: `EXISTS { A UNION B }` ≡
     * `EXISTS{A} || EXISTS{B}` (bag union is non-empty iff either side
@@ -1774,9 +1842,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     */
   private def distributeCorrExistsUnions(e: Expr,
       outerScope: Set[String]): Expr = e match {
-    case EExists(sub, pos) =>
+    case EExists(sub0, pos) =>
+      // invisible OPTIONALs go first: cheaper plan, and correlation
+      // inside the dropped side decorrelates by vanishing
+      val sub = dropUnreadOptionals(sub0, outerScope)
+      val e1 = EExists(sub, pos)
       val corr = corrVarsOf(sub, outerScope)
-      if (corr.isEmpty || splitCorrelated(sub, corr).isDefined) e
+      if (corr.isEmpty || splitCorrelated(sub, corr).isDefined) e1
       else {
         def alts(o: Op): Seq[Op] = o match {
           case Union(a, b) => alts(a) ++ alts(b)
@@ -1786,7 +1858,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           case other => Seq(other)
         }
         val as = alts(sub)
-        if (as.size <= 1 || as.size > 8) e
+        if (as.size <= 1 || as.size > 8) e1
         else {
           val parts: Seq[Expr] = as.map(a => EExists(a, pos))
           parts.reduce((x, y) => ECall(if (pos) "||" else "&&", Seq(x, y)))

@@ -963,17 +963,60 @@ class SparqlSpec extends GraftSuite {
     assert((got ++ not).sorted == all)
   }
 
+  test("EXISTS drops OPTIONALs whose vars nothing reads (incl. correlated)") {
+    // a left join never removes a left row, so an OPTIONAL whose
+    // right-only vars (?x) neither the rest of the sub-pattern nor the
+    // outer query reads cannot change EXISTS — it drops, and the
+    // correlated condition inside it vanishes with it (previously the
+    // loud §18.6 error)
+    val got = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS {
+               ?c :nation ?n . OPTIONAL { ?n :name ?x . FILTER(?b > 5000) } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val want = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b . FILTER EXISTS { ?c :nation ?n } }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // uncorrelated invisible OPTIONAL drops identically (plan-only)
+    val plain = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS { ?c :nation ?n . OPTIONAL { ?n :name ?x } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(plain == want)
+    // NOT EXISTS complement partitions the acctbal carriers
+    val not = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER NOT EXISTS {
+               ?c :nation ?n . OPTIONAL { ?n :name ?x . FILTER(?b > 5000) } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val all = q("""SELECT ?c WHERE { ?c :acctbal ?b }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert((got ++ not).sorted == all)
+  }
+
   test("correlated EXISTS beyond the decorrelatable spine still fails loudly") {
-    // correlated ref inside an OPTIONAL's embedded condition within
-    // the EXISTS pattern: hoisting out of a LeftJoin is unsound —
+    // correlated ref inside an OPTIONAL the sub-pattern DOES read
+    // (?x consumed by a later FILTER): the left join must stay, and
+    // hoisting the correlated condition out of it is unsound —
     // must error, not silently drop
     val e = intercept[UnsupportedOperationException] {
       q("""SELECT ?c WHERE {
              ?c :acctbal ?b .
              FILTER EXISTS {
-               ?c :nation ?n . OPTIONAL { ?n :name ?x . FILTER(?b > 5000) } } }""")
+               ?c :nation ?n . OPTIONAL { ?n :name ?x . FILTER(?b > 5000) } .
+               FILTER(BOUND(?x)) } }""")
     }
     assert(e.getMessage.contains("correlated EXISTS"))
+    // right-only var shared with the OUTER scope: the semi-join keys
+    // on it (compatibility semantics), so the OPTIONAL must stay
+    val e1b = intercept[UnsupportedOperationException] {
+      q("""SELECT ?c WHERE {
+             ?c :acctbal ?b . ?c :name ?x .
+             FILTER EXISTS {
+               ?c :nation ?n . OPTIONAL { ?n :name ?x . FILTER(?b > 5000) } } }""")
+    }
+    assert(e1b.getMessage.contains("correlated EXISTS"))
     // a correlated BIND var consumed in a PATTERN position: inlining
     // cannot reach a triple pattern — must stay loud
     val e2 = intercept[UnsupportedOperationException] {
