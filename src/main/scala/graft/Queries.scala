@@ -1541,6 +1541,82 @@ object Queries {
       SELECT vec_id, i-1 AS pos, round(embedding[i]::DOUBLE*scale)::BIGINT AS q
       FROM ex""")),
 
+    // two-stage retrieval: int8-code coarse scan (exact integer dot
+    // products — engine-independent by construction) keeps 20
+    // candidates per query, the exact cosine rescores them to the
+    // final top-5 — the standard quantized-index + rescore pipeline
+    Q("s_int8_rescore", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.int8RescoreTopK(e.filter(col("vec_id") < 5), e, 5, 20)
+    }, Some(s"""
+      WITH sc AS MATERIALIZED (SELECT vec_id, embedding,
+        127.0 / greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) AS scale
+        FROM embeddings),
+      cod AS MATERIALIZED (SELECT vec_id, embedding,
+        list_transform(embedding, x -> round(x::DOUBLE*scale)::BIGINT) AS code FROM sc),
+      qs AS (SELECT vec_id AS query_id, embedding AS q_emb, code AS q_code
+             FROM cod WHERE vec_id < 5),
+      coarse AS (SELECT query_id, vec_id, q_emb, embedding,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(list_zip(q_code, code), z -> z[1]*z[2])),
+          (a,v) -> a+v) AS idot
+        FROM cod, qs WHERE vec_id <> query_id),
+      cut AS (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY idot DESC, vec_id ASC) AS crank
+        FROM coarse),
+      resc AS (SELECT query_id, vec_id, idot,
+          ${duckCosine("q_emb", "embedding")} AS cos
+        FROM cut WHERE crank <= 20),
+      fin AS (SELECT query_id, vec_id, idot, cos, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM resc)
+      SELECT query_id, vec_id, idot, cos, rank::INT AS rank
+      FROM fin WHERE rank <= 5""")),
+
+    // hybrid-retrieval reciprocal-rank fusion: dense cosine top-10 and
+    // int8-dot top-10 fuse by sum of 1/(60+rank) (missing membership
+    // contributes 0) — rank-based, so the two retrievers' score scales
+    // never need calibrating; candidate volume per query is bounded by
+    // the truncated list lengths, independent of corpus size
+    Q("s_rrf_hybrid", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.rrfFusion(
+        Similarity.bruteForceTopK(q, e, 10), Similarity.int8TopK(q, e, 10), 5)
+    }, Some(s"""
+      WITH q0 AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < 5),
+      dense AS (SELECT query_id, vec_id, cos, rank FROM (
+        SELECT query_id, vec_id, cos, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM (SELECT query_id, vec_id, ${duckCosine("q_emb", "embedding")} AS cos
+              FROM embeddings, q0 WHERE vec_id <> query_id)) WHERE rank <= 10),
+      sc AS MATERIALIZED (SELECT vec_id, embedding,
+        127.0 / greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) AS scale
+        FROM embeddings),
+      cod AS MATERIALIZED (SELECT vec_id,
+        list_transform(embedding, x -> round(x::DOUBLE*scale)::BIGINT) AS code FROM sc),
+      qc AS (SELECT vec_id AS query_id, code AS q_code FROM cod WHERE vec_id < 5),
+      int8 AS (SELECT query_id, vec_id, rank FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY idot DESC, vec_id ASC) AS rank
+        FROM (SELECT query_id, vec_id,
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(list_zip(q_code, code), z -> z[1]*z[2])),
+            (a,v) -> a+v) AS idot
+          FROM cod, qc WHERE vec_id <> query_id)) WHERE rank <= 10),
+      fused AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+          coalesce(a.vec_id, b.vec_id) AS vec_id,
+          round(coalesce(1.0::DOUBLE/(60+a.rank), 0.0) +
+                coalesce(1.0::DOUBLE/(60+b.rank), 0.0), 6) AS rrf
+        FROM dense a FULL JOIN int8 b
+          ON a.query_id=b.query_id AND a.vec_id=b.vec_id),
+      fin AS (SELECT query_id, vec_id, rrf, row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf DESC, vec_id ASC) AS rank
+        FROM fused)
+      SELECT query_id, vec_id, rrf, rank::INT AS rank
+      FROM fin WHERE rank <= 5""")),
+
     // deterministic dense random projection 64 -> 8 dims (same fixed
     // coefficient family as the LSH planes; no trained state)
     Q("s_rand_proj", (s, dir) =>

@@ -68,6 +68,21 @@ object StreamQueries {
        AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
       WHERE v.event_type = 'view' AND v.user_id < 50""")),
 
+    // negative attribution: views with NO purchase by the same user
+    // within the following hour — stream-stream LEFT ANTI composed as
+    // the watermark-bounded outer join + sink-side IS NULL filter
+    // (Structured Streaming has no native stream-stream anti join);
+    // the oracle is the batch NOT EXISTS
+    Q("st_stream_anti_join", (s, dir) => StreamOps.streamStreamAntiJoin(s, dir),
+      Some("""
+      SELECT v.event_id AS view_id, v.user_id
+      FROM events v
+      WHERE v.event_type = 'view' AND v.user_id < 50
+        AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = v.user_id AND b.event_type = 'purchase'
+            AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR)""")),
+
     // stream-static enrichment: each micro-batch broadcast-joins the
     // batch dimension table, then aggregates per tier
     Q("st_stream_static_join", (s, dir) => StreamOps.streamStaticJoin(s, dir),

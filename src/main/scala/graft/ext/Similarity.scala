@@ -101,6 +101,100 @@ object Similarity {
         cosine(col("q_emb"), col("embedding")).as("cos"))
       .where(col("cos") >= threshold)
 
+  /** Int8 coarse top-k: score with the integer dot product of the
+    * symmetric int8 quantizations ([[int8Scale]] per vector) — exact
+    * integer arithmetic, engine-independent by construction. The
+    * production first stage of two-stage retrieval: codes are 4×
+    * smaller than fp32 and the scan is integer math; at store scale
+    * the codes are a precomputed column and the fp32 embeddings are
+    * never read. Broadcast probes, map-only scoring, `row_number <= k`
+    * partial WindowGroupLimit — the [[bruteForceTopK]] shape.
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def coded(df: DataFrame, id: String, code: String): DataFrame =
+      df.select(col("vec_id").as(id),
+          col("embedding").as(s"__e_$id"),
+          int8Scale(col("embedding")).as(s"__sc_$id"))
+        .select(col(id), transform(col(s"__e_$id"),
+          x => round(x.cast("double") * col(s"__sc_$id"), 0).cast("long"))
+          .as(code))
+    val scored = coded(corpus, "vec_id", "cv")
+      .join(broadcast(coded(queries, "query_id", "qv")),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qv"), col("cv"), (u, v) => u * v),
+          lit(0L), (a, v) => a + v).as("idot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("idot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("idot"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Two-stage retrieval: int8 coarse scan keeps `coarse` candidates
+    * per query (integer dot product, ties to the lower vec_id), the
+    * exact cosine rescores them and emits the final top `k` — the
+    * standard quantized-index + rescore pipeline (quantization error
+    * cancels in the rescore as long as the true neighbours survive
+    * the coarse cut). The corpus embedding rides through the coarse
+    * rank window here; at store scale the rescore re-reads the fp32
+    * column for only `coarse` rows per query instead.
+    */
+  def int8RescoreTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      coarse: Int): DataFrame = {
+    def coded(df: DataFrame, id: String, emb: String, code: String): DataFrame =
+      df.select(col("vec_id").as(id), col("embedding").as(emb),
+          int8Scale(col("embedding")).as("__sc"))
+        .select(col(id), col(emb), transform(col(emb),
+          x => round(x.cast("double") * col("__sc"), 0).cast("long")).as(code))
+    val coarseScored = coded(corpus, "vec_id", "embedding", "cv")
+      .join(broadcast(coded(queries, "query_id", "q_emb", "qv")),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"),
+        aggregate(zip_with(col("qv"), col("cv"), (u, v) => u * v),
+          lit(0L), (a, v) => a + v).as("idot"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("idot").desc, col("vec_id").asc)
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    coarseScored.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= coarse)
+      .select(col("query_id"), col("vec_id"), col("idot"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(ws))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("idot"), col("cos"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Reciprocal-rank fusion (RRF) of two retriever rank lists — the
+    * standard hybrid-retrieval combiner (dense + lexical, dense +
+    * quantized, …): score = Σ 1/(kConst + rank) over the lists that
+    * returned the item, missing membership contributing 0. Rank-based,
+    * so the two retrievers' score scales never need calibrating. A
+    * full-outer join on (query_id, vec_id) of two ALREADY-truncated
+    * lists — per-query candidate volume is bounded by the list
+    * lengths, independent of corpus size.
+    */
+  def rrfFusion(a: DataFrame, b: DataFrame, k: Int,
+      kConst: Int = 60): DataFrame = {
+    val fused = a.select(col("query_id"), col("vec_id"),
+        col("rank").as("rank_a"))
+      .join(b.select(col("query_id"), col("vec_id"),
+        col("rank").as("rank_b")), Seq("query_id", "vec_id"), "full_outer")
+      .select(col("query_id"), col("vec_id"),
+        round(coalesce(lit(1.0) / (lit(kConst) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst) + col("rank_b")), lit(0.0)), 6)
+          .as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("vec_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("rrf"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Random-hyperplane (sign-LSH) bucket id: `bits` pseudo-random
     * hyperplanes, deterministic coefficients from (plane, dim) via a
     * fixed LCG — engine-independent, no trained state to ship.

@@ -385,7 +385,24 @@ object StreamOps {
     * a batch-N watermark takes effect in batch N+1, hence two sentinel
     * rounds (same choreography as [[watermarkedHourlyCounts]]).
     */
-  def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamOuterJoinImpl(spark, dir, anti = false)
+
+  /** Stream-stream LEFT ANTI interval join: views with NO purchase by
+    * the same user within the following hour — the negative-attribution
+    * set (churn signals, abandoned sessions). Structured Streaming has
+    * no stream-stream anti join; the standard composition is the
+    * watermark-bounded LEFT OUTER join with a sink-side
+    * `right IS NULL` filter — state stays droppable at watermark on
+    * both sides exactly as in the outer join, and an unmatched view is
+    * emitted (then kept by the filter) only once its match window
+    * closes.
+    */
+  def streamStreamAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamOuterJoinImpl(spark, dir, anti = true)
+
+  private def streamStreamOuterJoinImpl(spark: SparkSession, dir: String,
+      anti: Boolean): DataFrame = {
     import spark.implicits._
     val ev = graft.core.Tables(spark, dir, "events")
       .filter(col("user_id") < 50)
@@ -410,12 +427,15 @@ object StreamOps {
     val b = src(buyDrops, buyRows.schema, "buy")
       .withColumnRenamed("user_id", "buy_user")
       .withWatermark("buy_ts", "1 hour")
-    val joined = v.join(b,
+    val joined0 = v.join(b,
       col("user_id") === col("buy_user") &&
         col("buy_ts") >= col("view_ts") &&
         col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
       "left_outer")
-      .select(col("view_id"), col("buy_id"), col("user_id"))
+    val joined =
+      if (anti) joined0.filter(col("buy_id").isNull)
+        .select(col("view_id"), col("user_id"))
+      else joined0.select(col("view_id"), col("buy_id"), col("user_id"))
     val name = s"st_ssoj_${System.nanoTime()}"
     val (q, ckpt) = startQuery(spark, joined, name, "append")
     try {
