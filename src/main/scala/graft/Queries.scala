@@ -502,6 +502,36 @@ object Queries {
                    / len(string_split(text,' ')), 6) AS stopword_ratio
       FROM documents""")),
 
+    // Count-Min heavy hitters: the mergeable frequency sketch (d=4
+    // affine-hash rows x w=1024 cells — a few KB at ANY corpus size,
+    // built by one map pass + a combinable groupBy) estimates the
+    // counts of the true top-10 tokens; est >= true by construction,
+    // both engines mirror the cell arithmetic exactly
+    Q("t_cms_heavy", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("term").asc).limit(10)
+      TextAnalysis.cmsEstimate(TextAnalysis.cmsCellCounts(docs), truth)
+    }, Some(s"""
+      WITH tok AS MATERIALIZED (
+        SELECT unnest(string_split(text,' ')) AS term FROM documents),
+      hh AS MATERIALIZED (SELECT ${duckPh("term")} AS h FROM tok),
+      par(r, a, b) AS (VALUES (0,7,3),(1,13,17),(2,31,29),(3,61,59)),
+      sk AS MATERIALIZED (
+        SELECT r, ((h*a+b) % 1000000007) % 1024 AS cell, count(*) AS n
+        FROM hh, par GROUP BY 1, 2),
+      truth AS MATERIALIZED (
+        SELECT term, count(*) AS true_n FROM tok GROUP BY 1
+        ORDER BY true_n DESC, term ASC LIMIT 10),
+      tc AS (SELECT t.term, t.true_n, p.r,
+          ((${duckPh("t.term")}*p.a+p.b) % 1000000007) % 1024 AS cell
+        FROM truth t, par p)
+      SELECT tc.term, tc.true_n, min(sk.n)::BIGINT AS est_n
+      FROM tc JOIN sk ON sk.r = tc.r AND sk.cell = tc.cell
+      GROUP BY 1, 2""")),
+
     Q("t_lang_id", (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess")),

@@ -444,4 +444,52 @@ object TextAnalysis {
       }
     }.toDF("doc_id", "n_tokens", "bin")
   }
+
+  /** Count-Min sketch row parameters: cell_r(t) = ((a_r·polyHash(t) +
+    * b_r) mod P) mod w — the same engine-independent affine family as
+    * the MinHash permutations, so DuckDB mirrors cell placement 1:1.
+    */
+  val CmsParams: Seq[(Long, Long)] =
+    Seq((7L, 3L), (13L, 17L), (31L, 29L), (61L, 59L))
+
+  private val CmsP = 1000000007L
+
+  private def cmsCells(h: Column, w: Int): Column =
+    array(CmsParams.map { case (a, b) =>
+      ((h * a + b) % CmsP) % w.toLong }: _*)
+
+  /** Count-Min sketch BUILD over the corpus token stream: d×w cell
+    * counts (d = 4 rows, default w = 1024). The mergeable heavy-
+    * hitter / frequency-estimate primitive: at 100 TB the build is one
+    * map pass + a combinable groupBy onto at most d·w cells (the
+    * whole sketch is a few KB — broadcast it, union-merge shards by
+    * summing cells); estimates never rescan the corpus.
+    */
+  def cmsCellCounts(docs: org.apache.spark.sql.DataFrame,
+      w: Int = 1024): org.apache.spark.sql.DataFrame =
+    docs.select(explode(tokens(col("text"))).as("term"))
+      .select(polyHash(col("term")).as("h"))
+      .select(posexplode(cmsCells(col("h"), w)))
+      .toDF("row", "cell")
+      .groupBy("row", "cell").agg(count(lit(1)).as("n"))
+
+  /** Count-Min estimates for a term list against a built sketch:
+    * est(t) = min over rows of the cell count — an overestimate by
+    * construction (collisions only add), within εN with probability
+    * 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. Extra columns on `terms`
+    * (e.g. a true count to compare against) ride through.
+    */
+  def cmsEstimate(sketch: org.apache.spark.sql.DataFrame,
+      terms: org.apache.spark.sql.DataFrame,
+      w: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val keep = terms.columns.filterNot(_ == "term")
+    terms
+      .withColumn("__cells", cmsCells(polyHash(col("term")), w))
+      .select((col("term") +: keep.map(col) :+
+        posexplode(col("__cells"))): _*)
+      .withColumnRenamed("pos", "row").withColumnRenamed("col", "cell")
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(("term" +: keep).map(col): _*)
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+  }
 }

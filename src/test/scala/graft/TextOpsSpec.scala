@@ -244,6 +244,32 @@ class TextOpsSpec extends GraftSuite {
     assert(c(6) == "http://h.com/CaseD?q=Up")
   }
 
+  test("count-min sketch: overestimate bound, exactness, mergeability") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis._
+    val a = Seq((1L, "x x y z"), (2L, "x y q")).toDF("doc_id", "text")
+    val b = Seq((3L, "x z z w")).toDF("doc_id", "text")
+    val both = a.unionByName(b)
+    def truth(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("true_n"))
+    val est = cmsEstimate(cmsCellCounts(both), truth(both))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // est >= true always; on a 6-term vocab vs 4x1024 cells, exact
+    assert(est.nonEmpty && est.forall { case (_, t, e) => e == t })
+    // mergeability: union-built sketch == cellwise sum of shard sketches
+    val merged = cmsCellCounts(a).withColumnRenamed("n", "na")
+      .join(cmsCellCounts(b).withColumnRenamed("n", "nb"),
+        Seq("row", "cell"), "full_outer")
+      .select(col("row"), col("cell"),
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n"))
+    val whole = cmsCellCounts(both)
+    assert(merged.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))) ==
+      whole.collect().toSet.map((r: org.apache.spark.sql.Row) =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))))
+  }
+
   test("native GramHashes/SlidingMin ≡ the HOF reference formulation") {
     import spark.implicits._
     // edge battery: empty text, single token, fewer tokens than n,
