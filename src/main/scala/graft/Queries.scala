@@ -1154,6 +1154,45 @@ object Queries {
       SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
       FROM joined WHERE round(inter/(na+nb-inter),6) >= 0.3""")),
 
+    // Bloom membership pre-filter: the k=4 x m=8192 bit set built over
+    // the token vocabulary of sources src0-src9 answers "have we seen
+    // this token?" for the WHOLE corpus vocabulary — no false
+    // negatives, false positives mirrored exactly by both engines
+    // (truly_seen rides along to expose them); at most m rows of
+    // sketch whatever the corpus size, shards merge by bit union
+    Q("d_bloom_membership", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val half = docs
+        .filter(substring(col("source"), 4, 10).cast("int") < 10)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+        .distinct()
+      val probes = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .distinct()
+      Dedup.bloomProbe(Dedup.bloomBits(half), probes, itemCol = "term")
+        .join(half.select(col("item").as("term"), lit(1L).as("__t")),
+          Seq("term"), "left")
+        .select(col("term"), col("maybe_seen"),
+          coalesce(col("__t"), lit(0L)).as("truly_seen"))
+    }, Some(s"""
+      WITH par(r, a, b) AS (SELECT * FROM (VALUES (0,7,3),(1,13,17),(2,31,29),(3,61,59))),
+      half AS MATERIALIZED (
+        SELECT DISTINCT unnest(string_split(text,' ')) AS item
+        FROM documents WHERE substr(source,4)::INT < 10),
+      bits AS MATERIALIZED (
+        SELECT DISTINCT ((h*a+b) % 1000000007) % 8192 AS bit
+        FROM (SELECT ${duckPh("item")} AS h FROM half), par),
+      allt AS MATERIALIZED (
+        SELECT DISTINCT unnest(string_split(text,' ')) AS term FROM documents),
+      pc AS (SELECT term, ((${duckPh("term")}*a+b) % 1000000007) % 8192 AS bit
+             FROM allt, par),
+      probe AS (SELECT pc.term,
+          min(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END)::BIGINT AS maybe_seen
+        FROM pc LEFT JOIN bits USING (bit) GROUP BY 1)
+      SELECT p.term, p.maybe_seen,
+             (CASE WHEN h.item IS NULL THEN 0 ELSE 1 END)::BIGINT AS truly_seen
+      FROM probe p LEFT JOIN half h ON h.item = p.term""")),
+
     // benchmark decontamination: corpus docs sharing any word 8-gram
     // with the benchmark slice (doc_id % 10 == 8) are flagged with
     // their distinct-hit count; broadcast bench grams, no corpus

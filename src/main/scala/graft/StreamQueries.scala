@@ -83,6 +83,20 @@ object StreamQueries {
           WHERE b.user_id = v.user_id AND b.event_type = 'purchase'
             AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR)""")),
 
+    // positive attribution, NATIVE stream-stream left SEMI join:
+    // views that converted within the hour, emitted at most once,
+    // match state watermark-bounded on both sides; the oracle is the
+    // batch EXISTS
+    Q("st_stream_semi_join", (s, dir) => StreamOps.streamStreamSemiJoin(s, dir),
+      Some("""
+      SELECT v.event_id AS view_id, v.user_id
+      FROM events v
+      WHERE v.event_type = 'view' AND v.user_id < 50
+        AND EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = v.user_id AND b.event_type = 'purchase'
+            AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR)""")),
+
     // stream-static enrichment: each micro-batch broadcast-joins the
     // batch dimension table, then aggregates per tier
     Q("st_stream_static_join", (s, dir) => StreamOps.streamStaticJoin(s, dir),

@@ -324,6 +324,48 @@ object Dedup {
     out
   }
 
+  /** Bloom-filter affine bit hashes: bit_i(t) = ((a_i·polyHash(t) +
+    * b_i) mod P) mod m — the same engine-independent family as the
+    * MinHash permutations and the Count-Min cells, so DuckDB mirrors
+    * bit placement 1:1.
+    */
+  val BloomParams: Seq[(Long, Long)] =
+    Seq((7L, 3L), (13L, 17L), (31L, 29L), (61L, 59L))
+
+  private def bloomBitArray(item: Column, m: Int): Column =
+    array(BloomParams.map { case (a, b) =>
+      ((polyHash(item) * a + b) % P) % m.toLong }: _*)
+
+  /** Bloom membership sketch BUILD: the distinct set bits (k = 4
+    * affine hashes into m positions) over a string item column. The
+    * mergeable set-membership primitive completing the sketch family
+    * (KMV = distinct counts, Count-Min = frequencies, Bloom =
+    * membership): at most m rows whatever the corpus size — broadcast
+    * it, union-merge shards by distinct-union of bits. The classic
+    * cross-snapshot "have we ingested this before?" pre-filter: no
+    * false negatives, false positives at the usual (1−e^{−kn/m})^k.
+    */
+  def bloomBits(items: DataFrame, itemCol: String = "item",
+      m: Int = 8192): DataFrame =
+    items.select(explode(bloomBitArray(col(itemCol), m)).as("bit")).distinct()
+
+  /** Probe a built Bloom sketch: adds `maybe_seen` (1 iff ALL k bits
+    * are set — possibly a false positive, never a false negative).
+    * Extra columns on `probes` ride through. Broadcast the (≤ m row)
+    * bit set; the probe side is one map pass + a per-item all-bits
+    * conjunction.
+    */
+  def bloomProbe(bits: DataFrame, probes: DataFrame,
+      itemCol: String = "item", m: Int = 8192): DataFrame = {
+    val keep = probes.columns.filterNot(_ == itemCol)
+    probes
+      .select((col(itemCol) +: keep.map(col) :+
+        explode(bloomBitArray(col(itemCol), m)).as("bit")): _*)
+      .join(broadcast(bits.withColumn("__hit", lit(1L))), Seq("bit"), "left")
+      .groupBy((itemCol +: keep).map(col): _*)
+      .agg(min(coalesce(col("__hit"), lit(0L))).as("maybe_seen"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word-level n-gram with a benchmark/eval set — the standard
     * "remove test-set leakage before training" pipeline step (13-gram

@@ -386,7 +386,7 @@ object StreamOps {
     * rounds (same choreography as [[watermarkedHourlyCounts]]).
     */
   def streamStreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
-    streamStreamOuterJoinImpl(spark, dir, anti = false)
+    streamStreamOuterJoinImpl(spark, dir, mode = "outer")
 
   /** Stream-stream LEFT ANTI interval join: views with NO purchase by
     * the same user within the following hour — the negative-attribution
@@ -399,10 +399,20 @@ object StreamOps {
     * closes.
     */
   def streamStreamAntiJoin(spark: SparkSession, dir: String): DataFrame =
-    streamStreamOuterJoinImpl(spark, dir, anti = true)
+    streamStreamOuterJoinImpl(spark, dir, mode = "anti")
+
+  /** Stream-stream LEFT SEMI interval join: views that DID convert —
+    * a purchase by the same user within the following hour. Unlike the
+    * anti case this is a NATIVE Structured Streaming join type
+    * (`left_semi`): each view is emitted at most once, match state is
+    * watermark-bounded on both sides, and the purchase columns never
+    * materialize.
+    */
+  def streamStreamSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamOuterJoinImpl(spark, dir, mode = "semi")
 
   private def streamStreamOuterJoinImpl(spark: SparkSession, dir: String,
-      anti: Boolean): DataFrame = {
+      mode: String): DataFrame = {
     import spark.implicits._
     val ev = graft.core.Tables(spark, dir, "events")
       .filter(col("user_id") < 50)
@@ -427,15 +437,18 @@ object StreamOps {
     val b = src(buyDrops, buyRows.schema, "buy")
       .withColumnRenamed("user_id", "buy_user")
       .withWatermark("buy_ts", "1 hour")
-    val joined0 = v.join(b,
-      col("user_id") === col("buy_user") &&
-        col("buy_ts") >= col("view_ts") &&
-        col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
-      "left_outer")
-    val joined =
-      if (anti) joined0.filter(col("buy_id").isNull)
+    val joinCond = col("user_id") === col("buy_user") &&
+      col("buy_ts") >= col("view_ts") &&
+      col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR")
+    val joined = mode match {
+      case "semi" => v.join(b, joinCond, "left_semi")
         .select(col("view_id"), col("user_id"))
-      else joined0.select(col("view_id"), col("buy_id"), col("user_id"))
+      case "anti" => v.join(b, joinCond, "left_outer")
+        .filter(col("buy_id").isNull)
+        .select(col("view_id"), col("user_id"))
+      case _ => v.join(b, joinCond, "left_outer")
+        .select(col("view_id"), col("buy_id"), col("user_id"))
+    }
     val name = s"st_ssoj_${System.nanoTime()}"
     val (q, ckpt) = startQuery(spark, joined, name, "append")
     try {

@@ -252,7 +252,13 @@ class SparqlFuzzSpec extends GraftSuite {
       // reading one partial var — both planes must agree on survivors
       """SELECT * WHERE {
          { ?s :name ?nm } UNION { ?s :nation ?n } .
-         OPTIONAL { ?s :acctbal ?b . FILTER(?b > 0) } }""")
+         OPTIONAL { ?s :acctbal ?b . FILTER(?b > 0) } }""",
+      // the shared var (?n) is nullable on BOTH sides: the partitioned
+      // id join tiles (l null?, r null?) into three branches — bound
+      // hash join + the two §18.3 fan-out slices
+      """SELECT * WHERE {
+         { ?s :nation ?n } UNION { ?s a :Customer } .
+         { ?n :name ?nn } UNION { ?nn a :Region } }""")
     for (text <- shapes)
       assert(rowsEnc(text).sorted == rows(text).sorted, text)
   }
