@@ -83,6 +83,19 @@ object StreamQueries {
           WHERE b.user_id = v.user_id AND b.event_type = 'purchase'
             AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR)""")),
 
+    // the complete attribution picture, NATIVE stream-stream FULL
+    // OUTER interval join: conversions, abandoned views AND walk-in
+    // purchases each emit exactly once; unmatched rows surface when
+    // their own side's watermark passes the join window
+    Q("st_stream_full_join", (s, dir) => StreamOps.streamStreamFullJoin(s, dir),
+      Some("""
+      SELECT v.event_id AS view_id, b.event_id AS buy_id,
+             coalesce(v.user_id, b.user_id) AS user_id
+      FROM (SELECT * FROM events WHERE event_type='view' AND user_id < 50) v
+      FULL JOIN (SELECT * FROM events WHERE event_type='purchase' AND user_id < 50) b
+        ON b.user_id = v.user_id
+       AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR""")),
+
     // positive attribution, NATIVE stream-stream left SEMI join:
     // views that converted within the hour, emitted at most once,
     // match state watermark-bounded on both sides; the oracle is the

@@ -411,6 +411,16 @@ object StreamOps {
   def streamStreamSemiJoin(spark: SparkSession, dir: String): DataFrame =
     streamStreamOuterJoinImpl(spark, dir, mode = "semi")
 
+  /** Stream-stream FULL OUTER interval join — both unmatched views AND
+    * unmatched purchases surface (the complete attribution picture:
+    * conversions, abandoned views, walk-in purchases). Native join
+    * type; each side's unmatched rows emit once their own watermark
+    * passes the join window. Completes the stream-stream join family:
+    * inner, left outer, full outer, semi, anti.
+    */
+  def streamStreamFullJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamOuterJoinImpl(spark, dir, mode = "full")
+
   private def streamStreamOuterJoinImpl(spark: SparkSession, dir: String,
       mode: String): DataFrame = {
     import spark.implicits._
@@ -446,6 +456,10 @@ object StreamOps {
       case "anti" => v.join(b, joinCond, "left_outer")
         .filter(col("buy_id").isNull)
         .select(col("view_id"), col("user_id"))
+      case "full" => v.join(b, joinCond, "full_outer")
+        // either side may be the unmatched one; merge the user key
+        .select(col("view_id"), col("buy_id"),
+          coalesce(col("user_id"), col("buy_user")).as("user_id"))
       case _ => v.join(b, joinCond, "left_outer")
         .select(col("view_id"), col("buy_id"), col("user_id"))
     }
@@ -469,7 +483,13 @@ object StreamOps {
       viewDrops.cleanup()
       buyDrops.cleanup()
     }
-    spark.table(name).filter(col("view_id") >= 0)
+    // sentinel drain rows carry negative ids; a full-outer unmatched
+    // side is NULL and must survive the filter
+    if (mode == "full")
+      spark.table(name).filter(
+        coalesce(col("view_id"), lit(0L)) >= 0 &&
+          coalesce(col("buy_id"), lit(0L)) >= 0)
+    else spark.table(name).filter(col("view_id") >= 0)
   }
 
   /** Batch `session_window` sessionization (30-min inactivity gap):
