@@ -100,6 +100,30 @@ class PlanQualitySpec extends GraftSuite {
       s"semdedup pair join lost its cluster key:\n$pd")
   }
 
+  test("sketches and two-stage retrieval keep their scale shapes") {
+    // Bloom probe: the (<= m row) bit set broadcasts against the
+    // probe-side scan — never a shuffle join
+    val pb = plan("d_bloom_membership")
+    assert(pb.contains("BroadcastHashJoin"),
+      s"bloom bit set does not broadcast:\n$pb")
+    // Count-Min estimate: the (<= d*w cell) sketch broadcasts; the
+    // build is a combinable aggregate (partial before the exchange)
+    val pc = plan("t_cms_heavy")
+    assert(pc.contains("BroadcastHashJoin"),
+      s"count-min sketch does not broadcast:\n$pc")
+    assert(pc.contains("partial_count"),
+      s"sketch build lost map-side combine:\n$pc")
+    // int8 coarse + rescore: probes broadcast against one corpus scan,
+    // never a shuffle join of the corpus
+    val pi = plan("s_int8_rescore")
+    assert(!pi.contains("SortMergeJoin"),
+      s"int8 probe side must broadcast, not shuffle:\n$pi")
+    // RRF: the fusion join runs on two truncated lists — anything but
+    // a cartesian is fine; pin the absence
+    val pr = plan("s_rrf_hybrid")
+    assert(!pr.contains("CartesianProduct"), s"cartesian in RRF fuse:\n$pr")
+  }
+
   test("t_entropy: per-term fixed-point work is partial-aggregated") {
     val p = plan("t_entropy")
     // (doc_id, tok) count and the final per-doc sum both combine
