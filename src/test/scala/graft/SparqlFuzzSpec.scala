@@ -302,6 +302,15 @@ class SparqlFuzzSpec extends GraftSuite {
         ?s :nation ?n0 . ?n0 :name ?nn0 .
         FILTER(STRLEN(?nn0) * 1000 > ?b + $t) } ORDER BY ?s ?b""")
       assert(mix == mixManual, s"threshold $t (mixed)")
+      // invisible-OPTIONAL drop law: EXISTS { A OPTIONAL B } ≡
+      // EXISTS { A } when nothing reads B's vars — for every
+      // threshold, correlated-inside-the-optional or not
+      val opt = rows(s"""SELECT ?s ?b WHERE { ?s :acctbal ?b .
+        FILTER EXISTS { ?s :nation ?n .
+          OPTIONAL { ?n :name ?x . FILTER(?b > $t) } } } ORDER BY ?s ?b""")
+      val optBase = rows(s"""SELECT ?s ?b WHERE { ?s :acctbal ?b .
+        FILTER EXISTS { ?s :nation ?n } } ORDER BY ?s ?b""")
+      assert(opt == optBase, s"threshold $t (optional drop)")
     }
   }
 }
