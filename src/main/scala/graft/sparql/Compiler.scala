@@ -381,7 +381,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
             comp(Filter(d,
               ds.take(i).map(negE).foldRight(input)((n, acc) => Filter(n, acc))))
           }
-          return parts.reduce(_ union _)
+          // by NAME: branches may compile through different paths
+          // (direct semi, correlated, id-plane) with different column
+          // orders — a positional union would silently mis-zip
+          return parts.reduce(_ unionByName _)
         case _ => ()
       }
       // value-expression FILTER over an encodable tree: the BGP joins
