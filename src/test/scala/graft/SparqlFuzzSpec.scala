@@ -263,6 +263,40 @@ class SparqlFuzzSpec extends GraftSuite {
       assert(rowsEnc(text).sorted == rows(text).sorted, text)
   }
 
+  test("struct and id planes agree on random UNION/OPTIONAL/EXISTS mixes") {
+    // adversarial generator for the nullable-id machinery: UNION
+    // leaves with branch-partial vars joined against tails that share
+    // a bound, a partial, or no var; OPTIONAL tails (the partitioned
+    // left join); EXISTS conjunctions/disjunctions (the partition-
+    // union split) over the unioned scope
+    val branchPool = Seq(
+      "?s a :Customer", "?s :nation ?n", "?s :name ?nm",
+      "?s :acctbal ?b", "?s :mktsegment ?ms", "?s :nation [ :name ?nn ]")
+    val tailPool = Seq(
+      "?s :acctbal ?b .", "?n :name ?nn .",
+      "OPTIONAL { ?s :acctbal ?b }", "OPTIONAL { ?n :name ?nn }",
+      "OPTIONAL { ?s :name ?nm . FILTER(?b > 0) }", "")
+    val existsPool = Seq(
+      "FILTER(EXISTS { ?s :nation ?zn } || EXISTS { ?s a :Customer })",
+      "FILTER(EXISTS { ?s :acctbal ?zb . FILTER(?zb > 2000) } || " +
+        "EXISTS { ?s :mktsegment \"BUILDING\" })",
+      "FILTER(NOT EXISTS { ?s :acctbal ?zb } && EXISTS { ?s :nation ?zn })",
+      "FILTER NOT EXISTS { ?s :nation ?zn . OPTIONAL { ?zn :name ?zx } }",
+      "")
+    val gen = for {
+      b1 <- Gen.oneOf(branchPool)
+      b2 <- Gen.oneOf(branchPool.filterNot(_ == b1))
+      tail <- Gen.oneOf(tailPool)
+      ex <- Gen.oneOf(existsPool)
+      distinct <- Gen.oneOf(true, false)
+    } yield (b1, b2, tail, ex, distinct)
+    forAllSampled(gen, 14) { case (b1, b2, tail, ex, distinct) =>
+      val d = if (distinct) "DISTINCT " else ""
+      val text = s"SELECT $d* WHERE { { $b1 } UNION { $b2 } . $tail $ex }"
+      assert(rowsEnc(text).sorted == rows(text).sorted, text)
+    }
+  }
+
   test("degenerate shapes: empty group, unbound-only filter, zero limit") {
     assert(rows("SELECT * WHERE { }").size == 1) // Unit0 solution
     assert(rows("SELECT ?s WHERE { ?s a :Customer . FILTER(?nope) }").isEmpty)
