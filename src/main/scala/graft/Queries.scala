@@ -532,6 +532,22 @@ object Queries {
       FROM tc JOIN sk ON sk.r = tc.r AND sk.cell = tc.cell
       GROUP BY 1, 2""")),
 
+    // HyperLogLog distinct-count registers: the constant-size
+    // cardinality sketch (m=256 buckets, bucketwise-max mergeable; no
+    // DISTINCT shuffle — max absorbs duplicates map-side). Register
+    // arithmetic is integer-only (bit ops + comparison ladder), so both
+    // engines agree bit-for-bit.
+    Q("t_hll_registers", (s, dir) =>
+      graft.ext.Sketches.hllRegisters(
+        t(s, dir, "customer").select(col("c_name").as("term"))),
+      Some(s"""
+      WITH hh AS (SELECT ${graft.ext.Sketches.hllMixSql(duckPh("c_name"))} AS h FROM customer),
+      rr AS (SELECT (h & 255)::INT AS bucket, (h >> 8) AS r FROM hh)
+      SELECT bucket,
+             max(CASE WHEN r = 0 THEN ${graft.ext.Sketches.HllSuffixBits + 1}
+                      ELSE ${graft.ext.Sketches.HllSuffixBits} - (${graft.ext.Sketches.floorLog2Sql("r")}) END)::INT AS rho
+      FROM rr GROUP BY 1""")),
+
     Q("t_lang_id", (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess")),

@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches (HyperLogLog).
+  *
+  * Completes the sketch family (KMV distinct sample `q_kmv_distinct`,
+  * Count-Min frequencies `t_cms_heavy`, Bloom membership
+  * `d_bloom_membership`) with the constant-size distinct-count
+  * register sketch: at 100 TB the build is ONE map pass over the term
+  * stream plus a combinable `groupBy` onto at most `m` buckets (no
+  * DISTINCT shuffle of the terms themselves — `max` absorbs
+  * duplicates), the whole sketch is `m` small integers, and shards
+  * merge by bucketwise max. Reference scope: the engine's
+  * COUNT(DISTINCT …) surface (delegated SPARQL §18.5.1 aggregate
+  * family); this is the approximate path a 100 TB deployment needs.
+  *
+  * Engine-exactness: the register arithmetic is integer-only — the
+  * shared 30-bit `polyHash` splits into `bucket = h mod m` and a
+  * suffix `r = h div m` (< 2^22), and `rho` (the HLL "first one bit"
+  * position) comes from an explicit comparison ladder rather than a
+  * floating log2, so DuckDB mirrors every register bit-for-bit.
+  */
+object Sketches {
+
+  /** Number of registers (2^8). */
+  val HllM = 256
+
+  /** Bits in the hash suffix `h / HllM`: polyHash < 1e9+7 < 2^30. */
+  val HllSuffixBits = 22
+
+  /** Avalanche finalizer: raw polyHash has weak high-bit diffusion
+    * (sequential keys yield clustered suffixes, which biases the rho
+    * geometric tail 5× low). Two rounds of Fibonacci-multiply mod P +
+    * xorshift restore it. All intermediates stay below 2^62 (h < 2^30,
+    * multiplier < 2^32), so DuckDB BIGINT arithmetic never overflows
+    * and both engines mirror the mix exactly.
+    */
+  private val HllMixMult = 2654435761L
+  private val HllP = 1000000007L
+
+  private def hllMix(h0: Column): Column = {
+    val h1 = (h0 * HllMixMult) % HllP
+    val h2 = h1.bitwiseXOR(shiftright(h1, 13))
+    val h3 = (h2 * HllMixMult) % HllP
+    h3.bitwiseXOR(shiftright(h3, 13))
+  }
+
+  /** Same finalizer as DuckDB SQL (xor() is DuckDB's bitwise xor). */
+  def hllMixSql(e: String): String = {
+    val h1 = s"(($e) * $HllMixMult) % $HllP"
+    val h2 = s"xor(($h1), ($h1) >> 13)"
+    val h3 = s"(($h2) * $HllMixMult) % $HllP"
+    s"xor(($h3), ($h3) >> 13)"
+  }
+
+  /** The mix on a plain Long (test reference). */
+  def hllMixLong(h0: Long): Long = {
+    val h1 = (h0 * HllMixMult) % HllP
+    val h2 = h1 ^ (h1 >> 13)
+    val h3 = (h2 * HllMixMult) % HllP
+    h3 ^ (h3 >> 13)
+  }
+
+  /** floor(log2(r)) for r in [1, 2^22) as a comparison ladder (exact
+    * integer arithmetic, whole-stage-codegen friendly).
+    */
+  private def floorLog2(r: Column): Column =
+    // ascending fold so the LARGEST threshold is the outermost test
+    // (each later `when` wraps the earlier ones as its `otherwise`)
+    (1 to HllSuffixBits - 1).foldLeft(lit(0)) { (acc, k) =>
+      when(r >= (1L << k), k).otherwise(acc)
+    }
+
+  /** Same ladder as a DuckDB SQL expression, generated from the same
+    * constants so the oracle can never drift from the Spark side.
+    */
+  def floorLog2Sql(rExpr: String): String =
+    (HllSuffixBits - 1 to 1 by -1)
+      .map(k => s"WHEN $rExpr >= ${1L << k} THEN $k")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** HLL register table over a `term` column: (bucket, rho) with
+    * rho = position of the highest set bit counted from the top of
+    * the 22-bit suffix (1..22), 23 for an all-zero suffix. One row
+    * per NON-ZERO register (absent buckets are rho=0 empties).
+    */
+  def hllRegisters(terms: DataFrame, term: String = "term"): DataFrame = {
+    val h = hllMix(graft.ext.TextAnalysis.polyHash(col(term)))
+    // h is non-negative, so bucket/suffix are plain bit ops (exact on
+    // both engines; no floating division anywhere)
+    val r = shiftright(h, 8)
+    val rho = when(r === 0L, lit(HllSuffixBits + 1))
+      .otherwise(lit(HllSuffixBits) - floorLog2(r))
+    terms
+      .select(h.bitwiseAND(HllM - 1).cast("int").as("bucket"),
+        rho.cast("int").as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** Merge sketch shards (bucketwise max) — the union-cardinality
+    * composition law. Shards may cover disjoint or overlapping data.
+    */
+  def hllMerge(shards: DataFrame*): DataFrame =
+    shards.reduce(_ unionByName _).groupBy("bucket").agg(max("rho").as("rho"))
+
+  /** Cardinality estimate from a register table (driver-side — the
+    * sketch is at most [[HllM]] rows by construction). Standard HLL
+    * with the small-range linear-counting correction.
+    */
+  def hllEstimate(registers: DataFrame): Double = {
+    val regs = registers.collect()
+      .map(row => row.getInt(0) -> row.getInt(1)).toMap
+    val m = HllM.toDouble
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val zSum = (0 until HllM)
+      .map(b => math.pow(2.0, -regs.getOrElse(b, 0))).sum
+    val raw = alpha * m * m / zSum
+    val zeros = HllM - regs.size
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+}

@@ -270,6 +270,46 @@ class TextOpsSpec extends GraftSuite {
         (r.getInt(0), r.getLong(1), r.getLong(2))))
   }
 
+  test("hyperloglog: register arithmetic, mergeability, estimate accuracy") {
+    import spark.implicits._
+    import graft.ext.Sketches
+    val n = 2000
+    val terms = (1 to n).map(i => f"term$i%05d").toDF("term")
+    val regs = Sketches.hllRegisters(terms).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    // structural contract: at most m registers, rho within the 22-bit
+    // suffix range (+1 for the all-zero suffix)
+    assert(regs.length <= Sketches.HllM)
+    assert(regs.forall { case (b, rho) =>
+      b >= 0 && b < Sketches.HllM && rho >= 1 && rho <= 23 })
+    // rho matches the leading-zeros reference on the same polyHash
+    val hs = terms.select(col("term"),
+      graft.ext.TextAnalysis.polyHash(col("term")).as("h"))
+      .as[(String, Long)].collect()
+    val refRegs = hs.map { case (_, h0) =>
+      val h = Sketches.hllMixLong(h0)
+      val r = h >> 8
+      val rho = if (r == 0L) 23 else java.lang.Long.numberOfLeadingZeros(r) - 41
+      ((h & 255L).toInt, rho)
+    }.groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).max) }
+    assert(regs.toMap == refRegs)
+    // duplicates never move a register (max absorbs multiplicity)
+    val dup = Sketches.hllRegisters(terms.unionByName(terms)).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(dup == regs.toMap)
+    // mergeability: shardwise build + bucketwise max == whole build
+    val (a, b) = ((1 to n / 2).map(i => f"term$i%05d").toDF("term"),
+      (n / 2 + 1 to n).map(i => f"term$i%05d").toDF("term"))
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(a), Sketches.hllRegisters(b)).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(merged == regs.toMap)
+    // estimate within the expected error band (1.04/sqrt(256) ~ 6.5%;
+    // allow 3 sigma on this fixed seedless input — observed ~1%)
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(terms))
+    assert(math.abs(est - n) / n < 0.2, s"estimate $est vs $n")
+  }
+
   test("native GramHashes/SlidingMin ≡ the HOF reference formulation") {
     import spark.implicits._
     // edge battery: empty text, single token, fewer tokens than n,
