@@ -1590,6 +1590,28 @@ object Queries {
       SELECT vec_id, i-1 AS pos, round(embedding[i]::DOUBLE/nrm, 6) AS nval
       FROM ex""")),
 
+    // per-dimension corpus stats (normalization/whitening prep):
+    // combinable fixed-point sums onto exactly 64 keys — one cheap
+    // pass at any corpus size; derived mean/variance mirror the
+    // oracle's division order exactly
+    Q("s_dim_stats", (s, dir) =>
+      Similarity.dimStats(t(s, dir, "embeddings")),
+      Some(s"""
+      WITH ex AS (SELECT embedding, unnest(range(1, len(embedding)+1)) AS i
+                  FROM embeddings),
+      sums AS (
+        SELECT (i-1)::INT AS dim, count(*) AS n,
+               sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sum_micro,
+               sum(CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT)
+                 * CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT))::BIGINT AS sumsq_milli2
+        FROM ex GROUP BY 1)
+      SELECT dim, n, sum_micro, sumsq_milli2,
+             round(sum_micro::DOUBLE / n / 1000000.0, 6) AS mean,
+             round(sumsq_milli2::DOUBLE / n / 1000000.0
+                   - (sum_micro::DOUBLE / n / 1000000.0)
+                     * (sum_micro::DOUBLE / n / 1000000.0), 6) AS variance
+      FROM sums""")),
+
     // matryoshka truncation: keep the first 16 of 64 dims and
     // renormalize to unit length over the kept prefix — the
     // MRL-embedding storage/recall trade, map-only like s_normalize

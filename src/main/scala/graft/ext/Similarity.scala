@@ -199,6 +199,32 @@ object Similarity {
     * hyperplanes, deterministic coefficients from (plane, dim) via a
     * fixed LCG — engine-independent, no trained state to ship.
     */
+  /** Per-dimension corpus statistics over the embedding column — the
+    * normalization/whitening-prep pass (feature means for centering,
+    * second moments for scaling). One `posexplode` + a combinable
+    * groupBy onto exactly `dim` keys: map-side partial sums make the
+    * shuffle `O(partitions × dim)` regardless of corpus size, so this
+    * is a single cheap pass at 100 TB. Sums are FIXED-POINT integers
+    * (micro-units for Σv, milli² units for Σv²) so the distributed
+    * sum is order-independent and cross-engine exact; the derived
+    * mean/variance divisions mirror the oracle's expression order.
+    */
+  def dimStats(corpus: DataFrame, emb: String = "embedding"): DataFrame = {
+    val vMicro = round(col("v").cast("double") * 1e6, 0).cast("long")
+    val vMilli = round(col("v").cast("double") * 1e3, 0).cast("long")
+    corpus.select(posexplode(col(emb))).toDF("dim", "v")
+      .groupBy(col("dim").cast("int").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(vMicro).as("sum_micro"),
+        sum(vMilli * vMilli).as("sumsq_milli2"))
+      .withColumn("mean",
+        round(col("sum_micro").cast("double") / col("n") / 1e6, 6))
+      .withColumn("variance",
+        round(col("sumsq_milli2").cast("double") / col("n") / 1e6
+          - (col("sum_micro").cast("double") / col("n") / 1e6)
+            * (col("sum_micro").cast("double") / col("n") / 1e6), 6))
+  }
+
   def lshBucket(emb: Column, bits: Int = 8): Column = {
     val planes = (0 until bits).map { p =>
       // per-dimension pseudo-random weight in [-1,1): frac((p+1)*i*phi)

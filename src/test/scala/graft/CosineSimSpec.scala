@@ -138,6 +138,20 @@ class CosineSimSpec extends GraftSuite {
     assert(diff.isEmpty, "native and HOF polyHash must agree exactly")
   }
 
+  test("dimStats: hand-computed fixed-point sums and derived moments") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f)),
+      (2L, Seq(0.25f, 0.5f))).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.dimStats(df).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    // dim 0: v = 1.0, 0.25 → Σmicro 1250000, Σ(milli²) 1000000+62500
+    assert(got(0) == ((2L, 1250000L, 1062500L, 0.625, 0.140625)))
+    // dim 1: v = -0.5, 0.5 → Σmicro 0, Σ(milli²) 2·250000
+    assert(got(1) == ((2L, 0L, 500000L, 0.0, 0.25)))
+  }
+
   test("expression participates in whole-stage codegen") {
     val e = Tables(spark, sf, "embeddings")
     val plan = e.select(CosineSim(col("embedding"), col("embedding")).as("c"))
