@@ -201,6 +201,29 @@ object Queries {
                         ELSE 255 / max(f) END, 2) AS est_distinct
       FROM mins""")),
 
+    // mergeable equi-width histogram + interpolated quantiles: the
+    // constant-size approximate-percentile path (exact percentile
+    // buffers every value per group; this holds ~100 bin counts, the
+    // cumulative walk is a window over the TINY histogram)
+    Q("q_hist_quantile", (s, dir) =>
+      graft.ext.Sketches.histQuantiles(
+        t(s, dir, "lineitem"), "l_extendedprice"),
+      Some("""
+      WITH h AS (
+        SELECT CAST(round(l_extendedprice::DOUBLE*100) AS BIGINT) // 100000 AS bin,
+               count(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM h),
+      c2 AS (SELECT bin, cnt, cum, cum - cnt AS prev FROM c),
+      tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM h),
+      qs(q) AS (VALUES (0.5),(0.9),(0.99))
+      SELECT q, n_total,
+             round((bin*100000 + 100000*(target-prev)/cnt)/100.0, 4) AS est
+      FROM (SELECT c2.*, n_total, q,
+                   CAST(ceil(q*n_total) AS BIGINT) AS target
+            FROM c2, tot, qs)
+      WHERE cum >= target AND prev < target""")),
+
     // explicit GROUPING SETS (beyond rollup/cube): two one-dimension
     // cuts + grand total in ONE shuffle pass over the fact table
     Q("q_grouping_sets", (s, dir) => {

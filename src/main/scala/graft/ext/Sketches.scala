@@ -105,6 +105,53 @@ object Sketches {
   def hllMerge(shards: DataFrame*): DataFrame =
     shards.reduce(_ unionByName _).groupBy("bucket").agg(max("rho").as("rho"))
 
+  /** Mergeable equi-width histogram over a 2-decimal money column:
+    * bin = integer-cents div `widthCents`. Combinable groupBy onto a
+    * range-bounded handful of bins (map-side partial counts — the
+    * shuffle is O(partitions × bins) at any corpus size); shards
+    * merge by binwise sum. Integer arithmetic end-to-end, so both
+    * engines bin identically (no float-division knife edges).
+    */
+  def histogram(df: DataFrame, valueCol: String,
+      widthCents: Long): DataFrame = {
+    val cents = round(col(valueCol).cast("double") * 100, 0).cast("long")
+    df.select(cents.as("c"))
+      .groupBy(expr(s"c div $widthCents").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Interpolated quantiles from the histogram — the approximate
+    *-percentile path for 100 TB (the exact `percentile` aggregate
+    * holds per-group value buffers; this holds `bins` integers). The
+    * cumulative walk runs as a window over the TINY histogram (its
+    * size is value-range/width — independent of corpus size), so the
+    * single-partition sort is bounded by construction. Estimate =
+    * linear interpolation inside the target bin, expression order
+    * mirrored by the oracle.
+    */
+  def histQuantiles(df: DataFrame, valueCol: String,
+      widthCents: Long = 100000L,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = histogram(df, valueCol, widthCents)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bin").rowsBetween(Long.MinValue, 0)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val total = hist.agg(sum("cnt").as("n_total"))
+    val qdf = qs.toDF("q")
+    cum.crossJoin(broadcast(total)).crossJoin(broadcast(qdf))
+      .withColumn("target",
+        ceil(col("q") * col("n_total")).cast("long"))
+      .filter(col("cum") >= col("target") && col("prev") < col("target"))
+      .select(col("q"), col("n_total"),
+        round((col("bin") * widthCents
+          + lit(widthCents) * (col("target") - col("prev")) / col("cnt"))
+          / 100.0, 4).as("est"))
+  }
+
   /** Cardinality estimate from a register table (driver-side — the
     * sketch is at most [[HllM]] rows by construction). Standard HLL
     * with the small-range linear-counting correction.

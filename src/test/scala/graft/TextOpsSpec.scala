@@ -310,6 +310,36 @@ class TextOpsSpec extends GraftSuite {
     assert(math.abs(est - n) / n < 0.2, s"estimate $est vs $n")
   }
 
+  test("histogram quantiles: mergeability and one-bin accuracy bound") {
+    import spark.implicits._
+    import graft.ext.Sketches
+    val li = graft.core.Tables(spark, sf, "lineitem")
+    val width = 100000L // $1000 bins
+    // mergeability: shard histograms (split by parity) sum to the whole
+    val a = Sketches.histogram(li.filter(col("l_orderkey") % 2 === 0),
+      "l_extendedprice", width)
+    val b = Sketches.histogram(li.filter(col("l_orderkey") % 2 === 1),
+      "l_extendedprice", width)
+    val merged = a.withColumnRenamed("cnt", "ca")
+      .join(b.withColumnRenamed("cnt", "cb"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    val whole = Sketches.histogram(li, "l_extendedprice", width)
+      .as[(Long, Long)].collect().toMap
+    assert(merged == whole)
+    // each interpolated quantile is within one bin width of the exact one
+    val est = Sketches.histQuantiles(li, "l_extendedprice", width)
+      .select(col("q"), col("est")).as[(Double, Double)].collect().toMap
+    val exact = li.selectExpr(
+      "percentile(l_extendedprice, 0.5)", "percentile(l_extendedprice, 0.9)",
+      "percentile(l_extendedprice, 0.99)")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(est(0.5) - exact._1) <= 1000.0, s"$est vs $exact")
+    assert(math.abs(est(0.9) - exact._2) <= 1000.0, s"$est vs $exact")
+    assert(math.abs(est(0.99) - exact._3) <= 1000.0, s"$est vs $exact")
+  }
+
   test("native GramHashes/SlidingMin ≡ the HOF reference formulation") {
     import spark.implicits._
     // edge battery: empty text, single token, fewer tokens than n,
