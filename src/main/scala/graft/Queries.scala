@@ -673,6 +673,37 @@ object Queries {
             < floor(r.rate * 1000)
       GROUP BY 1, 2, 3""")),
 
+    // deterministic importance resampling: materialize floor(w) copies
+    // + one Bernoulli(frac(w)) extra per doc, weight = 2x quality —
+    // the APPLY step for mixture weights (upsampling, unlike the
+    // keep-rate gates); map-only, rerun-stable hash draw
+    Q("t_importance_sample", (s, dir) =>
+      TextAnalysis.importanceResample(
+        t(s, dir, "documents"),
+        TextAnalysis.qualityScore(col("text")) * 2.0),
+      Some(s"""
+      WITH f AS (
+        SELECT doc_id,
+               len(string_split(text,' '))::DOUBLE AS n,
+               len(list_filter(string_split(text,' '),
+                 t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE AS stop,
+               len(text)::DOUBLE AS chars
+        FROM documents),
+      wts AS (
+        SELECT doc_id,
+               round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
+                     + least(round(stop/n,6)*4.0, 1.0)
+                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) * 2.0 AS w
+        FROM f),
+      draw AS (
+        SELECT doc_id, w,
+               (${duckPh("'rs:' || CAST(doc_id AS VARCHAR)")} * 2654435761 % 1000000007)::DOUBLE / 1000000007.0 AS u
+        FROM wts)
+      SELECT doc_id,
+             CAST(floor(w) + (CASE WHEN u < w - floor(w) THEN 1.0 ELSE 0.0 END) AS BIGINT) AS n_copies
+      FROM draw
+      WHERE CAST(floor(w) + (CASE WHEN u < w - floor(w) THEN 1.0 ELSE 0.0 END) AS BIGINT) > 0""")),
+
     // per-source document cap: at most 10 docs per source, picked in
     // scrambled-hash order — the domain-cap curation primitive; one
     // window shuffle on source, rerun-stable kept set

@@ -156,6 +156,31 @@ object TextAnalysis {
       round((lit(1.0) / sqrt(col("n").cast("double"))) / col("mr"), 6).as("rate"))
   }
 
+  /** Deterministic importance resampling: materialize ⌊w⌋ copies of
+    * each document plus one more with probability frac(w) — the
+    * standard way to APPLY per-document mixture weights (quality
+    * upweighting, source temperature) as a physical corpus. Map-only
+    * and rerun-stable: the Bernoulli draw is the scrambled doc-id
+    * hash, so every engine and every shard materializes the same
+    * copy counts (expectation E[n_copies] = w exactly). Pairs with
+    * [[temperatureRates]] (rates ≤ 1 downsample; weights > 1 here
+    * upsample).
+    */
+  def importanceResample(docs: org.apache.spark.sql.DataFrame,
+      weight: Column): org.apache.spark.sql.DataFrame = {
+    // scrambled draw (the mixBucket multiplier): raw polyHash of
+    // short sequential keys is NOT uniform — P(u < 0.5) ≈ 0.1
+    val u = (polyHash(concat(lit("rs:"), col("doc_id").cast("string")))
+      * 2654435761L % 1000000007L).cast("double") / 1000000007.0
+    docs.select(col("doc_id"), weight.as("w"))
+      .withColumn("n_copies",
+        (floor(col("w")) +
+          when(u < col("w") - floor(col("w")), 1.0).otherwise(0.0))
+          .cast("long"))
+      .filter(col("n_copies") > 0)
+      .select("doc_id", "n_copies")
+  }
+
   /** Deterministic train/valid/test split assignment from the document
     * id — the same scrambled-hash bucketing as [[sampleMixture]], cut
     * at the cumulative percent boundaries. Map-only and stateless:

@@ -310,6 +310,24 @@ class TextOpsSpec extends GraftSuite {
     assert(math.abs(est - n) / n < 0.2, s"estimate $est vs $n")
   }
 
+  test("importance resampling: copy bounds, expectation, determinism") {
+    import spark.implicits._
+    val docs = (1L to 10000L).toDF("doc_id")
+    def total(w: Double): Long = graft.ext.TextAnalysis
+      .importanceResample(docs, lit(w))
+      .agg(sum("n_copies")).as[Long].head()
+    // every count is floor(w) or ceil(w); totals track n*w within 3%
+    val t15 = total(1.5)
+    assert(math.abs(t15 - 15000) < 450, s"E[sum]=15000 got $t15")
+    val t025 = total(0.25)
+    assert(math.abs(t025 - 2500) < 300, s"E[sum]=2500 got $t025")
+    val counts = graft.ext.TextAnalysis.importanceResample(docs, lit(2.75))
+      .select("n_copies").as[Long].collect()
+    assert(counts.forall(c => c == 2L || c == 3L))
+    // rerun-stable (same hash draw)
+    assert(total(1.5) == t15)
+  }
+
   test("histogram quantiles: mergeability and one-bin accuracy bound") {
     import spark.implicits._
     import graft.ext.Sketches
