@@ -1666,6 +1666,38 @@ object Queries {
                      * (sum_micro::DOUBLE / n / 1000000.0), 6) AS variance
       FROM sums""")),
 
+    // upper-triangle Gram/covariance matrix (PCA prep): map-local d²
+    // amplification folded to d(d+1)/2 keys by partial aggregation;
+    // fixed-point second moments, covariance mirrors the oracle's
+    // division order
+    Q("s_gram_matrix", (s, dir) =>
+      Similarity.gramMatrix(t(s, dir, "embeddings")),
+      Some(s"""
+      WITH e1 AS (SELECT embedding, unnest(range(1, len(embedding)+1)) AS i
+                  FROM embeddings),
+      e2 AS (SELECT i, embedding, unnest(range(1, len(embedding)+1)) AS j
+             FROM e1),
+      p AS (
+        SELECT (i-1)::INT AS i, (j-1)::INT AS j,
+               CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT)
+                 * CAST(round(embedding[j]::DOUBLE * 1000) AS BIGINT) AS prod
+        FROM e2 WHERE j >= i),
+      sums AS (
+        SELECT i, j, count(*) AS n, sum(prod)::BIGINT AS sum_milli2
+        FROM p GROUP BY 1, 2),
+      mex AS (SELECT embedding, unnest(range(1, len(embedding)+1)) AS i
+              FROM embeddings),
+      means AS (
+        SELECT (i-1)::INT AS dim,
+               round(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))::DOUBLE
+                     / count(*) / 1000000.0, 6) AS mean
+        FROM mex GROUP BY 1)
+      SELECT s.i, s.j, s.n, s.sum_milli2,
+             round(s.sum_milli2::DOUBLE / s.n / 1000000.0
+                   - mi.mean * mj.mean, 6) AS cov
+      FROM sums s JOIN means mi ON mi.dim = s.i
+                  JOIN means mj ON mj.dim = s.j""")),
+
     // matryoshka truncation: keep the first 16 of 64 dims and
     // renormalize to unit length over the kept prefix — the
     // MRL-embedding storage/recall trade, map-only like s_normalize

@@ -225,6 +225,62 @@ object Similarity {
             * (col("sum_micro").cast("double") / col("n") / 1e6), 6))
   }
 
+  /** Upper-triangle Gram/covariance matrix of the embedding corpus —
+    * the PCA/whitening cross-moment pass. Scale shape: the d²-fold
+    * row amplification is map-LOCAL (two chained generators, fully
+    * pipelined); hash partial aggregation folds every partition down
+    * to at most d(d+1)/2 keys before the shuffle, so the exchange is
+    * O(partitions × d²) longs no matter the corpus size. Second
+    * moments are fixed-point milli² sums (order-independent, cross-
+    * engine exact); covariance = E[xy] − E[x]E[y] joins the (tiny,
+    * broadcast) [[dimStats]] means with oracle-mirrored expression
+    * order.
+    */
+  def gramMatrix(corpus: DataFrame, emb: String = "embedding"): DataFrame = {
+    val milli = (c: Column) => round(c.cast("double") * 1e3, 0).cast("long")
+    val pairs = corpus
+      .select(col(emb).as("e"), posexplode(col(emb))).toDF("e", "i", "vi")
+      .select(col("i"), col("vi"), posexplode(col("e"))).toDF("i", "vi", "j", "vj")
+      .filter(col("j") >= col("i"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        (milli(col("vi")) * milli(col("vj"))).as("prod"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("prod").as("sum_milli2"))
+    val means = dimStats(corpus, emb).select(col("dim"), col("mean"))
+    pairs
+      .join(broadcast(means.withColumnRenamed("dim", "i")
+        .withColumnRenamed("mean", "mean_i")), Seq("i"))
+      .join(broadcast(means.withColumnRenamed("dim", "j")
+        .withColumnRenamed("mean", "mean_j")), Seq("j"))
+      .select(col("i"), col("j"), col("n"), col("sum_milli2"),
+        round(col("sum_milli2").cast("double") / col("n") / 1e6
+          - col("mean_i") * col("mean_j"), 6).as("cov"))
+  }
+
+  /** Top principal component from a [[gramMatrix]] result: bounded
+    * deterministic power iteration on the driver — the matrix is
+    * d×d by construction (a few KB at any corpus size), so this is
+    * the correct place for the eigen-solve; only the PROJECTION of
+    * the corpus onto the component is distributed (map-only).
+    */
+  def topComponent(gram: DataFrame, iters: Int = 20): Array[Double] = {
+    val entries = gram.select("i", "j", "cov").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    val d = entries.map(_._1._2).max + 1
+    val m = Array.ofDim[Double](d, d)
+    entries.foreach { case ((i, j), c) => m(i)(j) = c; m(j)(i) = c }
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      v = if (n == 0) v else w.map(_ / n)
+    }
+    // deterministic sign convention: first nonzero coordinate positive
+    val s = v.find(math.abs(_) > 1e-12).map(x => math.signum(x)).getOrElse(1.0)
+    v.map(_ * s)
+  }
+
   def lshBucket(emb: Column, bits: Int = 8): Column = {
     val planes = (0 until bits).map { p =>
       // per-dimension pseudo-random weight in [-1,1): frac((p+1)*i*phi)

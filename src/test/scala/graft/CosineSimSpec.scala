@@ -152,6 +152,33 @@ class CosineSimSpec extends GraftSuite {
     assert(got(1) == ((2L, 0L, 500000L, 0.0, 0.25)))
   }
 
+  test("gramMatrix: hand-computed moments; power iteration finds the dominant axis") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.5f)),
+      (2L, Seq(0.5f, 1.0f))).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.gramMatrix(df).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // milli² sums: (0,0): 1e6+0.25e6; (0,1): 2·0.5e6; (1,1): same as (0,0)
+    assert(got((0, 0)) == ((2L, 1250000L, 0.0625)))
+    assert(got((0, 1)) == ((2L, 1000000L, -0.0625)))
+    assert(got((1, 1)) == ((2L, 1250000L, 0.0625)))
+    // anisotropic cloud along (1,1): dominant component recovers it
+    val cloud = (1 to 200).map { k =>
+      val tAxis = (k % 21 - 10) / 10.0f          // spread along (1,1)
+      val tOrth = (k % 7 - 3) / 30.0f            // small spread along (1,-1)
+      (k.toLong, Seq(tAxis + tOrth, tAxis - tOrth))
+    }.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val pc = graft.ext.Similarity.topComponent(
+      graft.ext.Similarity.gramMatrix(cloud))
+    val inv = 1.0 / math.sqrt(2)
+    assert(math.abs(math.abs(pc(0) * inv + pc(1) * inv) - 1.0) < 0.02,
+      s"expected ±(1,1)/√2, got ${pc.toSeq}")
+  }
+
   test("expression participates in whole-stage codegen") {
     val e = Tables(spark, sf, "embeddings")
     val plan = e.select(CosineSim(col("embedding"), col("embedding")).as("c"))
