@@ -571,6 +571,29 @@ object Queries {
                       ELSE ${graft.ext.Sketches.HllSuffixBits} - (${graft.ext.Sketches.floorLog2Sql("r")}) END)::INT AS rho
       FROM rr GROUP BY 1""")),
 
+    // PMI collocations: adjacent-pair pointwise mutual information in
+    // integer micro-nats — collocation detection / tokenizer-merge
+    // ranking; vocab-bounded combinable counts + broadcast totals
+    Q("t_pmi_collocations", (s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents")),
+      Some("""
+      WITH tok AS (SELECT string_split(text,' ') AS ts FROM documents),
+      uni AS MATERIALIZED (SELECT unnest(ts) AS t FROM tok),
+      bi AS MATERIALIZED (
+        SELECT unnest(list_transform(range(1, len(ts)),
+          i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM tok),
+      nu AS MATERIALIZED (SELECT t, count(*)::BIGINT AS n FROM uni GROUP BY 1),
+      nb AS (SELECT bigram, count(*)::BIGINT AS n_ab FROM bi GROUP BY 1
+             HAVING count(*) >= 5),
+      tu AS (SELECT count(*)::BIGINT AS n_uni FROM uni),
+      tb AS (SELECT count(*)::BIGINT AS n_bi FROM bi)
+      SELECT b.bigram, b.n_ab,
+             CAST(round(ln((b.n_ab::DOUBLE * n_uni * n_uni)
+                           / (n_bi::DOUBLE * na.n * nbu.n)) * 1000000) AS BIGINT) AS pmi_unats
+      FROM nb b
+      JOIN nu na ON na.t = split_part(b.bigram, ' ', 1)
+      JOIN nu nbu ON nbu.t = split_part(b.bigram, ' ', 2), tu, tb""")),
+
     Q("t_lang_id", (s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess")),

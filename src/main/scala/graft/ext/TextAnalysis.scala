@@ -181,6 +181,41 @@ object TextAnalysis {
       .select("doc_id", "n_copies")
   }
 
+  /** PMI collocation mining: pointwise mutual information of adjacent
+    * token pairs vs their unigram frequencies — the collocation /
+    * multi-word-expression detector (and tokenizer-merge candidate
+    * ranking). Combinable bigram + unigram counts (vocab-bounded
+    * groupBys), scalar totals broadcast, PMI in integer micro-nats
+    * (the [[t_unigram_nll]] technique) so both engines agree exactly.
+    */
+  def pmiCollocations(docs: org.apache.spark.sql.DataFrame,
+      minCount: Long = 5): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    // guard: Spark's sequence(1, 0) is DESCENDING [1, 0] — emit no
+    // bigrams for single-token docs instead
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val bi = docs.select(explode(bigrams).as("bigram"))
+    val uni = docs.select(explode(toks).as("t"))
+    val nUni = uni.groupBy("t").agg(count(lit(1)).as("n"))
+    val nBi = bi.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val totU = uni.agg(count(lit(1)).as("n_uni"))
+    val totB = bi.agg(count(lit(1)).as("n_bi"))
+    nBi
+      .withColumn("ta", substring_index(col("bigram"), " ", 1))
+      .withColumn("tb", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(nUni.select(col("t").as("ta"), col("n").as("n_a"))), Seq("ta"))
+      .join(broadcast(nUni.select(col("t").as("tb"), col("n").as("n_b"))), Seq("tb"))
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .select(col("bigram"), col("n_ab"),
+        round(log((col("n_ab").cast("double") * col("n_uni") * col("n_uni"))
+          / (col("n_bi").cast("double") * col("n_a") * col("n_b"))) * 1e6, 0)
+          .cast("long").as("pmi_unats"))
+  }
+
   /** Deterministic train/valid/test split assignment from the document
     * id — the same scrambled-hash bucketing as [[sampleMixture]], cut
     * at the cumulative percent boundaries. Map-only and stateless:

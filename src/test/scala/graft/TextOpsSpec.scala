@@ -310,6 +310,22 @@ class TextOpsSpec extends GraftSuite {
     assert(math.abs(est - n) / n < 0.2, s"estimate $est vs $n")
   }
 
+  test("pmi collocations: hand-computed micro-nat scores") {
+    import spark.implicits._
+    // "x y" always adjacent (strong collocation), "x z" never
+    val docs = (1 to 5).map(i => (i.toLong, "x y q x y w"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.pmiCollocations(docs, 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // unigrams: x=10,y=10,q=5,w=5, N=30; bigrams: per doc 5 → N_bi=25
+    // "x y": n_ab=10, pmi = ln(10·30·30/(25·10·10)) = ln(3.6)
+    val exp = math.round(math.log(10.0 * 30 * 30 / (25.0 * 10 * 10)) * 1e6)
+    assert(got("x y") == ((10L, exp)))
+    // "y q": 5 occurrences, ln(5·900/(25·10·5)) = ln(3.6) too
+    assert(got("y q")._1 == 5L)
+    assert(!got.contains("x z"))
+  }
+
   test("importance resampling: copy bounds, expectation, determinism") {
     import spark.implicits._
     val docs = (1L to 10000L).toDF("doc_id")
