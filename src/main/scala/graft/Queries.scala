@@ -571,6 +571,31 @@ object Queries {
                       ELSE ${graft.ext.Sketches.HllSuffixBits} - (${graft.ext.Sketches.floorLog2Sql("r")}) END)::INT AS rho
       FROM rr GROUP BY 1""")),
 
+    // bigram-LM NLL: conditional-probability perplexity score (catches
+    // scrambled word salad the unigram NLL can't); add-one smoothing,
+    // integer micro-nat contributions, vocab-bounded broadcast counts
+    Q("t_bigram_nll", (s, dir) =>
+      TextAnalysis.bigramNll(t(s, dir, "documents")),
+      Some("""
+      WITH tok AS (SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+      dbi AS MATERIALIZED (
+        SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+          i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM tok),
+      uni AS MATERIALIZED (SELECT unnest(ts) AS t FROM tok),
+      nu AS (SELECT t, count(*)::BIGINT AS c_a FROM uni GROUP BY 1),
+      nb AS (SELECT bigram, count(*)::BIGINT AS c_ab FROM dbi GROUP BY 1),
+      vv AS (SELECT count(DISTINCT t)::BIGINT AS v FROM uni),
+      per AS (
+        SELECT d.doc_id,
+               CAST(round(ln((na.c_a + v)::DOUBLE / (nb.c_ab + 1)) * 1000000) AS BIGINT) AS u
+        FROM dbi d
+        JOIN nb ON nb.bigram = d.bigram
+        JOIN nu na ON na.t = split_part(d.bigram, ' ', 1), vv)
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             sum(u)::BIGINT AS nll_unats,
+             round((sum(u)::BIGINT)::DOUBLE / 1000000.0 / count(*), 6) AS avg_nll
+      FROM per GROUP BY 1""")),
+
     // PMI collocations: adjacent-pair pointwise mutual information in
     // integer micro-nats — collocation detection / tokenizer-merge
     // ranking; vocab-bounded combinable counts + broadcast totals
@@ -1688,6 +1713,34 @@ object Queries {
                    - (sum_micro::DOUBLE / n / 1000000.0)
                      * (sum_micro::DOUBLE / n / 1000000.0), 6) AS variance
       FROM sums""")),
+
+    // per-dimension z-score whitening: the APPLY step for s_dim_stats
+    // (broadcast 64-row stats, map-only normalize; sqrt is correctly-
+    // rounded IEEE so both engines agree)
+    Q("s_whiten", (s, dir) =>
+      Similarity.whiten(t(s, dir, "embeddings")),
+      Some(s"""
+      WITH ex AS (SELECT vec_id, embedding,
+                         unnest(range(1, len(embedding)+1)) AS i
+                  FROM embeddings),
+      st AS (
+        SELECT (i-1)::INT AS dim, count(*) AS n,
+               sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sm,
+               sum(CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT)
+                 * CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT))::BIGINT AS sq
+        FROM ex GROUP BY 1),
+      mv AS (
+        SELECT dim,
+               round(sm::DOUBLE / n / 1000000.0, 6) AS mean,
+               round(sq::DOUBLE / n / 1000000.0
+                     - (sm::DOUBLE / n / 1000000.0)
+                       * (sm::DOUBLE / n / 1000000.0), 6) AS variance
+        FROM st)
+      SELECT vec_id, (i-1)::INT AS dim,
+             CASE WHEN variance > 0
+                  THEN round((embedding[i]::DOUBLE - mean) / sqrt(variance), 6)
+                  ELSE 0.0 END AS z
+      FROM ex JOIN mv ON mv.dim = (i-1)::INT""")),
 
     // upper-triangle Gram/covariance matrix (PCA prep): map-local d²
     // amplification folded to d(d+1)/2 keys by partial aggregation;

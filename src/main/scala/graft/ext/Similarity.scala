@@ -225,6 +225,21 @@ object Similarity {
             * (col("sum_micro").cast("double") / col("n") / 1e6), 6))
   }
 
+  /** Apply [[dimStats]] as a per-dimension z-score (whitening without
+    * rotation): broadcast the 64-row stats table, explode, normalize
+    * map-only. Zero-variance dimensions map to 0 rather than NaN.
+    */
+  def whiten(corpus: DataFrame, emb: String = "embedding"): DataFrame = {
+    val stats = dimStats(corpus, emb).select("dim", "mean", "variance")
+    corpus.select(col("vec_id"), posexplode(col(emb))).toDF("vec_id", "dim", "v")
+      .join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("variance") > 0,
+          round((col("v").cast("double") - col("mean"))
+            / sqrt(col("variance")), 6))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** Upper-triangle Gram/covariance matrix of the embedding corpus —
     * the PCA/whitening cross-moment pass. Scale shape: the d²-fold
     * row amplification is map-LOCAL (two chained generators, fully

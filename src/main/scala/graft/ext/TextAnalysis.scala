@@ -216,6 +216,39 @@ object TextAnalysis {
           .cast("long").as("pmi_unats"))
   }
 
+  /** Bigram-LM negative log-likelihood per document — the CCNet-style
+    * "perplexity vs the corpus itself" quality score upgraded to
+    * conditional (order-sensitive) probabilities: -ln p(w2|w1) with
+    * add-one smoothing, p = (c(w1w2)+1)/(c(w1)+V). Scrambled word
+    * salad scores high even when its unigram mix is typical — the
+    * failure mode the unigram NLL can't see. Per-bigram contributions
+    * are integer micro-nats (exact order-independent sums); corpus
+    * count tables are vocab-bounded and broadcast.
+    */
+  def bigramNll(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    val bigramsOf = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val docBi = docs.select(col("doc_id"), explode(bigramsOf).as("bigram"))
+    val uni = docs.select(explode(toks).as("t"))
+    val nUni = uni.groupBy("t").agg(count(lit(1)).as("c_a"))
+    val nBi = docBi.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val vocab = uni.agg(countDistinct("t").as("v"))
+    docBi
+      .join(broadcast(nBi), Seq("bigram"))
+      .withColumn("ta", substring_index(col("bigram"), " ", 1))
+      .join(broadcast(nUni.withColumnRenamed("t", "ta")), Seq("ta"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("u", round(log((col("c_a") + col("v")).cast("double")
+        / (col("c_ab") + 1)) * 1e6, 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("u").as("nll_unats"))
+      .withColumn("avg_nll",
+        round(col("nll_unats").cast("double") / 1e6 / col("n_bigrams"), 6))
+  }
+
   /** Deterministic train/valid/test split assignment from the document
     * id — the same scrambled-hash bucketing as [[sampleMixture]], cut
     * at the cumulative percent boundaries. Map-only and stateless:

@@ -310,6 +310,21 @@ class TextOpsSpec extends GraftSuite {
     assert(math.abs(est - n) / n < 0.2, s"estimate $est vs $n")
   }
 
+  test("bigram NLL: hand-computed score; word salad scores worse") {
+    import spark.implicits._
+    val docs = ((1 to 9).map(i => (i.toLong, "x y q")) :+ (10L, "q y x"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bigramNll(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // corpus: c(x)=10, c(y)=10, c(q)=10, V=3; c("x y")=9, c("y q")=9,
+    // c("q y")=1, c("y x")=1
+    val normal = (math.log(13.0 / 10) + math.log(13.0 / 10)) / 2
+    val salad = (math.log(13.0 / 2) + math.log(13.0 / 2)) / 2
+    assert(got(1)._1 == 2L && math.abs(got(1)._2 - normal) < 1e-5)
+    assert(math.abs(got(10)._2 - salad) < 1e-5)
+    assert(got(10)._2 > got(1)._2)
+  }
+
   test("pmi collocations: hand-computed micro-nat scores") {
     import spark.implicits._
     // "x y" always adjacent (strong collocation), "x z" never
