@@ -216,6 +216,28 @@ object ExtraQueries {
       SELECT doc_id, ($bits)::BIGINT AS phash FROM w""")
     }),
 
+    // ViT patch-grid plan: ceil-division tiling + padding + token
+    // count — integer metadata math, payload pruned at the scan
+    Q("m_patch_grid", (s, dir) => {
+      import s.implicits._
+      Multimodal.patchGrid(
+        Multimodal.decodeMeta(
+          Multimodal.withBinary(t(s, dir, "documents")).as[Multimodal.Media]), 16)
+    }, Some("""
+      WITH meta AS (
+        SELECT doc_id,
+               (64 + (octet_length(encode(text))*7 + doc_id) % 1217)::BIGINT AS width,
+               (64 + (octet_length(encode(text))*13) % 689)::BIGINT AS height
+        FROM documents)
+      SELECT doc_id, width, height,
+             (width + 15) // 16 AS grid_x,
+             (height + 15) // 16 AS grid_y,
+             ((width + 15) // 16) * ((height + 15) // 16) AS n_patches,
+             ((width + 15) // 16) * 16 - width AS pad_x,
+             ((height + 15) // 16) * 16 - height AS pad_y,
+             ((width + 15) // 16) * ((height + 15) // 16) + 1 AS n_tokens
+      FROM meta""")),
+
     Q("m_resize_plan", (s, dir) => {
       import s.implicits._
       Multimodal.resizePlan(

@@ -70,6 +70,24 @@ object Multimodal {
       floor(col("height") * scale).cast("long").as("out_height"))
   }
 
+  /** ViT-style patch-grid plan: ceil-division tiling of the frame
+    * into `patch`×`patch` squares plus the padding needed to fill the
+    * last row/column, and the resulting transformer token count
+    * (+1 CLS). Pure integer metadata math (the real pixel unfold
+    * happens in the decoder slot); map-only, payload column pruned.
+    */
+  def patchGrid(meta: Dataset[MediaMeta], patch: Long = 16): DataFrame = {
+    val m = meta.toDF()
+    val gx = ((col("width") + (patch - 1)) / patch).cast("long")
+    val gy = ((col("height") + (patch - 1)) / patch).cast("long")
+    m.select(col("doc_id"), col("width"), col("height"),
+      gx.as("grid_x"), gy.as("grid_y"),
+      (gx * gy).as("n_patches"),
+      (gx * patch - col("width")).as("pad_x"),
+      (gy * patch - col("height")).as("pad_y"),
+      (gx * gy + 1).as("n_tokens"))
+  }
+
   final case class PHash(doc_id: Long, phash: Long)
 
   /** Perceptual-hash-style media fingerprint (STUB for a real pHash/
