@@ -359,6 +359,34 @@ object Queries {
              coalesce(n_retained, 0)::BIGINT AS n_retained
       FROM act LEFT JOIN ret ON ret.d = act.d""")),
 
+    // interval-overlap join via time-bucket binning: per-(user, day)
+    // activity intervals; concurrently-active user pairs per day. The
+    // bin explode turns the overlap predicate into an EQUI join
+    // (hot bins are AQE-splittable join skew, never a cross join);
+    // the oracle states the naive overlap self-join — binning changes
+    // the plan, never the answer
+    Q("w_interval_overlap", (s, dir) => {
+      val iv = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min("ts").as("s"), max("ts").as("e"))
+        .select(concat_ws(":", col("user_id"), col("day")).as("iv_key"),
+          col("day"), col("s"), col("e"))
+      graft.ext.EventWindows
+        .intervalOverlapPairs(iv.select("iv_key", "s", "e"))
+        .withColumn("day", substring_index(col("a_key"), ":", -1))
+        .groupBy("day").agg(count(lit(1)).as("n_pairs"))
+    }, Some("""
+      WITH iv AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS s, max(ts) AS e
+        FROM events GROUP BY 1, 2)
+      SELECT CAST(a.day AS VARCHAR) AS day, count(*)::BIGINT AS n_pairs
+      FROM iv a JOIN iv b
+        ON a.day = b.day
+       AND (a.user_id || ':' || CAST(a.day AS VARCHAR))
+         < (b.user_id || ':' || CAST(b.day AS VARCHAR))
+       AND a.s <= b.e AND b.s <= a.e
+      GROUP BY 1""")),
+
     // batch sessionization (gaps-and-islands): session breaks on a
     // >30-min silence; session id = running count of breaks per user —
     // computed by the range-partition + boundary-merge passes

@@ -220,4 +220,37 @@ object EventWindows {
         round(col("prev_value"), 2).as("prev_value"),
         round(col("moving_sum3"), 2).as("moving_sum3"))
   }
+
+  /** Interval-overlap self-join via time-bucket binning — the general
+    * range-join pattern (concurrency detection, meeting conflicts,
+    * co-session attribution). A naive self-join on the overlap
+    * predicate is a cross join (no equi conjunct); instead each
+    * interval explodes to the `bucketUs`-wide bins it spans, the join
+    * runs as an EQUI join on the bin, the overlap predicate filters
+    * within bins, and `distinct` folds pairs that co-occur in several
+    * bins. Fan-out is interval-length/bucket (bounded when intervals
+    * are); a hot bin is ordinary join skew (AQE-splittable), never a
+    * cross join. Output: distinct (a_key, b_key) with a_key < b_key
+    * and [a.s, a.e] ∩ [b.s, b.e] ≠ ∅ (closed-interval touch counts).
+    *
+    * Input columns: `iv_key` (unique interval id), `s`, `e`
+    * (timestamps, s ≤ e).
+    */
+  def intervalOverlapPairs(iv: DataFrame,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    val binned = iv.select(col("iv_key"),
+        unix_micros(col("s")).as("su"), unix_micros(col("e")).as("eu"))
+      .select(col("iv_key"), col("su"), col("eu"),
+        explode(sequence(expr(s"su div $bucketUs"), expr(s"eu div $bucketUs")))
+          .as("bin"))
+    val a = binned.select(col("bin"), col("iv_key").as("a_key"),
+      col("su").as("a_su"), col("eu").as("a_eu"))
+    val b = binned.select(col("bin"), col("iv_key").as("b_key"),
+      col("su").as("b_su"), col("eu").as("b_eu"))
+    a.join(b, Seq("bin"))
+      .where(col("a_key") < col("b_key")
+        && col("a_su") <= col("b_eu") && col("b_su") <= col("a_eu"))
+      .select("a_key", "b_key")
+      .distinct()
+  }
 }

@@ -114,4 +114,24 @@ class EventWindowsSpec extends GraftSuite {
       .orderBy("user_id", "rn").collect().toSeq
     assert(got == want)
   }
+
+  test("intervalOverlapPairs: boundary touch, multi-bin dedup, same-bin miss") {
+    import spark.implicits._
+    val h = 3600L // seconds per bucket at the default bucketUs
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val iv = Seq(
+      // A spans 3 buckets; B overlaps A only in the middle bucket —
+      // the pair must appear ONCE despite sharing 2 bins
+      ("A", ts(0), ts(3 * h - 1)),
+      ("B", ts(h), ts(2 * h + 10)),
+      // C touches A exactly at A's end instant (closed intervals meet)
+      ("C", ts(3 * h - 1), ts(4 * h)),
+      // D shares a bin with C but misses it by one second
+      ("D", ts(4 * h + 1), ts(4 * h + 2)),
+      // E is far away entirely
+      ("E", ts(10 * h), ts(10 * h + 5))).toDF("iv_key", "s", "e")
+    val got = EventWindows.intervalOverlapPairs(iv)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("A", "B"), ("A", "C")))
+  }
 }
