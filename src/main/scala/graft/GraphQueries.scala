@@ -230,6 +230,36 @@ object GraphQueries {
       l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lbl FROM und),
       $rounds
       SELECT v AS id, lbl AS label FROM l3""")
-    })
+    }),
+
+    // log2-bucketed undirected degree distribution — the scale-free-
+    // graph diagnostic every crawl/link analysis starts with. One
+    // combinable degree count + a map-only comparison-ladder bucket
+    // (float log2 misbuckets exact powers of two) + one combinable
+    // count onto ≤ 22 buckets
+    Q("g_degree_hist", (s, dir) => {
+      val edges = custNatEdges(s, dir)
+        .unionByName(natRegEdges(s, dir))
+        .unionByName(supNatEdges(s, dir))
+      val deg = edges.select(col("src").as("v"))
+        .unionByName(edges.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      deg.groupBy(graft.ext.Sketches.floorLog2(col("deg")).cast("int")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_vertices"), sum("deg").as("sum_deg"))
+    }, Some(s"""
+      WITH e AS (
+        SELECT (10000+c_custkey)::BIGINT AS src, c_nationkey::BIGINT AS dst
+        FROM customer
+        UNION ALL
+        SELECT n_nationkey::BIGINT, (1000+n_regionkey)::BIGINT FROM nation
+        UNION ALL
+        SELECT (100000+s_suppkey)::BIGINT, s_nationkey::BIGINT FROM supplier),
+      deg AS (
+        SELECT v, count(*)::BIGINT AS deg FROM (
+          SELECT src AS v FROM e UNION ALL SELECT dst FROM e) GROUP BY 1)
+      SELECT (${graft.ext.Sketches.floorLog2Sql("deg")})::INT AS bucket,
+             count(*)::BIGINT AS n_vertices, sum(deg)::BIGINT AS sum_deg
+      FROM deg GROUP BY 1"""))
   )
 }

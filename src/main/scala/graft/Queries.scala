@@ -364,7 +364,11 @@ object Queries {
     // bin explode turns the overlap predicate into an EQUI join
     // (hot bins are AQE-splittable join skew, never a cross join);
     // the oracle states the naive overlap self-join — binning changes
-    // the plan, never the answer
+    // the plan, never the answer. Bin width = one day: every interval
+    // here is day-confined (min/max of one user's same-day events), so
+    // day bins place each interval in exactly one bin — hourly bins
+    // replayed every same-day pair in up to 24 bins before the distinct
+    // (14.5 s → bin-count-proportional at sf0.1)
     Q("w_interval_overlap", (s, dir) => {
       val iv = t(s, dir, "events")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -372,7 +376,8 @@ object Queries {
         .select(concat_ws(":", col("user_id"), col("day")).as("iv_key"),
           col("day"), col("s"), col("e"))
       graft.ext.EventWindows
-        .intervalOverlapPairs(iv.select("iv_key", "s", "e"))
+        .intervalOverlapPairs(iv.select("iv_key", "s", "e"),
+          bucketUs = 86400000000L)
         .withColumn("day", substring_index(col("a_key"), ":", -1))
         .groupBy("day").agg(count(lit(1)).as("n_pairs"))
     }, Some("""
@@ -646,6 +651,111 @@ object Queries {
       FROM nb b
       JOIN nu na ON na.t = split_part(b.bigram, ' ', 1)
       JOIN nu nbu ON nbu.t = split_part(b.bigram, ' ', 2), tu, tb""")),
+
+    // greedy BPE merge induction, 3 rounds: pair counts are combinable
+    // (vocab-bounded shuffle), the corpus rewrite is a map-only string
+    // replace, the driver holds one (pair, count) row per round — the
+    // distributed tokenizer-trainer schedule. The oracle unrolls the
+    // same three rounds (argmax ties on count desc, pair asc; replace
+    // is left-to-right non-overlapping in BOTH engines, which is
+    // exactly greedy BPE's scan order)
+    Q("t_bpe_merges", (s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), rounds = 3),
+      Some("""
+      WITH c0 AS MATERIALIZED (
+        SELECT array_to_string(string_split(w, ''), chr(1)) AS s
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 1),
+      p1 AS (SELECT pr, count(*) AS n FROM (
+               SELECT unnest(list_transform(range(1, len(ss)),
+                 i -> ss[i] || chr(1) || ss[i+1])) AS pr
+               FROM (SELECT string_split(s, chr(1)) AS ss FROM c0))
+             GROUP BY 1),
+      t1 AS (SELECT pr, n FROM p1 ORDER BY n DESC, pr ASC LIMIT 1),
+      c1 AS MATERIALIZED (
+        SELECT replace(s, (SELECT pr FROM t1),
+                       replace((SELECT pr FROM t1), chr(1), '')) AS s FROM c0),
+      p2 AS (SELECT pr, count(*) AS n FROM (
+               SELECT unnest(list_transform(range(1, len(ss)),
+                 i -> ss[i] || chr(1) || ss[i+1])) AS pr
+               FROM (SELECT string_split(s, chr(1)) AS ss FROM c1))
+             GROUP BY 1),
+      t2 AS (SELECT pr, n FROM p2 ORDER BY n DESC, pr ASC LIMIT 1),
+      c2 AS MATERIALIZED (
+        SELECT replace(s, (SELECT pr FROM t2),
+                       replace((SELECT pr FROM t2), chr(1), '')) AS s FROM c1),
+      p3 AS (SELECT pr, count(*) AS n FROM (
+               SELECT unnest(list_transform(range(1, len(ss)),
+                 i -> ss[i] || chr(1) || ss[i+1])) AS pr
+               FROM (SELECT string_split(s, chr(1)) AS ss FROM c2))
+             GROUP BY 1),
+      t3 AS (SELECT pr, n FROM p3 ORDER BY n DESC, pr ASC LIMIT 1)
+      SELECT 1::BIGINT AS round,
+             replace((SELECT pr FROM t1), chr(1), '') AS merged,
+             (SELECT n FROM t1)::BIGINT AS n
+      UNION ALL SELECT 2::BIGINT, replace((SELECT pr FROM t2), chr(1), ''),
+             (SELECT n FROM t2)::BIGINT
+      UNION ALL SELECT 3::BIGINT, replace((SELECT pr FROM t3), chr(1), ''),
+             (SELECT n FROM t3)::BIGINT""")),
+
+    // sliding-window chunking (chunk=64 tokens, stride=48): the
+    // map-only pre-tokenization pass for context-length-bounded
+    // training; integer arithmetic end-to-end
+    Q("t_chunk_windows", (s, dir) =>
+      TextAnalysis.chunkWindows(t(s, dir, "documents"), chunk = 64, stride = 48),
+      Some("""
+      WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+                 FROM documents),
+      k AS (SELECT doc_id, n_tok,
+                   greatest(0, CAST(floor((n_tok - 64 + 47) / 48.0) AS BIGINT)) AS k
+            FROM d),
+      st AS (SELECT doc_id, n_tok,
+                    unnest(generate_series(0, k * 48, 48)) AS start
+             FROM k)
+      SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_idx, start::BIGINT AS start,
+             least(64, n_tok - start)::BIGINT AS chunk_len
+      FROM st""")),
+
+    // sparse (lexical) TF-IDF cosine retrieval over posting lists —
+    // the inverted-index twin of the dense s_* ANN family: broadcast
+    // query postings onto the term-partitioned corpus postings,
+    // integer micro-unit dot/norm sums (order-independent), bounded
+    // per-query top-k
+    Q("t_sparse_cosine", (s, dir) =>
+      TextAnalysis.sparseCosineTopK(t(s, dir, "documents"),
+        col("doc_id") % 100 === 0, k = 5),
+      Some("""
+      WITH base AS (SELECT doc_id, text, (doc_id % 100 = 0) AS q FROM documents),
+      tf AS (SELECT doc_id, q, unnest(string_split(text, ' ')) AS term FROM base),
+      tfc AS MATERIALIZED (
+        SELECT doc_id, q, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3),
+      dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+      wt AS MATERIALIZED (
+        SELECT doc_id, q, term,
+               tf * ln((SELECT count(*) FROM documents)::DOUBLE / df) AS w
+        FROM tfc JOIN dfc USING (term)),
+      norms AS MATERIALIZED (
+        SELECT doc_id, sum(CAST(round(w * w * 1e6) AS BIGINT)) AS nsq
+        FROM wt GROUP BY 1),
+      dots AS (
+        SELECT qw.doc_id AS query_id, cw.doc_id AS doc_id,
+               sum(CAST(round(qw.w * cw.w * 1e6) AS BIGINT)) AS dot
+        FROM wt qw JOIN wt cw USING (term)
+        WHERE qw.q AND cw.doc_id <> qw.doc_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT query_id, dots.doc_id,
+               (dot / 1e6) / (sqrt(qn.nsq / 1e6) * sqrt(cn.nsq / 1e6)) AS cos
+        FROM dots
+        JOIN norms qn ON qn.doc_id = dots.query_id
+        JOIN norms cn ON cn.doc_id = dots.doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, doc_id, round(cos, 6) AS cos, rank::BIGINT AS rank
+      FROM ranked WHERE rank <= 5""")),
 
     Q("t_lang_id", (s, dir) =>
       t(s, dir, "documents")
@@ -1801,6 +1911,46 @@ object Queries {
                    - mi.mean * mj.mean, 6) AS cov
       FROM sums s JOIN means mi ON mi.dim = s.i
                   JOIN means mj ON mj.dim = s.j""")),
+
+    // greedy k-center (Gonzalez) diverse-subset selection, k=3: seed
+    // at the smallest id, then two "farthest from nearest chosen
+    // center" rounds — the coreset/diversity-sampling primitive.
+    // Integer micro-unit cosine distances (per-dimension product
+    // rounds before the sum) keep both engines' argmax exact; the
+    // oracle unrolls the same greedy schedule
+    Q("s_kcenter_diverse", (s, dir) =>
+      Similarity.kCenterSeeds(t(s, dir, "embeddings"), k = 3),
+      Some("""
+      WITH en AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> x::DOUBLE /
+                 sqrt(list_reduce(list_transform(embedding,
+                   y -> y::DOUBLE * y::DOUBLE), (a, b) -> a + b))) AS e
+        FROM embeddings),
+      c1 AS (SELECT vec_id, e FROM en ORDER BY vec_id ASC LIMIT 1),
+      d1 AS MATERIALIZED (
+        SELECT en.vec_id, en.e,
+               1000000 - list_reduce(list_transform(range(1, len(en.e) + 1),
+                 i -> CAST(round(en.e[i] * c1.e[i] * 1e6) AS BIGINT)),
+                 (a, b) -> a + b) AS mind
+        FROM en, c1 WHERE en.vec_id <> c1.vec_id),
+      c2 AS (SELECT vec_id, e, mind FROM d1
+             ORDER BY mind DESC, vec_id ASC LIMIT 1),
+      d2 AS (
+        SELECT d1.vec_id,
+               least(d1.mind,
+                 1000000 - list_reduce(list_transform(range(1, len(d1.e) + 1),
+                   i -> CAST(round(d1.e[i] * c2.e[i] * 1e6) AS BIGINT)),
+                   (a, b) -> a + b)) AS mind
+        FROM d1, c2 WHERE d1.vec_id <> c2.vec_id),
+      c3 AS (SELECT vec_id, mind FROM d2
+             ORDER BY mind DESC, vec_id ASC LIMIT 1)
+      SELECT 1::BIGINT AS round, (SELECT vec_id FROM c1) AS vec_id,
+             0::BIGINT AS dist_micro
+      UNION ALL SELECT 2::BIGINT, (SELECT vec_id FROM c2),
+             (SELECT mind FROM c2)::BIGINT
+      UNION ALL SELECT 3::BIGINT, (SELECT vec_id FROM c3),
+             (SELECT mind FROM c3)::BIGINT""")),
 
     // matryoshka truncation: keep the first 16 of 64 dims and
     // renormalize to unit length over the kept prefix — the

@@ -109,13 +109,23 @@ object GraphOps {
         .join(outdeg.select(col("v").as("src"), col("od")), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg(sum(col("rank") / col("od")).as("in_mass"))
+      val prev = rank
       rank = pers.select(col("v"), (col("p") * reset).as("base"))
         .join(contrib, Seq("v"), "full")
         .select(col("v"),
           (coalesce(col("base"), lit(0.0)) +
             lit(1.0 - reset) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
         .localCheckpoint()
+      // the new checkpoint is eager — the superseded round's blocks are
+      // dead weight in the block manager from here on (each call
+      // otherwise pins iters+3 checkpointed DFs until the next GC +
+      // ContextCleaner pass, which is exactly the storage creep that
+      // starves execution memory in a long benchmark run)
+      prev.unpersist(blocking = false)
     }
+    e.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    pers.unpersist(blocking = false)
     rank.select(col("v").as("id"), round(col("rank"), 6).as("rank"))
       .where(col("rank") > 0)
   }
@@ -139,12 +149,20 @@ object GraphOps {
         .groupBy("id").agg(min("dist").as("dist"))
         .join(dists.select(col("id").as("seen")), col("id") === col("seen"), "left_anti")
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      if (next.isEmpty) { done = true; next.unpersist(blocking = false) }
       else {
+        val prevDists = dists
         dists = dists.unionByName(next).localCheckpoint()
+        // release superseded checkpoints once the union is materialized;
+        // round 1's frontier IS the initial dists (same blocks), which
+        // prevDists already covers
+        prevDists.unpersist(blocking = false)
+        if (!(frontier eq prevDists)) frontier.unpersist(blocking = false)
         frontier = next
       }
     }
+    if (!(frontier eq dists)) frontier.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     dists
   }
 
@@ -171,10 +189,12 @@ object GraphOps {
     var e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("c") >= k).select("v")
+      val prev = e
       e = e
         .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint()
+      prev.unpersist(blocking = false) // superseded round, blocks dead
     }
     degrees(e).select(col("v").as("id"), col("c").as("core_deg"))
   }
@@ -203,6 +223,7 @@ object GraphOps {
     var hub = verts.withColumn("hub", lit(1L))
     var auth = verts.withColumn("auth", lit(1L))
     for (_ <- 1 to rounds) {
+      val (prevAuth, prevHub) = (auth, hub)
       auth = e.join(hub.select(col("v").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("v")).agg(sum("hub").as("auth"))
         // vertices with no in-edges keep authority 0 this round
@@ -214,7 +235,12 @@ object GraphOps {
         .unionByName(verts.withColumn("hub", lit(0L)))
         .groupBy("v").agg(max("hub").as("hub"))
         .localCheckpoint()
+      // round 1's prev hub/auth are unpersisted derivations of verts —
+      // unpersist is a no-op there, frees the superseded blocks after
+      prevAuth.unpersist(blocking = false)
+      prevHub.unpersist(blocking = false)
     }
+    e.unpersist(blocking = false)
     hub.join(auth, Seq("v")).select(col("v").as("id"), col("hub"), col("auth"))
   }
 
@@ -241,6 +267,7 @@ object GraphOps {
       // celebrity vertex's neighbor-label histogram reduces in
       // parallel — a per-vertex window sort would stream the whole
       // hub through one task (and pay a sort the argmax doesn't need)
+      val prev = labels
       labels = und
         .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
         .groupBy(col("src").as("v"), col("lbl"))
@@ -249,7 +276,9 @@ object GraphOps {
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("best"))
         .select(col("v"), col("best")("lbl").as("lbl"))
         .localCheckpoint()
+      prev.unpersist(blocking = false) // superseded round, blocks dead
     }
+    und.unpersist(blocking = false)
     labels.select(col("v").as("id"), col("lbl").as("label"))
   }
 }

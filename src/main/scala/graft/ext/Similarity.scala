@@ -333,6 +333,57 @@ object Similarity {
   /** L2 norm of a float vector (double math, left-fold order). */
   def l2Norm(emb: Column): Column = sqrt(dotd(emb, emb))
 
+  /** Greedy k-center (Gonzalez) diverse-subset selection: seed with
+    * the smallest id, then `k−1` rounds of "pick the point farthest
+    * from its nearest chosen center". THE coreset / diversity-sampling
+    * primitive for training-data selection — a k-center subset covers
+    * the embedding space within 2× the optimal radius.
+    *
+    * Determinism at fixed-point: vectors are L2-normalized (left-fold
+    * double math), each dimension's product rounds to MICRO-UNIT longs
+    * before the sum, so the cosine distance `1e6 − Σ round(aᵢbᵢ·1e6)`
+    * is an integer — order-independent, cross-engine exact; argmax
+    * ties break on the smaller vec_id.
+    *
+    * Scale shape: each round is one map-only distance update against a
+    * BROADCAST constant center (a k·d driver state, KBs) plus a top-1
+    * reduction; `min-dist` carries forward so round r never rescans
+    * the r−1 previous centers. O(k) passes, no pairwise work.
+    */
+  def kCenterSeeds(corpus: DataFrame, k: Int = 3,
+      emb: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def distTo(c: Seq[Double]): Column =
+      lit(1000000L) - aggregate(
+        zip_with(col("en"), typedLit(c),
+          (a, b) => round(a * b * lit(1e6), 0).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val en = corpus.select(col("vec_id"),
+        transform(col(emb), x => x.cast("double") / l2Norm(col(emb))).as("en"))
+      .localCheckpoint()
+    val first = en.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    var chosen = List((first.getLong(0), first.getSeq[Double](1), 0L))
+    var pts = en.filter(col("vec_id") =!= first.getLong(0))
+      .withColumn("mind", distTo(first.getSeq[Double](1)))
+      .localCheckpoint()
+    for (_ <- 2 to k) {
+      val nxt = pts.orderBy(col("mind").desc, col("vec_id").asc).limit(1)
+        .collect()(0)
+      chosen ::= ((nxt.getLong(0), nxt.getSeq[Double](1), nxt.getLong(2)))
+      val prev = pts
+      pts = pts.filter(col("vec_id") =!= nxt.getLong(0))
+        .withColumn("mind", least(col("mind"), distTo(nxt.getSeq[Double](1))))
+        .localCheckpoint()
+      prev.unpersist(blocking = false)
+    }
+    pts.unpersist(blocking = false)
+    en.unpersist(blocking = false)
+    chosen.reverse.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("round", "vec_id", "dist_micro")
+  }
+
   /** int8 quantization scale `127 / max|x|` (guarded against the
     * all-zero vector). Quantize with `round(x * scale)` — the standard
     * symmetric per-row scheme for shipping embeddings at 1/4 the

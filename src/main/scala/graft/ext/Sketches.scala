@@ -63,21 +63,23 @@ object Sketches {
     h3 ^ (h3 >> 13)
   }
 
-  /** floor(log2(r)) for r in [1, 2^22) as a comparison ladder (exact
-    * integer arithmetic, whole-stage-codegen friendly).
+  /** floor(log2(r)) for r in [1, 2^(bits+1)) as a comparison ladder
+    * (exact integer arithmetic, whole-stage-codegen friendly — a float
+    * `ln(r)/ln(2)` misbuckets exact powers of two: ln(8)/ln(2) =
+    * 2.9999999999999996). Values ≥ 2^bits saturate into bucket `bits`.
     */
-  private def floorLog2(r: Column): Column =
+  def floorLog2(r: Column, bits: Int = HllSuffixBits - 1): Column =
     // ascending fold so the LARGEST threshold is the outermost test
     // (each later `when` wraps the earlier ones as its `otherwise`)
-    (1 to HllSuffixBits - 1).foldLeft(lit(0)) { (acc, k) =>
+    (1 to bits).foldLeft(lit(0)) { (acc, k) =>
       when(r >= (1L << k), k).otherwise(acc)
     }
 
   /** Same ladder as a DuckDB SQL expression, generated from the same
     * constants so the oracle can never drift from the Spark side.
     */
-  def floorLog2Sql(rExpr: String): String =
-    (HllSuffixBits - 1 to 1 by -1)
+  def floorLog2Sql(rExpr: String, bits: Int = HllSuffixBits - 1): String =
+    (bits to 1 by -1)
       .map(k => s"WHEN $rExpr >= ${1L << k} THEN $k")
       .mkString("CASE ", " ", " ELSE 0 END")
 

@@ -585,4 +585,133 @@ object TextAnalysis {
       .groupBy(("term" +: keep).map(col): _*)
       .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
   }
+
+  /** Symbol separator for [[bpeMerges]]: words are held as their
+    * symbols joined by a \\u0001 separator, so "apply merge (a,b) → ab" is a plain
+    * non-overlapping left-to-right string replace of `a<SEP>b` with
+    * `ab` — the semantics `replace` has in BOTH Spark and DuckDB, and
+    * exactly greedy BPE's scan order.
+    */
+  val BpeSep = "\u0001"
+
+  /** Greedy byte-pair-encoding merge induction, `rounds` merges: each
+    * round counts adjacent symbol pairs across the corpus (combinable
+    * groupBy onto the pair vocabulary), takes the argmax (count desc,
+    * pair asc — deterministic), rewrites the corpus by a map-only
+    * string replace, and repeats. The driver holds exactly one
+    * (pair, count) row per round — the classic distributed BPE-trainer
+    * schedule: shuffles are pair-vocabulary-bounded, the corpus pass
+    * is map-only, nothing quadratic anywhere.
+    *
+    * @return one row per merge: (round, merged symbol, pair count at
+    *         selection time).
+    */
+  def bpeMerges(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int = 3): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var corpus = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 1)
+      .select(concat_ws(BpeSep, split(col("w"), "")).as("s"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val syms = split(col("s"), BpeSep)
+      val pairs = corpus
+        .select(explode(zip_with(
+          slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => concat(a, lit(BpeSep), b))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        out += ((r, pair.replace(BpeSep, ""), top(0).getLong(1)))
+        val prev = corpus
+        corpus = corpus
+          .select(replace(col("s"), lit(pair), lit(pair.replace(BpeSep, ""))).as("s"))
+          .localCheckpoint()
+        prev.unpersist(blocking = false)
+      }
+    }
+    corpus.unpersist(blocking = false)
+    out.toSeq.toDF("round", "merged", "n")
+  }
+
+  /** Sliding-window chunking for context-length-bounded training: one
+    * row per (doc, window) with `chunk` tokens per window advancing by
+    * `stride` (overlap = chunk − stride), final short window kept so
+    * every token is covered. Map-only integer arithmetic + explode —
+    * the pre-tokenization pass of any long-document pipeline.
+    */
+  def chunkWindows(docs: org.apache.spark.sql.DataFrame,
+      chunk: Int = 64, stride: Int = 48): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && chunk >= stride,
+      s"chunkWindows: need 0 < stride <= chunk (got chunk=$chunk stride=$stride)")
+    docs
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+      // extra windows beyond the first: ceil((n − chunk)/stride), ≥ 0
+      .withColumn("k", greatest(lit(0L),
+        ((col("n_tok") - chunk + stride - 1) / stride).cast("long")))
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(sequence(lit(0L), col("k") * stride, lit(stride.toLong))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("start"),
+        least(lit(chunk.toLong), col("n_tok") - col("col")).as("chunk_len"))
+  }
+
+  /** Sparse (lexical) cosine retrieval over TF-IDF posting lists: the
+    * inverted-index twin of the dense ANN family. Weights w = tf ·
+    * ln(N/df); per-term contribution and per-doc norm² are summed as
+    * integer micro-units (each term's double product rounds to a long
+    * BEFORE the sum), so the aggregation is order-independent and
+    * cross-engine exact; the final cosine divides the integer sums in
+    * double (deterministic given integer inputs).
+    *
+    * Scale shape: tf/df are combinable aggs; the query side is tiny
+    * and BROADCAST onto the corpus posting lists (term-partitioned —
+    * the document-at-a-time sharding of a web-scale index); the
+    * per-(query, doc) dot is a combinable sum; ranking is a bounded
+    * per-query top-k.
+    */
+  def sparseCosineTopK(docs: org.apache.spark.sql.DataFrame,
+      isQuery: Column, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), isQuery.as("__q"))
+    val nDocs = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = base
+      .select(col("doc_id"), col("__q"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "__q", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("__q"), col("term"),
+        (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+    val norms = weighted.groupBy("doc_id")
+      .agg(sum(round(col("w") * col("w") * 1e6).cast("long")).as("nsq_micro"))
+    val q = weighted.filter(col("__q"))
+      .select(col("doc_id").as("query_id"), col("term"), col("w").as("qw"))
+    val dots = weighted.join(broadcast(q), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(round(col("qw") * col("w") * 1e6).cast("long")).as("dot_micro"))
+    // query-side norms only (semi-join first — broadcasting the full
+    // corpus norm table would not survive a 100 TB corpus)
+    val qNorms = norms
+      .join(q.select(col("query_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("query_id"), col("nsq_micro").as("q_nsq"))
+    val scored = dots
+      .join(broadcast(qNorms), Seq("query_id"))
+      .join(norms, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("dot_micro") / 1e6 /
+          (sqrt(col("q_nsq") / 1e6) * sqrt(col("nsq_micro") / 1e6))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), round(col("cos"), 6).as("cos"),
+        col("rank"))
+  }
 }
