@@ -11,6 +11,22 @@ import graft.functions.CosineSim
   */
 class CosineSimSpec extends GraftSuite {
 
+  test("kCenterSeeds: greedy farthest-point schedule on a known geometry") {
+    import spark.implicits._
+    // unit vectors: ids 1,2 coincide at (1,0); 3 at (0,1); 4 at (-1,0).
+    // seed = min id (1); round 2 picks the antipode (4, dist 2e6);
+    // round 3 the orthogonal point (3, dist 1e6); the duplicate of the
+    // seed is never selected (min-dist 0)
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSeeds(e, k = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, 0L), (2L, 4L, 2000000L), (3L, 3L, 1000000L)))
+  }
+
   test("CosineSim equals the aggregate/zip_with formulation exactly") {
     val e = Tables(spark, sf, "embeddings")
     val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))

@@ -10,6 +10,50 @@ import graft.ext.TextAnalysis
   */
 class TextOpsSpec extends GraftSuite {
 
+  test("bpeMerges: greedy merge sequence with left-to-right replace semantics") {
+    import spark.implicits._
+    // "aaab aaab ab": round 1 top pair (a,a) n=4; after the merge the
+    // corpus is {aa·a·b, aa·a·b, a·b} so round 2 top is (a,b) n=3
+    // (non-overlapping left-to-right replace leaves the middle 'a'
+    // unmerged — exactly greedy BPE's scan); round 3 merges (aa,ab)
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "aa", 4L), (2, "ab", 3L), (3, "aaab", 2L)))
+  }
+
+  test("chunkWindows: stride coverage, final short window, degenerate doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 tokens
+      (3L, "a b")).toDF("doc_id", "text") // shorter than one chunk
+    val got = TextAnalysis.chunkWindows(docs, chunk = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L),
+      (2L, 0L, 0L, 4L), (2L, 1L, 3L, 4L), (2L, 2L, 6L, 4L), (2L, 3L, 9L, 2L),
+      (3L, 0L, 0L, 2L)))
+    // every token of doc 2 is covered: max(start+len) == n_tok
+    assert(got.filter(_._1 == 2L).map(x => x._3 + x._4).max == 11L)
+  }
+
+  test("sparseCosineTopK: identical text ranks first with cosine ~ 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark catalyst optimizer rules engine"),
+      (5L, "spark catalyst optimizer rules engine"),
+      (6L, "completely different words here entirely"),
+      (7L, "spark engine with other catalyst stuff padding")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis
+      .sparseCosineTopK(docs, col("doc_id") === 0, k = 2)
+      .orderBy("rank").collect()
+    assert(got(0).getLong(1) == 5L && math.abs(got(0).getDouble(2) - 1.0) < 1e-4)
+    assert(got(1).getLong(1) == 7L && got(1).getDouble(2) < 0.999)
+  }
+
   test("winnowing guarantee: a shared >= w+k-1-token run shares a fingerprint") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
