@@ -46,6 +46,18 @@ object StreamQueries {
       SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
       FROM events GROUP BY 1""")),
 
+    // CDC latest-value-per-key upsert view: one max-struct per entity,
+    // state O(#keys); the oracle is the batch argmax with the same
+    // (ts, event_id) tie order
+    Q("st_latest_upsert", (s, dir) => StreamOps.latestPerKey(s, dir),
+      Some("""
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+             event_type AS last_type, value AS last_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1""")),
+
     // stream-stream interval join (attribution shape): inner matches
     // emit as both rows arrive, so the answer is batch-checkable
     Q("st_stream_join", (s, dir) => StreamOps.streamStreamJoin(s, dir),

@@ -252,6 +252,31 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** CDC-style latest-value-per-key materialization: the streaming
+    * upsert view every change-capture pipeline maintains. One stateful
+    * aggregation keyed by the entity id holding a single max-struct —
+    * state is O(#keys) (bounded by the entity population, never by
+    * stream length), each micro-batch folds in map-side-combined
+    * partials, and the materialized state IS the output table
+    * (complete-mode memory sink here; a production sink would be an
+    * upsert-capable store). Ordering ties break on (ts, event_id) —
+    * deterministic under replay, the CDC idempotence requirement.
+    */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val latest = eventsStream(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"), col("last")("ts").as("last_ts"),
+        col("last")("event_id").as("last_event_id"),
+        col("last")("event_type").as("last_type"),
+        col("last")("value").as("last_value"))
+    val name = s"st_latest_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, latest, name, "complete", availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
+    spark.table(name)
+  }
+
   /** Watermark late-data semantics, end to end: an APPEND-mode
     * windowed aggregation whose input arrives in three controlled
     * batches — (1) the recent half of the (user_id < 30) event slice,
