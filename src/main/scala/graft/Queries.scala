@@ -359,6 +359,33 @@ object Queries {
              coalesce(n_retained, 0)::BIGINT AS n_retained
       FROM act LEFT JOIN ret ON ret.d = act.d""")),
 
+    // rolling 3-day distinct users per day as HLL register COMPOSITION:
+    // daily registers built in one combinable pass, each replayed into
+    // the <= 3 day-slots it serves (map-only explode + bucketwise max)
+    // — the corpus is scanned once for every window, where an exact
+    // rolling COUNT(DISTINCT) rescans and shuffles raw keys per window.
+    // Registers are integer-exact cross-engine (same ladder as
+    // t_hll_registers)
+    Q("w_rolling_hll", (s, dir) =>
+      graft.ext.Sketches.hllRollingDaily(t(s, dir, "events"), windowDays = 3),
+      Some(s"""
+      WITH hh AS (SELECT CAST(ts AS DATE) AS day,
+                         ${graft.ext.Sketches.hllMixSql(duckPh("user_id::VARCHAR"))} AS h
+                  FROM events),
+      rr AS (SELECT day, (h & 255)::INT AS bucket, (h >> 8) AS r FROM hh),
+      daily AS MATERIALIZED (
+        SELECT day, bucket,
+               max(CASE WHEN r = 0 THEN ${graft.ext.Sketches.HllSuffixBits + 1}
+                        ELSE ${graft.ext.Sketches.HllSuffixBits}
+                             - (${graft.ext.Sketches.floorLog2Sql("r")}) END)::INT AS rho
+        FROM rr GROUP BY 1, 2),
+      rep AS (SELECT unnest([day, day + 1, day + 2]) AS w_day, bucket, rho
+              FROM daily),
+      days AS (SELECT DISTINCT day FROM daily)
+      SELECT CAST(w_day AS VARCHAR) AS day, bucket, max(rho)::INT AS rho
+      FROM rep JOIN days ON days.day = rep.w_day
+      GROUP BY 1, 2""")),
+
     // interval-overlap join via time-bucket binning: per-(user, day)
     // activity intervals; concurrently-active user pairs per day. The
     // bin explode turns the overlap predicate into an EQUI join
@@ -1623,6 +1650,32 @@ object Queries {
                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
         FROM scored)
       SELECT query_id, vec_id, cos, rank::INT AS rank FROM ranked WHERE rank <= 5""")),
+
+    // margin-based match mining (Artetxe & Schwenk): best match per
+    // query scored relative to its k-NN neighborhood mean — separates
+    // genuine pairs from hub vectors; neighborhood mean sums micro-
+    // unit longs (order-independent, cross-engine exact)
+    Q("s_margin_mining", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.marginTopMatch(e.filter(col("vec_id") < 8), e, k = 4)
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT query_id, vec_id, ${duckCosine("q_emb", "embedding")} AS cos
+        FROM embeddings, q WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored),
+      top AS MATERIALIZED (SELECT * FROM ranked WHERE rank <= 4),
+      stats AS (SELECT query_id,
+                       sum(CAST(round(cos * 1e6) AS BIGINT))::BIGINT AS sum_micro
+                FROM top GROUP BY 1)
+      SELECT t.query_id, t.vec_id, round(t.cos, 6) AS cos,
+             round(t.cos / (stats.sum_micro / 4.0 / 1e6), 6) AS margin
+      FROM top t JOIN stats USING (query_id) WHERE t.rank = 1""")),
 
     // range (radius) search: everything with cosine >= t per query —
     // broadcast probes, map-only score + filter; rounding on both

@@ -84,6 +84,38 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** Margin-based match mining (Artetxe & Schwenk): the best match
+    * per query scored RELATIVE to the query's k-NN neighborhood —
+    * margin = cos(x, y₁) / mean(top-k cos of x). An absolute cosine
+    * threshold can't separate "genuine translation/duplicate pair"
+    * from "hub vector similar to everything"; the margin can, which
+    * is why it's the standard mining score for bitext and
+    * cross-corpus alignment. Broadcast probes + map-only scoring +
+    * partial WindowGroupLimit rank (the [[hardNegatives]] shape); the
+    * neighborhood mean sums micro-unit longs so it is
+    * order-independent and cross-engine exact.
+    */
+  def marginTopMatch(queries: DataFrame, corpus: DataFrame,
+      k: Int = 4): DataFrame = {
+    val scored = corpus.join(
+        broadcast(queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val top = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val stats = top.groupBy("query_id")
+      .agg(sum(round(col("cos") * 1e6, 0).cast("long")).as("sum_micro"))
+    top.where(col("rank") === 1)
+      .join(broadcast(stats), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"),
+        round(col("cos") / (col("sum_micro") / lit(k.toDouble) / 1e6), 6)
+          .as("margin"))
+  }
+
   /** Range (radius) search: every corpus vector with cosine ≥
     * `threshold` per query — the recall-oriented sibling of top-k
     * (dedup and retrieval audits ask "everything this similar", not

@@ -107,6 +107,46 @@ object Sketches {
   def hllMerge(shards: DataFrame*): DataFrame =
     shards.reduce(_ unionByName _).groupBy("bucket").agg(max("rho").as("rho"))
 
+  /** Per-day HLL registers, then a trailing `windowDays`-day rolling
+    * union per day — "distinct users over the last N days, every day"
+    * as SKETCH COMPOSITION: the daily registers are built once (one
+    * combinable pass, ≤ m rows per day), and the rolling merge
+    * replays each register into the ≤ N later day-slots it
+    * contributes to (map-only explode + bucketwise max onto
+    * days×m keys). The corpus is scanned ONCE no matter how many
+    * windows — the reason sketches, not exact distincts, are the
+    * scale path for rolling-cardinality dashboards (an exact rolling
+    * COUNT(DISTINCT) rescans each event into every window it spans
+    * AND shuffles raw keys).
+    *
+    * Output: (day, bucket, rho) — the merged register table per day
+    * (days that appear in the data only). Estimate with the usual
+    * harmonic mean; the registers themselves are integer-exact
+    * cross-engine.
+    */
+  def hllRollingDaily(events: DataFrame, windowDays: Int = 3,
+      key: String = "user_id"): DataFrame = {
+    val h = hllMix(graft.ext.TextAnalysis.polyHash(col(key).cast("string")))
+    val r = shiftright(h, 8)
+    val rho = when(r === 0L, lit(HllSuffixBits + 1))
+      .otherwise(lit(HllSuffixBits) - floorLog2(r))
+    val daily = events
+      .select(to_date(col("ts")).as("day"),
+        h.bitwiseAND(HllM - 1).cast("int").as("bucket"),
+        rho.cast("int").as("rho"))
+      .groupBy("day", "bucket").agg(max("rho").as("rho"))
+    val replayed = daily.select(
+        explode(array((0 until windowDays).map(i =>
+          date_add(col("day"), i)): _*)).as("w_day"),
+        col("bucket"), col("rho"))
+      // only days that actually occur: a register must not invent a
+      // day-slot past the data (or before a gap) the dashboard lacks
+      .join(daily.select(col("day").as("w_day")).distinct(), Seq("w_day"),
+        "left_semi")
+    replayed.groupBy(col("w_day").cast("string").as("day"), col("bucket"))
+      .agg(max("rho").as("rho"))
+  }
+
   /** Mergeable equi-width histogram over a 2-decimal money column:
     * bin = integer-cents div `widthCents`. Combinable groupBy onto a
     * range-bounded handful of bins (map-side partial counts — the
