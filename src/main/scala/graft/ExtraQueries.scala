@@ -265,7 +265,32 @@ object ExtraQueries {
         FROM documents)
       SELECT doc_id, frame_idx::BIGINT AS frame_idx,
              md5(substring(text, ((frame_idx*17) % greatest(n-32, 1))::BIGINT + 1, 32)) AS frame_md5
-      FROM f"""))
+      FROM f""")),
+
+    // audio segmentation plan: Whisper-style 30s windows / 5s overlap
+    // over a stub 16kHz-mono duration (real decode fills this slot);
+    // the ceil-division window schedule of t_chunk_windows applied to
+    // time — map-only, payload pruned at the scan
+    Q("m_audio_segments", (s, dir) => {
+      import s.implicits._
+      Multimodal.audioSegments(
+        Multimodal.withBinary(t(s, dir, "documents")).as[Multimodal.Media])
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id,
+               (octet_length(encode(text)) * 1000) // 32000 AS dur_ms
+        FROM documents WHERE doc_id % 3 = 1),
+      k AS (SELECT doc_id, dur_ms,
+                   greatest(0, CAST(floor((dur_ms - 30000 + 24999) / 25000.0)
+                                    AS BIGINT)) AS k
+            FROM a),
+      st AS (SELECT doc_id, dur_ms,
+                    unnest(generate_series(0, k * 25000, 25000)) AS start_ms
+             FROM k)
+      SELECT doc_id, CAST(start_ms / 25000 AS BIGINT) AS seg_idx,
+             start_ms::BIGINT AS start_ms,
+             least(30000, dur_ms - start_ms)::BIGINT AS seg_ms
+      FROM st"""))
   )
 
   /** DuckDB mirror of [[graft.ext.Similarity.lshBucket]] for `bits`

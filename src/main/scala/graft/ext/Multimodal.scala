@@ -88,6 +88,30 @@ object Multimodal {
       (gx * gy + 1).as("n_tokens"))
   }
 
+  /** Audio segmentation plan (Whisper-style 30 s windows with 5 s
+    * overlap): pseudo-duration derived from the byte length at the
+    * 16 kHz/16-bit-mono stub rate (a real decoder reads the header in
+    * this slot), then ceil-division window starts — the same
+    * integer-exact schedule as [[graft.ext.TextAnalysis.chunkWindows]]
+    * applied to time. Map-only explode over metadata; the payload
+    * column is pruned at the scan.
+    */
+  def audioSegments(media: Dataset[Media], segMs: Long = 30000,
+      strideMs: Long = 25000): DataFrame = {
+    val m = media.toDF()
+    m.filter(col("media_type") === "audio")
+      .select(col("doc_id"),
+        (length(col("payload")).cast("long") * 1000L / 32000L)
+          .cast("long").as("dur_ms"))
+      .withColumn("k", greatest(lit(0L),
+        ((col("dur_ms") - segMs + strideMs - 1) / strideMs).cast("long")))
+      .select(col("doc_id"), col("dur_ms"),
+        posexplode(sequence(lit(0L), col("k") * strideMs, lit(strideMs))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("start_ms"),
+        least(lit(segMs), col("dur_ms") - col("col")).as("seg_ms"))
+  }
+
   final case class PHash(doc_id: Long, phash: Long)
 
   /** Perceptual-hash-style media fingerprint (STUB for a real pHash/

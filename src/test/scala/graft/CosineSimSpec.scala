@@ -27,6 +27,49 @@ class CosineSimSpec extends GraftSuite {
     assert(got.toSeq === Seq((1L, 1L, 0L), (2L, 4L, 2000000L), (3L, 3L, 1000000L)))
   }
 
+  test("marginTopMatch: hand-computed margin on a known neighborhood") {
+    import spark.implicits._
+    // query 0 at (1,0); neighborhood cosines 1.0, 0.8, 0.6, 0.0 —
+    // mean 0.6, so the top match (id 1, cos 1.0) has margin 1/0.6
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.8f, 0.6f)), (3L, Seq(0.6f, 0.8f)),
+      (4L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.marginTopMatch(
+      e.filter(col("vec_id") === 0), e, k = 4).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.666667) < 1e-6)
+  }
+
+  test("hllRollingDaily: day window equals the union of daily registers") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // disjoint user populations on 4 days with a gap (no day 3):
+    // day 4's 3-day trailing window covers days {2, 4} only
+    def ts(day: Int, i: Int) = Timestamp.valueOf(f"2026-01-0$day 0$i:00:00")
+    val events = (for {
+      (day, users) <- Seq(1 -> (1 to 40), 2 -> (41 to 90),
+        4 -> (91 to 120), 5 -> (121 to 200))
+      u <- users
+    } yield (ts(day, u % 9), u.toLong)).toDF("ts", "user_id")
+    val rolled = graft.ext.Sketches.hllRollingDaily(events, windowDays = 3)
+      .collect().groupBy(_.getString(0))
+      .map { case (d, rs) => d -> rs.map(r => r.getInt(1) -> r.getInt(2)).toMap }
+    def dailyRegs(days: Seq[Int]): Map[Int, Int] =
+      graft.ext.Sketches.hllRegisters(
+        events.filter(dayofmonth(col("ts")).isin(days: _*))
+          .select(col("user_id").cast("string").as("term")))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rolled.keySet ===
+      Set("2026-01-01", "2026-01-02", "2026-01-04", "2026-01-05"))
+    assert(rolled("2026-01-02") === dailyRegs(Seq(1, 2)))
+    assert(rolled("2026-01-04") === dailyRegs(Seq(2, 4)))
+    assert(rolled("2026-01-05") === dailyRegs(Seq(4, 5)))
+  }
+
   test("CosineSim equals the aggregate/zip_with formulation exactly") {
     val e = Tables(spark, sf, "embeddings")
     val pairs = e.select(col("vec_id").as("a_id"), col("embedding").as("a"))

@@ -105,6 +105,25 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("latestPerKey upsert view equals the batch argmax per entity") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamOps.latestPerKey(spark, sf)
+      .orderBy("user_id").collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = graft.core.Tables(spark, sf, "events")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .orderBy("user_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert((0 to 4).forall(i => a.get(i) == b.get(i)),
+        s"mismatch: $a vs $b")
+    }
+  }
+
   test("append-mode windowed top-k equals the batch rank") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
