@@ -12,7 +12,11 @@ object ExplainAudit {
         // round-7 skew-safe rewrites: prefix passes + join-back doc freq
         "t_quality_percentile", "t_token_budget", "d_span_dup", "g_label_prop",
         // round-8: boundary-merge per-user ops + new pipeline gates
-        "w_sessionize", "w_row_number_lag", "t_bm25", "s_hard_negatives")) {
+        "w_sessionize", "w_row_number_lag", "t_bm25", "s_hard_negatives",
+        // round-10 batch 4: posting-list retrieval, margin mining,
+        // rolling sketch composition, equi-binned interval overlap
+        "t_sparse_cosine", "s_margin_mining", "w_rolling_hll",
+        "w_interval_overlap")) {
       println(s"===== $name =====")
       Queries.queries(name)(spark, dir).explain("formatted")
     }

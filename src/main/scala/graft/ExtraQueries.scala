@@ -270,7 +270,7 @@ object ExtraQueries {
     // audio segmentation plan: Whisper-style 30s windows / 5s overlap
     // over a stub 16kHz-mono duration (real decode fills this slot);
     // the ceil-division window schedule of t_chunk_windows applied to
-    // time — map-only, payload pruned at the scan
+    // time — map-only; only the payload byte length is consumed
     Q("m_audio_segments", (s, dir) => {
       import s.implicits._
       Multimodal.audioSegments(

@@ -386,6 +386,26 @@ object Queries {
       FROM rep JOIN days ON days.day = rep.w_day
       GROUP BY 1, 2""")),
 
+    // Markov transition matrix over per-user event sequences: lag
+    // realized skew-safe (boundary-merge, ext/EventWindows) — interior
+    // pairs are a map-only scan, the shuffle carries only the
+    // type-squared matrix, one driver-walked pair per partition
+    // boundary; the oracle is the per-user window lag
+    Q("w_markov_transitions", (s, dir) =>
+      graft.ext.EventWindows.eventTransitions(t(s, dir, "events")),
+      Some("""
+      WITH o AS (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+      c AS (SELECT prev AS from_type, event_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, n, round(n / n_from, 6) AS prob
+      FROM c JOIN tot USING (from_type)""")),
+
     // interval-overlap join via time-bucket binning: per-(user, day)
     // activity intervals; concurrently-active user pairs per day. The
     // bin explode turns the overlap predicate into an EQUI join
@@ -404,7 +424,11 @@ object Queries {
           col("day"), col("s"), col("e"))
       graft.ext.EventWindows
         .intervalOverlapPairs(iv.select("iv_key", "s", "e"),
-          bucketUs = 86400000000L)
+          bucketUs = 86400000000L,
+          // day-confined intervals in day bins: one bin per interval,
+          // pairs provably unique — skip the O(pairs) distinct and let
+          // the per-day count partial-aggregate map-side
+          dedup = false)
         .withColumn("day", substring_index(col("a_key"), ":", -1))
         .groupBy("day").agg(count(lit(1)).as("n_pairs"))
     }, Some("""

@@ -120,6 +120,78 @@ object EventWindows {
         round(sum("value"), 2).as("sum_value"))
   }
 
+  /** Markov transition counts over per-user event sequences:
+    * (from_type → to_type) frequencies + row-normalized probabilities
+    * — the behavioral-model / next-event-prediction feature pass. The
+    * lag is realized with the same boundary-merge shape as
+    * [[sessionize]]: adjacent pairs INSIDE a partition are a map-only
+    * scan of the frozen sorted layout (combinable count — the shuffle
+    * carries only the tiny type×type matrix), and the one pair that
+    * spans each partition boundary (sorted contiguity ⇒ at most one
+    * user per boundary) comes from the O(P) driver walk. A
+    * 10⁸-event bot never funnels through one task.
+    *
+    * Input needs `user_id`, `event_id`, `ts_ns`, `event_type`.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val parts = events
+      .select(col("user_id").cast("long"), col("ts_ns").cast("long"),
+        col("event_id").cast("long"), col("event_type").cast("string"))
+      .repartitionByRange(col("user_id"), col("ts_ns"), col("event_id"))
+      .sortWithinPartitions("user_id", "ts_ns", "event_id")
+      .localCheckpoint(true)
+      .as[(Long, Long, Long, String)]
+
+    // boundary summary: each partition's first/last (user, type)
+    val summaries = parts.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val (u0, _, _, t0) = it.next()
+        var lu = u0; var lt = t0
+        while (it.hasNext) { val (u, _, _, t) = it.next(); lu = u; lt = t }
+        Iterator.single((pid, u0, t0, lu, lt))
+      }
+    }.collect().sortBy(_._1)
+
+    // driver walk: the pair spanning each boundary (same user only)
+    val boundary = scala.collection.mutable.Map.empty[(String, String), Long]
+    var havePrev = false; var prevUser = 0L; var prevType = ""
+    for ((_, fu, ft, lu, lt) <- summaries) {
+      if (havePrev && prevUser == fu)
+        boundary((prevType, ft)) = boundary.getOrElse((prevType, ft), 0L) + 1
+      havePrev = true; prevUser = lu; prevType = lt
+    }
+
+    // interior pairs: map-only over the same frozen layout
+    val interior = parts.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var (cu, _, _, ct) = it.next()
+        it.map { case (u, _, _, t) =>
+          val pair = if (u == cu) Some((ct, t)) else None
+          cu = u; ct = t
+          pair
+        }.flatten
+      }
+    }.toDF("from_type", "to_type")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val extra = boundary.toSeq.map { case ((f, tt), n) => (f, tt, n) }
+    // NOTE: parts stays persisted — `interior` reads its checkpointed
+    // blocks lazily at the caller's action (unpersisting here would
+    // drop an unrecomputable lineage root)
+    val all =
+      if (extra.isEmpty) interior
+      else interior.unionByName(extra.toDF("from_type", "to_type", "n"))
+        .groupBy("from_type", "to_type").agg(sum("n").as("n"))
+    val totals = all.groupBy("from_type").agg(sum("n").as("n_from"))
+    all.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"),
+        round(col("n") / col("n_from"), 6).as("prob"))
+  }
+
   /** Per-user row number, lag(1), and 3-row moving sum — the per-row
     * ordered-window family over `(user_id, ts_ns, event_id)` order.
     * The boundary carry is `(rnOffset, seed)`: how many rows of the
@@ -237,7 +309,7 @@ object EventWindows {
     * (timestamps, s ≤ e).
     */
   def intervalOverlapPairs(iv: DataFrame,
-      bucketUs: Long = 3600000000L): DataFrame = {
+      bucketUs: Long = 3600000000L, dedup: Boolean = true): DataFrame = {
     val binned = iv.select(col("iv_key"),
         unix_micros(col("s")).as("su"), unix_micros(col("e")).as("eu"))
       .select(col("iv_key"), col("su"), col("eu"),
@@ -247,10 +319,17 @@ object EventWindows {
       col("su").as("a_su"), col("eu").as("a_eu"))
     val b = binned.select(col("bin"), col("iv_key").as("b_key"),
       col("su").as("b_su"), col("eu").as("b_eu"))
-    a.join(b, Seq("bin"))
+    val pairs = a.join(b, Seq("bin"))
       .where(col("a_key") < col("b_key")
         && col("a_su") <= col("b_eu") && col("b_su") <= col("a_eu"))
       .select("a_key", "b_key")
-      .distinct()
+    // a pair appears once PER SHARED BIN: the distinct folds the
+    // multi-bin copies. When every interval provably fits one bin
+    // (e.g. day-confined intervals with day buckets) the caller passes
+    // dedup = false and the pair stream feeds its consumer pipelined —
+    // downstream combinable aggregates then never shuffle the pairs
+    // at all (the distinct was the dominant cost of the overlap gate:
+    // an O(pairs) wide exchange for provably-unique rows)
+    if (dedup) pairs.distinct() else pairs
   }
 }

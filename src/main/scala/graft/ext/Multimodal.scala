@@ -93,8 +93,9 @@ object Multimodal {
     * 16 kHz/16-bit-mono stub rate (a real decoder reads the header in
     * this slot), then ceil-division window starts — the same
     * integer-exact schedule as [[graft.ext.TextAnalysis.chunkWindows]]
-    * applied to time. Map-only explode over metadata; the payload
-    * column is pruned at the scan.
+    * applied to time. Map-only explode; only the payload's byte
+    * LENGTH is consumed (the header-read of a real decoder) — no
+    * shuffle touches the bytes themselves.
     */
   def audioSegments(media: Dataset[Media], segMs: Long = 30000,
       strideMs: Long = 25000): DataFrame = {

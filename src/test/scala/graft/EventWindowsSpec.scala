@@ -83,6 +83,37 @@ class EventWindowsSpec extends GraftSuite {
     assert(got.count(_.getLong(0) == 1L) > 10)
   }
 
+  test("eventTransitions equals the window-lag formulation across boundaries") {
+    import spark.implicits._
+    // a mega-user cycling through 3 types over 400 rows (split across
+    // many range partitions ⇒ boundary pairs exercised) + small users
+    val types = Array("view", "click", "buy")
+    val rows = (0L until 400L).map { i =>
+      (1L, i, i * 1000L, types((i % 5 % 3).toInt))
+    } ++ Seq((2L, 900L, 0L, "view"), (2L, 901L, 5000L, "buy"),
+      (3L, 950L, 0L, "click"))
+    val df = rows.toDF("user_id", "event_id", "ts_us", "event_type")
+      .select(col("user_id"), col("event_id"),
+        (col("ts_us") * 1000).as("ts_ns"), col("event_type"))
+    val got = EventWindows.eventTransitions(df)
+      .orderBy("from_type", "to_type").collect().toSeq
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").asc, col("event_id").asc)
+    val want = df
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wantTot = want.groupBy("from_type").agg(sum("n").as("n_from"))
+    val wantFull = want.join(wantTot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 6).as("prob"))
+      .orderBy("from_type", "to_type").collect().toSeq
+    assert(got.nonEmpty && got == wantFull)
+    // total transition mass: every non-first row contributes exactly one
+    assert(got.map(_.getLong(2)).sum == 399L + 1L)
+  }
+
   test("rowNumberLag equals the window formulation") {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_ns").asc, col("event_id").asc)

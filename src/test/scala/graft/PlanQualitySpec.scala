@@ -124,6 +124,37 @@ class PlanQualitySpec extends GraftSuite {
     assert(!pr.contains("CartesianProduct"), s"cartesian in RRF fuse:\n$pr")
   }
 
+  test("batch-4 ops keep their scale shapes") {
+    // sparse cosine: query postings + query norms BROADCAST onto the
+    // term-partitioned corpus postings; never a cartesian
+    val ps = plan("t_sparse_cosine")
+    assert("BroadcastHashJoin".r.findAllIn(ps).size >= 2,
+      s"query postings/norms must broadcast:\n$ps")
+    assert(!ps.contains("CartesianProduct"), s"cartesian in sparse cosine:\n$ps")
+    // margin mining: probes broadcast (nested-loop against the corpus
+    // scan is the hardNegatives shape) — the corpus never shuffles
+    // into a sort-merge join
+    val pm = plan("s_margin_mining")
+    assert(!pm.contains("SortMergeJoin"),
+      s"margin probes must broadcast, not shuffle:\n$pm")
+    // rolling HLL: the daily register build combines map-side (partial
+    // max before the exchange); the day-existence check broadcasts
+    val ph = plan("w_rolling_hll")
+    assert(ph.contains("partial_max"),
+      s"daily register build lost map-side combine:\n$ph")
+    // interval overlap: binning makes the overlap predicate an EQUI
+    // join — a cartesian here is the O(n^2) failure the op exists to
+    // avoid
+    val pi = plan("w_interval_overlap")
+    assert(!pi.contains("CartesianProduct") &&
+      !pi.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap fell back to a non-equi join:\n$pi")
+    // degree histogram: both counts combine map-side
+    val pd = plan("g_degree_hist")
+    assert(pd.contains("partial_count"),
+      s"degree count lost map-side combine:\n$pd")
+  }
+
   test("t_entropy: per-term fixed-point work is partial-aggregated") {
     val p = plan("t_entropy")
     // (doc_id, tok) count and the final per-doc sum both combine
