@@ -767,6 +767,24 @@ object Queries {
              least(64, n_tok - start)::BIGINT AS chunk_len
       FROM st""")),
 
+    // T5-style span-corruption schedule: ⌊n·15%/3⌋ evenly-spaced
+    // 3-token spans — the denoising-objective mask plan as map-only
+    // integer arithmetic (rerun-stable, engine-exact)
+    Q("t_span_corruption", (s, dir) =>
+      TextAnalysis.spanCorruption(t(s, dir, "documents")),
+      Some("""
+      WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+                 FROM documents),
+      k AS (SELECT doc_id, n,
+                   greatest(1, CAST(floor(n * 15 / 300.0) AS BIGINT)) AS k
+            FROM d),
+      st AS (SELECT doc_id, n, n // k AS stride,
+                    unnest(generate_series(0, k - 1)) AS j
+             FROM k)
+      SELECT doc_id, j::BIGINT AS span_idx, (j * stride)::BIGINT AS start,
+             least(3, n - j * stride)::BIGINT AS span_len
+      FROM st""")),
+
     // sparse (lexical) TF-IDF cosine retrieval over posting lists —
     // the inverted-index twin of the dense s_* ANN family: broadcast
     // query postings onto the term-partitioned corpus postings,
@@ -1317,6 +1335,28 @@ object Queries {
       SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp,
              min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY 1 HAVING count(*) > 1""")),
+
+    // sorted-neighborhood blocking (Hernández & Stolfo): candidate
+    // pairs within 4 positions of the fingerprint-sorted total order —
+    // O(n·w) pairs with NO bucket skew (a hot key yields exactly w−1
+    // pairs per row); realized skew-safe as range-partition sliding
+    // buffers + driver-stitched successor carries; the oracle is the
+    // global row_number self-join
+    Q("d_sorted_neighborhood", (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(
+        t(s, dir, "documents").select(
+          TextAnalysis.fingerprint(col("text")).as("block_key"),
+          col("doc_id")),
+        window = 4),
+      Some("""
+      WITH k AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS bk
+        FROM documents),
+      r AS (SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) AS rn
+            FROM k)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, (b.rn - a.rn)::BIGINT AS dist
+      FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 4""")),
 
     // winnowing fingerprint selection (SIGMOD'03): per-window min of
     // k-gram hashes — guarantees any >= w+k-1-token substring match

@@ -526,4 +526,84 @@ object Dedup {
     docSh.unpersist(blocking = false)
     out
   }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo): sort the
+    * corpus by a blocking key and emit every pair within `window`
+    * positions of each other in that TOTAL order — the classic
+    * entity-resolution candidate generator when LSH bands don't fit
+    * the key structure (O(n·w) pairs, one sort, no bucket skew: a
+    * million-row hot key still yields exactly w−1 pairs per row).
+    *
+    * Skew-/scale-safe realization: range-partition + sort on
+    * (block_key, doc_id) freezes the global order with contiguous
+    * partitions; interior pairs are a map-only sliding buffer; the
+    * ≤ w−1 pairs spanning each boundary use the SUCCESSOR partitions'
+    * first w−1 rows, stitched on the driver (O(P·w) state — rows,
+    * never data pages) and broadcast. Input: (doc_id, block_key).
+    *
+    * @return (a_id, b_id, dist) with a before b in sort order and
+    *         0 < dist < window.
+    */
+  def sortedNeighborhoodPairs(keyed: DataFrame,
+      window: Int = 4): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    require(window >= 2, s"sortedNeighborhoodPairs: window >= 2 (got $window)")
+    val parts = keyed
+      .select(col("block_key").cast("string"), col("doc_id").cast("long"))
+      .repartitionByRange(col("block_key"), col("doc_id"))
+      .sortWithinPartitions("block_key", "doc_id")
+      .localCheckpoint(true)
+      .as[(String, Long)]
+    // first w−1 rows of every partition (w−1 = all of a short one)
+    val heads = parts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val h = it.take(window - 1).map(_._2).toList
+      if (h.isEmpty) Iterator.empty else Iterator.single(pid -> h)
+    }.collect().toMap
+    // successor carry: for partition p, the next w−1 GLOBAL rows after
+    // its end — concatenated heads of following partitions (a short
+    // partition contributes all its rows and the walk continues)
+    val maxPid = if (heads.isEmpty) -1 else heads.keys.max
+    val carry = (0 to maxPid).map { p =>
+      val buf = scala.collection.mutable.ListBuffer.empty[Long]
+      var q = p + 1
+      while (buf.size < window - 1 && q <= maxPid) {
+        heads.get(q).foreach(h => buf ++= h.take(window - 1 - buf.size))
+        q += 1
+      }
+      p -> buf.toList
+    }.toMap
+    val bc = spark.sparkContext.broadcast(carry)
+    parts.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val buf = scala.collection.mutable.ArrayDeque.empty[Long]
+      def pairsWith(y: Long): Iterator[(Long, Long, Long)] = {
+        val n = buf.size
+        val out = buf.iterator.zipWithIndex
+          .map { case (x, i) => (x, y, (n - i).toLong) }.toList
+        out.iterator
+      }
+      def push(y: Long): Unit = {
+        buf.append(y); if (buf.size >= window) buf.removeHead()
+      }
+      val interior = it.flatMap { case (_, y) =>
+        val ps = pairsWith(y); push(y); ps
+      }
+      // boundary pairs: this partition's tail × the successor carry.
+      // Carry rows pair only with OUR rows (their own pairs belong to
+      // their partitions), so the buffer stops absorbing them — each
+      // carried y pairs with the surviving tail at growing distance
+      def boundary: Iterator[(Long, Long, Long)] =
+        bc.value.getOrElse(pid, Nil).iterator.zipWithIndex.flatMap {
+          case (y, k) =>
+            val n = buf.size
+            buf.iterator.zipWithIndex.collect {
+              case (x, i) if (n - i).toLong + k < window =>
+                (x, y, (n - i).toLong + k)
+            }
+        }
+      interior ++ boundary
+    }.toDF("a_id", "b_id", "dist")
+  }
 }

@@ -661,6 +661,30 @@ object TextAnalysis {
         least(lit(chunk.toLong), col("n_tok") - col("col")).as("chunk_len"))
   }
 
+  /** T5-style span-corruption mask schedule: `k = ⌊n·pct/(100·len)⌋`
+    * spans of `spanLen` tokens, evenly spaced at stride ⌊n/k⌋ — the
+    * deterministic denoising-objective prep pass (which tokens become
+    * sentinels) as pure integer arithmetic: map-only explode,
+    * rerun-stable, identical across engines. Stride ≥ spanLen for any
+    * pct ≤ 33, so spans never overlap.
+    */
+  def spanCorruption(docs: org.apache.spark.sql.DataFrame,
+      corruptPct: Int = 15, spanLen: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(corruptPct >= 1 && corruptPct <= 33 && spanLen >= 1,
+      s"spanCorruption: need 1 <= pct <= 33 (got $corruptPct), spanLen >= 1")
+    docs
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("k", greatest(lit(1L),
+        (col("n_tok") * corruptPct / (100 * spanLen)).cast("long")))
+      .withColumn("stride", (col("n_tok") / col("k")).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("stride"),
+        posexplode(sequence(lit(0L), col("k") - 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
+        (col("col") * col("stride")).as("start"),
+        least(lit(spanLen.toLong), col("n_tok") - col("col") * col("stride"))
+          .as("span_len"))
+  }
+
   /** Sparse (lexical) cosine retrieval over TF-IDF posting lists: the
     * inverted-index twin of the dense ANN family. Weights w = tf ·
     * ln(N/df); per-term contribution and per-doc norm² are summed as

@@ -10,6 +10,21 @@ import graft.ext.TextAnalysis
   */
 class TextOpsSpec extends GraftSuite {
 
+  test("sortedNeighborhoodPairs equals the global rank self-join across boundaries") {
+    import spark.implicits._
+    // 300 sequential keys spread over 32 range partitions: every
+    // boundary pair (and carries spanning short partitions) exercised
+    val keyed = (0L until 300L).map(i => (f"k$i%04d", i))
+      .toDF("block_key", "doc_id")
+    val got = graft.ext.Dedup.sortedNeighborhoodPairs(keyed, window = 4)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = (for {
+      a <- 0L until 300L; d <- 1L to 3L; if a + d < 300L
+    } yield (a, a + d, d)).sorted
+    assert(got == want)
+  }
+
   test("bpeMerges: greedy merge sequence with left-to-right replace semantics") {
     import spark.implicits._
     // "aaab aaab ab": round 1 top pair (a,a) n=4; after the merge the
