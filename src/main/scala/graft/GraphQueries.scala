@@ -232,6 +232,29 @@ object GraphQueries {
       SELECT v AS id, lbl AS label FROM l3""")
     }),
 
+    // Adamic–Adar link prediction over the part–supplier bipartite
+    // graph (first 300 parts): integer micro-nat common-neighbor
+    // weights; the hub cap (deg <= 64) is part of the operator
+    // contract and the oracle states the same capped score
+    Q("g_adamic_adar", (s, dir) => {
+      val edges = Tables(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 300)
+        .select(col("l_partkey").cast("long").as("left"),
+          col("l_suppkey").cast("long").as("right"))
+      GraphOps.adamicAdar(edges, maxDeg = 64)
+    }, Some("""
+      WITH e AS (SELECT DISTINCT l_partkey::BIGINT AS l, l_suppkey::BIGINT AS r
+                 FROM lineitem WHERE l_partkey <= 300),
+      deg AS (SELECT r, count(*)::BIGINT AS deg FROM e GROUP BY 1
+              HAVING count(*) BETWEEN 2 AND 64),
+      w AS (SELECT r, CAST(round(1e6 / ln(deg)) AS BIGINT) AS w_micro
+            FROM deg),
+      ew AS (SELECT e.l, e.r, w.w_micro FROM e JOIN w USING (r))
+      SELECT a.l AS a, b.l AS b, count(*)::BIGINT AS n_common,
+             sum(a.w_micro)::BIGINT AS aa_micro
+      FROM ew a JOIN ew b ON a.r = b.r AND a.l < b.l
+      GROUP BY 1, 2""")),
+
     // log2-bucketed undirected degree distribution — the scale-free-
     // graph diagnostic every crawl/link analysis starts with. One
     // combinable degree count + a map-only comparison-ladder bucket

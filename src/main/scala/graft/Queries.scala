@@ -359,6 +359,27 @@ object Queries {
              coalesce(n_retained, 0)::BIGINT AS n_retained
       FROM act LEFT JOIN ret ON ret.d = act.d""")),
 
+    // cohort retention matrix: users bucketed by first-seen day ×
+    // days-since-signup — the classic growth table. Two combinable
+    // user-keyed aggregations; the cohort join shuffles on user_id
+    // (the entity key), never on the matrix cells
+    Q("w_cohort_matrix", (s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohort = days.groupBy("user_id").agg(min("d").as("c"))
+      days.join(cohort, Seq("user_id"))
+        .groupBy(col("c").cast("string").as("cohort_day"),
+          datediff(col("d"), col("c")).cast("long").as("age_days"))
+        .agg(count(lit(1)).as("n_users"))
+    }, Some("""
+      WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events),
+      cohort AS (SELECT user_id, min(d) AS c FROM days GROUP BY 1)
+      SELECT CAST(c AS VARCHAR) AS cohort_day,
+             date_diff('day', c, d)::BIGINT AS age_days,
+             count(*)::BIGINT AS n_users
+      FROM days JOIN cohort USING (user_id) GROUP BY 1, 2""")),
+
     // rolling 3-day distinct users per day as HLL register COMPOSITION:
     // daily registers built in one combinable pass, each replayed into
     // the <= 3 day-slots it serves (map-only explode + bucketwise max)

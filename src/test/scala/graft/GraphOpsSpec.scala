@@ -70,6 +70,23 @@ class GraphOpsSpec extends GraftSuite {
     assert(got3(99L) == 0.15 && got3(1L) == 0.15)
   }
 
+  test("adamicAdar: hand-computed micro-nat scores; degree-1 and hub cuts") {
+    import spark.implicits._
+    // suppliers: 10 serves {1,2,3} (deg 3), 11 serves {1,2} (deg 2),
+    // 12 serves {3} (deg 1 — never a common neighbor), 13 serves
+    // {1..70} (deg 70 > maxDeg 64 — hub-capped out of the score)
+    val edges = (Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 12L)) ++ (1L to 70L).map(p => (p, 13L)))
+      .toDF("left", "right")
+    val got = graft.ext.GraphOps.adamicAdar(edges, maxDeg = 64)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w3 = math.round(1e6 / math.log(3)) // 910239
+    val w2 = math.round(1e6 / math.log(2)) // 1442695
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, w3 + w2), (1L, 3L, 1L, w3), (2L, 3L, 1L, w3)))
+  }
+
   test("labelPropagation: hand-computed sync rounds") {
     import spark.implicits._
     // path 1-2-3: after round 1 → (1:2, 2:1, 3:2); after round 2 the
