@@ -1522,6 +1522,30 @@ object Queries {
       SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
       FROM joined WHERE round(inter/(na+nb-inter),6) >= 0.3""")),
 
+    // asymmetric n-gram containment (|A∩B|/|A| — catches a short doc
+    // embedded in a long one, where Jaccard vanishes): probe-prefix
+    // filter joins the full index side, exact verify on cached hash
+    // sets; the oracle is the naive directional pair join
+    Q("d_containment", (s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), 3, 0.6),
+      Some(s"""
+      WITH docs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        FROM documents),
+      exs AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+      ex AS (SELECT doc_id, n_sh,
+             ${duckPh("shingle")}*1000000007 + ${duckPh("shingle", 131)} AS sh_hash
+             FROM exs),
+      joined AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               count(*)::DOUBLE AS inter, any_value(l.n_sh) AS na
+        FROM ex l JOIN ex r ON l.sh_hash = r.sh_hash AND l.doc_id <> r.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, round(inter/na, 6) AS containment
+      FROM joined WHERE round(inter/na, 6) >= 0.6""")),
+
     // Bloom membership pre-filter: the k=4 x m=8192 bit set built over
     // the token vocabulary of sources src0-src9 answers "have we seen
     // this token?" for the WHOLE corpus vocabulary — no false
@@ -1836,6 +1860,46 @@ object Queries {
              round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5, 6) AS recall
       FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id AND ivf.vec_id = bf.vec_id
       GROUP BY 1""")),
+
+    // nDCG@5 of the IVF ANN against exact brute force — the graded
+    // position-weighted quality metric beside s_ann_recall's flat
+    // hit count; micro-unit per-position gains, ln-ratio log2
+    Q("s_ndcg_eval", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      Similarity.ndcgAtK(
+        Similarity.bruteForceTopK(qs, e, 5),
+        Similarity.ivfTopK(qs, e, 5), 5)
+    }, {
+      val idcg = (1 to 5).map(j =>
+        math.round((5 - j + 1) * 1e6 / (math.log(j + 1) / math.log(2)))).sum
+      Some(s"""
+      WITH $duckIvfCtes,
+      ivf AS (SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5),
+      bfs AS (
+        SELECT b.query_id, e.vec_id, ${duckCosine("b.q_emb", "e.embedding")} AS cos
+        FROM embeddings e,
+             (SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < 5) b
+        WHERE e.vec_id <> b.query_id),
+      bf AS (
+        SELECT query_id, vec_id, r FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS r
+          FROM bfs) WHERE r <= 5),
+      c AS (
+        SELECT ivf.query_id,
+               CASE WHEN bf.vec_id IS NULL THEN 0
+                    ELSE CAST(round((6 - bf.r) * 1e6
+                              / (ln(ivf.rank + 1) / ln(2))) AS BIGINT)
+               END AS c_micro
+        FROM ivf LEFT JOIN bf
+          ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id)
+      SELECT query_id, sum(c_micro)::BIGINT AS dcg_micro,
+             round(sum(c_micro)::BIGINT / $idcg.0, 6) AS ndcg
+      FROM c GROUP BY 1""")
+    }),
 
     // product-quantization ANN (PQ/ADC): codes-only corpus
     // representation + asymmetric distance scan

@@ -527,6 +527,54 @@ object Dedup {
     out
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ t —
+    * the near-dup detector Jaccard misses when a short document is
+    * embedded in a much longer one (quote farms, wrapper boilerplate:
+    * J = |A|/|B| can be arbitrarily small while C(A→B) = 1). Exact,
+    * directional (both a→b and b→a can emit).
+    *
+    * Scale shape: the standard asymmetric probe-prefix filter — a
+    * true containment needs ≥ ⌈t·|A|⌉ shared shingles, so SOME shared
+    * shingle sits in A's first |A|−⌈t·|A|⌉+1 rarest-first entries
+    * (pigeonhole; df=1 shingles are unshareable and drop first).
+    * Probe prefixes join the FULL index side (B is unbounded — its
+    * denominator never appears), then candidates verify exactly on
+    * the cached wide-hash sets. No O(n²) stage; the index join is the
+    * posting-list shape an entity-resolution deployment shards.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val docSh = docs.select(col("doc_id"),
+        array_distinct(graft.functions.GramHashes.wide(col("text"), n)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("sh_hash"))
+    val docFreq = ex.groupBy("sh_hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
+    val probes = ex.join(docFreq, "sh_hash")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("sh_hash"))))
+      .where(col("rk") <= prefixLen)
+      .select(col("sh_hash"), col("doc_id").as("doc_a"))
+    val index = ex.select(col("sh_hash"), col("doc_id").as("doc_b"))
+    val cand = probes.join(index, "sh_hash")
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val out = cand
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a"))).as("c"))
+      .select(col("doc_a"), col("doc_b"), round(col("c"), 6).as("containment"))
+      .where(col("containment") >= threshold)
+      .localCheckpoint(true)
+    docSh.unpersist(blocking = false)
+    out
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo): sort the
     * corpus by a blocking key and emit every pair within `window`
     * positions of each other in that TOTAL order — the classic

@@ -84,6 +84,34 @@ object Similarity {
         col("rank").cast("int").as("rank"))
   }
 
+  /** nDCG@k of an approximate ranking against the exact one — the
+    * graded retrieval-quality metric (recall@k treats rank-1 and
+    * rank-k hits alike; nDCG weights by position). Relevance of an
+    * approx item = k+1 − its EXACT rank (0 outside the exact top-k);
+    * each position's gain rounds to micro-units BEFORE the per-query
+    * sum (order-independent, cross-engine exact); log2 is realized as
+    * ln(x)/ln(2) so both engines run the identical IEEE ops. The
+    * ideal DCG is a k-only constant, computed once on the driver.
+    * Scale shape: one join of two k-bounded rankings + a combinable
+    * per-query sum.
+    */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val idcgMicro = (1 to k).map(j =>
+      math.round((k - j + 1) * 1e6 / (math.log(j + 1) / math.log(2)))).sum
+    val rel = exact.select(col("query_id"), col("vec_id"),
+      (lit(k + 1) - col("rank").cast("long")).as("rel"))
+    approx.select(col("query_id"), col("vec_id"),
+        col("rank").cast("long").as("arank"))
+      .join(rel, Seq("query_id", "vec_id"), "left")
+      .withColumn("c_micro", when(col("rel").isNull, lit(0L))
+        .otherwise(round(col("rel") * 1e6 /
+          (log(col("arank") + 1) / log(lit(2.0))), 0).cast("long")))
+      .groupBy("query_id")
+      .agg(sum("c_micro").as("dcg_micro"))
+      .select(col("query_id"), col("dcg_micro"),
+        round(col("dcg_micro") / lit(idcgMicro.toDouble), 6).as("ndcg"))
+  }
+
   /** Margin-based match mining (Artetxe & Schwenk): the best match
     * per query scored RELATIVE to the query's k-NN neighborhood —
     * margin = cos(x, y₁) / mean(top-k cos of x). An absolute cosine

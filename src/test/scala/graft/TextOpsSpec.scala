@@ -25,6 +25,22 @@ class TextOpsSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("containmentPairs: short doc inside a long one emits directionally") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // doc 1's three 3-grams all appear in doc 2 (C(1→2) = 1.0) but
+    // only half of doc 2's appear in doc 1 (C(2→1) = 0.5 < t);
+    // Jaccard = 0.5 would also miss the pair at t = 0.6
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.containmentPairs(docs, 3, 0.6)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("bpeMerges: greedy merge sequence with left-to-right replace semantics") {
     import spark.implicits._
     // "aaab aaab ab": round 1 top pair (a,a) n=4; after the merge the
