@@ -338,6 +338,23 @@ object SparqlQueries {
         (b.onum >= 7500 AND b.s IN (SELECT s FROM quads WHERE p=':nation'))
         OR b.s IN (SELECT s FROM quads WHERE p='rdf:type' AND o=':Customer'))"""))),
 
+    // correlated condition inside the MINUS RIGHT side of EXISTS
+    // (§18.6 via per-key MINUS, r10): hoisting past the negation is
+    // unsound, so the key-frame machinery evaluates the MINUS once per
+    // distinct correlated binding (Compiler.compCorrExistsMinus) —
+    // here r removes exactly l when the balance is high, so the
+    // EXISTS keeps low-balance rows with a nation edge
+    Q("r_exists_minus_corr", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal .
+        FILTER EXISTS { ?c :nation ?n
+          MINUS { ?c :nation ?n . FILTER(?bal >= 7500) } } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal
+      FROM quads b
+      WHERE b.p=':acctbal' AND b.onum < 7500
+        AND b.s IN (SELECT s FROM quads WHERE p=':nation')"""))),
+
     // correlated condition inside an INVISIBLE OPTIONAL within EXISTS
     // (§18.6 via simplification, r10): a left join never removes a
     // left row, and nothing reads ?nm — the OPTIONAL (and the

@@ -1946,14 +1946,27 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def compCorrelatedExistsFilter(input: Op, sub: Op,
       positive: Boolean, outerScope: Set[String]): DataFrame = {
     val corr = corrVarsOf(sub, outerScope)
-    val (residual, conds, binds) = splitCorrelated(sub, corr).getOrElse(
+    val splitOpt = splitCorrelated(sub, corr)
+    if (splitOpt.isEmpty) sub match {
+      // EXISTS { l MINUS r } with the correlation confined to r's
+      // spine: hoisting past the negation is unsound, but the
+      // key-frame machinery realizes it as a per-key MINUS
+      case Minus(lOp, rOp) =>
+        compCorrExistsMinus(input, lOp, rOp, outerScope, positive) match {
+          case Some(df) => return df
+          case None => ()
+        }
+      case _ => ()
+    }
+    val (residual, conds, binds) = splitOpt.getOrElse(
       throw new UnsupportedOperationException(
         "correlated EXISTS: inner expression references outer-only " +
           s"variable(s) ${corr.map("?" + _).mkString(", ")} from a " +
           "position where §18.6 substitution cannot be realized by " +
-          "decorrelation (under UNION/OPTIONAL/MINUS/aggregation/" +
-          "LIMIT, escaping a subquery projection, a BIND var used in " +
-          "a pattern position, or nested EXISTS)"))
+          "decorrelation (under UNION/OPTIONAL/aggregation/LIMIT, a " +
+          "non-top-level or oversized-key-frame MINUS, escaping a " +
+          "subquery projection, a BIND var used in a pattern " +
+          "position, or nested EXISTS)"))
     // nested EXISTS deeper in the residual see the widened scope
     walkExists(residual, outerScope ++ Algebra.inScope(residual))
     val in = comp(input)
@@ -1987,6 +2000,110 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       .reduceOption(_ && _).getOrElse(lit(true))
     in.join(rr, sharedCond && corrCond,
       if (positive) "left_semi" else "left_anti")
+  }
+
+  /** `FILTER [NOT] EXISTS { l MINUS r }` with §18.6 expression
+    * correlation confined to r's conjunctive spine (l uncorrelated).
+    * Hoisting a condition OUT of the MINUS right side is unsound (it
+    * sits under negation), so the substitution is realized per key:
+    *
+    *   1. key frame K = distinct outer rows over (outer∩l pattern
+    *      vars ∪ correlated vars) — each distinct correlated binding
+    *      decides independently;
+    *   2. cand = K ⋈ l (the per-key l solutions; a dependent CROSS
+    *      join only when l shares nothing with the outer, guarded by
+    *      a key-count bound — that blowup is inherent to dependent
+    *      negation, not an artifact);
+    *   3. per-key MINUS = one anti join of cand against r's residual
+    *      with [[compMinus]]'s compatibility + domain-overlap
+    *      condition AND the hoisted correlated conditions reading the
+    *      key columns (substitution, realized set-based);
+    *   4. EXISTS(key) = key survives with ≥ 1 row; semi/anti join
+    *      back to the outer on the key frame.
+    *
+    * Disjoint l/r domains short-circuit to plain `EXISTS { l }`
+    * (MINUS removes nothing, §18.5). Correlation in r's PATTERN
+    * positions is out of scope here as everywhere in the engine
+    * (bottom-up evaluation school); only EXPRESSION refs correlate.
+    */
+  private def compCorrExistsMinus(input: Op, l: Op, r: Op,
+      outerScope: Set[String], positive: Boolean): Option[DataFrame] = {
+    if (corrVarsOf(l, outerScope).nonEmpty) return None
+    val corrR = corrVarsOf(r, outerScope)
+    if (corrR.isEmpty) return None
+    val (rRes, conds, binds) = splitCorrelated(r, corrR).getOrElse(return None)
+    walkExists(l, outerScope ++ Algebra.inScope(l))
+    walkExists(rRes, outerScope ++ Algebra.inScope(rRes))
+    // disjoint domains: the MINUS removes nothing whatever the
+    // correlated conditions decide — compile as plain EXISTS { l }
+    val rScope = Algebra.inScope(rRes).toSet
+    if (!Algebra.inScope(l).exists(rScope))
+      return Some(comp(Filter(EExists(l, positive), input)))
+    val in = comp(input)
+    val ld = comp(l)
+    val rd = comp(rRes)
+    val sharedIL = in.columns.intersect(ld.columns).toIndexedSeq
+    val keyCols = (sharedIL ++ corrR.toSeq.filterNot(sharedIL.contains))
+      .toIndexedSeq
+    val keys = in.select(keyCols.map(in(_)): _*).distinct()
+    val nullIL = maybeUnbound(input) ++ maybeUnbound(l)
+    val lRen = ld.columns.map(v => v -> freshName(v)).toMap
+    val lr = ld.columns.foldLeft(ld) { (d, v) =>
+      d.withColumnRenamed(v, lRen(v))
+    }
+    val ilCond = sharedIL.map(v =>
+        if (nullIL(v))
+          keys(v).isNull || lr(lRen(v)).isNull || termEq(keys(v), lr(lRen(v)))
+        else termEq(keys(v), lr(lRen(v))))
+      .reduceOption(_ && _)
+    val cand = ilCond match {
+      case Some(c) => keys.join(lr, c)
+      case None =>
+        // dependent cross join: bound the key frame before exploding
+        // (plain count — a CollectLimit probe would run the serialized
+        // incremental partition scale-up, the round-7 lesson)
+        if (keys.count() > 1000) return None
+        keys.crossJoin(lr)
+    }
+    // an l var's value on a cand row: the outer key wins where joined
+    def lVal(v: String): Column =
+      if (sharedIL.contains(v) && nullIL(v)) coalesce(cand(v), cand(lRen(v)))
+      else if (sharedIL.contains(v)) cand(v)
+      else cand(lRen(v))
+    val minusShared = ld.columns.intersect(rd.columns).toIndexedSeq
+    val condInnerVars = (conds.flatMap(exprVarSet) ++
+      binds.flatMap(b => exprVarSet(b._2))).toSet
+      .diff(binds.map(_._1).toSet)
+      .intersect(rd.columns.toSet).toIndexedSeq
+    val rrCols = (minusShared ++ condInnerVars).distinct
+    val rRen = rrCols.map(v => v -> freshName(v)).toMap
+    val rr = rrCols.foldLeft(rd.select(rrCols.map(rd(_)): _*)) { (d, v) =>
+      d.withColumnRenamed(v, rRen(v))
+    }
+    val nullLR = maybeUnbound(l) ++ maybeUnbound(rRes)
+    val compat = minusShared.map(v =>
+        if (nullLR(v))
+          lVal(v).isNull || rr(rRen(v)).isNull || termEq(lVal(v), rr(rRen(v)))
+        else termEq(lVal(v), rr(rRen(v)))).reduce(_ && _)
+    val overlap = minusShared.map(v =>
+        if (nullLR(v)) lVal(v).isNotNull && rr(rRen(v)).isNotNull
+        else lit(true)).reduce(_ || _)
+    val res: String => Column = v =>
+      if (keyCols.contains(v)) cand(v) // substituted outer binding
+      else if (rRen.contains(v)) rr(rRen(v)) // r-inner reads
+      else if (ld.columns.contains(v)) lVal(v)
+      else nullTerm
+    val resB = layerBinds(binds, res)
+    val corrCond = conds.map(c => coalesce(compBool(c, resB), lit(false)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val surv = cand.join(rr, compat && overlap && corrCond, "left_anti")
+    val okKeys = surv.select(keyCols.map(surv(_)): _*).distinct()
+    val mRen = keyCols.map(v => v -> freshName(v)).toMap
+    val ok = keyCols.foldLeft(okKeys) { (d, v) =>
+      d.withColumnRenamed(v, mRen(v))
+    }
+    val eq = keyCols.map(v => in(v) <=> ok(mRen(v))).reduce(_ && _)
+    Some(in.join(ok, eq, if (positive) "left_semi" else "left_anti"))
   }
 
   /** §18.6 requires substituting the CURRENT outer binding into an

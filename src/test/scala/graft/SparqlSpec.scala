@@ -831,6 +831,68 @@ class SparqlSpec extends GraftSuite {
     assert(ok.nonEmpty)
   }
 
+  test("correlated EXISTS over MINUS decorrelates per key (§18.6)") {
+    // the correlated condition sits in the MINUS RIGHT side — hoisting
+    // past the negation is unsound, so the per-key MINUS must realize
+    // it: r removes exactly l when ?b > 5000, so EXISTS ≡ has-nation
+    // AND ?b <= 5000
+    val got = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS { ?c :nation ?n
+               MINUS { ?c :nation ?n . FILTER(?b > 5000) } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val want = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b . ?c :nation ?n0 . FILTER(?b <= 5000) }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // NOT EXISTS complement over rows with an acctbal
+    val not = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER NOT EXISTS { ?c :nation ?n
+               MINUS { ?c :nation ?n . FILTER(?b > 5000) } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val all = q("""SELECT ?c WHERE { ?c :acctbal ?b }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert((got ++ not).sorted == all)
+    // the correlated condition mixes OUTER (?b) and INNER (?nn) vars
+    // in one compound boolean: the nation edge is removed when the
+    // outer balance is high OR the inner nation is the named one —
+    // each customer has one nation, so EXISTS ≡ has-nation ∧ ¬cond
+    val mix = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS { ?c :nation ?n
+               MINUS { ?c :nation ?n . ?n :name ?nn .
+                       FILTER(?b > 5000 || ?nn = "NATION_3") } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val mixWant = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b . ?c :nation ?n0 . ?n0 :name ?nn0 .
+             FILTER(?b <= 5000 && ?nn0 != "NATION_3") }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(mix == mixWant && mix.nonEmpty)
+    // disjoint l/r domains: the MINUS removes nothing whatever the
+    // correlated condition says — short-circuits to plain EXISTS{l}
+    val dis = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS { ?c :nation ?n
+               MINUS { ?x :mktsegment ?m . FILTER(?b > 0) } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val disWant = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b . ?c :nation ?n0 }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(dis == disWant && dis.nonEmpty)
+    // l shares nothing with the outer: the bounded dependent cross
+    // join evaluates the per-key MINUS over the 5 region-name keys
+    val cross = q("""SELECT ?r WHERE {
+             ?r a :Region . ?r :name ?rname .
+             FILTER EXISTS { ?s a :Supplier
+               MINUS { ?s a :Supplier . FILTER(?rname = "ASIA") } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val crossWant = q("""SELECT ?r WHERE {
+             ?r a :Region . ?r :name ?rname . FILTER(?rname != "ASIA") }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(cross == crossWant && cross.length == 4)
+  }
+
   test("correlated EXISTS decorrelates inside compound booleans and BIND") {
     // EXISTS && extra condition: the flag-column path must substitute
     val got = q("""SELECT ?c WHERE {
