@@ -45,6 +45,9 @@ object Queries {
     * characters of `expr`. Inlined (not a macro) because the driver
     * runs each oracle as a standalone statement.
     */
+  /** Registry-visible alias of [[duckPh]] for sibling query files. */
+  def duckPhFor(expr: String, mult: Int = 31): String = duckPh(expr, mult)
+
   private def duckPh(expr: String, mult: Int = 31): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr,''), ch -> ascii(ch)::BIGINT)), " +
       s"(h, c) -> (h*$mult + c) % 1000000007)"

@@ -46,6 +46,22 @@ object StreamQueries {
       SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
       FROM events GROUP BY 1""")),
 
+    // daily HLL distinct-user registers maintained in-stream: state =
+    // days x 256 small ints (bounded by the calendar, never by keys);
+    // the oracle is the batch register build — same integer ladder as
+    // t_hll_registers / w_rolling_hll
+    Q("st_hll_daily", (s, dir) => StreamOps.hllDailyStreaming(s, dir),
+      Some(s"""
+      WITH hh AS (SELECT CAST(ts AS DATE) AS day,
+                         ${graft.ext.Sketches.hllMixSql(Queries.duckPhFor("user_id::VARCHAR"))} AS h
+                  FROM events),
+      rr AS (SELECT day, (h & 255)::INT AS bucket, (h >> 8) AS r FROM hh)
+      SELECT CAST(day AS VARCHAR) AS day, bucket,
+             max(CASE WHEN r = 0 THEN ${graft.ext.Sketches.HllSuffixBits + 1}
+                      ELSE ${graft.ext.Sketches.HllSuffixBits}
+                           - (${graft.ext.Sketches.floorLog2Sql("r")}) END)::INT AS rho
+      FROM rr GROUP BY 1, 2""")),
+
     // CDC latest-value-per-key upsert view: one max-struct per entity,
     // state O(#keys); the oracle is the batch argmax with the same
     // (ts, event_id) tie order

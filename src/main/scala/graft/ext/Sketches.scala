@@ -83,23 +83,30 @@ object Sketches {
       .map(k => s"WHEN $rExpr >= ${1L << k} THEN $k")
       .mkString("CASE ", " ", " ELSE 0 END")
 
+  /** The (bucket, rho) column pair for a term — the per-row map side
+    * of every HLL build (batch, rolling, or streaming). h is
+    * non-negative, so bucket/suffix are plain bit ops (exact on both
+    * engines; no floating division anywhere).
+    */
+  def hllBucket(term: Column): Column =
+    hllMix(graft.ext.TextAnalysis.polyHash(term))
+      .bitwiseAND(HllM - 1).cast("int")
+
+  def hllRho(term: Column): Column = {
+    val r = shiftright(hllMix(graft.ext.TextAnalysis.polyHash(term)), 8)
+    when(r === 0L, lit(HllSuffixBits + 1))
+      .otherwise(lit(HllSuffixBits) - floorLog2(r)).cast("int")
+  }
+
   /** HLL register table over a `term` column: (bucket, rho) with
     * rho = position of the highest set bit counted from the top of
     * the 22-bit suffix (1..22), 23 for an all-zero suffix. One row
     * per NON-ZERO register (absent buckets are rho=0 empties).
     */
-  def hllRegisters(terms: DataFrame, term: String = "term"): DataFrame = {
-    val h = hllMix(graft.ext.TextAnalysis.polyHash(col(term)))
-    // h is non-negative, so bucket/suffix are plain bit ops (exact on
-    // both engines; no floating division anywhere)
-    val r = shiftright(h, 8)
-    val rho = when(r === 0L, lit(HllSuffixBits + 1))
-      .otherwise(lit(HllSuffixBits) - floorLog2(r))
+  def hllRegisters(terms: DataFrame, term: String = "term"): DataFrame =
     terms
-      .select(h.bitwiseAND(HllM - 1).cast("int").as("bucket"),
-        rho.cast("int").as("rho"))
+      .select(hllBucket(col(term)).as("bucket"), hllRho(col(term)).as("rho"))
       .groupBy("bucket").agg(max("rho").as("rho"))
-  }
 
   /** Merge sketch shards (bucketwise max) — the union-cardinality
     * composition law. Shards may cover disjoint or overlapping data.
@@ -126,14 +133,10 @@ object Sketches {
     */
   def hllRollingDaily(events: DataFrame, windowDays: Int = 3,
       key: String = "user_id"): DataFrame = {
-    val h = hllMix(graft.ext.TextAnalysis.polyHash(col(key).cast("string")))
-    val r = shiftright(h, 8)
-    val rho = when(r === 0L, lit(HllSuffixBits + 1))
-      .otherwise(lit(HllSuffixBits) - floorLog2(r))
+    val term = col(key).cast("string")
     val daily = events
       .select(to_date(col("ts")).as("day"),
-        h.bitwiseAND(HllM - 1).cast("int").as("bucket"),
-        rho.cast("int").as("rho"))
+        hllBucket(term).as("bucket"), hllRho(term).as("rho"))
       .groupBy("day", "bucket").agg(max("rho").as("rho"))
     val replayed = daily.select(
         explode(array((0 until windowDays).map(i =>

@@ -252,6 +252,30 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Daily HLL distinct-user registers maintained IN-STREAM: the
+    * approximate-cardinality dashboard as a streaming aggregation.
+    * State is days × m registers (a few KB per day, bounded by the
+    * calendar — never by stream volume or key cardinality, which is
+    * the whole point vs a streaming COUNT(DISTINCT) whose state is
+    * the key set); each micro-batch folds in map-side-combined
+    * bucketwise maxima. Registers are the same integer-exact
+    * arithmetic as the batch [[graft.ext.Sketches.hllRegisters]], so
+    * the drained state equals the batch build row-for-row.
+    */
+  def hllDailyStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val term = col("user_id").cast("string")
+    val reg = eventsStream(spark, dir)
+      .select(to_date(col("ts")).cast("string").as("day"),
+        graft.ext.Sketches.hllBucket(term).as("bucket"),
+        graft.ext.Sketches.hllRho(term).as("rho"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max("rho").as("rho"))
+    val name = s"st_hll_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, reg, name, "complete", availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
+    spark.table(name)
+  }
+
   /** CDC-style latest-value-per-key materialization: the streaming
     * upsert view every change-capture pipeline maintains. One stateful
     * aggregation keyed by the entity id holding a single max-struct —
