@@ -338,6 +338,39 @@ object Queries {
              (SELECT count(*) FROM c)::BIGINT AS n_click,
              (SELECT count(*) FROM p)::BIGINT AS n_purchase""")),
 
+    // time-CONSTRAINED funnel: click within 30 min of first view,
+    // purchase within 1 h of first qualifying click — the realistic
+    // attribution-window form of w_funnel (unbounded funnels overcount
+    // returns); same shrinking keyed joins, integer microsecond bounds
+    Q("w_funnel_window", (s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("tv"))
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_us") > col("tv") &&
+          col("ts_us") <= col("tv") + 1800000000L)
+        .groupBy("user_id").agg(min("ts_us").as("tc"))
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_us") > col("tc") &&
+          col("ts_us") <= col("tc") + 3600000000L)
+        .groupBy("user_id").agg(min("ts_us").as("tp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }, Some("""
+      WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+                 WHERE event_type='view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v USING (user_id)
+            WHERE e.event_type='click' AND e.ts > v.tv
+              AND e.ts <= v.tv + INTERVAL 30 MINUTE GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c USING (user_id)
+            WHERE e.event_type='purchase' AND e.ts > c.tc
+              AND e.ts <= c.tc + INTERVAL 1 HOUR GROUP BY 1)
+      SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+             (SELECT count(*) FROM c)::BIGINT AS n_click,
+             (SELECT count(*) FROM p)::BIGINT AS n_purchase""")),
+
     // day-over-day retention: users active on day d AND d+1 — the
     // standard engagement cut; (user, day) dedup first so the join
     // carries one row per active user-day, never raw events
@@ -1675,7 +1708,32 @@ object Queries {
         SELECT a, b FROM edges
         UNION
         SELECT reach.a, e.b FROM reach JOIN edges e ON e.a = reach.b)
-      SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a"""))
+      SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""")),
+
+    // dedup APPLY: the terminal step — emit the DROP LIST (every
+    // cluster member except its canonical min-id doc). The drop list
+    // is proportional to the duplicate mass, never the corpus, which
+    // is what a 100 TB pipeline ships to its writers (the kept corpus
+    // is an anti join against it)
+    Q("d_apply_dedup", (s, dir) =>
+      Dedup.dupClusters(s, minhashPairs(s, dir))
+        .filter(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id").as("dropped"), col("cluster").as("kept")),
+      Some(s"""
+      WITH RECURSIVE $duckMinhashCtes,
+      mh AS (SELECT doc_a, doc_b FROM j
+             WHERE round(inter/(na+nb-inter),6) >= 0.5),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM mh
+        UNION ALL SELECT doc_b, doc_a FROM mh
+        UNION ALL SELECT doc_a, doc_a FROM mh
+        UNION ALL SELECT doc_b, doc_b FROM mh),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT reach.a, e.b FROM reach JOIN edges e ON e.a = reach.b)
+      SELECT a AS dropped, min(b) AS kept FROM reach
+      GROUP BY a HAVING a <> min(b)"""))
   )
 
   // ---------------------------------------------------------------
