@@ -141,6 +141,27 @@ object ExtraQueries {
       SELECT o_orderkey, o_totalprice FROM orders
       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""")),
 
+    // correlated scalar subquery (orders above their own customer's
+    // average): realized as the decorrelated groupBy + join-back every
+    // engine plans for this shape. The per-customer average divides an
+    // exact integer-cent sum, so the strict > never sits on a
+    // float-summation-order knife edge cross-engine
+    Q("q_correlated_scalar", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val ap = o.groupBy(col("o_custkey").as("k"))
+        .agg((sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0 /
+          count(lit(1))).as("ap"))
+      o.join(ap, col("o_custkey") === col("k"))
+        .filter(col("o_totalprice") > col("ap"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > (
+        SELECT sum(CAST(round(i.o_totalprice * 100) AS BIGINT)) / 100.0
+               / count(*)
+        FROM orders i WHERE i.o_custkey = o.o_custkey)""")),
+
     Q("q_date_funcs", (s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
