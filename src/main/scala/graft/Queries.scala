@@ -2095,8 +2095,9 @@ object Queries {
 
     // per-dimension corpus stats (normalization/whitening prep):
     // combinable fixed-point sums onto exactly 64 keys — one cheap
-    // pass at any corpus size; derived mean/variance mirror the
-    // oracle's division order exactly
+    // pass at any corpus size; derived moments stay on the INTEGER
+    // plane (round-to-integer of a deterministic quotient is engine-
+    // exact; round(x,6) DOUBLE is not — see FLOAT_AUDIT.md)
     Q("s_dim_stats", (s, dir) =>
       Similarity.dimStats(t(s, dir, "embeddings")),
       Some(s"""
@@ -2107,17 +2108,20 @@ object Queries {
                sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sum_micro,
                sum(CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT)
                  * CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT))::BIGINT AS sumsq_milli2
-        FROM ex GROUP BY 1)
-      SELECT dim, n, sum_micro, sumsq_milli2,
-             round(sum_micro::DOUBLE / n / 1000000.0, 6) AS mean,
-             round(sumsq_milli2::DOUBLE / n / 1000000.0
-                   - (sum_micro::DOUBLE / n / 1000000.0)
-                     * (sum_micro::DOUBLE / n / 1000000.0), 6) AS variance
-      FROM sums""")),
+        FROM ex GROUP BY 1),
+      m AS (
+        SELECT dim, n, sum_micro, sumsq_milli2,
+               CAST(round(sum_micro::DOUBLE / n) AS BIGINT) AS mean_micro,
+               CAST(round(sumsq_milli2::DOUBLE / n) AS BIGINT) AS exy_micro
+        FROM sums)
+      SELECT dim, n, sum_micro, sumsq_milli2, mean_micro, exy_micro,
+             exy_micro * 1000000 - mean_micro * mean_micro AS var_pico
+      FROM m""")),
 
     // per-dimension z-score whitening: the APPLY step for s_dim_stats
     // (broadcast 64-row stats, map-only normalize; sqrt is correctly-
-    // rounded IEEE so both engines agree)
+    // rounded IEEE so both engines agree); hashed output is integer
+    // milli-units, never a rounded DOUBLE
     Q("s_whiten", (s, dir) =>
       Similarity.whiten(t(s, dir, "embeddings")),
       Some(s"""
@@ -2132,23 +2136,27 @@ object Queries {
         FROM ex GROUP BY 1),
       mv AS (
         SELECT dim,
-               round(sm::DOUBLE / n / 1000000.0, 6) AS mean,
-               round(sq::DOUBLE / n / 1000000.0
-                     - (sm::DOUBLE / n / 1000000.0)
-                       * (sm::DOUBLE / n / 1000000.0), 6) AS variance
+               CAST(round(sm::DOUBLE / n) AS BIGINT) AS mean_micro,
+               CAST(round(sq::DOUBLE / n) AS BIGINT) * 1000000
+                 - CAST(round(sm::DOUBLE / n) AS BIGINT)
+                   * CAST(round(sm::DOUBLE / n) AS BIGINT) AS var_pico
         FROM st)
       SELECT vec_id, (i-1)::INT AS dim,
-             CASE WHEN variance > 0
-                  THEN round((embedding[i]::DOUBLE - mean) / sqrt(variance), 6)
-                  ELSE 0.0 END AS z
+             CASE WHEN var_pico > 0
+                  THEN CAST(round(((embedding[i]::DOUBLE
+                           - mean_micro::DOUBLE / 1000000.0)
+                         / sqrt(var_pico::DOUBLE / 1000000000000.0))
+                       * 1000.0) AS BIGINT)
+                  ELSE 0 END AS z_milli
       FROM ex JOIN mv ON mv.dim = (i-1)::INT""")),
 
     // upper-triangle Gram/covariance matrix (PCA prep): map-local d²
     // amplification folded to d(d+1)/2 keys by partial aggregation;
-    // fixed-point second moments, covariance mirrors the oracle's
-    // division order
+    // fixed-point second moments; covariance hashed as cov_pico LONG
+    // (integer plane — the r10 hash-red was the rounded-DOUBLE cov)
     Q("s_gram_matrix", (s, dir) =>
-      Similarity.gramMatrix(t(s, dir, "embeddings")),
+      Similarity.gramMatrix(t(s, dir, "embeddings"))
+        .select("i", "j", "n", "sum_milli2", "cov_pico"),
       Some(s"""
       WITH e1 AS (SELECT embedding, unnest(range(1, len(embedding)+1)) AS i
                   FROM embeddings),
@@ -2166,12 +2174,12 @@ object Queries {
               FROM embeddings),
       means AS (
         SELECT (i-1)::INT AS dim,
-               round(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))::DOUBLE
-                     / count(*) / 1000000.0, 6) AS mean
+               CAST(round(sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))::DOUBLE
+                     / count(*)) AS BIGINT) AS mean_micro
         FROM mex GROUP BY 1)
       SELECT s.i, s.j, s.n, s.sum_milli2,
-             round(s.sum_milli2::DOUBLE / s.n / 1000000.0
-                   - mi.mean * mj.mean, 6) AS cov
+             CAST(round(s.sum_milli2::DOUBLE / s.n) AS BIGINT) * 1000000
+               - mi.mean_micro * mj.mean_micro AS cov_pico
       FROM sums s JOIN means mi ON mi.dim = s.i
                   JOIN means mj ON mj.dim = s.j""")),
 

@@ -266,8 +266,15 @@ object Similarity {
     * shuffle `O(partitions × dim)` regardless of corpus size, so this
     * is a single cheap pass at 100 TB. Sums are FIXED-POINT integers
     * (micro-units for Σv, milli² units for Σv²) so the distributed
-    * sum is order-independent and cross-engine exact; the derived
-    * mean/variance divisions mirror the oracle's expression order.
+    * sum is order-independent and cross-engine exact. The derived
+    * moments stay on the INTEGER plane: `round(q)` of a deterministic
+    * double quotient is engine-exact (both engines decide the same
+    * binary value against the same half-integer boundary), whereas
+    * `round(q, 6)` as a hashed DOUBLE is not — Spark rounds the
+    * shortest decimal repr decimally while DuckDB scales by 1e6 in
+    * binary first, and the two disagree on half-boundary values.
+    * `var_pico = exy_micro·1e6 − mean_micro²` is pure 64-bit integer
+    * arithmetic (|exy_micro| ≤ 1e6 ⇒ no overflow at any corpus size).
     */
   def dimStats(corpus: DataFrame, emb: String = "embedding"): DataFrame = {
     val vMicro = round(col("v").cast("double") * 1e6, 0).cast("long")
@@ -277,27 +284,33 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(vMicro).as("sum_micro"),
         sum(vMilli * vMilli).as("sumsq_milli2"))
-      .withColumn("mean",
-        round(col("sum_micro").cast("double") / col("n") / 1e6, 6))
-      .withColumn("variance",
-        round(col("sumsq_milli2").cast("double") / col("n") / 1e6
-          - (col("sum_micro").cast("double") / col("n") / 1e6)
-            * (col("sum_micro").cast("double") / col("n") / 1e6), 6))
+      .withColumn("mean_micro",
+        round(col("sum_micro").cast("double") / col("n"), 0).cast("long"))
+      .withColumn("exy_micro",
+        round(col("sumsq_milli2").cast("double") / col("n"), 0).cast("long"))
+      .withColumn("var_pico",
+        col("exy_micro") * lit(1000000L) - col("mean_micro") * col("mean_micro"))
   }
 
   /** Apply [[dimStats]] as a per-dimension z-score (whitening without
     * rotation): broadcast the 64-row stats table, explode, normalize
     * map-only. Zero-variance dimensions map to 0 rather than NaN.
+    * Output is `z_milli` — the z-score in integer milli-units — so
+    * the hashed column is a LONG derived from a deterministic double
+    * expression (mirrored verbatim by the oracle), never a rounded
+    * DOUBLE sitting on a decimal half-boundary.
     */
   def whiten(corpus: DataFrame, emb: String = "embedding"): DataFrame = {
-    val stats = dimStats(corpus, emb).select("dim", "mean", "variance")
+    val stats = dimStats(corpus, emb).select("dim", "mean_micro", "var_pico")
     corpus.select(col("vec_id"), posexplode(col(emb))).toDF("vec_id", "dim", "v")
       .join(broadcast(stats), Seq("dim"))
       .select(col("vec_id"), col("dim"),
-        when(col("variance") > 0,
-          round((col("v").cast("double") - col("mean"))
-            / sqrt(col("variance")), 6))
-          .otherwise(lit(0.0)).as("z"))
+        when(col("var_pico") > 0,
+          round(((col("v").cast("double")
+              - col("mean_micro").cast("double") / lit(1e6))
+            / sqrt(col("var_pico").cast("double") / lit(1e12))) * lit(1e3), 0)
+            .cast("long"))
+          .otherwise(lit(0L)).as("z_milli"))
   }
 
   /** Upper-triangle Gram/covariance matrix of the embedding corpus —
@@ -307,9 +320,13 @@ object Similarity {
     * to at most d(d+1)/2 keys before the shuffle, so the exchange is
     * O(partitions × d²) longs no matter the corpus size. Second
     * moments are fixed-point milli² sums (order-independent, cross-
-    * engine exact); covariance = E[xy] − E[x]E[y] joins the (tiny,
-    * broadcast) [[dimStats]] means with oracle-mirrored expression
-    * order.
+    * engine exact); covariance stays on the INTEGER plane:
+    * `cov_pico = round(sum_milli2/n)·1e6 − mean_micro_i·mean_micro_j`
+    * is a LONG fully determined by engine-exact integer sums plus one
+    * round-to-integer of a deterministic quotient, so it cannot land
+    * on the decimal half-boundary that made a hashed `round(x, 6)`
+    * DOUBLE environment-sensitive. The derived double `cov` (for
+    * [[topComponent]]) is cov_pico/1e12 — not part of the hash gate.
     */
   def gramMatrix(corpus: DataFrame, emb: String = "embedding"): DataFrame = {
     val milli = (c: Column) => round(c.cast("double") * 1e3, 0).cast("long")
@@ -321,15 +338,17 @@ object Similarity {
         (milli(col("vi")) * milli(col("vj"))).as("prod"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum("prod").as("sum_milli2"))
-    val means = dimStats(corpus, emb).select(col("dim"), col("mean"))
+    val means = dimStats(corpus, emb).select(col("dim"), col("mean_micro"))
     pairs
       .join(broadcast(means.withColumnRenamed("dim", "i")
-        .withColumnRenamed("mean", "mean_i")), Seq("i"))
+        .withColumnRenamed("mean_micro", "mean_micro_i")), Seq("i"))
       .join(broadcast(means.withColumnRenamed("dim", "j")
-        .withColumnRenamed("mean", "mean_j")), Seq("j"))
+        .withColumnRenamed("mean_micro", "mean_micro_j")), Seq("j"))
       .select(col("i"), col("j"), col("n"), col("sum_milli2"),
-        round(col("sum_milli2").cast("double") / col("n") / 1e6
-          - col("mean_i") * col("mean_j"), 6).as("cov"))
+        (round(col("sum_milli2").cast("double") / col("n"), 0).cast("long")
+          * lit(1000000L)
+          - col("mean_micro_i") * col("mean_micro_j")).as("cov_pico"))
+      .withColumn("cov", col("cov_pico").cast("double") / lit(1e12))
   }
 
   /** Top principal component from a [[gramMatrix]] result: bounded

@@ -204,11 +204,13 @@ class CosineSimSpec extends GraftSuite {
       (2L, Seq(0.25f, 0.5f))).toDF("vec_id", "embedding")
     val got = graft.ext.Similarity.dimStats(df).collect()
       .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getDouble(4), r.getDouble(5)))).toMap
-    // dim 0: v = 1.0, 0.25 → Σmicro 1250000, Σ(milli²) 1000000+62500
-    assert(got(0) == ((2L, 1250000L, 1062500L, 0.625, 0.140625)))
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // dim 0: v = 1.0, 0.25 → Σmicro 1250000, Σ(milli²) 1000000+62500;
+    // mean_micro 625000, exy_micro 531250, var_pico 531250e6−625000²
+    assert(got(0) == ((2L, 1250000L, 1062500L, 625000L, 531250L,
+      140625000000L)))
     // dim 1: v = -0.5, 0.5 → Σmicro 0, Σ(milli²) 2·250000
-    assert(got(1) == ((2L, 0L, 500000L, 0.0, 0.25)))
+    assert(got(1) == ((2L, 0L, 500000L, 0L, 250000L, 250000000000L)))
   }
 
   test("gramMatrix: hand-computed moments; power iteration finds the dominant axis") {
@@ -218,11 +220,12 @@ class CosineSimSpec extends GraftSuite {
       (2L, Seq(0.5f, 1.0f))).toDF("vec_id", "embedding")
     val got = graft.ext.Similarity.gramMatrix(df).collect()
       .map(r => ((r.getInt(0), r.getInt(1)),
-        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
     // milli² sums: (0,0): 1e6+0.25e6; (0,1): 2·0.5e6; (1,1): same as (0,0)
-    assert(got((0, 0)) == ((2L, 1250000L, 0.0625)))
-    assert(got((0, 1)) == ((2L, 1000000L, -0.0625)))
-    assert(got((1, 1)) == ((2L, 1250000L, 0.0625)))
+    // cov_pico = round(sum/n)·1e6 − mean_micro_i·mean_micro_j
+    assert(got((0, 0)) == ((2L, 1250000L, 62500000000L, 0.0625)))
+    assert(got((0, 1)) == ((2L, 1000000L, -62500000000L, -0.0625)))
+    assert(got((1, 1)) == ((2L, 1250000L, 62500000000L, 0.0625)))
     // anisotropic cloud along (1,1): dominant component recovers it
     val cloud = (1 to 200).map { k =>
       val tAxis = (k % 21 - 10) / 10.0f          // spread along (1,1)
