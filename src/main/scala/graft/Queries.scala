@@ -662,8 +662,8 @@ object Queries {
       SELECT doc_id,
              len(string_split(text,' ')) AS n_tokens,
              len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9'']+'), t -> len(t)>0)) AS n_subword_tokens,
-             round(len(list_filter(string_split(text,' '), t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE
-                   / len(string_split(text,' ')), 6) AS stopword_ratio
+             CAST(round(len(list_filter(string_split(text,' '), t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE
+                   * 1000000.0 / len(string_split(text,' '))) AS BIGINT)::DOUBLE / 1000000.0 AS stopword_ratio
       FROM documents""")),
 
     // Count-Min heavy hitters: the mergeable frequency sketch (d=4
@@ -905,9 +905,9 @@ object Queries {
                len(text)::DOUBLE AS chars
         FROM documents)
       SELECT doc_id,
-             round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
-                   + least(round(stop/n,6)*4.0, 1.0)
-                   + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) AS quality
+             CAST(round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1000000 WHEN n>=5 THEN 500000 ELSE 0 END)
+                   + least(CAST(round(stop*1000000.0/n) AS BIGINT)*4, 1000000)
+                   + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1000000 ELSE 500000 END) )::DOUBLE / 3.0) AS BIGINT)::DOUBLE / 1000000.0 AS quality
       FROM f""")),
 
     // composite corpus filter: first-failing-rule verdict per document
@@ -925,9 +925,9 @@ object Queries {
         FROM documents),
       sc AS (
         SELECT doc_id, n, stop,
-               round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
-                     + least(round(stop/n,6)*4.0, 1.0)
-                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) AS quality
+               CAST(round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1000000 WHEN n>=5 THEN 500000 ELSE 0 END)
+                     + least(CAST(round(stop*1000000.0/n) AS BIGINT)*4, 1000000)
+                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1000000 ELSE 500000 END) )::DOUBLE / 3.0) AS BIGINT)::DOUBLE / 1000000.0 AS quality
         FROM f)
       SELECT doc_id,
              CASE WHEN n < 5 THEN 'too_short'
@@ -1003,9 +1003,9 @@ object Queries {
         FROM documents),
       wts AS (
         SELECT doc_id,
-               round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
-                     + least(round(stop/n,6)*4.0, 1.0)
-                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) * 2.0 AS w
+               CAST(round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1000000 WHEN n>=5 THEN 500000 ELSE 0 END)
+                     + least(CAST(round(stop*1000000.0/n) AS BIGINT)*4, 1000000)
+                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1000000 ELSE 500000 END) )::DOUBLE / 3.0) AS BIGINT)::DOUBLE / 1000000.0 * 2.0 AS w
         FROM f),
       draw AS (
         SELECT doc_id, w,
@@ -1044,13 +1044,13 @@ object Queries {
         FROM documents),
       q AS (
         SELECT doc_id, source,
-               round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
-                     + least(round(stop/n,6)*4.0, 1.0)
-                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) AS q
+               CAST(round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1000000 WHEN n>=5 THEN 500000 ELSE 0 END)
+                     + least(CAST(round(stop*1000000.0/n) AS BIGINT)*4, 1000000)
+                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1000000 ELSE 500000 END) )::DOUBLE / 3.0) AS BIGINT)::DOUBLE / 1000000.0 AS q
         FROM f),
       r AS (
         SELECT doc_id, source, q,
-               round(percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id), 6) AS pr
+               CAST(round(percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0 AS pr
         FROM q)
       SELECT doc_id, source, q, pr FROM r WHERE pr >= 0.5""")),
 
@@ -1485,7 +1485,7 @@ object Queries {
         .filter(col("n_dups") > 1)
         .select(col("fp"), col("n_dups"),
           col("best")("d").as("kept_doc"),
-          round(-col("best")("nq"), 6).as("kept_q"))
+          (-col("best")("nq")).as("kept_q"))
     }, Some(s"""
       WITH f AS (
         SELECT doc_id,
@@ -1497,9 +1497,9 @@ object Queries {
         FROM documents),
       q AS (
         SELECT doc_id, fp,
-               round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1.0 WHEN n>=5 THEN 0.5 ELSE 0.0 END)
-                     + least(round(stop/n,6)*4.0, 1.0)
-                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) ) / 3.0, 6) AS q
+               CAST(round(( (CASE WHEN n BETWEEN 20 AND 1000 THEN 1000000 WHEN n>=5 THEN 500000 ELSE 0 END)
+                     + least(CAST(round(stop*1000000.0/n) AS BIGINT)*4, 1000000)
+                     + (CASE WHEN chars/n BETWEEN 3 AND 10 THEN 1000000 ELSE 500000 END) )::DOUBLE / 3.0) AS BIGINT)::DOUBLE / 1000000.0 AS q
         FROM f),
       r AS (
         SELECT fp, doc_id, q,
@@ -1526,8 +1526,9 @@ object Queries {
     Q("d_minhash_lsh", (s, dir) => minhashPairs(s, dir),
       Some(s"""
       WITH $duckMinhashCtes
-      SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
-      FROM j WHERE round(inter/(na+nb-inter),6) >= 0.5""")),
+      SELECT doc_a, doc_b,
+             CAST(round(inter*1000000.0/(na+nb-inter)) AS BIGINT)::DOUBLE/1000000.0 AS jaccard
+      FROM j WHERE CAST(round(inter*1000000.0/(na+nb-inter)) AS BIGINT)::DOUBLE/1000000.0 >= 0.5""")),
 
     Q("d_simhash", (s, dir) =>
       t(s, dir, "documents").select(col("doc_id"), Dedup.simHash(col("text")).as("simhash")), {
@@ -1555,8 +1556,9 @@ object Queries {
                count(*)::DOUBLE AS inter, any_value(l.n_sh) AS na, any_value(r.n_sh) AS nb
         FROM ex l JOIN ex r ON l.sh_hash=r.sh_hash AND l.doc_id<r.doc_id
         GROUP BY 1, 2)
-      SELECT doc_a, doc_b, round(inter/(na+nb-inter),6) AS jaccard
-      FROM joined WHERE round(inter/(na+nb-inter),6) >= 0.3""")),
+      SELECT doc_a, doc_b,
+             CAST(round(inter*1000000.0/(na+nb-inter)) AS BIGINT)::DOUBLE/1000000.0 AS jaccard
+      FROM joined WHERE CAST(round(inter*1000000.0/(na+nb-inter)) AS BIGINT)::DOUBLE/1000000.0 >= 0.3""")),
 
     // asymmetric n-gram containment (|A∩B|/|A| — catches a short doc
     // embedded in a long one, where Jaccard vanishes): probe-prefix
@@ -1579,8 +1581,9 @@ object Queries {
                count(*)::DOUBLE AS inter, any_value(l.n_sh) AS na
         FROM ex l JOIN ex r ON l.sh_hash = r.sh_hash AND l.doc_id <> r.doc_id
         GROUP BY 1, 2)
-      SELECT doc_a, doc_b, round(inter/na, 6) AS containment
-      FROM joined WHERE round(inter/na, 6) >= 0.6""")),
+      SELECT doc_a, doc_b,
+             CAST(round((inter/na) * 1000000.0) AS BIGINT)::DOUBLE/1000000.0 AS containment
+      FROM joined WHERE CAST(round((inter/na) * 1000000.0) AS BIGINT)::DOUBLE/1000000.0 >= 0.6""")),
 
     // Bloom membership pre-filter: the k=4 x m=8192 bit set built over
     // the token vocabulary of sources src0-src9 answers "have we seen
@@ -1665,7 +1668,7 @@ object Queries {
       df AS (SELECT gh, count(*) AS ndocs FROM exh GROUP BY 1)
       SELECT doc_id, count(*) AS n_grams,
              sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
-             round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_ratio
+             CAST(round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE * 1000000.0 / count(*)) AS BIGINT)::DOUBLE/1000000.0 AS dup_ratio
       FROM exh JOIN df USING (gh) GROUP BY doc_id""")),
 
     // cross-source contamination matrix: distinct word 8-grams shared
@@ -1918,7 +1921,7 @@ object Queries {
           FROM bfs) WHERE r <= 5)
       SELECT bf.query_id,
              sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
-             round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5, 6) AS recall
+             CAST(round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE * 1000000.0 / 5) AS BIGINT) AS recall_micro
       FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id AND ivf.vec_id = bf.vec_id
       GROUP BY 1""")),
 
@@ -1958,7 +1961,7 @@ object Queries {
         FROM ivf LEFT JOIN bf
           ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id)
       SELECT query_id, sum(c_micro)::BIGINT AS dcg_micro,
-             round(sum(c_micro)::BIGINT / $idcg.0, 6) AS ndcg
+             CAST(round(sum(c_micro)::DOUBLE * 1000000.0 / $idcg.0) AS BIGINT) AS ndcg_micro
       FROM c GROUP BY 1""")
     }),
 
@@ -2042,7 +2045,8 @@ object Queries {
                count(*) AS n
         FROM ex GROUP BY 1, 2),
       cents1 AS MATERIALIZED (
-        SELECT cid, list(round(sm::DOUBLE / n / 1000000.0, 6) ORDER BY i) AS c
+        SELECT cid, list(CAST(round(sm::DOUBLE / n) AS BIGINT)::DOUBLE
+                           / 1000000.0 ORDER BY i) AS c
         FROM sums GROUP BY cid)
       SELECT vec_id, cluster::INT AS cluster, cos FROM (
         SELECT e.vec_id, c.cid AS cluster,
@@ -2325,14 +2329,16 @@ object Queries {
           FROM cod, qc WHERE vec_id <> query_id)) WHERE rank <= 10),
       fused AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
           coalesce(a.vec_id, b.vec_id) AS vec_id,
-          round(coalesce(1.0::DOUBLE/(60+a.rank), 0.0) +
-                coalesce(1.0::DOUBLE/(60+b.rank), 0.0), 6) AS rrf
+          coalesce(1.0::DOUBLE/(60+a.rank), 0.0) +
+                coalesce(1.0::DOUBLE/(60+b.rank), 0.0) AS rrf_raw
         FROM dense a FULL JOIN int8 b
           ON a.query_id=b.query_id AND a.vec_id=b.vec_id),
-      fin AS (SELECT query_id, vec_id, rrf, row_number() OVER (
-          PARTITION BY query_id ORDER BY rrf DESC, vec_id ASC) AS rank
+      fin AS (SELECT query_id, vec_id, rrf_raw, row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf_raw DESC, vec_id ASC) AS rank
         FROM fused)
-      SELECT query_id, vec_id, rrf, rank::INT AS rank
+      SELECT query_id, vec_id,
+             CAST(round(rrf_raw * 1000000.0) AS BIGINT) AS rrf_micro,
+             rank::INT AS rank
       FROM fin WHERE rank <= 5""")),
 
     // deterministic dense random projection 64 -> 8 dims (same fixed

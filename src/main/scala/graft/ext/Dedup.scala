@@ -66,7 +66,11 @@ object Dedup {
     val da = array_distinct(a)
     val db = array_distinct(b)
     val inter = size(array_intersect(da, db)).cast("double")
-    round(inter / (size(da) + size(db) - inter), 6)
+    // micro-unit integer round, emitted as micro/1e6: engine-exact
+    // (a round(q, 6) DOUBLE decimal-rounds differently across engines
+    // on half-boundaries — see FLOAT_AUDIT.md)
+    round(inter * lit(1e6) / (size(da) + size(db) - inter), 0)
+      .cast("long").cast("double") / lit(1e6)
   }
 
   /** MinHash + LSH near-dup pairs.
@@ -458,7 +462,8 @@ object Dedup {
         count(lit(1)).as("n_grams"),
         sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ratio",
-        round(col("n_dup").cast("double") / col("n_grams"), 6))
+        round(col("n_dup").cast("double") * lit(1e6) / col("n_grams"), 0)
+          .cast("long").cast("double") / lit(1e6))
   }
 
   /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered
@@ -516,7 +521,9 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double").as("inter"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+        (round(col("inter") * lit(1e6)
+            / (col("na") + col("nb") - col("inter")), 0)
+          .cast("long").cast("double") / lit(1e6)).as("jaccard"))
       .where(col("jaccard") >= threshold)
       // materialize the (tiny) pair set, then RELEASE the shingle
       // cache — same rationale as [[minHashPairs]]: a per-call persist
@@ -568,7 +575,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
           / size(col("sh_a"))).as("c"))
-      .select(col("doc_a"), col("doc_b"), round(col("c"), 6).as("containment"))
+      .select(col("doc_a"), col("doc_b"),
+        (round(col("c") * lit(1e6), 0).cast("long").cast("double")
+          / lit(1e6)).as("containment"))
       .where(col("containment") >= threshold)
       .localCheckpoint(true)
     docSh.unpersist(blocking = false)

@@ -109,7 +109,8 @@ object Similarity {
       .groupBy("query_id")
       .agg(sum("c_micro").as("dcg_micro"))
       .select(col("query_id"), col("dcg_micro"),
-        round(col("dcg_micro") / lit(idcgMicro.toDouble), 6).as("ndcg"))
+        round(col("dcg_micro").cast("double") * lit(1e6)
+          / lit(idcgMicro.toDouble), 0).cast("long").as("ndcg_micro"))
   }
 
   /** Margin-based match mining (Artetxe & Schwenk): the best match
@@ -244,14 +245,15 @@ object Similarity {
       .join(b.select(col("query_id"), col("vec_id"),
         col("rank").as("rank_b")), Seq("query_id", "vec_id"), "full_outer")
       .select(col("query_id"), col("vec_id"),
-        round(coalesce(lit(1.0) / (lit(kConst) + col("rank_a")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(kConst) + col("rank_b")), lit(0.0)), 6)
-          .as("rrf"))
+        (coalesce(lit(1.0) / (lit(kConst) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst) + col("rank_b")), lit(0.0)))
+          .as("rrf_raw"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("rrf").desc, col("vec_id").asc)
+      .orderBy(col("rrf_raw").desc, col("vec_id").asc)
     fused.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("rrf"),
+      .select(col("query_id"), col("vec_id"),
+        round(col("rrf_raw") * lit(1e6), 0).cast("long").as("rrf_micro"),
         col("rank").cast("int").as("rank"))
   }
 
@@ -559,7 +561,8 @@ object Similarity {
       .groupBy("query_id")
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
       .select(col("query_id"), col("n_hits"),
-        round(col("n_hits").cast("double") / k, 6).as("recall"))
+        round(col("n_hits").cast("double") * lit(1e6) / k, 0)
+          .cast("long").as("recall_micro"))
 
   /** Product-quantization ANN (PQ + asymmetric distance computation):
     * the fourth ANN family next to brute-force / sign-LSH / IVF, and
@@ -683,8 +686,11 @@ object Similarity {
         .groupBy("cell", "pos")
         .agg(sum(round(col("col").cast("double") * 1e6, 0).cast("long")).as("sm"),
           count(lit(1)).as("n"))
+        // centroid components as INTEGER micro-units (round-to-integer
+        // of the quotient is engine-exact; a round(q,6) double is not)
         .select(col("cell"), col("pos"),
-          round(col("sm").cast("double") / col("n") / 1e6, 6).as("v"))
+          (round(col("sm").cast("double") / col("n"), 0).cast("long")
+            .cast("double") / lit(1e6)).as("v"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cell, rows) =>

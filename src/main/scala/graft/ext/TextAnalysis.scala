@@ -65,8 +65,15 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), isMarker(_)))
 
+  /** Stopword ratio as micro-units/1e6: round-to-INTEGER of the
+    * deterministic quotient is engine-exact, and the emitted double
+    * (micro/1e6) is bit-identical on both engines — unlike a
+    * round(q, 6) DOUBLE, which decimal-rounds differently across
+    * engines when q sits on a half-boundary (see FLOAT_AUDIT.md).
+    */
   def stopwordRatio(text: Column): Column =
-    round(stopwordCount(text).cast("double") / tokenCount(text), 6)
+    round(stopwordCount(text).cast("double") * lit(1e6)
+        / tokenCount(text), 0).cast("long").cast("double") / lit(1e6)
 
   /** n-gram/stopword language-ID heuristic: texts with any English
     * marker tokens are tagged "en", otherwise "unknown". (A real model
@@ -81,13 +88,20 @@ object TextAnalysis {
     * pretraining corpora (C4-style heuristics).
     */
   def qualityScore(text: Column): Column = {
+    // Integer micro-unit plane end-to-end (component scores, the /3
+    // blend) so every engine computes the identical double; the only
+    // round is round-to-integer of a deterministic quotient.
     val n = tokenCount(text).cast("double")
-    val lenScore = when(n >= 20 && n <= 1000, lit(1.0))
-      .when(n >= 5, lit(0.5)).otherwise(lit(0.0))
-    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val lenScoreM = when(n >= 20 && n <= 1000, lit(1000000L))
+      .when(n >= 5, lit(500000L)).otherwise(lit(0L))
+    val stopM = round(stopwordCount(text).cast("double") * lit(1e6)
+      / tokenCount(text), 0).cast("long")
+    val stopScoreM = least(stopM * lit(4L), lit(1000000L))
     val meanTokLen = length(text).cast("double") / n
-    val tokLenScore = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0)).otherwise(lit(0.5))
-    round((lenScore + stopScore + tokLenScore) / 3.0, 6)
+    val tokLenScoreM = when(meanTokLen >= 3 && meanTokLen <= 10,
+      lit(1000000L)).otherwise(lit(500000L))
+    round((lenScoreM + stopScoreM + tokLenScoreM).cast("double") / lit(3.0), 0)
+      .cast("long").cast("double") / lit(1e6)
   }
 
   /** Composite corpus filter (C4-style): evaluate the cheap reject
@@ -324,7 +338,8 @@ object TextAnalysis {
         (id, src, q, pr)
       }
     }.toDF("doc_id", "source", "q", "pr")
-      .withColumn("pr", round(col("pr"), 6))
+      .withColumn("pr", round(col("pr") * lit(1e6), 0)
+        .cast("long").cast("double") / lit(1e6))
       // ascending rank: the best keepFrac sits at pr >= 1 - keepFrac
       .where(col("pr") >= 1.0 - keepFrac)
   }
