@@ -86,11 +86,14 @@ object ExtraQueries {
       t(s, dir, "part").join(broadcast(bands),
           col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
         .groupBy(col("band"))
-        .agg(count(lit(1)).as("n"), round(avg("p_size"), 4).as("avg_size"))
+        .agg(count(lit(1)).as("n"),
+          (round(avg("p_size") * lit(1e4), 0)
+            .cast("long").cast("double") / lit(1e4)).as("avg_size"))
     }, Some("""
       WITH bands(band, lo, hi) AS (VALUES
         ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0), ('premium', 1200.0, 1.0e9))
-      SELECT band, count(*) AS n, round(avg(p_size),4) AS avg_size
+      SELECT band, count(*) AS n,
+             CAST(round(avg(p_size) * 10000.0) AS BIGINT)::DOUBLE / 10000.0 AS avg_size
       FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
       GROUP BY band""")),
 
@@ -98,14 +101,17 @@ object ExtraQueries {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("price_p25")),
+          (round(expr("percentile(l_quantity, 0.5)") * lit(1e6), 0)
+            .cast("long").cast("double") / lit(1e6)).as("p50"),
+          (round(expr("percentile(l_quantity, 0.9)") * lit(1e6), 0)
+            .cast("long").cast("double") / lit(1e6)).as("p90"),
+          (round(expr("percentile(l_extendedprice, 0.25)") * lit(1e6), 0)
+            .cast("long").cast("double") / lit(1e6)).as("price_p25")),
       Some("""
       SELECT l_returnflag,
-             round(quantile_cont(l_quantity, 0.5), 6) AS p50,
-             round(quantile_cont(l_quantity, 0.9), 6) AS p90,
-             round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25
+             CAST(round(quantile_cont(l_quantity, 0.5) * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0 AS p50,
+             CAST(round(quantile_cont(l_quantity, 0.9) * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0 AS p90,
+             CAST(round(quantile_cont(l_extendedprice, 0.25) * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0 AS price_p25
       FROM lineitem GROUP BY l_returnflag""")),
 
     Q("q_sample_hash", (s, dir) =>
@@ -343,14 +349,15 @@ object ExtraQueries {
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
         ntile(4).over(w).cast("long").as("quartile"),
-        round(percent_rank().over(w), 6).as("prank"),
+        (round(percent_rank().over(w) * lit(1e6), 0)
+          .cast("long").cast("double") / lit(1e6)).as("prank"),
         first_value(col("o_orderkey")).over(w).as("top_key"))
     }, Some("""
       SELECT o_orderkey, o_orderstatus,
              rank() OVER w AS rnk,
              dense_rank() OVER w AS drnk,
              ntile(4) OVER w AS quartile,
-             round(percent_rank() OVER w, 6) AS prank,
+             CAST(round(percent_rank() OVER w * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0 AS prank,
              first_value(o_orderkey) OVER w AS top_key
       FROM orders
       WINDOW w AS (PARTITION BY o_orderstatus

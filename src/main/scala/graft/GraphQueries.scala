@@ -72,7 +72,7 @@ object GraphQueries {
         SELECT (10000+c_custkey)::BIGINT AS id, 0.15::DOUBLE AS raw FROM customer
         UNION ALL SELECT n_nationkey::BIGINT, raw FROM nat
         UNION ALL SELECT (1000+r_regionkey)::BIGINT, raw FROM reg)
-      SELECT id, round(raw * (SELECT count(*) FROM allv) / (SELECT sum(raw) FROM allv), 6) AS rank
+      SELECT id, CAST(round(raw * (SELECT count(*) FROM allv) / (SELECT sum(raw) FROM allv) * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0 AS rank
       FROM allv""")),
 
     // personalized PageRank: restart mass on the BUILDING-segment
@@ -102,7 +102,7 @@ object GraphQueries {
         SELECT (10000+c_custkey)::BIGINT AS id, 0.15::DOUBLE AS raw FROM seedc
         UNION ALL SELECT n_nationkey::BIGINT, raw FROM nat WHERE raw > 0
         UNION ALL SELECT (1000+r_regionkey)::BIGINT, raw FROM reg WHERE raw > 0)
-      SELECT id, round(raw, 6) AS rank FROM allv""")),
+      SELECT id, CAST(round(raw * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0 AS rank FROM allv""")),
 
     Q("g_shortest_hops", (s, dir) => {
       val edges = custNatEdges(s, dir)

@@ -64,20 +64,25 @@ object Queries {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          (sum(round(col("l_extendedprice") * lit(100.0), 0).cast("long")
+            * (lit(100L) - round(col("l_discount") * lit(100.0), 0).cast("long")))
+            .cast("double") / lit(10000.0)).as("sum_disc_price"),
           // avg as round(sum,2)/n: cross-engine double summation differs
           // by ulps; rounding the sum first makes the division exact on
           // both sides (inputs have 2-decimal granularity).
-          round(round(sum("l_quantity"), 2) / count(lit(1)), 4).as("avg_qty"),
-          round(round(sum("l_discount"), 2) / count(lit(1)), 4).as("avg_disc"),
+          (round(round(sum("l_quantity"), 2) / count(lit(1)) * lit(1e4), 0)
+            .cast("long").cast("double") / lit(1e4)).as("avg_qty"),
+          (round(round(sum("l_discount"), 2) / count(lit(1)) * lit(1e4), 0)
+            .cast("long").cast("double") / lit(1e4)).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }, Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity),2) AS sum_qty,
              round(sum(l_extendedprice),2) AS sum_base_price,
-             round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-             round(round(sum(l_quantity),2)/count(*),4) AS avg_qty,
-             round(round(sum(l_discount),2)/count(*),4) AS avg_disc,
+             sum(CAST(round(l_extendedprice*100.0) AS BIGINT)
+               * (100 - CAST(round(l_discount*100.0) AS BIGINT)))::DOUBLE / 10000.0 AS sum_disc_price,
+             CAST(round(round(sum(l_quantity),2)/count(*) * 10000.0) AS BIGINT)::DOUBLE / 10000.0 AS avg_qty,
+             CAST(round(round(sum(l_discount),2)/count(*) * 10000.0) AS BIGINT)::DOUBLE / 10000.0 AS avg_disc,
              count(*) AS count_order
       FROM lineitem WHERE l_shipdate <= '1998-09-02'
       GROUP BY l_returnflag, l_linestatus""")),
@@ -89,12 +94,15 @@ object Queries {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg((sum(round(col("l_extendedprice") * lit(100.0), 0).cast("long")
+          * (lit(100L) - round(col("l_discount") * lit(100.0), 0).cast("long")))
+          .cast("double") / lit(10000.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }, Some("""
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-             round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             sum(CAST(round(l_extendedprice*100.0) AS BIGINT)
+               * (100 - CAST(round(l_discount*100.0) AS BIGINT)))::DOUBLE / 10000.0 AS revenue
       FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         JOIN customer ON o_custkey=c_custkey
       WHERE c_mktsegment='BUILDING' AND o_orderdate<'1998-01-01' AND l_shipdate>'1995-03-15'
@@ -113,11 +121,14 @@ object Queries {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg((sum(round(col("l_extendedprice") * lit(100.0), 0).cast("long")
+          * (lit(100L) - round(col("l_discount") * lit(100.0), 0).cast("long")))
+          .cast("double") / lit(10000.0)).as("revenue"),
           count(lit(1)).as("n_items"))
     }, Some("""
       SELECT r_name, n_name,
-             round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             sum(CAST(round(l_extendedprice*100.0) AS BIGINT)
+               * (100 - CAST(round(l_discount*100.0) AS BIGINT)))::DOUBLE / 10000.0 AS revenue,
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey=o_orderkey
         JOIN customer ON o_custkey=c_custkey
@@ -193,15 +204,16 @@ object Queries {
           1000000007.0).as("f"))
         .distinct().orderBy(col("f").asc).limit(k)
       mins.agg(count(lit(1)).as("k_used"),
-        round(when(count(lit(1)) < k, count(lit(1)).cast("double"))
-          .otherwise(lit(k - 1) / max("f")), 2).as("est_distinct"))
+        (round(when(count(lit(1)) < k, count(lit(1)).cast("double"))
+          .otherwise(lit(k - 1) / max("f")) * lit(100.0), 0)
+          .cast("long").cast("double") / lit(100.0)).as("est_distinct"))
     }, Some(s"""
       WITH h AS (SELECT DISTINCT ${duckPh("CAST(o_custkey AS VARCHAR)")} / 1000000007.0 AS f
                  FROM orders),
       mins AS (SELECT f FROM h ORDER BY f ASC LIMIT 256)
       SELECT count(*)::BIGINT AS k_used,
-             round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
-                        ELSE 255 / max(f) END, 2) AS est_distinct
+             CAST(round((CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                        ELSE 255 / max(f) END) * 100.0) AS BIGINT)::DOUBLE / 100.0 AS est_distinct
       FROM mins""")),
 
     // mergeable equi-width histogram + interpolated quantiles: the
@@ -248,11 +260,12 @@ object Queries {
         when(col("p_size") < 10, lit("small"))
           .when(col("p_size") < 30, lit("medium"))
           .otherwise(lit("large")).as("size_band"),
-        round(col("p_retailprice") * 1.1, 2).as("marked_up")),
+        (round(col("p_retailprice") * lit(1.1) * lit(100.0), 0)
+          .cast("long").cast("double") / lit(100.0)).as("marked_up")),
       Some("""
       SELECT p_partkey,
              CASE WHEN p_size<10 THEN 'small' WHEN p_size<30 THEN 'medium' ELSE 'large' END AS size_band,
-             round(p_retailprice*1.1,2) AS marked_up
+             CAST(round(p_retailprice*1.1*100.0) AS BIGINT)::DOUBLE / 100.0 AS marked_up
       FROM part"""))
   )
 
@@ -460,7 +473,8 @@ object Queries {
                    count(*)::BIGINT AS n
             FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
       tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM c GROUP BY 1)
-      SELECT c.from_type, c.to_type, n, round(n / n_from, 6) AS prob
+      SELECT c.from_type, c.to_type, n,
+             CAST(round(n::DOUBLE * 1000000.0 / n_from) AS BIGINT)::DOUBLE / 1000000.0 AS prob
       FROM c JOIN tot USING (from_type)""")),
 
     // interval-overlap join via time-bucket binning: per-(user, day)
@@ -540,10 +554,12 @@ object Queries {
           .getField("k").as("k"), col("value"))
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"),
-          round(round(sum("value"), 2) / count(lit(1)), 4).as("avg_value")),
+          (round(round(sum("value"), 2) / count(lit(1)) * lit(1e4), 0)
+            .cast("long").cast("double") / lit(1e4)).as("avg_value")),
       Some("""
       SELECT CAST(json_extract_string(props,'$.k') AS INT) AS k,
-             count(*) AS n, round(round(sum(value),2)/count(*),4) AS avg_value
+             count(*) AS n,
+             CAST(round(round(sum(value),2)/count(*) * 10000.0) AS BIGINT)::DOUBLE / 10000.0 AS avg_value
       FROM events GROUP BY 1""")),
 
     // per-user z-score outliers (|z| > 2) — metric anomaly detection
@@ -554,31 +570,37 @@ object Queries {
     // rounded sums and exact counts, so sd and z are bit-identical.
     Q("w_zscore_outliers", (s, dir) => {
       val e = t(s, dir, "events")
+      val vc = round(col("value") * lit(100.0), 0).cast("long")
       val stats = e.groupBy("user_id").agg(
         count(lit(1)).as("n"),
-        round(sum("value"), 2).as("sv"),
-        round(sum(col("value") * col("value")), 2).as("sv2"))
-      val mean = col("sv") / col("n")
-      val variance = col("sv2") / col("n") - mean * mean
+        sum(vc).as("svc"),
+        sum(vc * vc).as("sv2c4"))
+      val mean = col("svc").cast("double") / lit(100.0) / col("n")
+      val variance = col("sv2c4").cast("double") / lit(10000.0) / col("n") - mean * mean
       e.join(broadcast(stats), "user_id")
         // variance (not sd) gates the row: rounded sums can push a
         // near-constant user's variance epsilon-negative, and the
         // oracle engine hard-errors on sqrt(<0)
         .where(col("n") >= 3 && variance > 0)
         .select(col("event_id"), col("user_id"),
-          round((col("value") - mean) / sqrt(variance), 4).as("z"))
+          (round((col("value") - mean) / sqrt(variance) * lit(1e4), 0)
+            .cast("long").cast("double") / lit(1e4)).as("z"))
         .where(abs(col("z")) > 2)
     }, Some("""
       WITH st AS (
         SELECT user_id, count(*) AS n,
-               round(sum(value),2) AS sv, round(sum(value*value),2) AS sv2
+               sum(CAST(round(value*100.0) AS BIGINT))::BIGINT AS svc,
+               sum(CAST(round(value*100.0) AS BIGINT)
+                 * CAST(round(value*100.0) AS BIGINT))::BIGINT AS sv2c4
         FROM events GROUP BY 1),
       j AS (
-        SELECT event_id, user_id, value, sv/n AS mean,
-               sv2/n - (sv/n)*(sv/n) AS var
+        SELECT event_id, user_id, value, svc::DOUBLE/100.0/n AS mean,
+               sv2c4::DOUBLE/10000.0/n
+                 - (svc::DOUBLE/100.0/n)*(svc::DOUBLE/100.0/n) AS var
         FROM events JOIN st USING (user_id) WHERE n >= 3),
       z AS (
-        SELECT event_id, user_id, round((value - mean) / sqrt(var), 4) AS z
+        SELECT event_id, user_id,
+               CAST(round((value - mean) / sqrt(var) * 10000.0) AS BIGINT)::DOUBLE/10000.0 AS z
         FROM j WHERE var > 0)
       SELECT event_id, user_id, z FROM z WHERE abs(z) > 2"""))
   )
@@ -734,7 +756,7 @@ object Queries {
         JOIN nu na ON na.t = split_part(d.bigram, ' ', 1), vv)
       SELECT doc_id, count(*)::BIGINT AS n_bigrams,
              sum(u)::BIGINT AS nll_unats,
-             round((sum(u)::BIGINT)::DOUBLE / 1000000.0 / count(*), 6) AS avg_nll
+             CAST(round(sum(u)::BIGINT::DOUBLE / count(*)) AS BIGINT)::DOUBLE / 1000000.0 AS avg_nll
       FROM per GROUP BY 1""")),
 
     // PMI collocations: adjacent-pair pointwise mutual information in
@@ -1095,11 +1117,13 @@ object Queries {
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(sum("c").as("n"), max("c").as("max_c"))
         .select(col("doc_id"),
-          round(col("max_c").cast("double") / col("n"), 6).as("repetition_ratio")),
+          (round(col("max_c").cast("double") * lit(1e6) / col("n"), 0)
+            .cast("long").cast("double") / lit(1e6)).as("repetition_ratio")),
       Some("""
       WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
       cts AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2)
-      SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS repetition_ratio
+      SELECT doc_id,
+             CAST(round(max(c)::DOUBLE * 1000000.0 / sum(c)) AS BIGINT)::DOUBLE / 1000000.0 AS repetition_ratio
       FROM cts GROUP BY doc_id""")),
 
     // PII scrub: the corpus has no organic PII (synthetic word salad),
@@ -1268,7 +1292,8 @@ object Queries {
         .groupBy("doc_id")
         .agg(sum("u").as("nll_unats"), sum("c").as("n_tokens"))
         .withColumn("avg_nll",
-          round(col("nll_unats").cast("double") / 1e6 / col("n_tokens"), 6))
+          round(col("nll_unats").cast("double") / col("n_tokens"), 0)
+            .cast("long").cast("double") / lit(1e6))
     }, Some("""
       WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
       cts AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
@@ -1278,7 +1303,7 @@ object Queries {
               CAST(round(c * -ln(cc::DOUBLE / n_total) * 1000000) AS BIGINT) AS u
             FROM cts JOIN corpus USING (tok), tot)
       SELECT doc_id, sum(u)::BIGINT AS nll_unats, sum(c)::BIGINT AS n_tokens,
-             round((sum(u)::DOUBLE / 1000000) / sum(c), 6) AS avg_nll
+             CAST(round(sum(u)::DOUBLE / sum(c)) AS BIGINT)::DOUBLE / 1000000.0 AS avg_nll
       FROM u GROUP BY 1""")),
 
     // per-source KL divergence from the corpus token mix — the

@@ -189,7 +189,8 @@ object EventWindows {
     val totals = all.groupBy("from_type").agg(sum("n").as("n_from"))
     all.join(broadcast(totals), Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"),
-        round(col("n") / col("n_from"), 6).as("prob"))
+        (round(col("n").cast("double") * lit(1e6) / col("n_from"), 0)
+          .cast("long").cast("double") / lit(1e6)).as("prob"))
   }
 
   /** Per-user row number, lag(1), and 3-row moving sum — the per-row

@@ -70,7 +70,8 @@ object GraphOps {
       .staticPageRank(iters, reset)
       .vertices.map { case (id, rank) => (id, rank) }
       .toDF("id", "rank0")
-      .select(col("id"), round(col("rank0"), 6).as("rank"))
+      .select(col("id"), (round(col("rank0") * lit(1e6), 0)
+        .cast("long").cast("double") / lit(1e6)).as("rank"))
   }
 
   /** Personalized PageRank over a SEED SET, bounded-iteration
@@ -126,7 +127,8 @@ object GraphOps {
     e.unpersist(blocking = false)
     outdeg.unpersist(blocking = false)
     pers.unpersist(blocking = false)
-    rank.select(col("v").as("id"), round(col("rank"), 6).as("rank"))
+    rank.select(col("v").as("id"), (round(col("rank") * lit(1e6), 0)
+        .cast("long").cast("double") / lit(1e6)).as("rank"))
       .where(col("rank") > 0)
   }
 

@@ -191,10 +191,13 @@ object Sketches {
       .withColumn("target",
         ceil(col("q") * col("n_total")).cast("long"))
       .filter(col("cum") >= col("target") && col("prev") < col("target"))
+      // est on the integer plane: round-to-int of the mirrored double
+      // chain (cents·100 units), emitted as the derived double /1e4
       .select(col("q"), col("n_total"),
-        round((col("bin") * widthCents
-          + lit(widthCents) * (col("target") - col("prev")) / col("cnt"))
-          / 100.0, 4).as("est"))
+        (round((col("bin") * widthCents
+            + lit(widthCents) * (col("target") - col("prev")) / col("cnt"))
+            * lit(100.0), 0).cast("long").cast("double") / lit(10000.0))
+          .as("est"))
   }
 
   /** Cardinality estimate from a register table (driver-side — the

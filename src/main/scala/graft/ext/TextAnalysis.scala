@@ -167,7 +167,8 @@ object TextAnalysis {
     val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
     val mr = sizes.agg(max(lit(1.0) / sqrt(col("n").cast("double"))).as("mr"))
     sizes.crossJoin(mr).select(col("source"), col("n"),
-      round((lit(1.0) / sqrt(col("n").cast("double"))) / col("mr"), 6).as("rate"))
+      (round((lit(1.0) / sqrt(col("n").cast("double"))) / col("mr")
+          * lit(1e6), 0).cast("long").cast("double") / lit(1e6)).as("rate"))
   }
 
   /** Deterministic importance resampling: materialize ⌊w⌋ copies of
@@ -260,7 +261,8 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("u").as("nll_unats"))
       .withColumn("avg_nll",
-        round(col("nll_unats").cast("double") / 1e6 / col("n_bigrams"), 6))
+        round(col("nll_unats").cast("double") / col("n_bigrams"), 0)
+          .cast("long").cast("double") / lit(1e6))
   }
 
   /** Deterministic train/valid/test split assignment from the document
@@ -491,12 +493,15 @@ object TextAnalysis {
     */
   def gopherMeanWordLen(text: Column): Column = {
     val n = tokenCount(text).cast("double")
-    round((length(text).cast("double") - (n - 1)) / n, 6)
+    // micro-unit integer round (engine-exact), emitted as micro/1e6
+    round((length(text).cast("double") - (n - 1)) * lit(1e6) / n, 0)
+      .cast("long").cast("double") / lit(1e6)
   }
 
   def gopherAlphaFrac(text: Column): Column =
-    round(size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double") /
-      tokenCount(text), 6)
+    round(size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double")
+        * lit(1e6) / tokenCount(text), 0)
+      .cast("long").cast("double") / lit(1e6)
 
   def gopherVerdict(text: Column, minWords: Int = 25, maxWords: Int = 100000,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
