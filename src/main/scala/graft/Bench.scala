@@ -170,7 +170,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmup)},"reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmup)},"reps":$reps,"n_queries":${results.size},"foreign_jvms":${foreign.size},"load_before":$loadBefore,"load_after":$loadAfter,"sf":"$sfDir"}""")
+    // loadavg_* are /proc/loadavg snapshots (box busyness at bench
+    // start/end), NOT engine load-phase timings — the engine's bulk
+    // load + compact + encode + inference cost is warmup_sec. Named
+    // explicitly after the r10 "load_before 2.43->6.45" reading, which
+    // was ambient box load, not a load-path regression (warmup was
+    // flat 51.8->52.0 s).
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmup)},"reps":$reps,"n_queries":${results.size},"foreign_jvms":${foreign.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"sf":"$sfDir"}""")
     spark.stop()
     // the compacted-store warmup copy is dataset-sized — leaving it
     // accumulates a full parquet copy per bench run in /tmp

@@ -280,6 +280,31 @@ object TextAnalysis {
       .otherwise("test")
   }
 
+  /** First- and last-run aggregates per partition of a dataset that is
+    * range-partitioned and partition-sorted with `source` leading the
+    * key: a source's rows are globally CONTIGUOUS, so only the ≤2
+    * sources whose run touches a partition edge can carry prefix state
+    * across partitions — every other source is fully interior to one
+    * partition and needs no cross-partition coordination. Collecting
+    * just these edge cells bounds driver state at O(P) cells no matter
+    * the source cardinality (web-domain sources at 100 TB: millions of
+    * sources, still ≤2P cells). Returns (offsets, totals) over the
+    * edge sources only; interior sources are absent by construction
+    * (offset 0, total counted locally).
+    */
+  private def boundaryOffsets(cells: Array[(Int, String, Long)])
+      : (Map[(Int, String), Long], Map[String, Long]) = {
+    val bySource = cells.groupBy(_._2)
+    val totals = bySource.map { case (src, cs) => src -> cs.map(_._3).sum }
+    val offsets = bySource.iterator.flatMap { case (src, cs) =>
+      var acc = 0L
+      cs.sortBy(_._1).map { case (pid, _, c) =>
+        val e = (pid, src) -> acc; acc += c; e
+      }
+    }.toMap
+    (offsets, totals)
+  }
+
   /** Per-source quality-percentile curation: rank every document's
     * [[qualityScore]] within its source (percent_rank, ascending) and
     * keep the TOP `keepFrac` fraction — "keep the best X% of each
@@ -293,13 +318,16 @@ object TextAnalysis {
     * EXACT rank runs as a distributed sort + per-key prefix count:
     * range-partition by `(source, q, doc_id)` — a hot source is SPLIT
     * across many partitions because the range boundaries extend past
-    * `source` into the sort key — then (1) one tiny job counts rows
-    * per (partition, source) (P × |sources| longs at the driver),
-    * (2) their per-source exclusive prefix broadcasts as the rank
-    * offset of each partition, and (3) a map-only pass assigns
-    * `rank = offset + local index`, `pr = rank / (n_source − 1)`.
-    * Identical output to the window formulation (no ties: doc_id is
-    * unique), with no task ever holding more than O(n/P) rows.
+    * `source` into the sort key — then (1) one tiny job collects the
+    * FIRST- and LAST-run counts of each partition (≤ 2P cells — the
+    * only sources whose rank state crosses a boundary; driver state
+    * is O(P) regardless of source cardinality), (2) their per-source
+    * exclusive prefix broadcasts as the rank offset, and (3) a
+    * map-only pass assigns `rank = offset + local index` for edge
+    * sources and counts interior sources' runs locally (one run
+    * buffered at a time, ≤ the partition's own rows);
+    * `pr = rank / (n_source − 1)`. Identical output to the window
+    * formulation (no ties: doc_id is unique).
     */
   def qualityPercentile(docs: org.apache.spark.sql.DataFrame,
       keepFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
@@ -308,36 +336,82 @@ object TextAnalysis {
     val parts = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
         qualityScore(col("text")).as("q"))
-      .repartitionByRange(col("source"), col("q"), col("doc_id"))
+      // explicit partition count: an AQE-chosen layout may coalesce or
+      // re-split the range exchange between executions, and the
+      // boundary-cell scheme REQUIRES each source's rows to stay
+      // contiguous across a fixed partition sequence
+      .repartitionByRange(
+        docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("source"), col("q"), col("doc_id"))
       .sortWithinPartitions("source", "q", "doc_id")
       .localCheckpoint(true)
-    val counts = parts
-      .groupBy(spark_partition_id().as("pid"), col("source"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val totals: Map[String, Long] =
-      counts.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
-    val nParts = parts.rdd.getNumPartitions
-    val offsets: Map[(Int, String), Long] = totals.keys.flatMap { s =>
-      var acc = 0L
-      (0 until nParts).map { p =>
-        val entry = (p, s) -> acc
-        acc += counts.getOrElse((p, s), 0L)
-        entry
+    // RDD-level passes: mapPartitionsWithIndex gives the RDD's OWN
+    // partition index, stable no matter how the caller composes the
+    // result into a larger stage (TaskContext.getPartitionId is the
+    // STAGE-relative id and shifts under union/except plans)
+    val rows = parts.rdd.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val cells = rows.mapPartitionsWithIndex { (pid, it) =>
+      var firstSrc: String = null; var firstCnt = 0L
+      var curSrc: String = null; var curCnt = 0L
+      var nRuns = 0
+      it.foreach { case (_, src, _) =>
+        if (src != curSrc) {
+          if (nRuns == 1) { firstSrc = curSrc; firstCnt = curCnt }
+          curSrc = src; curCnt = 0L; nRuns += 1
+        }
+        curCnt += 1
       }
-    }.toMap
+      if (nRuns == 0) Iterator.empty
+      else if (nRuns == 1) Iterator((pid, curSrc, curCnt))
+      else Iterator((pid, firstSrc, firstCnt), (pid, curSrc, curCnt))
+    }.collect()
+    val (offsets, totals) = boundaryOffsets(cells)
     val bcOff = spark.sparkContext.broadcast(offsets)
     val bcTot = spark.sparkContext.broadcast(totals)
-    parts.as[(Long, String, Double)].mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cur: String = null
-      var rank = 0L
-      it.map { case (id, src, q) =>
-        if (src != cur) { cur = src; rank = bcOff.value((pid, src)) }
-        val n = bcTot.value(src)
-        val pr = if (n <= 1) 0.0 else rank.toDouble / (n - 1).toDouble
-        rank += 1
-        (id, src, q, pr)
+    rows.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOff.value; val tot = bcTot.value
+      val in = it.buffered
+      new Iterator[(Long, String, Double, Double)] {
+        private var out: Iterator[(Long, String, Double, Double)] =
+          Iterator.empty
+        def hasNext: Boolean = out.hasNext || in.hasNext
+        def next(): (Long, String, Double, Double) = {
+          while (!out.hasNext) {
+            val src = in.head._2
+            tot.get(src) match {
+              case Some(n) =>
+                // edge source: stream with the broadcast offset
+                var rank = off((pid, src))
+                out = new Iterator[(Long, String, Double, Double)] {
+                  def hasNext: Boolean = in.hasNext && in.head._2 == src
+                  def next(): (Long, String, Double, Double) = {
+                    val (id, _, q) = in.next()
+                    val pr =
+                      if (n <= 1) 0.0 else rank.toDouble / (n - 1).toDouble
+                    rank += 1
+                    (id, src, q, pr)
+                  }
+                }
+              case None =>
+                // interior source: its whole run is local — count it
+                // here (one run buffered at a time)
+                val buf = scala.collection.mutable.ArrayBuffer
+                  .empty[(Long, Double)]
+                while (in.hasNext && in.head._2 == src) {
+                  val (id, _, q) = in.next(); buf += ((id, q))
+                }
+                val n = buf.size.toLong
+                var rank = 0L
+                out = buf.iterator.map { case (id, q) =>
+                  val pr =
+                    if (n <= 1) 0.0 else rank.toDouble / (n - 1).toDouble
+                  rank += 1
+                  (id, src, q, pr)
+                }
+            }
+          }
+          out.next()
+        }
       }
     }.toDF("doc_id", "source", "q", "pr")
       .withColumn("pr", round(col("pr") * lit(1e6), 0)
@@ -358,10 +432,13 @@ object TextAnalysis {
     * the running sum is the PER-SOURCE variant of [[packBins]]'s
     * two-pass distributed prefix sum: range-partition by
     * `(source, doc_id)` (a hot source splits across partitions),
-    * collect per-(partition, source) token totals (P × |sources|
-    * longs), broadcast their per-source exclusive prefix, then a
-    * map-only pass adds each partition's local running sum to its
-    * source offset. No task holds more than O(n/P) rows.
+    * collect the FIRST- and LAST-run token totals of each partition
+    * (≤ 2P cells — only a partition-edge source carries prefix state
+    * across a boundary, so driver state is O(P) at ANY source
+    * cardinality), broadcast their per-source exclusive prefix, then
+    * a map-only pass adds each partition's local running sum to its
+    * source offset (0 for interior sources). No task holds more than
+    * O(n/P) rows.
     */
   def tokenBudget(docs: org.apache.spark.sql.DataFrame,
       budget: Long): org.apache.spark.sql.DataFrame = {
@@ -370,30 +447,35 @@ object TextAnalysis {
     val parts = docs
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
         tokenCount(col("text")).cast("long").as("n_tokens"))
-      .repartitionByRange(col("source"), col("doc_id"))
+      // explicit count: same contiguity contract as qualityPercentile
+      .repartitionByRange(
+        docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("source"), col("doc_id"))
       .sortWithinPartitions("source", "doc_id")
       .localCheckpoint(true)
-    val totals = parts
-      .groupBy(spark_partition_id().as("pid"), col("source"))
-      .agg(sum("n_tokens").as("tot"))
-      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-    val nParts = parts.rdd.getNumPartitions
-    val offsets: Map[(Int, String), Long] =
-      totals.keys.map(_._2).toSeq.distinct.flatMap { s =>
-        var acc = 0L
-        (0 until nParts).map { p =>
-          val entry = (p, s) -> acc
-          acc += totals.getOrElse((p, s), 0L)
-          entry
+    val rows = parts.rdd.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val cells = rows.mapPartitionsWithIndex { (pid, it) =>
+      var firstSrc: String = null; var firstSum = 0L
+      var curSrc: String = null; var curSum = 0L
+      var nRuns = 0
+      it.foreach { case (_, src, n) =>
+        if (src != curSrc) {
+          if (nRuns == 1) { firstSrc = curSrc; firstSum = curSum }
+          curSrc = src; curSum = 0L; nRuns += 1
         }
-      }.toMap
+        curSum += n
+      }
+      if (nRuns == 0) Iterator.empty
+      else if (nRuns == 1) Iterator((pid, curSrc, curSum))
+      else Iterator((pid, firstSrc, firstSum), (pid, curSrc, curSum))
+    }.collect()
+    val (offsets, _) = boundaryOffsets(cells)
     val bcOff = spark.sparkContext.broadcast(offsets)
-    parts.as[(Long, String, Long)].mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    rows.mapPartitionsWithIndex { (pid, it) =>
       var cur: String = null
       var cum = 0L
       it.map { case (id, src, n) =>
-        if (src != cur) { cur = src; cum = bcOff.value((pid, src)) }
+        if (src != cur) { cur = src; cum = bcOff.value.getOrElse((pid, src), 0L) }
         val before = cum
         cum += n
         (id, src, n, before)

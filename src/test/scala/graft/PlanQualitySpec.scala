@@ -601,9 +601,11 @@ class PlanQualitySpec extends GraftSuite {
       val p = plan(name)
       assert(!p.contains("Window"),
         s"$name still sorts a whole source on one task:\n$p")
-      // the map-only offset pass reads the checkpointed range layout —
-      // its plan is MapPartitions over the frozen RDD, not a sort
-      assert(p.contains("MapPartitions") && p.contains("ExistingRDD"),
+      // the map-only offset pass reads the checkpointed range layout
+      // at the RDD level (mapPartitionsWithIndex for stage-stable
+      // partition ids) — its plan is an object scan serialized back,
+      // not a sort
+      assert(p.contains("SerializeFromObject") && p.contains("Scan[obj"),
         s"$name is not the two-pass distributed prefix shape:\n$p")
     }
   }

@@ -501,4 +501,42 @@ class TextOpsSpec extends GraftSuite {
       assert(ref.toSeq == nat.toSeq, s"w=$w")
     }
   }
+
+  test("qualityPercentile/tokenBudget: O(P) driver state at 100k sources " +
+      "matches the window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100k distinct sources x 1-4 docs: web-domain source cardinality.
+    // The old per-(partition, source) collect would put ~3.2M cells on
+    // the driver here; the boundary-cell pass collects <= 2P.
+    val docs = spark.range(0, 250000L).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id") * 2654435761L, lit(100000L)))
+        .as("source"),
+      // deterministic pseudo-text: token count varies 5..24
+      concat_ws(" ", transform(sequence(lit(1), (pmod(col("id"), lit(20)) + 5)
+        .cast("int")), i => concat(lit("w"), pmod(col("id") + i, lit(7)))))
+        .as("text"))
+    val got = graft.ext.TextAnalysis.qualityPercentile(docs, 0.5)
+      .select("doc_id", "source", "q", "pr")
+    val q = graft.ext.TextAnalysis.qualityScore(col("text"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("q"), col("doc_id"))
+    val want = docs.select(col("doc_id"), col("source"), q.as("q"))
+      .withColumn("pr", round(percent_rank().over(w) * lit(1e6), 0)
+        .cast("long").cast("double") / lit(1e6))
+      .where(col("pr") >= 0.5)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "boundary-cell percentile must equal the window formulation")
+
+    val gotB = graft.ext.TextAnalysis.tokenBudget(docs, 30L)
+    val wantB = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum("n_tokens").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .where(col("tok_before") < 30L)
+    assert(gotB.exceptAll(wantB).isEmpty && wantB.exceptAll(gotB).isEmpty,
+      "boundary-cell token budget must equal the window formulation")
+  }
 }
