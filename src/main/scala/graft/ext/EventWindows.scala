@@ -311,11 +311,30 @@ object EventWindows {
     */
   def intervalOverlapPairs(iv: DataFrame,
       bucketUs: Long = 3600000000L, dedup: Boolean = true): DataFrame = {
-    val binned = iv.select(col("iv_key"),
-        unix_micros(col("s")).as("su"), unix_micros(col("e")).as("eu"))
-      .select(col("iv_key"), col("su"), col("eu"),
-        explode(sequence(expr(s"su div $bucketUs"), expr(s"eu div $bucketUs")))
-          .as("bin"))
+    // dedup=false is only sound when EVERY interval fits one bucket
+    // (otherwise a multi-bin interval silently duplicates its pairs) —
+    // under that contract the bin IS `su div bucketUs`, so the guarded
+    // path computes it directly (no explode) and raise_error's loudly
+    // on the first violating row instead of corrupting downstream
+    // counts after a caller or session-timezone change
+    val binned =
+      if (dedup)
+        iv.select(col("iv_key"),
+            unix_micros(col("s")).as("su"), unix_micros(col("e")).as("eu"))
+          .select(col("iv_key"), col("su"), col("eu"),
+            explode(sequence(
+              expr(s"su div $bucketUs"), expr(s"eu div $bucketUs"))).as("bin"))
+      else
+        iv.select(col("iv_key"),
+            unix_micros(col("s")).as("su"), unix_micros(col("e")).as("eu"))
+          .select(col("iv_key"), col("su"), col("eu"),
+            when(expr(s"su div $bucketUs") === expr(s"eu div $bucketUs"),
+              expr(s"su div $bucketUs"))
+              .otherwise(raise_error(concat(
+                lit("intervalOverlapPairs(dedup=false): interval "),
+                col("iv_key").cast("string"),
+                lit(s" spans more than one $bucketUs-us bucket")))
+                .cast("long")).as("bin"))
     val a = binned.select(col("bin"), col("iv_key").as("a_key"),
       col("su").as("a_su"), col("eu").as("a_eu"))
     val b = binned.select(col("bin"), col("iv_key").as("b_key"),

@@ -443,14 +443,20 @@ object Similarity {
     val en = corpus.select(col("vec_id"),
         transform(col(emb), x => x.cast("double") / l2Norm(col(emb))).as("en"))
       .localCheckpoint()
-    val first = en.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    require(k >= 1, s"kCenterSeeds: k >= 1 (got $k)")
+    val firstArr = en.orderBy(col("vec_id").asc).limit(1).collect()
+    require(firstArr.nonEmpty, "kCenterSeeds: empty corpus")
+    val first = firstArr(0)
     var chosen = List((first.getLong(0), first.getSeq[Double](1), 0L))
     var pts = en.filter(col("vec_id") =!= first.getLong(0))
       .withColumn("mind", distTo(first.getSeq[Double](1)))
       .localCheckpoint()
     for (_ <- 2 to k) {
-      val nxt = pts.orderBy(col("mind").desc, col("vec_id").asc).limit(1)
-        .collect()(0)
+      val nxtArr = pts.orderBy(col("mind").desc, col("vec_id").asc).limit(1)
+        .collect()
+      require(nxtArr.nonEmpty,
+        s"kCenterSeeds: k=$k exceeds the number of distinct vectors")
+      val nxt = nxtArr(0)
       chosen ::= ((nxt.getLong(0), nxt.getSeq[Double](1), nxt.getLong(2)))
       val prev = pts
       pts = pts.filter(col("vec_id") =!= nxt.getLong(0))

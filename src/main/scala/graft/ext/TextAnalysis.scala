@@ -691,8 +691,19 @@ object TextAnalysis {
   /** Symbol separator for [[bpeMerges]]: words are held as their
     * symbols joined by a \\u0001 separator, so "apply merge (a,b) → ab" is a plain
     * non-overlapping left-to-right string replace of `a<SEP>b` with
-    * `ab` — the semantics `replace` has in BOTH Spark and DuckDB, and
-    * exactly greedy BPE's scan order.
+    * `ab` — the semantics `replace` has in BOTH Spark and DuckDB.
+    *
+    * KNOWN DIVERGENCE from reference BPE trainers (deliberate, both
+    * engines mirror it exactly): from round 3 on, the substring match
+    * is not anchored to symbol boundaries — when an earlier multi-char
+    * symbol ENDS with the pair's left symbol (symbol `cab`, pattern
+    * `ab<SEP>z`), the replace can fire across the boundary and apply a
+    * merge BPE never selected. Anchoring with sentinel separators
+    * would instead drop legitimate ADJACENT merges (the shared
+    * separator is consumed by the first replacement), and the
+    * lookahead regex that fixes both is outside the RE2∩Java subset
+    * the oracle can run. The pair COUNTS and argmax selection are
+    * exact; only the rewrite of such suffix-collision words diverges.
     */
   val BpeSep = "\u0001"
 
