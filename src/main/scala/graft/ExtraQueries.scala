@@ -363,6 +363,38 @@ object ExtraQueries {
       WINDOW w AS (PARTITION BY o_orderstatus
                    ORDER BY o_totalprice DESC, o_orderkey ASC)""")),
 
+    // distributed SELECT-result export emitter: the codegen'd NDJSON
+    // bindings line (rio/SparqlDistExport.jsonLineCol — map-only at
+    // any result size) cross-checked byte-for-byte against the oracle
+    // engine constructing the same W3C binding objects; exercises IRI
+    // + typed-literal bindings AND unbound-var omission
+    Q("q_export_bindings", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sol = li.select(
+        struct(
+          concat(lit("http://ex/o"), col("l_orderkey").cast("string"),
+            lit("r"), col("l_linenumber").cast("string")).as("lex"),
+          lit(graft.rdf.Rdf.IRI).as("kind"),
+          lit("").as("dt"), lit("").as("lang")).as("s"),
+        when(col("l_returnflag") =!= "N",
+          struct(col("l_quantity").cast("int").cast("string").as("lex"),
+            lit(graft.rdf.Rdf.LIT).as("kind"),
+            lit("http://www.w3.org/2001/XMLSchema#integer").as("dt"),
+            lit("").as("lang"))).as("q"))
+      sol.select(col("s")("lex").as("key"),
+        graft.rio.SparqlDistExport.jsonLineCol(sol).as("line"))
+    }, Some("""
+      SELECT 'http://ex/o' || l_orderkey || 'r' || l_linenumber AS key,
+             CASE WHEN l_returnflag <> 'N' THEN
+               '{"s":{"type":"uri","value":"http://ex/o' || l_orderkey
+                 || 'r' || l_linenumber
+                 || '"},"q":{"type":"literal","value":"'
+                 || CAST(l_quantity AS INT)
+                 || '","datatype":"http://www.w3.org/2001/XMLSchema#integer"}}'
+             ELSE '{"s":{"type":"uri","value":"http://ex/o' || l_orderkey
+                 || 'r' || l_linenumber || '"}}' END AS line
+      FROM lineitem""")),
+
     // explicit salted join (plans.Skew): the hot-key mitigation for
     // joins AQE cannot rewrite — results must be IDENTICAL to the
     // plain join, which is exactly what the oracle states. Orders

@@ -126,4 +126,29 @@ final class Graft private[graft] (spark: SparkSession, dir: String) {
       case Sparql.GraphResult(triples) => SparqlJson.selectLexical(triples)
     }
   }
+
+  /** DISTRIBUTED SELECT-result export: partitioned NDJSON bindings
+    * (`format = "json"`, one W3C binding object per line +
+    * `_head.json` manifest) or RFC-4180 CSV rows (`"csv"`,
+    * + `_header.csv`) — the `NQuads.lineCol` treatment applied to the
+    * SELECT formats, a map-only write at any result size. The
+    * streamed [[queryResults]] single-document writers remain the
+    * protocol-envelope path. SELECT only: ASK/CONSTRUCT/DESCRIBE
+    * results are a boolean or an RDF graph, not a bindings table.
+    */
+  def exportQueryResults(text: String, path: String,
+      format: String = "json"): Unit = {
+    val parsed = graft.sparql.SparqlParser.parse(text)
+    require(!parsed.isAsk && parsed.construct.isEmpty &&
+      parsed.describe.isEmpty,
+      "exportQueryResults serves SELECT bindings; use queryResults for " +
+        "ASK envelopes and exportNQuads/the DataFrame form for graphs")
+    val sol = query(text)
+    format.toLowerCase match {
+      case "json" => graft.rio.SparqlDistExport.writeJsonBindings(sol, path)
+      case "csv" => graft.rio.SparqlDistExport.writeCsvRows(sol, path)
+      case f => throw new IllegalArgumentException(
+        s"distributed export supports json, csv (got '$f')")
+    }
+  }
 }

@@ -314,4 +314,68 @@ class RioFormatsSpec extends GraftSuite {
     assert(byP("ex:frac").lex == "0.500000" &&
       byP("ex:frac").num.contains(0.5))
   }
+
+  test("distributed SELECT export: NDJSON/CSV lines match the streamed " +
+      "writers and survive a 1e6-row round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def term(lex: org.apache.spark.sql.Column, kind: Int, dt: String = "", lang: String = "") =
+      struct(lex.as("lex"), lit(kind).as("kind"),
+        lit(dt).as("dt"), lit(lang).as("lang"))
+    // small result with every binding shape: IRI, plain literal, typed
+    // literal, lang literal, bnode, unbound, quote/comma-bearing lexs
+    val small = Seq(
+      (0L, false), (1L, true), (2L, false), (3L, true)
+    ).toDF("i", "unbind").select(
+      term(concat(lit("http://ex/s"), col("i")), graft.rdf.Rdf.IRI).as("s"),
+      when(!col("unbind"), term(concat(lit("v,\"q\" "), col("i")),
+        graft.rdf.Rdf.LIT,
+        dt = "http://www.w3.org/2001/XMLSchema#integer")).as("v"),
+      term(concat(lit("b"), col("i")), graft.rdf.Rdf.BNODE).as("b"),
+      term(lit("hola"), graft.rdf.Rdf.LIT, lang = "es").as("l"))
+    // NDJSON lines parse to the same objects the streamed writer emits
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+    val streamed = om.readTree(graft.rio.SparqlJson.select(small))
+    val lines = small
+      .select(graft.rio.SparqlDistExport.jsonLineCol(small).as("line"))
+      .collect().map(_.getString(0))
+    val streamBindings = streamed.get("results").get("bindings")
+    assert(streamBindings.size() == lines.length)
+    val distSet = lines.map(om.readTree).toSet
+    (0 until streamBindings.size()).foreach { i =>
+      assert(distSet.contains(streamBindings.get(i)),
+        s"streamed binding $i missing from distributed lines")
+    }
+    assert(graft.rio.SparqlDistExport.headJson(small.columns.toSeq) ==
+      """{"head":{"vars":["s","v","b","l"]}}""")
+    // CSV rows equal the streamed writer's (order-insensitive)
+    val csvStream = graft.rio.SparqlCsvTsv.csv(small)
+      .split("\r\n").drop(1).toSet
+    val csvDist = small
+      .select(graft.rio.SparqlDistExport.csvLineCol(small).as("line"))
+      .collect().map(_.getString(0).stripSuffix("\r")).toSet
+    assert(csvStream == csvDist, s"csv mismatch:\n$csvStream\nvs\n$csvDist")
+
+    // 1e6-row partitioned export: map-only write, counts + spot values
+    val big = spark.range(0, 1000000L).select(
+      term(concat(lit("http://ex/o"), col("id")), graft.rdf.Rdf.IRI).as("s"),
+      term(col("id").cast("string"), graft.rdf.Rdf.LIT,
+        dt = "http://www.w3.org/2001/XMLSchema#integer").as("n"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    graft.rio.SparqlDistExport.writeJsonBindings(big, dir + "/json")
+    val back = spark.read.text(dir + "/json")
+    assert(back.count() == 1000000L)
+    val parsed = spark.read.json(spark.read.text(dir + "/json").as[String])
+      .selectExpr("s.type AS stype", "s.value AS sval",
+        "n.datatype AS ndt", "n.value AS nval")
+    assert(parsed.where(col("stype") === "uri"
+      && col("sval") === "http://ex/o999999"
+      && col("ndt") === "http://www.w3.org/2001/XMLSchema#integer"
+      && col("nval") === "999999").count() == 1)
+    assert(new java.io.File(dir + "/json/_head.json").exists())
+    graft.rio.SparqlDistExport.writeCsvRows(big, dir + "/csv")
+    assert(spark.read.text(dir + "/csv").count() == 1000000L)
+    assert(new java.io.File(dir + "/csv/_header.csv").exists())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
