@@ -158,6 +158,33 @@ final class QuadStore(spark: SparkSession, dir: String) {
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     maybeGlobalIdAudit()
+    maybeAutoCompact()
+  }
+
+  /** Auto-compaction policy for long-running streaming stores: a
+    * store that appends micro-batches forever otherwise accumulates an
+    * unbounded segment list — `snapshot()`/`snapshotEncoded()` union
+    * every segment, so read fan-in grows with ingest age, and a single
+    * tombstone staleness-gates the encoded plane until someone calls
+    * `compact()` by hand. Trigger: positive-segment count crossing
+    * [[AutoCompactSegments]] (keeps the union bounded) or tombstone
+    * count crossing [[AutoCompactTombstones]] (folds delete anti-joins
+    * away). Both counts derive from manifest state — no extra
+    * persistence, survives reopen; the check runs inside the commit
+    * lock right after the manifest swap (same cadence hook as the
+    * every-[[GlobalAuditEvery]] id audit, which compact() also
+    * re-runs). Set either threshold to 0 to disable.
+    */
+  @volatile var AutoCompactSegments: Int = 64
+  @volatile var AutoCompactTombstones: Int = 16
+
+  private def maybeAutoCompact(): Unit = {
+    val segs = committedSegments()
+    val tombs = segs.count(_.startsWith("seg-del-"))
+    val pos = segs.length - tombs
+    if ((AutoCompactSegments > 0 && pos >= AutoCompactSegments) ||
+        (AutoCompactTombstones > 0 && tombs >= AutoCompactTombstones))
+      compact()
   }
 
   /** How many positive segments may accumulate between global

@@ -672,4 +672,40 @@ class IngestSpec extends GraftSuite {
     val body = new Array[Byte](buf.getInt()); buf.get(body)
     assert(new String(body, UTF_8) == """{"head":{},"boolean":true}""")
   }
+
+  test("auto-compaction bounds segment count under continuous inserts " +
+      "and folds tombstone mass") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("qs-autocompact")
+    val store = new QuadStore(spark, d.toString)
+    def segCount: Int = {
+      val m = d.resolve("_manifest")
+      if (!Files.exists(m)) 0
+      else Files.readString(m).split("\n").count(_.nonEmpty)
+    }
+    // aggressive thresholds so the spec exercises both triggers fast
+    store.AutoCompactSegments = 8
+    store.AutoCompactTombstones = 3
+    // continuous micro-batch inserts: the manifest must stay bounded by
+    // the segment threshold (compaction folds it back to 1) while the
+    // data stays exact
+    (1 to 20).foreach { i =>
+      store.insertData(
+        s"""INSERT DATA { GRAPH <g:auto> { <s:$i> <p:x> "v$i" . } }""")
+      assert(segCount <= 8,
+        s"segment count ${segCount} exceeded the auto-compact bound at $i")
+    }
+    assert(store.snapshot().count() == 20)
+    // tombstone trigger: deletes fold away and the encoded plane comes
+    // back live without a manual compact()
+    store.executeUpdate("""DELETE DATA { GRAPH <g:auto> { <s:1> <p:x> "v1" . } }""")
+    store.executeUpdate("""DELETE DATA { GRAPH <g:auto> { <s:2> <p:x> "v2" . } }""")
+    store.executeUpdate("""DELETE DATA { GRAPH <g:auto> { <s:3> <p:x> "v3" . } }""")
+    assert(store.snapshot().count() == 17)
+    assert(Files.readString(d.resolve("_manifest"))
+      .split("\n").count(_.startsWith("seg-del-")) == 0,
+      "tombstone trigger must have folded deletes into a compacted segment")
+    assert(store.snapshotEncoded().isDefined,
+      "encoded plane must be live again after the tombstone-triggered compact")
+  }
 }
