@@ -371,6 +371,25 @@ object SparqlQueries {
       WHERE b.p=':acctbal'
         AND b.s IN (SELECT s FROM quads WHERE p=':nation')"""))),
 
+    // correlated condition inside a VISIBLE OPTIONAL within EXISTS
+    // (§18.6 via the key-frame left join, r11): ?nm IS read by the
+    // BOUND filter above, so the invisible-OPTIONAL drop cannot
+    // apply; the correlated ?bal condition decides the left join
+    // per distinct outer binding (Compiler.compCorrExistsOptional)
+    Q("r_exists_opt_corr", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal .
+        FILTER EXISTS { ?c :nation ?n .
+          OPTIONAL { ?n :name ?nm . FILTER(?bal >= 7500) }
+          FILTER(BOUND(?nm)) } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal
+      FROM quads b
+      WHERE b.p=':acctbal' AND b.onum >= 7500
+        AND b.s IN (SELECT n.s FROM quads n
+                    WHERE n.p=':nation'
+                      AND n.o IN (SELECT s FROM quads WHERE p=':name'))"""))),
+
     // correlated BIND inside EXISTS (§18.6): the inner BIND reads
     // ?bal from the OUTER pattern and a spine FILTER consumes the
     // bound var — decorrelation inlines the definition into the

@@ -1956,17 +1956,35 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           case Some(df) => return df
           case None => ()
         }
-      case _ => ()
+      case _ =>
+        // VISIBLE-OPTIONAL class (r11): filters stacked above a
+        // top-level LeftJoin whose right-side vars they read, with the
+        // correlation inside the OPTIONAL's embedded filter, its
+        // spine, or the filters above — the key-frame machinery
+        // extends to LeftJoin the same way it did to MINUS
+        def peel(o: Op, acc: Seq[Expr]): (Op, Seq[Expr]) = o match {
+          case Filter(c, i) => peel(i, c +: acc)
+          case other => (other, acc)
+        }
+        peel(sub, Nil) match {
+          case (LeftJoin(lOp, rOp, c), above) =>
+            compCorrExistsOptional(input, lOp, rOp, c, above, corr,
+              outerScope, positive) match {
+              case Some(df) => return df
+              case None => ()
+            }
+          case _ => ()
+        }
     }
     val (residual, conds, binds) = splitOpt.getOrElse(
       throw new UnsupportedOperationException(
         "correlated EXISTS: inner expression references outer-only " +
           s"variable(s) ${corr.map("?" + _).mkString(", ")} from a " +
           "position where §18.6 substitution cannot be realized by " +
-          "decorrelation (under UNION/OPTIONAL/aggregation/LIMIT, a " +
-          "non-top-level or oversized-key-frame MINUS, escaping a " +
-          "subquery projection, a BIND var used in a pattern " +
-          "position, or nested EXISTS)"))
+          "decorrelation (under UNION/aggregation/LIMIT, a " +
+          "non-top-level or oversized-key-frame MINUS or OPTIONAL, " +
+          "escaping a subquery projection, a BIND var used in a " +
+          "pattern position, or nested EXISTS)"))
     // nested EXISTS deeper in the residual see the widened scope
     walkExists(residual, outerScope ++ Algebra.inScope(residual))
     val in = comp(input)
@@ -2026,6 +2044,118 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * positions is out of scope here as everywhere in the engine
     * (bottom-up evaluation school); only EXPRESSION refs correlate.
     */
+  /** `FILTER [NOT] EXISTS { l OPTIONAL { r } FILTER f… }` with §18.6
+    * expression correlation anywhere in the OPTIONAL's embedded
+    * filter, r's conjunctive spine, or the filters above — the
+    * VISIBLE-OPTIONAL class (`?nm` IS read by `f`), which the
+    * invisible-OPTIONAL drop cannot touch. Hoisting out of a left
+    * join's right side is unsound (an unmatched row must yield
+    * unbound, not a dropped condition), so the substitution is
+    * realized per key, the [[compCorrExistsMinus]] shape:
+    *
+    *   1. key frame K = distinct outer rows over (outer∩l vars ∪
+    *      correlated vars);
+    *   2. cand = K ⋈ l (dependent cross join only when l shares
+    *      nothing with the outer, same 1000-key guard);
+    *   3. per-key OPTIONAL = ONE left-outer join of cand against r's
+    *      residual with the l/r compatibility condition AND the
+    *      substituted correlated/join conditions (an unmatched cand
+    *      row keeps null r-columns — BOUND sees unbound, exactly
+    *      §18.6's per-binding evaluation, set-based);
+    *   4. the above-filters evaluate post-join with the substituted
+    *      resolver; EXISTS(key) = ≥ 1 surviving row; semi/anti join
+    *      back to the outer.
+    *
+    * With no filters above, a left join cannot remove l rows, so
+    * `EXISTS { l OPTIONAL r }` short-circuits to `EXISTS { l }`
+    * whatever the correlation inside r decides.
+    */
+  private def compCorrExistsOptional(input: Op, l: Op, r: Op,
+      cond: Option[Expr], above: Seq[Expr], corr: Set[String],
+      outerScope: Set[String], positive: Boolean): Option[DataFrame] = {
+    if (corrVarsOf(l, outerScope).nonEmpty) return None
+    // an r-ONLY pattern var also bound in the OUTER scope takes part
+    // in the outer semi-join's compatibility (an optional extension
+    // binding it differently is incompatible) — the key frame below
+    // keys only on (outer∩l ∪ correlated) vars, so that class must
+    // stay loud, and the EXISTS{l} short-circuit would drop it
+    if ((Algebra.inScope(r).toSet -- Algebra.inScope(l).toSet)
+        .intersect(outerScope).nonEmpty) return None
+    if (above.isEmpty)
+      return Some(comp(Filter(EExists(l, positive), input)))
+    val corrR = corrVarsOf(r, outerScope)
+    val (rRes, rConds, rBinds) =
+      splitCorrelated(r, corrR).getOrElse(return None)
+    walkExists(l, outerScope ++ Algebra.inScope(l))
+    walkExists(rRes, outerScope ++ Algebra.inScope(rRes))
+    val in = comp(input)
+    val ld = comp(l)
+    val rd = comp(rRes)
+    val sharedIL = in.columns.intersect(ld.columns).toIndexedSeq
+    val keyCols = (sharedIL ++ corr.toSeq.filterNot(sharedIL.contains))
+      .toIndexedSeq
+    // a correlated var must be an outer COLUMN to key on
+    if (!keyCols.forall(in.columns.contains)) return None
+    val keys = in.select(keyCols.map(in(_)): _*).distinct()
+    val nullIL = maybeUnbound(input) ++ maybeUnbound(l)
+    val lRen = ld.columns.map(v => v -> freshName(v)).toMap
+    val lr = ld.columns.foldLeft(ld) { (d, v) =>
+      d.withColumnRenamed(v, lRen(v))
+    }
+    val ilCond = sharedIL.map(v =>
+        if (nullIL(v))
+          keys(v).isNull || lr(lRen(v)).isNull || termEq(keys(v), lr(lRen(v)))
+        else termEq(keys(v), lr(lRen(v))))
+      .reduceOption(_ && _)
+    val cand = ilCond match {
+      case Some(c) => keys.join(lr, c)
+      case None =>
+        if (keys.count() > 1000) return None
+        keys.crossJoin(lr)
+    }
+    def lVal(v: String): Column =
+      if (sharedIL.contains(v) && nullIL(v)) coalesce(cand(v), cand(lRen(v)))
+      else if (sharedIL.contains(v)) cand(v)
+      else cand(lRen(v))
+    val ljShared = ld.columns.intersect(rd.columns).toIndexedSeq
+    val innerRead = (above ++ cond.toSeq ++ rConds).flatMap(exprVarSet)
+      .toSet ++ rBinds.flatMap(b => exprVarSet(b._2)).toSet
+    val rrCols = (ljShared ++ innerRead.diff(rBinds.map(_._1).toSet)
+      .intersect(rd.columns.toSet).toSeq.filterNot(ljShared.contains))
+      .distinct
+    val rRen = rrCols.map(v => v -> freshName(v)).toMap
+    val rr = rrCols.foldLeft(rd.select(rrCols.map(rd(_)): _*)) { (d, v) =>
+      d.withColumnRenamed(v, rRen(v))
+    }
+    val nullLR = maybeUnbound(l) ++ maybeUnbound(rRes)
+    val compat = ljShared.map(v =>
+        if (nullLR(v))
+          lVal(v).isNull || rr(rRen(v)).isNull || termEq(lVal(v), rr(rRen(v)))
+        else termEq(lVal(v), rr(rRen(v))))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val res: String => Column = v =>
+      if (keyCols.contains(v)) cand(v) // substituted outer binding
+      else if (rRen.contains(v)) rr(rRen(v)) // r reads (null = unbound)
+      else if (ld.columns.contains(v)) lVal(v)
+      else nullTerm
+    val resB = layerBinds(rBinds, res)
+    val joinCond = (cond.toSeq ++ rConds)
+      .map(c => coalesce(compBool(c, resB), lit(false)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = cand.join(rr, compat && joinCond, "left_outer")
+    val aboveCond = above
+      .map(c => coalesce(compBool(c, resB), lit(false)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val surv = joined.filter(aboveCond)
+    val okKeys = surv.select(keyCols.map(surv(_)): _*).distinct()
+    val mRen = keyCols.map(v => v -> freshName(v)).toMap
+    val ok = keyCols.foldLeft(okKeys) { (d, v) =>
+      d.withColumnRenamed(v, mRen(v))
+    }
+    val eq = keyCols.map(v => in(v) <=> ok(mRen(v))).reduce(_ && _)
+    Some(in.join(ok, eq, if (positive) "left_semi" else "left_anti"))
+  }
+
   private def compCorrExistsMinus(input: Op, l: Op, r: Op,
       outerScope: Set[String], positive: Boolean): Option[DataFrame] = {
     if (corrVarsOf(l, outerScope).nonEmpty) return None

@@ -1059,17 +1059,22 @@ class SparqlSpec extends GraftSuite {
 
   test("correlated EXISTS beyond the decorrelatable spine still fails loudly") {
     // correlated ref inside an OPTIONAL the sub-pattern DOES read
-    // (?x consumed by a later FILTER): the left join must stay, and
-    // hoisting the correlated condition out of it is unsound —
-    // must error, not silently drop
-    val e = intercept[UnsupportedOperationException] {
-      q("""SELECT ?c WHERE {
+    // (?x consumed by a later FILTER): CLOSED in r11 — the key-frame
+    // left join (compCorrExistsOptional) realizes the substitution
+    // per distinct outer binding; since every nation has a :name,
+    // BOUND(?x) holds exactly when the correlated ?b > 5000 fired
+    val viaExists = q("""SELECT ?c WHERE {
              ?c :acctbal ?b .
              FILTER EXISTS {
                ?c :nation ?n . OPTIONAL { ?n :name ?x . FILTER(?b > 5000) } .
                FILTER(BOUND(?x)) } }""")
-    }
-    assert(e.getMessage.contains("correlated EXISTS"))
+      .map(_.getString(0)).toSet
+    val direct = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b . ?c :nation ?n . ?n :name ?nm .
+             FILTER(?b > 5000) }""")
+      .map(_.getString(0)).toSet
+    assert(viaExists == direct,
+      "visible-OPTIONAL correlated EXISTS must equal the direct form")
     // right-only var shared with the OUTER scope: the semi-join keys
     // on it (compatibility semantics), so the OPTIONAL must stay
     val e1b = intercept[UnsupportedOperationException] {
