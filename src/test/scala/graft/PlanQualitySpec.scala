@@ -131,6 +131,13 @@ class PlanQualitySpec extends GraftSuite {
     assert("BroadcastHashJoin".r.findAllIn(ps).size >= 2,
       s"query postings/norms must broadcast:\n$ps")
     assert(!ps.contains("CartesianProduct"), s"cartesian in sparse cosine:\n$ps")
+    // per-query top-k guard: the rank must run with a PARTIAL
+    // WindowGroupLimit below the exchange, so a stopword-heavy query
+    // whose candidate set spans the corpus ships at most k rows per
+    // map partition instead of funneling everything through the one
+    // rank task that holds its query_id
+    assert(ps.contains("WindowGroupLimit") && ps.contains("Partial"),
+      s"sparse-cosine rank lacks the partial per-query top-k guard:\n$ps")
     // margin mining: probes broadcast (nested-loop against the corpus
     // scan is the hardNegatives shape) — the corpus never shuffles
     // into a sort-merge join
