@@ -243,6 +243,33 @@ object ExtraQueries {
       SELECT doc_id, ($bits)::BIGINT AS phash FROM w""")
     }),
 
+    // banded-Hamming media near-dup: pigeonhole-exact candidate pairs
+    // over the pHash (2 four-bit bands for hamming <= 1; a real 64-bit
+    // pHash bands 4x16), verified by popcount of the xor — the media
+    // twin of MinHash banding: the join ships 8-byte hashes, never
+    // payloads
+    Q("m_phash_neardup", (s, dir) => {
+      import s.implicits._
+      Multimodal.phashNearDupPairs(
+        Multimodal.pHash(
+          Multimodal.withBinary(t(s, dir, "documents"))
+            .as[Multimodal.Media]).toDF())
+    }, Some(s"""
+      WITH b AS (SELECT doc_id,
+                   list_transform(range(1, octet_length(encode(text))+1),
+                     i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT) AS bs
+                 FROM documents),
+      w AS (SELECT doc_id, bs, len(bs) AS n,
+              list_reduce(list_prepend(0::BIGINT, bs), (a,v)->a+v) AS total
+            FROM b),
+      p AS (SELECT doc_id, (CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((0*n)//8)+1:((0+1)*n)//8]), (a,v)->a+v) * n > total * (((0+1)*n)//8 - (0*n)//8) THEN 1 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((1*n)//8)+1:((1+1)*n)//8]), (a,v)->a+v) * n > total * (((1+1)*n)//8 - (1*n)//8) THEN 2 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((2*n)//8)+1:((2+1)*n)//8]), (a,v)->a+v) * n > total * (((2+1)*n)//8 - (2*n)//8) THEN 4 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((3*n)//8)+1:((3+1)*n)//8]), (a,v)->a+v) * n > total * (((3+1)*n)//8 - (3*n)//8) THEN 8 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((4*n)//8)+1:((4+1)*n)//8]), (a,v)->a+v) * n > total * (((4+1)*n)//8 - (4*n)//8) THEN 16 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((5*n)//8)+1:((5+1)*n)//8]), (a,v)->a+v) * n > total * (((5+1)*n)//8 - (5*n)//8) THEN 32 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((6*n)//8)+1:((6+1)*n)//8]), (a,v)->a+v) * n > total * (((6+1)*n)//8 - (6*n)//8) THEN 64 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((7*n)//8)+1:((7+1)*n)//8]), (a,v)->a+v) * n > total * (((7+1)*n)//8 - (7*n)//8) THEN 128 ELSE 0 END)::BIGINT AS phash FROM w)
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             bit_count(xor(a.phash, b2.phash))::BIGINT AS hamming
+      FROM p a JOIN p b2 ON a.doc_id < b2.doc_id
+        AND ((a.phash & 15) = (b2.phash & 15)
+             OR ((a.phash >> 4) & 15) = ((b2.phash >> 4) & 15))
+      WHERE bit_count(xor(a.phash, b2.phash)) <= 1""")),
+
     // ViT patch-grid plan: ceil-division tiling + padding + token
     // count — integer metadata math, payload pruned at the scan
     Q("m_patch_grid", (s, dir) => {

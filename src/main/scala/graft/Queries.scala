@@ -216,6 +216,46 @@ object Queries {
                         ELSE 255 / max(f) END) * 100.0) AS BIGINT)::DOUBLE / 100.0 AS est_distinct
       FROM mins""")),
 
+    // KMV set-operation sketch: Jaccard/intersection of TWO key sets
+    // from one min-k sample of their union (k smallest hash fractions
+    // with membership flags; matches/k estimates J(A,B)) — the
+    // mergeable sketch algebra for cross-corpus overlap at 100 TB:
+    // shuffles carry k values + 2 bits, never the sets. A = custkeys
+    // holding an order, B = BUILDING-segment custkeys.
+    Q("q_kmv_jaccard", (s, dir) => {
+      val k = 256
+      val a = t(s, dir, "orders").select(col("o_custkey").as("key"))
+        .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+      val b = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+        .withColumn("in_a", lit(0)).withColumn("in_b", lit(1))
+      val items = a.unionByName(b)
+        .groupBy((TextAnalysis.polyHash(col("key").cast("string"))
+          / lit(1000000007.0)).as("f"))
+        .agg(max("in_a").as("ia"), max("in_b").as("ib"))
+      val mins = items.orderBy(col("f").asc).limit(k)
+      mins.agg(count(lit(1)).as("k_used"),
+        sum(col("ia") * col("ib")).cast("long").as("n_both"))
+        .select(col("k_used"), col("n_both"),
+          round(col("n_both").cast("double") * lit(1e6) / col("k_used"), 0)
+            .cast("long").as("jaccard_micro"))
+    }, Some(s"""
+      WITH items AS (
+        SELECT ${duckPh("CAST(key AS VARCHAR)")} / 1000000007.0 AS f,
+               max(in_a) AS ia, max(in_b) AS ib
+        FROM (
+          SELECT o_custkey AS key, 1 AS in_a, 0 AS in_b FROM orders
+          UNION ALL
+          SELECT c_custkey AS key, 0 AS in_a, 1 AS in_b FROM customer
+          WHERE c_mktsegment = 'BUILDING')
+        GROUP BY 1),
+      mins AS (SELECT * FROM items ORDER BY f ASC LIMIT 256)
+      SELECT count(*)::BIGINT AS k_used,
+             sum(ia*ib)::BIGINT AS n_both,
+             CAST(round(sum(ia*ib)::DOUBLE * 1000000.0 / count(*)) AS BIGINT) AS jaccard_micro
+      FROM mins""")),
+
     // mergeable equi-width histogram + interpolated quantiles: the
     // constant-size approximate-percentile path (exact percentile
     // buffers every value per group; this holds ~100 bin counts, the
@@ -520,6 +560,37 @@ object Queries {
     // (ext/EventWindows.scala) rather than a per-user window, so a
     // mega-user splits across partitions; the batch twin of
     // st_session_window's streaming state
+    // RFM segmentation (recency/frequency/monetary quartiles): the
+    // classic user-value cut — one combinable per-user aggregate, then
+    // three ntile windows over the TINY per-user frame (|users| rows,
+    // not events; deterministic user_id tiebreaks). Monetary sums in
+    // integer cents (exact, order-independent).
+    Q("w_rfm", (s, dir) => {
+      val w = (c: Column) => org.apache.spark.sql.expressions.Window
+        .orderBy(c.desc, col("user_id").asc)
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("value") * lit(100.0), 0).cast("long"))
+            .as("monetary_cents"))
+        .select(col("user_id"), col("last_us"), col("frequency"),
+          col("monetary_cents"),
+          ntile(4).over(w(col("last_us"))).cast("long").as("r_bucket"),
+          ntile(4).over(w(col("frequency"))).cast("long").as("f_bucket"),
+          ntile(4).over(w(col("monetary_cents"))).cast("long").as("m_bucket"))
+    }, Some("""
+      WITH u AS (
+        SELECT user_id, max(epoch_us(ts))::BIGINT AS last_us,
+               count(*)::BIGINT AS frequency,
+               sum(CAST(round(value*100.0) AS BIGINT))::BIGINT AS monetary_cents
+        FROM events GROUP BY 1)
+      SELECT user_id, last_us, frequency, monetary_cents,
+             ntile(4) OVER (ORDER BY last_us DESC, user_id ASC) AS r_bucket,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_bucket,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_bucket
+      FROM u""")),
+
     Q("w_sessionize", (s, dir) =>
       graft.ext.EventWindows.sessionize(t(s, dir, "events")),
       Some("""
@@ -687,6 +758,49 @@ object Queries {
              CAST(round(len(list_filter(string_split(text,' '), t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE
                    * 1000000.0 / len(string_split(text,' '))) AS BIGINT)::DOUBLE / 1000000.0 AS stopword_ratio
       FROM documents""")),
+
+    // Zipf rank-frequency slope: least-squares fit of ln(freq) on
+    // ln(rank) over the top-100 terms — the corpus-health diagnostic
+    // (natural text ~ -1; templated/spam corpora flatten). Counts are
+    // one combinable groupBy; the fit runs over a 100-row frame (sort
+    // + limit, then a window on the tiny frame); micro-nat integer
+    // points make the sums order-independent and the slope a
+    // round-to-integer of a deterministic quotient.
+    Q("t_zipf_slope", (s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val top = freq.orderBy(col("c").desc, col("tok").asc).limit(100)
+      val ranked = top.select(col("c"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok").asc)).cast("long").as("rank"))
+      val pts = ranked.select(
+        round(log(col("rank").cast("double")) * lit(1e6), 0).cast("long").as("x"),
+        round(log(col("c").cast("double")) * lit(1e6), 0).cast("long").as("y"))
+      pts.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              * lit(1e6)
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 0)
+            .cast("long").as("slope_micro"))
+    }, Some("""
+      WITH tk AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+      freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+      top AS (SELECT tok, c,
+                row_number() OVER (ORDER BY c DESC, tok ASC) AS rank
+              FROM freq QUALIFY rank <= 100),
+      pts AS (SELECT CAST(round(ln(rank::DOUBLE) * 1000000) AS BIGINT) AS x,
+                     CAST(round(ln(c::DOUBLE) * 1000000) AS BIGINT) AS y
+              FROM top),
+      agg AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                     sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+                     sum(x*x)::BIGINT AS sxx FROM pts)
+      SELECT n,
+             CAST(round((n*sxy - sx*sy)::DOUBLE * 1000000.0
+                        / (n*sxx - sx*sx)::DOUBLE) AS BIGINT) AS slope_micro
+      FROM agg""")),
 
     // Count-Min heavy hitters: the mergeable frequency sketch (d=4
     // affine-hash rows x w=1024 cells — a few KB at ANY corpus size,
@@ -1564,6 +1678,32 @@ object Queries {
       WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
       SELECT doc_id, ($bits)::BIGINT AS simhash FROM d""")
     }),
+
+    // signature-estimated Jaccard beside the exact verify for every
+    // LSH candidate pair (matching components / k, the unbiased
+    // estimator band tuning reads) — the calibration view of the
+    // MinHash family; candidates join signatures, never shingle sets
+    Q("d_minhash_estimate", (s, dir) =>
+      Dedup.minHashEstimatePairs(t(s, dir, "documents")),
+      Some(s"""
+      WITH $duckMinhashCtes,
+      ps AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM banded l JOIN banded r
+          ON l.band_id=r.band_id AND l.band_key=r.band_key
+             AND l.doc_id<r.doc_id),
+      e AS (
+        SELECT p.doc_a, p.doc_b,
+               ((CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END) + (CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END) + (CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END) + (CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END))::BIGINT AS n_match,
+               len(list_filter(list_distinct(a.sh),
+                 x -> list_contains(list_distinct(b.sh), x)))::DOUBLE AS inter,
+               len(list_distinct(a.sh)) AS na, len(list_distinct(b.sh)) AS nb
+        FROM ps p JOIN sig a ON a.doc_id=p.doc_a
+                  JOIN sig b ON b.doc_id=p.doc_b)
+      SELECT doc_a, doc_b, n_match,
+             CAST(round(n_match::DOUBLE * 1000000.0 / 8) AS BIGINT) AS est_micro,
+             CAST(round(inter*1000000.0/(na+nb-inter)) AS BIGINT)::DOUBLE/1000000.0 AS jaccard
+      FROM e""")),
 
     Q("d_ngram_jaccard", (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.3),
       Some(s"""

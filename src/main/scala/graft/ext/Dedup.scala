@@ -466,6 +466,59 @@ object Dedup {
           .cast("long").cast("double") / lit(1e6))
   }
 
+  /** Signature-estimated Jaccard next to the exact verify for every
+    * LSH candidate pair — the calibration view of [[minHashPairs]]
+    * (matching components / k is the unbiased estimator band tuning
+    * reads). Same banded candidate generation and bucket cap; the
+    * estimate joins SIGNATURES (k longs per doc), the shingle sets
+    * enter only the exact verify.
+    */
+  def minHashEstimatePairs(docs: DataFrame,
+      maxBucket: Int = 1000): DataFrame = {
+    val nBands = MinHashParams.size / BandSize
+    val sig = docs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), shinglesOf(col("tk")).as("toks"))
+      .withColumn("mh", minHashOfShingles(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(nBands - 1)),
+        b => concat_ws("_", element_at(col("mh"), b * BandSize + 1),
+                            element_at(col("mh"), b * BandSize + 2)))))
+      .withColumnRenamed("pos", "band_id").withColumnRenamed("col", "band_key")
+    val okBuckets = banded.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("__b")).filter(col("__b") <= maxBucket)
+      .select("band_id", "band_key")
+    val capped = banded.join(okBuckets, Seq("band_id", "band_key"), "left_semi")
+    val cand = capped.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val nMatch = aggregate(
+      zip_with(col("mh_a"), col("mh_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val out = cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
+        col("mh").as("mh_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+        col("mh").as("mh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        nMatch.as("n_match"),
+        jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        round(col("n_match").cast("double") * lit(1e6) / lit(8.0), 0)
+          .cast("long").as("est_micro"),
+        col("jaccard"))
+      .localCheckpoint(true)
+    sig.unpersist(blocking = false)
+    out
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered
     * set-similarity self-join (the AllPairs/PPJoin family).
     *

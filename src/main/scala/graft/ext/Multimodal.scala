@@ -146,6 +146,35 @@ object Multimodal {
     }
   }
 
+  /** Banded-Hamming near-duplicate pairs over [[pHash]] fingerprints:
+    * split the hash into BANDS, equi-join per band, verify by popcount
+    * of the xor — by pigeonhole every pair within `maxHamming = 1` of
+    * each other shares at least one of the 2 four-bit bands intact, so
+    * the candidate generator is EXACT while never going all-pairs
+    * (band width tracks hash width; a real 64-bit pHash would band
+    * 4×16 for hamming ≤ 3). The join carries (band, doc_id, hash) —
+    * 8-byte rows, never payloads.
+    */
+  def phashNearDupPairs(hashes: DataFrame,
+      maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= 1,
+      "2 four-bit bands guarantee candidates only up to hamming 1")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+        posexplode(array(col("phash").bitwiseAND(lit(15L)),
+          shiftright(col("phash"), 4).bitwiseAND(lit(15L)))))
+      .toDF("doc_id", "phash", "band_id", "band_val")
+    val l = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"), col("phash").as("ph_a"))
+    val r = banded.select(col("band_id"), col("band_val"),
+      col("doc_id").as("doc_b"), col("phash").as("ph_b"))
+    l.join(r, Seq("band_id", "band_val"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ph_a", "ph_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ph_a ^ ph_b)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling: slice `nFrames = 1 + len % 7` fixed-stride
     * 32-byte windows from the payload (STUB for keyframe extraction)
     * and fingerprint each — array-of-binary → explode, the shape a
