@@ -77,6 +77,67 @@ object ExtraQueries {
       ASOF LEFT JOIN events e
         ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate""")),
 
+    // nearest-event as-of (both directions): the closest event in
+    // absolute time per order, tie to the earlier event — the sensor/
+    // feature-alignment variant of the backward as-of. Same keyed-join
+    // shape (shuffle key = user); the argmin is ONE min(struct) with a
+    // lexicographic (|dt|, ts) key, combinable map-side.
+    Q("q_asof_nearest", (s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_custkey") < 150)
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts_ns"), col("value"))
+      val odNs = unix_micros(col("o_orderdate").cast("timestamp")) * 1000
+      o.join(e, col("o_custkey") === col("user_id"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(min(struct(abs(col("ts_ns") - odNs).as("adt"),
+          col("ts_ns").as("ts_ns"), col("value").as("value"))).as("best"))
+        .select(col("o_orderkey"),
+          col("best")("ts_ns").as("event_ts_ns"),
+          col("best")("value").as("event_value"))
+    }, Some("""
+      SELECT o_orderkey, event_ts_ns, event_value FROM (
+        SELECT o.o_orderkey, epoch_ns(e.ts)::BIGINT AS event_ts_ns,
+               e.value AS event_value,
+               row_number() OVER (PARTITION BY o.o_orderkey
+                 ORDER BY abs(epoch_ns(e.ts) - epoch_ns(o.o_orderdate::TIMESTAMP)),
+                          epoch_ns(e.ts)) AS rn
+        FROM (SELECT * FROM orders WHERE o_custkey < 150) o
+        LEFT JOIN events e ON o.o_custkey = e.user_id)
+      WHERE rn = 1""")),
+
+    // 2-D skyline (Pareto frontier minimizing price and size): the
+    // scalable one-sort realization — combinable per-price min(size),
+    // a prefix-strict-min window over the TINY distinct-price frame,
+    // then a broadcast-back filter; the oracle states the quadratic
+    // NOT-EXISTS domination definition directly. Integer-cent prices.
+    Q("q_skyline_2d", (s, dir) => {
+      val parts = t(s, dir, "part").select(col("p_partkey"),
+        round(col("p_retailprice") * lit(100.0), 0).cast("long")
+          .as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+      val perPrice = parts.groupBy("price_cents")
+        .agg(min("p_size").as("msize"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("price_cents").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = perPrice
+        .withColumn("prev_min", min("msize").over(w))
+        .where(col("prev_min").isNull || col("msize") < col("prev_min"))
+        .select(col("price_cents"), col("msize"))
+      parts.join(broadcast(frontier), Seq("price_cents"))
+        .where(col("p_size") === col("msize"))
+        .select("p_partkey", "price_cents", "p_size")
+    }, Some("""
+      WITH p AS (SELECT p_partkey,
+                   CAST(round(p_retailprice*100.0) AS BIGINT) AS price_cents,
+                   p_size::BIGINT AS p_size
+                 FROM part)
+      SELECT p_partkey, price_cents, p_size FROM p a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+          AND (b.price_cents < a.price_cents OR b.p_size < a.p_size))""")),
+
     Q("q_band_join", (s, dir) => {
       // band (range) join: tiny bounds table broadcast → nested-loop
       // range probe, no shuffle of the big side
@@ -262,12 +323,18 @@ object ExtraQueries {
       w AS (SELECT doc_id, bs, len(bs) AS n,
               list_reduce(list_prepend(0::BIGINT, bs), (a,v)->a+v) AS total
             FROM b),
-      p AS (SELECT doc_id, (CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((0*n)//8)+1:((0+1)*n)//8]), (a,v)->a+v) * n > total * (((0+1)*n)//8 - (0*n)//8) THEN 1 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((1*n)//8)+1:((1+1)*n)//8]), (a,v)->a+v) * n > total * (((1+1)*n)//8 - (1*n)//8) THEN 2 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((2*n)//8)+1:((2+1)*n)//8]), (a,v)->a+v) * n > total * (((2+1)*n)//8 - (2*n)//8) THEN 4 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((3*n)//8)+1:((3+1)*n)//8]), (a,v)->a+v) * n > total * (((3+1)*n)//8 - (3*n)//8) THEN 8 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((4*n)//8)+1:((4+1)*n)//8]), (a,v)->a+v) * n > total * (((4+1)*n)//8 - (4*n)//8) THEN 16 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((5*n)//8)+1:((5+1)*n)//8]), (a,v)->a+v) * n > total * (((5+1)*n)//8 - (5*n)//8) THEN 32 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((6*n)//8)+1:((6+1)*n)//8]), (a,v)->a+v) * n > total * (((6+1)*n)//8 - (6*n)//8) THEN 64 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((7*n)//8)+1:((7+1)*n)//8]), (a,v)->a+v) * n > total * (((7+1)*n)//8 - (7*n)//8) THEN 128 ELSE 0 END)::BIGINT AS phash FROM w)
-      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      p AS (SELECT doc_id, (CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((0*n)//8)+1:((0+1)*n)//8]), (a,v)->a+v) * n > total * (((0+1)*n)//8 - (0*n)//8) THEN 1 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((1*n)//8)+1:((1+1)*n)//8]), (a,v)->a+v) * n > total * (((1+1)*n)//8 - (1*n)//8) THEN 2 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((2*n)//8)+1:((2+1)*n)//8]), (a,v)->a+v) * n > total * (((2+1)*n)//8 - (2*n)//8) THEN 4 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((3*n)//8)+1:((3+1)*n)//8]), (a,v)->a+v) * n > total * (((3+1)*n)//8 - (3*n)//8) THEN 8 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((4*n)//8)+1:((4+1)*n)//8]), (a,v)->a+v) * n > total * (((4+1)*n)//8 - (4*n)//8) THEN 16 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((5*n)//8)+1:((5+1)*n)//8]), (a,v)->a+v) * n > total * (((5+1)*n)//8 - (5*n)//8) THEN 32 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((6*n)//8)+1:((6+1)*n)//8]), (a,v)->a+v) * n > total * (((6+1)*n)//8 - (6*n)//8) THEN 64 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((7*n)//8)+1:((7+1)*n)//8]), (a,v)->a+v) * n > total * (((7+1)*n)//8 - (7*n)//8) THEN 128 ELSE 0 END)::BIGINT AS phash FROM w),
+      bnd AS (SELECT doc_id, phash, 0 AS band_id, phash & 15 AS band_val FROM p
+              UNION ALL
+              SELECT doc_id, phash, 1, (phash >> 4) & 15 FROM p),
+      okb AS (SELECT band_id, band_val FROM bnd
+              GROUP BY 1, 2 HAVING count(*) <= 10000),
+      capped AS (SELECT b.* FROM bnd b JOIN okb USING (band_id, band_val))
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
              bit_count(xor(a.phash, b2.phash))::BIGINT AS hamming
-      FROM p a JOIN p b2 ON a.doc_id < b2.doc_id
-        AND ((a.phash & 15) = (b2.phash & 15)
-             OR ((a.phash >> 4) & 15) = ((b2.phash >> 4) & 15))
+      FROM capped a JOIN capped b2
+        ON a.band_id = b2.band_id AND a.band_val = b2.band_val
+           AND a.doc_id < b2.doc_id
       WHERE bit_count(xor(a.phash, b2.phash)) <= 1""")),
 
     // ViT patch-grid plan: ceil-division tiling + padding + token

@@ -560,6 +560,43 @@ object Queries {
     // (ext/EventWindows.scala) rather than a per-user window, so a
     // mega-user splits across partitions; the batch twin of
     // st_session_window's streaming state
+    // MAD robust outliers: |x - median| > 5 * MAD per user — the
+    // heavy-tail-safe sibling of w_zscore (one bot burst wrecks a
+    // mean/stddev gate; medians shrug). Integer plane end-to-end:
+    // values in cents, medians doubled (a median of ints is an int or
+    // a half-int, so 2x is exact), the outlier test compares longs.
+    Q("w_mad_outliers", (s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        round(col("value") * lit(100.0), 0).cast("long").as("vc"))
+      val med = e.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(vc, 0.5)") * lit(2.0), 0).cast("long")
+            .as("med2"))
+        .where(col("n") >= 5)
+      val dev = e.join(broadcast(med), Seq("user_id"))
+        .withColumn("dev2", abs(col("vc") * 2 - col("med2")))
+      val mad = dev.groupBy("user_id")
+        .agg(round(expr("percentile(dev2, 0.5)"), 0).cast("long").as("mad2"))
+      dev.join(broadcast(mad), Seq("user_id"))
+        .where(col("mad2") > 0 && col("dev2") > col("mad2") * 5)
+        .select(col("event_id"), col("user_id"), col("vc"), col("dev2"),
+          col("mad2"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id,
+                   CAST(round(value*100.0) AS BIGINT) AS vc FROM events),
+      med AS (SELECT user_id, count(*) AS n,
+                CAST(round(quantile_cont(vc, 0.5) * 2.0) AS BIGINT) AS med2
+              FROM e GROUP BY 1 HAVING count(*) >= 5),
+      dev AS (SELECT e.event_id, e.user_id, e.vc,
+                abs(e.vc * 2 - m.med2) AS dev2, m.med2
+              FROM e JOIN med m USING (user_id)),
+      mad AS (SELECT user_id,
+                CAST(round(quantile_cont(dev2, 0.5)) AS BIGINT) AS mad2
+              FROM dev GROUP BY 1)
+      SELECT d.event_id, d.user_id, d.vc, d.dev2, m.mad2
+      FROM dev d JOIN mad m USING (user_id)
+      WHERE m.mad2 > 0 AND d.dev2 > m.mad2 * 5""")),
+
     // RFM segmentation (recency/frequency/monetary quartiles): the
     // classic user-value cut — one combinable per-user aggregate, then
     // three ntile windows over the TINY per-user frame (|users| rows,
@@ -758,6 +795,44 @@ object Queries {
              CAST(round(len(list_filter(string_split(text,' '), t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")})))::DOUBLE
                    * 1000000.0 / len(string_split(text,' '))) AS BIGINT)::DOUBLE / 1000000.0 AS stopword_ratio
       FROM documents""")),
+
+    // n-gram novelty: the fraction of a document's distinct 3-grams
+    // seen in NO earlier document (by doc_id order) — the dedup-ROI /
+    // curriculum-ordering curve. First-occurrence owner per gram is a
+    // combinable min(doc_id); gram STRINGS never leave the executor
+    // (wide ~60-bit hashes), the join-back ships (hash, long) pairs.
+    Q("t_gram_novelty", (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.GramHashes.wide(col("text"), 3))).as("gh"))
+      val firsts = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
+      grams.join(firsts, Seq("gh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") * lit(1e6) / col("n_grams"), 0)
+            .cast("long").cast("double") / lit(1e6))
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      ex AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))) AS gram
+        FROM toks),
+      exh AS (SELECT doc_id,
+              ${duckPh("gram")}*1000000007 + ${duckPh("gram", 131)} AS gh
+              FROM ex),
+      firsts AS (SELECT gh, min(doc_id) AS first_doc FROM exh GROUP BY 1)
+      SELECT e.doc_id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+             CAST(round(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                        * 1000000.0 / count(*)) AS BIGINT)::DOUBLE / 1000000.0 AS novelty
+      FROM exh e JOIN firsts f USING (gh) GROUP BY 1""")),
 
     // Zipf rank-frequency slope: least-squares fit of ln(freq) on
     // ln(rank) over the top-100 terms — the corpus-health diagnostic

@@ -159,10 +159,19 @@ object Multimodal {
       maxHamming: Int = 1): DataFrame = {
     require(maxHamming <= 1,
       "2 four-bit bands guarantee candidates only up to hamming 1")
-    val banded = hashes.select(col("doc_id"), col("phash"),
+    val banded0 = hashes.select(col("doc_id"), col("phash"),
         posexplode(array(col("phash").bitwiseAND(lit(15L)),
           shiftright(col("phash"), 4).bitwiseAND(lit(15L)))))
       .toDF("doc_id", "phash", "band_id", "band_val")
+    // bucket cap (the minHashPairs guard): a hot band value — all-dark
+    // thumbnails, the stub hash's 8-bit space — would go quadratic in
+    // its bucket; over-cap buckets drop BEFORE the self-join (mirrored
+    // by the oracle, inactive at gate scale)
+    val okBuckets = banded0.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("__b")).filter(col("__b") <= 10000)
+      .select("band_id", "band_val")
+    val banded = banded0.join(okBuckets, Seq("band_id", "band_val"),
+      "left_semi")
     val l = banded.select(col("band_id"), col("band_val"),
       col("doc_id").as("doc_a"), col("phash").as("ph_a"))
     val r = banded.select(col("band_id"), col("band_val"),
