@@ -289,9 +289,9 @@ object ExtraQueries {
       Multimodal.pHash(
         Multimodal.withBinary(t(s, dir, "documents")).as[Multimodal.Media]).toDF()
     }, {
-      val bits = (0 until 8).map { i =>
-        val si = s"list_reduce(list_prepend(0::BIGINT, bs[(($i*n)//8)+1:(($i+1)*n)//8]), (a,v)->a+v)"
-        s"CASE WHEN $si * n > total * ((($i+1)*n)//8 - ($i*n)//8) THEN ${1L << i} ELSE 0 END"
+      val bits = (0 until 16).map { i =>
+        val si = s"list_reduce(list_prepend(0::BIGINT, bs[(($i*n)//16)+1:(($i+1)*n)//16]), (a,v)->a+v)"
+        s"CASE WHEN $si * n > total * ((($i+1)*n)//16 - ($i*n)//16) THEN ${1L << i} ELSE 0 END"
       }.mkString(" + ")
       Some(s"""
       WITH b AS (SELECT doc_id,
@@ -323,10 +323,10 @@ object ExtraQueries {
       w AS (SELECT doc_id, bs, len(bs) AS n,
               list_reduce(list_prepend(0::BIGINT, bs), (a,v)->a+v) AS total
             FROM b),
-      p AS (SELECT doc_id, (CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((0*n)//8)+1:((0+1)*n)//8]), (a,v)->a+v) * n > total * (((0+1)*n)//8 - (0*n)//8) THEN 1 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((1*n)//8)+1:((1+1)*n)//8]), (a,v)->a+v) * n > total * (((1+1)*n)//8 - (1*n)//8) THEN 2 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((2*n)//8)+1:((2+1)*n)//8]), (a,v)->a+v) * n > total * (((2+1)*n)//8 - (2*n)//8) THEN 4 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((3*n)//8)+1:((3+1)*n)//8]), (a,v)->a+v) * n > total * (((3+1)*n)//8 - (3*n)//8) THEN 8 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((4*n)//8)+1:((4+1)*n)//8]), (a,v)->a+v) * n > total * (((4+1)*n)//8 - (4*n)//8) THEN 16 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((5*n)//8)+1:((5+1)*n)//8]), (a,v)->a+v) * n > total * (((5+1)*n)//8 - (5*n)//8) THEN 32 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((6*n)//8)+1:((6+1)*n)//8]), (a,v)->a+v) * n > total * (((6+1)*n)//8 - (6*n)//8) THEN 64 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((7*n)//8)+1:((7+1)*n)//8]), (a,v)->a+v) * n > total * (((7+1)*n)//8 - (7*n)//8) THEN 128 ELSE 0 END)::BIGINT AS phash FROM w),
-      bnd AS (SELECT doc_id, phash, 0 AS band_id, phash & 15 AS band_val FROM p
+      p AS (SELECT doc_id, (CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((0*n)//16)+1:((0+1)*n)//16]), (a,v)->a+v) * n > total * (((0+1)*n)//16 - (0*n)//16) THEN 1 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((1*n)//16)+1:((1+1)*n)//16]), (a,v)->a+v) * n > total * (((1+1)*n)//16 - (1*n)//16) THEN 2 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((2*n)//16)+1:((2+1)*n)//16]), (a,v)->a+v) * n > total * (((2+1)*n)//16 - (2*n)//16) THEN 4 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((3*n)//16)+1:((3+1)*n)//16]), (a,v)->a+v) * n > total * (((3+1)*n)//16 - (3*n)//16) THEN 8 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((4*n)//16)+1:((4+1)*n)//16]), (a,v)->a+v) * n > total * (((4+1)*n)//16 - (4*n)//16) THEN 16 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((5*n)//16)+1:((5+1)*n)//16]), (a,v)->a+v) * n > total * (((5+1)*n)//16 - (5*n)//16) THEN 32 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((6*n)//16)+1:((6+1)*n)//16]), (a,v)->a+v) * n > total * (((6+1)*n)//16 - (6*n)//16) THEN 64 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((7*n)//16)+1:((7+1)*n)//16]), (a,v)->a+v) * n > total * (((7+1)*n)//16 - (7*n)//16) THEN 128 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((8*n)//16)+1:((8+1)*n)//16]), (a,v)->a+v) * n > total * (((8+1)*n)//16 - (8*n)//16) THEN 256 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((9*n)//16)+1:((9+1)*n)//16]), (a,v)->a+v) * n > total * (((9+1)*n)//16 - (9*n)//16) THEN 512 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((10*n)//16)+1:((10+1)*n)//16]), (a,v)->a+v) * n > total * (((10+1)*n)//16 - (10*n)//16) THEN 1024 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((11*n)//16)+1:((11+1)*n)//16]), (a,v)->a+v) * n > total * (((11+1)*n)//16 - (11*n)//16) THEN 2048 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((12*n)//16)+1:((12+1)*n)//16]), (a,v)->a+v) * n > total * (((12+1)*n)//16 - (12*n)//16) THEN 4096 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((13*n)//16)+1:((13+1)*n)//16]), (a,v)->a+v) * n > total * (((13+1)*n)//16 - (13*n)//16) THEN 8192 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((14*n)//16)+1:((14+1)*n)//16]), (a,v)->a+v) * n > total * (((14+1)*n)//16 - (14*n)//16) THEN 16384 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((15*n)//16)+1:((15+1)*n)//16]), (a,v)->a+v) * n > total * (((15+1)*n)//16 - (15*n)//16) THEN 32768 ELSE 0 END)::BIGINT AS phash FROM w),
+      bnd AS (SELECT doc_id, phash, 0 AS band_id, phash & 255 AS band_val FROM p
               UNION ALL
-              SELECT doc_id, phash, 1, (phash >> 4) & 15 FROM p),
+              SELECT doc_id, phash, 1, (phash >> 8) & 255 FROM p),
       okb AS (SELECT band_id, band_val FROM bnd
               GROUP BY 1, 2 HAVING count(*) <= 10000),
       capped AS (SELECT b.* FROM bnd b JOIN okb USING (band_id, band_val))

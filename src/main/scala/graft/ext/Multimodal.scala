@@ -116,12 +116,16 @@ object Multimodal {
   final case class PHash(doc_id: Long, phash: Long)
 
   /** Perceptual-hash-style media fingerprint (STUB for a real pHash/
-    * dHash): 8 equal byte windows over the payload; bit i set when
+    * dHash): 16 equal byte windows over the payload; bit i set when
     * window i's mean brightness exceeds the global mean. All
     * comparisons in INTEGER cross-multiplied form (`sum_i·n >
     * total·n_i`) so the hash is bit-identical across engines with no
     * float division. Map-only; the 8-byte hash is what shuffles in a
-    * media dedup, never the payload.
+    * media dedup, never the payload. (16 windows rather than 8: a
+    * 256-value space made same-hash clusters — and the near-dup
+    * pair volume — quadratic in corpus size; 65536 values keep the
+    * stub's collision statistics linear at soak scale, the shape a
+    * real 64-bit pHash has.)
     */
   def pHash(media: Dataset[Media]): Dataset[PHash] = {
     import media.sparkSession.implicits._
@@ -132,9 +136,9 @@ object Multimodal {
         val total = bs.sum
         var hash = 0L
         var i = 0
-        while (i < 8) {
-          val start = i * n / 8
-          val end = (i + 1) * n / 8
+        while (i < 16) {
+          val start = i * n / 16
+          val end = (i + 1) * n / 16
           var si = 0L
           var j = start
           while (j < end) { si += bs(j); j += 1 }
@@ -149,7 +153,7 @@ object Multimodal {
   /** Banded-Hamming near-duplicate pairs over [[pHash]] fingerprints:
     * split the hash into BANDS, equi-join per band, verify by popcount
     * of the xor — by pigeonhole every pair within `maxHamming = 1` of
-    * each other shares at least one of the 2 four-bit bands intact, so
+    * each other shares at least one of the 2 eight-bit bands intact, so
     * the candidate generator is EXACT while never going all-pairs
     * (band width tracks hash width; a real 64-bit pHash would band
     * 4×16 for hamming ≤ 3). The join carries (band, doc_id, hash) —
@@ -158,10 +162,10 @@ object Multimodal {
   def phashNearDupPairs(hashes: DataFrame,
       maxHamming: Int = 1): DataFrame = {
     require(maxHamming <= 1,
-      "2 four-bit bands guarantee candidates only up to hamming 1")
+      "2 eight-bit bands guarantee candidates only up to hamming 1")
     val banded0 = hashes.select(col("doc_id"), col("phash"),
-        posexplode(array(col("phash").bitwiseAND(lit(15L)),
-          shiftright(col("phash"), 4).bitwiseAND(lit(15L)))))
+        posexplode(array(col("phash").bitwiseAND(lit(255L)),
+          shiftright(col("phash"), 8).bitwiseAND(lit(255L)))))
       .toDF("doc_id", "phash", "band_id", "band_val")
     // bucket cap (the minHashPairs guard): a hot band value — all-dark
     // thumbnails, the stub hash's 8-bit space — would go quadratic in
