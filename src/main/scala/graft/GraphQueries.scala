@@ -255,6 +255,35 @@ object GraphQueries {
       FROM ew a JOIN ew b ON a.r = b.r AND a.l < b.l
       GROUP BY 1, 2""")),
 
+    // neighbor-set Jaccard link prediction: the set-overlap sibling
+    // of Adamic-Adar (same wedge join + hub cap on the shared side;
+    // union sizes from the true left degrees)
+    Q("g_neighbor_jaccard", (s, dir) => {
+      // cap 256 (vs adamic-adar's 64): at sf0.001 the 10 suppliers
+      // each serve ~80 of the <= 300 parts, so a 64-cap leaves zero
+      // wedges to check; 256 keeps the hub contract AND tiny-SF rows
+      val edges = Tables(s, dir, "lineitem")
+        .filter(col("l_partkey") <= 300)
+        .select(col("l_partkey").cast("long").as("left"),
+          col("l_suppkey").cast("long").as("right"))
+      GraphOps.neighborJaccard(edges, maxDeg = 256)
+    }, Some("""
+      WITH e AS (SELECT DISTINCT l_partkey::BIGINT AS l, l_suppkey::BIGINT AS r
+                 FROM lineitem WHERE l_partkey <= 300),
+      rdeg AS (SELECT r FROM e GROUP BY 1
+               HAVING count(*) BETWEEN 2 AND 256),
+      ldeg AS (SELECT l, count(*)::BIGINT AS ldeg FROM e GROUP BY 1),
+      ew AS (SELECT e.l, e.r FROM e JOIN rdeg USING (r)),
+      common AS (
+        SELECT a.l AS a, b.l AS b, count(*)::BIGINT AS n_common
+        FROM ew a JOIN ew b ON a.r = b.r AND a.l < b.l
+        GROUP BY 1, 2)
+      SELECT c.a, c.b, c.n_common, da.ldeg AS da, db.ldeg AS db,
+             CAST(round(c.n_common::DOUBLE * 1000000.0
+                        / (da.ldeg + db.ldeg - c.n_common)) AS BIGINT)::DOUBLE / 1000000.0 AS jaccard
+      FROM common c JOIN ldeg da ON da.l = c.a
+                    JOIN ldeg db ON db.l = c.b""")),
+
     // log2-bucketed undirected degree distribution — the scale-free-
     // graph diagnostic every crawl/link analysis starts with. One
     // combinable degree count + a map-only comparison-ladder bucket

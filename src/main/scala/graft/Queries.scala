@@ -796,6 +796,37 @@ object Queries {
                    * 1000000.0 / len(string_split(text,' '))) AS BIGINT)::DOUBLE / 1000000.0 AS stopword_ratio
       FROM documents""")),
 
+    // OOV rate vs an induced top-1000 vocabulary: the tokenizer-
+    // coverage diagnostic (what fraction of token OCCURRENCES a fixed
+    // vocab misses, per doc). Vocab = combinable corpus counts + sort/
+    // limit on the tiny distinct-token frame, broadcast back; the per-
+    // doc pass is one map + combinable count.
+    Q("t_oov_rate", (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok").asc).limit(1000)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") * lit(1e6) / col("n_tokens"), 0)
+            .cast("long").cast("double") / lit(1e6))
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                  FROM documents),
+      vocab AS (SELECT tok FROM (
+                  SELECT tok, count(*) AS c,
+                         row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rn
+                  FROM tk GROUP BY tok) WHERE rn <= 1000)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+             CAST(round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                        * 1000000.0 / count(*)) AS BIGINT)::DOUBLE / 1000000.0 AS oov_rate
+      FROM tk LEFT JOIN vocab v USING (tok) GROUP BY doc_id""")),
+
     // n-gram novelty: the fraction of a document's distinct 3-grams
     // seen in NO earlier document (by doc_id order) — the dedup-ROI /
     // curriculum-ordering curve. First-occurrence owner per gram is a

@@ -279,6 +279,36 @@ object GraphOps {
       .agg(count(lit(1)).as("n_common"), sum("w_micro").as("aa_micro"))
   }
 
+  /** Neighbor-set Jaccard link prediction — the set-overlap sibling
+    * of [[adamicAdar]]: J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| over the
+    * shared-neighbor wedge join, with the SAME deg≤cap hub contract
+    * on the shared side (an uncapped hub's wedges are quadratic for
+    * near-zero signal). Union sizes use the TRUE left degrees; the
+    * emitted score is micro-units/1e6 (integer-ratio class — see
+    * FLOAT_AUDIT.md). Shuffles carry 8-byte ids and longs only.
+    */
+  def neighborJaccard(edges: DataFrame, maxDeg: Long = 64): DataFrame = {
+    val e = edges.select(col("left").cast("long"), col("right").cast("long"))
+      .distinct()
+    val rdeg = e.groupBy("right").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= maxDeg)
+    val ldeg = e.groupBy("left").agg(count(lit(1)).as("ldeg"))
+    val ew = e.join(rdeg.select("right"), Seq("right"))
+    val a = ew.select(col("right"), col("left").as("a"))
+    val b = ew.select(col("right"), col("left").as("b"))
+    val common = a.join(b, Seq("right"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(ldeg.select(col("left").as("a"), col("ldeg").as("da")), Seq("a"))
+      .join(ldeg.select(col("left").as("b"), col("ldeg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("n_common"), col("da"), col("db"),
+        (round(col("n_common").cast("double") * lit(1e6)
+            / (col("da") + col("db") - col("n_common")), 0)
+          .cast("long").cast("double") / lit(1e6)).as("jaccard"))
+  }
+
   /** Deterministic SYNCHRONOUS label propagation (community
     * detection): labels start as the vertex id; each round every
     * vertex adopts its neighbors' most frequent label, ties broken by
