@@ -390,6 +390,22 @@ object SparqlQueries {
                     WHERE n.p=':nation'
                       AND n.o IN (SELECT s FROM quads WHERE p=':name'))"""))),
 
+    // correlated condition under a LIMIT subselect inside EXISTS
+    // (§18.6 via simplification, r11): LIMIT n (offset 0, n >= 1)
+    // preserves exactly non-emptiness, so the wrapper strips and the
+    // correlated filter decorrelates normally
+    // (Compiler.stripExistsTop)
+    Q("r_exists_limit_corr", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal .
+        FILTER EXISTS { { SELECT ?c WHERE {
+          ?c :nation ?n . FILTER(?bal >= 7500) } LIMIT 3 } } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal
+      FROM quads b
+      WHERE b.p=':acctbal' AND b.onum >= 7500
+        AND b.s IN (SELECT s FROM quads WHERE p=':nation')"""))),
+
     // correlated BIND inside EXISTS (§18.6): the inner BIND reads
     // ?bal from the OUTER pattern and a spine FILTER consumes the
     // bound var — decorrelation inlines the definition into the

@@ -1844,6 +1844,25 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * left join changes row MULTIPLICITY, which aggregates and LIMIT
     * observe even when the dropped vars are invisible.
     */
+  /** TOP-level emptiness-preserving wrappers inside EXISTS: §18.6
+    * only asks whether the sub-pattern has ≥1 solution, and ORDER BY
+    * never changes that while `LIMIT n` (offset 0, n ≥ 1 or
+    * unlimited) preserves exactly non-emptiness — so
+    * `EXISTS { P ORDER BY … LIMIT n }` simplifies to `EXISTS { P }`,
+    * and correlation under the stripped wrappers decorrelates like
+    * any other (closing the LIMIT/ORDER-BY loud classes for the
+    * offset-0 form; an OFFSET > 0 slice genuinely observes solution
+    * COUNT and stays loud when correlated). Strictly top-of-pattern:
+    * under a FILTER the slice decides WHICH rows the filter sees, so
+    * recursing would be unsound.
+    */
+  private def stripExistsTop(op: Op): Op = op match {
+    case OrderBy(i, _) => stripExistsTop(i)
+    case Slice(i, 0, n) if n != 0 => stripExistsTop(i)
+    case Distinct(i) => Distinct(stripExistsTop(i))
+    case other => other
+  }
+
   private def dropUnreadOptionals(sub: Op, outerScope: Set[String]): Op = {
     def go(op: Op, outside: Set[String]): Op = op match {
       case LeftJoin(l, r, c) =>
@@ -1889,7 +1908,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case EExists(sub0, pos) =>
       // invisible OPTIONALs go first: cheaper plan, and correlation
       // inside the dropped side decorrelates by vanishing
-      val sub = dropUnreadOptionals(sub0, outerScope)
+      val sub = dropUnreadOptionals(stripExistsTop(sub0), outerScope)
       val e1 = EExists(sub, pos)
       val corr = corrVarsOf(sub, outerScope)
       if (corr.isEmpty || splitCorrelated(sub, corr).isDefined) e1
@@ -1981,7 +2000,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         "correlated EXISTS: inner expression references outer-only " +
           s"variable(s) ${corr.map("?" + _).mkString(", ")} from a " +
           "position where §18.6 substitution cannot be realized by " +
-          "decorrelation (under UNION/aggregation/LIMIT, a " +
+          "decorrelation (under UNION/aggregation/OFFSET, a " +
           "non-top-level or oversized-key-frame MINUS or OPTIONAL, " +
           "escaping a subquery projection, a BIND var used in a " +
           "pattern position, or nested EXISTS)"))
