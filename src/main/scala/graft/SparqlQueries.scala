@@ -406,6 +406,25 @@ object SparqlQueries {
       WHERE b.p=':acctbal' AND b.onum >= 7500
         AND b.s IN (SELECT s FROM quads WHERE p=':nation')"""))),
 
+    // correlated condition inside an AGGREGATION subselect within
+    // EXISTS (§18.6 via the key-frame aggregation, r11): the grouped
+    // pattern's spine reads ?bal from the outer row and HAVING reads
+    // the per-key count — one aggregation grouped by (group keys ++
+    // key columns) realizes the substitution per distinct binding
+    // (Compiler.compCorrExistsAggregate)
+    Q("r_exists_agg_corr", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal .
+        FILTER EXISTS { { SELECT ?c (COUNT(?o) AS ?n) WHERE {
+            ?o :custkey ?c . FILTER(?bal >= 7500) }
+          GROUP BY ?c HAVING(?n >= 3) } } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal
+      FROM quads b
+      WHERE b.p=':acctbal' AND b.onum >= 7500
+        AND b.s IN (SELECT o FROM quads WHERE p=':custkey'
+                    GROUP BY o HAVING count(*) >= 3)"""))),
+
     // correlated BIND inside EXISTS (§18.6): the inner BIND reads
     // ?bal from the OUTER pattern and a spine FILTER consumes the
     // bound var — decorrelation inlines the definition into the

@@ -1994,6 +1994,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
             }
           case _ => ()
         }
+        // AGGREGATION interior (r11): Project/Distinct/Filter wrappers
+        // over Group, correlation in the HAVING filters or the
+        // grouped pattern's conjunctive spine — the key frame joins
+        // the pattern BEFORE aggregation and the group keys extend by
+        // the key columns, realizing §18.6 substitution per key
+        compCorrExistsAggregate(input, sub, corr, outerScope,
+          positive) match {
+          case Some(df) => return df
+          case None => ()
+        }
     }
     val (residual, conds, binds) = splitOpt.getOrElse(
       throw new UnsupportedOperationException(
@@ -2252,6 +2262,128 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       d.withColumnRenamed(v, mRen(v))
     }
     val eq = keyCols.map(v => in(v) <=> ok(mRen(v))).reduce(_ && _)
+    Some(in.join(ok, eq, if (positive) "left_semi" else "left_anti"))
+  }
+
+  /** `FILTER [NOT] EXISTS { SELECT … WHERE { i } GROUP BY g
+    * HAVING h }` with §18.6 expression correlation in i's conjunctive
+    * spine and/or the post-aggregation filters — the AGGREGATION
+    * interior. Hoisting a condition out of a grouped pattern is
+    * unsound (it decides which rows AGGREGATE), so the substitution is
+    * realized per key INSIDE the aggregation:
+    *
+    *   1. key frame K = distinct outer rows over (outer∩i pattern
+    *      vars ∪ correlated vars) — fully distributed (the key frame
+    *      joins, it is never collected; the 1000-key count guard
+    *      applies only to the pattern-disjoint dependent cross);
+    *   2. cand = K ⋈ i's residual, pre-aggregation correlated spine
+    *      conditions applied with the substituted resolver;
+    *   3. ONE aggregation grouped by (group keys ++ key columns) —
+    *      each outer key gets its own groups, which IS §18.6's
+    *      per-binding evaluation, set-based;
+    *   4. HAVING filters evaluate post-agg (agg outputs + group keys
+    *      + substituted key columns); surviving keys semi/anti join
+    *      back to the outer.
+    *
+    * Guards (stay loud): correlation inside an aggregate argument or
+    * a group-key expression (the per-key agg would need per-key
+    * expressions); nested EXISTS in the filters; an IMPLICIT group
+    * with HAVING (an empty group still yields one row whose
+    * aggregate-over-empty values the key frame cannot synthesize).
+    * An implicit group with NO having is constant-nonempty and
+    * short-circuits before any of this.
+    */
+  private def compCorrExistsAggregate(input: Op, sub: Op,
+      corr: Set[String], outerScope: Set[String],
+      positive: Boolean): Option[DataFrame] = {
+    def peelToGroup(o: Op, hs: Seq[Expr]): Option[(Seq[Expr], Group)] =
+      o match {
+        case Project(i, _) => peelToGroup(i, hs)
+        case Distinct(i) => peelToGroup(i, hs)
+        case Filter(c, i) => peelToGroup(i, hs :+ c)
+        case g: Group => Some((hs, g))
+        case _ => None
+      }
+    val (havings, grp) = peelToGroup(sub, Nil).getOrElse(return None)
+    val Group(i, gkeys, aggs) = grp
+    // implicit group, no HAVING: exactly one row whatever the
+    // correlated spine decides — EXISTS is constant
+    if (gkeys.isEmpty && havings.isEmpty) {
+      val in = comp(input)
+      return Some(if (positive) in else in.limit(0))
+    }
+    if (gkeys.isEmpty) return None // empty-group HAVING: stays loud
+    if (havings.exists(containsExists)) return None
+    // correlation must not reach aggregate args or group-key exprs
+    val aggArgRefs = aggs.flatMap(_._2.arg.toSeq).flatMap(exprVarSet).toSet
+    val gkeyRefs = gkeys.flatMap(_._2.toSeq).flatMap(exprVarSet).toSet
+    if ((aggArgRefs ++ gkeyRefs).exists(corr)) return None
+    val corrI = corrVarsOf(i, outerScope)
+    val (iRes, iConds, iBinds) =
+      splitCorrelated(i, corrI).getOrElse(return None)
+    walkExists(iRes, outerScope ++ Algebra.inScope(iRes))
+    val in = comp(input)
+    val id = comp(iRes)
+    val sharedIK = in.columns.intersect(id.columns).toIndexedSeq
+    val keyCols = (sharedIK ++ corr.toSeq.filterNot(sharedIK.contains))
+      .toIndexedSeq
+    if (!keyCols.forall(in.columns.contains)) return None
+    val kRen = keyCols.map(v => v -> freshName(v)).toMap
+    val keys = keyCols.foldLeft(
+      in.select(keyCols.map(in(_)): _*).distinct()) { (d, v) =>
+      d.withColumnRenamed(v, kRen(v))
+    }
+    val nullIK = maybeUnbound(input) ++ maybeUnbound(iRes)
+    val ikCond = sharedIK.map(v =>
+        if (nullIK(v))
+          keys(kRen(v)).isNull || id(v).isNull || termEq(keys(kRen(v)), id(v))
+        else termEq(keys(kRen(v)), id(v)))
+      .reduceOption(_ && _)
+    val cand0 = ikCond match {
+      case Some(c) => keys.join(id, c)
+      case None =>
+        if (keys.count() > 1000) return None
+        keys.crossJoin(id)
+    }
+    // substituted resolver over the candidate frame: key (outer)
+    // bindings win on shared vars, i-residual columns otherwise
+    val res: String => Column = v =>
+      if (kRen.contains(v) && id.columns.contains(v))
+        coalesce(cand0(kRen(v)), cand0(v))
+      else if (kRen.contains(v)) cand0(kRen(v))
+      else if (id.columns.contains(v)) cand0(v)
+      else nullTerm
+    val resB = layerBinds(iBinds, res)
+    val cand = iConds
+      .map(c => coalesce(compBool(c, resB), lit(false)))
+      .reduceOption(_ && _)
+      .map(cand0.filter).getOrElse(cand0)
+    // bind group-key expressions (uncorrelated by the guard above)
+    val bound = gkeys.foldLeft(cand) {
+      case (d, (v, Some(e))) => d.withColumn(v, compExpr(e, resolver(d)))
+      case (d, (_, None)) => d
+    }
+    def gCol(k: (String, Option[Expr])): Column =
+      (if (bound.columns.contains(k._1)) bound(k._1) else nullTerm)
+        .as(k._1)
+    val groupCols = gkeys.map(gCol) ++ keyCols.map(v => bound(kRen(v)))
+    val aggCols = aggs.map { case (out, a) => compAgg(a, bound).as(out) }
+    val grouped =
+      if (aggCols.isEmpty)
+        bound.select(groupCols: _*).distinct()
+      else bound.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    // HAVING with substitution: agg outputs / group keys from the
+    // grouped frame, correlated vars from the key columns
+    val hRes: String => Column = v =>
+      if (grouped.columns.contains(v)) grouped(v)
+      else if (kRen.contains(v)) grouped(kRen(v))
+      else nullTerm
+    val surv = havings
+      .map(c => coalesce(compBool(c, hRes), lit(false)))
+      .reduceOption(_ && _)
+      .map(grouped.filter).getOrElse(grouped)
+    val ok = surv.select(keyCols.map(v => surv(kRen(v))): _*).distinct()
+    val eq = keyCols.map(v => in(v) <=> ok(kRen(v))).reduce(_ && _)
     Some(in.join(ok, eq, if (positive) "left_semi" else "left_anti"))
   }
 

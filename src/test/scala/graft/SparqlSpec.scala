@@ -1102,4 +1102,43 @@ class SparqlSpec extends GraftSuite {
     }
     assert(e3.getMessage.contains("correlated EXISTS"))
   }
+
+  test("correlated EXISTS over aggregation: key-frame, constants, loud edges") {
+    // per-key aggregation: NOT EXISTS dualizes the r_exists_agg_corr
+    // shape — customers lacking (bal >= 7500 AND >= 3 orders)
+    val notEx = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer .
+           FILTER NOT EXISTS { { SELECT ?c (COUNT(?o) AS ?n) WHERE {
+               ?o :custkey ?c . FILTER(?bal >= 7500) }
+             GROUP BY ?c HAVING(?n >= 3) } } }""")
+      .map(_.getString(0)).toSet
+    val ex = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer .
+           FILTER EXISTS { { SELECT ?c (COUNT(?o) AS ?n) WHERE {
+               ?o :custkey ?c . FILTER(?bal >= 7500) }
+             GROUP BY ?c HAVING(?n >= 3) } } }""")
+      .map(_.getString(0)).toSet
+    val allC = q("""SELECT ?c WHERE { ?c :acctbal ?bal . ?c a :Customer }""")
+      .map(_.getString(0)).toSet
+    assert((ex intersect notEx).isEmpty && (ex union notEx) == allC,
+      "EXISTS/NOT EXISTS over aggregation must partition the customers")
+    // implicit group, no HAVING: one row whatever the correlated spine
+    // decides — EXISTS is constant true
+    val const = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer .
+           FILTER EXISTS { { SELECT (COUNT(?o) AS ?n) WHERE {
+               ?o :custkey ?c2 . FILTER(?bal < -1e18) } } } }""")
+      .map(_.getString(0)).toSet
+    assert(const == allC, "implicit-group EXISTS must be constant true")
+    // implicit group WITH correlated HAVING: the empty-group row's
+    // aggregate-over-empty values are not synthesizable per key — loud
+    val e = intercept[UnsupportedOperationException] {
+      q("""SELECT ?c WHERE {
+             ?c :acctbal ?bal .
+             FILTER EXISTS { { SELECT (COUNT(?o) AS ?n) WHERE {
+                 ?o :custkey ?c2 . FILTER(?bal >= 7500) }
+               HAVING(?n >= 0) } } }""")
+    }
+    assert(e.getMessage.contains("correlated EXISTS"))
+  }
 }
