@@ -666,8 +666,7 @@ object Dedup {
       .localCheckpoint(true)
       .as[(String, Long)]
     // first w−1 rows of every partition (w−1 = all of a short one)
-    val heads = parts.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    val heads = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
       val h = it.take(window - 1).map(_._2).toList
       if (h.isEmpty) Iterator.empty else Iterator.single(pid -> h)
     }.collect().toMap
@@ -685,8 +684,7 @@ object Dedup {
       p -> buf.toList
     }.toMap
     val bc = spark.sparkContext.broadcast(carry)
-    parts.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    parts.rdd.mapPartitionsWithIndex { (pid, it) =>
       val buf = scala.collection.mutable.ArrayDeque.empty[Long]
       def pairsWith(y: Long): Iterator[(Long, Long, Long)] = {
         val n = buf.size

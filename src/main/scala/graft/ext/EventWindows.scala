@@ -57,10 +57,9 @@ object EventWindows {
       .as[(Long, Long, Long, Double)]
 
     // pass 1: per-partition boundary summary (one row per partition)
-    val summaries = parts.mapPartitions { it =>
+    val summaries = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
         val (u0, _, t0, _) = it.next()
         var prevUser = u0; var prevTs = t0
         var breaksFirstAfter0 = 0L // gap-breaks inside the FIRST user's run
@@ -99,10 +98,9 @@ object EventWindows {
     val bc = spark.sparkContext.broadcast(ctrl.result())
 
     // pass 2: map-only sid assignment over the same frozen layout
-    parts.mapPartitions { it =>
+    parts.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
         val (row0Break, offset) = bc.value(pid)
         var first = true; var curUser = 0L; var sid = 0L; var prevTs = 0L
         it.map { case (u, _, ts, v) =>
@@ -145,10 +143,9 @@ object EventWindows {
       .as[(Long, Long, Long, String)]
 
     // boundary summary: each partition's first/last (user, type)
-    val summaries = parts.mapPartitions { it =>
+    val summaries = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
         val (u0, _, _, t0) = it.next()
         var lu = u0; var lt = t0
         while (it.hasNext) { val (u, _, _, t) = it.next(); lu = u; lt = t }
@@ -215,10 +212,9 @@ object EventWindows {
 
     // pass 1: boundary summary — first/last user, their in-partition
     // run lengths, and the last run's tail values (≤2)
-    val summaries = parts.mapPartitions { it =>
+    val summaries = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
         val (u0, _, _, v0) = it.next()
         var nFirst = 1L // rows of the first user's run
         var nLast = 1L // rows of the last user's run
@@ -262,10 +258,9 @@ object EventWindows {
     val bc = spark.sparkContext.broadcast(ctrl.result())
 
     // pass 2: map-only per-row computation with the seeded state
-    parts.mapPartitions { it =>
+    parts.rdd.mapPartitionsWithIndex { (pid, it) =>
       if (!it.hasNext) Iterator.empty
       else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
         val (rnOffset, seed) = bc.value(pid)
         var first = true; var curUser = 0L; var rn = 0L
         var p1 = Option.empty[Double]; var p2 = Option.empty[Double]

@@ -623,15 +623,19 @@ object TextAnalysis {
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .localCheckpoint(true)
-    val totals = parts.groupBy(spark_partition_id().as("pid"))
-      .agg(sum("n_tokens").as("tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nParts = parts.rdd.getNumPartitions
+    // RDD-level passes: stage-stable partition ids (getPartitionId is
+    // stage-relative and shifts under union/except composition)
+    val rows = parts.as[(Long, Long)].rdd
+    val totals = rows.mapPartitionsWithIndex { (pid, it) =>
+      var tot = 0L; it.foreach(tot += _._2)
+      Iterator.single(pid -> tot)
+    }.collect().toMap
+    val nParts = rows.getNumPartitions
     val offsets = (0 until nParts)
       .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L)).toArray
     val bc = spark.sparkContext.broadcast(offsets)
-    parts.as[(Long, Long)].mapPartitions { it =>
-      var cum = bc.value(org.apache.spark.TaskContext.getPartitionId())
+    rows.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bc.value(pid)
       it.map { case (id, n) =>
         val bin = cum / capacity
         cum += n

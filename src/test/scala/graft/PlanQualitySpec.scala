@@ -628,7 +628,10 @@ class PlanQualitySpec extends GraftSuite {
       // (EventWindows) would false-positive
       assert(!p.contains("Window [") && !p.contains("WindowGroupLimit"),
         s"$name still sorts a whole user on one task:\n$p")
-      assert(p.contains("MapPartitions") && p.contains("ExistingRDD"),
+      // boundary-merge passes now run at the RDD level
+      // (mapPartitionsWithIndex for stage-stable partition ids) —
+      // the plan is an object scan serialized back, not a sort
+      assert(p.contains("SerializeFromObject") && p.contains("Scan[obj"),
         s"$name is not the boundary-merge shape:\n$p")
     }
   }
