@@ -489,6 +489,47 @@ object ExtraQueries {
                  || 'r' || l_linenumber || '"}}' END AS line
       FROM lineitem""")),
 
+    // cumulative distribution window: cume_dist = rank-inclusive
+    // fraction — the other normalized-rank function next to
+    // percent_rank; r/n integer ratio, so the hash rides micro/1e6
+    Q("q_cume_dist", (s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        (round(cume_dist().over(w) * lit(1e6), 0)
+          .cast("long").cast("double") / lit(1e6)).as("cd"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(cume_dist() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey ASC) * 1000000.0)
+               AS BIGINT)::DOUBLE / 1000000.0 AS cd
+      FROM orders""")),
+
+    // RANGE-frame window (value-based, not row-based): per customer,
+    // the rolling sum of order totals within the 30 PRECEDING DAYS of
+    // each order — the time-windowed aggregate the ROWS frames cannot
+    // express; integer-cent sums, day-ordinal range keys
+    Q("q_range_window", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day_ord"),
+        round(col("o_totalprice") * lit(100.0), 0).cast("long").as("cents"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("day_ord"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day_ord"),
+        sum("cents").over(w).as("sum_cents_30d"))
+    }, Some("""
+      WITH o AS (SELECT o_orderkey, o_custkey,
+                   date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS day_ord,
+                   CAST(round(o_totalprice*100.0) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT o_orderkey, o_custkey, day_ord,
+             sum(cents) OVER (PARTITION BY o_custkey ORDER BY day_ord
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)::BIGINT
+               AS sum_cents_30d
+      FROM o""")),
+
     // explicit salted join (plans.Skew): the hot-key mitigation for
     // joins AQE cannot rewrite — results must be IDENTICAL to the
     // plain join, which is exactly what the oracle states. Orders
