@@ -597,6 +597,44 @@ object Queries {
       FROM dev d JOIN mad m USING (user_id)
       WHERE m.mad2 > 0 AND d.dev2 > m.mad2 * 5""")),
 
+    // DAU/WAU stickiness: per day, distinct daily actives over
+    // distinct trailing-7-day actives — the growth metric next to the
+    // sketch-based w_rolling_hll, EXACT here. Scale shape: the
+    // (user, day) frame explodes each row into the <= 7 target days it
+    // contributes to (map-only x7), so WAU is one combinable
+    // count-distinct per day — no per-day rescans of raw events.
+    Q("w_dau_wau", (s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+        .distinct()
+      val days = ud.select(col("day")).distinct()
+      val dau = ud.groupBy("day")
+        .agg(countDistinct("user_id").as("n_dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("n_wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("n_dau"), col("n_wau"),
+          (round(col("n_dau").cast("double") * lit(1e6) / col("n_wau"), 0)
+            .cast("long").cast("double") / lit(1e6)).as("stickiness"))
+    }, Some("""
+      WITH ud AS (SELECT DISTINCT user_id,
+                    (epoch_us(ts) // 86400000000)::BIGINT AS day
+                  FROM events),
+      dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS n_dau
+              FROM ud GROUP BY 1),
+      wau AS (SELECT t.day, count(DISTINCT u.user_id)::BIGINT AS n_wau
+              FROM (SELECT DISTINCT day FROM ud) t
+              JOIN ud u ON u.day BETWEEN t.day - 6 AND t.day
+              GROUP BY 1)
+      SELECT d.day, d.n_dau, w.n_wau,
+             CAST(round(d.n_dau::DOUBLE * 1000000.0 / w.n_wau) AS BIGINT)::DOUBLE / 1000000.0 AS stickiness
+      FROM dau d JOIN wau w USING (day)""")),
+
     // RFM segmentation (recency/frequency/monetary quartiles): the
     // classic user-value cut — one combinable per-user aggregate, then
     // three ntile windows over the TINY per-user frame (|users| rows,
