@@ -100,7 +100,7 @@ object ExtraQueries {
                e.value AS event_value,
                row_number() OVER (PARTITION BY o.o_orderkey
                  ORDER BY abs(epoch_ns(e.ts) - epoch_ns(o.o_orderdate::TIMESTAMP)),
-                          epoch_ns(e.ts)) AS rn
+                          epoch_ns(e.ts), e.value) AS rn
         FROM (SELECT * FROM orders WHERE o_custkey < 150) o
         LEFT JOIN events e ON o.o_custkey = e.user_id)
       WHERE rn = 1""")),

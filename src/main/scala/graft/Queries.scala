@@ -1838,14 +1838,14 @@ object Queries {
              AND l.doc_id<r.doc_id),
       e AS (
         SELECT p.doc_a, p.doc_b,
-               ((CASE WHEN a.m0=b.m0 THEN 1 ELSE 0 END) + (CASE WHEN a.m1=b.m1 THEN 1 ELSE 0 END) + (CASE WHEN a.m2=b.m2 THEN 1 ELSE 0 END) + (CASE WHEN a.m3=b.m3 THEN 1 ELSE 0 END) + (CASE WHEN a.m4=b.m4 THEN 1 ELSE 0 END) + (CASE WHEN a.m5=b.m5 THEN 1 ELSE 0 END) + (CASE WHEN a.m6=b.m6 THEN 1 ELSE 0 END) + (CASE WHEN a.m7=b.m7 THEN 1 ELSE 0 END))::BIGINT AS n_match,
+               (${Dedup.MinHashParams.indices.map(j => s"(CASE WHEN a.m$j=b.m$j THEN 1 ELSE 0 END)").mkString(" + ")})::BIGINT AS n_match,
                len(list_filter(list_distinct(a.sh),
                  x -> list_contains(list_distinct(b.sh), x)))::DOUBLE AS inter,
                len(list_distinct(a.sh)) AS na, len(list_distinct(b.sh)) AS nb
         FROM ps p JOIN sig a ON a.doc_id=p.doc_a
                   JOIN sig b ON b.doc_id=p.doc_b)
       SELECT doc_a, doc_b, n_match,
-             CAST(round(n_match::DOUBLE * 1000000.0 / 8) AS BIGINT) AS est_micro,
+             CAST(round(n_match::DOUBLE * 1000000.0 / ${Dedup.MinHashParams.size}) AS BIGINT) AS est_micro,
              CAST(round(inter*1000000.0/(na+nb-inter)) AS BIGINT)::DOUBLE/1000000.0 AS jaccard
       FROM e""")),
 

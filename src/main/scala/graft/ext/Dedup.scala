@@ -511,7 +511,11 @@ object Dedup {
         nMatch.as("n_match"),
         jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .select(col("doc_a"), col("doc_b"), col("n_match"),
-        round(col("n_match").cast("double") * lit(1e6) / lit(8.0), 0)
+        // divisor = the SIGNATURE length, derived from the same
+        // constant that sized n_match — a future MinHashParams resize
+        // must not silently skew the estimator out of [0, 1e6]
+        round(col("n_match").cast("double") * lit(1e6) /
+            lit(MinHashParams.size.toDouble), 0)
           .cast("long").as("est_micro"),
         col("jaccard"))
       .localCheckpoint(true)

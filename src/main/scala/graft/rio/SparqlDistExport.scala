@@ -52,11 +52,15 @@ object SparqlDistExport {
 
   /** One NDJSON bindings line per row (codegen'd `to_json`; null
     * struct fields — unbound vars, absent datatype/lang — are omitted
-    * by the generator).
+    * by the generator). Null omission is pinned EXPLICITLY: the W3C
+    * format contract must not depend on the session's
+    * `spark.sql.jsonGenerator.ignoreNullFields` default, which a
+    * caller may have set to false.
     */
   def jsonLineCol(solutions: DataFrame): Column =
     to_json(struct(solutions.columns.map(v =>
-      when(col(v).isNotNull, bindingStruct(col(v))).as(v)): _*))
+      when(col(v).isNotNull, bindingStruct(col(v))).as(v)): _*),
+      Map("ignoreNullFields" -> "true"))
 
   /** The `{"head":{"vars":[…]}}` manifest for a variable list. */
   def headJson(vars: Seq[String]): String = {

@@ -1950,6 +1950,26 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     res
   }
 
+  /** [[layerBinds]] with every bind value gated on a non-null match
+    * indicator: on an UNMATCHED left-outer row the bind vars must read
+    * as UNBOUND (their Extend never ran — the optional side produced
+    * no solution), not as the substituted-outer evaluation. Without
+    * the gate, `EXISTS { l OPTIONAL { r BIND(f(?outer) AS ?z) }
+    * FILTER(BOUND(?z)) }` wrongly passes BOUND on l-rows with no r
+    * match. During join-condition evaluation the indicator is always
+    * non-null (the right row is present), so matched semantics are
+    * unchanged.
+    */
+  private def layerBindsGated(binds: Seq[(String, Expr)],
+      base: String => Column, matched: Column): String => Column = {
+    val defs = binds.toMap
+    def res(v: String): Column = defs.get(v) match {
+      case Some(e) => when(matched.isNotNull, compExpr(e, res))
+      case None => base(v)
+    }
+    res
+  }
+
   /** Correlated `FILTER [NOT] EXISTS` via decorrelation: §18.6 says
     * the current outer binding substitutes into the EXISTS pattern;
     * for correlated conditions on the conjunctive spine that is
@@ -2153,9 +2173,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       .intersect(rd.columns.toSet).toSeq.filterNot(ljShared.contains))
       .distinct
     val rRen = rrCols.map(v => v -> freshName(v)).toMap
+    // non-null iff the left-outer join below found an r match — the
+    // hoisted correlated BINDs are gated on it (unmatched ⇒ unbound)
+    val matchInd = freshName("matched")
     val rr = rrCols.foldLeft(rd.select(rrCols.map(rd(_)): _*)) { (d, v) =>
       d.withColumnRenamed(v, rRen(v))
-    }
+    }.withColumn(matchInd, lit(true))
     val nullLR = maybeUnbound(l) ++ maybeUnbound(rRes)
     val compat = ljShared.map(v =>
         if (nullLR(v))
@@ -2167,7 +2190,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       else if (rRen.contains(v)) rr(rRen(v)) // r reads (null = unbound)
       else if (ld.columns.contains(v)) lVal(v)
       else nullTerm
-    val resB = layerBinds(rBinds, res)
+    val resB = layerBindsGated(rBinds, res, rr(matchInd))
     val joinCond = (cond.toSeq ++ rConds)
       .map(c => coalesce(compBool(c, resB), lit(false)))
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -2345,19 +2368,38 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         if (keys.count() > 1000) return None
         keys.crossJoin(id)
     }
+    // a hoisted bind must not collide with a key column or a residual
+    // column — the materialization below could not disambiguate the
+    // occupied name (rare shadowing shapes stay loud)
+    if (iBinds.exists(b => keyCols.contains(b._1) ||
+        id.columns.contains(b._1))) return None
+    // materialize the hoisted correlated BINDs as REAL columns of the
+    // candidate frame (sound: pre-aggregation binds run on every row),
+    // so an aggregate argument or plain-var group key reading a bind
+    // var resolves to a column of `bound` below — a resolver-only
+    // layering left those reads nullTerm, silently collapsing groups
+    // and nulling aggregates
+    val cand1 = iBinds.foldLeft(cand0) { case (d, (v, e)) =>
+      val r: String => Column = x =>
+        if (kRen.contains(x) && id.columns.contains(x))
+          coalesce(d(kRen(x)), d(x))
+        else if (kRen.contains(x)) d(kRen(x))
+        else if (d.columns.contains(x)) d(x)
+        else nullTerm
+      d.withColumn(v, compExpr(e, r))
+    }
     // substituted resolver over the candidate frame: key (outer)
-    // bindings win on shared vars, i-residual columns otherwise
+    // bindings win on shared vars, i-residual/bind columns otherwise
     val res: String => Column = v =>
       if (kRen.contains(v) && id.columns.contains(v))
-        coalesce(cand0(kRen(v)), cand0(v))
-      else if (kRen.contains(v)) cand0(kRen(v))
-      else if (id.columns.contains(v)) cand0(v)
+        coalesce(cand1(kRen(v)), cand1(v))
+      else if (kRen.contains(v)) cand1(kRen(v))
+      else if (cand1.columns.contains(v)) cand1(v)
       else nullTerm
-    val resB = layerBinds(iBinds, res)
     val cand = iConds
-      .map(c => coalesce(compBool(c, resB), lit(false)))
+      .map(c => coalesce(compBool(c, res), lit(false)))
       .reduceOption(_ && _)
-      .map(cand0.filter).getOrElse(cand0)
+      .map(cand1.filter).getOrElse(cand1)
     // bind group-key expressions (uncorrelated by the guard above)
     val bound = gkeys.foldLeft(cand) {
       case (d, (v, Some(e))) => d.withColumn(v, compExpr(e, resolver(d)))

@@ -1141,4 +1141,57 @@ class SparqlSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("correlated EXISTS"))
   }
+
+  test("correlated BIND inside a visible OPTIONAL: unmatched rows stay unbound") {
+    // the hoisted BIND evaluates from the substituted outer binding,
+    // but ONLY on rows where the optional side matched — an unmatched
+    // left-outer row must see ?z UNBOUND, so BOUND(?z) fails and the
+    // EXISTS verdict follows the correlated condition, not the bind
+    val got = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c a :Customer .
+           FILTER EXISTS { ?c :nation ?n .
+             OPTIONAL { ?n :name ?nm . BIND(STR(?b) AS ?z) .
+                        FILTER(?b > 5000) }
+             FILTER(BOUND(?z)) } }""")
+      .map(_.getString(0)).toSet
+    val want = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c a :Customer . FILTER(?b > 5000) }""")
+      .map(_.getString(0)).toSet
+    val allC = q("""SELECT ?c WHERE { ?c :acctbal ?b . ?c a :Customer }""")
+      .map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty,
+      "BOUND over a gated correlated BIND must track the optional match")
+    assert(got != allC,
+      "unmatched rows leaked a bound ?z — every customer passed")
+    // dual: NOT EXISTS complements over the same frame
+    val not = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c a :Customer .
+           FILTER NOT EXISTS { ?c :nation ?n .
+             OPTIONAL { ?n :name ?nm . BIND(STR(?b) AS ?z) .
+                        FILTER(?b > 5000) }
+             FILTER(BOUND(?z)) } }""")
+      .map(_.getString(0)).toSet
+    assert((got intersect not).isEmpty && (got union not) == allC)
+  }
+
+  test("correlated BIND feeding an aggregate argument inside EXISTS") {
+    // the hoisted bind column must MATERIALIZE on the candidate frame:
+    // MAX(?z) with ?z = 2·?bal from the outer binding — a
+    // resolver-only layering nulled the aggregate (HAVING never fired)
+    val ex = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer .
+           FILTER EXISTS { { SELECT ?c (MAX(?z) AS ?m) WHERE {
+               ?o :custkey ?c . BIND(?bal * 2 AS ?z) }
+             GROUP BY ?c HAVING(?m >= 15000) } } }""")
+      .map(_.getString(0)).toSet
+    val want = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer . FILTER(?bal >= 7500) .
+           FILTER EXISTS { ?o :custkey ?c } }""")
+      .map(_.getString(0)).toSet
+    assert(ex == want && ex.nonEmpty,
+      "aggregate over a correlated-BIND column must see the per-key values")
+    val allC = q("""SELECT ?c WHERE { ?c :acctbal ?bal . ?c a :Customer }""")
+      .map(_.getString(0)).toSet
+    assert(ex != allC && ex.size < allC.size)
+  }
 }
