@@ -107,9 +107,13 @@ object ExtraQueries {
 
     // 2-D skyline (Pareto frontier minimizing price and size): the
     // scalable one-sort realization — combinable per-price min(size),
-    // a prefix-strict-min window over the TINY distinct-price frame,
-    // then a broadcast-back filter; the oracle states the quadratic
-    // NOT-EXISTS domination definition directly. Integer-cent prices.
+    // a DISTRIBUTED exclusive prefix-min over the distinct-price
+    // frame (Ranks.prefixMinLong: the distinct-price cardinality
+    // grows with the part table, so an unpartitioned window would be
+    // one task at 100×; the boundary merge carries ONE long per
+    // partition), then a broadcast-back filter; the oracle states the
+    // quadratic NOT-EXISTS domination definition directly.
+    // Integer-cent prices.
     Q("q_skyline_2d", (s, dir) => {
       val parts = t(s, dir, "part").select(col("p_partkey"),
         round(col("p_retailprice") * lit(100.0), 0).cast("long")
@@ -117,11 +121,9 @@ object ExtraQueries {
         col("p_size").cast("long").as("p_size"))
       val perPrice = parts.groupBy("price_cents")
         .agg(min("p_size").as("msize"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("price_cents").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val frontier = perPrice
-        .withColumn("prev_min", min("msize").over(w))
+      val frontier = graft.ext.Ranks
+        .prefixMinLong(perPrice, Seq(col("price_cents").asc),
+          "msize", "prev_min")
         .where(col("prev_min").isNull || col("msize") < col("prev_min"))
         .select(col("price_cents"), col("msize"))
       parts.join(broadcast(frontier), Seq("price_cents"))
@@ -491,13 +493,25 @@ object ExtraQueries {
 
     // cumulative distribution window: cume_dist = rank-inclusive
     // fraction — the other normalized-rank function next to
-    // percent_rank; r/n integer ratio, so the hash rides micro/1e6
+    // percent_rank; r/n integer ratio, so the hash rides micro/1e6.
+    // Scale shape: o_orderstatus has 3 values, so a PARTITION BY
+    // window would sort n/3 rows per task; instead the per-status
+    // rank and total come from the boundary-merge prefix pass
+    // (Ranks.keyedRowIndex — a hot status is SPLIT across partitions
+    // because the range boundaries extend into the sort key). The
+    // (o_totalprice, o_orderkey) sort key is unique, so the
+    // rank-inclusive peer count IS the row index + 1.
     Q("q_cume_dist", (s, dir) => {
-      val w = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders").select(
+      val ranked = graft.ext.Ranks.keyedRowIndex(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        Seq("o_orderstatus"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        "__rank", "__n")
+      ranked.select(
         col("o_orderkey"), col("o_orderstatus"),
-        (round(cume_dist().over(w) * lit(1e6), 0)
+        (round((col("__rank") + 1).cast("double") / col("__n").cast("double")
+          * lit(1e6), 0)
           .cast("long").cast("double") / lit(1e6)).as("cd"))
     }, Some("""
       SELECT o_orderkey, o_orderstatus,

@@ -637,23 +637,33 @@ object Queries {
 
     // RFM segmentation (recency/frequency/monetary quartiles): the
     // classic user-value cut — one combinable per-user aggregate, then
-    // three ntile windows over the TINY per-user frame (|users| rows,
-    // not events; deterministic user_id tiebreaks). Monetary sums in
-    // integer cents (exact, order-independent).
+    // three DISTRIBUTED prefix-rank passes (Ranks.keyedRowIndex) in
+    // place of unpartitioned ntile(4) windows: |users| is 1e8–1e9 at
+    // corpus scale and ntile is not rank-filterable, so a global
+    // window would push every user through ONE task. Each pass is a
+    // range partition + O(P) boundary cells + map-only bucket
+    // assignment; the bucket is the exact SQL ntile from (rank, n) on
+    // the integer plane (deterministic user_id tiebreaks; monetary in
+    // integer cents — exact, order-independent).
     Q("w_rfm", (s, dir) => {
-      val w = (c: Column) => org.apache.spark.sql.expressions.Window
-        .orderBy(c.desc, col("user_id").asc)
-      t(s, dir, "events")
+      val u = t(s, dir, "events")
         .groupBy("user_id")
         .agg(max(unix_micros(col("ts"))).as("last_us"),
           count(lit(1)).as("frequency"),
           sum(round(col("value") * lit(100.0), 0).cast("long"))
             .as("monetary_cents"))
-        .select(col("user_id"), col("last_us"), col("frequency"),
-          col("monetary_cents"),
-          ntile(4).over(w(col("last_us"))).cast("long").as("r_bucket"),
-          ntile(4).over(w(col("frequency"))).cast("long").as("f_bucket"),
-          ntile(4).over(w(col("monetary_cents"))).cast("long").as("m_bucket"))
+      val bucketed = Seq(
+        ("last_us", "r_bucket"), ("frequency", "f_bucket"),
+        ("monetary_cents", "m_bucket")).foldLeft(u) {
+        case (d, (metric, bucket)) =>
+          graft.ext.Ranks
+            .keyedRowIndex(d, Nil,
+              Seq(col(metric).desc, col("user_id").asc), "__rank", "__n")
+            .withColumn(bucket, graft.ext.Ranks.ntileExpr("__rank", "__n", 4))
+            .drop("__rank", "__n")
+      }
+      bucketed.select("user_id", "last_us", "frequency",
+        "monetary_cents", "r_bucket", "f_bucket", "m_bucket")
     }, Some("""
       WITH u AS (
         SELECT user_id, max(epoch_us(ts))::BIGINT AS last_us,

@@ -643,4 +643,25 @@ class PlanQualitySpec extends GraftSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"user stats not partial-aggregated:\n$p")
   }
+
+  test("global-rank gates: no single-partition Window anywhere") {
+    // w_rfm (three unpartitioned ntile(4)s), q_cume_dist (3-value
+    // partition key), q_skyline_2d (unpartitioned prefix-min) were the
+    // r11 scale-audit demotions: correct answers through ONE window
+    // task. All three now run the Ranks boundary-merge passes — their
+    // executed plans must carry NO physical Window operator at all
+    // (match "Window [" / WindowGroupLimit, not bare "Window": a
+    // lambda class name could false-positive)
+    for (name <- Seq("w_rfm", "q_cume_dist", "q_skyline_2d")) {
+      val p = plan(name)
+      assert(!p.contains("Window [") && !p.contains("WindowGroupLimit"),
+        s"$name still funnels a global sort through one window task:\n$p")
+      // Row-based createDataFrame plans read "Scan ExistingRDD";
+      // typed-Dataset passes read SerializeFromObject + Scan[obj —
+      // either proves the rank ran at the RDD level, not a Window
+      assert(p.contains("Scan ExistingRDD") ||
+        (p.contains("SerializeFromObject") && p.contains("Scan[obj")),
+        s"$name is not the boundary-merge distributed-rank shape:\n$p")
+    }
+  }
 }
