@@ -52,11 +52,11 @@ object SparqlQueries {
 
   // per-predicate statement counts — collected once per dataset and
   // fed to the compiler's join-order estimator (the statistics role of
-  // `repo-config.ttl:46`)
+  // `repo-config.ttl:46`); top-N-capped so driver state is bounded on
+  // any predicate vocabulary (Sparql.predicateStats)
   private def stats(s: SparkSession, dir: String): Map[String, Long] =
     graft.core.DfCache.value(s, dir, "pred_stats") {
-      quads(s, dir).groupBy(org.apache.spark.sql.functions.col("p")("lex"))
-        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Sparql.predicateStats(quads(s, dir))
     }
 
   private def sq(text: String): (SparkSession, String) => DataFrame =

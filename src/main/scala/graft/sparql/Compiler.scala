@@ -815,10 +815,17 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * dataset), then bound subject/object constants discount it. The
     * fallback (no stats) reduces to the classic bound-term heuristic.
     */
+  // tail estimate for predicates OUTSIDE a top-N-capped stats map:
+  // every uncollected predicate's true count is ≤ the smallest
+  // collected one (the cap cutoff), so the tail default is bounded by
+  // it — without stats, the classic bound-predicate heuristic
+  private lazy val statsTail: Double =
+    if (stats.isEmpty) 5e5 else math.min(stats.values.min.toDouble, 5e5)
+
   private def estimate(tp: TriplePat): Double = {
     val default = 1e6
     val base = tp.p match {
-      case PLink(p) => stats.get(p).map(_.toDouble).getOrElse(default / 2)
+      case PLink(p) => stats.get(p).map(_.toDouble).getOrElse(statsTail)
       case _: PVar => stats.values.sum.toDouble.max(default)
       case _ => default
     }

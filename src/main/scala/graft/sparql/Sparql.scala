@@ -1,6 +1,7 @@
 package graft.sparql
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Front door of the SPARQL engine: text → parse → algebra → DataFrame.
   *
@@ -101,5 +102,24 @@ object Sparql {
     new Compiler(spark, quads,
       fromGraphs = parsed.fromGraphs, fromNamed = parsed.fromNamed)
       .compile(parsed.op)
+  }
+
+  /** Per-predicate statement counts for the join-order estimator
+    * (the statistics role of the reference's `repo-config.ttl:46`),
+    * BOUNDED at `cap` entries: only the top-`cap` predicates by count
+    * collect to the driver (a distributed top-N —
+    * TakeOrderedAndProject — never a full-vocabulary collect), so
+    * driver state and the broadcast stay O(cap) even on a
+    * pathological 10⁷-distinct-predicate dataset. Real predicate
+    * vocabularies (10²–10⁴) sit under the cap and collect exactly as
+    * before, keeping every join order unchanged; a predicate outside
+    * the capped map estimates via the compiler's tail default, which
+    * the cap cutoff bounds from above (every uncollected count ≤ the
+    * smallest collected one).
+    */
+  def predicateStats(quads: DataFrame, cap: Int = 10000): Map[String, Long] = {
+    val pc = quads.groupBy(col("p")("lex").as("plex")).count()
+    pc.orderBy(col("count").desc, col("plex").asc).limit(cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 }

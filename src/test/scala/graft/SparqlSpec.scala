@@ -1142,6 +1142,24 @@ class SparqlSpec extends GraftSuite {
     assert(e.getMessage.contains("correlated EXISTS"))
   }
 
+  test("predicateStats bounds driver state on a 1e6-predicate vocabulary") {
+    import org.apache.spark.sql.functions._
+    // pathological vocabulary: 1e6 distinct predicates, 2 rows each —
+    // the stats collect must stay O(cap), not O(vocabulary)
+    val synth = spark.range(2000000L).select(
+      struct(concat(lit("p:"), (col("id") % 1000000L).cast("string"))
+        .as("lex")).as("p"))
+    val m = Sparql.predicateStats(synth, cap = 1000)
+    assert(m.size == 1000, s"cap not applied: ${m.size}")
+    assert(m.values.forall(_ == 2L))
+    // a real (small) vocabulary sits under the cap: identical to the
+    // full collect, so every benchmark join order is unchanged
+    val capped = Sparql.predicateStats(quads)
+    val uncapped = quads.groupBy(col("p")("lex")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == uncapped && capped.nonEmpty)
+  }
+
   test("correlated BIND inside a visible OPTIONAL: unmatched rows stay unbound") {
     // the hoisted BIND evaluates from the substituted outer binding,
     // but ONLY on rows where the optional side matched — an unmatched
