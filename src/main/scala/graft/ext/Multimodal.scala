@@ -115,17 +115,25 @@ object Multimodal {
 
   final case class PHash(doc_id: Long, phash: Long)
 
-  /** Perceptual-hash-style media fingerprint (STUB for a real pHash/
-    * dHash): 16 equal byte windows over the payload; bit i set when
-    * window i's mean brightness exceeds the global mean. All
-    * comparisons in INTEGER cross-multiplied form (`sum_i·n >
-    * total·n_i`) so the hash is bit-identical across engines with no
-    * float division. Map-only; the 8-byte hash is what shuffles in a
-    * media dedup, never the payload. (16 windows rather than 8: a
-    * 256-value space made same-hash clusters — and the near-dup
-    * pair volume — quadratic in corpus size; 65536 values keep the
-    * stub's collision statistics linear at soak scale, the shape a
-    * real 64-bit pHash has.)
+  /** Full 64-bit perceptual fingerprint: resample the payload to 64
+    * equal byte windows (the fixed-grid resize step of a real pHash),
+    * then take the SIGN BITS of the 64-point Walsh–Hadamard transform
+    * of the window sums — the integer-exact decorrelating transform
+    * standing in for the DCT (coefficient i = Σⱼ (−1)^popcount(i∧j)
+    * ·wⱼ, pure ±1 weights, so the hash is bit-identical across
+    * engines with no float math; bit 0 takes the window-0-vs-mean
+    * rule since the DC coefficient has a constant sign). Map-only;
+    * the 8-byte hash is what shuffles in a media dedup, never the
+    * payload.
+    *
+    * Robustness envelope (honest, since the payload is the ENCODED
+    * byte stream — the decode step is the stubbed part): exact
+    * payload duplicates hash identically; substitution-class edits
+    * (same length — the re-encode/noise analogue) flip only
+    * coefficients near zero, landing within a few Hamming bits;
+    * insertions shift the positional grid like any resample of an
+    * undecoded stream. A production pipeline decodes to pixels first
+    * and feeds THIS same plumbing.
     */
   def pHash(media: Dataset[Media]): Dataset[PHash] = {
     import media.sparkSession.implicits._
@@ -134,15 +142,29 @@ object Multimodal {
         val bs = m.payload.map(b => (b & 0xff).toLong)
         val n = bs.length
         val total = bs.sum
-        var hash = 0L
+        val w = new Array[Long](64)
         var i = 0
-        while (i < 16) {
-          val start = i * n / 16
-          val end = (i + 1) * n / 16
+        while (i < 64) {
+          val start = i * n / 64
+          val end = (i + 1) * n / 64
           var si = 0L
           var j = start
           while (j < end) { si += bs(j); j += 1 }
-          if (si * n > total * (end - start)) hash |= 1L << i
+          w(i) = si
+          i += 1
+        }
+        var hash = 0L
+        if (w(0) * n > total * (n / 64)) hash |= 1L
+        i = 1
+        while (i < 64) {
+          var c = 0L
+          var j = 0
+          while (j < 64) {
+            if (java.lang.Integer.bitCount(i & j) % 2 == 0) c += w(j)
+            else c -= w(j)
+            j += 1
+          }
+          if (c > 0) hash |= 1L << i
           i += 1
         }
         PHash(m.doc_id, hash)
@@ -151,26 +173,25 @@ object Multimodal {
   }
 
   /** Banded-Hamming near-duplicate pairs over [[pHash]] fingerprints:
-    * split the hash into BANDS, equi-join per band, verify by popcount
-    * of the xor — by pigeonhole every pair within `maxHamming = 1` of
-    * each other shares at least one of the 2 eight-bit bands intact, so
-    * the candidate generator is EXACT while never going all-pairs
-    * (band width tracks hash width; a real 64-bit pHash would band
-    * 4×16 for hamming ≤ 3). The join carries (band, doc_id, hash) —
-    * 8-byte rows, never payloads.
+    * split the 64-bit hash into 4 SIXTEEN-BIT bands, equi-join per
+    * band, verify by popcount of the xor — by pigeonhole every pair
+    * within `maxHamming = 3` of each other has at least one of the 4
+    * bands intact, so the candidate generator is EXACT while never
+    * going all-pairs. The join carries (band, doc_id, hash) — 8-byte
+    * rows, never payloads.
     */
   def phashNearDupPairs(hashes: DataFrame,
-      maxHamming: Int = 1): DataFrame = {
-    require(maxHamming <= 1,
-      "2 eight-bit bands guarantee candidates only up to hamming 1")
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 sixteen-bit bands guarantee candidates only up to hamming 3")
     val banded0 = hashes.select(col("doc_id"), col("phash"),
-        posexplode(array(col("phash").bitwiseAND(lit(255L)),
-          shiftright(col("phash"), 8).bitwiseAND(lit(255L)))))
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), 16 * b).bitwiseAND(lit(65535L))): _*)))
       .toDF("doc_id", "phash", "band_id", "band_val")
     // bucket cap (the minHashPairs guard): a hot band value — all-dark
-    // thumbnails, the stub hash's 8-bit space — would go quadratic in
-    // its bucket; over-cap buckets drop BEFORE the self-join (mirrored
-    // by the oracle, inactive at gate scale)
+    // thumbnails — would go quadratic in its bucket; over-cap buckets
+    // drop BEFORE the self-join (mirrored by the oracle, inactive at
+    // gate scale)
     val okBuckets = banded0.groupBy("band_id", "band_val")
       .agg(count(lit(1)).as("__b")).filter(col("__b") <= 10000)
       .select("band_id", "band_val")
