@@ -266,6 +266,48 @@ object ExtraQueries {
       FROM customer"""))
   )
 
+  /** Shared DuckDB CTE block computing [[Multimodal.pHash]]'s 64-point
+    * Walsh-Hadamard hash bit for bit: decode payload bytes from
+    * hex(encode(text)), 64 floor-grid window sums, coefficient ci =
+    * sum over cj of +/-ws[cj] by popcount(ci&cj) parity, sign bits
+    * OR'd into a signed 64-bit value (bit 63 via the Long.MinValue
+    * literal -- DuckDB's `1::BIGINT << 63` overflows). With
+    * `variants`, mirrors [[Multimodal.withNearDupVariants]]'s
+    * same-length xor-7-every-4th-byte copies of every tenth doc.
+    */
+  private def phashOracleCtes(variants: Boolean): String = {
+    val v =
+      if (variants) """v AS (SELECT doc_id, bs0 AS bs FROM b
+        UNION ALL
+        SELECT doc_id + 1000000,
+               list_transform(bs0, (x, i) ->
+                 CASE WHEN (i-1) % 4 = 0 THEN xor(x, 7::BIGINT) ELSE x END)
+        FROM b WHERE doc_id % 10 = 0)"""
+      else "v AS (SELECT doc_id, bs0 AS bs FROM b)"
+    s"""b AS MATERIALIZED (SELECT doc_id,
+             list_transform(range(1, octet_length(encode(text))+1),
+               i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT) AS bs0
+           FROM documents),
+      $v,
+      w AS (SELECT doc_id, len(bs) AS n,
+              list_reduce(list_prepend(0::BIGINT, bs), (a,x)->a+x) AS total,
+              list_transform(range(0,64), wi ->
+                list_reduce(list_prepend(0::BIGINT,
+                  bs[((wi*len(bs))//64)+1:((wi+1)*len(bs))//64]), (a,x)->a+x)) AS ws
+            FROM v),
+      p AS MATERIALIZED (SELECT doc_id,
+             ((CASE WHEN ws[1]*n > total*(n//64) THEN 1::BIGINT ELSE 0::BIGINT END)
+              + list_reduce(list_prepend(0::BIGINT, list_transform(range(1,64), ci ->
+                  CASE WHEN list_reduce(list_prepend(0::BIGINT,
+                         list_transform(range(0,64), cj ->
+                           CASE WHEN bit_count(ci::BIGINT & cj::BIGINT) % 2 = 0
+                                THEN ws[cj+1] ELSE -ws[cj+1] END)), (a,x)->a+x) > 0
+                       THEN CASE WHEN ci = 63 THEN (-9223372036854775808)::BIGINT
+                                 ELSE (1::BIGINT << ci) END
+                       ELSE 0::BIGINT END)), (a,x)->a+x))::BIGINT AS phash
+           FROM w)"""
+  }
+
   private val multimodal: Seq[Q] = Seq(
 
     Q("m_decode_meta", (s, dir) => {
@@ -281,63 +323,54 @@ object ExtraQueries {
              (1 + doc_id % 3)::BIGINT AS channels
       FROM documents""")),
 
-    // media fingerprint dedup: 8-bit windowed-mean pHash stub over the
-    // payload bytes; integer cross-multiplied comparisons keep the
-    // hash bit-identical across engines. The oracle decodes PAYLOAD
-    // BYTES from hex(encode(text)) — byte-accurate like the sibling
-    // octet_length oracles, no ASCII assumption.
+    // media fingerprint dedup: full 64-bit Walsh-Hadamard pHash over
+    // the payload bytes (64 floor-grid window sums -> WHT sign bits;
+    // bit 0 = window-0-vs-mean since the DC sign is constant) -- pure
+    // +/-1 integer weights keep the hash bit-identical across engines.
+    // The oracle decodes PAYLOAD BYTES from hex(encode(text)) --
+    // byte-accurate like the sibling octet_length oracles, no ASCII
+    // assumption -- and mirrors the transform with nested list
+    // lambdas (validated against the Scala hash on both fixtures).
     Q("m_phash_dedup", (s, dir) => {
       import s.implicits._
       Multimodal.pHash(
         Multimodal.withBinary(t(s, dir, "documents")).as[Multimodal.Media]).toDF()
-    }, {
-      val bits = (0 until 16).map { i =>
-        val si = s"list_reduce(list_prepend(0::BIGINT, bs[(($i*n)//16)+1:(($i+1)*n)//16]), (a,v)->a+v)"
-        s"CASE WHEN $si * n > total * ((($i+1)*n)//16 - ($i*n)//16) THEN ${1L << i} ELSE 0 END"
-      }.mkString(" + ")
-      Some(s"""
-      WITH b AS (SELECT doc_id,
-                   list_transform(range(1, octet_length(encode(text))+1),
-                     i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT) AS bs
-                 FROM documents),
-      w AS (SELECT doc_id, bs, len(bs) AS n,
-              list_reduce(list_prepend(0::BIGINT, bs), (a,v)->a+v) AS total
-            FROM b)
-      SELECT doc_id, ($bits)::BIGINT AS phash FROM w""")
-    }),
+    }, Some(s"""
+      WITH ${phashOracleCtes(variants = false)}
+      SELECT doc_id, phash FROM p""")),
 
     // banded-Hamming media near-dup: pigeonhole-exact candidate pairs
-    // over the pHash (2 four-bit bands for hamming <= 1; a real 64-bit
-    // pHash bands 4x16), verified by popcount of the xor — the media
-    // twin of MinHash banding: the join ships 8-byte hashes, never
-    // payloads
+    // over the 64-bit pHash (4 SIXTEEN-bit bands cover hamming <= 3),
+    // verified by popcount of the xor -- the media twin of MinHash
+    // banding: the join ships 8-byte hashes, never payloads. The
+    // input is the co-designed union of documents with
+    // substitution-class variants (withNearDupVariants): true pairs
+    // exist at hamming 0-3 AND some variants land above the cutoff,
+    // so the gate certifies a non-empty result and a working
+    // threshold (the closest pair of distinct ORIGINALS is at
+    // hamming 14 on both fixtures -- no accidental crosses).
     Q("m_phash_neardup", (s, dir) => {
       import s.implicits._
       Multimodal.phashNearDupPairs(
         Multimodal.pHash(
-          Multimodal.withBinary(t(s, dir, "documents"))
-            .as[Multimodal.Media]).toDF())
+          Multimodal.withNearDupVariants(
+            Multimodal.withBinary(t(s, dir, "documents"))
+              .as[Multimodal.Media])).toDF())
     }, Some(s"""
-      WITH b AS (SELECT doc_id,
-                   list_transform(range(1, octet_length(encode(text))+1),
-                     i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT) AS bs
-                 FROM documents),
-      w AS (SELECT doc_id, bs, len(bs) AS n,
-              list_reduce(list_prepend(0::BIGINT, bs), (a,v)->a+v) AS total
-            FROM b),
-      p AS (SELECT doc_id, (CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((0*n)//16)+1:((0+1)*n)//16]), (a,v)->a+v) * n > total * (((0+1)*n)//16 - (0*n)//16) THEN 1 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((1*n)//16)+1:((1+1)*n)//16]), (a,v)->a+v) * n > total * (((1+1)*n)//16 - (1*n)//16) THEN 2 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((2*n)//16)+1:((2+1)*n)//16]), (a,v)->a+v) * n > total * (((2+1)*n)//16 - (2*n)//16) THEN 4 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((3*n)//16)+1:((3+1)*n)//16]), (a,v)->a+v) * n > total * (((3+1)*n)//16 - (3*n)//16) THEN 8 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((4*n)//16)+1:((4+1)*n)//16]), (a,v)->a+v) * n > total * (((4+1)*n)//16 - (4*n)//16) THEN 16 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((5*n)//16)+1:((5+1)*n)//16]), (a,v)->a+v) * n > total * (((5+1)*n)//16 - (5*n)//16) THEN 32 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((6*n)//16)+1:((6+1)*n)//16]), (a,v)->a+v) * n > total * (((6+1)*n)//16 - (6*n)//16) THEN 64 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((7*n)//16)+1:((7+1)*n)//16]), (a,v)->a+v) * n > total * (((7+1)*n)//16 - (7*n)//16) THEN 128 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((8*n)//16)+1:((8+1)*n)//16]), (a,v)->a+v) * n > total * (((8+1)*n)//16 - (8*n)//16) THEN 256 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((9*n)//16)+1:((9+1)*n)//16]), (a,v)->a+v) * n > total * (((9+1)*n)//16 - (9*n)//16) THEN 512 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((10*n)//16)+1:((10+1)*n)//16]), (a,v)->a+v) * n > total * (((10+1)*n)//16 - (10*n)//16) THEN 1024 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((11*n)//16)+1:((11+1)*n)//16]), (a,v)->a+v) * n > total * (((11+1)*n)//16 - (11*n)//16) THEN 2048 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((12*n)//16)+1:((12+1)*n)//16]), (a,v)->a+v) * n > total * (((12+1)*n)//16 - (12*n)//16) THEN 4096 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((13*n)//16)+1:((13+1)*n)//16]), (a,v)->a+v) * n > total * (((13+1)*n)//16 - (13*n)//16) THEN 8192 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((14*n)//16)+1:((14+1)*n)//16]), (a,v)->a+v) * n > total * (((14+1)*n)//16 - (14*n)//16) THEN 16384 ELSE 0 END + CASE WHEN list_reduce(list_prepend(0::BIGINT, bs[((15*n)//16)+1:((15+1)*n)//16]), (a,v)->a+v) * n > total * (((15+1)*n)//16 - (15*n)//16) THEN 32768 ELSE 0 END)::BIGINT AS phash FROM w),
-      bnd AS (SELECT doc_id, phash, 0 AS band_id, phash & 255 AS band_val FROM p
-              UNION ALL
-              SELECT doc_id, phash, 1, (phash >> 8) & 255 FROM p),
+      WITH ${phashOracleCtes(variants = true)},
+      bnd AS (SELECT doc_id, phash, band_id,
+                     (phash >> (16*band_id)::INT) & 65535 AS band_val
+              FROM p, (SELECT unnest(range(0,4)) AS band_id)),
       okb AS (SELECT band_id, band_val FROM bnd
               GROUP BY 1, 2 HAVING count(*) <= 10000),
-      capped AS (SELECT b.* FROM bnd b JOIN okb USING (band_id, band_val))
+      capped AS MATERIALIZED (SELECT bnd.*
+                              FROM bnd JOIN okb USING (band_id, band_val))
       SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
              bit_count(xor(a.phash, b2.phash))::BIGINT AS hamming
       FROM capped a JOIN capped b2
         ON a.band_id = b2.band_id AND a.band_val = b2.band_val
            AND a.doc_id < b2.doc_id
-      WHERE bit_count(xor(a.phash, b2.phash)) <= 1""")),
+      WHERE bit_count(xor(a.phash, b2.phash)) <= 3""")),
 
     // ViT patch-grid plan: ceil-division tiling + padding + token
     // count — integer metadata math, payload pruned at the scan

@@ -172,6 +172,28 @@ object Multimodal {
     }
   }
 
+  /** Deterministic substitution-class near-duplicate variants: for
+    * every tenth doc, add a copy (doc_id + 1,000,000) whose payload
+    * XORs the low three bits of every 4th byte — a SAME-LENGTH edit,
+    * the re-encode/noise analogue in [[pHash]]'s documented
+    * robustness envelope. Measured on the test fixtures, the variants
+    * land at WHT Hamming 0–8 from their originals (most ≤ 3, some
+    * above), so a `maxHamming = 3` near-dup gate over the union
+    * exercises BOTH sides of the threshold, while the closest pair of
+    * distinct originals sits at Hamming 14 — no spurious crosses.
+    * Fixture-plumbing only (gates/specs); map-only, length-preserving.
+    */
+  def withNearDupVariants(media: Dataset[Media]): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    val variants = media.filter(_.doc_id % 10 == 0).map { m =>
+      val p = m.payload.clone()
+      var i = 0
+      while (i < p.length) { p(i) = (p(i) ^ 7).toByte; i += 4 }
+      Media(m.doc_id + 1000000L, m.media_type, p)
+    }
+    media.union(variants)
+  }
+
   /** Banded-Hamming near-duplicate pairs over [[pHash]] fingerprints:
     * split the 64-bit hash into 4 SIXTEEN-BIT bands, equi-join per
     * band, verify by popcount of the xor — by pigeonhole every pair
