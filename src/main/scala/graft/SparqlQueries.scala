@@ -425,6 +425,32 @@ object SparqlQueries {
         AND b.s IN (SELECT o FROM quads WHERE p=':custkey'
                     GROUP BY o HAVING count(*) >= 3)"""))),
 
+    // NESTED correlated EXISTS (§18.6 at depth 2, r13): the inner
+    // EXISTS names ?seg from the OUTERMOST pattern (pattern-position
+    // escape) and reads ?bal from the middle pattern (depth-1 at its
+    // own site) — compNestedExistsFilter splices the distinct
+    // (c, seg) key frame into the middle spine, so the inner level
+    // decorrelates innermost-first ("is any same-segment customer
+    // strictly richer than c?")
+    Q("r_exists_nested_corr", sq("""
+      SELECT ?c ?seg WHERE {
+        ?c :nation ?n . ?c :mktsegment ?seg .
+        FILTER EXISTS {
+          ?c :acctbal ?bal .
+          FILTER EXISTS {
+            ?c2 :mktsegment ?seg . ?c2 :acctbal ?b2 .
+            FILTER(?b2 > ?bal) } } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT n.s AS c, seg.o AS seg
+      FROM quads n
+      JOIN quads seg ON seg.s = n.s AND seg.p = ':mktsegment'
+      JOIN quads bal ON bal.s = n.s AND bal.p = ':acctbal'
+      WHERE n.p = ':nation'
+        AND EXISTS (SELECT 1 FROM quads s2
+                    JOIN quads b2 ON b2.s = s2.s AND b2.p = ':acctbal'
+                    WHERE s2.p = ':mktsegment' AND s2.o = seg.o
+                      AND b2.onum > bal.onum)"""))),
+
     // correlated BIND inside EXISTS (§18.6): the inner BIND reads
     // ?bal from the OUTER pattern and a spine FILTER consumes the
     // bound var — decorrelation inlines the definition into the

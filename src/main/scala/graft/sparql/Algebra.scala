@@ -104,6 +104,14 @@ object Algebra {
     * the unit solution under SILENT per §18.8.
     */
   final case class Service(iri: String, inner: Op, silent: Boolean) extends Op
+  /** COMPILER-INTERNAL leaf: an already-compiled solution frame
+    * spliced back into the algebra — the key frame of nested-EXISTS
+    * decorrelation ([[graft.sparql.Compiler]] compNestedExistsFilter).
+    * Never produced by the parser; rewrites treat it as an opaque
+    * leaf binding `vars`, of which `nullable` may be unbound.
+    */
+  final case class FrameOp(frame: org.apache.spark.sql.DataFrame,
+      vars: Seq[String], nullable: Set[String]) extends Op
 
   /** Variables that can be UNBOUND (NULL) in the operator's output.
     * BGP-bound variables are always bound; unboundness enters through
@@ -144,6 +152,7 @@ object Algebra {
     // may be unbound in the join above it
     case Service(_, i, silent) =>
       if (silent) inScope(i).toSet else maybeUnbound(i)
+    case FrameOp(_, _, nullable) => nullable
   }
 
   /** Variables a CONSTRUCT template consumes (late-materialization
@@ -271,6 +280,7 @@ object Algebra {
       case Slice(i, _, _) => inScope(i)
       case Unit0 => Nil
       case Service(_, i, _) => inScope(i)
+      case FrameOp(_, vars, _) => vars
     }
     vs.distinct
   }

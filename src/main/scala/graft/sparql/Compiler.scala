@@ -163,6 +163,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     def walk(op: Op): Unit = op match {
       case b: Bgp => countLeaf(Algebra.inScope(b))
       case ValuesOp(vars, _) => countLeaf(vars)
+      case FrameOp(_, vars, _) => countLeaf(vars)
       case Join(l, r) => walk(l); walk(r)
       case LeftJoin(l, r, c) => walk(l); walk(r); c.foreach(exprVars)
       case Union(l, r) => walk(l); walk(r)
@@ -273,6 +274,9 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def comp(op: Op): DataFrame = op match {
     case Unit0 => spark.range(1).drop("id")
 
+    // compiler-internal spliced frame (nested-EXISTS key frame)
+    case FrameOp(df, _, _) => df
+
     case Service(iri, inner, silent) =>
       Sparql.serviceQuads(iri) match {
         // the service block evaluates against the REGISTERED store's
@@ -336,6 +340,22 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       // a correlated ref stuck under a UNION branch distributes into
       // per-branch EXISTS disjuncts first — each decorrelates alone
       val cond = distributeCorrExistsUnions(cond0, outerScope)
+      cond match {
+        // NESTED-EXISTS escape (§18.6 at depth ≥ 2): an EXISTS inside
+        // the sub-pattern mentions vars only THIS outer scope binds
+        // (expression reads — previously loud — or pattern positions —
+        // previously a silent compatibility hole). Inject the distinct
+        // key frame of those vars into the sub-pattern's conjunctive
+        // spine so the inner level becomes an ordinary depth-1
+        // correlation at its own compile site, then re-dispatch.
+        case EExists(sub, positive)
+            if nestedEscapeVars(sub, outerScope).nonEmpty =>
+          compNestedExistsFilter(input, sub, positive, outerScope) match {
+            case Some(df) => return df
+            case None => () // off-spine site: the loud checks fire below
+          }
+        case _ => ()
+      }
       cond match {
         // correlated FILTER [NOT] EXISTS (§18.6): inner expressions
         // read outer-only vars → decorrelate (substitution realized as
@@ -1676,7 +1696,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * the inner pattern binding it.
     */
   private def exprRefVars(op: Op): Set[String] = op match {
-    case Bgp(_, _) | Unit0 | ValuesOp(_, _) => Set.empty
+    case Bgp(_, _) | Unit0 | ValuesOp(_, _) | FrameOp(_, _, _) => Set.empty
     case Join(l, r) => exprRefVars(l) ++ exprRefVars(r)
     case LeftJoin(l, r, c) => exprRefVars(l) ++ exprRefVars(r) ++
       c.map(exprVarSet).getOrElse(Set.empty)
@@ -1821,6 +1841,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def allVarMentions(op: Op): Set[String] = op match {
     case b: Bgp => Algebra.inScope(b).toSet
     case ValuesOp(vars, _) => vars.toSet
+    case FrameOp(_, vars, _) => vars.toSet
     case Unit0 => Set.empty
     case Join(l, r) => allVarMentions(l) ++ allVarMentions(r)
     case LeftJoin(l, r, c) => allVarMentions(l) ++ allVarMentions(r) ++
@@ -1989,6 +2010,138 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * binding wins (that is what textual substitution would produce);
     * an outer-unbound shared var falls back to the inner binding.
     */
+  /** Free mentions (pattern vars ∪ expression reads, recursively
+    * including deeper EXISTS levels) of every EExists nested inside
+    * `op`'s expressions — NOT `op`'s own top-level reads. These are
+    * the vars a second-level §18.6 substitution must deliver;
+    * [[exprRefVars]] deliberately stops at EExists boundaries, so the
+    * depth-1 machinery never sees them.
+    */
+  private def nestedExistsVars(op: Op): Set[String] = {
+    def exprW(e: Expr): Set[String] = e match {
+      case EExists(s, _) =>
+        Algebra.inScope(s).toSet ++ exprRefVars(s) ++ nestedExistsVars(s)
+      case ECall(_, as) => as.flatMap(exprW).toSet
+      case EAgg(_, a, _, _) => a.map(exprW).getOrElse(Set.empty)
+      case _ => Set.empty
+    }
+    op match {
+      case Filter(c, i) => exprW(c) ++ nestedExistsVars(i)
+      case Extend(i, _, e) => exprW(e) ++ nestedExistsVars(i)
+      case Join(l, r) => nestedExistsVars(l) ++ nestedExistsVars(r)
+      case LeftJoin(l, r, c) => nestedExistsVars(l) ++ nestedExistsVars(r) ++
+        c.map(exprW).getOrElse(Set.empty)
+      case Union(l, r) => nestedExistsVars(l) ++ nestedExistsVars(r)
+      case Minus(l, r) => nestedExistsVars(l) ++ nestedExistsVars(r)
+      case Group(i, keys, aggs) => nestedExistsVars(i) ++
+        keys.flatMap(_._2.map(exprW)).flatten ++
+        aggs.flatMap(a => exprW(a._2))
+      case Project(i, _) => nestedExistsVars(i)
+      case Distinct(i) => nestedExistsVars(i)
+      case OrderBy(i, ks) => nestedExistsVars(i) ++ ks.flatMap(k => exprW(k._1))
+      case Slice(i, _, _) => nestedExistsVars(i)
+      case Service(_, i, _) => nestedExistsVars(i)
+      case _ => Set.empty
+    }
+  }
+
+  /** Vars a nested EExists inside `sub` mentions that `sub` itself
+    * does not bind but the outer scope does — the depth-≥2 §18.6
+    * correlation set. Under the engine's join-compatibility school
+    * this covers BOTH an inner expression read of an outer var AND an
+    * inner PATTERN position naming one (the latter compiled silently
+    * unconstrained before r13).
+    */
+  private def nestedEscapeVars(sub: Op, outerScope: Set[String]): Set[String] =
+    (nestedExistsVars(sub) -- Algebra.inScope(sub).toSet).intersect(outerScope)
+
+  /** Inject the key frame `leaf` below every Filter / Extend on
+    * `sub`'s conjunctive spine whose expressions mention a nested
+    * EXISTS reaching an escaping var. Spine = Filter/Extend/Join/
+    * Distinct chains only: below Group the extra key columns would
+    * corrupt aggregate VALUES (multiplicity), below Project they
+    * would be dropped before the outer semi-join could key on them,
+    * and Union/Minus/LeftJoin/Slice interiors observe multiplicity or
+    * scope in ways the splice would change. Returns the rewritten op
+    * plus whether any splice shares no var with its input (the
+    * dependent-cross case the caller must bound), or None when a
+    * mentioning site is off-spine — the loud checks then fire.
+    */
+  private def injectNestedKeyFrame(sub: Op, leaf: FrameOp,
+      esc: Set[String]): Option[(Op, Boolean)] = {
+    def mentionsEsc(e: Expr): Boolean = e match {
+      case EExists(s, _) =>
+        (Algebra.inScope(s).toSet ++ exprRefVars(s) ++ nestedExistsVars(s))
+          .intersect(esc).nonEmpty
+      case ECall(_, as) => as.exists(mentionsEsc)
+      case EAgg(_, a, _, _) => a.exists(mentionsEsc)
+      case _ => false
+    }
+    var ok = true
+    var cross = false
+    def splice(i: Op): Op = {
+      if (Algebra.inScope(i).toSet.intersect(leaf.vars.toSet).isEmpty)
+        cross = true
+      Join(leaf, i)
+    }
+    def walk(op: Op, onSpine: Boolean): Op = op match {
+      case Filter(c, i) =>
+        val i2 = walk(i, onSpine)
+        if (!mentionsEsc(c)) Filter(c, i2)
+        else if (onSpine) Filter(c, splice(i2))
+        else { ok = false; op }
+      case Extend(i, v, e) =>
+        val i2 = walk(i, onSpine)
+        if (!mentionsEsc(e)) Extend(i2, v, e)
+        else if (onSpine) Extend(splice(i2), v, e)
+        else { ok = false; op }
+      case Join(l, r) => Join(walk(l, onSpine), walk(r, onSpine))
+      case Distinct(i) => Distinct(walk(i, onSpine))
+      case other =>
+        if (nestedExistsVars(other).intersect(esc).nonEmpty) ok = false
+        other
+    }
+    val out = walk(sub, onSpine = true)
+    if (ok) Some((out, cross)) else None
+  }
+
+  /** `FILTER [NOT] EXISTS` whose sub-pattern contains a DEEPER EXISTS
+    * mentioning outer-only vars (nested §18.6): realize the
+    * substitution innermost-first against an extended key frame —
+    * splice `K = distinct outer rows over (escaping vars ∪ outer∩sub
+    * pattern vars)` into the sub-pattern's spine at each mentioning
+    * site, which puts the escaping vars IN SCOPE there, so the inner
+    * EXISTS compiles as an ordinary depth-1 correlation at its own
+    * site (recursively: a third level re-enters this path). The outer
+    * EXISTS then re-dispatches with the escapes resolved internally,
+    * and its semi/anti join keys on shared ∪ escaping columns. The
+    * shared pattern vars ride in K so the dependent join stays an
+    * equi-join; a site sharing nothing falls back to a bounded
+    * dependent cross (the key-frame guard shared with the MINUS /
+    * OPTIONAL / aggregate classes).
+    */
+  private def compNestedExistsFilter(input: Op, sub: Op, positive: Boolean,
+      outerScope: Set[String]): Option[DataFrame] = {
+    val esc = nestedEscapeVars(sub, outerScope)
+    val in = comp(input)
+    if (!esc.subsetOf(in.columns.toSet)) return None
+    val shared = in.columns.toSet.intersect(Algebra.inScope(sub).toSet)
+    val keyVars = (esc ++ shared).toSeq.sorted
+    val nullable = Algebra.maybeUnbound(input).intersect(keyVars.toSet)
+    val kf = in.select(keyVars.map(in(_)): _*).distinct()
+    injectNestedKeyFrame(sub, FrameOp(kf, keyVars, nullable), esc).map {
+      case (sub2, crossSite) =>
+        if (crossSite) {
+          val n = kf.count()
+          if (n > 1000) throw new UnsupportedOperationException(
+            "correlated nested EXISTS: an injection site shares no " +
+              s"variable with the key frame and the dependent cross " +
+              s"join spans $n > 1000 distinct keys")
+        }
+        comp(Filter(EExists(sub2, positive), input))
+    }
+  }
+
   private def compCorrelatedExistsFilter(input: Op, sub: Op,
       positive: Boolean, outerScope: Set[String]): DataFrame = {
     val corr = corrVarsOf(sub, outerScope)
@@ -2448,11 +2601,18 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def rejectCorrelatedExists(e: Expr, outerScope: Set[String]): Unit = e match {
     case EExists(sub, _) =>
       val subScope = Algebra.inScope(sub).toSet
-      val corr = (exprRefVars(sub) -- subScope).intersect(outerScope)
+      // expression reads, PATTERN-position sharing, and deeper-level
+      // mentions all correlate under the join school once they reach
+      // a scope no enclosing input binds — the walk already subtracted
+      // locally-bound vars, which are depth-1 at their own compile
+      // site (or key-frame-injected by compNestedExistsFilter)
+      val corr = (exprRefVars(sub) ++ subScope ++ nestedExistsVars(sub))
+        .intersect(outerScope)
       if (corr.nonEmpty) throw new UnsupportedOperationException(
-        "correlated EXISTS: inner expression references outer-only " +
-          s"variable(s) ${corr.map("?" + _).mkString(", ")}; §18.6 " +
-          "substitution of the current binding is not implemented")
+        "correlated EXISTS: inner pattern or expression references " +
+          s"outer-only variable(s) ${corr.map("?" + _).mkString(", ")} " +
+          "from a position where §18.6 substitution cannot be realized " +
+          "(no enclosing input binds them at the compile site)")
       // nested EXISTS inside the sub-pattern sees the widened scope
       walkExists(sub, outerScope ++ subScope)
     case ECall(_, as) => as.foreach(rejectCorrelatedExists(_, outerScope))
@@ -2460,10 +2620,15 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   }
 
   private def walkExists(op: Op, outerScope: Set[String]): Unit = op match {
+    // vars the filter's own input binds are DEPTH-1 correlations when
+    // compilation reaches this site — its own dispatch handles (or
+    // loudly rejects) them; only TRUE escapes reject here
     case Filter(c, i) =>
-      rejectCorrelatedExists(c, outerScope); walkExists(i, outerScope)
+      rejectCorrelatedExists(c, outerScope -- Algebra.inScope(i).toSet)
+      walkExists(i, outerScope)
     case Extend(i, _, e) =>
-      rejectCorrelatedExists(e, outerScope); walkExists(i, outerScope)
+      rejectCorrelatedExists(e, outerScope -- Algebra.inScope(i).toSet)
+      walkExists(i, outerScope)
     case Join(l, r) => walkExists(l, outerScope); walkExists(r, outerScope)
     case LeftJoin(l, r, _) => walkExists(l, outerScope); walkExists(r, outerScope)
     case Union(l, r) => walkExists(l, outerScope); walkExists(r, outerScope)

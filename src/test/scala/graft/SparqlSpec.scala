@@ -1103,6 +1103,87 @@ class SparqlSpec extends GraftSuite {
     assert(e3.getMessage.contains("correlated EXISTS"))
   }
 
+  test("nested EXISTS decorrelates innermost-first against the key frame") {
+    // expression escape: the inner EXISTS reads ?bal (outermost-only)
+    // while its own site binds ?n (middle) — equivalent to the flat
+    // conjunctive form since every customer has nation+region
+    val nested = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal .
+           FILTER EXISTS {
+             ?c :nation ?n .
+             FILTER EXISTS { ?n :region ?r . FILTER(?bal >= 7500) } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val flat = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c :nation ?n . ?n :region ?r .
+           FILTER(?bal >= 7500) }""")
+      .map(_.getString(0)).sorted.toSeq
+    assert(nested.nonEmpty && nested == flat,
+      "expression-escape nested EXISTS must equal the flat form")
+    // pattern-position escape: the inner pattern NAMES ?seg from the
+    // outermost scope (the pre-r13 silent compatibility hole) — "some
+    // same-segment customer is strictly richer": exactly the non-max
+    // customers of each segment
+    val richer = q("""SELECT ?c WHERE {
+           ?c :nation ?n . ?c :mktsegment ?seg .
+           FILTER EXISTS {
+             ?c :acctbal ?bal .
+             FILTER EXISTS {
+               ?c2 :mktsegment ?seg . ?c2 :acctbal ?b2 .
+               FILTER(?b2 > ?bal) } } }""")
+      .map(_.getString(0)).toSet
+    val bySeg = q("""SELECT ?c ?seg ?bal WHERE {
+           ?c :nation ?n . ?c :mktsegment ?seg . ?c :acctbal ?bal }""")
+      .map(r => (r.getString(0), r.getString(1), r.getString(2).toDouble))
+    val want = bySeg.groupBy(_._2).valuesIterator.flatMap { g =>
+      val mx = g.map(_._3).max
+      g.filter(_._3 < mx).map(_._1)
+    }.toSet
+    assert(richer.nonEmpty && richer == want,
+      "pattern-position nested EXISTS must key on the outer segment")
+    // NOT EXISTS dual partitions the outer rows
+    val notRicher = q("""SELECT ?c WHERE {
+           ?c :nation ?n . ?c :mktsegment ?seg .
+           FILTER NOT EXISTS {
+             ?c :acctbal ?bal .
+             FILTER EXISTS {
+               ?c2 :mktsegment ?seg . ?c2 :acctbal ?b2 .
+               FILTER(?b2 > ?bal) } } }""")
+      .map(_.getString(0)).toSet
+    assert((richer & notRicher).isEmpty &&
+      (richer ++ notRicher) == bySeg.map(_._1).toSet)
+    // OFF-SPINE escape (under a UNION inside the sub-pattern): the
+    // key frame cannot splice there — must stay LOUD, never silent
+    val offSpine = intercept[UnsupportedOperationException] {
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c :mktsegment ?seg .
+           FILTER EXISTS {
+             { ?c :nation ?n .
+               FILTER EXISTS { ?c2 :mktsegment ?seg } }
+             UNION
+             { ?c a :Customer } } }""")
+    }
+    assert(offSpine.getMessage.contains("correlated"))
+  }
+
+  test("non-zero OFFSET under EXISTS stays loud when correlated") {
+    // stripExistsTop strips ORDER BY and offset-0 LIMIT (emptiness-
+    // preserving); an OFFSET > 0 slice observes solution COUNT, so a
+    // correlated sub-pattern behind one must never silently strip
+    val e = intercept[UnsupportedOperationException] {
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal .
+           FILTER EXISTS { { SELECT ?c WHERE {
+             ?c :nation ?n . FILTER(?bal >= 7500) } OFFSET 2 } } }""")
+    }
+    assert(e.getMessage.contains("correlated EXISTS"))
+    // the offset-0 LIMIT form (the legal sibling) still compiles
+    val ok = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal .
+           FILTER EXISTS { { SELECT ?c WHERE {
+             ?c :nation ?n . FILTER(?bal >= 7500) } LIMIT 2 } } }""")
+    assert(ok.nonEmpty)
+  }
+
   test("correlated EXISTS over aggregation: key-frame, constants, loud edges") {
     // per-key aggregation: NOT EXISTS dualizes the r_exists_agg_corr
     // shape — customers lacking (bal >= 7500 AND >= 3 orders)
