@@ -32,6 +32,27 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ranks {
 
+  /** Seal-and-release (the r10 checkpoint-leak lesson, flagged again
+    * by the r12 verdict for THESE primitives): eagerly checkpoint the
+    * OUTPUT, then unpersist the intermediate range-partitioned
+    * layout's blocks immediately — otherwise every call pins a
+    * full-width copy of the input until the ContextCleaner happens to
+    * GC it, and repeated callers (w_rfm runs three passes per
+    * execution, benches run three reps) accumulate pinned blocks.
+    * The output's own blocks live exactly as long as the caller's
+    * reference — the primitive cannot know when the caller is done,
+    * but the wide intermediate is entirely ours to free.
+    */
+  private def sealAndRelease(out: DataFrame, parts: DataFrame): DataFrame = {
+    val res = out.localCheckpoint(true)
+    parts.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    res
+  }
+
   /** Adds `rankName` (0-based row index within its `keyCols` group,
     * in `sortCols` order) and `totalName` (the group's row count) to
     * every row — the distributed, skew-proof equivalent of
@@ -122,9 +143,9 @@ object Ranks {
         }
       }
     }
-    spark.createDataFrame(out, StructType(schema.fields
+    sealAndRelease(spark.createDataFrame(out, StructType(schema.fields
       :+ StructField(rankName, LongType, nullable = false)
-      :+ StructField(totalName, LongType, nullable = false)))
+      :+ StructField(totalName, LongType, nullable = false))), parts)
   }
 
   /** Standard SQL `ntile(k)` bucket (1-based) from a 0-based global
@@ -161,6 +182,11 @@ object Ranks {
       var m = Long.MaxValue; var any = false
       it.foreach { r =>
         any = true
+        // fail fast: the primitive's contract is a NON-NULL long value
+        // column (a null would otherwise NPE obscurely in pass 2)
+        if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+          s"prefixMinLong: null in value column '$valueName' — the " +
+            "primitive requires a non-null long column")
         val v = r.getLong(vIdx); if (v < m) m = v
       }
       if (any) Iterator.single((pid, m)) else Iterator.empty
@@ -188,7 +214,7 @@ object Ranks {
         o
       }
     }
-    spark.createDataFrame(out, StructType(schema.fields
-      :+ StructField(outName, LongType, nullable = true)))
+    sealAndRelease(spark.createDataFrame(out, StructType(schema.fields
+      :+ StructField(outName, LongType, nullable = true))), parts)
   }
 }

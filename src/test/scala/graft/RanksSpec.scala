@@ -76,6 +76,38 @@ class RanksSpec extends GraftSuite {
     assert(got.head.isNullAt(3))
   }
 
+  test("primitives release their intermediate checkpoints deterministically") {
+    // the r10/r12 leak class: every call used to pin a full-width
+    // range-partitioned copy until GC; repeated callers accumulate.
+    // After seal-and-release only the OUTPUT checkpoint (the caller's
+    // reference) may remain persisted per call.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val outs = (1 to 3).map { _ =>
+      val o = Ranks.keyedRowIndex(fixture, Seq("k"),
+        Seq(col("v").asc, col("id").asc), "__r", "__n")
+      o.count()
+      o
+    } ++ (1 to 2).map { _ =>
+      val o = Ranks.prefixMinLong(fixture, Seq(col("id").asc), "v", "pm")
+      o.count()
+      o
+    }
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size == outs.size,
+      s"expected ${outs.size} output checkpoints, found ${added.size} " +
+        "persisted RDDs — an intermediate layout leaked")
+  }
+
+  test("prefixMinLong fails fast on a null value column") {
+    val withNull = fixture.withColumn("v",
+      when(col("id") === 1005L, lit(null)).otherwise(col("v")).cast("long"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Ranks.prefixMinLong(withNull, Seq(col("id").asc), "v", "pm").count()
+    }
+    assert(e.getMessage.contains("prefixMinLong") ||
+      Option(e.getCause).exists(_.getMessage.contains("prefixMinLong")))
+  }
+
   test("empty and singleton inputs survive both primitives") {
     val empty = fixture.limit(0)
     assert(Ranks.keyedRowIndex(empty, Seq("k"),
