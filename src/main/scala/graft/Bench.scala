@@ -121,8 +121,20 @@ object Bench {
     // sf0.1, loadavg 1.1–1.5, 2026-08-15 (r12). SPARK_GRAFT_CANARY_ONLY=1
     // exits after the canary line (re-calibration / standalone
     // adjudication).
-    val canaryRef = Map(
+    // References live in the checked-in tools/canary_ref.json so a
+    // recalibration (SPARK_GRAFT_CANARY_ONLY=1 on an idle box) is a
+    // DATA edit — never a code edit riding in the same commit as an
+    // operator change. Falls back to the r12 calibration if the file
+    // is absent (e.g. a different working directory).
+    val canaryRefDefault = Map(
       "q1_agg" -> 0.27, "t_bigram_nll" -> 3.00, "s_int8_rescore" -> 0.75)
+    val canaryRef: Map[String, Double] =
+      scala.util.Try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("tools/canary_ref.json")))
+        """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.toOption.filter(_.nonEmpty).getOrElse(canaryRefDefault)
     val canary: Map[String, Double] =
       if (only.nonEmpty || !sfDir.contains("sf0.1")) Map.empty
       else canaryRef.keys.toSeq.sorted.map { n =>

@@ -835,17 +835,26 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * dataset), then bound subject/object constants discount it. The
     * fallback (no stats) reduces to the classic bound-term heuristic.
     */
-  // tail estimate for predicates OUTSIDE a top-N-capped stats map:
-  // every uncollected predicate's true count is ≤ the smallest
-  // collected one (the cap cutoff), so the tail default is bounded by
-  // it — without stats, the classic bound-predicate heuristic
+  // tail estimate for predicates absent from the stats map. The
+  // min-bound ("every uncollected count ≤ the smallest collected
+  // one") only holds when the top-N collect actually HIT the cap; a
+  // sub-cap map is a complete vocabulary, where absence means the
+  // predicate wasn't in the SNAPSHOT the stats were built from (it
+  // may still exist in the queried view — e.g. OWL-materialized
+  // quads add predicates the raw-quads stats never saw), so fall
+  // back to the classic unknown-predicate default
   private lazy val statsTail: Double =
-    if (stats.isEmpty) 5e5 else math.min(stats.values.min.toDouble, 5e5)
+    if (stats.size >= Sparql.PredicateStatsCap)
+      math.min(stats.values.min.toDouble, 5e5)
+    else 5e5
 
   private def estimate(tp: TriplePat): Double = {
     val default = 1e6
     val base = tp.p match {
       case PLink(p) => stats.get(p).map(_.toDouble).getOrElse(statsTail)
+      // under a hit cap the sum is a LOWER bound on total statements
+      // (uncollected tail not included) — still the best available
+      // anchor for an unconstrained-predicate scan
       case _: PVar => stats.values.sum.toDouble.max(default)
       case _ => default
     }

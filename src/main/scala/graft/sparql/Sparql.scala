@@ -117,7 +117,14 @@ object Sparql {
     * the cap cutoff bounds from above (every uncollected count ≤ the
     * smallest collected one).
     */
-  def predicateStats(quads: DataFrame, cap: Int = 10000): Map[String, Long] = {
+  /** Default stats cap — the compiler keys its tail estimate off this
+    * (a map of exactly this size is treated as possibly capped; a
+    * smaller one as a complete vocabulary).
+    */
+  val PredicateStatsCap = 10000
+
+  def predicateStats(quads: DataFrame,
+      cap: Int = PredicateStatsCap): Map[String, Long] = {
     val pc = quads.groupBy(col("p")("lex").as("plex")).count()
     pc.orderBy(col("count").desc, col("plex").asc).limit(cap)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -26,6 +26,9 @@ import time
 GATES = sys.argv[2] if len(sys.argv) > 2 else ""  # empty = all gates
 OUT = sys.argv[1] if len(sys.argv) > 1 else "SOAK_r6.json"
 SOAK_DIR = sys.argv[3] if len(sys.argv) > 3 else "soakdata/sf0.3"
+# round provenance must be EXPLICIT (the r12 soak artifacts shipped a
+# stale hard-coded round) -- pass it as the 4th arg
+ROUND = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
 
 def run_bench(sf_dir):
@@ -59,7 +62,7 @@ def main():
         if ratio is not None and b >= 0.5 and ratio > worst[1]:
             worst = (q, ratio)
     out = {
-        "round": 8,
+        "round": ROUND,
         "soak_dir": SOAK_DIR,
         "data_scale": 3.0,
         "gates": rows,
