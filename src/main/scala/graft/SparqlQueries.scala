@@ -395,6 +395,45 @@ object SparqlQueries {
     // preserves exactly non-emptiness, so the wrapper strips and the
     // correlated filter decorrelates normally
     // (Compiler.stripExistsTop)
+    // correlated EXISTS over a WIDE UNION (8 branches — the exact
+    // distribution boundary of distributeCorrExistsUnions): each
+    // branch's correlated ?bal condition decorrelates per-branch
+    // after EXISTS{A UNION …} ≡ EXISTS{A} || … distribution, and the
+    // ||-of-EXISTS filter partitions the input instead of stacking
+    // eight flag joins
+    Q("r_exists_union_wide", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal .
+        FILTER EXISTS {
+          { ?c :mktsegment "BUILDING" . FILTER(?bal > 1000) }
+          UNION { ?c :mktsegment "AUTOMOBILE" . FILTER(?bal > 2000) }
+          UNION { ?c :mktsegment "MACHINERY" . FILTER(?bal > 3000) }
+          UNION { ?c :mktsegment "HOUSEHOLD" . FILTER(?bal > 4000) }
+          UNION { ?c :mktsegment "FURNITURE" . FILTER(?bal > 5000) }
+          UNION { ?c :nation ?n . FILTER(?bal > 9000) }
+          UNION { ?c a :Customer . FILTER(?bal < 0) }
+          UNION { ?c :name ?nm . FILTER(?bal > 9900) } } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal
+      FROM quads b
+      WHERE b.p = ':acctbal' AND (
+        (b.onum > 1000 AND EXISTS (SELECT 1 FROM quads m WHERE m.s=b.s
+          AND m.p=':mktsegment' AND m.o='BUILDING'))
+        OR (b.onum > 2000 AND EXISTS (SELECT 1 FROM quads m WHERE m.s=b.s
+          AND m.p=':mktsegment' AND m.o='AUTOMOBILE'))
+        OR (b.onum > 3000 AND EXISTS (SELECT 1 FROM quads m WHERE m.s=b.s
+          AND m.p=':mktsegment' AND m.o='MACHINERY'))
+        OR (b.onum > 4000 AND EXISTS (SELECT 1 FROM quads m WHERE m.s=b.s
+          AND m.p=':mktsegment' AND m.o='HOUSEHOLD'))
+        OR (b.onum > 5000 AND EXISTS (SELECT 1 FROM quads m WHERE m.s=b.s
+          AND m.p=':mktsegment' AND m.o='FURNITURE'))
+        OR (b.onum > 9000 AND EXISTS (SELECT 1 FROM quads m WHERE m.s=b.s
+          AND m.p=':nation'))
+        OR (b.onum < 0 AND EXISTS (SELECT 1 FROM quads m WHERE m.s=b.s
+          AND m.p='rdf:type' AND m.o=':Customer'))
+        OR (b.onum > 9900 AND EXISTS (SELECT 1 FROM quads m WHERE m.s=b.s
+          AND m.p=':name')))"""))),
+
     Q("r_exists_limit_corr", sq("""
       SELECT ?c ?bal WHERE {
         ?c :acctbal ?bal .
