@@ -372,6 +372,67 @@ object ExtraQueries {
            AND a.doc_id < b2.doc_id
       WHERE bit_count(xor(a.phash, b2.phash)) <= 3""")),
 
+    // REAL codec path (r13, promoted from the stub slot): wavify
+    // wraps payload bytes as canonical RIFF/PCM WAV and decodeWav
+    // PARSES the stream by the format spec (magics, little-endian
+    // header fields at their offsets, one-pass 16-bit PCM stats).
+    // The oracle CONSTRUCTS the same byte stream in SQL and parses
+    // it back from list positions — both sides do byte-level work.
+    Q("m_wav_decode", (s, dir) => {
+      import s.implicits._
+      Multimodal.decodeWav(
+        Multimodal.wavify(
+          Multimodal.withBinary(t(s, dir, "documents"))
+            .as[Multimodal.Media])).toDF()
+    }, Some("""
+      WITH b AS MATERIALIZED (SELECT doc_id,
+           list_transform(range(1, octet_length(encode(text))+1),
+             i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT) AS tb
+         FROM documents),
+      wav AS MATERIALIZED (SELECT doc_id,
+          [82::BIGINT,73,70,70]
+          || [ (36 + 2*len(tb)) % 256, ((36 + 2*len(tb)) // 256) % 256,
+               ((36 + 2*len(tb)) // 65536) % 256, ((36 + 2*len(tb)) // 16777216) % 256 ]
+          || [87::BIGINT,65,86,69, 102,109,116,32, 16,0,0,0, 1,0, 1,0]
+          || [ sr % 256, (sr // 256) % 256, (sr // 65536) % 256, 0 ]
+          || [ (sr*2) % 256, ((sr*2) // 256) % 256, ((sr*2) // 65536) % 256, 0 ]
+          || [2::BIGINT,0, 16,0, 100,97,116,97]
+          || [ (2*len(tb)) % 256, ((2*len(tb)) // 256) % 256,
+               ((2*len(tb)) // 65536) % 256, ((2*len(tb)) // 16777216) % 256 ]
+          || flatten(list_transform(tb, x -> [ 0::BIGINT, (((x-128)*256) & 65535) // 256 ]))
+          AS bs
+        FROM (SELECT doc_id, tb, (8000 + (doc_id % 3) * 4000)::BIGINT AS sr FROM b)),
+      parsed AS (SELECT doc_id,
+          (bs[1]=82 AND bs[2]=73 AND bs[3]=70 AND bs[4]=70
+           AND bs[9]=87 AND bs[10]=65 AND bs[11]=86 AND bs[12]=69
+           AND bs[13]=102 AND bs[14]=109 AND bs[15]=116 AND bs[16]=32
+           AND bs[37]=100 AND bs[38]=97 AND bs[39]=116 AND bs[40]=97
+           AND bs[17] + 256*bs[18] + 65536*bs[19] + 16777216*bs[20] = 16
+           AND bs[33] + 256*bs[34] > 0) AS valid,
+          bs[21] + 256*bs[22] AS fmt,
+          bs[23] + 256*bs[24] AS channels,
+          bs[25] + 256*bs[26] + 65536*bs[27] + 16777216*bs[28] AS sample_rate,
+          bs[33] + 256*bs[34] AS block_align,
+          bs[35] + 256*bs[36] AS bits,
+          bs[41] + 256*bs[42] + 65536*bs[43] + 16777216*bs[44] AS data_len,
+          bs
+        FROM wav),
+      absam AS (SELECT doc_id, valid, fmt, channels, sample_rate,
+          block_align, bits, data_len,
+          list_transform(range(0, data_len // 2), i ->
+            CASE WHEN bs[45 + 2*i] + 256*bs[46 + 2*i] >= 32768
+                 THEN 65536 - bs[45 + 2*i] - 256*bs[46 + 2*i]
+                 ELSE bs[45 + 2*i] + 256*bs[46 + 2*i] END) AS absl
+        FROM parsed)
+      SELECT doc_id, fmt::BIGINT AS fmt, channels::BIGINT AS channels,
+        sample_rate::BIGINT AS sample_rate, bits::BIGINT AS bits,
+        (data_len // block_align)::BIGINT AS n_samples,
+        ((data_len // block_align) * 1000 // sample_rate)::BIGINT AS dur_ms,
+        list_max(list_prepend(0::BIGINT, absl))::BIGINT AS peak,
+        list_reduce(list_prepend(0::BIGINT, absl), (a,x)->a+x)::BIGINT AS sum_abs,
+        valid
+      FROM absam""")),
+
     // ViT patch-grid plan: ceil-division tiling + padding + token
     // count — integer metadata math, payload pruned at the scan
     Q("m_patch_grid", (s, dir) => {

@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   * Scala analogue of an Arrow-batched UDF: one JVM call per
   * partition, columnar parquet scan feeding it, no per-row overhead.
   *
-  * DECODERS ARE STUBS: no image/audio codec ships in this
-  * environment, so `decodeMeta` derives deterministic pseudo-metadata
-  * from the raw bytes (marked below). Everything AROUND the stub —
+  * DECODERS ARE STUBS — except the WAV path (r13): [[wavify]] /
+  * [[decodeWav]] are a REAL RIFF/PCM codec pair (canonical 44-byte
+  * header, little-endian fields at spec offsets, 16-bit PCM stats),
+  * so the binary-column plumbing is exercised by an honest
+  * byte-format parse. The image/video paths keep deterministic
+  * pseudo-metadata (`decodeMeta`, marked below). Everything AROUND
+  * the stubs —
   * binary column schema, metadata struct, partition-batched map,
   * array-of-binary frame output, explode back to rows — is the real
   * Spark plumbing a production decoder would drop into: replace the
@@ -111,6 +115,94 @@ object Multimodal {
       .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
         col("col").as("start_ms"),
         least(lit(segMs), col("dur_ms") - col("col")).as("seg_ms"))
+  }
+
+  final case class WavMeta(doc_id: Long, fmt: Long, channels: Long,
+      sample_rate: Long, bits: Long, n_samples: Long, dur_ms: Long,
+      peak: Long, sum_abs: Long, valid: Boolean)
+
+  /** REAL encoder half of the promoted codec slot: wrap the payload
+    * bytes as a canonical 44-byte RIFF/PCM WAV — 16-bit mono
+    * little-endian samples `(byte − 128) << 8` at an 8/12/16 kHz rate
+    * chosen per doc. Every field sits at its format-spec offset
+    * (chunk size 36+data, fmt chunk length 16, audio format 1, block
+    * align 2), so [[decodeWav]] — or any standard WAV reader — parses
+    * it. Map-only; the payload grows 2×+44 bytes and never shuffles.
+    */
+  def wavify(media: Dataset[Media]): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val n = m.payload.length
+      val dataLen = 2 * n
+      val sr = 8000 + (m.doc_id % 3).toInt * 4000
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII"))
+      bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII"))
+      bb.putInt(16)                 // PCM fmt chunk length
+      bb.putShort(1)                // audio format 1 = PCM
+      bb.putShort(1)                // channels
+      bb.putInt(sr)
+      bb.putInt(sr * 2)             // byte rate = sr * channels * 2
+      bb.putShort(2)                // block align
+      bb.putShort(16)               // bits per sample
+      bb.put("data".getBytes("US-ASCII"))
+      bb.putInt(dataLen)
+      m.payload.foreach { b =>
+        bb.putShort((((b & 0xff) - 128) << 8).toShort)
+      }
+      Media(m.doc_id, "audio", bb.array())
+    }
+  }
+
+  /** REAL decoder half: parse the WAV byte stream BY THE FORMAT SPEC —
+    * validate the four magics ('RIFF' @0, 'WAVE' @8, 'fmt ' @12,
+    * 'data' @36), read the little-endian header fields at their
+    * offsets, then fold the 16-bit PCM data section in one pass
+    * (peak = max |sample|, sum_abs — the integer loudness stats a
+    * real audio-quality filter starts from). A malformed header
+    * yields `valid = false` with zeroed stats rather than garbage.
+    * Map-only; this is the codec-call slot [[decodeMeta]] documents,
+    * filled with a real parser.
+    */
+  def decodeWav(media: Dataset[Media]): Dataset[WavMeta] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val p = m.payload
+      def magic(off: Int, s: String): Boolean =
+        p.length >= off + 4 && s.getBytes("US-ASCII").zipWithIndex
+          .forall { case (b, i) => p(off + i) == b }
+      def le16(off: Int): Long =
+        (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8)
+      def le32(off: Int): Long =
+        le16(off) | (le16(off + 2) << 16)
+      val valid = p.length >= 44 &&
+        magic(0, "RIFF") && magic(8, "WAVE") &&
+        magic(12, "fmt ") && magic(36, "data") &&
+        le32(16) == 16L && le16(32) > 0
+      if (!valid) WavMeta(m.doc_id, 0, 0, 0, 0, 0, 0, 0, 0, valid = false)
+      else {
+        val sr = le32(24)
+        val blockAlign = le16(32)
+        val dataLen = math.min(le32(40), (p.length - 44).toLong)
+        val nSamples = dataLen / blockAlign
+        var peak = 0L; var sumAbs = 0L
+        var off = 44
+        val end = 44 + dataLen.toInt
+        while (off + 1 < end) {
+          val u = le16(off)
+          val s = if (u >= 32768L) u - 65536L else u
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          sumAbs += a
+          off += 2
+        }
+        WavMeta(m.doc_id, le16(20), le16(22), sr, le16(34), nSamples,
+          nSamples * 1000L / sr, peak, sumAbs, valid = true)
+      }
+    }
   }
 
   final case class PHash(doc_id: Long, phash: Long)

@@ -62,6 +62,52 @@ class MultimodalSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("decodeWav parses a hand-crafted golden WAV by the format spec") {
+    // 2 samples (+256, -32768) at 8000 Hz, bytes written by hand —
+    // independent of the wavify encoder
+    val golden: Array[Byte] = (
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](40, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      Array[Byte](16, 0, 0, 0) ++          // fmt chunk length
+      Array[Byte](1, 0) ++                 // PCM
+      Array[Byte](1, 0) ++                 // mono
+      Array[Byte](0x40, 0x1f, 0, 0) ++     // 8000 Hz LE
+      Array[Byte](-128, 0x3e, 0, 0) ++     // byte rate 16000 LE
+      Array[Byte](2, 0) ++                 // block align
+      Array[Byte](16, 0) ++                // bits
+      "data".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      Array[Byte](0, 1) ++                 // +256 LE
+      Array[Byte](0, -128)                 // -32768 LE
+    )
+    import spark.implicits._
+    val got = Multimodal.decodeWav(
+      Seq(Multimodal.Media(7L, "audio", golden)).toDS()).collect().head
+    assert(got.valid && got.fmt == 1 && got.channels == 1 &&
+      got.sample_rate == 8000 && got.bits == 16 && got.n_samples == 2 &&
+      got.dur_ms == 0 && got.peak == 32768 && got.sum_abs == 33024)
+    // corrupt one magic byte: must come back invalid with zeroed stats
+    val bad = golden.clone(); bad(8) = 'X'.toByte
+    val inv = Multimodal.decodeWav(
+      Seq(Multimodal.Media(8L, "audio", bad)).toDS()).collect().head
+    assert(!inv.valid && inv.peak == 0 && inv.n_samples == 0)
+  }
+
+  test("wavify/decodeWav round-trip recovers rate, duration and PCM stats") {
+    val metas = Multimodal.decodeWav(Multimodal.wavify(media)).collect()
+    assert(metas.length == docs.count() && metas.forall(_.valid))
+    val byId = media.collect().map(m => m.doc_id -> m.payload).toMap
+    metas.foreach { w =>
+      val p = byId(w.doc_id)
+      val sr = 8000 + (w.doc_id % 3) * 4000
+      val samples = p.map(b => ((b & 0xff) - 128).toLong << 8)
+      assert(w.sample_rate == sr && w.n_samples == p.length &&
+        w.dur_ms == p.length * 1000L / sr &&
+        w.peak == samples.map(math.abs).foldLeft(0L)(math.max) &&
+        w.sum_abs == samples.map(math.abs).sum &&
+        w.fmt == 1 && w.channels == 1 && w.bits == 16)
+    }
+  }
+
   test("phashNearDupPairs refuses a radius the banding cannot certify") {
     val hashes = Multimodal.pHash(media).toDF()
     intercept[IllegalArgumentException] {
