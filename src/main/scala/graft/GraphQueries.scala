@@ -104,6 +104,34 @@ object GraphQueries {
         UNION ALL SELECT (1000+r_regionkey)::BIGINT, raw FROM reg WHERE raw > 0)
       SELECT id, CAST(round(raw * 1000000.0) AS BIGINT)::DOUBLE / 1000000.0 AS rank FROM allv""")),
 
+    // harmonic centrality from the region landmarks (r13): each
+    // region's component is its star of nations (d=1) and their
+    // customers/suppliers (d=2), so the closed form is
+    // n_nat·1000000 + (n_cust+n_supp)·500000 micro-units — integer
+    // division keeps the quotients engine-exact (FLOAT_AUDIT rule)
+    Q("g_harmonic_seeds", (s, dir) => {
+      val edges = custNatEdges(s, dir)
+        .unionByName(natRegEdges(s, dir))
+        .unionByName(supNatEdges(s, dir))
+      val seeds = Tables(s, dir, "region")
+        .select((col("r_regionkey") + 1000).cast("long").as("id"))
+      GraphOps.harmonicFromSeeds(s, edges, seeds)
+    },
+      Some("""
+      SELECT (1000+r_regionkey)::BIGINT AS seed,
+             (n_nat * 1000000 + (n_cust + n_supp) * 500000)::BIGINT AS h_micro,
+             (n_nat + n_cust + n_supp)::BIGINT AS n_reached
+      FROM (SELECT r_regionkey,
+              (SELECT count(*) FROM nation
+               WHERE n_regionkey = r_regionkey) AS n_nat,
+              (SELECT count(*) FROM customer JOIN nation
+                 ON c_nationkey = n_nationkey
+               WHERE n_regionkey = r_regionkey) AS n_cust,
+              (SELECT count(*) FROM supplier JOIN nation
+                 ON s_nationkey = n_nationkey
+               WHERE n_regionkey = r_regionkey) AS n_supp
+            FROM region)""")),
+
     Q("g_shortest_hops", (s, dir) => {
       val edges = custNatEdges(s, dir)
         .unionByName(natRegEdges(s, dir))

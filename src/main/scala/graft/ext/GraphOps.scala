@@ -168,6 +168,60 @@ object GraphOps {
     dists
   }
 
+  /** Harmonic centrality from a SEED SET (landmark influence):
+    * h(seed) = Σ over reachable v ≠ seed of 1/d(seed, v), per seed,
+    * by a labeled semi-naive BFS over undirected edges — state is
+    * (seed, id, dist), each round joins only the new frontier against
+    * the edge list, superseded checkpoints release as soon as the
+    * union materializes (the r10 lesson). Contributions ship as the
+    * engine-exact integer `1000000 div d` (micro-units — the
+    * FLOAT_AUDIT integer-plane rule for cross-engine quotients).
+    * Seeds are an explicit bounded frame: state is
+    * O(|seeds| · reachable) — landmark centrality, not all-pairs —
+    * and `maxDepth` caps the rounds on long-tailed graphs. Returns
+    * (seed, h_micro, n_reached), sealed so the BFS checkpoints free
+    * deterministically.
+    */
+  def harmonicFromSeeds(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxDepth: Int = 8): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var dists = seeds.select(col("id").cast("long").as("seed"),
+        col("id").cast("long").as("id"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = dists
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      val next = frontier.join(und, frontier("id") === und("src"))
+        .select(frontier("seed"), und("dst").as("id"),
+          (frontier("dist") + 1).as("dist"))
+        .groupBy("seed", "id").agg(min("dist").as("dist"))
+        .join(dists.select(col("seed").as("s2"), col("id").as("i2")),
+          col("seed") === col("s2") && col("id") === col("i2"), "left_anti")
+        .select("seed", "id", "dist")
+        .localCheckpoint()
+      if (next.isEmpty) { done = true; next.unpersist(blocking = false) }
+      else {
+        val prev = dists
+        dists = dists.unionByName(next).localCheckpoint()
+        prev.unpersist(blocking = false)
+        if (!(frontier eq prev)) frontier.unpersist(blocking = false)
+        frontier = next
+      }
+      depth += 1
+    }
+    if (!(frontier eq dists)) frontier.unpersist(blocking = false)
+    und.unpersist(blocking = false)
+    Ranks.sealAndRelease(
+      dists.filter(col("dist") > 0)
+        .groupBy("seed").agg(
+          sum(expr("1000000L div dist")).as("h_micro"),
+          count(lit(1)).as("n_reached")),
+      dists)
+  }
+
   /** Bounded k-core peel: `rounds` iterations of "drop every vertex
     * with undirected degree < k, then drop dangling edges". At
     * convergence (fixture graphs converge in 2-3 rounds; the spec

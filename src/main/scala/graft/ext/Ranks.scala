@@ -43,7 +43,7 @@ object Ranks {
     * reference — the primitive cannot know when the caller is done,
     * but the wide intermediate is entirely ours to free.
     */
-  private def sealAndRelease(out: DataFrame, parts: DataFrame): DataFrame = {
+  private[ext] def sealAndRelease(out: DataFrame, parts: DataFrame): DataFrame = {
     val res = out.localCheckpoint(true)
     parts.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

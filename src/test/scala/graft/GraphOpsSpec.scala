@@ -21,6 +21,26 @@ class GraphOpsSpec extends GraftSuite {
     assert(got.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("harmonicFromSeeds: hand-computed chain, two seeds, depth cap") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 plus an isolated edge 10-11; seeds 1 and 10.
+    // From 1: d(2)=1, d(3)=2, d(4)=3, d(5)=4 →
+    //   h = 1000000 + 500000 + 333333 + 250000 = 2083333, reached 4.
+    // From 10: d(11)=1 → 1000000, reached 1.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("id")
+    val got = GraphOps.harmonicFromSeeds(spark, edges, seeds)
+      .orderBy("seed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2083333L, 4L), (10L, 1000000L, 1L)))
+    // depth cap truncates the frontier, never wrong-answers below it
+    val capped = GraphOps.harmonicFromSeeds(spark, edges, seeds, maxDepth = 2)
+      .orderBy("seed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(capped == Seq((1L, 1500000L, 2L), (10L, 1000000L, 1L)))
+  }
+
   test("kCore: k above max degree empties the graph") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
