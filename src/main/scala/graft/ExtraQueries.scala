@@ -488,6 +488,34 @@ object ExtraQueries {
     // over a stub 16kHz-mono duration (real decode fills this slot);
     // the ceil-division window schedule of t_chunk_windows applied to
     // time — map-only; only the payload byte length is consumed
+    // segment schedule over the PARSED WAV duration (r13): the same
+    // ceil-division windows as m_audio_segments, but dur_ms comes
+    // from decodeWav's real header parse (n_samples/sample_rate per
+    // the RIFF fields) — 20/15 ms windows sized to the fixture's
+    // parsed durations so docs genuinely split into multiple segments
+    Q("m_wav_segments", (s, dir) => {
+      import s.implicits._
+      Multimodal.wavSegments(
+        Multimodal.wavify(
+          Multimodal.withBinary(t(s, dir, "documents"))
+            .as[Multimodal.Media]), segMs = 20, strideMs = 15)
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id,
+               (octet_length(encode(text)) * 1000)
+                 // (8000 + (doc_id % 3) * 4000) AS dur_ms
+        FROM documents),
+      k AS (SELECT doc_id, dur_ms,
+                   greatest(0, (dur_ms - 20 + 14) // 15) AS k
+            FROM a),
+      st AS (SELECT doc_id, dur_ms,
+                    unnest(generate_series(0, k * 15, 15)) AS start_ms
+             FROM k)
+      SELECT doc_id, CAST(start_ms / 15 AS BIGINT) AS seg_idx,
+             start_ms::BIGINT AS start_ms,
+             least(20, dur_ms - start_ms)::BIGINT AS seg_ms
+      FROM st""")),
+
     Q("m_audio_segments", (s, dir) => {
       import s.implicits._
       Multimodal.audioSegments(

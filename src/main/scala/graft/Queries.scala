@@ -328,6 +328,47 @@ object Queries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
 
+    // CUSUM changepoint over the hourly event rate (r13): the
+    // classic mean-shift detector, all-integer — S_k = N·Σ_{i≤k}c_i −
+    // k·T (the cusum scaled by N, same argmax as Σ(c−mean)). The
+    // prefix runs through Ranks.prefixSumLong (range partition + one
+    // carry long per partition, map-only assign) and the rank through
+    // keyedRowIndex — no physical Window even when the grid grows to
+    // per-minute/per-key cardinality; T and the peak are 1-row
+    // broadcast aggregates
+    Q("w_changepoint", (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val idx = graft.ext.Ranks.keyedRowIndex(hourly, Nil,
+        Seq(col("hour").asc), "__r", "__n")
+      val pre = graft.ext.Ranks.prefixSumLong(idx,
+        Seq(col("hour").asc), "c", "__pc")
+      val tot = hourly.agg(sum("c").as("__t"))
+      val scored = pre.crossJoin(broadcast(tot))
+        .select(col("hour"), col("c"),
+          (col("__n") * col("__pc") - (col("__r") + 1) * col("__t"))
+            .as("cusum_scaled"))
+      val peak = scored.agg(max(abs(col("cusum_scaled"))).as("__mx"))
+      scored.crossJoin(broadcast(peak))
+        .select(col("hour"), col("c"), col("cusum_scaled"),
+          (abs(col("cusum_scaled")) === col("__mx")).as("is_peak"))
+    },
+      Some("""
+      WITH h AS (SELECT date_trunc('hour', ts) AS hour, count(*)::BIGINT AS c
+                 FROM events GROUP BY 1),
+      s AS (SELECT hour, c,
+              (SELECT count(*) FROM h)::BIGINT AS n,
+              (SELECT sum(c) FROM h)::BIGINT AS t,
+              (sum(c) OVER (ORDER BY hour))::BIGINT AS pc,
+              row_number() OVER (ORDER BY hour) AS rk
+            FROM h),
+      sc AS (SELECT hour, c, (n*pc - rk*t)::BIGINT AS cusum_scaled FROM s)
+      SELECT hour, c, cusum_scaled,
+             (abs(cusum_scaled) =
+               (SELECT max(abs(cusum_scaled)) FROM sc)) AS is_peak
+      FROM sc""")),
+
     Q("w_tumbling_hour", (s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
@@ -1182,6 +1223,39 @@ object Queries {
                     t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")}))) > 0
                   THEN 'en' ELSE 'unknown' END AS lang_guess
       FROM documents""")),
+
+    // eval-calibration PR sweep (r13): one combinable aggregate of
+    // 3·steps conditional counts folds the corpus, the combined row
+    // explodes into the 20-cutoff grid map-only — the shape a quality
+    // classifier's operating point is tuned from; ratios are micro
+    // ints (div), cutoffs past the max score exercise the NULL
+    // precision branch
+    Q("t_threshold_sweep", (s, dir) =>
+      TextAnalysis.thresholdSweep(
+        t(s, dir, "documents"),
+        least(length(col("text")), lit(1000)).cast("long") * 1000L,
+        col("text").contains("the "),
+        steps = 20, stepMicro = 50000L),
+      Some("""
+      WITH d AS (SELECT least(len(text), 1000) * 1000 AS score,
+                        (text LIKE '%the %') AS lab
+                 FROM documents),
+      g AS (SELECT unnest(generate_series(0, 19)) AS i),
+      c AS (SELECT (i * 50000)::BIGINT AS threshold_micro,
+              sum(CASE WHEN score >= i*50000 AND lab THEN 1 ELSE 0 END)::BIGINT AS tp,
+              sum(CASE WHEN score >= i*50000 AND NOT lab THEN 1 ELSE 0 END)::BIGINT AS fp,
+              sum(CASE WHEN score < i*50000 AND lab THEN 1 ELSE 0 END)::BIGINT AS fn
+            FROM g CROSS JOIN d GROUP BY 1),
+      pr AS (SELECT threshold_micro, tp, fp, fn,
+              (CASE WHEN tp+fp > 0 THEN (tp * 1000000) // (tp+fp) END)::BIGINT AS precision_micro,
+              (CASE WHEN tp+fn > 0 THEN (tp * 1000000) // (tp+fn) END)::BIGINT AS recall_micro
+             FROM c)
+      SELECT threshold_micro, tp, fp, fn, precision_micro, recall_micro,
+             (CASE WHEN precision_micro IS NOT NULL AND recall_micro IS NOT NULL
+                    AND precision_micro + recall_micro > 0
+                   THEN (2 * precision_micro * recall_micro)
+                        // (precision_micro + recall_micro) END)::BIGINT AS f1_micro
+      FROM pr""")),
 
     Q("t_quality_score", (s, dir) =>
       t(s, dir, "documents")

@@ -205,6 +205,27 @@ object Multimodal {
     }
   }
 
+  /** Segment schedule over the PARSED duration: [[audioSegments]]'s
+    * ceil-division windows, but the duration comes from a REAL
+    * [[decodeWav]] header parse (n_samples / sample_rate) instead of
+    * the stub byte-length rate — the honest end of the decode →
+    * schedule pipeline. Invalid payloads drop (a production pipeline
+    * routes them to quarantine, not into the schedule). Map-only
+    * explode; the payload column prunes after the header fold.
+    */
+  def wavSegments(media: Dataset[Media], segMs: Long = 30000,
+      strideMs: Long = 25000): DataFrame = {
+    decodeWav(media).toDF()
+      .filter(col("valid"))
+      .withColumn("k", greatest(lit(0L),
+        ((col("dur_ms") - segMs + strideMs - 1) / strideMs).cast("long")))
+      .select(col("doc_id"), col("dur_ms"),
+        posexplode(sequence(lit(0L), col("k") * strideMs, lit(strideMs))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("start_ms"),
+        least(lit(segMs), col("dur_ms") - col("col")).as("seg_ms"))
+  }
+
   final case class PHash(doc_id: Long, phash: Long)
 
   /** Full 64-bit perceptual fingerprint: resample the payload to 64

@@ -148,6 +148,54 @@ object Ranks {
       :+ StructField(totalName, LongType, nullable = false))), parts)
   }
 
+  /** Adds `outName` = the INCLUSIVE running sum of the long column
+    * `valueName` in `sortCols` order — the distributed
+    * `sum(v) OVER (ORDER BY sort ROWS UNBOUNDED PRECEDING)`. Pass 1
+    * collects ONE long per partition, the driver walk carries the
+    * exclusive prefix, pass 2 is map-only — the [[prefixMinLong]]
+    * shape with addition as the monoid. Non-null contract as there.
+    */
+  def prefixSumLong(df: DataFrame, sortCols: Seq[Column],
+      valueName: String, outName: String): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val parts = df.repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint(true)
+    val schema = parts.schema
+    val vIdx = schema.fieldIndex(valueName)
+    val sums = parts.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; var any = false
+      it.foreach { r =>
+        any = true
+        if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+          s"prefixSumLong: null in value column '$valueName' — the " +
+            "primitive requires a non-null long column")
+        s += r.getLong(vIdx)
+      }
+      if (any) Iterator.single((pid, s)) else Iterator.empty
+    }.collect().toMap
+    val numParts = parts.rdd.getNumPartitions
+    val carry = new Array[Long](numParts)
+    var acc = 0L
+    var pid = 0
+    while (pid < numParts) {
+      carry(pid) = acc
+      acc += sums.getOrElse(pid, 0L)
+      pid += 1
+    }
+    val bc = spark.sparkContext.broadcast(carry)
+    val out = parts.rdd.mapPartitionsWithIndex { (p, it) =>
+      var run = bc.value(p)
+      it.map { r =>
+        run += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    sealAndRelease(spark.createDataFrame(out, StructType(schema.fields
+      :+ StructField(outName, LongType, nullable = false))), parts)
+  }
+
   /** Standard SQL `ntile(k)` bucket (1-based) from a 0-based global
     * rank and the total row count — identical to the window function
     * on both engines: the first `n % k` buckets hold `n div k + 1`

@@ -855,4 +855,46 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), round(col("cos"), 6).as("cos"),
         col("rank"))
   }
+
+  /** Eval-calibration threshold sweep (the PR-curve grid a quality
+    * classifier is tuned from): precision / recall / F1 at each score
+    * cutoff `t·stepMicro`, t ∈ [0, steps). ONE aggregate of 3·steps
+    * conditional counts folds the whole corpus (map-side combinable —
+    * no shuffle of the rows, no per-threshold pass), then the single
+    * combined row explodes map-only into the grid. Ratios ship as
+    * engine-exact micro ints (`div`, FLOAT_AUDIT integer-plane rule);
+    * an empty denominator yields NULL, matching SQL aggregates.
+    */
+  def thresholdSweep(df: org.apache.spark.sql.DataFrame,
+      scoreMicro: Column, label: Column, steps: Int,
+      stepMicro: Long): org.apache.spark.sql.DataFrame = {
+    require(steps > 0 && stepMicro > 0, "positive grid required")
+    val aggs = (0 until steps).flatMap { t =>
+      val cut = lit(t * stepMicro)
+      Seq(
+        sum(when(scoreMicro >= cut && label, 1L).otherwise(0L)).as(s"tp_$t"),
+        sum(when(scoreMicro >= cut && !label, 1L).otherwise(0L)).as(s"fp_$t"),
+        sum(when(scoreMicro < cut && label, 1L).otherwise(0L)).as(s"fn_$t"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val grid = (0 until steps).map { t =>
+      struct(lit(t.toLong * stepMicro).as("threshold_micro"),
+        coalesce(col(s"tp_$t"), lit(0L)).as("tp"),
+        coalesce(col(s"fp_$t"), lit(0L)).as("fp"),
+        coalesce(col(s"fn_$t"), lit(0L)).as("fn"))
+    }
+    val p = expr("tp * 1000000L div (tp + fp)")
+    val r = expr("tp * 1000000L div (tp + fn)")
+    one.select(explode(array(grid: _*)).as("g")).select(col("g.*"))
+      .withColumn("precision_micro",
+        when(col("tp") + col("fp") > 0, p))
+      .withColumn("recall_micro",
+        when(col("tp") + col("fn") > 0, r))
+      .withColumn("f1_micro",
+        when(col("precision_micro").isNotNull &&
+             col("recall_micro").isNotNull &&
+             col("precision_micro") + col("recall_micro") > 0,
+          expr("2L * precision_micro * recall_micro div " +
+            "(precision_micro + recall_micro)")))
+  }
 }

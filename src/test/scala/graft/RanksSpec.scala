@@ -76,6 +76,17 @@ class RanksSpec extends GraftSuite {
     assert(got.head.isNullAt(3))
   }
 
+  test("prefixSumLong equals the inclusive running-sum window") {
+    val w = Window.orderBy(col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = fixture
+      .withColumn("ps", sum("v").over(w))
+      .orderBy("id").collect().toSeq
+    val got = Ranks.prefixSumLong(fixture, Seq(col("id").asc), "v", "ps")
+      .orderBy("id").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("primitives release their intermediate checkpoints deterministically") {
     // the r10/r12 leak class: every call used to pin a full-width
     // range-partitioned copy until GC; repeated callers accumulate.
