@@ -387,7 +387,18 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         // + distinct-key frame + null-safe join-backs per disjunct
         // with one semi/anti join per branch (measured 4.9 s → direct
         // path costs on the union-correlated gate).
-        case ECall("||", _) if orOfExists(cond) =>
+        // BOUNDED at 3 disjuncts: branch k's input stacks k−1 negated
+        // guards, so the partition cascade is QUADRATIC in branches
+        // (re-evaluating an ever-deeper unshared stack — measured 16 s
+        // at sf0.1 on the 8-branch gate vs ~2 s through the linear
+        // flag path); past the cutoff the flag machinery below wins
+        case ECall("||", _) if orOfExists(cond) && {
+          def width(e: Expr): Int = e match {
+            case ECall("||", bs) => bs.map(width).sum
+            case _ => 1
+          }
+          width(cond) <= 3
+        } =>
           def flat(e: Expr): Seq[Expr] = e match {
             case ECall("||", bs) => bs.flatMap(flat)
             case o => Seq(o)
@@ -449,7 +460,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           def rewriteExists(e2: Expr): Expr = e2 match {
             case EExists(sub, positive) =>
               val flag = freshName("exists")
-              cur = addExistsFlag(cur, sub, positive, flag)
+              cur = addExistsFlag(cur, sub, positive, flag,
+                Algebra.maybeUnbound(input), keySource = in)
               ECall("__existsflag", Seq(EVar(flag)))
             case ECall(o2, as2) => ECall(o2, as2.map(rewriteExists))
             case other => other
@@ -481,7 +493,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       def rewriteExists(e2: Expr): Expr = e2 match {
         case EExists(sub, positive) =>
           val flag = freshName("exists")
-          cur = addExistsFlag(cur, sub, positive, flag)
+          cur = addExistsFlag(cur, sub, positive, flag,
+            Algebra.maybeUnbound(input), keySource = in)
           ECall("__existsflag", Seq(EVar(flag)))
         case ECall(o2, as2) => ECall(o2, as2.map(rewriteExists))
         case other => other
@@ -715,14 +728,22 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * matched row per key, so no fan-out).
     */
   private def addExistsFlag(df: DataFrame, sub: Op, positive: Boolean,
-      flag: String): DataFrame = {
+      flag: String, outerNullable: Set[String] = Set.empty,
+      keySource: DataFrame = null): DataFrame = {
+    // the distinct-key frame reads only the outer's ORIGINAL columns
+    // (flag columns are never shared with a sub-pattern), so chained
+    // flags compute their keys off the pristine input — otherwise
+    // flag k's distinct() re-executes the whole (k-1)-flag plan and
+    // the cascade goes quadratic (measured 865 FileScans on the
+    // 8-branch union gate)
+    val keySrc = Option(keySource).getOrElse(df)
     // CORRELATED case (§18.6, EXISTS inside a compound boolean or a
     // BIND expression): same decorrelation as the direct-FILTER form —
     // hoist the spine's correlated conditions, evaluate the residual
     // once, and fold the conditions into the key-match join; the
     // outer's correlated columns join the distinct-key frame
     val corr = (exprRefVars(sub) -- Algebra.inScope(sub).toSet)
-      .intersect(df.columns.toSet)
+      .intersect(keySrc.columns.toSet)
     val (residual, corrConds, corrBinds) =
       if (corr.isEmpty) (sub, Seq.empty[Expr], Seq.empty[(String, Expr)])
       else splitCorrelated(sub, corr).getOrElse(
@@ -734,7 +755,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     if (corr.nonEmpty)
       walkExists(residual, df.columns.toSet ++ Algebra.inScope(residual))
     val subDf = comp(residual)
-    val shared = df.columns.intersect(subDf.columns).toIndexedSeq
+    val shared = keySrc.columns.intersect(subDf.columns).toIndexedSeq
     if (shared.isEmpty && corr.isEmpty) {
       val any = !subDf.isEmpty
       df.withColumn(flag, lit(any == positive))
@@ -751,10 +772,18 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       val rr = rrCols.foldLeft(subDf.select(rrCols.map(subDf(_)): _*)) {
         (d, v) => d.withColumnRenamed(v, renames(v))
       }
-      val keys = df.select(keyCols.map(df(_)): _*).distinct()
+      val keys = keySrc.select(keyCols.map(keySrc(_)): _*).distinct()
+      // null-tolerant compatibility ONLY where a side can actually be
+      // unbound — the OR-of-isNull form defeats equi-key extraction
+      // and drops the semi-join to a BroadcastNestedLoopJoin (measured
+      // 8 NL joins / 13.5 s on the 8-branch union gate); never-null
+      // vars join on plain termEq, a hash-joinable equi key
+      val sideNull = outerNullable ++ Algebra.maybeUnbound(residual)
       val compat = shared.map(v =>
-        keys(v).isNull || rr(renames(v)).isNull ||
-          termEq(keys(v), rr(renames(v))))
+        if (sideNull(v))
+          keys(v).isNull || rr(renames(v)).isNull ||
+            termEq(keys(v), rr(renames(v)))
+        else termEq(keys(v), rr(renames(v))))
       val base: String => Column = v =>
         if (keyCols.contains(v) && renames.contains(v))
           coalesce(keys(v), rr(renames(v))) // substitution: outer wins
@@ -1795,6 +1824,33 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         val (l2, cl, bl) = walk(l)
         val (r2, cr, br) = walk(r)
         (Join(l2, r2), cl ++ cr, bl ++ br)
+      // UNION (r13): hoisting a branch's correlated condition out of
+      // its branch is sound when guarded by a branch DISCRIMINATOR —
+      // each side gets BIND(__branch = k), and a hoisted condition c
+      // becomes (__branch != k || c): rows of the other branch pass
+      // it vacuously. The whole union then compiles as ONE probe and
+      // ONE semi/anti join instead of per-branch distribution (the
+      // 8-branch gate ran 8 probe pipelines — quadratic through the
+      // partition path, a large linear constant through flags; this
+      // path is a single shuffle). Nested unions compose: an inner
+      // discriminator guard re-guards under the outer one, and
+      // other-branch rows see the inner guard's var as unbound so the
+      // outer guard short-circuits first. Correlated BINDs under a
+      // union stay non-hoistable (inlining cannot be branch-guarded).
+      case Union(l, r) =>
+        val (l2, cl, bl) = walk(l)
+        val (r2, cr, br) = walk(r)
+        if (cl.isEmpty && cr.isEmpty && bl.isEmpty && br.isEmpty)
+          (Union(l2, r2), Nil, Nil)
+        else if (bl.nonEmpty || br.nonEmpty) { failed = true; (op, Nil, Nil) }
+        else {
+          val b = freshName("branch")
+          val zero = EConst(T.num("0")); val one = EConst(T.num("1"))
+          def guard(tag: Expr, cs: Seq[Expr]): Seq[Expr] =
+            cs.map(c => ECall("||", Seq(ECall("!=", Seq(EVar(b), tag)), c)))
+          (Union(Extend(l2, b, zero), Extend(r2, b, one)),
+            guard(zero, cl) ++ guard(one, cr), Nil)
+        }
       case Project(i, vs) =>
         val (i2, cs, bs) = walk(i)
         if (cs.isEmpty && bs.isEmpty) (op, Nil, Nil)
