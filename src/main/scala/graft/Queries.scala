@@ -328,6 +328,20 @@ object Queries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
 
+    // SCD-2 dimension build (r13): per-user validity intervals from
+    // the event stream — boundary-merge rank + a self-join on
+    // (user, rank+1), whose keys are unique per row (no hot bucket
+    // even for a bot user); to_ns NULL marks the current state
+    Q("w_scd2_intervals", (s, dir) =>
+      graft.ext.EventWindows.scd2Intervals(t(s, dir, "events")),
+      Some("""
+      SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+             event_type, epoch_us(ts) * 1000 AS from_ns,
+             lead(epoch_us(ts) * 1000) OVER w AS to_ns,
+             (lead(ts) OVER w IS NULL) AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
+
     // CUSUM changepoint over the hourly event rate (r13): the
     // classic mean-shift detector, all-integer — S_k = N·Σ_{i≤k}c_i −
     // k·T (the cusum scaled by N, same argmax as Σ(c−mean)). The

@@ -347,4 +347,29 @@ object EventWindows {
     // an O(pairs) wide exchange for provably-unique rows)
     if (dedup) pairs.distinct() else pairs
   }
+
+  /** SCD-2 validity intervals from an event/CDC stream: per key in
+    * event order, each row's state is valid from its own timestamp
+    * until the NEXT row's (`to_ns` NULL ⇒ current). The lead comes
+    * from [[Ranks.keyedRowIndex]] (boundary-merge rank — no physical
+    * Window, bot-user-proof) followed by a self-join on
+    * (key, rank+1): the join keys are UNIQUE per row, so even a key
+    * holding half the table produces no hot join bucket — the classic
+    * dimension-build shape at 100 TB.
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("event_type"),
+      col("ts_ns").cast("long"))
+    val ranked = Ranks.keyedRowIndex(base, Seq("user_id"),
+      Seq(col("ts_ns").asc, col("event_id").asc), "__r", "__n")
+    val next = ranked.select(col("user_id").as("__u2"),
+      (col("__r") - 1).as("__r2"), col("ts_ns").as("to_ns"))
+    ranked.join(next,
+        col("user_id") === col("__u2") && col("__r") === col("__r2"),
+        "left_outer")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_ns").as("from_ns"), col("to_ns"),
+        col("to_ns").isNull.as("is_current"))
+  }
 }

@@ -1165,6 +1165,57 @@ class SparqlSpec extends GraftSuite {
     assert(offSpine.getMessage.contains("correlated"))
   }
 
+  test("correlated EXISTS over a 9-branch UNION: discriminator hoist, not distribution") {
+    // 9 branches sit PAST the distribution cap (8) — before the r13
+    // union-aware splitCorrelated this shape was loud; now the union
+    // compiles as one branch-tagged probe and a single semi join
+    val nine = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b .
+           FILTER EXISTS {
+             { ?c :mktsegment "BUILDING" . FILTER(?b > 100) }
+             UNION { ?c :mktsegment "AUTOMOBILE" . FILTER(?b > 200) }
+             UNION { ?c :mktsegment "MACHINERY" . FILTER(?b > 300) }
+             UNION { ?c :mktsegment "HOUSEHOLD" . FILTER(?b > 400) }
+             UNION { ?c :mktsegment "FURNITURE" . FILTER(?b > 500) }
+             UNION { ?c :nation ?n . FILTER(?b > 9000) }
+             UNION { ?c a :Customer . FILTER(?b < 0) }
+             UNION { ?c :name ?nm . FILTER(?b > 9900) }
+             UNION { ?c a :Supplier . FILTER(?b > 9990) } } }""")
+      .map(_.getString(0)).sorted.toSeq
+    val flat = q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :mktsegment "BUILDING" . FILTER(?b > 100) }""")
+      .map(_.getString(0)) ++
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :mktsegment "AUTOMOBILE" . FILTER(?b > 200) }""")
+      .map(_.getString(0)) ++
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :mktsegment "MACHINERY" . FILTER(?b > 300) }""")
+      .map(_.getString(0)) ++
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :mktsegment "HOUSEHOLD" . FILTER(?b > 400) }""")
+      .map(_.getString(0)) ++
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :mktsegment "FURNITURE" . FILTER(?b > 500) }""")
+      .map(_.getString(0)) ++
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :nation ?n . FILTER(?b > 9000) }""")
+      .map(_.getString(0)) ++
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c a :Customer . FILTER(?b < 0) }""")
+      .map(_.getString(0)) ++
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c :name ?nm . FILTER(?b > 9900) }""")
+      .map(_.getString(0)) ++
+      q("""SELECT ?c WHERE {
+           ?c :acctbal ?b . ?c a :Supplier . FILTER(?b > 9990) }""")
+      .map(_.getString(0))
+    // the outer pattern yields one row per acctbal carrier; EXISTS
+    // keeps it if ANY branch matches — the distinct union of branches
+    assert(nine.nonEmpty && nine.toSet == flat.toSet)
+    assert(nine.distinct == nine,
+      "EXISTS must not duplicate outer rows regardless of branch count")
+  }
+
   test("non-zero OFFSET under EXISTS stays loud when correlated") {
     // stripExistsTop strips ORDER BY and offset-0 LIMIT (emptiness-
     // preserving); an OFFSET > 0 slice observes solution COUNT, so a
