@@ -1635,6 +1635,40 @@ object Queries {
     // scalar; per-TYPE contributions are fixed to integer micro-nats
     // (same trick as t_entropy) so the cross-doc sum is exact in both
     // engines, and the avg divides two exact integers.
+    // curriculum deciles (r13): documents bucketed by total unigram
+    // surprisal — the difficulty signal a curriculum schedule samples
+    // from. Composes the NLL pipeline with the DISTRIBUTED exact
+    // ntile (keyedRowIndex + ntileExpr — no physical Window); the
+    // ordering key is the integer (nll_unats, doc_id), never a
+    // float average, so decile boundaries are engine-exact
+    Q("t_nll_deciles", (s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val cts = tk.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val corpus = tk.groupBy("tok").agg(count(lit(1)).as("cc"))
+      val total = tk.agg(count(lit(1)).as("n_total"))
+      val nll = cts.join(corpus, "tok").crossJoin(total)
+        .select(col("doc_id"),
+          round(col("c") * -log(col("cc").cast("double") / col("n_total")) * 1e6, 0)
+            .cast("long").as("u"))
+        .groupBy("doc_id").agg(sum("u").as("nll_unats"))
+      val ranked = graft.ext.Ranks.keyedRowIndex(nll, Nil,
+        Seq(col("nll_unats").asc, col("doc_id").asc), "__r", "__n")
+      ranked.select(col("doc_id"), col("nll_unats"),
+        graft.ext.Ranks.ntileExpr("__r", "__n", 10).cast("long").as("decile"))
+    }, Some("""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      cts AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      corpus AS (SELECT tok, count(*) AS cc FROM tk GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM tk),
+      u AS (SELECT doc_id, c,
+              CAST(round(c * -ln(cc::DOUBLE / n_total) * 1000000) AS BIGINT) AS u
+            FROM cts JOIN corpus USING (tok), tot),
+      nll AS (SELECT doc_id, sum(u)::BIGINT AS nll_unats FROM u GROUP BY 1)
+      SELECT doc_id, nll_unats,
+             ntile(10) OVER (ORDER BY nll_unats, doc_id)::BIGINT AS decile
+      FROM nll""")),
+
     Q("t_unigram_nll", (s, dir) => {
       val tk = t(s, dir, "documents")
         .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
