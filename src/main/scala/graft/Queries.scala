@@ -328,6 +328,39 @@ object Queries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
 
+    // gaps-and-islands streaks (r13): longest run of CONSECUTIVE
+    // active days per user — island id = day_number − per-user rank
+    // (constant exactly within a consecutive run; pure integers).
+    // Rank via keyedRowIndex (boundary-merge, no physical Window,
+    // bot-user-proof), then two combinable aggregates
+    Q("w_streaks", (s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          expr("unix_micros(ts) div 86400000000L").as("day_n"))
+        .distinct()
+      val ranked = graft.ext.Ranks.keyedRowIndex(days, Seq("user_id"),
+        Seq(col("day_n").asc), "__r", "__n")
+      ranked.withColumn("island", col("day_n") - col("__r"))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(
+          sum("len").as("active_days"),
+          count(lit(1)).as("n_streaks"),
+          max("len").as("longest_streak"))
+    }, Some("""
+      WITH d AS (SELECT DISTINCT user_id::BIGINT AS user_id,
+                        epoch_us(ts) // 86400000000 AS day_n
+                 FROM events),
+      r AS (SELECT user_id, day_n,
+              day_n - (row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_n) - 1) AS island
+            FROM d),
+      st AS (SELECT user_id, island, count(*)::BIGINT AS len
+             FROM r GROUP BY 1, 2)
+      SELECT user_id, sum(len)::BIGINT AS active_days,
+             count(*)::BIGINT AS n_streaks,
+             max(len)::BIGINT AS longest_streak
+      FROM st GROUP BY 1""")),
+
     // SCD-2 dimension build (r13): per-user validity intervals from
     // the event stream — boundary-merge rank + a self-join on
     // (user, rank+1), whose keys are unique per row (no hot bucket
@@ -582,6 +615,54 @@ object Queries {
     // day bins place each interval in exactly one bin — hourly bins
     // replayed every same-day pair in up to 24 bins before the distinct
     // (14.5 s → bin-count-proportional at sf0.1)
+    // global interval merge (r13): coalesce ALL users' daily activity
+    // intervals into maximal busy spans — the gaps-and-islands shape
+    // with NO partition key, the canonical one-window-task killer.
+    // Chains the distributed prefix primitives: exclusive prefix-MAX
+    // of interval ends (prefixMinLong on the negated column), break
+    // flags where start > running max, island ids via prefixSumLong —
+    // three range exchanges + map-only assigns, never a global Window
+    Q("q_merge_intervals", (s, dir) => {
+      val iv = t(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+        .select("s_us", "e_us")
+      val neg = iv.withColumn("__neg_e", -col("e_us"))
+      val pm = graft.ext.Ranks.prefixMinLong(neg,
+        Seq(col("s_us").asc, col("e_us").asc), "__neg_e", "__pm")
+      val flagged = pm.withColumn("__ni",
+        when(col("__pm").isNull || col("s_us") > -col("__pm"), 1L)
+          .otherwise(0L))
+      val isl = graft.ext.Ranks.prefixSumLong(flagged,
+        Seq(col("s_us").asc, col("e_us").asc), "__ni", "island")
+      isl.groupBy("island").agg(
+          min("s_us").as("span_start_us"), max("e_us").as("span_end_us"),
+          count(lit(1)).as("n_intervals"))
+        .select(col("island"), col("span_start_us"), col("span_end_us"),
+          (col("span_end_us") - col("span_start_us")).as("span_us"),
+          col("n_intervals"))
+    }, Some("""
+      WITH iv AS (SELECT user_id, date_trunc('day', ts) AS day,
+                    min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+                  FROM events GROUP BY 1, 2),
+      o AS (SELECT s_us, e_us,
+              max(e_us) OVER (ORDER BY s_us, e_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+            FROM iv),
+      f AS (SELECT s_us, e_us,
+              CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END AS ni
+            FROM o),
+      i AS (SELECT s_us, e_us,
+              (sum(ni) OVER (ORDER BY s_us, e_us
+                 ROWS UNBOUNDED PRECEDING))::BIGINT AS island
+            FROM f)
+      SELECT island, min(s_us)::BIGINT AS span_start_us,
+             max(e_us)::BIGINT AS span_end_us,
+             (max(e_us) - min(s_us))::BIGINT AS span_us,
+             count(*)::BIGINT AS n_intervals
+      FROM i GROUP BY 1""")),
+
     Q("w_interval_overlap", (s, dir) => {
       val iv = t(s, dir, "events")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
