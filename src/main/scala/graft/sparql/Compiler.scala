@@ -357,6 +357,19 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case _ => ()
       }
       cond match {
+        // conjunctions containing EXISTS split into a filter stack
+        // BEFORE the compound loud checks (r13): exclusion semantics
+        // are identical (EBV false and error both exclude the row),
+        // and each conjunct then takes its own full dispatch — direct
+        // semi/anti join (id-plane eligible), correlated machinery,
+        // or the nested key-frame splice — instead of the flag path;
+        // a conjunct whose shape is genuinely unsupported still fails
+        // loudly at ITS OWN dispatch
+        case ECall("&&", as) if as.size >= 2 && as.exists(containsExists) =>
+          return comp(as.foldRight(input)((c, acc) => Filter(c, acc)))
+        case _ => ()
+      }
+      cond match {
         // correlated FILTER [NOT] EXISTS (§18.6): inner expressions
         // read outer-only vars → decorrelate (substitution realized as
         // extra join conditions) instead of evaluating them unbound
@@ -371,13 +384,6 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         case EExists(sub, positive) =>
           val pushed = filterJoinOverIds(input, sub, positive)
           if (pushed.isDefined) return pushed.get
-        // conjunctions containing EXISTS split into a filter stack:
-        // exclusion semantics are identical (EBV false and error both
-        // exclude the row), and each conjunct then takes its own
-        // direct path — an EXISTS conjunct becomes one semi/anti join
-        // (id-plane eligible) instead of entering the flag machinery
-        case ECall("&&", as) if as.size >= 2 && as.exists(containsExists) =>
-          return comp(as.foldRight(input)((c, acc) => Filter(c, acc)))
         // pure disjunction of EXISTS: partition the input by the FIRST
         // true disjunct — F(a ∨ b) = F(a, in) ∪ F(b, F(¬a, in)) — and
         // give every branch the direct semi/anti path. Exact because

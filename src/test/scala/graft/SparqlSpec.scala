@@ -1216,6 +1216,29 @@ class SparqlSpec extends GraftSuite {
       "EXISTS must not duplicate outer rows regardless of branch count")
   }
 
+  test("nested EXISTS inside a conjunction splits to its own dispatch") {
+    // the && split now runs before the compound loud checks, so each
+    // conjunct — including one whose EXISTS carries a depth-2 escape —
+    // compiles through the nested key-frame path
+    val got = q("""SELECT ?c WHERE {
+           ?c :nation ?n . ?c :mktsegment ?seg .
+           FILTER(EXISTS {
+             ?c :acctbal ?bal .
+             FILTER EXISTS {
+               ?c2 :mktsegment ?seg . ?c2 :acctbal ?b2 .
+               FILTER(?b2 > ?bal) } } && ?seg != "BUILDING") }""")
+      .map(_.getString(0)).toSet
+    val direct = q("""SELECT ?c WHERE {
+           ?c :nation ?n . ?c :mktsegment ?seg . FILTER(?seg != "BUILDING")
+           FILTER EXISTS {
+             ?c :acctbal ?bal .
+             FILTER EXISTS {
+               ?c2 :mktsegment ?seg . ?c2 :acctbal ?b2 .
+               FILTER(?b2 > ?bal) } } }""")
+      .map(_.getString(0)).toSet
+    assert(got.nonEmpty && got == direct)
+  }
+
   test("non-zero OFFSET under EXISTS stays loud when correlated") {
     // stripExistsTop strips ORDER BY and offset-0 LIMIT (emptiness-
     // preserving); an OFFSET > 0 slice observes solution COUNT, so a
