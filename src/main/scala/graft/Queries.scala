@@ -2420,6 +2420,58 @@ object Queries {
 
     // recall@5 of the IVF ANN against exact brute force — the
     // accuracy metric the ANN recall/latency trade is tuned by
+    // Matryoshka recall CURVE (r13): recall@5 of truncated-dim
+    // brute-force retrieval vs the full-dim ranking, at 8/16/32 of
+    // the 64 dims — the evaluation that decides how small an MRL
+    // embedding can ship. Reuses the rounded-cosine convention and
+    // the broadcast-probe + partial-top-k plan per dim; the curve is
+    // a 3-branch union of k·|queries| frames, never the corpus
+    Q("s_mrl_recall_curve", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, 5)
+      Seq(8, 16, 32).map { d =>
+        val trunc = e.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding"))
+        Similarity.recallAtK(exact,
+            Similarity.bruteForceTopK(trunc.filter(col("vec_id") < 5), trunc, 5), 5)
+          .withColumn("dim", lit(d.toLong))
+      }.reduce(_ unionByName _)
+        .select("dim", "query_id", "n_hits", "recall_micro")
+    }, {
+      val perDim = Seq(8, 16, 32).map { d =>
+        s"""bfx$d AS (
+          SELECT b.query_id, e.vec_id,
+                 ${duckCosine(s"b.q_emb[1:$d]", s"e.embedding[1:$d]")} AS cos
+          FROM embeddings e, q b WHERE e.vec_id <> b.query_id),
+        a$d AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS r
+          FROM bfx$d) WHERE r <= 5)"""
+      }.mkString(",\n        ")
+      val branches = Seq(8, 16, 32).map { d =>
+        s"""SELECT $d::BIGINT AS dim, bf.query_id,
+             sum(CASE WHEN a$d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+             CAST(round(sum(CASE WHEN a$d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE * 1000000.0 / 5) AS BIGINT) AS recall_micro
+           FROM bf LEFT JOIN a$d ON a$d.query_id = bf.query_id AND a$d.vec_id = bf.vec_id
+           GROUP BY 2"""
+      }.mkString("\n        UNION ALL\n        ")
+      Some(s"""
+      WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id < 5),
+      bfx AS (
+        SELECT b.query_id, e.vec_id,
+               ${duckCosine("b.q_emb", "e.embedding")} AS cos
+        FROM embeddings e, q b WHERE e.vec_id <> b.query_id),
+      bf AS MATERIALIZED (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, vec_id ASC) AS r
+        FROM bfx) WHERE r <= 5),
+        $perDim
+      $branches""")
+    }),
+
     Q("s_ann_recall", (s, dir) => {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 5)
