@@ -490,6 +490,26 @@ object SparqlQueries {
                     WHERE s2.p = ':mktsegment' AND s2.o = seg.o
                       AND b2.onum > bal.onum)"""))),
 
+    // EMPTY-GROUP HAVING inside correlated EXISTS (r13, the last
+    // aggregation loud class): an implicit group aggregates the EMPTY
+    // multiset per §18.5.1 (COUNT=0 here), so a customer whose
+    // candidates all fail the substituted ?bal condition — or who has
+    // no orders at all — still materializes a group for HAVING(?n=0)
+    Q("r_exists_empty_group", sq("""
+      SELECT ?c ?bal WHERE {
+        ?c :acctbal ?bal . ?c a :Customer .
+        FILTER EXISTS { { SELECT (COUNT(?o) AS ?n) WHERE {
+            ?o :custkey ?c . FILTER(?bal >= 7500) }
+          HAVING(?n = 0) } } }"""),
+      Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, b.o AS bal
+      FROM quads b
+      JOIN quads ty ON ty.s = b.s AND ty.p = 'rdf:type'
+                    AND ty.o = ':Customer'
+      WHERE b.p = ':acctbal'
+        AND (b.onum < 7500
+             OR b.s NOT IN (SELECT o FROM quads WHERE p = ':custkey'))"""))),
+
     // correlated BIND inside EXISTS (§18.6): the inner BIND reads
     // ?bal from the OUTER pattern and a spine FILTER consumes the
     // bound var — decorrelation inlines the definition into the

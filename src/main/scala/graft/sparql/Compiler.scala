@@ -2566,7 +2566,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       val in = comp(input)
       return Some(if (positive) in else in.limit(0))
     }
-    if (gkeys.isEmpty) return None // empty-group HAVING: stays loud
+    // empty-group HAVING (r13): with an IMPLICIT group, aggregating
+    // ZERO candidate rows still yields ONE group per outer key
+    // (§18.5.1: Count/Sum/Avg of {} are 0, GroupConcat "", Min/Max/
+    // Sample unbound) — realized below by LEFT-joining the key frame
+    // and MASKING non-contributing rows instead of filtering them
+    val emptyGroup = gkeys.isEmpty
     if (havings.exists(containsExists)) return None
     // correlation must not reach aggregate args or group-key exprs
     val aggArgRefs = aggs.flatMap(_._2.arg.toSeq).flatMap(exprVarSet).toSet
@@ -2593,11 +2598,16 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           keys(kRen(v)).isNull || id(v).isNull || termEq(keys(kRen(v)), id(v))
         else termEq(keys(kRen(v)), id(v)))
       .reduceOption(_ && _)
+    // marker survives the left join on matched rows only
+    val mk = freshName("m")
+    val idM = if (emptyGroup) id.withColumn(mk, lit(true)) else id
     val cand0 = ikCond match {
-      case Some(c) => keys.join(id, c)
+      case Some(c) =>
+        if (emptyGroup) keys.join(idM, c, "left_outer") else keys.join(idM, c)
       case None =>
         if (keys.count() > 1000) return None
-        keys.crossJoin(id)
+        if (emptyGroup) keys.join(idM, lit(true), "left_outer")
+        else keys.crossJoin(idM)
     }
     // a hoisted bind must not collide with a key column or a residual
     // column — the materialization below could not disambiguate the
@@ -2627,10 +2637,21 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       else if (kRen.contains(v)) cand1(kRen(v))
       else if (cand1.columns.contains(v)) cand1(v)
       else nullTerm
-    val cand = iConds
+    val condCol = iConds
       .map(c => coalesce(compBool(c, res), lit(false)))
       .reduceOption(_ && _)
-      .map(cand1.filter).getOrElse(cand1)
+    val cand =
+      if (!emptyGroup) condCol.map(cand1.filter).getOrElse(cand1)
+      else {
+        // a key whose candidates all fail the substituted conditions
+        // (or that matched nothing) must still aggregate the EMPTY
+        // multiset: null out the contribution columns, keep the key
+        val contrib = (condCol.toSeq :+ cand1(mk).isNotNull).reduce(_ && _)
+        val keep = keyCols.map(v => cand1(kRen(v)).as(kRen(v)))
+        val maskCols = (id.columns.toSeq ++ iBinds.map(_._1)).distinct
+          .map(v => when(contrib, cand1(v)).as(v))
+        cand1.select((keep ++ maskCols :+ contrib.as(mk)): _*)
+      }
     // bind group-key expressions (uncorrelated by the guard above)
     val bound = gkeys.foldLeft(cand) {
       case (d, (v, Some(e))) => d.withColumn(v, compExpr(e, resolver(d)))
@@ -2640,7 +2661,25 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       (if (bound.columns.contains(k._1)) bound(k._1) else nullTerm)
         .as(k._1)
     val groupCols = gkeys.map(gCol) ++ keyCols.map(v => bound(kRen(v)))
-    val aggCols = aggs.map { case (out, a) => compAgg(a, bound).as(out) }
+    val aggCols = aggs.map { case (out, a) =>
+      // COUNT(*) over the masked frame must count CONTRIBUTING rows,
+      // not the placeholder; Sum/Avg of the empty multiset are 0 per
+      // §18.5.1 (Spark's all-null aggregates yield null), GroupConcat
+      // of an empty collect is already "" — the rest stay unbound
+      val base =
+        if (emptyGroup && a.fn == "count" && a.arg.isEmpty)
+          termNumDt(sum(when(col(mk), 1L).otherwise(0L)).cast("double"),
+            Rdf.XsdInteger)
+        else compAgg(a, bound)
+      val fixed =
+        if (!emptyGroup) base
+        else a.fn match {
+          case "sum" => coalesce(base, termNumDt(lit(0.0), Rdf.XsdInteger))
+          case "avg" => coalesce(base, termNum(lit(0.0)))
+          case _ => base
+        }
+      fixed.as(out)
+    }
     val grouped =
       if (aggCols.isEmpty)
         bound.select(groupCols: _*).distinct()

@@ -1285,16 +1285,57 @@ class SparqlSpec extends GraftSuite {
                ?o :custkey ?c2 . FILTER(?bal < -1e18) } } } }""")
       .map(_.getString(0)).toSet
     assert(const == allC, "implicit-group EXISTS must be constant true")
-    // implicit group WITH correlated HAVING: the empty-group row's
-    // aggregate-over-empty values are not synthesizable per key — loud
-    val e = intercept[UnsupportedOperationException] {
+    // implicit group WITH correlated HAVING (CLOSED r13): the key
+    // frame LEFT-joins and masks, so a key whose candidates all fail
+    // the substituted condition aggregates the EMPTY multiset —
+    // COUNT({}) = 0, so HAVING(?n >= 0) holds for every key
+    val always = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal .
+           FILTER EXISTS { { SELECT (COUNT(?o) AS ?n) WHERE {
+               ?o :custkey ?c2 . FILTER(?bal >= 7500) }
+             HAVING(?n >= 0) } } }""")
+      .map(_.getString(0)).toSet
+    val allBal = q("""SELECT ?c WHERE { ?c :acctbal ?bal }""")
+      .map(_.getString(0)).toSet
+    assert(always == allBal, "COUNT of the empty group must be 0, not a dropped key")
+    // HAVING(?n = 0) selects exactly the keys with NO surviving rows:
+    // bal < 7500 (condition kills all candidates) or no orders at all
+    val none = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer .
+           FILTER EXISTS { { SELECT (COUNT(?o) AS ?n) WHERE {
+               ?o :custkey ?c . FILTER(?bal >= 7500) }
+             HAVING(?n = 0) } } }""")
+      .map(_.getString(0)).toSet
+    val direct = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer . FILTER(?bal < 7500) }""")
+      .map(_.getString(0)).toSet ++
       q("""SELECT ?c WHERE {
-             ?c :acctbal ?bal .
-             FILTER EXISTS { { SELECT (COUNT(?o) AS ?n) WHERE {
-                 ?o :custkey ?c2 . FILTER(?bal >= 7500) }
-               HAVING(?n >= 0) } } }""")
-    }
-    assert(e.getMessage.contains("correlated EXISTS"))
+           ?c :acctbal ?bal . ?c a :Customer .
+           FILTER NOT EXISTS { ?o :custkey ?c } }""")
+      .map(_.getString(0)).toSet
+    assert(none == direct)
+    // §18.5.1 empty-group values: Sum({}) = 0, Avg({}) = 0,
+    // Min({}) = unbound — exercised via HAVING reading each
+    val sumZero = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer .
+           FILTER EXISTS { { SELECT (SUM(?tp) AS ?s2) WHERE {
+               ?o :custkey ?c . ?o :totalprice ?tp . FILTER(?bal < -100000) }
+             HAVING(?s2 = 0) } } }""")
+      .map(_.getString(0)).toSet
+    val avgZero = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer .
+           FILTER EXISTS { { SELECT (AVG(?tp) AS ?a2) WHERE {
+               ?o :custkey ?c . ?o :totalprice ?tp . FILTER(?bal < -100000) }
+             HAVING(?a2 = 0) } } }""")
+      .map(_.getString(0)).toSet
+    val minUnbound = q("""SELECT ?c WHERE {
+           ?c :acctbal ?bal . ?c a :Customer .
+           FILTER EXISTS { { SELECT (MIN(?tp) AS ?m2) WHERE {
+               ?o :custkey ?c . ?o :totalprice ?tp . FILTER(?bal < -100000) }
+             HAVING(!BOUND(?m2)) } } }""")
+      .map(_.getString(0)).toSet
+    assert(sumZero == allC && avgZero == allC && minUnbound == allC,
+      "empty-group SUM/AVG must be 0 and MIN unbound per §18.5.1")
   }
 
   test("predicateStats bounds driver state on a 1e6-predicate vocabulary") {
