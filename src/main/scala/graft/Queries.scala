@@ -2062,6 +2062,52 @@ object Queries {
              CAST(round(inter*1000000.0/(na+nb-inter)) AS BIGINT)::DOUBLE/1000000.0 AS jaccard
       FROM e""")),
 
+    // LSH recall eval (r13): did the banding MISS a true pair? — the
+    // dedup twin of s_ann_recall. Truth = exact prefix-filtered
+    // all-pairs at θ=0.5; caught = banded MinHash candidates verified
+    // at the same θ over the SAME 3-gram shingles. One summary row —
+    // the eval that tunes band count against the threshold
+    Q("d_lsh_recall", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs, 3, 0.5).select("doc_a", "doc_b")
+      val caught = minhashPairs(s, dir).select("doc_a", "doc_b")
+      val hit = truth.join(caught, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_caught")))
+        .select(col("n_true"), col("n_caught"),
+          when(col("n_true") > 0,
+            expr("n_caught * 1000000L div n_true")).as("recall_micro"))
+    }, Some(s"""
+      WITH $duckMinhashCtes,
+      caught AS MATERIALIZED (
+        SELECT DISTINCT doc_a, doc_b FROM j
+        WHERE CAST(round(inter*1000000.0/(na+nb-inter)) AS BIGINT)::DOUBLE/1000000.0 >= 0.5),
+      docs2 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+        FROM documents),
+      exs2 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs2),
+      ex2 AS (SELECT doc_id, n_sh,
+              ${duckPh("shingle")}*1000000007 + ${duckPh("shingle", 131)} AS sh_hash
+              FROM exs2),
+      joined2 AS (
+        SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+               count(*)::DOUBLE AS inter, any_value(l.n_sh) AS na, any_value(r.n_sh) AS nb
+        FROM ex2 l JOIN ex2 r ON l.sh_hash=r.sh_hash AND l.doc_id<r.doc_id
+        GROUP BY 1, 2),
+      truth AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM joined2
+        WHERE CAST(round(inter*1000000.0/(na+nb-inter)) AS BIGINT)::DOUBLE/1000000.0 >= 0.5),
+      nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+      nc AS (SELECT count(*)::BIGINT AS n_caught
+             FROM truth t JOIN caught c
+               ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+      SELECT n_true, n_caught,
+             (CASE WHEN n_true > 0
+                   THEN (n_caught * 1000000) // n_true END)::BIGINT AS recall_micro
+      FROM nt, nc""")),
+
     Q("d_ngram_jaccard", (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.3),
       Some(s"""
       WITH docs AS (
