@@ -664,4 +664,22 @@ class PlanQualitySpec extends GraftSuite {
         s"$name is not the boundary-merge distributed-rank shape:\n$p")
     }
   }
+
+  test("correlated union EXISTS: one tagged probe, no nested-loop joins") {
+    // the r13 branch-discriminator hoist: EXISTS over an 8-branch
+    // correlated UNION must compile to a SINGLE semi join against one
+    // branch-tagged probe — per-branch distribution ran 8 probe
+    // pipelines, and the flag path's null-tolerant compat dropped to
+    // BroadcastNestedLoopJoin per flag (the two shapes this pin
+    // forbids regressing into)
+    val p = plan("r_exists_union_wide")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"union EXISTS fell off the equi-join plane:\n$p")
+    // AQE prints final + initial plans — count the FINAL section only
+    val finalP = p.split("== Initial Plan ==").head
+    val semis = "LeftSemi".r.findAllIn(finalP).size
+    assert(semis == 1,
+      s"expected exactly ONE semi join (the tagged probe), found $semis:\n$finalP")
+  }
 }
