@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.Multimodal
+import graft.ext.{Dedup, Multimodal}
 import Queries.Q
 
 /** Relational long-tail + multimodal registry entries: grouping
@@ -432,6 +432,44 @@ object ExtraQueries {
         list_reduce(list_prepend(0::BIGINT, absl), (a,x)->a+x)::BIGINT AS sum_abs,
         valid
       FROM absam""")),
+
+    // media dup CLUSTERS (r13): the banded pHash pairs connected into
+    // components (driver union-find ↔ GraphX CC past 1M pairs — the
+    // same policy switch as d_dup_clusters), over the co-designed
+    // variant fixture — the terminal grouping step of a media dedup
+    Q("m_phash_clusters", (s, dir) => {
+      import s.implicits._
+      Dedup.dupClusters(s,
+        Multimodal.phashNearDupPairs(
+          Multimodal.pHash(
+            Multimodal.withNearDupVariants(
+              Multimodal.withBinary(t(s, dir, "documents"))
+                .as[Multimodal.Media])).toDF())
+          .select("doc_a", "doc_b"))
+    }, Some(s"""
+      WITH RECURSIVE ${phashOracleCtes(variants = true)},
+      bnd AS (SELECT doc_id, phash, band_id,
+                     (phash >> (16*band_id)::INT) & 65535 AS band_val
+              FROM p, (SELECT unnest(range(0,4)) AS band_id)),
+      okb AS (SELECT band_id, band_val FROM bnd
+              GROUP BY 1, 2 HAVING count(*) <= 10000),
+      capped AS MATERIALIZED (SELECT bnd.*
+                              FROM bnd JOIN okb USING (band_id, band_val)),
+      ph AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+             FROM capped a JOIN capped b2
+               ON a.band_id = b2.band_id AND a.band_val = b2.band_val
+                  AND a.doc_id < b2.doc_id
+             WHERE bit_count(xor(a.phash, b2.phash)) <= 3),
+      edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM ph
+        UNION ALL SELECT doc_b, doc_a FROM ph
+        UNION ALL SELECT doc_a, doc_a FROM ph
+        UNION ALL SELECT doc_b, doc_b FROM ph),
+      reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT reach.a, e.b FROM reach JOIN edges e ON e.a = reach.b)
+      SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a""")),
 
     // ViT patch-grid plan: ceil-division tiling + padding + token
     // count — integer metadata math, payload pruned at the scan

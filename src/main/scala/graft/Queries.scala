@@ -328,6 +328,31 @@ object Queries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
 
+    // day-of-week seasonality screen (r13): per event type, the
+    // integer chi-square-style deviation Σ(7·c_dow − T)² over the
+    // PRESENT weekday counts — a uniform profile scores near 0, a
+    // weekday-skewed type scores high. Two combinable aggregates on a
+    // bounded (type × 7) grid; all-integer, engine-exact
+    Q("w_dow_seasonality", (s, dir) => {
+      val cnts = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          dayofweek(col("ts")).cast("long").as("dow"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cnts.groupBy("event_type").agg(sum("c").as("t"))
+      cnts.join(tot, "event_type")
+        .withColumn("dev", col("c") * 7L - col("t"))
+        .groupBy("event_type")
+        .agg(max("t").as("total"),
+          sum(col("dev") * col("dev")).as("chi_num"))
+    }, Some("""
+      WITH c AS (SELECT event_type, dayofweek(ts) AS dow,
+                        count(*)::BIGINT AS c
+                 FROM events GROUP BY 1, 2),
+      t2 AS (SELECT event_type, sum(c)::BIGINT AS t FROM c GROUP BY 1)
+      SELECT c.event_type, max(t)::BIGINT AS total,
+             sum((c*7 - t) * (c*7 - t))::BIGINT AS chi_num
+      FROM c JOIN t2 USING (event_type) GROUP BY 1""")),
+
     // gaps-and-islands streaks (r13): longest run of CONSECUTIVE
     // active days per user — island id = day_number − per-user rank
     // (constant exactly within a consecutive run; pure integers).

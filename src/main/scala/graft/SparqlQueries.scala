@@ -464,6 +464,25 @@ object SparqlQueries {
         AND b.s IN (SELECT o FROM quads WHERE p=':custkey'
                     GROUP BY o HAVING count(*) >= 3)"""))),
 
+    // SERVICE federation gate (r13, promotes the spec-only row to the
+    // oracle set): an in-process endpoint registered inside the gate
+    // holds the same dataset; the local side ships its distinct ?n
+    // bindings into the endpoint sub-query as a VALUES block
+    // (boundServiceJoin, FedX-style) — the oracle is the plain join
+    Q("r_service_join", (s, dir) => {
+      Sparql.registerService("http://graft.local/geo", quads(s, dir))
+      sq("""
+        SELECT ?c ?nm WHERE {
+          ?c :nation ?n . ?c :acctbal ?bal . FILTER(?bal > 9000)
+          SERVICE <http://graft.local/geo> { ?n :name ?nm }
+        }""")(s, dir)
+    }, Some(TpchRdf.withQuads("""
+      SELECT b.s AS c, nm.o AS nm
+      FROM quads b
+      JOIN quads n ON n.s = b.s AND n.p = ':nation'
+      JOIN quads nm ON nm.s = n.o AND nm.p = ':name'
+      WHERE b.p = ':acctbal' AND b.onum > 9000"""))),
+
     // NESTED correlated EXISTS (§18.6 at depth 2, r13): the inner
     // EXISTS names ?seg from the OUTERMOST pattern (pattern-position
     // escape) and reads ?bal from the middle pattern (depth-1 at its
