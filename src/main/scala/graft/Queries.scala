@@ -328,6 +328,28 @@ object Queries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
 
+    // UNPIVOT / melt (r13): wide metric columns to (metric, value)
+    // rows — the feature-store normalization shape; stack() is
+    // codegen'd row expansion, no shuffle at all
+    Q("q_unpivot", (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .selectExpr("l_orderkey", "l_linenumber",
+          """stack(4,
+               'quantity', round(l_quantity, 2),
+               'extendedprice', round(l_extendedprice, 2),
+               'discount', round(l_discount, 2),
+               'tax', round(l_tax, 2)) AS (metric, value)"""),
+      Some("""
+      SELECT l_orderkey, l_linenumber, m.metric,
+             round(CASE m.metric
+               WHEN 'quantity' THEN l_quantity
+               WHEN 'extendedprice' THEN l_extendedprice
+               WHEN 'discount' THEN l_discount
+               ELSE l_tax END, 2) AS value
+      FROM lineitem,
+           (SELECT unnest(['quantity','extendedprice','discount','tax']) AS metric) m
+      WHERE l_orderkey < 100""")),
+
     // day-of-week seasonality screen (r13): per event type, the
     // integer chi-square-style deviation Σ(7·c_dow − T)² over the
     // PRESENT weekday counts — a uniform profile scores near 0, a
