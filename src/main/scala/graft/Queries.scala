@@ -375,6 +375,38 @@ object Queries {
              sum((c*7 - t) * (c*7 - t))::BIGINT AS chi_num
       FROM c JOIN t2 USING (event_type) GROUP BY 1""")),
 
+    // churn-risk gap screen (r13): the longest inactivity gap in days
+    // per user — consecutive active days via keyedRowIndex + the
+    // unique-(key, rank+1) self-join (the scd2 shape), gap = day
+    // difference − 1; users with a single active day report 0
+    Q("w_max_gap", (s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id").cast("long"),
+          expr("unix_micros(ts) div 86400000000L").as("day_n"))
+        .distinct()
+      val ranked = graft.ext.Ranks.keyedRowIndex(days, Seq("user_id"),
+        Seq(col("day_n").asc), "__r", "__n")
+      val next = ranked.select(col("user_id").as("__u2"),
+        (col("__r") - 1).as("__r2"), col("day_n").as("__next"))
+      ranked.join(next,
+          col("user_id") === col("__u2") && col("__r") === col("__r2"),
+          "left_outer")
+        .groupBy("user_id")
+        .agg(coalesce(max(col("__next") - col("day_n") - 1), lit(0L))
+            .as("max_gap_days"),
+          count(lit(1)).as("active_days"))
+    }, Some("""
+      WITH d AS (SELECT DISTINCT user_id::BIGINT AS user_id,
+                        epoch_us(ts) // 86400000000 AS day_n
+                 FROM events),
+      g AS (SELECT user_id, day_n,
+              lead(day_n) OVER (PARTITION BY user_id ORDER BY day_n) AS nxt
+            FROM d)
+      SELECT user_id,
+             coalesce(max(nxt - day_n - 1), 0)::BIGINT AS max_gap_days,
+             count(*)::BIGINT AS active_days
+      FROM g GROUP BY 1""")),
+
     // gaps-and-islands streaks (r13): longest run of CONSECUTIVE
     // active days per user — island id = day_number − per-user rank
     // (constant exactly within a consecutive run; pure integers).
