@@ -133,7 +133,12 @@ object Bench {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("tools/canary_ref.json")))
         """"([a-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          // the file may carry numeric metadata (loadavg, date parts)
+          // beside the gate entries — only the known canary gate
+          // names are schedulable; anything else is NOT a gate
+          .filter { case (k, _) => canaryRefDefault.contains(k) }
+          .toMap
       }.toOption.filter(_.nonEmpty).getOrElse(canaryRefDefault)
     val canary: Map[String, Double] =
       if (only.nonEmpty || !sfDir.contains("sf0.1")) Map.empty

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Ranks, Similarity, TextAnalysis}
 
 /** The operator-coverage registry behind [[SparkEntry]].
   *
@@ -1131,18 +1131,20 @@ object Queries {
     // Zipf rank-frequency slope: least-squares fit of ln(freq) on
     // ln(rank) over the top-100 terms — the corpus-health diagnostic
     // (natural text ~ -1; templated/spam corpora flatten). Counts are
-    // one combinable groupBy; the fit runs over a 100-row frame (sort
-    // + limit, then a window on the tiny frame); micro-nat integer
-    // points make the sums order-independent and the slope a
-    // round-to-integer of a deterministic quotient.
+    // one combinable groupBy; the fit runs over a 100-row frame
+    // (sort + limit, then Ranks.keyedRowIndex on the tiny frame — the
+    // boundary-merge primitive, not an unpartitioned Window, keeping
+    // the logs free of WindowExec single-partition warnings);
+    // micro-nat integer points make the sums order-independent and
+    // the slope a round-to-integer of a deterministic quotient.
     Q("t_zipf_slope", (s, dir) => {
       val freq = t(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val top = freq.orderBy(col("c").desc, col("tok").asc).limit(100)
-      val ranked = top.select(col("c"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("c").desc, col("tok").asc)).cast("long").as("rank"))
+      val ranked = Ranks.keyedRowIndex(top, Nil,
+          Seq(col("c").desc, col("tok").asc), "rk0", "rk_n")
+        .select(col("c"), (col("rk0") + lit(1L)).as("rank"))
       val pts = ranked.select(
         round(log(col("rank").cast("double")) * lit(1e6), 0).cast("long").as("x"),
         round(log(col("c").cast("double")) * lit(1e6), 0).cast("long").as("y"))

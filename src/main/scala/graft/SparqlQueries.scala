@@ -395,12 +395,14 @@ object SparqlQueries {
     // preserves exactly non-emptiness, so the wrapper strips and the
     // correlated filter decorrelates normally
     // (Compiler.stripExistsTop)
-    // correlated EXISTS over a WIDE UNION (8 branches — the exact
-    // distribution boundary of distributeCorrExistsUnions): each
-    // branch's correlated ?bal condition decorrelates per-branch
-    // after EXISTS{A UNION …} ≡ EXISTS{A} || … distribution, and the
-    // ||-of-EXISTS filter partitions the input instead of stacking
-    // eight flag joins
+    // correlated EXISTS over a WIDE UNION (8 branches): since r13,
+    // splitCorrelated's branch-discriminator hoist compiles this as
+    // ONE tagged probe (each branch's rows carry a discriminator id)
+    // and ONE LeftSemi join against the outer keys — any branch
+    // count; PlanQualitySpec pins exactly one semi join and zero
+    // nested loops for this query. distributeCorrExistsUnions (the
+    // EXISTS{A UNION …} ≡ EXISTS{A} || … rewrite) stays bounded at 3
+    // disjuncts and no longer fires on this shape.
     Q("r_exists_union_wide", sq("""
       SELECT ?c ?bal WHERE {
         ?c :acctbal ?bal .

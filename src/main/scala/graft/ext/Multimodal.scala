@@ -181,7 +181,10 @@ object Multimodal {
       val valid = p.length >= 44 &&
         magic(0, "RIFF") && magic(8, "WAVE") &&
         magic(12, "fmt ") && magic(36, "data") &&
-        le32(16) == 16L && le16(32) > 0
+        le32(16) == 16L && le16(32) > 0 &&
+        // zero sample-rate would divide-by-zero in dur_ms below; the
+        // malformed-header contract is valid=false, never a throw
+        le32(24) > 0
       if (!valid) WavMeta(m.doc_id, 0, 0, 0, 0, 0, 0, 0, 0, valid = false)
       else {
         val sr = le32(24)

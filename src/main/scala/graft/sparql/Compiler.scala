@@ -30,7 +30,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     stats: Map[String, Long] = Map.empty,
     fromGraphs: Seq[String] = Nil, fromNamed: Seq[String] = Nil,
     encoded: Option[graft.core.EncodedQuads] = None,
-    namedAllGraphs: Boolean = false) {
+    namedAllGraphs: Boolean = false,
+    statsCap: Int = Sparql.PredicateStatsCap) {
   import Rdf.{IRI, LIT, BNODE}
 
   // ---- dataset clauses (SPARQL 1.1 §13.2) ---------------------------
@@ -877,9 +878,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   // predicate wasn't in the SNAPSHOT the stats were built from (it
   // may still exist in the queried view — e.g. OWL-materialized
   // quads add predicates the raw-quads stats never saw), so fall
-  // back to the classic unknown-predicate default
+  // back to the classic unknown-predicate default. The cap compared
+  // against is the one the map was COLLECTED with (`statsCap`,
+  // threaded by the caller) — a map built with a smaller cap that hit
+  // it is still "possibly capped", not a complete vocabulary
   private lazy val statsTail: Double =
-    if (stats.size >= Sparql.PredicateStatsCap)
+    if (stats.size >= statsCap)
       math.min(stats.values.min.toDouble, 5e5)
     else 5e5
 

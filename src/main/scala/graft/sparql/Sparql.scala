@@ -84,10 +84,11 @@ object Sparql {
     */
   def query(spark: SparkSession, quads: DataFrame, text: String,
       stats: Map[String, Long] = Map.empty,
-      encoded: Option[graft.core.EncodedQuads] = None): DataFrame = {
+      encoded: Option[graft.core.EncodedQuads] = None,
+      statsCap: Int = PredicateStatsCap): DataFrame = {
     val parsed = SparqlParser.parse(text)
     val c = new Compiler(spark, quads, stats, parsed.fromGraphs, parsed.fromNamed,
-      encoded)
+      encoded, statsCap = statsCap)
     evaluate(c, parsed) match {
       case AskResult(b) => spark.range(1)
         .select(org.apache.spark.sql.functions.lit(if (b) "true" else "false").as("ask"))

@@ -34,6 +34,15 @@ if [[ ! -f "$LEDGER" ]]; then
   exit 1
 fi
 last=$(tail -1 "$LEDGER" | cut -d' ' -f1)
+# A stamp whose SHA no longer resolves (history rewrite, shallow clone)
+# must fail CLOSED: `git diff --name-only <unknown>` would error inside
+# the substitution, drift would evaluate empty, and the check would
+# print a false-positive OK — from the tool whose whole job is drift.
+if ! git cat-file -e "$last^{commit}" 2>/dev/null; then
+  echo "UNCERTIFIED: last certified SHA $last is unknown to this clone" >&2
+  echo "(history rewrite or shallow clone?) — re-verify and --stamp." >&2
+  exit 1
+fi
 drift=$( (git diff --name-only "$last" -- src/main build.sbt; git status --porcelain -- src/main build.sbt | awk '{print $2}') | sort -u )
 if [[ -z "$drift" ]]; then
   echo "OK: tree matches certified $last"
