@@ -2217,6 +2217,231 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     }
   }
 
+  /** Id-plane probe frame for the correlated-EXISTS family (r14):
+    * compiles `op` with the pattern vars in `keep` as 8-byte term-id
+    * columns (the store's xxhash64(lex, kind) convention —
+    * [[graft.core.TermDictionary.termId]], the SAME identity
+    * [[termEq]] compares), skipping the result-edge dictionary decode
+    * entirely. Two shapes beyond [[idFrameOf]]'s trees:
+    *
+    *  - `Extend(i, v, EConst(t))` — the union branch-DISCRIMINATOR
+    *    [[splitCorrelated]]'s hoist emits: the bound var ships as a
+    *    compact LONG TAG column (no dictionary involvement — the
+    *    constant may not even exist in the store vocabulary; no
+    *    struct in the exchange either), and the returned const map
+    *    carries tag → constant so [[constTagCol]] reconstructs the
+    *    term struct expression-side, after the shuffle;
+    *  - residual uncorrelated FILTER layers (left in place by the
+    *    split) — evaluated inside with a partial decode of just
+    *    their read vars into throwaway columns, join keys untouched.
+    *
+    * Returns (frame, nullable kept vars — union-branch-partial ids
+    * ride as NULL, the id twin of struct null-widening —, const var →
+    * (tag column name, tag → constant)). None when a node is not
+    * expressible; the caller stays on the struct plane.
+    */
+  private def corrProbeFrame(op: Op, keep: Set[String])
+      : Option[(DataFrame, Set[String], Map[String, (String, Map[Long, T])])] =
+    op match {
+    case Extend(i, v, EConst(t)) =>
+      corrProbeFrame(i, keep - v).map { case (df, nul, cs) =>
+        if (!keep.contains(v)) (df, nul, cs)
+        else {
+          val cn = freshName("k")
+          fresh += 1
+          val tag = fresh.toLong
+          (df.withColumn(cn, lit(tag)), nul, cs + (v -> (cn, Map(tag -> t))))
+        }
+      }
+    case Union(a, b) =>
+      for {
+        (fa, na, ca) <- corrProbeFrame(a, keep)
+        (fb, nb, cb) <- corrProbeFrame(b, keep)
+        // a var must not be a pattern id on one side and a const
+        // struct on the other (mixed representation)
+        if !ca.keySet.exists(fb.columns.contains) &&
+          !cb.keySet.exists(fa.columns.contains)
+        idVarsA = fa.columns.toSet -- ca.values.map(_._1)
+        idVarsB = fb.columns.toSet -- cb.values.map(_._1)
+        // same-named id columns must agree on representation (a long
+        // id vs a raw-g string bails, as in idFrameOf's union)
+        if idVarsA.intersect(idVarsB).forall(c =>
+          fa.schema(c).dataType == fb.schema(c).dataType)
+      } yield {
+        val idVars = (idVarsA ++ idVarsB).toSeq.sorted
+        val constVars = (ca.keySet ++ cb.keySet).toSeq.sorted
+        val outConst = constVars.map { v =>
+          val tags = ca.get(v).map(_._2).getOrElse(Map.empty[Long, T]) ++
+            cb.get(v).map(_._2).getOrElse(Map.empty[Long, T])
+          v -> (freshName("k"), tags)
+        }.toMap
+        def widen(f: DataFrame, cm: Map[String, (String, Map[Long, T])],
+            other: DataFrame) =
+          f.select((idVars.map(c =>
+            (if (f.columns.contains(c)) f(c)
+            else lit(null).cast(other.schema(c).dataType)).as(c)) ++
+            constVars.map(v =>
+              cm.get(v).map(p => f(p._1))
+                .getOrElse(lit(null).cast(LongType))
+                .as(outConst(v)._1)))
+            .toIndexedSeq: _*)
+        val out = widen(fa, ca, fb).unionByName(widen(fb, cb, fa))
+        val nullable = na ++ nb ++
+          (idVarsA diff idVarsB) ++ (idVarsB diff idVarsA) ++
+          constVars.filterNot(v => ca.contains(v) && cb.contains(v))
+        (out, nullable.intersect(keep), outConst)
+      }
+    case Filter(c, i) if !containsExists(c) =>
+      val fv = exprVarSet(c).intersect(Algebra.inScope(i).toSet)
+      corrProbeFrame(i, keep ++ fv).map { case (df, nul, cs) =>
+        // const vars read by the condition resolve from their struct
+        // columns; pattern vars decode into throwaway copies so the
+        // id columns stay join keys
+        val patFv = (fv -- cs.keySet).filter(df.columns.contains)
+        val tmp = patFv.map(v => v -> freshName("fv")).toMap
+        val copied = tmp.foldLeft(df) { case (d, (v, n)) =>
+          d.withColumn(n, d(v))
+        }
+        val dec = decodeCols(copied, tmp.values.toSet,
+          tmp.collect { case (v, n) if nul(v) => n }.toSet)
+        val res: String => Column = v =>
+          if (cs.contains(v)) constTagCol(dec(cs(v)._1), cs(v)._2)
+          else if (tmp.contains(v)) dec(tmp(v))
+          else nullTerm
+        val filtered = dec
+          .filter(coalesce(compBool(c, res), lit(false)))
+          .drop(tmp.values.toSeq: _*)
+        // keep the contract lean: columns pulled in only for the
+        // filter drop out again
+        val extraIds = (fv -- keep).filter(filtered.columns.contains)
+        val extraConst = cs.view.filterKeys(v => fv(v) && !keep(v))
+          .values.map(_._1).toSeq
+        (filtered.drop((extraIds.toSeq ++ extraConst): _*), nul,
+          cs.view.filterKeys(keep).toMap)
+      }
+    case _ =>
+      idTreeScopeWide(op) match {
+        case Some((_, nul)) =>
+          idFrameOf(op, keep).map(f => (f, nul.intersect(keep), Map.empty))
+        case None => None
+      }
+  }
+
+  /** Reconstruct a const-BIND var's term struct from its shipped long
+    * tag (see [[corrProbeFrame]]): a CASE over the (small, per-query)
+    * tag registry. A NULL tag (branch-partial discriminator) matches
+    * nothing → NULL term = unbound, exactly the struct plane's union
+    * widening. Pure expression layer — the exchange below shipped
+    * only the 8-byte tag.
+    */
+  private def constTagCol(tagCol: Column, tags: Map[Long, T]): Column =
+    tags.toSeq.sortBy(_._1).foldLeft(lit(null).cast(termType)) {
+      case (acc, (tag, t)) => when(tagCol === lit(tag), constCol(t))
+        .otherwise(acc)
+    }
+
+  /** Correlated `FILTER [NOT] EXISTS` on the ID PLANE (r14, closing
+    * the r13 verdict's top item): the decorrelated semi/anti join of
+    * [[compCorrelatedExistsFilter]] with 8-byte join keys and ZERO
+    * probe-side dictionary decode. The outer tree compiles to an id
+    * frame; the hoisted §18.6 conditions read the outer vars from a
+    * partial decode into throwaway columns (join keys stay ids) and
+    * the inner vars from the probe's partial decode / literal const
+    * columns; the semi/anti join keys on raw store ids; the survivors
+    * decode ONCE at the result edge. At 100 TB this turns every
+    * exchange in the EXISTS pipeline from term-struct rows into
+    * 8-byte-keyed rows and deletes the probe-side dictionary joins.
+    *
+    * None (→ struct plane) when: either tree is not id-expressible, a
+    * condition reads a var bound on BOTH sides (outer-wins coalesce
+    * substitution — rare, keeps the struct path's exact semantics),
+    * or a shared join var is not a long id column (raw-g graph
+    * strings, const binds).
+    */
+  private def corrFilterJoinOverIds(input: Op, residual: Op,
+      conds: Seq[Expr], binds: Seq[(String, Expr)],
+      positive: Boolean): Option[DataFrame] = {
+    if (encoded.isEmpty) return None
+    val (core, inConds) = stripFilters(input)
+    val (lScope, lNull) = idTreeScopeWide(core).getOrElse(return None)
+    val fullCore = Algebra.inScope(core).toSet
+    if (fullCore != lScope) return None
+    val probeScope = Algebra.inScope(residual).toSet
+    val shared = lScope.intersect(probeScope)
+    val bindTargets = binds.map(_._1).toSet
+    val condVars = (conds.flatMap(exprVarSet) ++
+      binds.flatMap(b => exprVarSet(b._2))).toSet -- bindTargets
+    if (condVars.exists(shared)) return None
+    val condOuter = condVars.intersect(lScope)
+    val condInner = condVars -- lScope
+    val leftFilterVars = inConds.flatMap(exprVarSet).toSet
+      .intersect(fullCore)
+    val (pf0, pNull, pConst) =
+      corrProbeFrame(residual, shared ++ condInner).getOrElse(return None)
+    if (shared.exists(pConst.contains)) return None
+    if (!shared.forall(v => pf0.columns.contains(v) &&
+        pf0.schema(v).dataType == LongType)) return None
+    // the outer side must expose the shared vars as long ids too
+    val inTree = countTreeLeaves(residual, countTreeLeaves(core))
+    val external = lScope.filter(v =>
+      leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
+    val keepOut = (refNeeded ++ external).intersect(lScope)
+    val leftIds = idFrameOf(core,
+      keepOut ++ shared ++ leftFilterVars ++ condOuter).getOrElse(return None)
+    if (!shared.forall(v => leftIds.columns.contains(v) &&
+        leftIds.schema(v).dataType == LongType)) return None
+    // partial decode of the outer condition-read vars into throwaway
+    // struct columns — the id columns stay join keys
+    val tmpMap = condOuter.map(v => v -> freshName("cv")).toMap
+    val leftDec = decodeCols(
+      tmpMap.foldLeft(leftIds) { case (d, (v, n)) => d.withColumn(n, d(v)) },
+      tmpMap.values.toSet,
+      tmpMap.collect { case (v, n) if lNull(v) => n }.toSet)
+    // probe side: decode inner condition-read pattern vars the same way
+    val pTmp = condInner
+      .filter(v => pf0.columns.contains(v) && !pConst.contains(v))
+      .map(v => v -> freshName("cv")).toMap
+    val pfDec = decodeCols(
+      pTmp.foldLeft(pf0) { case (d, (v, n)) => d.withColumn(n, d(v)) },
+      pTmp.values.toSet,
+      pTmp.collect { case (v, n) if pNull(v) => n }.toSet)
+    val pKeep = (shared.toSeq.sorted ++ pConst.values.map(_._1) ++
+      pTmp.values).distinct
+    val renames = pKeep.map(c => c -> freshName(c)).toMap
+    val rr = pKeep.foldLeft(pfDec.select(pKeep.map(pfDec(_)): _*)) {
+      (d, c) => d.withColumnRenamed(c, renames(c))
+    }
+    val keyCond = shared.toSeq.sorted.map { v =>
+      if (lNull(v) || pNull(v))
+        leftDec(v).isNull || rr(renames(v)).isNull ||
+          leftDec(v) === rr(renames(v))
+      else leftDec(v) === rr(renames(v))
+    }
+    val base: String => Column = v =>
+      if (condOuter(v)) leftDec(tmpMap(v))
+      else if (pConst.contains(v))
+        constTagCol(rr(renames(pConst(v)._1)), pConst(v)._2)
+      else if (pTmp.contains(v)) rr(renames(pTmp(v)))
+      else nullTerm
+    val resB = layerBinds(binds, base)
+    val corrCond = conds
+      .map(c => coalesce(compBool(c, resB), lit(false)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = leftDec.join(rr, (keyCond :+ corrCond).reduce(_ && _),
+      if (positive) "left_semi" else "left_anti")
+    val dropped = joined.drop(tmpMap.values.toSeq: _*)
+    val filtered = applyFilters(dropped, inConds, leftFilterVars,
+      lNull.intersect(leftFilterVars))
+    val dead = filtered.columns.filterNot(keepOut)
+    val kept =
+      if (dead.length == filtered.columns.length)
+        filtered.select(nullTerm.as(freshName("c")))
+      else filtered.drop(dead.toIndexedSeq: _*)
+    Sparql.corrIdExistsJoins.incrementAndGet()
+    Some(decodeCols(kept, kept.columns.toSet,
+      kept.columns.filter(lNull).toSet))
+  }
+
   private def compCorrelatedExistsFilter(input: Op, sub: Op,
       positive: Boolean, outerScope: Set[String]): DataFrame = {
     val corr = corrVarsOf(sub, outerScope)
@@ -2271,6 +2496,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
           "pattern position, or nested EXISTS)"))
     // nested EXISTS deeper in the residual see the widened scope
     walkExists(residual, outerScope ++ Algebra.inScope(residual))
+    // id-plane fast path: 8-byte join keys, no probe-side decode
+    corrFilterJoinOverIds(input, residual, conds, binds, positive) match {
+      case Some(df) => return df
+      case None => ()
+    }
     val in = comp(input)
     val subDf = comp(residual)
     val shared = in.columns.intersect(subDf.columns).toIndexedSeq

@@ -51,6 +51,14 @@ object Sparql {
     */
   val serviceBoundJoins = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Telemetry: compilations of a correlated FILTER [NOT] EXISTS that
+    * took the id-plane decorrelated join (8-byte keys, no probe-side
+    * dictionary decode) instead of the struct plane — lets specs pin
+    * that the r14 fast path actually fired rather than silently
+    * falling back.
+    */
+  val corrIdExistsJoins = new java.util.concurrent.atomic.AtomicLong()
+
   /** Evaluated form of a parsed query — the ONE place the four query
     * forms dispatch to the compiler (form-specific extras included:
     * CONSTRUCT template vars and DESCRIBE targets feed the late-

@@ -682,4 +682,58 @@ class PlanQualitySpec extends GraftSuite {
     assert(semis == 1,
       s"expected exactly ONE semi join (the tagged probe), found $semis:\n$finalP")
   }
+
+  test("correlated EXISTS decorrelates on the id plane (r14)") {
+    // the r13 verdict's top item: the correlated-EXISTS family must
+    // join on 8-byte term ids with no probe-side dictionary decode —
+    // pinned via the corrIdExistsJoins telemetry counter (the path
+    // could otherwise silently fall back to the struct plane) and via
+    // shuffle payloads: no exchange may carry more than the one
+    // decode-edge struct
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StructType
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.rdf.TpchRdf.graphDf(spark, sf)
+      val enc = graft.core.EncodedQuads(
+        graft.core.TermDictionary.encode(q), graft.core.TermDictionary.build(q))
+      val Sp = graft.sparql.Sparql
+      val queries = Seq(
+        // plain decorrelated shape (outer-read condition)
+        """SELECT ?c ?bal WHERE { ?c :acctbal ?bal .
+             FILTER EXISTS { ?c :nation ?n . FILTER(?bal >= 7500) } }""",
+        // hoisted-BIND shape (condition reads the hoisted bind var)
+        """SELECT ?c ?bal WHERE { ?c :acctbal ?bal .
+             FILTER EXISTS { ?c :nation ?n .
+               BIND(?bal * 2 AS ?x) FILTER(?x >= 15000) } }""",
+        // wide correlated UNION (>3 branches → the discriminator
+        // hoist, ONE tagged probe with literal const columns)
+        """SELECT ?c ?bal WHERE { ?c :acctbal ?bal .
+             FILTER EXISTS {
+               { ?c :mktsegment "BUILDING" . FILTER(?bal > 1000) }
+               UNION { ?c :mktsegment "AUTOMOBILE" . FILTER(?bal > 2000) }
+               UNION { ?c :nation ?n . FILTER(?bal > 9000) }
+               UNION { ?c a :Customer . FILTER(?bal < 0) } } }""")
+      for (text <- queries) {
+        val before = Sp.corrIdExistsJoins.get()
+        val df = Sp.query(spark, q, text, encoded = Some(enc))
+        assert(Sp.corrIdExistsJoins.get() == before + 1,
+          s"id-plane correlated EXISTS did not fire for:\n$text")
+        df.collect()
+        val shuffles = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.child.output.map(_.dataType)
+        }
+        shuffles.foreach { out =>
+          assert(out.count(_.isInstanceOf[StructType]) <= 1,
+            s"a shuffle carries struct-typed solution rows: $out")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+    }
+  }
 }
