@@ -2358,36 +2358,72 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * or a shared join var is not a long id column (raw-g graph
     * strings, const binds).
     */
+  /** Outer-side analysis shared by the id-plane correlated-EXISTS
+    * family: peel the FILTER layers, require a wide id-expressible
+    * tree, and compute the late-materialization keep set (query-wide
+    * reads ∪ vars shared with leaves OUTSIDE the input∪inner trees).
+    */
+  private final case class ExOuter(core: Op, inConds: Seq[Expr],
+      lScope: Set[String], lNull: Set[String],
+      leftFilterVars: Set[String], keepOut: Set[String])
+
+  private def existsOuterScope(input: Op, inner: Seq[Op]): Option[ExOuter] = {
+    if (encoded.isEmpty) return None
+    val (core, inConds) = stripFilters(input)
+    val (lScope, lNull) = idTreeScopeWide(core) match {
+      case Some(x) => x
+      case None => return None
+    }
+    if (Algebra.inScope(core).toSet != lScope) return None
+    val leftFilterVars = inConds.flatMap(exprVarSet).toSet
+      .intersect(lScope)
+    val inTree = inner.foldLeft(countTreeLeaves(core))((m, o) =>
+      countTreeLeaves(o, m))
+    val external = lScope.filter(v =>
+      leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
+    val keepOut = (refNeeded ++ external).intersect(lScope)
+    Some(ExOuter(core, inConds, lScope, lNull, leftFilterVars, keepOut))
+  }
+
+  /** Shared verdict tail of the id-plane EXISTS family: outer FILTER
+    * layers over the surviving id frame, late-materialization drop,
+    * ONE result-edge decode — and the telemetry bump specs pin on.
+    */
+  private def existsDecodeTail(o: ExOuter, joined: DataFrame,
+      extraDrop: Seq[String]): DataFrame = {
+    val dropped =
+      if (extraDrop.isEmpty) joined else joined.drop(extraDrop: _*)
+    val filtered = applyFilters(dropped, o.inConds, o.leftFilterVars,
+      o.lNull.intersect(o.leftFilterVars))
+    val dead = filtered.columns.filterNot(o.keepOut)
+    val kept =
+      if (dead.length == filtered.columns.length)
+        filtered.select(nullTerm.as(freshName("c")))
+      else filtered.drop(dead.toIndexedSeq: _*)
+    Sparql.corrIdExistsJoins.incrementAndGet()
+    decodeCols(kept, kept.columns.toSet, kept.columns.filter(o.lNull).toSet)
+  }
+
   private def corrFilterJoinOverIds(input: Op, residual: Op,
       conds: Seq[Expr], binds: Seq[(String, Expr)],
       positive: Boolean): Option[DataFrame] = {
-    if (encoded.isEmpty) return None
-    val (core, inConds) = stripFilters(input)
-    val (lScope, lNull) = idTreeScopeWide(core).getOrElse(return None)
-    val fullCore = Algebra.inScope(core).toSet
-    if (fullCore != lScope) return None
+    val o = existsOuterScope(input, Seq(residual)).getOrElse(return None)
     val probeScope = Algebra.inScope(residual).toSet
-    val shared = lScope.intersect(probeScope)
+    val shared = o.lScope.intersect(probeScope)
     val bindTargets = binds.map(_._1).toSet
     val condVars = (conds.flatMap(exprVarSet) ++
       binds.flatMap(b => exprVarSet(b._2))).toSet -- bindTargets
     if (condVars.exists(shared)) return None
-    val condOuter = condVars.intersect(lScope)
-    val condInner = condVars -- lScope
-    val leftFilterVars = inConds.flatMap(exprVarSet).toSet
-      .intersect(fullCore)
+    val condOuter = condVars.intersect(o.lScope)
+    val condInner = condVars -- o.lScope
     val (pf0, pNull, pConst) =
       corrProbeFrame(residual, shared ++ condInner).getOrElse(return None)
     if (shared.exists(pConst.contains)) return None
     if (!shared.forall(v => pf0.columns.contains(v) &&
         pf0.schema(v).dataType == LongType)) return None
     // the outer side must expose the shared vars as long ids too
-    val inTree = countTreeLeaves(residual, countTreeLeaves(core))
-    val external = lScope.filter(v =>
-      leafCounts.getOrElse(v, 0) > inTree.getOrElse(v, 0))
-    val keepOut = (refNeeded ++ external).intersect(lScope)
-    val leftIds = idFrameOf(core,
-      keepOut ++ shared ++ leftFilterVars ++ condOuter).getOrElse(return None)
+    val leftIds = idFrameOf(o.core, o.keepOut ++ shared ++
+      o.leftFilterVars ++ condOuter).getOrElse(return None)
     if (!shared.forall(v => leftIds.columns.contains(v) &&
         leftIds.schema(v).dataType == LongType)) return None
     // partial decode of the outer condition-read vars into throwaway
@@ -2396,7 +2432,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val leftDec = decodeCols(
       tmpMap.foldLeft(leftIds) { case (d, (v, n)) => d.withColumn(n, d(v)) },
       tmpMap.values.toSet,
-      tmpMap.collect { case (v, n) if lNull(v) => n }.toSet)
+      tmpMap.collect { case (v, n) if o.lNull(v) => n }.toSet)
     // probe side: decode inner condition-read pattern vars the same way
     val pTmp = condInner
       .filter(v => pf0.columns.contains(v) && !pConst.contains(v))
@@ -2412,7 +2448,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       (d, c) => d.withColumnRenamed(c, renames(c))
     }
     val keyCond = shared.toSeq.sorted.map { v =>
-      if (lNull(v) || pNull(v))
+      if (o.lNull(v) || pNull(v))
         leftDec(v).isNull || rr(renames(v)).isNull ||
           leftDec(v) === rr(renames(v))
       else leftDec(v) === rr(renames(v))
@@ -2429,17 +2465,241 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       .reduceOption(_ && _).getOrElse(lit(true))
     val joined = leftDec.join(rr, (keyCond :+ corrCond).reduce(_ && _),
       if (positive) "left_semi" else "left_anti")
-    val dropped = joined.drop(tmpMap.values.toSeq: _*)
-    val filtered = applyFilters(dropped, inConds, leftFilterVars,
-      lNull.intersect(leftFilterVars))
-    val dead = filtered.columns.filterNot(keepOut)
-    val kept =
-      if (dead.length == filtered.columns.length)
-        filtered.select(nullTerm.as(freshName("c")))
-      else filtered.drop(dead.toIndexedSeq: _*)
-    Sparql.corrIdExistsJoins.incrementAndGet()
-    Some(decodeCols(kept, kept.columns.toSet,
-      kept.columns.filter(lNull).toSet))
+    Some(existsDecodeTail(o, joined, tmpMap.values.toSeq))
+  }
+
+  /** Id-plane twin of [[compCorrExistsMinus]] (r14): the per-key
+    * MINUS runs entirely over 8-byte term ids — key frame, dependent
+    * join, anti join, and verdict exchange all ship longs; only the
+    * condition-read key columns decode (on the DISTINCT key frame, a
+    * bounded fraction of the outer) plus the probe's own condition
+    * reads, and the surviving outer rows decode once at the result
+    * edge. None (→ struct plane) when a side is not id-expressible,
+    * a condition reads an l-only var, or the outer shares nothing
+    * with l (the guarded dependent-cross class).
+    */
+  private def compCorrExistsMinusIds(input: Op, l: Op, rRes: Op,
+      conds: Seq[Expr], binds: Seq[(String, Expr)], corrR: Set[String],
+      positive: Boolean): Option[DataFrame] = {
+    val o = existsOuterScope(input, Seq(l, rRes)).getOrElse(return None)
+    val lFull = Algebra.inScope(l).toSet
+    val rFull = Algebra.inScope(rRes).toSet
+    val sharedIL = o.lScope.intersect(lFull).toSeq.sorted
+    if (sharedIL.isEmpty) return None
+    val keyCols = (sharedIL ++
+      corrR.toSeq.sorted.filterNot(sharedIL.contains)).toIndexedSeq
+    if (!keyCols.forall(o.lScope)) return None
+    val bindTargets = binds.map(_._1).toSet
+    val condVars = (conds.flatMap(exprVarSet) ++
+      binds.flatMap(b => exprVarSet(b._2))).toSet -- bindTargets
+    // resolution classes mirror the struct path's priority (key over
+    // r); an l-only read keeps the struct path's exact semantics
+    if (!condVars.forall(v => keyCols.contains(v) || rFull(v)))
+      return None
+    val minusShared = lFull.intersect(rFull).toSeq.sorted
+    val leftIds = idFrameOf(o.core,
+      o.keepOut ++ o.leftFilterVars ++ keyCols).getOrElse(return None)
+    if (!keyCols.forall(v => leftIds.columns.contains(v) &&
+        leftIds.schema(v).dataType == LongType)) return None
+    val (lf0, lfNull, lfConst) =
+      corrProbeFrame(l, sharedIL.toSet ++ minusShared).getOrElse(return None)
+    if (lfConst.nonEmpty) return None
+    if (!(sharedIL ++ minusShared).distinct.forall(v =>
+        !lf0.columns.contains(v) ||
+        lf0.schema(v).dataType == LongType)) return None
+    val condR = condVars.intersect(rFull) -- keyCols
+    val (rf0, rfNull, rfConst) =
+      corrProbeFrame(rRes, minusShared.toSet ++ condR).getOrElse(return None)
+    if (minusShared.exists(rfConst.contains)) return None
+    if (!minusShared.forall(v => !rf0.columns.contains(v) ||
+        rf0.schema(v).dataType == LongType)) return None
+    // key frame on ids; condition-read key vars decode on the
+    // DISTINCT frame only
+    val keys0 = leftIds.select(keyCols.map(leftIds(_)): _*).distinct()
+    val kRen = keyCols.map(v => v -> freshName(v)).toMap
+    val keys = keyCols.foldLeft(keys0)((d, v) =>
+      d.withColumnRenamed(v, kRen(v)))
+    val condKey = condVars.intersect(keyCols.toSet)
+    val kTmp = condKey.map(v => v -> freshName("kv")).toMap
+    val keysDec = decodeCols(
+      kTmp.foldLeft(keys) { case (d, (v, n)) => d.withColumn(n, d(kRen(v))) },
+      kTmp.values.toSet,
+      kTmp.collect { case (v, n) if o.lNull(v) => n }.toSet)
+    val lRen = lf0.columns.map(c => c -> freshName(c)).toMap
+    val lr = lf0.columns.foldLeft(lf0)((d, c) =>
+      d.withColumnRenamed(c, lRen(c)))
+    val ilCond = sharedIL.map { v =>
+      if (o.lNull(v) || lfNull(v))
+        keysDec(kRen(v)).isNull || lr(lRen(v)).isNull ||
+          keysDec(kRen(v)) === lr(lRen(v))
+      else keysDec(kRen(v)) === lr(lRen(v))
+    }.reduce(_ && _)
+    val cand = keysDec.join(lr, ilCond)
+    def lVal(v: String): Column =
+      if (sharedIL.contains(v) && (o.lNull(v) || lfNull(v)))
+        coalesce(cand(kRen(v)), cand(lRen(v)))
+      else if (sharedIL.contains(v)) cand(kRen(v))
+      else cand(lRen(v))
+    val rTmp = condR
+      .filter(v => rf0.columns.contains(v) && !rfConst.contains(v))
+      .map(v => v -> freshName("cv")).toMap
+    val rfDec = decodeCols(
+      rTmp.foldLeft(rf0) { case (d, (v, n)) => d.withColumn(n, d(v)) },
+      rTmp.values.toSet,
+      rTmp.collect { case (v, n) if rfNull(v) => n }.toSet)
+    val rKeep = (minusShared.filter(rfDec.columns.contains) ++
+      rfConst.values.map(_._1) ++ rTmp.values).distinct
+    val rRen = rKeep.map(c => c -> freshName(c)).toMap
+    val rr = rKeep.foldLeft(rfDec.select(rKeep.map(rfDec(_)): _*))(
+      (d, c) => d.withColumnRenamed(c, rRen(c)))
+    def compatNull(v: String): Boolean =
+      lfNull(v) || rfNull(v) || (sharedIL.contains(v) && o.lNull(v))
+    val compat = minusShared.map { v =>
+      if (compatNull(v))
+        lVal(v).isNull || rr(rRen(v)).isNull || lVal(v) === rr(rRen(v))
+      else lVal(v) === rr(rRen(v))
+    }.reduce(_ && _)
+    val overlap = minusShared.map { v =>
+      if (compatNull(v)) lVal(v).isNotNull && rr(rRen(v)).isNotNull
+      else lit(true)
+    }.reduce(_ || _)
+    val res: String => Column = v =>
+      if (kTmp.contains(v)) cand(kTmp(v))
+      else if (rfConst.contains(v))
+        constTagCol(rr(rRen(rfConst(v)._1)), rfConst(v)._2)
+      else if (rTmp.contains(v)) rr(rRen(rTmp(v)))
+      else nullTerm
+    val resB = layerBinds(binds, res)
+    val corrCond = conds
+      .map(c => coalesce(compBool(c, resB), lit(false)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val surv = cand.join(rr, compat && overlap && corrCond, "left_anti")
+    val ok = surv.select(keyCols.map(v => surv(kRen(v))): _*).distinct()
+    val eq = keyCols.map(v => leftIds(v) <=> ok(kRen(v))).reduce(_ && _)
+    val verdict = leftIds.join(ok, eq,
+      if (positive) "left_semi" else "left_anti")
+    Some(existsDecodeTail(o, verdict, Nil))
+  }
+
+  /** Id-plane twin of [[compCorrExistsOptional]] (r14) — the per-key
+    * OPTIONAL over 8-byte ids, same decode discipline as the MINUS
+    * twin. The above-filters/embedded-condition reads split three
+    * ways: key columns (decoded on the distinct key frame), r columns
+    * (probe partial decode; NULL structs on unmatched rows read as
+    * unbound, exactly §18.6's per-binding evaluation), l columns
+    * (probe partial decode on the l side).
+    */
+  private def compCorrExistsOptionalIds(input: Op, l: Op, rRes: Op,
+      cond: Option[Expr], above: Seq[Expr], rConds: Seq[Expr],
+      rBinds: Seq[(String, Expr)], corr: Set[String],
+      positive: Boolean): Option[DataFrame] = {
+    val o = existsOuterScope(input, Seq(l, rRes)).getOrElse(return None)
+    val lFull = Algebra.inScope(l).toSet
+    val rFull = Algebra.inScope(rRes).toSet
+    val sharedIL = o.lScope.intersect(lFull).toSeq.sorted
+    if (sharedIL.isEmpty) return None
+    val keyCols = (sharedIL ++
+      corr.toSeq.sorted.filterNot(sharedIL.contains)).toIndexedSeq
+    if (!keyCols.forall(o.lScope)) return None
+    val bindTargets = rBinds.map(_._1).toSet
+    val condVars = ((above ++ cond.toSeq ++ rConds).flatMap(exprVarSet) ++
+      rBinds.flatMap(b => exprVarSet(b._2))).toSet -- bindTargets
+    val ljShared = lFull.intersect(rFull).toSeq.sorted
+    val leftIds = idFrameOf(o.core,
+      o.keepOut ++ o.leftFilterVars ++ keyCols).getOrElse(return None)
+    if (!keyCols.forall(v => leftIds.columns.contains(v) &&
+        leftIds.schema(v).dataType == LongType)) return None
+    val condL = condVars.intersect(lFull) -- keyCols -- rFull
+    val (lf0, lfNull, lfConst) =
+      corrProbeFrame(l, sharedIL.toSet ++ ljShared ++ condL)
+        .getOrElse(return None)
+    if (lfConst.nonEmpty) return None
+    if (!(sharedIL ++ ljShared).distinct.forall(v =>
+        !lf0.columns.contains(v) ||
+        lf0.schema(v).dataType == LongType)) return None
+    val condR = condVars.intersect(rFull) -- keyCols
+    val (rf0, rfNull, rfConst) =
+      corrProbeFrame(rRes, ljShared.toSet ++ condR).getOrElse(return None)
+    if (ljShared.exists(rfConst.contains)) return None
+    if (!ljShared.forall(v => !rf0.columns.contains(v) ||
+        rf0.schema(v).dataType == LongType)) return None
+    val keys0 = leftIds.select(keyCols.map(leftIds(_)): _*).distinct()
+    val kRen = keyCols.map(v => v -> freshName(v)).toMap
+    val keys = keyCols.foldLeft(keys0)((d, v) =>
+      d.withColumnRenamed(v, kRen(v)))
+    val condKey = condVars.intersect(keyCols.toSet)
+    val kTmp = condKey.map(v => v -> freshName("kv")).toMap
+    val keysDec = decodeCols(
+      kTmp.foldLeft(keys) { case (d, (v, n)) => d.withColumn(n, d(kRen(v))) },
+      kTmp.values.toSet,
+      kTmp.collect { case (v, n) if o.lNull(v) => n }.toSet)
+    val lTmp = condL
+      .filter(v => lf0.columns.contains(v) && !lfConst.contains(v))
+      .map(v => v -> freshName("cv")).toMap
+    val lfDec = decodeCols(
+      lTmp.foldLeft(lf0) { case (d, (v, n)) => d.withColumn(n, d(v)) },
+      lTmp.values.toSet,
+      lTmp.collect { case (v, n) if lfNull(v) => n }.toSet)
+    val lRen = lfDec.columns.map(c => c -> freshName(c)).toMap
+    val lr = lfDec.columns.foldLeft(lfDec)((d, c) =>
+      d.withColumnRenamed(c, lRen(c)))
+    val ilCond = sharedIL.map { v =>
+      if (o.lNull(v) || lfNull(v))
+        keysDec(kRen(v)).isNull || lr(lRen(v)).isNull ||
+          keysDec(kRen(v)) === lr(lRen(v))
+      else keysDec(kRen(v)) === lr(lRen(v))
+    }.reduce(_ && _)
+    val cand = keysDec.join(lr, ilCond)
+    def lVal(v: String): Column =
+      if (sharedIL.contains(v) && (o.lNull(v) || lfNull(v)))
+        coalesce(cand(kRen(v)), cand(lRen(v)))
+      else if (sharedIL.contains(v)) cand(kRen(v))
+      else cand(lRen(v))
+    val rTmp = condR
+      .filter(v => rf0.columns.contains(v) && !rfConst.contains(v))
+      .map(v => v -> freshName("cv")).toMap
+    val rfDec = decodeCols(
+      rTmp.foldLeft(rf0) { case (d, (v, n)) => d.withColumn(n, d(v)) },
+      rTmp.values.toSet,
+      rTmp.collect { case (v, n) if rfNull(v) => n }.toSet)
+    // non-null iff the left-outer join found an r match — gates the
+    // hoisted correlated BINDs (unmatched ⇒ unbound)
+    val matchInd = freshName("matched")
+    val rKeep = (ljShared.filter(rfDec.columns.contains) ++
+      rfConst.values.map(_._1) ++ rTmp.values).distinct
+    val rRen = (rKeep :+ matchInd).map(c => c -> freshName(c)).toMap
+    val rr = (rKeep :+ matchInd).foldLeft(
+      rfDec.select(rKeep.map(rfDec(_)): _*)
+        .withColumn(matchInd, lit(true)))(
+      (d, c) => d.withColumnRenamed(c, rRen(c)))
+    def compatNull(v: String): Boolean =
+      lfNull(v) || rfNull(v) || (sharedIL.contains(v) && o.lNull(v))
+    val compat = ljShared.map { v =>
+      if (compatNull(v))
+        lVal(v).isNull || rr(rRen(v)).isNull || lVal(v) === rr(rRen(v))
+      else lVal(v) === rr(rRen(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val res: String => Column = v =>
+      if (kTmp.contains(v)) cand(kTmp(v))
+      else if (rfConst.contains(v))
+        constTagCol(rr(rRen(rfConst(v)._1)), rfConst(v)._2)
+      else if (rTmp.contains(v)) rr(rRen(rTmp(v)))
+      else if (lTmp.contains(v)) cand(lRen(lTmp(v)))
+      else nullTerm
+    val resB = layerBindsGated(rBinds, res, rr(rRen(matchInd)))
+    val joinCond = (cond.toSeq ++ rConds)
+      .map(c => coalesce(compBool(c, resB), lit(false)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joined = cand.join(rr, compat && joinCond, "left_outer")
+    val aboveCond = above
+      .map(c => coalesce(compBool(c, resB), lit(false)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val surv = joined.filter(aboveCond)
+    val ok = surv.select(keyCols.map(v => surv(kRen(v))): _*).distinct()
+    val eq = keyCols.map(v => leftIds(v) <=> ok(kRen(v))).reduce(_ && _)
+    val verdict = leftIds.join(ok, eq,
+      if (positive) "left_semi" else "left_anti")
+    Some(existsDecodeTail(o, verdict, Nil))
   }
 
   private def compCorrelatedExistsFilter(input: Op, sub: Op,
@@ -2602,6 +2862,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       splitCorrelated(r, corrR).getOrElse(return None)
     walkExists(l, outerScope ++ Algebra.inScope(l))
     walkExists(rRes, outerScope ++ Algebra.inScope(rRes))
+    // id-plane fast path (r14): per-key OPTIONAL over 8-byte ids
+    compCorrExistsOptionalIds(input, l, rRes, cond, above, rConds,
+      rBinds, corr, positive) match {
+      case Some(df) => return Some(df)
+      case None => ()
+    }
     val in = comp(input)
     val ld = comp(l)
     val rd = comp(rRes)
@@ -2686,6 +2952,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val rScope = Algebra.inScope(rRes).toSet
     if (!Algebra.inScope(l).exists(rScope))
       return Some(comp(Filter(EExists(l, positive), input)))
+    // id-plane fast path (r14): per-key MINUS over 8-byte ids
+    compCorrExistsMinusIds(input, l, rRes, conds, binds, corrR,
+      positive) match {
+      case Some(df) => return Some(df)
+      case None => ()
+    }
     val in = comp(input)
     val ld = comp(l)
     val rd = comp(rRes)

@@ -716,7 +716,17 @@ class PlanQualitySpec extends GraftSuite {
                { ?c :mktsegment "BUILDING" . FILTER(?bal > 1000) }
                UNION { ?c :mktsegment "AUTOMOBILE" . FILTER(?bal > 2000) }
                UNION { ?c :nation ?n . FILTER(?bal > 9000) }
-               UNION { ?c a :Customer . FILTER(?bal < 0) } } }""")
+               UNION { ?c a :Customer . FILTER(?bal < 0) } } }""",
+        // per-key MINUS (correlation under negation — the key-frame
+        // machinery, here the id twin)
+        """SELECT ?c ?bal WHERE { ?c :acctbal ?bal .
+             FILTER EXISTS { ?c :nation ?n
+               MINUS { ?c :nation ?n . FILTER(?bal >= 7500) } } }""",
+        // per-key visible OPTIONAL (BOUND reads the optional side)
+        """SELECT ?c ?bal WHERE { ?c :acctbal ?bal .
+             FILTER EXISTS { ?c :nation ?n .
+               OPTIONAL { ?n :name ?nm . FILTER(?bal >= 7500) }
+               FILTER(BOUND(?nm)) } }""")
       for (text <- queries) {
         val before = Sp.corrIdExistsJoins.get()
         val df = Sp.query(spark, q, text, encoded = Some(enc))
