@@ -3053,6 +3053,191 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * An implicit group with NO having is constant-nonempty and
     * short-circuits before any of this.
     */
+  /** Id-plane twin of [[compCorrExistsAggregate]] (r14): the per-key
+    * aggregation groups on 8-byte ids (group keys ++ key columns all
+    * long), the key frame and dependent join ship ids, and decode
+    * happens at three bounded edges only — condition-read key columns
+    * on the DISTINCT key frame, non-COUNT aggregate arguments in
+    * place on the candidate frame (all-COUNT aggregates, the common
+    * §18.6 shape, decode NOTHING pre-agg: count over an id column is
+    * count over the term), and HAVING-read columns on the tiny
+    * grouped frame. Falls back (None) on expression group keys,
+    * hoisted binds, an outer-nullable condition-read key, or any
+    * side not id-expressible.
+    */
+  private def compCorrExistsAggregateIds(input: Op, iRes: Op,
+      iConds: Seq[Expr], iBinds: Seq[(String, Expr)],
+      gkeys: Seq[(String, Option[Expr])], aggs: Seq[(String, EAgg)],
+      havings: Seq[Expr], corr: Set[String], emptyGroup: Boolean,
+      positive: Boolean): Option[DataFrame] = {
+    if (iBinds.nonEmpty) return None
+    if (gkeys.exists(_._2.nonEmpty)) return None
+    val o = existsOuterScope(input, Seq(iRes)).getOrElse(return None)
+    val iFull = Algebra.inScope(iRes).toSet
+    val sharedIK = o.lScope.intersect(iFull).toSeq.sorted
+    if (sharedIK.isEmpty) return None
+    val keyCols = (sharedIK ++
+      corr.toSeq.sorted.filterNot(sharedIK.contains)).toIndexedSeq
+    if (!keyCols.forall(o.lScope)) return None
+    val condVars = iConds.flatMap(exprVarSet).toSet
+    if (!condVars.forall(v => keyCols.contains(v) || iFull(v)))
+      return None
+    // an outer-nullable condition-read shared key would need the
+    // struct path's outer-wins coalesce — stays there
+    if (condVars.exists(v => sharedIK.contains(v) && o.lNull(v)))
+      return None
+    val gkeyVars = gkeys.map(_._1)
+    if (!gkeyVars.forall(iFull)) return None
+    val hVars = havings.flatMap(exprVarSet).toSet
+    val aggOut = aggs.map(_._1).toSet
+    if (!hVars.forall(v => aggOut(v) || keyCols.contains(v) ||
+        gkeyVars.contains(v))) return None
+    val aggArgVars = aggs.flatMap(_._2.arg.toSeq).flatMap(exprVarSet).toSet
+    // args that feed anything beyond a plain COUNT need term values
+    val decodeArgVars = aggs.filter(a =>
+      a._2.fn != "count" || a._2.distinct)
+      .flatMap(_._2.arg.toSeq).flatMap(exprVarSet).toSet
+    if (!aggArgVars.forall(v => iFull(v) || keyCols.contains(v)))
+      return None
+    val condI = condVars.intersect(iFull) -- keyCols
+    val keep = sharedIK.toSet ++ gkeyVars ++
+      aggArgVars.intersect(iFull) ++ condI
+    val (pf0, pNull, pConst) =
+      corrProbeFrame(iRes, keep).getOrElse(return None)
+    if ((sharedIK ++ gkeyVars ++ decodeArgVars).exists(pConst.contains))
+      return None
+    if (!(sharedIK ++ gkeyVars).distinct.forall(v =>
+        !pf0.columns.contains(v) ||
+        pf0.schema(v).dataType == LongType)) return None
+    val leftIds = idFrameOf(o.core,
+      o.keepOut ++ o.leftFilterVars ++ keyCols).getOrElse(return None)
+    if (!keyCols.forall(v => leftIds.columns.contains(v) &&
+        leftIds.schema(v).dataType == LongType)) return None
+    // key frame: ids, plus decoded structs for the condition reads
+    val keys0 = leftIds.select(keyCols.map(leftIds(_)): _*).distinct()
+    val kRen = keyCols.map(v => v -> freshName(v)).toMap
+    val keys = keyCols.foldLeft(keys0)((d, v) =>
+      d.withColumnRenamed(v, kRen(v)))
+    val condKey = condVars.intersect(keyCols.toSet)
+    val kTmp = condKey.map(v => v -> freshName("kv")).toMap
+    val keysDec = decodeCols(
+      kTmp.foldLeft(keys) { case (d, (v, n)) => d.withColumn(n, d(kRen(v))) },
+      kTmp.values.toSet,
+      kTmp.collect { case (v, n) if o.lNull(v) => n }.toSet)
+    // probe: decode its own condition-read vars pre-join
+    val iTmp = condI
+      .filter(v => pf0.columns.contains(v) && !pConst.contains(v))
+      .map(v => v -> freshName("cv")).toMap
+    val pfDec = decodeCols(
+      iTmp.foldLeft(pf0) { case (d, (v, n)) => d.withColumn(n, d(v)) },
+      iTmp.values.toSet,
+      iTmp.collect { case (v, n) if pNull(v) => n }.toSet)
+    val mk = freshName("m")
+    val pRen = pfDec.columns.map(c => c -> freshName(c)).toMap
+    val pr0 = pfDec.columns.foldLeft(pfDec)((d, c) =>
+      d.withColumnRenamed(c, pRen(c)))
+    val pr = if (emptyGroup) pr0.withColumn(mk, lit(true)) else pr0
+    val ikCond = sharedIK.map { v =>
+      if (o.lNull(v) || pNull(v))
+        keysDec(kRen(v)).isNull || pr(pRen(v)).isNull ||
+          keysDec(kRen(v)) === pr(pRen(v))
+      else keysDec(kRen(v)) === pr(pRen(v))
+    }.reduce(_ && _)
+    val cand0 =
+      if (emptyGroup) keysDec.join(pr, ikCond, "left_outer")
+      else keysDec.join(pr, ikCond)
+    val res: String => Column = v =>
+      if (kTmp.contains(v)) cand0(kTmp(v))
+      else if (pConst.contains(v))
+        constTagCol(cand0(pRen(pConst(v)._1)), pConst(v)._2)
+      else if (iTmp.contains(v)) cand0(pRen(iTmp(v)))
+      else nullTerm
+    val condCol = iConds
+      .map(c => coalesce(compBool(c, res), lit(false)))
+      .reduceOption(_ && _)
+    val probeCols = pfDec.columns.toSeq
+    val cand =
+      if (!emptyGroup) condCol.map(cand0.filter).getOrElse(cand0)
+      else {
+        // §18.5.1: a key whose candidates all fail the substituted
+        // conditions (or that matched nothing) still aggregates the
+        // EMPTY multiset — null the contribution columns, keep the key
+        val contrib = (condCol.toSeq :+ cand0(mk).isNotNull)
+          .reduce(_ && _)
+        val keepK = keyCols.map(v => cand0(kRen(v)).as(kRen(v)))
+        val maskCols = probeCols.map(c =>
+          when(contrib, cand0(pRen(c))).as(pRen(c)))
+        cand0.select((keepK ++ maskCols :+ contrib.as(mk)): _*)
+      }
+    // non-COUNT aggregate arguments decode in place on the candidate
+    // frame (nothing joins on them downstream); COUNT args stay ids
+    val argTmp = decodeArgVars
+      .filter(v => pfDec.columns.contains(v))
+      .map(v => v -> pRen(v)).toMap
+    val bound0 = decodeCols(cand, argTmp.values.toSet,
+      argTmp.values.toSet) // nullable: masked/unmatched rows are null
+    // aggregate over a frame whose probe columns answer to their
+    // ORIGINAL var names (compAgg resolves by name)
+    val bound = bound0.select((keyCols.map(v => bound0(kRen(v))) ++
+      probeCols.map(c => bound0(pRen(c)).as(c)) ++
+      (if (emptyGroup) Seq(bound0(mk)) else Nil)): _*)
+    val groupCols = gkeyVars.map(v => bound(v).as(v)) ++
+      keyCols.map(v => bound(kRen(v)))
+    val aggCols = aggs.map { case (out, a) =>
+      val base =
+        if (emptyGroup && a.fn == "count" && a.arg.isEmpty)
+          termNumDt(sum(when(col(mk), 1L).otherwise(0L)).cast("double"),
+            Rdf.XsdInteger)
+        else compAgg(a, bound)
+      val fixed =
+        if (!emptyGroup) base
+        else a.fn match {
+          case "sum" => coalesce(base, termNumDt(lit(0.0), Rdf.XsdInteger))
+          case "avg" => coalesce(base, termNum(lit(0.0)))
+          case _ => base
+        }
+      fixed.as(out)
+    }
+    val grouped =
+      if (aggCols.isEmpty) bound.select(groupCols: _*).distinct()
+      else bound.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    // HAVING decodes its reads on the TINY grouped frame: group keys /
+    // key columns that are still ids get throwaway struct copies
+    val hNeed = hVars.filterNot(aggOut)
+    val hTmp = hNeed.flatMap { v =>
+      val c =
+        if (gkeyVars.contains(v) && grouped.columns.contains(v)) Some(v)
+        else if (kRen.contains(v)) Some(kRen(v))
+        else None
+      c.filter(n => grouped.schema(n).dataType == LongType)
+        .map(n => v -> (n, freshName("hv")))
+    }.toMap
+    val groupedDec = decodeCols(
+      hTmp.foldLeft(grouped) { case (d, (_, (src, n))) =>
+        d.withColumn(n, d(src))
+      },
+      hTmp.values.map(_._2).toSet,
+      hTmp.collect { case (v, (_, n))
+        if o.lNull(v) || pNull(v) || emptyGroup => n }.toSet)
+    val hRes: String => Column = v =>
+      if (aggOut(v)) groupedDec(v)
+      else if (hTmp.contains(v)) groupedDec(hTmp(v)._2)
+      // a group key decoded in place for an aggregate argument is
+      // already a struct column — read it directly
+      else if (grouped.columns.contains(v) &&
+        grouped.schema(v).dataType != LongType) groupedDec(v)
+      else nullTerm
+    val surv = havings
+      .map(c => coalesce(compBool(c, hRes), lit(false)))
+      .reduceOption(_ && _)
+      .map(groupedDec.filter).getOrElse(groupedDec)
+    val ok = surv.select(keyCols.map(v => surv(kRen(v))): _*).distinct()
+    val eq = keyCols.map(v => leftIds(v) <=> ok(kRen(v))).reduce(_ && _)
+    val verdict = leftIds.join(ok, eq,
+      if (positive) "left_semi" else "left_anti")
+    Some(existsDecodeTail(o, verdict, Nil))
+  }
+
   private def compCorrExistsAggregate(input: Op, sub: Op,
       corr: Set[String], outerScope: Set[String],
       positive: Boolean): Option[DataFrame] = {
@@ -3087,6 +3272,12 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val (iRes, iConds, iBinds) =
       splitCorrelated(i, corrI).getOrElse(return None)
     walkExists(iRes, outerScope ++ Algebra.inScope(iRes))
+    // id-plane fast path (r14): per-key aggregation over 8-byte ids
+    compCorrExistsAggregateIds(input, iRes, iConds, iBinds, gkeys,
+      aggs, havings, corr, emptyGroup, positive) match {
+      case Some(df) => return Some(df)
+      case None => ()
+    }
     val in = comp(input)
     val id = comp(iRes)
     val sharedIK = in.columns.intersect(id.columns).toIndexedSeq

@@ -726,7 +726,18 @@ class PlanQualitySpec extends GraftSuite {
         """SELECT ?c ?bal WHERE { ?c :acctbal ?bal .
              FILTER EXISTS { ?c :nation ?n .
                OPTIONAL { ?n :name ?nm . FILTER(?bal >= 7500) }
-               FILTER(BOUND(?nm)) } }""")
+               FILTER(BOUND(?nm)) } }""",
+        // per-key aggregation (grouping on ids, HAVING decoded on the
+        // grouped frame)
+        """SELECT ?c ?bal WHERE { ?c :acctbal ?bal .
+             FILTER EXISTS { { SELECT ?c (COUNT(?o) AS ?n) WHERE {
+                 ?o :custkey ?c . FILTER(?bal >= 7500) }
+               GROUP BY ?c HAVING(?n >= 3) } } }""",
+        // empty-group HAVING (implicit group, §18.5.1 empty multiset)
+        """SELECT ?c ?bal WHERE { ?c :acctbal ?bal .
+             FILTER EXISTS { { SELECT (COUNT(?o) AS ?n) WHERE {
+                 ?o :custkey ?c . FILTER(?bal >= 7500) }
+               HAVING(?n = 0) } } }""")
       for (text <- queries) {
         val before = Sp.corrIdExistsJoins.get()
         val df = Sp.query(spark, q, text, encoded = Some(enc))
