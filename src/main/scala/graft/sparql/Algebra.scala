@@ -109,9 +109,16 @@ object Algebra {
     * decorrelation ([[graft.sparql.Compiler]] compNestedExistsFilter).
     * Never produced by the parser; rewrites treat it as an opaque
     * leaf binding `vars`, of which `nullable` may be unbound.
+    *
+    * `idSafe`: every var's terms provably came out of the STORE (no
+    * BIND/aggregate/VALUES/SERVICE provenance) — the compiler may then
+    * hash the frame onto the 8-byte id plane (xxhash64 term identity)
+    * and re-decode survivors through the dictionary without a
+    * decode-drop risk. False = struct plane only.
     */
   final case class FrameOp(frame: org.apache.spark.sql.DataFrame,
-      vars: Seq[String], nullable: Set[String]) extends Op
+      vars: Seq[String], nullable: Set[String],
+      idSafe: Boolean = false) extends Op
 
   /** Variables that can be UNBOUND (NULL) in the operator's output.
     * BGP-bound variables are always bound; unboundness enters through
@@ -152,7 +159,7 @@ object Algebra {
     // may be unbound in the join above it
     case Service(_, i, silent) =>
       if (silent) inScope(i).toSet else maybeUnbound(i)
-    case FrameOp(_, _, nullable) => nullable
+    case FrameOp(_, _, nullable, _) => nullable
   }
 
   /** Variables a CONSTRUCT template consumes (late-materialization
@@ -280,7 +287,7 @@ object Algebra {
       case Slice(i, _, _) => inScope(i)
       case Unit0 => Nil
       case Service(_, i, _) => inScope(i)
-      case FrameOp(_, vars, _) => vars
+      case FrameOp(_, vars, _, _) => vars
     }
     vs.distinct
   }

@@ -164,7 +164,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     def walk(op: Op): Unit = op match {
       case b: Bgp => countLeaf(Algebra.inScope(b))
       case ValuesOp(vars, _) => countLeaf(vars)
-      case FrameOp(_, vars, _) => countLeaf(vars)
+      case FrameOp(_, vars, _, _) => countLeaf(vars)
       case Join(l, r) => walk(l); walk(r)
       case LeftJoin(l, r, c) => walk(l); walk(r); c.foreach(exprVars)
       case Union(l, r) => walk(l); walk(r)
@@ -276,7 +276,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case Unit0 => spark.range(1).drop("id")
 
     // compiler-internal spliced frame (nested-EXISTS key frame)
-    case FrameOp(df, _, _) => df
+    case FrameOp(df, _, _, _) => df
 
     case Service(iri, inner, silent) =>
       Sparql.serviceQuads(iri) match {
@@ -1087,6 +1087,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def idTreeScope(op: Op): Option[Set[String]] = op match {
     case b: Bgp =>
       if (encodableBgp(b).isDefined) Some(Algebra.inScope(b).toSet) else None
+    // a store-derived key frame (nested-EXISTS splice) hashes onto
+    // the id plane on the fly — term identity is (lex, kind), the
+    // same identity the store ids carry
+    case f: FrameOp if f.idSafe && encoded.isDefined &&
+      f.nullable.isEmpty => Some(f.vars.toSet)
     // VALUES with no UNDEF: constants encode to literal ids, so the
     // block joins as an id leaf (its vars are never unbound)
     case v: ValuesOp if encoded.isDefined &&
@@ -1121,6 +1126,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         if (encodableBgp(b).isDefined)
           Some((Algebra.inScope(b).toSet, Set.empty[String]))
         else None
+      case f: FrameOp if f.idSafe && encoded.isDefined =>
+        Some((f.vars.toSet, f.nullable))
       case v: ValuesOp if encoded.isDefined &&
         v.rows.forall(_.forall(_.isDefined)) =>
         Some((v.vars.toSet, Set.empty[String]))
@@ -1194,6 +1201,8 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       // a UNION joins as one atomic leaf: branch-partial vars ride as
       // NULL ids and join with idJoin's null-compat form
       case u: Union if idTreeScopeWide(u).isDefined => Some(Seq(u))
+      // store-derived key frame: hashed onto the id plane on the fly
+      case f: FrameOp if f.idSafe && encoded.isDefined => Some(Seq(f))
       case _ => None
     }
     leaves(op).flatMap { lvs =>
@@ -1232,19 +1241,36 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
               wide <- idTreeScopeWide(u)
               df <- idFrameOf(u, keep ++ shared)
             } yield (df, wide._2.intersect(df.columns.toSet))
+          case f: FrameOp =>
+            val kept = f.vars.filter(v => keep(v) || shared(v))
+            if (kept.isEmpty) Some((f.frame.select(lit(1L).as(freshName("c"))),
+              Set.empty[String]))
+            else Some((f.frame.select(kept.map(v =>
+              termKey(f.frame(v)).as(v)): _*),
+              f.nullable.intersect(kept.toSet)))
           case _ => None
         }
       if (parts.exists(_.isEmpty)) None
       else {
         val remaining = scala.collection.mutable.ArrayBuffer(parts.map(_.get): _*)
         var (acc, accNullable) = remaining.remove(0)
-        while (remaining.nonEmpty) {
+        var typeClash = false
+        while (remaining.nonEmpty && !typeClash) {
           val accVars = acc.columns.toSet
           val idx = remaining.indexWhere(_._1.columns.exists(accVars.contains))
           val pick = if (idx >= 0) remaining.remove(idx) else remaining.remove(0)
-          val (joined, nn) = idJoin(acc, pick._1, accNullable, pick._2)
-          acc = joined; accNullable = nn
+          // a shared var must carry ONE id representation on both
+          // sides (a hashed long against a raw-g STRING graph column
+          // would silently never match) — bail to the struct plane
+          if (pick._1.columns.exists(c => accVars.contains(c) &&
+              pick._1.schema(c).dataType != acc.schema(c).dataType))
+            typeClash = true
+          else {
+            val (joined, nn) = idJoin(acc, pick._1, accNullable, pick._2)
+            acc = joined; accNullable = nn
+          }
         }
+        if (typeClash) return None
         val dead = acc.columns.filterNot(keep)
         Some(
           if (dead.length == acc.columns.length)
@@ -1744,7 +1770,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * the inner pattern binding it.
     */
   private def exprRefVars(op: Op): Set[String] = op match {
-    case Bgp(_, _) | Unit0 | ValuesOp(_, _) | FrameOp(_, _, _) => Set.empty
+    case Bgp(_, _) | Unit0 | ValuesOp(_, _) | FrameOp(_, _, _, _) => Set.empty
     case Join(l, r) => exprRefVars(l) ++ exprRefVars(r)
     case LeftJoin(l, r, c) => exprRefVars(l) ++ exprRefVars(r) ++
       c.map(exprVarSet).getOrElse(Set.empty)
@@ -1916,7 +1942,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
   private def allVarMentions(op: Op): Set[String] = op match {
     case b: Bgp => Algebra.inScope(b).toSet
     case ValuesOp(vars, _) => vars.toSet
-    case FrameOp(_, vars, _) => vars.toSet
+    case FrameOp(_, vars, _, _) => vars.toSet
     case Unit0 => Set.empty
     case Join(l, r) => allVarMentions(l) ++ allVarMentions(r)
     case LeftJoin(l, r, c) => allVarMentions(l) ++ allVarMentions(r) ++
@@ -2204,7 +2230,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val keyVars = (esc ++ shared).toSeq.sorted
     val nullable = Algebra.maybeUnbound(input).intersect(keyVars.toSet)
     val kf = in.select(keyVars.map(in(_)): _*).distinct()
-    injectNestedKeyFrame(sub, FrameOp(kf, keyVars, nullable), esc).map {
+    // store-derived keys (no BIND/aggregate/VALUES provenance) let
+    // the spliced frame ride the id plane at the inner compile site
+    val idSafe = !keyVars.exists(syntheticVars(input))
+    injectNestedKeyFrame(sub, FrameOp(kf, keyVars, nullable, idSafe), esc).map {
       case (sub2, crossSite) =>
         if (crossSite) {
           val n = kf.count()
@@ -2334,6 +2363,42 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     * widening. Pure expression layer — the exchange below shipped
     * only the 8-byte tag.
     */
+  /** On-the-fly 8-byte id of a solution-frame term struct: the SAME
+    * xxhash64(lex, kind) identity the store ids carry
+    * ([[graft.core.TermDictionary.termId]]) — a join of this key
+    * against an encoded column is exactly a [[termEq]] join. NULL
+    * struct → NULL key (xxhash64 alone would fold nulls into the
+    * seed and collide with nothing-in-particular).
+    */
+  private def termKey(c: Column): Column =
+    when(c.isNull, lit(null).cast(LongType))
+      .otherwise(graft.core.TermDictionary.termId(c))
+
+  /** Vars whose bindings may NOT be store terms (BIND / aggregate /
+    * VALUES / SERVICE provenance) — the dictionary may not contain
+    * them, so a frame keyed on such a var must stay off the id plane
+    * (its survivors could not re-decode). Conservative walk.
+    */
+  private def syntheticVars(op: Op): Set[String] = op match {
+    case Extend(i, v, _) => syntheticVars(i) + v
+    case Group(i, keys, aggs) => syntheticVars(i) ++ aggs.map(_._1) ++
+      keys.collect { case (v, Some(_)) => v }
+    case ValuesOp(vars, _) => vars.toSet
+    case Service(_, i, _) => Algebra.inScope(i).toSet
+    case FrameOp(_, vars, _, idSafe) =>
+      if (idSafe) Set.empty else vars.toSet
+    case Join(l, r) => syntheticVars(l) ++ syntheticVars(r)
+    case LeftJoin(l, r, _) => syntheticVars(l) ++ syntheticVars(r)
+    case Union(l, r) => syntheticVars(l) ++ syntheticVars(r)
+    case Minus(l, r) => syntheticVars(l) ++ syntheticVars(r)
+    case Filter(_, i) => syntheticVars(i)
+    case Project(i, _) => syntheticVars(i)
+    case Distinct(i) => syntheticVars(i)
+    case OrderBy(i, _) => syntheticVars(i)
+    case Slice(i, _, _) => syntheticVars(i)
+    case Bgp(_, _) | Unit0 => Set.empty
+  }
+
   private def constTagCol(tagCol: Column, tags: Map[Long, T]): Column =
     tags.toSeq.sortBy(_._1).foldLeft(lit(null).cast(termType)) {
       case (acc, (tag, t)) => when(tagCol === lit(tag), constCol(t))
