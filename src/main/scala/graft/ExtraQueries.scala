@@ -554,6 +554,119 @@ object ExtraQueries {
              least(20, dur_ms - start_ms)::BIGINT AS seg_ms
       FROM st""")),
 
+    // REAL image codec (r14 — the BMP sibling of m_wav_decode,
+    // closing the image half of the stub slot): bmpify wraps payload
+    // bytes as a canonical 24-bit gray BMP (bottom-up rows, 4-byte
+    // stride padding, every header field at its spec offset; docs
+    // with doc_id % 97 == 0 get a corrupted magic) and decodeBmp
+    // PARSES the stream by the spec into integer luminance stats.
+    // The oracle CONSTRUCTS the same byte stream in SQL and parses
+    // it back from list positions — corrupt rows fail its own
+    // validity checks and emit the zeroed rejection row, exactly as
+    // the Scala parser does.
+    Q("m_bmp_decode", (s, dir) => {
+      import s.implicits._
+      Multimodal.decodeBmp(
+        Multimodal.bmpify(
+          Multimodal.withBinary(t(s, dir, "documents"))
+            .as[Multimodal.Media])).toDF()
+    }, Some("""
+      WITH b AS MATERIALIZED (SELECT doc_id,
+           list_transform(range(1, octet_length(encode(text))+1),
+             i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT) AS tb
+         FROM documents),
+      dims AS (SELECT doc_id, tb, len(tb) AS n,
+          (8 + doc_id % 25)::BIGINT AS w,
+          greatest(1, (len(tb) + (8 + doc_id % 25) - 1)
+                       // (8 + doc_id % 25))::BIGINT AS h,
+          ((3*(8 + doc_id % 25) + 3) // 4 * 4)::BIGINT AS stride
+        FROM b),
+      bmp AS MATERIALIZED (SELECT doc_id,
+          [ CASE WHEN doc_id % 97 = 0 THEN 88::BIGINT ELSE 66::BIGINT END, 77 ]
+          || [ (54 + stride*h) % 256, ((54 + stride*h) // 256) % 256,
+               ((54 + stride*h) // 65536) % 256,
+               ((54 + stride*h) // 16777216) % 256 ]
+          || [0::BIGINT,0,0,0, 54,0,0,0, 40,0,0,0]
+          || [ w % 256, (w // 256) % 256, 0::BIGINT, 0 ]
+          || [ h % 256, (h // 256) % 256, 0::BIGINT, 0 ]
+          || [1::BIGINT,0, 24,0, 0,0,0,0]
+          || [ (stride*h) % 256, ((stride*h) // 256) % 256,
+               ((stride*h) // 65536) % 256, 0::BIGINT ]
+          || [19::BIGINT,11,0,0, 19,11,0,0, 0,0,0,0, 0,0,0,0]
+          || flatten(list_transform(range(0, h), yy ->
+               flatten(list_transform(range(0, w), x ->
+                 CASE WHEN (h-1-yy)*w + x < n
+                      THEN [ tb[((h-1-yy)*w + x + 1)::INT],
+                             tb[((h-1-yy)*w + x + 1)::INT],
+                             tb[((h-1-yy)*w + x + 1)::INT] ]
+                      ELSE [0::BIGINT,0,0] END))
+               || list_transform(range(0, stride - 3*w), z -> 0::BIGINT)))
+          AS bs
+        FROM dims),
+      parsed AS (SELECT doc_id, bs,
+          bs[19] + 256*bs[20] + 65536*bs[21] + 16777216*bs[22] AS pw,
+          bs[23] + 256*bs[24] + 65536*bs[25] + 16777216*bs[26] AS ph
+        FROM bmp),
+      checked AS (SELECT doc_id, bs, pw, ph,
+          ((3*pw + 3) // 4 * 4) AS pstride,
+          (bs[1]=66 AND bs[2]=77
+           AND bs[3] + 256*bs[4] + 65536*bs[5] + 16777216*bs[6] = len(bs)
+           AND bs[11] + 256*bs[12] + 65536*bs[13] + 16777216*bs[14] = 54
+           AND bs[15] + 256*bs[16] + 65536*bs[17] + 16777216*bs[18] = 40
+           AND bs[27] + 256*bs[28] = 1
+           AND bs[29] + 256*bs[30] = 24
+           AND bs[31] + 256*bs[32] + 65536*bs[33] + 16777216*bs[34] = 0
+           AND pw > 0 AND ph > 0 AND pw <= 1000000 AND ph <= 1000000
+           AND len(bs) >= 54 + ((3*pw + 3) // 4 * 4) * ph) AS ok
+        FROM parsed),
+      stats AS (SELECT doc_id, pw, ph, pstride, ok,
+          list_transform(range(0, CASE WHEN ok THEN pw*ph ELSE 0 END), i ->
+            bs[(55 + (i // pw)*pstride + 3*(i % pw))::INT]
+            + bs[(56 + (i // pw)*pstride + 3*(i % pw))::INT]
+            + bs[(57 + (i // pw)*pstride + 3*(i % pw))::INT]) AS px
+        FROM checked)
+      SELECT doc_id,
+        CASE WHEN ok THEN pw ELSE 0 END::BIGINT AS width,
+        CASE WHEN ok THEN ph ELSE 0 END::BIGINT AS height,
+        CASE WHEN ok THEN 24 ELSE 0 END::BIGINT AS bpp,
+        CASE WHEN ok THEN pstride ELSE 0 END::BIGINT AS stride,
+        CASE WHEN ok THEN pstride*ph ELSE 0 END::BIGINT AS img_size,
+        CASE WHEN ok THEN pw*ph ELSE 0 END::BIGINT AS n_px,
+        list_reduce(list_prepend(0::BIGINT, px), (a,x) -> a+x)::BIGINT AS lum3_sum,
+        list_max(list_prepend(0::BIGINT, px))::BIGINT AS peak3,
+        ok AS valid
+      FROM stats""")),
+
+    // ViT patch grid over the PARSED BMP dimensions (r14): the same
+    // ceil-division tiling as m_patch_grid, but width/height come
+    // from decodeBmp's real header parse instead of the stub rates —
+    // the honest end of the image decode → schedule pipeline.
+    // Invalid (corrupt-magic) payloads drop, as in wavSegments.
+    Q("m_bmp_patch_grid", (s, dir) => {
+      import s.implicits._
+      Multimodal.patchGrid(
+        Multimodal.decodeBmp(
+          Multimodal.bmpify(
+            Multimodal.withBinary(t(s, dir, "documents"))
+              .as[Multimodal.Media]))
+          .filter(_.valid)
+          .map(b => Multimodal.MediaMeta(b.doc_id, "image",
+            b.img_size, b.width, b.height, 3L)))
+    }, Some("""
+      WITH dims AS (SELECT doc_id,
+          (8 + doc_id % 25)::BIGINT AS w,
+          greatest(1, (octet_length(encode(text)) + (8 + doc_id % 25) - 1)
+                       // (8 + doc_id % 25))::BIGINT AS h
+        FROM documents WHERE doc_id % 97 <> 0)
+      SELECT doc_id, w AS width, h AS height,
+        ((w + 15) // 16)::BIGINT AS grid_x,
+        ((h + 15) // 16)::BIGINT AS grid_y,
+        (((w + 15) // 16) * ((h + 15) // 16))::BIGINT AS n_patches,
+        (((w + 15) // 16) * 16 - w)::BIGINT AS pad_x,
+        (((h + 15) // 16) * 16 - h)::BIGINT AS pad_y,
+        (((w + 15) // 16) * ((h + 15) // 16) + 1)::BIGINT AS n_tokens
+      FROM dims""")),
+
     Q("m_audio_segments", (s, dir) => {
       import s.implicits._
       Multimodal.audioSegments(

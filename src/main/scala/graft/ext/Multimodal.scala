@@ -229,6 +229,118 @@ object Multimodal {
         least(lit(segMs), col("dur_ms") - col("col")).as("seg_ms"))
   }
 
+  final case class BmpMeta(doc_id: Long, width: Long, height: Long,
+      bpp: Long, stride: Long, img_size: Long, n_px: Long,
+      lum3_sum: Long, peak3: Long, valid: Boolean)
+
+  /** REAL image-codec encoder half (r14 — the BMP sibling of
+    * [[wavify]], closing the image side of the stub slot): wrap the
+    * payload bytes as a canonical 24-bit BMP — each byte becomes one
+    * GRAY pixel (r=g=b), rows of width `8 + doc_id % 25` stored
+    * BOTTOM-UP with the spec's 4-byte stride padding, every header
+    * field at its BITMAPFILEHEADER/BITMAPINFOHEADER offset ('BM' @0,
+    * file size @2, pixel offset 54 @10, header size 40 @14, planes 1,
+    * 24 bpp, BI_RGB, 72 DPI). Docs with `doc_id % 97 == 0` get their
+    * first magic byte corrupted — the deterministic rejection rows
+    * the decode gate checks. Map-only.
+    */
+  def bmpify(media: Dataset[Media]): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val n = m.payload.length
+      val w = 8 + (m.doc_id % 25).toInt
+      val h = math.max(1, (n + w - 1) / w)
+      val stride = ((3 * w + 3) / 4) * 4
+      val imgSize = stride * h
+      val bb = java.nio.ByteBuffer.allocate(54 + imgSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte)
+      bb.putInt(54 + imgSize)
+      bb.putInt(0) // reserved
+      bb.putInt(54) // pixel-data offset
+      bb.putInt(40) // BITMAPINFOHEADER size
+      bb.putInt(w)
+      bb.putInt(h)
+      bb.putShort(1) // planes
+      bb.putShort(24) // bits per pixel
+      bb.putInt(0) // compression = BI_RGB
+      bb.putInt(imgSize)
+      bb.putInt(2835) // 72 DPI in px/m
+      bb.putInt(2835)
+      bb.putInt(0) // colors used
+      bb.putInt(0) // colors important
+      var y = h - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          val b: Byte = if (i < n) m.payload(i) else 0
+          bb.put(b).put(b).put(b)
+          x += 1
+        }
+        var pad = stride - 3 * w
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      val out = bb.array()
+      if (m.doc_id % 97 == 0) out(0) = 'X'.toByte
+      Media(m.doc_id, "image", out)
+    }
+  }
+
+  /** REAL image-codec decoder half: parse the BMP stream BY THE
+    * FORMAT SPEC — 'BM' magic, file size vs actual length, pixel
+    * offset 54, BITMAPINFOHEADER size 40, planes 1, 24 bpp,
+    * uncompressed, positive bounded dimensions, enough bytes for
+    * `stride × height` — then fold the pixel rows (at the spec's
+    * padded stride, whatever order they were stored in) into integer
+    * luminance stats: `lum3_sum` = Σ(r+g+b), `peak3` = max(r+g+b) —
+    * the brightness/contrast prefilter a real image-quality gate
+    * starts from. A malformed header (including the planted
+    * corrupt-magic rows) yields `valid = false` with zeroed stats,
+    * never garbage and never a throw. Map-only; the codec-call slot
+    * [[decodeMeta]] documents, filled with a real parser.
+    */
+  def decodeBmp(media: Dataset[Media]): Dataset[BmpMeta] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val p = m.payload
+      def u8(off: Int): Long = p(off) & 0xffL
+      def le16(off: Int): Long = u8(off) | (u8(off + 1) << 8)
+      def le32(off: Int): Long = le16(off) | (le16(off + 2) << 16)
+      def bad = BmpMeta(m.doc_id, 0, 0, 0, 0, 0, 0, 0, 0, valid = false)
+      if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) bad
+      else {
+        val w = le32(18)
+        val h = le32(22)
+        val stride = ((3 * w + 3) / 4) * 4
+        val valid = le32(2) == p.length && le32(10) == 54 &&
+          le32(14) == 40 && le16(26) == 1 && le16(28) == 24 &&
+          le32(30) == 0 && w > 0 && h > 0 &&
+          w <= 1000000 && h <= 1000000 &&
+          p.length >= 54 + stride * h
+        if (!valid) bad
+        else {
+          var lum = 0L; var peak = 0L
+          var y = 0L
+          while (y < h) {
+            var x = 0L
+            while (x < w) {
+              val base = (54 + y * stride + 3 * x).toInt
+              val s = u8(base) + u8(base + 1) + u8(base + 2)
+              lum += s
+              if (s > peak) peak = s
+              x += 1
+            }
+            y += 1
+          }
+          BmpMeta(m.doc_id, w, h, le16(28), stride, stride * h, w * h,
+            lum, peak, valid = true)
+        }
+      }
+    }
+  }
+
   final case class PHash(doc_id: Long, phash: Long)
 
   /** Full 64-bit perceptual fingerprint: resample the payload to 64

@@ -108,6 +108,61 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("decodeBmp parses a hand-crafted golden BMP by the format spec") {
+    // 2×2 24-bit BMP written by hand (stride 8 = 6 pixel bytes + 2
+    // pad), independent of the bmpify encoder
+    val golden: Array[Byte] = (
+      "BM".getBytes("US-ASCII") ++
+      Array[Byte](70, 0, 0, 0) ++          // file size 54 + 16
+      Array[Byte](0, 0, 0, 0) ++           // reserved
+      Array[Byte](54, 0, 0, 0) ++          // pixel offset
+      Array[Byte](40, 0, 0, 0) ++          // info header size
+      Array[Byte](2, 0, 0, 0) ++           // width 2
+      Array[Byte](2, 0, 0, 0) ++           // height 2
+      Array[Byte](1, 0) ++                 // planes
+      Array[Byte](24, 0) ++                // bpp
+      Array[Byte](0, 0, 0, 0) ++           // BI_RGB
+      Array[Byte](16, 0, 0, 0) ++          // image size
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++ // dpi
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++ // colors
+      Array[Byte](10, 20, 30, 40, 50, 60, 0, 0) ++          // bottom row
+      Array[Byte](-56, -46, -36, 0, 0, 0, 0, 0)             // top row
+    )
+    import spark.implicits._
+    val got = Multimodal.decodeBmp(
+      Seq(Multimodal.Media(7L, "image", golden)).toDS()).collect().head
+    assert(got.valid && got.width == 2 && got.height == 2 &&
+      got.bpp == 24 && got.stride == 8 && got.img_size == 16 &&
+      got.n_px == 4 && got.lum3_sum == 840 && got.peak3 == 630)
+    // corrupt the magic: invalid with zeroed stats, no throw
+    val bad = golden.clone(); bad(0) = 'X'.toByte
+    val inv = Multimodal.decodeBmp(
+      Seq(Multimodal.Media(8L, "image", bad)).toDS()).collect().head
+    assert(!inv.valid && inv.width == 0 && inv.lum3_sum == 0)
+    // a lying file-size field must also reject (spec check, not crash)
+    val lie = golden.clone(); lie(2) = 71
+    assert(!Multimodal.decodeBmp(
+      Seq(Multimodal.Media(9L, "image", lie)).toDS()).collect().head.valid)
+  }
+
+  test("bmpify/decodeBmp round-trip recovers dims and luminance stats") {
+    val metas = Multimodal.decodeBmp(Multimodal.bmpify(media)).collect()
+    assert(metas.length == docs.count())
+    val byId = media.collect().map(m => m.doc_id -> m.payload).toMap
+    metas.foreach { b =>
+      val p = byId(b.doc_id)
+      if (b.doc_id % 97 == 0) assert(!b.valid && b.width == 0)
+      else {
+        val w = 8 + (b.doc_id % 25)
+        val h = math.max(1, (p.length + w - 1) / w)
+        assert(b.valid && b.width == w && b.height == h &&
+          b.n_px == w * h &&
+          b.lum3_sum == 3L * p.map(x => (x & 0xff).toLong).sum &&
+          b.peak3 == 3L * p.map(x => (x & 0xff).toLong).foldLeft(0L)(math.max))
+      }
+    }
+  }
+
   test("phashNearDupPairs refuses a radius the banding cannot certify") {
     val hashes = Multimodal.pHash(media).toDF()
     intercept[IllegalArgumentException] {
