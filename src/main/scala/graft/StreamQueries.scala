@@ -76,6 +76,22 @@ object StreamQueries {
 
     // stream-stream interval join (attribution shape): inner matches
     // emit as both rows arrive, so the answer is batch-checkable
+    // SCD-2 versions maintained IN THE STREAM (r14): custom
+    // flatMapGroupsWithState machine, one open version per user
+    // (state O(#users)); each event closes the previous version.
+    // Emits CLOSED versions only — the oracle is the batch SCD-2
+    // build restricted to rows with a successor (lead IS NOT NULL),
+    // the same replay-equivalence pattern as st_hll_daily
+    Q("st_scd2_versions", (s, dir) => StreamOps.scd2Streaming(s, dir),
+      Some("""
+      SELECT * FROM (
+        SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+               event_type, epoch_us(ts) * 1000 AS from_ns,
+               lead(epoch_us(ts) * 1000) OVER w AS to_ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      WHERE to_ns IS NOT NULL""")),
+
     Q("st_stream_join", (s, dir) => StreamOps.streamStreamJoin(s, dir),
       Some("""
       SELECT v.event_id AS view_id, b.event_id AS buy_id, v.user_id

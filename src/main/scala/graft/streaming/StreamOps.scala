@@ -4,9 +4,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode,
+  StreamingQuery, Trigger}
 
 /** Structured Streaming operators over the `events` table (SURVEY
   * §2.D: the harness reintroduces event-time processing that the
@@ -297,6 +298,69 @@ object StreamOps {
         col("last")("value").as("last_value"))
     val name = s"st_latest_${System.nanoTime()}"
     val (q, ckpt) = startQuery(spark, latest, name, "complete", availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
+    spark.table(name)
+  }
+
+  final case class ScdEv(user_id: Long, ts_ns: Long, event_id: Long,
+      event_type: String)
+  final case class ScdOpen(event_id: Long, event_type: String,
+      from_ns: Long)
+  final case class ScdVersion(user_id: Long, event_id: Long,
+      event_type: String, from_ns: Long, to_ns: Long)
+
+  /** SCD-2 dimension maintenance IN THE STREAM (r14 — the streaming
+    * twin of [[graft.ext.EventWindows.scd2Intervals]], the custom-
+    * state st_* gate the r13 verdict asked for): per user, state =
+    * the ONE open version (event_id, type, from_ns); each arriving
+    * event CLOSES it (emits the finished interval with
+    * `to_ns` = the new event's time) and opens its own. Events sort
+    * by (ts_ns, event_id) within a batch — the batch build's exact
+    * tie order — and across batches the open version carries in the
+    * state store, so a later batch's first event closes the previous
+    * batch's tail exactly as one batch would have.
+    *
+    * BOUNDED STATE: exactly one ScdOpen per user — O(#users), never
+    * O(#events); no list, no buffer. Emitted rows are only CLOSED
+    * versions (append mode); the open tail stays in state by design,
+    * the [[Sessionize]] contract — an unbounded stream has no end.
+    * At scale, pair with a watermark + event-time timeout to flush
+    * and GC retired users.
+    */
+  def scd2Versions(evs: Dataset[ScdEv]): Dataset[ScdVersion] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdOpen, ScdVersion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, events, state) =>
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScdVersion]
+          events.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+            open.foreach(o => out += ScdVersion(user, o.event_id,
+              o.event_type, o.from_ns, e.ts_ns))
+            open = Some(ScdOpen(e.event_id, e.event_type, e.ts_ns))
+          }
+          open.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Gate wiring: events file stream → [[scd2Versions]] → memory
+    * sink. `ts_ns` derives from the normalized micro timestamp
+    * (µs·1000 — the canonical grain of both table layouts).
+    */
+  def scd2Streaming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        (unix_micros(col("ts")) * 1000L).as("ts_ns"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"))
+      .as[ScdEv]
+    val versions = scd2Versions(evs).toDF()
+    val name = s"st_scd2_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, versions, name, "append",
+      availableNow = true)
     try q.awaitTermination() finally finishQuery(q, ckpt)
     spark.table(name)
   }

@@ -41,6 +41,46 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD-2: closes versions across batches, one open per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{ScdEv, ScdVersion}
+    val mem = MemoryStream[ScdEv]
+    val q = StreamOps.scd2Versions(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events for user 1 (first version closes), one
+      // opener for user 2 (nothing closes)
+      mem.addData(ScdEv(1, 1000, 10, "a"), ScdEv(1, 2000, 11, "b"),
+        ScdEv(2, 1500, 20, "x"))
+      q.processAllAvailable()
+      val b1 = spark.table("scd2_out").as[ScdVersion].collect().toSet
+      assert(b1 == Set(ScdVersion(1, 10, "a", 1000, 2000)))
+      // batch 2: the carried-open tails close exactly as one batch
+      // would have closed them (state = ONE open version per user)
+      mem.addData(ScdEv(1, 9000, 12, "c"), ScdEv(2, 8000, 21, "y"))
+      q.processAllAvailable()
+      val b2 = spark.table("scd2_out").as[ScdVersion].collect().toSet
+      assert(b2 == Set(
+        ScdVersion(1, 10, "a", 1000, 2000),
+        ScdVersion(1, 11, "b", 2000, 9000),
+        ScdVersion(2, 20, "x", 1500, 8000)))
+    } finally q.stop()
+  }
+
+  test("streaming SCD-2 replay equals the batch build's closed rows") {
+    import spark.implicits._
+    val got = StreamOps.scd2Streaming(spark, sf)
+      .as[StreamOps.ScdVersion].collect().toSet
+    val want = graft.ext.EventWindows
+      .scd2Intervals(graft.core.Tables(spark, sf, "events"))
+      .filter(col("to_ns").isNotNull)
+      .select("user_id", "event_id", "event_type", "from_ns", "to_ns")
+      .as[StreamOps.ScdVersion].collect().toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("sessionizer: a late cross-batch event merges without corrupting bounds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
