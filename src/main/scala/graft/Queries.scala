@@ -2823,6 +2823,43 @@ object Queries {
              exy_micro * 1000000 - mean_micro * mean_micro AS var_pico
       FROM m""")),
 
+    // embedding drift between the even-id (reference) and odd-id
+    // (current) corpus halves (r14): ONE combinable aggregate of six
+    // conditional fixed-point sums onto 64 dim keys — no two-pass
+    // join, O(partitions x dim) shuffle at any corpus size; all
+    // deltas on the integer plane (FLOAT_AUDIT rule)
+    Q("s_dim_drift", (s, dir) =>
+      Similarity.dimDrift(t(s, dir, "embeddings"), idCol = "vec_id"),
+      Some(s"""
+      WITH ex AS (SELECT vec_id % 2 AS h, embedding,
+                         unnest(range(1, len(embedding)+1)) AS i
+                  FROM embeddings),
+      sums AS (
+        SELECT (i-1)::INT AS dim,
+               sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               sum(CASE WHEN h = 0 THEN CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) ELSE 0 END)::BIGINT AS sum_micro_a,
+               sum(CASE WHEN h = 1 THEN CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT) ELSE 0 END)::BIGINT AS sum_micro_b,
+               sum(CASE WHEN h = 0 THEN CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT)
+                                      * CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT) ELSE 0 END)::BIGINT AS sumsq_milli2_a,
+               sum(CASE WHEN h = 1 THEN CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT)
+                                      * CAST(round(embedding[i]::DOUBLE * 1000) AS BIGINT) ELSE 0 END)::BIGINT AS sumsq_milli2_b
+        FROM ex GROUP BY 1),
+      m AS (
+        SELECT dim, n_a, n_b, sum_micro_a, sum_micro_b,
+               CAST(round(sum_micro_a::DOUBLE / n_a) AS BIGINT) AS mean_micro_a,
+               CAST(round(sum_micro_b::DOUBLE / n_b) AS BIGINT) AS mean_micro_b,
+               CAST(round(sumsq_milli2_a::DOUBLE / n_a) AS BIGINT) AS exy_a,
+               CAST(round(sumsq_milli2_b::DOUBLE / n_b) AS BIGINT) AS exy_b
+        FROM sums)
+      SELECT dim, n_a, n_b, mean_micro_a, mean_micro_b,
+             (mean_micro_b - mean_micro_a)::BIGINT AS mean_diff_micro,
+             (exy_a * 1000000 - mean_micro_a * mean_micro_a)::BIGINT AS var_pico_a,
+             (exy_b * 1000000 - mean_micro_b * mean_micro_b)::BIGINT AS var_pico_b,
+             (exy_b * 1000000 - mean_micro_b * mean_micro_b
+              - exy_a * 1000000 + mean_micro_a * mean_micro_a)::BIGINT AS var_diff_pico
+      FROM m""")),
+
     // per-dimension z-score whitening: the APPLY step for s_dim_stats
     // (broadcast 64-row stats, map-only normalize; sqrt is correctly-
     // rounded IEEE so both engines agree); hashed output is integer

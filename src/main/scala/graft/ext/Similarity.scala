@@ -294,6 +294,51 @@ object Similarity {
         col("exy_micro") * lit(1000000L) - col("mean_micro") * col("mean_micro"))
   }
 
+  /** Embedding DRIFT between two corpus halves (r14 — the embedding
+    * column's sibling of the text-side NLL/KL curation gates): per
+    * dimension, the mean/variance delta between the reference slice
+    * (even ids — standing in for the ingest-time snapshot) and the
+    * current slice (odd ids). ONE combinable aggregate of 2×3
+    * conditional fixed-point sums onto exactly `dim` keys — the
+    * shuffle is `O(partitions × dim)` at any corpus size, no join of
+    * two stats passes, no second scan. All derived moments follow
+    * [[dimStats]]'s integer-plane discipline (micro / milli² / pico
+    * units; round-to-integer of deterministic quotients), so the
+    * drift deltas are cross-engine exact. A production pipeline
+    * watches `mean_diff_micro` / `var_diff_pico` per dim for feature
+    * shift before it poisons retrieval or training.
+    */
+  def dimDrift(corpus: DataFrame, emb: String = "embedding",
+      idCol: String = "doc_id"): DataFrame = {
+    val vMicro = round(col("v").cast("double") * 1e6, 0).cast("long")
+    val vMilli = round(col("v").cast("double") * 1e3, 0).cast("long")
+    def half(h: Int, c: Column): Column =
+      sum(when(col("h") === h, c).otherwise(lit(0L)))
+    def meanOf(sumC: String, nC: String): Column =
+      round(col(sumC).cast("double") / col(nC), 0).cast("long")
+    corpus.select(col(idCol).as("id"), posexplode(col(emb)))
+      .toDF("id", "dim", "v")
+      .withColumn("h", pmod(col("id"), lit(2)).cast("int"))
+      .groupBy(col("dim").cast("int").as("dim"))
+      .agg(half(0, lit(1L)).as("n_a"), half(1, lit(1L)).as("n_b"),
+        half(0, vMicro).as("sum_micro_a"), half(1, vMicro).as("sum_micro_b"),
+        half(0, vMilli * vMilli).as("sumsq_milli2_a"),
+        half(1, vMilli * vMilli).as("sumsq_milli2_b"))
+      .withColumn("mean_micro_a", meanOf("sum_micro_a", "n_a"))
+      .withColumn("mean_micro_b", meanOf("sum_micro_b", "n_b"))
+      .withColumn("var_pico_a",
+        meanOf("sumsq_milli2_a", "n_a") * lit(1000000L)
+          - col("mean_micro_a") * col("mean_micro_a"))
+      .withColumn("var_pico_b",
+        meanOf("sumsq_milli2_b", "n_b") * lit(1000000L)
+          - col("mean_micro_b") * col("mean_micro_b"))
+      .select(col("dim"), col("n_a"), col("n_b"),
+        col("mean_micro_a"), col("mean_micro_b"),
+        (col("mean_micro_b") - col("mean_micro_a")).as("mean_diff_micro"),
+        col("var_pico_a"), col("var_pico_b"),
+        (col("var_pico_b") - col("var_pico_a")).as("var_diff_pico"))
+  }
+
   /** Apply [[dimStats]] as a per-dimension z-score (whitening without
     * rotation): broadcast the 64-row stats table, explode, normalize
     * map-only. Zero-variance dimensions map to 0 rather than NaN.
