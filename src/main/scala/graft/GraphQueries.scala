@@ -132,6 +132,36 @@ object GraphQueries {
                WHERE n_regionkey = r_regionkey) AS n_supp
             FROM region)""")),
 
+    // closeness centrality from the region landmarks (r14): same
+    // star components as g_harmonic_seeds — nations at d=1, their
+    // customers/suppliers at d=2 — so sum_dist = n_nat + 2(n_cust +
+    // n_supp) and closeness_micro = 1000000·n_reached div sum_dist
+    // (integer division, engine-exact)
+    Q("g_closeness_seeds", (s, dir) => {
+      val edges = custNatEdges(s, dir)
+        .unionByName(natRegEdges(s, dir))
+        .unionByName(supNatEdges(s, dir))
+      val seeds = Tables(s, dir, "region")
+        .select((col("r_regionkey") + 1000).cast("long").as("id"))
+      GraphOps.closenessFromSeeds(s, edges, seeds)
+    },
+      Some("""
+      SELECT (1000+r_regionkey)::BIGINT AS seed,
+             (n_nat + 2*(n_cust + n_supp))::BIGINT AS sum_dist,
+             (n_nat + n_cust + n_supp)::BIGINT AS n_reached,
+             ((1000000 * (n_nat + n_cust + n_supp))
+                // (n_nat + 2*(n_cust + n_supp)))::BIGINT AS closeness_micro
+      FROM (SELECT r_regionkey,
+              (SELECT count(*) FROM nation
+               WHERE n_regionkey = r_regionkey) AS n_nat,
+              (SELECT count(*) FROM customer JOIN nation
+                 ON c_nationkey = n_nationkey
+               WHERE n_regionkey = r_regionkey) AS n_cust,
+              (SELECT count(*) FROM supplier JOIN nation
+                 ON s_nationkey = n_nationkey
+               WHERE n_regionkey = r_regionkey) AS n_supp
+            FROM region)""")),
+
     Q("g_shortest_hops", (s, dir) => {
       val edges = custNatEdges(s, dir)
         .unionByName(natRegEdges(s, dir))

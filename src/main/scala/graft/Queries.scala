@@ -1556,6 +1556,25 @@ object Queries {
       FROM draw
       WHERE CAST(floor(w) + (CASE WHEN u < w - floor(w) THEN 1.0 ELSE 0.0 END) AS BIGINT) > 0""")),
 
+    // A-ES weighted sampling without replacement (r14): k smallest
+    // exponential keys -ln(u)/w, u = scrambled rerun-stable hash,
+    // w = char length — map-only keys + distributed top-k (partial
+    // per-partition heaps, no global sort); (key_micro, doc_id)
+    // total order keeps the selected SET engine-exact
+    Q("t_weighted_sample", (s, dir) =>
+      TextAnalysis.weightedSample(t(s, dir, "documents"),
+        greatest(lit(1L), length(col("text")).cast("long")), k = 100),
+      Some(s"""
+      WITH d AS (
+        SELECT doc_id, greatest(1, length(text))::BIGINT AS w,
+               (((${duckPh("'aes:' || CAST(doc_id AS VARCHAR)")} * 2654435761
+                  % 1000000007) + 1000000007) % 1000000007 + 1)::DOUBLE
+                 / 1000000008.0 AS u
+        FROM documents)
+      SELECT doc_id, w,
+             CAST(round(-ln(u) * 1000000.0 / w) AS BIGINT) AS key_micro
+      FROM d ORDER BY key_micro ASC, doc_id ASC LIMIT 100""")),
+
     // per-source document cap: at most 10 docs per source, picked in
     // scrambled-hash order — the domain-cap curation primitive; one
     // window shuffle on source, rerun-stable kept set

@@ -182,8 +182,14 @@ object GraphOps {
     * (seed, h_micro, n_reached), sealed so the BFS checkpoints free
     * deterministically.
     */
-  def harmonicFromSeeds(spark: SparkSession, edges: DataFrame,
-      seeds: DataFrame, maxDepth: Int = 8): DataFrame = {
+  /** Labeled semi-naive BFS shared by the seed-centrality family:
+    * (seed, id, dist) rows for every vertex reachable from each seed
+    * within `maxDepth`, superseded checkpoints released per round.
+    * The returned frame is localCheckpoint'd — callers aggregate and
+    * seal with [[Ranks.sealAndRelease]] against it.
+    */
+  private def seedDistances(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxDepth: Int): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
@@ -214,11 +220,40 @@ object GraphOps {
     }
     if (!(frontier eq dists)) frontier.unpersist(blocking = false)
     und.unpersist(blocking = false)
+    dists
+  }
+
+  def harmonicFromSeeds(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxDepth: Int = 8): DataFrame = {
+    val dists = seedDistances(spark, edges, seeds, maxDepth)
     Ranks.sealAndRelease(
       dists.filter(col("dist") > 0)
         .groupBy("seed").agg(
           sum(expr("1000000L div dist")).as("h_micro"),
           count(lit(1)).as("n_reached")),
+      dists)
+  }
+
+  /** Closeness centrality from a SEED SET (r14 — the 10-line sibling
+    * the [[harmonicFromSeeds]] state machine was built to admit):
+    * c(seed) = n_reached / Σ d(seed, v) over the reachable set — the
+    * within-component closeness, emitted as the engine-exact integer
+    * `1000000·n_reached div sum_dist` (micro-units, FLOAT_AUDIT
+    * integer-plane rule; `sum_dist ≥ n_reached ≥ 1` for any seed
+    * that reaches anything, so the division is total). Same labeled
+    * BFS, same O(|seeds|·reachable) state bound, same per-round
+    * checkpoint release.
+    */
+  def closenessFromSeeds(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxDepth: Int = 8): DataFrame = {
+    val dists = seedDistances(spark, edges, seeds, maxDepth)
+    Ranks.sealAndRelease(
+      dists.filter(col("dist") > 0)
+        .groupBy("seed").agg(
+          sum("dist").as("sum_dist"),
+          count(lit(1)).as("n_reached"))
+        .select(col("seed"), col("sum_dist"), col("n_reached"),
+          expr("(1000000L * n_reached) div sum_dist").as("closeness_micro")),
       dists)
   }
 

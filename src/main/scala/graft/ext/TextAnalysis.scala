@@ -196,6 +196,32 @@ object TextAnalysis {
       .select("doc_id", "n_copies")
   }
 
+  /** Weighted sampling WITHOUT replacement (r14 — Efraimidis–Spirakis
+    * A-ES, the curation sibling of [[importanceResample]]): give each
+    * doc the key `Exp(1)/w = −ln(u)/w` with `u` the scrambled
+    * rerun-stable doc hash mapped into (0, 1]; the k SMALLEST keys
+    * are exactly a weight-proportional sample without replacement
+    * (ES 2006). Map-only key computation + distributed top-k
+    * (TakeOrderedAndProject: per-partition heaps of k, never a global
+    * sort — the 100 TB selection shape). Keys land as micro-unit
+    * integers — `−ln(u)` is irrational so the round-to-integer is
+    * engine-exact (FLOAT_AUDIT irrational class) — and (key_micro,
+    * doc_id) is a total order, so both engines pick the same set
+    * even through micro-grain ties.
+    */
+  def weightedSample(docs: org.apache.spark.sql.DataFrame,
+      weight: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val p = 1000000007L
+    val h = polyHash(concat(lit("aes:"), col("doc_id").cast("string")))
+    val u = (((h * 2654435761L % p) + p) % p + 1L).cast("double") /
+      (p + 1).toDouble
+    docs.select(col("doc_id"), weight.cast("long").as("w"))
+      .withColumn("key_micro",
+        round(-log(u) * 1e6 / col("w"), 0).cast("long"))
+      .orderBy(col("key_micro").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** PMI collocation mining: pointwise mutual information of adjacent
     * token pairs vs their unigram frequencies — the collocation /
     * multi-word-expression detector (and tokenizer-merge candidate
