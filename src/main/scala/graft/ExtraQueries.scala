@@ -667,6 +667,38 @@ object ExtraQueries {
         (((w + 15) // 16) * ((h + 15) // 16) + 1)::BIGINT AS n_tokens
       FROM dims""")),
 
+    // luminance histogram over DECODED pixels (r14): 4 equal bins of
+    // s = r+g+b, the exposure/contrast prefilter. The operator
+    // parses the BMP by the spec (shared header validation with
+    // decodeBmp) and walks real pixel rows; the oracle exploits the
+    // encode closed form — gray pixel s = 3·byte so bin s div 192 =
+    // byte div 64, plus (w·h − n) zero padding pixels in bin 0 —
+    // with validity = the planted corrupt-magic rule the decode gate
+    // already proved equivalent to the full header check
+    Q("m_bmp_histogram", (s, dir) => {
+      import s.implicits._
+      Multimodal.bmpLumHistogram(
+        Multimodal.bmpify(
+          Multimodal.withBinary(t(s, dir, "documents"))
+            .as[Multimodal.Media])).toDF()
+    }, Some("""
+      WITH b AS MATERIALIZED (SELECT doc_id,
+           list_transform(range(1, octet_length(encode(text))+1),
+             i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT)
+             AS tb
+         FROM documents WHERE doc_id % 97 <> 0),
+      dims AS (SELECT doc_id, tb, len(tb)::BIGINT AS n,
+          (8 + doc_id % 25)::BIGINT AS w,
+          greatest(1, (len(tb) + (8 + doc_id % 25) - 1)
+                       // (8 + doc_id % 25))::BIGINT AS h
+        FROM b)
+      SELECT doc_id,
+        (len(list_filter(tb, x -> x < 64)) + (w*h - n))::BIGINT AS b0,
+        len(list_filter(tb, x -> x >= 64 AND x < 128))::BIGINT AS b1,
+        len(list_filter(tb, x -> x >= 128 AND x < 192))::BIGINT AS b2,
+        len(list_filter(tb, x -> x >= 192))::BIGINT AS b3
+      FROM dims""")),
+
     Q("m_audio_segments", (s, dir) => {
       import s.implicits._
       Multimodal.audioSegments(

@@ -162,6 +162,70 @@ object GraphQueries {
                WHERE n_regionkey = r_regionkey) AS n_supp
             FROM region)""")),
 
+    // diameter lower bound via the classic double sweep (r14): BFS
+    // from the min-id vertex, re-BFS from the min-id farthest vertex
+    // — the oracle replays BOTH sweeps as unrolled level-by-level
+    // BFS CTEs (4 levels: the cust/supp–nation–region hierarchy has
+    // diameter ≤ 4), every level AS MATERIALIZED per the k-core
+    // lesson
+    Q("g_diameter_sweep", (s, dir) => {
+      val edges = custNatEdges(s, dir)
+        .unionByName(natRegEdges(s, dir))
+        .unionByName(supNatEdges(s, dir))
+      GraphOps.diameterSweep(s, edges)
+    },
+      Some("""
+      WITH e AS MATERIALIZED (
+        SELECT (10000+c_custkey)::BIGINT AS s, c_nationkey::BIGINT AS d
+        FROM customer
+        UNION ALL
+        SELECT n_nationkey::BIGINT, (1000+n_regionkey)::BIGINT FROM nation
+        UNION ALL
+        SELECT (100000+s_suppkey)::BIGINT, s_nationkey::BIGINT FROM supplier),
+      und AS MATERIALIZED (SELECT s, d FROM e UNION SELECT d, s FROM e),
+      s1 AS MATERIALIZED (SELECT min(s) AS id FROM und),
+      a0 AS MATERIALIZED (SELECT id FROM s1),
+      a1 AS MATERIALIZED (SELECT DISTINCT d AS id FROM und JOIN a0 ON und.s = a0.id
+        WHERE d NOT IN (SELECT id FROM a0)),
+      a2 AS MATERIALIZED (SELECT DISTINCT d AS id FROM und JOIN a1 ON und.s = a1.id
+        WHERE d NOT IN (SELECT id FROM a0) AND d NOT IN (SELECT id FROM a1)),
+      a3 AS MATERIALIZED (SELECT DISTINCT d AS id FROM und JOIN a2 ON und.s = a2.id
+        WHERE d NOT IN (SELECT id FROM a0) AND d NOT IN (SELECT id FROM a1)
+          AND d NOT IN (SELECT id FROM a2)),
+      a4 AS MATERIALIZED (SELECT DISTINCT d AS id FROM und JOIN a3 ON und.s = a3.id
+        WHERE d NOT IN (SELECT id FROM a0) AND d NOT IN (SELECT id FROM a1)
+          AND d NOT IN (SELECT id FROM a2) AND d NOT IN (SELECT id FROM a3)),
+      da AS MATERIALIZED (
+        SELECT id, 0::BIGINT AS dist FROM a0
+        UNION ALL SELECT id, 1 FROM a1
+        UNION ALL SELECT id, 2 FROM a2
+        UNION ALL SELECT id, 3 FROM a3
+        UNION ALL SELECT id, 4 FROM a4),
+      e1 AS MATERIALIZED (SELECT max(dist) AS m FROM da),
+      s2 AS MATERIALIZED (
+        SELECT min(id) AS id FROM da WHERE dist = (SELECT m FROM e1)),
+      b0 AS MATERIALIZED (SELECT id FROM s2),
+      b1 AS MATERIALIZED (SELECT DISTINCT d AS id FROM und JOIN b0 ON und.s = b0.id
+        WHERE d NOT IN (SELECT id FROM b0)),
+      b2 AS MATERIALIZED (SELECT DISTINCT d AS id FROM und JOIN b1 ON und.s = b1.id
+        WHERE d NOT IN (SELECT id FROM b0) AND d NOT IN (SELECT id FROM b1)),
+      b3 AS MATERIALIZED (SELECT DISTINCT d AS id FROM und JOIN b2 ON und.s = b2.id
+        WHERE d NOT IN (SELECT id FROM b0) AND d NOT IN (SELECT id FROM b1)
+          AND d NOT IN (SELECT id FROM b2)),
+      b4 AS MATERIALIZED (SELECT DISTINCT d AS id FROM und JOIN b3 ON und.s = b3.id
+        WHERE d NOT IN (SELECT id FROM b0) AND d NOT IN (SELECT id FROM b1)
+          AND d NOT IN (SELECT id FROM b2) AND d NOT IN (SELECT id FROM b3)),
+      db AS MATERIALIZED (
+        SELECT id, 0::BIGINT AS dist FROM b0
+        UNION ALL SELECT id, 1 FROM b1
+        UNION ALL SELECT id, 2 FROM b2
+        UNION ALL SELECT id, 3 FROM b3
+        UNION ALL SELECT id, 4 FROM b4)
+      SELECT (SELECT id FROM s1) AS seed1, (SELECT m FROM e1) AS ecc1,
+             (SELECT id FROM s2) AS seed2,
+             (SELECT max(dist) FROM db) AS ecc2,
+             (SELECT count(*) FROM db)::BIGINT AS n_reached""")),
+
     Q("g_shortest_hops", (s, dir) => {
       val edges = custNatEdges(s, dir)
         .unionByName(natRegEdges(s, dir))

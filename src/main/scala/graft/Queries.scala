@@ -155,6 +155,31 @@ object Queries {
       SELECT c_custkey, c_name FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='P')""")),
 
+    // FULL OUTER join with coalesced keys (r14): order volume vs
+    // event volume per key — both sides pre-aggregated, so the join
+    // reuses the aggregation's hash partitioning (no extra exchange)
+    // and both unmatched sides genuinely occur (customers beyond the
+    // event-user range; user 0 below the custkey range)
+    Q("q_full_outer", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey").cast("long").as("ck"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+      val e = t(s, dir, "events")
+        .groupBy(col("user_id").cast("long").as("uk"))
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, col("ck") === col("uk"), "full_outer")
+        .select(coalesce(col("ck"), col("uk")).as("k"),
+          col("n_orders"), col("sum_price"), col("n_events"))
+    }, Some("""
+      WITH o AS (SELECT o_custkey::BIGINT AS ck, count(*)::BIGINT AS n_orders,
+                        round(sum(o_totalprice), 2) AS sum_price
+                 FROM orders GROUP BY 1),
+           e AS (SELECT user_id::BIGINT AS uk, count(*)::BIGINT AS n_events
+                 FROM events GROUP BY 1)
+      SELECT coalesce(ck, uk) AS k, n_orders, sum_price, n_events
+      FROM o FULL OUTER JOIN e ON ck = uk""")),
+
     Q("q_distinct", (s, dir) =>
       t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct(),
       Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")),
@@ -453,6 +478,62 @@ object Queries {
              (lead(ts) OVER w IS NULL) AS is_current
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
+
+    // OHLC candlesticks (r14): open/high/low/close + count per
+    // (hour, type) via ONE map-side-combinable hash aggregate —
+    // open/close are min/max over (ts_ns, event_id, value) structs
+    // (lexicographic, unique tiebreak), so there is no window, no
+    // per-bucket sort, and partial aggregation runs before the
+    // exchange — the shape that survives a 100 TB tick stream
+    Q("w_ohlc", (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(
+          min(struct(col("ts_ns"), col("event_id"), col("value"))).as("__o"),
+          max(struct(col("ts_ns"), col("event_id"), col("value"))).as("__c"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n"))
+        .select(col("hour_start"), col("event_type"),
+          col("__o")("value").as("open_value"),
+          col("__c")("value").as("close_value"),
+          col("high"), col("low"), col("n")),
+      Some("""
+      WITH e AS (SELECT date_trunc('hour', ts) AS hour_start, event_type, value,
+          row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+            ORDER BY ts ASC, event_id ASC) AS ra,
+          row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+            ORDER BY ts DESC, event_id DESC) AS rd
+        FROM events)
+      SELECT hour_start, event_type,
+             max(CASE WHEN ra=1 THEN value END) AS open_value,
+             max(CASE WHEN rd=1 THEN value END) AS close_value,
+             max(value) AS high, min(value) AS low, count(*)::BIGINT AS n
+      FROM e GROUP BY 1, 2""")),
+
+    // daily resample + forward fill (r14): each user's day grid with
+    // the last observed daily count carried into the gaps — the
+    // packed-long prefix-max pass (EventWindows.gapFillDaily), no
+    // per-user window, bot-user-proof
+    Q("w_gap_fill", (s, dir) =>
+      graft.ext.EventWindows.gapFillDaily(t(s, dir, "events")),
+      Some("""
+      WITH daily AS MATERIALIZED (
+        SELECT user_id::BIGINT AS user_id, ts::DATE AS day,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+              FROM daily GROUP BY 1)),
+      j AS (SELECT g.user_id, g.day, d.n
+            FROM grid g LEFT JOIN daily d USING (user_id, day))
+      SELECT user_id, day::TIMESTAMP AS day,
+             (last_value(n IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day))::BIGINT AS n_filled,
+             (n IS NOT NULL) AS is_observed
+      FROM j""")),
 
     // CUSUM changepoint over the hourly event rate (r13): the
     // classic mean-shift detector, all-integer — S_k = N·Σ_{i≤k}c_i −

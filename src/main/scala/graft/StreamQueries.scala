@@ -82,6 +82,28 @@ object StreamQueries {
     // Emits CLOSED versions only — the oracle is the batch SCD-2
     // build restricted to rows with a successor (lead IS NOT NULL),
     // the same replay-equivalence pattern as st_hll_daily
+    // online changepoint statistic in the stream (r14): per event
+    // type, each CLOSED hour emits (count, running index rk, running
+    // prefix pc, excess_scaled = rk·c − pc) — the all-integer
+    // Page-test increment, state = four longs per type. The oracle
+    // is the batch window over hourly counts restricted to hours
+    // with a successor (the open tail stays in state by design, the
+    // st_scd2_versions replay-equivalence pattern)
+    Q("st_changepoint", (s, dir) => StreamOps.rateDriftStreaming(s, dir),
+      Some("""
+      WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                        count(*)::BIGINT AS c
+                 FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, hour, c,
+               row_number() OVER w AS rk,
+               (sum(c) OVER w)::BIGINT AS pc,
+               lead(hour) OVER w AS nxt
+             FROM h
+             WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC))
+      SELECT event_type, hour, c, rk::BIGINT AS rk, pc,
+             (rk*c - pc)::BIGINT AS excess_scaled
+      FROM st WHERE nxt IS NOT NULL""")),
+
     Q("st_scd2_versions", (s, dir) => StreamOps.scd2Streaming(s, dir),
       Some("""
       SELECT * FROM (

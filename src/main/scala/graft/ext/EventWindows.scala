@@ -372,4 +372,51 @@ object EventWindows {
         col("ts_ns").as("from_ns"), col("to_ns"),
         col("to_ns").isNull.as("is_current"))
   }
+
+  /** Time-series RESAMPLE + FORWARD FILL (r14): the per-user daily
+    * event-count series, gap-filled over each user's
+    * [first active day, last active day] — every missing day carries
+    * the LAST OBSERVED count forward (the feature-store
+    * "latest known value" resample).
+    *
+    * Scale shape — NO per-user window: the carry is ONE packed long
+    * per row, `user·2³⁷ | day·2²⁰ | n`, whose prefix-MAX in global
+    * (user, day) order is exactly the last same-user observation. An
+    * earlier user's pack can never win (its user field is strictly
+    * smaller and day|n occupy only the low 37 bits), and a user's
+    * FIRST grid day is observed by construction, so the carry never
+    * leaks across a user boundary. The prefix-max runs through
+    * [[Ranks.prefixMinLong]] on the negated pack — range partition +
+    * one boundary long per partition — so a bot user splits across
+    * tasks like any other rows. Grid generation is a map-side
+    * `sequence`/`explode` per user. Packing bounds (documented
+    * contract): user_id < 2²⁵, epoch day < 2¹⁷ (through year 2328),
+    * daily count < 2²⁰.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val daily = events
+      .groupBy(col("user_id").cast("long").as("user_id"),
+        datediff(col("ts").cast("date"), epoch).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("__d0"), max("day").as("__d1"))
+      .select(col("user_id"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val packed = grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"), col("n"),
+        (-(col("user_id") * lit(1L << 37) +
+          when(col("n").isNotNull,
+            col("day") * lit(1L << 20) + col("n")).otherwise(lit(0L))))
+          .as("__neg"))
+    val pref = Ranks.prefixMinLong(packed,
+      Seq(col("user_id").asc, col("day").asc), "__neg", "__pm")
+    // the day ships as a midnight TIMESTAMP (not DATE): parquet date32
+    // and DuckDB DATE land in different pandas dtypes at the compare
+    pref.select(col("user_id"),
+      date_add(epoch, col("day").cast("int")).cast("timestamp").as("day"),
+      expr("greatest(coalesce(-__pm, -__neg), -__neg) & 1048575")
+        .as("n_filled"),
+      col("n").isNotNull.as("is_observed"))
+  }
 }

@@ -257,6 +257,38 @@ object GraphOps {
       dists)
   }
 
+  /** Diameter lower bound by the classic DOUBLE SWEEP (the first
+    * step of iFUB / Magnien-Latapy-Habib): BFS from a deterministic
+    * start (the globally smallest vertex id), hop to the smallest id
+    * among the farthest vertices found, BFS again — the second
+    * eccentricity is the standard tight lower bound on the
+    * component's diameter (exact on trees and on the star
+    * hierarchies the fixture graphs form). Both sweeps are the
+    * distributed [[shortestHops]] fixpoint; landmark selection is a
+    * pair of 1-row aggregates (the only driver-side values), so the
+    * operator runs exactly two BFS passes regardless of graph size —
+    * never all-pairs. Returns ONE row (seed1, ecc1, seed2, ecc2,
+    * n_reached): ecc2 is the diameter lower bound, n_reached the
+    * size of seed2's component (the reachability certificate).
+    */
+  def diameterSweep(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val seed1 = edges.select(col("src").cast("long").as("id"))
+      .unionByName(edges.select(col("dst").cast("long").as("id")))
+      .agg(min("id")).head.getLong(0)
+    val d1 = shortestHops(spark, edges, Seq(seed1).toDF("id"))
+    val ecc1 = d1.agg(max("dist")).head.getLong(0)
+    val seed2 = d1.filter(col("dist") === ecc1)
+      .agg(min("id")).head.getLong(0)
+    d1.unpersist(blocking = false)
+    val d2 = shortestHops(spark, edges, Seq(seed2).toDF("id"))
+    Ranks.sealAndRelease(
+      d2.agg(max("dist").as("ecc2"), count(lit(1)).as("n_reached"))
+        .select(lit(seed1).as("seed1"), lit(ecc1).as("ecc1"),
+          lit(seed2).as("seed2"), col("ecc2"), col("n_reached")),
+      d2)
+  }
+
   /** Bounded k-core peel: `rounds` iterations of "drop every vertex
     * with undirected degree < k, then drop dangling edges". At
     * convergence (fixture graphs converge in 2-3 rounds; the spec

@@ -301,26 +301,40 @@ object Multimodal {
     * never garbage and never a throw. Map-only; the codec-call slot
     * [[decodeMeta]] documents, filled with a real parser.
     */
+  /** Spec-driven BMP header validation shared by the decode family:
+    * Some((w, h, stride)) when every BITMAPFILEHEADER /
+    * BITMAPINFOHEADER field checks out — 'BM' magic, exact file
+    * size, pixel offset 54, header size 40, planes 1, 24 bpp,
+    * BI_RGB, positive bounded dimensions, enough bytes for
+    * stride × height — None otherwise.
+    */
+  private def parseBmpDims(p: Array[Byte]): Option[(Long, Long, Long)] = {
+    def u8(off: Int): Long = p(off) & 0xffL
+    def le16(off: Int): Long = u8(off) | (u8(off + 1) << 8)
+    def le32(off: Int): Long = le16(off) | (le16(off + 2) << 16)
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) None
+    else {
+      val w = le32(18)
+      val h = le32(22)
+      val stride = ((3 * w + 3) / 4) * 4
+      val ok = le32(2) == p.length && le32(10) == 54 &&
+        le32(14) == 40 && le16(26) == 1 && le16(28) == 24 &&
+        le32(30) == 0 && w > 0 && h > 0 &&
+        w <= 1000000 && h <= 1000000 &&
+        p.length >= 54 + stride * h
+      if (ok) Some((w, h, stride)) else None
+    }
+  }
+
   def decodeBmp(media: Dataset[Media]): Dataset[BmpMeta] = {
     import media.sparkSession.implicits._
     media.map { m =>
       val p = m.payload
       def u8(off: Int): Long = p(off) & 0xffL
-      def le16(off: Int): Long = u8(off) | (u8(off + 1) << 8)
-      def le32(off: Int): Long = le16(off) | (le16(off + 2) << 16)
-      def bad = BmpMeta(m.doc_id, 0, 0, 0, 0, 0, 0, 0, 0, valid = false)
-      if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) bad
-      else {
-        val w = le32(18)
-        val h = le32(22)
-        val stride = ((3 * w + 3) / 4) * 4
-        val valid = le32(2) == p.length && le32(10) == 54 &&
-          le32(14) == 40 && le16(26) == 1 && le16(28) == 24 &&
-          le32(30) == 0 && w > 0 && h > 0 &&
-          w <= 1000000 && h <= 1000000 &&
-          p.length >= 54 + stride * h
-        if (!valid) bad
-        else {
+      parseBmpDims(p) match {
+        case None =>
+          BmpMeta(m.doc_id, 0, 0, 0, 0, 0, 0, 0, 0, valid = false)
+        case Some((w, h, stride)) =>
           var lum = 0L; var peak = 0L
           var y = 0L
           while (y < h) {
@@ -334,9 +348,43 @@ object Multimodal {
             }
             y += 1
           }
-          BmpMeta(m.doc_id, w, h, le16(28), stride, stride * h, w * h,
+          // bpp is pinned to 24 by the header validation
+          BmpMeta(m.doc_id, w, h, 24L, stride, stride * h, w * h,
             lum, peak, valid = true)
+      }
+    }
+  }
+
+  final case class BmpHist(doc_id: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Luminance histogram over DECODED pixels (r14): the
+    * exposure/contrast prefilter of an image-quality gate — 4 equal
+    * bins over s = r+g+b ∈ [0, 765], bin = min(3, s div 192). Parses
+    * by the spec exactly like [[decodeBmp]] (shared
+    * [[parseBmpDims]]); malformed streams are DROPPED (flatMap) so
+    * the output is the valid-image histogram table. Map-only; 4
+    * longs per image shuffle onward, never pixels — the shape that
+    * lets a 100 TB media corpus be exposure-profiled with a scan.
+    */
+  def bmpLumHistogram(media: Dataset[Media]): Dataset[BmpHist] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val p = m.payload
+      def u8(off: Int): Long = p(off) & 0xffL
+      parseBmpDims(p).map { case (w, h, stride) =>
+        val bins = new Array[Long](4)
+        var y = 0L
+        while (y < h) {
+          var x = 0L
+          while (x < w) {
+            val base = (54 + y * stride + 3 * x).toInt
+            val s = u8(base) + u8(base + 1) + u8(base + 2)
+            bins(math.min(3L, s / 192).toInt) += 1
+            x += 1
+          }
+          y += 1
         }
+        BmpHist(m.doc_id, bins(0), bins(1), bins(2), bins(3))
       }
     }
   }

@@ -365,6 +365,74 @@ object StreamOps {
     spark.table(name)
   }
 
+  final case class RateEv(event_type: String, ts_ns: Long)
+  final case class RateState(rk: Long, pc: Long, openHourNs: Long, openC: Long)
+  final case class RateDrift(event_type: String, hour: java.sql.Timestamp,
+      c: Long, rk: Long, pc: Long, excess_scaled: Long)
+
+  /** Online CHANGEPOINT statistic IN THE STREAM (r14 — the streaming
+    * twin of the batch `w_changepoint` CUSUM): per event type, as
+    * each hour of traffic CLOSES (a later hour's first event
+    * arrives), emit the hour's count together with the running
+    * Page-test increment `excess_scaled = rk·c − pc` — rk·c − pc =
+    * rk·(c − pc∕rk), the hour's deviation from the running mean
+    * scaled by rk, so the statistic is ALL-INTEGER (the FLOAT_AUDIT
+    * rule) and engine-exact against the batch window oracle.
+    *
+    * BOUNDED STATE: four longs per event type — (rk, pc) the running
+    * index and prefix count, plus the ONE open hour and its partial
+    * count; no buffer of past hours. Emitted rows are only CLOSED
+    * hours (append mode); each type's open tail stays in state, the
+    * [[scd2Versions]] contract. Events sort by ts within a batch and
+    * the open hour carries across batches, so a later batch's first
+    * event closes the previous batch's tail exactly as one batch
+    * would have.
+    */
+  def rateDrift(evs: Dataset[RateEv]): Dataset[RateDrift] = {
+    import evs.sparkSession.implicits._
+    val hourNs = 3600L * 1000000000L
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateDrift](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ, events, state) =>
+          var st = state.getOption
+            .getOrElse(RateState(0L, 0L, Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RateDrift]
+          events.toSeq.sortBy(_.ts_ns).foreach { e =>
+            val h = e.ts_ns / hourNs * hourNs
+            if (st.openHourNs == Long.MinValue)
+              st = RateState(st.rk, st.pc, h, 1L)
+            else if (h == st.openHourNs)
+              st = st.copy(openC = st.openC + 1)
+            else {
+              val rk = st.rk + 1
+              val pc = st.pc + st.openC
+              out += RateDrift(typ,
+                new java.sql.Timestamp(st.openHourNs / 1000000L),
+                st.openC, rk, pc, rk * st.openC - pc)
+              st = RateState(rk, pc, h, 1L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Gate wiring: events file stream → [[rateDrift]] → memory sink. */
+  def rateDriftStreaming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) * 1000L).as("ts_ns"))
+      .as[RateEv]
+    val drift = rateDrift(evs).toDF()
+    val name = s"st_changepoint_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, drift, name, "append",
+      availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
+    spark.table(name)
+  }
+
   /** Watermark late-data semantics, end to end: an APPEND-mode
     * windowed aggregation whose input arrives in three controlled
     * batches — (1) the recent half of the (user_id < 30) event slice,

@@ -165,4 +165,45 @@ class EventWindowsSpec extends GraftSuite {
       .as[(String, String)].collect().toSet
     assert(got == Set(("A", "B"), ("A", "C")))
   }
+
+  test("gapFillDaily: hand fixture — gaps carry, user boundaries don't leak") {
+    import spark.implicits._
+    def ts(day: Int, hour: Int) =
+      new java.sql.Timestamp((day * 86400L + hour * 3600L) * 1000L)
+    // user 1: days 10 and 13 (2 events on 10) — days 11/12 must carry
+    // n=2; user 2: single day 11 with 1 event. User 2's first grid day
+    // must NOT inherit user 1's carry.
+    val ev = Seq(
+      (1L, ts(10, 1)), (1L, ts(10, 5)), (1L, ts(13, 2)),
+      (2L, ts(11, 3))).toDF("user_id", "ts")
+    val got = EventWindows.gapFillDaily(ev)
+      .select(col("user_id"), datediff(col("day"),
+        lit("1970-01-01").cast("date")).as("d"), col("n_filled"),
+        col("is_observed"))
+      .orderBy("user_id", "d")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      (1L, 10, 2L, true), (1L, 11, 2L, false), (1L, 12, 2L, false),
+      (1L, 13, 1L, true), (2L, 11, 1L, true)))
+  }
+
+  test("gapFillDaily equals the per-user window formulation on the fixture") {
+    val daily = events.groupBy(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = grid.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        last("n", ignoreNulls = true).over(w).as("n_filled"),
+        col("n").isNotNull.as("is_observed"))
+      .orderBy("user_id", "day").collect().toSeq
+    val got = EventWindows.gapFillDaily(events)
+      .orderBy("user_id", "day").collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }

@@ -47,6 +47,30 @@ class GraphOpsSpec extends GraftSuite {
     assert(GraphOps.kCore(spark, edges, k = 3, rounds = 4).isEmpty)
   }
 
+  test("diameterSweep: exact on a chain (double sweep finds the true diameter)") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 plus an isolated edge 10-11. Sweep 1 from the
+    // min id (1): ecc1 = 4, farthest = {5}. Sweep 2 from 5: ecc2 = 4
+    // (the true diameter), component size 5.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = GraphOps.diameterSweep(spark, edges).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 4L, 5L, 4L, 5L)))
+  }
+
+  test("diameterSweep: star seeds hop from the center to a leaf") {
+    import spark.implicits._
+    // star centered at 1: sweep 1 ecc = 1, farthest min id = 2,
+    // sweep 2 from the leaf sees the true diameter 2
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphOps.diameterSweep(spark, edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((1L, 1L, 2L, 2L, 4L)))
+  }
+
   test("hits: hand-computed alternating integer rounds") {
     import spark.implicits._
     // star 1→3, 2→3 plus 1→4: after r1: auth(3)=2, auth(4)=1, hub(1)=3,

@@ -169,4 +169,50 @@ class MultimodalSpec extends GraftSuite {
       Multimodal.phashNearDupPairs(hashes, maxHamming = 4)
     }
   }
+
+  test("bmpLumHistogram bins the golden BMP's pixels and drops corrupt streams") {
+    // the same hand-crafted 2×2 golden BMP as the decode test:
+    // pixel sums 60, 150, 630, 0 → bins (s div 192) = 0, 0, 3, 0
+    val golden: Array[Byte] = (
+      "BM".getBytes("US-ASCII") ++
+      Array[Byte](70, 0, 0, 0) ++
+      Array[Byte](0, 0, 0, 0) ++
+      Array[Byte](54, 0, 0, 0) ++
+      Array[Byte](40, 0, 0, 0) ++
+      Array[Byte](2, 0, 0, 0) ++
+      Array[Byte](2, 0, 0, 0) ++
+      Array[Byte](1, 0) ++
+      Array[Byte](24, 0) ++
+      Array[Byte](0, 0, 0, 0) ++
+      Array[Byte](16, 0, 0, 0) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
+      Array[Byte](10, 20, 30, 40, 50, 60, 0, 0) ++
+      Array[Byte](-56, -46, -36, 0, 0, 0, 0, 0)
+    )
+    val bad = golden.clone(); bad(0) = 'X'.toByte
+    val got = Multimodal.bmpLumHistogram(Seq(
+      Multimodal.Media(7L, "image", golden),
+      Multimodal.Media(8L, "image", bad)).toDS()).collect()
+    assert(got.length == 1)
+    val h = got.head
+    assert(h.doc_id == 7L && h.b0 == 3 && h.b1 == 0 && h.b2 == 0 && h.b3 == 1)
+  }
+
+  test("bmpLumHistogram over bmpify equals the payload-byte closed form") {
+    val hists = Multimodal.bmpLumHistogram(Multimodal.bmpify(media)).collect()
+    val byId = media.collect().map(m => m.doc_id -> m.payload).toMap
+    assert(hists.length == byId.keys.count(_ % 97 != 0))
+    hists.foreach { hh =>
+      val p = byId(hh.doc_id)
+      val w = 8 + (hh.doc_id % 25)
+      val h = math.max(1, (p.length + w - 1) / w)
+      // gray pixel s = 3·byte ⇒ bin = byte div 64; padding → bin 0
+      val bins = new Array[Long](4)
+      p.foreach(b => bins(((b & 0xff) / 64).toInt) += 1)
+      bins(0) += w * h - p.length
+      assert((hh.b0, hh.b1, hh.b2, hh.b3) ==
+        ((bins(0), bins(1), bins(2), bins(3))))
+    }
+  }
 }

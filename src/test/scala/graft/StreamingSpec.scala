@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.streaming.{Sessionize, StreamOps}
@@ -78,6 +79,59 @@ class StreamingSpec extends GraftSuite {
       .filter(col("to_ns").isNotNull)
       .select("user_id", "event_id", "event_type", "from_ns", "to_ns")
       .as[StreamOps.ScdVersion].collect().toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("streaming changepoint: hours close across batches with exact running stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600L * 1000000000L
+    val mem = MemoryStream[StreamOps.RateEv]
+    val q = StreamOps.rateDrift(mem.toDS())
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: type a — 3 events in hour 0, 1 in hour 1 (closes h0)
+      mem.addData(StreamOps.RateEv("a", 10L), StreamOps.RateEv("a", 20L),
+        StreamOps.RateEv("a", hourNs - 1), StreamOps.RateEv("a", hourNs + 5))
+      q.processAllAvailable()
+      val b1 = spark.table("drift_out").as[StreamOps.RateDrift].collect()
+      assert(b1.length == 1)
+      // closed h0: c=3, rk=1, pc=3, excess = 1·3 − 3 = 0
+      assert(b1.head.c == 3 && b1.head.rk == 1 && b1.head.pc == 3 &&
+        b1.head.excess_scaled == 0)
+
+      // batch 2: hour 3 arrives → closes the carried hour 1 (c=1):
+      // rk=2, pc=4, excess = 2·1 − 4 = −2; a second type is
+      // independent state and emits nothing (its first hour is open)
+      mem.addData(StreamOps.RateEv("a", 3 * hourNs + 7),
+        StreamOps.RateEv("b", 42L))
+      q.processAllAvailable()
+      val b2 = spark.table("drift_out").as[StreamOps.RateDrift].collect()
+      assert(b2.length == 2)
+      val h1 = b2.find(_.rk == 2).get
+      assert(h1.event_type == "a" && h1.c == 1 && h1.pc == 4 &&
+        h1.excess_scaled == -2)
+    } finally q.stop()
+  }
+
+  test("streaming changepoint replay equals the batch window build's closed rows") {
+    import spark.implicits._
+    val got = StreamOps.rateDriftStreaming(spark, sf)
+      .select("event_type", "hour", "c", "rk", "pc", "excess_scaled")
+      .collect().toSet
+    val h = graft.core.Tables(spark, sf, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    val want = h.select(col("event_type"), col("hour"), col("c"),
+        row_number().over(w).cast("long").as("rk"),
+        sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).as("pc"),
+        lead("hour", 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type"), col("hour"), col("c"), col("rk"), col("pc"),
+        (col("rk") * col("c") - col("pc")).as("excess_scaled"))
+      .collect().toSet
     assert(want.nonEmpty && got == want)
   }
 
