@@ -479,6 +479,107 @@ object Queries {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""")),
 
+    // winsorized robust stats (r14): per type, clip values at the
+    // EXACT discrete p01/p99 — the value at 1-based rank ceil(q·n),
+    // computed all-integer as (q·100·n + 99) div 100 over the
+    // boundary-merge rank (keyedRowIndex: range partition + carry,
+    // no hot per-type window task). The two threshold rows per type
+    // broadcast back; the clip pass is one combinable aggregate.
+    // p01/p99 are actual stored doubles (no interpolation), so the
+    // only rounded column is the clipped sum
+    Q("w_winsorize", (s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+      val ranked = Ranks.keyedRowIndex(e, Seq("event_type"),
+        Seq(col("value").asc, col("event_id").asc), "__r", "__n")
+      val thr = ranked
+        .filter(col("__r") + 1 === expr("(__n + 99) div 100") ||
+          col("__r") + 1 === expr("(99 * __n + 99) div 100"))
+        .groupBy("event_type")
+        .agg(
+          min(when(col("__r") + 1 === expr("(__n + 99) div 100"),
+            col("value"))).as("p01"),
+          min(when(col("__r") + 1 === expr("(99 * __n + 99) div 100"),
+            col("value"))).as("p99"))
+      e.join(broadcast(thr), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(max("p01").as("p01"), max("p99").as("p99"),
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("p01"), 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("value") > col("p99"), 1L).otherwise(0L))
+            .as("n_clip_hi"),
+          round(sum(least(greatest(col("value"), col("p01")), col("p99"))), 2)
+            .as("winsorized_sum"))
+    },
+      Some("""
+      WITH r AS (SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY value ASC, event_id ASC) AS rk,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM events),
+      thr AS (SELECT event_type,
+               min(CASE WHEN rk = (n + 99) // 100 THEN value END) AS p01,
+               min(CASE WHEN rk = (99*n + 99) // 100 THEN value END) AS p99
+             FROM r GROUP BY 1)
+      SELECT event_type, max(p01) AS p01, max(p99) AS p99,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN value < p01 THEN 1 ELSE 0 END)::BIGINT AS n_clip_lo,
+             sum(CASE WHEN value > p99 THEN 1 ELSE 0 END)::BIGINT AS n_clip_hi,
+             round(sum(least(greatest(value, p01), p99)), 2) AS winsorized_sum
+      FROM events JOIN thr USING (event_type) GROUP BY 1""")),
+
+    // dyadic-decay hourly rate (r14): EWMA with power-of-two decay
+    // over the DENSE per-type hour grid (map-side sequence/explode,
+    // bounded types × hours; absent hours are true zeros) —
+    // decayed_x256 = Σ_{j=0..7} c_{t−j}·2^(7−j), the α=1/2
+    // exponential smoother scaled by 256 so every term is an integer
+    // multiply-add (FLOAT_AUDIT: no float decay powers, engine-exact)
+    Q("w_decay_rate", (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("hour_idx"))
+        .agg(count(lit(1)).as("c"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min("hour_idx").as("__h0"), max("hour_idx").as("__h1"))
+        .select(col("event_type"),
+          explode(sequence(col("__h0"), col("__h1"))).as("hour_idx"))
+      val dense = grid.join(hourly, Seq("event_type", "hour_idx"), "left_outer")
+        .select(col("event_type"), col("hour_idx"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hour_idx")
+      val decayed = (col("c") * lit(128L)) +: (1 to 7).map(j =>
+        coalesce(lag(col("c"), j).over(w), lit(0L)) * lit(1L << (7 - j)))
+      val decaySum = decayed.reduce(_ + _)
+      dense.select(col("event_type"),
+        timestamp_micros(col("hour_idx") * lit(3600000000L)).as("hour"),
+        col("c"), decaySum.as("decayed_x256"))
+    },
+      Some("""
+      WITH hourly AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, unnest(generate_series(h0, h1)) AS hour_idx
+        FROM (SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
+              FROM hourly GROUP BY 1)),
+      dense AS (
+        SELECT g.event_type, g.hour_idx, coalesce(h.c, 0)::BIGINT AS c
+        FROM grid g LEFT JOIN hourly h USING (event_type, hour_idx))
+      SELECT event_type,
+             make_timestamp(hour_idx * 3600000000) AS hour, c,
+             (c * 128
+            + coalesce(lag(c, 1) OVER w, 0) * 64
+            + coalesce(lag(c, 2) OVER w, 0) * 32
+            + coalesce(lag(c, 3) OVER w, 0) * 16
+            + coalesce(lag(c, 4) OVER w, 0) * 8
+            + coalesce(lag(c, 5) OVER w, 0) * 4
+            + coalesce(lag(c, 6) OVER w, 0) * 2
+            + coalesce(lag(c, 7) OVER w, 0) * 1)::BIGINT AS decayed_x256
+      FROM dense
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx ASC)""")),
+
     // OHLC candlesticks (r14): open/high/low/close + count per
     // (hour, type) via ONE map-side-combinable hash aggregate —
     // open/close are min/max over (ts_ns, event_id, value) structs

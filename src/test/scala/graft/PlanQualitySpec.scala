@@ -757,4 +757,57 @@ class PlanQualitySpec extends GraftSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
     }
   }
+
+  test("bucketed tables co-locate the join: zero exchange, shuffle-join parity") {
+    // SURVEY §2's partitioning toolkit, pinned: writing both join
+    // sides bucketed by the key lets the join read pre-shuffled data
+    // — NO Exchange in the executed plan even with broadcast disabled.
+    // The repeated-join lever for a 100 TB fact table: pay the
+    // shuffle once at write time, never per query.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets")
+    val o = graft.core.Tables(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = graft.core.Tables(spark, sf, "customer")
+      .select("c_custkey", "c_name")
+    val bc2 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe2 = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE wraps stages in adaptive nodes the ShuffleExchangeExec
+    // collect below would not traverse — pin the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      o.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$dir/b_orders").saveAsTable("b_orders")
+      c.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$dir/b_cust").saveAsTable("b_cust")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_cust"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+      j.collect()
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join still shuffles:\n${j.queryExecution.executedPlan}")
+      // parity with the plain (shuffled) join on the source frames
+      val want = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val got = j.collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got.nonEmpty && got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc2)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe2)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
 }
