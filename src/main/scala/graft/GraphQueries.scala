@@ -354,6 +354,88 @@ object GraphQueries {
       SELECT v AS id, lbl AS label FROM l3""")
     }),
 
+    // partition modularity (r14): how REGION-ASSORTATIVE is the
+    // combined hierarchy + trade graph — Newman-Girvan per-community
+    // contributions (GraphOps.modularityByCommunity) for the GIVEN
+    // region partition, over the cust/supp->nation->region edges plus
+    // the cross-cutting (customer, supplier) trade pairs from
+    // orders x lineitem. Hierarchy edges are always intra; trade
+    // edges split by whether the pair shares a region - a non-vacuous
+    // mix the closed-form oracle states exactly. q_micro uses the
+    // two-step integer division (no 1e6*d^2 overflow at any scale)
+    Q("g_modularity", (s, dir) => {
+      val hier = custNatEdges(s, dir)
+        .unionByName(natRegEdges(s, dir))
+        .unionByName(supNatEdges(s, dir))
+      val trade = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") + 10000).cast("long").as("src"),
+          (col("l_suppkey") + 100000).cast("long").as("dst"))
+      val edges = hier.unionByName(trade)
+      val nat = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("__nk"),
+          (col("n_regionkey") + 1000).cast("long").as("__reg"))
+      val labels = Tables(s, dir, "customer")
+        .join(nat, col("c_nationkey") === col("__nk"))
+        .select((col("c_custkey") + 10000).cast("long").as("id"),
+          col("__reg").as("label"))
+        .unionByName(Tables(s, dir, "supplier")
+          .join(nat, col("s_nationkey") === col("__nk"))
+          .select((col("s_suppkey") + 100000).cast("long").as("id"),
+            col("__reg").as("label")))
+        .unionByName(nat.select(col("__nk").cast("long").as("id"),
+          col("__reg").as("label")))
+        .unionByName(Tables(s, dir, "region")
+          .select((col("r_regionkey") + 1000).cast("long").as("id"),
+            (col("r_regionkey") + 1000).cast("long").as("label")))
+      GraphOps.modularityByCommunity(s, edges, labels)
+    }, Some("""
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT (10000+c_custkey)::BIGINT AS src, c_nationkey::BIGINT AS dst
+        FROM customer
+        UNION ALL
+        SELECT n_nationkey::BIGINT, (1000+n_regionkey)::BIGINT FROM nation
+        UNION ALL
+        SELECT (100000+s_suppkey)::BIGINT, s_nationkey::BIGINT FROM supplier
+        UNION ALL
+        SELECT DISTINCT (10000+o_custkey)::BIGINT, (100000+l_suppkey)::BIGINT
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+      lab AS MATERIALIZED (
+        SELECT (10000+c_custkey)::BIGINT AS id,
+               (1000+n_regionkey)::BIGINT AS label
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT (100000+s_suppkey)::BIGINT, (1000+n_regionkey)::BIGINT
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT n_nationkey::BIGINT, (1000+n_regionkey)::BIGINT FROM nation
+        UNION ALL
+        SELECT (1000+r_regionkey)::BIGINT, (1000+r_regionkey)::BIGINT
+        FROM region),
+      mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM e0),
+      intra AS MATERIALIZED (
+        SELECT ls.label AS label, count(*)::BIGINT AS intra_edges
+        FROM e0 JOIN lab ls ON ls.id = e0.src
+                JOIN lab ld ON ld.id = e0.dst
+        WHERE ls.label = ld.label GROUP BY 1),
+      deg AS MATERIALIZED (
+        SELECT id, count(*)::BIGINT AS d
+        FROM (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)
+        GROUP BY 1),
+      comm AS MATERIALIZED (
+        SELECT label, sum(d)::BIGINT AS degree_sum,
+               count(*)::BIGINT AS n_nodes
+        FROM deg JOIN lab USING (id) GROUP BY 1)
+      SELECT c.label, c.n_nodes,
+             coalesce(i.intra_edges, 0)::BIGINT AS intra_edges,
+             c.degree_sum,
+             ((1000000 * coalesce(i.intra_edges, 0)) // (SELECT m FROM mm)
+              - (((1000000 * c.degree_sum) // (2*(SELECT m FROM mm)))
+                 * ((1000000 * c.degree_sum) // (2*(SELECT m FROM mm))))
+                // 1000000)::BIGINT AS q_micro
+      FROM comm c LEFT JOIN intra i USING (label)""")),
+
     // Adamic–Adar link prediction over the part–supplier bipartite
     // graph (first 300 parts): integer micro-nat common-neighbor
     // weights; the hub cap (deg <= 64) is part of the operator

@@ -1582,6 +1582,34 @@ object Queries {
                   THEN 'en' ELSE 'unknown' END AS lang_guess
       FROM documents""")),
 
+    // language-ID confusion matrix (r14): the classifier audit — the
+    // n-gram/marker heuristic's guesses cross-tabulated against the
+    // stored gold `lang` label, with each cell's share of its gold
+    // row in integer micro units (div — engine-exact). Two combinable
+    // aggregates + a 25-row broadcast join; the eval shape any
+    // curation classifier ships with
+    Q("t_lang_confusion", (s, dir) => {
+      val cm = t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+      val tot = cm.groupBy(col("lang").as("__l")).agg(sum("n").as("__t"))
+      cm.join(broadcast(tot), col("lang") === col("__l"))
+        .select(col("lang"), col("lang_guess"), col("n"),
+          expr("(n * 1000000) div __t").as("share_micro"))
+    },
+      Some(s"""
+      WITH g AS (SELECT lang,
+             CASE WHEN len(list_filter(string_split(text,' '),
+                    t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")}))) > 0
+                  THEN 'en' ELSE 'unknown' END AS lang_guess
+           FROM documents),
+      cm AS (SELECT lang, lang_guess, count(*)::BIGINT AS n
+             FROM g GROUP BY 1, 2),
+      t AS (SELECT lang, sum(n)::BIGINT AS t FROM cm GROUP BY 1)
+      SELECT lang, lang_guess, n,
+             ((n * 1000000) // t)::BIGINT AS share_micro
+      FROM cm JOIN t USING (lang)""")),
+
     // eval-calibration PR sweep (r13): one combinable aggregate of
     // 3·steps conditional counts folds the corpus, the combined row
     // explodes into the 20-cutoff grid map-only — the shape a quality

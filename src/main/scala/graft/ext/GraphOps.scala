@@ -289,6 +289,48 @@ object GraphOps {
       d2)
   }
 
+  /** Per-community MODULARITY contributions for a given labeling
+    * (r14): with m = |distinct undirected edges|, e_c = edges inside
+    * community c and d_c = Σ member degrees, the Newman-Girvan
+    * contribution is q_c = e_c/m − (d_c/2m)². Emitted on the integer
+    * plane as q_micro = (10⁶·e_c) div m − ((10⁶·d_c div 2m)²
+    * div 10⁶) — two bounded divisions so nothing multiplies past
+    * 10¹² even at m ~ 10⁹ edges (the naive 10⁶·d_c² blows a long at
+    * m ~ 10⁶). Shape: one distinct, two combinable degree/intra
+    * counts keyed by community, a label join; m is the single
+    * driver-side scalar.
+    */
+  def modularityByCommunity(spark: SparkSession, edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint()
+    val m = e0.count()
+    val l = labels.select(col("id"), col("label"))
+    val ls = l.select(col("id").as("__s"), col("label").as("__lsrc"))
+    val ld = l.select(col("id").as("__d"), col("label").as("__ldst"))
+    val intra = e0.join(ls, col("src") === col("__s"))
+      .join(ld, col("dst") === col("__d"))
+      .filter(col("__lsrc") === col("__ldst"))
+      .groupBy(col("__lsrc").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val comm = e0.select(col("src").as("id"))
+      .unionByName(e0.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__deg"))
+      .join(l, Seq("id"))
+      .groupBy("label")
+      .agg(sum("__deg").as("degree_sum"), count(lit(1)).as("n_nodes"))
+    Ranks.sealAndRelease(
+      comm.join(intra, Seq("label"), "left_outer")
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          col("degree_sum"))
+        .withColumn("q_micro", expr(
+          s"(1000000L * intra_edges) div ${m}L - " +
+            s"(((1000000L * degree_sum) div ${2 * m}L) * " +
+            s"((1000000L * degree_sum) div ${2 * m}L)) div 1000000L")),
+      e0)
+  }
+
   /** Bounded k-core peel: `rounds` iterations of "drop every vertex
     * with undirected degree < k, then drop dangling edges". At
     * convergence (fixture graphs converge in 2-3 rounds; the spec

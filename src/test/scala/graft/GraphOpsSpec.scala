@@ -61,6 +61,22 @@ class GraphOpsSpec extends GraftSuite {
       r.getLong(4)) == ((1L, 4L, 5L, 4L, 5L)))
   }
 
+  test("modularityByCommunity: two triangles bridged by one edge (textbook Q)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by 3-4: m=7; per community
+    // e_c=3, d_c=7 → t1 = 3000000 div 7 = 428571, d_norm = 7000000
+    // div 14 = 500000, t2 = 250000 → q_micro = 178571 each (Q ≈ .357)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("id", "label")
+    val got = GraphOps.modularityByCommunity(spark, edges, labels)
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((10L, 3L, 3L, 7L, 178571L), (20L, 3L, 3L, 7L, 178571L)))
+  }
+
   test("diameterSweep: star seeds hop from the center to a leaf") {
     import spark.implicits._
     // star centered at 1: sweep 1 ecc = 1, farthest min id = 2,
