@@ -2635,6 +2635,56 @@ object Queries {
     * `vec_id < 5` queries); ends at `ranked(query_id, vec_id, cos,
     * rank)`. Shared by the IVF gate and the recall gate.
     */
+  /** DuckDB CTE chain mirroring [[Similarity.pqTopK]] (16 hash-seeded
+    * codewords, 8×8 subspace argmin encode, asymmetric-distance scan
+    * for the `vec_id < 5` queries); ends at `ranked(query_id, vec_id,
+    * adist, rank)`. Shared by the PQ gate and its recall gate.
+    */
+  private def duckPqCtes: String = {
+    val subspaces = 8
+    val sub = 8
+    def ds(a: String, b: String, j: Int): String = {
+      val lo = j * sub + 1
+      val hi = j * sub + sub
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a[$lo:$hi], $b[$lo:$hi]), " +
+        s"p -> (p[1]::DOUBLE - p[2]::DOUBLE)*(p[1]::DOUBLE - p[2]::DOUBLE))), (acc,v) -> acc+v)"
+    }
+    val encDs = (0 until subspaces)
+      .map(j => s"${ds("e.embedding", "cb.c", j)} AS d$j").mkString(", ")
+    val qdDs = (0 until subspaces)
+      .map(j => s"${ds("q.embedding", "cb.c", j)} AS d$j").mkString(", ")
+    val encArgmins = (0 until subspaces).map { j =>
+      s"e$j AS (SELECT vec_id, cid AS code$j FROM (SELECT vec_id, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d$j, cid) AS rn FROM enc0) WHERE rn=1)"
+    }.mkString(",\n      ")
+    val codesJoin = (1 until subspaces).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
+    val qdJoins = (1 until subspaces)
+      .map(j => s"JOIN qd q$j ON q$j.query_id=q0.query_id AND q$j.cid=c.code$j")
+      .mkString(" ")
+    val adist = (0 until subspaces).map(j => s"q$j.d$j").mkString(" + ")
+    // MATERIALIZED: DuckDB inlines plain CTEs per reference — the 8
+    // argmin CTEs would re-evaluate the distance table 8x over
+    s"""cb AS MATERIALIZED (
+        SELECT cid, c FROM (
+          SELECT row_number() OVER (
+            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
+            embedding AS c
+          FROM embeddings) WHERE cid < 16),
+      enc0 AS MATERIALIZED (SELECT e.vec_id, cb.cid, $encDs FROM embeddings e, cb),
+      $encArgmins,
+      codes AS (SELECT * FROM e0 $codesJoin),
+      qd AS MATERIALIZED (SELECT q.vec_id AS query_id, cb.cid, $qdDs
+             FROM embeddings q, cb WHERE q.vec_id < 5),
+      scored AS (
+        SELECT q0.query_id, c.vec_id, $adist AS adist
+        FROM codes c JOIN qd q0 ON q0.cid=c.code0 $qdJoins
+        WHERE c.vec_id <> q0.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, adist,
+               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+        FROM scored)"""
+  }
+
   private def duckIvfCtes: String = s"""cents AS (
         SELECT cid, c_emb FROM (
           SELECT row_number() OVER (
@@ -2900,53 +2950,41 @@ object Queries {
     Q("s_pq_ann", (s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.pqTopK(e.filter(col("vec_id") < 5), e, 5)
-    }, {
-      val subspaces = 8
-      val sub = 8
-      def ds(a: String, b: String, j: Int): String = {
-        val lo = j * sub + 1
-        val hi = j * sub + sub
-        s"list_reduce(list_prepend(0.0, list_transform(list_zip($a[$lo:$hi], $b[$lo:$hi]), " +
-          s"p -> (p[1]::DOUBLE - p[2]::DOUBLE)*(p[1]::DOUBLE - p[2]::DOUBLE))), (acc,v) -> acc+v)"
-      }
-      val encDs = (0 until subspaces)
-        .map(j => s"${ds("e.embedding", "cb.c", j)} AS d$j").mkString(", ")
-      val qdDs = (0 until subspaces)
-        .map(j => s"${ds("q.embedding", "cb.c", j)} AS d$j").mkString(", ")
-      val encArgmins = (0 until subspaces).map { j =>
-        s"e$j AS (SELECT vec_id, cid AS code$j FROM (SELECT vec_id, cid, " +
-          s"row_number() OVER (PARTITION BY vec_id ORDER BY d$j, cid) AS rn FROM enc0) WHERE rn=1)"
-      }.mkString(",\n      ")
-      val codesJoin = (1 until subspaces).map(j => s"JOIN e$j USING (vec_id)").mkString(" ")
-      val qdJoins = (1 until subspaces)
-        .map(j => s"JOIN qd q$j ON q$j.query_id=q0.query_id AND q$j.cid=c.code$j")
-        .mkString(" ")
-      val adist = (0 until subspaces).map(j => s"q$j.d$j").mkString(" + ")
-      // MATERIALIZED: DuckDB inlines plain CTEs per reference — the 8
-      // argmin CTEs would re-evaluate the distance table 8x over
-      Some(s"""
-      WITH cb AS MATERIALIZED (
-        SELECT cid, c FROM (
-          SELECT row_number() OVER (
-            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
-            embedding AS c
-          FROM embeddings) WHERE cid < 16),
-      enc0 AS MATERIALIZED (SELECT e.vec_id, cb.cid, $encDs FROM embeddings e, cb),
-      $encArgmins,
-      codes AS (SELECT * FROM e0 $codesJoin),
-      qd AS MATERIALIZED (SELECT q.vec_id AS query_id, cb.cid, $qdDs
-             FROM embeddings q, cb WHERE q.vec_id < 5),
-      scored AS (
-        SELECT q0.query_id, c.vec_id, $adist AS adist
-        FROM codes c JOIN qd q0 ON q0.cid=c.code0 $qdJoins
-        WHERE c.vec_id <> q0.query_id),
-      ranked AS (
-        SELECT query_id, vec_id, adist,
-               row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
-        FROM scored)
+    }, Some(s"""
+      WITH $duckPqCtes
       SELECT query_id, vec_id, round(adist,6) AS adist, rank::INT AS rank
-      FROM ranked WHERE rank <= 5""")
-    }),
+      FROM ranked WHERE rank <= 5""")),
+
+    // recall@5 of the PQ/ADC ANN against exact brute force (r14):
+    // the accuracy half of the codes-only compression trade, the
+    // same flat-hit metric the IVF path reports via s_ann_recall —
+    // together they quantify WHICH approximation loses what
+    Q("s_pq_recall", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+        Similarity.bruteForceTopK(qs, e, 5),
+        Similarity.pqTopK(qs, e, 5), 5)
+    }, Some(s"""
+      WITH $duckPqCtes,
+      pq AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 5),
+      bfs AS (
+        SELECT b.query_id, e.vec_id, ${duckCosine("b.q_emb", "e.embedding")} AS cos
+        FROM embeddings e,
+             (SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < 5) b
+        WHERE e.vec_id <> b.query_id),
+      bf AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS r
+          FROM bfs) WHERE r <= 5)
+      SELECT bf.query_id,
+             sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+             CAST(round(sum(CASE WHEN pq.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE * 1000000.0 / 5) AS BIGINT) AS recall_micro
+      FROM bf LEFT JOIN pq ON pq.query_id = bf.query_id AND pq.vec_id = bf.vec_id
+      GROUP BY 1""")),
 
     // distributed k-means (1 Lloyd refinement over hash-seeded
     // centroids): the centroid update sums components in FIXED-POINT
