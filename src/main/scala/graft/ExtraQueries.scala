@@ -699,6 +699,78 @@ object ExtraQueries {
         len(list_filter(tb, x -> x >= 192))::BIGINT AS b3
       FROM dims""")),
 
+    // REAL video-container decode (r14): avify wraps the payload as a
+    // canonical RIFF/AVI (56-byte avih MainAVIHeader, '00db' frame
+    // chunks of 8x8 gray), decodeAvi re-parses it BY THE SPEC and
+    // folds per-frame luminance stats. The oracle states the encode
+    // closed form: frames = ceil(n/64) (min 1), µs/frame by doc_id
+    // mod 3, lum = Σ payload bytes, frame peak = max 64-byte window
+    // sum; validity = the planted corrupt-magic rule (doc_id % 89)
+    Q("m_avi_decode", (s, dir) => {
+      import s.implicits._
+      Multimodal.decodeAvi(
+        Multimodal.avify(
+          Multimodal.withBinary(t(s, dir, "documents"))
+            .as[Multimodal.Media])).toDF()
+    }, Some("""
+      WITH b AS MATERIALIZED (SELECT doc_id,
+           list_transform(range(1, octet_length(encode(text))+1),
+             i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT)
+             AS tb
+         FROM documents),
+      dims AS (SELECT doc_id, tb, len(tb)::BIGINT AS n,
+          greatest(1, (len(tb) + 63) // 64)::BIGINT AS f,
+          (33333 + (doc_id % 3) * 8334)::BIGINT AS upf
+        FROM b),
+      stats AS (SELECT doc_id, f, upf,
+          list_reduce(list_prepend(0::BIGINT, tb), (a,x) -> a+x) AS lum,
+          list_max(list_prepend(0::BIGINT,
+            list_transform(range(0, f), k ->
+              list_reduce(list_prepend(0::BIGINT,
+                tb[(64*k+1)::INT : (64*k+64)::INT]), (a,x) -> a+x)))) AS peak
+        FROM dims)
+      SELECT doc_id,
+        CASE WHEN doc_id % 89 <> 0 THEN 8 ELSE 0 END::BIGINT AS width,
+        CASE WHEN doc_id % 89 <> 0 THEN 8 ELSE 0 END::BIGINT AS height,
+        CASE WHEN doc_id % 89 <> 0 THEN f ELSE 0 END::BIGINT AS n_frames,
+        CASE WHEN doc_id % 89 <> 0 THEN upf ELSE 0 END::BIGINT AS us_per_frame,
+        CASE WHEN doc_id % 89 <> 0 THEN (f * upf) // 1000 ELSE 0 END::BIGINT AS dur_ms,
+        CASE WHEN doc_id % 89 <> 0 THEN lum ELSE 0 END::BIGINT AS lum_sum,
+        CASE WHEN doc_id % 89 <> 0 THEN peak ELSE 0 END::BIGINT AS frame_peak_sum,
+        (doc_id % 89 <> 0) AS valid
+      FROM stats""")),
+
+    // keyframe sampling schedule over the PARSED AVI header (r14):
+    // every max(1, frames div 4)-th frame with its wall-clock
+    // timestamp — the frame-sample plumbing re-keyed from stub rates
+    // to real container metadata, as m_bmp_patch_grid did for images.
+    // Invalid (corrupt-magic) videos drop
+    Q("m_avi_keyframes", (s, dir) => {
+      import s.implicits._
+      Multimodal.decodeAvi(
+        Multimodal.avify(
+          Multimodal.withBinary(t(s, dir, "documents"))
+            .as[Multimodal.Media]))
+        .filter(_.valid)
+        .toDF()
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1,
+            greatest(lit(1L), expr("n_frames div 4")))).as("frame_idx"),
+          col("us_per_frame"))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          expr("(frame_idx * us_per_frame) div 1000").as("t_ms"))
+    }, Some("""
+      WITH d AS (SELECT doc_id,
+          greatest(1, (octet_length(encode(text)) + 63) // 64)::BIGINT AS f,
+          (33333 + (doc_id % 3) * 8334)::BIGINT AS upf
+        FROM documents WHERE doc_id % 89 <> 0)
+      SELECT doc_id, f AS n_frames, fi::BIGINT AS frame_idx,
+             ((fi * upf) // 1000)::BIGINT AS t_ms
+      FROM (SELECT doc_id, f, upf,
+              unnest(generate_series(0, f - 1, greatest(1, f // 4)))
+                AS fi
+            FROM d)""")),
+
     Q("m_audio_segments", (s, dir) => {
       import s.implicits._
       Multimodal.audioSegments(

@@ -170,6 +170,63 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("decodeAvi parses a hand-crafted golden AVI by the format spec") {
+    // one 2×2 frame written by hand, independent of the avify encoder
+    val bb = java.nio.ByteBuffer.allocate(112)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(104)
+    bb.put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(68)
+    bb.put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56)
+    bb.putInt(40000) // µs per frame
+    bb.putInt(0).putInt(0).putInt(0)
+    bb.putInt(1)     // total frames
+    bb.putInt(0)
+    bb.putInt(1)     // streams
+    bb.putInt(12)    // suggested buffer
+    bb.putInt(2).putInt(2) // width, height
+    bb.putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(16)
+    bb.put("movi".getBytes("US-ASCII"))
+    bb.put("00db".getBytes("US-ASCII")).putInt(4)
+    bb.put(Array[Byte](10, 20, 30, 40))
+    val golden = bb.array()
+    val got = Multimodal.decodeAvi(
+      Seq(Multimodal.Media(3L, "video", golden)).toDS()).collect().head
+    assert(got.valid && got.width == 2 && got.height == 2 &&
+      got.n_frames == 1 && got.us_per_frame == 40000 && got.dur_ms == 40 &&
+      got.lum_sum == 100 && got.frame_peak_sum == 100)
+    // corrupt magic → invalid with zeroed stats, no throw
+    val bad = golden.clone(); bad(0) = 'X'.toByte
+    assert(!Multimodal.decodeAvi(
+      Seq(Multimodal.Media(4L, "video", bad)).toDS()).collect().head.valid)
+    // lying movi list size must reject (spec check, not crash)
+    val lie = golden.clone(); lie(92) = 17
+    assert(!Multimodal.decodeAvi(
+      Seq(Multimodal.Media(5L, "video", lie)).toDS()).collect().head.valid)
+  }
+
+  test("avify/decodeAvi round-trip recovers frames, duration and frame stats") {
+    val metas = Multimodal.decodeAvi(Multimodal.avify(media)).collect()
+    assert(metas.length == docs.count())
+    val byId = media.collect().map(m => m.doc_id -> m.payload).toMap
+    metas.foreach { v =>
+      val p = byId(v.doc_id)
+      if (v.doc_id % 89 == 0) assert(!v.valid && v.n_frames == 0)
+      else {
+        val f = math.max(1, (p.length + 63) / 64)
+        val upf = 33333 + (v.doc_id % 3) * 8334
+        val sums = p.map(b => (b & 0xff).toLong).grouped(64).map(_.sum).toSeq
+        assert(v.valid && v.width == 8 && v.height == 8 &&
+          v.n_frames == f && v.us_per_frame == upf &&
+          v.dur_ms == f * upf / 1000 &&
+          v.lum_sum == sums.sum &&
+          v.frame_peak_sum == (if (sums.isEmpty) 0L else sums.max))
+      }
+    }
+  }
+
   test("bmpLumHistogram bins the golden BMP's pixels and drops corrupt streams") {
     // the same hand-crafted 2×2 golden BMP as the decode test:
     // pixel sums 60, 150, 630, 0 → bins (s div 192) = 0, 0, 3, 0
