@@ -580,6 +580,78 @@ object Queries {
       FROM dense
       WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx ASC)""")),
 
+    // lag-1 rate autocorrelation (r14): is traffic persistent or
+    // memoryless — Pearson r between consecutive DENSE hourly counts
+    // per type (same gap-filled grid as w_decay_rate, so silent hours
+    // are true zeros), emitted all-integer: r_micro = 10⁶·(n·Σxy −
+    // Σx·Σy) div (n·Σx² − (Σx)²), NULL on a constant series. Bounds:
+    // hourly count < 2²⁰ keeps every product under 2⁶³ through the
+    // 3× soak; the window is keyed by type (bounded grid)
+    Q("w_autocorr_lag1", (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("hour_idx"))
+        .agg(count(lit(1)).as("c"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min("hour_idx").as("__h0"), max("hour_idx").as("__h1"))
+        .select(col("event_type"),
+          explode(sequence(col("__h0"), col("__h1"))).as("hour_idx"))
+      val dense = grid.join(hourly, Seq("event_type", "hour_idx"), "left_outer")
+        .select(col("event_type"), col("hour_idx"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hour_idx")
+      dense.withColumn("c_next", lead("c", 1).over(w))
+        .filter(col("c_next").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("c").as("sx"), sum("c_next").as("sy"),
+          sum(col("c") * col("c_next")).as("sxy"),
+          sum(col("c") * col("c")).as("sxx"))
+        .select(col("event_type"), col("n_pairs"), col("sx"), col("sy"),
+          col("sxy"),
+          // sign-factored: Spark `div` truncates toward zero while
+          // DuckDB `//` floors — identical only on non-negative
+          // numerators, so divide |num| and reapply the sign
+          expr("""CASE WHEN n_pairs * sxx - sx * sx > 0 THEN
+                    CASE WHEN n_pairs * sxy - sx * sy >= 0
+                      THEN (1000000L * (n_pairs * sxy - sx * sy))
+                           div (n_pairs * sxx - sx * sx)
+                      ELSE -((1000000L * (sx * sy - n_pairs * sxy))
+                           div (n_pairs * sxx - sx * sx)) END
+                  END""").as("r_micro"))
+    },
+      Some("""
+      WITH hourly AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, unnest(generate_series(h0, h1)) AS hour_idx
+        FROM (SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
+              FROM hourly GROUP BY 1)),
+      dense AS (
+        SELECT g.event_type, g.hour_idx, coalesce(h.c, 0)::BIGINT AS c
+        FROM grid g LEFT JOIN hourly h USING (event_type, hour_idx)),
+      p AS (
+        SELECT event_type, c,
+               lead(c) OVER (PARTITION BY event_type ORDER BY hour_idx)
+                 AS c_next
+        FROM dense),
+      a AS (
+        SELECT event_type, count(*)::BIGINT AS n_pairs,
+               sum(c)::BIGINT AS sx, sum(c_next)::BIGINT AS sy,
+               sum(c * c_next)::BIGINT AS sxy, sum(c * c)::BIGINT AS sxx
+        FROM p WHERE c_next IS NOT NULL GROUP BY 1)
+      SELECT event_type, n_pairs, sx, sy, sxy,
+             (CASE WHEN n_pairs * sxx - sx * sx > 0 THEN
+               CASE WHEN n_pairs * sxy - sx * sy >= 0
+                 THEN (1000000 * (n_pairs * sxy - sx * sy))
+                      // (n_pairs * sxx - sx * sx)
+                 ELSE -((1000000 * (sx * sy - n_pairs * sxy))
+                      // (n_pairs * sxx - sx * sx)) END
+              END)::BIGINT AS r_micro
+      FROM a""")),
+
     // OHLC candlesticks (r14): open/high/low/close + count per
     // (hour, type) via ONE map-side-combinable hash aggregate —
     // open/close are min/max over (ts_ns, event_id, value) structs
@@ -1581,6 +1653,51 @@ object Queries {
                     t -> t IN (${TextAnalysis.EnglishMarkers.map("'" + _ + "'").mkString(",")}))) > 0
                   THEN 'en' ELSE 'unknown' END AS lang_guess
       FROM documents""")),
+
+    // bigram vocabulary growth / Heaps curve (r14): how fast the
+    // corpus keeps yielding NEW bigrams as it grows — each bigram is
+    // charged to the corpus DECILE of the first document containing
+    // it (min over a combinable groupBy; decile = doc_id·10 div
+    // (max+1), a broadcast scalar), then a 10-row cumulative sum.
+    // The dedup/continued-pretraining diagnostic: a flattening curve
+    // means new data stops paying
+    Q("t_vocab_growth", (s, dir) => {
+      val d = t(s, dir, "documents")
+      val mx = d.agg(max("doc_id").as("__mx"))
+      val toks = d.crossJoin(broadcast(mx))
+        .select(expr("least(9L, doc_id * 10 div (__mx + 1))").as("decile"),
+          split(col("text"), " ").as("ws"))
+        .select(col("decile"),
+          explode(expr(
+            "transform(slice(ws, 1, size(ws) - 1), (w, i) -> concat(w, ' ', ws[i + 1]))"))
+            .as("bigram"))
+      val firstSeen = toks.groupBy("bigram")
+        .agg(min("decile").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_bigrams"))
+      // 10-row cumulative sum via the prefix primitive (house rule:
+      // no unpartitioned Window, even on bounded frames); prefixSumLong
+      // emits the INCLUSIVE running sum
+      Ranks.prefixSumLong(firstSeen, Seq(col("decile").asc),
+          "new_bigrams", "vocab_size")
+        .select(col("decile"), col("new_bigrams"), col("vocab_size"))
+    },
+      Some("""
+      WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      toks AS (
+        SELECT least(9, doc_id * 10 // ((SELECT mx FROM mx) + 1)) AS decile,
+               string_split(text, ' ') AS ws
+        FROM documents),
+      bg AS (
+        SELECT decile,
+               unnest(list_transform(range(1, len(ws)), i ->
+                 ws[i::INT] || ' ' || ws[(i+1)::INT])) AS bigram
+        FROM toks),
+      fs AS (SELECT bigram, min(decile)::BIGINT AS decile FROM bg GROUP BY 1),
+      g AS (SELECT decile, count(*)::BIGINT AS new_bigrams FROM fs GROUP BY 1)
+      SELECT decile, new_bigrams,
+             (sum(new_bigrams) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS vocab_size
+      FROM g""")),
 
     // language-ID confusion matrix (r14): the classifier audit — the
     // n-gram/marker heuristic's guesses cross-tabulated against the
