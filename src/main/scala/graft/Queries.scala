@@ -180,6 +180,31 @@ object Queries {
       SELECT coalesce(ck, uk) AS k, n_orders, sum_price, n_events
       FROM o FULL OUTER JOIN e ON ck = uk""")),
 
+    // null-safe equality join (r14): the <=> / IS NOT DISTINCT FROM
+    // surface — one segment key is nulled on BOTH sides (nullif), and
+    // the null rows MUST pair under null-safe semantics where a plain
+    // equi-join would silently drop them
+    Q("q_null_safe_join", (s, dir) => {
+      val c = t(s, dir, "customer")
+        .groupBy(expr("nullif(c_mktsegment, 'BUILDING')").as("seg"))
+        .agg(count(lit(1)).as("n_cust"))
+      val o = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(expr("nullif(c_mktsegment, 'BUILDING')").as("seg2"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("seg") <=> col("seg2"))
+        .select(col("seg"), col("n_cust"), col("n_orders"))
+    }, Some("""
+      WITH c AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+                        count(*)::BIGINT AS n_cust
+                 FROM customer GROUP BY 1),
+           o AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+                        count(*)::BIGINT AS n_orders
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 GROUP BY 1)
+      SELECT c.seg, n_cust, n_orders
+      FROM c JOIN o ON c.seg IS NOT DISTINCT FROM o.seg""")),
+
     Q("q_distinct", (s, dir) =>
       t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct(),
       Some("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders")),
@@ -2802,7 +2827,16 @@ object Queries {
         FROM scored)"""
   }
 
-  private def duckIvfCtes: String = s"""cents AS (
+  private def duckIvfCtes: String = duckIvfCtesN(2)
+
+  /** [[duckIvfCtes]] with a caller-chosen probe count (the
+    * `s_ivf_nprobe_curve` sweep re-states the chain per nprobe).
+    */
+  /** The nprobe-INDEPENDENT front of the IVF chain (quantizer, cell
+    * assignment, query-cell ranking) — shared verbatim by every probe
+    * count in the `s_ivf_nprobe_curve` sweep.
+    */
+  private def duckIvfPrefix: String = s"""cents AS (
         SELECT cid, c_emb FROM (
           SELECT row_number() OVER (
             ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
@@ -2822,8 +2856,10 @@ object Queries {
                ${duckCosine("q.q_emb", "c.c_emb")} AS ccos
         FROM q, cents c),
       qar AS (SELECT *, row_number() OVER
-                (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn FROM qa),
-      probes AS (SELECT cid, query_id, q_emb FROM qar WHERE rn <= 2),
+                (PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS rn FROM qa)"""
+
+  private def duckIvfCtesN(nprobe: Int): String = s"""$duckIvfPrefix,
+      probes AS (SELECT cid, query_id, q_emb FROM qar WHERE rn <= $nprobe),
       scored AS (
         SELECT p.query_id, a.vec_id,
                ${duckCosine("p.q_emb", "a.embedding")} AS cos
@@ -3021,6 +3057,63 @@ object Queries {
              CAST(round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE * 1000000.0 / 5) AS BIGINT) AS recall_micro
       FROM bf LEFT JOIN ivf ON ivf.query_id = bf.query_id AND ivf.vec_id = bf.vec_id
       GROUP BY 1""")),
+
+    // IVF recall-vs-nprobe curve (r14): recall@5 at 1/2/4 probed
+    // cells — the latency/accuracy sweep an IVF deployment is tuned
+    // by (the s_mrl_recall_curve pattern applied to the probe axis).
+    // The oracle shares the nprobe-independent quantizer prefix and
+    // re-states only probes/scored/rank per point
+    Q("s_ivf_nprobe_curve", (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(qs, e, 5)
+      Seq(1, 2, 4).map { np =>
+        Similarity.recallAtK(exact,
+            Similarity.ivfTopK(qs, e, 5, nprobe = np), 5)
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+        .select("nprobe", "query_id", "n_hits", "recall_micro")
+    }, {
+      val perProbe = Seq(1, 2, 4).map { np =>
+        s"""probes$np AS (SELECT cid, query_id, q_emb FROM qar WHERE rn <= $np),
+      scored$np AS (
+        SELECT p.query_id, a.vec_id,
+               ${duckCosine("p.q_emb", "a.embedding")} AS cos
+        FROM assigned a JOIN probes$np p USING (cid)
+        WHERE a.vec_id <> p.query_id),
+      ivf$np AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS r
+          FROM scored$np) WHERE r <= 5),
+      rec$np AS (
+        SELECT $np AS nprobe, bf.query_id,
+               sum(CASE WHEN ivf$np.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        FROM bf LEFT JOIN ivf$np
+          ON ivf$np.query_id = bf.query_id AND ivf$np.vec_id = bf.vec_id
+        GROUP BY 1, 2)"""
+      }.mkString(",\n      ")
+      Some(s"""
+      WITH $duckIvfPrefix,
+      bfs AS (
+        SELECT b.query_id, e.vec_id, ${duckCosine("b.q_emb", "e.embedding")} AS cos
+        FROM embeddings e,
+             (SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id < 5) b
+        WHERE e.vec_id <> b.query_id),
+      bf AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS r
+          FROM bfs) WHERE r <= 5),
+      $perProbe
+      SELECT nprobe::BIGINT AS nprobe, query_id, n_hits,
+             CAST(round(n_hits::DOUBLE * 1000000.0 / 5) AS BIGINT) AS recall_micro
+      FROM (SELECT * FROM rec1 UNION ALL SELECT * FROM rec2
+            UNION ALL SELECT * FROM rec4)""")
+    }),
 
     // nDCG@5 of the IVF ANN against exact brute force — the graded
     // position-weighted quality metric beside s_ann_recall's flat
