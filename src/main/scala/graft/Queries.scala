@@ -2288,7 +2288,40 @@ object Queries {
       Some("""
       SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS fp
-      FROM documents"""))
+      FROM documents""")),
+
+    // EXACT stratified split (r14): t_train_split's hash buckets only
+    // approximate 80/10/10 — small strata drift badly (a 12-doc
+    // source can land 12/0/0). Here every source gets EXACTLY
+    // floor(.8n)/floor(.9n)-floor(.8n)/rest: rank docs within source
+    // by a scrambled hash (rerun-stable), assign by the all-integer
+    // rule rank·10 ≤ 8·n. Rank via the boundary-merge keyedRowIndex —
+    // no per-source window task
+    Q("t_stratified_split", (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        (TextAnalysis.polyHash(
+          concat(lit("strat:"), col("doc_id").cast("string")))
+          * 2654435761L % 1000000007L).as("__h"))
+      Ranks.keyedRowIndex(d, Seq("source"),
+          Seq(col("__h").asc, col("doc_id").asc), "__r", "__n")
+        .select(col("doc_id"), col("source"),
+          expr("""CASE WHEN (__r + 1) * 10 <= 8 * __n THEN 'train'
+                       WHEN (__r + 1) * 10 <= 9 * __n THEN 'valid'
+                       ELSE 'test' END""").as("split"))
+    },
+      Some(s"""
+      WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ${duckPh("'strat:' || CAST(doc_id AS VARCHAR)")}
+                          * 2654435761 % 1000000007 ASC, doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT doc_id, source,
+             CASE WHEN rk * 10 <= 8 * n THEN 'train'
+                  WHEN rk * 10 <= 9 * n THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM r"""))
   )
 
   // ---------------------------------------------------------------
@@ -2827,6 +2860,42 @@ object Queries {
         FROM scored)"""
   }
 
+  /** DuckDB CTE chain mirroring [[Similarity.kmeansAssign]] (8
+    * hash-seeded centroids, one Lloyd refinement in fixed-point
+    * micro-units); ends at `assigned1(vec_id, cluster, cos)`. Shared
+    * by the assignment gate and the cluster-balance gate.
+    */
+  private def duckKmeansCtes: String = s"""cents0 AS MATERIALIZED (
+        SELECT cid, c FROM (
+          SELECT row_number() OVER (
+            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
+            embedding AS c
+          FROM embeddings) WHERE cid < 8),
+      a0 AS MATERIALIZED (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckCosine("e.embedding", "c.c")} DESC, c.cid ASC) AS rn
+          FROM embeddings e, cents0 c) WHERE rn = 1),
+      ex AS (
+        SELECT cid, embedding, unnest(range(1, len(embedding)+1)) AS i FROM a0),
+      sums AS (
+        SELECT cid, i,
+               sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS sm,
+               count(*) AS n
+        FROM ex GROUP BY 1, 2),
+      cents1 AS MATERIALIZED (
+        SELECT cid, list(CAST(round(sm::DOUBLE / n) AS BIGINT)::DOUBLE
+                           / 1000000.0 ORDER BY i) AS c
+        FROM sums GROUP BY cid),
+      assigned1 AS MATERIALIZED (
+        SELECT vec_id, cluster::INT AS cluster, cos FROM (
+          SELECT e.vec_id, c.cid AS cluster,
+                 ${duckCosine("e.embedding", "c.c")} AS cos,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY ${duckCosine("e.embedding", "c.c")} DESC, c.cid ASC) AS rn
+          FROM embeddings e, cents1 c) WHERE rn = 1)"""
+
   private def duckIvfCtes: String = duckIvfCtesN(2)
 
   /** [[duckIvfCtes]] with a caller-chosen probe count (the
@@ -3203,35 +3272,34 @@ object Queries {
     Q("s_kmeans_assign", (s, dir) =>
       Similarity.kmeansAssign(t(s, dir, "embeddings"), 8, 1),
       Some(s"""
-      WITH cents0 AS MATERIALIZED (
-        SELECT cid, c FROM (
-          SELECT row_number() OVER (
-            ORDER BY (vec_id * 2654435761) % 4294967291, vec_id) - 1 AS cid,
-            embedding AS c
-          FROM embeddings) WHERE cid < 8),
-      a0 AS MATERIALIZED (
-        SELECT vec_id, embedding, cid FROM (
-          SELECT e.vec_id, e.embedding, c.cid,
-                 row_number() OVER (PARTITION BY e.vec_id
-                   ORDER BY ${duckCosine("e.embedding", "c.c")} DESC, c.cid ASC) AS rn
-          FROM embeddings e, cents0 c) WHERE rn = 1),
-      ex AS (
-        SELECT cid, embedding, unnest(range(1, len(embedding)+1)) AS i FROM a0),
-      sums AS (
-        SELECT cid, i,
-               sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT)) AS sm,
-               count(*) AS n
-        FROM ex GROUP BY 1, 2),
-      cents1 AS MATERIALIZED (
-        SELECT cid, list(CAST(round(sm::DOUBLE / n) AS BIGINT)::DOUBLE
-                           / 1000000.0 ORDER BY i) AS c
-        FROM sums GROUP BY cid)
-      SELECT vec_id, cluster::INT AS cluster, cos FROM (
-        SELECT e.vec_id, c.cid AS cluster,
-               ${duckCosine("e.embedding", "c.c")} AS cos,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${duckCosine("e.embedding", "c.c")} DESC, c.cid ASC) AS rn
-        FROM embeddings e, cents1 c) WHERE rn = 1""")),
+      WITH $duckKmeansCtes
+      SELECT vec_id, cluster, cos FROM assigned1""")),
+
+    // cluster-balance diagnostic (r14): are the k-means cells usable
+    // as IVF cells — per-cluster size, share (micro, div), and the
+    // entropy contribution round(10⁶·(n/N)·ln(N/n)) (the round-to-
+    // integer-micro ln convention of g_adamic_adar / t_entropy). A
+    // collapsed clustering (one giant cell) shows up as share→10⁶
+    // and Σh→0; the tuning signal for every IVF/SemDeDup consumer
+    Q("s_cluster_balance", (s, dir) => {
+      val a = Similarity.kmeansAssign(t(s, dir, "embeddings"), 8, 1)
+      val tot = a.agg(count(lit(1)).as("__n"))
+      a.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster").cast("long").as("cluster"), col("n"),
+          expr("(n * 1000000) div __n").as("share_micro"),
+          expr("CAST(round(1000000.0 * (n / CAST(__n AS DOUBLE)) * " +
+            "ln(CAST(__n AS DOUBLE) / n)) AS BIGINT)").as("h_micro"))
+    },
+      Some(s"""
+      WITH $duckKmeansCtes,
+      g AS (SELECT cluster, count(*)::BIGINT AS n FROM assigned1 GROUP BY 1),
+      tot AS (SELECT sum(n)::BIGINT AS nn FROM g)
+      SELECT cluster::BIGINT AS cluster, n,
+             ((n * 1000000) // (SELECT nn FROM tot))::BIGINT AS share_micro,
+             CAST(round(1000000.0 * (n / (SELECT nn FROM tot)::DOUBLE) *
+               ln((SELECT nn FROM tot)::DOUBLE / n)) AS BIGINT) AS h_micro
+      FROM g""")),
 
     // SemDeDup: within-cluster cosine near-dup removal — cluster by
     // nearest hash-seeded centroid, drop vectors with a lower-id
