@@ -2674,7 +2674,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       o.keepOut ++ o.leftFilterVars ++ keyCols).getOrElse(return None)
     if (!keyCols.forall(v => leftIds.columns.contains(v) &&
         leftIds.schema(v).dataType == LongType)) return None
-    val condL = condVars.intersect(lFull) -- keyCols -- rFull
+    // NOT minus rFull: a var bound by both sides must also decode on
+    // the l side — unmatched LeftJoin rows carry the SPINE's binding
+    // (§15.1), so reads fall back l-ward when the probe side is null
+    val condL = condVars.intersect(lFull) -- keyCols
     val (lf0, lfNull, lfConst) =
       corrProbeFrame(l, sharedIL.toSet ++ ljShared ++ condL)
         .getOrElse(return None)
@@ -2748,6 +2751,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       if (kTmp.contains(v)) cand(kTmp(v))
       else if (rfConst.contains(v))
         constTagCol(rr(rRen(rfConst(v)._1)), rfConst(v)._2)
+      else if (rTmp.contains(v) && lTmp.contains(v))
+        // bound on BOTH sides: matched rows read the (compatible)
+        // merged value, unmatched rows fall back to the spine's
+        coalesce(rr(rRen(rTmp(v))), cand(lRen(lTmp(v))))
       else if (rTmp.contains(v)) rr(rRen(rTmp(v)))
       else if (lTmp.contains(v)) cand(lRen(lTmp(v)))
       else nullTerm
@@ -2983,7 +2990,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       .reduceOption(_ && _).getOrElse(lit(true))
     val res: String => Column = v =>
       if (keyCols.contains(v)) cand(v) // substituted outer binding
-      else if (rRen.contains(v)) rr(rRen(v)) // r reads (null = unbound)
+      else if (rRen.contains(v) && ld.columns.contains(v))
+        // bound on BOTH sides: unmatched LeftJoin rows carry the
+        // SPINE's binding (§15.1) — fall back l-ward past the nulls
+        coalesce(rr(rRen(v)), lVal(v))
+      else if (rRen.contains(v)) rr(rRen(v)) // r-only reads (null = unbound)
       else if (ld.columns.contains(v)) lVal(v)
       else nullTerm
     val resB = layerBindsGated(rBinds, res, rr(matchInd))

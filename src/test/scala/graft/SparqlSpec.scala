@@ -1057,6 +1057,35 @@ class SparqlSpec extends GraftSuite {
     assert((got ++ not).sorted == all)
   }
 
+  test("visible-OPTIONAL EXISTS: spine binding survives an unmatched OPTIONAL") {
+    // ?n is bound by the SPINE and re-read by the OPTIONAL's pattern;
+    // §15.1/18.6: an unmatched LeftJoin solution carries the spine's
+    // binding, so FILTER(isIRI(?n) || BOUND(?x)) must hold for EVERY
+    // customer even though the embedded ?b < -100000 never fires.
+    // (r14 regression: both key-frame planes resolved ?n from the
+    // probe side, reading NULL on unmatched rows → EXISTS false.)
+    val viaExists = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS {
+               ?c :nation ?n . OPTIONAL { ?n :name ?x . FILTER(?b < -100000) } .
+               FILTER(isIRI(?n) || BOUND(?x)) } }""")
+      .map(_.getString(0)).toSet
+    val direct = q("""SELECT ?c WHERE { ?c :acctbal ?b . ?c :nation ?n }""")
+      .map(_.getString(0)).toSet
+    assert(viaExists == direct,
+      "unmatched-OPTIONAL rows must expose the spine's ?n binding")
+    // mixed case: matched rows read the (compatible) merged value,
+    // unmatched rows fall back to the spine value — both satisfy the
+    // disjunction's first arm, so again every customer qualifies
+    val mixed = q("""SELECT ?c WHERE {
+             ?c :acctbal ?b .
+             FILTER EXISTS {
+               ?c :nation ?n . OPTIONAL { ?n :name ?x . FILTER(?b > 5000) } .
+               FILTER(STRSTARTS(STR(?n), "nat:") || BOUND(?x)) } }""")
+      .map(_.getString(0)).toSet
+    assert(mixed == direct)
+  }
+
   test("correlated EXISTS beyond the decorrelatable spine still fails loudly") {
     // correlated ref inside an OPTIONAL the sub-pattern DOES read
     // (?x consumed by a later FILTER): CLOSED in r11 — the key-frame
