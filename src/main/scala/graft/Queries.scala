@@ -52,6 +52,41 @@ object Queries {
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($expr,''), ch -> ascii(ch)::BIGINT)), " +
       s"(h, c) -> (h*$mult + c) % 1000000007)"
 
+  /** Dense per-type hourly count grid shared by the decay/autocorr
+    * gates: absent hours are TRUE ZEROS — a map-side
+    * `sequence`/`explode` over each type's [first, last] hour span
+    * (bounded: types × hours), left-joined back onto the combinable
+    * hourly counts.
+    */
+  private def denseHourlyCounts(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000L").as("hour_idx"))
+      .agg(count(lit(1)).as("c"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("hour_idx").as("__h0"), max("hour_idx").as("__h1"))
+      .select(col("event_type"),
+        explode(sequence(col("__h0"), col("__h1"))).as("hour_idx"))
+    grid.join(hourly, Seq("event_type", "hour_idx"), "left_outer")
+      .select(col("event_type"), col("hour_idx"),
+        coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** DuckDB CTE chain mirroring [[denseHourlyCounts]]; ends at
+    * `dense(event_type, hour_idx, c)`.
+    */
+  private def duckDenseHourlyCtes: String = """hourly AS MATERIALIZED (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, unnest(generate_series(h0, h1)) AS hour_idx
+        FROM (SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
+              FROM hourly GROUP BY 1)),
+      dense AS (
+        SELECT g.event_type, g.hour_idx, coalesce(h.c, 0)::BIGINT AS c
+        FROM grid g LEFT JOIN hourly h USING (event_type, hour_idx))"""
+
   // ---------------------------------------------------------------
   // Relational core: aggregation, joins, top-k, set ops, windows
   // ---------------------------------------------------------------
@@ -561,17 +596,7 @@ object Queries {
     // exponential smoother scaled by 256 so every term is an integer
     // multiply-add (FLOAT_AUDIT: no float decay powers, engine-exact)
     Q("w_decay_rate", (s, dir) => {
-      val hourly = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 3600000000L").as("hour_idx"))
-        .agg(count(lit(1)).as("c"))
-      val grid = hourly.groupBy("event_type")
-        .agg(min("hour_idx").as("__h0"), max("hour_idx").as("__h1"))
-        .select(col("event_type"),
-          explode(sequence(col("__h0"), col("__h1"))).as("hour_idx"))
-      val dense = grid.join(hourly, Seq("event_type", "hour_idx"), "left_outer")
-        .select(col("event_type"), col("hour_idx"),
-          coalesce(col("c"), lit(0L)).as("c"))
+      val dense = denseHourlyCounts(s, dir)
       val w = Window.partitionBy("event_type").orderBy("hour_idx")
       val decayed = (col("c") * lit(128L)) +: (1 to 7).map(j =>
         coalesce(lag(col("c"), j).over(w), lit(0L)) * lit(1L << (7 - j)))
@@ -580,18 +605,8 @@ object Queries {
         timestamp_micros(col("hour_idx") * lit(3600000000L)).as("hour"),
         col("c"), decaySum.as("decayed_x256"))
     },
-      Some("""
-      WITH hourly AS MATERIALIZED (
-        SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
-               count(*)::BIGINT AS c
-        FROM events GROUP BY 1, 2),
-      grid AS (
-        SELECT event_type, unnest(generate_series(h0, h1)) AS hour_idx
-        FROM (SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
-              FROM hourly GROUP BY 1)),
-      dense AS (
-        SELECT g.event_type, g.hour_idx, coalesce(h.c, 0)::BIGINT AS c
-        FROM grid g LEFT JOIN hourly h USING (event_type, hour_idx))
+      Some(s"""
+      WITH $duckDenseHourlyCtes
       SELECT event_type,
              make_timestamp(hour_idx * 3600000000) AS hour, c,
              (c * 128
@@ -613,17 +628,7 @@ object Queries {
     // hourly count < 2²⁰ keeps every product under 2⁶³ through the
     // 3× soak; the window is keyed by type (bounded grid)
     Q("w_autocorr_lag1", (s, dir) => {
-      val hourly = t(s, dir, "events")
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) div 3600000000L").as("hour_idx"))
-        .agg(count(lit(1)).as("c"))
-      val grid = hourly.groupBy("event_type")
-        .agg(min("hour_idx").as("__h0"), max("hour_idx").as("__h1"))
-        .select(col("event_type"),
-          explode(sequence(col("__h0"), col("__h1"))).as("hour_idx"))
-      val dense = grid.join(hourly, Seq("event_type", "hour_idx"), "left_outer")
-        .select(col("event_type"), col("hour_idx"),
-          coalesce(col("c"), lit(0L)).as("c"))
+      val dense = denseHourlyCounts(s, dir)
       val w = Window.partitionBy("event_type").orderBy("hour_idx")
       dense.withColumn("c_next", lead("c", 1).over(w))
         .filter(col("c_next").isNotNull)
@@ -645,18 +650,8 @@ object Queries {
                            div (n_pairs * sxx - sx * sx)) END
                   END""").as("r_micro"))
     },
-      Some("""
-      WITH hourly AS MATERIALIZED (
-        SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
-               count(*)::BIGINT AS c
-        FROM events GROUP BY 1, 2),
-      grid AS (
-        SELECT event_type, unnest(generate_series(h0, h1)) AS hour_idx
-        FROM (SELECT event_type, min(hour_idx) AS h0, max(hour_idx) AS h1
-              FROM hourly GROUP BY 1)),
-      dense AS (
-        SELECT g.event_type, g.hour_idx, coalesce(h.c, 0)::BIGINT AS c
-        FROM grid g LEFT JOIN hourly h USING (event_type, hour_idx)),
+      Some(s"""
+      WITH $duckDenseHourlyCtes,
       p AS (
         SELECT event_type, c,
                lead(c) OVER (PARTITION BY event_type ORDER BY hour_idx)
@@ -2805,11 +2800,6 @@ object Queries {
   private def duckCosine(a: String, b: String): String =
     s"round(${duckDot(a, b)} / sqrt(${duckDot(a, a)}) / sqrt(${duckDot(b, b)}), 6)"
 
-  /** DuckDB CTE chain mirroring [[Similarity.ivfTopK]] (16 hash-seeded
-    * centroid cells, nearest-cell assignment, 2-cell probes for the
-    * `vec_id < 5` queries); ends at `ranked(query_id, vec_id, cos,
-    * rank)`. Shared by the IVF gate and the recall gate.
-    */
   /** DuckDB CTE chain mirroring [[Similarity.pqTopK]] (16 hash-seeded
     * codewords, 8×8 subspace argmin encode, asymmetric-distance scan
     * for the `vec_id < 5` queries); ends at `ranked(query_id, vec_id,
@@ -2896,6 +2886,11 @@ object Queries {
                    ORDER BY ${duckCosine("e.embedding", "c.c")} DESC, c.cid ASC) AS rn
           FROM embeddings e, cents1 c) WHERE rn = 1)"""
 
+  /** DuckDB CTE chain mirroring [[Similarity.ivfTopK]] (16 hash-seeded
+    * centroid cells, nearest-cell assignment, 2-cell probes for the
+    * `vec_id < 5` queries); ends at `ranked(query_id, vec_id, cos,
+    * rank)`. Shared by the IVF gate and the recall gate.
+    */
   private def duckIvfCtes: String = duckIvfCtesN(2)
 
   /** [[duckIvfCtes]] with a caller-chosen probe count (the
@@ -3136,9 +3131,13 @@ object Queries {
       val e = t(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 5)
       val exact = Similarity.bruteForceTopK(qs, e, 5)
+      // ONE index build (centroid collect + cell assignment) shared
+      // across the sweep — only the probe filter varies per point,
+      // mirroring the oracle's shared duckIvfPrefix
+      val (cents, assigned) = Similarity.ivfIndex(e)
       Seq(1, 2, 4).map { np =>
         Similarity.recallAtK(exact,
-            Similarity.ivfTopK(qs, e, 5, nprobe = np), 5)
+            Similarity.ivfProbe(cents, assigned, qs, 5, np), 5)
           .withColumn("nprobe", lit(np.toLong))
       }.reduce(_ unionByName _)
         .select("nprobe", "query_id", "n_hits", "recall_micro")

@@ -74,14 +74,6 @@ object StreamQueries {
             FROM events)
       WHERE rn = 1""")),
 
-    // stream-stream interval join (attribution shape): inner matches
-    // emit as both rows arrive, so the answer is batch-checkable
-    // SCD-2 versions maintained IN THE STREAM (r14): custom
-    // flatMapGroupsWithState machine, one open version per user
-    // (state O(#users)); each event closes the previous version.
-    // Emits CLOSED versions only — the oracle is the batch SCD-2
-    // build restricted to rows with a successor (lead IS NOT NULL),
-    // the same replay-equivalence pattern as st_hll_daily
     // online changepoint statistic in the stream (r14): per event
     // type, each CLOSED hour emits (count, running index rk, running
     // prefix pc, excess_scaled = rk·c − pc) — the all-integer
@@ -104,6 +96,12 @@ object StreamQueries {
              (rk*c - pc)::BIGINT AS excess_scaled
       FROM st WHERE nxt IS NOT NULL""")),
 
+    // SCD-2 versions maintained IN THE STREAM (r14): custom
+    // flatMapGroupsWithState machine, one open version per user
+    // (state O(#users)); each event closes the previous version.
+    // Emits CLOSED versions only — the oracle is the batch SCD-2
+    // build restricted to rows with a successor (lead IS NOT NULL),
+    // the same replay-equivalence pattern as st_hll_daily
     Q("st_scd2_versions", (s, dir) => StreamOps.scd2Streaming(s, dir),
       Some("""
       SELECT * FROM (
@@ -114,6 +112,8 @@ object StreamQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
       WHERE to_ns IS NOT NULL""")),
 
+    // stream-stream interval join (attribution shape): inner matches
+    // emit as both rows arrive, so the answer is batch-checkable
     Q("st_stream_join", (s, dir) => StreamOps.streamStreamJoin(s, dir),
       Some("""
       SELECT v.event_id AS view_id, b.event_id AS buy_id, v.user_id

@@ -389,9 +389,9 @@ object EventWindows {
     * [[Ranks.prefixMinLong]] on the negated pack — range partition +
     * one boundary long per partition — so a bot user splits across
     * tasks like any other rows. Grid generation is a map-side
-    * `sequence`/`explode` per user. Packing bounds (documented
-    * contract): user_id < 2²⁵, epoch day < 2¹⁷ (through year 2328),
-    * daily count < 2²⁰.
+    * `sequence`/`explode` per user. Packing bounds (ASSERTED — a
+    * violation fails the job, never corrupts a carry): user_id < 2²⁵,
+    * epoch day < 2¹⁷ (through year 2328), daily count < 2²⁰.
     */
   def gapFillDaily(events: DataFrame): DataFrame = {
     val epoch = lit("1970-01-01").cast("date")
@@ -403,11 +403,21 @@ object EventWindows {
       .agg(min("day").as("__d0"), max("day").as("__d1"))
       .select(col("user_id"),
         explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    // packing bounds FAIL LOUD (the prefix-primitive discipline): a
+    // silent overflow of any field would corrupt carries for
+    // unrelated rows — assert_true is codegen'd and costs one branch
+    val boundsOk = col("user_id") >= 0 && col("user_id") < (1L << 25) &&
+      col("day") >= 0 && col("day") < (1L << 17) &&
+      (col("n").isNull || col("n") < (1L << 20))
     val packed = grid.join(daily, Seq("user_id", "day"), "left_outer")
       .select(col("user_id"), col("day"), col("n"),
         (-(col("user_id") * lit(1L << 37) +
           when(col("n").isNotNull,
-            col("day") * lit(1L << 20) + col("n")).otherwise(lit(0L))))
+            col("day") * lit(1L << 20) + col("n")).otherwise(lit(0L))) +
+          coalesce(assert_true(boundsOk,
+            lit("gapFillDaily: packing bounds exceeded " +
+              "(user_id < 2^25, epoch day < 2^17, daily count < 2^20)"))
+            .cast("long"), lit(0L)))
           .as("__neg"))
     val pref = Ranks.prefixMinLong(packed,
       Seq(col("user_id").asc, col("day").asc), "__neg", "__pm")

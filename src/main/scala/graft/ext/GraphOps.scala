@@ -273,9 +273,15 @@ object GraphOps {
     */
   def diameterSweep(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val seed1 = edges.select(col("src").cast("long").as("id"))
+    val minRow = edges.select(col("src").cast("long").as("id"))
       .unionByName(edges.select(col("dst").cast("long").as("id")))
-      .agg(min("id")).head.getLong(0)
+      .agg(min("id")).head
+    // empty graph: an empty RESULT frame, not an NPE off the null min
+    if (minRow.isNullAt(0))
+      return spark.range(0).select(
+        col("id").as("seed1"), col("id").as("ecc1"), col("id").as("seed2"),
+        col("id").as("ecc2"), col("id").as("n_reached"))
+    val seed1 = minRow.getLong(0)
     val d1 = shortestHops(spark, edges, Seq(seed1).toDF("id"))
     val ecc1 = d1.agg(max("dist")).head.getLong(0)
     val seed2 = d1.filter(col("dist") === ecc1)
@@ -302,7 +308,15 @@ object GraphOps {
     */
   def modularityByCommunity(spark: SparkSession, edges: DataFrame,
       labels: DataFrame): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst")).distinct()
+    // canonicalize to UNDIRECTED form first (least, greatest): a
+    // caller handing the common both-directions representation — or
+    // a mix of once- and twice-listed edges — must not inflate m,
+    // degrees, or intra counts (the sibling BFS operators normalize
+    // the same way inside seedDistances/shortestHops)
+    val e0 = edges.select(
+        least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
+      .distinct()
       .localCheckpoint()
     val m = e0.count()
     val l = labels.select(col("id"), col("label"))

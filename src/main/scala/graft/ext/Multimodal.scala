@@ -292,19 +292,6 @@ object Multimodal {
     }
   }
 
-  /** REAL image-codec decoder half: parse the BMP stream BY THE
-    * FORMAT SPEC — 'BM' magic, file size vs actual length, pixel
-    * offset 54, BITMAPINFOHEADER size 40, planes 1, 24 bpp,
-    * uncompressed, positive bounded dimensions, enough bytes for
-    * `stride × height` — then fold the pixel rows (at the spec's
-    * padded stride, whatever order they were stored in) into integer
-    * luminance stats: `lum3_sum` = Σ(r+g+b), `peak3` = max(r+g+b) —
-    * the brightness/contrast prefilter a real image-quality gate
-    * starts from. A malformed header (including the planted
-    * corrupt-magic rows) yields `valid = false` with zeroed stats,
-    * never garbage and never a throw. Map-only; the codec-call slot
-    * [[decodeMeta]] documents, filled with a real parser.
-    */
   /** Spec-driven BMP header validation shared by the decode family:
     * Some((w, h, stride)) when every BITMAPFILEHEADER /
     * BITMAPINFOHEADER field checks out — 'BM' magic, exact file
@@ -330,6 +317,17 @@ object Multimodal {
     }
   }
 
+  /** REAL image-codec decoder half: validate the BMP header BY THE
+    * FORMAT SPEC ([[parseBmpDims]]) and fold the pixel rows (at the
+    * spec's padded stride, whatever order they were stored in) into
+    * integer luminance stats: `lum3_sum` = Σ(r+g+b), `peak3` =
+    * max(r+g+b) — the brightness/contrast prefilter a real
+    * image-quality gate starts from. A malformed header (including
+    * the planted corrupt-magic rows) yields `valid = false` with
+    * zeroed stats, never garbage and never a throw. Map-only; this
+    * is the codec-call slot [[decodeMeta]] documents, filled with a
+    * real parser.
+    */
   def decodeBmp(media: Dataset[Media]): Dataset[BmpMeta] = {
     import media.sparkSession.implicits._
     media.map { m =>

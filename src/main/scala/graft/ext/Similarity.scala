@@ -314,8 +314,11 @@ object Similarity {
     val vMilli = round(col("v").cast("double") * 1e3, 0).cast("long")
     def half(h: Int, c: Column): Column =
       sum(when(col("h") === h, c).otherwise(lit(0L)))
+    // an empty half (all-even or all-odd ids) yields NULL moments and
+    // NULL deltas rather than a NaN→engine-divergent division
     def meanOf(sumC: String, nC: String): Column =
-      round(col(sumC).cast("double") / col(nC), 0).cast("long")
+      when(col(nC) > 0,
+        round(col(sumC).cast("double") / col(nC), 0).cast("long"))
     corpus.select(col(idCol).as("id"), posexplode(col(emb)))
       .toDF("id", "dim", "v")
       .withColumn("h", pmod(col("id"), lit(2)).cast("int"))
@@ -564,29 +567,48 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 2): DataFrame = {
-    // the quantizer is tiny and ships WITH THE PLAN: centroids are
-    // collected once (same legitimacy class as the broadcast ontology)
-    // and inlined as array literals, so cell assignment is a pure
-    // map-side expression — zero join, zero shuffle over the corpus.
-    // orderBy+limit is a distributed TakeOrdered: the driver only ever
-    // holds the `cells` winners.
+    val (cents, assigned) = ivfIndex(corpus, cells)
+    ivfProbe(cents, assigned, queries, k, nprobe)
+  }
+
+  // (−cos, cid) structs sort best-first with the lower cid on ties
+  private def nearestCells(cents: Array[Seq[Float]], emb: Column,
+      n: Int): Column =
+    transform(slice(array_sort(array(
+      cents.zipWithIndex.map { case (c, i) =>
+        struct((-cosine(emb, typedLit(c))).as("negccos"), lit(i).as("cid"))
+      }: _*)), 1, n), x => x("cid"))
+
+  /** The nprobe-INDEPENDENT half of [[ivfTopK]]: collect the
+    * hash-seeded centroids and assign every corpus vector to its
+    * nearest cell ONCE — a probe sweep (`s_ivf_nprobe_curve`) reuses
+    * this index across its points instead of rebuilding the
+    * quantizer per nprobe, which is the whole reason an IVF index
+    * exists. The quantizer is tiny and ships WITH THE PLAN:
+    * centroids are collected once (same legitimacy class as the
+    * broadcast ontology) and inlined as array literals, so cell
+    * assignment is a pure map-side expression — zero join, zero
+    * shuffle over the corpus. orderBy+limit is a distributed
+    * TakeOrdered: the driver only ever holds the `cells` winners.
+    */
+  def ivfIndex(corpus: DataFrame,
+      cells: Int = 16): (Array[Seq[Float]], DataFrame) = {
     val cents: Array[Seq[Float]] = corpus
       .orderBy(seedHash(col("vec_id")).asc, col("vec_id").asc).limit(cells)
       .select("embedding").collect()
       .map(_.getSeq[Float](0))
-    // (−cos, cid) structs sort best-first with the lower cid on ties
-    def cellRanking(emb: Column): Column = array_sort(array(
-      cents.zipWithIndex.map { case (c, i) =>
-        struct((-cosine(emb, typedLit(c))).as("negccos"), lit(i).as("cid"))
-      }: _*))
-    def nearestCells(emb: Column, n: Int): Column =
-      transform(slice(cellRanking(emb), 1, n), x => x("cid"))
     val assigned = corpus.withColumn("cell",
-      element_at(nearestCells(col("embedding"), 1), 1))
+      element_at(nearestCells(cents, col("embedding"), 1), 1))
+    (cents, assigned)
+  }
+
+  /** The probe half of [[ivfTopK]] over a prebuilt [[ivfIndex]]. */
+  def ivfProbe(cents: Array[Seq[Float]], assigned: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val probes = broadcast(queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .select(col("query_id"), col("q_emb"),
-        explode(nearestCells(col("q_emb"), nprobe)).as("cell")))
+        explode(nearestCells(cents, col("q_emb"), nprobe)).as("cell")))
     val scored = assigned.join(probes, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -216,8 +216,15 @@ object TextAnalysis {
     val u = (((h * 2654435761L % p) + p) % p + 1L).cast("double") /
       (p + 1).toDouble
     docs.select(col("doc_id"), weight.cast("long").as("w"))
+      // fail LOUD on a violated weight contract (the prefix-primitive
+      // discipline): w ≤ 0 after the long cast would otherwise give
+      // Infinity→Long.MaxValue keys (never sampled) or negative keys
+      // (always sampled first), silently corrupting the draw
       .withColumn("key_micro",
-        round(-log(u) * 1e6 / col("w"), 0).cast("long"))
+        round(-log(u) * 1e6 / col("w"), 0).cast("long") +
+          coalesce(assert_true(col("w") > 0,
+            lit("weightedSample: weights must be >= 1 after the long cast"))
+            .cast("long"), lit(0L)))
       .orderBy(col("key_micro").asc, col("doc_id").asc)
       .limit(k)
   }

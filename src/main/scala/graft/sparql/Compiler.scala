@@ -2356,13 +2356,6 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       }
   }
 
-  /** Reconstruct a const-BIND var's term struct from its shipped long
-    * tag (see [[corrProbeFrame]]): a CASE over the (small, per-query)
-    * tag registry. A NULL tag (branch-partial discriminator) matches
-    * nothing → NULL term = unbound, exactly the struct plane's union
-    * widening. Pure expression layer — the exchange below shipped
-    * only the 8-byte tag.
-    */
   /** On-the-fly 8-byte id of a solution-frame term struct: the SAME
     * xxhash64(lex, kind) identity the store ids carry
     * ([[graft.core.TermDictionary.termId]]) — a join of this key
@@ -2399,6 +2392,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     case Bgp(_, _) | Unit0 => Set.empty
   }
 
+  /** Reconstruct a const-BIND var's term struct from its shipped long
+    * tag (see [[corrProbeFrame]]): a CASE over the (small, per-query)
+    * tag registry. A NULL tag (branch-partial discriminator) matches
+    * nothing → NULL term = unbound, exactly the struct plane's union
+    * widening. Pure expression layer — the exchange below shipped
+    * only the 8-byte tag.
+    */
   private def constTagCol(tagCol: Column, tags: Map[Long, T]): Column =
     tags.toSeq.sortBy(_._1).foldLeft(lit(null).cast(termType)) {
       case (acc, (tag, t)) => when(tagCol === lit(tag), constCol(t))

@@ -336,8 +336,17 @@ object StreamOps {
           var open = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[ScdVersion]
           events.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
-            open.foreach(o => out += ScdVersion(user, o.event_id,
-              o.event_type, o.from_ns, e.ts_ns))
+            // cross-batch ordering contract, FAIL LOUD: closing the
+            // open version with an EARLIER event would emit an
+            // inverted interval (to < from) — see rateDrift
+            open.foreach { o =>
+              if (e.ts_ns < o.from_ns) throw new IllegalStateException(
+                s"scd2Versions[$user]: event at ${e.ts_ns} precedes the " +
+                  s"open version from ${o.from_ns} — replay the source " +
+                  "in event-time order or add a watermark upstream")
+              out += ScdVersion(user, o.event_id,
+                o.event_type, o.from_ns, e.ts_ns)
+            }
             open = Some(ScdOpen(e.event_id, e.event_type, e.ts_ns))
           }
           open.foreach(state.update)
@@ -400,6 +409,15 @@ object StreamOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[RateDrift]
           events.toSeq.sortBy(_.ts_ns).foreach { e =>
             val h = e.ts_ns / hourNs * hourNs
+            // cross-batch ordering contract, FAIL LOUD: a batch whose
+            // events precede the open hour (files replayed out of
+            // order / no watermark) would otherwise close and reopen
+            // past hours, emitting duplicate rows with wrong rk/pc
+            if (st.openHourNs != Long.MinValue && h < st.openHourNs)
+              throw new IllegalStateException(
+                s"rateDrift[$typ]: hour $h arrived after ${st.openHourNs} " +
+                  "already opened — replay the source in event-time order " +
+                  "or add a watermark upstream")
             if (st.openHourNs == Long.MinValue)
               st = RateState(st.rk, st.pc, h, 1L)
             else if (h == st.openHourNs)

@@ -188,6 +188,21 @@ class EventWindowsSpec extends GraftSuite {
       (1L, 13, 1L, true), (2L, 11, 1L, true)))
   }
 
+  test("gapFillDaily: a packing-bound violation fails loud, never corrupts") {
+    import spark.implicits._
+    // user_id ≥ 2^25 would silently overflow into the carry's user
+    // field — the assert must surface instead
+    val ev = Seq((40000000L, new java.sql.Timestamp(86400L * 1000L)))
+      .toDF("user_id", "ts")
+    val e = intercept[Throwable] {
+      EventWindows.gapFillDaily(ev).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("packing bounds")), msgs(e).mkString("|"))
+  }
+
   test("gapFillDaily equals the per-user window formulation on the fixture") {
     val daily = events.groupBy(col("user_id").cast("long").as("user_id"),
         col("ts").cast("date").as("day"))

@@ -61,6 +61,29 @@ class GraphOpsSpec extends GraftSuite {
       r.getLong(4)) == ((1L, 4L, 5L, 4L, 5L)))
   }
 
+  test("diameterSweep: empty graph yields an empty frame, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val got = GraphOps.diameterSweep(spark, empty)
+    assert(got.columns.toSeq ==
+      Seq("seed1", "ecc1", "seed2", "ecc2", "n_reached") && got.isEmpty)
+  }
+
+  test("modularityByCommunity: both-directions input does not inflate m") {
+    import spark.implicits._
+    // the same triangle pair, with SOME edges listed in both
+    // directions — canonicalization must keep m = 7 and q unchanged
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("id", "label")
+    val got = GraphOps.modularityByCommunity(spark, edges, labels)
+      .orderBy("label").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq((10L, 3L, 7L, 178571L), (20L, 3L, 7L, 178571L)))
+  }
+
   test("modularityByCommunity: two triangles bridged by one edge (textbook Q)") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} joined by 3-4: m=7; per community

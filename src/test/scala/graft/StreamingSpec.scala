@@ -115,6 +115,28 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming changepoint: an out-of-order batch fails loud, never corrupts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600L * 1000000000L
+    val mem = MemoryStream[StreamOps.RateEv]
+    val q = StreamOps.rateDrift(mem.toDS())
+      .writeStream.format("memory").queryName("drift_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(StreamOps.RateEv("a", 2 * hourNs))
+      q.processAllAvailable()
+      // batch 2 regresses to an earlier hour: the contract violation
+      // must surface as a query failure, not duplicate hour rows
+      mem.addData(StreamOps.RateEv("a", 5L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("rateDrift") ||
+        Option(e.getCause).exists(_.getMessage.contains("rateDrift")))
+    } finally q.stop()
+  }
+
   test("streaming changepoint replay equals the batch window build's closed rows") {
     import spark.implicits._
     val got = StreamOps.rateDriftStreaming(spark, sf)

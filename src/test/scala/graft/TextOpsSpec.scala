@@ -10,6 +10,22 @@ import graft.ext.TextAnalysis
   */
 class TextOpsSpec extends GraftSuite {
 
+  test("weightedSample: a non-positive weight fails loud, never skews the draw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // w = 0 would make the A-ES key Infinity→Long.MaxValue (doc never
+    // sampled) and w < 0 a negative key (always sampled) — both must
+    // surface as an assert, not a silently biased sample
+    val docs = Seq((1L, 5L), (2L, 0L), (3L, 3L)).toDF("doc_id", "w0")
+    val e = intercept[Throwable] {
+      graft.ext.TextAnalysis.weightedSample(docs, col("w0"), 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("weightedSample")), msgs(e).mkString("|"))
+  }
+
   test("sortedNeighborhoodPairs equals the global rank self-join across boundaries") {
     import spark.implicits._
     // 300 sequential keys spread over 32 range partitions: every
