@@ -405,19 +405,22 @@ object EventWindows {
         explode(sequence(col("__d0"), col("__d1"))).as("day"))
     // packing bounds FAIL LOUD (the prefix-primitive discipline): a
     // silent overflow of any field would corrupt carries for
-    // unrelated rows — assert_true is codegen'd and costs one branch
+    // unrelated rows. The error IS the violating row's pack value
+    // (when/otherwise), and prefixMinLong's pass 1 reads every row's
+    // __neg, so a violation cannot slip through any plan shape
     val boundsOk = col("user_id") >= 0 && col("user_id") < (1L << 25) &&
       col("day") >= 0 && col("day") < (1L << 17) &&
       (col("n").isNull || col("n") < (1L << 20))
     val packed = grid.join(daily, Seq("user_id", "day"), "left_outer")
       .select(col("user_id"), col("day"), col("n"),
-        (-(col("user_id") * lit(1L << 37) +
-          when(col("n").isNotNull,
-            col("day") * lit(1L << 20) + col("n")).otherwise(lit(0L))) +
-          coalesce(assert_true(boundsOk,
+        when(boundsOk,
+          -(col("user_id") * lit(1L << 37) +
+            when(col("n").isNotNull,
+              col("day") * lit(1L << 20) + col("n")).otherwise(lit(0L))))
+          .otherwise(raise_error(
             lit("gapFillDaily: packing bounds exceeded " +
               "(user_id < 2^25, epoch day < 2^17, daily count < 2^20)"))
-            .cast("long"), lit(0L)))
+            .cast("long"))
           .as("__neg"))
     val pref = Ranks.prefixMinLong(packed,
       Seq(col("user_id").asc, col("day").asc), "__neg", "__pm")

@@ -219,12 +219,14 @@ object TextAnalysis {
       // fail LOUD on a violated weight contract (the prefix-primitive
       // discipline): w ≤ 0 after the long cast would otherwise give
       // Infinity→Long.MaxValue keys (never sampled) or negative keys
-      // (always sampled first), silently corrupting the draw
+      // (always sampled first), silently corrupting the draw. The
+      // error IS the violating row's key value (when/otherwise), so
+      // no plan shape can order the sample without raising it
       .withColumn("key_micro",
-        round(-log(u) * 1e6 / col("w"), 0).cast("long") +
-          coalesce(assert_true(col("w") > 0,
+        when(col("w") > 0, round(-log(u) * 1e6 / col("w"), 0).cast("long"))
+          .otherwise(raise_error(
             lit("weightedSample: weights must be >= 1 after the long cast"))
-            .cast("long"), lit(0L)))
+            .cast("long")))
       .orderBy(col("key_micro").asc, col("doc_id").asc)
       .limit(k)
   }

@@ -16,9 +16,11 @@ class TextOpsSpec extends GraftSuite {
     // w = 0 would make the A-ES key Infinity→Long.MaxValue (doc never
     // sampled) and w < 0 a negative key (always sampled) — both must
     // surface as an assert, not a silently biased sample
+    // k >= rows: the result must place EVERY row, so the violating
+    // row's key value (= the raise) cannot be skipped by any plan
     val docs = Seq((1L, 5L), (2L, 0L), (3L, 3L)).toDF("doc_id", "w0")
     val e = intercept[Throwable] {
-      graft.ext.TextAnalysis.weightedSample(docs, col("w0"), 2).collect()
+      graft.ext.TextAnalysis.weightedSample(docs, col("w0"), 3).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
