@@ -162,6 +162,47 @@ object GraphQueries {
                WHERE n_regionkey = r_regionkey) AS n_supp
             FROM region)""")),
 
+    // seeded Brandes betweenness, truncated at depth 2 (r15): every
+    // third customer gains a TWIN-nation edge ((c_nationkey+1) mod
+    // 25), so σ(c) = 2 whenever both its nations share a region and
+    // the backward pass exercises real integer divisions (1e6 div
+    // σ). Closed form: nation n's dependency = Σ over adjacent
+    // customers 1e6 div σ_c(region(n)) + 1e6·(suppliers in n); the
+    // customers/suppliers are depth-2 leaves (δ = 0) and deeper
+    // levels are truncated by contract
+    Q("g_betweenness_seeds", (s, dir) => {
+      val twin = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select((col("c_custkey") + 10000).cast("long").as("src"),
+          ((col("c_nationkey") + 1) % 25).cast("long").as("dst"))
+      val edges = custNatEdges(s, dir).unionByName(twin)
+        .unionByName(natRegEdges(s, dir)).unionByName(supNatEdges(s, dir))
+      val seeds = Tables(s, dir, "region")
+        .select((col("r_regionkey") + 1000).cast("long").as("id"))
+      GraphOps.betweennessFromSeeds(s, edges, seeds, maxDepth = 2)
+    },
+      Some("""
+      WITH ce AS (
+        SELECT c_custkey AS ck, c_nationkey AS nk FROM customer
+        UNION ALL
+        SELECT c_custkey, (c_nationkey + 1) % 25 FROM customer
+        WHERE c_custkey % 3 = 0),
+      cn AS MATERIALIZED (
+        SELECT ce.ck, ce.nk, n.n_regionkey AS rk
+        FROM ce JOIN nation n ON n.n_nationkey = ce.nk),
+      sig AS MATERIALIZED (
+        SELECT ck, rk, count(*)::BIGINT AS sigma FROM cn GROUP BY 1, 2),
+      custc AS (
+        SELECT cn.nk AS id, sum(1000000 // s.sigma)::BIGINT AS bc
+        FROM cn JOIN sig s ON s.ck = cn.ck AND s.rk = cn.rk
+        GROUP BY 1),
+      supc AS (
+        SELECT s_nationkey AS id, count(*)::BIGINT * 1000000 AS bc
+        FROM supplier GROUP BY 1)
+      SELECT id::BIGINT AS id, sum(bc)::BIGINT AS bc_micro
+      FROM (SELECT * FROM custc UNION ALL SELECT * FROM supc)
+      GROUP BY 1 HAVING sum(bc) > 0""")),
+
     // diameter lower bound via the classic double sweep (r14): BFS
     // from the min-id vertex, re-BFS from the min-id farthest vertex
     // — the oracle replays BOTH sweeps as unrolled level-by-level

@@ -102,6 +102,33 @@ object SparqlQueries {
     (s, dir) => Sparql.query(s, materialized(s, dir), text, stats(s, dir),
       Some(encodedOf(s, dir, "owlhorst_mat", materialized(s, dir))))
 
+  /** Post-DELETE maintained materialization (DRed, r15): the cached
+    * materialized dataset minus three instance premises —
+    * cust:1's :nation edge (kills its :locatedIn chain + :Located),
+    * corp:1's second :hq value (collapses the rdfp1-derived sameAs
+    * class), thing:9's :prio edge (the rdfp14a/b mutual-support
+    * cycle) — maintained by [[graft.infer.OwlHorst.incrementalDelete]]
+    * overdelete/rederive, NEVER re-closed from scratch. The oracle
+    * recomputes the affected closures on the post-delete set.
+    */
+  private def materializedAfterDelete(s: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.df(s, dir, "owlhorst_mat_del", persist = false) {
+      import org.apache.spark.sql.functions._
+      val del = quads(s, dir).filter(
+        (col("s")("lex") === "cust:1" && col("p")("lex") === ":nation") ||
+          (col("s")("lex") === "corp:1" && col("p")("lex") === ":hq" &&
+            col("o")("lex") === "hq:b") ||
+          (col("s")("lex") === "thing:9" && col("p")("lex") === ":prio"))
+      graft.infer.OwlHorst.incrementalDelete(s, materialized(s, dir), del)
+    }
+
+  /** query over the DRed-maintained post-delete dataset */
+  private def sqInfDel(text: String): (SparkSession, String) => DataFrame =
+    (s, dir) => Sparql.query(s, materializedAfterDelete(s, dir), text,
+      stats(s, dir),
+      Some(encodedOf(s, dir, "owlhorst_mat_del",
+        materializedAfterDelete(s, dir))))
+
   val all: Seq[Q] = Seq(
 
     Q("r_bgp_join", sq("""
@@ -760,6 +787,76 @@ object SparqlQueries {
         SELECT sa.o FROM quads sa
         JOIN quads rg ON rg.p=':region' AND sa.s=rg.o
         WHERE sa.p='owl:sameAs')"""))),
+
+    // DRed delete-incremental inference (r15): three instance
+    // premises are DELETED and the materialization is maintained by
+    // overdelete/rederive (never re-closed); the probe reads every
+    // statement of six subjects chosen to cross each affected rule
+    // family — cust:1 keeps its subclass typings but loses the
+    // :locatedIn chain; the hq sameAs class dies with its rdfp1
+    // premise; thing:9's rdfp14a/b mutual-support cycle dies entirely
+    // while special:2 (explicitly typed) keeps its derived value
+    // edge. The oracle recomputes the affected closures (subclass,
+    // locatedIn, sameAs, hasValue) on the post-delete set with
+    // recursive CTEs.
+    Q("r_infer_delete", sqInfDel("""
+      SELECT DISTINCT ?s ?p ?o WHERE {
+        VALUES ?s { cust:1 corp:1 hq:a hq:b thing:9 special:2 }
+        ?s ?p ?o }"""),
+      Some(TpchRdf.withQuadsAnd("""
+      pd AS MATERIALIZED (
+        SELECT * FROM quads
+        WHERE NOT (s='cust:1' AND p=':nation')
+          AND NOT (s='corp:1' AND p=':hq' AND o='hq:b')
+          AND NOT (s='thing:9' AND p=':prio')),
+      tgt AS (SELECT unnest(['cust:1','corp:1','hq:a','hq:b','thing:9',
+                             'special:2']) AS t),
+      scl AS (
+        SELECT s, o FROM pd WHERE p='rdfs:subClassOf'
+        UNION
+        SELECT scl.s, q.o FROM scl
+        JOIN pd q ON q.p='rdfs:subClassOf' AND q.s=scl.o),
+      sa0 AS (
+        SELECT s AS a, o AS b FROM pd WHERE p='owl:sameAs'
+        UNION SELECT h1.o, h2.o FROM pd h1 JOIN pd h2
+          ON h1.p=':hq' AND h2.p=':hq' AND h1.s=h2.s AND h1.o<>h2.o
+        UNION SELECT c1.s, c2.s FROM pd c1 JOIN pd c2
+          ON c1.p=':code' AND c2.p=':code' AND c1.o=c2.o AND c1.s<>c2.s),
+      sae AS (SELECT a, b FROM sa0 UNION SELECT b, a FROM sa0),
+      sacl AS (
+        SELECT a, b FROM sae
+        UNION SELECT sacl.a, sae.b FROM sacl JOIN sae ON sae.a = sacl.b),
+      loce AS (SELECT s, o FROM pd
+               WHERE p IN (':nation', ':region', ':locatedIn')),
+      loc AS (
+        SELECT s, o FROM loce
+        UNION SELECT loc.s, e.o FROM loc JOIN loce e ON e.s = loc.o),
+      bt AS (
+        SELECT s, o AS ty FROM pd WHERE p='rdf:type'
+        UNION ALL SELECT s, ':Order' FROM pd WHERE p=':custkey'
+        UNION ALL SELECT o, ':Customer' FROM pd WHERE p=':custkey'
+        UNION ALL SELECT s, ':PriorityFive' FROM pd WHERE p=':prio' AND o='5'
+        UNION ALL SELECT s, ':AfricanThing' FROM loc WHERE o='reg:0'
+        UNION ALL SELECT s, ':Located' FROM loc
+        UNION ALL SELECT o, ':MappedRegion' FROM pd WHERE p=':region'),
+      alltypes AS (SELECT DISTINCT s, ty FROM (
+        SELECT s, ty FROM bt
+        UNION ALL SELECT bt.s, scl.o FROM bt JOIN scl ON scl.s = bt.ty))""", """
+      SELECT DISTINCT s, p, o FROM (
+        SELECT s, p, o FROM pd WHERE s IN (SELECT t FROM tgt)
+        UNION ALL SELECT s, 'rdf:type', ty FROM alltypes
+          WHERE s IN (SELECT t FROM tgt)
+        UNION ALL SELECT s, ':prio', '5' FROM alltypes
+          WHERE ty=':PriorityFive' AND s IN (SELECT t FROM tgt)
+        UNION ALL SELECT s, ':locatedIn', o FROM loc
+          WHERE s IN (SELECT t FROM tgt)
+        UNION ALL SELECT a, 'owl:sameAs', b FROM sacl
+          WHERE a IN (SELECT t FROM tgt)
+        UNION ALL SELECT cl.b, r.p, r.o FROM pd r
+          JOIN sacl cl ON cl.a = r.s WHERE cl.b IN (SELECT t FROM tgt)
+        UNION ALL SELECT r.s, r.p, cl.b FROM pd r
+          JOIN sacl cl ON cl.a = r.o
+          WHERE r.s IN (SELECT t FROM tgt))"""))),
 
     // Temporal casts (§17.5): xsd:date → xsd:dateTime promotes to
     // midnight, xsd:dateTime → xsd:date truncates back; casting a

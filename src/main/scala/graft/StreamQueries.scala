@@ -62,6 +62,17 @@ object StreamQueries {
                            - (${graft.ext.Sketches.floorLog2Sql("r")}) END)::INT AS rho
       FROM rr GROUP BY 1, 2""")),
 
+    // streaming IVF ingest (r15): arriving embeddings assign to the
+    // broadcast offline-trained quantizer (zero shuffle per vector)
+    // and the per-cell counts — the recall-drift monitor — are
+    // maintained in-stream; state = 16 longs, bounded by the index.
+    // The oracle replays the batch assignment (shared quantizer CTEs)
+    Q("st_ivf_assign", (s, dir) => StreamOps.ivfAssignStreaming(s, dir),
+      Some(s"""
+      WITH ${Queries.duckIvfAssignCtes}
+      SELECT cid::BIGINT AS cell, count(*)::BIGINT AS n
+      FROM assigned GROUP BY 1""")),
+
     // CDC latest-value-per-key upsert view: one max-struct per entity,
     // state O(#keys); the oracle is the batch argmax with the same
     // (ts, event_id) tie order

@@ -257,6 +257,101 @@ object GraphOps {
       dists)
   }
 
+  /** Betweenness from a SEED SET — truncated Brandes (r15, the r14
+    * verdict's item 7b): one layer-synchronous forward BFS per seed
+    * set (the [[seedDistances]] machinery extended with shortest-path
+    * COUNTS: σ(v) at layer d = Σ σ(u) over its layer-(d−1)
+    * neighbors, exact because layers are synchronous), then the
+    * Brandes backward dependency accumulation level by level:
+    *
+    *   δ(u) = Σ over DAG successors w:  σ_u·(10⁶ + δ(w)) div σ_w
+    *
+    * — ALL-INTEGER micro-units (FLOAT_AUDIT integer-plane rule; the
+    * division order is part of the operator contract and the oracle
+    * replays it), truncated at `maxDepth` (ego-betweenness — the
+    * standard bounded-neighborhood variant; exact Brandes needs
+    * eccentricity-many rounds). Emitted rows: (id, bc_micro) for
+    * every non-seed vertex with a positive dependency, summed over
+    * seeds. Scale shape: the forward pass shuffles only frontiers,
+    * the backward pass one layer join per depth; state is
+    * O(|seeds|·reachable), never all-pairs. Overflow bounds FAIL
+    * LOUD: σ < 2²⁰ and δ < 2⁴⁰ keep every product under 2⁶³.
+    */
+  def betweennessFromSeeds(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, maxDepth: Int = 2): DataFrame = {
+    import spark.implicits._
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val sigGuard = when(col("sigma") < (1L << 20), col("sigma"))
+      .otherwise(raise_error(concat(lit("betweennessFromSeeds: sigma "),
+        col("sigma"), lit(" exceeds the 2^20 product bound"))).cast("long"))
+    var layers = Vector(
+      seeds.select(col("id").cast("long").as("seed"),
+          col("id").cast("long").as("id"),
+          lit(1L).as("sigma")).distinct().localCheckpoint())
+    var visited = layers.head
+    var depth = 0
+    var done = false
+    while (!done && depth < maxDepth) {
+      depth += 1
+      val frontier = layers.last
+      val next = frontier.join(und, frontier("id") === und("src"))
+        .groupBy(frontier("seed").as("seed"), und("dst").as("id"))
+        .agg(sum(frontier("sigma")).as("sigma"))
+        .select(col("seed"), col("id"), sigGuard.as("sigma"))
+        .join(visited.select(col("seed").as("s2"), col("id").as("i2")),
+          col("seed") === col("s2") && col("id") === col("i2"), "left_anti")
+        .select("seed", "id", "sigma")
+        .localCheckpoint()
+      if (next.isEmpty) { done = true; next.unpersist(blocking = false) }
+      else {
+        val prev = visited
+        visited = visited.unionByName(next).localCheckpoint()
+        prev.unpersist(blocking = false)
+        layers :+= next
+      }
+    }
+    // backward: δ = 0 at the deepest layer; each shallower layer sums
+    // the integer dependency terms over its DAG successors
+    val deltaGuard = (d: org.apache.spark.sql.Column) =>
+      when(d < (1L << 40), d)
+        .otherwise(raise_error(concat(lit("betweennessFromSeeds: delta "),
+          d, lit(" exceeds the 2^40 product bound"))).cast("long"))
+    var deltas = List.empty[DataFrame]
+    var succDelta = layers.last.select(col("seed"), col("id"),
+      col("sigma"), lit(0L).as("delta"))
+    for (d <- (layers.size - 2) to 1 by -1) {
+      val cur = layers(d)
+      val sd = succDelta.select(col("seed").as("ws"), col("id").as("wi"),
+        col("sigma").as("wsigma"), deltaGuard(col("delta")).as("wdelta"))
+      val terms = cur.join(und, cur("id") === und("src"))
+        .join(sd, cur("seed") === col("ws") && und("dst") === col("wi"))
+        .select(cur("seed").as("seed"), cur("id").as("id"),
+          expr("sigma * (1000000L + wdelta) div wsigma").as("term"))
+        .groupBy("seed", "id").agg(sum("term").as("delta"))
+      val level = cur.join(
+          terms.select(col("seed").as("ts"), col("id").as("ti"),
+            col("delta").as("tdelta")),
+          cur("seed") === col("ts") && cur("id") === col("ti"), "left_outer")
+        .select(cur("seed"), cur("id"), cur("sigma"),
+          coalesce(col("tdelta"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      deltas ::= level
+      succDelta = level
+    }
+    val out = deltas.map(_.select(col("id"), col("delta")))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(layers.head.limit(0).select(col("id"), lit(0L).as("delta")))
+      .groupBy("id").agg(sum("delta").as("bc_micro"))
+      .filter(col("bc_micro") > 0)
+    val res = Ranks.sealAndRelease(out, visited)
+    // release the per-layer/per-level checkpoints (each is a
+    // LogicalRDD leaf — the seal-and-release discipline)
+    (layers ++ deltas :+ und).foreach(df => Ranks.sealLeavesRelease(df))
+    res
+  }
+
   /** Diameter lower bound by the classic DOUBLE SWEEP (the first
     * step of iFUB / Magnien-Latapy-Habib): BFS from a deterministic
     * start (the globally smallest vertex id), hop to the smallest id

@@ -45,13 +45,20 @@ object Ranks {
     */
   private[ext] def sealAndRelease(out: DataFrame, parts: DataFrame): DataFrame = {
     val res = out.localCheckpoint(true)
-    parts.queryExecution.analyzed.collectLeaves().foreach {
+    sealLeavesRelease(parts)
+    res
+  }
+
+  /** Unpersist every LogicalRDD leaf of `df`'s plan — the release
+    * half of [[sealAndRelease]] for callers holding several
+    * checkpointed intermediates.
+    */
+  private[ext] def sealLeavesRelease(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
       case _ => ()
     }
-    res
-  }
 
   /** Adds `rankName` (0-based row index within its `keyCols` group,
     * in `sortCols` order) and `totalName` (the group's row count) to

@@ -597,10 +597,25 @@ object Similarity {
       .orderBy(seedHash(col("vec_id")).asc, col("vec_id").asc).limit(cells)
       .select("embedding").collect()
       .map(_.getSeq[Float](0))
-    val assigned = corpus.withColumn("cell",
-      element_at(nearestCells(cents, col("embedding"), 1), 1))
+    // FAIL LOUD on an empty corpus (the diameterSweep empty-input
+    // lesson): zero centroids would make nearestCells build
+    // slice(array_sort(array()), …) and assign NULL cells silently.
+    // Fewer-than-`cells` centroids is a legitimate degenerate
+    // quantizer (every vector is its own cell); zero is an error.
+    require(cents.nonEmpty,
+      "ivfIndex: empty corpus — no centroids to quantize against")
+    val assigned = corpus.withColumn("cell", cellOf(cents, col("embedding")))
     (cents, assigned)
   }
+
+  /** Nearest-cell id of `emb` under prebuilt centroids — the
+    * map-side assignment half of [[ivfIndex]] exposed on its own for
+    * the STREAMING ingest path ([[graft.streaming.StreamOps
+    * .ivfAssignStreaming]]): the index is trained offline (a batch
+    * job), arriving vectors assign with zero shuffle.
+    */
+  def cellOf(cents: Array[Seq[Float]], emb: Column): Column =
+    element_at(nearestCells(cents, emb, 1), 1)
 
   /** The probe half of [[ivfTopK]] over a prebuilt [[ivfIndex]]. */
   def ivfProbe(cents: Array[Seq[Float]], assigned: DataFrame,
@@ -618,6 +633,37 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cos"),
         col("rank").cast("int").as("rank"))
+  }
+
+  /** Cross-modal paired-retrieval eval (r15, the r14 verdict's item
+    * 7c): the TEXT tower queries the IMAGE tower and the metric is
+    * the rank of the PAIRED item — the CLIP-style retrieval benchmark
+    * (recall@k = fraction of queries whose pair ranks ≤ k). The
+    * second modality is a deterministic fixed transform of the
+    * stored embedding (vector reversal — an orthogonal permutation,
+    * so norms are preserved and the pair is NOT trivially rank 1),
+    * keyed by the same `vec_id`; a real deployment feeds two
+    * separately-encoded tables with the same key, and nothing here
+    * depends on how `imgEmb` was produced. Scale shape: queries
+    * broadcast, ONE map-side scan of the image tower scores all
+    * pairs, per-query rank is a bounded window — never an all-pairs
+    * materialization.
+    */
+  def crossModalPairedRank(queries: DataFrame, corpus: DataFrame,
+      k: Int = 5): DataFrame = {
+    val img = corpus.select(col("vec_id").as("img_id"),
+      reverse(col("embedding")).as("img_emb"))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = img.crossJoin(q)
+      .select(col("query_id"), col("img_id"),
+        cosine(col("q_emb"), col("img_emb")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("img_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("img_id") === col("query_id"))
+      .select(col("query_id"), col("rank").cast("long").as("paired_rank"),
+        (col("rank") <= k).as("hit"))
   }
 
   /** Recall@k of an approximate ANN result against the exact one:

@@ -167,28 +167,44 @@ object Sketches {
 
   /** Interpolated quantiles from the histogram — the approximate
     *-percentile path for 100 TB (the exact `percentile` aggregate
-    * holds per-group value buffers; this holds `bins` integers). The
-    * cumulative walk over the TINY histogram (its size is
-    * value-range/width — independent of corpus size) runs through
-    * [[Ranks.prefixSumLong]] — the boundary-merge prefix primitive —
-    * rather than an unpartitioned Window, so the Verify/Bench logs
-    * stay free of "No Partition Defined" WindowExec warnings and the
-    * shape stays safe even if a caller ever feeds an unbounded bin
-    * domain. Estimate = linear interpolation inside the target bin,
-    * expression order mirrored by the oracle.
+    * holds per-group value buffers; this holds `bins` integers).
+    *
+    * BOUNDED-FRAME FAST PATH (r15, adjudicating the r14 verdict's
+    * q_hist_quantile item): the histogram is RANGE-bounded by
+    * contract — its row count is value-range / width, independent of
+    * corpus size — so the cumulative walk is a driver-side integer
+    * cumsum over the collected bins (one TakeOrdered job), NOT a
+    * distributed prefix primitive. [[Ranks.prefixSumLong]] stays the
+    * rank primitive for DATA-shaped frames; on a ≤bins frame its
+    * fixed range-partition + localCheckpoint + boundary-collect cost
+    * dwarfed the work it did (0.30 s → 0.76 s isolated, r14 verdict).
+    * `maxBins` keeps the boundedness claim honest: an unbounded bin
+    * domain fails loudly instead of melting the driver. The
+    * interpolation stays a SPARK expression over the tiny frame so
+    * the rounding chain is byte-identical to the previous shape (and
+    * the oracle); the cumsum itself is exact long arithmetic.
     */
   def histQuantiles(df: DataFrame, valueCol: String,
       widthCents: Long = 100000L,
       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = histogram(df, valueCol, widthCents)
-    val cum = Ranks
-      .prefixSumLong(hist, Seq(col("bin")), "cnt", "cum")
-      .withColumn("prev", col("cum") - col("cnt"))
-    val total = hist.agg(sum("cnt").as("n_total"))
+    val maxBins = 1 << 16
+    val bins = histogram(df, valueCol, widthCents)
+      .orderBy("bin").limit(maxBins + 1).collect()
+    require(bins.length <= maxBins,
+      s"histQuantiles: more than $maxBins bins — the input is not a " +
+        "range-bounded histogram; widen widthCents")
+    var run = 0L
+    val cumRows = bins.toSeq.map { r =>
+      run += r.getLong(1)
+      (r.getLong(0), r.getLong(1), run, run - r.getLong(1))
+    }
+    val nTotal = run
+    val cum = cumRows.toDF("bin", "cnt", "cum", "prev")
     val qdf = qs.toDF("q")
-    cum.crossJoin(broadcast(total)).crossJoin(broadcast(qdf))
+    cum.crossJoin(broadcast(qdf))
+      .withColumn("n_total", lit(nTotal))
       .withColumn("target",
         ceil(col("q") * col("n_total")).cast("long"))
       .filter(col("cum") >= col("target") && col("prev") < col("target"))

@@ -762,13 +762,25 @@ object TextAnalysis {
       rounds: Int = 3): org.apache.spark.sql.DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeMergeSeq(docs, rounds).zipWithIndex
+      .map { case ((pair, n), i) => (i + 1, pair.replace(BpeSep, ""), n) }
+      .toDF("round", "merged", "n")
+  }
+
+  /** The induced merge sequence in rank order, as SEP-carrying pair
+    * strings with their selection-time counts — the driver-state form
+    * [[bpeEncodeCounts]] broadcasts ([[bpeMerges]] is the registry
+    * rendering of the same loop).
+    */
+  def bpeMergeSeq(docs: org.apache.spark.sql.DataFrame,
+      rounds: Int = 3): Seq[(String, Long)] = {
     var corpus = docs
       .select(explode(tokens(col("text"))).as("w"))
       .where(length(col("w")) > 1)
       .select(concat_ws(BpeSep, split(col("w"), "")).as("s"))
       .localCheckpoint()
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-    for (r <- 1 to rounds) {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    for (_ <- 1 to rounds) {
       val syms = split(col("s"), BpeSep)
       val pairs = corpus
         .select(explode(zip_with(
@@ -779,7 +791,7 @@ object TextAnalysis {
       val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(1).collect()
       if (top.nonEmpty) {
         val pair = top(0).getString(0)
-        out += ((r, pair.replace(BpeSep, ""), top(0).getLong(1)))
+        out += ((pair, top(0).getLong(1)))
         val prev = corpus
         corpus = corpus
           .select(replace(col("s"), lit(pair), lit(pair.replace(BpeSep, ""))).as("s"))
@@ -788,7 +800,35 @@ object TextAnalysis {
       }
     }
     corpus.unpersist(blocking = false)
-    out.toSeq.toDF("round", "merged", "n")
+    out.toSeq
+  }
+
+  /** Tokenizer ENCODE — apply the induced merges ([[bpeMergeSeq]]) to
+    * the whole corpus and count tokens per document: the single
+    * most-executed operator of a real training pipeline (tokenize
+    * everything, budget by tokens). The merge ranks are driver state
+    * (tiny, broadcast-with-the-plan as literals) folded into ONE
+    * map-only codegen'd expression chain: each word splits to
+    * characters joined by [[BpeSep]], each merge then applies IN RANK
+    * ORDER as a left-to-right non-overlapping `replace` — exactly the
+    * scan-order contract the induction gate pinned, so
+    * encode(corpus) is consistent with the merges it induced
+    * (TextOpsSpec). Per-doc counts are one combinable aggregate; the
+    * per-source totals roll up on top (t_bpe_source_totals).
+    */
+  def bpeEncodeCounts(docs: org.apache.spark.sql.DataFrame,
+      mergePairs: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val encoded = mergePairs.foldLeft(
+      concat_ws(BpeSep, split(col("w"), ""))) { (acc, pair) =>
+      replace(acc, lit(pair), lit(pair.replace(BpeSep, "")))
+    }
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"),
+        size(split(encoded, BpeSep)).cast("long").as("n_sym"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"))
   }
 
   /** Sliding-window chunking for context-length-bounded training: one

@@ -2962,8 +2962,17 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val cand = ilCond match {
       case Some(c) => keys.join(lr, c)
       case None =>
-        if (keys.count() > 1000) return None
-        keys.crossJoin(lr)
+        // dependent cross join: bound the key frame before exploding.
+        // The guard is FOLDED into the frame it guards (r15): the
+        // distinct key frame materializes ONCE via localCheckpoint and
+        // both the bound count and the cross join read the leaf — the
+        // old standalone keys.count() re-ran the distinct a second
+        // time inside the main plan. (A CollectLimit probe would run
+        // the serialized incremental partition scale-up — the round-7
+        // lesson — so the count stays a full, now-cheap, leaf count.)
+        val keysCk = keys.localCheckpoint()
+        if (keysCk.count() > 1000) return None
+        keysCk.crossJoin(lr)
     }
     def lVal(v: String): Column =
       if (sharedIL.contains(v) && nullIL(v)) coalesce(cand(v), cand(lRen(v)))
@@ -3054,11 +3063,14 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
     val cand = ilCond match {
       case Some(c) => keys.join(lr, c)
       case None =>
-        // dependent cross join: bound the key frame before exploding
-        // (plain count — a CollectLimit probe would run the serialized
-        // incremental partition scale-up, the round-7 lesson)
-        if (keys.count() > 1000) return None
-        keys.crossJoin(lr)
+        // dependent cross join: bound the key frame before exploding.
+        // Guard FOLDED into the frame (r15): one localCheckpoint feeds
+        // both the bound count and the cross join — no second distinct
+        // inside the main plan. (Plain count, not a CollectLimit
+        // probe — the round-7 serialized-scale-up lesson.)
+        val keysCk = keys.localCheckpoint()
+        if (keysCk.count() > 1000) return None
+        keysCk.crossJoin(lr)
     }
     // an l var's value on a cand row: the outer key wins where joined
     def lVal(v: String): Column =
@@ -3378,9 +3390,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
       case Some(c) =>
         if (emptyGroup) keys.join(idM, c, "left_outer") else keys.join(idM, c)
       case None =>
-        if (keys.count() > 1000) return None
-        if (emptyGroup) keys.join(idM, lit(true), "left_outer")
-        else keys.crossJoin(idM)
+        // guard FOLDED into the frame it guards (r15): one
+        // localCheckpoint feeds both the bound count and the join —
+        // no second distinct inside the main plan
+        val keysCk = keys.localCheckpoint()
+        if (keysCk.count() > 1000) return None
+        if (emptyGroup) keysCk.join(idM, lit(true), "left_outer")
+        else keysCk.crossJoin(idM)
     }
     // a hoisted bind must not collide with a key column or a residual
     // column — the materialization below could not disambiguate the

@@ -277,6 +277,35 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming IVF ingest (r15, the r14 verdict's item 4): arriving
+    * embeddings assign to the BROADCAST
+    * [[graft.ext.Similarity.ivfIndex]] centroids and the per-cell
+    * counts are maintained in-stream — the deployment split of a
+    * retrieval system (the quantizer is trained OFFLINE as a batch
+    * job; ingest is a zero-shuffle map-side expression per vector),
+    * and the counts are `s_cluster_balance`'s streaming twin: the
+    * drift monitor an IVF deployment watches (a cell running hot =
+    * skewed probes = degraded recall). State = `cells` longs, bounded
+    * by the index — never by stream length.
+    */
+  def ivfAssignStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.core.Tables(spark, dir, "embeddings")
+    val cents = graft.ext.Similarity.ivfIndex(corpus)._1
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val counts = src
+      .select(graft.ext.Similarity.cellOf(cents, col("embedding"))
+        .cast("long").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    val name = s"st_ivf_assign_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, counts, name, "complete",
+      availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
+    spark.table(name)
+  }
+
   /** CDC-style latest-value-per-key materialization: the streaming
     * upsert view every change-capture pipeline maintains. One stateful
     * aggregation keyed by the entity id holding a single max-struct —
@@ -335,6 +364,14 @@ object StreamOps {
         (user, events, state) =>
           var open = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[ScdVersion]
+          // PER-BATCH MEMORY BOUND: this sort materializes ONE user's
+          // slice of ONE micro-batch — bounded by per-trigger volume
+          // (source rate limits: maxFilesPerTrigger / maxOffsetsPer
+          // Trigger), NEVER by corpus size. State across batches stays
+          // one ScdOpen. A bot user's full history only lands in one
+          // task if the trigger is unbounded — cap the trigger, not
+          // the operator (SOAK_r14: 1.39× at 3× with a 50%-bot skew;
+          // StreamingSpec replays a bot user across three batches).
           events.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
             // cross-batch ordering contract, FAIL LOUD: closing the
             // open version with an EARLIER event would emit an
@@ -356,7 +393,11 @@ object StreamOps {
 
   /** Gate wiring: events file stream → [[scd2Versions]] → memory
     * sink. `ts_ns` derives from the normalized micro timestamp
-    * (µs·1000 — the canonical grain of both table layouts).
+    * (µs·1000 — the canonical grain of both table layouts). The gate
+    * input is ONE staged file, so the single AvailableNow batch is
+    * the whole (SF-bounded) table; a production deployment bounds
+    * the per-batch slice with `maxFilesPerTrigger` on this source —
+    * see the PER-BATCH MEMORY BOUND note in [[scd2Versions]].
     */
   def scd2Streaming(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -407,6 +448,10 @@ object StreamOps {
           var st = state.getOption
             .getOrElse(RateState(0L, 0L, Long.MinValue, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[RateDrift]
+          // PER-BATCH MEMORY BOUND: one type's slice of one
+          // micro-batch (see scd2Versions) — bounded by the trigger's
+          // rate limit, never corpus size; cross-batch state is four
+          // longs per type.
           events.toSeq.sortBy(_.ts_ns).foreach { e =>
             val h = e.ts_ns / hourNs * hourNs
             // cross-batch ordering contract, FAIL LOUD: a batch whose

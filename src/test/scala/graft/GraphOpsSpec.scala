@@ -41,6 +41,32 @@ class GraphOpsSpec extends GraftSuite {
     assert(capped == Seq((1L, 1500000L, 2L), (10L, 1000000L, 1L)))
   }
 
+  test("betweennessFromSeeds: hand-computed diamond (sigma=2) and dependency chain") {
+    import spark.implicits._
+    // diamond + tail: 0-1, 0-2, 1-3, 2-3, 3-4. From seed 0: layers
+    // {0}, {1,2} sigma=1, {3} sigma=2, {4} sigma=2. Backward (micro):
+    // delta(3) = 2·(1e6+0) div 2 = 1e6; delta(1) = 1·(1e6+1e6) div 2
+    // = 1e6 = delta(2) — exactly Brandes' sigma_u/sigma_w·(1+delta).
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val one = GraphOps.betweennessFromSeeds(spark, edges,
+        Seq(0L).toDF("id"), maxDepth = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one == Seq((1L, 1000000L), (2L, 1000000L), (3L, 1000000L)))
+    // second seed 4 adds: delta(3) = 1·(1e6+500000) div 1 twice =
+    // 3e6 (successors 1 AND 2), delta(1) = delta(2) = 1·1e6 div 2 =
+    // 500000 (their successor 0 has sigma 2); contributions SUM per id
+    val both = GraphOps.betweennessFromSeeds(spark, edges,
+        Seq(0L, 4L).toDF("id"), maxDepth = 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(both == Seq((1L, 1500000L), (2L, 1500000L), (3L, 4000000L)))
+    // depth truncation: maxDepth=1 reaches only leaves -> no interior
+    // vertex, empty result
+    val capped = GraphOps.betweennessFromSeeds(spark, edges,
+      Seq(0L).toDF("id"), maxDepth = 1)
+    assert(capped.isEmpty)
+  }
+
   test("kCore: k above max degree empties the graph") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")

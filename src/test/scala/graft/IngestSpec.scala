@@ -119,6 +119,37 @@ class IngestSpec extends GraftSuite {
     assert(inferredTypes.count() == 0)
   }
 
+  test("deleteWithInference: DRed maintenance through store tombstones") {
+    val d = Files.createTempDirectory("qsdred")
+    Files.writeString(d.resolve("o.ttl"), """
+      ex:Widget rdfs:subClassOf ex:Thing .
+      ex:w1 a ex:Widget .
+      ex:w2 a ex:Widget .
+    """)
+    val store = new QuadStore(spark, d.resolve("store").toString)
+    store.loadVersion(Seq(d.resolve("o.ttl").toString))
+    store.materializeInference()
+    val infG = graft.infer.OwlHorst.InferredGraph
+    def thingTyped = store.snapshot()
+      .filter(col("p")("lex") === "rdf:type" && col("o")("lex") === "ex:Thing")
+      .select(col("s")("lex")).collect().map(_.getString(0)).toSet
+    assert(thingTyped == Set("ex:w1", "ex:w2"))
+    // tombstone w1's explicit rows + maintain the inferred graph in
+    // ONE swap — w1's entailment retracts, w2's survives, and no full
+    // re-materialization ran
+    store.deleteWithInference(store.snapshot()
+      .filter(col("g") =!= infG && col("s")("lex") === "ex:w1"))
+    assert(thingTyped == Set("ex:w2"))
+    assert(store.snapshot().filter(col("s")("lex") === "ex:w1").isEmpty)
+    // the maintained store is a fixpoint: a full re-materialization
+    // on top changes nothing
+    def key = store.snapshot().select(col("g"), col("s")("lex"),
+      col("p")("lex"), col("o")("lex")).distinct()
+    val before = key.collect().map(_.toSeq).toSet
+    store.materializeInference()
+    assert(key.collect().map(_.toSeq).toSet == before)
+  }
+
   test("Graft facade: load → update → materialize → query end to end") {
     val d = Files.createTempDirectory("facade")
     Files.writeString(d.resolve("o.ttl"), """

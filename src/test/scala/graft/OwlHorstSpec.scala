@@ -355,4 +355,159 @@ class OwlHorstSpec extends GraftSuite {
     val exp = TpchRdf.graphDf(spark, sf).count()
     assert(inf > 0 && mat.count() == inf + exp)
   }
+
+  // ---- DRed delete-incremental maintenance (r15) ----
+
+  /** incremental-delete ≡ full re-materialization of the post-delete
+    * explicit set, on (g, s, p, o) — the DRed equivalence contract.
+    * Returns the maintained dataset for extra per-test asserts.
+    */
+  private def checkDelete(quads: DataFrame, baseMat: DataFrame,
+      deleted: DataFrame): DataFrame = {
+    val inc = OwlHorst.incrementalDelete(spark, baseMat, deleted)
+    val remaining = quads.join(
+      deleted.select(col("g"), col("s"), col("p"), col("o")),
+      Seq("g", "s", "p", "o"), "left_anti")
+    val full = OwlHorst.materialize(spark, remaining)
+    def key(df: DataFrame) = df.select(col("g"), col("s")("lex"),
+      col("p")("lex"), col("o")("lex")).distinct()
+    assert(key(inc).except(key(full)).isEmpty,
+      "DRed kept/added rows the full re-materialization lacks")
+    assert(key(full).except(key(inc)).isEmpty,
+      "DRed lost rows the full re-materialization keeps")
+    inc
+  }
+
+  test("DRed: instance-premise delete equals full re-materialization") {
+    val quads = TpchRdf.graphDf(spark, sf)
+    // cust:1 loses its :nation edge → its :locatedIn chain, :Located
+    // typing and any hasValue membership must retract
+    val del = quads.filter(col("s")("lex") === "cust:1" &&
+      col("p")("lex") === ":nation")
+    val inc = checkDelete(quads, mat, del)
+    assert(spo(inc.filter(col("s")("lex") === "cust:1"))
+      .forall(r => r._2 != ":locatedIn"))
+    // untouched customers keep their derived chains
+    assert(spo(inc).exists(r => r._2 == ":locatedIn" && r._1.startsWith("cust:")))
+  }
+
+  test("DRed: functional-premise delete collapses the derived sameAs class") {
+    val quads = TpchRdf.graphDf(spark, sf)
+    val del = quads.filter(col("s")("lex") === "corp:1" &&
+      col("p")("lex") === ":hq" && col("o")("lex") === "hq:b")
+    val inc = checkDelete(quads, mat, del)
+    assert(!spo(inc).exists(r =>
+      r._2 == "owl:sameAs" && (r._1.startsWith("hq:") || r._3.startsWith("hq:"))),
+      "hq:a/hq:b sameAs class must die with its rdfp1 premise")
+    // the unrelated rdfp2 class survives
+    assert(spo(inc)(("dup:a", "owl:sameAs", "dup:b")))
+  }
+
+  test("DRed: mutual-support cycle dies (hasValue rdfp14a/b)") {
+    // thing:9's :prio edge derives its :PriorityFive typing (14a) and
+    // that typing derives the edge back (14b) — deleting the explicit
+    // edge must kill BOTH (a rederive phase that consulted overdeleted
+    // statements would wrongly resurrect each from the other)
+    val quads = TpchRdf.graphDf(spark, sf)
+    val del = quads.filter(col("s")("lex") === "thing:9" &&
+      col("p")("lex") === ":prio")
+    val inc = checkDelete(quads, mat, del)
+    val t9 = spo(inc.filter(col("s")("lex") === "thing:9"))
+    assert(t9.isEmpty, s"thing:9 rows must all retract, got $t9")
+    // the restriction's OTHER member (typed explicitly) keeps its
+    // derived value edge
+    assert(spo(inc)(("special:2", ":prio", "5")))
+  }
+
+  test("DRed: explicit sameAs alias delete splits the class") {
+    val quads = TpchRdf.graphDf(spark, sf)
+    val del = quads.filter(col("s")("lex") === "regalias:2" &&
+      col("p")("lex") === "owl:sameAs")
+    val inc = checkDelete(quads, mat, del)
+    assert(!spo(inc).exists(r => r._1 == "regalias:2" || r._3 == "regalias:2"),
+      "every expansion onto the deleted alias must retract")
+    // sibling alias classes keep their expansions
+    assert(spo(inc).exists(r => r._3 == "regalias:1" && r._2 == ":region"))
+  }
+
+  test("DRed: transitive chain middle-edge delete retracts crossing pairs only") {
+    val quads = iriQuads(Seq(
+      ("ex:partOf", "rdf:type", "owl:TransitiveProperty"),
+      ("ex:a", "ex:partOf", "ex:b"),
+      ("ex:b", "ex:partOf", "ex:c"),
+      ("ex:c", "ex:partOf", "ex:d")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("s")("lex") === "ex:b")
+    val inc = checkDelete(quads, baseMat, del)
+    val pairs = spo(inc).filter(_._2 == "ex:partOf").map(r => (r._1, r._3))
+    assert(pairs == Set(("ex:a", "ex:b"), ("ex:c", "ex:d")))
+  }
+
+  test("DRed: parallel path survives a redundant transitive edge delete") {
+    // a→b→d and a→c→d: deleting a→b must keep a→d (rederivable via c)
+    val quads = iriQuads(Seq(
+      ("ex:partOf", "rdf:type", "owl:TransitiveProperty"),
+      ("ex:a", "ex:partOf", "ex:b"),
+      ("ex:b", "ex:partOf", "ex:d"),
+      ("ex:a", "ex:partOf", "ex:c"),
+      ("ex:c", "ex:partOf", "ex:d")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("s")("lex") === "ex:a" &&
+      col("o")("lex") === "ex:b")
+    val inc = checkDelete(quads, baseMat, del)
+    val pairs = spo(inc).filter(_._2 == "ex:partOf").map(r => (r._1, r._3))
+    assert(pairs == Set(("ex:b", "ex:d"), ("ex:a", "ex:c"),
+      ("ex:c", "ex:d"), ("ex:a", "ex:d")))
+  }
+
+  test("DRed: deleted-but-still-derivable triple moves into g:inferred") {
+    import spark.implicits._
+    import graft.rdf.Rdf
+    val quads = Seq(
+      ("g:schema", ":Customer", "rdfs:subClassOf", ":Agent"),
+      ("g:i", "ex:x", "rdf:type", ":Customer"),
+      ("g:j", "ex:x", "rdf:type", ":Agent"))
+      .toDF("gl", "sl", "pl", "ol").select(col("gl").as("g"),
+        Rdf.iri(col("sl")).as("s"), Rdf.iri(col("pl")).as("p"),
+        Rdf.iri(col("ol")).as("o"))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    // pre-delete: the :Agent typing is explicit, so NOT in g:inferred
+    assert(baseMat.filter(col("g") === "g:inferred").isEmpty)
+    val del = quads.filter(col("g") === "g:j")
+    val inc = checkDelete(quads, baseMat, del)
+    val agentRows = inc.filter(col("s")("lex") === "ex:x" &&
+      col("o")("lex") === ":Agent").select(col("g"))
+      .collect().map(_.getString(0)).toSeq
+    assert(agentRows == Seq("g:inferred"),
+      s"rederived typing must land in g:inferred, got $agentRows")
+  }
+
+  test("DRed: quad surviving in another graph leaves entailments untouched") {
+    import spark.implicits._
+    import graft.rdf.Rdf
+    val quads = Seq(
+      ("g:schema", ":A", "rdfs:subClassOf", ":B"),
+      ("g:1", "ex:x", "rdf:type", ":A"),
+      ("g:2", "ex:x", "rdf:type", ":A"))
+      .toDF("gl", "sl", "pl", "ol").select(col("gl").as("g"),
+        Rdf.iri(col("sl")).as("s"), Rdf.iri(col("pl")).as("p"),
+        Rdf.iri(col("ol")).as("o"))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("g") === "g:1")
+    val inc = checkDelete(quads, baseMat, del)
+    assert(spo(inc)(("ex:x", "rdf:type", ":B")),
+      "the g:2 copy still supports the derived typing")
+  }
+
+  test("DRed: axiom delete falls back to full re-materialization") {
+    val quads = TpchRdf.graphDf(spark, sf)
+    val del = quads.filter(col("s")("lex") === ":Nation" &&
+      col("p")("lex") === "rdfs:subClassOf" &&
+      col("o")("lex") === ":GeoSourced")
+    val inc = checkDelete(quads, mat, del)
+    // the rdfp16 restriction reached through the deleted subclass axiom
+    // no longer TYPES regions (the allValuesFrom schema row itself
+    // legitimately remains)
+    assert(!spo(inc).exists(r => r._2 == "rdf:type" && r._3 == ":MappedRegion"))
+  }
 }

@@ -70,6 +70,32 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming SCD-2: bot-user history split across three batches equals one batch") {
+    // the PER-BATCH MEMORY BOUND contract (StreamOps.scd2Versions):
+    // the in-group sort holds one user's slice of ONE micro-batch, so
+    // a bot user's history arriving in bounded trigger slices (the
+    // maxFilesPerTrigger deployment shape) must close exactly the
+    // versions a single unbounded batch would have closed
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{ScdEv, ScdVersion}
+    val bot = (1 to 90).map(i => ScdEv(7, i * 1000L, 100L + i, s"t${i % 3}"))
+    val mem = MemoryStream[ScdEv]
+    val q = StreamOps.scd2Versions(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_bot_out")
+      .outputMode("append").start()
+    try {
+      bot.grouped(30).foreach { slice =>
+        mem.addData(slice: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("scd2_bot_out").as[ScdVersion].collect().toSet
+      val want = (1 until 90).map(i =>
+        ScdVersion(7, 100L + i, s"t${i % 3}", i * 1000L, (i + 1) * 1000L)).toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming SCD-2 replay equals the batch build's closed rows") {
     import spark.implicits._
     val got = StreamOps.scd2Streaming(spark, sf)
@@ -80,6 +106,20 @@ class StreamingSpec extends GraftSuite {
       .select("user_id", "event_id", "event_type", "from_ns", "to_ns")
       .as[StreamOps.ScdVersion].collect().toSet
     assert(want.nonEmpty && got == want)
+  }
+
+  test("streaming IVF assign: replay equals the batch assignment, state bounded by cells") {
+    val got = StreamOps.ivfAssignStreaming(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.core.Tables(spark, sf, "embeddings")
+    val want = graft.ext.Similarity.ivfIndex(e)._2
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty && got == want)
+    // complete-mode aggregation state = one row per cell, never
+    // stream-length shaped
+    assert(got.size <= 16)
   }
 
   test("streaming changepoint: hours close across batches with exact running stats") {

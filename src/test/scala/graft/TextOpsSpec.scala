@@ -72,6 +72,25 @@ class TextOpsSpec extends GraftSuite {
     assert(got.toSeq === Seq((1, "aa", 4L), (2, "ab", 3L), (3, "aaab", 2L)))
   }
 
+  test("bpeEncodeCounts: encode(corpus) is consistent with the induced merges") {
+    import spark.implicits._
+    // induction over both docs: round 1 (a,a) n=4 (ties (a,b) on
+    // count, wins on pair order), round 2 (a,b) n=4, round 3 (aa,ab)
+    // n=2 — then ENCODE applies those merges in rank order to every
+    // word: "aaab"→[aaab] (1 token), "ab"→[ab], "a"→[a] (single char,
+    // no pair can fire), "xyz"→[x,y,z] (no induced merge applies)
+    val docs = Seq(
+      (1L, "s1", "aaab aaab ab"),
+      (2L, "s2", "a xyz ab")).toDF("doc_id", "source", "text")
+    val merges = TextAnalysis.bpeMergeSeq(docs, rounds = 3)
+    assert(merges.map(_._1.replace(TextAnalysis.BpeSep, "")) ===
+      Seq("aa", "ab", "aaab"))
+    val got = TextAnalysis.bpeEncodeCounts(docs, merges.map(_._1))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "s1", 3L, 3L), (2L, "s2", 3L, 5L)))
+  }
+
   test("chunkWindows: stride coverage, final short window, degenerate doc") {
     import spark.implicits._
     val docs = Seq(
