@@ -402,13 +402,46 @@ object Queries {
       c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM h),
       c2 AS (SELECT bin, cnt, cum, cum - cnt AS prev FROM c),
       tot AS (SELECT sum(cnt)::BIGINT AS n_total FROM h),
-      qs(q) AS (VALUES (0.5),(0.9),(0.99))
+      qs(q, qpm) AS (VALUES (0.5, 500),(0.9, 900),(0.99, 990))
       SELECT q, n_total,
              round((bin*100000 + 100000*(target-prev)/cnt)/100.0, 4) AS est
       FROM (SELECT c2.*, n_total, q,
-                   CAST(ceil(q*n_total) AS BIGINT) AS target
+                   ((qpm*n_total + 999) // 1000)::BIGINT AS target
             FROM c2, tot, qs)
       WHERE cum >= target AND prev < target""")),
+
+    // mergeable hash-sampled quantile sketch (r15): the rank-error
+    // sibling of q_hist_quantile — registers = rows whose wide
+    // polynomial row-key hash ≡ 0 mod 2^lvl (weight 2^lvl, lvl the
+    // smallest level bounding E[registers] by 256). Level predicates
+    // NEST, so merge is exact concatenate+prune (SketchesSpec);
+    // estimates are integer-rank register walks, engine-exact. The
+    // register build is one map-only filter — no shuffle, no
+    // per-group value buffers at any corpus size
+    Q("q_sketch_quantiles", (s, dir) =>
+      graft.ext.Sketches.sketchQuantiles(t(s, dir, "lineitem"),
+        expr("l_orderkey * 8 + l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)")),
+      Some(s"""
+      WITH src AS (
+        SELECT CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS k,
+               CAST(round(l_extendedprice::DOUBLE * 100) AS BIGINT) AS v
+        FROM lineitem),
+      nn AS (SELECT count(*)::BIGINT AS n FROM src),
+      lv AS (SELECT CASE WHEN n <= 256 THEN 0
+                         ELSE (${graft.ext.Sketches.floorLog2Sql("n // 257")}) + 1
+                    END AS lvl FROM nn),
+      regs AS MATERIALIZED (
+        SELECT v, k FROM src, lv
+        WHERE (${duckPh("k", 31)} * 1000000007 + ${duckPh("k", 131)})
+              % (1::BIGINT << lvl) = 0),
+      mm AS (SELECT count(*)::BIGINT AS m FROM regs),
+      rk AS (SELECT v, row_number() OVER (ORDER BY v ASC, k ASC) AS r
+             FROM regs)
+      SELECT q_pm::BIGINT AS q_pm, n, lvl::BIGINT AS lvl, m,
+             (SELECT v FROM rk WHERE r = (q_pm * m + 999) // 1000)
+               AS est_cents
+      FROM (VALUES (500), (900), (990)) t(q_pm), nn, lv, mm""")),
 
     // explicit GROUPING SETS (beyond rollup/cube): two one-dimension
     // cuts + grand total in ONE shuffle pass over the fact table

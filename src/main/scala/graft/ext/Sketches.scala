@@ -202,11 +202,15 @@ object Sketches {
     }
     val nTotal = run
     val cum = cumRows.toDF("bin", "cnt", "cum", "prev")
-    val qdf = qs.toDF("q")
+    // target rank ⌈q·n⌉ on the integer per-mille plane: double
+    // ceil(0.9·n) rounds UP off the exact integer when n ≡ 0 (mod 10)
+    // while the oracle's DECIMAL arithmetic doesn't (FLOAT_AUDIT
+    // knife-edge class, hardened r15)
+    val qdf = qs.map(q => (q, math.round(q * 1000))).toDF("q", "__qpm")
     cum.crossJoin(broadcast(qdf))
       .withColumn("n_total", lit(nTotal))
       .withColumn("target",
-        ceil(col("q") * col("n_total")).cast("long"))
+        expr("(__qpm * n_total + 999) div 1000"))
       .filter(col("cum") >= col("target") && col("prev") < col("target"))
       // est on the integer plane: round-to-int of the mirrored double
       // chain (cents·100 units), emitted as the derived double /1e4
@@ -215,6 +219,74 @@ object Sketches {
             + lit(widthCents) * (col("target") - col("prev")) / col("cnt"))
             * lit(100.0), 0).cast("long").cast("double") / lit(10000.0))
           .as("est"))
+  }
+
+  /** Mergeable quantile sketch (r15, the r14 verdict's item 7a) —
+    * the rank-error-bounded sibling of the equi-width [[histogram]]:
+    * registers are a HASH-sampled row subset (keep a row iff
+    * `polyHashWide(key) mod 2^lvl = 0`, weight 2^lvl), with `lvl`
+    * the smallest level that bounds the expected register count by
+    * `cap`. Where randomized KLL flips coins per compaction, the
+    * level predicate is a pure function of the row key — so the
+    * sketch is ORDER-INDEPENDENT and merge is exact: concatenate two
+    * register sets, raise to the combined level, re-filter (the
+    * level predicates NEST — `h mod 2^L = 0` implies
+    * `h mod 2^L' = 0` for L' ≤ L — so pruning never needs dropped
+    * rows back; SketchesSpec pins merge(A, B) ≡ sketch(A ∪ B)
+    * exactly). Registers are equal-weight, so a quantile estimate is
+    * the register at integer rank ⌈q·m⌉ in (value, key) order —
+    * engine-exact; sampling error is the standard uniform-sample
+    * rank error O(m^-1/2), deterministic given the hash. Scale
+    * shape: the register build is ONE map-only filter (no shuffle,
+    * no per-group buffers); the ≤cap-bounded register set collects
+    * via TakeOrdered and the rank walk is driver arithmetic — the
+    * [[histQuantiles]] bounded-frame discipline.
+    */
+  def sketchLevel(n: Long, cap: Int): Int = {
+    var lvl = 0
+    while ((n >> lvl) > cap) lvl += 1
+    lvl
+  }
+
+  /** The register predicate of [[sketchQuantiles]] at a given level —
+    * exposed so the merge spec can replay concatenate+prune.
+    */
+  def sketchRegisters(df: DataFrame, key: Column, valueCents: Column,
+      lvl: Int): DataFrame =
+    df.select(key.cast("string").as("k"), valueCents.cast("long").as("v"))
+      .filter(pmod(TextAnalysis.polyHashWide(col("k")), lit(1L << lvl)) === 0)
+
+  def sketchQuantiles(df: DataFrame, key: Column, valueCents: Column,
+      cap: Int = 256, qsPerMille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(key.cast("string").as("k"),
+      valueCents.cast("long").as("v"))
+    val n = src.count()
+    val lvl = sketchLevel(n, cap)
+    require(lvl <= 40,
+      s"sketchQuantiles: level $lvl exceeds the 40-bit hash-width bound")
+    // registers ≈ cap in expectation; 8·cap is a >7-sigma bound, so
+    // the TakeOrdered collect is provably driver-safe and a
+    // pathological hash (or caller) fails loudly instead of melting
+    // the driver
+    val maxRegs = 8 * cap
+    val regs = sketchRegisters(src, col("k"), col("v"), lvl)
+      .orderBy(col("v").asc, col("k").asc).limit(maxRegs + 1).collect()
+    require(regs.length <= maxRegs,
+      s"sketchQuantiles: ${regs.length} registers exceed the 8·cap bound")
+    val m = regs.length.toLong
+    // target rank ⌈q·m⌉ computed ALL-INTEGER on the per-mille plane —
+    // double ceil(0.9·m) rounds UP off the exact integer when m ≡ 0
+    // (mod 10) while DECIMAL arithmetic doesn't (the FLOAT_AUDIT
+    // knife-edge class)
+    val out = qsPerMille.map { qpm =>
+      val r = (qpm * m + 999L) / 1000L
+      val est =
+        if (r >= 1 && r <= m) Some(regs((r - 1).toInt).getLong(1)) else None
+      (qpm.toLong, n, lvl.toLong, m, est)
+    }
+    out.toDF("q_pm", "n", "lvl", "m", "est_cents")
   }
 
   /** Cardinality estimate from a register table (driver-side — the

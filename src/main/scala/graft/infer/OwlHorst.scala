@@ -51,6 +51,17 @@ object OwlHorst {
   val InferredGraph = "g:inferred"
   private val G = InferredGraph
 
+  /** Telemetry (the corrIdExistsJoins precedent): closed-world
+    * materializations vs delta-seeded fixpoint runs vs DRed deletes.
+    * The DRed contract is pinned structurally in OwlHorstSpec — a
+    * non-axiom DELETE bumps [[dredDeletes]] and leaves
+    * [[fullCloseRuns]] unchanged (it must never re-close the world).
+    */
+  val fullCloseRuns = new java.util.concurrent.atomic.AtomicLong
+  val deltaSeedRuns = new java.util.concurrent.atomic.AtomicLong
+  val dredDeletes = new java.util.concurrent.atomic.AtomicLong
+  val dredAxiomFallbacks = new java.util.concurrent.atomic.AtomicLong
+
   final case class Ontology(
       subClassOf: Seq[(String, String)],
       subPropOf: Seq[(String, String)],
@@ -494,7 +505,8 @@ object OwlHorst {
   private def onePass(spark: SparkSession, ont: Ontology,
       ruleDf: Option[DataFrame], all: DataFrame, newIn: DataFrame,
       prevClosures: scala.collection.mutable.Map[String, DataFrame],
-      equivDf: Option[DataFrame], equivChanged: Boolean): DataFrame = {
+      equivDf: Option[DataFrame], equivChanged: Boolean,
+      basePreClosed: Boolean = false): DataFrame = {
     import spark.implicits._
     var deltas = Seq.empty[DataFrame]
     def emit(df: DataFrame): Unit =
@@ -534,7 +546,15 @@ object OwlHorst {
           fed.filter(fed("p")("lex") === tp && fed("o")("kind") =!= LIT)
             .select(col("s").as("a"), col("o").as("b"))
             .except(prev).isEmpty
-        case None => false
+        case None =>
+          // pre-closed base (delta-seeded caller, r15): the base's tp
+          // statements ARE its closure, so until a round's delta (or
+          // its sub-property copies) carries a NEW tp edge there is
+          // nothing to close — every incremental insert used to
+          // re-close every transitive relation once per call here
+          basePreClosed &&
+            fed.filter(fed("p")("lex") === tp &&
+              fed("o")("kind") =!= LIT).isEmpty
       }
       if (!alreadyClosed) {
         val closed = closeTransitivePairs(tp, edges)
@@ -597,7 +617,17 @@ object OwlHorst {
           col("o")("lex").isin(AxiomTypeObjects: _*))
     ).isEmpty
     if (deltaHasAxioms) materialize(spark, base.unionByName(delta))
-    else run(spark, base.unionByName(delta), delta)
+    else {
+      // equivalence fast path: `base` is a fixpoint by contract, so
+      // when the delta asserts no NEW sameAs edges the classes cannot
+      // change and round 1 expands the delta only (equivPreClosed) —
+      // the full re-expansion of the base, every emission of which
+      // the novelty anti-join discarded, was a fixed per-insert cost
+      val deltaHasSameAs =
+        !delta.filter(col("p")("lex") === "owl:sameAs").isEmpty
+      run(spark, base.unionByName(delta), delta,
+        equivPreClosed = !deltaHasSameAs)
+    }
   }
 
   /** Incremental maintenance for DELETES — DRed delete-rederivation
@@ -655,8 +685,11 @@ object OwlHorst {
       col("p")("lex").isin(AxiomPreds: _*) ||
         (col("p")("lex") === RdfType &&
           col("o")("lex").isin(AxiomTypeObjects: _*))).isEmpty
-    if (deletedHasAxioms)
+    if (deletedHasAxioms) {
+      dredAxiomFallbacks.incrementAndGet()
       return materialize(spark, remainingExplicit)
+    }
+    dredDeletes.incrementAndGet()
     def trip(df: DataFrame) = df.select(col("s"), col("p"), col("o"))
     val remExpl = trip(remainingExplicit)
     // triple-level deleted set: a triple removed from one graph may
@@ -694,7 +727,14 @@ object OwlHorst {
       deletedTriples: DataFrame): DataFrame = {
     import spark.implicits._
     val dbg = sys.env.contains("GRAFT_INFER_DEBUG")
+    var tMark = System.nanoTime()
+    def mark(l: String): Unit = if (dbg) {
+      System.err.println(
+        f"[owlhorst-dred] $l: ${(System.nanoTime() - tMark) / 1e9}%.1fs")
+      tMark = System.nanoTime()
+    }
     val ont = ontology(remainingExplicit)
+    mark("ontology")
     val rules = compileRules(ont)
     val ruleDf = if (rules.isEmpty) None else Some(broadcast(ruleTable(spark, rules)))
     // pre-delete triple set as a SET: old explicit = remaining ∪
@@ -709,25 +749,31 @@ object OwlHorst {
     val headPairs = baseAll.filter(col("p")("lex") === "owl:sameAs")
       .select(col("s")("lex"), col("o")("lex"))
       .limit(broadcastLimit + 1).collect()
-    val (basePairs, baseMembers): (Option[DataFrame], Option[Set[String]]) =
+    val (basePairs, baseMembers, driverPairs): (Option[DataFrame],
+        Option[Set[String]], Option[Seq[(String, String)]]) =
       if (headPairs.length > broadcastLimit)
         (Some(SameAs.pairsFromClasses(
             SameAs.classes(spark, baseAll).localCheckpoint(), SameAs.classCap)
-          .localCheckpoint()), None)
-      else if (headPairs.isEmpty) (None, Some(Set.empty[String]))
+          .localCheckpoint()), None, None)
+      else if (headPairs.isEmpty)
+        (None, Some(Set.empty[String]), Some(Nil))
       else {
         val uf = new UnionFind
         headPairs.foreach(r => uf.union(r.getString(0), r.getString(1)))
         val pairs = uf.crossPairs
         (Some(broadcast(pairs.toDF("from", "to"))),
-          Some(pairs.flatMap(p => Seq(p._1, p._2)).toSet))
+          Some(pairs.flatMap(p => Seq(p._1, p._2)).toSet),
+          Some(pairs))
       }
     val derivablePreds = (rules.map(_.outP) ++ ont.transitive ++
       Seq(RdfType, "owl:sameAs")).distinct
     // taint-blocking slice of the remaining EXPLICIT plane: a
     // surviving assertion is never removed and must not propagate
-    // taint (same predicate/member pruning as doRun's `relevant`)
-    val blockSlice: DataFrame = baseMembers match {
+    // taint (same predicate/member pruning as doRun's `relevant`).
+    // Round-invariant → checkpointed ONCE; the fixpoint otherwise
+    // re-scans the dataset every round (the r15 DRed profile: the
+    // slice scans, not the joins, dominated the taint cost)
+    val blockSlice: DataFrame = (baseMembers match {
       case Some(ms) if ms.size <= 1000 =>
         var cond = col("p")("lex").isin(derivablePreds: _*)
         if (ms.nonEmpty)
@@ -735,12 +781,32 @@ object OwlHorst {
             col("o")("lex").isin(ms.toSeq: _*)
         remExpl.filter(cond)
       case _ => remExpl
-    }
+    }).localCheckpoint()
+    // round-invariant base slices, one scan each: the per-property
+    // closed pair sets and the two-premise-family statement slice
+    val tpBase: Map[String, DataFrame] = ont.transitive.map { tp =>
+      tp -> baseAll
+        .filter(col("p")("lex") === tp && col("o")("kind") =!= LIT)
+        .select(col("s"), col("p"), col("o")).localCheckpoint()
+    }.toMap
+    val twoPremPreds = (ont.functional ++ ont.invFunctional ++
+      ont.someValues.map(_._2) ++ ont.allValues.map(_._2)).distinct
+    val twoPremBase: DataFrame = baseAll
+      .filter(col("p")("lex").isin(twoPremPreds: _*) ||
+        col("p")("lex") === RdfType)
+      .localCheckpoint()
+    mark("slices")
     // ---- phase 1: OVERDELETE taint fixpoint --------------------------
     var taintAll = deletedTriples
     var delta = deletedTriples
     var rounds = 0
     var grew = true
+    // members whose classes the hammer has already stripped — later
+    // rounds' tainted sameAs rows are typically the SAME class's
+    // expansions, and re-hammering re-scans the inferred plane twice
+    // per round for nothing (driver-known members only; past the cap
+    // the hammer re-fires, correct but slower)
+    var hammered = Set.empty[String]
     while (grew && rounds < 16) {
       rounds += 1
       val t0 = System.nanoTime()
@@ -756,10 +822,8 @@ object OwlHorst {
         val tdf = broadcast(delta
           .filter(col("p")("lex") === tp && col("o")("kind") =!= LIT)
           .select(col("s").as("ta"), col("o").as("tb")))
-        val c1 = baseAll.filter(col("p")("lex") === tp && col("o")("kind") =!= LIT)
-          .select(col("s").as("c1a"), col("o").as("c1b"))
-        val c2 = baseAll.filter(col("p")("lex") === tp && col("o")("kind") =!= LIT)
-          .select(col("s").as("c2a"), col("o").as("c2b"))
+        val c1 = tpBase(tp).select(col("s").as("c1a"), col("o").as("c1b"))
+        val c2 = tpBase(tp).select(col("s").as("c2a"), col("o").as("c2b"))
         // left extension: (x, b) = x→a · (a, b), plus (a, b) itself
         val ext = tdf.select(col("ta").as("xa"), col("tb").as("xb"))
           .unionByName(c1.join(tdf, sameTerm(col("c1b"), col("ta")))
@@ -771,8 +835,10 @@ object OwlHorst {
         emit(full.select(col("xa").as("s"), Rdf.iri(lit(tp)).as("p"),
           col("xb").as("o")))
       }
-      // two-premise with the tainted premise on EITHER side
-      twoPremiseConclusions(spark, ont, delta, baseAll, p12Mirror = true)
+      // two-premise with the tainted premise on EITHER side (the
+      // `cur` side reads the checkpointed family slice — every
+      // premise of these families has a family predicate or rdf:type)
+      twoPremiseConclusions(spark, ont, delta, twoPremBase, p12Mirror = true)
         .foreach(emit)
       basePairs.foreach { ed =>
         // sameAs expansion of the tainted delta by the pre-delete pairs
@@ -787,24 +853,39 @@ object OwlHorst {
         // members; phase 3's re-harvest + re-expansion restores the
         // survivors. Classes are alias-scale, so `affected` is tiny.
         val tSame = delta.filter(col("p")("lex") === "owl:sameAs")
-        if (!tSame.isEmpty) {
-          val tm = tSame.select(col("s")("lex").as("m"))
-            .unionByName(tSame.select(col("o")("lex").as("m"))).distinct()
+        val tmHead = tSame.select(col("s")("lex").as("m"))
+          .unionByName(tSame.select(col("o")("lex").as("m"))).distinct()
+          .limit(1001).collect().map(_.getString(0))
+        val newEnds =
+          if (tmHead.length <= 1000) tmHead.toSet -- hammered else Set("")
+        if (tmHead.nonEmpty && newEnds.nonEmpty) {
+          val tm =
+            if (tmHead.length <= 1000) newEnds.toSeq.toDF("m")
+            else tSame.select(col("s")("lex").as("m"))
+              .unionByName(tSame.select(col("o")("lex").as("m"))).distinct()
           val affected = broadcast(tm.unionByName(
               ed.join(tm, ed("from") === tm("m")).select(ed("to").as("m")))
             .distinct().localCheckpoint())
+          if (tmHead.length <= 1000)
+            hammered ++= affected.select("m").collect().map(_.getString(0))
           emit(infTrip.join(affected,
             infTrip("s")("lex") === affected("m"), "left_semi"))
           emit(infTrip.join(affected,
             infTrip("o")("lex") === affected("m"), "left_semi"))
         }
       }
-      val fresh = tripSemiJoin(
-          concls.reduceOption(_.unionByName(_))
-            .getOrElse(deletedTriples.limit(0))
-            .distinct()
-            .except(taintAll),
-          blockSlice, "left_anti")
+      // checkpoint the (tiny) novel conclusions FIRST, then subtract
+      // the explicit blockers by a REVERSED broadcast semi join —
+      // tiny-left anti joins reshuffle the big slice every round
+      // (the deletedTriples surviving-copy trick)
+      val cand = concls.reduceOption(_.unionByName(_))
+        .getOrElse(deletedTriples.limit(0))
+        .distinct()
+        .except(taintAll)
+        .localCheckpoint()
+      val fresh = cand.except(
+          tripSemiJoin(blockSlice, cand, "left_semi", hintBc = true)
+            .distinct())
         .localCheckpoint()
       if (dbg) System.err.println(f"[owlhorst-dred] taint round $rounds: " +
         f"${(System.nanoTime() - t0) / 1e9}%.1fs fresh=${fresh.count()}")
@@ -818,8 +899,10 @@ object OwlHorst {
       "[owlhorst-dred] WARNING: taint fixpoint stopped at the 16-round " +
         "cap before convergence — overdelete may be incomplete")
     // ---- phase 2: REDERIVE SEED --------------------------------------
+    mark("taint loop")
     val remainingInferred =
       tripSemiJoin(infTrip, taintAll, "left_anti").localCheckpoint()
+    mark("remainingInferred")
     val remaining = remExpl.unionByName(remainingInferred)
     val taintPreds = taintAll.select(col("p")("lex")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -835,54 +918,202 @@ object OwlHorst {
     }
     val needP12 = taintPreds.contains("owl:sameAs")
     val needTyping = taintPreds.contains(RdfType)
+    // tainted sameAs ENDPOINTS — used by the two-premise premise
+    // pruning below AND the targeted equivalence reseed after the seed
+    val sameEnds = if (!needP12) Array.empty[String]
+      else taintAll.filter(col("p")("lex") === "owl:sameAs")
+        .select(col("s")("lex").as("m"))
+        .unionByName(taintAll.filter(col("p")("lex") === "owl:sameAs")
+          .select(col("o")("lex").as("m")))
+        .distinct().limit(10001).collect().map(_.getString(0))
     if (needP12 || needTyping) {
-      // remaining × remaining within the (predicate-bounded) family
-      // slices; fire(l=remaining, r=remaining) already yields every
-      // ordered pair, so no mirror
       val ontSeed = ont.copy(
         functional = if (needP12) ont.functional else Nil,
         invFunctional = if (needP12) ont.invFunctional else Nil,
         someValues = if (needTyping) ont.someValues else Nil,
         allValues = if (needTyping) ont.allValues else Nil)
-      seeds ++= twoPremiseConclusions(spark, ontSeed, remaining, remaining,
-        p12Mirror = false).map(sel)
+      // TAINT-TARGET pruning (r15 DRed profile: joining the full
+      // someValuesFrom-property slice — the locatedIn closure —
+      // against all typings dominated the rederive phase). The
+      // conclusion of each family is DETERMINED by one premise —
+      // rdfp1/2 by the tainted sameAs ENDPOINTS E, rdfp15/16 by the
+      // tainted TYPING SUBJECTS T — so the determining side prunes to
+      // rows that can conclude a tainted statement (tiny), and ONE
+      // orientation against the full typing/family slice is complete.
+      // E/T collect driver-side, bounded by |taint|; past 10k keys
+      // the pruning degrades to the unpruned slice (correct, slower).
+      val typeSubjs = if (!needTyping) Array.empty[String]
+        else taintAll.filter(col("p")("lex") === RdfType)
+          .select(col("s")("lex")).distinct().limit(10001)
+          .collect().map(_.getString(0))
+      val prunable = sameEnds.length <= 10000 && typeSubjs.length <= 10000
+      val svpPreds = ont.someValues.map(_._2).distinct
+      val avpPreds = ont.allValues.map(_._2).distinct
+      val fed =
+        if (!prunable)
+          remaining.filter(col("p")("lex").isin(twoPremPreds: _*) ||
+            col("p")("lex") === RdfType)
+        else {
+          var cond = lit(false)
+          if (needTyping && svpPreds.nonEmpty)
+            cond = cond || (col("p")("lex").isin(svpPreds: _*) &&
+              col("s")("lex").isin(typeSubjs.toSeq: _*))
+          if (needTyping && avpPreds.nonEmpty)
+            cond = cond || (col("p")("lex").isin(avpPreds: _*) &&
+              col("o")("lex").isin(typeSubjs.toSeq: _*))
+          if (needP12 && ontSeed.functional.nonEmpty)
+            cond = cond || (col("p")("lex").isin(ontSeed.functional: _*) &&
+              col("o")("lex").isin(sameEnds.toSeq: _*))
+          if (needP12 && ontSeed.invFunctional.nonEmpty)
+            cond = cond || (col("p")("lex").isin(ontSeed.invFunctional: _*) &&
+              col("s")("lex").isin(sameEnds.toSeq: _*))
+          remaining.filter(cond)
+        }
+      // the non-determining sides: typings + the (small) functional
+      // family slices — never the svp/avp statement bulk
+      val cur = remaining.filter(col("p")("lex") === RdfType ||
+          col("p")("lex").isin(
+            (ontSeed.functional ++ ontSeed.invFunctional).distinct: _*))
+        .localCheckpoint()
+      seeds ++= twoPremiseConclusions(spark, ontSeed,
+        fed.localCheckpoint(), cur, p12Mirror = false).map(sel)
     }
     ont.transitive.foreach { tp =>
       if (taintPreds.contains(tp)) {
-        // re-close the affected property's REMAINING edges — the
-        // honest DRed cost, O(property subgraph), only when the
-        // property actually has tainted rows. Surviving closure pairs
-        // double as edges (they are valid paths); tp edges rederived
-        // by OTHER rules re-trigger the closure inside run()'s own
-        // fixpoint.
+        // SEEDED re-closure: a rederivable tainted pair (x, y) has a
+        // tainted subject x, so BFS from the TAINTED SOURCES over the
+        // remaining edge set reaches every candidate — O(reachable-
+        // from-delta), never O(property subgraph) (re-closing the
+        // whole relation to rederive a handful of rows dominated the
+        // r15 DRed profile: ~15 s of a 30 s maintenance at sf0.1).
+        // Surviving closure pairs double as edges (they are valid
+        // paths); tp edges rederived by OTHER rules re-trigger the
+        // closure inside run()'s own fixpoint. Same id plane +
+        // edge-local dictionary + collision guard as
+        // [[closeTransitivePairs]].
+        import graft.core.TermDictionary.termId
         val edges = remaining
           .filter(col("p")("lex") === tp && col("o")("kind") =!= LIT)
           .select(col("s").as("a"), col("o").as("b"))
-        seeds :+= closeTransitivePairs(tp, edges)
-          .select(col("a").as("s"), Rdf.iri(lit(tp)).as("p"),
-            col("b").as("o"))
+        val srcs = taintAll.filter(col("p")("lex") === tp)
+          .select(col("s").as("term")).distinct()
+        val dict = edges.select(col("a").as("term"))
+          .unionByName(edges.select(col("b").as("term")))
+          .unionByName(srcs)
+          .distinct()
+          .select(termId(col("term")).as("id"), col("term"))
+          .localCheckpoint()
+        val Array(nIds, nTerms) = dict
+          .agg(countDistinct(col("id")), countDistinct(col("term")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        require(nIds == nTerms,
+          s"term-id collision in $tp seeded closure: $nTerms terms, $nIds ids")
+        val eIds = edges
+          .select(termId(col("a")).as("ea"), termId(col("b")).as("eb"))
+          .localCheckpoint()
+        val n0 = srcs.select(termId(col("term")).as("x"),
+          termId(col("term")).as("y"))
+        val pairs = Fixpoint.reachNodes(n0, f =>
+          f.join(eIds, f("y") === eIds("ea"))
+            .select(f("x"), eIds("eb").as("y")))
+        val da = dict.select(col("id").as("__ia"), col("term").as("ta"))
+        val db = dict.select(col("id").as("__ib"), col("term").as("tb"))
+        seeds :+= pairs
+          .join(da, col("x") === col("__ia"))
+          .join(db, col("y") === col("__ib"))
+          .select(col("ta").as("s"), Rdf.iri(lit(tp)).as("p"),
+            col("tb").as("o"))
       }
     }
     // the seed is exactly the tainted one-step-rederivable statements
+    mark("seed frames built")
+    // ∩ taint FIRST (broadcast semi over the checkpointed taint set —
+    // map-only), THEN distinct: the other order shuffles the full
+    // candidate stream (the dispatch pass over a data-shaped slice)
+    // just to dedup rows that are about to be discarded
     val seed = tripSemiJoin(
         seeds.reduceOption(_.unionByName(_))
-          .getOrElse(deletedTriples.limit(0))
-          .distinct(),
-        taintAll, "left_semi")
+          .getOrElse(deletedTriples.limit(0)),
+        taintAll, "left_semi", hintBc = true)
+      .distinct()
       .localCheckpoint()
     if (dbg) System.err.println(
       s"[owlhorst-dred] taint=${taintAll.count()} seed=${seed.count()}")
+    // ---- targeted equivalence reseed --------------------------------
+    // The hammer stripped EVERY inferred row touching a tainted sameAs
+    // edge's class. When the pre-delete pairs are driver-known and the
+    // tainted endpoints alias-scale, restore the survivors DIRECTLY:
+    // re-cluster the affected members over the remaining (plus
+    // rederived) sameAs edges with a driver union-find, seed the new
+    // cross pairs and the one-step re-expansion of remaining rows
+    // touching them. The world is then expansion-PRE-CLOSED again and
+    // run() skips its full round-1 re-expansion (equivPreClosed) —
+    // without this, every DRed delete paid a whole-dataset expansion
+    // emission whose rows the novelty anti-join then discarded.
+    var preClosed = !needP12
+    var reseed: Option[DataFrame] = None
+    if (needP12) driverPairs match {
+      case Some(prePairs) if sameEnds.length <= 1000 =>
+        val ends = sameEnds.toSet
+        val m = ends ++ prePairs.collect { case (f, t) if ends(f) => t }
+        val mSeq = m.toSeq
+        // post-delete edges among the affected members: explicit
+        // remaining (class edges never leave the class, so the s-side
+        // filter is complete) plus the p1/p2-rederived seed rows
+        val survivors = remaining
+          .filter(col("p")("lex") === "owl:sameAs" &&
+            col("s")("lex").isin(mSeq: _*))
+          .select(col("s")("lex"), col("o")("lex")).collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val rederived = seed.filter(col("p")("lex") === "owl:sameAs")
+          .select(col("s")("lex"), col("o")("lex")).collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        val uf2 = new UnionFind
+        (survivors ++ rederived).foreach(pr => uf2.union(pr._1, pr._2))
+        val newPairs = uf2.crossPairs.filter(pr => m(pr._1))
+        if (newPairs.nonEmpty) {
+          val pdf = broadcast(newPairs.toDF("from", "to"))
+          val touching = remaining.filter(
+            col("s")("lex").isin(mSeq: _*) ||
+              col("o")("lex").isin(mSeq: _*))
+          val sExp = touching.join(pdf, touching("s")("lex") === pdf("from"))
+            .select(Rdf.iri(pdf("to")).as("s"), touching("p").as("p"),
+              touching("o").as("o"))
+          val oExp = touching.join(pdf, touching("o")("lex") === pdf("from"))
+            .select(touching("s").as("s"), touching("p").as("p"),
+              Rdf.iri(pdf("to")).as("o"))
+          val prs = newPairs.toDF("from", "to").select(
+            Rdf.iri(col("from")).as("s"),
+            Rdf.iri(lit("owl:sameAs")).as("p"), Rdf.iri(col("to")).as("o"))
+          reseed = Some(sExp.unionByName(oExp).unionByName(prs)
+            .distinct().localCheckpoint())
+        }
+        preClosed = true
+      case _ => () // distributed or oversized taint: full re-expansion
+    }
+    val seed2 = reseed match {
+      case None => seed
+      case Some(r) => seed.unionByName(r).distinct().localCheckpoint()
+    }
     // ---- phase 3: REINSERT -------------------------------------------
     val afterDelete = remainingExplicit.unionByName(
       remainingInferred.select(lit(G).as("g"), col("s"), col("p"), col("o")))
     val quadsIn =
-      if (seed.isEmpty) afterDelete
+      if (seed2.isEmpty) afterDelete
       else afterDelete.unionByName(
-        seed.select(lit(G).as("g"), col("s"), col("p"), col("o")))
-    run(spark, quadsIn, seed)
+        seed2.select(lit(G).as("g"), col("s"), col("p"), col("o")))
+    mark("seed checkpoint")
+    val res = run(spark, quadsIn, seed2, equivPreClosed = preClosed)
+    mark("reinsert run")
+    // run() returned an eagerly-checkpointed leaf — the round-local
+    // slices can release now
+    (tpBase.values.toSeq :+ twoPremBase :+ blockSlice)
+      .foreach(_.unpersist(blocking = false))
+    res
   }
 
-  private def run(spark: SparkSession, quads: DataFrame, seed: DataFrame): DataFrame = {
+  private def run(spark: SparkSession, quads: DataFrame, seed: DataFrame,
+      equivPreClosed: Boolean = false): DataFrame = {
     // The deep Union-of-self-joined-lineage plans built below trip
     // Catalyst's Union constraint rewriting on struct-typed columns
     // (NoSuchElementException in rewriteConstraints). Constraint
@@ -899,7 +1130,7 @@ object OwlHorst {
       // checkpoint the final union: every derived branch and the
       // explicit slice collapse to materialized partitions, making the
       // result plan-independent of the disabled-flag window
-      doRun(spark, quads, seed).localCheckpoint()
+      doRun(spark, quads, seed, equivPreClosed).localCheckpoint()
     } finally {
       prior match {
         case Some(v) => spark.conf.set(flagKey, v)
@@ -908,8 +1139,11 @@ object OwlHorst {
     }
   }
 
-  private def doRun(spark: SparkSession, quads: DataFrame, seed: DataFrame): DataFrame = {
+  private def doRun(spark: SparkSession, quads: DataFrame, seed: DataFrame,
+      equivPreClosed: Boolean = false): DataFrame = {
     import spark.implicits._
+    if (seed eq quads) fullCloseRuns.incrementAndGet()
+    else deltaSeedRuns.incrementAndGet()
     val ont = ontology(quads)
     // the compiled dispatch table is static across rounds — build (and
     // broadcast-hint) it once
@@ -977,6 +1211,17 @@ object OwlHorst {
           val merges = pairRows.count(r => uf.union(r.getString(0), r.getString(1)))
           equivChanged = merges > 0
           if (equivChanged) equiv = uf.crossPairs
+          // PRE-CLOSED equivalence fast path (r15): a delta-seeded
+          // caller whose base is ALREADY a fixpoint (incremental
+          // insert; DRed with no tainted sameAs or with the affected
+          // classes re-seeded) asserts that every base statement is
+          // already expanded under the round-1-harvested classes —
+          // the harvest's "merges" are then just the UF warming up,
+          // not a class change, and the full re-expansion of `cur`
+          // (every emission of which the novelty anti-join discards)
+          // is skipped: the delta alone expands. Later rounds are
+          // untouched — a genuinely NEW pair still re-expands all.
+          if (equivPreClosed && rounds == 1) equivChanged = false
           if (equiv.nonEmpty)
             equivDf = Some(broadcast(equiv.toDF("from", "to")))
         }
@@ -991,6 +1236,14 @@ object OwlHorst {
           case None =>
             comps = Some(SameAs.classes(spark, all).localCheckpoint())
             equivChanged = true
+            if (equivPreClosed && rounds == 1) {
+              // caller asserts `all` is already expansion-closed under
+              // its own classes: build the pair table but expand the
+              // DELTA only (see the preClosed note below)
+              distPairs = Some(SameAs.pairsFromClasses(
+                comps.get, SameAs.classCap).localCheckpoint())
+              equivChanged = false
+            }
           case Some(prev) =>
             val newEdges = harvestSrc
               .filter(col("p")("lex") === "owl:sameAs")
@@ -1021,7 +1274,7 @@ object OwlHorst {
           all.filter(cond)
         }
       val fresh = onePass(spark, ont, ruleDf, all, delta, prevClosures,
-          equivDf, equivChanged)
+          equivDf, equivChanged, basePreClosed = equivPreClosed)
         .distinct().except(relevant).localCheckpoint()
       if (dbg) System.err.println(f"[owlhorst] round $rounds: " +
         f"${(System.nanoTime() - t0) / 1e9}%.1fs fresh=${fresh.count()}")
@@ -1045,6 +1298,22 @@ object OwlHorst {
     val prior = quads.filter(col("g") === G).select(col("s"), col("p"), col("o"))
     val priorInferred =
       if (prior.isEmpty) Seq.empty[DataFrame]
+      else if (equivPreClosed) {
+        // pre-closed base: its inferred plane is disjoint from its
+        // explicit plane by the fixpoint invariant, so only the
+        // DELTA's EXPLICIT rows can newly shadow a prior entailment —
+        // one broadcast anti join against the tiny delta instead of
+        // distinct+except over the whole dataset. A g-less seed (the
+        // DRed rederive rows) is inferred-plane by construction and
+        // shadows nothing — anti-joining prior against it would
+        // delete the rederived rows THEMSELVES (the r15 red-first
+        // lesson: three OwlHorstSpec rows went red on exactly that).
+        val seedExplicit =
+          if (seed.columns.contains("g"))
+            seed.filter(col("g") =!= G).select(col("s"), col("p"), col("o"))
+          else seed.limit(0).select(col("s"), col("p"), col("o"))
+        Seq(tripSemiJoin(prior, seedExplicit, "left_anti", hintBc = true))
+      }
       else Seq(prior.distinct().except(explicit.distinct()))
     val inferred = (priorInferred ++ freshes).reduceOption(_.unionByName(_))
     inferred match {

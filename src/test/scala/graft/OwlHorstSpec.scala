@@ -499,6 +499,43 @@ class OwlHorstSpec extends GraftSuite {
       "the g:2 copy still supports the derived typing")
   }
 
+  test("DRed: distributed sameAs path (forced CC) equals full re-materialization") {
+    // past the broadcast limit the taint hammer and the re-expansion
+    // both run on the DISTRIBUTED pair table — force that branch and
+    // replay the alias-delete class split
+    val quads = TpchRdf.graphDf(spark, sf)
+    sys.props("graft.sameas.broadcast.limit") = "0"
+    try {
+      val baseMat = OwlHorst.materialize(spark, quads)
+      val del = quads.filter(col("s")("lex") === "regalias:2" &&
+        col("p")("lex") === "owl:sameAs")
+      val inc = checkDelete(quads, baseMat, del)
+      assert(!spo(inc).exists(r => r._1 == "regalias:2" || r._3 == "regalias:2"))
+    } finally sys.props.remove("graft.sameas.broadcast.limit")
+  }
+
+  test("DRed telemetry: a non-axiom delete NEVER re-closes the world") {
+    val quads = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      ("i:1", "rdf:type", ":A"),
+      ("i:2", "rdf:type", ":A")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val fullBefore = OwlHorst.fullCloseRuns.get()
+    val dredBefore = OwlHorst.dredDeletes.get()
+    val inc = OwlHorst.incrementalDelete(spark, baseMat,
+      quads.filter(col("s")("lex") === "i:1"))
+    inc.count()
+    assert(OwlHorst.dredDeletes.get() == dredBefore + 1)
+    assert(OwlHorst.fullCloseRuns.get() == fullBefore,
+      "the DRed path must not run a closed-world materialization")
+    // the axiom fallback is the one sanctioned full re-closure
+    val fbBefore = OwlHorst.dredAxiomFallbacks.get()
+    OwlHorst.incrementalDelete(spark, baseMat,
+      quads.filter(col("p")("lex") === "rdfs:subClassOf")).count()
+    assert(OwlHorst.dredAxiomFallbacks.get() == fbBefore + 1)
+    assert(OwlHorst.fullCloseRuns.get() == fullBefore + 1)
+  }
+
   test("DRed: axiom delete falls back to full re-materialization") {
     val quads = TpchRdf.graphDf(spark, sf)
     val del = quads.filter(col("s")("lex") === ":Nation" &&

@@ -501,6 +501,49 @@ class TextOpsSpec extends GraftSuite {
     assert(math.abs(est(0.99) - exact._3) <= 1000.0, s"$est vs $exact")
   }
 
+  test("quantile sketch: level formula, exact merge by concatenate+prune, rank accuracy") {
+    import spark.implicits._
+    import graft.ext.Sketches
+    val li = graft.core.Tables(spark, sf, "lineitem")
+    val key = expr("l_orderkey * 8 + l_linenumber")
+    val cents = expr("CAST(round(l_extendedprice * 100) AS LONG)")
+    // the while-loop level ≡ the oracle's closed form (floorLog2 of
+    // n div (cap+1), plus one), exhaustively over a wide n range
+    def oracleLvl(n: Long): Int =
+      if (n <= 256) 0
+      else (63 - java.lang.Long.numberOfLeadingZeros(n / 257)) + 1
+    (1L to 200000L).foreach { n =>
+      assert(Sketches.sketchLevel(n, 256) == oracleLvl(n), s"n=$n")
+    }
+    // merge is EXACT: union the two halves' registers, prune to the
+    // combined level (the level predicates nest), compare with the
+    // whole-corpus registers
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 2 === 1)
+    val lvlAll = Sketches.sketchLevel(li.count(), 256)
+    val merged = Sketches.sketchRegisters(a, key, cents,
+        Sketches.sketchLevel(a.count(), 256))
+      .unionByName(Sketches.sketchRegisters(b, key, cents,
+        Sketches.sketchLevel(b.count(), 256)))
+      .filter(pmod(TextAnalysis.polyHashWide(col("k")),
+        lit(1L << lvlAll)) === 0)
+    val whole = Sketches.sketchRegisters(li, key, cents, lvlAll)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+    // rank accuracy: the hash sample's median estimate sits within
+    // the exact p35..p65 band (m ≈ 187-512 → rank error ~ m^-1/2)
+    val est = Sketches.sketchQuantiles(li, key, cents)
+      .select(col("q_pm"), col("est_cents")).as[(Long, Long)]
+      .collect().toMap
+    val Array(lo, hi) = li.selectExpr(
+        "percentile(l_extendedprice, 0.35) * 100",
+        "percentile(l_extendedprice, 0.65) * 100")
+      .as[(Double, Double)].head().productIterator
+      .map(_.asInstanceOf[Double]).toArray
+    assert(est(500L) >= lo && est(500L) <= hi,
+      s"p50 sketch ${est(500L)} outside exact p35..p65 [$lo, $hi]")
+    assert(est(500L) <= est(900L) && est(900L) <= est(990L))
+  }
+
   test("native GramHashes/SlidingMin ≡ the HOF reference formulation") {
     import spark.implicits._
     // edge battery: empty text, single token, fewer tokens than n,
