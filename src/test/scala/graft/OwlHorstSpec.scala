@@ -365,9 +365,12 @@ class OwlHorstSpec extends GraftSuite {
   private def checkDelete(quads: DataFrame, baseMat: DataFrame,
       deleted: DataFrame): DataFrame = {
     val inc = OwlHorst.incrementalDelete(spark, baseMat, deleted)
-    val remaining = quads.join(
-      deleted.select(col("g"), col("s"), col("p"), col("o")),
-      Seq("g", "s", "p", "o"), "left_anti")
+    // set difference, NOT a struct-keyed anti join: whole-struct join
+    // keys trip Catalyst's nested-column pruning under the full
+    // parallel suite (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — the same
+    // class the engine-side tripSemiJoin flattening works around)
+    val remaining = quads.except(
+      deleted.select(col("g"), col("s"), col("p"), col("o")))
     val full = OwlHorst.materialize(spark, remaining)
     def key(df: DataFrame) = df.select(col("g"), col("s")("lex"),
       col("p")("lex"), col("o")("lex")).distinct()
