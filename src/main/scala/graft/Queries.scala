@@ -98,6 +98,29 @@ object Queries {
              GROUP BY 1),
       t3 AS MATERIALIZED (SELECT pr, n FROM p3 ORDER BY n DESC, pr ASC LIMIT 1)"""
 
+  /** DuckDB mirror of the hash-sampled quantile sketch over lineitem
+    * ([[graft.ext.Sketches.sketchQuantiles]]) — src → nn (count) →
+    * lv (level) → regs (registers) → mm (register count) → rk
+    * (ranked registers). Shared by the quantile and equi-depth
+    * oracles — extend this, don't fork copies.
+    */
+  private def duckSketchCtes: String = s"""src AS MATERIALIZED (
+        SELECT CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS k,
+               CAST(round(l_extendedprice::DOUBLE * 100) AS BIGINT) AS v
+        FROM lineitem),
+      nn AS (SELECT count(*)::BIGINT AS n FROM src),
+      lv AS (SELECT CASE WHEN n <= 256 THEN 0
+                         ELSE (${graft.ext.Sketches.floorLog2Sql("n // 257")}) + 1
+                    END AS lvl FROM nn),
+      regs AS MATERIALIZED (
+        SELECT v, k FROM src, lv
+        WHERE (${duckPh("k", 31)} * 1000000007 + ${duckPh("k", 131)})
+              % (1::BIGINT << lvl) = 0),
+      mm AS (SELECT count(*)::BIGINT AS m FROM regs),
+      rk AS MATERIALIZED (
+        SELECT v, row_number() OVER (ORDER BY v ASC, k ASC) AS r
+        FROM regs)"""
+
   /** Dense per-type hourly count grid shared by the decay/autocorr
     * gates: absent hours are TRUE ZEROS — a map-side
     * `sequence`/`explode` over each type's [first, last] hour span
@@ -423,25 +446,35 @@ object Queries {
         expr("l_orderkey * 8 + l_linenumber"),
         expr("CAST(round(l_extendedprice * 100) AS LONG)")),
       Some(s"""
-      WITH src AS (
-        SELECT CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS k,
-               CAST(round(l_extendedprice::DOUBLE * 100) AS BIGINT) AS v
-        FROM lineitem),
-      nn AS (SELECT count(*)::BIGINT AS n FROM src),
-      lv AS (SELECT CASE WHEN n <= 256 THEN 0
-                         ELSE (${graft.ext.Sketches.floorLog2Sql("n // 257")}) + 1
-                    END AS lvl FROM nn),
-      regs AS MATERIALIZED (
-        SELECT v, k FROM src, lv
-        WHERE (${duckPh("k", 31)} * 1000000007 + ${duckPh("k", 131)})
-              % (1::BIGINT << lvl) = 0),
-      mm AS (SELECT count(*)::BIGINT AS m FROM regs),
-      rk AS (SELECT v, row_number() OVER (ORDER BY v ASC, k ASC) AS r
-             FROM regs)
+      WITH $duckSketchCtes
       SELECT q_pm::BIGINT AS q_pm, n, lvl::BIGINT AS lvl, m,
              (SELECT v FROM rk WHERE r = (q_pm * m + 999) // 1000)
                AS est_cents
       FROM (VALUES (500), (900), (990)) t(q_pm), nn, lv, mm""")),
+
+    // equi-DEPTH histogram cut by the sketch's register boundaries
+    // (r15): boundaries = registers at ranks (j·m) div buckets, every
+    // corpus row buckets MAP-SIDE against the broadcast (≤ buckets−1)
+    // boundary list (1 + count of boundaries strictly below v —
+    // all-integer, duplicate-safe), counts are one combinable
+    // aggregate onto ≤ buckets keys. The equal-population cut a
+    // range-partitioner / stratified sampler reads at 100 TB, with
+    // the sketch (not a full sort) paying the boundary cost
+    Q("q_equidepth_hist", (s, dir) =>
+      graft.ext.Sketches.equiDepthHistogram(t(s, dir, "lineitem"),
+        expr("l_orderkey * 8 + l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)")),
+      Some(s"""
+      WITH $duckSketchCtes,
+      bnd AS MATERIALIZED (
+        SELECT v FROM rk, mm
+        WHERE r IN (SELECT (j * m) // 8 FROM range(1, 8) t(j), mm)
+          AND (SELECT m FROM mm) >= 8),
+      bkt AS (
+        SELECT 1 + (SELECT count(*) FROM bnd WHERE bnd.v < src.v) AS bucket
+        FROM src)
+      SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n
+      FROM bkt GROUP BY 1""")),
 
     // explicit GROUPING SETS (beyond rollup/cube): two one-dimension
     // cuts + grand total in ONE shuffle pass over the fact table

@@ -85,6 +85,22 @@ object StreamQueries {
             FROM events)
       WHERE rn = 1""")),
 
+    // CDC upsert view WITH TOMBSTONES (r15): every seventh event is a
+    // delete marker; a key whose latest op is a delete is absent, a
+    // later upsert revives it. Tombstones stay in state (O(#keys) —
+    // what makes revives replay-correct); the filter at the sink is
+    // the upsert-capable store's delete
+    Q("st_cdc_deletes", (s, dir) => StreamOps.cdcDeletesStreaming(s, dir),
+      Some("""
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+             value AS last_value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn,
+                   CASE WHEN event_id % 7 = 0 THEN 'delete'
+                        ELSE 'upsert' END AS op
+            FROM events)
+      WHERE rn = 1 AND op = 'upsert'""")),
+
     // online changepoint statistic in the stream (r14): per event
     // type, each CLOSED hour emits (count, running index rk, running
     // prefix pc, excess_scaled = rk·c − pc) — the all-integer

@@ -289,6 +289,43 @@ object Sketches {
     out.toDF("q_pm", "n", "lvl", "m", "est_cents")
   }
 
+  /** Equi-DEPTH histogram cut at the sketch's register boundaries —
+    * the equal-population sibling of the equi-width [[histogram]]
+    * (and what a range partitioner / stratified sampler reads at
+    * scale, with the sketch rather than a full sort paying the
+    * boundary cost). Boundaries = registers at ranks
+    * `(j·m) div buckets`; every corpus row buckets MAP-SIDE against
+    * the broadcast boundary list (`1 + #boundaries strictly below v` —
+    * all-integer, and duplicate boundary VALUES from distinct ranks
+    * stay separate entries so both engines count them identically);
+    * the counts are one combinable aggregate onto ≤ `buckets` keys.
+    * Fewer registers than buckets (a degenerate corpus) yields the
+    * single bucket 1 — mirrored by the oracle's m ≥ buckets guard.
+    */
+  def equiDepthHistogram(df: DataFrame, key: Column, valueCents: Column,
+      buckets: Int = 8, cap: Int = 256): DataFrame = {
+    require(buckets >= 2, "equiDepthHistogram: need at least 2 buckets")
+    val spark = df.sparkSession
+    val src = df.select(key.cast("string").as("k"),
+      valueCents.cast("long").as("v"))
+    val n = src.count()
+    val lvl = sketchLevel(n, cap)
+    val maxRegs = 8 * cap
+    val regs = sketchRegisters(src, col("k"), col("v"), lvl)
+      .orderBy(col("v").asc, col("k").asc).limit(maxRegs + 1).collect()
+    require(regs.length <= maxRegs,
+      s"equiDepthHistogram: ${regs.length} registers exceed the 8·cap bound")
+    val m = regs.length.toLong
+    val bounds: Seq[Long] =
+      if (m < buckets) Nil
+      else (1 until buckets).map(j => (j * m) / buckets)
+        .distinct.map(r => regs((r - 1).toInt).getLong(1))
+    val bucket = bounds.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when(col("v") > lit(b), 1L).otherwise(0L)
+    }
+    src.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+  }
+
   /** Cardinality estimate from a register table (driver-side — the
     * sketch is at most [[HllM]] rows by construction). Standard HLL
     * with the small-range linear-counting correction.

@@ -433,6 +433,20 @@ final class QuadStore(spark: SparkSession, dir: String) {
       .foreach(commitSegment(_, s"del-${System.nanoTime()}"))
   }
 
+  /** [[deleteData]] with DRed inference maintenance (r15): the
+    * text-form entry to [[deleteWithInference]] — parse the ground
+    * triples, tombstone them AND swap the inferred graph to its
+    * maintained state in one commit. The update-surface counterpart
+    * of the reference's internal smooth delete; plain [[deleteData]]
+    * stays the no-inference fast path for stores that never
+    * materialized.
+    */
+  def deleteDataWithInference(update: String): Unit = {
+    val dfs = parseGroundUpdate(update, "DELETE")
+      .collect { case (g, stmts) if stmts.nonEmpty => groundDf(g, stmts) }
+    dfs.reduceOption(_.unionByName(_)).foreach(deleteWithInference)
+  }
+
   /** `CLEAR GRAPH <g>` / `DROP GRAPH <g>`: tombstone the graph's
     * current contents (append-only; physical removal happens at
     * [[compact]]).

@@ -331,6 +331,37 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** CDC upsert view WITH TOMBSTONES (r15 — the delete half of
+    * [[latestPerKey]], the Debezium-convention shape): every seventh
+    * event (`event_id % 7 = 0` — a deterministic op column in lieu of
+    * a real CDC source) is a DELETE marker; the maintained view keeps
+    * each key's latest row, a key whose LATEST op is a delete is
+    * ABSENT from the output, and a later upsert revives it. The
+    * tombstone stays in state by design — that is what makes the
+    * revive ordering-correct under replay — so state is O(#keys)
+    * (the [[latestPerKey]] bound), and the output filter is where the
+    * deletion becomes visible, exactly an upsert-capable sink's
+    * semantics.
+    */
+  def cdcDeletesStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val latest = eventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_id") % 7 === 0, "delete").otherwise("upsert")
+          .as("op"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("op"),
+        col("value"))).as("last"))
+      .filter(col("last")("op") === "upsert")
+      .select(col("user_id"), col("last")("ts").as("last_ts"),
+        col("last")("event_id").as("last_event_id"),
+        col("last")("value").as("last_value"))
+    val name = s"st_cdc_del_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, latest, name, "complete",
+      availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
+    spark.table(name)
+  }
+
   final case class ScdEv(user_id: Long, ts_ns: Long, event_id: Long,
       event_type: String)
   final case class ScdOpen(event_id: Long, event_type: String,

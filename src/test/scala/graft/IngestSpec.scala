@@ -148,6 +148,10 @@ class IngestSpec extends GraftSuite {
     val before = key.collect().map(_.toSeq).toSet
     store.materializeInference()
     assert(key.collect().map(_.toSeq).toSet == before)
+    // text-form entry: DELETE DATA maintains the entailments too
+    store.deleteDataWithInference(
+      s"DELETE DATA { GRAPH <${store.versionGraph(0)}> { ex:w2 a ex:Widget . } }")
+    assert(thingTyped.isEmpty)
   }
 
   test("Graft facade: load → update → materialize → query end to end") {

@@ -810,4 +810,34 @@ class PlanQualitySpec extends GraftSuite {
       rm(dir.toFile)
     }
   }
+  test("r15 pipeline operators: map-only passes + one bounded-key exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{col, expr}
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.count()
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }.size
+    }
+    val li = graft.core.Tables(spark, sf, "lineitem")
+    // equi-depth bucketing: the register collect happens driver-side
+    // (TakeOrdered jobs); the BUCKETING pass itself is one map-side
+    // fold + ONE exchange onto <= buckets keys
+    val eq = graft.ext.Sketches.equiDepthHistogram(li,
+      expr("l_orderkey * 8 + l_linenumber"),
+      expr("CAST(round(l_extendedprice * 100) AS LONG)"))
+    assert(shuffles(eq) <= 1, "equi-depth bucketing must be one exchange")
+    // BPE encode: merge ranks inlined as literals -> one map-only
+    // replace chain + ONE exchange for the per-doc combinable counts
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val merges = graft.ext.TextAnalysis.bpeMergeSeq(docs, rounds = 2)
+    val enc = graft.ext.TextAnalysis.bpeEncodeCounts(docs, merges.map(_._1))
+    assert(shuffles(enc) <= 1, "BPE encode must be map-only + one exchange")
+    // sketch registers: a pure map-side FILTER - zero exchanges
+    val regs = graft.ext.Sketches.sketchRegisters(
+      li.select(expr("CAST(l_orderkey * 8 + l_linenumber AS STRING)").as("k"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)").as("v")),
+      col("k"), col("v"), 4)
+    assert(shuffles(regs) == 0, "sketch registers must be a map-only filter")
+  }
 }
