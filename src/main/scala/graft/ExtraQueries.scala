@@ -771,6 +771,39 @@ object ExtraQueries {
                 AS fi
             FROM d)""")),
 
+    // scene-cut detection over the PARSED AVI frames (r15): per
+    // frame, |lum_k − lum_{k−1}| > 1024 — the shot-boundary
+    // prefilter before keyframe sampling; the zero-padded final
+    // frame makes real cuts occur. All-integer, map-only per video;
+    // the oracle unnests the same 64-byte window sums the decode
+    // oracle folds and lags them
+    Q("m_avi_scenecuts", (s, dir) => {
+      import s.implicits._
+      Multimodal.aviSceneCuts(
+        Multimodal.avify(
+          Multimodal.withBinary(t(s, dir, "documents"))
+            .as[Multimodal.Media])).toDF()
+    }, Some("""
+      WITH b AS MATERIALIZED (SELECT doc_id,
+           list_transform(range(1, octet_length(encode(text))+1),
+             i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT)
+             AS tb
+         FROM documents WHERE doc_id % 89 <> 0),
+      dims AS (SELECT doc_id, tb,
+          greatest(1, (len(tb) + 63) // 64)::BIGINT AS f
+        FROM b),
+      fr AS (SELECT doc_id, tb, unnest(range(0, f)) AS k FROM dims),
+      sums AS (SELECT doc_id, k,
+          list_reduce(list_prepend(0::BIGINT,
+            tb[(64*k+1)::INT : (64*k+64)::INT]), (a,x) -> a+x) AS lum
+        FROM fr),
+      lagged AS (SELECT doc_id, k, lum,
+          lag(lum) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        FROM sums)
+      SELECT doc_id, k::BIGINT AS frame_idx, lum::BIGINT AS lum,
+             prev::BIGINT AS prev_lum, (abs(lum - prev) > 1024) AS is_cut
+      FROM lagged WHERE prev IS NOT NULL""")),
+
     Q("m_audio_segments", (s, dir) => {
       import s.implicits._
       Multimodal.audioSegments(

@@ -473,52 +473,90 @@ object Multimodal {
     * planted corrupt-magic rows) yields `valid = false` with zeroed
     * stats, never garbage and never a throw. Map-only.
     */
+  /** Spec-driven AVI parse shared by [[decodeAvi]] and
+    * [[aviSceneCuts]]: full RIFF/'AVI '/hdrl/avih/movi/'00db'
+    * validation, returning (w, h, µs-per-frame, per-frame luminance
+    * sums) — None on any violated invariant (the decode gate's
+    * corrupt-magic rejection class).
+    */
+  private def parseAviFrames(m: Media): Option[(Long, Long, Long, Array[Long])] = {
+    val p = m.payload
+    def u8(off: Int): Long = p(off) & 0xffL
+    def le32(off: Int): Long =
+      u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
+    def magic(off: Int, s: String): Boolean =
+      p.length >= off + 4 && s.getBytes("US-ASCII").zipWithIndex
+        .forall { case (b, i) => p(off + i) == b }
+    if (p.length < 100 || !magic(0, "RIFF") || !magic(8, "AVI ") ||
+      !magic(12, "LIST") || !magic(20, "hdrl") || !magic(24, "avih") ||
+      !magic(88, "LIST") || !magic(96, "movi")) None
+    else {
+      val w = le32(64); val h = le32(68)
+      val frames = le32(48)
+      val upf = le32(32)
+      val fsz = w * h
+      val headerOk = le32(4) == p.length - 8 && le32(16) == 68 &&
+        le32(28) == 56 && le32(56) == 1 &&
+        w > 0 && h > 0 && w <= 4096 && h <= 4096 &&
+        upf > 0 && frames > 0 && frames <= 1000000 &&
+        le32(92) == 4 + frames * (8 + fsz) &&
+        p.length == 100 + frames * (8 + fsz)
+      if (!headerOk) None
+      else {
+        val sums = new Array[Long](frames.toInt)
+        var framesOk = true
+        var f = 0L
+        while (f < frames && framesOk) {
+          val base = (100 + f * (8 + fsz)).toInt
+          if (!magic(base, "00db") || le32(base + 4) != fsz) framesOk = false
+          else {
+            var s = 0L
+            var i = 0
+            while (i < fsz) { s += u8(base + 8 + i); i += 1 }
+            sums(f.toInt) = s
+          }
+          f += 1
+        }
+        if (!framesOk) None else Some((w, h, upf, sums))
+      }
+    }
+  }
+
   def decodeAvi(media: Dataset[Media]): Dataset[AviMeta] = {
     import media.sparkSession.implicits._
     media.map { m =>
-      val p = m.payload
-      def u8(off: Int): Long = p(off) & 0xffL
-      def le32(off: Int): Long =
-        u8(off) | (u8(off + 1) << 8) | (u8(off + 2) << 16) | (u8(off + 3) << 24)
-      def magic(off: Int, s: String): Boolean =
-        p.length >= off + 4 && s.getBytes("US-ASCII").zipWithIndex
-          .forall { case (b, i) => p(off + i) == b }
-      def bad = AviMeta(m.doc_id, 0, 0, 0, 0, 0, 0, 0, valid = false)
-      if (p.length < 100 || !magic(0, "RIFF") || !magic(8, "AVI ") ||
-        !magic(12, "LIST") || !magic(20, "hdrl") || !magic(24, "avih") ||
-        !magic(88, "LIST") || !magic(96, "movi")) bad
-      else {
-        val w = le32(64); val h = le32(68)
-        val frames = le32(48)
-        val upf = le32(32)
-        val fsz = w * h
-        val headerOk = le32(4) == p.length - 8 && le32(16) == 68 &&
-          le32(28) == 56 && le32(56) == 1 &&
-          w > 0 && h > 0 && w <= 4096 && h <= 4096 &&
-          upf > 0 && frames > 0 && frames <= 1000000 &&
-          le32(92) == 4 + frames * (8 + fsz) &&
-          p.length == 100 + frames * (8 + fsz)
-        if (!headerOk) bad
-        else {
-          var lum = 0L; var peak = 0L
-          var framesOk = true
-          var f = 0L
-          while (f < frames && framesOk) {
-            val base = (100 + f * (8 + fsz)).toInt
-            if (!magic(base, "00db") || le32(base + 4) != fsz) framesOk = false
-            else {
-              var s = 0L
-              var i = 0
-              while (i < fsz) { s += u8(base + 8 + i); i += 1 }
-              lum += s
-              if (s > peak) peak = s
-            }
-            f += 1
+      parseAviFrames(m) match {
+        case None => AviMeta(m.doc_id, 0, 0, 0, 0, 0, 0, 0, valid = false)
+        case Some((w, h, upf, sums)) =>
+          AviMeta(m.doc_id, w, h, sums.length.toLong, upf,
+            sums.length.toLong * upf / 1000, sums.sum, sums.max,
+            valid = true)
+      }
+    }
+  }
+
+  final case class AviCut(doc_id: Long, frame_idx: Long, lum: Long,
+      prev_lum: Long, is_cut: Boolean)
+
+  /** SCENE-CUT detection over the PARSED frames (r15): per frame
+    * k ≥ 1, emit its luminance sum, the previous frame's, and the
+    * cut verdict `|lum_k − lum_{k−1}| > threshold` — the shot-
+    * boundary prefilter every video curation pipeline runs before
+    * sampling keyframes. All-integer; map-only (each video's frame
+    * walk happens inside one task, frames bounded by payload/fsz);
+    * invalid containers drop, as in the decode gate.
+    */
+  def aviSceneCuts(media: Dataset[Media],
+      threshold: Long = 1024L): Dataset[AviCut] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      parseAviFrames(m) match {
+        case None => Iterator.empty
+        case Some((_, _, _, sums)) =>
+          (1 until sums.length).iterator.map { k =>
+            AviCut(m.doc_id, k.toLong, sums(k), sums(k - 1),
+              math.abs(sums(k) - sums(k - 1)) > threshold)
           }
-          if (!framesOk) bad
-          else AviMeta(m.doc_id, w, h, frames, upf,
-            frames * upf / 1000, lum, peak, valid = true)
-        }
       }
     }
   }
