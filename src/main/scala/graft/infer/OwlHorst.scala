@@ -61,6 +61,11 @@ object OwlHorst {
   val deltaSeedRuns = new java.util.concurrent.atomic.AtomicLong
   val dredDeletes = new java.util.concurrent.atomic.AtomicLong
   val dredAxiomFallbacks = new java.util.concurrent.atomic.AtomicLong
+  /** Incremental paths that hit a round cap before convergence and
+    * surrendered to the full close (r16: the caps FAIL SAFE — an
+    * unconverged taint/delta fixpoint never commits a partial result).
+    */
+  val capFallbacks = new java.util.concurrent.atomic.AtomicLong
 
   final case class Ontology(
       subClassOf: Seq[(String, String)],
@@ -807,7 +812,9 @@ object OwlHorst {
     // per round for nothing (driver-known members only; past the cap
     // the hammer re-fires, correct but slower)
     var hammered = Set.empty[String]
-    while (grew && rounds < 16) {
+    val taintCap =
+      sys.props.getOrElse("graft.infer.taint.max.rounds", "16").toInt
+    while (grew && rounds < taintCap) {
       rounds += 1
       val t0 = System.nanoTime()
       var concls = Seq.empty[DataFrame]
@@ -895,9 +902,19 @@ object OwlHorst {
         delta = fresh
       }
     }
-    if (grew) System.err.println(
-      "[owlhorst-dred] WARNING: taint fixpoint stopped at the 16-round " +
-        "cap before convergence — overdelete may be incomplete")
+    if (grew) {
+      // FAIL SAFE (r16): an unconverged taint set under-deletes — the
+      // committed inferred plane would silently keep dead entailments.
+      // Surrender the incremental path and re-close the post-delete
+      // world (correct by construction, just slower).
+      System.err.println(s"[owlhorst-dred] taint fixpoint hit the " +
+        s"$taintCap-round cap before convergence — falling back to full " +
+        "re-materialization")
+      capFallbacks.incrementAndGet()
+      (tpBase.values.toSeq :+ twoPremBase :+ blockSlice)
+        .foreach(_.unpersist(blocking = false))
+      return materialize(spark, remainingExplicit)
+    }
     // ---- phase 2: REDERIVE SEED --------------------------------------
     mark("taint loop")
     val remainingInferred =
@@ -1052,6 +1069,13 @@ object OwlHorst {
     // emission whose rows the novelty anti-join then discarded.
     var preClosed = !needP12
     var reseed: Option[DataFrame] = None
+    // driver-known POST-delete pairs for the expansion rederive below:
+    // with no tainted sameAs row the pre-delete pairs are still valid
+    // (the sameAs plane is untouched); a targeted reseed swaps the
+    // affected classes' pairs for the re-clustered ones. None = pair
+    // set not driver-known (distributed CC branch).
+    var validPairs: Option[Seq[(String, String)]] =
+      if (needP12) None else driverPairs
     if (needP12) driverPairs match {
       case Some(prePairs) if sameEnds.length <= 1000 =>
         val ends = sameEnds.toSet
@@ -1088,12 +1112,75 @@ object OwlHorst {
           reseed = Some(sExp.unionByName(oExp).unionByName(prs)
             .distinct().localCheckpoint())
         }
+        // post-delete pairs: unaffected classes keep their pre-delete
+        // pairs; the affected classes' pairs come from the re-cluster
+        // (uf2 only ever unions members of m — tainted sameAs rows
+        // have both endpoints in the affected classes)
+        validPairs = Some(prePairs.filterNot(pr => m(pr._1)) ++ uf2.crossPairs)
         preClosed = true
       case _ => () // distributed or oversized taint: full re-expansion
     }
-    val seed2 = reseed match {
-      case None => seed
-      case Some(r) => seed.unionByName(r).distinct().localCheckpoint()
+    // ---- expansion rederive (r16) ------------------------------------
+    // A tainted statement may be restorable ONLY as the sameAs-expansion
+    // of a SURVIVING statement (delete `m qsub y` with `x q y` explicit
+    // and `x sameAs m`: the tainted (m,q,y) has no dispatch/transitive/
+    // two-premise rederivation — its qsub premise died — but remains the
+    // expansion of (x,q,y)). With equivPreClosed the reinsert run never
+    // re-expands the remaining world, so seed the ONE-STEP expansion of
+    // remaining rows under the valid post-delete pairs, intersected with
+    // the taint set; run()'s per-round delta expansion then restores the
+    // rest of the orbit (mixed-endpoint variants are themselves tainted,
+    // so novelty never blocks them). Pairs prune to those targeting a
+    // tainted endpoint — a taint touching no equivalence class skips
+    // this entirely (the common delete).
+    var expSeed: Option[DataFrame] = None
+    if (preClosed) {
+      val taintEndHead = taintAll.select(col("s")("lex").as("m"))
+        .unionByName(taintAll.select(col("o")("lex").as("m")))
+        .distinct().limit(10001).collect()
+      val taintEnds: Option[Set[String]] =
+        if (taintEndHead.length > 10000) None
+        else Some(taintEndHead.map(_.getString(0)).toSet)
+      def expandInto(pdf: DataFrame): DataFrame = {
+        val sE = remaining.join(pdf, remaining("s")("lex") === pdf("from"))
+          .select(Rdf.iri(pdf("to")).as("s"), remaining("p").as("p"),
+            remaining("o").as("o"))
+        val oE = remaining.join(pdf, remaining("o")("lex") === pdf("from"))
+          .select(remaining("s").as("s"), remaining("p").as("p"),
+            Rdf.iri(pdf("to")).as("o"))
+        tripSemiJoin(sE.unionByName(oE), taintAll, "left_semi", hintBc = true)
+          .distinct().localCheckpoint()
+      }
+      validPairs match {
+        case Some(vp) =>
+          val rel = taintEnds match {
+            case Some(te) => vp.filter(pr => te(pr._2))
+            case None => vp // taint endpoints over the cap: keep all
+          }
+          if (rel.nonEmpty)
+            expSeed = Some(expandInto(broadcast(rel.toDF("from", "to"))))
+        case None => taintEnds match {
+          // distributed pre-delete pairs with NO tainted sameAs row
+          // (the only preClosed route without driver pairs): prune the
+          // pair table to tainted endpoints — taint-bounded, so the
+          // pruned table broadcasts
+          case Some(te) if te.nonEmpty =>
+            val rel = basePairs.get
+              .join(broadcast(te.toSeq.toDF("m")),
+                col("to") === col("m"), "left_semi")
+              .localCheckpoint()
+            if (!rel.isEmpty) expSeed = Some(expandInto(broadcast(rel)))
+          case _ =>
+            // tainted endpoints not driver-collectable: surrender the
+            // fast path — run()'s full round-1 re-expansion restores
+            // any expansion-only survivors (correct, slower)
+            preClosed = false
+        }
+      }
+    }
+    val seed2 = (Seq(seed) ++ reseed ++ expSeed) match {
+      case Seq(s0) => s0
+      case ss => ss.reduce(_.unionByName(_)).distinct().localCheckpoint()
     }
     // ---- phase 3: REINSERT -------------------------------------------
     val afterDelete = remainingExplicit.unionByName(
@@ -1192,7 +1279,11 @@ object OwlHorst {
     val derivablePreds = (rules.map(_.outP) ++ ont.transitive ++
       Seq(RdfType, "owl:sameAs")).distinct
     val dbg = sys.env.contains("GRAFT_INFER_DEBUG")
-    while (grew && rounds < 16) {
+    val roundCap =
+      if (seed eq quads)
+        sys.props.getOrElse("graft.infer.fullclose.max.rounds", "16").toInt
+      else sys.props.getOrElse("graft.infer.delta.max.rounds", "16").toInt
+    while (grew && rounds < roundCap) {
       rounds += 1
       val t0 = System.nanoTime()
       var equivChanged = false
@@ -1288,9 +1379,23 @@ object OwlHorst {
         freshes :+= fresh
       }
     }
-    if (grew) System.err.println(
-      "[owlhorst] WARNING: fixpoint stopped at the 16-round cap before " +
-        "convergence — materialization may be incomplete")
+    if (grew) {
+      // FAIL SAFE (r16): never return a partial closure. A delta-seeded
+      // run surrenders to the full close (semi-naive is an optimization,
+      // not a semantics change); the full close itself failing to
+      // converge is a contract violation — fail loud, same discipline as
+      // every other operator's raise_error guards.
+      if (seed eq quads) throw new IllegalStateException(
+        s"[owlhorst] fixpoint did not converge within $roundCap rounds — " +
+          "materialization would be incomplete (raise " +
+          "-Dgraft.infer.fullclose.max.rounds for genuinely deeper rule " +
+          "cascades)")
+      System.err.println(s"[owlhorst] delta fixpoint hit the " +
+        s"$roundCap-round cap before convergence — falling back to a " +
+        "full close")
+      capFallbacks.incrementAndGet()
+      return doRun(spark, quads, quads)
+    }
     // the inferred set is exactly the union of the per-round deltas
     // (each is `except`-disjoint from everything before it) plus any
     // PRIOR inferred rows still absent from the explicit statements —

@@ -539,6 +539,117 @@ class OwlHorstSpec extends GraftSuite {
     assert(OwlHorst.fullCloseRuns.get() == fullBefore + 1)
   }
 
+  test("DRed: tainted row restorable only by expansion of a survivor") {
+    // delete `m qsub y` where qsub ⊑ q, `x q y` explicit, `x sameAs m`:
+    // the tainted (m,q,y) has NO dispatch rederivation (its qsub premise
+    // died) but remains derivable as the sameAs-expansion of the
+    // surviving explicit (x,q,y). No sameAs row is tainted, so the
+    // pre-r16 fast path (preClosed=true, no expansion rederive) lost it.
+    val quads = iriQuads(Seq(
+      ("ex:qsub", "rdfs:subPropertyOf", "ex:q"),
+      ("ex:x", "ex:q", "ex:y"),
+      ("ex:x", "owl:sameAs", "ex:m"),
+      ("ex:m", "ex:qsub", "ex:y")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("p")("lex") === "ex:qsub")
+    val inc = checkDelete(quads, baseMat, del)
+    assert(spo(inc)(("ex:m", "ex:q", "ex:y")),
+      "expansion of the surviving (x,q,y) must be rederived")
+    assert(!spo(inc).exists(r => r._2 == "ex:qsub"),
+      "the deleted edge and its expansions must retract")
+  }
+
+  test("DRed: expansion-restorable row in a class disjoint from tainted sameAs") {
+    // same shape, but the delete ALSO splits an UNRELATED sameAs class
+    // {a,b}: needP12=true takes the targeted-reseed path, which only
+    // re-expands the affected {a,b} members — the restorable (m,q,y)
+    // lives in the untouched {x,m} class and needs the r16 expansion
+    // rederive under the surviving pre-delete pairs.
+    val quads = iriQuads(Seq(
+      ("ex:qsub", "rdfs:subPropertyOf", "ex:q"),
+      ("ex:x", "ex:q", "ex:y"),
+      ("ex:x", "owl:sameAs", "ex:m"),
+      ("ex:m", "ex:qsub", "ex:y"),
+      ("ex:a", "owl:sameAs", "ex:b"),
+      ("ex:a", "ex:q", "ex:c")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("p")("lex") === "ex:qsub" ||
+      (col("s")("lex") === "ex:a" && col("p")("lex") === "owl:sameAs"))
+    val inc = checkDelete(quads, baseMat, del)
+    assert(spo(inc)(("ex:m", "ex:q", "ex:y")),
+      "untouched-class expansion of the surviving (x,q,y) must be rederived")
+    assert(!spo(inc).exists(r => r._1 == "ex:b" || r._3 == "ex:b"),
+      "the split class's expansions must retract")
+  }
+
+  test("DRed: expansion-only rederivation with distributed (forced-CC) pairs") {
+    val quads = iriQuads(Seq(
+      ("ex:qsub", "rdfs:subPropertyOf", "ex:q"),
+      ("ex:x", "ex:q", "ex:y"),
+      ("ex:x", "owl:sameAs", "ex:m"),
+      ("ex:m", "ex:qsub", "ex:y")))
+    sys.props("graft.sameas.broadcast.limit") = "0"
+    try {
+      val baseMat = OwlHorst.materialize(spark, quads)
+      val del = quads.filter(col("p")("lex") === "ex:qsub")
+      val inc = checkDelete(quads, baseMat, del)
+      assert(spo(inc)(("ex:m", "ex:q", "ex:y")))
+    } finally sys.props.remove("graft.sameas.broadcast.limit")
+  }
+
+  test("cap fail-safe: taint fixpoint at the round cap re-materializes") {
+    // x:A with A⊑B⊑C needs two taint rounds (x:B then x:C); cap 1 must
+    // NOT commit the partial taint — it surrenders to a full re-close
+    // of the post-delete world (r16: the caps fail safe, never silent)
+    val quads = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      (":B", "rdfs:subClassOf", ":C"),
+      ("i:1", "rdf:type", ":A"),
+      ("i:2", "rdf:type", ":A")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    sys.props("graft.infer.taint.max.rounds") = "1"
+    try {
+      val before = OwlHorst.capFallbacks.get()
+      val inc = checkDelete(quads, baseMat,
+        quads.filter(col("s")("lex") === "i:1"))
+      assert(OwlHorst.capFallbacks.get() == before + 1)
+      assert(!spo(inc).exists(_._1 == "i:1"))
+      assert(spo(inc)(("i:2", "rdf:type", ":C")))
+    } finally sys.props.remove("graft.infer.taint.max.rounds")
+  }
+
+  test("cap fail-safe: delta insert fixpoint at the round cap full-closes") {
+    val schema = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      (":B", "rdfs:subClassOf", ":C"),
+      ("i:0", "rdf:type", ":C")))
+    val baseMat = OwlHorst.materialize(spark, schema)
+    val delta = iriQuads(Seq(("i:1", "rdf:type", ":A")))
+    sys.props("graft.infer.delta.max.rounds") = "1"
+    try {
+      val before = OwlHorst.capFallbacks.get()
+      val inc = OwlHorst.incremental(spark, baseMat, delta)
+      assert(OwlHorst.capFallbacks.get() == before + 1)
+      assert(spo(inc)(("i:1", "rdf:type", ":C")),
+        "the full-close fallback must finish the cascade the capped " +
+          "delta fixpoint could not")
+    } finally sys.props.remove("graft.infer.delta.max.rounds")
+  }
+
+  test("cap fail-safe: unconverged full close fails loud") {
+    val quads = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      (":B", "rdfs:subClassOf", ":C"),
+      ("i:1", "rdf:type", ":A")))
+    sys.props("graft.infer.fullclose.max.rounds") = "1"
+    try {
+      val ex = intercept[IllegalStateException] {
+        OwlHorst.materialize(spark, quads).count()
+      }
+      assert(ex.getMessage.contains("did not converge"))
+    } finally sys.props.remove("graft.infer.fullclose.max.rounds")
+  }
+
   test("DRed: axiom delete falls back to full re-materialization") {
     val quads = TpchRdf.graphDf(spark, sf)
     val del = quads.filter(col("s")("lex") === ":Nation" &&
