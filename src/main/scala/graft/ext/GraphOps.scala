@@ -308,7 +308,12 @@ object GraphOps {
       else {
         val prev = visited
         visited = visited.unionByName(next).localCheckpoint()
-        prev.unpersist(blocking = false)
+        // never drop the SEED layer's blocks mid-run (first iteration:
+        // prev eq layers.head): the empty-deltas fallback and the final
+        // release sweep still reference it, and a localCheckpoint leaf
+        // cannot be recomputed once its blocks are gone (r16, ADVICE).
+        // It is released exactly once, in the end-of-run sweep.
+        if (!(prev eq layers.head)) prev.unpersist(blocking = false)
         layers :+= next
       }
     }

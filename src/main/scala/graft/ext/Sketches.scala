@@ -310,6 +310,11 @@ object Sketches {
       valueCents.cast("long").as("v"))
     val n = src.count()
     val lvl = sketchLevel(n, cap)
+    // same hash-width bound as sketchQuantiles (r16, ADVICE): past 40
+    // bits the level predicate degenerates (only hash==0 rows pass) and
+    // the register set silently collapses to a near-single bucket
+    require(lvl <= 40,
+      s"equiDepthHistogram: level $lvl exceeds the 40-bit hash-width bound")
     val maxRegs = 8 * cap
     val regs = sketchRegisters(src, col("k"), col("v"), lvl)
       .orderBy(col("v").asc, col("k").asc).limit(maxRegs + 1).collect()

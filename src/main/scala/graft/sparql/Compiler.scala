@@ -2971,7 +2971,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         // the serialized incremental partition scale-up — the round-7
         // lesson — so the count stays a full, now-cheap, leaf count.)
         val keysCk = keys.localCheckpoint()
-        if (keysCk.count() > 1000) return None
+        if (keysCk.count() > 1000) {
+          // release the oversized frame's cached partitions NOW — the
+          // bail path is exactly where the leaf is big (r16, ADVICE);
+          // the success leaf is <=1000 rows and GC-collected
+          keysCk.unpersist(blocking = false)
+          return None
+        }
         keysCk.crossJoin(lr)
     }
     def lVal(v: String): Column =
@@ -3069,7 +3075,13 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         // inside the main plan. (Plain count, not a CollectLimit
         // probe — the round-7 serialized-scale-up lesson.)
         val keysCk = keys.localCheckpoint()
-        if (keysCk.count() > 1000) return None
+        if (keysCk.count() > 1000) {
+          // release the oversized frame's cached partitions NOW — the
+          // bail path is exactly where the leaf is big (r16, ADVICE);
+          // the success leaf is <=1000 rows and GC-collected
+          keysCk.unpersist(blocking = false)
+          return None
+        }
         keysCk.crossJoin(lr)
     }
     // an l var's value on a cand row: the outer key wins where joined
@@ -3394,7 +3406,11 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         // localCheckpoint feeds both the bound count and the join —
         // no second distinct inside the main plan
         val keysCk = keys.localCheckpoint()
-        if (keysCk.count() > 1000) return None
+        if (keysCk.count() > 1000) {
+          // same oversized-frame release as the semi-join guard above
+          keysCk.unpersist(blocking = false)
+          return None
+        }
         if (emptyGroup) keysCk.join(idM, lit(true), "left_outer")
         else keysCk.crossJoin(idM)
     }

@@ -154,6 +154,25 @@ class IngestSpec extends GraftSuite {
     assert(thingTyped.isEmpty)
   }
 
+  test("deleteWithInference fails loudly on a never-materialized store") {
+    val d = Files.createTempDirectory("qsguard")
+    Files.writeString(d.resolve("o.ttl"), """
+      ex:Widget rdfs:subClassOf ex:Thing .
+      ex:w1 a ex:Widget .
+    """)
+    val store = new QuadStore(spark, d.resolve("store").toString)
+    store.loadVersion(Seq(d.resolve("o.ttl").toString))
+    // no materializeInference(): DRed over a non-fixpoint base would
+    // commit a partial inferred graph — the store must refuse
+    val ex = intercept[IllegalStateException] {
+      store.deleteWithInference(store.snapshot()
+        .filter(col("s")("lex") === "ex:w1"))
+    }
+    assert(ex.getMessage.contains("materializeInference"))
+    // nothing was committed by the refused call
+    assert(store.snapshot().filter(col("s")("lex") === "ex:w1").count() == 1)
+  }
+
   test("Graft facade: load → update → materialize → query end to end") {
     val d = Files.createTempDirectory("facade")
     Files.writeString(d.resolve("o.ttl"), """
