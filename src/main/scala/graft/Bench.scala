@@ -128,7 +128,45 @@ object Bench {
     // is absent (e.g. a different working directory).
     val canaryRefDefault = Map(
       "q1_agg" -> 0.27, "t_bigram_nll" -> 3.00, "s_int8_rescore" -> 0.75)
-    val canaryRef: Map[String, Double] =
+    // ---- I/O canaries (r16, the r15 verdict's #3): the CPU canaries
+    // miss an I/O-side ambient component (three same-tree r15 benches
+    // spread 138.8→174.6 s while the CPU ratio explained only part;
+    // the st_* family and t_sparse_cosine were the tell). Two fixed,
+    // sf-independent probes measured med-3 right after the CPU
+    // canaries: a parquet write+read round-trip (file-system
+    // throughput) and a tiny availableNow stream (state-store commit +
+    // checkpoint WAL latency — the st_* cost shape). Reported as a
+    // SEPARATE io_canary_ratio so an ambiguous total adjudicates from
+    // the artifact alone: compute gates scale with canary_ratio,
+    // streaming/scan gates with io_canary_ratio.
+    val ioCanaryRefDefault = Map(
+      "io_parquet_rt" -> 1.0, "io_stream_commit" -> 2.0)
+    def ioParquetRt(): Unit = {
+      val dir = Files.createTempDirectory("graft-io-canary-pq")
+      try {
+        val p = dir.resolve("p").toString
+        spark.range(2000000L)
+          .selectExpr("id", "id * 7 % 1000 AS k", "cast(id as string) AS s")
+          .write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).selectExpr("sum(k)", "count(s)").count()
+      } finally deleteRecursively(dir)
+    }
+    def ioStreamCommit(): Unit = {
+      val dir = Files.createTempDirectory("graft-io-canary-st")
+      try {
+        val in = dir.resolve("in").toString
+        spark.range(1000L).selectExpr("id AS v").write.parquet(in)
+        val q = spark.readStream.schema("v long").parquet(in)
+          .selectExpr("v % 10 AS b").groupBy("b").count()
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(s"io_canary_${System.nanoTime()}")
+          .option("checkpointLocation", dir.resolve("ck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally deleteRecursively(dir)
+    }
+    val refFile: Map[String, Double] =
       scala.util.Try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("tools/canary_ref.json")))
@@ -137,9 +175,18 @@ object Bench {
           // the file may carry numeric metadata (loadavg, date parts)
           // beside the gate entries — only the known canary gate
           // names are schedulable; anything else is NOT a gate
-          .filter { case (k, _) => canaryRefDefault.contains(k) }
+          .filter { case (k, _) =>
+            canaryRefDefault.contains(k) || ioCanaryRefDefault.contains(k) }
           .toMap
-      }.toOption.filter(_.nonEmpty).getOrElse(canaryRefDefault)
+      }.toOption.getOrElse(Map.empty)
+    val canaryRef: Map[String, Double] = {
+      val m = refFile.filter { case (k, _) => canaryRefDefault.contains(k) }
+      if (m.nonEmpty) m else canaryRefDefault
+    }
+    val ioCanaryRef: Map[String, Double] = {
+      val m = refFile.filter { case (k, _) => ioCanaryRefDefault.contains(k) }
+      if (m.nonEmpty) m else ioCanaryRefDefault
+    }
     val canary: Map[String, Double] =
       if (only.nonEmpty || !sfDir.contains("sf0.1")) Map.empty
       else canaryRef.keys.toSeq.sorted.map { n =>
@@ -155,11 +202,27 @@ object Bench {
       if (canary.isEmpty) -1.0
       else math.exp(canary.map { case (n, v) =>
         math.log(v / canaryRef(n)) }.sum / canary.size)
-    val canaryJson = canary.toSeq.sorted
+    val ioCanary: Map[String, Double] =
+      if (canary.isEmpty) Map.empty
+      else Map("io_parquet_rt" -> ioParquetRt _,
+          "io_stream_commit" -> ioStreamCommit _).toSeq.sortBy(_._1).map {
+        case (n, f) =>
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+          }
+          System.err.println(
+            s"[bench] canary $n reps=[${ts.map(fmt).mkString(",")}]")
+          n -> ts.sorted.apply(1)
+      }.toMap
+    val ioCanaryRatio =
+      if (ioCanary.isEmpty) -1.0
+      else math.exp(ioCanary.map { case (n, v) =>
+        math.log(v / ioCanaryRef(n)) }.sum / ioCanary.size)
+    val canaryJson = (canary ++ ioCanary).toSeq.sorted
       .map { case (n, v) => s"\"" + n + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     if (sys.env.get("SPARK_GRAFT_CANARY_ONLY").contains("1")) {
-      println(s"""{"metric":"canary","canary_ratio":${fmt(canaryRatio)},"canary":$canaryJson,"warmup_sec":${fmt(warmup)},"loadavg_before":$loadBefore,"sf":"$sfDir"}""")
+      println(s"""{"metric":"canary","canary_ratio":${fmt(canaryRatio)},"io_canary_ratio":${fmt(ioCanaryRatio)},"canary":$canaryJson,"warmup_sec":${fmt(warmup)},"loadavg_before":$loadBefore,"sf":"$sfDir"}""")
       spark.stop(); storeDir.foreach(deleteRecursively); return
     }
     // Gates run GROUPED BY FAMILY (fixed order) so family-scoped shared
@@ -222,14 +285,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmup)},"reps":$reps,"canary_ratio":${fmt(canaryRatio)},"canary":$canaryJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmup)},"reps":$reps,"canary_ratio":${fmt(canaryRatio)},"io_canary_ratio":${fmt(ioCanaryRatio)},"canary":$canaryJson,"queries":$qs,"sf":"$sfDir"}""")
     // loadavg_* are /proc/loadavg snapshots (box busyness at bench
     // start/end), NOT engine load-phase timings — the engine's bulk
     // load + compact + encode + inference cost is warmup_sec. Named
     // explicitly after the r10 "load_before 2.43->6.45" reading, which
     // was ambient box load, not a load-path regression (warmup was
     // flat 51.8->52.0 s).
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmup)},"reps":$reps,"n_queries":${results.size},"foreign_jvms":${foreign.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"canary_ratio":${fmt(canaryRatio)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","warmup_sec":${fmt(warmup)},"reps":$reps,"n_queries":${results.size},"foreign_jvms":${foreign.size},"loadavg_before":$loadBefore,"loadavg_after":$loadAfter,"canary_ratio":${fmt(canaryRatio)},"io_canary_ratio":${fmt(ioCanaryRatio)},"sf":"$sfDir"}""")
     spark.stop()
     // the compacted-store warmup copy is dataset-sized — leaving it
     // accumulates a full parquet copy per bench run in /tmp

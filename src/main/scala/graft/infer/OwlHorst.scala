@@ -851,15 +851,40 @@ object OwlHorst {
     while (grew && rounds < taintCap) {
       rounds += 1
       val t0 = System.nanoTime()
+      // ---- per-round branch pruning (r16): the delta is a tiny
+      // checkpointed leaf, so ONE driver collect of its (s,p,o) lexes
+      // prunes the round's plan EXACTLY — a rule family whose match
+      // predicate is absent from the delta cannot fire this round, a
+      // transitive property with no tainted row contributes nothing,
+      // and the expansion joins need a delta endpoint inside an
+      // equivalence class. The r15 profile showed the per-round cost
+      // was the full 11-branch plan's compilation + jobs on ~0 rows,
+      // not data. Past 1000 rows the pruning degrades to all branches
+      // (correct, slower).
+      val deltaHead = delta
+        .select(col("s")("lex"), col("p")("lex"), col("o")("lex"))
+        .limit(1001).collect()
+      val (deltaPreds, deltaEnds): (Set[String], Set[String]) =
+        if (deltaHead.length > 1000) (null, null)
+        else (deltaHead.map(_.getString(1)).toSet,
+          deltaHead.flatMap(r => Seq(r.getString(0), r.getString(2))).toSet)
       var concls = Seq.empty[DataFrame]
       def emit(df: DataFrame): Unit = concls :+=
         df.select(col("s").as("s"), col("p").as("p"), col("o").as("o"))
-      // single-premise: one broadcast dispatch join over the delta
-      ruleDf.foreach(r => emit(dispatchConclusions(delta, r)))
+      // single-premise: one broadcast dispatch join over the delta,
+      // rules pruned to those whose match predicate the delta carries
+      val roundRules =
+        if (deltaPreds == null) rules
+        else rules.filter(r => deltaPreds(r.mp))
+      if (roundRules.nonEmpty)
+        emit(dispatchConclusions(delta,
+          if (roundRules eq rules) ruleDf.get
+          else broadcast(ruleTable(spark, roundRules))))
       // transitivity: base is closed, so every pair using a tainted
       // constituent (a, b) decomposes as x→a · (a,b) · b→y with both
       // flanks drawn from the closed pair set — ONE join round
-      ont.transitive.foreach { tp =>
+      ont.transitive
+        .filter(tp => deltaPreds == null || deltaPreds(tp)).foreach { tp =>
         val tdf = broadcast(delta
           .filter(col("p")("lex") === tp && col("o")("kind") =!= LIT)
           .select(col("s").as("ta"), col("o").as("tb")))
@@ -879,20 +904,34 @@ object OwlHorst {
       // two-premise with the tainted premise on EITHER side (the
       // `cur` side reads the checkpointed family slice — every
       // premise of these families has a family predicate or rdf:type)
-      twoPremiseConclusions(spark, ont, delta, twoPremBase, p12Mirror = true)
-        .foreach(emit)
+      if (deltaPreds == null ||
+          (twoPremPreds :+ RdfType).exists(deltaPreds))
+        twoPremiseConclusions(spark, ont, delta, twoPremBase, p12Mirror = true)
+          .foreach(emit)
       basePairs.foreach { ed =>
-        // sameAs expansion of the tainted delta by the pre-delete pairs
-        emit(delta.join(ed, delta("s")("lex") === ed("from"))
-          .select(Rdf.iri(ed("to")).as("s"), delta("p").as("p"),
-            delta("o").as("o")))
-        emit(delta.join(ed, delta("o")("lex") === ed("from"))
-          .select(delta("s").as("s"), delta("p").as("p"),
-            Rdf.iri(ed("to")).as("o")))
+        // sameAs expansion of the tainted delta by the pre-delete
+        // pairs — only reachable when a delta endpoint is a class
+        // member (the join's from-side), so skip the two joins
+        // otherwise (driver-known members only)
+        val expRelevant = (baseMembers, Option(deltaEnds)) match {
+          case (Some(ms), Some(de)) => de.exists(ms)
+          case _ => true
+        }
+        if (expRelevant) {
+          emit(delta.join(ed, delta("s")("lex") === ed("from"))
+            .select(Rdf.iri(ed("to")).as("s"), delta("p").as("p"),
+              delta("o").as("o")))
+          emit(delta.join(ed, delta("o")("lex") === ed("from"))
+            .select(delta("s").as("s"), delta("p").as("p"),
+              Rdf.iri(ed("to")).as("o")))
+        }
         // affected-class hammer: a tainted sameAs edge may split its
         // class — taint every INFERRED row touching the class's
         // members; phase 3's re-harvest + re-expansion restores the
         // survivors. Classes are alias-scale, so `affected` is tiny.
+        // No tainted sameAs row this round → no class can split → the
+        // hammer (and its collect probe) is skipped outright.
+        if (deltaPreds == null || deltaPreds("owl:sameAs")) {
         val tSame = delta.filter(col("p")("lex") === "owl:sameAs")
         val tmHead = tSame.select(col("s")("lex").as("m"))
           .unionByName(tSame.select(col("o")("lex").as("m"))).distinct()
@@ -913,6 +952,7 @@ object OwlHorst {
             infTrip("s")("lex") === affected("m"), "left_semi"))
           emit(infTrip.join(affected,
             infTrip("o")("lex") === affected("m"), "left_semi"))
+        }
         }
       }
       // checkpoint the (tiny) novel conclusions FIRST, then subtract
@@ -1175,12 +1215,12 @@ object OwlHorst {
       val taintEnds: Option[Set[String]] =
         if (taintEndHead.length > 10000) None
         else Some(taintEndHead.map(_.getString(0)).toSet)
-      def expandInto(pdf: DataFrame): DataFrame = {
-        val sE = remaining.join(pdf, remaining("s")("lex") === pdf("from"))
-          .select(Rdf.iri(pdf("to")).as("s"), remaining("p").as("p"),
-            remaining("o").as("o"))
-        val oE = remaining.join(pdf, remaining("o")("lex") === pdf("from"))
-          .select(remaining("s").as("s"), remaining("p").as("p"),
+      def expandInto(pdf: DataFrame, src: DataFrame): DataFrame = {
+        val sE = src.join(pdf, src("s")("lex") === pdf("from"))
+          .select(Rdf.iri(pdf("to")).as("s"), src("p").as("p"),
+            src("o").as("o"))
+        val oE = src.join(pdf, src("o")("lex") === pdf("from"))
+          .select(src("s").as("s"), src("p").as("p"),
             Rdf.iri(pdf("to")).as("o"))
         tripSemiJoin(sE.unionByName(oE), taintAll, "left_semi", hintBc = true)
           .distinct().localCheckpoint()
@@ -1191,8 +1231,19 @@ object OwlHorst {
             case Some(te) => vp.filter(pr => te(pr._2))
             case None => vp // taint endpoints over the cap: keep all
           }
-          if (rel.nonEmpty)
-            expSeed = Some(expandInto(broadcast(rel.toDF("from", "to"))))
+          if (rel.nonEmpty) {
+            // ONE scan of the remaining plane builds the (tiny)
+            // member-touching slice; both expansion joins then read
+            // the checkpointed leaf instead of re-scanning the world
+            val fromMembers = rel.map(_._1).distinct
+            val src =
+              if (fromMembers.size <= 1000)
+                remaining.filter(
+                  col("s")("lex").isin(fromMembers: _*) ||
+                    col("o")("lex").isin(fromMembers: _*)).localCheckpoint()
+              else remaining
+            expSeed = Some(expandInto(broadcast(rel.toDF("from", "to")), src))
+          }
         case None => taintEnds match {
           // distributed pre-delete pairs with NO tainted sameAs row
           // (the only preClosed route without driver pairs): prune the
@@ -1203,7 +1254,8 @@ object OwlHorst {
               .join(broadcast(te.toSeq.toDF("m")),
                 col("to") === col("m"), "left_semi")
               .localCheckpoint()
-            if (!rel.isEmpty) expSeed = Some(expandInto(broadcast(rel)))
+            if (!rel.isEmpty)
+              expSeed = Some(expandInto(broadcast(rel), remaining))
           case _ =>
             // tainted endpoints not driver-collectable: surrender the
             // fast path — run()'s full round-1 re-expansion restores
