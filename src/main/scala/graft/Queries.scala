@@ -452,6 +452,39 @@ object Queries {
                AS est_cents
       FROM (VALUES (500), (900), (990)) t(q_pm), nn, lv, mm""")),
 
+    // per-GROUP quantile sketch (r16): per-source n_chars quantiles
+    // over documents — the percentile family's sketch sibling. Levels
+    // are PER GROUP (a mega source samples deeper, never a bigger
+    // register set), the register build is one map-only filter, the
+    // driver walk bounded by groups·8·cap with loud requires
+    Q("q_sketch_group", (s, dir) =>
+      graft.ext.Sketches.sketchQuantilesByGroup(t(s, dir, "documents"),
+        col("source"), col("doc_id"), col("n_chars")),
+      Some(s"""
+      WITH srcg AS MATERIALIZED (
+        SELECT source AS g, CAST(doc_id AS VARCHAR) AS k, n_chars::BIGINT AS v
+        FROM documents),
+      ng AS MATERIALIZED (SELECT g, count(*)::BIGINT AS n FROM srcg GROUP BY 1),
+      lg AS MATERIALIZED (
+        SELECT g, n, CASE WHEN n <= 64 THEN 0
+                          ELSE (${graft.ext.Sketches.floorLog2Sql("n // 65")}) + 1
+                     END AS lvl FROM ng),
+      gregs AS MATERIALIZED (
+        SELECT s.g, s.v, s.k FROM srcg s JOIN lg ON lg.g = s.g
+        WHERE (${duckPhFor("k", 31)} * 1000000007 + ${duckPhFor("k", 131)})
+              % (1::BIGINT << lvl) = 0),
+      mg AS MATERIALIZED (SELECT g, count(*)::BIGINT AS m FROM gregs GROUP BY 1),
+      grk AS MATERIALIZED (
+        SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v ASC, k ASC) AS r
+        FROM gregs)
+      SELECT lg.g AS g, q_pm::BIGINT AS q_pm, lg.n,
+             lg.lvl::BIGINT AS lvl, coalesce(mg.m, 0)::BIGINT AS m,
+             (SELECT v FROM grk
+              WHERE grk.g = lg.g
+                AND grk.r = (q_pm * coalesce(mg.m, 0) + 999) // 1000)
+               AS est_cents
+      FROM (VALUES (500), (900)) t(q_pm), lg LEFT JOIN mg ON mg.g = lg.g""")),
+
     // equi-DEPTH histogram cut by the sketch's register boundaries
     // (r15): boundaries = registers at ranks (j·m) div buckets, every
     // corpus row buckets MAP-SIDE against the broadcast (≤ buckets−1)

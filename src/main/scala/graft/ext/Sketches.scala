@@ -289,6 +289,66 @@ object Sketches {
     out.toDF("q_pm", "n", "lvl", "m", "est_cents")
   }
 
+  /** Per-GROUP hash-sampled quantile sketch (r16, the r15 verdict's
+    * #4): the per-source sibling of [[sketchQuantiles]] — the curation
+    * pipeline's percentile family wants per-source quantiles, and the
+    * level must be PER GROUP (group sizes differ by orders of
+    * magnitude: a global level under-samples small groups to zero
+    * registers and over-samples a mega group past the driver bound).
+    * Group count is driver-bounded with a loud `require` (past
+    * `maxGroups`, rank distributed instead — the two-pass
+    * [[graft.ext.TextAnalysis]] percentile path); levels are ONE
+    * broadcast map, the register build is ONE map-only filter over the
+    * corpus (no shuffle, no per-group value buffers — skew-immune: a
+    * mega source samples at a deeper level, never a bigger register
+    * set), and the driver walk is bounded by `maxGroups·8·cap` with
+    * the same per-group loud register bound as the global sketch.
+    * Emits one row per (group, q): (g, q_pm, n, lvl, m, est_cents);
+    * a group with zero registers reports m=0, est NULL.
+    */
+  def sketchQuantilesByGroup(df: DataFrame, group: Column, key: Column,
+      valueCents: Column, cap: Int = 64,
+      qsPerMille: Seq[Int] = Seq(500, 900), maxGroups: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(group.cast("string").as("g"),
+      key.cast("string").as("k"), valueCents.cast("long").as("v"))
+    val counts = src.groupBy("g").agg(count(lit(1)).as("n"))
+      .limit(maxGroups + 1).collect()
+    require(counts.length <= maxGroups,
+      s"sketchQuantilesByGroup: over $maxGroups groups — use the " +
+        "distributed rank path for high-cardinality keys")
+    val ns = counts.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lvls = ns.map { case (g, n) => g -> sketchLevel(n, cap) }
+    lvls.values.foreach(l => require(l <= 40,
+      s"sketchQuantilesByGroup: level $l exceeds the 40-bit hash-width bound"))
+    val lvlDf = broadcast(lvls.toSeq.toDF("g", "lvl"))
+    val maxRegs = 8 * cap
+    val regs = src.join(lvlDf, "g")
+      .filter(pmod(TextAnalysis.polyHashWide(col("k")),
+        expr("shiftleft(CAST(1 AS BIGINT), lvl)")) === 0)
+      .select(col("g"), col("k"), col("v"))
+    val rows = regs.orderBy(col("g").asc, col("v").asc, col("k").asc)
+      .limit(maxGroups * maxRegs + 1).collect()
+    require(rows.length <= maxGroups * maxRegs,
+      s"sketchQuantilesByGroup: register total exceeds the groups·8·cap bound")
+    val byG = rows.groupBy(_.getString(0))
+    val out = lvls.keys.toSeq.sorted.flatMap { g =>
+      val rs = byG.getOrElse(g, Array.empty[org.apache.spark.sql.Row])
+      val m = rs.length.toLong
+      require(m <= maxRegs,
+        s"sketchQuantilesByGroup: $m registers in group '$g' exceed the " +
+          "8·cap bound")
+      qsPerMille.map { qpm =>
+        val r = (qpm * m + 999L) / 1000L
+        val est =
+          if (r >= 1 && r <= m) Some(rs((r - 1).toInt).getLong(2)) else None
+        (g, qpm.toLong, ns(g), lvls(g).toLong, m, est)
+      }
+    }
+    out.toDF("g", "q_pm", "n", "lvl", "m", "est_cents")
+  }
+
   /** Equi-DEPTH histogram cut at the sketch's register boundaries —
     * the equal-population sibling of the equi-width [[histogram]]
     * (and what a range partitioner / stratified sampler reads at

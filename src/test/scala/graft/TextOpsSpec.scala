@@ -544,6 +544,36 @@ class TextOpsSpec extends GraftSuite {
     assert(est(500L) <= est(900L) && est(900L) <= est(990L))
   }
 
+  test("per-group quantile sketch ≡ the global sketch run per group; loud cap") {
+    import spark.implicits._
+    import graft.ext.Sketches
+    val docs = graft.core.Tables(spark, sf, "documents")
+    val out = Sketches.sketchQuantilesByGroup(docs, col("source"),
+      col("doc_id"), col("n_chars")).cache()
+    val groups = docs.select(col("source").cast("string")).distinct()
+      .as[String].collect().sorted
+    assert(out.count() == groups.length * 2L)
+    // consistency law: each group's rows equal the GLOBAL sketch run
+    // on that group's slice alone (same cap/quantiles) — the per-group
+    // level and register set are exactly the slice's own
+    groups.foreach { g =>
+      val exp = Sketches.sketchQuantiles(
+          docs.filter(col("source") === g), col("doc_id"), col("n_chars"),
+          cap = 64, qsPerMille = Seq(500, 900))
+        .select("q_pm", "n", "lvl", "m", "est_cents")
+      val got = out.filter(col("g") === g)
+        .select("q_pm", "n", "lvl", "m", "est_cents")
+      assert(got.except(exp).isEmpty && exp.except(got).isEmpty, s"group $g")
+    }
+    // high-cardinality grouping fails loudly at the driver bound
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.sketchQuantilesByGroup(docs, col("doc_id"), col("doc_id"),
+        col("n_chars"), maxGroups = 10)
+    }
+    assert(ex.getMessage.contains("groups"))
+    out.unpersist()
+  }
+
   test("native GramHashes/SlidingMin ≡ the HOF reference formulation") {
     import spark.implicits._
     // edge battery: empty text, single token, fewer tokens than n,
