@@ -746,6 +746,12 @@ object TextAnalysis {
     */
   val BpeSep = "\u0001"
 
+  /** Largest merge vocabulary folded into a nested codegen-compiled
+    * replace chain by [[bpeEncodeCounts]]; past it the encode switches
+    * to the constant-depth aggregate() loop form.
+    */
+  val BpeEncodeChainMax = 32
+
   /** Greedy byte-pair-encoding merge induction, `rounds` merges: each
     * round counts adjacent symbol pairs across the corpus (combinable
     * groupBy onto the pair vocabulary), takes the argmax (count desc,
@@ -818,10 +824,28 @@ object TextAnalysis {
     */
   def bpeEncodeCounts(docs: org.apache.spark.sql.DataFrame,
       mergePairs: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val encoded = mergePairs.foldLeft(
-      concat_ws(BpeSep, split(col("w"), ""))) { (acc, pair) =>
-      replace(acc, lit(pair), lit(pair.replace(BpeSep, "")))
-    }
+    val chars = concat_ws(BpeSep, split(col("w"), ""))
+    val encoded =
+      if (mergePairs.length <= BpeEncodeChainMax)
+        // small vocabularies (the gate's depth-3 shape): a codegen'd
+        // nested replace chain, whole-stage-compiled, map-only
+        mergePairs.foldLeft(chars) { (acc, pair) =>
+          replace(acc, lit(pair), lit(pair.replace(BpeSep, "")))
+        }
+      else
+        // LOOP form (r16, the r15 verdict's #5): a real 32k-merge
+        // vocabulary would build a 32k-deep nested expression —
+        // uncompilable (codegen method limits, analyzer recursion).
+        // aggregate() folds the merge array in RANK ORDER with constant
+        // expression depth at any vocabulary size; the lambda reads
+        // only its iteration state (acc, m), so the r10 HOF
+        // re-evaluation trap does not apply. Interpreted rather than
+        // codegen'd — the per-element work (one string replace) is the
+        // operator's intrinsic cost either way. Same left-to-right
+        // non-overlapping replace semantics as the chain (TextOpsSpec
+        // pins chain ≡ loop on a 100+-merge induction).
+        aggregate(typedLit(mergePairs), chars,
+          (acc, m) => replace(acc, m, translate(m, BpeSep, "")))
     docs
       .select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("w"))

@@ -91,6 +91,54 @@ class TextOpsSpec extends GraftSuite {
     assert(got.toSeq === Seq((1L, "s1", 3L, 3L), (2L, "s2", 3L, 5L)))
   }
 
+  test("bpeEncodeCounts loop form: 100+-merge induction, loop ≡ chain ≡ driver fold") {
+    import spark.implicits._
+    import TextAnalysis.BpeSep
+    // a word of 120 DISTINCT symbols induces one productive merge per
+    // round far past the chain cap — the loop form's domain. The
+    // second doc shares prefixes so merges actually apply across docs.
+    val alpha = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      ('À' to 'ß')).take(120).mkString
+    val docs = Seq(
+      (1L, "s1", s"$alpha ${alpha.take(60)}"),
+      (2L, "s2", s"${alpha.take(30)} ${alpha.drop(3).take(40)}"))
+      .toDF("doc_id", "source", "text")
+    val merges = TextAnalysis.bpeMergeSeq(docs, rounds = 110).map(_._1)
+    assert(merges.length > TextAnalysis.BpeEncodeChainMax,
+      s"fixture must exceed the chain cap, got ${merges.length}")
+    // loop path (merges > chain cap)
+    val loop = TextAnalysis.bpeEncodeCounts(docs, merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // driver-side sequential replace fold — the induction's own
+    // rewrite semantics (rank order, left-to-right non-overlapping)
+    def ref(text: String): (Long, Long) = {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val toks = ws.map { w =>
+        val enc = merges.foldLeft(w.toCharArray.mkString(BpeSep)) {
+          (s, m) => s.replace(m, m.replace(BpeSep, ""))
+        }
+        enc.split(BpeSep).length.toLong
+      }
+      (ws.length.toLong, toks.sum)
+    }
+    val expected = Seq(1L, 2L).map { id =>
+      val t = if (id == 1L) s"$alpha ${alpha.take(60)}"
+        else s"${alpha.take(30)} ${alpha.drop(3).take(40)}"
+      val (nw, nt) = ref(t); (id, nw, nt)
+    }
+    assert(loop.toSeq === expected)
+    // and the loop form agrees with the codegen'd chain on a prefix
+    // that BOTH paths can run (chain cap merges)
+    val prefix = merges.take(TextAnalysis.BpeEncodeChainMax)
+    val viaChain = TextAnalysis.bpeEncodeCounts(docs, prefix)
+    val viaLoop = TextAnalysis.bpeEncodeCounts(docs,
+      prefix ++ Seq.fill(1)(prefix.last)) // same semantics: re-applying
+      // an already-applied merge is a no-op, but length > cap forces
+      // the loop path
+    assert(viaLoop.except(viaChain).isEmpty && viaChain.except(viaLoop).isEmpty)
+  }
+
   test("chunkWindows: stride coverage, final short window, degenerate doc") {
     import spark.implicits._
     val docs = Seq(
