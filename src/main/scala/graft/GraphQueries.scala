@@ -307,6 +307,35 @@ object GraphQueries {
       SELECT n_nationkey::BIGINT AS id, ((c-1)*(c-2)//2)::BIGINT AS triangles
       FROM nation JOIN k USING (n_regionkey) WHERE c > 1""")),
 
+    // local clustering coefficient (r16): nation cliques + customer
+    // pendants give NON-degenerate coefficients (a nation in a region
+    // of c nations with m customers: deg = c−1+m, T = C(c−1,2) — the
+    // customer edges dilute the clique). Customers have deg 1 and are
+    // excluded by the deg ≥ 2 contract on both sides
+    Q("g_local_clustering", (s, dir) => {
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk2"))
+      val cliq = n1.join(n2, col("rk") === col("rk2") && col("k1") < col("k2"))
+        .select(col("k1").cast("long").as("src"),
+          col("k2").cast("long").as("dst"))
+      GraphOps.localClustering(s,
+        cliq.unionByName(custNatEdges(s, dir)))
+    },
+      Some("""
+      WITH k AS (SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1),
+      cm AS (SELECT c_nationkey AS nk, count(*) AS m FROM customer GROUP BY 1),
+      nat AS (
+        SELECT n_nationkey::BIGINT AS id,
+               (k.c - 1 + coalesce(cm.m, 0))::BIGINT AS degree,
+               ((k.c-1)*(k.c-2)//2)::BIGINT AS triangles
+        FROM nation JOIN k USING (n_regionkey)
+        LEFT JOIN cm ON cm.nk = n_nationkey)
+      SELECT id, degree, triangles,
+             (2000000 * triangles) // (degree * (degree - 1)) AS lcc_micro
+      FROM nat WHERE degree >= 2""")),
+
     // bounded k-core peel (k=3, 6 rounds) over the part–supplier
     // bipartite graph from lineitem — the dense-subgraph extraction
     // primitive. The round count is part of the contract so the oracle

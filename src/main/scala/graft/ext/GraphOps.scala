@@ -59,6 +59,39 @@ object GraphOps {
       .toDF("id", "triangles")
   }
 
+  /** Per-vertex LOCAL CLUSTERING COEFFICIENT (r16, the r15 verdict's
+    * coverage item): lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)) over the
+    * canonical undirected simple graph, on the engine-exact integer
+    * micro plane (FLOAT_AUDIT rule): rows (id, degree, triangles,
+    * lcc_micro) for deg ≥ 2 (the coefficient is undefined below).
+    * T(v) rides GraphX TriangleCount — per-edge smaller-adjacency-set
+    * intersection, never a wedge enumeration on hubs (the same hub
+    * contract as [[triangleCount]]); degrees are one combinable count;
+    * the assembly is one join keyed by 8-byte ids.
+    */
+  def localClustering(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val canon = edges
+      .select(least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val deg = canon.select(col("src").as("id"))
+      .unionByName(canon.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = Graph.fromEdges(toEdgeRdd(canon), 0)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+      .triangleCount()
+      .vertices.map { case (id, n) => (id, n.toLong) }
+      .toDF("id", "triangles")
+    Ranks.sealAndRelease(
+      deg.filter(col("degree") >= 2)
+        .join(tri, "id")
+        .select(col("id"), col("degree"), col("triangles"),
+          expr("(2000000L * triangles) div (degree * (degree - 1L))")
+            .as("lcc_micro")),
+      canon)
+  }
+
   /** Fixed-iteration PageRank (GraphX semantics: rank = reset + (1 -
     * reset) · Σ in-contributions, contributions divided by out-degree,
     * NOT normalized). Deterministic for a fixed iteration count.

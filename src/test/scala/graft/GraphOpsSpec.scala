@@ -21,6 +21,23 @@ class GraphOpsSpec extends GraftSuite {
     assert(got.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("localClustering: triangle + pendant, duplicate/reverse edges collapse") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4 on 3; a duplicate and a reversed
+    // edge must canonicalize away. lcc(1)=lcc(2)=1 (their whole
+    // neighborhood is connected), lcc(3)=2·1/(3·2)=1/3 (the pendant
+    // dilutes), vertex 4 (deg 1) is excluded by contract
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = GraphOps.localClustering(spark, edges).orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L)))
+  }
+
   test("harmonicFromSeeds: hand-computed chain, two seeds, depth cap") {
     import spark.implicits._
     // chain 1-2-3-4-5 plus an isolated edge 10-11; seeds 1 and 10.
