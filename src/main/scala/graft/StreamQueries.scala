@@ -123,6 +123,33 @@ object StreamQueries {
              (rk*c - pc)::BIGINT AS excess_scaled
       FROM st WHERE nxt IS NOT NULL""")),
 
+    // streaming SESSIONIZATION under the oracle (r16): the
+    // flatMapGroupsWithState sessionizer (open-session + bounded
+    // late-island state, cross-batch protocol in StreamingSpec since
+    // r5) over the events stream, 30-min gap in µs ticks. CLOSED
+    // sessions only — the oracle is the batch w_sessionize
+    // construction minus each user's LAST (open) session
+    Q("st_sessionize", (s, dir) => StreamOps.sessionizeStreaming(s, dir),
+      Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      g AS (
+        SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS sid
+        FROM g),
+      agg AS (
+        SELECT user_id, sid, min(ts_us)::BIGINT AS start_us,
+               max(ts_us)::BIGINT AS end_us, count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY 1, 2),
+      mx AS (SELECT user_id, max(sid) AS msid FROM agg GROUP BY 1)
+      SELECT agg.user_id, start_us, end_us, n_events, sum_value
+      FROM agg JOIN mx USING (user_id) WHERE sid < msid""")),
+
     // SCD-2 versions maintained IN THE STREAM (r14): custom
     // flatMapGroupsWithState machine, one open version per user
     // (state O(#users)); each event closes the previous version.

@@ -446,6 +446,37 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Gate wiring for the STREAMING SESSIONIZER (r16, the r15 verdict's
+    * coverage item 7a — the [[Sessionize]] operator has carried the
+    * cross-batch protocol specs since r5; this puts it under the
+    * DuckDB oracle): events file stream → [[Sessionize.sessions]]
+    * keyed by user with the batch gate's 30-minute gap → memory sink.
+    * The tick unit is MICROSECONDS end to end (Sessionize is
+    * unit-agnostic pure arithmetic), so bounds compare exactly against
+    * the batch `epoch_us` oracle. Emits CLOSED sessions only; each
+    * user's open tail stays in state — the oracle is the batch
+    * sessionization minus every user's LAST session (the
+    * st_scd2_versions replay-equivalence pattern). State per user =
+    * one open session + the bounded late-island list.
+    */
+  def sessionizeStreaming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("ts_ms"),
+        col("value").cast("double").as("value"))
+      .as[Sessionize.Event]
+    val sess = Sessionize.sessions(evs, gapMs = 1800000000L).toDF()
+    val name = s"st_sess_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, sess, name, "append",
+      availableNow = true)
+    try q.awaitTermination() finally finishQuery(q, ckpt)
+    spark.table(name)
+      .select(col("user_id"), col("start_ms").as("start_us"),
+        col("end_ms").as("end_us"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+  }
+
   final case class RateEv(event_type: String, ts_ns: Long)
   final case class RateState(rk: Long, pc: Long, openHourNs: Long, openC: Long)
   final case class RateDrift(event_type: String, hour: java.sql.Timestamp,
