@@ -123,6 +123,22 @@ object StreamQueries {
              (rk*c - pc)::BIGINT AS excess_scaled
       FROM st WHERE nxt IS NOT NULL""")),
 
+    // keyed reservoir sample in the stream (r16): per event type the
+    // k=8 highest-hash-priority events — a deterministic, replayable
+    // fixed-size uniform sample; state O(k·#strata). The oracle is the
+    // batch top-k by the same scrambled polynomial priority
+    Q("st_reservoir_sample", (s, dir) => StreamOps.reservoirStreaming(s, dir),
+      Some(s"""
+      SELECT event_type, rk::BIGINT AS rk, event_id, prio FROM (
+        SELECT event_type, event_id::BIGINT AS event_id, prio,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY prio DESC, event_id ASC) AS rk
+        FROM (SELECT event_type, event_id,
+                     (${Queries.duckPhFor("CAST(event_id AS VARCHAR)")}
+                      * 2654435761) % 1000000007 AS prio
+              FROM events))
+      WHERE rk <= 8""")),
+
     // streaming SESSIONIZATION under the oracle (r16): the
     // flatMapGroupsWithState sessionizer (open-session + bounded
     // late-island state, cross-batch protocol in StreamingSpec since

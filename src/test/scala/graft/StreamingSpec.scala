@@ -42,6 +42,36 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming reservoir: cross-batch state keeps exactly the global top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{ResEv, ResRow}
+    // two strata, 40 events, priorities a permutation of 1..101 range;
+    // batch 1 = first 20 events, batch 2 = the rest
+    val evs = (1L to 40L).map(id =>
+      ResEv(if (id % 2 == 0) "a" else "b", id, (id * 37) % 101))
+    def topk(slice: Seq[ResEv]): Set[ResRow] =
+      slice.groupBy(_.event_type).flatMap { case (t, es) =>
+        es.sortBy(e => (-e.prio, e.event_id)).take(3).zipWithIndex
+          .map { case (e, i) => ResRow(t, i + 1L, e.event_id, e.prio) }
+      }.toSet
+    val mem = MemoryStream[ResEv]
+    val q = StreamOps.reservoirTopK(mem.toDS(), k = 3)
+      .writeStream.format("memory").queryName("res_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(evs.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(20): _*)
+      q.processAllAvailable()
+      // update mode re-emits each updated stratum's current reservoir:
+      // the table is exactly batch-1's top-k ∪ the FINAL top-k — the
+      // final sample equals the single-batch answer (state carried)
+      val got = spark.table("res_out").as[ResRow].collect().toSet
+      assert(got == topk(evs.take(20)) ++ topk(evs))
+    } finally q.stop()
+  }
+
   test("streaming SCD-2: closes versions across batches, one open per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
