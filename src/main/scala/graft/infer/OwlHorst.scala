@@ -66,6 +66,12 @@ object OwlHorst {
     * unconverged taint/delta fixpoint never commits a partial result).
     */
   val capFallbacks = new java.util.concurrent.atomic.AtomicLong
+  /** SINGLE-axiom deletes maintained incrementally (r16, the r15
+    * verdict's #6): the DRed taint seeds from the LOST compiled rules'
+    * conclusions instead of re-closing the world. Multi-axiom batches
+    * still take [[dredAxiomFallbacks]].
+    */
+  val dredAxiomIncrementals = new java.util.concurrent.atomic.AtomicLong
 
   final case class Ontology(
       subClassOf: Seq[(String, String)],
@@ -718,17 +724,7 @@ object OwlHorst {
     // small; the big plane is scanned map-only, multiplicity kept)
     val remainingExplicit =
       quadSemiJoin(explicitRows, delQuads, "left_anti", hintBc = true)
-    val deletedHasAxioms = !delQuads.filter(
-      col("p")("lex").isin(AxiomPreds: _*) ||
-        (col("p")("lex") === RdfType &&
-          col("o")("lex").isin(AxiomTypeObjects: _*))).isEmpty
     def trip(df: DataFrame) = df.select(col("s"), col("p"), col("o"))
-    if (deletedHasAxioms) {
-      dredAxiomFallbacks.incrementAndGet()
-      return fullDiffDeltas(materialize(spark, remainingExplicit),
-        trip(base.filter(col("g") === G)))
-    }
-    dredDeletes.incrementAndGet()
     val remExpl = trip(remainingExplicit)
     // triple-level deleted set: a triple removed from one graph may
     // survive asserted in another — only triples absent from the
@@ -742,9 +738,32 @@ object OwlHorst {
     val infQuads = base.filter(col("g") === G)
     if (deletedTriples.isEmpty)
       // every deleted quad survives in another graph — the triple set
-      // (and so the closure) is unchanged
+      // (and so the closure) is unchanged. An axiom quad with a
+      // surviving copy changes no ontology either — it never reaches
+      // the axiom routing below.
       return DeleteResult(remainingExplicit.unionByName(infQuads),
         delTrip.limit(0), delTrip.limit(0))
+    // axiom routing (r16, the r15 verdict's #6): a SINGLE lost axiom
+    // statement maintains incrementally — the affected rule family is
+    // known, so the DRed taint seeds from the LOST compiled rules'
+    // conclusions over the pre-delete base (doRunDelete's ontOld path)
+    // instead of re-closing the world. Multi-axiom batches keep the
+    // sanctioned full re-materialization fallback (interacting axiom
+    // deletions share one rare path with axiom INSERTS).
+    val deletedAxioms = deletedTriples.filter(
+      col("p")("lex").isin(AxiomPreds: _*) ||
+        (col("p")("lex") === RdfType &&
+          col("o")("lex").isin(AxiomTypeObjects: _*)))
+      .limit(2).collect()
+    if (deletedAxioms.length > 1) {
+      dredAxiomFallbacks.incrementAndGet()
+      return fullDiffDeltas(materialize(spark, remainingExplicit),
+        trip(infQuads))
+    }
+    val ontOld =
+      if (deletedAxioms.isEmpty) { dredDeletes.incrementAndGet(); None }
+      else { dredAxiomIncrementals.incrementAndGet()
+        Some(ontology(explicitRows)) }
     // same constraint-propagation guard window as [[run]] — the taint
     // rounds build the same deep Union-of-lineage plans
     val flagKey = "spark.sql.constraintPropagation.enabled"
@@ -752,7 +771,7 @@ object OwlHorst {
     spark.conf.set(flagKey, "false")
     try
       doRunDelete(spark, remainingExplicit, remExpl, trip(infQuads),
-        deletedTriples)
+        deletedTriples, ontOld)
     finally {
       prior match {
         case Some(v) => spark.conf.set(flagKey, v)
@@ -763,7 +782,8 @@ object OwlHorst {
 
   private def doRunDelete(spark: SparkSession, remainingExplicit: DataFrame,
       remExpl: DataFrame, infTrip: DataFrame,
-      deletedTriples: DataFrame): DeleteResult = {
+      deletedTriples: DataFrame,
+      ontOld: Option[Ontology] = None): DeleteResult = {
     import spark.implicits._
     val dbg = sys.env.contains("GRAFT_INFER_DEBUG")
     var tMark = System.nanoTime()
@@ -835,9 +855,67 @@ object OwlHorst {
         col("p")("lex") === RdfType)
       .localCheckpoint()
     mark("slices")
+    // ---- axiom-delete taint seed (r16, verdict #6) ---------------------
+    // Conclusions whose derivation used a compiled rule LOST with the
+    // deleted axiom. ontology() closes the sub-class/property planes
+    // internally, so a REDUNDANT axiom (still reachable through
+    // surviving edges) diffs to nothing here and the delete degrades to
+    // a plain instance delete. Lost single-premise rules dispatch over
+    // the pre-delete base in one broadcast join; a lost transitive
+    // typing taints the property's whole inferred plane (closure pairs
+    // — base edges are explicit and block); lost two-premise families
+    // fire full×full over the pre-delete family slice. Explicit
+    // survivors subtract against the FULL remaining explicit plane (a
+    // lost rule's output predicate may fall outside the new derivable
+    // set, so the pruned blockSlice is not enough here).
+    val axiomSeed: Option[DataFrame] = ontOld.map { oOld =>
+      def sel0(df: DataFrame) = df.select(col("s").as("s"),
+        col("p").as("p"), col("o").as("o"))
+      var frames = Seq.empty[DataFrame]
+      val lostRules = compileRules(oOld).filterNot(rules.contains)
+      if (lostRules.nonEmpty)
+        frames :+= sel0(dispatchConclusions(baseAll,
+          broadcast(ruleTable(spark, lostRules))))
+      (oOld.transitive.toSet -- ont.transitive.toSet).foreach { tp =>
+        frames :+= infTrip.filter(col("p")("lex") === tp)
+      }
+      val lostOnt = oOld.copy(
+        subClassOf = Nil, subPropOf = Nil, domain = Nil, range = Nil,
+        transitive = Nil, symmetric = Nil, inverseOf = Nil,
+        functional = oOld.functional.diff(ont.functional),
+        invFunctional = oOld.invFunctional.diff(ont.invFunctional),
+        hasValue = Nil,
+        someValues = oOld.someValues.diff(ont.someValues),
+        allValues = oOld.allValues.diff(ont.allValues))
+      if (lostOnt.functional.nonEmpty || lostOnt.invFunctional.nonEmpty ||
+          lostOnt.someValues.nonEmpty || lostOnt.allValues.nonEmpty) {
+        val famPreds = (lostOnt.functional ++ lostOnt.invFunctional ++
+          lostOnt.someValues.map(_._2) ++ lostOnt.allValues.map(_._2)).distinct
+        // the closed base already carries every sub-property-inherited
+        // copy as a materialized row, so the family slice is complete
+        val slice = baseAll.filter(col("p")("lex").isin(famPreds: _*) ||
+          col("p")("lex") === RdfType).localCheckpoint()
+        frames ++= twoPremiseConclusions(spark, lostOnt, slice, slice,
+          p12Mirror = false).map(sel0)
+      }
+      frames.reduceOption(_.unionByName(_)) match {
+        case None => deletedTriples.limit(0)
+        case Some(f) =>
+          val cand = f.distinct().localCheckpoint()
+          cand.except(
+              tripSemiJoin(remExpl, cand, "left_semi", hintBc = true)
+                .distinct())
+            .localCheckpoint()
+      }
+    }
+    mark("axiom seed")
     // ---- phase 1: OVERDELETE taint fixpoint --------------------------
-    var taintAll = deletedTriples
-    var delta = deletedTriples
+    var taintAll = axiomSeed match {
+      case Some(s0) if !s0.isEmpty =>
+        deletedTriples.unionByName(s0).distinct().localCheckpoint()
+      case _ => deletedTriples
+    }
+    var delta = taintAll
     var rounds = 0
     var grew = true
     // members whose classes the hammer has already stripped — later

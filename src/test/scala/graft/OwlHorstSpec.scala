@@ -531,12 +531,26 @@ class OwlHorstSpec extends GraftSuite {
     assert(OwlHorst.dredDeletes.get() == dredBefore + 1)
     assert(OwlHorst.fullCloseRuns.get() == fullBefore,
       "the DRed path must not run a closed-world materialization")
-    // the axiom fallback is the one sanctioned full re-closure
-    val fbBefore = OwlHorst.dredAxiomFallbacks.get()
+    // a SINGLE-axiom delete maintains incrementally too (r16): the
+    // taint seeds from the lost rule's conclusions, no re-closure
+    val aiBefore = OwlHorst.dredAxiomIncrementals.get()
     OwlHorst.incrementalDelete(spark, baseMat,
       quads.filter(col("p")("lex") === "rdfs:subClassOf")).count()
+    assert(OwlHorst.dredAxiomIncrementals.get() == aiBefore + 1)
+    assert(OwlHorst.fullCloseRuns.get() == fullBefore,
+      "a single-axiom delete must not re-close the world")
+    // a MULTI-axiom batch is the one sanctioned full re-closure
+    val quads2 = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      (":B", "rdfs:subClassOf", ":C"),
+      ("i:1", "rdf:type", ":A")))
+    val baseMat2 = OwlHorst.materialize(spark, quads2)
+    val fbBefore = OwlHorst.dredAxiomFallbacks.get()
+    val full2 = OwlHorst.fullCloseRuns.get()
+    OwlHorst.incrementalDelete(spark, baseMat2,
+      quads2.filter(col("p")("lex") === "rdfs:subClassOf")).count()
     assert(OwlHorst.dredAxiomFallbacks.get() == fbBefore + 1)
-    assert(OwlHorst.fullCloseRuns.get() == fullBefore + 1)
+    assert(OwlHorst.fullCloseRuns.get() == full2 + 1)
   }
 
   test("DRed: tainted row restorable only by expansion of a survivor") {
@@ -650,15 +664,74 @@ class OwlHorstSpec extends GraftSuite {
     } finally sys.props.remove("graft.infer.fullclose.max.rounds")
   }
 
-  test("DRed: axiom delete falls back to full re-materialization") {
+  test("DRed: single-axiom delete maintains incrementally (r16)") {
     val quads = TpchRdf.graphDf(spark, sf)
     val del = quads.filter(col("s")("lex") === ":Nation" &&
       col("p")("lex") === "rdfs:subClassOf" &&
       col("o")("lex") === ":GeoSourced")
+    val aiBefore = OwlHorst.dredAxiomIncrementals.get()
     val inc = checkDelete(quads, mat, del)
+    assert(OwlHorst.dredAxiomIncrementals.get() == aiBefore + 1)
     // the rdfp16 restriction reached through the deleted subclass axiom
     // no longer TYPES regions (the allValuesFrom schema row itself
     // legitimately remains)
     assert(!spo(inc).exists(r => r._2 == "rdf:type" && r._3 == ":MappedRegion"))
+  }
+
+  test("DRed axiom: redundant subClassOf edge delete changes nothing") {
+    // A⊑B explicit AND derivable via A⊑M⊑B: ontology() closes the
+    // plane, so the rule diff is empty and every typing survives
+    val quads = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      (":A", "rdfs:subClassOf", ":M"),
+      (":M", "rdfs:subClassOf", ":B"),
+      ("i:1", "rdf:type", ":A")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("s")("lex") === ":A" &&
+      col("o")("lex") === ":B")
+    val inc = checkDelete(quads, baseMat, del)
+    assert(spo(inc)(("i:1", "rdf:type", ":B")),
+      "the typing survives through the redundant path")
+  }
+
+  test("DRed axiom: TransitiveProperty typing delete retracts closure pairs") {
+    val quads = iriQuads(Seq(
+      ("ex:partOf", "rdf:type", "owl:TransitiveProperty"),
+      ("ex:a", "ex:partOf", "ex:b"),
+      ("ex:b", "ex:partOf", "ex:c"),
+      ("ex:c", "ex:partOf", "ex:d")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("o")("lex") === "owl:TransitiveProperty")
+    val inc = checkDelete(quads, baseMat, del)
+    val pairs = spo(inc).filter(_._2 == "ex:partOf").map(r => (r._1, r._3))
+    assert(pairs == Set(("ex:a", "ex:b"), ("ex:b", "ex:c"), ("ex:c", "ex:d")),
+      "base edges stay, derived closure pairs retract")
+  }
+
+  test("DRed axiom: FunctionalProperty typing delete collapses derived sameAs") {
+    val quads = TpchRdf.graphDf(spark, sf)
+    val del = quads.filter(col("s")("lex") === ":hq" &&
+      col("p")("lex") === "rdf:type" &&
+      col("o")("lex") === "owl:FunctionalProperty")
+    val inc = checkDelete(quads, mat, del)
+    assert(!spo(inc).exists(r =>
+      r._2 == "owl:sameAs" && (r._1.startsWith("hq:") || r._3.startsWith("hq:"))),
+      "the rdfp1-derived hq sameAs class dies with its axiom")
+    // the rdfp2 class (inverse-functional :code) is untouched
+    assert(spo(inc)(("dup:a", "owl:sameAs", "dup:b")))
+  }
+
+  test("DRed axiom: subPropertyOf edge delete retracts inherited statements") {
+    val quads = iriQuads(Seq(
+      ("ex:qsub", "rdfs:subPropertyOf", "ex:q"),
+      ("ex:m", "ex:qsub", "ex:y"),
+      ("ex:x", "ex:q", "ex:y")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("p")("lex") === "rdfs:subPropertyOf")
+    val inc = checkDelete(quads, baseMat, del)
+    assert(!spo(inc)(("ex:m", "ex:q", "ex:y")),
+      "the inherited super-property copy retracts with the axiom")
+    assert(spo(inc)(("ex:x", "ex:q", "ex:y")) &&
+      spo(inc)(("ex:m", "ex:qsub", "ex:y")))
   }
 }
