@@ -336,6 +336,33 @@ object GraphQueries {
              (2000000 * triangles) // (degree * (degree - 1)) AS lcc_micro
       FROM nat WHERE degree >= 2""")),
 
+    // bounded k-truss peel (r16): the EDGE-level dense-subgraph
+    // sibling of k-core — on nation cliques + customer pendants the
+    // pendant edges (support 0) and sub-4-nation cliques peel in
+    // round 1 and the full cliques stabilize at support c−2 (exact
+    // closed-form oracle); the peel CASCADE is pinned by the
+    // GraphOpsSpec triangle-strip fixture
+    Q("g_ktruss", (s, dir) => {
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk2"))
+      val cliq = n1.join(n2, col("rk") === col("rk2") && col("k1") < col("k2"))
+        .select(col("k1").cast("long").as("src"),
+          col("k2").cast("long").as("dst"))
+      GraphOps.kTruss(s, cliq.unionByName(custNatEdges(s, dir)),
+        k = 4, rounds = 2)
+    },
+      Some("""
+      WITH kk AS (SELECT n_regionkey, count(*) AS c FROM nation GROUP BY 1)
+      SELECT n1.n_nationkey::BIGINT AS src, n2.n_nationkey::BIGINT AS dst,
+             (c-2)::BIGINT AS support
+      FROM nation n1
+      JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+                    AND n1.n_nationkey < n2.n_nationkey
+      JOIN kk ON kk.n_regionkey = n1.n_regionkey
+      WHERE c >= 4""")),
+
     // bounded k-core peel (k=3, 6 rounds) over the part–supplier
     // bipartite graph from lineitem — the dense-subgraph extraction
     // primitive. The round count is part of the contract so the oracle

@@ -92,6 +92,77 @@ object GraphOps {
       canon)
   }
 
+  /** Bounded k-TRUSS peel (r16): keep edges whose SUPPORT (triangles
+    * through the edge) is ≥ k−2, peeling for `rounds` rounds — the
+    * round count is part of the contract (the [[kCore]] discipline;
+    * fixtures converge inside it). Triangles are enumerated once each
+    * at their order-minimal vertex under a FIXED total vertex order
+    * (original degree, then id) — the standard degree-ordered
+    * orientation: out-neighborhoods are O(√m) amortized, so a
+    * pendant-heavy hub orients its pendants INWARD and generates no
+    * wedges (no cap contract needed, unlike the shared-neighbor link
+    * predictors). Per round: one wedge self-join of the directed
+    * surviving edges + one closing join + one combinable support
+    * count; 8-byte ids in every exchange. Returns the surviving
+    * canonical edges with their last-round support.
+    */
+  def kTruss(spark: SparkSession, edges: DataFrame, k: Int = 4,
+      rounds: Int = 3): DataFrame = {
+    require(k >= 3, s"kTruss: k must be >= 3 (got $k)")
+    val canon = edges
+      .select(least(col("src"), col("dst")).cast("long").as("src"),
+        greatest(col("src"), col("dst")).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val ord = canon.select(col("src").as("v"))
+      .unionByName(canon.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    def lt(d1: org.apache.spark.sql.Column, v1: org.apache.spark.sql.Column,
+        d2: org.apache.spark.sql.Column,
+        v2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      d1 < d2 || (d1 === d2 && v1 < v2)
+    var cur = canon.withColumn("support", lit(0L))
+    for (_ <- 1 to rounds) {
+      val e = cur
+        .join(ord.select(col("v").as("src"), col("d").as("ds")), Seq("src"))
+        .join(ord.select(col("v").as("dst"), col("d").as("dd")), Seq("dst"))
+      val dir = e.select(
+        when(lt(col("ds"), col("src"), col("dd"), col("dst")),
+          col("src")).otherwise(col("dst")).as("u"),
+        when(lt(col("ds"), col("src"), col("dd"), col("dst")),
+          col("dst")).otherwise(col("src")).as("w"),
+        when(lt(col("ds"), col("src"), col("dd"), col("dst")),
+          col("dd")).otherwise(col("ds")).as("dw"))
+      val d1 = dir.select(col("u"), col("w").as("b"), col("dw").as("db"))
+      val d2 = dir.select(col("u"), col("w").as("c"), col("dw").as("dc"))
+      val tri = d1.join(d2, Seq("u"))
+        .where(lt(col("db"), col("b"), col("dc"), col("c")))
+        .join(dir.select(col("u").as("b"), col("w").as("c")), Seq("b", "c"),
+          "left_semi")
+        .select(col("u").as("a"), col("b"), col("c"))
+      val sup = tri.select(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst"))
+        .unionByName(tri.select(least(col("a"), col("c")).as("src"),
+          greatest(col("a"), col("c")).as("dst")))
+        .unionByName(tri.select(least(col("b"), col("c")).as("src"),
+          greatest(col("b"), col("c")).as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("sup"))
+      val prev = cur
+      cur = cur.select(col("src"), col("dst"))
+        .join(sup, Seq("src", "dst"))
+        .filter(col("sup") >= k - 2)
+        .select(col("src"), col("dst"), col("sup").as("support"))
+        .localCheckpoint()
+      prev.unpersist(blocking = false)
+    }
+    // seal the survivors, then release every round-local checkpoint
+    val out = Ranks.sealAndRelease(
+      cur.select(col("src"), col("dst"), col("support")), canon)
+    Ranks.sealLeavesRelease(cur)
+    ord.unpersist(blocking = false)
+    out
+  }
+
   /** Fixed-iteration PageRank (GraphX semantics: rank = reset + (1 -
     * reset) · Σ in-contributions, contributions divided by out-degree,
     * NOT normalized). Deterministic for a fixed iteration count.

@@ -38,6 +38,30 @@ class GraphOpsSpec extends GraftSuite {
       (3L, 3L, 1L, 333333L)))
   }
 
+  test("kTruss: peel cascade empties the triangle strip, the K4 survives") {
+    import spark.implicits._
+    // K4 {1,2,3,4}: every edge sits in 2 triangles → the whole K4 is
+    // a 4-truss. Strip {11..15} (triangles 11-12-13, 12-13-14,
+    // 13-14-15): edges (12,13) and (13,14) have support 2 at round 1
+    // but lose it when the support-1 edges peel — the CASCADE needs
+    // round 2 to empty the strip
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (11L, 12L), (11L, 13L), (12L, 13L), (12L, 14L), (13L, 14L),
+      (13L, 15L), (14L, 15L)).toDF("src", "dst")
+    val got = GraphOps.kTruss(spark, edges, k = 4, rounds = 3)
+      .orderBy("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // one round is NOT enough for the strip — the contract's round
+    // count is real (the cascade peels across rounds)
+    val oneRound = GraphOps.kTruss(spark, edges, k = 4, rounds = 1)
+    assert(oneRound.count() == 8L,
+      "round 1 keeps the strip's two support-2 edges")
+  }
+
   test("harmonicFromSeeds: hand-computed chain, two seeds, depth cap") {
     import spark.implicits._
     // chain 1-2-3-4-5 plus an isolated edge 10-11; seeds 1 and 10.
