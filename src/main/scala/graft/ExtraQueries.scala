@@ -699,6 +699,44 @@ object ExtraQueries {
         len(list_filter(tb, x -> x >= 192))::BIGINT AS b3
       FROM dims""")),
 
+    // nearest-neighbor downsample over the parsed BMP pixel grid
+    // (r16): out(x,y) = in(2x, 2y), dims ⌈w/2⌉×⌈h/2⌉ — the thumbnail
+    // prep pass, decoding bottom-up padded rows by the spec and
+    // shuffling 7 longs per image. The oracle replays the encode
+    // closed form at the sampled byte offsets (padding beyond the
+    // payload is zero)
+    Q("m_bmp_downsample", (s, dir) => {
+      import s.implicits._
+      Multimodal.bmpDownsample(
+        Multimodal.bmpify(
+          Multimodal.withBinary(t(s, dir, "documents"))
+            .as[Multimodal.Media])).toDF()
+    }, Some("""
+      WITH b AS MATERIALIZED (SELECT doc_id,
+           list_transform(range(1, octet_length(encode(text))+1),
+             i -> ('0x' || substr(hex(encode(text)), (2*i-1)::INT, 2))::BIGINT)
+             AS tb
+         FROM documents WHERE doc_id % 97 <> 0),
+      bdims AS MATERIALIZED (SELECT doc_id, tb, len(tb)::BIGINT AS n,
+          (8 + doc_id % 25)::BIGINT AS w,
+          greatest(1, (len(tb) + (8 + doc_id % 25) - 1)
+                       // (8 + doc_id % 25))::BIGINT AS h
+        FROM b),
+      dsd AS (SELECT doc_id, tb, n, w, h,
+               ((w + 1) // 2)::BIGINT AS wo, ((h + 1) // 2)::BIGINT AS ho
+             FROM bdims),
+      samp AS (SELECT doc_id, w, h, wo, ho, n, tb,
+                      unnest(range(0, wo * ho)) AS j
+               FROM dsd),
+      vals AS (SELECT doc_id, w, h, wo, ho,
+                 CASE WHEN ((j // wo) * 2 * w + (j % wo) * 2) < n
+                      THEN tb[(((j // wo) * 2 * w + (j % wo) * 2) + 1)::INT]
+                      ELSE 0 END AS v
+               FROM samp)
+      SELECT doc_id, w, h, wo, ho,
+             sum(v)::BIGINT AS lum_ds, max(v)::BIGINT AS peak_ds
+      FROM vals GROUP BY 1, 2, 3, 4, 5""")),
+
     // REAL video-container decode (r14): avify wraps the payload as a
     // canonical RIFF/AVI (56-byte avih MainAVIHeader, '00db' frame
     // chunks of 8x8 gray), decodeAvi re-parses it BY THE SPEC and

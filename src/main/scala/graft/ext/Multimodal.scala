@@ -391,6 +391,47 @@ object Multimodal {
     }
   }
 
+  final case class BmpDs(doc_id: Long, w: Long, h: Long, wo: Long,
+      ho: Long, lum_ds: Long, peak_ds: Long)
+
+  /** NEAREST-NEIGHBOR downsample over the PARSED pixel grid (r16, the
+    * r15 candidate list's image item): out(x,y) = in(x·k, y·k) with
+    * output dims ⌈w/k⌉ × ⌈h/k⌉ — the thumbnail/pyramid prep pass of an
+    * image pipeline, reading the file BY THE SPEC (bottom-up rows at
+    * the padded stride, logical row y = file row h−1−y; the gray
+    * channels are equal so one byte is the pixel). Emits per-image
+    * integer summaries of the downsampled plane (sum + peak), never
+    * pixels — the decode is map-only and the shuffle carries 7 longs
+    * per image. Malformed streams drop (shared [[parseBmpDims]]).
+    */
+  def bmpDownsample(media: Dataset[Media], k: Int = 2): Dataset[BmpDs] = {
+    require(k >= 1, s"bmpDownsample: factor must be >= 1 (got $k)")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val p = m.payload
+      def u8(off: Long): Long = p(off.toInt) & 0xffL
+      parseBmpDims(p).map { case (w, h, stride) =>
+        val wo = (w + k - 1) / k
+        val ho = (h + k - 1) / k
+        var lum = 0L; var peak = 0L
+        var yo = 0L
+        while (yo < ho) {
+          val y = yo * k
+          var xo = 0L
+          while (xo < wo) {
+            val x = xo * k
+            val v = u8(54 + (h - 1 - y) * stride + 3 * x)
+            lum += v
+            if (v > peak) peak = v
+            xo += 1
+          }
+          yo += 1
+        }
+        BmpDs(m.doc_id, w, h, wo, ho, lum, peak)
+      }
+    }
+  }
+
   final case class AviMeta(doc_id: Long, width: Long, height: Long,
       n_frames: Long, us_per_frame: Long, dur_ms: Long,
       lum_sum: Long, frame_peak_sum: Long, valid: Boolean)
