@@ -148,7 +148,11 @@ object Bench {
         spark.range(2000000L)
           .selectExpr("id", "id * 7 % 1000 AS k", "cast(id as string) AS s")
           .write.mode("overwrite").parquet(p)
-        spark.read.parquet(p).selectExpr("sum(k)", "count(s)").count()
+        // collect(), not count(): a count over the aggregate lets
+        // Catalyst prune BOTH aggregates and the scan schema to zero
+        // columns (footer-only read) — the read half of the round trip
+        // must actually pull the k and s pages
+        spark.read.parquet(p).selectExpr("sum(k)", "count(s)").collect()
       } finally deleteRecursively(dir)
     }
     def ioStreamCommit(): Unit = {
@@ -187,32 +191,32 @@ object Bench {
       val m = refFile.filter { case (k, _) => ioCanaryRefDefault.contains(k) }
       if (m.nonEmpty) m else ioCanaryRefDefault
     }
+    // one med-3 timing loop serves both canary families
+    def med3(n: String, run: () => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(s"[bench] canary $n reps=[${ts.map(fmt).mkString(",")}]")
+      ts.sorted.apply(1)
+    }
     val canary: Map[String, Double] =
       if (only.nonEmpty || !sfDir.contains("sf0.1")) Map.empty
       else canaryRef.keys.toSeq.sorted.map { n =>
-        val ts = (1 to 3).map { _ =>
-          val t0 = System.nanoTime()
-          SparkEntry.queries(n)(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        System.err.println(s"[bench] canary $n reps=[${ts.map(fmt).mkString(",")}]")
-        n -> ts.sorted.apply(1)
+        n -> med3(n, () => { SparkEntry.queries(n)(spark, sfDir).count(); () })
       }.toMap
     val canaryRatio =
       if (canary.isEmpty) -1.0
       else math.exp(canary.map { case (n, v) =>
         math.log(v / canaryRef(n)) }.sum / canary.size)
+    val ioProbes = Map("io_parquet_rt" -> (ioParquetRt _),
+      "io_stream_commit" -> (ioStreamCommit _))
     val ioCanary: Map[String, Double] =
       if (canary.isEmpty) Map.empty
-      else Map("io_parquet_rt" -> ioParquetRt _,
-          "io_stream_commit" -> ioStreamCommit _).toSeq.sortBy(_._1).map {
-        case (n, f) =>
-          val ts = (1 to 3).map { _ =>
-            val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
-          }
-          System.err.println(
-            s"[bench] canary $n reps=[${ts.map(fmt).mkString(",")}]")
-          n -> ts.sorted.apply(1)
+      // schedule FROM the ref keys (the CPU-canary construction): a
+      // ref file carrying only one io_* entry must not schedule — let
+      // alone crash on — the unreferenced probe
+      else ioCanaryRef.keys.toSeq.sorted.flatMap { n =>
+        ioProbes.get(n).map(f => n -> med3(n, f))
       }.toMap
     val ioCanaryRatio =
       if (ioCanary.isEmpty) -1.0

@@ -153,13 +153,15 @@ object GraphOps {
         .filter(col("sup") >= k - 2)
         .select(col("src"), col("dst"), col("sup").as("support"))
         .localCheckpoint()
-      prev.unpersist(blocking = false)
+      Ranks.sealLeavesRelease(prev)
     }
     // seal the survivors, then release every round-local checkpoint
+    // (LogicalRDD-leaf release — Dataset.unpersist is a no-op for
+    // localCheckpoint blocks, UnpersistProbeSpec)
     val out = Ranks.sealAndRelease(
       cur.select(col("src"), col("dst"), col("support")), canon)
     Ranks.sealLeavesRelease(cur)
-    ord.unpersist(blocking = false)
+    Ranks.sealLeavesRelease(ord)
     out
   }
 

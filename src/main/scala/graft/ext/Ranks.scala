@@ -53,7 +53,14 @@ object Ranks {
     * half of [[sealAndRelease]] for callers holding several
     * checkpointed intermediates.
     */
-  private[ext] def sealLeavesRelease(df: DataFrame): Unit =
+  /** NOTE (r16, pinned by UnpersistProbeSpec): `Dataset.unpersist` is
+    * a NO-OP for localCheckpoint blocks on this Spark build (it only
+    * uncaches CacheManager-registered plans) — THIS is the mechanism
+    * that actually frees checkpoint storage. Release only frames whose
+    * consumers are themselves materialized: a localCheckpoint leaf
+    * cannot recompute once its blocks drop.
+    */
+  private[graft] def sealLeavesRelease(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)

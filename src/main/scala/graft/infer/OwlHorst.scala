@@ -908,6 +908,24 @@ object OwlHorst {
             .localCheckpoint()
       }
     }
+    // FAIL-SAFE size guard (r16 review): a lost TransitiveProperty
+    // typing on a large closure makes the seed — and so the taint set —
+    // plane-sized, and every downstream semi join BROADCASTS the taint.
+    // Past the cap, surrender to the sanctioned full re-materialization
+    // (correct by construction; the same surrender counter as the
+    // round-cap fallbacks).
+    val axiomSeedCap =
+      sys.props.getOrElse("graft.infer.axiomseed.cap", "50000").toLong
+    axiomSeed.foreach { s0 =>
+      if (s0.count() > axiomSeedCap) {
+        System.err.println(s"[owlhorst-dred] axiom taint seed exceeds " +
+          s"$axiomSeedCap rows — falling back to full re-materialization")
+        capFallbacks.incrementAndGet()
+        (tpBase.values.toSeq :+ twoPremBase :+ blockSlice)
+          .foreach(graft.ext.Ranks.sealLeavesRelease)
+        return fullDiffDeltas(materialize(spark, remainingExplicit), infTrip)
+      }
+    }
     mark("axiom seed")
     // ---- phase 1: OVERDELETE taint fixpoint --------------------------
     var taintAll = axiomSeed match {
@@ -1064,7 +1082,7 @@ object OwlHorst {
         "re-materialization")
       capFallbacks.incrementAndGet()
       (tpBase.values.toSeq :+ twoPremBase :+ blockSlice)
-        .foreach(_.unpersist(blocking = false))
+        .foreach(graft.ext.Ranks.sealLeavesRelease)
       return fullDiffDeltas(materialize(spark, remainingExplicit), infTrip)
     }
     // ---- phase 2: REDERIVE SEED --------------------------------------
@@ -1370,10 +1388,12 @@ object OwlHorst {
     val dropInf = taintedPrior.except(taintedAfter)
     val addInf = taintedAfter.except(taintedPrior)
     mark("plane deltas")
-    // run() returned an eagerly-checkpointed leaf — the round-local
-    // slices can release now
+    // run() returned an eagerly-checkpointed leaf and every delta
+    // consumer is itself checkpointed — the round-local slices can
+    // release now (LogicalRDD-leaf release: Dataset.unpersist is a
+    // no-op for localCheckpoint blocks, UnpersistProbeSpec)
     (tpBase.values.toSeq :+ twoPremBase :+ blockSlice)
-      .foreach(_.unpersist(blocking = false))
+      .foreach(graft.ext.Ranks.sealLeavesRelease)
     DeleteResult(res, dropInf, addInf)
   }
 

@@ -2974,8 +2974,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         if (keysCk.count() > 1000) {
           // release the oversized frame's cached partitions NOW — the
           // bail path is exactly where the leaf is big (r16, ADVICE);
-          // the success leaf is <=1000 rows and GC-collected
-          keysCk.unpersist(blocking = false)
+          // the success leaf is <=1000 rows and GC-collected.
+          // LogicalRDD-leaf release: Dataset.unpersist is a no-op for
+          // localCheckpoint blocks (UnpersistProbeSpec)
+          graft.ext.Ranks.sealLeavesRelease(keysCk)
           return None
         }
         keysCk.crossJoin(lr)
@@ -3078,8 +3080,10 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         if (keysCk.count() > 1000) {
           // release the oversized frame's cached partitions NOW — the
           // bail path is exactly where the leaf is big (r16, ADVICE);
-          // the success leaf is <=1000 rows and GC-collected
-          keysCk.unpersist(blocking = false)
+          // the success leaf is <=1000 rows and GC-collected.
+          // LogicalRDD-leaf release: Dataset.unpersist is a no-op for
+          // localCheckpoint blocks (UnpersistProbeSpec)
+          graft.ext.Ranks.sealLeavesRelease(keysCk)
           return None
         }
         keysCk.crossJoin(lr)
@@ -3408,7 +3412,7 @@ final class Compiler(spark: SparkSession, quads: DataFrame,
         val keysCk = keys.localCheckpoint()
         if (keysCk.count() > 1000) {
           // same oversized-frame release as the semi-join guard above
-          keysCk.unpersist(blocking = false)
+          graft.ext.Ranks.sealLeavesRelease(keysCk)
           return None
         }
         if (emptyGroup) keysCk.join(idM, lit(true), "left_outer")

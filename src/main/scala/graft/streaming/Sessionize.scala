@@ -29,6 +29,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Sessionize {
 
+  /** UNIT NOTE: `ts_ms` (and `gapMs`, `Session.start_ms/end_ms`) are
+    * the CALLER's tick unit — the machinery is pure integer
+    * arithmetic. The protocol specs drive it in milliseconds; the
+    * `st_sessionize` gate drives it in MICROSECONDS (gap
+    * 1 800 000 000 µs = 30 min). Never copy a gap constant across
+    * callers without checking the tick unit.
+    */
   final case class Event(user_id: Long, ts_ms: Long, value: Double)
   final case class Open(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionState(main: Open, late: List[Open])

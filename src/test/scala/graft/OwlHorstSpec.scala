@@ -708,6 +708,27 @@ class OwlHorstSpec extends GraftSuite {
       "base edges stay, derived closure pairs retract")
   }
 
+  test("DRed axiom: oversized taint seed surrenders to full re-materialization") {
+    // the broadcast-size guard: a lost transitive typing seeds the
+    // property's whole inferred closure — past the cap the incremental
+    // path must NOT broadcast it, it re-closes the world instead
+    val quads = iriQuads(Seq(
+      ("ex:partOf", "rdf:type", "owl:TransitiveProperty"),
+      ("ex:a", "ex:partOf", "ex:b"),
+      ("ex:b", "ex:partOf", "ex:c"),
+      ("ex:c", "ex:partOf", "ex:d")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    sys.props("graft.infer.axiomseed.cap") = "0"
+    try {
+      val cfBefore = OwlHorst.capFallbacks.get()
+      val inc = checkDelete(quads, baseMat,
+        quads.filter(col("o")("lex") === "owl:TransitiveProperty"))
+      assert(OwlHorst.capFallbacks.get() == cfBefore + 1)
+      val pairs = spo(inc).filter(_._2 == "ex:partOf").map(r => (r._1, r._3))
+      assert(pairs == Set(("ex:a", "ex:b"), ("ex:b", "ex:c"), ("ex:c", "ex:d")))
+    } finally sys.props.remove("graft.infer.axiomseed.cap")
+  }
+
   test("DRed axiom: FunctionalProperty typing delete collapses derived sameAs") {
     val quads = TpchRdf.graphDf(spark, sf)
     val del = quads.filter(col("s")("lex") === ":hq" &&
