@@ -1279,8 +1279,19 @@ object OwlHorst {
           val prs = newPairs.toDF("from", "to").select(
             Rdf.iri(col("from")).as("s"),
             Rdf.iri(lit("owl:sameAs")).as("p"), Rdf.iri(col("to")).as("o"))
-          reseed = Some(sExp.unionByName(oExp).unionByName(prs)
-            .distinct().localCheckpoint())
+          // a re-clustered pair (or an expansion) may COINCIDE with a
+          // remaining EXPLICIT assertion — e.g. the surviving explicit
+          // (x sameAs m) is itself a member of newPairs. It must not
+          // re-enter the inferred plane as a g:inferred duplicate (the
+          // full close's assembly excludes explicit rows; every other
+          // seed frame is taint-guarded and taint excludes explicit —
+          // the reseed was the one unguarded path, r16 red-first)
+          val rsCand = sExp.unionByName(oExp).unionByName(prs)
+            .distinct().localCheckpoint()
+          reseed = Some(rsCand.except(
+              tripSemiJoin(remExpl, rsCand, "left_semi", hintBc = true)
+                .distinct())
+            .localCheckpoint())
         }
         // post-delete pairs: unaffected classes keep their pre-delete
         // pairs; the affected classes' pairs come from the re-cluster

@@ -611,6 +611,29 @@ class OwlHorstSpec extends GraftSuite {
     } finally sys.props.remove("graft.sameas.broadcast.limit")
   }
 
+  test("DRed: expansion-restorable row in the SAME class as a tainted sameAs edge") {
+    // delete BOTH a qsub premise and one of the class's own sameAs
+    // edges: the reseed re-clusters {x,m,z} → {x,m} + {z}, and the
+    // restorable (m,q,y) needs expansion under the SURVIVING
+    // re-clustered pair x~m (covered by reseed's member-touching
+    // expansion AND the r16 validPairs rederive — this pins the
+    // combined shape end to end)
+    val quads = iriQuads(Seq(
+      ("ex:qsub", "rdfs:subPropertyOf", "ex:q"),
+      ("ex:x", "ex:q", "ex:y"),
+      ("ex:x", "owl:sameAs", "ex:m"),
+      ("ex:m", "owl:sameAs", "ex:z"),
+      ("ex:m", "ex:qsub", "ex:y")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("p")("lex") === "ex:qsub" ||
+      (col("s")("lex") === "ex:m" && col("p")("lex") === "owl:sameAs"))
+    val inc = checkDelete(quads, baseMat, del)
+    assert(spo(inc)(("ex:m", "ex:q", "ex:y")),
+      "expansion under the surviving re-clustered pair must be rederived")
+    assert(!spo(inc).exists(r => r._1 == "ex:z" && r._2 == "ex:q"),
+      "the split-off member's expansions must retract")
+  }
+
   test("cap fail-safe: taint fixpoint at the round cap re-materializes") {
     // x:A with A⊑B⊑C needs two taint rounds (x:B then x:C); cap 1 must
     // NOT commit the partial taint — it surrenders to a full re-close

@@ -620,6 +620,26 @@ class TextOpsSpec extends GraftSuite {
     }
     assert(ex.getMessage.contains("groups"))
     out.unpersist()
+    // a group whose level predicate samples ZERO registers reports
+    // m = 0 with NULL estimates — the oracle's LEFT JOIN shape. Keys
+    // chosen so the wide poly-hash is odd (never ≡ 0 mod 2^lvl for
+    // lvl ≥ 1), and 200 rows at cap=64 force lvl ≥ 1
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    val noReg = (1 to 200).map(i => ("g0", s"k$i", i.toLong))
+      .toDF("source", "doc_id", "n_chars")
+      .filter(fexpr(
+        "pmod(aggregate(split(doc_id, ''), 0L," +
+          " (h, ch) -> pmod(h * 31 + ascii(ch), 1000000007L))" +
+          " * 1000000007L +" +
+          " aggregate(split(doc_id, ''), 0L," +
+          " (h, ch) -> pmod(h * 131 + ascii(ch), 1000000007L)), 2) = 1"))
+    if (noReg.count() >= 65) {
+      val z = Sketches.sketchQuantilesByGroup(noReg, col("source"),
+        col("doc_id"), col("n_chars"))
+      val rows = z.collect()
+      assert(rows.forall(r => r.getLong(4) == 0L && r.isNullAt(5)),
+        s"odd-hash group must have zero registers: ${rows.mkString(";")}")
+    }
   }
 
   test("native GramHashes/SlidingMin ≡ the HOF reference formulation") {
