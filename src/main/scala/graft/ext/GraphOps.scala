@@ -228,11 +228,11 @@ object GraphOps {
       // otherwise pins iters+3 checkpointed DFs until the next GC +
       // ContextCleaner pass, which is exactly the storage creep that
       // starves execution memory in a long benchmark run)
-      prev.unpersist(blocking = false)
+      Ranks.releaseCheckpoint(prev)
     }
-    e.unpersist(blocking = false)
-    outdeg.unpersist(blocking = false)
-    pers.unpersist(blocking = false)
+    Ranks.releaseCheckpoint(e)
+    Ranks.releaseCheckpoint(outdeg)
+    Ranks.releaseCheckpoint(pers)
     rank.select(col("v").as("id"), (round(col("rank") * lit(1e6), 0)
         .cast("long").cast("double") / lit(1e6)).as("rank"))
       .where(col("rank") > 0)
@@ -257,20 +257,20 @@ object GraphOps {
         .groupBy("id").agg(min("dist").as("dist"))
         .join(dists.select(col("id").as("seen")), col("id") === col("seen"), "left_anti")
         .localCheckpoint()
-      if (next.isEmpty) { done = true; next.unpersist(blocking = false) }
+      if (next.isEmpty) { done = true; Ranks.releaseCheckpoint(next) }
       else {
         val prevDists = dists
         dists = dists.unionByName(next).localCheckpoint()
         // release superseded checkpoints once the union is materialized;
         // round 1's frontier IS the initial dists (same blocks), which
         // prevDists already covers
-        prevDists.unpersist(blocking = false)
-        if (!(frontier eq prevDists)) frontier.unpersist(blocking = false)
+        Ranks.releaseCheckpoint(prevDists)
+        if (!(frontier eq prevDists)) Ranks.releaseCheckpoint(frontier)
         frontier = next
       }
     }
-    if (!(frontier eq dists)) frontier.unpersist(blocking = false)
-    und.unpersist(blocking = false)
+    if (!(frontier eq dists)) Ranks.releaseCheckpoint(frontier)
+    Ranks.releaseCheckpoint(und)
     dists
   }
 
@@ -314,18 +314,18 @@ object GraphOps {
           col("seed") === col("s2") && col("id") === col("i2"), "left_anti")
         .select("seed", "id", "dist")
         .localCheckpoint()
-      if (next.isEmpty) { done = true; next.unpersist(blocking = false) }
+      if (next.isEmpty) { done = true; Ranks.releaseCheckpoint(next) }
       else {
         val prev = dists
         dists = dists.unionByName(next).localCheckpoint()
-        prev.unpersist(blocking = false)
-        if (!(frontier eq prev)) frontier.unpersist(blocking = false)
+        Ranks.releaseCheckpoint(prev)
+        if (!(frontier eq prev)) Ranks.releaseCheckpoint(frontier)
         frontier = next
       }
       depth += 1
     }
-    if (!(frontier eq dists)) frontier.unpersist(blocking = false)
-    und.unpersist(blocking = false)
+    if (!(frontier eq dists)) Ranks.releaseCheckpoint(frontier)
+    Ranks.releaseCheckpoint(und)
     dists
   }
 
@@ -410,7 +410,7 @@ object GraphOps {
           col("seed") === col("s2") && col("id") === col("i2"), "left_anti")
         .select("seed", "id", "sigma")
         .localCheckpoint()
-      if (next.isEmpty) { done = true; next.unpersist(blocking = false) }
+      if (next.isEmpty) { done = true; Ranks.releaseCheckpoint(next) }
       else {
         val prev = visited
         visited = visited.unionByName(next).localCheckpoint()
@@ -419,7 +419,7 @@ object GraphOps {
         // release sweep still reference it, and a localCheckpoint leaf
         // cannot be recomputed once its blocks are gone (r16, ADVICE).
         // It is released exactly once, in the end-of-run sweep.
-        if (!(prev eq layers.head)) prev.unpersist(blocking = false)
+        if (!(prev eq layers.head)) Ranks.releaseCheckpoint(prev)
         layers :+= next
       }
     }
@@ -492,7 +492,7 @@ object GraphOps {
     val ecc1 = d1.agg(max("dist")).head.getLong(0)
     val seed2 = d1.filter(col("dist") === ecc1)
       .agg(min("id")).head.getLong(0)
-    d1.unpersist(blocking = false)
+    Ranks.releaseCheckpoint(d1)
     val d2 = shortestHops(spark, edges, Seq(seed2).toDF("id"))
     Ranks.sealAndRelease(
       d2.agg(max("dist").as("ecc2"), count(lit(1)).as("n_reached"))
@@ -579,7 +579,7 @@ object GraphOps {
         .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint()
-      prev.unpersist(blocking = false) // superseded round, blocks dead
+      Ranks.releaseCheckpoint(prev) // superseded round, blocks dead
     }
     degrees(e).select(col("v").as("id"), col("c").as("core_deg"))
   }
@@ -620,12 +620,13 @@ object GraphOps {
         .unionByName(verts.withColumn("hub", lit(0L)))
         .groupBy("v").agg(max("hub").as("hub"))
         .localCheckpoint()
-      // round 1's prev hub/auth are unpersisted derivations of verts —
-      // unpersist is a no-op there, frees the superseded blocks after
-      prevAuth.unpersist(blocking = false)
-      prevHub.unpersist(blocking = false)
+      // round 1's prev hub/auth are lazy derivations of verts — the
+      // checkpoint-root check makes the release a no-op there (never
+      // touch e's leaf); later rounds free the superseded blocks
+      Ranks.releaseCheckpoint(prevAuth)
+      Ranks.releaseCheckpoint(prevHub)
     }
-    e.unpersist(blocking = false)
+    Ranks.releaseCheckpoint(e)
     hub.join(auth, Seq("v")).select(col("v").as("id"), col("hub"), col("auth"))
   }
 
@@ -724,9 +725,9 @@ object GraphOps {
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("best"))
         .select(col("v"), col("best")("lbl").as("lbl"))
         .localCheckpoint()
-      prev.unpersist(blocking = false) // superseded round, blocks dead
+      Ranks.releaseCheckpoint(prev) // superseded round, blocks dead
     }
-    und.unpersist(blocking = false)
+    Ranks.releaseCheckpoint(und)
     labels.select(col("v").as("id"), col("lbl").as("label"))
   }
 }

@@ -67,6 +67,23 @@ object Ranks {
       case _ => ()
     }
 
+  /** Release a frame's OWN checkpoint blocks — iff the frame IS a
+    * localCheckpoint root (its analyzed plan is exactly the LogicalRDD
+    * leaf). The safe drop-in for `Dataset.unpersist` on checkpointed
+    * loop frames (a NO-OP for localCheckpoint blocks on this Spark
+    * build — UnpersistProbeSpec): unlike [[sealLeavesRelease]] it
+    * never walks into a derivation's leaves, because those belong to
+    * live upstream frames (e.g. a round-1 "previous" frame that is a
+    * lazy projection of the still-needed edge checkpoint). A no-op on
+    * non-checkpoint frames, so loop code may call it unconditionally.
+    */
+  private[graft] def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Adds `rankName` (0-based row index within its `keyCols` group,
     * in `sortCols` order) and `totalName` (the group's row count) to
     * every row — the distributed, skew-proof equivalent of
