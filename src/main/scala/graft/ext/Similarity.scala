@@ -510,10 +510,12 @@ object Similarity {
       pts = pts.filter(col("vec_id") =!= nxt.getLong(0))
         .withColumn("mind", least(col("mind"), distTo(nxt.getSeq[Double](1))))
         .localCheckpoint()
-      prev.unpersist(blocking = false)
+      // real checkpoint release (Dataset.unpersist is a no-op on
+      // localCheckpoint blocks — UnpersistProbeSpec)
+      Ranks.releaseCheckpoint(prev)
     }
-    pts.unpersist(blocking = false)
-    en.unpersist(blocking = false)
+    Ranks.releaseCheckpoint(pts)
+    Ranks.releaseCheckpoint(en)
     chosen.reverse.zipWithIndex
       .map { case ((id, _, d), i) => (i + 1L, id, d) }
       .toDF("round", "vec_id", "dist_micro")

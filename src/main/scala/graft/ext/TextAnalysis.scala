@@ -802,10 +802,12 @@ object TextAnalysis {
         corpus = corpus
           .select(replace(col("s"), lit(pair), lit(pair.replace(BpeSep, ""))).as("s"))
           .localCheckpoint()
-        prev.unpersist(blocking = false)
+        // real checkpoint release (Dataset.unpersist is a no-op on
+        // localCheckpoint blocks — UnpersistProbeSpec)
+        Ranks.releaseCheckpoint(prev)
       }
     }
-    corpus.unpersist(blocking = false)
+    Ranks.releaseCheckpoint(corpus)
     out.toSeq
   }
 
