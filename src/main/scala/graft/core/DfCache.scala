@@ -105,7 +105,14 @@ object DfCache {
     */
   def invalidate(s: SparkSession, dir: String, name: String): Unit =
     entries.remove(sessionKey(s) + ":" + dir + ":" + name) match {
-      case d: DataFrame => try d.unpersist(blocking = false) catch { case _: Throwable => () }
+      case d: DataFrame => try {
+        d.unpersist(blocking = false)
+        // persist=false entries are localCheckpoint leaves (e.g. the
+        // OWL-Horst closure) — Dataset.unpersist is a NO-OP for those
+        // (UnpersistProbeSpec); free the entry's own LogicalRDD blocks
+        // promptly instead of waiting on GC + ContextCleaner
+        graft.ext.Ranks.releaseCheckpoint(d)
+      } catch { case _: Throwable => () }
       case _ => ()
     }
 
@@ -124,7 +131,10 @@ object DfCache {
       val e = it.next()
       if (e.getKey.startsWith(prefix)) {
         e.getValue match {
-          case d: DataFrame => try d.unpersist() catch { case _: Throwable => () }
+          case d: DataFrame => try {
+            d.unpersist()
+            graft.ext.Ranks.releaseCheckpoint(d) // checkpoint-leaf entries
+          } catch { case _: Throwable => () }
           case _ => ()
         }
         it.remove()
