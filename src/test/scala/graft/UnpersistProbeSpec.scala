@@ -28,4 +28,30 @@ class UnpersistProbeSpec extends GraftSuite {
     assert((added -- afterReal) == added,
       s"sealLeavesRelease failed to release: ${added.intersect(afterReal)}")
   }
+
+  // r17: the repo-wide conversion of loop-release sites rides on
+  // releaseCheckpoint's two halves — it frees a checkpoint ROOT's own
+  // blocks, and it never walks into a derivation's leaves (a round-1
+  // "previous" frame is often a lazy projection of the still-live edge
+  // checkpoint; releasing that leaf mid-loop is a missing-block crash)
+  test("releaseCheckpoint frees a checkpoint root, never a derivation's leaves") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val base = Seq(1, 2, 3).toDF("v").localCheckpoint()
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty)
+    // a derivation of the checkpoint: releasing it must NOT touch base
+    val derived = base.select(org.apache.spark.sql.functions.col("v") * 2)
+    graft.ext.Ranks.releaseCheckpoint(derived)
+    val afterDerived = spark.sparkContext.getPersistentRDDs.keySet
+    assert((added -- afterDerived).isEmpty,
+      "releaseCheckpoint on a DERIVATION released the upstream " +
+        "checkpoint's blocks — the root-only contract broke")
+    assert(derived.collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 4, 6))
+    // the root itself releases for real
+    graft.ext.Ranks.releaseCheckpoint(base)
+    val afterRoot = spark.sparkContext.getPersistentRDDs.keySet
+    assert((added -- afterRoot) == added,
+      s"releaseCheckpoint failed to release the root: ${added.intersect(afterRoot)}")
+  }
 }
