@@ -778,4 +778,57 @@ class OwlHorstSpec extends GraftSuite {
     assert(spo(inc)(("ex:x", "ex:q", "ex:y")) &&
       spo(inc)(("ex:m", "ex:qsub", "ex:y")))
   }
+
+  // ---- r17: driver-side taint fixpoint (the r16 verdict's #2) --------
+
+  test("DRed driver taint: takes the driver path and equals the distributed loop") {
+    // the fixture delete crosses every rule family (dispatch, functional
+    // sameAs, hasValue cycle, transitive chains, class expansion) — run
+    // it once on the default DRIVER path and once with the driver mode
+    // forced off, and require identical maintained worlds; checkDelete
+    // separately pins both against the full re-materialization
+    val quads = TpchRdf.graphDf(spark, sf)
+    val del = quads.filter(
+      (col("s")("lex") === "cust:1" && col("p")("lex") === ":nation") ||
+        (col("s")("lex") === "corp:1" && col("p")("lex") === ":hq" &&
+          col("o")("lex") === "hq:b") ||
+        (col("s")("lex") === "thing:9" && col("p")("lex") === ":prio"))
+    val dtBefore = OwlHorst.dredDriverTaints.get()
+    val incDriver = checkDelete(quads, mat, del)
+    assert(OwlHorst.dredDriverTaints.get() == dtBefore + 1,
+      "the collectable working set must take the driver taint path")
+    val incDist = {
+      sys.props("graft.infer.driver.taint.max") = "0" // force distributed
+      try {
+        val before = OwlHorst.dredDriverTaints.get()
+        val r = checkDelete(quads, mat, del)
+        assert(OwlHorst.dredDriverTaints.get() == before,
+          "driver.taint.max=0 must keep the distributed loop")
+        r
+      } finally sys.props.remove("graft.infer.driver.taint.max")
+    }
+    def key(df: DataFrame) = df.select(col("g"), col("s")("lex"),
+      col("p")("lex"), col("o")("lex")).distinct()
+    assert(key(incDriver).except(key(incDist)).isEmpty &&
+      key(incDist).except(key(incDriver)).isEmpty,
+      "driver and distributed taint fixpoints must maintain identical worlds")
+  }
+
+  test("DRed driver taint: probe overflow falls back to the distributed loop") {
+    // probe cap 0 makes the first filtered collect overflow — the
+    // driver loop surrenders and the distributed loop still maintains
+    // correctly (checkDelete pins ≡ full re-materialization)
+    val quads = TpchRdf.graphDf(spark, sf)
+    val del = quads.filter(col("s")("lex") === "cust:1" &&
+      col("p")("lex") === ":nation")
+    sys.props("graft.infer.driver.probe.max") = "0"
+    try {
+      val dtBefore = OwlHorst.dredDriverTaints.get()
+      val inc = checkDelete(quads, mat, del)
+      assert(OwlHorst.dredDriverTaints.get() == dtBefore,
+        "an overflowing probe must not count as a driver-mode run")
+      assert(spo(inc.filter(col("s")("lex") === "cust:1"))
+        .forall(r => r._2 != ":locatedIn"))
+    } finally sys.props.remove("graft.infer.driver.probe.max")
+  }
 }
