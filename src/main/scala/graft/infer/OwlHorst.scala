@@ -1103,6 +1103,294 @@ object OwlHorst {
     else DriverTaintDone(taint.values.toSeq, rounds)
   }
 
+  /** Driver-side REDERIVE SEED (phase 2 of [[doRunDelete]]) — the r17
+    * sibling of [[taintFixpointDriver]]: with the taint driver-known,
+    * the one-step rederivability probes (seed-rule dispatch, the
+    * two-premise seed families, the seeded transitive BFS), the
+    * targeted equivalence reseed, and the expansion rederive all run on
+    * collected rows against a CHECKPOINTED remaining plane — a handful
+    * of map-only filtered collects instead of executing a multi-branch
+    * distributed seed plan whose result is usually empty. Every probe
+    * collects a SUPERSET of the relevant premises (filters keyed by the
+    * taint's lexes), then the exact conclusion ∩ taint happens
+    * driver-side — identical results to the distributed phase 2 by
+    * construction (same pruning legality arguments, same caps). Returns
+    * None on any cap overflow → the distributed phase 2 runs unchanged.
+    *
+    * @return Some((seed2 rows, preClosed)) or None (fall back)
+    */
+  private def rederiveSeedDriver(ont: Ontology, rules: Seq[Rule],
+      taintRows: Seq[org.apache.spark.sql.Row],
+      prePairs: Seq[(String, String)], remaining: DataFrame,
+      remExpl: DataFrame, dbg: Boolean):
+      Option[(Seq[org.apache.spark.sql.Row], Boolean)] = {
+    import org.apache.spark.sql.Row
+    val probeCap =
+      sys.props.getOrElse("graft.infer.driver.probe.max", "100000").toInt
+    type TK = (String, Int, String, String)
+    def tk(t: Row): TK =
+      (t.getString(0), t.getInt(1), t.getString(2), t.getString(3))
+    def key(r: Row): (TK, TK, TK) =
+      (tk(r.getStruct(0)), tk(r.getStruct(1)), tk(r.getStruct(2)))
+    def mkIri(lex: String): Row = Row(lex, IRI, "", "", null)
+    def dS(r: Row) = r.getStruct(0)
+    def dP(r: Row) = r.getStruct(1)
+    def dO(r: Row) = r.getStruct(2)
+    var overflow = false
+    def probe(df: DataFrame, cond: Column): Array[Row] = {
+      val got = df.filter(cond).limit(probeCap + 1).collect()
+      if (got.length > probeCap) { overflow = true; Array.empty } else got
+    }
+    val taintKeys = taintRows.map(key).toSet
+    val taintPreds = taintRows.map(dP(_).getString(0)).toSet
+    val touchLex = (taintRows.map(dS(_).getString(0)) ++
+      taintRows.map(dO(_).getString(0))).distinct
+    val concl = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // seed-rule dispatch: premises whose conclusion could be tainted
+    // touch a taint subject term (conclusion.s = premise.s or .o), so
+    // the probe prunes by the taint's lexes — a strict superset of the
+    // needed rows; the ∩ taint below is exact
+    val seedRules = rules.filter(r => taintPreds.contains(r.outP))
+    if (seedRules.nonEmpty) {
+      val mpSet = seedRules.map(_.mp).distinct
+      val got = probe(remaining, col("p")("lex").isin(mpSet: _*) &&
+        (col("s")("lex").isin(touchLex: _*) ||
+          col("o")("lex").isin(touchLex: _*)))
+      for (r <- got; rule <- seedRules if rule.mp == dP(r).getString(0)) {
+        val s = dS(r); val o = dO(r)
+        val ok = rule.moLex.forall(_ == o.getString(0)) &&
+          rule.moKind.forall(_ == o.getInt(1)) &&
+          rule.moDt.forall(_ == o.getString(2)) &&
+          rule.moLang.forall(_ == o.getString(3)) &&
+          (!rule.objRes || o.getInt(1) != LIT)
+        if (ok) {
+          val outS = if (rule.swap) o else s
+          val outO = rule.outOLex match {
+            case Some(lex) => Row(lex, rule.outOKind.get, rule.outODt.get,
+              rule.outOLang.get, rule.outONum.map(Double.box).orNull)
+            case None => if (rule.swap) s else o
+          }
+          concl += Row(outS, mkIri(rule.outP), outO)
+        }
+      }
+    }
+    val needP12 = taintPreds.contains("owl:sameAs")
+    val needTyping = taintPreds.contains(RdfType)
+    val sameEnds: Seq[String] = if (!needP12) Nil
+      else taintRows.filter(dP(_).getString(0) == "owl:sameAs")
+        .flatMap(r => Seq(dS(r).getString(0), dO(r).getString(0))).distinct
+    val typeSubjs: Seq[String] = if (!needTyping) Nil
+      else taintRows.filter(dP(_).getString(0) == RdfType)
+        .map(dS(_).getString(0)).distinct
+    // two-premise seed — the distributed phase's fed/cur pruning with
+    // p12Mirror=false: rdfp1/2 fire (fed, cur) only; rdfp15's live
+    // orientation is (fed-stmts, cur-typings), rdfp16's is
+    // (cur-typings, fed-stmts) — the other orientations are vacuous
+    // because fed carries no rdf:type rows and cur no svp/avp rows
+    if (needP12 && ont.functional.nonEmpty) {
+      val l = probe(remaining, col("p")("lex").isin(ont.functional: _*) &&
+        col("o")("lex").isin(sameEnds: _*))
+        .filter(dO(_).getInt(1) != LIT)
+      if (l.nonEmpty) {
+        val r = probe(remaining, col("p")("lex").isin(ont.functional: _*) &&
+          col("s")("lex").isin(l.map(dS(_).getString(0)).distinct.toSeq: _*))
+          .filter(dO(_).getInt(1) != LIT)
+        val byPS = r.groupBy(x => (dP(x).getString(0), tk(dS(x))))
+        l.foreach { lr =>
+          byPS.getOrElse((dP(lr).getString(0), tk(dS(lr))), Array.empty[Row])
+            .foreach { rr =>
+              if (tk(dO(lr)) != tk(dO(rr)))
+                concl += Row(dO(lr), mkIri("owl:sameAs"), dO(rr))
+            }
+        }
+      }
+    }
+    if (needP12 && ont.invFunctional.nonEmpty) {
+      val l = probe(remaining, col("p")("lex").isin(ont.invFunctional: _*) &&
+        col("s")("lex").isin(sameEnds: _*))
+      if (l.nonEmpty) {
+        val r = probe(remaining, col("p")("lex").isin(ont.invFunctional: _*) &&
+          col("o")("lex").isin(l.map(dO(_).getString(0)).distinct.toSeq: _*))
+        val byPO = r.groupBy(x => (dP(x).getString(0), tk(dO(x))))
+        l.foreach { lr =>
+          byPO.getOrElse((dP(lr).getString(0), tk(dO(lr))), Array.empty[Row])
+            .foreach { rr =>
+              if (tk(dS(lr)) != tk(dS(rr)))
+                concl += Row(dS(lr), mkIri("owl:sameAs"), dS(rr))
+            }
+        }
+      }
+    }
+    val svpPreds = ont.someValues.map(_._2).distinct
+    val avpPreds = ont.allValues.map(_._2).distinct
+    if (needTyping && svpPreds.nonEmpty && typeSubjs.nonEmpty) {
+      val stmts = probe(remaining, col("p")("lex").isin(svpPreds: _*) &&
+        col("s")("lex").isin(typeSubjs: _*))
+        .filter(dO(_).getInt(1) != LIT)
+      if (stmts.nonEmpty) {
+        val typings = probe(remaining, col("p")("lex") === RdfType &&
+          col("s")("lex").isin(
+            stmts.map(dO(_).getString(0)).distinct.toSeq: _*))
+          .filter(dO(_).getInt(1) != LIT)
+        val byS2 = typings.groupBy(t => (dS(t).getString(0), dS(t).getInt(1)))
+        stmts.foreach { st =>
+          for ((svc, svp, svw) <- ont.someValues
+               if svp == dP(st).getString(0)) {
+            val ms = byS2.getOrElse(
+              (dO(st).getString(0), dO(st).getInt(1)), Array.empty[Row])
+            if (ms.exists(t => dO(t).getString(0) == svw))
+              concl += Row(dS(st), mkIri(RdfType), mkIri(svc))
+          }
+        }
+      }
+    }
+    if (needTyping && avpPreds.nonEmpty && typeSubjs.nonEmpty) {
+      val avcLex = ont.allValues.map(_._1).distinct
+      val stmts = probe(remaining, col("p")("lex").isin(avpPreds: _*) &&
+        col("o")("lex").isin(typeSubjs: _*))
+        .filter(dO(_).getInt(1) != LIT)
+      if (stmts.nonEmpty) {
+        val typings = probe(remaining, col("p")("lex") === RdfType &&
+          col("o")("lex").isin(avcLex: _*) &&
+          col("s")("lex").isin(
+            stmts.map(dS(_).getString(0)).distinct.toSeq: _*))
+        val byS2 = typings.groupBy(t => (dS(t).getString(0), dS(t).getInt(1)))
+        stmts.foreach { st =>
+          for ((avc, avp, avw) <- ont.allValues
+               if avp == dP(st).getString(0)) {
+            val ts = byS2.getOrElse(
+              (dS(st).getString(0), dS(st).getInt(1)), Array.empty[Row])
+            if (ts.exists(t => dO(t).getString(0) == avc))
+              concl += Row(dO(st), mkIri(RdfType), mkIri(avw))
+          }
+        }
+      }
+    }
+    // seeded transitive BFS — per-hop probes of the remaining edge set
+    // (the distributed phase's reachNodes over O(reachable-from-delta),
+    // without the per-call dictionary/collision/checkpoint machinery)
+    for (tp <- ont.transitive if taintPreds.contains(tp) && !overflow) {
+      val srcRows = taintRows.filter(dP(_).getString(0) == tp).map(dS)
+      val srcByK = srcRows.map(s => tk(s) -> s).toMap
+      var visited = Set.empty[(TK, TK)]
+      var frontier: Seq[(TK, Row)] = srcByK.toSeq.map { case (k, s) => (k, s) }
+      var hops = 0
+      while (frontier.nonEmpty && hops < 64 && !overflow) {
+        hops += 1
+        val nodeLex = frontier.map(_._2.getString(0)).distinct
+        val edges = probe(remaining, col("p")("lex") === tp &&
+          col("s")("lex").isin(nodeLex: _*))
+          .filter(dO(_).getInt(1) != LIT)
+        val adj = edges.groupBy(e => tk(dS(e)))
+        val next = scala.collection.mutable.ArrayBuffer.empty[(TK, Row)]
+        frontier.foreach { case (src, node) =>
+          adj.getOrElse(tk(node), Array.empty[Row]).foreach { e =>
+            val pair = (src, tk(dO(e)))
+            if (!visited(pair)) {
+              visited += pair
+              next += ((src, dO(e)))
+              concl += Row(srcByK(src), mkIri(tp), dO(e))
+            }
+          }
+        }
+        frontier = next.toSeq
+      }
+      if (hops >= 64 && frontier.nonEmpty) overflow = true
+    }
+    if (overflow) return None
+    // seed = conclusions ∩ taint, exact 4-field triple keys
+    val seedMap = scala.collection.mutable.LinkedHashMap.empty[(TK, TK, TK), Row]
+    concl.foreach { r =>
+      val k = key(r)
+      if (taintKeys(k)) seedMap.getOrElseUpdate(k, r)
+    }
+    if (dbg) System.err.println(
+      s"[owlhorst-dred] driver taint=${taintRows.size} seed=${seedMap.size}")
+    // ---- targeted equivalence reseed (driver form) -------------------
+    var preClosed = !needP12
+    var validPairs: Seq[(String, String)] = if (needP12) Nil else prePairs
+    val reseedRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    if (needP12) {
+      if (sameEnds.length > 1000) {
+        // the distributed phase takes the full round-1 re-expansion
+        // here (preClosed=false, no reseed) — replicate that outcome
+        preClosed = false
+      } else {
+        val ends = sameEnds.toSet
+        val m = ends ++ prePairs.collect { case (f, t) if ends(f) => t }
+        val mSeq = m.toSeq
+        val survivors = probe(remaining,
+          col("p")("lex") === "owl:sameAs" && col("s")("lex").isin(mSeq: _*))
+          .map(r => (dS(r).getString(0), dO(r).getString(0)))
+        val rederived = seedMap.values
+          .filter(dP(_).getString(0) == "owl:sameAs")
+          .map(r => (dS(r).getString(0), dO(r).getString(0)))
+        if (overflow) return None
+        val uf2 = new UnionFind
+        (survivors ++ rederived).foreach(pr => uf2.union(pr._1, pr._2))
+        val newPairs = uf2.crossPairs.filter(pr => m(pr._1))
+        if (newPairs.nonEmpty) {
+          val npFrom = newPairs.groupMap(_._1)(_._2)
+          val touching = probe(remaining,
+            col("s")("lex").isin(mSeq: _*) || col("o")("lex").isin(mSeq: _*))
+          val rsCand = scala.collection.mutable.LinkedHashMap
+            .empty[(TK, TK, TK), Row]
+          def addRs(r: Row): Unit = rsCand.getOrElseUpdate(key(r), r)
+          touching.foreach { r =>
+            npFrom.get(dS(r).getString(0)).foreach(_.foreach(to =>
+              addRs(Row(mkIri(to), dP(r), dO(r)))))
+            npFrom.get(dO(r).getString(0)).foreach(_.foreach(to =>
+              addRs(Row(dS(r), dP(r), mkIri(to)))))
+          }
+          newPairs.foreach { case (f, t) =>
+            addRs(Row(mkIri(f), mkIri("owl:sameAs"), mkIri(t)))
+          }
+          // subtract remaining-EXPLICIT coincidences (the r16 red-first
+          // reseed guard) — one probe of the explicit plane
+          if (rsCand.size > probeCap) return None
+          val rsS = rsCand.values.map(dS(_).getString(0)).toSeq.distinct
+          val rsP = rsCand.values.map(dP(_).getString(0)).toSeq.distinct
+          val expl = probe(remExpl, col("s")("lex").isin(rsS: _*) &&
+            col("p")("lex").isin(rsP: _*)).map(key).toSet
+          if (overflow) return None
+          rsCand.foreach { case (k, r) => if (!expl(k)) reseedRows += r }
+        }
+        validPairs = prePairs.filterNot(pr => m(pr._1)) ++ uf2.crossPairs
+        preClosed = true
+      }
+    }
+    // ---- expansion rederive (driver form) ----------------------------
+    val expRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    if (preClosed) {
+      val taintEnds = touchLex.toSet
+      val rel = validPairs.filter(pr => taintEnds(pr._2))
+      if (rel.nonEmpty) {
+        val fromMembers = rel.map(_._1).distinct
+        if (fromMembers.size > 1000) return None // distributed handles
+        val relFrom = rel.groupMap(_._1)(_._2)
+        val src = probe(remaining, col("s")("lex").isin(fromMembers: _*) ||
+          col("o")("lex").isin(fromMembers: _*))
+        if (overflow) return None
+        val seen = scala.collection.mutable.Set.empty[(TK, TK, TK)]
+        def addExp(r: Row): Unit = {
+          val k = key(r)
+          if (taintKeys(k) && seen.add(k)) expRows += r
+        }
+        src.foreach { r =>
+          relFrom.get(dS(r).getString(0)).foreach(_.foreach(to =>
+            addExp(Row(mkIri(to), dP(r), dO(r)))))
+          relFrom.get(dO(r).getString(0)).foreach(_.foreach(to =>
+            addExp(Row(dS(r), dP(r), mkIri(to)))))
+        }
+      }
+    }
+    if (overflow) return None
+    val out = scala.collection.mutable.LinkedHashMap.empty[(TK, TK, TK), Row]
+    (seedMap.values ++ reseedRows ++ expRows).foreach(r =>
+      out.getOrElseUpdate(key(r), r))
+    Some((out.values.toSeq, preClosed))
+  }
+
   private def doRunDelete(spark: SparkSession, remainingExplicit: DataFrame,
       remExpl: DataFrame, infTrip: DataFrame,
       deletedTriples: DataFrame,
@@ -1265,6 +1553,7 @@ object OwlHorst {
       sys.props.getOrElse("graft.infer.driver.taint.max", "2000").toInt
     var taintAll: DataFrame = null
     var driverDone = false
+    var driverTaintRows: Seq[org.apache.spark.sql.Row] = null
     if (driverWsCap > 0 && driverPairs.isDefined) {
       val seedFrame = axiomSeed match {
         case Some(s0) if !s0.isEmpty => deletedTriples.unionByName(s0)
@@ -1282,6 +1571,7 @@ object OwlHorst {
                   scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
                 deletedTriples.schema)
               .localCheckpoint()
+            driverTaintRows = rows
             driverDone = true
           case DriverTaintUnconverged =>
             System.err.println(s"[owlhorst-dred] driver taint fixpoint " +
@@ -1459,6 +1749,30 @@ object OwlHorst {
       tripSemiJoin(infTrip, taintAll, "left_anti").localCheckpoint()
     mark("remainingInferred")
     val remaining = remExpl.unionByName(remainingInferred)
+    // driver-side phase 2 (r17): with the taint driver-known, the seed
+    // probes run on collected rows against ONE checkpointed remaining
+    // plane — see [[rederiveSeedDriver]]; None (cap overflow) falls
+    // through to the distributed phase 2 below unchanged
+    var driverSeed: Option[(Seq[org.apache.spark.sql.Row], Boolean)] = None
+    if (driverTaintRows != null) {
+      val remainingProbe = remaining.localCheckpoint()
+      try driverSeed = rederiveSeedDriver(ont, rules, driverTaintRows,
+        driverPairs.get, remainingProbe, remExpl, dbg)
+      finally graft.ext.Ranks.releaseCheckpoint(remainingProbe)
+    }
+    var seed2: DataFrame = null
+    var preClosedOut = false
+    if (driverSeed.isDefined) {
+      val (rows, pc) = driverSeed.get
+      seed2 =
+        if (rows.isEmpty) deletedTriples.limit(0)
+        else spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            deletedTriples.schema)
+          .localCheckpoint()
+      preClosedOut = pc
+    } else {
     val taintPreds = taintAll.select(col("p")("lex")).distinct()
       .collect().map(_.getString(0)).toSet
     var seeds = Seq.empty[DataFrame]
@@ -1739,10 +2053,12 @@ object OwlHorst {
         }
       }
     }
-    val seed2 = (Seq(seed) ++ reseed ++ expSeed) match {
+    seed2 = (Seq(seed) ++ reseed ++ expSeed) match {
       case Seq(s0) => s0
       case ss => ss.reduce(_.unionByName(_)).distinct().localCheckpoint()
     }
+    preClosedOut = preClosed
+    } // end distributed phase 2 (driverSeed.isEmpty)
     // ---- phase 3: REINSERT -------------------------------------------
     val afterDelete = remainingExplicit.unionByName(
       remainingInferred.select(lit(G).as("g"), col("s"), col("p"), col("o")))
@@ -1751,7 +2067,7 @@ object OwlHorst {
       else afterDelete.unionByName(
         seed2.select(lit(G).as("g"), col("s"), col("p"), col("o")))
     mark("seed checkpoint")
-    val res = run(spark, quadsIn, seed2, equivPreClosed = preClosed)
+    val res = run(spark, quadsIn, seed2, equivPreClosed = preClosedOut)
     mark("reinsert run")
     // ---- taint-bounded inferred-plane deltas (r16) ---------------------
     // Both delta directions live inside the taint set (see
