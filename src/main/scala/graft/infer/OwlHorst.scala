@@ -753,19 +753,27 @@ object OwlHorst {
       // the axiom routing below.
       return DeleteResult(remainingExplicit.unionByName(infQuads),
         delTrip.limit(0), delTrip.limit(0))
-    // axiom routing (r16, the r15 verdict's #6): a SINGLE lost axiom
-    // statement maintains incrementally — the affected rule family is
-    // known, so the DRed taint seeds from the LOST compiled rules'
-    // conclusions over the pre-delete base (doRunDelete's ontOld path)
-    // instead of re-closing the world. Multi-axiom batches keep the
-    // sanctioned full re-materialization fallback (interacting axiom
-    // deletions share one rare path with axiom INSERTS).
+    // axiom routing (r16, the r15 verdict's #6; batches widened r17 —
+    // the r16 verdict's #3): a lost-axiom delete maintains
+    // incrementally — the DRed taint seeds from the LOST compiled
+    // rules' conclusions over the pre-delete base (doRunDelete's
+    // ontOld path) instead of re-closing the world. The seed diffs the
+    // CLOSED pre/post rule tables (`compileRules(ontOld)` minus the
+    // new rules), so a BATCH of axiom deletes — independent or
+    // interacting (e.g. two edges of one subclass chain) — loses
+    // exactly the rules the batch loses; per-axiom seed unions would
+    // under-approximate interacting diffs, the table diff cannot.
+    // Oversized batches keep the sanctioned full re-materialization
+    // fallback (a bound on the lost-rule table's conclusions scan,
+    // same surrender family as the axiom-seed row cap).
+    val axiomBatchMax =
+      sys.props.getOrElse("graft.infer.axiom.batch.max", "8").toInt
     val deletedAxioms = deletedTriples.filter(
       col("p")("lex").isin(AxiomPreds: _*) ||
         (col("p")("lex") === RdfType &&
           col("o")("lex").isin(AxiomTypeObjects: _*)))
-      .limit(2).collect()
-    if (deletedAxioms.length > 1) {
+      .limit(axiomBatchMax + 1).collect()
+    if (deletedAxioms.length > axiomBatchMax) {
       dredAxiomFallbacks.incrementAndGet()
       return fullDiffDeltas(materialize(spark, remainingExplicit),
         trip(infQuads))

@@ -539,18 +539,24 @@ class OwlHorstSpec extends GraftSuite {
     assert(OwlHorst.dredAxiomIncrementals.get() == aiBefore + 1)
     assert(OwlHorst.fullCloseRuns.get() == fullBefore,
       "a single-axiom delete must not re-close the world")
-    // a MULTI-axiom batch is the one sanctioned full re-closure
+    // a MULTI-axiom batch maintains incrementally too (r17 — the
+    // closed rule-table diff is batch-exact); only an OVERSIZED batch
+    // (past graft.infer.axiom.batch.max) takes the sanctioned full
+    // re-closure — see "DRed axiom batch: oversized batch falls back"
     val quads2 = iriQuads(Seq(
       (":A", "rdfs:subClassOf", ":B"),
       (":B", "rdfs:subClassOf", ":C"),
       ("i:1", "rdf:type", ":A")))
     val baseMat2 = OwlHorst.materialize(spark, quads2)
     val fbBefore = OwlHorst.dredAxiomFallbacks.get()
+    val aiBefore2 = OwlHorst.dredAxiomIncrementals.get()
     val full2 = OwlHorst.fullCloseRuns.get()
     OwlHorst.incrementalDelete(spark, baseMat2,
       quads2.filter(col("p")("lex") === "rdfs:subClassOf")).count()
-    assert(OwlHorst.dredAxiomFallbacks.get() == fbBefore + 1)
-    assert(OwlHorst.fullCloseRuns.get() == full2 + 1)
+    assert(OwlHorst.dredAxiomFallbacks.get() == fbBefore)
+    assert(OwlHorst.dredAxiomIncrementals.get() == aiBefore2 + 1)
+    assert(OwlHorst.fullCloseRuns.get() == full2,
+      "an in-cap axiom batch must not re-close the world")
   }
 
   test("DRed: tainted row restorable only by expansion of a survivor") {
@@ -777,6 +783,94 @@ class OwlHorstSpec extends GraftSuite {
       "the inherited super-property copy retracts with the axiom")
     assert(spo(inc)(("ex:x", "ex:q", "ex:y")) &&
       spo(inc)(("ex:m", "ex:qsub", "ex:y")))
+  }
+
+  // ---- r17: multi-axiom batch deletes (the r16 verdict's #3) ---------
+
+  test("DRed axiom batch: independent axioms maintain incrementally") {
+    // two unrelated axioms in ONE batch: a subclass edge and a
+    // FunctionalProperty typing — the closed rule-table diff loses
+    // exactly both families' rules, no fallback
+    val quads = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      ("i:1", "rdf:type", ":A"),
+      ("ex:hq2", "rdf:type", "owl:FunctionalProperty"),
+      ("corp:9", "ex:hq2", "site:a"),
+      ("corp:9", "ex:hq2", "site:b")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(
+      (col("s")("lex") === ":A" && col("p")("lex") === "rdfs:subClassOf") ||
+        (col("s")("lex") === "ex:hq2" && col("p")("lex") === "rdf:type"))
+    val aiBefore = OwlHorst.dredAxiomIncrementals.get()
+    val afBefore = OwlHorst.dredAxiomFallbacks.get()
+    val inc = checkDelete(quads, baseMat, del)
+    assert(OwlHorst.dredAxiomIncrementals.get() == aiBefore + 1)
+    assert(OwlHorst.dredAxiomFallbacks.get() == afBefore)
+    assert(!spo(inc)(("i:1", "rdf:type", ":B")))
+    assert(!spo(inc).exists(_._2 == "owl:sameAs"))
+  }
+
+  test("DRed axiom batch: INTERACTING chain axioms lose exactly the chained rules") {
+    // delete A⊑B and B⊑C in one batch: the lost-rule set is the diff of
+    // the CLOSED tables (A→B, A→C, B→C) — a per-axiom union could miss
+    // A→C; i:2 keeps its B⊑C-independent :D typing via the surviving
+    // A⊑D edge
+    val quads = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      (":B", "rdfs:subClassOf", ":C"),
+      (":A", "rdfs:subClassOf", ":D"),
+      ("i:1", "rdf:type", ":A"),
+      ("i:2", "rdf:type", ":B")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("p")("lex") === "rdfs:subClassOf" &&
+      col("o")("lex").isin(":B", ":C"))
+    val inc = checkDelete(quads, baseMat, del)
+    assert(spo(inc)(("i:1", "rdf:type", ":D")))
+    assert(!spo(inc)(("i:1", "rdf:type", ":B")) &&
+      !spo(inc)(("i:1", "rdf:type", ":C")),
+      "i:1 loses both chained typings (incl. the A→C composite)")
+    assert(!spo(inc)(("i:2", "rdf:type", ":C")),
+      "i:2 loses the B⊑C typing")
+    assert(spo(inc)(("i:2", "rdf:type", ":B")),
+      "i:2's EXPLICIT :B typing survives")
+  }
+
+  test("DRed axiom batch: mixed axiom + instance deletes in one batch") {
+    val quads = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      ("i:1", "rdf:type", ":A"),
+      ("i:2", "rdf:type", ":A"),
+      ("ex:p", "rdf:type", "owl:TransitiveProperty"),
+      ("ex:a", "ex:p", "ex:b"),
+      ("ex:b", "ex:p", "ex:c")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    // one axiom (the subclass edge) + one instance premise (a chain
+    // edge) in the same batch
+    val del = quads.filter(
+      (col("s")("lex") === ":A" && col("p")("lex") === "rdfs:subClassOf") ||
+        (col("s")("lex") === "ex:b" && col("p")("lex") === "ex:p"))
+    val inc = checkDelete(quads, baseMat, del)
+    assert(!spo(inc).exists(r => r._2 == "rdf:type" && r._3 == ":B"))
+    assert(spo(inc).filter(_._2 == "ex:p").map(r => (r._1, r._3)) ==
+      Set(("ex:a", "ex:b")))
+  }
+
+  test("DRed axiom batch: oversized batch falls back (telemetry split)") {
+    val quads = iriQuads(Seq(
+      (":A", "rdfs:subClassOf", ":B"),
+      (":C", "rdfs:subClassOf", ":D"),
+      ("i:1", "rdf:type", ":A"),
+      ("i:2", "rdf:type", ":C")))
+    val baseMat = OwlHorst.materialize(spark, quads)
+    val del = quads.filter(col("p")("lex") === "rdfs:subClassOf")
+    sys.props("graft.infer.axiom.batch.max") = "1"
+    try {
+      val afBefore = OwlHorst.dredAxiomFallbacks.get()
+      val inc = checkDelete(quads, baseMat, del)
+      assert(OwlHorst.dredAxiomFallbacks.get() == afBefore + 1,
+        "a batch past graft.infer.axiom.batch.max must surrender")
+      assert(!spo(inc).exists(r => r._3 == ":B" || r._3 == ":D"))
+    } finally sys.props.remove("graft.infer.axiom.batch.max")
   }
 
   // ---- r17: driver-side taint fixpoint (the r16 verdict's #2) --------
