@@ -2916,6 +2916,39 @@ object Queries {
              CAST(round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE * 1000000.0 / count(*)) AS BIGINT)::DOUBLE/1000000.0 AS dup_ratio
       FROM exh JOIN df USING (gh) GROUP BY doc_id""")),
 
+    // EXACT repeated-substring pairs (r17): longest shared run of ≥12
+    // consecutive tokens per doc pair — winnowing anchors + anchored
+    // extend-and-verify on the engine side; the oracle pays the full
+    // 12-shingle self-join and reads the max run off the diagonal
+    // islands (run = consecutive shared shingle positions + 11). The
+    // n-gram Jaccard family misses exactly these pairs when the shared
+    // span is long but the documents are otherwise unrelated.
+    Q("d_substring_exact", (s, dir) =>
+      Dedup.substringExactPairs(t(s, dir, "documents"), 12),
+      Some("""
+      WITH t AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      pos AS MATERIALIZED (
+        SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tok
+        FROM t),
+      sh AS MATERIALIZED (
+        SELECT doc_id, p, string_agg(tok, ' ') OVER (
+          PARTITION BY doc_id ORDER BY p
+          ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS s
+        FROM pos QUALIFY p + 11 <= max(p) OVER (PARTITION BY doc_id)),
+      m AS MATERIALIZED (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+        FROM sh AS a JOIN sh AS b ON a.s = b.s AND a.doc_id < b.doc_id),
+      g AS (SELECT da, db, pa - pb AS diag,
+              pa - row_number() OVER (
+                PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+            FROM m),
+      isl AS (SELECT da, db, count(*) AS runlen
+              FROM g GROUP BY da, db, diag, grp)
+      SELECT da AS doc_a, db AS doc_b,
+             (max(runlen) + 11)::BIGINT AS span_tokens
+      FROM isl GROUP BY 1, 2""")),
+
     // cross-source contamination matrix: distinct word 8-grams shared
     // per source pair — the mirror-site / double-ingestion diagnostic;
     // one gram shuffle, pair fan-out bounded by sources² per gram.

@@ -466,6 +466,98 @@ object Dedup {
           .cast("long").cast("double") / lit(1e6))
   }
 
+  /** EXACT repeated-substring detection (r17, the r16 verdict's #4 —
+    * the suffix-granular operator published training-data pipelines run
+    * where [[spanDupRatio]] is the n-gram approximation): for every
+    * document pair sharing an exact run of ≥ `minSpan` consecutive
+    * tokens, emit the pair with its LONGEST shared run. Shape is
+    * winnowing anchors → candidate alignments → extend-and-verify on
+    * the anchored windows — never a corpus-wide suffix array:
+    *
+    *  1. anchors: the winnowed k-gram fingerprints
+    *     (Schleimer–Wilkerson–Aiken; [[graft.functions.SlidingMin]]
+    *     over [[graft.functions.GramHashes]]) with their token
+    *     POSITIONS. Window w = minSpan − k + 1 gives the winnowing
+    *     guarantee: any shared run of ≥ minSpan tokens contains a full
+    *     window of k-grams, whose minimum is selected in BOTH
+    *     documents — no true pair is missed.
+    *  2. candidates: anchors join on the fingerprint VALUE — each hit
+    *     is an (doc_a, pos_a, doc_b, pos_b) alignment. A hot anchor
+    *     (boilerplate) fans out exactly like the truth it approximates;
+    *     winnowing keeps anchor density at ~2/(w+1) per token, so the
+    *     join input is a fraction of the all-positions shingle join
+    *     the oracle pays.
+    *  3. extend-and-verify: each alignment re-joins ONLY the candidate
+    *     documents' token arrays, string-verifies the anchor k-gram
+    *     (hash-collision guard), and counts the maximal equal run
+    *     left/right of the anchor inside a ±`maxExt`-token window —
+    *     one codegen'd fold per side (the lambda reads only its
+    *     iteration state; zip_with's null padding stops the count at
+    *     the shorter side). Spans ≤ maxExt report EXACTLY (any anchor
+    *     inside the run recovers the whole run); the ±window bounds
+    *     per-alignment work on adversarial inputs.
+    *
+    * @return (doc_a, doc_b, span_tokens) for pairs with a shared run
+    *         ≥ `minSpan`, span_tokens = the longest shared run.
+    */
+  def substringExactPairs(docs: DataFrame, minSpan: Int = 12, k: Int = 8,
+      maxExt: Int = 256): DataFrame = {
+    require(minSpan > k, s"substringExactPairs: minSpan ($minSpan) must " +
+      s"exceed the anchor gram size ($k) — the winnowing window is " +
+      "minSpan - k + 1")
+    val w = minSpan - k + 1
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      tokens(col("text")).as("toks"),
+      graft.functions.GramHashes.wide(col("text"), k).as("grams"))
+    val anchors = base
+      .withColumn("wset", array_distinct(
+        graft.functions.SlidingMin(col("grams"), w)))
+      .select(col("doc_id"), col("wset"),
+        posexplode(col("grams")).as(Seq("pos", "h")))
+      .filter(array_contains(col("wset"), col("h")))
+      .select(col("doc_id"), col("pos"), col("h"))
+    val cand = anchors.select(col("doc_id").as("da"), col("pos").as("pa"),
+        col("h"))
+      .join(anchors.select(col("doc_id").as("db"), col("pos").as("pb"),
+        col("h")), Seq("h"))
+      .where(col("da") < col("db"))
+      .select("da", "pa", "db", "pb")
+      .distinct()
+    // leading-equal count of two (possibly different-length) token
+    // arrays: null-safe compare stops at the shorter side's end
+    def leadEq(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (a, b) => a <=> b),
+        struct(lit(true).as("go"), lit(0).as("n")),
+        (acc, m) => struct((acc("go") && m).as("go"),
+          when(acc("go") && m, acc("n") + 1).otherwise(acc("n")).as("n")))("n")
+    val paired = cand
+      .join(base.select(col("doc_id").as("da"), col("toks").as("toks_a")),
+        Seq("da"))
+      .join(base.select(col("doc_id").as("db"), col("toks").as("toks_b")),
+        Seq("db"))
+    // pos is 0-based; slice() is 1-based. Anchor occupies tokens
+    // [pos+1, pos+k]; left window = the last ≤maxExt tokens before it
+    // (reversed, so the fold walks outward), right window = the ≤maxExt
+    // tokens after it.
+    def leftArr(toks: Column, pos: Column): Column =
+      reverse(slice(toks, greatest(pos - lit(maxExt) + 1, lit(1)),
+        least(pos, lit(maxExt))))
+    def rightArr(toks: Column, pos: Column): Column =
+      slice(toks, pos + lit(k) + 1, lit(maxExt))
+    val spans = paired
+      // hash-collision guard: the anchor k-grams must MATCH as strings
+      .filter(slice(col("toks_a"), col("pa") + 1, lit(k)) ===
+        slice(col("toks_b"), col("pb") + 1, lit(k)))
+      .select(col("da"), col("db"),
+        (leadEq(leftArr(col("toks_a"), col("pa")),
+            leftArr(col("toks_b"), col("pb"))) + lit(k) +
+          leadEq(rightArr(col("toks_a"), col("pa")),
+            rightArr(col("toks_b"), col("pb")))).as("span"))
+    spans.groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+      .agg(max(col("span")).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+  }
+
   /** Signature-estimated Jaccard next to the exact verify for every
     * LSH candidate pair — the calibration view of [[minHashPairs]]
     * (matching components / k is the unbiased estimator band tuning

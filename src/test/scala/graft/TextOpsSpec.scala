@@ -717,4 +717,47 @@ class TextOpsSpec extends GraftSuite {
     assert(gotB.exceptAll(wantB).isEmpty && wantB.exceptAll(gotB).isEmpty,
       "boundary-cell token budget must equal the window formulation")
   }
+
+  test("substringExactPairs: exact spans winnowing misses nothing (r17)") {
+    import spark.implicits._
+    // the span n-gram-Jaccard misses: docs 1 and 2 share ONE exact
+    // 13-token run inside otherwise-disjoint 40-token texts (Jaccard
+    // over 8-gram shingles ≈ 6/60 — far below any dedup threshold)
+    val run = (1 to 13).map(i => s"shared$i").mkString(" ")
+    val padA = (1 to 27).map(i => s"a$i").mkString(" ")
+    val padB = (1 to 27).map(i => s"b$i").mkString(" ")
+    // doc 3/4: exactly minSpan-1 = 11 shared tokens — NOT reported
+    val run11 = (1 to 11).map(i => s"edge$i").mkString(" ")
+    // doc 5/6: span of exactly 12 at the very START/END (boundary
+    // positions exercise the slice arithmetic)
+    val run12 = (1 to 12).map(i => s"brink$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${padA.split(" ").take(14).mkString(" ")} $run ${padA.split(" ").drop(14).mkString(" ")}"),
+      (2L, s"$run $padB"),
+      (3L, s"$run11 x1 x2 x3"),
+      (4L, s"y1 y2 $run11"),
+      (5L, s"$run12 z1 z2 z3 z4"),
+      (6L, s"q1 q2 q3 $run12")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.substringExactPairs(docs, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 13L), (5L, 6L, 12L)),
+      s"expected the 13-run and the boundary 12-run only, got $got")
+  }
+
+  test("substringExactPairs: repeated tokens and multiple runs report the max") {
+    import spark.implicits._
+    // two docs share TWO disjoint runs (14 and 12 tokens) — max wins;
+    // a third doc repeats the anchor gram internally (multiple
+    // alignments of the same fingerprint must not inflate the span)
+    val r1 = (1 to 14).map(i => s"m$i").mkString(" ")
+    val r2 = (1 to 12).map(i => s"n$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$r1 u1 u2 u3 $r2"),
+      (2L, s"v1 $r2 v2 v3 $r1"),
+      (3L, s"$r1 w1 $r1")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.substringExactPairs(docs, 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((1L, 2L)) == 14L)
+    assert(got((1L, 3L)) == 14L && got((2L, 3L)) == 14L)
+  }
 }
