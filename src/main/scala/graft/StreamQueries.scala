@@ -139,6 +139,31 @@ object StreamQueries {
               FROM events))
       WHERE rk <= 8""")),
 
+    // streaming quantile-sketch registers (r17): per event type the
+    // hash-sampled register store of the mergeable quantile sketch —
+    // state (level, n, ≤8·cap registers) per stratum; the level rises
+    // as the stratum grows and the registers re-filter in place
+    // (nesting predicates), so the drained state equals the batch
+    // per-group register build row-for-row. The oracle replays the
+    // q_sketch_group level/register construction over events.
+    Q("st_sketch_quantiles", (s, dir) => StreamOps.sketchStreaming(s, dir),
+      Some(s"""
+      WITH ev AS MATERIALIZED (
+        SELECT event_type AS g, CAST(event_id AS VARCHAR) AS k,
+               CAST(round(value * 100.0) AS BIGINT) AS v
+        FROM events),
+      ng AS MATERIALIZED (SELECT g, count(*)::BIGINT AS n FROM ev GROUP BY 1),
+      lg AS MATERIALIZED (
+        SELECT g, n, CASE WHEN n <= 64 THEN 0
+                          ELSE (${graft.ext.Sketches.floorLog2Sql("n // 65")}) + 1
+                     END AS lvl FROM ng)
+      SELECT e.g AS event_type, lg.lvl::BIGINT AS lvl, lg.n AS n_group,
+             e.k, e.v AS v_cents
+      FROM ev e JOIN lg ON lg.g = e.g
+      WHERE (${Queries.duckPhFor("k", 31)} * 1000000007
+             + ${Queries.duckPhFor("k", 131)})
+            % (1::BIGINT << lvl) = 0""")),
+
     // streaming SESSIONIZATION under the oracle (r16): the
     // flatMapGroupsWithState sessionizer (open-session + bounded
     // late-island state, cross-batch protocol in StreamingSpec since

@@ -556,6 +556,77 @@ object StreamOps {
     spark.table(name)
   }
 
+  final case class SkEv(event_type: String, k: String, v: Long, h: Long)
+  final case class SkState(lvl: Int, n: Long, regs: List[(Long, String, Long)])
+  final case class SkReg(event_type: String, lvl: Long, n_group: Long,
+      k: String, v_cents: Long)
+
+  /** STREAMING per-stratum quantile-sketch registers (r17, the r16
+    * verdict's #5): the stateful twin of
+    * [[graft.ext.Sketches.sketchQuantilesByGroup]]'s register build.
+    * Per stratum the state is (level, n, registers): an arriving row
+    * joins the registers iff its wide polynomial key hash ≡ 0 mod
+    * 2^level, and when n outgrows the level (`n >> lvl > cap`, the
+    * batch [[graft.ext.Sketches.sketchLevel]] schedule) the level
+    * rises and the registers RE-FILTER in place — the level predicates
+    * NEST, so pruning never needs dropped rows back and the drained
+    * state equals the batch register build ROW-FOR-ROW at the final
+    * level (replay-equivalence, exact — not approximate). State per
+    * stratum ≤ 8·cap register rows with the batch build's loud bound;
+    * a mega stratum samples at a deeper level, never a bigger state.
+    */
+  def sketchRegStreaming(evs: Dataset[SkEv], cap: Int = 64): Dataset[SkReg] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[SkState, SkReg](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (typ, events, state) =>
+          val st = state.getOption.getOrElse(SkState(0, 0L, Nil))
+          var lvl = st.lvl
+          var n = st.n
+          var regs = st.regs
+          events.foreach { e =>
+            n += 1
+            if (e.h % (1L << lvl) == 0) regs ::= ((e.h, e.k, e.v))
+            while ((n >> lvl) > cap) {
+              lvl += 1
+              regs = regs.filter(_._1 % (1L << lvl) == 0)
+            }
+            require(regs.length <= 8 * cap,
+              s"sketchRegStreaming[$typ]: ${regs.length} registers exceed " +
+                "the 8·cap bound — pathological key hash")
+          }
+          state.update(SkState(lvl, n, regs))
+          regs.map { case (_, k, v) =>
+            SkReg(typ, lvl.toLong, n, k, v)
+          }.iterator
+      }
+  }
+
+  /** Gate wiring: events file stream → [[sketchRegStreaming]] → memory
+    * sink (update mode; the availableNow batch emits each stratum's
+    * final register set). Key = event id, value = cents; the hash is
+    * the same codegen'd wide polynomial as the batch register build,
+    * mirrored 1:1 by the oracle's per-group replay.
+    */
+  def sketchStreaming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("event_type"),
+        col("event_id").cast("string").as("k"),
+        round(col("value") * lit(100), 0).cast("long").as("v"),
+        graft.ext.TextAnalysis.polyHashWide(
+          col("event_id").cast("string")).as("h"))
+      .as[SkEv]
+    val out = sketchRegStreaming(evs).toDF()
+    val name = s"st_sketch_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, out, name, "update",
+      availableNow = true)
+    try { q.awaitTermination(); requireSingleDataBatch(q, "st_sketch_quantiles") }
+    finally finishQuery(q, ckpt)
+    spark.table(name)
+  }
+
   final case class RateEv(event_type: String, ts_ns: Long)
   final case class RateState(rk: Long, pc: Long, openHourNs: Long, openC: Long)
   final case class RateDrift(event_type: String, hour: java.sql.Timestamp,

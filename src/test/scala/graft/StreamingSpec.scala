@@ -72,6 +72,46 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming sketch registers: cross-batch state equals the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{SkEv, SkReg}
+    // 300 rows in one stratum with cap=64 force TWO level raises
+    // mid-stream (lvl 0 → 2); hashes are the real wide polynomial so
+    // the streaming filter matches the batch predicate bit-for-bit
+    val hashOf: Long => Long = {
+      val df = spark.range(1, 301)
+        .select(col("id"), graft.ext.TextAnalysis.polyHashWide(
+          col("id").cast("string")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      df
+    }
+    val evs = (1L to 300L).map(id => SkEv("a", id.toString, id * 10, hashOf(id)))
+    def batchRegs(slice: Seq[SkEv]): Set[SkReg] = {
+      val n = slice.length.toLong
+      val lvl = graft.ext.Sketches.sketchLevel(n, 64)
+      slice.filter(e => e.h % (1L << lvl) == 0)
+        .map(e => SkReg("a", lvl.toLong, n, e.k, e.v)).toSet
+    }
+    val mem = MemoryStream[SkEv]
+    val q = StreamOps.sketchRegStreaming(mem.toDS(), cap = 64)
+      .writeStream.format("memory").queryName("sk_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(evs.take(100): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(100): _*)
+      q.processAllAvailable()
+      // update mode re-emits the stratum's current register set per
+      // batch: the table is batch-1's registers ∪ the FINAL set, and
+      // the final set equals the single-batch build (level raises
+      // re-filtered in place — the nesting property)
+      val got = spark.table("sk_out").as[SkReg].collect().toSet
+      assert(got == batchRegs(evs.take(100)) ++ batchRegs(evs))
+      assert(batchRegs(evs).nonEmpty, "vacuous fixture: no registers")
+    } finally q.stop()
+  }
+
   test("streaming SCD-2: closes versions across batches, one open per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
