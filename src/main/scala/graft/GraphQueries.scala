@@ -290,6 +290,66 @@ object GraphQueries {
       JOIN nation ON s_nationkey=n_nationkey
       WHERE n_regionkey IN (SELECT r_regionkey FROM afr)""")),
 
+    // bounded-round WEIGHTED shortest paths (r17): Bellman-Ford from
+    // the smallest AFRICA nation over the same-region nation clique
+    // (key-derived symmetric integer weights — multi-hop clique detours
+    // genuinely undercut direct edges) + customer pendants. Four
+    // relaxation rounds are the CONTRACT; the oracle unrolls the same
+    // four min-plus rounds as materialized CTEs
+    Q("g_weighted_paths", (s, dir) => {
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk2"))
+      val cliq = n1.join(n2, col("rk") === col("rk2") && col("k1") < col("k2"))
+        .select(col("k1").cast("long").as("src"),
+          col("k2").cast("long").as("dst"),
+          ((col("k1") * 31 + col("k2") * 17) % 20 + 1).cast("long").as("w"))
+      val pend = Tables(s, dir, "customer").select(
+        (col("c_custkey") + 10000).cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"),
+        (col("c_custkey") % 13 + 1).cast("long").as("w"))
+      val seeds = Tables(s, dir, "nation")
+        .join(Tables(s, dir, "region").filter(col("r_name") === "AFRICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .agg(min(col("n_nationkey")).cast("long").as("id"))
+      GraphOps.weightedPathsFromSeeds(s, cliq.unionByName(pend), seeds,
+        rounds = 4)
+    },
+      Some("""
+      WITH e0 AS MATERIALIZED (
+        SELECT a.n_nationkey::BIGINT AS src, b.n_nationkey::BIGINT AS dst,
+               ((a.n_nationkey*31 + b.n_nationkey*17) % 20 + 1)::BIGINT AS w
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        UNION ALL
+        SELECT (10000+c_custkey)::BIGINT, c_nationkey::BIGINT,
+               (c_custkey % 13 + 1)::BIGINT
+        FROM customer),
+      e AS MATERIALIZED (
+        SELECT src, dst, w FROM e0 UNION SELECT dst, src, w FROM e0),
+      d0 AS MATERIALIZED (
+        SELECT min(n_nationkey)::BIGINT AS id, 0::BIGINT AS dist FROM nation
+        WHERE n_regionkey IN
+          (SELECT r_regionkey FROM region WHERE r_name='AFRICA')),
+      d1 AS MATERIALIZED (SELECT id, min(dist)::BIGINT AS dist FROM (
+        SELECT id, dist FROM d0 UNION ALL
+        SELECT e.dst, d.dist + e.w FROM d0 d JOIN e ON d.id = e.src)
+        GROUP BY 1),
+      d2 AS MATERIALIZED (SELECT id, min(dist)::BIGINT AS dist FROM (
+        SELECT id, dist FROM d1 UNION ALL
+        SELECT e.dst, d.dist + e.w FROM d1 d JOIN e ON d.id = e.src)
+        GROUP BY 1),
+      d3 AS MATERIALIZED (SELECT id, min(dist)::BIGINT AS dist FROM (
+        SELECT id, dist FROM d2 UNION ALL
+        SELECT e.dst, d.dist + e.w FROM d2 d JOIN e ON d.id = e.src)
+        GROUP BY 1),
+      d4 AS MATERIALIZED (SELECT id, min(dist)::BIGINT AS dist FROM (
+        SELECT id, dist FROM d3 UNION ALL
+        SELECT e.dst, d.dist + e.w FROM d3 d JOIN e ON d.id = e.src)
+        GROUP BY 1)
+      SELECT id, dist FROM d4""")),
+
     // per-vertex triangle counts over the same-region nation graph
     // (each region's nations form a clique, so a nation in a region of
     // k nations sits in C(k-1,2) triangles — exact relational mirror)

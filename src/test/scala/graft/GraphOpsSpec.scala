@@ -264,4 +264,27 @@ class GraphOpsSpec extends GraftSuite {
     assert(at6.filter(col("core_deg") < 3).isEmpty,
       "converged core contains a vertex below degree k")
   }
+
+  test("weightedPathsFromSeeds: min-plus relaxation on a hand-computed diamond") {
+    import spark.implicits._
+    // a—b(5), b—d(5), a—c(1), c—d(2), a—d(9): the 2-hop a→c→d (3)
+    // undercuts both the direct edge (9) and the heavy path (10)
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 4L, 5L), (1L, 3L, 1L), (3L, 4L, 2L), (1L, 4L, 9L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphOps.weightedPathsFromSeeds(spark, edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 3L -> 1L, 4L -> 3L))
+    // the bounded-round contract: with ONE round only direct edges
+    // relax — d reports the 1-edge distance 9, not the 2-edge 3
+    val r1 = GraphOps.weightedPathsFromSeeds(spark, edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1(4L) == 9L && r1(3L) == 1L)
+    // undirected: seeding the far corner mirrors the distances
+    val rev = GraphOps.weightedPathsFromSeeds(spark, edges,
+      Seq(4L).toDF("id"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev == Map(4L -> 0L, 3L -> 2L, 1L -> 3L, 2L -> 5L))
+  }
 }
