@@ -139,6 +139,28 @@ object StreamQueries {
               FROM events))
       WHERE rk <= 8""")),
 
+    // WEIGHTED streaming reservoir (r17): per event type the k=8
+    // smallest exponential keys −ln(u)/w — Efraimidis–Spirakis
+    // weighted sampling in min-key form, the batch t_weighted_sample
+    // key over the stream; only the priority expression differs from
+    // st_reservoir_sample (the r16 contract's promised one-swap)
+    Q("st_weighted_sample", (s, dir) =>
+      StreamOps.weightedReservoirStreaming(s, dir),
+      Some(s"""
+      SELECT event_type, rk::BIGINT AS rk, event_id, key_micro FROM (
+        SELECT event_type, event_id::BIGINT AS event_id, key_micro,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY key_micro ASC, event_id ASC) AS rk
+        FROM (SELECT event_type, event_id,
+                     CAST(round(-ln(u) * 1000000.0 / w) AS BIGINT) AS key_micro
+              FROM (SELECT event_type, event_id,
+                      greatest(1, CAST(round(abs(value)*100.0) AS BIGINT)) AS w,
+                      (((${Queries.duckPhFor("'aes:' || CAST(event_id AS VARCHAR)")}
+                         * 2654435761 % 1000000007) + 1000000007)
+                        % 1000000007 + 1)::DOUBLE / 1000000008.0 AS u
+                    FROM events)))
+      WHERE rk <= 8""")),
+
     // streaming quantile-sketch registers (r17): per event type the
     // hash-sampled register store of the mergeable quantile sketch —
     // state (level, n, ≤8·cap registers) per stratum; the level rises

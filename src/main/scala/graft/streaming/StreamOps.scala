@@ -556,6 +556,43 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** WEIGHTED streaming reservoir (r17 — the A-ES variant the r16
+    * [[reservoirTopK]] contract promised: "a weighted variant only
+    * changes the priority expression"): per stratum keep the k rows
+    * with the SMALLEST exponential key −ln(u)/w (Efraimidis–Spirakis
+    * weighted sampling in its equivalent min-key form — the same
+    * integer-micro key as the batch
+    * [[graft.ext.TextAnalysis.weightedSample]]; −ln(u) is irrational,
+    * so the round-to-integer is engine-exact). u is the scrambled
+    * deterministic hash uniform, w = the row's weight (cents of
+    * |value|, floored at 1 — never 0/negative, so the key is always
+    * finite). Priority = −key_micro feeds the unchanged keep-top-k
+    * state machine; state stays k rows per stratum.
+    */
+  def weightedReservoirStreaming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 1000000007L
+    val h = graft.ext.TextAnalysis.polyHash(
+      concat(lit("aes:"), col("event_id").cast("string")))
+    val u = (((h * 2654435761L % p) + p) % p + 1L).cast("double") /
+      (p + 1).toDouble
+    val w = greatest(lit(1L), round(abs(col("value")) * 100, 0).cast("long"))
+    val evs = eventsStream(spark, dir)
+      .select(col("event_type"),
+        col("event_id").cast("long").as("event_id"),
+        (-round(-log(u) * 1e6 / w, 0).cast("long")).as("prio"))
+      .as[ResEv]
+    val out = reservoirTopK(evs).toDF()
+    val name = s"st_wres_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, out, name, "update",
+      availableNow = true)
+    try { q.awaitTermination(); requireSingleDataBatch(q, "st_weighted_sample") }
+    finally finishQuery(q, ckpt)
+    spark.table(name)
+      .select(col("event_type"), col("rk"), col("event_id"),
+        (-col("prio")).as("key_micro"))
+  }
+
   final case class SkEv(event_type: String, k: String, v: Long, h: Long)
   final case class SkState(lvl: Int, n: Long, regs: List[(Long, String, Long)])
   final case class SkReg(event_type: String, lvl: Long, n_group: Long,
