@@ -370,6 +370,26 @@ object Queries {
                         ELSE 255 / max(f) END) * 100.0) AS BIGINT)::DOUBLE / 100.0 AS est_distinct
       FROM mins""")),
 
+    // per-GROUP KMV distinct sketch (r17): distinct users per event
+    // type at k=64 — exact below k, (k−1)/f_k above; the per-group
+    // rank is a partial WindowGroupLimit below the exchange, so a mega
+    // stratum ships k fractions like any other
+    Q("q_kmv_group", (s, dir) =>
+      graft.ext.Sketches.kmvDistinctByGroup(t(s, dir, "events"),
+        col("event_type"), col("user_id")),
+      Some(s"""
+      WITH h AS (SELECT DISTINCT event_type AS g,
+                   ${duckPh("CAST(user_id AS VARCHAR)")} / 1000000007.0 AS f
+                 FROM events),
+      rk AS (SELECT g, f, row_number() OVER (PARTITION BY g ORDER BY f ASC) AS r
+             FROM h),
+      mins AS (SELECT g, f FROM rk WHERE r <= 64)
+      SELECT g, count(*)::BIGINT AS k_used,
+             CAST(round((CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                         ELSE 63 / max(f) END) * 100.0) AS BIGINT)::DOUBLE
+               / 100.0 AS est_distinct
+      FROM mins GROUP BY 1""")),
+
     // KMV set-operation sketch: Jaccard/intersection of TWO key sets
     // from one min-k sample of their union (k smallest hash fractions
     // with membership flags; matches/k estimates J(A,B)) — the

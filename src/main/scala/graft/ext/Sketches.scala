@@ -391,6 +391,79 @@ object Sketches {
     src.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
   }
 
+  /** Equi-depth RANGE-BUCKETED WRITE (r17 — the pay-shuffle-once
+    * toolkit item the boundary sketch exists for): cut the value
+    * domain at [[equiDepthHistogram]]'s equal-population boundaries
+    * and write the frame PARTITIONED by the resulting bucket. Every
+    * bucket directory lands ≈ n/buckets rows REGARDLESS of value skew
+    * (partitioning raw value ranges puts a hot range in one
+    * directory); the bucket derivation is map-side against the
+    * broadcast ≤ buckets−1 boundary list, rows are sorted by value
+    * inside each bucket (range-scan-friendly row groups), and the
+    * whole write pays exactly ONE exchange — the repartition onto the
+    * bucket key (PlanQualitySpec pins both the single exchange and
+    * the bucket-pruned read-back). Returns the bucketed frame it
+    * wrote (doc rows + bucket), so callers can verify or chain.
+    */
+  def equiDepthWrite(df: DataFrame, key: Column, valueCents: Column,
+      path: String, buckets: Int = 8, cap: Int = 256): DataFrame = {
+    require(buckets >= 2, "equiDepthWrite: need at least 2 buckets")
+    val src = df.select(key.cast("string").as("k"),
+      valueCents.cast("long").as("v"))
+    val n = src.count()
+    val lvl = sketchLevel(n, cap)
+    require(lvl <= 40,
+      s"equiDepthWrite: level $lvl exceeds the 40-bit hash-width bound")
+    val maxRegs = 8 * cap
+    val regs = sketchRegisters(src, col("k"), col("v"), lvl)
+      .orderBy(col("v").asc, col("k").asc).limit(maxRegs + 1).collect()
+    require(regs.length <= maxRegs,
+      s"equiDepthWrite: ${regs.length} registers exceed the 8·cap bound")
+    val m = regs.length.toLong
+    val bounds: Seq[Long] =
+      if (m < buckets) Nil
+      else (1 until buckets).map(j => (j * m) / buckets)
+        .distinct.map(r => regs((r - 1).toInt).getLong(1))
+    val bucket = bounds.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when(col("v") > lit(b), 1L).otherwise(0L)
+    }
+    val bucketed = src.withColumn("bucket", bucket)
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("v"), col("k"))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    bucketed
+  }
+
+  /** Per-GROUP KMV distinct-count sketch (r17 — the group-keyed
+    * sibling of `q_kmv_distinct`, the sketch-register group-key
+    * pattern of [[sketchQuantilesByGroup]]): per group keep the k
+    * smallest distinct hash fractions; the estimate is exact (= the
+    * kept count) below k and the classic (k−1)/f_k above it. The rank
+    * runs as a per-group window with `row_number ≤ k`, which Catalyst
+    * executes as a partial WindowGroupLimit BELOW the exchange — each
+    * map task ships at most k fractions per group, so a mega group
+    * costs the same shuffle as a small one. The estimate rounds on the
+    * integer-ratio plane (round-to-2-places of a deterministic double
+    * quotient whose operands both engines derive identically).
+    *
+    * @return (g, k_used, est_distinct) per group.
+    */
+  def kmvDistinctByGroup(df: DataFrame, group: Column, key: Column,
+      k: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("f").asc)
+    df.select(group.cast("string").as("g"),
+        (TextAnalysis.polyHash(key.cast("string")) / 1000000007.0).as("f"))
+      .distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .groupBy("g")
+      .agg(count(lit(1)).as("k_used"),
+        (round(when(count(lit(1)) < k, count(lit(1)).cast("double"))
+          .otherwise(lit(k - 1) / max("f")) * lit(100.0), 0)
+          .cast("long").cast("double") / lit(100.0)).as("est_distinct"))
+  }
+
   /** Cardinality estimate from a register table (driver-side — the
     * sketch is at most [[HllM]] rows by construction). Standard HLL
     * with the small-range linear-counting correction.

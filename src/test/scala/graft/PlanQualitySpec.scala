@@ -810,6 +810,53 @@ class PlanQualitySpec extends GraftSuite {
       rm(dir.toFile)
     }
   }
+  test("equi-depth write: one exchange, balanced buckets, pruned read-back") {
+    // r17: the sketch's equal-population boundaries feeding a bucketed
+    // write — the skew-immune range layout (a raw value-range
+    // partitionBy puts a hot range in one directory). Pins: the write
+    // frame pays exactly ONE exchange (the repartition onto buckets),
+    // the buckets land balanced, and a per-bucket read-back prunes to
+    // one partition directory.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files.createTempDirectory("graft_eqd").toString
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val li = graft.core.Tables(spark, sf, "lineitem")
+      val bucketed = graft.ext.Sketches.equiDepthWrite(li,
+        expr("l_orderkey * 8 + l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100) AS LONG)"),
+        s"$dir/out", buckets = 8)
+      val shuffles = bucketed.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.length == 1,
+        s"equi-depth write must pay exactly one exchange:\n" +
+          bucketed.queryExecution.executedPlan)
+      // equal-population: max bucket ≤ 2× min bucket on real data
+      val counts = spark.read.parquet(s"$dir/out")
+        .groupBy("bucket").count().collect().map(_.getLong(1))
+      assert(counts.length == 8, s"expected 8 buckets, got ${counts.length}")
+      assert(counts.max <= 2 * counts.min,
+        s"buckets unbalanced: ${counts.toSeq.sorted}")
+      // read-back with a bucket predicate prunes to ONE directory
+      val one = spark.read.parquet(s"$dir/out").filter(col("bucket") === 3)
+      one.collect()
+      val scanStr = one.queryExecution.executedPlan.toString()
+      assert(scanStr.contains("PartitionFilters") &&
+        scanStr.contains("bucket"),
+        s"bucket read-back is not partition-pruned:\n$scanStr")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("r15 pipeline operators: map-only passes + one bounded-key exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.functions.{col, expr}
