@@ -493,9 +493,19 @@ object Dedup {
     *     left/right of the anchor inside a ±`maxExt`-token window —
     *     one codegen'd fold per side (the lambda reads only its
     *     iteration state; zip_with's null padding stops the count at
-    *     the shorter side). Spans ≤ maxExt report EXACTLY (any anchor
-    *     inside the run recovers the whole run); the ±window bounds
-    *     per-alignment work on adversarial inputs.
+    *     the shorter side). The ±window bounds per-alignment work on
+    *     adversarial inputs.
+    *  4. island merge: each verified alignment is an interval on the
+    *     pair's alignment DIAGONAL (pa − pb); intervals from anchors of
+    *     the same run overlap (winnowing places anchors ≤ w apart
+    *     inside the run and w ≤ maxExt), while runs separated by even
+    *     one mismatch never touch — so merging overlapping intervals
+    *     per (pair, diagonal) recovers the EXACT run length at ANY
+    *     length, not just ≤ maxExt (r17 review fix: the pre-merge form
+    *     truncated runs past ~2·maxExt+k against an untruncated
+    *     oracle). The merge is the q_merge_intervals prefix-max island
+    *     pattern on a window keyed by (pair, diagonal) — bounded by a
+    *     single pair's anchor count, never corpus-shaped.
     *
     * @return (doc_a, doc_b, span_tokens) for pairs with a shared run
     *         ≥ `minSpan`, span_tokens = the longest shared run.
@@ -506,6 +516,12 @@ object Dedup {
       s"exceed the anchor gram size ($k) — the winnowing window is " +
       "minSpan - k + 1")
     val w = minSpan - k + 1
+    // exactness-at-any-length contract: in-run anchors sit ≤ w apart,
+    // so their ±maxExt verify windows overlap (and islands merge) only
+    // when the window is at least the winnowing window
+    require(w <= maxExt, s"substringExactPairs: winnowing window $w " +
+      s"exceeds the extend window $maxExt — island merge would miss " +
+      "in-run coverage")
     val base = docs.select(col("doc_id").cast("long").as("doc_id"),
       tokens(col("text")).as("toks"),
       graft.functions.GramHashes.wide(col("text"), k).as("grams"))
@@ -544,15 +560,32 @@ object Dedup {
         least(pos, lit(maxExt))))
     def rightArr(toks: Column, pos: Column): Column =
       slice(toks, pos + lit(k) + 1, lit(maxExt))
-    val spans = paired
+    val ivals = paired
       // hash-collision guard: the anchor k-grams must MATCH as strings
       .filter(slice(col("toks_a"), col("pa") + 1, lit(k)) ===
         slice(col("toks_b"), col("pb") + 1, lit(k)))
       .select(col("da"), col("db"),
-        (leadEq(leftArr(col("toks_a"), col("pa")),
-            leftArr(col("toks_b"), col("pb"))) + lit(k) +
-          leadEq(rightArr(col("toks_a"), col("pa")),
-            rightArr(col("toks_b"), col("pb")))).as("span"))
+        (col("pa") - col("pb")).as("diag"), col("pa"),
+        leadEq(leftArr(col("toks_a"), col("pa")),
+          leftArr(col("toks_b"), col("pb"))).as("lext"),
+        leadEq(rightArr(col("toks_a"), col("pa")),
+          rightArr(col("toks_b"), col("pb"))).as("rext"))
+      // verified interval in doc_a token positions (0-based, inclusive)
+      .select(col("da"), col("db"), col("diag"),
+        (col("pa") - col("lext")).cast("long").as("s"),
+        (col("pa") + lit(k - 1) + col("rext")).cast("long").as("e"))
+    // overlap-merge per (pair, diagonal): intervals of one run overlap,
+    // distinct runs are separated by a mismatch position and never do
+    val W = org.apache.spark.sql.expressions.Window
+    val byDiag = W.partitionBy("da", "db", "diag").orderBy("s")
+    val spans = ivals
+      .withColumn("prev_e", max(col("e"))
+        .over(byDiag.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("prev_e").isNull || col("s") > col("prev_e"), 1L)
+          .otherwise(0L)).over(byDiag))
+      .groupBy("da", "db", "diag", "isl")
+      .agg((max(col("e")) - min(col("s")) + 1L).as("span"))
     spans.groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
       .agg(max(col("span")).cast("long").as("span_tokens"))
       .filter(col("span_tokens") >= minSpan)

@@ -364,22 +364,37 @@ object Sketches {
     */
   def equiDepthHistogram(df: DataFrame, key: Column, valueCents: Column,
       buckets: Int = 8, cap: Int = 256): DataFrame = {
-    require(buckets >= 2, "equiDepthHistogram: need at least 2 buckets")
-    val spark = df.sparkSession
+    val (src, bucket) =
+      equiDepthBucketCol(df, key, valueCents, buckets, cap, "equiDepthHistogram")
+    src.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Shared boundary pipeline for the equi-depth family: normalize to
+    * (k, v), size the sketch level off the row count (same hash-width
+    * bound as sketchQuantiles — past 40 bits the level predicate
+    * degenerates, r16 ADVICE), collect the ≤ 8·cap registers loudly,
+    * and fold the rank boundaries `(j·m) div buckets` into the
+    * map-side bucket expression (`1 + #boundaries strictly below v`,
+    * all-integer; duplicate boundary VALUES from distinct ranks stay
+    * separate entries so both engines count them identically). Fewer
+    * registers than buckets (a degenerate corpus) yields the single
+    * bucket 1 — mirrored by the oracle's m ≥ buckets guard.
+    */
+  private def equiDepthBucketCol(df: DataFrame, key: Column,
+      valueCents: Column, buckets: Int, cap: Int,
+      who: String): (DataFrame, Column) = {
+    require(buckets >= 2, s"$who: need at least 2 buckets")
     val src = df.select(key.cast("string").as("k"),
       valueCents.cast("long").as("v"))
     val n = src.count()
     val lvl = sketchLevel(n, cap)
-    // same hash-width bound as sketchQuantiles (r16, ADVICE): past 40
-    // bits the level predicate degenerates (only hash==0 rows pass) and
-    // the register set silently collapses to a near-single bucket
     require(lvl <= 40,
-      s"equiDepthHistogram: level $lvl exceeds the 40-bit hash-width bound")
+      s"$who: level $lvl exceeds the 40-bit hash-width bound")
     val maxRegs = 8 * cap
     val regs = sketchRegisters(src, col("k"), col("v"), lvl)
       .orderBy(col("v").asc, col("k").asc).limit(maxRegs + 1).collect()
     require(regs.length <= maxRegs,
-      s"equiDepthHistogram: ${regs.length} registers exceed the 8·cap bound")
+      s"$who: ${regs.length} registers exceed the 8·cap bound")
     val m = regs.length.toLong
     val bounds: Seq[Long] =
       if (m < buckets) Nil
@@ -388,7 +403,7 @@ object Sketches {
     val bucket = bounds.foldLeft(lit(1L)) { (acc, b) =>
       acc + when(col("v") > lit(b), 1L).otherwise(0L)
     }
-    src.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+    (src, bucket)
   }
 
   /** Equi-depth RANGE-BUCKETED WRITE (r17 — the pay-shuffle-once
@@ -407,26 +422,8 @@ object Sketches {
     */
   def equiDepthWrite(df: DataFrame, key: Column, valueCents: Column,
       path: String, buckets: Int = 8, cap: Int = 256): DataFrame = {
-    require(buckets >= 2, "equiDepthWrite: need at least 2 buckets")
-    val src = df.select(key.cast("string").as("k"),
-      valueCents.cast("long").as("v"))
-    val n = src.count()
-    val lvl = sketchLevel(n, cap)
-    require(lvl <= 40,
-      s"equiDepthWrite: level $lvl exceeds the 40-bit hash-width bound")
-    val maxRegs = 8 * cap
-    val regs = sketchRegisters(src, col("k"), col("v"), lvl)
-      .orderBy(col("v").asc, col("k").asc).limit(maxRegs + 1).collect()
-    require(regs.length <= maxRegs,
-      s"equiDepthWrite: ${regs.length} registers exceed the 8·cap bound")
-    val m = regs.length.toLong
-    val bounds: Seq[Long] =
-      if (m < buckets) Nil
-      else (1 until buckets).map(j => (j * m) / buckets)
-        .distinct.map(r => regs((r - 1).toInt).getLong(1))
-    val bucket = bounds.foldLeft(lit(1L)) { (acc, b) =>
-      acc + when(col("v") > lit(b), 1L).otherwise(0L)
-    }
+    val (src, bucket) =
+      equiDepthBucketCol(df, key, valueCents, buckets, cap, "equiDepthWrite")
     val bucketed = src.withColumn("bucket", bucket)
       .repartition(buckets, col("bucket"))
       .sortWithinPartitions(col("v"), col("k"))

@@ -799,6 +799,37 @@ object OwlHorst {
   }
 
   // ---- driver-side taint fixpoint (r17, the r16 verdict's #2) --------
+
+  /** Shared row-plane helpers for BOTH driver-side DRed phases (taint
+    * fixpoint + rederive seed): triple identity and probe capping must
+    * be IDENTICAL between the phases — a drifted copy would make them
+    * disagree on term identity, exactly the silent-under-delete class
+    * the driver≡distributed parity spec exists to prevent.
+    */
+  private object DriverRows {
+    import org.apache.spark.sql.Row
+    type TK = (String, Int, String, String)
+    // full-term equality is (lex, kind, dt, lang) — num derives from
+    // lex+dt (the sameTerm discipline), so the 4-field key matches the
+    // distributed loop's tripSemiJoin/except semantics exactly
+    def tk(t: Row): TK =
+      (t.getString(0), t.getInt(1), t.getString(2), t.getString(3))
+    def key(r: Row): (TK, TK, TK) =
+      (tk(r.getStruct(0)), tk(r.getStruct(1)), tk(r.getStruct(2)))
+    def mkIri(lex: String): Row = Row(lex, IRI, "", "", null)
+    def dS(r: Row) = r.getStruct(0)
+    def dP(r: Row) = r.getStruct(1)
+    def dO(r: Row) = r.getStruct(2)
+    def probeCap: Int =
+      sys.props.getOrElse("graft.infer.driver.probe.max", "100000").toInt
+    /** Filtered map-only collect; None past the probe cap (overflow). */
+    def cappedCollect(df: DataFrame, cond: Column): Option[Array[Row]] = {
+      val cap = probeCap
+      val got = df.filter(cond).limit(cap + 1).collect()
+      if (got.length > cap) None else Some(got)
+    }
+  }
+
   private sealed trait DriverTaintResult
   /** working set or a probe result outgrew its cap → run the
     * distributed loop (correct for any size, just per-round-costlier) */
@@ -830,17 +861,7 @@ object OwlHorst {
       seedRows: Seq[org.apache.spark.sql.Row], pairs: Seq[(String, String)],
       roundCap: Int, wsCap: Int, dbg: Boolean): DriverTaintResult = {
     import org.apache.spark.sql.Row
-    val probeCap =
-      sys.props.getOrElse("graft.infer.driver.probe.max", "100000").toInt
-    type TK = (String, Int, String, String)
-    def tk(t: Row): TK =
-      (t.getString(0), t.getInt(1), t.getString(2), t.getString(3))
-    def key(r: Row): (TK, TK, TK) =
-      (tk(r.getStruct(0)), tk(r.getStruct(1)), tk(r.getStruct(2)))
-    def mkIri(lex: String): Row = Row(lex, IRI, "", "", null)
-    // full-term equality is (lex, kind, dt, lang) — num derives from
-    // lex+dt (the sameTerm discipline), so the 4-field key matches the
-    // distributed loop's tripSemiJoin/except semantics exactly
+    import DriverRows._
     val taint = scala.collection.mutable.LinkedHashMap.empty[(TK, TK, TK), Row]
     seedRows.foreach(r => taint.getOrElseUpdate(key(r), r))
     val pairsFrom: Map[String, Seq[String]] = pairs.groupMap(_._1)(_._2)
@@ -851,16 +872,11 @@ object OwlHorst {
     var delta: Seq[Row] = taint.values.toSeq
     var hammered = Set.empty[String]
     var rounds = 0
-    def probe(df: DataFrame, cond: Column): Either[DriverTaintResult, Array[Row]] = {
-      val got = df.filter(cond).limit(probeCap + 1).collect()
-      if (got.length > probeCap) Left(DriverTaintOverflow) else Right(got)
-    }
+    def probe(df: DataFrame, cond: Column): Either[DriverTaintResult, Array[Row]] =
+      cappedCollect(df, cond).toRight(DriverTaintOverflow)
     while (delta.nonEmpty && rounds < roundCap) {
       rounds += 1
       val t0 = System.nanoTime()
-      def dS(r: Row) = r.getStruct(0)
-      def dP(r: Row) = r.getStruct(1)
-      def dO(r: Row) = r.getStruct(2)
       val deltaPreds = delta.map(dP(_).getString(0)).toSet
       val concl = scala.collection.mutable.ArrayBuffer.empty[Row]
       // single-premise dispatch (the broadcast rule table, driver-run)
@@ -1133,22 +1149,10 @@ object OwlHorst {
       remExpl: DataFrame, dbg: Boolean):
       Option[(Seq[org.apache.spark.sql.Row], Boolean)] = {
     import org.apache.spark.sql.Row
-    val probeCap =
-      sys.props.getOrElse("graft.infer.driver.probe.max", "100000").toInt
-    type TK = (String, Int, String, String)
-    def tk(t: Row): TK =
-      (t.getString(0), t.getInt(1), t.getString(2), t.getString(3))
-    def key(r: Row): (TK, TK, TK) =
-      (tk(r.getStruct(0)), tk(r.getStruct(1)), tk(r.getStruct(2)))
-    def mkIri(lex: String): Row = Row(lex, IRI, "", "", null)
-    def dS(r: Row) = r.getStruct(0)
-    def dP(r: Row) = r.getStruct(1)
-    def dO(r: Row) = r.getStruct(2)
+    import DriverRows._
     var overflow = false
-    def probe(df: DataFrame, cond: Column): Array[Row] = {
-      val got = df.filter(cond).limit(probeCap + 1).collect()
-      if (got.length > probeCap) { overflow = true; Array.empty } else got
-    }
+    def probe(df: DataFrame, cond: Column): Array[Row] =
+      cappedCollect(df, cond).getOrElse { overflow = true; Array.empty }
     val taintKeys = taintRows.map(key).toSet
     val taintPreds = taintRows.map(dP(_).getString(0)).toSet
     val touchLex = (taintRows.map(dS(_).getString(0)) ++

@@ -96,7 +96,9 @@ object StreamOps {
     */
   private def requireSingleDataBatch(q: StreamingQuery, gate: String): Unit = {
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    if (dataBatches != 1) throw new IllegalStateException(
+    // 0 data batches = legitimately empty staged input (engine and
+    // oracle both emit nothing) — only a MULTI-batch drain diverges.
+    if (dataBatches > 1) throw new IllegalStateException(
       s"$gate: AvailableNow drain ran $dataBatches data micro-batches " +
         "(oracle assumes exactly 1) — the memory-sink table would mix " +
         "per-batch snapshots / strand cross-batch state; restage the " +
@@ -622,15 +624,19 @@ object StreamOps {
           var lvl = st.lvl
           var n = st.n
           var regs = st.regs
+          // tracked alongside the cons/filter ops: List.length is
+          // O(|regs|) and the bound check runs per event
+          var nRegs = regs.size
           events.foreach { e =>
             n += 1
-            if (e.h % (1L << lvl) == 0) regs ::= ((e.h, e.k, e.v))
+            if (e.h % (1L << lvl) == 0) { regs ::= ((e.h, e.k, e.v)); nRegs += 1 }
             while ((n >> lvl) > cap) {
               lvl += 1
               regs = regs.filter(_._1 % (1L << lvl) == 0)
+              nRegs = regs.size
             }
-            require(regs.length <= 8 * cap,
-              s"sketchRegStreaming[$typ]: ${regs.length} registers exceed " +
+            require(nRegs <= 8 * cap,
+              s"sketchRegStreaming[$typ]: $nRegs registers exceed " +
                 "the 8·cap bound — pathological key hash")
           }
           state.update(SkState(lvl, n, regs))

@@ -760,4 +760,32 @@ class TextOpsSpec extends GraftSuite {
     assert(got((1L, 2L)) == 14L)
     assert(got((1L, 3L)) == 14L && got((2L, 3L)) == 14L)
   }
+
+  test("substringExactPairs: runs past the extend window report exactly (r17 review)") {
+    import spark.implicits._
+    // a 600-token shared run — far past the ±256 per-anchor extend
+    // window; the per-diagonal island merge must stitch the anchors'
+    // verified intervals back to the exact run length (the pre-merge
+    // form truncated at ~2·256+8). Also: a 517-token run (the review's
+    // shrinking-feasible-offset knife edge) and a long run BROKEN by a
+    // single mismatch token (islands must NOT merge across it).
+    val run600 = (1 to 600).map(i => s"s$i").mkString(" ")
+    val run517 = (1 to 517).map(i => s"t$i").mkString(" ")
+    val left300 = (1 to 300).map(i => s"u$i").mkString(" ")
+    val right299 = (301 to 599).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"p1 p2 $run600"),
+      (2L, s"$run600 q1 q2 q3"),
+      (3L, s"$run517"),
+      (4L, s"r1 $run517 r2"),
+      // docs 5/6: identical except token 301 differs → two islands of
+      // 300 and 299 on the same diagonal; max = 300, never 600
+      (5L, s"$left300 BREAKA $right299"),
+      (6L, s"$left300 BREAKB $right299")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.substringExactPairs(docs, 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((1L, 2L)) == 600L, s"600-run: ${got.get((1L, 2L))}")
+    assert(got((3L, 4L)) == 517L, s"517-run: ${got.get((3L, 4L))}")
+    assert(got((5L, 6L)) == 300L, s"broken run: ${got.get((5L, 6L))}")
+  }
 }
