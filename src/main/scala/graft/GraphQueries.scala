@@ -350,6 +350,56 @@ object GraphQueries {
         GROUP BY 1)
       SELECT id, dist FROM d4""")),
 
+    // deterministic hash-seeded random walks (r17): node2vec-style
+    // positive-pair sampling, 4 steps from a customer seed sample over
+    // customer→nation pendants + the same-region nation clique. The
+    // step-t successor is the out-neighbor minimizing polyHash(v|t|u)
+    // — reproducible with no RNG state; the oracle unrolls the same
+    // argmin rounds (min h, then min candidate on hash ties)
+    Q("g_random_walk", (s, dir) => {
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk2"))
+      val cliq = n1.join(n2, col("rk") === col("rk2") && col("k1") =!= col("k2"))
+        .select(col("k1").cast("long").as("src"), col("k2").cast("long").as("dst"))
+      val edges = custNatEdges(s, dir).unionByName(cliq)
+      val seeds = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 10000).cast("long").as("id"))
+      GraphOps.randomWalkFromSeeds(s, edges, seeds, rounds = 4)
+    }, Some {
+      def cand(i: Int) = s"""
+      c$i AS MATERIALIZED (SELECT w.seed, e.dst AS u,
+          ${Queries.duckPhFor(s"w.node::VARCHAR || '|$i|' || e.dst::VARCHAR")} AS h
+        FROM w${i - 1} w JOIN e ON w.node = e.src),
+      m$i AS (SELECT seed, min(h) AS mh FROM c$i GROUP BY 1),
+      w$i AS MATERIALIZED (
+        SELECT c.seed, min(c.u) AS node
+        FROM c$i c JOIN m$i m ON c.seed = m.seed AND c.h = m.mh GROUP BY 1
+        UNION ALL
+        SELECT w.seed, w.node FROM w${i - 1} w
+        WHERE w.seed NOT IN (SELECT seed FROM c$i))"""
+      s"""
+      WITH e AS MATERIALIZED (
+        SELECT (10000+c_custkey)::BIGINT AS src, c_nationkey::BIGINT AS dst
+        FROM customer
+        UNION ALL
+        SELECT a.n_nationkey::BIGINT, b.n_nationkey::BIGINT
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey),
+      w0 AS MATERIALIZED (
+        SELECT (10000+c_custkey)::BIGINT AS seed,
+               (10000+c_custkey)::BIGINT AS node
+        FROM customer WHERE c_custkey % 97 = 0),
+      ${(1 to 4).map(cand).mkString(",")}
+      SELECT seed, 0::BIGINT AS step, node FROM w0
+      UNION ALL SELECT seed, 1::BIGINT, node FROM w1
+      UNION ALL SELECT seed, 2::BIGINT, node FROM w2
+      UNION ALL SELECT seed, 3::BIGINT, node FROM w3
+      UNION ALL SELECT seed, 4::BIGINT, node FROM w4"""
+    }),
+
     // per-vertex triangle counts over the same-region nation graph
     // (each region's nations form a clique, so a nation in a region of
     // k nations sits in C(k-1,2) triangles — exact relational mirror)

@@ -390,6 +390,38 @@ object Queries {
                / 100.0 AS est_distinct
       FROM mins GROUP BY 1""")),
 
+    // per-GROUP HLL distinct sketch (r17, the KMV sibling's register
+    // twin): distinct custkeys per order priority — ≤256 register rows
+    // per group in one combinable max, harmonic estimate with the
+    // linear-counting small-range branch distributed per group. The
+    // fixture exercises BOTH branches across SFs (~130 distinct/group
+    // at sf0.001 → linear counting; ~1300 at sf0.01 → raw harmonic)
+    Q("q_hll_group", (s, dir) =>
+      graft.ext.Sketches.hllDistinctByGroup(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_custkey")),
+      Some(s"""
+      WITH hh AS (SELECT o_orderpriority AS g,
+          ${graft.ext.Sketches.hllMixSql(duckPh("o_custkey::VARCHAR"))} AS h
+        FROM orders),
+      rr AS (SELECT g, (h & ${graft.ext.Sketches.HllM - 1})::INT AS bucket,
+               (h >> 8) AS r FROM hh),
+      regs AS MATERIALIZED (SELECT g, bucket,
+          max(CASE WHEN r = 0 THEN ${graft.ext.Sketches.HllSuffixBits + 1}
+                   ELSE ${graft.ext.Sketches.HllSuffixBits} - (${graft.ext.Sketches.floorLog2Sql("r")}) END) AS rho
+        FROM rr GROUP BY 1, 2),
+      agg AS (SELECT g, count(*)::BIGINT AS nz_buckets,
+          sum(1.0::DOUBLE / (1::BIGINT << rho)::DOUBLE) AS s_nz
+        FROM regs GROUP BY 1),
+      est AS (SELECT g, nz_buckets, (256 - nz_buckets) AS zeros,
+          (0.7213/(1.0 + 1.079/256.0)) * 65536.0 /
+            ((256 - nz_buckets)::DOUBLE + s_nz) AS raw
+        FROM agg)
+      SELECT g, nz_buckets,
+        CASE WHEN raw <= 640.0 AND zeros > 0
+             THEN CAST(round(256.0 * ln(256.0 / zeros::DOUBLE)) AS BIGINT)
+             ELSE CAST(round(raw) AS BIGINT) END AS est_distinct
+      FROM est""")),
+
     // KMV set-operation sketch: Jaccard/intersection of TWO key sets
     // from one min-k sample of their union (k smallest hash fractions
     // with membership flags; matches/k estimates J(A,B)) — the
@@ -1679,6 +1711,20 @@ object Queries {
              max(CASE WHEN r = 0 THEN ${graft.ext.Sketches.HllSuffixBits + 1}
                       ELSE ${graft.ext.Sketches.HllSuffixBits} - (${graft.ext.Sketches.floorLog2Sql("r")}) END)::INT AS rho
       FROM rr GROUP BY 1""")),
+
+    // EXACT heavy hitters (r17): tokens with frequency > total/200 via
+    // a per-partition Misra-Gries candidate sketch (O(k) state, zero
+    // shuffle) + exact recount of the ≤ partitions·k candidate
+    // superset — output counts are exact, never estimates, so the
+    // oracle is the plain frequency threshold
+    Q("t_heavy_hitters", (s, dir) =>
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), 200),
+      Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+      tot AS (SELECT count(*)::BIGINT AS n FROM tok)
+      SELECT tok, count(*)::BIGINT AS cnt FROM tok, tot
+      GROUP BY tok, n HAVING count(*) * 200 > n""")),
 
     // bigram-LM NLL: conditional-probability perplexity score (catches
     // scrambled word salad the unigram NLL can't); add-one smoothing,

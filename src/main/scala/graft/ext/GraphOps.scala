@@ -501,6 +501,57 @@ object GraphOps {
     dist
   }
 
+  /** Deterministic hash-seeded random walks (r17 — the node2vec-style
+    * positive-pair sampler a graph-embedding corpus build runs): from
+    * each seed, `rounds` steps where the step-t successor of v is the
+    * out-neighbor u minimizing the wide polynomial hash of
+    * `v|t|u` — reproducible pseudo-randomness with no RNG state, so
+    * the walk corpus is bit-identical on any cluster layout (and
+    * oracle-checkable: the DuckDB side unrolls the same argmin
+    * rounds). Each round is ONE equi-join of the frontier on the edge
+    * list plus one map-side-combinable min over (hash, candidate)
+    * structs on 8-byte ids — a hub's fan-out collapses in the partial
+    * aggregate, never materializing beyond (seed, out-degree) rows.
+    * Dead-end vertices absorb (the walk stays put). Step frames
+    * reference their round's checkpoint, so checkpoints release only
+    * after the output union is sealed.
+    *
+    * @return (seed, step, node) — walk position after each step,
+    *         steps 0..rounds.
+    */
+  def randomWalkFromSeeds(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint()
+    var cur = seeds.select(col("id").cast("long").as("seed"),
+        col("id").cast("long").as("node"))
+      .distinct().localCheckpoint()
+    val cps = scala.collection.mutable.ArrayBuffer[DataFrame](e, cur)
+    val steps = scala.collection.mutable.ArrayBuffer[DataFrame](
+      cur.select(col("seed"), lit(0L).as("step"), col("node")))
+    for (t <- 1 to rounds) {
+      val stepped = cur.join(e, cur("node") === e("src"))
+        .select(col("seed"),
+          graft.ext.TextAnalysis.polyHash(
+            concat_ws("|", col("node").cast("string"), lit(t.toString),
+              col("dst").cast("string"))).as("h"),
+          col("dst"))
+        .groupBy("seed")
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("seed"), col("m")("dst").as("node"))
+      cur = stepped
+        .unionByName(
+          cur.join(stepped.select("seed"), Seq("seed"), "left_anti"))
+        .localCheckpoint()
+      cps += cur
+      steps += cur.select(col("seed"), lit(t.toLong).as("step"), col("node"))
+    }
+    val out = steps.reduce(_ unionByName _)
+    val res = Ranks.sealAndRelease(out, cps.last)
+    cps.dropRight(1).foreach(df => Ranks.sealLeavesRelease(df))
+    res
+  }
+
   /** Diameter lower bound by the classic DOUBLE SWEEP (the first
     * step of iFUB / Magnien-Latapy-Habib): BFS from a deterministic
     * start (the globally smallest vertex id), hop to the smallest id

@@ -461,6 +461,46 @@ object Sketches {
           .cast("long").cast("double") / lit(100.0)).as("est_distinct"))
   }
 
+  /** Per-GROUP HLL distinct-count estimate (r17 — the HLL sibling of
+    * [[kmvDistinctByGroup]], closing the r16 candidate "per-group
+    * KMV/HLL" pair): registers per (group, bucket) in ONE combinable
+    * max aggregate (≤ [[HllM]] rows per group regardless of group
+    * size — a mega group deepens nothing), then the standard harmonic
+    * estimate with the small-range linear-counting correction,
+    * DISTRIBUTED per group (the driver-side [[hllEstimate]] formula on
+    * the cluster). Cross-engine exactness: 2^-rho terms are dyadic
+    * with ≤ [[HllSuffixBits]]+1 fractional bits so their sum is
+    * order-independent-exact in double; alpha·m²/S is the identical
+    * IEEE op sequence on identical operands in both engines; the
+    * linear-counting branch rounds m·ln(m/zeros) to INTEGER over the
+    * 256 possible zeros values, all ≥ 4.9e-3 from a rounding boundary
+    * (audited r17) — the FLOAT_AUDIT integer-rounding rule.
+    *
+    * @return (g, nz_buckets, est_distinct) per group.
+    */
+  def hllDistinctByGroup(df: DataFrame, group: Column,
+      key: Column): DataFrame = {
+    val m = HllM
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    df.select(group.cast("string").as("g"),
+        hllBucket(key.cast("string")).as("bucket"),
+        hllRho(key.cast("string")).as("rho"))
+      .groupBy("g", "bucket").agg(max("rho").as("rho"))
+      .groupBy("g")
+      .agg(count(lit(1)).cast("long").as("nz_buckets"),
+        sum(lit(1.0) / expr("shiftleft(1L, rho)").cast("double"))
+          .as("s_nz"))
+      .withColumn("zeros", lit(m.toLong) - col("nz_buckets"))
+      .withColumn("raw", alpha * lit((m.toLong * m).toDouble) /
+        (col("zeros").cast("double") + col("s_nz")))
+      .withColumn("est_distinct",
+        when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / col("zeros").cast("double")), 0))
+          .otherwise(round(col("raw"), 0)).cast("long"))
+      .select(col("g"), col("nz_buckets"), col("est_distinct"))
+  }
+
   /** Cardinality estimate from a register table (driver-side — the
     * sketch is at most [[HllM]] rows by construction). Standard HLL
     * with the small-range linear-counting correction.

@@ -998,4 +998,53 @@ object TextAnalysis {
           expr("2L * precision_micro * recall_micro div " +
             "(precision_micro + recall_micro)")))
   }
+
+  /** EXACT heavy hitters — tokens with frequency > total/k — via a
+    * Misra–Gries candidate pass + exact recount (r17). Pass 1 runs
+    * the classic k-counter Misra–Gries summary INSIDE each partition
+    * (mapPartitions, O(k) state, amortized O(1) per token, zero
+    * shuffle); pigeonhole guarantees every globally-frequent token
+    * exceeds its local threshold in at least one partition, so the
+    * union of per-partition survivors (≤ partitions·k rows) is a
+    * candidate SUPERSET. Pass 2 recounts ONLY the candidates (a
+    * broadcast semi join feeding one combinable count) and applies
+    * the exact integer threshold — the output is exact counts, never
+    * estimates, which is what makes the gate deterministic
+    * cross-engine. This is the frequent-items shape that holds at
+    * 100 TB: no corpus-wide DISTINCT, no token ever shuffles unless
+    * it survived a local sketch.
+    *
+    * @return (tok, cnt) for tokens with cnt·k > total token count.
+    */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 200): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, "heavyHitters: k must be at least 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+      .as[String]
+    val total = toks.count()
+    val cands = toks.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1)
+          case None if m.size < k => m.update(t, 1L)
+          case None =>
+            // decrement-all: every counter drops by 1, zeros evict —
+            // ≤ total/(k+1) decrement rounds overall, amortized O(1)
+            val dead = List.newBuilder[String]
+            m.foreach { case (key, c) =>
+              if (c == 1L) dead += key else m.update(key, c - 1)
+            }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.keysIterator
+    }.toDF("tok").distinct()
+    toks.toDF("tok")
+      .join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > lit(total))
+  }
 }

@@ -287,4 +287,42 @@ class GraphOpsSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rev == Map(4L -> 0L, 3L -> 2L, 1L -> 3L, 2L -> 5L))
   }
+
+  test("randomWalkFromSeeds: chain-following, dead-end absorption, determinism (r17)") {
+    import spark.implicits._
+    // a single-out-neighbor chain pins the walk exactly without
+    // knowing the hash: 1→2→3→4→5→6, seed 1 visits 1,2,3,4,5
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val gotChain = GraphOps.randomWalkFromSeeds(spark, chain,
+      Seq(1L).toDF("id"), rounds = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(gotChain == Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L))
+    // a dead-end seed absorbs: node 9 has no out-edges, walk stays put
+    val gotDead = GraphOps.randomWalkFromSeeds(spark, chain,
+      Seq(9L).toDF("id"), rounds = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(gotDead == Map(0L -> 9L, 1L -> 9L, 2L -> 9L, 3L -> 9L))
+    // branching graph: the hash argmin is deterministic — two runs
+    // agree row-for-row, and every step follows a real edge
+    val branchy = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L),
+      (3L, 2L)).toDF("src", "dst")
+    val runA = GraphOps.randomWalkFromSeeds(spark, branchy,
+      Seq(1L, 2L, 3L).toDF("id"), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val runB = GraphOps.randomWalkFromSeeds(spark, branchy,
+      Seq(1L, 2L, 3L).toDF("id"), rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(runA == runB, "hash-seeded walk must be deterministic")
+    assert(runA.size == 15, "3 seeds x 5 steps")
+    val stepsBySeed = runA.groupBy(_._1).view.mapValues(
+      _.toSeq.sortBy(_._2).map(_._3)).toMap
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L))
+    stepsBySeed.values.foreach { path =>
+      path.sliding(2).foreach { p =>
+        assert(edgeSet.contains((p(0), p(1))),
+          s"walk step ${p(0)}->${p(1)} is not an edge")
+      }
+    }
+  }
 }

@@ -788,4 +788,43 @@ class TextOpsSpec extends GraftSuite {
     assert(got((3L, 4L)) == 517L, s"517-run: ${got.get((3L, 4L))}")
     assert(got((5L, 6L)) == 300L, s"broken run: ${got.get((5L, 6L))}")
   }
+
+  test("heavyHitters: exact threshold, MG superset under thin spreading (r17)") {
+    import spark.implicits._
+    // 100 tokens total, k=4 → report freq > 25 strictly: "hot" at 26
+    // qualifies, "warm" at 25 sits EXACTLY on the boundary and must
+    // not; 49 distinct fillers churn the decrement-all path
+    val words = Seq.fill(26)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 49).map(i => s"f$i")
+    // spread thin across 10 partitions (~2-3 "hot" each — far below
+    // any local majority): the pigeonhole guarantee must still
+    // surface it in some partition's summary
+    val docs = words.grouped(10).map(_.mkString(" ")).toSeq
+      .zipWithIndex.map { case (tx, i) => (i.toLong, tx) }
+      .toDF("doc_id", "text").repartition(10)
+    val got = graft.ext.TextAnalysis.heavyHitters(docs, k = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 26L),
+      s"expected exactly the strict-threshold hitter, got $got")
+  }
+
+  test("hllDistinctByGroup: equals the driver-side estimate per group (r17)") {
+    import spark.implicits._
+    // group a: 3 distinct keys (deep linear-counting), group b: 300
+    // distinct (past 2.5m only with collisions — exercises whichever
+    // branch the register census selects, same as the driver formula)
+    val rows = Seq.tabulate(30)(i => ("a", s"k${i % 3}")) ++
+      Seq.tabulate(300)(i => ("b", s"u$i"))
+    val df = rows.toDF("g", "key")
+    val got = graft.ext.Sketches.hllDistinctByGroup(df, col("g"), col("key"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (g <- Seq("a", "b")) {
+      val regs = graft.ext.Sketches.hllRegisters(
+        df.filter(col("g") === g).select(col("key").as("term")))
+      val expectNz = regs.count()
+      val expectEst = math.round(graft.ext.Sketches.hllEstimate(regs))
+      assert(got(g) == (expectNz, expectEst),
+        s"group $g: got ${got(g)}, want ($expectNz, $expectEst)")
+    }
+  }
 }
