@@ -161,6 +161,21 @@ object StreamQueries {
                     FROM events)))
       WHERE rk <= 8""")),
 
+    // streaming heavy hitters (r17): per-hash-bucket Misra-Gries
+    // candidate state in the stream (O(buckets·k), prefix-correct
+    // across micro-batches) + exact batch recount of the drained
+    // candidate superset — exact counts under the strict threshold,
+    // so the oracle is the plain frequency HAVING
+    Q("st_heavy_users", (s, dir) => StreamOps.heavyUsersStreaming(s, dir),
+      Some("""
+      WITH ev AS (SELECT CASE WHEN user_id % 4 = 0 THEN 'heavy'
+                              WHEN user_id % 4 = 1 THEN 'warm'
+                              ELSE 'u' || user_id::VARCHAR END AS hkey
+                  FROM events),
+      tot AS (SELECT count(*)::BIGINT AS n FROM ev)
+      SELECT hkey, count(*)::BIGINT AS cnt FROM ev, tot
+      GROUP BY hkey, n HAVING count(*) * 10 > n""")),
+
     // streaming quantile-sketch registers (r17): per event type the
     // hash-sampled register store of the mergeable quantile sketch —
     // state (level, n, ≤8·cap registers) per stratum; the level rises

@@ -597,6 +597,88 @@ object StreamOps {
 
   final case class SkEv(event_type: String, k: String, v: Long, h: Long)
   final case class SkState(lvl: Int, n: Long, regs: List[(Long, String, Long)])
+  final case class HhEv(bucket: Int, hkey: String)
+  final case class HhState(counts: Map[String, Long])
+  final case class HhRow(bucket: Int, hkey: String)
+
+  /** STREAMING frequent-keys candidate sketch (r17 — the
+    * bounded-state half of [[graft.ext.TextAnalysis.heavyHitters]]
+    * lifted into the stream): per hash-bucket Misra–Gries k-counter
+    * state folded batch by batch (MG is prefix-correct, so the fold
+    * over any number of micro-batches equals MG over the
+    * concatenated stream); each batch re-emits the bucket's current
+    * survivor SET (Update mode — candidates are a view, not a log).
+    * Pigeonhole transfers through the bucketing: a key with global
+    * frequency > n/k concentrates ALL its rows in one bucket whose
+    * total n_b ≤ n, so it survives that bucket's MG — the drained
+    * candidate union is a SUPERSET of the true hitters, and the gate
+    * recounts candidates exactly batch-side. State ≤ k counters per
+    * bucket — O(buckets·k) no matter the key cardinality or stream
+    * length.
+    */
+  def heavyKeysStreaming(evs: Dataset[HhEv], k: Int): Dataset[HhRow] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[HhState, HhRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (bkt, events, state) =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.counts.foreach {
+            case (s, c) => m.update(s, c)
+          })
+          events.foreach { e =>
+            m.get(e.hkey) match {
+              case Some(c) => m.update(e.hkey, c + 1)
+              case None if m.size < k => m.update(e.hkey, 1L)
+              case None =>
+                val dead = List.newBuilder[String]
+                m.foreach { case (key, c) =>
+                  if (c == 1L) dead += key else m.update(key, c - 1)
+                }
+                dead.result().foreach(m.remove)
+            }
+          }
+          state.update(HhState(m.toMap))
+          m.keys.toSeq.map(HhRow(bkt, _)).iterator
+      }
+  }
+
+  /** Gate wiring: events file stream → per-bucket [[heavyKeysStreaming]]
+    * MG candidates (availableNow drain, single-batch asserted) → EXACT
+    * batch recount of the candidate superset (broadcast semi join +
+    * one combinable count) with the strict integer threshold. The key
+    * plane folds a quarter of users onto 'heavy'/'warm' domains (the
+    * derived-key convention of the w/g fixtures) so genuine hitters
+    * exist at every SF while the per-user tail churns MG eviction.
+    */
+  def heavyUsersStreaming(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    def keyOf(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(u % 4 === 0, lit("heavy"))
+        .when(u % 4 === 1, lit("warm"))
+        .otherwise(concat(lit("u"), u.cast("string")))
+    val evs = eventsStream(spark, dir)
+      .select(
+        (graft.ext.TextAnalysis.polyHash(keyOf(col("user_id"))) % 32)
+          .cast("int").as("bucket"),
+        keyOf(col("user_id")).as("hkey"))
+      .as[HhEv]
+    val out = heavyKeysStreaming(evs, k).toDF()
+    val name = s"st_hh_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, out, name, "update",
+      availableNow = true)
+    try { q.awaitTermination(); requireSingleDataBatch(q, "st_heavy_users") }
+    finally finishQuery(q, ckpt)
+    val cands = spark.table(name).select(col("hkey")).distinct()
+    val batch = graft.core.Tables(spark, dir, "events")
+      .select(keyOf(col("user_id")).as("hkey"))
+    val total = batch.count()
+    batch.join(broadcast(cands), Seq("hkey"), "left_semi")
+      .groupBy("hkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(k.toLong) > lit(total))
+  }
+
   final case class SkReg(event_type: String, lvl: Long, n_group: Long,
       k: String, v_cents: Long)
 

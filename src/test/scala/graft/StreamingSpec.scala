@@ -112,6 +112,37 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitter candidates: MG guarantee holds across batches (r17)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{HhEv, HhRow}
+    // one bucket, k=4: "hot" holds 30 of 90 rows (1/3 > n/k = 1/4), so
+    // the Misra-Gries guarantee (count error < n/k) forces it to
+    // survive ANY arrival order — including the state fold across the
+    // batch boundary; 60 distinct fillers churn decrement-all eviction
+    val evs = (0 until 90).map { i =>
+      HhEv(0, if (i % 3 == 0) "hot" else s"f$i")
+    }
+    val mem = MemoryStream[HhEv]
+    val q = StreamOps.heavyKeysStreaming(mem.toDS(), k = 4)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(evs.take(45): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(45): _*)
+      q.processAllAvailable()
+      val got = spark.table("hh_out").as[HhRow].collect()
+      val keys = got.map(_.hkey).toSet
+      assert(keys.contains("hot"),
+        s"guaranteed hitter evicted — MG invariant broken: $keys")
+      // update mode appends each batch's emission; ≤ k survivors per
+      // batch emission → ≤ 2k rows total for one bucket
+      assert(got.length <= 8, s"state exceeded the k-counter bound: ${got.length}")
+      assert(keys.subsetOf(evs.map(_.hkey).toSet))
+    } finally q.stop()
+  }
+
   test("streaming SCD-2: closes versions across batches, one open per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
