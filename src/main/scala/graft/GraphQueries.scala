@@ -400,6 +400,67 @@ object GraphQueries {
       UNION ALL SELECT seed, 4::BIGINT, node FROM w4"""
     }),
 
+    // WEIGHTED deterministic walks (r17): successor chosen with
+    // probability ∝ edge weight via the exponential race — per
+    // candidate edge the deterministic uniform u(v,t,dst) races with
+    // key −ln(u)/w on the integer micro plane (the st_weighted_sample
+    // key); min key wins. Oracle unrolls the same races
+    Q("g_weighted_walk", (s, dir) => {
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k1"), col("n_regionkey").as("rk"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("k2"), col("n_regionkey").as("rk2"))
+      val cliq = n1.join(n2, col("rk") === col("rk2") && col("k1") =!= col("k2"))
+        .select(col("k1").cast("long").as("src"),
+          col("k2").cast("long").as("dst"),
+          ((col("k1") * 31 + col("k2") * 17) % 20 + 1).cast("long").as("w"))
+      val pend = Tables(s, dir, "customer").select(
+        (col("c_custkey") + 10000).cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"),
+        (col("c_custkey") % 13 + 1).cast("long").as("w"))
+      val seeds = Tables(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 10000).cast("long").as("id"))
+      GraphOps.weightedWalkFromSeeds(s, cliq.unionByName(pend), seeds,
+        rounds = 4)
+    }, Some {
+      def cand(i: Int) = s"""
+      c$i AS MATERIALIZED (
+        SELECT seed, u, CAST(round(-ln(uni) * 1000000.0 / ew) AS BIGINT) AS p
+        FROM (SELECT w.seed, e.dst AS u, e.w AS ew,
+                (((${Queries.duckPhFor(s"w.node::VARCHAR || '|$i|' || e.dst::VARCHAR")}
+                   * 2654435761 % 1000000007) + 1000000007) % 1000000007
+                 + 1)::DOUBLE / 1000000008.0 AS uni
+              FROM w${i - 1} w JOIN e ON w.node = e.src)),
+      m$i AS (SELECT seed, min(p) AS mp FROM c$i GROUP BY 1),
+      w$i AS MATERIALIZED (
+        SELECT c.seed, min(c.u) AS node
+        FROM c$i c JOIN m$i m ON c.seed = m.seed AND c.p = m.mp GROUP BY 1
+        UNION ALL
+        SELECT w.seed, w.node FROM w${i - 1} w
+        WHERE w.seed NOT IN (SELECT seed FROM c$i))"""
+      s"""
+      WITH e AS MATERIALIZED (
+        SELECT (10000+c_custkey)::BIGINT AS src, c_nationkey::BIGINT AS dst,
+               (c_custkey % 13 + 1)::BIGINT AS w
+        FROM customer
+        UNION ALL
+        SELECT a.n_nationkey::BIGINT, b.n_nationkey::BIGINT,
+               ((a.n_nationkey*31 + b.n_nationkey*17) % 20 + 1)::BIGINT
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey),
+      w0 AS MATERIALIZED (
+        SELECT (10000+c_custkey)::BIGINT AS seed,
+               (10000+c_custkey)::BIGINT AS node
+        FROM customer WHERE c_custkey % 97 = 0),
+      ${(1 to 4).map(cand).mkString(",")}
+      SELECT seed, 0::BIGINT AS step, node FROM w0
+      UNION ALL SELECT seed, 1::BIGINT, node FROM w1
+      UNION ALL SELECT seed, 2::BIGINT, node FROM w2
+      UNION ALL SELECT seed, 3::BIGINT, node FROM w3
+      UNION ALL SELECT seed, 4::BIGINT, node FROM w4"""
+    }),
+
     // per-vertex triangle counts over the same-region nation graph
     // (each region's nations form a clique, so a nation in a region of
     // k nations sits in C(k-1,2) triangles — exact relational mirror)

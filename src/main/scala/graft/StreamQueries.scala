@@ -161,6 +161,21 @@ object StreamQueries {
                     FROM events)))
       WHERE rk <= 8""")),
 
+    // streaming per-group KMV registers (r17): the k smallest distinct
+    // user-id hashes per event type — min-k of a union is
+    // order-independent, so the drained state equals the batch build
+    // row-for-row; state ≤ k longs per stratum
+    Q("st_kmv_group", (s, dir) => StreamOps.kmvStreaming(s, dir),
+      Some(s"""
+      SELECT event_type, rk::BIGINT AS rk, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY h ASC) AS rk
+        FROM (SELECT DISTINCT event_type,
+                ${Queries.duckPhFor("CAST(user_id AS VARCHAR)")} AS h
+              FROM events))
+      WHERE rk <= 64""")),
+
     // streaming heavy hitters (r17): per-hash-bucket Misra-Gries
     // candidate state in the stream (O(buckets·k), prefix-correct
     // across micro-batches) + exact batch recount of the drained

@@ -520,9 +520,54 @@ object GraphOps {
     *         steps 0..rounds.
     */
   def randomWalkFromSeeds(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, rounds: Int = 4): DataFrame =
+    walkFromSeeds(
+      edges.select(col("src").cast("long"), col("dst").cast("long")),
+      seeds, rounds,
+      t => graft.ext.TextAnalysis.polyHash(
+        concat_ws("|", col("node").cast("string"), lit(t.toString),
+          col("dst").cast("string"))))
+
+  /** WEIGHTED deterministic random walks (r17 — the edge-weight form
+    * of [[randomWalkFromSeeds]]): the step-t successor is chosen with
+    * probability ∝ edge weight via the exponential race — each
+    * candidate edge draws the deterministic uniform u from the hash of
+    * (v, t, u-node) and races with key −ln(u)/w (the Efraimidis–
+    * Spirakis key the weighted samplers already use, in the integer
+    * micro plane so both engines agree bit-for-bit); the minimum key
+    * wins, so a double-weight edge wins twice as often across the
+    * seed/step population while staying fully reproducible. Same
+    * one-join + combinable-argmin round shape; weights are positive
+    * integer longs.
+    */
+  def weightedWalkFromSeeds(spark: SparkSession, edges: DataFrame,
       seeds: DataFrame, rounds: Int = 4): DataFrame = {
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint()
+    val p = 1000000007L
+    walkFromSeeds(
+      edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long")),
+      seeds, rounds,
+      t => {
+        val h = graft.ext.TextAnalysis.polyHash(
+          concat_ws("|", col("node").cast("string"), lit(t.toString),
+            col("dst").cast("string")))
+        val u = (((h * 2654435761L % p) + p) % p + 1L).cast("double") /
+          (p + 1).toDouble
+        round(-log(u) * 1e6 / col("w"), 0).cast("long")
+      })
+  }
+
+  /** Shared bounded-round walk loop: per round join the frontier on
+    * the edge list, score each candidate with `prio(t)` (read over
+    * columns `node`, `dst` and the round's extra edge columns), take
+    * the per-seed argmin as one combinable min over (prio, dst)
+    * structs, absorb dead ends. Step frames reference their round's
+    * checkpoint, so checkpoints release only after the output union
+    * is sealed.
+    */
+  private def walkFromSeeds(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, prio: Int => org.apache.spark.sql.Column): DataFrame = {
+    val e = edges.distinct().localCheckpoint()
     var cur = seeds.select(col("id").cast("long").as("seed"),
         col("id").cast("long").as("node"))
       .distinct().localCheckpoint()
@@ -531,13 +576,9 @@ object GraphOps {
       cur.select(col("seed"), lit(0L).as("step"), col("node")))
     for (t <- 1 to rounds) {
       val stepped = cur.join(e, cur("node") === e("src"))
-        .select(col("seed"),
-          graft.ext.TextAnalysis.polyHash(
-            concat_ws("|", col("node").cast("string"), lit(t.toString),
-              col("dst").cast("string"))).as("h"),
-          col("dst"))
+        .withColumn("__prio", prio(t))
         .groupBy("seed")
-        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .agg(min(struct(col("__prio"), col("dst"))).as("m"))
         .select(col("seed"), col("m")("dst").as("node"))
       cur = stepped
         .unionByName(

@@ -595,6 +595,57 @@ object StreamOps {
         (-col("prio")).as("key_micro"))
   }
 
+  final case class KmvEv(event_type: String, h: Long)
+  final case class KmvState(regs: List[Long])
+  final case class KmvRow(event_type: String, rk: Long, h: Long)
+
+  /** STREAMING per-group KMV registers (r17 — the stream twin of
+    * [[graft.ext.Sketches.kmvDistinctByGroup]]'s register store): per
+    * stratum the k smallest DISTINCT key hashes. Min-k-of-a-union is
+    * order-independent, so the fold across any number of micro-batches
+    * equals the single-batch build row-for-row (the
+    * replay-equivalence pattern of st_sketch_quantiles); state = ≤ k
+    * longs per stratum no matter the stream length or key
+    * cardinality, and each batch re-emits the stratum's current
+    * register ranking (Update mode — a sketch is a view, not a log).
+    */
+  def kmvRegStreaming(evs: Dataset[KmvEv], k: Int = 64): Dataset[KmvRow] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState[KmvState, KmvRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (typ, events, state) =>
+          val prior = state.getOption.map(_.regs).getOrElse(Nil)
+          val regs = (prior ++ events.map(_.h)).distinct.sorted.take(k)
+          state.update(KmvState(regs))
+          regs.zipWithIndex.map { case (h, i) =>
+            KmvRow(typ, i + 1L, h)
+          }.iterator
+      }
+  }
+
+  /** Gate wiring: events file stream → [[kmvRegStreaming]] → memory
+    * sink (update mode; availableNow drain, single batch asserted).
+    * Hash = the engine-independent polynomial of the user id,
+    * mirrored by the oracle's distinct-rank replay; the sf ladder
+    * exercises below-k (15 distinct) and at-k (≥ 64) strata.
+    */
+  def kmvStreaming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = eventsStream(spark, dir)
+      .select(col("event_type"),
+        graft.ext.TextAnalysis.polyHash(col("user_id").cast("string"))
+          .as("h"))
+      .as[KmvEv]
+    val out = kmvRegStreaming(evs).toDF()
+    val name = s"st_kmv_${System.nanoTime()}"
+    val (q, ckpt) = startQuery(spark, out, name, "update",
+      availableNow = true)
+    try { q.awaitTermination(); requireSingleDataBatch(q, "st_kmv_group") }
+    finally finishQuery(q, ckpt)
+    spark.table(name)
+  }
+
   final case class SkEv(event_type: String, k: String, v: Long, h: Long)
   final case class SkState(lvl: Int, n: Long, regs: List[(Long, String, Long)])
   final case class HhEv(bucket: Int, hkey: String)

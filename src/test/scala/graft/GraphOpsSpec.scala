@@ -325,4 +325,35 @@ class GraphOpsSpec extends GraftSuite {
       }
     }
   }
+
+  test("weightedWalkFromSeeds: weight bias, chain-following, determinism (r17)") {
+    import spark.implicits._
+    // single-out-edge chain: weights are irrelevant when there is no
+    // choice — the walk follows exactly
+    val chain = Seq((1L, 2L, 7L), (2L, 3L, 1L), (3L, 4L, 99L))
+      .toDF("src", "dst", "w")
+    val gotChain = GraphOps.weightedWalkFromSeeds(spark, chain,
+      Seq(1L).toDF("id"), rounds = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(gotChain == Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L))
+    // 40 seeds each face the same fork: weight 1e6 vs weight 1 — the
+    // exponential race makes the heavy edge win unless the light
+    // edge's uniform lands within ~1e-6 of 1 (deterministic per seed,
+    // overwhelmingly heavy in aggregate)
+    val fork = (1 to 40).flatMap(i =>
+      Seq((100L + i, 1L, 1000000L), (100L + i, 2L, 1L)))
+      .toDF("src", "dst", "w")
+    val seeds = (1 to 40).map(i => 100L + i).toDF("id")
+    val step1 = GraphOps.weightedWalkFromSeeds(spark, fork, seeds, rounds = 1)
+      .filter(col("step") === 1)
+      .collect().map(_.getLong(2))
+    val heavyWins = step1.count(_ == 1L)
+    assert(heavyWins >= 30,
+      s"weight-proportional choice broken: heavy edge won $heavyWins/40")
+    // deterministic: a second run is identical
+    val rerun = GraphOps.weightedWalkFromSeeds(spark, fork, seeds, rounds = 1)
+      .filter(col("step") === 1)
+      .collect().map(_.getLong(2))
+    assert(step1.sorted.sameElements(rerun.sorted))
+  }
 }

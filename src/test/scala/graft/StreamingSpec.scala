@@ -112,6 +112,33 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV registers: cross-batch min-k equals the batch build (r17)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamOps.{KmvEv, KmvRow}
+    // 40 hashes with duplicates, k=5: min-k of a union is
+    // order-independent, so the fold across the batch boundary equals
+    // the single-batch build
+    val evs = (1L to 40L).map(i => KmvEv("a", (i * 37) % 23))
+    def regs(slice: Seq[KmvEv]): Set[KmvRow] =
+      slice.map(_.h).distinct.sorted.take(5).zipWithIndex
+        .map { case (h, i) => KmvRow("a", i + 1L, h) }.toSet
+    val mem = MemoryStream[KmvEv]
+    val q = StreamOps.kmvRegStreaming(mem.toDS(), k = 5)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(evs.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(20): _*)
+      q.processAllAvailable()
+      // update-mode table = batch-1's emission ∪ the FINAL registers,
+      // and the final set equals the single-batch min-k
+      val got = spark.table("kmv_out").as[KmvRow].collect().toSet
+      assert(got == regs(evs.take(20)) ++ regs(evs))
+    } finally q.stop()
+  }
+
   test("streaming heavy-hitter candidates: MG guarantee holds across batches (r17)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
