@@ -268,7 +268,8 @@ object Bench {
     // they stayed pinned).
     val familyViews = Map(
       "r" -> Seq("quads", "owlhorst_mat", "pred_stats"),
-      "d" -> Seq("minhash_pairs"))
+      "g" -> Seq("g_edges_partsupp"),
+      "d" -> Seq("minhash_pairs", "ngram_pairs"))
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       val i = familyOrder.indexOf(family(n))
       (if (i < 0) familyOrder.size else i, n)

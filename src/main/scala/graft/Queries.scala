@@ -40,6 +40,18 @@ object Queries {
       Dedup.minHashPairs(t(s, dir, "documents"), 0.5)
     }
 
+  // exact n-gram Jaccard pairs at θ=0.3 — an intermediate VIEW shared
+  // (r18) by the pair gate and the LSH-recall truth side: pairs at a
+  // HIGHER threshold are a pure filter of this frame (the exact verify
+  // emits each candidate's true jaccard, and candidates at θ=0.3 are a
+  // superset of θ≥0.3 pairs), so the prefix-filtered self-join runs
+  // once per (session, dataset) instead of once per gate. persist =
+  // false: ngramJaccardPairs seals its result via localCheckpoint.
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
+    graft.core.DfCache.df(s, dir, "ngram_pairs", persist = false) {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.3)
+    }
+
   /** Inline DuckDB expression mirroring [[TextAnalysis.polyHash]] —
     * a sequential left fold `(h*31 + codepoint) mod 1e9+7` over the
     * characters of `expr`. Inlined (not a macro) because the driver
@@ -1236,12 +1248,19 @@ object Queries {
       FROM i GROUP BY 1""")),
 
     Q("w_interval_overlap", (s, dir) => {
+      // r18 (guide §2.4): the overlap self-join reads the interval
+      // frame on BOTH sides — without a checkpoint the events
+      // aggregation ran twice (plan showed two full scans + exchanges
+      // feeding the join). Materialize iv once (it is the per-(user,
+      // day) aggregate — far smaller than events at any scale), seal
+      // the per-day counts, release.
       val iv = t(s, dir, "events")
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(min("ts").as("s"), max("ts").as("e"))
         .select(concat_ws(":", col("user_id"), col("day")).as("iv_key"),
           col("day"), col("s"), col("e"))
-      graft.ext.EventWindows
+        .localCheckpoint()
+      val out = graft.ext.EventWindows
         .intervalOverlapPairs(iv.select("iv_key", "s", "e"),
           bucketUs = 86400000000L,
           // day-confined intervals in day bins: one bin per interval,
@@ -1250,6 +1269,9 @@ object Queries {
           dedup = false)
         .withColumn("day", substring_index(col("a_key"), ":", -1))
         .groupBy("day").agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint(true)
+      graft.ext.Ranks.releaseCheckpoint(iv)
+      out
     }, Some("""
       WITH iv AS (
         SELECT user_id, CAST(ts AS DATE) AS day, min(ts) AS s, max(ts) AS e
@@ -2811,8 +2833,10 @@ object Queries {
     // at the same θ over the SAME 3-gram shingles. One summary row —
     // the eval that tunes band count against the threshold
     Q("d_lsh_recall", (s, dir) => {
-      val docs = t(s, dir, "documents")
-      val truth = Dedup.ngramJaccardPairs(docs, 3, 0.5).select("doc_a", "doc_b")
+      // truth at θ=0.5 = the shared θ=0.3 pair view filtered on its
+      // exact jaccard (see ngramPairs: higher-θ pairs are a filter)
+      val truth = ngramPairs(s, dir)
+        .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
       val caught = minhashPairs(s, dir).select("doc_a", "doc_b")
       val hit = truth.join(caught, Seq("doc_a", "doc_b"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
@@ -2851,7 +2875,7 @@ object Queries {
                    THEN (n_caught * 1000000) // n_true END)::BIGINT AS recall_micro
       FROM nt, nc""")),
 
-    Q("d_ngram_jaccard", (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.3),
+    Q("d_ngram_jaccard", (s, dir) => ngramPairs(s, dir),
       Some(s"""
       WITH docs AS (
         SELECT doc_id,

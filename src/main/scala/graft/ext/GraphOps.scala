@@ -122,7 +122,13 @@ object GraphOps {
         v2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       d1 < d2 || (d1 === d2 && v1 < v2)
     var cur = canon.withColumn("support", lit(0L))
-    for (_ <- 1 to rounds) {
+    // r18 fixpoint early-exit — same argument as kCore: the peel only
+    // removes edges, support is a pure function of the surviving set,
+    // so an unchanged count ⇒ identical set ⇒ identical support ⇒
+    // every later round is the identity. Exact vs the unrolled oracle.
+    var nEdges = -1L
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val e = cur
         .join(ord.select(col("v").as("src"), col("d").as("ds")), Seq("src"))
         .join(ord.select(col("v").as("dst"), col("d").as("dd")), Seq("dst"))
@@ -153,6 +159,9 @@ object GraphOps {
         .filter(col("sup") >= k - 2)
         .select(col("src"), col("dst"), col("sup").as("support"))
         .localCheckpoint()
+      val n2 = cur.count()
+      converged = n2 == nEdges
+      nEdges = n2
       Ranks.sealLeavesRelease(prev)
     }
     // seal the survivors, then release every round-local checkpoint
@@ -247,6 +256,16 @@ object GraphOps {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    val out = shortestHopsOn(und, sources)
+    Ranks.releaseCheckpoint(und)
+    out
+  }
+
+  /** BFS core over a PREBUILT undirected checkpointed edge list —
+    * callers running several sweeps over the same graph (diameter's
+    * double sweep) build `und` once and release it themselves (r18).
+    */
+  private def shortestHopsOn(und: DataFrame, sources: DataFrame): DataFrame = {
     var dists = sources.select(col("id").cast("long"), lit(0L).as("dist"))
       .distinct().localCheckpoint()
     var frontier = dists
@@ -270,7 +289,6 @@ object GraphOps {
       }
     }
     if (!(frontier eq dists)) Ranks.releaseCheckpoint(frontier)
-    Ranks.releaseCheckpoint(und)
     dists
   }
 
@@ -618,17 +636,24 @@ object GraphOps {
         col("id").as("seed1"), col("id").as("ecc1"), col("id").as("seed2"),
         col("id").as("ecc2"), col("id").as("n_reached"))
     val seed1 = minRow.getLong(0)
-    val d1 = shortestHops(spark, edges, Seq(seed1).toDF("id"))
+    // r18: both sweeps run over ONE undirected checkpointed edge list
+    // (the second shortestHops call previously rebuilt + re-shuffled it)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val d1 = shortestHopsOn(und, Seq(seed1).toDF("id"))
     val ecc1 = d1.agg(max("dist")).head.getLong(0)
     val seed2 = d1.filter(col("dist") === ecc1)
       .agg(min("id")).head.getLong(0)
     Ranks.releaseCheckpoint(d1)
-    val d2 = shortestHops(spark, edges, Seq(seed2).toDF("id"))
-    Ranks.sealAndRelease(
+    val d2 = shortestHopsOn(und, Seq(seed2).toDF("id"))
+    val out = Ranks.sealAndRelease(
       d2.agg(max("dist").as("ecc2"), count(lit(1)).as("n_reached"))
         .select(lit(seed1).as("seed1"), lit(ecc1).as("ecc1"),
           lit(seed2).as("seed2"), col("ecc2"), col("n_reached")),
       d2)
+    Ranks.releaseCheckpoint(und)
+    out
   }
 
   /** Per-community MODULARITY contributions for a given labeling
@@ -702,13 +727,23 @@ object GraphOps {
       e.select(col("src").as("v")).unionByName(e.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("c"))
     var e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    for (_ <- 1 to rounds) {
+    // r18 fixpoint early-exit (guide §1.2): peeling only REMOVES edges,
+    // so an unchanged edge count means an identical edge set, and every
+    // remaining round is the identity — skip it. Output is EXACTLY the
+    // round-`rounds` result (the oracle's unrolled contract); the count
+    // reads the just-materialized checkpoint blocks, near-free.
+    var n = e.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val keep = degrees(e).filter(col("c") >= k).select("v")
       val prev = e
       e = e
         .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint()
+      val n2 = e.count()
+      converged = n2 == n
+      n = n2
       Ranks.releaseCheckpoint(prev) // superseded round, blocks dead
     }
     degrees(e).select(col("v").as("id"), col("c").as("core_deg"))

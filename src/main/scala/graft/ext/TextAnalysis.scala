@@ -249,12 +249,17 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
     val bi = docs.select(explode(bigrams).as("bigram"))
     val uni = docs.select(explode(toks).as("t"))
-    val nUni = uni.groupBy("t").agg(count(lit(1)).as("n"))
-    val nBi = bi.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
-    val totU = uni.agg(count(lit(1)).as("n_uni"))
-    val totB = bi.agg(count(lit(1)).as("n_bi"))
-    nBi
+    // r18 (guide §2.3 "aggregate before you shuffle" / §2.4): one
+    // unigram pass and one bigram pass — the count tables checkpoint
+    // once and the corpus TOTALS derive from them (Σ counts) instead
+    // of re-scanning the token/bigram streams.
+    val nUni = uni.groupBy("t").agg(count(lit(1)).as("n")).localCheckpoint()
+    val nBiAll = bi.groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
+    val nBi = nBiAll.filter(col("n_ab") >= minCount)
+    val totU = nUni.agg(sum("n").as("n_uni"))
+    val totB = nBiAll.agg(sum("n_ab").as("n_bi"))
+    val out = nBi
       .withColumn("ta", substring_index(col("bigram"), " ", 1))
       .withColumn("tb", substring_index(col("bigram"), " ", -1))
       .join(broadcast(nUni.select(col("t").as("ta"), col("n").as("n_a"))), Seq("ta"))
@@ -264,6 +269,10 @@ object TextAnalysis {
         round(log((col("n_ab").cast("double") * col("n_uni") * col("n_uni"))
           / (col("n_bi").cast("double") * col("n_a") * col("n_b"))) * 1e6, 0)
           .cast("long").as("pmi_unats"))
+      .localCheckpoint(true)
+    Ranks.releaseCheckpoint(nUni)
+    Ranks.releaseCheckpoint(nBiAll)
+    out
   }
 
   /** Bigram-LM negative log-likelihood per document — the CCNet-style
@@ -281,12 +290,21 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", slice(toks, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
+    // r18 (guide §2.3/§2.4): aggregate bigram INSTANCES down to
+    // per-(doc, bigram) multiplicities in ONE corpus pass and
+    // checkpoint; the corpus-wide bigram counts then derive from that
+    // same materialized frame (no second tokenize+explode pass), and
+    // every instance of a bigram contributes k·u instead of k rows
+    // through the count-table joins. V comes from the unigram count
+    // table (|nUni| ≡ countDistinct(t)) — drops a third corpus pass.
     val docBi = docs.select(col("doc_id"), explode(bigramsOf).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+      .localCheckpoint()
     val uni = docs.select(explode(toks).as("t"))
-    val nUni = uni.groupBy("t").agg(count(lit(1)).as("c_a"))
-    val nBi = docBi.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
-    val vocab = uni.agg(countDistinct("t").as("v"))
-    docBi
+    val nUni = uni.groupBy("t").agg(count(lit(1)).as("c_a")).localCheckpoint()
+    val nBi = docBi.groupBy("bigram").agg(sum("k").as("c_ab"))
+    val vocab = nUni.agg(count(lit(1)).as("v"))
+    val out = docBi
       .join(broadcast(nBi), Seq("bigram"))
       .withColumn("ta", substring_index(col("bigram"), " ", 1))
       .join(broadcast(nUni.withColumnRenamed("t", "ta")), Seq("ta"))
@@ -294,10 +312,16 @@ object TextAnalysis {
       .withColumn("u", round(log((col("c_a") + col("v")).cast("double")
         / (col("c_ab") + 1)) * 1e6, 0).cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("u").as("nll_unats"))
+      .agg(sum("k").as("n_bigrams"), sum(col("k") * col("u")).as("nll_unats"))
       .withColumn("avg_nll",
         round(col("nll_unats").cast("double") / col("n_bigrams"), 0)
           .cast("long").cast("double") / lit(1e6))
+      // seal the (per-doc, tiny) result, then free the intermediate
+      // checkpoints deterministically (the Ranks discipline)
+      .localCheckpoint(true)
+    Ranks.releaseCheckpoint(docBi)
+    Ranks.releaseCheckpoint(nUni)
+    out
   }
 
   /** Deterministic train/valid/test split assignment from the document
@@ -780,27 +804,42 @@ object TextAnalysis {
     */
   def bpeMergeSeq(docs: org.apache.spark.sql.DataFrame,
       rounds: Int = 3): Seq[(String, Long)] = {
+    // WORD-FREQUENCY form (r18 optimization, guide §2.3 "shuffle fewer
+    // bytes" / §1.2 "the distributed algorithm"): every real BPE
+    // trainer folds the corpus to (distinct word form, multiplicity)
+    // once, then runs the per-round pair count / argmax / rewrite over
+    // the FORMS, weighting by multiplicity. Exactly equivalent to the
+    // per-instance loop (identical instances contribute identical
+    // pairs, and `replace` acts per form), but each round's explode +
+    // rewrite pass touches |vocab| rows instead of |corpus tokens| —
+    // at 100 TB that is the difference between a vocabulary-bounded
+    // loop and rounds × corpus passes. Forms that COLLIDE after a
+    // merge rewrite ("a·b·c" and "ab·c" both becoming "ab·c") re-fold
+    // by summing their counts.
     var corpus = docs
       .select(explode(tokens(col("text"))).as("w"))
       .where(length(col("w")) > 1)
       .select(concat_ws(BpeSep, split(col("w"), "")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     for (_ <- 1 to rounds) {
       val syms = split(col("s"), BpeSep)
       val pairs = corpus
-        .select(explode(zip_with(
+        .select(col("cnt"), explode(zip_with(
           slice(syms, lit(1), size(syms) - 1),
           slice(syms, lit(2), size(syms) - 1),
           (a, b) => concat(a, lit(BpeSep), b))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .groupBy("pair").agg(sum("cnt").as("n"))
       val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(1).collect()
       if (top.nonEmpty) {
         val pair = top(0).getString(0)
         out += ((pair, top(0).getLong(1)))
         val prev = corpus
         corpus = corpus
-          .select(replace(col("s"), lit(pair), lit(pair.replace(BpeSep, ""))).as("s"))
+          .select(replace(col("s"), lit(pair), lit(pair.replace(BpeSep, ""))).as("s"),
+            col("cnt"))
+          .groupBy("s").agg(sum("cnt").as("cnt"))
           .localCheckpoint()
         // real checkpoint release (Dataset.unpersist is a no-op on
         // localCheckpoint blocks — UnpersistProbeSpec)
@@ -921,14 +960,21 @@ object TextAnalysis {
       isQuery: Column, k: Int = 5): org.apache.spark.sql.DataFrame = {
     val base = docs.select(col("doc_id"), col("text"), isQuery.as("__q"))
     val nDocs = base.agg(count(lit(1)).cast("double").as("n_docs"))
+    // r18 (guide §2.4 "share one exchange"): tf and the weighted
+    // posting list are each read by several downstream aggregates
+    // (dfreq, norms, query side, dots) — materialize each ONCE instead
+    // of re-running the tokenize+aggregate subtree per consumer. The
+    // checkpoints release after the (tiny) top-k result seals.
     val tf = base
       .select(col("doc_id"), col("__q"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "__q", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val weighted = tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("__q"), col("term"),
         (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+      .localCheckpoint()
     val norms = weighted.groupBy("doc_id")
       .agg(sum(round(col("w") * col("w") * 1e6).cast("long")).as("nsq_micro"))
     val q = weighted.filter(col("__q"))
@@ -951,10 +997,14 @@ object TextAnalysis {
           (sqrt(col("q_nsq") / 1e6) * sqrt(col("nsq_micro") / 1e6))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), round(col("cos"), 6).as("cos"),
         col("rank"))
+      .localCheckpoint(true)
+    Ranks.releaseCheckpoint(weighted)
+    Ranks.releaseCheckpoint(tf)
+    out
   }
 
   /** Eval-calibration threshold sweep (the PR-curve grid a quality

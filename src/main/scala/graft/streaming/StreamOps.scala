@@ -49,6 +49,30 @@ object StreamOps {
       finally walk.close()
     }
 
+  /** Stage a deterministic drop payload ONCE per (session, dataset)
+    * as a single parquet part file; later drops COPY the bytes into
+    * their watch dir (r18, guide §1.2 — the gate harness previously
+    * re-ran a coalesce(1) parquet write JOB for every drop of every
+    * rep, charging the streaming operator for identical re-staging:
+    * the staged inputs and flush sentinels are pure functions of the
+    * dataset). The staged dir lives for the session and is reclaimed
+    * by a JVM shutdown hook.
+    */
+  private def stagedFile(spark: SparkSession, dir: String, key: String)(
+      df: => DataFrame): Path =
+    graft.core.DfCache.value(spark, dir, s"staged_parquet_$key") {
+      val root = shmTemp(s"graft_staged_$key")
+      sys.addShutdownHook(deleteTree(root))
+      val out = root.resolve("p")
+      df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+      val listing = Files.list(out)
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"stagedFile($key): no part file written"))
+      finally listing.close()
+    }
+
   /** Start a memory-sink streaming query with the gate harness tuning:
     * checkpoint on tmpfs, and the stateful shuffle pinned to ONE
     * partition at stream START — every gate's keyed state is tiny
@@ -156,6 +180,14 @@ object StreamOps {
       finally listing.close()
       n += 1
     }
+    /** Drop a pre-staged part file (see [[stagedFile]]) — a byte copy,
+      * no Spark job; same one-file-per-drop trigger contract as
+      * [[drop]].
+      */
+    def dropStaged(p: Path): Unit = {
+      Files.copy(p, watch.resolve(s"drop${n}_0.parquet"))
+      n += 1
+    }
     def cleanup(): Unit = Seq(watch, stage).foreach(deleteTree)
   }
 
@@ -193,12 +225,30 @@ object StreamOps {
     */
   def windowedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
-    val slice = graft.core.Tables(spark, dir, "events")
-      .select(col("ts_ns"), col("event_type"))
-      .localCheckpoint() // one read; drops re-slice it
+    val flushNs0 = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    // staged once per (session, dataset): the data slice and both
+    // flush sentinels are pure functions of the dataset (see
+    // stagedFile) — re-runs copy bytes instead of re-running writes
+    val sliceFile = stagedFile(spark, dir, "topk_slice") {
+      graft.core.Tables(spark, dir, "events")
+        .select(col("ts_ns"), col("event_type"))
+    }
+    val s1File = stagedFile(spark, dir, "topk_s1") {
+      Seq((flushNs0, "__flush")).toDF("ts_ns", "event_type")
+    }
+    val s2File = stagedFile(spark, dir, "topk_s2") {
+      Seq((flushNs0 + 3600L * 1000000000L, "__flush"))
+        .toDF("ts_ns", "event_type")
+    }
+    val sliceSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts_ns",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
     val drops = new FileDrops
-    drops.drop(slice)
-    val src = spark.readStream.schema(slice.schema)
+    drops.dropStaged(sliceFile)
+    val src = spark.readStream.schema(sliceSchema)
       .parquet(drops.watch.toString)
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     // append mode requires grouping on the window column itself (the
@@ -210,16 +260,13 @@ object StreamOps {
     val name = s"st_topk_${System.nanoTime()}"
     val (q, ckpt) = startQuery(spark, counts, name, "append")
     try {
-      val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
-        .getEpochSecond * 1000000000L
       q.processAllAvailable()
       // a batch-N watermark takes effect in batch N+1: the first
       // sentinel hoists the watermark past every data window, the
       // second triggers the append-mode emit of all of them
-      drops.drop(Seq((flushNs, "__flush")).toDF("ts_ns", "event_type"))
+      drops.dropStaged(s1File)
       q.processAllAvailable()
-      drops.drop(Seq((flushNs + 3600L * 1000000000L, "__flush"))
-        .toDF("ts_ns", "event_type"))
+      drops.dropStaged(s2File)
       q.processAllAvailable()
     } finally {
       finishQuery(q, ckpt)
@@ -899,16 +946,36 @@ object StreamOps {
     import spark.implicits._
     val splitNs = java.time.Instant.parse("2024-01-15T00:00:00Z")
       .getEpochSecond * 1000000000L
-    val slice = graft.core.Tables(spark, dir, "events")
+    val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    // all three controlled batches are pure functions of the dataset —
+    // staged once per (session, dataset), copied per run (stagedFile)
+    def slice = graft.core.Tables(spark, dir, "events")
       .filter(col("user_id") < 30)
       .select(col("ts_ns"), col("event_type"), col("value"))
-      .localCheckpoint() // both drops re-slice this; read the source once
+    val b1File = stagedFile(spark, dir, "wm_b1") {
+      slice.filter(col("ts_ns") >= splitNs)
+    }
+    val b2File = stagedFile(spark, dir, "wm_b2") {
+      slice.filter(col("ts_ns") < splitNs).unionByName(
+        Seq((flushNs, "__flush", 0.0)).toDF("ts_ns", "event_type", "value"))
+    }
+    val b3File = stagedFile(spark, dir, "wm_b3") {
+      Seq((flushNs + 3600L * 1000000000L, "__flush", 0.0))
+        .toDF("ts_ns", "event_type", "value")
+    }
+    val sliceSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts_ns",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
     val drops = new FileDrops
     // batch 1 staged before the stream starts: the initial micro-batch
-    // is the recent half of the slice — written and moved by
-    // executors, never resident on the driver
-    drops.drop(slice.filter(col("ts_ns") >= splitNs))
-    val src = spark.readStream.schema(slice.schema)
+    // is the recent half of the slice
+    drops.dropStaged(b1File)
+    val src = spark.readStream.schema(sliceSchema)
       .parquet(drops.watch.toString)
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     // append mode requires grouping on the window column itself (the
@@ -924,25 +991,61 @@ object StreamOps {
     // continuous trigger + processAllAvailable barrier between drops
     val (q, ckpt) = startQuery(spark, agg, name, "append")
     try {
-      val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
-        .getEpochSecond * 1000000000L
       q.processAllAvailable()
       // batch 2 = the stale rows (all older than the watermark batch 1
       // advanced to → dropped) + a far-future sentinel that hoists the
       // NEXT batch's watermark past every data window; batch 3 (second
       // sentinel) then triggers the append-mode emit — a batch-N
       // watermark only takes effect in batch N+1
-      drops.drop(slice.filter(col("ts_ns") < splitNs).unionByName(
-        Seq((flushNs, "__flush", 0.0)).toDF("ts_ns", "event_type", "value")))
+      drops.dropStaged(b2File)
       q.processAllAvailable()
-      drops.drop(Seq((flushNs + 3600L * 1000000000L, "__flush", 0.0))
-        .toDF("ts_ns", "event_type", "value"))
+      drops.dropStaged(b3File)
       q.processAllAvailable()
     } finally {
       finishQuery(q, ckpt)
       drops.cleanup()
     }
     spark.table(name).filter(col("event_type") =!= "__flush")
+  }
+
+  /** One side of the attribution-join fixture — the (user_id < 50)
+    * event slice of one event type, staged once per (session,
+    * dataset) and shared by ALL five stream-stream join gates (inner,
+    * left outer, full outer, semi, anti): the five gates previously
+    * EACH re-read + checkpointed the slice and re-wrote both sides
+    * per rep.
+    */
+  private def ssjSideFile(spark: SparkSession, dir: String,
+      t: String, prefix: String): Path =
+    stagedFile(spark, dir, s"ssj_$prefix") {
+      graft.core.Tables(spark, dir, "events")
+        .filter(col("user_id") < 50 && col("event_type") === t)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id"),
+          col("ts_ns").as(s"${prefix}_ns"))
+    }
+
+  private def ssjSchema(prefix: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(s"${prefix}_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(s"${prefix}_ns",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Flush sentinel for one side of the join gates (negative ids —
+    * real event_ids are non-negative, so the sink-side filter can
+    * never drop a data row); staged once per (session, dataset).
+    */
+  private def ssjSentinelFile(spark: SparkSession, dir: String,
+      prefix: String, round: Int): Path = {
+    import spark.implicits._
+    val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      .getEpochSecond * 1000000000L + (round - 1) * 3600L * 1000000000L
+    stagedFile(spark, dir, s"ssj_${prefix}_s$round") {
+      Seq((-round.toLong, -1L, flushNs))
+        .toDF(s"${prefix}_id", "user_id", s"${prefix}_ns")
+    }
   }
 
   /** Stream-stream INNER interval join: view events joined to the
@@ -956,29 +1059,18 @@ object StreamOps {
     * batch-checkable.
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.core.Tables(spark, dir, "events")
-      .filter(col("user_id") < 50)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
-      .localCheckpoint() // both sides slice this; read the source once
-    def side(t: String, prefix: String): DataFrame =
-      ev.filter(col("event_type") === t)
-        .select(col("event_id").as(s"${prefix}_id"), col("user_id"),
-          col("ts_ns").as(s"${prefix}_ns"))
-    val viewRows = side("view", "view")
-    val buyRows = side("purchase", "buy")
-    // each side is its own watched dir — two independent file-source
-    // streams, as a production attribution pipeline would run them
+    // staged once per (session, dataset) — see stagedFile; both join
+    // variants share the same two side files
     val viewDrops = new FileDrops
     val buyDrops = new FileDrops
-    viewDrops.drop(viewRows)
-    buyDrops.drop(buyRows)
-    def src(drops: FileDrops, schema: org.apache.spark.sql.types.StructType,
-        prefix: String) =
-      spark.readStream.schema(schema).parquet(drops.watch.toString)
+    viewDrops.dropStaged(ssjSideFile(spark, dir, "view", "view"))
+    buyDrops.dropStaged(ssjSideFile(spark, dir, "purchase", "buy"))
+    def src(drops: FileDrops, prefix: String) =
+      spark.readStream.schema(ssjSchema(prefix)).parquet(drops.watch.toString)
         .withColumn(s"${prefix}_ts", timestamp_micros(expr(s"${prefix}_ns div 1000")))
-    val v = src(viewDrops, viewRows.schema, "view")
+    val v = src(viewDrops, "view")
       .withWatermark("view_ts", "1 hour")
-    val b = src(buyDrops, buyRows.schema, "buy")
+    val b = src(buyDrops, "buy")
       .withColumnRenamed("user_id", "buy_user")
       .withWatermark("buy_ts", "1 hour")
     // the interval is evaluated on the MICROSECOND timestamps on both
@@ -1055,28 +1147,16 @@ object StreamOps {
 
   private def streamStreamOuterJoinImpl(spark: SparkSession, dir: String,
       mode: String): DataFrame = {
-    import spark.implicits._
-    val ev = graft.core.Tables(spark, dir, "events")
-      .filter(col("user_id") < 50)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
-      .localCheckpoint()
-    def side(t: String, prefix: String): DataFrame =
-      ev.filter(col("event_type") === t)
-        .select(col("event_id").as(s"${prefix}_id"), col("user_id"),
-          col("ts_ns").as(s"${prefix}_ns"))
-    val viewRows = side("view", "view")
-    val buyRows = side("purchase", "buy")
     val viewDrops = new FileDrops
     val buyDrops = new FileDrops
-    viewDrops.drop(viewRows)
-    buyDrops.drop(buyRows)
-    def src(drops: FileDrops, schema: org.apache.spark.sql.types.StructType,
-        prefix: String) =
-      spark.readStream.schema(schema).parquet(drops.watch.toString)
+    viewDrops.dropStaged(ssjSideFile(spark, dir, "view", "view"))
+    buyDrops.dropStaged(ssjSideFile(spark, dir, "purchase", "buy"))
+    def src(drops: FileDrops, prefix: String) =
+      spark.readStream.schema(ssjSchema(prefix)).parquet(drops.watch.toString)
         .withColumn(s"${prefix}_ts", timestamp_micros(expr(s"${prefix}_ns div 1000")))
-    val v = src(viewDrops, viewRows.schema, "view")
+    val v = src(viewDrops, "view")
       .withWatermark("view_ts", "1 hour")
-    val b = src(buyDrops, buyRows.schema, "buy")
+    val b = src(buyDrops, "buy")
       .withColumnRenamed("user_id", "buy_user")
       .withWatermark("buy_ts", "1 hour")
     val joinCond = col("user_id") === col("buy_user") &&
@@ -1098,17 +1178,14 @@ object StreamOps {
     val name = s"st_ssoj_${System.nanoTime()}"
     val (q, ckpt) = startQuery(spark, joined, name, "append")
     try {
-      val flushNs = java.time.Instant.parse("2024-03-01T00:00:00Z")
-        .getEpochSecond * 1000000000L
       q.processAllAvailable()
       // sentinel ids are negative — real event_ids are non-negative,
       // so the sink-side filter can never drop a data row
-      viewDrops.drop(Seq((-1L, -1L, flushNs)).toDF("view_id", "user_id", "view_ns"))
-      buyDrops.drop(Seq((-1L, -1L, flushNs)).toDF("buy_id", "user_id", "buy_ns"))
+      viewDrops.dropStaged(ssjSentinelFile(spark, dir, "view", 1))
+      buyDrops.dropStaged(ssjSentinelFile(spark, dir, "buy", 1))
       q.processAllAvailable()
-      val flush2 = flushNs + 3600L * 1000000000L
-      viewDrops.drop(Seq((-2L, -1L, flush2)).toDF("view_id", "user_id", "view_ns"))
-      buyDrops.drop(Seq((-2L, -1L, flush2)).toDF("buy_id", "user_id", "buy_ns"))
+      viewDrops.dropStaged(ssjSentinelFile(spark, dir, "view", 2))
+      buyDrops.dropStaged(ssjSentinelFile(spark, dir, "buy", 2))
       q.processAllAvailable()
     } finally {
       finishQuery(q, ckpt)
