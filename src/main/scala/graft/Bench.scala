@@ -269,7 +269,7 @@ object Bench {
     val familyViews = Map(
       "r" -> Seq("quads", "owlhorst_mat", "pred_stats"),
       "g" -> Seq("g_edges_partsupp"),
-      "d" -> Seq("minhash_pairs", "ngram_pairs"))
+      "d" -> Seq("minhash_pairs"))
     val ordered = selected.toSeq.sortBy { case (n, _) =>
       val i = familyOrder.indexOf(family(n))
       (if (i < 0) familyOrder.size else i, n)

@@ -40,18 +40,6 @@ object Queries {
       Dedup.minHashPairs(t(s, dir, "documents"), 0.5)
     }
 
-  // exact n-gram Jaccard pairs at θ=0.3 — an intermediate VIEW shared
-  // (r18) by the pair gate and the LSH-recall truth side: pairs at a
-  // HIGHER threshold are a pure filter of this frame (the exact verify
-  // emits each candidate's true jaccard, and candidates at θ=0.3 are a
-  // superset of θ≥0.3 pairs), so the prefix-filtered self-join runs
-  // once per (session, dataset) instead of once per gate. persist =
-  // false: ngramJaccardPairs seals its result via localCheckpoint.
-  private def ngramPairs(s: SparkSession, dir: String): DataFrame =
-    graft.core.DfCache.df(s, dir, "ngram_pairs", persist = false) {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.3)
-    }
-
   /** Inline DuckDB expression mirroring [[TextAnalysis.polyHash]] —
     * a sequential left fold `(h*31 + codepoint) mod 1e9+7` over the
     * characters of `expr`. Inlined (not a macro) because the driver
@@ -1260,7 +1248,7 @@ object Queries {
         .select(concat_ws(":", col("user_id"), col("day")).as("iv_key"),
           col("day"), col("s"), col("e"))
         .localCheckpoint()
-      val out = graft.ext.EventWindows
+      val out = graft.ext.Ranks.seal(graft.ext.EventWindows
         .intervalOverlapPairs(iv.select("iv_key", "s", "e"),
           bucketUs = 86400000000L,
           // day-confined intervals in day bins: one bin per interval,
@@ -1268,8 +1256,7 @@ object Queries {
           // the per-day count partial-aggregate map-side
           dedup = false)
         .withColumn("day", substring_index(col("a_key"), ":", -1))
-        .groupBy("day").agg(count(lit(1)).as("n_pairs"))
-        .localCheckpoint(true)
+        .groupBy("day").agg(count(lit(1)).as("n_pairs")))
       graft.ext.Ranks.releaseCheckpoint(iv)
       out
     }, Some("""
@@ -2833,10 +2820,14 @@ object Queries {
     // at the same θ over the SAME 3-gram shingles. One summary row —
     // the eval that tunes band count against the threshold
     Q("d_lsh_recall", (s, dir) => {
-      // truth at θ=0.5 = the shared θ=0.3 pair view filtered on its
-      // exact jaccard (see ngramPairs: higher-θ pairs are a filter)
-      val truth = ngramPairs(s, dir)
-        .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      // r19 (the r18 verdict's gaming call): back to computing the
+      // truth side per invocation — the r18 memoised ngram_pairs view
+      // made this gate's bench time a count over an already-built
+      // checkpoint, which measures nothing. θ=0.5's prefix filter is
+      // also MORE selective than the θ=0.3 view it filtered.
+      val truth = Dedup
+        .ngramJaccardPairs(t(s, dir, "documents"), 3, 0.5)
+        .select("doc_a", "doc_b")
       val caught = minhashPairs(s, dir).select("doc_a", "doc_b")
       val hit = truth.join(caught, Seq("doc_a", "doc_b"), "left_semi")
       truth.agg(count(lit(1)).as("n_true"))
@@ -2875,7 +2866,11 @@ object Queries {
                    THEN (n_caught * 1000000) // n_true END)::BIGINT AS recall_micro
       FROM nt, nc""")),
 
-    Q("d_ngram_jaccard", (s, dir) => ngramPairs(s, dir),
+    // r19: computed per invocation again (no memoised view — the r18
+    // DfCache entry made the bench median time a count over an
+    // already-materialized checkpoint; verdict marked it gaming)
+    Q("d_ngram_jaccard", (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 3, 0.3),
       Some(s"""
       WITH docs AS (
         SELECT doc_id,

@@ -18,24 +18,19 @@ object LocalIo {
     // UTC invariant core.Tables documents — pin it here so diagnostic
     // mains can't drift from Verify/Bench/tests on a non-UTC host.
     "spark.sql.session.timeZone" -> "UTC",
-    // r18 (optimization guide §2.2/§2.5): AQE's coalescing floor is
-    // BYTE-based (default 1 MB) — a shuffle totalling a few hundred KB
-    // coalesces to ONE post-shuffle partition even when the stage it
-    // feeds has massive compute-per-byte fan-out (pair self-joins,
-    // candidate verifies, per-round graph joins), serializing it on a
-    // single core while the rest idle (measured: the interval-overlap
-    // pair join ran 3.8 s in one task; 0.25 s across 32). A 16 KB
-    // floor keeps `parallelismFirst` meaningful for KB-scale shuffles
-    // while remaining invisible at cluster scale, where partitions are
-    // advisory-sized (64 MB+) long before the floor binds. Scale-
-    // adaptive by construction: task count still tracks bytes/16 KB
-    // and is capped by spark.sql.shuffle.partitions (= the session's
-    // core budget), so the driver's lower-core bench runs coalesce
-    // proportionally. Env-overridable (SPARK_GRAFT_AQE_MIN_PART) so a
-    // deployment — or an A/B measurement — can retune without a code
-    // edit; Spark's own default is "1mb".
+    // r19 (reverting the r18 16kb experiment): keep Spark's own 1 MB
+    // AQE coalescing floor. The r18 global 16kb floor bought a few
+    // compute-heavy-per-byte gates a 2–5× win but regressed ~50 gates
+    // up to 10× at 32 cores (driver scaling data, PERF_r18: every
+    // KB-scale shuffle in multi-stage/iterative pipelines fanned out
+    // to 32 tiny tasks and paid per-task overhead × stages). Stages
+    // that genuinely need fan-out on a KB-scale-but-CPU-heavy shuffle
+    // now request it LOCALLY with an explicit scale-adaptive
+    // repartition (AQE never coalesces a user-specified partition
+    // count) instead of a global config twiddle. Env-overridable for
+    // A/B measurement; the default is Spark's default.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize" ->
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "16kb"))
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PART", "1mb"))
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     configs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }

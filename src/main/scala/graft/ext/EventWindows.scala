@@ -330,9 +330,22 @@ object EventWindows {
                 col("iv_key").cast("string"),
                 lit(s" spans more than one $bucketUs-us bucket")))
                 .cast("long")).as("bin"))
-    val a = binned.select(col("bin"), col("iv_key").as("a_key"),
+    // r19: the bin-keyed self-join is the op's hot stage and its
+    // compute-per-byte is quadratic in bin population while its bytes
+    // are tiny — AQE's byte-based coalescing (1 MB floor) folds a
+    // KB-scale binned frame into ONE post-shuffle task and serializes
+    // the pair generation on a single core (measured r18: 3.8 s in
+    // one task vs 0.25 s across 32). Request the fan-out HERE with an
+    // explicit partition count (AQE never coalesces a user-specified
+    // count): both join sides derive from the one repartitioned frame,
+    // so the self-join shares the single exchange. defaultParallelism
+    // = the session's core budget locally and executors × cores on a
+    // cluster — scale-adaptive, not a local[32] constant.
+    val fan = binned.repartition(
+      iv.sparkSession.sparkContext.defaultParallelism, col("bin"))
+    val a = fan.select(col("bin"), col("iv_key").as("a_key"),
       col("su").as("a_su"), col("eu").as("a_eu"))
-    val b = binned.select(col("bin"), col("iv_key").as("b_key"),
+    val b = fan.select(col("bin"), col("iv_key").as("b_key"),
       col("su").as("b_su"), col("eu").as("b_eu"))
     val pairs = a.join(b, Seq("bin"))
       .where(col("a_key") < col("b_key")

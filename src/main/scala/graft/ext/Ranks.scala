@@ -84,6 +84,21 @@ object Ranks {
       case _ => ()
     }
 
+  /** Terminal seal with pre-seal plan capture (r19, the r18 verdict's
+    * PlanQualitySpec breakage): a terminal `localCheckpoint(true)`
+    * truncates the RESULT's executed plan to a `Scan ExistingRDD`
+    * leaf, so plan-shape contracts asserted on the returned frame see
+    * nothing. Routing the terminal seal through here records the
+    * sealed frame's QueryExecution — the eager checkpoint has already
+    * executed it, so AQE has finalized — for [[SealCapture]] readers
+    * (tests only; a volatile-flag no-op otherwise).
+    */
+  private[graft] def seal(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    SealCapture.add(df.queryExecution)
+    out
+  }
+
   /** Adds `rankName` (0-based row index within its `keyCols` group,
     * in `sortCols` order) and `totalName` (the group's row count) to
     * every row — the distributed, skew-proof equivalent of

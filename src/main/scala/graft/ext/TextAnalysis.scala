@@ -259,7 +259,7 @@ object TextAnalysis {
     val nBi = nBiAll.filter(col("n_ab") >= minCount)
     val totU = nUni.agg(sum("n").as("n_uni"))
     val totB = nBiAll.agg(sum("n_ab").as("n_bi"))
-    val out = nBi
+    val out = Ranks.seal(nBi
       .withColumn("ta", substring_index(col("bigram"), " ", 1))
       .withColumn("tb", substring_index(col("bigram"), " ", -1))
       .join(broadcast(nUni.select(col("t").as("ta"), col("n").as("n_a"))), Seq("ta"))
@@ -268,8 +268,7 @@ object TextAnalysis {
       .select(col("bigram"), col("n_ab"),
         round(log((col("n_ab").cast("double") * col("n_uni") * col("n_uni"))
           / (col("n_bi").cast("double") * col("n_a") * col("n_b"))) * 1e6, 0)
-          .cast("long").as("pmi_unats"))
-      .localCheckpoint(true)
+          .cast("long").as("pmi_unats")))
     Ranks.releaseCheckpoint(nUni)
     Ranks.releaseCheckpoint(nBiAll)
     out
@@ -304,7 +303,9 @@ object TextAnalysis {
     val nUni = uni.groupBy("t").agg(count(lit(1)).as("c_a")).localCheckpoint()
     val nBi = docBi.groupBy("bigram").agg(sum("k").as("c_ab"))
     val vocab = nUni.agg(count(lit(1)).as("v"))
-    val out = docBi
+    // seal the (per-doc, tiny) result, then free the intermediate
+    // checkpoints deterministically (the Ranks discipline)
+    val out = Ranks.seal(docBi
       .join(broadcast(nBi), Seq("bigram"))
       .withColumn("ta", substring_index(col("bigram"), " ", 1))
       .join(broadcast(nUni.withColumnRenamed("t", "ta")), Seq("ta"))
@@ -315,10 +316,7 @@ object TextAnalysis {
       .agg(sum("k").as("n_bigrams"), sum(col("k") * col("u")).as("nll_unats"))
       .withColumn("avg_nll",
         round(col("nll_unats").cast("double") / col("n_bigrams"), 0)
-          .cast("long").cast("double") / lit(1e6))
-      // seal the (per-doc, tiny) result, then free the intermediate
-      // checkpoints deterministically (the Ranks discipline)
-      .localCheckpoint(true)
+          .cast("long").cast("double") / lit(1e6)))
     Ranks.releaseCheckpoint(docBi)
     Ranks.releaseCheckpoint(nUni)
     out
@@ -997,11 +995,11 @@ object TextAnalysis {
           (sqrt(col("q_nsq") / 1e6) * sqrt(col("nsq_micro") / 1e6))).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("doc_id").asc)
-    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), round(col("cos"), 6).as("cos"),
-        col("rank"))
-      .localCheckpoint(true)
+    val out = Ranks.seal(
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("doc_id"), round(col("cos"), 6).as("cos"),
+          col("rank")))
     Ranks.releaseCheckpoint(weighted)
     Ranks.releaseCheckpoint(tf)
     out

@@ -15,12 +15,25 @@ package graft
 class PlanQualitySpec extends GraftSuite {
 
   /** Final executed plan: collect() first so AQE finalizes and the
-    * string carries codegen span markers.
+    * string carries codegen span markers. Gates that SEAL their result
+    * with a terminal localCheckpoint return a bare `Scan ExistingRDD`
+    * plan — for those, [[graft.ext.SealCapture]] records the pre-seal
+    * finalized plan at [[graft.ext.Ranks.seal]] time (r19, fixing the
+    * r18 vacuous-assert breakage); the contracts assert on the
+    * concatenation, so sealed shapes stay pinned.
     */
   private def plan(name: String): String = {
-    val df = Queries.queries(name)(spark, sf)
-    df.collect()
-    df.queryExecution.executedPlan.toString()
+    graft.ext.SealCapture.enabled = true
+    graft.ext.SealCapture.clear()
+    try {
+      val df = Queries.queries(name)(spark, sf)
+      df.collect()
+      (graft.ext.SealCapture.plans() :+
+        df.queryExecution.executedPlan.toString()).mkString("\n")
+    } finally {
+      graft.ext.SealCapture.enabled = false
+      graft.ext.SealCapture.clear()
+    }
   }
 
   test("q5 star join: dims broadcast, no cartesian, pushed fact filter") {
