@@ -90,14 +90,18 @@ object Dedup {
   def minHashPairs(docs: DataFrame, threshold: Double = 0.5,
                    maxBucket: Int = 1000): DataFrame = {
     val nBands = MinHashParams.size / BandSize
-    val sig = docs
+    val sig = Ranks.fanout(docs, col("doc_id"))
       // tokens materialize in their own projection: shinglesOf's lambda
       // then reads an attribute per element instead of re-splitting the
       // text per gram (HOFs re-evaluate free subexpressions per element)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), shinglesOf(col("tk")).as("toks"))
       .withColumn("mh", minHashOfShingles(col("toks")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // r19: fan-out (above) + EAGER materialization — the minhash
+      // pass is the gate's hottest compute and a lazy persist both
+      // serialized it on the one scan task and let AQE's concurrent
+      // subtrees race to recompute it
+      .localCheckpoint()
     // band join carries ONLY (band_id, band_key, doc_id) — the shingle
     // arrays never enter this shuffle; candidate pairs are deduped
     // BEFORE the (expensive) exact-Jaccard verify, so a pair colliding
@@ -119,20 +123,21 @@ object Dedup {
         Seq("band_id", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+      // r19: explicit fan-out before the exact-Jaccard verify (the
+      // hottest compute; AQE coalesces the KB-scale pair exchange)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .distinct()
-    val out = cand
+    // seal the (tiny) pair set, then RELEASE the signature
+    // checkpoint: without this every call pins a full shingle copy of
+    // the corpus for the session lifetime
+    val out = Ranks.seal(cand
       .join(sig.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-      // materialize the (tiny) pair set, then RELEASE the signature
-      // cache: without this every call pins a full shingle copy of the
-      // corpus for the session lifetime, and a re-run of the same plan
-      // re-persists it (the "already cached" CacheManager warning +
-      // the storage-pool creep that starves execution memory mid-bench)
-      .localCheckpoint(true)
-    sig.unpersist(blocking = false)
+      .where(col("jaccard") >= threshold))
+    Ranks.releaseCheckpoint(sig)
     out
   }
 
@@ -667,9 +672,16 @@ object Dedup {
     // fixed width — the raw shingle strings never enter any shuffle;
     // the wide hash keeps the EXACT-verify claim honest at corpus
     // scale, where a ~1e9 hash space would saturate)
-    val docSh = docs.select(col("doc_id"),
+    // r19 (guide §2.5): fan the scan out to the core budget BEFORE the
+    // CPU-heavy shingle derivation (a one-row-group table scans as ONE
+    // task), and materialize it eagerly — the lazy persist let AQE's
+    // concurrently-materializing subtrees (l/r prefix sides, docFreq)
+    // RACE and each recompute the shingle pass (probe: six serial
+    // ~150 ms single-task copies of the same stage).
+    val docSh = Ranks.fanout(docs, col("doc_id"))
+      .select(col("doc_id"),
         array_distinct(graft.functions.GramHashes.wide(col("text"), n)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val ex = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("sh_hash"))
     // global document frequency; df=1 shingles cannot create a pair
@@ -694,9 +706,16 @@ object Dedup {
       .where(least(col("na"), col("nb")) >=
         lit(threshold) * greatest(col("na"), col("nb")))
       .select("doc_a", "doc_b")
+      // r19: the distinct's exchange is KB-scale but feeds the
+      // array_intersect verify — the gate's hottest compute (probe:
+      // 6.9 s of executor time across the 4 AQE-coalesced tasks).
+      // Cluster by pair with an explicit fan-out; the distinct then
+      // folds locally and the verify runs core-budget-wide.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .distinct()
     // exact verify on the full hash sets — candidate volume is tiny
-    val out = cand
+    val out = Ranks.seal(cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -706,13 +725,12 @@ object Dedup {
         (round(col("inter") * lit(1e6)
             / (col("na") + col("nb") - col("inter")), 0)
           .cast("long").cast("double") / lit(1e6)).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-      // materialize the (tiny) pair set, then RELEASE the shingle
-      // cache — same rationale as [[minHashPairs]]: a per-call persist
-      // with no unpersist accumulates a corpus-sized shingle copy per
-      // invocation (3 bench reps = 3 copies) for the session lifetime
-      .localCheckpoint(true)
-    docSh.unpersist(blocking = false)
+      .where(col("jaccard") >= threshold))
+      // seal the (tiny) pair set, then RELEASE the shingle checkpoint
+      // — same rationale as [[minHashPairs]]: an unreleased corpus-
+      // sized copy per invocation (3 bench reps = 3 copies) would pin
+      // storage for the session lifetime
+    Ranks.releaseCheckpoint(docSh)
     out
   }
 
@@ -733,9 +751,13 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.6): DataFrame = {
-    val docSh = docs.select(col("doc_id"),
+    // r19: same fan-out + eager-materialize treatment as
+    // [[ngramJaccardPairs]] (one-row-group scan serializes the shingle
+    // pass; a lazy persist lets AQE's concurrent subtrees recompute it)
+    val docSh = Ranks.fanout(docs, col("doc_id"))
+      .select(col("doc_id"),
         array_distinct(graft.functions.GramHashes.wide(col("text"), n)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val ex = docSh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("sh_hash"))
     val docFreq = ex.groupBy("sh_hash").agg(count(lit(1)).as("df"))
@@ -750,8 +772,13 @@ object Dedup {
     val index = ex.select(col("sh_hash"), col("doc_id").as("doc_b"))
     val cand = probes.join(index, "sh_hash")
       .where(col("doc_a") =!= col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val out = cand
+      .select("doc_a", "doc_b")
+      // r19: explicit fan-out before the array_intersect verify (the
+      // hottest compute; AQE coalesces the KB-scale pair exchange)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
+      .distinct()
+    val out = Ranks.seal(cand
       .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -760,9 +787,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (round(col("c") * lit(1e6), 0).cast("long").cast("double")
           / lit(1e6)).as("containment"))
-      .where(col("containment") >= threshold)
-      .localCheckpoint(true)
-    docSh.unpersist(blocking = false)
+      .where(col("containment") >= threshold))
+    Ranks.releaseCheckpoint(docSh)
     out
   }
 

@@ -767,32 +767,57 @@ object GraphOps {
     require(rounds >= 1 && rounds <= 2,
       s"hits: rounds must be 1 or 2 (got $rounds) — the un-normalized " +
         "integer-exact contract only bounds Long overflow through 2 rounds")
+    // r19 (guide §3.1 "pick the join strategy deliberately", §2.4):
+    // probe-profiled, the old per-round plan auto-BROADCAST the EDGE
+    // list every half-round (a checkpoint carries accurate size
+    // stats, 160k edges ≈ 2.8 MB < the 10 MB threshold) while the
+    // per-round score table's checkpoint was AQE-coalesced to ONE
+    // partition — so every probe + partial-sum ran in a single task.
+    // Flip the build side: the per-round hub/auth table is VERTEX-
+    // sized (the side that stays broadcastable as edges grow);
+    // explicitly broadcasting it makes the edge checkpoint the
+    // parallel probe side and drops the per-round edge broadcast
+    // build. The "vertices with no in-edges keep 0" union + max
+    // re-agg is a LEFT OUTER join against a checkpointed verts
+    // instead (sums are ≥ 0 so max(sum, 0) ≡ coalesce(sum, 0)
+    // exactly; verts was recomputed as a lazy distinct ~5× before).
+    // Per half-round: broadcast build (vertex-sized) + one partial-
+    // combined sum exchange, instead of an edge-list broadcast + a
+    // vertex exchange + a union-wide re-aggregation exchange.
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val verts = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()
+      .localCheckpoint()
     var hub = verts.withColumn("hub", lit(1L))
     var auth = verts.withColumn("auth", lit(1L))
     for (_ <- 1 to rounds) {
       val (prevAuth, prevHub) = (auth, hub)
-      auth = e.join(hub.select(col("v").as("src"), col("hub")), Seq("src"))
-        .groupBy(col("dst").as("v")).agg(sum("hub").as("auth"))
+      auth = Ranks.seal(verts.join(
+          e.join(broadcast(hub.select(col("v").as("src"), col("hub"))),
+              Seq("src"))
+            .groupBy(col("dst").as("v")).agg(sum("hub").as("auth")),
+          Seq("v"), "left")
         // vertices with no in-edges keep authority 0 this round
-        .unionByName(verts.withColumn("auth", lit(0L)))
-        .groupBy("v").agg(max("auth").as("auth"))
-        .localCheckpoint()
-      hub = e.join(auth.select(col("v").as("dst"), col("auth")), Seq("dst"))
-        .groupBy(col("src").as("v")).agg(sum("auth").as("hub"))
-        .unionByName(verts.withColumn("hub", lit(0L)))
-        .groupBy("v").agg(max("hub").as("hub"))
-        .localCheckpoint()
+        .select(col("v"), coalesce(col("auth"), lit(0L)).as("auth")))
+      hub = Ranks.seal(verts.join(
+          e.join(broadcast(auth.select(col("v").as("dst"), col("auth"))),
+              Seq("dst"))
+            .groupBy(col("src").as("v")).agg(sum("auth").as("hub")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("hub"), lit(0L)).as("hub")))
       // round 1's prev hub/auth are lazy derivations of verts — the
       // checkpoint-root check makes the release a no-op there (never
-      // touch e's leaf); later rounds free the superseded blocks
+      // touch the shared leaves); later rounds free superseded blocks
       Ranks.releaseCheckpoint(prevAuth)
       Ranks.releaseCheckpoint(prevHub)
     }
+    val out = Ranks.seal(hub.join(auth, Seq("v"))
+      .select(col("v").as("id"), col("hub"), col("auth")))
+    Ranks.releaseCheckpoint(hub)
+    Ranks.releaseCheckpoint(auth)
+    Ranks.releaseCheckpoint(verts)
     Ranks.releaseCheckpoint(e)
-    hub.join(auth, Seq("v")).select(col("v").as("id"), col("hub"), col("auth"))
+    out
   }
 
   /** Adamic–Adar link-prediction scores over a bipartite edge list
@@ -869,6 +894,14 @@ object GraphOps {
     */
   def labelPropagation(spark: SparkSession, edges: DataFrame,
       rounds: Int = 3): DataFrame = {
+    // r19 (guide §3.1, probe-profiled like [[hits]]): the old per-
+    // round join auto-BROADCAST the 2×|E| undirected edge checkpoint
+    // (accurate stats, under the 10 MB threshold) and probed from the
+    // label table's checkpoint — which AQE had coalesced to ONE
+    // partition, serializing the neighbor-histogram on a single core
+    // every round. Explicitly broadcasting the VERTEX-sized per-round
+    // label table flips the probe to the edge checkpoint's partitions
+    // (parallel) and drops the per-round edge broadcast build.
     val und0 = edges.select(col("src"), col("dst")).distinct()
     val und = und0.unionByName(
       und0.select(col("dst").as("src"), col("src").as("dst")))
@@ -882,14 +915,14 @@ object GraphOps {
       // parallel — a per-vertex window sort would stream the whole
       // hub through one task (and pay a sort the argmax doesn't need)
       val prev = labels
-      labels = und
-        .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+      labels = Ranks.seal(und
+        .join(broadcast(labels.select(col("v").as("dst"), col("lbl"))),
+          Seq("dst"))
         .groupBy(col("src").as("v"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy("v")
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("lbl"))).as("best"))
-        .select(col("v"), col("best")("lbl").as("lbl"))
-        .localCheckpoint()
+        .select(col("v"), col("best")("lbl").as("lbl")))
       Ranks.releaseCheckpoint(prev) // superseded round, blocks dead
     }
     Ranks.releaseCheckpoint(und)

@@ -84,6 +84,23 @@ object Ranks {
       case _ => ()
     }
 
+  /** Fan a low-parallelism frame out to the session's core budget
+    * (r19, guide §2.5/§6): at bench SF a whole table is one parquet
+    * row group, so a scan-rooted frame is ONE partition and every
+    * CPU-heavy derivation (tokenize, shingle, explode) serializes on
+    * a single core. Explicit user repartitions are never coalesced by
+    * AQE. A NO-OP whenever the frame already has at least the core
+    * budget's partitions — at cluster scale a big scan has thousands,
+    * so this never coalesces real data; it only raises starvation-
+    * level parallelism up to the core budget.
+    */
+  private[graft] def fanout(df: DataFrame, keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else if (keys.isEmpty) df.repartition(p)
+    else df.repartition(p, keys: _*)
+  }
+
   /** Terminal seal with pre-seal plan capture (r19, the r18 verdict's
     * PlanQualitySpec breakage): a terminal `localCheckpoint(true)`
     * truncates the RESULT's executed plan to a `Scan ExistingRDD`

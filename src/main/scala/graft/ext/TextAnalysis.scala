@@ -247,8 +247,11 @@ object TextAnalysis {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", slice(toks, i, lit(2)))))
       .otherwise(array().cast("array<string>"))
-    val bi = docs.select(explode(bigrams).as("bigram"))
-    val uni = docs.select(explode(toks).as("t"))
+    // r19 (guide §2.5): same one-row-group scan fan-out as bigramNll —
+    // both token passes otherwise serialize on a single scan task
+    val d = Ranks.fanout(docs, col("doc_id"))
+    val bi = d.select(explode(bigrams).as("bigram"))
+    val uni = d.select(explode(toks).as("t"))
     // r18 (guide §2.3 "aggregate before you shuffle" / §2.4): one
     // unigram pass and one bigram pass — the count tables checkpoint
     // once and the corpus TOTALS derive from them (Σ counts) instead
@@ -296,10 +299,14 @@ object TextAnalysis {
     // every instance of a bigram contributes k·u instead of k rows
     // through the count-table joins. V comes from the unigram count
     // table (|nUni| ≡ countDistinct(t)) — drops a third corpus pass.
-    val docBi = docs.select(col("doc_id"), explode(bigramsOf).as("bigram"))
+    // r19 (guide §2.5): fan the one-row-group scan out to the core
+    // budget before the two tokenize+explode passes — probe-measured
+    // 1.9 s of the gate was the docBi pass serialized on one task
+    val d = Ranks.fanout(docs, col("doc_id"))
+    val docBi = d.select(col("doc_id"), explode(bigramsOf).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
       .localCheckpoint()
-    val uni = docs.select(explode(toks).as("t"))
+    val uni = d.select(explode(toks).as("t"))
     val nUni = uni.groupBy("t").agg(count(lit(1)).as("c_a")).localCheckpoint()
     val nBi = docBi.groupBy("bigram").agg(sum("k").as("c_ab"))
     val vocab = nUni.agg(count(lit(1)).as("v"))
@@ -963,9 +970,20 @@ object TextAnalysis {
     // (dfreq, norms, query side, dots) — materialize each ONCE instead
     // of re-running the tokenize+aggregate subtree per consumer. The
     // checkpoints release after the (tiny) top-k result seals.
+    // r19 (guide §2.5): the tf aggregate is KB-to-MB-scale at bench SF,
+    // so AQE coalesces it to 1–2 post-shuffle partitions — and every
+    // downstream posting-list stage (weighted build, dots partial
+    // aggregate: probe-measured 2.2 s in ONE task) inherits that
+    // single-partition layout through the checkpoints. Request the
+    // fan-out explicitly (user repartitions are never coalesced);
+    // term-keyed, so the layout is also the term-partitioned sharding
+    // the dots join wants. defaultParallelism = core budget at any
+    // cluster size.
     val tf = base
       .select(col("doc_id"), col("__q"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "__q", "term").agg(count(lit(1)).as("tf"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("term"))
       .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val weighted = tf.join(dfreq, "term")

@@ -24,14 +24,25 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
+    // sealed/iterative gates truncate their returned frame's plan to a
+    // checkpoint scan — capture the pre-seal FINALIZED plans of every
+    // terminal/loop seal (Ranks.seal) and append them, so the dump
+    // carries the real join/aggregate shapes (r19)
+    graft.ext.SealCapture.enabled = true
     for (g <- gatesCsv.split(",").map(_.trim).filter(_.nonEmpty)) {
+      graft.ext.SealCapture.clear()
       val df = graft.SparkEntry.queries(g)(spark, dir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      val sealedPlans = graft.ext.SealCapture.plans()
+      val extra = sealedPlans.zipWithIndex.map { case (p, i) =>
+        s"\n== Sealed subplan ${i + 1}/${sealedPlans.size} (pre-checkpoint, executed) ==\n$p"
+      }.mkString
       Files.write(Paths.get(outDir, s"${g}_$suffix.txt"),
-        txt.getBytes("UTF-8"))
+        (txt + extra).getBytes("UTF-8"))
       println(s"[plandump] wrote $outDir/${g}_$suffix.txt")
     }
+    graft.ext.SealCapture.enabled = false
     spark.stop()
   }
 }
