@@ -300,9 +300,11 @@ object Dedup {
     */
   def winnowOverlapPairs(docs: DataFrame, k: Int = 4, w: Int = 4,
                          minShared: Int = 3): DataFrame = {
-    val docFp = docs.select(col("doc_id"),
+    // r19: fan-out + eager materialization (see [[ngramJaccardPairs]])
+    val docFp = Ranks.fanout(docs, col("doc_id"))
+      .select(col("doc_id"),
         winnowFingerprints(col("text"), k, w).as("fps"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val ex = docFp.select(col("doc_id"), size(col("fps")).as("n_fp"),
       explode(col("fps")).as("fp"))
     val docFreq = ex.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -318,18 +320,18 @@ object Dedup {
       .join(ranked.select(col("fp"), col("doc_id").as("doc_b")), "fp")
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .distinct()
-    val out = cand
+    // seal the tiny pair set, then release the fingerprint checkpoint
+    // (same per-call discipline as [[ngramJaccardPairs]])
+    val out = Ranks.seal(cand
       .join(docFp.select(col("doc_id").as("doc_a"), col("fps").as("fps_a")), "doc_a")
       .join(docFp.select(col("doc_id").as("doc_b"), col("fps").as("fps_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("fps_a"), col("fps_b"))).cast("long").as("n_shared"))
-      .where(col("n_shared") >= minShared)
-      // materialize the tiny pair set, then release the fingerprint
-      // cache (same per-call persist/unpersist discipline as
-      // [[ngramJaccardPairs]])
-      .localCheckpoint(true)
-    docFp.unpersist(blocking = false)
+      .where(col("n_shared") >= minShared))
+    Ranks.releaseCheckpoint(docFp)
     out
   }
 
@@ -414,7 +416,9 @@ object Dedup {
     * the executor.
     */
   def crossSourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
-    val grams = docs
+    // r19: fan the one-row-group scan out before the gram derivation
+    // (probe: the whole gram pass serialized on a single scan task)
+    val grams = Ranks.fanout(docs, col("doc_id"))
       .filter(size(tokens(col("text"))) >= n)
       .select(col("source"),
         explode(array_distinct(
@@ -446,7 +450,7 @@ object Dedup {
     *         shared fraction rounded to 6 places.
     */
   def spanDupRatio(docs: DataFrame, n: Int = 5): DataFrame = {
-    val grams = docs
+    val grams = Ranks.fanout(docs, col("doc_id"))
       .filter(size(tokens(col("text"))) >= n)
       .select(col("doc_id"),
         explode(array_distinct(
@@ -606,11 +610,15 @@ object Dedup {
   def minHashEstimatePairs(docs: DataFrame,
       maxBucket: Int = 1000): DataFrame = {
     val nBands = MinHashParams.size / BandSize
-    val sig = docs
+    // r19: fan-out + EAGER materialization (see [[minHashPairs]]) —
+    // probe showed FIVE concurrent single-task ~870 ms recomputations
+    // of this signature pass (lazy persist + AQE's concurrently
+    // materializing subtrees) per invocation
+    val sig = Ranks.fanout(docs, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), shinglesOf(col("tk")).as("toks"))
       .withColumn("mh", minHashOfShingles(col("toks")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val banded = sig.select(
       col("doc_id"),
       posexplode(transform(
@@ -627,12 +635,15 @@ object Dedup {
         Seq("band_id", "band_key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+      // r19: fan the verify out (AQE coalesces the KB-scale exchange)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .distinct()
     val nMatch = aggregate(
       zip_with(col("mh_a"), col("mh_b"),
         (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
-    val out = cand
+    val out = Ranks.seal(cand
       .join(sig.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
         col("mh").as("mh_a")), "doc_a")
       .join(sig.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
@@ -647,9 +658,8 @@ object Dedup {
         round(col("n_match").cast("double") * lit(1e6) /
             lit(MinHashParams.size.toDouble), 0)
           .cast("long").as("est_micro"),
-        col("jaccard"))
-      .localCheckpoint(true)
-    sig.unpersist(blocking = false)
+        col("jaccard")))
+    Ranks.releaseCheckpoint(sig)
     out
   }
 
