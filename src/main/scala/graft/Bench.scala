@@ -124,10 +124,18 @@ object Bench {
     // References live in the checked-in tools/canary_ref.json so a
     // recalibration (SPARK_GRAFT_CANARY_ONLY=1 on an idle box) is a
     // DATA edit — never a code edit riding in the same commit as an
-    // operator change. Falls back to the r12 calibration if the file
-    // is absent (e.g. a different working directory).
+    // operator change. Falls back to the checked-in calibration if the
+    // file is absent (e.g. a different working directory).
+    // r19 (the r18 verdict's canary-integrity call): t_bigram_nll and
+    // s_int8_rescore were both CONTAMINATED — each was moved by r18's
+    // own code/config changes, so the ratio laundered code-caused
+    // deltas into "ambient load". Replaced by gates untouched for 3+
+    // rounds with the same cost-shape coverage: t_tfidf_top
+    // (tokenize + shuffle-heavy count plane) and s_pq_ann (broadcast
+    // probe join over the embedding corpus scan). Refs recalibrated at
+    // the r19 HEAD in a standalone data-only commit.
     val canaryRefDefault = Map(
-      "q1_agg" -> 0.27, "t_bigram_nll" -> 3.00, "s_int8_rescore" -> 0.75)
+      "q1_agg" -> 0.20, "t_tfidf_top" -> 0.75, "s_pq_ann" -> 1.05)
     // ---- I/O canaries (r16, the r15 verdict's #3): the CPU canaries
     // miss an I/O-side ambient component (three same-tree r15 benches
     // spread 138.8→174.6 s while the CPU ratio explained only part;

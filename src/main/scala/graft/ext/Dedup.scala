@@ -450,7 +450,11 @@ object Dedup {
     *         shared fraction rounded to 6 places.
     */
   def spanDupRatio(docs: DataFrame, n: Int = 5): DataFrame = {
-    val grams = Ranks.fanout(docs, col("doc_id"))
+    // no Ranks.fanout here (unlike the sibling dedup ops): this op's
+    // plan contract pins that NO exchange ever carries raw text
+    // (PlanQualitySpec), and its gram pass is cheap enough that the
+    // starved-scan fan-out isn't worth trading the pin away
+    val grams = docs
       .filter(size(tokens(col("text"))) >= n)
       .select(col("doc_id"),
         explode(array_distinct(

@@ -12,14 +12,22 @@ package graft.ext
   */
 object SealCapture {
   @volatile private[graft] var enabled = false
-  private val buf =
-    scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.execution.QueryExecution]
-  private[graft] def clear(): Unit = buf.synchronized { buf.clear() }
-  /** Executed-plan strings of every seal since the last clear(). */
+  // Per-THREAD buffer: suites share one session and run in parallel,
+  // and a gate's seals all happen synchronously on the thread that
+  // constructs it — a global buffer would let one suite's seals leak
+  // into another's plan assertions.
+  private val buf = new ThreadLocal[
+      scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.execution.QueryExecution]] {
+    override def initialValue() =
+      scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.execution.QueryExecution]
+  }
+  private[graft] def clear(): Unit = buf.get().clear()
+  /** Executed-plan strings of every seal on THIS thread since clear(). */
   private[graft] def plans(): Seq[String] =
-    buf.synchronized { buf.toVector }.map(_.executedPlan.toString)
+    buf.get().toVector.map(_.executedPlan.toString)
   private[ext] def add(
       qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-    if (enabled) buf.synchronized { buf += qe }
+    if (enabled) buf.get() += qe
 }
