@@ -535,9 +535,19 @@ object Dedup {
     require(w <= maxExt, s"substringExactPairs: winnowing window $w " +
       s"exceeds the extend window $maxExt — island merge would miss " +
       "in-run coverage")
-    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
-      tokens(col("text")).as("toks"),
-      graft.functions.GramHashes.wide(col("text"), k).as("grams"))
+    // r19 (guide §2.5, probe-measured): base is consumed three times
+    // (anchors + both sides of the extend-verify join) and a
+    // one-row-group table scans as ONE task — each consumer recomputed
+    // the tokenize+gram pass serially on a single core (three ~300 ms
+    // single-task stages per run). Fan the scan out so the recomputes
+    // run core-budget-wide. Deliberately NOT checkpointed: base
+    // carries the full token+gram arrays, and materializing that
+    // corpus-sized frame measured ~2x SLOWER than three parallel
+    // recomputes (A/B med-3 both orders).
+    val base = Ranks.fanout(docs, col("doc_id"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("toks"),
+        graft.functions.GramHashes.wide(col("text"), k).as("grams"))
     val anchors = base
       .withColumn("wset", array_distinct(
         graft.functions.SlidingMin(col("grams"), w)))
