@@ -134,8 +134,11 @@ object Bench {
     // (tokenize + shuffle-heavy count plane) and s_pq_ann (broadcast
     // probe join over the embedding corpus scan). Refs recalibrated at
     // the r19 HEAD in a standalone data-only commit.
+    // kept in sync with tools/canary_ref.json (r19 review: a stale
+    // fallback re-creates the ratio-laundering problem in the exact
+    // no-ref-file case the fallback exists for)
     val canaryRefDefault = Map(
-      "q1_agg" -> 0.20, "t_tfidf_top" -> 0.75, "s_pq_ann" -> 1.05)
+      "q1_agg" -> 0.265, "t_tfidf_top" -> 0.75, "s_pq_ann" -> 1.21)
     // ---- I/O canaries (r16, the r15 verdict's #3): the CPU canaries
     // miss an I/O-side ambient component (three same-tree r15 benches
     // spread 138.8→174.6 s while the CPU ratio explained only part;
@@ -148,7 +151,7 @@ object Bench {
     // the artifact alone: compute gates scale with canary_ratio,
     // streaming/scan gates with io_canary_ratio.
     val ioCanaryRefDefault = Map(
-      "io_parquet_rt" -> 1.0, "io_stream_commit" -> 2.0)
+      "io_parquet_rt" -> 0.57, "io_stream_commit" -> 0.66)
     def ioParquetRt(): Unit = {
       val dir = Files.createTempDirectory("graft-io-canary-pq")
       try {

@@ -716,7 +716,19 @@ object Dedup {
     // EARLIER in the order, so the prefix property still holds.
     // (A groupBy + array_sort/slice variant was measured at the same
     // wall time — the window is not this gate's bottleneck.)
-    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
+    // Candidate generation filters at threshold − 1e-6 (r19 review):
+    // the REPORTED jaccard is rounded to the 1e-6 grid and the final
+    // filter compares that rounded value, so a pair whose TRUE jaccard
+    // sits in [t − 5e-7, t) rounds UP into the result set — reachable
+    // only at ~1e6+-shingle documents, where the prefix/size pruning
+    // at exactly t could drop it nondeterministically. Pruning at
+    // t − 1e-6 (one rounding quantum) restores the completeness
+    // guarantee for every pair the rounded filter can accept; the
+    // final `jaccard >= threshold` below is unchanged, so the OUTPUT
+    // is identical at any SF where the knife-edge is unreachable
+    // (oracle re-verified green at both SFs).
+    val tc = threshold - 1e-6
+    val prefixLen = col("n_sh") - ceil(lit(tc) * col("n_sh")) + 1
     val ranked = ex.join(docFreq, "sh_hash")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -728,7 +740,7 @@ object Dedup {
     val cand = l.join(r, "sh_hash")
       .where(col("doc_a") < col("doc_b"))
       .where(least(col("na"), col("nb")) >=
-        lit(threshold) * greatest(col("na"), col("nb")))
+        lit(tc) * greatest(col("na"), col("nb")))
       .select("doc_a", "doc_b")
       // r19: the distinct's exchange is KB-scale but feeds the
       // array_intersect verify — the gate's hottest compute (probe:
@@ -786,7 +798,11 @@ object Dedup {
       explode(col("sh")).as("sh_hash"))
     val docFreq = ex.groupBy("sh_hash").agg(count(lit(1)).as("df"))
       .filter(col("df") > 1)
-    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1
+    // probe prefix at threshold − 1e-6 — same rounding-quantum margin
+    // as [[ngramJaccardPairs]] (the reported containment is rounded to
+    // the 1e-6 grid; see the rationale there). Final filter unchanged.
+    val prefixLen =
+      col("n_sh") - ceil(lit(threshold - 1e-6) * col("n_sh")) + 1
     val probes = ex.join(docFreq, "sh_hash")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -24,6 +24,18 @@ import graft.plans.Fixpoint
   */
 object GraphOps {
 
+  /** Max vertex count for the per-round state-table broadcast hint in
+    * [[hits]] / [[labelPropagation]] (r19 review): (long, long) rows
+    * are ~16 bytes serialized, so 5M rows ≈ 80 MB built relation —
+    * comfortably inside ordinary executor memory and far below the
+    * 8 GB / 512M-row broadcast hard limits; beyond it the hint drops
+    * away and Catalyst plans the shuffle join a graph that size
+    * needs. Env-overridable for cluster tuning.
+    */
+  private val BroadcastVertexCap: Long =
+    sys.env.get("SPARK_GRAFT_BCAST_VERTEX_CAP").map(_.toLong)
+      .getOrElse(5000000L)
+
   private def toEdgeRdd(edges: DataFrame) =
     edges.select(col("src").cast("long"), col("dst").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
@@ -788,19 +800,29 @@ object GraphOps {
     val verts = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()
       .localCheckpoint()
+    // r19 review: an UNCONDITIONAL broadcast hint would bypass the
+    // auto-threshold at any graph size and OOM the driver (or hit the
+    // 8 GB / 512M-row broadcast hard limits) on vertex counts that
+    // grow with the edge count. Guard on the actual vertex count
+    // (one cheap job over the checkpoint): two-long-column rows are
+    // ~16 bytes serialized, so the cap keeps the built relation in
+    // the tens-of-MB range; above it the hint drops away and Catalyst
+    // picks the shuffle join a graph that size needs.
+    val hintV = verts.count() <= BroadcastVertexCap
+    def bc(df: DataFrame): DataFrame = if (hintV) broadcast(df) else df
     var hub = verts.withColumn("hub", lit(1L))
     var auth = verts.withColumn("auth", lit(1L))
     for (_ <- 1 to rounds) {
       val (prevAuth, prevHub) = (auth, hub)
       auth = Ranks.seal(verts.join(
-          e.join(broadcast(hub.select(col("v").as("src"), col("hub"))),
+          e.join(bc(hub.select(col("v").as("src"), col("hub"))),
               Seq("src"))
             .groupBy(col("dst").as("v")).agg(sum("hub").as("auth")),
           Seq("v"), "left")
         // vertices with no in-edges keep authority 0 this round
         .select(col("v"), coalesce(col("auth"), lit(0L)).as("auth")))
       hub = Ranks.seal(verts.join(
-          e.join(broadcast(auth.select(col("v").as("dst"), col("auth"))),
+          e.join(bc(auth.select(col("v").as("dst"), col("auth"))),
               Seq("dst"))
             .groupBy(col("src").as("v")).agg(sum("auth").as("hub")),
           Seq("v"), "left")
@@ -908,6 +930,11 @@ object GraphOps {
       .localCheckpoint()
     var labels = und.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
+    // same vertex-count broadcast guard as [[hits]] (r19 review): the
+    // hint only fires when the per-round label table provably fits
+    val hintV = und.select(col("src")).distinct().count() <=
+      BroadcastVertexCap
+    def bc(df: DataFrame): DataFrame = if (hintV) broadcast(df) else df
     for (_ <- 1 to rounds) {
       // argmax by (count desc, label asc) as a MIN over (-c, lbl)
       // structs: both aggregation steps are map-side combinable, so a
@@ -916,7 +943,7 @@ object GraphOps {
       // hub through one task (and pay a sort the argmax doesn't need)
       val prev = labels
       labels = Ranks.seal(und
-        .join(broadcast(labels.select(col("v").as("dst"), col("lbl"))),
+        .join(bc(labels.select(col("v").as("dst"), col("lbl"))),
           Seq("dst"))
         .groupBy(col("src").as("v"), col("lbl"))
         .agg(count(lit(1)).as("c"))

@@ -9,25 +9,33 @@ package graft.ext
   * returned frame is a bare `Scan ExistingRDD` and every assertion
   * is vacuous (the r18 verdict's PlanQualitySpec breakage). Disabled
   * (one volatile read per terminal seal) outside tests.
+  *
+  * Capture is OWNER-THREAD-scoped, not just thread-buffered (r19
+  * review): suites share one session and run in parallel, so while
+  * one suite has capture enabled, other threads' seals must not
+  * record at all — a buffer on a pool thread that never calls
+  * clear() would pin QueryExecution plan trees (and the checkpointed
+  * RDDs they reference) for the thread's lifetime.
   */
 object SealCapture {
-  @volatile private[graft] var enabled = false
-  // Per-THREAD buffer: suites share one session and run in parallel,
-  // and a gate's seals all happen synchronously on the thread that
-  // constructs it — a global buffer would let one suite's seals leak
-  // into another's plan assertions.
-  private val buf = new ThreadLocal[
-      scala.collection.mutable.ArrayBuffer[
-        org.apache.spark.sql.execution.QueryExecution]] {
-    override def initialValue() =
-      scala.collection.mutable.ArrayBuffer
-        .empty[org.apache.spark.sql.execution.QueryExecution]
+  @volatile private var owner: Long = -1L
+  private val buf =
+    scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.execution.QueryExecution]
+  /** Start capturing seals made on THIS thread (the buffer is only
+    * ever touched by the owner, so no further synchronization). */
+  private[graft] def enable(): Unit = {
+    owner = Thread.currentThread().getId; buf.clear()
   }
-  private[graft] def clear(): Unit = buf.get().clear()
-  /** Executed-plan strings of every seal on THIS thread since clear(). */
+  private[graft] def disable(): Unit = { owner = -1L; buf.clear() }
+  private[graft] def clear(): Unit =
+    if (owner == Thread.currentThread().getId) buf.clear()
+  /** Executed-plan strings of every owner-thread seal since clear(). */
   private[graft] def plans(): Seq[String] =
-    buf.get().toVector.map(_.executedPlan.toString)
+    if (owner == Thread.currentThread().getId)
+      buf.toVector.map(_.executedPlan.toString)
+    else Vector.empty
   private[ext] def add(
       qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-    if (enabled) buf.get() += qe
+    if (owner == Thread.currentThread().getId) buf += qe
 }

@@ -28,7 +28,7 @@ object PlanDump {
     // checkpoint scan — capture the pre-seal FINALIZED plans of every
     // terminal/loop seal (Ranks.seal) and append them, so the dump
     // carries the real join/aggregate shapes (r19)
-    graft.ext.SealCapture.enabled = true
+    graft.ext.SealCapture.enable()
     for (g <- gatesCsv.split(",").map(_.trim).filter(_.nonEmpty)) {
       graft.ext.SealCapture.clear()
       val df = graft.SparkEntry.queries(g)(spark, dir)
@@ -42,7 +42,7 @@ object PlanDump {
         (txt + extra).getBytes("UTF-8"))
       println(s"[plandump] wrote $outDir/${g}_$suffix.txt")
     }
-    graft.ext.SealCapture.enabled = false
+    graft.ext.SealCapture.disable()
     spark.stop()
   }
 }

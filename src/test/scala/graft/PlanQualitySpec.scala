@@ -23,7 +23,7 @@ class PlanQualitySpec extends GraftSuite {
     * concatenation, so sealed shapes stay pinned.
     */
   private def plan(name: String): String = {
-    graft.ext.SealCapture.enabled = true
+    graft.ext.SealCapture.enable()
     graft.ext.SealCapture.clear()
     try {
       val df = Queries.queries(name)(spark, sf)
@@ -31,7 +31,7 @@ class PlanQualitySpec extends GraftSuite {
       (graft.ext.SealCapture.plans() :+
         df.queryExecution.executedPlan.toString()).mkString("\n")
     } finally {
-      graft.ext.SealCapture.enabled = false
+      graft.ext.SealCapture.disable()
       graft.ext.SealCapture.clear()
     }
   }
